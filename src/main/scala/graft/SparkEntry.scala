@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Relational
+import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -111,6 +111,33 @@ object SparkEntry {
       Relational.topNPerGroup(
         t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
         "o_custkey", "o_totalprice", "o_orderkey", 3)),
+
+    // EXT time windows (batch twins of graft.streaming):
+    "q9_events_tumbling" -> ((s, dir) =>
+      Events.tumblingAgg(t(s, dir, "events"))),
+    "q10_sessionize" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"))),
+
+    // EXT text analysis over documents:
+    "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+    "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
+
+    // EXT dedup family over documents:
+    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+
+    // EXT similarity search over embeddings:
+    "sim_brute_topk" -> ((s, dir) => Similarity.bruteTopK(t(s, dir, "embeddings"), 20, 5)),
+    "sim_neardup_cosine" -> ((s, dir) => Similarity.bruteNearDup(t(s, dir, "embeddings"), 0.4)),
+    "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
+
+    // EXT multimodal binary columns:
+    "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
+    "mm_decode_stub" -> ((s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,5 +218,132 @@ object SparkEntry {
                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q9_events_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+                count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+
+    "q10_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM marked)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(us) AS start_us, max(us) AS end_us,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                max(us) - min(us) AS duration_us
+         FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+
+    "text_stats" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stopwords
+           FROM documents)
+         SELECT *,
+                CAST(floor(n_uniq_tokens * 10000.0 / n_tokens) AS BIGINT) AS uniq_ratio_bp,
+                CAST(floor(n_stopwords * 10000.0 / n_tokens) AS BIGINT) AS stop_ratio_bp,
+                CAST(floor(least(n_tokens, 100) * 10000.0 / 200)
+                     + floor(floor(n_uniq_tokens * 10000.0 / n_tokens) / 2) AS BIGINT) AS quality_bp
+         FROM s ORDER BY doc_id""",
+
+    "lang_id" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','is','to'))) AS score_en,
+                  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','ist','das'))) AS score_de,
+                  len(list_filter(string_split(text,' '), t -> t IN ('el','los','es','y','una'))) AS score_es,
+                  len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une'))) AS score_fr,
+                  regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN has_cjk THEN 'zh'
+                     WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und'
+                     WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                     WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                     WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+
+    "token_counts" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                  (a, x) -> (a * 31 + x) % 1000000007) AS fp_roll
+         FROM documents ORDER BY doc_id""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                WHERE len(arr) >= 3),
+         kept AS (SELECT doc_id, s FROM sh
+                  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
+         n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+         SELECT da, db,
+                CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) AS jaccard_bp
+         FROM com JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+         WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000
+         ORDER BY da, db""",
+
+    "sim_brute_topk" ->
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, b.vec_id,
+                  list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
+           FROM base b JOIN base q ON q.vec_id < 20 AND b.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+           FROM scored)
+         SELECT q_id, rnk, vec_id, cosine FROM ranked
+         WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+    "sim_neardup_cosine" ->
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings)
+         SELECT a.vec_id AS va, b.vec_id AS vb,
+                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         FROM base a JOIN base b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+         ORDER BY va, vb""",
+
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+                md5(text) AS fp,
+                CAST(64 + CAST(octet_length(text::BLOB) AS BIGINT) % 512 AS INT) AS stub_width,
+                CAST(64 + (CAST(octet_length(text::BLOB) AS BIGINT) * 31) % 512 AS INT) AS stub_height
+         FROM documents ORDER BY doc_id""",
   )
 }

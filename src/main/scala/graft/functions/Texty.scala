@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text expression helpers — all pure Catalyst expressions (codegen'd,
+  * no UDFs), shared by the text-analysis and dedup operators.
+  *
+  * The reference's only text processing is three Python UDFs
+  * (SURVEY.md §2b P11–P13); these helpers extend that surface to the
+  * LLM-pipeline operators mandated by BASELINE.json (shingling, hashing,
+  * fingerprinting) while staying whole-stage-codegen friendly.
+  */
+object Texty {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word k-shingles ("n-grams of tokens") as an array column.
+    * Docs with fewer than k tokens get an empty array. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Polynomial rolling hash over characters: acc = (acc*31 + code) mod p.
+    * Stays below 2^35 so it is overflow-safe in engines that error on
+    * BIGINT overflow (unlike Java's silent wrap). */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
+
+  /** Count of tokens contained in `stop` (duplicates counted). */
+  def stopCount(text: Column, stop: Seq[String]): Column = {
+    val set = stop.map(lit(_))
+    size(filter(tokens(text), t => t.isin(set: _*)))
+  }
+
+  /** Ratio in basis points as exact BIGINT: floor(num*10000/den).
+    * Used instead of rounding for oracle-checked ratios: round-half
+    * semantics differ engine to engine at exact ties (e.g. 1/32), while
+    * floor of the identical double is unambiguous. */
+  def ratioBp(num: Column, den: Column): Column =
+    floor(num * lit(10000.0) / den).cast("long")
+}

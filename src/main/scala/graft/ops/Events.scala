@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-window operators over the events table (EXT — the reference has
+  * no time-based ops, SURVEY.md §2f; the batch forms here have streaming
+  * twins in graft.streaming.EventStream).
+  *
+  * All timestamps are surfaced as epoch microseconds (BIGINT): the corpus
+  * parquet stores nanosecond timestamps with exactly microsecond-precision
+  * values, so epoch-us is lossless in both Spark (truncates ns→us) and
+  * DuckDB (keeps ns).
+  */
+object Events {
+
+  /** The corpus stores events.ts as parquet TIMESTAMP(NANOS), which Spark 4
+    * only reads as a raw nanosecond LONG (spark.sql.legacy.parquet
+    * .nanosAsLong=true — set by Verify/Bench). Normalize either
+    * representation to epoch microseconds / TimestampType here. `div` is
+    * integer division: epoch-ns values exceed 2^53, double math would lose
+    * precision. */
+  private def tsUs(events: DataFrame): org.apache.spark.sql.Column =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
+  private def tsCol(events: DataFrame): org.apache.spark.sql.Column =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+
+  /** Tumbling-window aggregate: per (1-hour window, event_type) count and
+    * exact value sum. Partial aggregation makes this one shuffle of
+    * (#windows × #types) rows regardless of input size. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(tsCol(events), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
+
+  /** Gap-based sessionization (30-minute inactivity): windowed lag to mark
+    * session starts, running sum to number sessions, then one aggregate.
+    * Shuffle is a single hash partition by user_id — the window and the
+    * groupBy reuse the same partitioning (no second exchange). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = tsUs(events)
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || (us - col("prev_us")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(us).as("start_us"),
+        max(us).as("end_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_idx")
+  }
+}

