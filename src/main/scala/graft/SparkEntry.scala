@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Features, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -138,6 +138,55 @@ object SparkEntry {
     // EXT multimodal binary columns:
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
     "mm_decode_stub" -> ((s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))),
+
+    // T4 feature prep (FP1/FP3/FP4) as oracle-checkable transforms:
+    // frequency-ranked label encoding of two categorical columns.
+    "fp_string_index" -> ((s, dir) =>
+      Features.stringIndex(t(s, dir, "orders"),
+          Seq("o_orderpriority", "o_orderstatus"))
+        .select("o_orderkey", "o_orderpriority_idx", "o_orderstatus_idx")
+        .orderBy("o_orderkey")),
+
+    // Exact 20-quantile bucketing (ntile twin of QuantileDiscretizer).
+    "fp_quantile_bucket" -> ((s, dir) =>
+      Features.ntileBucket(t(s, dir, "orders"), "o_totalprice", "o_orderkey", 20)
+        .select("o_orderkey", "bucket")
+        .orderBy("o_orderkey")),
+
+    // Null imputation: synthesize nulls (corpus has none), then the ref's
+    // numeric→-1 / string→'-1' fill.
+    "fp_na_fill" -> ((s, dir) =>
+      Features.naFill(
+        t(s, dir, "customer")
+          .withColumn("c_acctbal",
+            when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+          .withColumn("c_mktsegment",
+            when(col("c_nationkey") % 5 === 0, lit(null))
+              .otherwise(col("c_mktsegment"))))
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // T4 classifiers (FP6-FP12), seeded; rows-only (never oracle'd).
+    "ml_train_eval" -> ((s, dir) =>
+      graft.ml.Classifiers.trainEval(
+        s, graft.ml.Classifiers.embeddingFeatures(t(s, dir, "embeddings")))),
+    "ml_rf_importances" -> ((s, dir) =>
+      graft.ml.Classifiers.rfImportances(
+        s, graft.ml.Classifiers.embeddingFeatures(t(s, dir, "embeddings")))),
+
+    // FP1-FP5 end-to-end spark.ml Pipeline (indexers+discretizer+assembler)
+    // on orders; vector surfaced as array for a rows-only check.
+    "fp_pipeline_assemble" -> ((s, dir) => {
+      val (_, out) = graft.ml.Pipelines.featurePipeline(
+        t(s, dir, "orders"),
+        stringCols = Seq("o_orderpriority", "o_orderstatus"),
+        numericCols = Seq("o_totalprice"),
+        numericBuckets = Map("o_totalprice" -> 20))
+      out.select(col("o_orderkey"),
+          org.apache.spark.ml.functions.vector_to_array(col("features"))
+            .as("features"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -345,5 +394,33 @@ object SparkEntry {
                 CAST(64 + CAST(octet_length(text::BLOB) AS BIGINT) % 512 AS INT) AS stub_width,
                 CAST(64 + (CAST(octet_length(text::BLOB) AS BIGINT) * 31) % 512 AS INT) AS stub_height
          FROM documents ORDER BY doc_id""",
+
+    "fp_string_index" ->
+      """WITH d1 AS (
+           SELECT o_orderpriority AS v,
+                  CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1 AS BIGINT) AS idx
+           FROM orders GROUP BY o_orderpriority),
+         d2 AS (
+           SELECT o_orderstatus AS v,
+                  CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) - 1 AS BIGINT) AS idx
+           FROM orders GROUP BY o_orderstatus)
+         SELECT o_orderkey,
+                d1.idx AS o_orderpriority_idx,
+                d2.idx AS o_orderstatus_idx
+         FROM orders
+         JOIN d1 ON d1.v = o_orderpriority
+         JOIN d2 ON d2.v = o_orderstatus
+         ORDER BY o_orderkey""",
+
+    "fp_quantile_bucket" ->
+      """SELECT o_orderkey,
+                ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+         FROM orders ORDER BY o_orderkey""",
+
+    "fp_na_fill" ->
+      """SELECT c_custkey,
+                CASE WHEN c_acctbal < 0 THEN -1.0 ELSE c_acctbal END AS c_acctbal,
+                CASE WHEN c_nationkey % 5 = 0 THEN '-1' ELSE c_mktsegment END AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
   )
 }

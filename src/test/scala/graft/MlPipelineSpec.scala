@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Features
+
+/** SURVEY.md §2g: feature pipeline (FP1-FP5) + classifiers (FP6-FP12).
+  * ML fits are covered by seeded-determinism + AUC-tolerance tests, never
+  * by the DuckDB oracle (SURVEY §5 strategy (5)). */
+class MlPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stringIndexDict: frequency desc, tie alphabetical asc (FP1)") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("v")
+    val dict = Features.stringIndexDict(df, "v")
+      .orderBy("idx").as[(String, Long, Long)].collect()
+    // a and b tie at 2 -> a first; c (1) last
+    assert(dict.map(r => (r._1, r._3)).toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L)))
+  }
+
+  test("stringIndex matches spark.ml StringIndexer on the same column (FP1)") {
+    val orders = Tables(spark, sf0001, "orders")
+    val ours = Features.stringIndex(orders, Seq("o_orderpriority"))
+      .select("o_orderkey", "o_orderpriority_idx")
+    val indexer = new org.apache.spark.ml.feature.StringIndexer()
+      .setInputCol("o_orderpriority").setOutputCol("ml_idx")
+    val theirs = indexer.fit(orders).transform(orders)
+      .select(col("o_orderkey"), col("ml_idx").cast("long"))
+    assert(ours.join(theirs, "o_orderkey")
+      .filter(col("o_orderpriority_idx") =!= col("ml_idx")).count() == 0)
+  }
+
+  test("ntileBucket: 1-based, near-equal sizes, ordered by value (FP3 twin)") {
+    val df = (1 to 10).map(i => (i, i * 10.0)).toDF("k", "v")
+    val b = Features.ntileBucket(df, "v", "k", 4)
+      .select("k", "bucket").as[(Int, Long)].collect().toMap
+    assert(b(1) == 1 && b(10) == 4)
+    val sizes = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map(1L -> 3, 2L -> 3, 3L -> 2, 4L -> 2))
+  }
+
+  test("naFill: numeric -1, string '-1' (FP4)") {
+    val df = Seq((Some(1.5), Some("x")), (None, None))
+      .toDF("num", "str")
+    val filled = Features.naFill(df).as[(Double, String)].collect().toSet
+    assert(filled == Set((1.5, "x"), (-1.0, "-1")))
+  }
+
+  test("featurePipeline assembles indexed+bucketed+raw features (FP1-FP5)") {
+    val orders = Tables(spark, sf0001, "orders")
+    val (model, out) = graft.ml.Pipelines.featurePipeline(
+      orders, Seq("o_orderpriority"), Seq("o_totalprice"),
+      Map("o_totalprice" -> 5))
+    val v = out.select(
+      org.apache.spark.ml.functions.vector_to_array(col("features")))
+      .first().getSeq[Double](0)
+    assert(v.length == 3) // idx, bucket, raw
+    // model persistence (S6, ref FP: save with overwrite - exp4_work4.ipynb:690)
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    model.write.overwrite().save(dir)
+    val re = org.apache.spark.ml.PipelineModel.load(dir)
+    assert(re.stages.length == model.stages.length)
+  }
+
+  test("classifiers learn a separable task; seeded determinism (FP6-FP11)") {
+    // Synthetic separable 2-class data (seeded): the driver embeddings'
+    // held-out signal is near noise (linear AUC ~0.55 at sf0.01), so AUC
+    // thresholds are asserted on data where the ref's 0.80+ anchor is
+    // achievable; the real-corpus run is the smoke test below.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val label = i % 2
+      val mean = if (label == 1) 1.0 else -1.0
+      val feats = Array.fill(8)(mean + rnd.nextGaussian() * 1.5)
+      (org.apache.spark.ml.linalg.Vectors.dense(feats), label.toDouble)
+    }
+    val labeled = rows.toDF("features", "label")
+    val res = graft.ml.Classifiers.trainEval(spark, labeled, featureDim = 8)
+      .as[(String, Double, Long, Long)].collect()
+    assert(res.map(_._1).toSeq ==
+      Seq("linear_svc", "logistic_regression", "mlp", "random_forest"))
+    res.foreach { case (m, auc, _, _) => assert(auc > 0.8, s"$m auc=$auc") }
+    assert(res.head._3 + res.head._4 == 400)
+    val res2 = graft.ml.Classifiers.trainEval(spark, labeled, featureDim = 8)
+      .as[(String, Double, Long, Long)].collect()
+    assert(res.toSeq == res2.toSeq)
+  }
+
+  test("trainEval runs on the driver embeddings corpus (smoke)") {
+    val labeled = graft.ml.Classifiers.embeddingFeatures(
+      Tables(spark, sf0001, "embeddings"))
+    val res = graft.ml.Classifiers.trainEval(spark, labeled)
+      .as[(String, Double, Long, Long)].collect()
+    assert(res.length == 4 && res.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+  }
+
+  test("rfImportances: 64 rows summing to ~1 (FP12)") {
+    val labeled = graft.ml.Classifiers.embeddingFeatures(
+      Tables(spark, sf001, "embeddings"))
+    val imp = graft.ml.Classifiers.rfImportances(spark, labeled)
+      .as[(Int, Double)].collect()
+    assert(imp.length == 64)
+    assert(math.abs(imp.map(_._2).sum - 1.0) < 1e-6)
+  }
+}
