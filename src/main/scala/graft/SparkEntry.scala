@@ -139,6 +139,18 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
     "mm_decode_stub" -> ((s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))),
 
+    // S4 CSV sink smoke (rows-only — filesystem op, SURVEY §7 M1): write
+    // the flagship result as single-file GBK CSV, read it back schema-less.
+    "csv_gbk_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-csv-gbk").toString
+      graft.sources.Csv.writeSingle(
+        Relational.groupCountSortDesc(t(s, dir, "customer"), "c_mktsegment"),
+        out)
+      graft.sources.Csv.readSchemaless(s, out, encoding = "GBK")
+        .orderBy(col("cnt").cast("long").desc, col("c_mktsegment"))
+    }),
+
     // T4 feature prep (FP1/FP3/FP4) as oracle-checkable transforms:
     // frequency-ranked label encoding of two categorical columns.
     "fp_string_index" -> ((s, dir) =>

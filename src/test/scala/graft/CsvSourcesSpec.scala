@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+
+import graft.sources.Csv
+
+/** SURVEY.md §2a S1–S4: CSV read modes + GBK single-file sink, including
+  * the Chinese-string round-trip the reference's goldens exercise
+  * (任务二+任务三/work3-1 is GBK with values like 普通企业). */
+class CsvSourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("schema-less header read: every column StringType (S2)") {
+    val dir = tmpDir("csv-s2")
+    Files.writeString(Paths.get(dir, "in.csv"),
+      "id,amount\n1,10.5\n2,20.0\n")
+    val df = Csv.readSchemaless(spark, s"$dir/in.csv")
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.count() == 2)
+  }
+
+  test("explicit-schema read types columns, header per-file (S1/S3)") {
+    val dir = tmpDir("csv-s3")
+    Files.writeString(Paths.get(dir, "in.csv"),
+      "loan_id,user_id,total_loan\n10,1,5000.0\n11,2,800.5\n")
+    val schema = org.apache.spark.sql.types.StructType(
+      Csv.loanSchema.fields.take(3))
+    val df = Csv.readWithSchema(spark, s"$dir/in.csv", schema)
+    assert(df.schema("loan_id").dataType == IntegerType)
+    assert(df.schema("total_loan").dataType == DoubleType)
+    // header row consumed exactly once (ref MR dropped one row per split —
+    // SURVEY §2a S1-bug; canonical behavior keeps all 2 data rows)
+    assert(df.count() == 2)
+    assert(df.agg(org.apache.spark.sql.functions.sum("total_loan"))
+      .first().getDouble(0) == 5800.5)
+  }
+
+  test("loan schema has the reference's 42 nullable fields") {
+    assert(Csv.loanSchema.fields.length == 42)
+    assert(Csv.loanSchema.fields.forall(_.nullable))
+    assert(Csv.loanSchema.fieldNames.take(3).toSeq ==
+      Seq("loan_id", "user_id", "total_loan"))
+    assert(Csv.loanSchema.fieldNames.last == "is_default")
+  }
+
+  test("GBK single-file sink round-trips Chinese strings (S4)") {
+    val out = tmpDir("csv-s4")
+    val df = Seq(("金融业", 48216L), ("普通企业", 136300L))
+      .toDF("industry", "cnt")
+    Csv.writeSingle(df, out)
+    val parts = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".csv"))
+    assert(parts.length == 1) // single file, like the ref's repartition(1)
+    val raw = Files.readAllBytes(Paths.get(parts.head))
+    val gbk = new String(raw, Charset.forName("GBK"))
+    assert(gbk.startsWith("industry,cnt"))
+    assert(gbk.contains("金融业,48216"))
+    // and the bytes are NOT utf-8 for the Chinese part
+    assert(!new String(raw, "UTF-8").contains("金融业"))
+    // read back through the engine's GBK-aware reader
+    val back = Csv.readSchemaless(spark, parts.head, encoding = "GBK")
+    assert(back.where($"industry" === "金融业").count() == 1)
+  }
+
+  test("partitioned CSV sink writes one dir per partition value") {
+    val out = tmpDir("csv-part")
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "grp")
+    Csv.writePartitioned(df, out, partitionCols = Seq("grp"))
+    val dirs = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.contains("grp=")).sorted
+    assert(dirs.map(_.split("/").last).toSeq == Seq("grp=a", "grp=b"))
+  }
+}
