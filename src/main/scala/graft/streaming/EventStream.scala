@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of `graft.ops.Events` (EXT surface — the
+  * reference has no streaming at all, SURVEY.md §2f; this is the
+  * `readStream → transform → writeStream` path mandated by the repo
+  * north star).
+  *
+  * Batch/stream parity: `tumblingCounts` produces the same rows as
+  * `Events.tumblingAgg` once all windows close, and `sessionAgg` the same
+  * session boundaries as `Events.sessionize` (gap semantics identical —
+  * native `session_window` merges events closer than the gap).
+  *
+  * Scale: all stateful ops are keyed by (window×type) / (user×session) —
+  * state is hash-partitioned across executors and bounded by the
+  * watermark, which evicts closed windows/sessions; no unbounded state.
+  */
+object EventStream {
+
+  /** events-table schema for streaming file sources (streams must declare
+    * schemas up front — no inference at runtime). `ts` is event time. */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream source: new parquet files under `dir` become
+    * micro-batches (`maxFilesPerTrigger` caps per-batch work). */
+  def readParquetStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Streaming twin of Events.tumblingAgg: per (1-hour window, type)
+    * count + exact sum, with an event-time watermark bounding state. */
+  def tumblingCounts(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Streaming twin of Events.sessionize: native session windows (gap
+    * merge) keyed by user. Watermark evicts closed sessions. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserState(nEvents: Long, sumValue: Double)
+  case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals
+    * across micro-batches (the `KeyValueGroupedDataset` stateful API for
+    * semantics session_window can't express). State is one small record
+    * per user; use a timeout in production to bound key cardinality. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserStats](GroupStateTimeout.NoTimeout) {
+        (uid, batch, state) =>
+          val prev =
+            if (state.exists) state.get else UserState(0L, 0.0)
+          var n = prev.nEvents
+          var s = prev.sumValue
+          batch.foreach { e => n += 1; s += e.value }
+          state.update(UserState(n, s))
+          UserStats(uid, n, s)
+      }
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming twins (graft.streaming): MemoryStream-driven
+  * micro-batch tests, asserting batch/stream parity where applicable. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(mins: Long): Timestamp = new Timestamp(mins * 60000L)
+
+  private def runBatches[T](q: org.apache.spark.sql.streaming.DataStreamWriter[T],
+      name: String): org.apache.spark.sql.DataFrame = {
+    val sq = q.queryName(name).format("memory").start()
+    sq.processAllAvailable()
+    sq.stop()
+    spark.table(name)
+  }
+
+  test("tumblingCounts aggregates per hour window per type") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(10), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 5.0)) // second hour
+    val out = runBatches(
+      EventStream.tumblingCounts(in.toDF()).writeStream
+        .outputMode(OutputMode.Complete), "tumbling")
+    val rows = out.as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (0L, "click", 2L, 3.0),
+      (3600L * 1000000, "view", 1L, 5.0)))
+  }
+
+  test("sessionAgg merges events within the gap, splits across it") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 1: events at 0 and 10min (one session), then 60min (new session)
+    in.addData(
+      Event(1, ts(0), 1, "a", 1.0),
+      Event(2, ts(10), 1, "a", 2.0),
+      Event(3, ts(60), 1, "a", 4.0))
+    val out = runBatches(
+      EventStream.sessionAgg(in.toDF()).writeStream
+        .outputMode(OutputMode.Complete), "sessions")
+    val rows = out.as[(Long, Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(rows.length == 2)
+    assert(rows(0)._4 == 2 && rows(0)._5 == 3.0) // first session: 2 events
+    assert(rows(1)._4 == 1 && rows(1)._5 == 4.0)
+  }
+
+  test("runningUserStats accumulates state across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.runningUserStats(in.toDS()).writeStream
+      .queryName("running").format("memory").outputMode(OutputMode.Update)
+      .start()
+    in.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "a", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(2), 1, "a", 4.0), Event(4, ts(3), 2, "b", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends updated rows; take the LAST row
+    // per user as current state
+    val last = spark.table("running").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (u, rs) => rs.maxBy(_._2) }.toSet
+    assert(last == Set((1L, 3L, 7.0), (2L, 1L, 8.0)))
+  }
+
+  test("streaming tumbling matches batch tumblingAgg on the same data") {
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.5),
+      Event(2, ts(15), 2, "click", 2.5),
+      Event(3, ts(65), 1, "view", 3.0),
+      Event(4, ts(125), 3, "view", 4.0))
+    val in = MemoryStream[Event]
+    in.addData(events: _*)
+    val streamRows = runBatches(
+      EventStream.tumblingCounts(in.toDF()).writeStream
+        .outputMode(OutputMode.Complete), "parity_stream")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batchRows = graft.ops.Events.tumblingAgg(events.toDF())
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamRows == batchRows)
+  }
+}
