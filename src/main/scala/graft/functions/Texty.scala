@@ -29,10 +29,11 @@ object Texty {
 
   /** Polynomial rolling hash over characters: acc = (acc*31 + code) mod p.
     * Stays below 2^35 so it is overflow-safe in engines that error on
-    * BIGINT overflow (unlike Java's silent wrap). */
-  def rollingHash(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
+    * BIGINT overflow (unlike Java's silent wrap). Backed by the codegen'd
+    * [[RollingHash]] expression (the equivalent higher-order
+    * `aggregate(split(text,''),…)` form is interpreted and allocates per
+    * character — it dominated the fingerprint benchmark). */
+  def rollingHash(text: Column): Column = RollingHash(text)
 
   /** Count of tokens contained in `stop` (duplicates counted). */
   def stopCount(text: Column, stop: Seq[String]): Column = {

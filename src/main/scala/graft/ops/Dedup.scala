@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Texty
 
@@ -47,16 +48,40 @@ object Dedup {
       .select("doc_id", "s")
   }
 
+  /** Distinct (doc, shingle-hash) pairs with the same df cap as
+    * [[shingles]] — every downstream consumer (Jaccard join keys, MinHash
+    * input) only needs shingle *identity*, so the 64-bit xxhash64 of the
+    * shingle replaces the string: shuffle rows shrink to two longs and
+    * every further hash runs over a fixed-width long, not a string.
+    * (Collision odds across a corpus are ~n²/2⁶⁴ — negligible, and the
+    * df cap bounds any blowup a collision could cause.) */
+  def shingleHashes(docs: DataFrame, k: Int, maxDf: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(id).as("doc_id"),
+        explode(Texty.wordShingles(col(text), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    sh.join(broadcast(hot), Seq("h"), "left_anti")
+      .select("doc_id", "h")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share >=1 kept
     * shingle; jaccard = |A∩B| / (|A|+|B|-|A∩B|), reported in exact basis
-    * points. The shingle-equijoin is a plain shuffle hash join on `s` —
-    * partitioned by shingle, so co-occurrence counting is local. */
+    * points. The shingle-equijoin is a plain shuffle hash join on the
+    * shingle hash — partitioned by shingle, so co-occurrence counting is
+    * local, and the join key is one long. */
   def ngramJaccard(docs: DataFrame, k: Int = 3, maxDf: Int = 100,
       minJaccardBp: Long = 5000): DataFrame = {
-    val sh = shingles(docs, k, maxDf)
+    // The kept-shingle set feeds three consumers (per-doc counts + both
+    // sides of the self-join): materialize once instead of re-exploding
+    // the corpus three times. At cluster scale this is the "write the
+    // shingle table once" step of a multi-stage dedup job.
+    val sh = shingleHashes(docs, k, maxDf).persist(StorageLevel.MEMORY_AND_DISK)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("c"))
     common
@@ -72,12 +97,15 @@ object Dedup {
   val MinhashK = 32 // signature length
   val MinhashBands = 8 // bands of 4 rows => catches jaccard >≈ 0.5
 
-  /** MinHash signatures: column m0..m31 = min over shingles of a seeded
-    * 64-bit hash. One partial/final aggregate over the exploded shingles —
-    * the signature never leaves the executors un-aggregated. */
+  /** MinHash signatures: column m0..m31 = min over shingle hashes of a
+    * seeded re-hash. One partial/final aggregate over the exploded
+    * shingles — the signature never leaves the executors un-aggregated.
+    * Input is [[shingleHashes]] output: the k seeded hash functions run
+    * over a fixed-width long (one xxhash64 iteration each), not the
+    * shingle string — ~an order of magnitude less hashing work per row. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
     val aggs = (0 until MinhashK).map(k =>
-      min(xxhash64(lit(k), col("s"))).as(s"m$k"))
+      min(xxhash64(lit(k), col("h"))).as(s"m$k"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -87,7 +115,11 @@ object Dedup {
     * `maxBucket` caps pathological buckets (see class doc). */
   def minhashLsh(docs: DataFrame, k: Int = 3, maxDf: Int = 100,
       maxBucket: Int = 50, minSigMatches: Int = 16): DataFrame = {
-    val sig = minhashSignatures(shingles(docs, k, maxDf))
+    // Signatures feed banding plus both sides of the candidate re-score
+    // join: one narrow row per doc, ideal cache candidate — recomputing
+    // would re-run the full shingle explode + 32-way min-agg three times.
+    val sig = minhashSignatures(shingleHashes(docs, k, maxDf))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until MinhashBands).map { b =>
       xxhash64((lit(b) +: (0 until 4).map(j => col(s"m${4 * b + j}"))): _*)
     }
@@ -98,6 +130,7 @@ object Dedup {
       .select("band_idx", "band_hash")
     val kept = banded
       .join(broadcast(hotBuckets), Seq("band_idx", "band_hash"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = kept.as("a").join(kept.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -116,19 +149,21 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** 64-bit SimHash per document: weighted token hashes vote per bit.
-    * Implemented as one 64-expression aggregate over (doc, token, weight) —
-    * wide but single-pass and fully codegen'd. */
+  /** 64-bit SimHash per document: token hashes vote per bit, weighted by
+    * occurrence count. Implemented as one 64-expression aggregate directly
+    * over the exploded (doc, token-hash) occurrences — summing ±1 per
+    * occurrence equals summing ±count per distinct token, so the
+    * intermediate (doc, tok) groupBy shuffle is skipped entirely: one
+    * shuffle (partial/final agg) instead of two. */
   def simhash(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val tok = docs
       .select(col(id).as("doc_id"),
         explode(Texty.tokens(col(text))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val bitAggs = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
-        .otherwise(-col("w"))).as(s"b$i"))
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$i"))
     val bits = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
     val sh = (0 until 64)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
@@ -141,7 +176,9 @@ object Dedup {
     * least one exact chunk). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 100): DataFrame = {
-    val sh = simhash(docs)
+    // One 64-bit hash per doc, consumed via two derived paths (hot-chunk
+    // count + blocked self-join) — cache the tiny table, not the 64-agg.
+    val sh = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 4).map(j =>
       shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL))
     val blocked = sh.select(col("doc_id"), col("simhash"),
@@ -151,6 +188,7 @@ object Dedup {
       .select("chunk_idx", "chunk")
     val kept = blocked
       .join(broadcast(hotChunks), Seq("chunk_idx", "chunk"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     kept.as("a").join(kept.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk") === col("b.chunk") &&
