@@ -134,6 +134,8 @@ object SparkEntry {
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteTopK(t(s, dir, "embeddings"), 20, 5)),
     "sim_neardup_cosine" -> ((s, dir) => Similarity.bruteNearDup(t(s, dir, "embeddings"), 0.4)),
     "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), 20, 5)),
 
     // EXT multimodal binary columns:
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),

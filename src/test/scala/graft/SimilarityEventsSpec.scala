@@ -28,6 +28,27 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == Seq((1, 1L), (2, 2L), (3, 3L)))
   }
 
+  test("ivfTopK with nProbe = nCentroids equals bruteTopK exactly") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val brute = graft.ops.Similarity.bruteTopK(emb, 10, 5).collect().toSeq
+    val ivf = graft.ops.Similarity
+      .ivfTopK(emb, 10, 5, nCentroids = 4, nProbe = 4).collect().toSeq
+    assert(ivf == brute) // probing every list == exhaustive scan
+  }
+
+  test("ivfTopK with partial probing returns k ranked rows per query") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val ivf = graft.ops.Similarity
+      .ivfTopK(emb, 5, 3, nCentroids = 8, nProbe = 2)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("lshNearDup finds most exact pairs at sf0.001 (candidate pruning only)") {
     val emb = Tables(spark, sf0001, "embeddings")
     val exact = Similarity.bruteNearDup(emb, 0.4)
