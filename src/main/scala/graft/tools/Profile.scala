@@ -28,8 +28,9 @@ object Profile {
           org.apache.spark.sql.functions.col("text"), 3)).as("s")).count()
     }
     time("shingles (df-capped)") { Dedup.shingles(docs, 3, 100).count() }
+    time("shingle hashes (df-capped)") { Dedup.shingleHashes(docs, 3, 100).count() }
     time("minhash signatures") {
-      Dedup.minhashSignatures(Dedup.shingles(docs, 3, 100)).count()
+      Dedup.minhashSignatures(Dedup.shingleHashes(docs, 3, 100)).count()
     }
     time("minhash full") { Dedup.minhashLsh(docs).count() }
     time("ngram jaccard full") { Dedup.ngramJaccard(docs).count() }
