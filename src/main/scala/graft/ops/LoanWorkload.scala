@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's four tasks end-to-end, as one API over any DataFrame
+  * with the loan schema (`graft.sources.Csv.loanSchema`). A user of
+  * shiyu-coder/Financial-big-data-exp-4 runs exactly these queries; this
+  * object is the drop-in surface (SURVEY.md §0 table).
+  *
+  * Each is a pure DataFrame transform — read the CSV with
+  * `Csv.readLoan` (typed) or `Csv.readSchemaless` (ref's T1–T3 mode),
+  * apply, write with `Csv.writeSingle` for the ref's GBK outputs.
+  */
+object LoanWorkload {
+
+  /** T1: rows per industry, count desc (industry asc tie-break — the MR
+    * job-2 comparator, IndustryCount.java:91-96). Spark header semantics
+    * (48216, not the MR split-bug 48215 — SURVEY §2a S1-bug). */
+  def t1IndustryCount(loan: DataFrame): DataFrame =
+    Relational.groupCountSortDesc(loan, "industry")
+
+  /** T2: total_loan histogram in 1000-wide left-closed buckets with the
+    * ref's "(lo,hi)" labels (exp4_work2+3.ipynb:92-101), native exprs. */
+  def t2LoanHistogram(loan: DataFrame): DataFrame =
+    Relational.bucketHistogram(
+      loan.withColumn("total_loan", col("total_loan").cast("double")),
+      "total_loan", 1000L)
+
+  /** T3-1: employer_type share of all rows, bround scale 4 — canonical
+    * exact count(*)/total, not the ref's accumulating 1/N sum
+    * (exp4_work2+3.ipynb:285-339; SURVEY §2c A3). */
+  def t3EmployerTypeRatio(loan: DataFrame): DataFrame =
+    Relational.groupRatio(loan, "employment_type")
+
+  /** T3-2: total_money = year_of_loan*monthly_payment*12 - total_loan
+    * (exp4_work2+3.ipynb:403), computed in double (the ref's float32
+    * artifacts are not canonical — SURVEY §7). Keyed output. */
+  def t3TotalMoney(loan: DataFrame): DataFrame =
+    loan.select(
+      col("loan_id"),
+      col("user_id"),
+      (col("year_of_loan").cast("double")
+        * col("monthly_payment").cast("double") * 12
+        - col("total_loan").cast("double")).as("total_money"))
+      .orderBy("loan_id")
+
+  /** T3-3: parse work_year ("x years"/"10+ years"/"< 1 year"/null), keep
+    * rows with > minYears (exp4_work2+3.ipynb:478-508). The when-chain
+    * parser keeps predicate pushdown alive (no Python UDF barrier). */
+  def t3WorkYearFilter(loan: DataFrame, minYears: Int = 5): DataFrame =
+    loan
+      .withColumn("work_year_num", Relational.parseWorkYear(col("work_year")))
+      .filter(col("work_year_num") > minYears)
+      .select("loan_id", "user_id", "work_year", "work_year_num")
+      .orderBy("loan_id")
+
+  /** T4 feature prep: na.fill(-1/'-1') → StringIndexer ×8 → 20-quantile
+    * bucketing of the two indexed date columns → VectorAssembler over
+    * every numeric + indexed column (exp4_work4.ipynb cells 7–20).
+    * Returns (fitted PipelineModel, transformed frame with `features`).
+    * NOTE: the ref assembles loan_id/user_id too (leakage) — we exclude
+    * ids; is_default stays out of features. */
+  def t4Features(loan: DataFrame): (org.apache.spark.ml.PipelineModel, DataFrame) = {
+    val stringCols = Seq("class", "sub_class", "work_type",
+      "employment_type", "industry", "work_year", "issue_date",
+      "earlies_credit_mon")
+    val numericCols = loan.schema.fields
+      .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name)
+      .filterNot(Set("loan_id", "user_id", "is_default"))
+      .toSeq
+    val idx = graft.ml.Pipelines.stringIndexers(stringCols)
+    val disc = Seq("issue_date_idx", "earlies_credit_mon_idx")
+      .map(c => new org.apache.spark.ml.feature.QuantileDiscretizer()
+        .setInputCol(c).setOutputCol(s"${c}_bucket")
+        .setNumBuckets(20).setHandleInvalid("keep"))
+    val featCols = numericCols ++
+      stringCols.filterNot(Set("issue_date", "earlies_credit_mon"))
+        .map(_ + "_idx") ++
+      Seq("issue_date_idx_bucket", "earlies_credit_mon_idx_bucket")
+    val pipe = new org.apache.spark.ml.Pipeline().setStages(
+      (idx ++ disc :+ graft.ml.Pipelines.assembler(featCols)).toArray)
+    val filled = Features.naFill(loan)
+    val model = pipe.fit(filled)
+    (model, model.transform(filled))
+  }
+
+  /** T4 classifiers on the prepared features: seeded split, LR / SVC /
+    * MLP / RF, AUC each (ref anchors: LR 0.80, RF 0.85 on its data). */
+  def t4TrainEval(features: DataFrame): DataFrame = {
+    val spark = features.sparkSession
+    val dim = features.select("features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    graft.ml.Classifiers.trainEval(
+      spark,
+      features.select(col("features"),
+        col("is_default").cast("double").as("label")),
+      featureDim = dim)
+  }
+}
