@@ -79,11 +79,15 @@ object Relational {
     * predicate pushdown enabled for filters on the parsed value
     * (SURVEY.md §4).
     */
-  def parseWorkYear(c: Column): Column =
+  def parseWorkYear(c: Column): Column = {
+    val lead = split(c, " ").getItem(0)
     when(c.isNull, -1)
       .when(c.contains("10+"), 11)
       .when(c.contains("<"), 0)
-      .otherwise(split(c, " ").getItem(0).cast("int"))
+      // digit-guarded cast: ANSI mode (Spark 4 default) makes a bare
+      // cast THROW on malformed strings; unparseable input -> null
+      .when(lead.rlike("^[0-9]+$"), lead.cast("int"))
+  }
 
   /** Exact-sum helper: cast to DECIMAL(18,2) pre-agg so the sum is
     * order-independent (double summation is not associative — at 100 TB,
