@@ -115,6 +115,8 @@ object SparkEntry {
     // EXT time windows (batch twins of graft.streaming):
     "q9_events_tumbling" -> ((s, dir) =>
       Events.tumblingAgg(t(s, dir, "events"))),
+    "q9b_events_sliding" -> ((s, dir) =>
+      Events.slidingAgg(t(s, dir, "events"))),
     "q10_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
 
@@ -129,6 +131,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+    // near-dup pairs -> connected components -> canonical keep-id per doc
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.resolveClusters(Dedup.ngramJaccard(t(s, dir, "documents")))),
 
     // EXT similarity search over embeddings:
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteTopK(t(s, dir, "embeddings"), 20, 5)),
@@ -288,6 +293,16 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
 
+    "q9b_events_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+         w AS (
+           SELECT (us // 1800000000) * 1800000000 AS win_start_us, event_type, value FROM e
+           UNION ALL
+           SELECT (us // 1800000000) * 1800000000 - 1800000000 AS win_start_us, event_type, value FROM e)
+         SELECT win_start_us, event_type, count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+
     "q10_sessionize" ->
       """WITH marked AS (
            SELECT user_id, event_id, value, epoch_us(ts) AS us,
@@ -374,6 +389,30 @@ object SparkEntry {
          FROM com JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
          WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000
          ORDER BY da, db""",
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                WHERE len(arr) >= 3),
+         kept AS (SELECT doc_id, s FROM sh
+                  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
+         n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db FROM com
+           JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+           WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000),
+         sym AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+         reach AS (
+           SELECT src AS a, src AS b FROM sym
+           UNION
+           SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+         SELECT a AS doc_id, min(b) AS cluster_id
+         FROM reach GROUP BY 1 ORDER BY doc_id""",
 
     "sim_brute_topk" ->
       """WITH base AS (

@@ -149,6 +149,49 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Resolve near-dup pair edges into clusters: iterative min-label
+    * propagation (connected components). Returns (doc_id, cluster_id)
+    * where cluster_id = the smallest doc_id in the component — i.e. the
+    * canonical "keep" document for every member.
+    *
+    * Scale: each iteration is one shuffle join + partial/final min-agg;
+    * labels converge in O(log diameter) rounds (near-dup components are
+    * shallow in practice). `localCheckpoint` truncates lineage so plans
+    * don't grow with iterations; the loop stops as soon as a round
+    * changes nothing. This is the standard Spark CC shape (GraphFrames
+    * does the same dance) — no driver-side graph materialization.
+    */
+  def resolveClusters(pairs: DataFrame, a: String = "da", b: String = "db",
+      maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("node")).agg(min("nl").as("min_nl"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("min_nl"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash per document: token hashes vote per bit, weighted by
     * occurrence count. Implemented as one 64-expression aggregate directly
     * over the exploded (doc, token-hash) occurrences — summing ±1 per

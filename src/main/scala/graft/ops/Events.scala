@@ -47,6 +47,23 @@ object Events {
         col("event_type"), col("cnt"), col("sum_value"))
       .orderBy("win_start_us", "event_type")
 
+  /** Sliding-window aggregate: per (1-hour window every 30 minutes,
+    * event_type) count + exact sum. Each event lands in exactly
+    * windowSec/slideSec windows — Spark's `window(ts, win, slide)`
+    * explodes to the per-window rows before the partial aggregate, so the
+    * shuffle still carries only (#windows × #types) aggregated rows. */
+  def slidingAgg(events: DataFrame, windowSec: Int = 3600,
+      slideSec: Int = 1800): DataFrame =
+    events
+      .groupBy(
+        window(tsCol(events), s"$windowSec seconds", s"$slideSec seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
+
   /** Gap-based sessionization (30-minute inactivity): windowed lag to mark
     * session starts, running sum to number sessions, then one aggregate.
     * Shuffle is a single hash partition by user_id — the window and the

@@ -75,6 +75,19 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == Seq((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
   }
 
+  test("slidingAgg: every event lands in exactly window/slide windows") {
+    val events = Tables(spark, sf0001, "events")
+    val n = events.count()
+    val slid = graft.ops.Events.slidingAgg(events)
+    // 1h windows sliding 30min => each event counted exactly twice
+    assert(slid.agg(org.apache.spark.sql.functions.sum("cnt"))
+      .head().getLong(0) == 2 * n)
+    // window starts on the 30-min grid
+    assert(slid.filter(
+      org.apache.spark.sql.functions.col("win_start_us") % (1800L * 1000000) =!= 0)
+      .count() == 0)
+  }
+
   test("tumblingAgg: hour windows align to epoch hours") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:59:59"), 1L, "click", 1.5, "{}"),

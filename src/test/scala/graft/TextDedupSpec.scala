@@ -85,6 +85,16 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, 0)))
   }
 
+  test("resolveClusters: min-label connected components over pair edges") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 3L))
+      .toDF("da", "db")
+    val out = graft.ops.Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // component {1,2,3,7} -> 1; component {5,6} -> 5
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("minhash candidates cover all high-jaccard pairs at sf0.001") {
     val docs = Tables(spark, sf0001, "documents")
     val exact = Dedup.ngramJaccard(docs, minJaccardBp = 7000)
