@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Events, Features, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Features, Multimodal, Profiler, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -145,6 +145,11 @@ object SparkEntry {
     // EXT multimodal binary columns:
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
     "mm_decode_stub" -> ((s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))),
+
+    // EXT: exact numeric column profile (count/nulls/distinct/min/max/sum).
+    "profile_lineitem" -> ((s, dir) =>
+      Profiler.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"))),
 
     // S4 CSV sink smoke (rows-only — filesystem op, SURVEY §7 M1): write
     // the flagship result as single-file GBK CSV, read it back schema-less.
@@ -447,6 +452,36 @@ object SparkEntry {
                 CAST(64 + CAST(octet_length(text::BLOB) AS BIGINT) % 512 AS INT) AS stub_width,
                 CAST(64 + (CAST(octet_length(text::BLOB) AS BIGINT) * 31) % 512 AS INT) AS stub_height
          FROM documents ORDER BY doc_id""",
+
+    "profile_lineitem" ->
+      """SELECT * FROM (
+           SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+                  count(l_quantity) AS n_non_null,
+                  count(DISTINCT l_quantity) AS n_distinct,
+                  CAST(min(l_quantity) AS DOUBLE) AS min_v,
+                  CAST(max(l_quantity) AS DOUBLE) AS max_v,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+                  count(DISTINCT l_extendedprice),
+                  CAST(min(l_extendedprice) AS DOUBLE),
+                  CAST(max(l_extendedprice) AS DOUBLE),
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', count(*), count(l_discount),
+                  count(DISTINCT l_discount),
+                  CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+                  CAST(sum(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_orderkey', count(*), count(l_orderkey),
+                  count(DISTINCT l_orderkey),
+                  CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE),
+                  CAST(sum(CAST(l_orderkey AS DECIMAL(28,2))) AS DOUBLE)
+           FROM lineitem)
+         ORDER BY "column"""",
 
     "fp_string_index" ->
       """WITH d1 AS (

@@ -74,6 +74,35 @@ class StreamingSpec extends SparkTestBase {
     assert(last == Set((1L, 3L, 7.0), (2L, 1L, 8.0)))
   }
 
+  test("readParquetStream picks up files as micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 2, "view", 2.0))
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        batch1.map(e => org.apache.spark.sql.Row(
+          e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}")), 1),
+      EventStream.schema)
+    out.write.parquet(s"$dir/b1")
+    val stream = EventStream
+      .readParquetStream(spark, s"$dir/*", maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = EventStream.tumblingCounts(stream).writeStream
+      .queryName("file_stream").format("memory")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    val n1 = spark.table("file_stream")
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    assert(n1 == 2)
+    // drop a second file -> new micro-batch extends the same aggregation
+    out.write.parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+    val n2 = spark.table("file_stream")
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    assert(n2 == 4)
+  }
+
   test("streaming tumbling matches batch tumblingAgg on the same data") {
     implicit val sc = spark.sqlContext
     val events = Seq(
