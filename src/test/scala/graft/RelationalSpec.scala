@@ -50,6 +50,21 @@ class RelationalSpec extends SparkTestBase {
     assert(got == Seq((1, 10, 1), (1, 11, 2), (2, 20, 1)))
   }
 
+  test("saltedJoin equals the plain equi-join (skew spreading only)") {
+    val fact = Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dim = Tables(spark, sf0001, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = fact.join(dim, "o_custkey")
+      .groupBy("c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "o_custkey", 7)
+      .groupBy("c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
   test("all registered queries run at sf0.001 and every oracle key exists") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
