@@ -29,6 +29,7 @@ object GraftSession {
   def builder(master: Option[String] = None,
       shufflePartitions: Int = 32): SparkSession.Builder = {
     val b = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -175,15 +175,17 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("node")).agg(min("nl").as("min_nl"))
+      // carry a per-row changed flag so convergence is read off the same
+      // materialized pass — no second join against the previous labels
       val updated = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("min_nl"), col("label")))
-            .as("label"))
+            .as("label"),
+          (col("min_nl").isNotNull && col("min_nl") < col("label"))
+            .as("changed"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      val changed = updated.filter(col("changed")).count()
+      labels = updated.drop("changed")
       converged = changed == 0
       i += 1
     }

@@ -7,6 +7,15 @@ import graft.ops.{Events, Multimodal, Similarity}
 class SimilarityEventsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("SQL surface: array_dot and rolling_hash resolve via extensions") {
+    val r = spark.sql(
+      """SELECT array_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       rolling_hash('ab') AS h""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 97L * 31 + 98) // (0*31+97)*31+98
+  }
+
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 2.0f)))
