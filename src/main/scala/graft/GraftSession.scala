@@ -40,11 +40,14 @@ object GraftSession {
     master.fold(b)(b.master)
   }
 
-  /** The local[n] session every repo entrypoint uses. */
+  /** The local[n] session every repo entrypoint uses. Warehouse goes to a
+    * JVM-scoped temp dir so bucketed-table tests never pollute the repo. */
   def local(cores: Int, appName: String = "graft"): SparkSession = {
     val s = builder(Some(s"local[$cores]"), shufflePartitions = cores)
       .appName(appName)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -3,6 +3,7 @@ package graft
 import java.nio.charset.Charset
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 
 import graft.sources.Csv
@@ -66,6 +67,28 @@ class CsvSourcesSpec extends SparkTestBase {
     // read back through the engine's GBK-aware reader
     val back = Csv.readSchemaless(spark, parts.head, encoding = "GBK")
     assert(back.where($"industry" === "金融业").count() == 1)
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val orders = Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.sources.Bucketed.writeTable(orders, "b_orders", "o_custkey", 8)
+    graft.sources.Bucketed.writeTable(cust, "b_customer", "o_custkey", 8)
+    val joined = spark.conf.get("spark.sql.autoBroadcastJoinThreshold") match {
+      case _ =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try graft.sources.Bucketed.join(spark, "b_orders", "b_customer", "o_custkey")
+        finally () // threshold restored below
+    }
+    val plan = joined.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert(plan.contains("SortMergeJoin"))
+    // co-located buckets: no shuffle on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in:\n$plan")
+    assert(joined.count() == orders.count()) // every order has a customer
   }
 
   test("partitioned CSV sink writes one dir per partition value") {
