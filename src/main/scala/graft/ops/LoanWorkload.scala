@@ -29,9 +29,17 @@ object LoanWorkload {
 
   /** T3-1: employer_type share of all rows, bround scale 4 — canonical
     * exact count(*)/total, not the ref's accumulating 1/N sum
-    * (exp4_work2+3.ipynb:285-339; SURVEY §2c A3). */
-  def t3EmployerTypeRatio(loan: DataFrame): DataFrame =
-    Relational.groupRatio(loan, "employment_type")
+    * (exp4_work2+3.ipynb:285-339; SURVEY §2c A3).
+    *
+    * Column-name note: the raw CSV header calls this column
+    * `employer_type` (the T2/T3 notebook's name, 20 uses), while T4's
+    * explicit schema positionally renames it `employment_type`
+    * (exp4_work4.ipynb cell 3). Accept whichever the frame has. */
+  def t3EmployerTypeRatio(loan: DataFrame): DataFrame = {
+    val c = if (loan.columns.contains("employer_type")) "employer_type"
+      else "employment_type"
+    Relational.groupRatio(loan, c)
+  }
 
   /** T3-2: total_money = year_of_loan*monthly_payment*12 - total_loan
     * (exp4_work2+3.ipynb:403), computed in double (the ref's float32
