@@ -77,4 +77,52 @@ object Multimodal {
       .withColumn("stub_height", (lit(64) + (col("n_bytes") * 31) % 512).cast("int"))
       .drop("payload")
       .orderBy("doc_id")
+
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** ====== STUB kernel / real plumbing ====== Feature extraction: one
+    * fixed-width float vector per payload (the embedding-model execution
+    * shape — batched kernel calls, `array<float>` output column ready for
+    * graft.ops.Similarity). The fake projects byte histograms; a real
+    * kernel would run an ONNX/image model per batch. */
+  def featureExtract(spark: SparkSession, docs: DataFrame,
+      dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    withBinary(docs).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val v = new Array[Float](dim)
+            var i = 0
+            while (i < bytes.length) {
+              v(i % dim) += (bytes(i) & 0xFF) / 255.0f; i += 1
+            }
+            MediaFeatures(id, v)
+          }
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
+  /** ====== STUB kernel / real plumbing ====== Frame sampling: explode
+    * each (video-like) payload into every `stride`-th fixed-size chunk as
+    * its own row — the one-to-many kernel shape (flatMap inside the
+    * batched iterator; output cardinality is data-dependent, memory stays
+    * bounded per partition because frames stream out lazily). */
+  def frameSample(spark: SparkSession, docs: DataFrame,
+      frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    withBinary(docs).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Iterator.range(0, math.max(bytes.length - frameBytes + 1, 0), frameBytes * stride)
+            .zipWithIndex
+            .map { case (off, idx) =>
+              Frame(id, idx, java.util.Arrays.copyOfRange(bytes, off, off + frameBytes))
+            }
+        }
+      }.toDF().orderBy("doc_id", "frame_idx")
+  }
 }

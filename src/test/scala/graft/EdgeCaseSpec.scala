@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Empty-input and degenerate-input behavior of every operator family —
+  * a library must not throw on the boundary cases a 100 TB pipeline WILL
+  * hit (empty partitions after filters, single-doc corpora, all-null
+  * columns). */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emptyDocs = Tables(spark, sf0001, "documents").limit(0)
+  private def emptyEmb = Tables(spark, sf0001, "embeddings").limit(0)
+
+  test("dedup family returns empty results on an empty corpus") {
+    assert(graft.ops.Dedup.exact(emptyDocs).count() == 0)
+    assert(graft.ops.Dedup.ngramJaccard(emptyDocs).count() == 0)
+    assert(graft.ops.Dedup.minhashLsh(emptyDocs).count() == 0)
+    assert(graft.ops.Dedup.simhashPairs(emptyDocs).count() == 0)
+  }
+
+  test("resolveClusters handles an empty edge list") {
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(graft.ops.Dedup.resolveClusters(empty).count() == 0)
+  }
+
+  test("text analysis returns empty on empty corpus, safe on empty text") {
+    assert(graft.ops.TextAnalysis.textStats(emptyDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.langId(emptyDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.fingerprints(emptyDocs).count() == 0)
+    // empty string: one row, no crash, rolling hash 0
+    val one = Seq((1L, "")).toDF("doc_id", "text")
+    val fp = graft.ops.TextAnalysis.fingerprints(one).head()
+    assert(fp.getLong(2) == 0L)
+  }
+
+  test("similarity ops return empty on empty embeddings") {
+    assert(graft.ops.Similarity.bruteTopK(emptyEmb, 10, 5).count() == 0)
+    assert(graft.ops.Similarity.bruteNearDup(emptyEmb, 0.5).count() == 0)
+  }
+
+  test("relational ops on empty frames") {
+    val emptyOrders = Tables(spark, sf0001, "orders").limit(0)
+    assert(graft.ops.Relational
+      .groupCountSortDesc(emptyOrders, "o_orderpriority").count() == 0)
+    assert(graft.ops.Relational
+      .bucketHistogram(emptyOrders, "o_totalprice", 1000L).count() == 0)
+    assert(graft.ops.Relational.groupRatio(emptyOrders, "o_orderstatus")
+      .count() == 0)
+  }
+
+  test("multimodal kernels: empty corpus and empty payload") {
+    assert(graft.ops.Multimodal.decodeMeta(spark, emptyDocs).count() == 0)
+    assert(graft.ops.Multimodal.featureExtract(spark, emptyDocs).count() == 0)
+    assert(graft.ops.Multimodal.frameSample(spark, emptyDocs).count() == 0)
+    val one = Seq((1L, "")).toDF("doc_id", "text")
+    assert(graft.ops.Multimodal.frameSample(spark, one).count() == 0)
+    val feats = graft.ops.Multimodal.featureExtract(spark, one).head()
+    assert(feats.getSeq[Float](1).forall(_ == 0.0f))
+  }
+
+  test("multimodal featureExtract/frameSample shapes on real docs") {
+    val docs = Tables(spark, sf0001, "documents").limit(5)
+    val f = graft.ops.Multimodal.featureExtract(spark, docs, dim = 8)
+    assert(f.count() == 5)
+    assert(f.head().getSeq[Float](1).length == 8)
+    val frames = graft.ops.Multimodal.frameSample(spark, docs,
+      frameBytes = 16, stride = 2)
+    assert(frames.count() > 0)
+    // every frame is exactly frameBytes long
+    assert(frames.filter(length(col("frame_bytes")) =!= 16).count() == 0)
+  }
+
+  test("profiler on an all-null synthesized column") {
+    val df = Seq((1, None: Option[Double]), (2, None)).toDF("k", "v")
+    val p = graft.ops.Profiler.numericProfile(df, Seq("v")).head()
+    assert(p.getLong(1) == 2 && p.getLong(2) == 0 && p.getLong(3) == 0)
+    assert(p.isNullAt(4) && p.isNullAt(5) && p.isNullAt(6))
+  }
+}
