@@ -20,18 +20,29 @@ import graft.functions.{ArrayDot, RollingHash}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def checkArity(name: String, n: Int, children: Seq[Expression]): Unit =
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${children.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       info("array_dot",
         "array_dot(a, b) - dot product of two float arrays in double"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        checkArity("array_dot", 2, children)
+        ArrayDot(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       info("rolling_hash",
         "rolling_hash(s) - polynomial rolling hash of a string mod 1e9+7"),
-      (children: Seq[Expression]) => RollingHash(children.head)))
+      (children: Seq[Expression]) => {
+        checkArity("rolling_hash", 1, children)
+        RollingHash(children.head)
+      }))
   }
 }

@@ -40,14 +40,18 @@ object GraftSession {
     master.fold(b)(b.master)
   }
 
-  /** The local[n] session every repo entrypoint uses. Warehouse goes to a
-    * JVM-scoped temp dir so bucketed-table tests never pollute the repo. */
+  /** One JVM-scoped temp warehouse dir (bucketed-table tests must never
+    * pollute the repo); lazy so repeat local() calls — which getOrCreate
+    * resolves to the existing session anyway — don't leak directories. */
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+
+  /** The local[n] session every repo entrypoint uses. */
   def local(cores: Int, appName: String = "graft"): SparkSession = {
     val s = builder(Some(s"local[$cores]"), shufflePartitions = cores)
       .appName(appName)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -150,19 +150,22 @@ object Dedup {
   }
 
   /** Resolve near-dup pair edges into clusters: iterative min-label
-    * propagation (connected components). Returns (doc_id, cluster_id)
-    * where cluster_id = the smallest doc_id in the component — i.e. the
-    * canonical "keep" document for every member.
+    * propagation with a label-shortcut step (pointer doubling). Returns
+    * (doc_id, cluster_id) where cluster_id = the smallest doc_id in the
+    * component — i.e. the canonical "keep" document for every member.
     *
-    * Scale: each iteration is one shuffle join + partial/final min-agg;
-    * labels converge in O(log diameter) rounds (near-dup components are
-    * shallow in practice). `localCheckpoint` truncates lineage so plans
-    * don't grow with iterations; the loop stops as soon as a round
-    * changes nothing. This is the standard Spark CC shape (GraphFrames
-    * does the same dance) — no driver-side graph materialization.
+    * Scale/convergence: each round every node takes the min of (its
+    * label, its neighbors' labels, its label's label). The shortcut join
+    * makes labels jump along label chains, so rounds needed are
+    * O(log diameter) — neighbor-only propagation would be O(diameter)
+    * and silently split long chain components at the iteration cap.
+    * If the cap is still hit (pathological input), this THROWS rather
+    * than returning split clusters. `localCheckpoint` truncates lineage
+    * so plans don't grow with iterations. No driver-side graph
+    * materialization.
     */
   def resolveClusters(pairs: DataFrame, a: String = "da", b: String = "db",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -175,14 +178,23 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("node")).agg(min("nl").as("min_nl"))
+      // pointer doubling: label-of-label, so chains collapse in log rounds
+      val shortcut = labels.as("x")
+        .join(labels.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"))
+        .select(col("node"), col("ll").as("short_l"))
       // carry a per-row changed flag so convergence is read off the same
       // materialized pass — no second join against the previous labels
-      val updated = labels.join(neighborMin, Seq("node"), "left")
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .join(shortcut, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("min_nl"), col("label")))
-            .as("label"),
-          (col("min_nl").isNotNull && col("min_nl") < col("label"))
-            .as("changed"))
+          least(col("label"),
+            least(coalesce(col("min_nl"), col("label")),
+              coalesce(col("short_l"), col("label")))).as("new_label"),
+          col("label").as("old_label"))
+        .select(col("node"), col("new_label").as("label"),
+          (col("new_label") < col("old_label")).as("changed"))
         .localCheckpoint()
       val changed = updated.filter(col("changed")).count()
       labels = updated.drop("changed")
@@ -190,6 +202,8 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters did not converge within $maxIter rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

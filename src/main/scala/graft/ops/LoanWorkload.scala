@@ -80,9 +80,7 @@ object LoanWorkload {
       .toSeq
     val idx = graft.ml.Pipelines.stringIndexers(stringCols)
     val disc = Seq("issue_date_idx", "earlies_credit_mon_idx")
-      .map(c => new org.apache.spark.ml.feature.QuantileDiscretizer()
-        .setInputCol(c).setOutputCol(s"${c}_bucket")
-        .setNumBuckets(20).setHandleInvalid("keep"))
+      .map(c => graft.ml.Pipelines.quantileDiscretizer(c, 20))
     val featCols = numericCols ++
       stringCols.filterNot(Set("issue_date", "earlies_credit_mon"))
         .map(_ + "_idx") ++
@@ -98,8 +96,14 @@ object LoanWorkload {
     * MLP / RF, AUC each (ref anchors: LR 0.80, RF 0.85 on its data). */
   def t4TrainEval(features: DataFrame): DataFrame = {
     val spark = features.sparkSession
-    val dim = features.select("features").head()
-      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    // vector size from the assembler's ML attribute metadata — no Spark
+    // job; fall back to reading one row only if metadata is absent
+    val attrs = org.apache.spark.ml.attribute.AttributeGroup
+      .fromStructField(features.schema("features"))
+    val dim =
+      if (attrs.size >= 0) attrs.size
+      else features.select("features").head()
+        .getAs[org.apache.spark.ml.linalg.Vector](0).size
     graft.ml.Classifiers.trainEval(
       spark,
       features.select(col("features"),

@@ -62,8 +62,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     bin.mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap { batch =>
-        // one "kernel call" per batch (stubbed per-element here)
-        batch.map { case (id, bytes) => decodeStub(id, bytes) }
+        // one "kernel call" per batch (stubbed per-element here);
+        // null payloads decode like empty ones (no executor NPE)
+        batch.map { case (id, bytes) =>
+          decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes)
+        }
       }
     }.toDF().orderBy("doc_id")
   }
@@ -93,7 +96,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(DecodeBatch).flatMap { batch =>
-          batch.map { case (id, bytes) =>
+          batch.map { case (id, raw) =>
+            val bytes = if (raw == null) Array.emptyByteArray else raw
             val v = new Array[Float](dim)
             var i = 0
             while (i < bytes.length) {
@@ -116,7 +120,8 @@ object Multimodal {
     withBinary(docs).select("doc_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
+        it.flatMap { case (id, raw) =>
+          val bytes = if (raw == null) Array.emptyByteArray else raw
           Iterator.range(0, math.max(bytes.length - frameBytes + 1, 0), frameBytes * stride)
             .zipWithIndex
             .map { case (off, idx) =>

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.DecimalType
 object Profiler {
 
   def numericProfile(df: DataFrame, cols: Seq[String],
-      approx: Boolean = false): DataFrame =
+      approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "numericProfile requires at least one column")
     cols.map { c =>
       df.agg(
         count(lit(1)).as("n_rows"),
@@ -32,4 +33,5 @@ object Profiler {
         .select(lit(c).as("column"), col("n_rows"), col("n_non_null"),
           col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
     }.reduce(_.union(_)).orderBy("column")
+  }
 }

@@ -76,19 +76,20 @@ class CsvSourcesSpec extends SparkTestBase {
       .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
     graft.sources.Bucketed.writeTable(orders, "b_orders", "o_custkey", 8)
     graft.sources.Bucketed.writeTable(cust, "b_customer", "o_custkey", 8)
-    val joined = spark.conf.get("spark.sql.autoBroadcastJoinThreshold") match {
-      case _ =>
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try graft.sources.Bucketed.join(spark, "b_orders", "b_customer", "o_custkey")
-        finally () // threshold restored below
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined =
+        graft.sources.Bucketed.join(spark, "b_orders", "b_customer", "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // co-located buckets: no shuffle on either side
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+      assert(joined.count() == orders.count()) // every order has a customer
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
-    val plan = joined.queryExecution.executedPlan.toString
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    assert(plan.contains("SortMergeJoin"))
-    // co-located buckets: no shuffle on either side
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"unexpected shuffle in:\n$plan")
-    assert(joined.count() == orders.count()) // every order has a customer
   }
 
   test("partitioned CSV sink writes one dir per partition value") {

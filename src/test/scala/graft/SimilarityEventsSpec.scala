@@ -14,6 +14,10 @@ class SimilarityEventsSpec extends SparkTestBase {
         |       rolling_hash('ab') AS h""".stripMargin).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) == 97L * 31 + 98) // (0*31+97)*31+98
+    // wrong arity is an analysis-time error, not a silent drop
+    val e = intercept[Exception](
+      spark.sql("SELECT array_dot(array(CAST(1.0 AS FLOAT)))").head())
+    assert(e.getMessage.contains("array_dot requires exactly 2"))
   }
 
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {

@@ -85,6 +85,16 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, 0)))
   }
 
+  test("resolveClusters: deep chain component resolves to one cluster") {
+    // 60-node chain: neighbor-only propagation needs 59 rounds; the
+    // pointer-doubling shortcut must converge well under the cap
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("da", "db")
+    val out = graft.ops.Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect()
+    assert(out.length == 60)
+    assert(out.forall(_._2 == 1L), "chain split into multiple clusters")
+  }
+
   test("resolveClusters: min-label connected components over pair edges") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 3L))
       .toDF("da", "db")
