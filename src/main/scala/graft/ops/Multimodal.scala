@@ -83,6 +83,38 @@ object Multimodal {
 
   case class MediaFeatures(doc_id: Long, features: Array[Float])
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+  case class Resized(doc_id: Long, payload: Array[Byte], width: Int,
+      height: Int)
+
+  /** ====== STUB kernel / real plumbing ====== Resize: binary-in →
+    * binary-out transform to a fixed target size (the image-preprocessing
+    * execution shape: payload column is replaced, metadata columns update
+    * to the target dims, batch-driven like decode). The fake
+    * down/up-samples bytes to exactly targetW*targetH; a real kernel
+    * would decode, resample pixels, re-encode. */
+  def resize(spark: SparkSession, docs: DataFrame,
+      targetW: Int = 32, targetH: Int = 32): DataFrame = {
+    import spark.implicits._
+    val outLen = targetW * targetH
+    withBinary(docs).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch =>
+          batch.map { case (id, raw) =>
+            val bytes = if (raw == null) Array.emptyByteArray else raw
+            val out = new Array[Byte](outLen)
+            if (bytes.nonEmpty) {
+              var i = 0
+              while (i < outLen) {
+                out(i) = bytes((i.toLong * bytes.length / outLen).toInt)
+                i += 1
+              }
+            }
+            Resized(id, out, targetW, targetH)
+          }
+        }
+      }.toDF().orderBy("doc_id")
+  }
 
   /** ====== STUB kernel / real plumbing ====== Feature extraction: one
     * fixed-width float vector per payload (the embedding-model execution

@@ -59,6 +59,16 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(feats.getSeq[Float](1).forall(_ == 0.0f))
   }
 
+  test("multimodal resize: fixed output size incl. empty/null payloads") {
+    val docs = Tables(spark, sf0001, "documents").limit(5)
+      .union(Seq((99999L, null: String, "x", "x", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = graft.ops.Multimodal.resize(spark, docs, 16, 8)
+    assert(r.count() == 6)
+    assert(r.filter(length(col("payload")) =!= 16 * 8).count() == 0)
+    assert(r.filter(col("width") =!= 16 || col("height") =!= 8).count() == 0)
+  }
+
   test("multimodal featureExtract/frameSample shapes on real docs") {
     val docs = Tables(spark, sf0001, "documents").limit(5)
     val f = graft.ops.Multimodal.featureExtract(spark, docs, dim = 8)
