@@ -73,6 +73,30 @@ object EventStream {
   case class UserState(nEvents: Long, sumValue: Double)
   case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
+  case class Doc(doc_id: Long, fingerprint: String)
+
+  /** Streaming exact dedup via flatMapGroupsWithState: keyed by content
+    * fingerprint, the first document ever seen for a fingerprint is
+    * emitted, later arrivals (same or later micro-batch) are dropped —
+    * the streaming twin of `graft.ops.Dedup.exact` for continuous
+    * ingestion. State per key is one boolean-sized record; bound key
+    * cardinality with a timeout when fingerprints are unbounded. */
+  def streamingDedup(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[Long, Doc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (fp, batch, state) =>
+        if (state.exists) Iterator.empty
+        else {
+          val first = batch.minBy(_.doc_id)
+          state.update(first.doc_id)
+          Iterator.single(first)
+        }
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user totals
     * across micro-batches (the `KeyValueGroupedDataset` stateful API for
     * semantics session_window can't express). State is one small record

@@ -74,6 +74,24 @@ class StreamingSpec extends SparkTestBase {
     assert(last == Set((1L, 3L, 7.0), (2L, 1L, 8.0)))
   }
 
+  test("streamingDedup emits each fingerprint once across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import EventStream.Doc
+    val in = MemoryStream[Doc]
+    val q = EventStream.streamingDedup(in.toDS()).writeStream
+      .queryName("sdedup").format("memory")
+      .outputMode(OutputMode.Append).start()
+    in.addData(Doc(3, "aaa"), Doc(1, "aaa"), Doc(2, "bbb"))
+    q.processAllAvailable()
+    in.addData(Doc(4, "aaa"), Doc(5, "ccc")) // aaa already seen
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sdedup").as[(Long, String)].collect().toSet
+    // per fingerprint: smallest id of its FIRST batch wins; aaa's batch-2
+    // arrival is dropped by state
+    assert(rows == Set((1L, "aaa"), (2L, "bbb"), (5L, "ccc")))
+  }
+
   test("readParquetStream picks up files as micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
     val batch1 = Seq(
