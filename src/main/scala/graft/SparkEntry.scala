@@ -117,6 +117,9 @@ object SparkEntry {
       Events.tumblingAgg(t(s, dir, "events"))),
     "q9b_events_sliding" -> ((s, dir) =>
       Events.slidingAgg(t(s, dir, "events"))),
+    // semi-structured: JSON props parsed with explicit schema, aggregated
+    "q11_props_json" -> ((s, dir) =>
+      Events.propsFieldAgg(t(s, dir, "events"))),
     "q10_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
 
@@ -307,6 +310,14 @@ object SparkEntry {
          SELECT win_start_us, event_type, count(*) AS cnt,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+
+    "q11_props_json" ->
+      """SELECT event_type,
+                count(json_extract_string(props, '$.k')) AS n_with_k,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+                CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY 1 ORDER BY event_type""",
 
     "q10_sessionize" ->
       """WITH marked AS (

@@ -47,6 +47,25 @@ object Events {
         col("event_type"), col("cnt"), col("sum_value"))
       .orderBy("win_start_us", "event_type")
 
+  /** Semi-structured props: parse the JSON `props` column with an
+    * explicit schema (`from_json` — no runtime inference, codegen'd
+    * path) and aggregate the extracted field per event type. The
+    * "typed metadata from an opaque string column" operator class —
+    * absent from the reference, required for any real event corpus. */
+  def propsFieldAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("p",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))))
+      .groupBy("event_type")
+      .agg(count(col("p.k")).as("n_with_k"),
+        sum(col("p.k")).cast("long").as("sum_k"),
+        min(col("p.k")).cast("long").as("min_k"),
+        max(col("p.k")).cast("long").as("max_k"))
+      .orderBy("event_type")
+
   /** Sliding-window aggregate: per (1-hour window every 30 minutes,
     * event_type) count + exact sum. Each event lands in exactly
     * windowSec/slideSec windows — Spark's `window(ts, win, slide)`

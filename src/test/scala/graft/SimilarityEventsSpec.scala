@@ -88,6 +88,21 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == Seq((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
   }
 
+  test("propsFieldAgg parses JSON with explicit schema, null-safe") {
+    val df = Seq(
+      (1L, "click", """{"k": 5}"""),
+      (2L, "click", """{"k": 7}"""),
+      (3L, "view", """not json"""),
+      (4L, "view", null: String))
+      .toDF("event_id", "event_type", "props")
+    val out = graft.ops.Events.propsFieldAgg(df)
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("click", 2L, Some(12L), Some(5L), Some(7L)),
+      ("view", 0L, None, None, None)))
+  }
+
   test("slidingAgg: every event lands in exactly window/slide windows") {
     val events = Tables(spark, sf0001, "events")
     val n = events.count()
