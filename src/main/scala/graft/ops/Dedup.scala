@@ -33,10 +33,16 @@ object Dedup {
     * O(df²) candidate pairs for no signal, so they are dropped (standard
     * stop-shingle trick; the cap is part of the operator contract).
     *
-    * The cap is an aggregate to a (small) hot-list + broadcast anti-join,
-    * NOT a count-over-window: a window would sort-shuffle every shingle
-    * row, while the hot-list is bounded by the number of boilerplate
-    * shingles regardless of corpus size. */
+    * The cap is an aggregate to a hot-list + anti-join, NOT a
+    * count-over-window: a window would sort-shuffle every shingle row.
+    * Strategy choice (measured with tools/Stress at 10x replication):
+    * the hash-keyed variants force broadcast of the hot list — it is
+    * fixed-width longs (1M entries = 8 MB; even an absurd 100M-shingle
+    * boilerplate corpus stays under Spark's 8 GB broadcast hard limit,
+    * which fails loudly, not with a silent OOM) and the broadcast anti
+    * was 3x faster than the AQE-chosen shuffle anti. This string-keyed
+    * variant leaves the choice to AQE since string hot lists are
+    * unbounded in width. */
   def shingles(docs: DataFrame, k: Int, maxDf: Int,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val sh = docs
@@ -44,7 +50,7 @@ object Dedup {
         explode(Texty.wordShingles(col(text), k)).as("s"))
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
-    sh.join(broadcast(hot), Seq("s"), "left_anti")
+    sh.join(hot, Seq("s"), "left_anti")
       .select("doc_id", "s")
   }
 

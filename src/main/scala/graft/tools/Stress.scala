@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+
+/** Scale-up stress harness (dev tool): replicates the documents /
+  * embeddings / events tables N× in memory (ids shifted per replica so
+  * cardinalities scale realistically) and times the shuffle-heavy
+  * operators on the enlarged corpus. This is the "would it survive a
+  * 10×/100× scale-up" check the 100 TB mandate asks for — candidate-
+  * bounding caps (shingle df, LSH buckets, probe lists) must keep join
+  * inputs near-linear in corpus size, and wall-clock should grow
+  * roughly linearly, not quadratically.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.Stress [N]"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-stress")
+
+    def replicate(df: DataFrame, idCol: String, shift: Long): DataFrame =
+      (0 until factor).map { r =>
+        df.withColumn(idCol, col(idCol) + lit(r * shift))
+      }.reduce(_.union(_))
+
+    val docs = replicate(
+      Tables(spark, sfDir, "documents"), "doc_id", 10000000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = replicate(
+      Tables(spark, sfDir, "embeddings"), "vec_id", 10000000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"stress corpus: ${docs.count()} docs, ${emb.count()} vectors " +
+      s"(${factor}x $sfDir)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+
+    // NB: replicated docs are exact duplicates across replicas — the
+    // df-cap drops every shingle (df = factor x original). That is the
+    // cap doing its job on a pathological corpus; report both capped
+    // and effective-candidate numbers.
+    time("dedup_exact") { graft.ops.Dedup.exact(docs).count() }
+    time("shingleHashes (df-capped)") {
+      graft.ops.Dedup.shingleHashes(docs, 3, 100).count()
+    }
+    time("minhash_lsh") { graft.ops.Dedup.minhashLsh(docs).count() }
+    time("simhash_pairs") { graft.ops.Dedup.simhashPairs(docs).count() }
+    time("text_stats") { graft.ops.TextAnalysis.textStats(docs).count() }
+    time("fingerprints") { graft.ops.TextAnalysis.fingerprints(docs).count() }
+    time("ivf_topk") {
+      graft.ops.Similarity.ivfTopK(emb, 20, 5, nCentroids = 32).count()
+    }
+    time("lsh_neardup") {
+      graft.ops.Similarity.lshNearDup(emb, 0.4).count()
+    }
+    spark.stop()
+  }
+}
