@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The container has no locale (LANG empty -> JVM sun.jnu.encoding=ASCII),
+// which breaks filesystem paths containing non-ASCII characters (the
+// reference's golden files live under Chinese-named directories). Forked
+// JVMs inherit this env:
+Test / envVars := Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
+run / envVars := Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
