@@ -106,6 +106,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(desc("n_customers"), asc("c_mktsegment"))),
 
+    // EXT grouping sets: rollup subtotals with grouping_id.
+    "q12_rollup" -> ((s, dir) =>
+      Relational.rollupCounts(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus")),
+
+    // EXT set ops: customers with BOTH an urgent and a low-priority order
+    // (INTERSECT), counted per segment.
+    "q13_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val both = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW")
+          .select("o_custkey"))
+      both.join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+          Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(desc("n_customers"), asc("c_mktsegment"))
+    }),
+
+    // EXT pivot: order counts per segment x priority (declared values).
+    "q14_pivot" -> ((s, dir) =>
+      Relational.pivotCounts(
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+            Seq("o_custkey")),
+        "c_mktsegment", "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))),
+
     // EXT window function: top-3 orders per customer by price.
     "q8_window_topn" -> ((s, dir) =>
       Relational.topNPerGroup(
@@ -286,6 +317,32 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
          GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
+
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+                  l_linestatus ASC NULLS FIRST""",
+
+    "q13_intersect" ->
+      """WITH both_p AS (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+         SELECT c_mktsegment, count(*) AS n_customers
+         FROM both_p JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
+
+    "q14_pivot" ->
+      """SELECT c_mktsegment,
+                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+                count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+                count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+                count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+                count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
 
     "q8_window_topn" ->
       """SELECT * FROM (

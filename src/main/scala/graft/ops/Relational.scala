@@ -115,6 +115,29 @@ object Relational {
       .orderBy(asc("l_returnflag"), asc("l_linestatus"))
   }
 
+  /** Hierarchical subtotal counts via ROLLUP (EXT — SURVEY §2c lists
+    * grouping sets as absent from the reference; a complete engine needs
+    * them). grouping_id() disambiguates subtotal levels; nulls-first
+    * ordering keeps the output deterministic for the oracle. One pass:
+    * Spark expands rollup into a single Expand + HashAggregate, no
+    * repeated scans. */
+  def rollupCounts(df: DataFrame, k1: String, k2: String): DataFrame =
+    df.rollup(col(k1), col(k2))
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast("int").as("gid"))
+      .orderBy(asc("gid"), asc_nulls_first(k1), asc_nulls_first(k2))
+
+  /** Pivot: one row per `rowKey`, one count column per (known) value of
+    * `pivotCol`. Values are declared, not discovered — at scale the
+    * discovery pass over a high-cardinality pivot column is the classic
+    * accidental O(distinct-values) plan. */
+  def pivotCounts(df: DataFrame, rowKey: String, pivotCol: String,
+      values: Seq[String]): DataFrame =
+    df.groupBy(col(rowKey))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy(rowKey)
+
   /** Top-N rows per group by an order column (window row_number). Not in
     * the reference (SURVEY §2f ABSENT) — extension surface. Tie-broken on
     * a unique key for determinism. */

@@ -50,6 +50,26 @@ class RelationalSpec extends SparkTestBase {
     assert(got == Seq((1, 10, 1), (1, 11, 2), (2, 20, 1)))
   }
 
+  test("rollupCounts: subtotal rows carry grouping_id, grand total = n") {
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k1", "k2")
+    val out = Relational.rollupCounts(df, "k1", "k2").collect()
+    // 3 leaf rows + 2 k1 subtotals + 1 grand total
+    assert(out.length == 6)
+    val grand = out.filter(_.getInt(3) == 3)
+    assert(grand.length == 1 && grand.head.getLong(2) == 3)
+    val k1Subtotals = out.filter(_.getInt(3) == 1).map(r =>
+      r.getString(0) -> r.getLong(2)).toMap
+    assert(k1Subtotals == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("pivotCounts: declared values become columns, missing combos are 0") {
+    val df = Seq(("s1", "p1"), ("s1", "p1"), ("s2", "p2")).toDF("seg", "pri")
+    val out = Relational.pivotCounts(df, "seg", "pri", Seq("p1", "p2"))
+    assert(out.columns.toSeq == Seq("seg", "p1", "p2"))
+    val rows = out.as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("s1", 2L, 0L), ("s2", 0L, 1L)))
+  }
+
   test("saltedJoin equals the plain equi-join (skew spreading only)") {
     val fact = Tables(spark, sf0001, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
