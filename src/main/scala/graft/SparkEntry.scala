@@ -151,6 +151,9 @@ object SparkEntry {
     // semi-structured: JSON props parsed with explicit schema, aggregated
     "q11_props_json" -> ((s, dir) =>
       Events.propsFieldAgg(t(s, dir, "events"))),
+    // time-series as-of join: each click sees the user's latest prior view
+    "q15_asof_join" -> ((s, dir) =>
+      Events.asOfJoin(t(s, dir, "events"), "click", "view")),
     "q10_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
 
@@ -317,6 +320,14 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
          GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
+
+    "q15_asof_join" ->
+      """SELECT a.user_id, a.event_id, epoch_us(a.ts) AS us, a.value,
+                b.value AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') a
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+           ON a.user_id = b.user_id AND a.ts >= b.ts
+         ORDER BY a.user_id, us, a.event_id""",
 
     "q12_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,

@@ -47,6 +47,37 @@ object Events {
         col("event_type"), col("cnt"), col("sum_value"))
       .orderBy("win_start_us", "event_type")
 
+  /** As-of join (time-series): attach to every `leftType` event the value
+    * of the user's most recent `rightType` event at-or-before it.
+    *
+    * Spark has no native ASOF JOIN; the naive theta-join
+    * (a.ts >= b.ts, take max) is a quadratic range join. This is the
+    * scalable formulation: union both sides tagged, ONE window per user
+    * ordered by (time, side, id) carrying the last right-side value
+    * forward, then keep left rows — a single sort-shuffle by user,
+    * linear in events, no range join at any scale. Right-side rows sort
+    * before left rows on equal timestamps, so an exactly-simultaneous
+    * right event is visible (>= semantics, matching DuckDB's ASOF). */
+  def asOfJoin(events: DataFrame, leftType: String,
+      rightType: String): DataFrame = {
+    val us = tsUs(events)
+    val tagged = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("event_id"), us.as("us"),
+        col("event_type"), col("value"))
+      .withColumn("is_left", (col("event_type") === leftType).cast("int"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("is_left"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("asof_value",
+        last(when(col("is_left") === 0, col("value")), ignoreNulls = true)
+          .over(w))
+      .filter(col("is_left") === 1)
+      .select("user_id", "event_id", "us", "value", "asof_value")
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** Semi-structured props: parse the JSON `props` column with an
     * explicit schema (`from_json` — no runtime inference, codegen'd
     * path) and aggregate the extracted field per event type. The

@@ -88,6 +88,22 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == Seq((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
   }
 
+  test("asOfJoin: latest prior (or simultaneous) right value, else null") {
+    def ev(id: Long, tMin: Long, u: Long, tpe: String, v: Double) =
+      (id, new java.sql.Timestamp(tMin * 60000L), u, tpe, v, "{}")
+    val df = Seq(
+      ev(1, 0, 1, "view", 10.0),
+      ev(2, 5, 1, "click", 1.0), // sees view@0 -> 10
+      ev(3, 9, 1, "view", 20.0),
+      ev(4, 9, 1, "click", 2.0), // simultaneous view counts (>=) -> 20
+      ev(5, 1, 2, "click", 3.0)) // user 2 has no view -> null
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Events.asOfJoin(df, "click", "view")
+      .select("event_id", "asof_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(2L -> Some(10.0), 4L -> Some(20.0), 5L -> None))
+  }
+
   test("propsFieldAgg parses JSON with explicit schema, null-safe") {
     val df = Seq(
       (1L, "click", """{"k": 5}"""),
