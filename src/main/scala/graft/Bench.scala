@@ -18,8 +18,15 @@ object Bench {
 
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      // ops persist reused intermediates (signatures, inverted lists);
+      // clear between runs (outside the timed region) so timings measure
+      // the op, not a cache of a previous identical plan, and the block
+      // store doesn't grow 3x per query over the bench run
+      spark.catalog.clearCache()
+      elapsed
     }
 
     // Warmup: exercise scan/shuffle/codegen paths once, uncounted.

@@ -27,13 +27,20 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def builder(master: Option[String] = None,
-      shufflePartitions: Int = 32): SparkSession.Builder = {
-    val b = SparkSession.builder()
+      shufflePartitions: Int = 32,
+      initialPartitions: Option[Int] = Some(1024)): SparkSession.Builder = {
+    val b0 = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // AQE only coalesces DOWN — on a cluster, shuffles must START from a
+    // high partition count or parallelism is capped at shufflePartitions.
+    // Cluster default 1024; local() passes None (tiny corpora, the start
+    // count would be pure scheduling overhead).
+    val b = initialPartitions.fold(b0)(n => b0.config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
@@ -48,7 +55,8 @@ object GraftSession {
 
   /** The local[n] session every repo entrypoint uses. */
   def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val s = builder(Some(s"local[$cores]"), shufflePartitions = cores)
+    val s = builder(Some(s"local[$cores]"), shufflePartitions = cores,
+        initialPartitions = None)
       .appName(appName)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", warehouseDir)

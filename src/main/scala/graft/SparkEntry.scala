@@ -190,9 +190,12 @@ object SparkEntry {
 
     // S4 CSV sink smoke (rows-only — filesystem op, SURVEY §7 M1): write
     // the flagship result as single-file GBK CSV, read it back schema-less.
+    // NB: the write job runs at DataFrame-construction time (inherent to a
+    // round-trip query); one fixed overwrite dir per JVM, no orphan temps.
     "csv_gbk_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-csv-gbk").toString
+      val out = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"), "graft-csv-gbk-roundtrip")
+        .toString
       graft.sources.Csv.writeSingle(
         Relational.groupCountSortDesc(t(s, dir, "customer"), "c_mktsegment"),
         out)

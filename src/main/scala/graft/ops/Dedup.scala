@@ -54,19 +54,29 @@ object Dedup {
       .select("doc_id", "s")
   }
 
+  /** Spread a narrow-input/wide-output stage: a small parquet file scans
+    * as ONE partition, so an explode-heavy projection would run on one
+    * core. Repartition only when the scan has fewer partitions than the
+    * cluster (at real scale inputs have thousands of splits and this is
+    * a no-op; the shuffle it adds locally moves only the raw docs). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Distinct (doc, shingle-hash) pairs with the same df cap as
     * [[shingles]] — every downstream consumer (Jaccard join keys, MinHash
-    * input) only needs shingle *identity*, so the 64-bit xxhash64 of the
-    * shingle replaces the string: shuffle rows shrink to two longs and
-    * every further hash runs over a fixed-width long, not a string.
+    * input) only needs shingle *identity*, so a 64-bit hash of the
+    * shingle replaces the string: shuffle rows shrink to two longs.
+    * Shingle hashes come from the codegen'd [[graft.functions.
+    * WordShingleHashes]] kernel — no shingle string is ever built.
     * (Collision odds across a corpus are ~n²/2⁶⁴ — negligible, and the
     * df cap bounds any blowup a collision could cause.) */
   def shingleHashes(docs: DataFrame, k: Int, maxDf: Int,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val sh = docs
+    val sh = spread(docs)
       .select(col(id).as("doc_id"),
-        explode(Texty.wordShingles(col(text), k)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        explode(graft.functions.WordShingleHashes(col(text), k)).as("h"))
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("h")
     sh.join(broadcast(hot), Seq("h"), "left_anti")
@@ -222,7 +232,7 @@ object Dedup {
     * shuffle (partial/final agg) instead of two. */
   def simhash(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val tok = docs
+    val tok = spread(docs)
       .select(col(id).as("doc_id"),
         explode(Texty.tokens(col(text))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))

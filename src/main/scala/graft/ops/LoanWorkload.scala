@@ -107,7 +107,10 @@ object LoanWorkload {
     graft.ml.Classifiers.trainEval(
       spark,
       features.select(col("features"),
-        col("is_default").cast("double").as("label")),
+        col("is_default").cast("double").as("label"))
+        // t4Features' naFill maps missing is_default to -1; unlabeled
+        // rows must not reach the binary fit (labels outside {0,1} throw)
+        .filter(col("label").isin(0.0, 1.0)),
       featureDim = dim)
   }
 }

@@ -47,7 +47,9 @@ object Multimodal {
       doc_id = docId,
       n_bytes = bytes.length.toLong,
       width = 64 + (bytes.length % 512),
-      height = 64 + ((bytes.length * 31) % 512),
+      // long math like the binaryMeta oracle twin — int `len*31` would
+      // overflow (diverge) for payloads over ~69 MB
+      height = 64 + (bytes.length.toLong * 31 % 512).toInt,
       n_frames = 1 + (sum % 16).toInt,
       checksum = sum)
   }

@@ -131,20 +131,29 @@ object Similarity {
       .select("vec_id", "embedding", "nrm", "cluster")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // tiny centroid table (nCentroids rows) — broadcast everywhere
+    // tiny centroid table (nCentroids rows) — broadcast everywhere.
+    // ||c||² rides along: k-means centroids are MEANS of unit vectors, so
+    // they are NOT unit-norm, and ranking probes by raw dot product would
+    // disagree with the euclidean assignment k-means itself used (a
+    // query's own cluster could miss its probe list). The correct probe
+    // order is ascending ||u - c||² = ||c||² - 2·u·c + 1, i.e. descending
+    // (2·u·c - ||c||²).
     val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cluster", "centroid")
+      .map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum)
+      }
+      .toSeq.toDF("cluster", "centroid", "c_norm2")
 
     val q = listed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
-    // rank each query's centroids, keep nProbe nearest (by cosine to unit
-    // centroid — same order as euclidean on the unit sphere)
+    // rank each query's centroids by euclidean distance of the UNIT query
+    // to the (non-unit) centroid, keep nProbe nearest
     val wq = Window.partitionBy("q_id")
-      .orderBy(desc("c_sim"), asc("cluster"))
+      .orderBy(desc("c_score"), asc("cluster"))
     val probes = q.join(broadcast(centroids))
-      .withColumn("c_sim", dot(col("qv"), col("centroid")) / col("qn"))
+      .withColumn("c_score",
+        lit(2) * dot(col("qv"), col("centroid")) / col("qn") - col("c_norm2"))
       .withColumn("c_rnk", row_number().over(wq))
       .filter(col("c_rnk") <= nProbe)
       .select("q_id", "qv", "qn", "cluster")

@@ -76,7 +76,8 @@ object TextAnalysis {
     docs.select(
       col(id),
       size(Texty.tokens(col(text))).cast("long").as("n_ws_tokens"),
-      size(expr(s"regexp_extract_all($text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+      size(regexp_extract_all(col(text),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("long").as("n_bpe_tokens"))
       .orderBy(id)
 

@@ -9,13 +9,9 @@ import graft.ops.Dedup
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // same session posture as Bench — profile numbers must reflect the
+    // configuration actually benchmarked
+    val spark = graft.GraftSession.local(32, appName = "graft-profile")
     val docs = Tables(spark, sfDir, "documents")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

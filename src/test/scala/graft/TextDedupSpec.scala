@@ -85,6 +85,19 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, 0)))
   }
 
+  test("WordShingleHashes: distinct count equals the string-shingle path") {
+    val docs = Tables(spark, sf0001, "documents").limit(200)
+      .union(Seq((90001L, "a b", "x", "x", 3L), (90002L, "ends with space ", "x", "x", 16L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val viaStrings = docs.select(col("doc_id"),
+        size(graft.functions.Texty.wordShingles(col("text"), 3)).as("n"))
+    val viaKernel = docs.select(col("doc_id"),
+        size(graft.functions.WordShingleHashes(col("text"), 3)).as("nk"))
+    val joined = viaStrings.join(viaKernel, "doc_id")
+      .filter(col("n") =!= col("nk"))
+    assert(joined.count() == 0)
+  }
+
   test("resolveClusters: deep chain component resolves to one cluster") {
     // 60-node chain: neighbor-only propagation needs 59 rounds; the
     // pointer-doubling shortcut must converge well under the cap
