@@ -68,12 +68,20 @@ object Classifiers {
     val rf = new RandomForestClassifier()
       .setMaxDepth(7).setNumTrees(30).setSeed(seed) // FP10 (:572)
 
-    val rows = Seq(
-      "logistic_regression" -> auc(lr.fit(train).transform(test)),
-      "linear_svc" -> auc(svc.fit(train).transform(test)),
-      "mlp" -> auc(mlp.fit(train).transform(test)),
-      "random_forest" -> auc(rf.fit(train).transform(test)))
-      .map { case (m, a) => (m, a, nTrain, nTest) }
+    // fit the four models concurrently: each fit is a chain of
+    // treeAggregate jobs that alone can't saturate the cluster; the
+    // scheduler interleaves them (results are unaffected — independent
+    // models, pinned seeds)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = Seq(
+      "logistic_regression" -> Future(auc(lr.fit(train).transform(test))),
+      "linear_svc" -> Future(auc(svc.fit(train).transform(test))),
+      "mlp" -> Future(auc(mlp.fit(train).transform(test))),
+      "random_forest" -> Future(auc(rf.fit(train).transform(test))))
+    val rows = fits
+      .map { case (m, f) => (m, Await.result(f, Duration.Inf), nTrain, nTest) }
     train.unpersist(); test.unpersist()
     rows.toDF("model", "auc", "n_train", "n_test").orderBy("model")
   }

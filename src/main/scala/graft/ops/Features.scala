@@ -66,4 +66,12 @@ object Features {
     * nulls → "-1" (exp4_work4.ipynb:127-128, README.md:320-321). */
   def naFill(df: DataFrame): DataFrame =
     df.na.fill(-1).na.fill("-1")
+
+  /** Stratified sampling by a label/stratum column (seeded `sampleBy`) —
+    * the class-rebalancing primitive of a training-data pipeline. One
+    * pass, per-row Bernoulli keyed by stratum: no shuffle at all. Exact
+    * per-stratum counts vary binomially; never oracle'd. */
+  def stratifiedSample(df: DataFrame, stratum: String,
+      fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(col(stratum), fractions, seed)
 }

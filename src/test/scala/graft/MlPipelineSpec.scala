@@ -94,6 +94,21 @@ class MlPipelineSpec extends SparkTestBase {
     assert(res.length == 4 && res.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
   }
 
+  test("stratifiedSample: per-stratum fractions roughly honored, seeded-stable") {
+    val df = (1 to 2000).map(i => (i, if (i % 4 == 0) "minority" else "majority"))
+      .toDF("id", "cls")
+    val s = Features.stratifiedSample(df, "cls",
+      Map("majority" -> 0.1, "minority" -> 1.0))
+    val counts = s.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(counts("minority") == 500) // fraction 1.0 keeps all
+    assert(counts("majority") > 75 && counts("majority") < 225) // ~150
+    // seeded: same sample every run
+    val s2 = Features.stratifiedSample(df, "cls",
+      Map("majority" -> 0.1, "minority" -> 1.0))
+    assert(s.as[(Int, String)].collect().toSet ==
+      s2.as[(Int, String)].collect().toSet)
+  }
+
   test("rfImportances: 64 rows summing to ~1 (FP12)") {
     val labeled = graft.ml.Classifiers.embeddingFeatures(
       Tables(spark, sf001, "embeddings"))
