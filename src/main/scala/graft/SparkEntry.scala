@@ -137,6 +137,24 @@ object SparkEntry {
         "c_mktsegment", "o_orderpriority",
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))),
 
+    // EXT exact percentile aggregates (sort-based, distributed).
+    "q16_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // EXT temporal scalar functions: per (year, month) order stats.
+    "q17_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("y", "m")),
+
     // EXT window function: top-3 orders per customer by price.
     "q8_window_topn" -> ((s, dir) =>
       Relational.topNPerGroup(
@@ -323,6 +341,20 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
          GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
+
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS med,
+                quantile_cont(l_quantity, 0.9) AS p90,
+                count(*) AS cnt
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q17_date_parts" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+                CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+                count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1, 2 ORDER BY y, m""",
 
     "q15_asof_join" ->
       """SELECT a.user_id, a.event_id, epoch_us(a.ts) AS us, a.value,
