@@ -209,10 +209,12 @@ object SparkEntry {
     // S4 CSV sink smoke (rows-only — filesystem op, SURVEY §7 M1): write
     // the flagship result as single-file GBK CSV, read it back schema-less.
     // NB: the write job runs at DataFrame-construction time (inherent to a
-    // round-trip query); one fixed overwrite dir per JVM, no orphan temps.
+    // round-trip query); one overwrite dir per PROCESS (pid-scoped: no
+    // orphan growth per call, no cross-JVM race on a shared path).
     "csv_gbk_roundtrip" -> ((s, dir) => {
       val out = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"), "graft-csv-gbk-roundtrip")
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-csv-gbk-roundtrip-${ProcessHandle.current().pid()}")
         .toString
       graft.sources.Csv.writeSingle(
         Relational.groupCountSortDesc(t(s, dir, "customer"), "c_mktsegment"),

@@ -39,19 +39,28 @@ object ShingleKernels {
       th(i) = h
       i += 1
     }
-    // polynomial combine per shingle + distinct
-    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    // polynomial combine per shingle, then sort+dedup in place — fully
+    // primitive (a HashSet would box every hash; GenericArrayData boxes
+    // on construction). Consumers explode the array as a SET, so the
+    // sorted order is as good as first-seen order.
     val out = new Array[Long](n)
-    var m = 0
     i = 0
     while (i < n) {
       var h = 0L
       var j = 0
       while (j < k) { h = h * Mix + th(i + j); j += 1 }
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      out(i) = h
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+    java.util.Arrays.sort(out)
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (m == 0 || out(i) != out(m - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
   }
 }
 

@@ -56,12 +56,14 @@ object Dedup {
 
   /** Spread a narrow-input/wide-output stage: a small parquet file scans
     * as ONE partition, so an explode-heavy projection would run on one
-    * core. Repartition only when the scan has fewer partitions than the
-    * cluster (at real scale inputs have thousands of splits and this is
-    * a no-op; the shuffle it adds locally moves only the raw docs). */
+    * core. Gate on the scan's FILE count (plan inspection only — probing
+    * rdd.getNumPartitions would force AQE to materialize every upstream
+    * stage of a derived input just to read a number): few-or-no files →
+    * repartition (the shuffle moves only the raw docs); many files means
+    * the scan is already parallel (the real-scale case) → no-op. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   /** Distinct (doc, shingle-hash) pairs with the same df cap as

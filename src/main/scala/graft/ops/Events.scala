@@ -69,10 +69,16 @@ object Events {
     val w = Window.partitionBy("user_id")
       .orderBy(col("us"), col("is_left"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // carry the right-side row as a struct: non-null whenever a right
+    // event exists even if its VALUE is null, so a null-valued match is
+    // returned (ASOF semantics) rather than skipped for an older one.
+    // Tie note: among right events with identical (user_id, ts) — none in
+    // this corpus — we deterministically take the max event_id, where
+    // SQL ASOF picks an arbitrary one.
     tagged
       .withColumn("asof_value",
-        last(when(col("is_left") === 0, col("value")), ignoreNulls = true)
-          .over(w))
+        last(when(col("is_left") === 0, struct(col("value"))),
+          ignoreNulls = true).over(w).getField("value"))
       .filter(col("is_left") === 1)
       .select("user_id", "event_id", "us", "value", "asof_value")
       .orderBy("user_id", "us", "event_id")

@@ -135,7 +135,10 @@ object Relational {
     df.groupBy(col(rowKey))
       .pivot(pivotCol, values)
       .agg(count(lit(1)))
-      .na.fill(0)
+      // fill only the pivot columns: a whole-frame fill would also
+      // rewrite a NULL in a numeric rowKey into 0, merging the null
+      // group with a genuine key-0 group
+      .na.fill(0, values)
       .orderBy(rowKey)
 
   /** Top-N rows per group by an order column (window row_number). Not in

@@ -104,6 +104,19 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(out == Map(2L -> Some(10.0), 4L -> Some(20.0), 5L -> None))
   }
 
+  test("asOfJoin: a null-VALUED right match is returned, not skipped (ASOF semantics)") {
+    val df = Seq(
+      (1L, new java.sql.Timestamp(0L), 1L, "view", Some(5.0), "{}"),
+      (2L, new java.sql.Timestamp(60000L), 1L, "view", None: Option[Double], "{}"),
+      (3L, new java.sql.Timestamp(120000L), 1L, "click", Some(1.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Events.asOfJoin(df, "click", "view")
+      .select("event_id", "asof_value")
+      .as[(Long, Option[Double])].collect().toMap
+    // the LATEST prior view (value null) must win over the older 5.0
+    assert(out == Map(3L -> None))
+  }
+
   test("propsFieldAgg parses JSON with explicit schema, null-safe") {
     val df = Seq(
       (1L, "click", """{"k": 5}"""),
