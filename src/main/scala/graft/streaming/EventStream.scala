@@ -73,6 +73,29 @@ object EventStream {
   case class UserState(nEvents: Long, sumValue: Double)
   case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same user whose time is within [left.ts - within,
+    * left.ts]. Both sides carry watermarks so the join state (buffered
+    * unmatched rows) is evicted once the interval can no longer be
+    * satisfied — bounded state, the canonical watermarked two-stream
+    * join shape. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      within: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("l_event_id"), col("ts").as("l_ts"),
+        col("user_id"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user_id"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+        col("r_ts") <= col("l_ts"))
+      .select("l_event_id", "r_event_id", "user_id", "l_value", "r_value")
+  }
+
   case class Doc(doc_id: Long, fingerprint: String)
 
   /** Streaming exact dedup via flatMapGroupsWithState: keyed by content

@@ -74,6 +74,25 @@ class StreamingSpec extends SparkTestBase {
     assert(last == Set((1L, 3L, 7.0), (2L, 1L, 8.0)))
   }
 
+  test("intervalJoin pairs events of one user within the window only") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    clicks.addData(Event(10, ts(100), 1, "click", 1.0))
+    views.addData(
+      Event(20, ts(70), 1, "view", 2.0), // 30min before -> joins
+      Event(21, ts(30), 1, "view", 3.0), // 70min before -> outside 1h
+      Event(22, ts(90), 2, "view", 4.0)) // other user -> no
+    val q = EventStream.intervalJoin(clicks.toDF(), views.toDF())
+      .writeStream.queryName("ijoin").format("memory")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ijoin")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(rows == Set((10L, 20L, 1L, 1.0, 2.0)))
+  }
+
   test("streamingDedup emits each fingerprint once across micro-batches") {
     implicit val sc = spark.sqlContext
     import EventStream.Doc
