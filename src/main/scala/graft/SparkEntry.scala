@@ -599,6 +599,11 @@ object SparkEntry {
            FROM lineitem)
          ORDER BY "column"""",
 
+    "csv_gbk_roundtrip" ->
+      """SELECT c_mktsegment, CAST(count(*) AS VARCHAR) AS cnt
+         FROM customer GROUP BY 1
+         ORDER BY count(*) DESC, c_mktsegment ASC""",
+
     "fp_string_index" ->
       """WITH d1 AS (
            SELECT o_orderpriority AS v,

@@ -196,16 +196,23 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("node")).agg(min("nl").as("min_nl"))
-      // pointer doubling: label-of-label, so chains collapse in log rounds
-      val shortcut = labels.as("x")
-        .join(labels.select(col("node").as("label"), col("label").as("ll")),
-          Seq("label"))
-        .select(col("node"), col("ll").as("short_l"))
+      // pointer doubling: label-of-label, so chains collapse in log
+      // rounds. Round 0's labels are the identity (label == node), so
+      // the shortcut would be a no-op join — skip it there.
+      val withShort =
+        if (i == 0) labels.join(neighborMin, Seq("node"), "left")
+          .withColumn("short_l", lit(null).cast("long"))
+        else {
+          val shortcut = labels
+            .join(labels.select(col("node").as("label"), col("label").as("ll")),
+              Seq("label"))
+            .select(col("node"), col("ll").as("short_l"))
+          labels.join(neighborMin, Seq("node"), "left")
+            .join(shortcut, Seq("node"), "left")
+        }
       // carry a per-row changed flag so convergence is read off the same
       // materialized pass — no second join against the previous labels
-      val updated = labels
-        .join(neighborMin, Seq("node"), "left")
-        .join(shortcut, Seq("node"), "left")
+      val updated = withShort
         .select(col("node"),
           least(col("label"),
             least(coalesce(col("min_nl"), col("label")),
