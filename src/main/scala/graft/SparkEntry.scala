@@ -604,6 +604,24 @@ object SparkEntry {
          FROM customer GROUP BY 1
          ORDER BY count(*) DESC, c_mktsegment ASC""",
 
+    // decode stub is deterministic byte math; the corpus is pure ASCII
+    // (byte values == code points), so the full kernel output is
+    // SQL-expressible: checksum = sum(b*31+7) = 31*sum(b) + 7*len.
+    "mm_decode_stub" ->
+      """WITH s AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+                  CAST(31 * list_aggregate(list_transform(
+                         string_split_regex(text, ''),
+                         c -> CAST(ascii(c) AS BIGINT)), 'sum')
+                       + 7 * length(text) AS BIGINT) AS checksum
+           FROM documents)
+         SELECT doc_id, n_bytes,
+                CAST(64 + n_bytes % 512 AS INT) AS width,
+                CAST(64 + (n_bytes * 31) % 512 AS INT) AS height,
+                CAST(1 + checksum % 16 AS INT) AS n_frames,
+                checksum
+         FROM s ORDER BY doc_id""",
+
     "fp_string_index" ->
       """WITH d1 AS (
            SELECT o_orderpriority AS v,
