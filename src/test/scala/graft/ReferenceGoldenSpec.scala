@@ -42,6 +42,29 @@ class ReferenceGoldenSpec extends SparkTestBase {
     assert(m("幼教与中小学校") == 0.1)
   }
 
+  val T33Golden =
+    "/root/reference/任务二+任务三/work3-3/part-00000-a6327093-d437-4d89-bef3-b932e48c2d3f-c000.csv"
+
+  test("T3-3 golden: 150,328 rows and every work_year parses > 5 with OUR parser") {
+    assume(new java.io.File(T33Golden).exists())
+    val dir = java.nio.file.Files.createTempDirectory("golden-t33")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(T33Golden),
+      dir.resolve("golden.csv"))
+    val df = Csv.readSchemaless(spark, dir.resolve("golden.csv").toString)
+    assert(df.count() == 150328) // SURVEY §6 anchor
+    assert(df.columns.toSeq == Seq("user_id", "censor_status", "work_year"))
+    // parity: the rows the reference kept are exactly the rows our
+    // when-chain parser (P13) also scores > 5
+    val parsed = df.withColumn("n",
+      graft.ops.Relational.parseWorkYear(col("work_year")))
+    assert(parsed.filter(col("n") <= 5 || col("n").isNull).count() == 0)
+    // value domain: only 6/7/8/9/10+ years survive the > 5 filter
+    val kept = parsed.select("work_year").distinct()
+      .as[String].collect().toSet
+    assert(kept.forall(w => w == "10+ years" ||
+      w.takeWhile(_.isDigit).toInt > 5))
+  }
+
   test("T1 golden: MR output parses; sorted count desc; documents the S1 split bug") {
     assume(new java.io.File(T1Golden).exists())
     val df = spark.read.option("sep", " ").csv(T1Golden)
