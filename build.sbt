@@ -27,7 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dfile.encoding=UTF-8",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 local executor threads + cached dedup intermediates at 8g spent
+  // measurable time in GC during the bench; the box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // The container has no locale (LANG empty -> JVM sun.jnu.encoding=ASCII),
 // which breaks filesystem paths containing non-ASCII characters (the

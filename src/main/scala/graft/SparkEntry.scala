@@ -111,14 +111,20 @@ object SparkEntry {
       Relational.rollupCounts(t(s, dir, "lineitem"),
         "l_returnflag", "l_linestatus")),
 
-    // EXT set ops: customers with BOTH an urgent and a low-priority order
-    // (INTERSECT), counted per segment.
+    // EXT set ops: customers with BOTH an urgent and a low-priority order.
+    // INTERSECT semantics via single-scan conditional aggregation: the
+    // literal INTERSECT plan scans orders twice and pays two distincts +
+    // a join; flagging both priorities in one groupBy is one pushed-down
+    // IN-scan and one shuffle. Oracle keeps the INTERSECT SQL — same rows.
     "q13_intersect" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val both = o.filter(col("o_orderpriority") === "1-URGENT")
+      val both = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy("o_custkey")
+        .agg(
+          max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("u"),
+          max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0)).as("l"))
+        .filter(col("u") === 1 && col("l") === 1)
         .select("o_custkey")
-        .intersect(o.filter(col("o_orderpriority") === "5-LOW")
-          .select("o_custkey"))
       both.join(broadcast(t(s, dir, "customer")
           .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
           Seq("o_custkey"))
@@ -231,9 +237,10 @@ object SparkEntry {
         .select("o_orderkey", "o_orderpriority_idx", "o_orderstatus_idx")
         .orderBy("o_orderkey")),
 
-    // Exact 20-quantile bucketing (ntile twin of QuantileDiscretizer).
+    // Exact 20-quantile bucketing — distributed range-partitioned ntile
+    // (no single-partition window; oracle is the literal SQL ntile).
     "fp_quantile_bucket" -> ((s, dir) =>
-      Features.ntileBucket(t(s, dir, "orders"), "o_totalprice", "o_orderkey", 20)
+      Features.rangeNtileBucket(t(s, dir, "orders"), "o_totalprice", "o_orderkey", 20)
         .select("o_orderkey", "bucket")
         .orderBy("o_orderkey")),
 
@@ -259,16 +266,22 @@ object SparkEntry {
         s, graft.ml.Classifiers.embeddingFeatures(t(s, dir, "embeddings")))),
 
     // FP1-FP5 end-to-end spark.ml Pipeline (indexers+discretizer+assembler)
-    // on orders; vector surfaced as array for a rows-only check.
+    // on orders; rows-only (GK-sketch cuts are approximate by design).
+    // The vector is surfaced as SCALARS (length + a fixed-format CSV
+    // string), not array<float>: the driver's pandas-side checker cannot
+    // hash/sort an array column (the one red cell of CORRECTNESS_r01).
     "fp_pipeline_assemble" -> ((s, dir) => {
       val (_, out) = graft.ml.Pipelines.featurePipeline(
         t(s, dir, "orders"),
         stringCols = Seq("o_orderpriority", "o_orderstatus"),
         numericCols = Seq("o_totalprice"),
         numericBuckets = Map("o_totalprice" -> 20))
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("features"))
       out.select(col("o_orderkey"),
-          org.apache.spark.ml.functions.vector_to_array(col("features"))
-            .as("features"))
+          size(arr).cast("long").as("n_features"),
+          array_join(transform(arr,
+            x => x.cast(org.apache.spark.sql.types.DecimalType(18, 6))
+              .cast("string")), ",").as("features_csv"))
         .orderBy("o_orderkey")
     }),
   )
@@ -286,9 +299,12 @@ object SparkEntry {
                 bucket_lo, count(*) AS cnt
          FROM b GROUP BY bucket_lo ORDER BY bucket_lo""",
 
+    // round_even = HALF_EVEN, matching Spark's bround: plain round()
+    // rounds doubles half-away-from-zero and diverges on exact ties
+    // (e.g. a ratio of 1/32 at scale 4).
     "q3_1_group_ratio" ->
       """SELECT o_orderpriority, count(*) AS cnt,
-                round(count(*) / (SELECT count(*) FROM orders), 4) AS ratio
+                round_even(count(*) / (SELECT count(*) FROM orders), 4) AS ratio
          FROM orders GROUP BY 1 ORDER BY cnt DESC, o_orderpriority ASC""",
 
     "q3_2_derived_arithmetic" ->
@@ -635,8 +651,8 @@ object SparkEntry {
                 d1.idx AS o_orderpriority_idx,
                 d2.idx AS o_orderstatus_idx
          FROM orders
-         JOIN d1 ON d1.v = o_orderpriority
-         JOIN d2 ON d2.v = o_orderstatus
+         LEFT JOIN d1 ON d1.v = o_orderpriority
+         LEFT JOIN d2 ON d2.v = o_orderstatus
          ORDER BY o_orderkey""",
 
     "fp_quantile_bucket" ->

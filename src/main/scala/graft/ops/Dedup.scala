@@ -16,6 +16,12 @@ import graft.functions.Texty
   * hot key (boilerplate text repeated across millions of docs) degrades to
   * dropped candidates, never to an executor-OOM quadratic join. Dropped
   * volume is observable in the `*_capped` counters of capStats.
+  *
+  * Cache contract: ngramJaccard / minhashLsh persist genuinely-reused
+  * intermediates (the kept-shingle table, signatures) and cannot unpersist
+  * them before the caller materializes the returned lazy DataFrame; a
+  * long-lived session that runs many dedup jobs should call
+  * `spark.catalog.clearCache()` between them (Bench does).
   */
 object Dedup {
 
@@ -172,61 +178,59 @@ object Dedup {
     * (doc_id, cluster_id) where cluster_id = the smallest doc_id in the
     * component — i.e. the canonical "keep" document for every member.
     *
-    * Scale/convergence: each round every node takes the min of (its
-    * label, its neighbors' labels, its label's label). The shortcut join
-    * makes labels jump along label chains, so rounds needed are
-    * O(log diameter) — neighbor-only propagation would be O(diameter)
-    * and silently split long chain components at the iteration cap.
-    * If the cap is still hit (pathological input), this THROWS rather
-    * than returning split clusters. `localCheckpoint` truncates lineage
-    * so plans don't grow with iterations. No driver-side graph
-    * materialization.
+    * Each round propagates over the AUGMENTED edge set
+    * sym ∪ {(x, label(x)), (label(x), x)}: one join + one min-aggregate
+    * yields min(label(x), label(label(x)), min over neighbors) — the
+    * label-of-label term is the pointer-doubling shortcut, so rounds
+    * needed are O(log diameter); neighbor-only propagation would be
+    * O(diameter) and silently split long chain components at the
+    * iteration cap. (Round 1 of the previous formulation spent three
+    * joins per round on the same recurrence.)
+    *
+    * Convergence is read from the label SUM on the just-checkpointed
+    * pass: labels are min-monotone (label(x) ≤ x, strictly decreasing
+    * whenever anything changes), so sum-unchanged ⟺ converged — no
+    * join against the previous round, and the sum job runs on the
+    * checkpointed rows. DECIMAL(38,0) so a 100 TB corpus of 2^63-ish ids
+    * cannot overflow the test. If the cap is still hit (pathological
+    * input), this THROWS rather than returning split clusters.
+    * `localCheckpoint` truncates lineage so plans don't grow with
+    * iterations. No driver-side graph materialization.
     */
   def resolveClusters(pairs: DataFrame, a: String = "da", b: String = "db",
       maxIter: Int = 50): DataFrame = {
-    val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    // pairs is typically an expensive derived table (e.g. ngramJaccard):
+    // materialize it ONCE — the symmetric closure and every round read
+    // the cache, not the upstream plan.
+    val p = pairs.select(col(a).as("src"), col(b).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = sym
-        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src").as("node")).agg(min("nl").as("min_nl"))
-      // pointer doubling: label-of-label, so chains collapse in log
-      // rounds. Round 0's labels are the identity (label == node), so
-      // the shortcut would be a no-op join — skip it there.
-      val withShort =
-        if (i == 0) labels.join(neighborMin, Seq("node"), "left")
-          .withColumn("short_l", lit(null).cast("long"))
-        else {
-          val shortcut = labels
-            .join(labels.select(col("node").as("label"), col("label").as("ll")),
-              Seq("label"))
-            .select(col("node"), col("ll").as("short_l"))
-          labels.join(neighborMin, Seq("node"), "left")
-            .join(shortcut, Seq("node"), "left")
-        }
-      // carry a per-row changed flag so convergence is read off the same
-      // materialized pass — no second join against the previous labels
-      val updated = withShort
-        .select(col("node"),
-          least(col("label"),
-            least(coalesce(col("min_nl"), col("label")),
-              coalesce(col("short_l"), col("label")))).as("new_label"),
-          col("label").as("old_label"))
-        .select(col("node"), col("new_label").as("label"),
-          (col("new_label") < col("old_label")).as("changed"))
+      val aug = sym
+        .union(labels.select(col("node").as("src"), col("label").as("dst")))
+        .union(labels.select(col("label").as("src"), col("node").as("dst")))
+      val updated = aug
+        .join(labels.select(col("node").as("dst"), col("label").as("dl")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("dl").as("label"))
         .localCheckpoint()
-      val changed = updated.filter(col("changed")).count()
-      labels = updated.drop("changed")
-      converged = changed == 0
+      val s = labelSum(updated)
+      labels = updated
+      converged = (s == null && prevSum == null) ||
+        (s != null && prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
       i += 1
     }
-    sym.unpersist()
+    p.unpersist()
     if (!converged) throw new IllegalStateException(
       s"resolveClusters did not converge within $maxIter rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -234,35 +238,29 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: token hashes vote per bit, weighted by
-    * occurrence count. Implemented as one 64-expression aggregate directly
-    * over the exploded (doc, token-hash) occurrences — summing ±1 per
-    * occurrence equals summing ±count per distinct token, so the
-    * intermediate (doc, tok) groupBy shuffle is skipped entirely: one
-    * shuffle (partial/final agg) instead of two. */
+    * occurrence count. SimHash is a pure per-document function of the
+    * token multiset, so it is computed by the codegen'd
+    * [[graft.functions.SimHash64]] kernel in a single map-only
+    * projection — no token explode, no 64-buffer aggregate, no shuffle.
+    * (The previous aggregate formulation shuffled every token occurrence
+    * with 64 long buffers per group; it dominated the dedup bench.)
+    * Null-text docs produce no row, matching the explode-based semantics. */
   def simhash(docs: DataFrame, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
-    val tok = spread(docs)
+      text: String = "text"): DataFrame =
+    spread(docs)
+      .filter(col(text).isNotNull)
       .select(col(id).as("doc_id"),
-        explode(Texty.tokens(col(text))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitAggs = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, lit(1L))
-        .otherwise(lit(-1L))).as(s"b$i"))
-    val bits = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sh = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    bits.select(col("doc_id"), sh.as("simhash"))
-  }
+        graft.functions.SimHash64(col(text)).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked
     * on 4 x 16-bit chunks (pigeonhole: any pair within hamming 3 shares at
     * least one exact chunk). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 100): DataFrame = {
-    // One 64-bit hash per doc, consumed via two derived paths (hot-chunk
-    // count + blocked self-join) — cache the tiny table, not the 64-agg.
-    val sh = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // sh is a map-only projection now — recomputing it per consumer is
+    // cheaper than a persist round-trip; only `kept` (post anti-join,
+    // feeding both sides of the self-join) is worth caching.
+    val sh = simhash(docs)
     val chunks = (0 until 4).map(j =>
       shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL))
     val blocked = sh.select(col("doc_id"), col("simhash"),

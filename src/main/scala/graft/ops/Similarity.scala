@@ -50,9 +50,19 @@ object Similarity {
   }
 
   /** Exact cosine near-dup pairs (cosine >= minCosine, vec_id a<b).
-    * All-pairs: only for modest corpus sizes / verification — the LSH
-    * variant below is the scale path. */
-  def bruteNearDup(emb: DataFrame, minCosine: Double): DataFrame = {
+    * All-pairs O(N²): only for modest corpus sizes / verification — the
+    * LSH variant below is the scale path. GUARDED: refuses to plan the
+    * quadratic join above `maxRows` input rows (the guard count is one
+    * cheap scan; the join it prevents is N²/2 dot products), so a blind
+    * call on a real corpus fails loudly with a pointer to [[lshNearDup]]
+    * instead of melting the cluster. */
+  def bruteNearDup(emb: DataFrame, minCosine: Double,
+      maxRows: Long = 200000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"bruteNearDup is all-pairs O(N²) and got N=$n > maxRows=$maxRows; " +
+        "use lshNearDup (bucketed, re-scored exactly) for large corpora " +
+        "or raise maxRows explicitly")
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
     base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))

@@ -23,16 +23,19 @@ object Stress {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-stress")
 
-    def replicate(df: DataFrame, idCol: String, shift: Long): DataFrame =
+    // shift derived from the base corpus' max id, not a fixed constant:
+    // a base table with ids >= a hardcoded shift would collide replicas
+    // and silently deflate dedup/similarity cardinalities
+    def replicate(df: DataFrame, idCol: String): DataFrame = {
+      val shift = df.agg(max(col(idCol))).head.getLong(0) + 1L
       (0 until factor).map { r =>
         df.withColumn(idCol, col(idCol) + lit(r * shift))
       }.reduce(_.union(_))
+    }
 
-    val docs = replicate(
-      Tables(spark, sfDir, "documents"), "doc_id", 10000000L)
+    val docs = replicate(Tables(spark, sfDir, "documents"), "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val emb = replicate(
-      Tables(spark, sfDir, "embeddings"), "vec_id", 10000000L)
+    val emb = replicate(Tables(spark, sfDir, "embeddings"), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"stress corpus: ${docs.count()} docs, ${emb.count()} vectors " +
       s"(${factor}x $sfDir)")

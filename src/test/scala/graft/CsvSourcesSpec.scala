@@ -69,28 +69,8 @@ class CsvSourcesSpec extends SparkTestBase {
     assert(back.where($"industry" === "金融业").count() == 1)
   }
 
-  test("bucketed tables join without any shuffle exchange") {
-    val orders = Tables(spark, sf0001, "orders")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-    val cust = Tables(spark, sf0001, "customer")
-      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-    graft.sources.Bucketed.writeTable(orders, "b_orders", "o_custkey", 8)
-    graft.sources.Bucketed.writeTable(cust, "b_customer", "o_custkey", 8)
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val joined =
-        graft.sources.Bucketed.join(spark, "b_orders", "b_customer", "o_custkey")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"))
-      // co-located buckets: no shuffle on either side
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"unexpected shuffle in:\n$plan")
-      assert(joined.count() == orders.count()) // every order has a customer
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-    }
-  }
+  // (bucketed-join exchange-freeness is asserted in PlanShapeSpec, with
+  // the other plan-shape guards)
 
   test("partitioned CSV sink writes one dir per partition value") {
     val out = tmpDir("csv-part")

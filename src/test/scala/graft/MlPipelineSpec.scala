@@ -39,6 +39,21 @@ class MlPipelineSpec extends SparkTestBase {
     assert(sizes == Map(1L -> 3, 2L -> 3, 3L -> 2, 4L -> 2))
   }
 
+  test("rangeNtileBucket ≡ ntileBucket: distributed exact ntile (FP3)") {
+    val orders = Tables(spark, sf0001, "orders")
+    val twin = Features.ntileBucket(orders, "o_totalprice", "o_orderkey", 20)
+      .select("o_orderkey", "bucket")
+    val dist = Features.rangeNtileBucket(orders, "o_totalprice", "o_orderkey", 20)
+      .select(col("o_orderkey"), col("bucket").as("rbucket"))
+    assert(twin.join(dist, "o_orderkey")
+      .filter(col("bucket") =!= col("rbucket")).count() == 0)
+    // N < n edge: SQL ntile gives every row its own bucket
+    val tiny = Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("k", "v")
+    val tb = Features.rangeNtileBucket(tiny, "v", "k", 10)
+      .select("k", "bucket").as[(Int, Long)].collect().toMap
+    assert(tb == Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
+  }
+
   test("naFill: numeric -1, string '-1' (FP4)") {
     val df = Seq((Some(1.5), Some("x")), (None, None))
       .toDF("num", "str")

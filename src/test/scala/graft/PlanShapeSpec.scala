@@ -42,4 +42,66 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
     }
   }
+
+  test("single-partition windows only ever run over aggregated inputs") {
+    // A global (empty-partition) window funnels every row through one
+    // task — allowed only above an Aggregate, where cardinality is group
+    // count, not row count. Guards fp_quantile_bucket's distributed-ntile
+    // regression and any future accidental global window.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val planOpt =
+        try Some(fn(spark, sf0001).queryExecution.optimizedPlan)
+        catch { case _: Throwable => None } // ML fits run jobs; skip errors
+      planOpt.foreach { plan =>
+        plan.foreach {
+          case w: LWindow if w.partitionSpec.isEmpty =>
+            assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+              s"$name plans a single-partition window over raw rows")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  // formatted explain lists each node twice (tree + details); count the
+  // details-section "(N) Scan parquet" form, once per scan node
+  private def scanCount(plan: String): Int =
+    """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+
+  test("q13_intersect scans orders once (conditional-agg INTERSECT)") {
+    val plan = planOf("q13_intersect")
+    assert(scanCount(plan) == 2,
+      s"expected orders+customer = 2 scans, got ${scanCount(plan)}:\n$plan")
+  }
+
+  test("profile_lineitem is a single-scan profile") {
+    val plan = planOf("profile_lineitem")
+    assert(scanCount(plan) == 1,
+      s"expected exactly 1 lineitem scan, got ${scanCount(plan)}:\n$plan")
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.sources.Bucketed.writeTable(orders, "b_orders_ps", "o_custkey", 8)
+    graft.sources.Bucketed.writeTable(cust, "b_customer_ps", "o_custkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.sources.Bucketed.join(
+        spark, "b_orders_ps", "b_customer_ps", "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // co-located buckets: no shuffle on either side
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+      assert(joined.count() == orders.count()) // every order has a customer
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }

@@ -29,6 +29,14 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, 1.0), (1L, 3L, 0.0), (2L, 3L, 0.0)))
   }
 
+  test("bruteNearDup refuses to plan the all-pairs join beyond maxRows") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteNearDup(emb, 0.4, maxRows = 10)
+    }
+    assert(e.getMessage.contains("lshNearDup"))
+  }
+
   test("bruteTopK: nearest neighbor ranked first, ties broken by vec_id") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),          // query
