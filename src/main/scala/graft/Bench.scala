@@ -26,6 +26,14 @@ object Bench {
       // the op, not a cache of a previous identical plan, and the block
       // store doesn't grow 3x per query over the bench run
       spark.catalog.clearCache()
+      // clearCache only covers CacheManager (SQL) entries — localCheckpoint
+      // blocks (resolveClusters rounds, rangeNtileBucket's pinned range
+      // table) live as raw persistent RDDs and otherwise accumulate until
+      // driver GC triggers ContextCleaner; across a 50-query suite that
+      // block-store growth inflated later queries ~2-3x (measured: the
+      // whole-suite run degraded dedup_clusters 3.1s -> 20s while the
+      // isolated run stayed flat)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       elapsed
     }
 

@@ -106,6 +106,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(desc("n_customers"), asc("c_mktsegment"))),
 
+    // EXT skew mitigation: explicit salted equi-join (the fallback for
+    // skew AQE can't split — see graft.ops.Skew). Salt only refines the
+    // partitioning, so the oracle is the PLAIN join: same rows exactly.
+    "q18_skew_salted_join" -> ((s, dir) => {
+      val fact = t(s, dir, "orders").filter(col("o_totalprice") > 50000)
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.ops.Skew.saltedJoin(fact, dim, "o_custkey", 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy(desc("n_orders"), asc("c_mktsegment"))
+    }),
+
     // EXT grouping sets: rollup subtotals with grouping_id.
     "q12_rollup" -> ((s, dir) =>
       Relational.rollupCounts(t(s, dir, "lineitem"),
@@ -180,12 +194,19 @@ object SparkEntry {
       Events.asOfJoin(t(s, dir, "events"), "click", "view")),
     "q10_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
+    // REAL Structured Streaming run (file micro-batches, AvailableNow,
+    // complete-mode memory sink) — equals the batch tumbling agg, so the
+    // streaming family gets a driver-oracle'd row, not just specs.
+    "stream_tumbling_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.tumblingCountsParityRun(s, s"$dir/events.parquet")),
 
     // EXT text analysis over documents:
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    // fixed-size token windows with overlap (LLM context chunking)
+    "doc_chunk" -> ((s, dir) => TextAnalysis.chunkTokens(t(s, dir, "documents"))),
 
     // EXT dedup family over documents:
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -195,6 +216,13 @@ object SparkEntry {
     // near-dup pairs -> connected components -> canonical keep-id per doc
     "dedup_clusters" -> ((s, dir) =>
       Dedup.resolveClusters(Dedup.ngramJaccard(t(s, dir, "documents")))),
+    // steady-state ingestion: batch (odd ids) deduped against corpus (even)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalExact(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
 
     // EXT similarity search over embeddings:
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteTopK(t(s, dir, "embeddings"), 20, 5)),
@@ -202,6 +230,8 @@ object SparkEntry {
     "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), 20, 5)),
+    // int8 embedding quantization (storage/bandwidth path)
+    "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))),
 
     // EXT multimodal binary columns:
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
@@ -227,6 +257,23 @@ object SparkEntry {
         out)
       graft.sources.Csv.readSchemaless(s, out, encoding = "GBK")
         .orderBy(col("cnt").cast("long").desc, col("c_mktsegment"))
+    }),
+
+    // EXT partitioned parquet sink + partition-pruned scan (the layout a
+    // 100 TB corpus lives in — graft.sources.Partitioned; PlanShapeSpec
+    // asserts the read-back plan prunes on PartitionFilters). Same
+    // pid-scoped tmp-dir convention as csv_gbk_roundtrip.
+    "sink_partitioned_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-part-sink-${ProcessHandle.current().pid()}")
+        .toString
+      graft.sources.Partitioned.write(t(s, dir, "orders"), out, "o_orderpriority")
+      graft.sources.Partitioned.readPruned(s, out, "o_orderpriority", "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderstatus")
     }),
 
     // T4 feature prep (FP1/FP3/FP4) as oracle-checkable transforms:
@@ -257,6 +304,13 @@ object SparkEntry {
         .select("c_custkey", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")),
 
+    // Deterministic hash split (the reproducible randomSplit replacement;
+    // portable affine hash => oracle-checkable assignment, ~20% test).
+    "fp_hash_split" -> ((s, dir) =>
+      Features.hashSplit(t(s, dir, "orders"), "o_orderkey", 2000)
+        .select("o_orderkey", "split")
+        .orderBy("o_orderkey")),
+
     // T4 classifiers (FP6-FP12), seeded; rows-only (never oracle'd).
     "ml_train_eval" -> ((s, dir) =>
       graft.ml.Classifiers.trainEval(
@@ -265,17 +319,17 @@ object SparkEntry {
       graft.ml.Classifiers.rfImportances(
         s, graft.ml.Classifiers.embeddingFeatures(t(s, dir, "embeddings")))),
 
-    // FP1-FP5 end-to-end spark.ml Pipeline (indexers+discretizer+assembler)
-    // on orders; rows-only (GK-sketch cuts are approximate by design).
-    // The vector is surfaced as SCALARS (length + a fixed-format CSV
-    // string), not array<float>: the driver's pandas-side checker cannot
-    // hash/sort an array column (the one red cell of CORRECTNESS_r01).
+    // FP1+FP3+FP5 end-to-end feature pipeline on the EXACT twins
+    // (distributed index dictionaries + distributed exact ntile) with a
+    // real VectorAssembler — fully oracle'd, vector surfaced as SCALARS
+    // (length + fixed-format CSV; the driver's pandas checker cannot
+    // hash an array column — the one red cell of CORRECTNESS_r01). The
+    // spark.ml estimator Pipeline (GK-sketch discretizer, approximate by
+    // design) is covered by MlPipelineSpec, not a hash oracle.
     "fp_pipeline_assemble" -> ((s, dir) => {
-      val (_, out) = graft.ml.Pipelines.featurePipeline(
-        t(s, dir, "orders"),
-        stringCols = Seq("o_orderpriority", "o_orderstatus"),
-        numericCols = Seq("o_totalprice"),
-        numericBuckets = Map("o_totalprice" -> 20))
+      val out = graft.ml.Pipelines.exactAssembled(t(s, dir, "orders"),
+        Seq("o_orderpriority", "o_orderstatus"), "o_totalprice",
+        "o_orderkey", 20)
       val arr = org.apache.spark.ml.functions.vector_to_array(col("features"))
       out.select(col("o_orderkey"),
           size(arr).cast("long").as("n_features"),
@@ -286,9 +340,111 @@ object SparkEntry {
     }),
   )
 
+  // ---- Portable-hash oracle SQL (generated from the SAME constants the
+  // codegen kernels use — graft.functions.Portable — so Spark and DuckDB
+  // compute bit-identical MinHash signatures and SimHash bits). ----
+  import graft.functions.{Portable, PortableKernels}
+
+  /** Two-prime rolling hash of a string SQL expression: the DuckDB twin of
+    * [[graft.functions.PortableKernels.wordShinglePolyHashes]]'s per-
+    * shingle hash (h1 % P1) * P2 + (h2 % P2). ASCII corpus assumption is
+    * documented on Portable. */
+  private def polySql(s: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split_regex($s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, x) -> (a * ${Portable.B1} + x) % ${Portable.P1}) * ${Portable.P2}
+       |  + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split_regex($s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, x) -> (a * ${Portable.B2} + x) % ${Portable.P2}))""".stripMargin
+
+  private def minhashLshOracle: String = {
+    import Portable._
+    val sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
+      s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i").mkString(",\n           ")
+    val bandSelects = (0 until graft.ops.Dedup.MinhashBands).map { b =>
+      val key = (0 until 4).foldLeft(s"CAST(${b + 1} AS BIGINT)") { (acc, j) =>
+        s"(($acc * $BandMix + m${4 * b + j}) % $P1)"
+      }
+      s"SELECT doc_id, $b AS band_idx, $key AS band_hash FROM sig"
+    }.mkString("\n           UNION ALL ")
+    val matches = (0 until graft.ops.Dedup.MinhashK)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+       |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+       |          WHERE len(arr) >= 3),
+       |  h AS (SELECT DISTINCT doc_id, ${polySql("s")} AS hh FROM shs),
+       |  kept AS (SELECT doc_id, hh FROM h
+       |           WHERE hh IN (SELECT hh FROM h GROUP BY hh HAVING count(*) <= 100)),
+       |  sig AS (SELECT doc_id,
+       |           $sigAggs
+       |          FROM kept GROUP BY doc_id),
+       |  banded AS ($bandSelects),
+       |  keptb AS (SELECT * FROM banded b
+       |            WHERE NOT EXISTS (
+       |              SELECT 1 FROM banded g
+       |              WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash
+       |              GROUP BY g.band_idx, g.band_hash HAVING count(*) > 50)),
+       |  cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |           FROM keptb a JOIN keptb b
+       |             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |            AND a.doc_id < b.doc_id)
+       |SELECT da, db, CAST($matches AS BIGINT) AS sig_matches
+       |FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+       |WHERE $matches >= 16
+       |ORDER BY da, db""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    import Portable._
+    val voteAggs = (0 until PortableKernels.SimHashBits).map(j =>
+      s"sum(CASE WHEN ((${aCoef(j)} * h1 + ${bCoef(j)} * h2 + $j) % $P1) % 2 = 1 THEN 1 ELSE -1 END) AS v$j"
+    ).mkString(",\n           ")
+    val bits = (0 until PortableKernels.SimHashBits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n           + ")
+    val chunkSelects = (0 until 4).map(c =>
+      s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash >> ${15 * c}) & 32767 AS chunk FROM sh"
+    ).mkString("\n           UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents WHERE text IS NOT NULL),
+       |  th AS (SELECT doc_id,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |            (a, x) -> (a * $B1 + x) % $P1) AS h1,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |            (a, x) -> (a * $B2 + x) % $P2) AS h2
+       |         FROM tok),
+       |  votes AS (SELECT doc_id,
+       |           $voteAggs
+       |          FROM th GROUP BY doc_id),
+       |  sh AS (SELECT doc_id,
+       |           $bits AS simhash
+       |         FROM votes),
+       |  blocked AS ($chunkSelects),
+       |  keptc AS (SELECT * FROM blocked b
+       |            WHERE NOT EXISTS (
+       |              SELECT 1 FROM blocked g
+       |              WHERE g.chunk_idx = b.chunk_idx AND g.chunk = b.chunk
+       |              GROUP BY g.chunk_idx, g.chunk HAVING count(*) > 100))
+       |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM keptc a JOIN keptc b
+       |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY da, db""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // MinHash signatures, band keys and SimHash bits are computed on the
+    // portable two-prime polynomial basis shared between the codegen
+    // kernels and this generated SQL — see graft.functions.Portable.
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_simhash" -> simhashOracle,
     "q1_group_count_sort" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
          GROUP BY 1 ORDER BY cnt DESC, c_mktsegment ASC""",
@@ -422,6 +578,13 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
 
+    // the streaming run must equal the batch tumbling aggregate exactly
+    "stream_tumbling_parity" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+                count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+
     "q9b_events_sliding" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
          w AS (
@@ -506,6 +669,44 @@ object SparkEntry {
                   (a, x) -> (a * 31 + x) % 1000000007) AS fp_roll
          FROM documents ORDER BY doc_id""",
 
+    // the salt never changes join semantics: oracle is the plain join
+    "q18_skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 50000
+         GROUP BY 1 ORDER BY n_orders DESC, c_mktsegment ASC""",
+
+    // partition pruning never changes WHAT is read, only how much: the
+    // oracle is the plain filtered aggregate over the source table.
+    "sink_partitioned_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY o_orderstatus""",
+
+    "doc_chunk" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         c AS (SELECT doc_id, i // 30 AS chunk_idx,
+                      list_slice(arr, i + 1, i + 40) AS chunk
+               FROM tok, LATERAL (SELECT unnest(range(0, len(arr), 30)) AS i) r)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(chunk, ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
+
+    "embed_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+                  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+           FROM embeddings)
+         SELECT vec_id, scale,
+                array_to_string(list_transform(embedding, x ->
+                  CASE WHEN scale = 0 THEN '0'
+                       ELSE CAST(CAST(floor((CAST(x AS DOUBLE) * 127.0) / scale) AS BIGINT) AS VARCHAR)
+                  END), ',') AS q_csv
+         FROM s ORDER BY vec_id""",
+
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY keep_id""",
@@ -550,6 +751,25 @@ object SparkEntry {
            SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
          SELECT a AS doc_id, min(b) AS cluster_id
          FROM reach GROUP BY 1 ORDER BY doc_id""",
+
+    "dedup_incremental" ->
+      """WITH base AS (
+           SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+         inc AS (
+           SELECT md5(text) AS fp, min(doc_id) AS keep_id
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+         SELECT fp, keep_id FROM inc
+         WHERE fp NOT IN (SELECT fp FROM base)
+         ORDER BY keep_id""",
+
+    "fp_hash_split" -> {
+      import Portable.{P1, aCoef, bCoef}
+      s"""SELECT o_orderkey,
+            CASE WHEN ((o_orderkey % $P1) * ${aCoef(7)} + ${bCoef(7)}) % $P1
+                      < ${P1 / 10000L * 2000L}
+                 THEN 'test' ELSE 'train' END AS split
+         FROM orders ORDER BY o_orderkey"""
+    },
 
     "sim_brute_topk" ->
       """WITH base AS (
@@ -659,6 +879,29 @@ object SparkEntry {
       """SELECT o_orderkey,
                 ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
          FROM orders ORDER BY o_orderkey""",
+
+    "fp_pipeline_assemble" ->
+      """WITH d1 AS (
+           SELECT o_orderpriority AS v,
+                  CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1 AS BIGINT) AS idx
+           FROM orders GROUP BY o_orderpriority),
+         d2 AS (
+           SELECT o_orderstatus AS v,
+                  CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) - 1 AS BIGINT) AS idx
+           FROM orders GROUP BY o_orderstatus),
+         b AS (
+           SELECT o_orderkey,
+                  ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+           FROM orders)
+         SELECT o.o_orderkey, CAST(3 AS BIGINT) AS n_features,
+                CAST(CAST(d1.idx AS DECIMAL(18,6)) AS VARCHAR) || ',' ||
+                CAST(CAST(d2.idx AS DECIMAL(18,6)) AS VARCHAR) || ',' ||
+                CAST(CAST(b.bucket AS DECIMAL(18,6)) AS VARCHAR) AS features_csv
+         FROM orders o
+         LEFT JOIN d1 ON d1.v = o.o_orderpriority
+         LEFT JOIN d2 ON d2.v = o.o_orderstatus
+         JOIN b ON b.o_orderkey = o.o_orderkey
+         ORDER BY o.o_orderkey""",
 
     "fp_na_fill" ->
       """SELECT c_custkey,

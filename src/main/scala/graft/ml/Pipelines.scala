@@ -41,6 +41,22 @@ object Pipelines {
       .setInputCols(cols.toArray).setOutputCol("features")
       .setHandleInvalid("keep")
 
+  /** FP1+FP3+FP5 composed on the EXACT relational twins
+    * (`Features.stringIndex` distributed dictionaries +
+    * `Features.rangeNtileBucket` distributed exact ntile) with a real
+    * `VectorAssembler` on top — same output contract as
+    * [[featurePipeline]] but every feature value is SQL-derivable, so the
+    * assembled vector itself is oracle-checkable (the GK-sketch cuts of
+    * QuantileDiscretizer are approximate by design and never match an
+    * exact-SQL oracle; MlPipelineSpec covers that estimator path). */
+  def exactAssembled(df: DataFrame, stringCols: Seq[String],
+      bucketCol: String, tieKey: String, buckets: Int): DataFrame = {
+    val indexed = graft.ops.Features.stringIndex(df, stringCols)
+    val bucketed = graft.ops.Features.rangeNtileBucket(
+      indexed, bucketCol, tieKey, buckets)
+    assembler(stringCols.map(_ + "_idx") :+ "bucket").transform(bucketed)
+  }
+
   /** FP1–FP5 end-to-end: na.fill → indexers → discretizers → assembler,
     * one fitted PipelineModel. `numericBuckets` maps column → #buckets. */
   def featurePipeline(df: DataFrame, stringCols: Seq[String],

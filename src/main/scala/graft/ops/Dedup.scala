@@ -8,8 +8,13 @@ import graft.functions.Texty
 
 /** Deduplication operators for a training-data pipeline (BASELINE.json
   * north star — SURVEY.md §2h EXT). Exact, n-gram-Jaccard, MinHash-LSH
-  * and SimHash variants, all built from native Catalyst expressions
-  * (xxhash64, higher-order array functions) — no UDFs, no driver loops.
+  * and SimHash variants, all built from native/codegen'd Catalyst
+  * expressions — no UDFs, no driver loops. The MinHash and SimHash paths
+  * run on the portable two-prime polynomial hash basis
+  * (graft.functions.Portable) so their outputs are reproducible in the
+  * DuckDB oracle end to end; Jaccard uses the faster FNV-basis
+  * [[graft.functions.WordShingleHashes]] since it only needs hash
+  * identity, not cross-engine hash values.
   *
   * Scale design: every variant is shuffle-bounded by (a) a doc-frequency
   * cap on shingles and (b) a bucket-size cap on LSH bands, so a pathological
@@ -33,6 +38,23 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("fp"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
+
+  /** Incremental exact dedup — the steady-state shape of corpus ingestion:
+    * keep only `incoming` docs whose content fingerprint is not already in
+    * `base` (nor duplicated within the batch, where the smallest id wins).
+    * One anti-join on md5 + one self-dedup; both sides shuffle on the
+    * 128-bit fingerprint, never the text, so at 100 TB the exchange moves
+    * ~48 bytes/doc. The base side only ever needs (fp) — at scale that is
+    * a pre-materialized fingerprint index, not a rescan of the corpus. */
+  def incrementalExact(base: DataFrame, incoming: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val baseFp = base.select(md5(col(text)).as("fp")).distinct()
+    incoming.select(col(id).as("keep_id"), md5(col(text)).as("fp"))
+      .groupBy("fp").agg(min("keep_id").as("keep_id"))
+      .join(baseFp, Seq("fp"), "left_anti")
+      .select("fp", "keep_id")
+      .orderBy("keep_id")
+  }
 
   /** Distinct (doc, shingle) pairs with a document-frequency cap: shingles
     * appearing in more than `maxDf` docs are boilerplate — they generate
@@ -91,6 +113,22 @@ object Dedup {
       .select("doc_id", "h")
   }
 
+  /** [[shingleHashes]] on the PORTABLE two-prime polynomial basis
+    * (graft.functions.Portable) instead of the FNV/xxhash one: same
+    * distinct-(doc, 64-bit-hash) output contract, same df cap, but every
+    * hash is reproducible in the DuckDB oracle — this is the input of the
+    * MinHash path so its signatures become end-to-end SQL-checkable. */
+  def shinglePolyHashes(docs: DataFrame, k: Int, maxDf: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = spread(docs)
+      .select(col(id).as("doc_id"),
+        explode(graft.functions.WordShinglePolyHashes(col(text), k)).as("h"))
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    sh.join(broadcast(hot), Seq("h"), "left_anti")
+      .select("doc_id", "h")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share >=1 kept
     * shingle; jaccard = |A∩B| / (|A|+|B|-|A∩B|), reported in exact basis
     * points. The shingle-equijoin is a plain shuffle hash join on the
@@ -122,30 +160,40 @@ object Dedup {
   val MinhashBands = 8 // bands of 4 rows => catches jaccard >≈ 0.5
 
   /** MinHash signatures: column m0..m31 = min over shingle hashes of a
-    * seeded re-hash. One partial/final aggregate over the exploded
-    * shingles — the signature never leaves the executors un-aggregated.
-    * Input is [[shingleHashes]] output: the k seeded hash functions run
-    * over a fixed-width long (one xxhash64 iteration each), not the
-    * shingle string — ~an order of magnitude less hashing work per row. */
+    * seeded affine re-hash `(a_i * (h mod P1) + b_i) mod P1` on the
+    * portable basis (graft.functions.Portable — coefficients shared with
+    * the DuckDB oracle, so the whole signature is SQL-checkable). One
+    * partial/final aggregate over the exploded shingles — the signature
+    * never leaves the executors un-aggregated. Input is
+    * [[shinglePolyHashes]] output: the 32 re-hashes run over a
+    * fixed-width long (two mults + two mods each), not the shingle
+    * string. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
     val aggs = (0 until MinhashK).map(k =>
-      min(xxhash64(lit(k), col("h"))).as(s"m$k"))
+      min((lit(aCoef(k)) * (col("h") % lit(P1)) + lit(bCoef(k))) % lit(P1))
+        .as(s"m$k"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH near-dup candidates: band signatures into 8 buckets of 4
     * components, join docs sharing a bucket, then score candidates by
     * matching signature components (sig_matches/32 estimates jaccard).
-    * `maxBucket` caps pathological buckets (see class doc). */
+    * `maxBucket` caps pathological buckets (see class doc). Band keys are
+    * the portable fold `bk = (bk * BandMix + m) mod P1` seeded with
+    * band_idx+1 — reproducible in the oracle like everything upstream. */
   def minhashLsh(docs: DataFrame, k: Int = 3, maxDf: Int = 100,
       maxBucket: Int = 50, minSigMatches: Int = 16): DataFrame = {
+    import graft.functions.Portable.{P1, BandMix}
     // Signatures feed banding plus both sides of the candidate re-score
     // join: one narrow row per doc, ideal cache candidate — recomputing
     // would re-run the full shingle explode + 32-way min-agg three times.
-    val sig = minhashSignatures(shingleHashes(docs, k, maxDf))
+    val sig = minhashSignatures(shinglePolyHashes(docs, k, maxDf))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until MinhashBands).map { b =>
-      xxhash64((lit(b) +: (0 until 4).map(j => col(s"m${4 * b + j}"))): _*)
+      (0 until 4).foldLeft(lit(b + 1L).cast("long")) { (bk, j) =>
+        (bk * lit(BandMix) + col(s"m${4 * b + j}")) % lit(P1)
+      }
     }
     val banded = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
@@ -162,7 +210,7 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val matches = (0 until MinhashK)
-      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
+      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1L).otherwise(0L))
       .reduce(_ + _)
     cand
       .join(sig.as("sa"), col("da") === col("sa.doc_id"))
@@ -237,23 +285,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash per document: token hashes vote per bit, weighted by
-    * occurrence count. SimHash is a pure per-document function of the
-    * token multiset, so it is computed by the codegen'd
-    * [[graft.functions.SimHash64]] kernel in a single map-only
-    * projection — no token explode, no 64-buffer aggregate, no shuffle.
-    * (The previous aggregate formulation shuffled every token occurrence
-    * with 64 long buffers per group; it dominated the dedup bench.)
+  /** 60-bit portable SimHash per document: token hashes vote per bit,
+    * weighted by occurrence count. SimHash is a pure per-document function
+    * of the token multiset, so it is computed by the codegen'd
+    * [[graft.functions.SimHash60]] kernel in a single map-only
+    * projection — no token explode, no 60-buffer aggregate, no shuffle.
+    * (An earlier aggregate formulation shuffled every token occurrence
+    * with 64 long buffers per group; it dominated the dedup bench.) The
+    * portable bit derivation (graft.functions.Portable) makes hash,
+    * chunks and hamming SQL-reproducible, so the pair query is oracle'd.
     * Null-text docs produce no row, matching the explode-based semantics. */
   def simhash(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame =
     spread(docs)
       .filter(col(text).isNotNull)
       .select(col(id).as("doc_id"),
-        graft.functions.SimHash64(col(text)).as("simhash"))
+        graft.functions.SimHash60(col(text)).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked
-    * on 4 x 16-bit chunks (pigeonhole: any pair within hamming 3 shares at
+    * on 4 x 15-bit chunks (pigeonhole: any pair within hamming 3 shares at
     * least one exact chunk). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 100): DataFrame = {
@@ -262,7 +312,7 @@ object Dedup {
     // feeding both sides of the self-join) is worth caching.
     val sh = simhash(docs)
     val chunks = (0 until 4).map(j =>
-      shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL))
+      shiftrightunsigned(col("simhash"), j * 15).bitwiseAND(0x7FFFL))
     val blocked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
     val hotChunks = blocked.groupBy("chunk_idx", "chunk")
@@ -276,7 +326,7 @@ object Dedup {
           col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("da", "db")

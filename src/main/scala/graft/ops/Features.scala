@@ -84,13 +84,22 @@ object Features {
     *
     * Output is boundary-independent (the global row number is fixed by
     * the total order, wherever the range sampler cuts), so the result is
-    * deterministic even though range sampling isn't. */
+    * deterministic even though range sampling isn't — PROVIDED both
+    * consumers below (local row numbers, per-partition counts) read the
+    * SAME partitioning. They are two subtrees, and when Catalyst does not
+    * reuse the exchange (observed once the input carries broadcast
+    * joins), each re-runs the range sampler and can cut different
+    * boundaries — offsets from one partitioning applied to row numbers of
+    * another shift buckets by one. `localCheckpoint` pins one
+    * materialization for both consumers (same device as resolveClusters;
+    * the ranged table is stored once, memory-and-disk). */
   def rangeNtileBucket(df: DataFrame, v: String, tieKey: String,
       n: Int, out: String = "bucket"): DataFrame = {
     require(n >= 1, s"ntile requires n >= 1, got $n")
     val parts = df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(parts, col(v), col(tieKey))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy("__pid").orderBy(col(v), col(tieKey))
     val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
@@ -115,6 +124,25 @@ object Features {
     * nulls → "-1" (exp4_work4.ipynb:127-128, README.md:320-321). */
   def naFill(df: DataFrame): DataFrame =
     df.na.fill(-1).na.fill("-1")
+
+  /** Deterministic hash split — the reproducible train/test partition a
+    * data pipeline needs instead of `randomSplit` (which reshuffles on
+    * every run and every partitioning change): a row's split depends only
+    * on its KEY, via the portable affine hash `(key*a+b) mod P1` (same
+    * basis as graft.functions.Portable, so the assignment is
+    * SQL-checkable). Rows with hash < testBp/10000 of the modulus are
+    * 'test', the rest 'train'. Map-only, no shuffle; stable under
+    * re-partitioning, replication, and engine changes — membership can be
+    * recomputed from the key alone, which is what makes incremental
+    * pipelines auditable. Keys must be non-negative. */
+  def hashSplit(df: DataFrame, key: String, testBp: Int,
+      out: String = "split"): DataFrame = {
+    require(testBp >= 0 && testBp <= 10000, s"testBp in [0,10000], got $testBp")
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    val h = (col(key).cast("long") % lit(P1) * lit(aCoef(7)) + lit(bCoef(7))) % lit(P1)
+    df.withColumn(out,
+      when(h < lit(P1 / 10000L * testBp), lit("test")).otherwise(lit("train")))
+  }
 
   /** Stratified sampling by a label/stratum column (seeded `sampleBy`) —
     * the class-rebalancing primitive of a training-data pipeline. One

@@ -108,6 +108,30 @@ object Similarity {
   def embeddingNearDupEdges(emb: DataFrame, minCosine: Double): DataFrame =
     bruteNearDup(emb, minCosine)
 
+  /** Symmetric int8 quantization of the embedding column — the storage/
+    * bandwidth primitive of a large-scale vector pipeline (4× smaller
+    * vectors, int-SIMD dot products downstream). Per-vector scale =
+    * max|x|; q_i = floor(x_i * 127 / scale) ∈ [-127, 127] (floor, not
+    * round: both engines floor identically on every IEEE double, while
+    * half-way rounding modes differ — SURVEY.md §7 "hard parts").
+    * All-zero vectors quantize to all-zero with scale 0. Map-only.
+    * The quantized vector is surfaced as a CSV string (the driver's
+    * checker cannot hash array columns). */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"),
+      x => abs(x))).cast("double")
+    emb
+      .select(col("vec_id"), col("embedding"), maxabs.as("scale"))
+      .select(col("vec_id"), col("scale"),
+        array_join(
+          transform(col("embedding"), x =>
+            when(col("scale") === 0d, lit(0L))
+              .otherwise(floor((x.cast("double") * lit(127.0d)) / col("scale")))
+              .cast("string")),
+          ",").as("q_csv"))
+      .orderBy("vec_id")
+  }
+
   /** IVF (inverted-file) approximate top-k: the classic ANN scale path.
     *
     *  1. Fit a seeded k-means coarse quantizer on unit vectors (spark.ml,

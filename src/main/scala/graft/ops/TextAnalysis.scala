@@ -81,6 +81,33 @@ object TextAnalysis {
         .cast("long").as("n_bpe_tokens"))
       .orderBy(id)
 
+  /** Fixed-size token chunking with overlap — the LLM-pipeline primitive
+    * that turns documents into training/context windows: chunk i covers
+    * tokens [i*stride, i*stride + size). The last chunk may be short;
+    * every token is covered (stride <= size ⇒ overlap = size - stride).
+    * Pure per-document map (tokenize + slice, no shuffle except the
+    * presentation sort) — safe at any scale; chunk EXPLOSION multiplies
+    * rows by ~n_tokens/stride, which is the point, not a bug. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 40, stride: Int = 30,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toks = Texty.tokens(col(text))
+    docs
+      .select(col(id), toks.as("toks"))
+      // map-only: the token array rides through the explode (≈ size/stride
+      // copies per doc) — cheaper than any join/shuffle to re-fetch it
+      .select(col(id), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(chunkSize)).as("chunk"))
+      .select(col(id), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy(col(id), col("chunk_idx"))
+  }
+
   /** Document fingerprints: md5 (content-exact) + polynomial rolling hash
     * (shift-tolerant primitive used by chunk-level dedup). */
   def fingerprints(docs: DataFrame, id: String = "doc_id",

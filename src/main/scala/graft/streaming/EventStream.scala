@@ -31,14 +31,31 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based stream source: new parquet files under `dir` become
-    * micro-batches (`maxFilesPerTrigger` caps per-batch work). */
-  def readParquetStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 16): DataFrame =
-    spark.readStream
-      .schema(schema)
+  /** [[schema]] as stored in the driver corpus parquet: `ts` is
+    * TIMESTAMP(NANOS), which Spark 4 reads only as a raw nanosecond LONG
+    * (`spark.sql.legacy.parquet.nanosAsLong` — same story as
+    * `graft.ops.Events`). */
+  val fileSchema: StructType = StructType(
+    schema.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+
+  /** File-based stream source: new parquet files under `path` become
+    * micro-batches (`maxFilesPerTrigger` caps per-batch work). `path` may
+    * be a single file or glob; partition discovery needs a DIRECTORY
+    * basePath, so single-file callers pass the parent dir explicitly. */
+  def readParquetStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16,
+      sourceSchema: StructType = schema): DataFrame = {
+    val df = spark.readStream
+      .schema(sourceSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
+      .parquet(path)
+    // normalize a nanosecond-LONG ts (corpus parquet) to TimestampType;
+    // floor division like Events.tsUs (pre-1970 values round down)
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    else df
+  }
 
   /** Streaming twin of Events.tumblingAgg: per (1-hour window, type)
     * count + exact sum, with an event-time watermark bounding state. */
@@ -52,6 +69,48 @@ object EventStream {
           .as("sum_value"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Execute [[tumblingCounts]] as a REAL streaming query over the events
+    * parquet path — file-source micro-batches, `AvailableNow` trigger (a
+    * bounded run over everything currently in the source, the standard
+    * backfill/parity harness), complete-mode memory sink — and return the
+    * final result, totally ordered. In complete mode no window is ever
+    * evicted, so the result equals the batch `Events.tumblingAgg` exactly:
+    * this is the driver-oracle surface for the streaming family.
+    *
+    * The MEMORY sink is the parity/testing sink only (it collects to the
+    * driver); production queries keep the same readStream→transform and
+    * write to files/Kafka with append mode + watermark eviction. */
+  private val parityRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def tumblingCountsParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // per-invocation sink table: repeated runs (Bench times each query
+    // 3x) must not collide on the memory sink's temp-view name
+    val name = s"graft_stream_tumbling_${parityRunSeq.incrementAndGet()}"
+    // the corpus table is a single parquet FILE; a file stream source
+    // needs a DIRECTORY (FileStreamSource pins partition-discovery
+    // basePath to the source path). Stage the file into a pid-scoped dir
+    // — which is also the honest shape of a file stream: files arriving
+    // in a watched directory.
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-stage-${ProcessHandle.current().pid()}")
+    Files.createDirectories(stage)
+    val src = Paths.get(path)
+    Files.copy(src, stage.resolve(src.getFileName),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = tumblingCounts(
+      readParquetStream(spark, stage.toString, maxFilesPerTrigger,
+        sourceSchema = fileSchema))
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("win_start_us", "event_type")
+  }
 
   /** Streaming twin of Events.sessionize: native session windows (gap
     * merge) keyed by user. Watermark evicts closed sessions. */

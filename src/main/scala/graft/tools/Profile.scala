@@ -26,7 +26,7 @@ object Profile {
     time("shingles (df-capped)") { Dedup.shingles(docs, 3, 100).count() }
     time("shingle hashes (df-capped)") { Dedup.shingleHashes(docs, 3, 100).count() }
     time("minhash signatures") {
-      Dedup.minhashSignatures(Dedup.shingleHashes(docs, 3, 100)).count()
+      Dedup.minhashSignatures(Dedup.shinglePolyHashes(docs, 3, 100)).count()
     }
     time("minhash full") { Dedup.minhashLsh(docs).count() }
     time("ngram jaccard full") { Dedup.ngramJaccard(docs).count() }

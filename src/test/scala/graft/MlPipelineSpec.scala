@@ -109,6 +109,21 @@ class MlPipelineSpec extends SparkTestBase {
     assert(res.length == 4 && res.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
   }
 
+  test("hashSplit: key-deterministic, partition-independent, ~testBp ratio") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 10000).toDF("k")
+    val s1 = Features.hashSplit(df, "k", 2000)
+      .select("k", "split").as[(Long, String)].collect().toMap
+    // same assignment regardless of physical partitioning
+    val s2 = Features.hashSplit(df.repartition(7), "k", 2000)
+      .select("k", "split").as[(Long, String)].collect().toMap
+    assert(s1 == s2)
+    val testFrac = s1.values.count(_ == "test").toDouble / s1.size
+    assert(testFrac > 0.17 && testFrac < 0.23, s"test fraction $testFrac")
+    // degenerate bounds
+    assert(Features.hashSplit(df, "k", 0).filter(col("split") === "test").count() == 0)
+  }
+
   test("stratifiedSample: per-stratum fractions roughly honored, seeded-stable") {
     val df = (1 to 2000).map(i => (i, if (i % 4 == 0) "minority" else "majority"))
       .toDF("id", "cls")

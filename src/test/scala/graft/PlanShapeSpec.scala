@@ -33,6 +33,21 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned sink read-back prunes on PartitionFilters") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-part-prune").toString
+    graft.sources.Partitioned.write(
+      Tables(spark, sf0001, "orders").limit(1000), out, "o_orderpriority")
+    val plan = graft.sources.Partitioned
+      .readPruned(spark, out, "o_orderpriority", "1-URGENT")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .replaceAll("#\\d+", "")
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("(o_orderpriority = 1-URGENT)"),
+      s"partition filter not pruned at the scan:\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =

@@ -165,6 +165,24 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == Seq((h0, 1L, 1.5), (h0 + 3600000000L, 1L, 2.5)))
   }
 
+  test("quantizeInt8: scale is max|x|, floor semantics, zero vector stays zero") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.quantizeInt8(df)
+      .as[(Long, Double, String)].collect().toSeq
+    // scale 1.0: floor(0.5*127)=63, floor(-127)=-127, floor(0.25*127)=31
+    assert(got == Seq((1L, 1.0, "63,-127,31"), (2L, 0.0, "0,0")))
+    // corpus-wide: every quantized component within [-127, 127]
+    val emb = Tables(spark, sf0001, "embeddings")
+    val outOfRange = graft.ops.Similarity.quantizeInt8(emb)
+      .select(explode(split(col("q_csv"), ",")).as("qs"))
+      .select(col("qs").cast("long").as("q"))
+      .filter(col("q") < -127 || col("q") > 127)
+    assert(outOfRange.count() == 0)
+  }
+
   test("multimodal decode stub: distributed batched decode, exact byte counts") {
     val docs = Tables(spark, sf0001, "documents")
     val meta = Multimodal.decodeMeta(spark, docs)

@@ -81,8 +81,8 @@ class TextDedupSpec extends SparkTestBase {
     val df = Seq((1L, "alpha beta gamma delta epsilon"),
       (2L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
-    val got = Dedup.simhashPairs(df).as[(Long, Long, Int)].collect().toSeq
-    assert(got == Seq((1L, 2L, 0)))
+    val got = Dedup.simhashPairs(df).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L)))
   }
 
   test("WordShingleHashes: distinct count equals the string-shingle path") {
@@ -96,6 +96,50 @@ class TextDedupSpec extends SparkTestBase {
     val joined = viaStrings.join(viaKernel, "doc_id")
       .filter(col("n") =!= col("nk"))
     assert(joined.count() == 0)
+  }
+
+  test("incrementalExact: drops docs already in base, keeps min-id within batch") {
+    val base = Seq((2L, "seen before"), (4L, "other")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "brand new"), (3L, "seen before"), // dup of base -> dropped
+      (5L, "twice in batch"), (7L, "twice in batch")) // min id 5 kept
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.incrementalExact(base, incoming)
+      .select("keep_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 5L))
+  }
+
+  test("portable kernels: poly-shingle count matches string path; SimHash60 fits 60 bits") {
+    val docs = Tables(spark, sf0001, "documents").limit(200)
+      .union(Seq((90001L, "a b", "x", "x", 3L), (90002L, "ends with space ", "x", "x", 16L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val viaStrings = docs.select(col("doc_id"),
+        size(graft.functions.Texty.wordShingles(col("text"), 3)).as("n"))
+    val viaKernel = docs.select(col("doc_id"),
+        size(graft.functions.WordShinglePolyHashes(col("text"), 3)).as("nk"))
+    assert(viaStrings.join(viaKernel, "doc_id")
+      .filter(col("n") =!= col("nk")).count() == 0)
+    val bad = docs.select(graft.functions.SimHash60(col("text")).as("h"))
+      .filter(col("h") < 0 || shiftrightunsigned(col("h"), 60) =!= 0)
+    assert(bad.count() == 0, "simhash60 escaped its 60-bit range")
+  }
+
+  test("chunkTokens: stride windows cover every token; short/empty docs get one chunk") {
+    val long = (1 to 95).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.chunkTokens(docs, chunkSize = 40, stride = 30)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val d1 = got.filter(_._1 == 1L)
+    // starts 0/30/60/90 -> sizes 40, 40, 35, 5; overlapping windows
+    assert(d1.map(c => (c._2, c._3)) == Seq((0L, 40L), (1L, 40L), (2L, 35L), (3L, 5L)))
+    // chunk i holds exactly tokens [i*30, i*30+40) of the original
+    val toks = long.split(" ")
+    d1.foreach { case (_, i, _, text) =>
+      assert(text == toks.slice(i.toInt * 30, i.toInt * 30 + 40).mkString(" "))
+    }
+    assert(got.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)) == Seq((0L, 2L, "a b")))
+    assert(got.filter(_._1 == 3L).map(c => (c._2, c._3, c._4)) == Seq((0L, 1L, "")))
   }
 
   test("resolveClusters: deep chain component resolves to one cluster") {
