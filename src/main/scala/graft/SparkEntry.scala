@@ -175,6 +175,25 @@ object SparkEntry {
           Relational.moneySum(col("o_totalprice")).as("revenue"))
         .orderBy("y", "m")),
 
+    // EXT window frames: lag + rolling 3-row sum per customer (frame
+    // specs — ROWS BETWEEN — are otherwise unexercised in the registry).
+    "q19_window_frames" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val w3 = w.rowsBetween(-2, 0)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("sum3",
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w3)
+            .cast("double"))
+        .withColumn("rn3", count(lit(1)).over(w3).cast("long"))
+        .select("o_custkey", "o_orderkey", "prev_price", "sum3", "rn3")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // EXT window function: top-3 orders per customer by price.
     "q8_window_topn" -> ((s, dir) =>
       Relational.topNPerGroup(
@@ -274,6 +293,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           Relational.moneySum(col("o_totalprice")).as("revenue"))
         .orderBy("o_orderstatus")
+    }),
+
+    // EXT small-files compaction round-trip: fragment orders into 64
+    // tiny files, compact to ~8 MB targets (sources/Compaction), read
+    // back. Layout-only rewrite — oracle is the plain aggregate.
+    "sink_compacted_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-compact-${ProcessHandle.current().pid()}")
+        .toString
+      t(s, dir, "orders").repartition(64)
+        .write.mode("overwrite").parquet(s"$base/frag")
+      graft.sources.Compaction.compact(s, s"$base/frag", s"$base/out",
+        targetBytes = 8L * 1024 * 1024)
+      s.read.parquet(s"$base/out")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
     }),
 
     // T4 feature prep (FP1/FP3/FP4) as oracle-checkable transforms:
@@ -563,6 +601,26 @@ object SparkEntry {
                 count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
          FROM orders JOIN customer ON c_custkey = o_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
+
+    "q19_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS sum3,
+                count(*) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rn3
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "sink_compacted_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
 
     "q8_window_topn" ->
       """SELECT * FROM (

@@ -15,6 +15,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same block-store hygiene as Bench: drop SQL caches AND raw
+      // persistent RDDs (localCheckpoint blocks) between queries so a
+      // 50-query sequential run doesn't accumulate executor state
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

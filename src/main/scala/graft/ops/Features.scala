@@ -83,23 +83,33 @@ object Features {
     *     buckets get ceil(N/n) rows, the rest floor(N/n).
     *
     * Output is boundary-independent (the global row number is fixed by
-    * the total order, wherever the range sampler cuts), so the result is
-    * deterministic even though range sampling isn't — PROVIDED both
-    * consumers below (local row numbers, per-partition counts) read the
-    * SAME partitioning. They are two subtrees, and when Catalyst does not
-    * reuse the exchange (observed once the input carries broadcast
-    * joins), each re-runs the range sampler and can cut different
-    * boundaries — offsets from one partitioning applied to row numbers of
-    * another shift buckets by one. `localCheckpoint` pins one
-    * materialization for both consumers (same device as resolveClusters;
-    * the ranged table is stored once, memory-and-disk). */
+    * the total order, wherever the cuts land), so determinism needs only
+    * that BOTH consumers below (local row numbers, per-partition counts)
+    * see the SAME slice assignment. `repartitionByRange` cannot promise
+    * that: its sampler reruns per subtree when Catalyst does not reuse
+    * the exchange (observed once the input carries broadcast joins), and
+    * two samplers can cut different boundaries — offsets from one
+    * partitioning applied to row numbers of another shift buckets by one.
+    * So the slice id is DERIVED, not sampled: cut points come from ONE
+    * driver-side `approxQuantile` job at plan-build time (the same
+    * collect-a-tiny-model-then-broadcast shape as a StringIndexer fit —
+    * #partitions-1 doubles), and `__pid` is a pure function of the value.
+    * Deterministic by construction, no pinned materialization needed;
+    * the 0.1% quantile error only skews slice sizes, never the output.
+    * Equal values always share a slice (cuts are on `v` alone), so slice
+    * boundaries respect the total order. */
   def rangeNtileBucket(df: DataFrame, v: String, tieKey: String,
       n: Int, out: String = "bucket"): DataFrame = {
     require(n >= 1, s"ntile requires n >= 1, got $n")
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    val ranged = df.repartitionByRange(parts, col(v), col(tieKey))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val cuts = df.stat
+      .approxQuantile(v, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    val pidExpr = cuts.zipWithIndex.foldRight(lit(cuts.length)) {
+      case ((c, i), els) => when(col(v) <= c, lit(i)).otherwise(els)
+    }
+    val ranged = df.withColumn("__pid",
+      when(col(v).isNull, lit(-1)).otherwise(pidExpr))
     val wLocal = Window.partitionBy("__pid").orderBy(col(v), col(tieKey))
     val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))

@@ -64,6 +64,13 @@ object Stress {
     time("lsh_neardup") {
       graft.ops.Similarity.lshNearDup(emb, 0.4).count()
     }
+    time("doc_chunk") { graft.ops.TextAnalysis.chunkTokens(docs).count() }
+    time("embed_quantize") { graft.ops.Similarity.quantizeInt8(emb).count() }
+    time("dedup_incremental") {
+      graft.ops.Dedup.incrementalExact(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)).count()
+    }
     spark.stop()
   }
 }

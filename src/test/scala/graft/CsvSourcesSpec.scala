@@ -72,6 +72,24 @@ class CsvSourcesSpec extends SparkTestBase {
   // (bucketed-join exchange-freeness is asserted in PlanShapeSpec, with
   // the other plan-shape guards)
 
+  test("compaction: 64 fragment files become few target-size files, rows identical") {
+    val base = tmpDir("compact")
+    val orders = Tables(spark, sf0001, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+    val fragFiles = Files.list(Paths.get(s"$base/frag")).toArray.map(_.toString)
+      .count(_.endsWith(".parquet"))
+    assert(fragFiles == 64)
+    val n = graft.sources.Compaction.compact(spark, s"$base/frag", s"$base/out",
+      targetBytes = 64L * 1024)
+    val outFiles = Files.list(Paths.get(s"$base/out")).toArray.map(_.toString)
+      .count(_.endsWith(".parquet"))
+    assert(outFiles == n && n < 64 && n >= 1)
+    // layout-only rewrite: identical multiset of rows
+    val a = orders.orderBy("o_orderkey").collect()
+    val b = spark.read.parquet(s"$base/out").orderBy("o_orderkey").collect()
+    assert(a.sameElements(b))
+  }
+
   test("partitioned CSV sink writes one dir per partition value") {
     val out = tmpDir("csv-part")
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "grp")
