@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, RollingHash}
+import graft.functions.{ArrayDot, RollingHash, SimHash60, WordShingleHashes,
+  WordShinglePolyHashes}
 
 /** SparkSessionExtensions installer: exposes the engine's custom codegen
   * expressions to SQL (`spark.sql("SELECT array_dot(a, b) ...")`) so the
@@ -44,5 +45,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("rolling_hash", 1, children)
         RollingHash(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingle_hashes"),
+      info("word_shingle_hashes",
+        "word_shingle_hashes(s, k) - distinct 64-bit FNV hashes of word k-shingles"),
+      (children: Seq[Expression]) => {
+        checkArity("word_shingle_hashes", 2, children)
+        WordShingleHashes(children.head, intLit("word_shingle_hashes", children(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingle_poly_hashes"),
+      info("word_shingle_poly_hashes",
+        "word_shingle_poly_hashes(s, k) - distinct portable two-prime poly hashes of word k-shingles"),
+      (children: Seq[Expression]) => {
+        checkArity("word_shingle_poly_hashes", 2, children)
+        WordShinglePolyHashes(children.head,
+          intLit("word_shingle_poly_hashes", children(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      info("simhash60",
+        "simhash60(s) - portable 60-bit SimHash of a whitespace-tokenized string"),
+      (children: Seq[Expression]) => {
+        checkArity("simhash60", 1, children)
+        SimHash60(children.head)
+      }))
+  }
+
+  /** The k parameter of the shingle kernels is a compile-time constant
+    * of the generated code, so SQL callers must pass a literal int. */
+  private def intLit(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name requires a literal int k, got $other")
   }
 }

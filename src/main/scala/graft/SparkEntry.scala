@@ -226,6 +226,19 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     // fixed-size token windows with overlap (LLM context chunking)
     "doc_chunk" -> ((s, dir) => TextAnalysis.chunkTokens(t(s, dir, "documents"))),
+    // PII redaction; the corpus has no PII, so deterministic email/phone
+    // strings are synthesized per doc (same trick as fp_na_fill's nulls)
+    // for a non-degenerate oracle: every doc gets 1 email, every 3rd a
+    // phone number.
+    "text_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com"),
+            when(col("doc_id") % 3 === 0,
+              format_string(" tel 555-%03d-%04d",
+                col("doc_id") % 1000, col("doc_id") % 10000))
+              .otherwise(lit("")))))),
 
     // EXT dedup family over documents:
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -809,6 +822,24 @@ object SparkEntry {
            SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
          SELECT a AS doc_id, min(b) AS cluster_id
          FROM reach GROUP BY 1 ORDER BY doc_id""",
+
+    // regex syntax restricted to the Java-regex ∩ RE2 common subset
+    // (char classes + bounded repeats) so both engines match identically
+    "text_redact" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN ' tel ' || printf('555-%03d-%04d', doc_id % 1000, doc_id % 10000)
+                       ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                regexp_replace(
+                  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+         FROM s ORDER BY doc_id""",
 
     "dedup_incremental" ->
       """WITH base AS (

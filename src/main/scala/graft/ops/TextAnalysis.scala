@@ -81,6 +81,29 @@ object TextAnalysis {
         .cast("long").as("n_bpe_tokens"))
       .orderBy(id)
 
+  /** Email/phone pattern for PII scrubbing. Deliberately restricted to
+    * syntax that Java regex and RE2-family engines (DuckDB) interpret
+    * identically: character classes, bounded repeats — no backrefs, no
+    * lookaround. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — the compliance pass of a training-data pipeline:
+    * count and mask email/phone occurrences per document. Map-only
+    * (regexp_replace + count), codegen'd, no shuffle except the
+    * presentation sort. */
+  def redactPii(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val t = col(text)
+    docs.select(
+      col(id),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy(id)
+  }
+
   /** Fixed-size token chunking with overlap — the LLM-pipeline primitive
     * that turns documents into training/context windows: chunk i covers
     * tokens [i*stride, i*stride + size). The last chunk may be short;

@@ -34,6 +34,26 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(fp.getLong(2) == 0L)
   }
 
+  test("round-2 ops: empty corpus, null text, zero/null vectors") {
+    assert(graft.ops.TextAnalysis.chunkTokens(emptyDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.redactPii(emptyDocs).count() == 0)
+    assert(graft.ops.Similarity.quantizeInt8(emptyEmb).count() == 0)
+    assert(graft.ops.Dedup.incrementalExact(emptyDocs, emptyDocs).count() == 0)
+    // null text: chunker emits no chunks (explode of null), redactor is
+    // null-safe (regexp of null -> null row kept)
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, "a b"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.chunkTokens(nulls).count() == 1)
+    val red = graft.ops.TextAnalysis.redactPii(nulls)
+      .as[(Long, java.lang.Long, java.lang.Long, String)].collect().toSeq
+    assert(red.map(_._1) == Seq(1L, 2L) && red.head._4 == null)
+    // null embedding row survives quantization as nulls
+    val nv = Seq((1L, null.asInstanceOf[Array[Float]]), (2L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = graft.ops.Similarity.quantizeInt8(nv).collect()
+    assert(q.length == 2 && q.head.isNullAt(2))
+  }
+
   test("similarity ops return empty on empty embeddings") {
     assert(graft.ops.Similarity.bruteTopK(emptyEmb, 10, 5).count() == 0)
     assert(graft.ops.Similarity.bruteNearDup(emptyEmb, 0.5).count() == 0)

@@ -33,6 +33,25 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("new map-only queries prune their scans; q19 plans one exchange") {
+    // doc_chunk / embed_quantize must not read unused columns
+    val chunkPlan = planOf("doc_chunk")
+    assert(chunkPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"doc_chunk scan not pruned:\n$chunkPlan")
+    val qPlan = planOf("embed_quantize")
+    assert(qPlan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"embed_quantize scan not pruned:\n$qPlan")
+    // the three window functions of q19 share one (partition, order), so
+    // the plan must shuffle ONCE on o_custkey (plus the presentation
+    // sort's range exchange) — a second hash exchange means the frames
+    // stopped sharing their window spec
+    val w = planOf("q19_window_frames")
+    // formatted mode details exchanges as "Arguments: hashpartitioning(...)"
+    val hashExchanges = w.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges == 1, s"q19 expected 1 hash exchange, got $hashExchanges:\n$w")
+  }
+
   test("partitioned sink read-back prunes on PartitionFilters") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-part-prune").toString

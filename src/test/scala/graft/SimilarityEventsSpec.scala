@@ -18,6 +18,20 @@ class SimilarityEventsSpec extends SparkTestBase {
     val e = intercept[Exception](
       spark.sql("SELECT array_dot(array(CAST(1.0 AS FLOAT)))").head())
     assert(e.getMessage.contains("array_dot requires exactly 2"))
+    // the dedup kernels are SQL-reachable too, and agree with their
+    // Column-API forms
+    val k = spark.sql(
+      """SELECT simhash60('a b c') AS sh,
+        |       size(word_shingle_poly_hashes('a b c d', 3)) AS nps,
+        |       size(word_shingle_hashes('a b c d', 3)) AS nfs""".stripMargin).head()
+    val direct = Seq(("a b c"))
+      .toDF("t")
+      .select(graft.functions.SimHash60(col("t")).as("sh")).head().getLong(0)
+    assert(k.getLong(0) == direct && k.getInt(1) == 2 && k.getInt(2) == 2)
+    // k must be a literal: analysis-time error otherwise
+    val e2 = intercept[Exception](
+      spark.sql("SELECT word_shingle_hashes('a b', 1 + 1)").head())
+    assert(e2.getMessage.contains("literal int"))
   }
 
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {
