@@ -488,9 +488,59 @@ object SparkEntry {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** DuckDB twin of Similarity.lshNearDup's portable sign-LSH (kernel
+    * [[graft.functions.SignLshKeys]]): integer quantization + integer
+    * hyperplane dots + r-bit band keys (constants shared with the kernel), bucket cap, exact cosine
+    * re-score. All bucketing arithmetic is integer-exact; only the final
+    * re-score uses floats, with the same sequential-dot parity as
+    * sim_neardup_cosine. */
+  private def signLshOracle: String = {
+    import Portable.{P1, AMul, BMul}
+    import graft.functions.SignLshKernels.Center
+    import graft.ops.Similarity.{LshBands, LshBitsPerBand, LshMaxBucket}
+    val nBits = LshBitsPerBand * LshBands
+    s"""WITH q AS (
+       |   SELECT vec_id,
+       |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+       |   FROM embeddings),
+       | e AS (SELECT vec_id, k, qv[CAST(k AS INT)] AS qk
+       |       FROM q, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS k) r),
+       | bits AS (
+       |   SELECT vec_id, i,
+       |          CASE WHEN sum(qk * ((((2*i+1) * $AMul) % $P1 * k
+       |                               + ((i+1) * $BMul) % $P1) % $P1
+       |                              - $Center)) > 0
+       |               THEN 1 ELSE 0 END AS bit
+       |   FROM e, LATERAL (SELECT unnest(range(0, $nBits)) AS i) ii
+       |   GROUP BY vec_id, i),
+       | keys AS (
+       |   SELECT vec_id, i // $LshBitsPerBand AS band,
+       |          CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(i % $LshBitsPerBand AS INT))) AS BIGINT) AS bkey
+       |   FROM bits GROUP BY vec_id, i // $LshBitsPerBand),
+       | keptk AS (
+       |   SELECT * FROM keys k
+       |   WHERE NOT EXISTS (
+       |     SELECT 1 FROM keys g
+       |     WHERE g.band = k.band AND g.bkey = k.bkey
+       |     GROUP BY g.band, g.bkey HAVING count(*) > $LshMaxBucket)),
+       | cand AS (
+       |   SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |   FROM keptk a JOIN keptk b
+       |     ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       | base AS (
+       |   SELECT vec_id, embedding::DOUBLE[] AS v,
+       |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |   FROM embeddings)
+       |SELECT va, vb, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+       |FROM cand JOIN base a ON a.vec_id = va JOIN base b ON b.vec_id = vb
+       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY va, vb""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "sim_lsh_neardup" -> signLshOracle,
     // MinHash signatures, band keys and SimHash bits are computed on the
     // portable two-prime polynomial basis shared between the codegen
     // kernels and this generated SQL — see graft.functions.Portable.

@@ -35,11 +35,16 @@ object Portable {
     * 64-bit overflow anywhere in the fold). */
   final val BandMix = 1315423911L
 
+  /** Coefficient multipliers, named so generated oracle SQL can inline
+    * the SAME formulas (e.g. `((2*i+1) * AMul) % P1` with `i` as data). */
+  final val AMul = 1103515245L
+  final val BMul = 790937117L
+
   /** Seeded affine re-hash coefficients for MinHash components / SimHash
-    * bit votes: a_i*x+b_i mod P1. Both factors < P1, inputs < P1 →
-    * products < ~1.1e18, safely inside signed-64. */
-  def aCoef(i: Int): Long = ((2L * i + 1L) * 1103515245L) % P1
-  def bCoef(i: Int): Long = ((i + 1L) * 790937117L) % P1
+    * bit votes / sign-LSH hyperplanes: a_i*x+b_i mod P1. Both factors
+    * < P1, inputs < P1 → products < ~1.1e18, safely inside signed-64. */
+  def aCoef(i: Int): Long = ((2L * i + 1L) * AMul) % P1
+  def bCoef(i: Int): Long = ((i + 1L) * BMul) % P1
 
   /** (h1 mod P1, h2 mod P2) rolling hashes of `s[from..until)`. */
   private[functions] def polyPair(s: String, from: Int, until: Int): (Long, Long) = {
@@ -148,6 +153,96 @@ object PortableKernels {
     }
     out
   }
+}
+
+object SignLshKernels {
+  import Portable._
+
+  /** Centering offset: (P1-1)/2, so hyperplane components spread over
+    * [-(P1-1)/2, (P1-1)/2]. */
+  final val Center = (P1 - 1) / 2
+
+  /** Band keys of a portable sign-LSH over a float embedding.
+    *
+    * Everything is INTEGER arithmetic so the DuckDB oracle reproduces it
+    * with zero float-summation parity risk:
+    *  1. quantize: q_k = floor(x_k * 1024) (same floor-is-portable
+    *     argument as Similarity.quantizeInt8);
+    *  2. hyperplane i component k (k 1-based): h_ik =
+    *     (aCoef(i) * k + bCoef(i)) mod P1 - Center — the affine-mod walk
+    *     wraps P1 roughly every other step, so components decorrelate;
+    *  3. bit i = 1 iff Σ_k q_k * h_ik > 0 (an exact long: |q|≤~2^14,
+    *     |h|≤2^29, d≤2^7 ⇒ |Σ| ≤ 2^50);
+    *  4. band t's key packs bits [t*r, t*r+r).
+    *
+    * Returns `bands` longs. A null/empty embedding yields an empty array
+    * (no buckets — the row simply never becomes a candidate). */
+  def signLshKeys(emb: ArrayData, bitsPerBand: Int, bands: Int): ArrayData = {
+    val d = emb.numElements()
+    if (d == 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val q = new Array[Long](d)
+    var k = 0
+    while (k < d) {
+      q(k) = math.floor(emb.getFloat(k).toDouble * 1024.0).toLong
+      k += 1
+    }
+    val nBits = bitsPerBand * bands
+    val keys = new Array[Long](bands)
+    var i = 0
+    while (i < nBits) {
+      val a = aCoef(i)
+      val b = bCoef(i)
+      var dot = 0L
+      k = 0
+      while (k < d) {
+        dot += q(k) * ((a * (k + 1) + b) % P1 - Center)
+        k += 1
+      }
+      if (dot > 0) keys(i / bitsPerBand) |= (1L << (i % bitsPerBand))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(keys)
+  }
+}
+
+/** Codegen'd portable sign-LSH band keys of a float-array embedding
+  * column (see [[SignLshKernels.signLshKeys]]). Replaces a seeded
+  * spark.ml BucketedRandomProjectionLSH fit: no fit job, and the keys
+  * are integer-exact in the DuckDB oracle. */
+case class SignLshKeys(child: Expression, bitsPerBand: Int, bands: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+      if bitsPerBand >= 1 && bitsPerBand <= 62 && bands >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"need 1 <= bitsPerBand <= 62 and bands >= 1, got ($bitsPerBand, $bands)")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh_keys expects array<float>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SignLshKernels.signLshKeys(input.asInstanceOf[ArrayData], bitsPerBand, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignLshKernels$$.MODULE$$.signLshKeys($c, $bitsPerBand, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_lsh_keys"
+}
+
+object SignLshKeys {
+  def apply(c: Column, bitsPerBand: Int, bands: Int): Column =
+    Bridge.column(SignLshKeys(Bridge.expression(c), bitsPerBand, bands))
 }
 
 /** Codegen'd distinct portable word-k-shingle hashes (see
