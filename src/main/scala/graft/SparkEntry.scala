@@ -218,6 +218,11 @@ object SparkEntry {
     // streaming family gets a driver-oracle'd row, not just specs.
     "stream_tumbling_parity" -> ((s, dir) =>
       graft.streaming.EventStream.tumblingCountsParityRun(s, s"$dir/events.parquet")),
+    // mapGroupsWithState per-user running totals, final state == batch agg
+    // (exact integer cents — state-iterator order is not deterministic,
+    // double addition is order-sensitive, cents are not)
+    "stream_user_stats_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.userStatsParityRun(s, s"$dir/events.parquet")),
 
     // EXT text analysis over documents:
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
@@ -706,6 +711,14 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
 
+    // final mapGroupsWithState state must equal the batch per-user agg;
+    // cents = round(value*100) summed exactly
+    "stream_user_stats_parity" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
+
     "q9b_events_sliding" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
          w AS (
@@ -891,6 +904,9 @@ object SparkEntry {
                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
          FROM s ORDER BY doc_id""",
 
+    // NOT EXISTS, not NOT IN: a NULL fp in base (null-text doc) would
+    // turn NOT IN into UNKNOWN for every row, while Spark's left_anti
+    // (null join keys never match) keeps them.
     "dedup_incremental" ->
       """WITH base AS (
            SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
@@ -898,7 +914,7 @@ object SparkEntry {
            SELECT md5(text) AS fp, min(doc_id) AS keep_id
            FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
          SELECT fp, keep_id FROM inc
-         WHERE fp NOT IN (SELECT fp FROM base)
+         WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.fp = inc.fp)
          ORDER BY keep_id""",
 
     "fp_hash_split" -> {
@@ -1001,11 +1017,13 @@ object SparkEntry {
       """WITH d1 AS (
            SELECT o_orderpriority AS v,
                   CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1 AS BIGINT) AS idx
-           FROM orders GROUP BY o_orderpriority),
+           FROM orders WHERE o_orderpriority IS NOT NULL
+           GROUP BY o_orderpriority),
          d2 AS (
            SELECT o_orderstatus AS v,
                   CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) - 1 AS BIGINT) AS idx
-           FROM orders GROUP BY o_orderstatus)
+           FROM orders WHERE o_orderstatus IS NOT NULL
+           GROUP BY o_orderstatus)
          SELECT o_orderkey,
                 d1.idx AS o_orderpriority_idx,
                 d2.idx AS o_orderstatus_idx
@@ -1023,11 +1041,13 @@ object SparkEntry {
       """WITH d1 AS (
            SELECT o_orderpriority AS v,
                   CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1 AS BIGINT) AS idx
-           FROM orders GROUP BY o_orderpriority),
+           FROM orders WHERE o_orderpriority IS NOT NULL
+           GROUP BY o_orderpriority),
          d2 AS (
            SELECT o_orderstatus AS v,
                   CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) - 1 AS BIGINT) AS idx
-           FROM orders GROUP BY o_orderstatus),
+           FROM orders WHERE o_orderstatus IS NOT NULL
+           GROUP BY o_orderstatus),
          b AS (
            SELECT o_orderkey,
                   ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket

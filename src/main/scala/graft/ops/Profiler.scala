@@ -21,6 +21,13 @@ import org.apache.spark.sql.types.DecimalType
   * sf0.1. With `approx` the dedup stage disappears entirely
   * (`approx_count_distinct` HLL sketch, one narrow pass — not
   * oracle-able, so the registered query keeps approx=false).
+  *
+  * The unpivot needs ONE common value type across columns; it is
+  * DECIMAL(38,6), not double: a double basis silently merges distinct
+  * 64-bit ids above 2^53 (e.g. this repo's own shingle hashes) and
+  * de-exacts their sums, while decimal is exact for every integral and
+  * money column at any magnitude. The documented limit is the other
+  * direction: fractional digits beyond 6dp are not distinguished.
   */
 object Profiler {
 
@@ -29,7 +36,8 @@ object Profiler {
     require(cols.nonEmpty, "numericProfile requires at least one column")
     val names = array(cols.map(lit(_)): _*)
     val pairs = df.select(posexplode(
-      array(cols.map(c => col(c).cast("double")): _*)).as(Seq("cidx", "v")))
+      array(cols.map(c => col(c).cast(DecimalType(38, 6))): _*))
+      .as(Seq("cidx", "v")))
     val perColumn =
       if (approx)
         pairs.groupBy("cidx").agg(
@@ -52,7 +60,9 @@ object Profiler {
     perColumn
       .select(element_at(names, col("cidx") + 1).as("column"),
         col("n_rows"), col("n_non_null"), col("n_distinct"),
-        col("min_v"), col("max_v"), col("sum_v"))
+        col("min_v").cast("double").as("min_v"),
+        col("max_v").cast("double").as("max_v"),
+        col("sum_v"))
       .orderBy("column")
   }
 }

@@ -83,34 +83,49 @@ object EventStream {
     * write to files/Kafka with append mode + watermark eviction. */
   private val parityRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def tumblingCountsParityRun(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Int = 16): DataFrame = {
+  /** Shared harness of the `*ParityRun` queries: stage the single-file
+    * corpus parquet into a pid-scoped directory (a file stream source
+    * needs a DIRECTORY — FileStreamSource pins partition-discovery
+    * basePath to the source path — and files arriving in a watched dir is
+    * the honest shape of a file stream anyway), run `transform` of the
+    * stream to a memory sink with an AvailableNow trigger, and return the
+    * sink rows as a LOCAL DataFrame. The memory-sink temp view is dropped
+    * once collected — parity results are presentation-sized by contract,
+    * and leaving one pinned view per invocation would leak driver memory
+    * across a long session (Bench runs each parity query 3x). */
+  private def parityRun(spark: SparkSession, path: String, tag: String,
+      maxFilesPerTrigger: Int, outputMode: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    // per-invocation sink table: repeated runs (Bench times each query
-    // 3x) must not collide on the memory sink's temp-view name
-    val name = s"graft_stream_tumbling_${parityRunSeq.incrementAndGet()}"
-    // the corpus table is a single parquet FILE; a file stream source
-    // needs a DIRECTORY (FileStreamSource pins partition-discovery
-    // basePath to the source path). Stage the file into a pid-scoped dir
-    // — which is also the honest shape of a file stream: files arriving
-    // in a watched directory.
+    // per-invocation sink table: repeated runs must not collide
+    val name = s"graft_stream_${tag}_${parityRunSeq.incrementAndGet()}"
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-stream-stage-${ProcessHandle.current().pid()}")
+      s"graft-stream-stage-$tag-${ProcessHandle.current().pid()}")
     Files.createDirectories(stage)
     val src = Paths.get(path)
     Files.copy(src, stage.resolve(src.getFileName),
       StandardCopyOption.REPLACE_EXISTING)
-    val q = tumblingCounts(
+    val q = transform(
       readParquetStream(spark, stage.toString, maxFilesPerTrigger,
         sourceSchema = fileSchema))
       .writeStream
       .format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("win_start_us", "event_type")
+    val sunk = spark.table(name)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+    spark.catalog.dropTempView(name)
+    local
   }
+
+  def tumblingCountsParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parityRun(spark, path, "tumbling", maxFilesPerTrigger, "complete")(
+      tumblingCounts(_))
+      .orderBy("win_start_us", "event_type")
 
   /** Streaming twin of Events.sessionize: native session windows (gap
     * merge) keyed by user. Watermark evicts closed sessions. */
@@ -177,6 +192,59 @@ object EventStream {
           Iterator.single(first)
         }
       }
+  }
+
+  case class UserCents(user_id: Long, n_events: Long, cents: Long)
+
+  /** Execute a mapGroupsWithState per-user running total as a REAL
+    * streaming query over the events parquet path (same staging +
+    * AvailableNow + memory-sink harness as [[tumblingCountsParityRun]])
+    * and return the FINAL per-user totals. Update mode emits one row per
+    * (user, micro-batch that touched it); the final row per user is the
+    * one with the highest n_events (strictly monotone per update), picked
+    * with a window — so the result is batch-equal however the file is
+    * split into micro-batches. Values accumulate in INTEGER CENTS:
+    * state-iterator order inside a group is not guaranteed, and double
+    * addition is order-sensitive — exact cents are order-independent and
+    * match the DECIMAL-sum oracle exactly. */
+  def userStatsParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    import spark.implicits._
+    val sunk = parityRun(spark, path, "userstats", maxFilesPerTrigger,
+      "update") { events =>
+      events
+        // null-safety before the non-nullable tuple encoder: a null value
+        // contributes 0 cents but still counts (matching the count(*) /
+        // null-skipping sum of the batch oracle); a null user_id row is
+        // dropped on both sides
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[UserCents, UserCents](GroupStateTimeout.NoTimeout) {
+          (uid, batch, state) =>
+            val prev = if (state.exists) state.get else UserCents(uid, 0L, 0L)
+            var n = prev.n_events
+            var c = prev.cents
+            batch.foreach { e => n += 1; c += e._2 }
+            val next = UserCents(uid, n, c)
+            state.update(next)
+            next
+        }
+        .toDF()
+    }
+    // update mode emits one row per (user, touched micro-batch); the final
+    // row per user is the one with the highest n_events (strictly monotone
+    // per update), so the result is batch-equal however the source was
+    // split into micro-batches
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("n_events"))
+    sunk
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select("user_id", "n_events", "cents")
+      .orderBy("user_id")
   }
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals

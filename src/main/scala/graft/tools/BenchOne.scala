@@ -17,6 +17,9 @@ object BenchOne {
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // same block-store hygiene as Bench/Verify: localCheckpoint blocks
+      // are invisible to clearCache and would inflate repeat timings
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       println(f"[benchone] $name%-28s $dt%8.3f s  ($n rows)  aqe=${spark.conf.get("spark.sql.adaptive.enabled")}")
     }
     spark.stop()

@@ -27,7 +27,8 @@ object Stress {
     // a base table with ids >= a hardcoded shift would collide replicas
     // and silently deflate dedup/similarity cardinalities
     def replicate(df: DataFrame, idCol: String): DataFrame = {
-      val shift = df.agg(max(col(idCol))).head.getLong(0) + 1L
+      val maxId = df.agg(max(col(idCol))).head
+      val shift = (if (maxId.isNullAt(0)) 0L else maxId.getLong(0)) + 1L
       (0 until factor).map { r =>
         df.withColumn(idCol, col(idCol) + lit(r * shift))
       }.reduce(_.union(_))
