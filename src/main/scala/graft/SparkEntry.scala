@@ -712,10 +712,12 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
 
     // final mapGroupsWithState state must equal the batch per-user agg;
-    // cents = round(value*100) summed exactly
+    // cents = round(value*100) summed exactly. coalesce(sum, 0): a user
+    // whose every value is NULL sums to NULL here but to 0 cents on the
+    // stream side (each NULL contributes 0 to the running state).
     "stream_user_stats_parity" ->
       """SELECT user_id, count(*) AS n_events,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
          FROM events WHERE user_id IS NOT NULL
          GROUP BY user_id ORDER BY user_id""",
 

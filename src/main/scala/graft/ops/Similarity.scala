@@ -96,23 +96,36 @@ object Similarity {
   def lshNearDup(emb: DataFrame, minCosine: Double,
       bitsPerBand: Int = LshBitsPerBand, bands: Int = LshBands,
       maxBucket: Int = LshMaxBucket): DataFrame = {
-    val keyed = emb.select(col("vec_id"), col("embedding"),
+    // ids only through the band shuffle — embeddings rejoin at re-score
+    val keyed = emb.select(col("vec_id"),
       posexplode(graft.functions.SignLshKeys(col("embedding"), bitsPerBand, bands))
         .as(Seq("band", "bkey")))
-    val hot = keyed.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
-      .select("band", "bkey")
-    val kept = keyed.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = kept.as("a").join(kept.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("a.embedding").as("ea"),
-        col("b.vec_id").as("vb"), col("b.embedding").as("eb"))
-      .distinct()
-    cand
-      .withColumn("cosine",
-        dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+    // One pass, one shuffle: a (band,bkey)-partitioned window counts each
+    // bucket (WindowExec spills, so a degenerate hot bucket streams through
+    // bounded memory), the cap filter drops hot buckets BEFORE collect_list
+    // ever buffers one, and the groupBy reuses the window's partitioning —
+    // no second exchange, no self-join, no persisted intermediate.
+    val wb = Window.partitionBy("band", "bkey")
+    val pairs = keyed
+      .withColumn("bs", count(lit(1)).over(wb))
+      .filter(col("bs") <= maxBucket)
+      .groupBy("band", "bkey")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      // all id pairs (a<b) of a ≤maxBucket-sized bucket, generated inline
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("va"), b.as("vb")))))).as("p"))
+      .select(col("p.va").as("va"), col("p.vb").as("vb"))
+      .distinct() // pairs sharing several bands dedup on IDS, not arrays
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    pairs
+      .join(base.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("va"))
+      .join(base.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("vb"))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= minCosine)
       .select("va", "vb", "cosine")
       .orderBy("va", "vb")

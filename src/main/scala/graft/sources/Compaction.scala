@@ -17,14 +17,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  /** Number of ~`targetBytes` output files for the data under `path`. */
+  /** Number of ~`targetBytes` output files for the data under `path`.
+    * Listing is RECURSIVE so partitioned layouts (`k=v/` subdirs) are
+    * sized correctly, and finding zero data files is an error — a wrong
+    * path must not silently plan a single-file full rewrite. */
   def plannedFiles(spark: SparkSession, path: String,
       targetBytes: Long): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(p).filter(_.isFile)
-      .filterNot(_.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
+    val it = fs.listFiles(p, /* recursive = */ true)
+    var total = 0L
+    var nFiles = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        total += f.getLen
+        nFiles += 1
+      }
+    }
+    require(nFiles > 0, s"no data files found under $path — nothing to compact")
     math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
   }
 

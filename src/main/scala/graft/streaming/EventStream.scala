@@ -97,28 +97,37 @@ object EventStream {
       maxFilesPerTrigger: Int, outputMode: String)(
       transform: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    // per-invocation sink table: repeated runs must not collide
-    val name = s"graft_stream_${tag}_${parityRunSeq.incrementAndGet()}"
+    // per-invocation sink table AND staging subdir: repeated runs must not
+    // collide, and a reused directory must never replay files staged by an
+    // EARLIER invocation (stale files would corrupt parity results)
+    val seq = parityRunSeq.incrementAndGet()
+    val name = s"graft_stream_${tag}_$seq"
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-stream-stage-$tag-${ProcessHandle.current().pid()}")
+      s"graft-stream-stage-$tag-${ProcessHandle.current().pid()}", seq.toString)
     Files.createDirectories(stage)
     val src = Paths.get(path)
     Files.copy(src, stage.resolve(src.getFileName),
       StandardCopyOption.REPLACE_EXISTING)
-    val q = transform(
-      readParquetStream(spark, stage.toString, maxFilesPerTrigger,
-        sourceSchema = fileSchema))
-      .writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val sunk = spark.table(name)
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
-    spark.catalog.dropTempView(name)
-    local
+    try {
+      val q = transform(
+        readParquetStream(spark, stage.toString, maxFilesPerTrigger,
+          sourceSchema = fileSchema))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sunk = spark.table(name)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      spark.catalog.dropTempView(name)
+      local
+    } finally {
+      // the staged copy served this one run; don't accumulate per call
+      Files.deleteIfExists(stage.resolve(src.getFileName))
+      Files.deleteIfExists(stage)
+    }
   }
 
   def tumblingCountsParityRun(spark: SparkSession, path: String,

@@ -33,7 +33,7 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("new map-only queries prune their scans; q19 plans one exchange") {
+  test("new map-only queries prune their scans; q19 plans one window") {
     // doc_chunk / embed_quantize must not read unused columns
     val chunkPlan = planOf("doc_chunk")
     assert(chunkPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
@@ -41,15 +41,19 @@ class PlanShapeSpec extends SparkTestBase {
     val qPlan = planOf("embed_quantize")
     assert(qPlan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
       s"embed_quantize scan not pruned:\n$qPlan")
-    // the three window functions of q19 share one (partition, order), so
-    // the plan must shuffle ONCE on o_custkey (plus the presentation
-    // sort's range exchange) — a second hash exchange means the frames
-    // stopped sharing their window spec
-    val w = planOf("q19_window_frames")
-    // formatted mode details exchanges as "Arguments: hashpartitioning(...)"
-    val hashExchanges = w.linesIterator
-      .count(l => l.contains("Arguments: hashpartitioning"))
-    assert(hashExchanges == 1, s"q19 expected 1 hash exchange, got $hashExchanges:\n$w")
+    // the three window functions of q19 share one (partition, order) — so
+    // however Catalyst splits them into Window operators by frame, every
+    // operator must carry the SAME spec, which is what guarantees a single
+    // sort + single hash exchange physically. A second distinct spec means
+    // a frame drifted and the plan pays an extra exchange. Inspecting plan
+    // NODES (not explain-output strings) is robust to formatting changes.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val specs = SparkEntry.queries("q19_window_frames")(spark, sf0001)
+      .queryExecution.optimizedPlan
+      .collect { case w: LWindow =>
+        (w.partitionSpec.map(_.sql), w.orderSpec.map(_.sql)) }
+    assert(specs.nonEmpty && specs.distinct.size == 1,
+      s"q19 window specs diverged (=> extra sort/exchange): $specs")
   }
 
   test("partitioned sink read-back prunes on PartitionFilters") {
