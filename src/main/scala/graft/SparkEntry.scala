@@ -223,6 +223,10 @@ object SparkEntry {
     // double addition is order-sensitive, cents are not)
     "stream_user_stats_parity" -> ((s, dir) =>
       graft.streaming.EventStream.userStatsParityRun(s, s"$dir/events.parquet")),
+    // flatMapGroupsWithState streaming dedup over a real AvailableNow run:
+    // kept set == batch "lowest doc_id per md5 fingerprint survives"
+    "stream_dedup_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.dedupParityRun(s, s"$dir/documents.parquet")),
 
     // EXT text analysis over documents:
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
@@ -273,6 +277,12 @@ object SparkEntry {
     // EXT multimodal binary columns:
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
     "mm_decode_stub" -> ((s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))),
+    // binary-in/binary-out resize kernel, surfaced as scalar dims+checksum
+    "mm_resize_stub" -> ((s, dir) => Multimodal.resizeMeta(s, t(s, dir, "documents"))),
+    // one-to-many frame sampling; ASCII frames decode losslessly to text
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleText(s, t(s, dir, "documents"))),
+    // batched feature-extraction shape with an exact integer kernel
+    "mm_feature_hist" -> ((s, dir) => Multimodal.featureHistogram(s, t(s, dir, "documents"))),
 
     // EXT: exact numeric column profile (count/nulls/distinct/min/max/sum).
     "profile_lineitem" -> ((s, dir) =>
@@ -331,6 +341,38 @@ object SparkEntry {
           Relational.moneySum(col("o_totalprice")).as("revenue"))
         .orderBy("o_orderpriority")
     }),
+
+    // EXT bucketed co-located join: both sides written bucketed+sorted by
+    // the join key into the session warehouse, then joined exchange-free
+    // (PlanShapeSpec asserts the plan property; here the RESULT is
+    // oracle'd — bucketing is layout, never semantics, so the oracle is
+    // the plain join). Same build-time-write convention as the sink
+    // round-trip queries.
+    "q20_bucketed_join" -> ((s, dir) => {
+      graft.sources.Bucketed.writeTable(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_q20_orders", "o_custkey", 16)
+      graft.sources.Bucketed.writeTable(
+        t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "graft_q20_customer", "o_custkey", 16)
+      graft.sources.Bucketed.join(
+        s, "graft_q20_orders", "graft_q20_customer", "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy(desc("n_orders"), asc("c_mktsegment"))
+    }),
+
+    // Deterministic stratified sampling: per-stratum keep-fractions via
+    // the portable key hash (URGENT 20%, LOW 10%, default 5%) — exact
+    // membership, SQL-checkable, unlike seeded Bernoulli sampleBy.
+    "fp_stratified_sample" -> ((s, dir) =>
+      Features.hashStratifiedSample(t(s, dir, "orders"),
+          "o_orderpriority", "o_orderkey",
+          Map("1-URGENT" -> 2000, "5-LOW" -> 1000), defaultBp = 500)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")),
 
     // T4 feature prep (FP1/FP3/FP4) as oracle-checkable transforms:
     // frequency-ranked label encoding of two categorical columns.
@@ -1014,6 +1056,70 @@ object SparkEntry {
                 CAST(1 + checksum % 16 AS INT) AS n_frames,
                 checksum
          FROM s ORDER BY doc_id""",
+
+    // the streaming dedup's kept set is the batch keep-lowest-id rule
+    "stream_dedup_parity" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint
+         FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+
+    // resize stub: out[i] = bytes[(i*len)//1024] for i in [0,1024); the
+    // corpus is ASCII so byte values == code points and the checksum is
+    // plain integer SQL
+    "mm_resize_stub" ->
+      """WITH s AS (
+           SELECT doc_id, string_split_regex(text, '') AS arr,
+                  CAST(length(text) AS BIGINT) AS len
+           FROM documents)
+         SELECT doc_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+                CAST(1024 AS BIGINT) AS out_bytes,
+                CAST(CASE WHEN len = 0 THEN 0 ELSE
+                  list_aggregate(list_transform(range(0, 1024),
+                    i -> CAST(ascii(arr[CAST((i * len) // 1024 AS INT) + 1]) AS BIGINT)),
+                    'sum') END AS BIGINT) AS checksum
+         FROM s ORDER BY doc_id""",
+
+    // frame sampling: every (frameBytes*stride = 128)-strided 32-byte
+    // window that fits; ASCII frames are substrings
+    "mm_frame_sample" ->
+      """WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+                    FROM documents)
+         SELECT doc_id, CAST(r.i // 128 AS INT) AS frame_idx,
+                substr(text, CAST(r.i AS INT) + 1, 32) AS frame_text
+         FROM s, LATERAL (SELECT unnest(range(0, greatest(len - 31, 0), 128)) AS i) r
+         ORDER BY doc_id, frame_idx""",
+
+    // integer byte histogram: slot j sums bytes at positions ≡ j (mod 16)
+    "mm_feature_hist" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  list_transform(string_split_regex(text, ''),
+                    c -> CAST(ascii(c) AS BIGINT)) AS b
+           FROM documents)
+         SELECT doc_id,
+                array_to_string(list_transform(range(0, 16), j ->
+                  CAST(coalesce(list_aggregate(list_transform(
+                    list_filter(range(0, len(b)), i -> i % 16 = j),
+                    i -> b[CAST(i AS INT) + 1]), 'sum'), 0) AS VARCHAR)),
+                  ',') AS hist_csv
+         FROM s ORDER BY doc_id""",
+
+    // bucketing is layout only: the oracle is the plain join+aggregate
+    "q20_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY n_orders DESC, c_mktsegment ASC""",
+
+    "fp_stratified_sample" -> {
+      import Portable.{P1, aCoef, bCoef}
+      s"""SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE ((o_orderkey % $P1) * ${aCoef(11)} + ${bCoef(11)}) % $P1
+                < CASE o_orderpriority
+                    WHEN '1-URGENT' THEN ${P1 / 10000L * 2000L}
+                    WHEN '5-LOW' THEN ${P1 / 10000L * 1000L}
+                    ELSE ${P1 / 10000L * 500L} END
+          ORDER BY o_orderkey"""
+    },
 
     "fp_string_index" ->
       """WITH d1 AS (

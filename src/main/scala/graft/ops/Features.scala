@@ -161,4 +161,27 @@ object Features {
   def stratifiedSample(df: DataFrame, stratum: String,
       fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(col(stratum), fractions, seed)
+
+  /** Deterministic stratified sampling — the reproducible twin of
+    * [[stratifiedSample]], same construction as [[hashSplit]]: a row is
+    * kept iff the portable affine hash of its KEY falls below its
+    * stratum's basis-point threshold. Membership is a pure function of
+    * (key, stratum), so the sample is stable under repartitioning and
+    * recomputable by any engine (SQL-checkable), which is what an
+    * auditable training-data pipeline needs from class rebalancing.
+    * Map-only, no shuffle. Strata absent from `fractionsBp` keep
+    * `defaultBp`. Keys must be non-negative. */
+  def hashStratifiedSample(df: DataFrame, stratum: String, key: String,
+      fractionsBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
+    require((fractionsBp.values ++ Seq(defaultBp)).forall(bp => bp >= 0 && bp <= 10000),
+      "fractions are basis points in [0,10000]")
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    val h = (col(key).cast("long") % lit(P1) * lit(aCoef(11)) + lit(bCoef(11))) % lit(P1)
+    val threshold = fractionsBp.toSeq.sortBy(_._1).foldRight(
+      lit(P1 / 10000L * defaultBp): Column) {
+      case ((v, bp), els) =>
+        when(col(stratum) === v, lit(P1 / 10000L * bp)).otherwise(els)
+    }
+    df.filter(h < threshold)
+  }
 }

@@ -143,6 +143,66 @@ object Multimodal {
       }.toDF().orderBy("doc_id")
   }
 
+  /** Driver-checkable surface of [[resize]]: the resized payload reduced
+    * to scalars (dims, length, byte-sum checksum) — the driver's checker
+    * cannot hash a binary column, and on the ASCII corpus the checksum is
+    * SQL-expressible, so the whole batched binary-in/binary-out kernel
+    * path gets an exact oracle. */
+  def resizeMeta(spark: SparkSession, docs: DataFrame,
+      targetW: Int = 32, targetH: Int = 32): DataFrame = {
+    import spark.implicits._
+    resize(spark, docs, targetW, targetH)
+      .as[Resized]
+      .map { r =>
+        var sum = 0L
+        var i = 0
+        while (i < r.payload.length) { sum += (r.payload(i) & 0xFF); i += 1 }
+        (r.doc_id, r.width, r.height, r.payload.length.toLong, sum)
+      }
+      .toDF("doc_id", "width", "height", "out_bytes", "checksum")
+      .orderBy("doc_id")
+  }
+
+  /** Like [[featureExtract]] but with an INTEGER histogram kernel (per
+    * slot j: sum of payload bytes at positions ≡ j mod dim), surfaced as
+    * a CSV string. Same batched mapPartitions plumbing; exact integer
+    * math on both engines, so — unlike the float feature vector, whose
+    * accumulation order is float32-rounding-sensitive — this one is
+    * hash-oracle'd. */
+  def featureHistogram(spark: SparkSession, docs: DataFrame,
+      dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    withBinary(docs).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch =>
+          batch.map { case (id, raw) =>
+            val bytes = if (raw == null) Array.emptyByteArray else raw
+            val v = new Array[Long](dim)
+            var i = 0
+            while (i < bytes.length) { v(i % dim) += (bytes(i) & 0xFF); i += 1 }
+            (id, v.mkString(","))
+          }
+        }
+      }
+      .toDF("doc_id", "hist_csv")
+      .orderBy("doc_id")
+  }
+
+  /** Driver-checkable surface of [[frameSample]]: on the ASCII corpus a
+    * frame's bytes decode losslessly back to a string, so every sampled
+    * frame (offset arithmetic included) is oracle'd exactly. */
+  def frameSampleText(spark: SparkSession, docs: DataFrame,
+      frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    frameSample(spark, docs, frameBytes, stride)
+      .as[Frame]
+      .map(f => (f.doc_id, f.frame_idx,
+        new String(f.frame_bytes, java.nio.charset.StandardCharsets.UTF_8)))
+      .toDF("doc_id", "frame_idx", "frame_text")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** ====== STUB kernel / real plumbing ====== Frame sampling: explode
     * each (video-like) payload into every `stride`-th fixed-size chunk as
     * its own row — the one-to-many kernel shape (flatMap inside the

@@ -50,8 +50,10 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
     // normalize a nanosecond-LONG ts (corpus parquet) to TimestampType;
-    // floor division like Events.tsUs (pre-1970 values round down)
-    if (df.schema("ts").dataType == LongType)
+    // floor division like Events.tsUs (pre-1970 values round down).
+    // Schemas without a ts column (e.g. documents) pass through untouched.
+    if (df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == LongType)
       df.withColumn("ts",
         timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     else df
@@ -94,7 +96,8 @@ object EventStream {
     * and leaving one pinned view per invocation would leak driver memory
     * across a long session (Bench runs each parity query 3x). */
   private def parityRun(spark: SparkSession, path: String, tag: String,
-      maxFilesPerTrigger: Int, outputMode: String)(
+      maxFilesPerTrigger: Int, outputMode: String,
+      sourceSchema: StructType = fileSchema)(
       transform: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // per-invocation sink table AND staging subdir: repeated runs must not
@@ -111,7 +114,7 @@ object EventStream {
     try {
       val q = transform(
         readParquetStream(spark, stage.toString, maxFilesPerTrigger,
-          sourceSchema = fileSchema))
+          sourceSchema = sourceSchema))
         .writeStream
         .format("memory").queryName(name)
         .outputMode(outputMode)
@@ -201,6 +204,35 @@ object EventStream {
           Iterator.single(first)
         }
       }
+  }
+
+  /** documents-table schema for streaming file sources (the continuous-
+    * ingestion side of the dedup family). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Execute [[streamingDedup]] as a REAL streaming query over the
+    * documents parquet path (same staging + AvailableNow + memory-sink
+    * harness as [[tumblingCountsParityRun]]) and return the kept docs.
+    * Fingerprint = md5(text), the same content key as `Dedup.exact` — so
+    * with every document visible to the bounded run, the kept set equals
+    * the batch rule "lowest doc_id per fingerprint survives", which is
+    * the DuckDB oracle. */
+  def dedupParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    import spark.implicits._
+    parityRun(spark, path, "dedup", maxFilesPerTrigger, "append",
+      sourceSchema = docSchema) { docs =>
+      streamingDedup(
+        docs.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+          .as[Doc])
+        .toDF()
+    }
+      .orderBy("doc_id")
   }
 
   case class UserCents(user_id: Long, n_events: Long, cents: Long)

@@ -101,6 +101,24 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(frames.filter(length(col("frame_bytes")) =!= 16).count() == 0)
   }
 
+  test("multimodal scalar surfaces compute known-input values exactly") {
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text")
+    // resize to 2x2 = 4 bytes from a 4-byte payload: identity mapping,
+    // checksum = sum of byte values
+    val rm = graft.ops.Multimodal.resizeMeta(spark, docs, 2, 2).head()
+    assert(rm.getInt(1) == 2 && rm.getInt(2) == 2)
+    assert(rm.getLong(3) == 4L)
+    assert(rm.getLong(4) == ('a' + 'b' + 'c' + 'd').toLong)
+    // dim-2 histogram: slot 0 = a+c, slot 1 = b+d
+    val h = graft.ops.Multimodal.featureHistogram(spark, docs, dim = 2).head()
+    assert(h.getString(1) == s"${'a' + 'c'},${'b' + 'd'}")
+    // 2-byte frames, stride 1 → offsets 0 and 2
+    val fr = graft.ops.Multimodal
+      .frameSampleText(spark, docs, frameBytes = 2, stride = 1)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(fr == Seq((0, "ab"), (1, "cd")))
+  }
+
   test("profiler on an all-null synthesized column") {
     val df = Seq((1, None: Option[Double]), (2, None)).toDF("k", "v")
     val p = graft.ops.Profiler.numericProfile(df, Seq("v")).head()

@@ -139,6 +139,29 @@ class MlPipelineSpec extends SparkTestBase {
       s2.as[(Int, String)].collect().toSet)
   }
 
+  test("hashStratifiedSample: exact key-determined membership per stratum") {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    val df = Tables(spark, sf0001, "orders")
+    val kept = Features.hashStratifiedSample(df, "o_orderpriority",
+        "o_orderkey", Map("1-URGENT" -> 2000, "5-LOW" -> 0), defaultBp = 500)
+      .select("o_orderkey", "o_orderpriority").collect()
+    // membership is a pure function of (key, stratum)
+    kept.foreach { r =>
+      val h = (r.getLong(0) % P1 * aCoef(11) + bCoef(11)) % P1
+      val bp = r.getString(1) match {
+        case "1-URGENT" => 2000L; case "5-LOW" => 0L; case _ => 500L
+      }
+      assert(h < P1 / 10000L * bp)
+    }
+    // a zero-fraction stratum contributes nothing
+    assert(!kept.exists(_.getString(1) == "5-LOW"))
+    // the 20% stratum is roughly honored
+    val urgent = df.filter(col("o_orderpriority") === "1-URGENT").count()
+    val urgentKept = kept.count(_.getString(1) == "1-URGENT")
+    assert(urgentKept > urgent * 0.1 && urgentKept < urgent * 0.3,
+      s"kept $urgentKept of $urgent urgent rows")
+  }
+
   test("rfImportances: 64 rows summing to ~1 (FP12)") {
     val labeled = graft.ml.Classifiers.embeddingFeatures(
       Tables(spark, sf001, "embeddings"))

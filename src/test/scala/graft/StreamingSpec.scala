@@ -140,6 +140,16 @@ class StreamingSpec extends SparkTestBase {
     assert(n2 == 4)
   }
 
+  test("dedupParityRun kept set equals batch min-id-per-fingerprint") {
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val kept = EventStream.dedupParityRun(spark, s"$sf0001/documents.parquet")
+    val batch = Tables(spark, sf0001, "documents")
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(min("doc_id").as("doc_id"))
+    assert(kept.count() == batch.count())
+    assert(kept.join(batch, Seq("doc_id", "fingerprint")).count() == kept.count())
+  }
+
   test("streaming tumbling matches batch tumblingAgg on the same data") {
     implicit val sc = spark.sqlContext
     val events = Seq(
