@@ -106,6 +106,85 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(desc("n_customers"), asc("c_mktsegment"))),
 
+    // EXT left outer join: unmatched fact rows survive with nulls — the
+    // null-padding semantics the registry's inner/anti joins don't touch.
+    "q21_join_left" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_matched"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("n_no_urgent"))
+        .orderBy("c_mktsegment")),
+
+    // EXT semi join: keep-if-exists without multiplying matches.
+    "q25_join_semi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(desc("n_customers"), asc("c_mktsegment"))),
+
+    // EXT full outer join: both sides null-padded; the two filters of the
+    // same table guarantee unmatched rows on each side.
+    "q26_join_full" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"))
+      val b = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k2"))
+      a.join(b, col("k") === col("k2"), "full")
+        .agg(
+          count(when(col("k").isNotNull && col("k2").isNotNull, 1)).as("n_both"),
+          count(when(col("k2").isNull, 1)).as("n_left_only"),
+          count(when(col("k").isNull, 1)).as("n_right_only"))
+    }),
+
+    // EXT set op EXCEPT (distinct semantics): urgent-only customers.
+    "q22_except" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val low = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "5-LOW").select("o_custkey")
+      urgent.except(low)
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+          Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(desc("n_customers"), asc("c_mktsegment"))
+    }),
+
+    // EXT set op UNION DISTINCT: urgent-or-high customers, deduped.
+    "q24_union_distinct" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val high = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "2-HIGH").select("o_custkey")
+      urgent.union(high).distinct()
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+          Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(desc("n_customers"), asc("c_mktsegment"))
+    }),
+
+    // EXT distinct aggregates (expand + two-phase shuffle plan).
+    "q23_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          countDistinct(year(col("o_orderdate"))).as("n_years"))
+        .orderBy("o_orderpriority")),
+
     // EXT skew mitigation: explicit salted equi-join (the fallback for
     // skew AQE can't split — see graft.ops.Skew). Salt only refines the
     // partitioning, so the oracle is the PLAIN join: same rows exactly.
@@ -663,6 +742,55 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
          GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
+
+    "q21_join_left" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+                count(o_orderkey) AS n_matched,
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_urgent
+         FROM customer LEFT JOIN
+           (SELECT o_custkey, o_orderkey FROM orders
+            WHERE o_orderpriority = '1-URGENT') o
+           ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+
+    "q25_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
+
+    "q26_join_full" ->
+      """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0),
+            b AS (SELECT c_custkey AS k2 FROM customer WHERE c_custkey % 2 = 0)
+         SELECT count(CASE WHEN k IS NOT NULL AND k2 IS NOT NULL THEN 1 END) AS n_both,
+                count(CASE WHEN k2 IS NULL THEN 1 END) AS n_left_only,
+                count(CASE WHEN k IS NULL THEN 1 END) AS n_right_only
+         FROM a FULL JOIN b ON k = k2""",
+
+    "q22_except" ->
+      """WITH e AS (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+         SELECT c_mktsegment, count(*) AS n_customers
+         FROM e JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
+
+    "q24_union_distinct" ->
+      """WITH u AS (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           UNION
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+         SELECT c_mktsegment, count(*) AS n_customers
+         FROM u JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
+
+    "q23_distinct_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                count(DISTINCT o_custkey) AS n_custs,
+                count(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT)) AS n_years
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
 
     "q16_percentiles" ->
       """SELECT l_returnflag,
