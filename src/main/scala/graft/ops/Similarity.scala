@@ -185,14 +185,22 @@ object Similarity {
       .withColumn("unit",
         array_to_vector(transform(col("embedding"),
           e => (e / col("nrm")).cast("double"))))
+    // maxIter 8: the coarse quantizer only partitions the corpus — probe
+    // ranking + exact re-score fix any assignment, so a near-converged
+    // codebook costs recall nothing while halving the fit (ml.KMeans
+    // persists its instances RDD internally for the Lloyd iterations)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setSeed(seed).setFeaturesCol("unit")
-      .setPredictionCol("cluster")
+      .setPredictionCol("cluster").setMaxIter(8)
     val model = km.fit(base)
-    // inverted lists: corpus partitioned by coarse cluster
+    // inverted lists: corpus partitioned by coarse cluster. NOT persisted:
+    // the two consumers below (query probes, list scoring) each recompute
+    // one narrow columnar scan + a 16-centroid assignment — cheaper and
+    // leak-free vs pinning the whole corpus in the block store (a 100 TB
+    // corpus could never persist anyway; assignment is deterministic, so
+    // both computations agree).
     val listed = model.transform(base)
       .select("vec_id", "embedding", "nrm", "cluster")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // tiny centroid table (nCentroids rows) — broadcast everywhere.
     // ||c||² rides along: k-means centroids are MEANS of unit vectors, so
