@@ -292,6 +292,10 @@ object SparkEntry {
       Events.asOfJoin(t(s, dir, "events"), "click", "view")),
     "q10_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
+    // batch range join via time banding: the equi-join reformulation of
+    // the quadratic "views in the preceding hour" interval predicate
+    "q27_range_join_banded" -> ((s, dir) =>
+      Events.bandedRangeJoin(t(s, dir, "events"))),
     // REAL Structured Streaming run (file micro-batches, AvailableNow,
     // complete-mode memory sink) — equals the batch tumbling agg, so the
     // streaming family gets a driver-oracle'd row, not just specs.
@@ -327,6 +331,27 @@ object SparkEntry {
               format_string(" tel 555-%03d-%04d",
                 col("doc_id") % 1000, col("doc_id") % 10000))
               .otherwise(lit("")))))),
+
+    // per-doc top-3 terms by frequency (stopword-filtered, exact tf)
+    "text_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(t(s, dir, "documents"))),
+
+    // EXT CDC apply (merge upsert): base snapshot + synthesized I/U/D
+    // change feed (updates bump every 10th key's price, deletes remove
+    // every 100th), latest version wins. The corpus has no change feed,
+    // so one is derived deterministically from orders itself.
+    "cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0d).as("o_totalprice"))
+        .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+      val deletes = base.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), lit(0.0d).as("o_totalprice"))
+        .withColumn("version", lit(2L)).withColumn("op", lit("D"))
+      graft.ops.Cdc.apply(base, updates.unionByName(deletes), "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
 
     // EXT dedup family over documents:
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -926,6 +951,52 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                 max(us) - min(us) AS duration_us
          FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+
+    // banding is an execution strategy; the oracle is the plain bounded
+    // non-equi left join
+    "q27_range_join_banded" ->
+      """SELECT c.user_id, c.event_id, epoch_us(c.ts) AS us,
+                count(v.us2) AS n_views,
+                CAST(coalesce(sum(CAST(v.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_views
+         FROM (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click') c
+         LEFT JOIN (SELECT user_id AS u2, epoch_us(ts) AS us2, value
+                    FROM events WHERE event_type = 'view') v
+           ON v.u2 = c.user_id
+          AND v.us2 >= epoch_us(c.ts) - 3600000000
+          AND v.us2 < epoch_us(c.ts)
+         GROUP BY 1, 2, 3 ORDER BY user_id, event_id""",
+
+    "text_top_terms" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term <> '' AND term NOT IN ('the','a','of','and','to','in')
+           GROUP BY 1, 2),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf DESC, term ASC) AS BIGINT) AS rnk
+           FROM tf)
+         SELECT doc_id, rnk, term, tf FROM r WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
+
+    "cdc_apply" ->
+      """WITH all_rows AS (
+           SELECT o_orderkey, o_totalprice, 0 AS version, 'I' AS op FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_totalprice + 1000.0, 1, 'U' FROM orders
+           WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, 0.0, 2, 'D' FROM orders
+           WHERE o_orderkey % 100 = 0),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                       ORDER BY version DESC, op DESC) AS rn
+           FROM all_rows)
+         SELECT o_orderkey, o_totalprice FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""",
 
     "text_stats" ->
       """WITH s AS (

@@ -88,6 +88,49 @@ object Events {
       .orderBy("user_id", "us", "event_id")
   }
 
+  /** Bounded-interval (range) join, batch form: for every `leftType`
+    * event, count + exact-sum the same user's `rightType` events in the
+    * preceding `windowSec` seconds (exclusive of the event instant —
+    * `[us - window, us)`).
+    *
+    * Spark plans the naive `a.us - w <= b.us < a.us` theta-join as a
+    * nested loop — quadratic per user. The scale path BANDS time: every
+    * right event lands in one `floor(us/band)` bucket, every left event
+    * probes its own and the previous band (band width = window width, so
+    * the interval spans at most two bands), and the range predicate
+    * becomes a residual filter on an EQUI join of (user, band) — hash-
+    * joinable, linear in events, skew-handled by AQE like any equi join.
+    * Each (left,right) pair can match in at most one band (a right event
+    * has exactly one band), so no dedup is needed. Left events with no
+    * matches survive via the final left join, with zero counts. */
+  def bandedRangeJoin(events: DataFrame, leftType: String = "click",
+      rightType: String = "view", windowSec: Int = 3600): DataFrame = {
+    val bandUs = windowSec * 1000000L
+    val us = tsUs(events)
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id"), us.as("us"))
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), us.as("r_us"),
+        col("value").as("r_value"))
+      .withColumn("r_band", floor(col("r_us") / bandUs).cast("long"))
+    val probes = left
+      .withColumn("band0", floor(col("us") / bandUs).cast("long"))
+      .withColumn("band",
+        explode(array(col("band0") - 1, col("band0"))))
+    val perLeft = probes.join(right,
+        col("user_id") === col("r_user") && col("band") === col("r_band") &&
+          col("r_us") >= col("us") - bandUs && col("r_us") < col("us"))
+      .groupBy("user_id", "event_id", "us")
+      .agg(count(col("r_us")).as("n_views"),
+        sum(col("r_value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_views"))
+    left.join(perLeft, Seq("user_id", "event_id", "us"), "left")
+      .select(col("user_id"), col("event_id"), col("us"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("sum_views"), lit(0.0d)).as("sum_views"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Semi-structured props: parse the JSON `props` column with an
     * explicit schema (`from_json` — no runtime inference, codegen'd
     * path) and aggregate the extracted field per event type. The

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Texty
@@ -71,6 +72,30 @@ object TextAnalysis {
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * lexer ([a-z]+ | digit runs | single non-alnum symbols). */
+  /** Per-document top-k terms by frequency (stopwords and empty tokens
+    * excluded; ties broken by term ascending) — the keyword/topic-surface
+    * primitive of a text pipeline. Exact integer counts, so fully
+    * oracle-able, unlike a float TF-IDF (log() has no cross-engine
+    * bit-parity; rank by raw tf instead and leave idf to consumers as a
+    * join against the corpus document-frequency table).
+    *
+    * Scale: explode→groupBy is one shuffle keyed (doc, term); the top-k
+    * window partitions by doc over the aggregated tf rows (bounded by
+    * distinct terms per doc, not corpus size). */
+  def topTerms(docs: DataFrame, k: Int = 3, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val w = Window.partitionBy(id).orderBy(desc("tf"), asc("term"))
+    docs
+      .select(col(id), explode(split(col(text), " ")).as("term"))
+      .filter(col("term") =!= "" && !col("term").isin(StopWords: _*))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(id), col("rnk"), col("term"), col("tf"))
+      .orderBy(id, "rnk")
+  }
+
   def tokenCounts(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame =
     docs.select(

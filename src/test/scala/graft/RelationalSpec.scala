@@ -85,6 +85,50 @@ class RelationalSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("bandedRangeJoin equals the brute non-equi interval join") {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    val events = Tables(spark, sf0001, "events")
+    val banded = graft.ops.Events.bandedRangeJoin(events)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // brute force: plain theta join, same window arithmetic
+    val us = org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), us.as("us"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), us.as("vus"), col("value"))
+    val brute = clicks.join(views,
+        col("vu") === col("user_id") &&
+          col("vus") >= col("us") - 3600000000L && col("vus") < col("us"),
+        "left")
+      .groupBy("user_id", "event_id", "us")
+      .agg(count(col("vus")).as("n"),
+        coalesce(sum(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double"),
+          lit(0.0d)).as("s"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(banded == brute)
+  }
+
+  test("Cdc.apply: latest version wins, deletes remove, inserts survive") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", 1L, "U"), // update key 2
+      (3L, "c", 1L, "D"),  // delete key 3
+      (4L, "d", 1L, "I"),  // insert key 4
+      (2L, "b3", 2L, "U")  // later update wins over earlier
+    ).toDF("k", "v", "version", "op")
+    val out = graft.ops.Cdc.apply(base, changes, "k")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b3", 4L -> "d"))
+  }
+
+  test("topTerms ranks by tf desc then term asc, stopwords excluded") {
+    val docs = Seq((1L, "b b x the the the c")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.topTerms(docs)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, "b", 2L), (1L, 2L, "c", 1L), (1L, 3L, "x", 1L)))
+  }
+
   test("all registered queries run at sf0.001 and every oracle key exists") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
