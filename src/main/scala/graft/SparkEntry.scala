@@ -310,6 +310,10 @@ object SparkEntry {
     // kept set == batch "lowest doc_id per md5 fingerprint survives"
     "stream_dedup_parity" -> ((s, dir) =>
       graft.streaming.EventStream.dedupParityRun(s, s"$dir/documents.parquet")),
+    // watermarked stream-stream interval join (clicks ⋈ views within 1h),
+    // real AvailableNow run; oracle = the batch interval join
+    "stream_interval_join_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinParityRun(s, s"$dir/events.parquet")),
 
     // EXT text analysis over documents:
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
@@ -477,6 +481,55 @@ object SparkEntry {
           Map("1-URGENT" -> 2000, "5-LOW" -> 1000), defaultBp = 500)
         .select("o_orderkey", "o_orderpriority")
         .orderBy("o_orderkey")),
+
+    // EXT JSONL sink + explicit-schema source round-trip (the LLM-corpus
+    // interchange format), then an aggregate — oracle is the plain
+    // aggregate over the parquet original. Same pid-scoped tmp dir
+    // convention as the other sink queries.
+    "sink_jsonl_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-jsonl-${ProcessHandle.current().pid()}")
+        .toString
+      graft.sources.Jsonl.write(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"), out)
+      graft.sources.Jsonl.read(s, out,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // EXT schema evolution: two parquet batches written with DIFFERENT
+    // schemas (the second adds a column), read back via mergeSchema —
+    // old rows surface nulls for the new column. The steady state of any
+    // long-lived corpus; the oracle reconstructs the null pattern.
+    "sink_schema_evolution" -> ((s, dir) => {
+      val base = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-evolve-${ProcessHandle.current().pid()}")
+        .toString
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/batch1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$base/batch2")
+      s.read.option("mergeSchema", true)
+        .parquet(s"$base/batch1", s"$base/batch2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+          .as("priority"))
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("priority")
+    }),
 
     // T4 feature prep (FP1/FP3/FP4) as oracle-checkable transforms:
     // frequency-ranked label encoding of two categorical columns.
@@ -1255,6 +1308,34 @@ object SparkEntry {
                 CAST(1 + checksum % 16 AS INT) AS n_frames,
                 checksum
          FROM s ORDER BY doc_id""",
+
+    // the stream-stream interval join equals the batch interval join
+    // (inclusive [l_ts - 1h, l_ts] window, same-user pairs)
+    "stream_interval_join_parity" ->
+      """SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+                a.user_id, a.value AS l_value, b.value AS r_value
+         FROM (SELECT * FROM events
+               WHERE event_type = 'click' AND user_id % 4 = 0) a
+         JOIN (SELECT * FROM events
+               WHERE event_type = 'view' AND user_id % 4 = 0) b
+           ON b.user_id = a.user_id
+          AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
+          AND epoch_us(b.ts) <= epoch_us(a.ts)
+         ORDER BY l_event_id, r_event_id""",
+
+    // round-trip through JSONL is lossless: oracle = plain aggregate
+    "sink_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY lang""",
+
+    // pre-evolution rows carry NULL in the added column
+    "sink_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+                     ELSE o_orderpriority END AS priority,
+                count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1 ORDER BY priority""",
 
     // the streaming dedup's kept set is the batch keep-lowest-id rule
     "stream_dedup_parity" ->

@@ -111,7 +111,15 @@ object EventStream {
     val src = Paths.get(path)
     Files.copy(src, stage.resolve(src.getFileName),
       StandardCopyOption.REPLACE_EXISTING)
+    // Stateful operators instantiate one state store PER shuffle
+    // partition PER stateful op; at the parity runs' data volume the
+    // fixed store open/commit cost dominates (a stream-stream join pays
+    // 2 stores/partition), so the streaming query runs at 8 partitions —
+    // pinned at first run from this conf — and the batch conf is
+    // restored after. Production streams size this to their key space.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       val q = transform(
         readParquetStream(spark, stage.toString, maxFilesPerTrigger,
           sourceSchema = sourceSchema))
@@ -121,12 +129,14 @@ object EventStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       val sunk = spark.table(name)
       val local = spark.createDataFrame(
         java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
       spark.catalog.dropTempView(name)
       local
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the staged copy served this one run; don't accumulate per call
       Files.deleteIfExists(stage.resolve(src.getFileName))
       Files.deleteIfExists(stage)
@@ -181,6 +191,24 @@ object EventStream {
         col("r_ts") <= col("l_ts"))
       .select("l_event_id", "r_event_id", "user_id", "l_value", "r_value")
   }
+
+  /** Execute [[intervalJoin]] as a REAL two-stream query (both sides are
+    * type-filters of the same staged file source) with AvailableNow +
+    * append memory sink. Every match is emitted in the micro-batch where
+    * both sides are present, so the bounded run equals the batch interval
+    * join exactly — the stream-stream join's driver-oracle surface. */
+  def intervalJoinParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parityRun(spark, path, "ijoin", maxFilesPerTrigger, "append") { events =>
+      // every 4th user: the parity check needs the two-stream state
+      // machinery exercised end to end, not the full O(pairs) corpus
+      // result collected into the memory sink
+      val slice = events.filter(col("user_id") % 4 === 0)
+      intervalJoin(
+        slice.filter(col("event_type") === "click"),
+        slice.filter(col("event_type") === "view"))
+    }
+      .orderBy("l_event_id", "r_event_id")
 
   case class Doc(doc_id: Long, fingerprint: String)
 

@@ -56,6 +56,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"q19 window specs diverged (=> extra sort/exchange): $specs")
   }
 
+  test("q27's banded range join plans equi joins, never a nested loop") {
+    // the time-banding exists precisely so the interval predicate rides
+    // an equi join; a BroadcastNestedLoopJoin here means the band keys
+    // fell out of the join condition and the plan went quadratic
+    val plan = planOf("q27_range_join_banded")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q27 fell back to a nested-loop join:\n$plan")
+  }
+
   test("partitioned sink read-back prunes on PartitionFilters") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-part-prune").toString
