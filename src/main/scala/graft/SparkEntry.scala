@@ -204,6 +204,26 @@ object SparkEntry {
       Relational.rollupCounts(t(s, dir, "lineitem"),
         "l_returnflag", "l_linestatus")),
 
+    // EXT grouping sets, full CUBE: every subtotal combination.
+    "q29_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(asc("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))),
+
+    // EXT global top-k: ORDER BY + LIMIT must plan TakeOrderedAndProject
+    // (per-partition heaps + driver merge of k rows), never a full range
+    // sort — the difference between shipping 20 rows and shuffling the
+    // table at 100 TB. PlanShapeSpec asserts the plan.
+    "q28_topk_global" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(20)),
+
     // EXT set ops: customers with BOTH an urgent and a low-priority order.
     // INTERSECT semantics via single-scan conditional aggregation: the
     // literal INTERSECT plan scans orders twice and pays two distincts +
@@ -898,6 +918,18 @@ object SparkEntry {
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
                   l_linestatus ASC NULLS FIRST""",
+
+    "q29_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+
+    "q28_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
 
     "q13_intersect" ->
       """WITH both_p AS (

@@ -65,6 +65,17 @@ class PlanShapeSpec extends SparkTestBase {
       s"q27 fell back to a nested-loop join:\n$plan")
   }
 
+  test("q28's global top-k plans TakeOrderedAndProject, not a full sort") {
+    // ORDER BY + LIMIT k must run per-partition heaps merged on the
+    // driver; a range-exchange + global Sort here means the plan ships
+    // the whole table to sort 20 rows out of it
+    val plan = planOf("q28_topk_global")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q28 lost the top-k plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"q28 plans a global sort exchange:\n$plan")
+  }
+
   test("partitioned sink read-back prunes on PartitionFilters") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-part-prune").toString
