@@ -334,6 +334,10 @@ object SparkEntry {
     // real AvailableNow run; oracle = the batch interval join
     "stream_interval_join_parity" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinParityRun(s, s"$dir/events.parquet")),
+    // native session_window aggregation as a real run; oracle = batch
+    // gap-sessionization with session_window's half-open boundary
+    "stream_session_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionParityRun(s, s"$dir/events.parquet")),
 
     // EXT text analysis over documents:
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
@@ -1354,6 +1358,25 @@ object SparkEntry {
           AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
           AND epoch_us(b.ts) <= epoch_us(a.ts)
          ORDER BY l_event_id, r_event_id""",
+
+    // session_window boundary: two events exactly gap apart do NOT merge
+    // (half-open windows) => new-session condition is >=, unlike q10's >
+    "stream_session_parity" ->
+      """WITH marked AS (
+           SELECT user_id, value, epoch_us(ts) AS us, event_id,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT user_id, min(us) AS start_us, max(us) AS last_us,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM numbered GROUP BY user_id, sid ORDER BY user_id, start_us""",
 
     // round-trip through JSONL is lossless: oracle = plain aggregate
     "sink_jsonl_roundtrip" ->

@@ -164,6 +164,26 @@ object EventStream {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"), col("sum_value"))
 
+  /** Execute [[sessionAgg]] as a REAL streaming query (complete-mode
+    * memory sink — no eviction, so the final sessions equal a batch
+    * sessionization) and return them totally ordered. `last_us` is the
+    * last EVENT's time (session_window.end minus the gap — the native
+    * window's end is last+gap by definition). NB the boundary semantics
+    * the oracle must mirror: session_window windows are half-open
+    * `[start, last+gap)`, so two events exactly `gap` apart do NOT merge
+    * — the batch twin's new-session condition is `diff >= gap`, not
+    * `>` (Events.sessionize uses `>`; both are correct sessionizers,
+    * they just disagree on the measure-zero boundary). */
+  def sessionParityRun(spark: SparkSession, path: String,
+      gapMinutes: Int = 30, maxFilesPerTrigger: Int = 16): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    parityRun(spark, path, "session", maxFilesPerTrigger, "complete")(
+      sessionAgg(_, gap = s"$gapMinutes minutes"))
+      .withColumn("last_us", col("end_us") - gapUs)
+      .select("user_id", "start_us", "last_us", "n_events", "sum_value")
+      .orderBy("user_id", "start_us")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class UserState(nEvents: Long, sumValue: Double)
