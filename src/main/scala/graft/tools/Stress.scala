@@ -72,6 +72,24 @@ object Stress {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1)).count()
     }
+    time("top_terms") { graft.ops.TextAnalysis.topTerms(docs).count() }
+
+    // events replicate on event_id; user_id left as-is (same users, N×
+    // denser timelines — the worst case for the banded range join's
+    // per-band bucket sizes)
+    val events = replicate(Tables(spark, sfDir, "events"), "event_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"stress events: ${events.count()} rows")
+    time("banded_range_join") {
+      graft.ops.Events.bandedRangeJoin(events).count()
+    }
+    time("cdc_apply") {
+      val base = events.select(col("event_id"), col("value"))
+      val changes = events.filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("value"))
+        .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+      graft.ops.Cdc.apply(base, changes, "event_id").count()
+    }
     spark.stop()
   }
 }
