@@ -54,6 +54,33 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(q.length == 2 && q.head.isNullAt(2))
   }
 
+  test("round-3 ops: empty corpora, empty change feeds, null text") {
+    // top terms: empty corpus and null/empty text produce no rows
+    assert(graft.ops.TextAnalysis.topTerms(emptyDocs).count() == 0)
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.topTerms(nulls).count() == 0)
+    // banded range join: no events -> no rows; clicks with no views at
+    // all -> zero-count rows survive
+    val emptyEvents = Tables(spark, sf0001, "events").limit(0)
+    assert(graft.ops.Events.bandedRangeJoin(emptyEvents).count() == 0)
+    val clicksOnly = Tables(spark, sf0001, "events")
+      .filter(col("event_type") === "click").limit(10)
+    val cj = graft.ops.Events.bandedRangeJoin(clicksOnly).collect()
+    assert(cj.length == 10 && cj.forall(r => r.getLong(3) == 0L))
+    // CDC: empty feed leaves the base unchanged; empty base applies
+    // the feed (insert-only bootstrap)
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val noChanges = Seq.empty[(Long, String, Long, String)]
+      .toDF("k", "v", "version", "op")
+    assert(graft.ops.Cdc.apply(base, noChanges, "k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    val boot = graft.ops.Cdc.apply(base.limit(0),
+      Seq((9L, "z", 1L, "I")).toDF("k", "v", "version", "op"), "k")
+    assert(boot.as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    // LSH near-dup on empty embeddings
+    assert(graft.ops.Similarity.lshNearDup(emptyEmb, 0.4).count() == 0)
+  }
+
   test("similarity ops return empty on empty embeddings") {
     assert(graft.ops.Similarity.bruteTopK(emptyEmb, 10, 5).count() == 0)
     assert(graft.ops.Similarity.bruteNearDup(emptyEmb, 0.5).count() == 0)
