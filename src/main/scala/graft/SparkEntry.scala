@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Events, Features, Multimodal, Profiler, Relational, Similarity, TextAnalysis}
@@ -214,6 +215,59 @@ object SparkEntry {
         .orderBy(asc("gid"), asc_nulls_first("o_orderstatus"),
           asc_nulls_first("o_orderpriority"))),
 
+    // EXT subqueries: correlated EXISTS / NOT EXISTS through the SQL
+    // surface — Catalyst decorrelates them into one semi and one anti
+    // hash join on o_custkey (never a per-row re-scan).
+    "q30_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM g_customer c
+        WHERE EXISTS (SELECT 1 FROM g_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM g_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")
+    }),
+
+    // EXT explicit GROUPING SETS ((flag), (status)) — the shape neither
+    // rollup nor cube can express (two disjoint single-column sets).
+    "q31_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(grouping_id() AS INT) AS gid
+        FROM g_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY gid, l_returnflag ASC NULLS FIRST,
+                 l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // EXT ordered funnel view -> click -> purchase: single sort-shuffle
+    // state carry instead of K-1 self-joins
+    "events_funnel" -> ((s, dir) => Events.funnel(t(s, dir, "events"))),
+
+    // EXT ranking-window family: rank / dense_rank / percent_rank /
+    // cume_dist over one shared spec (one shuffle). The window orders by
+    // o_orderdate WITH ties so the rank-vs-dense_rank gap is actually
+    // exercised; every output value is tie-order independent (pure
+    // functions of the sort KEY), so the result stays deterministic.
+    // percent_rank/cume_dist are small-integer ratios — IEEE division is
+    // bit-identical cross-engine.
+    "q32_window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prnk", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .drop("o_orderdate")
+        .orderBy("o_orderkey")
+    }),
+
     // EXT global top-k: ORDER BY + LIMIT must plan TakeOrderedAndProject
     // (per-partition heaps + driver merge of k rows), never a full range
     // sort — the difference between shipping 20 rows and shuffling the
@@ -364,6 +418,19 @@ object SparkEntry {
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"))),
 
+    // corpus bigram document frequencies, global top-20
+    "text_bigram_df" -> ((s, dir) =>
+      TextAnalysis.bigramDf(t(s, dir, "documents"))),
+
+    // per-doc top-3 terms by TF-IDF (integer-exact idf surrogate; corpus
+    // df + N computed distributed, ReuseExchange shares the tf shuffle)
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
+
+    // Gopher-style structural quality rules, integer-exact, map-only
+    "quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(t(s, dir, "documents"))),
+
     // EXT CDC apply (merge upsert): base snapshot + synthesized I/U/D
     // change feed (updates bump every 10th key's price, deletes remove
     // every 100th), latest version wins. The corpus has no change feed,
@@ -379,6 +446,17 @@ object SparkEntry {
         .withColumn("version", lit(2L)).withColumn("op", lit("D"))
       graft.ops.Cdc.apply(base, updates.unionByName(deletes), "o_orderkey")
         .orderBy("o_orderkey")
+    }),
+
+    // EXT SCD2 dimension build: each user's event_type as the tracked
+    // attribute, events as the change feed — consecutive same-type runs
+    // collapse into [valid_from, valid_to) versions, one shuffle by user
+    "scd2_build" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ops.Cdc.scd2(
+        ev.withColumn("us", Events.tsUs(ev)),
+        key = "user_id", attr = "event_type", orderUs = "us",
+        seq = "event_id")
     }),
 
     // EXT dedup family over documents:
@@ -403,6 +481,12 @@ object SparkEntry {
     "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), 20, 5)),
+    // similarity × dedup composition: sign-LSH near-dup pairs resolved to
+    // connected components — embedding-level duplicate clusters
+    "dedup_embedding_clusters" -> ((s, dir) =>
+      Dedup.resolveClusters(
+        Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)
+          .select(col("va").as("da"), col("vb").as("db")))),
     // int8 embedding quantization (storage/bandwidth path)
     "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))),
 
@@ -722,12 +806,14 @@ object SparkEntry {
     * re-score. All bucketing arithmetic is integer-exact; only the final
     * re-score uses floats, with the same sequential-dot parity as
     * sim_neardup_cosine. */
-  private def signLshOracle: String = {
+  /** CTE chain ending in `lsh_pairs(va, vb, cosine)` — shared by the
+    * sign-LSH pair oracle and the embedding-cluster oracle. */
+  private def signLshPairsCtes: String = {
     import Portable.{P1, AMul, BMul}
     import graft.functions.SignLshKernels.Center
     import graft.ops.Similarity.{LshBands, LshBitsPerBand, LshMaxBucket}
     val nBits = LshBitsPerBand * LshBands
-    s"""WITH q AS (
+    s"""q AS (
        |   SELECT vec_id,
        |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
        |   FROM embeddings),
@@ -758,17 +844,35 @@ object SparkEntry {
        | base AS (
        |   SELECT vec_id, embedding::DOUBLE[] AS v,
        |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |   FROM embeddings)
-       |SELECT va, vb, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-       |FROM cand JOIN base a ON a.vec_id = va JOIN base b ON b.vec_id = vb
-       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
-       |ORDER BY va, vb""".stripMargin
+       |   FROM embeddings),
+       | lsh_pairs AS (
+       |   SELECT va, vb, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+       |   FROM cand JOIN base a ON a.vec_id = va JOIN base b ON b.vec_id = vb
+       |   WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)""".stripMargin
   }
+
+  private def signLshOracle: String =
+    s"""WITH $signLshPairsCtes
+       |SELECT va, vb, cosine FROM lsh_pairs ORDER BY va, vb""".stripMargin
+
+  /** The sign-LSH pair set resolved to connected components — the same
+    * recursive-CTE construction as dedup_clusters, over embedding edges. */
+  private def embeddingClustersOracle: String =
+    s"""WITH RECURSIVE $signLshPairsCtes,
+       | sym AS (SELECT va AS src, vb AS dst FROM lsh_pairs
+       |         UNION ALL SELECT vb, va FROM lsh_pairs),
+       | reach AS (
+       |   SELECT src AS a, src AS b FROM sym
+       |   UNION
+       |   SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+       |SELECT a AS doc_id, min(b) AS cluster_id
+       |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "sim_lsh_neardup" -> signLshOracle,
+    "dedup_embedding_clusters" -> embeddingClustersOracle,
     // MinHash signatures, band keys and SimHash bits are computed on the
     // portable two-prime polynomial basis shared between the codegen
     // kernels and this generated SQL — see graft.functions.Portable.
@@ -1071,6 +1175,120 @@ object SparkEntry {
          SELECT doc_id, rnk, term, tf FROM r WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
 
+    "q32_window_ranks" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(rank() OVER w AS BIGINT) AS rnk,
+                CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                percent_rank() OVER w AS prnk,
+                cume_dist() OVER w AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+         ORDER BY o_orderkey""",
+
+    "q30_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 200000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "q31_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY gid, l_returnflag ASC NULLS FIRST,
+                  l_linestatus ASC NULLS FIRST""",
+
+    "events_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE event_type IN ('view','click','purchase')),
+         w1 AS (
+           SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry_1
+           FROM e),
+         w2 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND carry_1 IS NOT NULL
+                              AND us > carry_1 THEN us END)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry_2
+           FROM w1),
+         per_user AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_0,
+                  max(CASE WHEN event_type = 'click' AND carry_1 IS NOT NULL
+                           AND us > carry_1 THEN 1 ELSE 0 END) AS s_1,
+                  max(CASE WHEN event_type = 'purchase' AND carry_2 IS NOT NULL
+                           AND us > carry_2 THEN 1 ELSE 0 END) AS s_2
+           FROM w2 GROUP BY 1),
+         t AS (SELECT COALESCE(CAST(sum(s_0) AS BIGINT), 0) AS n_0,
+                      COALESCE(CAST(sum(s_1) AS BIGINT), 0) AS n_1,
+                      COALESCE(CAST(sum(s_2) AS BIGINT), 0) AS n_2
+               FROM per_user)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, n_0 AS n_users FROM t
+           UNION ALL
+           SELECT 2, 'view>click', n_1 FROM t
+           UNION ALL
+           SELECT 3, 'view>click>purchase', n_2 FROM t)
+         ORDER BY stage_idx""",
+
+    "text_bigram_df" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS bigram
+           FROM toks WHERE len(t) >= 2)
+         SELECT bigram, count(*) AS df FROM bg GROUP BY 1
+         ORDER BY df DESC, bigram ASC LIMIT 20""",
+
+    "text_tfidf_topk" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  tf.tf * ((10000 * n.n_docs) // df.df) AS tfidf_bp
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf_bp DESC, term ASC) AS BIGINT) AS rnk
+           FROM scored)
+         SELECT doc_id, rnk, term, tf, df, tfidf_bp FROM r WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
+
+    "quality_filter" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(list_sum(list_transform(string_split(text, ' '),
+                       t -> length(t))) AS BIGINT) AS sum_tok_len,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stopwords,
+                  CAST(floor(len(list_distinct(string_split(text, ' '))) * 10000.0
+                       / len(string_split(text, ' '))) AS BIGINT) AS uniq_ratio_bp
+           FROM documents),
+         f AS (
+           SELECT *,
+                  CAST(n_tokens BETWEEN 5 AND 5000 AS BIGINT) AS r_len,
+                  CAST(sum_tok_len BETWEEN n_tokens * 3 AND n_tokens * 10 AS BIGINT) AS r_mean_len,
+                  CAST(n_stopwords >= 2 AS BIGINT) AS r_stopwords,
+                  CAST(uniq_ratio_bp >= 3000 AS BIGINT) AS r_uniq
+           FROM s)
+         SELECT *, CAST(r_len + r_mean_len + r_stopwords + r_uniq = 4 AS BIGINT) AS keep
+         FROM f ORDER BY doc_id""",
+
     "cdc_apply" ->
       """WITH all_rows AS (
            SELECT o_orderkey, o_totalprice, 0 AS version, 'I' AS op FROM orders
@@ -1086,6 +1304,25 @@ object SparkEntry {
            FROM all_rows)
          SELECT o_orderkey, o_totalprice FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""",
+
+    "scd2_build" ->
+      """WITH ordered AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                  lag(event_type) OVER w AS prev,
+                  row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         runs AS (
+           SELECT user_id, event_id, event_type, us FROM ordered
+           WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+         v AS (
+           SELECT user_id, event_id, event_type, us AS valid_from_us,
+                  lead(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS valid_to_us
+           FROM runs)
+         SELECT user_id, event_id, event_type, valid_from_us, valid_to_us,
+                CAST(valid_to_us IS NULL AS BIGINT) AS is_current
+         FROM v ORDER BY user_id, valid_from_us, event_id""",
 
     "text_stats" ->
       """WITH s AS (

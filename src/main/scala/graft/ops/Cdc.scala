@@ -43,4 +43,33 @@ object Cdc {
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .drop("__rn", versionCol, opCol)
   }
+
+  /** Type-2 slowly-changing dimension build from a change feed: collapse
+    * consecutive runs of the same attribute value per key, then stamp each
+    * run with [valid_from, valid_to) and an is_current flag — the
+    * warehouse primitive for "what was this entity's state at time t".
+    *
+    * `seq` must be a unique tie-breaker within (key, orderUs) so the
+    * result is deterministic even with simultaneous changes.
+    *
+    * Scale: both windows share (partitionBy(key), orderBy(orderUs, seq))
+    * and the run-start filter preserves sort order, so the whole build is
+    * ONE hash shuffle by key; per-key state is bounded by that key's
+    * change count, not corpus size. */
+  def scd2(feed: DataFrame, key: String, attr: String, orderUs: String,
+      seq: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(orderUs), col(seq))
+    feed
+      .select(col(key), col(seq), col(attr), col(orderUs))
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // run starts: first row per key, or attribute changed (null-safe)
+      .filter(col("__rn") === 1 || !(col(attr) <=> col("__prev")))
+      .withColumn("valid_to_us", lead(col(orderUs), 1).over(w))
+      .select(col(key), col(seq), col(attr),
+        col(orderUs).as("valid_from_us"),
+        col("valid_to_us"),
+        col("valid_to_us").isNull.cast("long").as("is_current"))
+      .orderBy(col(key), col("valid_from_us"), col(seq))
+  }
 }

@@ -27,7 +27,10 @@ object Events {
   private val nsFloorUs: org.apache.spark.sql.Column =
     expr("(ts - pmod(ts, 1000)) div 1000")
 
-  private def tsUs(events: DataFrame): org.apache.spark.sql.Column =
+  /** Event time as epoch microseconds (exact BIGINT — the oracle-portable
+    * time representation; see q15_asof_join). Public: query wiring uses it
+    * to feed time-ordered ops like [[Cdc.scd2]]. */
+  def tsUs(events: DataFrame): org.apache.spark.sql.Column =
     events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => nsFloorUs
       case _ => unix_micros(col("ts").cast("timestamp"))
@@ -189,5 +192,54 @@ object Events {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
       .orderBy("user_id", "session_idx")
+  }
+
+  /** Ordered funnel: how many users progressed view → click → purchase,
+    * where each stage must happen STRICTLY after the previous one (a
+    * same-microsecond event does not advance the funnel — the state
+    * carriers use a strictly-preceding frame, so the semantics are
+    * deterministic even with timestamp ties).
+    *
+    * The naive formulation is K-1 self-joins (min view ts → min click
+    * after it → …). This is the single-pass shape: per user, a running
+    * min of stage-(i-1) satisfaction times over preceding rows marks
+    * which rows satisfy stage i; one sort-shuffle by user, and the final
+    * per-user aggregate reuses the window's partitioning (no second
+    * exchange). The 3-row summary is a driver-sized global aggregate. */
+  def funnel(events: DataFrame, stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
+    val us = tsUs(events)
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var df = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_id"), col("event_type"), us.as("us"))
+      // hit_0: rows that ARE the first stage
+      .withColumn("hit_us_0",
+        when(col("event_type") === stages.head, col("us")))
+    stages.indices.tail.foreach { i =>
+      // carry the earliest stage-(i-1) hit over strictly-preceding rows;
+      // a stage-i event strictly after it is a stage-i hit
+      df = df
+        .withColumn(s"carry_$i", min(col(s"hit_us_${i - 1}")).over(w))
+        .withColumn(s"hit_us_$i",
+          when(col("event_type") === stages(i) &&
+            col(s"carry_$i").isNotNull && col("us") > col(s"carry_$i"),
+            col("us")))
+    }
+    val sFlags = stages.indices.map(i =>
+      max(col(s"hit_us_$i").isNotNull.cast("long")).as(s"s_$i"))
+    val perUser = df.groupBy("user_id").agg(sFlags.head, sFlags.tail: _*)
+    // coalesce: an empty corpus must report 0 completions, not NULL (and
+    // the DuckDB oracle coalesces identically — see stream_user_stats)
+    val nSums = stages.indices.map(i =>
+      coalesce(sum(col(s"s_$i")), lit(0L)).as(s"n_$i"))
+    val totals = perUser.agg(nSums.head, nSums.tail: _*)
+    // unpivot to (stage_idx, stage, n_users) — 3 rows, driver-sized
+    val stackArgs = stages.indices.map(i =>
+      s"${i + 1}L, '${stages.take(i + 1).mkString(">")}', n_$i").mkString(", ")
+    totals.selectExpr(
+      s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_users)")
+      .orderBy("stage_idx")
   }
 }

@@ -96,6 +96,92 @@ object TextAnalysis {
       .orderBy(id, "rnk")
   }
 
+  /** Per-document top-k terms by TF-IDF. The corpus-level statistics stay
+    * integer-exact so the query is hash-oracle-able: instead of
+    * `tf * ln(N/df)` (log() has no cross-engine bit parity) the score is
+    * `tf * ((10000 * N) div df)` — the same ordering for fixed tf, and a
+    * faithful "rare terms weigh more" surrogate. Stopwords are NOT
+    * excluded: their df ≈ N drives idf_bp to ~10000 (the minimum), which
+    * is exactly the behavior idf exists to provide.
+    *
+    * Scale: explode→groupBy(doc,term) is one shuffle; the df branch
+    * re-aggregates the same exchange by term (ReuseExchange — one scan);
+    * N comes from a 1-row aggregate broadcast, not a driver collect; the
+    * tf⋈df join keys on term (vocabulary-sized right side — AQE
+    * broadcasts it when small, hash-join otherwise); the top-k window
+    * partitions by doc over per-doc distinct terms, bounded rows. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(id), explode(Texty.tokens(col(text))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(id).orderBy(desc("tfidf_bp"), asc("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      // div: integral division — exact in both engines (DuckDB `//`)
+      .withColumn("idf_bp", expr("(10000 * n_docs) div df"))
+      .withColumn("tfidf_bp", col("tf") * col("idf_bp"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(id), col("rnk"), col("term"), col("tf"), col("df"),
+        col("tfidf_bp"))
+      .orderBy(id, "rnk")
+  }
+
+  /** Gopher-style quality filtering (Rae et al. 2021, §A1.1): keep a
+    * document only if it passes every structural-quality rule. Rules are
+    * integer-exact (the mean-token-length bound is expressed as
+    * `3*n <= sum_len <= 10*n` — no division at all) so the whole filter
+    * is hash-oracle-able. Map-only: tokenize + array aggregates per row,
+    * no shuffle except the presentation sort — safe at any scale. */
+  def qualityFilter(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val toks = Texty.tokens(col(text))
+    val flag = (c: Column) => c.cast("long")
+    docs
+      .select(
+        col(id),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks, t => length(t)), lit(0L), _ + _)
+          .as("sum_tok_len"),
+        Texty.stopCount(col(text), StopWords).cast("long").as("n_stopwords"),
+        Texty.ratioBp(size(array_distinct(toks)), size(toks))
+          .as("uniq_ratio_bp"))
+      .withColumn("r_len",
+        flag(col("n_tokens") >= 5 && col("n_tokens") <= 5000))
+      .withColumn("r_mean_len",
+        flag(col("sum_tok_len") >= col("n_tokens") * 3 &&
+          col("sum_tok_len") <= col("n_tokens") * 10))
+      .withColumn("r_stopwords", flag(col("n_stopwords") >= 2))
+      .withColumn("r_uniq", flag(col("uniq_ratio_bp") >= 3000))
+      .withColumn("keep",
+        flag(col("r_len") + col("r_mean_len") + col("r_stopwords") +
+          col("r_uniq") === 4))
+      .orderBy(id)
+  }
+
+  /** Corpus-level bigram document frequencies, global top-k: which word
+    * pairs appear in the most documents (the n-gram LM / contamination-
+    * check primitive). Per-doc DISTINCT shingles (Texty.wordShingles) so
+    * the count is a document frequency, not an occurrence count.
+    *
+    * Scale: explode→groupBy(bigram) is one shuffle with map-side partial
+    * aggregation; the global top-k is ORDER BY + LIMIT, which Spark plans
+    * as TakeOrderedAndProject (per-partition heaps, k rows to the driver)
+    * — never a full sort. */
+  def bigramDf(docs: DataFrame, k: Int = 20, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    docs
+      .select(explode(Texty.wordShingles(col(text), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("bigram"))
+      .limit(k)
+
   def tokenCounts(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame =
     docs.select(

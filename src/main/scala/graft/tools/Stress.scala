@@ -73,6 +73,14 @@ object Stress {
         docs.filter(col("doc_id") % 2 === 1)).count()
     }
     time("top_terms") { graft.ops.TextAnalysis.topTerms(docs).count() }
+    time("tfidf_topk") { graft.ops.TextAnalysis.tfidfTopTerms(docs).count() }
+    time("quality_filter") { graft.ops.TextAnalysis.qualityFilter(docs).count() }
+    time("bigram_df") { graft.ops.TextAnalysis.bigramDf(docs).count() }
+    time("embedding_clusters") {
+      graft.ops.Dedup.resolveClusters(
+        graft.ops.Similarity.lshNearDup(emb, 0.4)
+          .select(col("va").as("da"), col("vb").as("db"))).count()
+    }
 
     // events replicate on event_id; user_id left as-is (same users, N×
     // denser timelines — the worst case for the banded range join's
@@ -89,6 +97,13 @@ object Stress {
         .select(col("event_id"), col("value"))
         .withColumn("version", lit(1L)).withColumn("op", lit("U"))
       graft.ops.Cdc.apply(base, changes, "event_id").count()
+    }
+    // N× denser per-user timelines: the funnel/SCD2 windows see N× rows
+    // per key — per-key state must stay linear, never quadratic
+    time("events_funnel") { graft.ops.Events.funnel(events).count() }
+    time("scd2_build") {
+      val ev = events.withColumn("us", graft.ops.Events.tsUs(events))
+      graft.ops.Cdc.scd2(ev, "user_id", "event_type", "us", "event_id").count()
     }
     spark.stop()
   }

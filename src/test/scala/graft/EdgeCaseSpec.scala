@@ -81,6 +81,38 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(graft.ops.Similarity.lshNearDup(emptyEmb, 0.4).count() == 0)
   }
 
+  test("late round-3 ops: empty/null inputs are safe and typed") {
+    // TF-IDF / bigrams: empty corpus and null/empty text produce no rows
+    assert(graft.ops.TextAnalysis.tfidfTopTerms(emptyDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.bigramDf(emptyDocs).count() == 0)
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.tfidfTopTerms(nulls).count() == 0)
+    assert(graft.ops.TextAnalysis.bigramDf(nulls).count() == 0)
+    // quality filter: null text yields a row with null metrics (NULL
+    // propagates identically in the DuckDB oracle); empty text is rejected
+    // by r_len, never crashes
+    val qf = graft.ops.TextAnalysis.qualityFilter(nulls).collect()
+    assert(qf.length == 2)
+    assert(qf(0).isNullAt(qf(0).fieldIndex("keep")))
+    assert(qf(1).getLong(qf(1).fieldIndex("r_len")) == 0L)
+    // funnel: empty input reports 0 completions per stage, not NULL rows
+    val emptyEvents = Tables(spark, sf0001, "events").limit(0)
+    val fn = graft.ops.Events.funnel(emptyEvents)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(fn == Seq((1L, "view", 0L), (2L, "view>click", 0L),
+      (3L, "view>click>purchase", 0L)))
+    // SCD2: empty feed -> empty dimension; one change -> one current row
+    val oneEv = Seq((7L, 100L, "view", 1L))
+      .toDF("user_id", "us", "event_type", "event_id")
+    assert(graft.ops.Cdc.scd2(oneEv.limit(0), "user_id", "event_type",
+      "us", "event_id").count() == 0)
+    val d = graft.ops.Cdc.scd2(oneEv, "user_id", "event_type", "us",
+      "event_id").collect()
+    assert(d.length == 1 &&
+      d(0).getLong(d(0).fieldIndex("is_current")) == 1L)
+  }
+
   test("similarity ops return empty on empty embeddings") {
     assert(graft.ops.Similarity.bruteTopK(emptyEmb, 10, 5).count() == 0)
     assert(graft.ops.Similarity.bruteNearDup(emptyEmb, 0.5).count() == 0)

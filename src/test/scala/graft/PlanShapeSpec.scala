@@ -56,6 +56,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"q19 window specs diverged (=> extra sort/exchange): $specs")
   }
 
+  test("quality_filter is map-only over a pruned scan; scd2 pays one shuffle") {
+    val qf = planOf("quality_filter")
+    assert(qf.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"quality_filter scan not pruned:\n$qf")
+    // scd2's lag/row_number and lead windows share (key, orderUs, seq):
+    // distinct specs would mean a second sort+exchange per version row
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val specs = SparkEntry.queries("scd2_build")(spark, sf0001)
+      .queryExecution.optimizedPlan
+      .collect { case w: LWindow =>
+        (w.partitionSpec.map(_.sql), w.orderSpec.map(_.sql)) }
+    assert(specs.nonEmpty && specs.distinct.size == 1,
+      s"scd2 window specs diverged (=> extra sort/exchange): $specs")
+  }
+
   test("q27's banded range join plans equi joins, never a nested loop") {
     // the time-banding exists precisely so the interval predicate rides
     // an equi join; a BroadcastNestedLoopJoin here means the band keys

@@ -129,6 +129,86 @@ class RelationalSpec extends SparkTestBase {
     assert(out == Seq((1L, 1L, "b", 2L), (1L, 2L, "c", 1L), (1L, 3L, "x", 1L)))
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones at equal tf") {
+    // 'rare' appears in 1 of 3 docs, 'shared' in all 3; both tf=1 in doc 1
+    val docs = Seq(
+      (1L, "rare shared zz zz"),
+      (2L, "shared other1 other2 other3"),
+      (3L, "shared other4 other5 other6")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+      .filter(_._1 == 1L)
+    // zz: tf=2, df=1 -> 2*30000=60000; rare: tf=1, df=1 -> 30000;
+    // shared: tf=1, df=3 -> 10000
+    assert(out == Seq(
+      (1L, 1L, "zz", 2L, 1L, 60000L),
+      (1L, 2L, "rare", 1L, 1L, 30000L)))
+  }
+
+  test("qualityFilter: each rule rejects its own violation") {
+    val docs = Seq(
+      (1L, "the quick brown fox and dog ran home"), // passes all
+      (2L, "too short"),                            // r_len (n=2 < 5)
+      (3L, "a a b ab ba ab b a"),                   // r_mean_len (mean < 3)
+      (4L, "quick brown foxes jump over lazy dogs"), // r_stopwords (0 stops)
+      (5L, "the the the the the the and and")       // r_uniq (2/8 = 2500 bp)
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.qualityFilter(docs)
+      .select("doc_id", "r_len", "r_mean_len", "r_stopwords", "r_uniq", "keep")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 1L)))
+    assert(out(2L)._1 == 0L && out(2L)._5 == 0L)
+    assert(out(3L)._2 == 0L && out(3L)._5 == 0L)
+    assert(out(4L)._3 == 0L && out(4L)._5 == 0L)
+    assert(out(5L)._4 == 0L && out(5L)._5 == 0L)
+  }
+
+  test("Cdc.scd2: collapses runs, stamps validity, flags current") {
+    val feed = Seq(
+      // user 1: a,a,b,a -> three versions (a run collapses)
+      (1L, 10L, "a", 1L), (1L, 20L, "a", 2L), (1L, 30L, "b", 3L),
+      (1L, 40L, "a", 4L),
+      // user 2: single row -> one current version
+      (2L, 15L, "x", 5L)).toDF("user_id", "us", "event_type", "event_id")
+    val out = graft.ops.Cdc.scd2(feed, "user_id", "event_type", "us", "event_id")
+      .select("user_id", "event_type", "valid_from_us", "valid_to_us", "is_current")
+      .as[(Long, String, Long, Option[Long], Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", 10L, Some(30L), 0L),
+      (1L, "b", 30L, Some(40L), 0L),
+      (1L, "a", 40L, None, 1L),
+      (2L, "x", 15L, None, 1L)))
+  }
+
+  test("funnel: stages advance only strictly forward in time") {
+    val ev = Seq( // ts in nanoseconds (LongType path of Events.tsUs)
+      // user 1 completes all three stages in order
+      (1L, 10000L, "view", 1L), (1L, 20000L, "click", 2L),
+      (1L, 30000L, "purchase", 3L),
+      // user 2: click BEFORE view — reaches stage 1 only
+      (2L, 10000L, "click", 4L), (2L, 20000L, "view", 5L),
+      // user 3: click at the SAME microsecond as view — does not advance
+      (3L, 10000L, "view", 6L), (3L, 10000L, "click", 7L),
+      // user 4: purchase without view — reaches nothing
+      (4L, 10000L, "purchase", 8L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = graft.ops.Events.funnel(ev)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "view", 3L),
+      (2L, "view>click", 1L),
+      (3L, "view>click>purchase", 1L)))
+  }
+
+  test("bigramDf counts documents, not occurrences") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bigramDf(docs)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b", 2L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("all registered queries run at sf0.001 and every oracle key exists") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
