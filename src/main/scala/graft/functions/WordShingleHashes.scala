@@ -62,6 +62,38 @@ object ShingleKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
   }
+
+  /** Distinct word k-shingles of `s` as STRINGS (first-seen order) —
+    * the string twin of [[wordShingleHashes]] for consumers that need
+    * the shingle text itself (bigram tables), with identical
+    * tokenization and the same single-space joining as
+    * `concat_ws(" ", …)`. One pass + hash-set dedup instead of the
+    * interpreted transform/concat_ws/array_distinct chain (whose
+    * distinct alone is O(n²) string comparisons per doc). */
+  def wordShingleStrings(s: UTF8String, k: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new java.util.LinkedHashSet[String](n * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Codegen'd distinct word-k-shingle hashes of a string column.
@@ -101,4 +133,38 @@ case class WordShingleHashes(child: Expression, k: Int)
 object WordShingleHashes {
   def apply(c: Column, k: Int): Column =
     Bridge.column(WordShingleHashes(Bridge.expression(c), k))
+}
+
+/** Codegen'd distinct word-k-shingle STRINGS — see
+  * [[ShingleKernels.wordShingleStrings]]. Same result set as
+  * `Texty.wordShingles` (which stays as the interpreted cross-check
+  * twin in TextDedupSpec). */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"k must be >= 1, got $k")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects a string input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.wordShingleStrings(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels$$.MODULE$$.wordShingleStrings($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  def apply(c: Column, k: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(c), k))
 }

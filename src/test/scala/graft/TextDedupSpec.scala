@@ -98,6 +98,17 @@ class TextDedupSpec extends SparkTestBase {
     assert(joined.count() == 0)
   }
 
+  test("WordShingles kernel equals the interpreted string-shingle path") {
+    val docs = Tables(spark, sf0001, "documents").limit(200)
+      .union(Seq((90001L, "a b", "x", "x", 3L), (90002L, "ends with space ", "x", "x", 16L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val mismatches = docs.select(col("doc_id"),
+        array_sort(graft.functions.Texty.wordShingles(col("text"), 2)).as("a"),
+        array_sort(graft.functions.WordShingles(col("text"), 2)).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(mismatches.count() == 0)
+  }
+
   test("incrementalExact: drops docs already in base, keeps min-id within batch") {
     val base = Seq((2L, "seen before"), (4L, "other")).toDF("doc_id", "text")
     val incoming = Seq(
