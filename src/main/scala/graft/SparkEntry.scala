@@ -701,6 +701,99 @@ object SparkEntry {
               .cast("string")), ",").as("features_csv"))
         .orderBy("o_orderkey")
     }),
+
+    // EXT token-set dedup: same-word-set docs collapse regardless of
+    // order/repetition — zero pairwise work, one fingerprint shuffle.
+    "dedup_token_set" -> ((s, dir) =>
+      Dedup.tokenSetDedup(t(s, dir, "documents"))),
+
+    // EXT edit-distance near-dup: banded Levenshtein over blocked
+    // (lang, length-bucket) candidates — the character-level dedup family
+    // (catches small in-place edits that shingle Jaccard underweights).
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"))),
+
+    // EXT weekly cohort retention on purchase events: distinct activity
+    // matrix + self-join on (user, week+7d) — no window, no range join.
+    "events_retention" -> ((s, dir) =>
+      Events.weeklyRetention(t(s, dir, "events"))),
+
+    // EXT forward-fill (LOCF): per-user running last non-null value; the
+    // corpus has no NULLs so every 5th event is blanked deterministically
+    // first (same synthesize-then-operate pattern as q3_3).
+    "events_ffill" -> ((s, dir) =>
+      Events.forwardFill(t(s, dir, "events"))),
+
+    // EXT navigation-window family: lead / first_value / nth_value /
+    // ntile over one shared spec (one sort-shuffle; the ranking family is
+    // q32). Unique sort key (date, key) => tie-free, deterministic.
+    "q33_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("next_key", lead("o_orderkey", 1).over(w))
+        .withColumn("first_cents",
+          round(first(col("o_totalprice")).over(w) * 100).cast("long"))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .drop("o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // EXT higher-order array functions over embeddings: map-only
+    // per-vector profile (codegen filter/transform/aggregate, no explode).
+    "embed_hof_stats" -> ((s, dir) =>
+      Similarity.hofStats(t(s, dir, "embeddings"))),
+
+    // EXT dynamic partition pruning: fact partitioned on disk by
+    // priority, dim filtered on a non-partition attribute — the scan must
+    // prune partitions at RUNTIME from the broadcast dim (PlanShapeSpec
+    // asserts dynamicpruning in PartitionFilters). At 100 TB this is the
+    // difference between listing 2/5 of the directories and scanning all.
+    "dpp_partitioned_join" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-dpp-${ProcessHandle.current().pid()}")
+        .toString
+      graft.sources.Partitioned.write(t(s, dir, "orders"), out, "o_orderpriority")
+      // the dim must be a real table scan: a literal local relation gets
+      // its filter constant-folded away, and with no selective Filter on
+      // the dim side the DPP rule (correctly) declines to prune
+      Seq(
+        ("1-URGENT", "expedite"), ("2-HIGH", "expedite"),
+        ("3-MEDIUM", "standard"), ("4-NOT SPECIFIED", "standard"),
+        ("5-LOW", "standard")).toDF("priority", "sla")
+        .write.mode("overwrite").parquet(s"$out-dim")
+      s.read.parquet(out)
+        .join(broadcast(s.read.parquet(s"$out-dim")
+          .filter(col("sla") === "expedite")),
+          col("o_orderpriority") === col("priority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // EXT ORC source/sink round-trip (vectorized reader, predicate
+    // pushdown into stripe indexes — second columnar format).
+    "sink_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-orc-${ProcessHandle.current().pid()}")
+        .toString
+      graft.sources.Orc.write(
+        t(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice"), out)
+      graft.sources.Orc.read(s, out)
+        .filter(col("l_quantity") <= 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
   )
 
   // ---- Portable-hash oracle SQL (generated from the SAME constants the
@@ -1747,5 +1840,87 @@ object SparkEntry {
                 CASE WHEN c_acctbal < 0 THEN -1.0 ELSE c_acctbal END AS c_acctbal,
                 CASE WHEN c_nationkey % 5 = 0 THEN '-1' ELSE c_mktsegment END AS c_mktsegment
          FROM customer ORDER BY c_custkey""",
+
+    "dedup_token_set" ->
+      """WITH canon AS (
+           SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(
+                    string_split(text, ' '))), ' ')) AS fp
+           FROM documents)
+         SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM canon GROUP BY fp ORDER BY keep_id""",
+
+    "dedup_edit_distance" ->
+      """WITH d AS (
+           SELECT doc_id, lang, n_chars // 16 AS lb,
+                  substr(text, 1, 40) AS pfx
+           FROM documents),
+         hot AS (
+           SELECT lang, lb FROM d GROUP BY lang, lb
+           HAVING count(*) > 1000),
+         kept AS (
+           SELECT d.* FROM d
+           WHERE NOT EXISTS (
+             SELECT 1 FROM hot h WHERE h.lang = d.lang AND h.lb = d.lb))
+         SELECT a.doc_id AS da, b.doc_id AS db,
+                CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+         FROM kept a JOIN kept b
+           ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.pfx, b.pfx) <= 12
+         ORDER BY da, db""",
+
+    "events_retention" ->
+      """WITH wk AS (
+           SELECT DISTINCT date_trunc('week', ts) AS w, user_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT epoch_us(CAST(a.w AS TIMESTAMP)) AS week_start_us,
+                count(*) AS n_active, count(b.user_id) AS n_retained
+         FROM wk a LEFT JOIN wk b
+           ON b.user_id = a.user_id AND b.w = a.w + INTERVAL 7 DAY
+         GROUP BY 1 ORDER BY week_start_us""",
+
+    "events_ffill" ->
+      """WITH g AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us,
+                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS gapped
+           FROM events)
+         SELECT event_id, user_id,
+                CAST(round(last_value(gapped IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100)
+                  AS BIGINT) AS filled_cents
+         FROM g ORDER BY event_id""",
+
+    "q33_window_nav" ->
+      """SELECT o_orderkey, o_custkey,
+                lead(o_orderkey, 1) OVER w AS next_key,
+                CAST(round(first_value(o_totalprice) OVER w * 100) AS BIGINT)
+                  AS first_cents,
+                nth_value(o_orderkey, 2) OVER w AS second_key,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_orderkey""",
+
+    "embed_hof_stats" ->
+      """SELECT vec_id,
+                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+                CAST(list_sum(list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                  AS BIGINT) AS qnorm2
+         FROM embeddings ORDER BY vec_id""",
+
+    "dpp_partitioned_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY 1 ORDER BY o_orderpriority""",
+
+    "sink_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem WHERE l_quantity <= 10
+         GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
   )
 }

@@ -331,4 +331,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy("da", "db")
   }
+
+  /** Token-set (bag-of-words) canonicalization dedup: two docs are
+    * duplicates iff they use exactly the same set of words, regardless of
+    * order or repetition — the cheapest useful near-dup notion (catches
+    * shuffled/re-duplicated boilerplate that exact hashing misses, with
+    * zero pairwise work).
+    *
+    * Same shape (and scale posture) as [[exact]]: canonicalize map-side
+    * (split → distinct → sort → join), then one hash-groupBy on the md5
+    * of the canonical form so the shuffle carries a 128-bit fingerprint
+    * per doc, never the text. */
+  def tokenSetDedup(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    docs
+      .select(col(id),
+        md5(array_join(array_sort(array_distinct(
+          split(col(text), " "))), " ")).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  /** Edit-distance (Levenshtein) near-dup pairs, blocked so the pairwise
+    * work is bounded: candidates must share (lang, length-bucket), and
+    * the distance is computed over a fixed-length prefix with Spark's
+    * banded `levenshtein(l, r, threshold)` — O(prefix × maxDist) per
+    * pair and an early exit at the band, not O(n·m) over full texts.
+    *
+    * Blocking is the operator contract, exactly like [[simhashPairs]]'s
+    * chunk buckets: per-(lang, bucket) group sizes bound the join
+    * fan-out, and `maxBucket` drops pathological blocks loudly rather
+    * than letting one giant block go quadratic at scale. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 12,
+      prefixLen: Int = 40, bucketChars: Int = 16, maxBucket: Int = 1000,
+      id: String = "doc_id", text: String = "text",
+      lang: String = "lang", nChars: String = "n_chars"): DataFrame = {
+    val d = docs.select(col(id).as("doc_id"), col(lang).as("blang"),
+      floor(col(nChars) / bucketChars).as("lb"),
+      substring(col(text), 1, prefixLen).as("pfx"))
+    val hotBlocks = d.groupBy("blang", "lb")
+      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
+      .select("blang", "lb")
+    val kept = d.join(broadcast(hotBlocks), Seq("blang", "lb"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.blang") === col("b.blang") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      // threshold form returns -1 above the band — keep 0..maxDist
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr(s"levenshtein(a.pfx, b.pfx, $maxDist)").cast("long").as("lev"))
+      .filter(col("lev") >= 0)
+      .orderBy("da", "db")
+  }
 }

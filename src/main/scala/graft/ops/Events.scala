@@ -242,4 +242,56 @@ object Events {
       s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_users)")
       .orderBy("stage_idx")
   }
+
+  /** Weekly cohort retention: for each ISO week, how many users were
+    * active (optionally restricted to one event type) and how many of
+    * them were active again the following week.
+    *
+    * Shape: distinct (week, user) — one partial-aggregated shuffle that
+    * collapses the corpus to at most #weeks × #users rows — then a
+    * self-equi-join on (user, week+7d). Both sides hash-partition on
+    * user_id, so at 100 TB the join moves only the distinct activity
+    * matrix, never raw events. No window, no range join. */
+  def weeklyRetention(events: DataFrame,
+      eventType: Option[String] = Some("purchase")): DataFrame = {
+    val base = eventType.fold(events)(t => events.filter(col("event_type") === t))
+    val wk = base
+      .select(date_trunc("week", tsCol(events)).as("w"), col("user_id"))
+      .distinct()
+    val nxt = wk.select((col("w") - expr("INTERVAL 7 DAYS")).as("w"),
+      col("user_id").as("ret_user"))
+    wk.join(nxt, wk("w") === nxt("w") && col("user_id") === col("ret_user"), "left")
+      .groupBy(wk("w"))
+      .agg(count(lit(1)).as("n_active"), count(col("ret_user")).as("n_retained"))
+      .select(unix_micros(col("w")).as("week_start_us"),
+        col("n_active"), col("n_retained"))
+      .orderBy("week_start_us")
+  }
+
+  /** Forward-fill (last observation carried forward) — the canonical
+    * time-series gap-repair: replace each NULL measurement with the
+    * user's most recent non-null value. One sort-shuffle by user; the
+    * running `last(ignoreNulls)` frame is computed in a single pass per
+    * partition, so the operator is linear and never widens the frame
+    * beyond what the executor already holds for the sort.
+    *
+    * The corpus has no NULL values, so `nullEvery` deterministically
+    * blanks every Nth event (by event_id) before filling — the same
+    * synthesize-then-operate pattern as q3_3_parse_filter. Values are
+    * surfaced as exact cents (BIGINT) per the stream_user_stats
+    * convention; a leading run of NULLs stays NULL (no backfill). */
+  def forwardFill(events: DataFrame, nullEvery: Int = 5): DataFrame = {
+    val us = tsUs(events)
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), us.as("us"),
+        when(col("event_id") % nullEvery === 0, lit(null))
+          .otherwise(col("value")).as("gapped"))
+      .withColumn("filled_cents",
+        round(last(col("gapped"), ignoreNulls = true).over(w) * 100)
+          .cast("long"))
+      .select("event_id", "user_id", "filled_cents")
+      .orderBy("event_id")
+  }
 }

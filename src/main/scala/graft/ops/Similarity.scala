@@ -240,4 +240,24 @@ object Similarity {
       .select("q_id", "rnk", "vec_id", "cosine")
       .orderBy("q_id", "rnk")
   }
+
+  /** Per-vector statistics via higher-order array functions — the
+    * map-only profile pass a vector pipeline runs before indexing
+    * (dead/degenerate-vector detection, magnitude distribution).
+    * `filter`/`transform`/`aggregate` run inside whole-stage codegen with
+    * no explode: the row count never changes, so at 100 TB this is a pure
+    * scan-speed pass.
+    *
+    * The squared norm is surfaced as an INTEGER quadrature (each element
+    * quantized to round(x·1000), then summed as BIGINT): float sums are
+    * order- and width-sensitive across engines, integer sums are exact
+    * (SURVEY.md §7 "hard parts" — same discipline as moneySum). */
+  def hofStats(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)").as("n_pos"),
+      expr("""aggregate(
+                transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                0L, (acc, v) -> acc + v * v)""").as("qnorm2"))
+      .orderBy("vec_id")
 }

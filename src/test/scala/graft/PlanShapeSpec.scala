@@ -154,6 +154,40 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected exactly 1 lineitem scan, got ${scanCount(plan)}:\n$plan")
   }
 
+  test("dpp_partitioned_join prunes partitions at RUNTIME (DPP)") {
+    // the fact side is partitioned by priority and the dim filter is on a
+    // non-partition attribute — only dynamic partition pruning can skip
+    // the 3/5 non-matching directories. The scan's PartitionFilters must
+    // carry a dynamicpruning expression; a plain scan here means every
+    // partition of a 100 TB fact table gets listed and read.
+    val plan = planOf("dpp_partitioned_join")
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$plan")
+  }
+
+  test("sink_orc_roundtrip pushes its predicate into the ORC scan") {
+    val plan = planOf("sink_orc_roundtrip")
+    assert(plan.contains("Scan orc"), s"not an ORC scan:\n$plan")
+    assert(plan.contains("LessThanOrEqual(l_quantity,10.0)"),
+      s"quantity filter not pushed into the ORC scan:\n$plan")
+  }
+
+  test("q33's four navigation windows share one spec; hof stats stay map-only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val specs = SparkEntry.queries("q33_window_nav")(spark, sf0001)
+      .queryExecution.optimizedPlan
+      .collect { case w: LWindow =>
+        (w.partitionSpec.map(_.sql), w.orderSpec.map(_.sql)) }
+    assert(specs.nonEmpty && specs.distinct.size == 1,
+      s"q33 window specs diverged (=> extra sort/exchange): $specs")
+    // higher-order array funcs must not explode: row count is invariant,
+    // so any Generate node means the plan went through a flatMap shape
+    val hof = planOf("embed_hof_stats")
+    assert(!hof.contains("Generate"), s"hof stats explode rows:\n$hof")
+    assert(hof.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"embed_hof_stats scan not pruned:\n$hof")
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import org.apache.spark.sql.functions.col
     val orders = Tables(spark, sf0001, "orders")

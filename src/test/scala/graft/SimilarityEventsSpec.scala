@@ -207,4 +207,52 @@ class SimilarityEventsSpec extends SparkTestBase {
     val r = meta.head()
     assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("n_frames") >= 1)
   }
+
+  test("weeklyRetention: retained = active in week AND week+7d") {
+    def ev(id: Long, day: Int, u: Long, tpe: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+        u, tpe, 1.0, "{}")
+    // week1 = Jan 1-7, week2 = Jan 8-14
+    val df = Seq(
+      ev(1, 1, 10, "purchase"), ev(2, 9, 10, "purchase"), // retained
+      ev(3, 2, 20, "purchase"), // not retained
+      ev(4, 3, 30, "click"), // wrong type: not active at all
+      ev(5, 10, 40, "purchase")) // week2 only
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Events.weeklyRetention(df)
+      .select("week_start_us", "n_active", "n_retained")
+      .as[(Long, Long, Long)].collect().toSeq
+    val w1 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val w2 = w1 + 7L * 86400 * 1000000L
+    assert(got == Seq((w1, 2L, 1L), (w2, 2L, 0L)))
+  }
+
+  test("forwardFill: LOCF per user; leading gap stays null") {
+    def ev(id: Long, min: Long, u: Long, v: Double) =
+      (id, new java.sql.Timestamp(min * 60000L), u, "view", v, "{}")
+    val df = Seq(
+      ev(5, 0, 1, 1.25), // id%5==0 -> blanked; leading null stays null
+      ev(6, 1, 1, 2.0),
+      ev(10, 2, 1, 9.99), // blanked -> carries 2.0
+      ev(11, 3, 2, 3.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Events.forwardFill(df)
+      .select("event_id", "filled_cents")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(5L -> None, 6L -> Some(200L),
+      10L -> Some(200L), 11L -> Some(350L)))
+  }
+
+  test("hofStats: positive count and integer quadrature are exact") {
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.0f), 0),
+      (2L, Array.empty[Float], 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hofStats(df)
+      .select("vec_id", "n_pos", "qnorm2")
+      .as[(Long, Long, Long)].collect().toSeq
+    // round(500)^2 + round(-250)^2 + 0 = 250000 + 62500
+    assert(got == Seq((1L, 1L, 312500L), (2L, 0L, 0L)))
+  }
 }

@@ -182,4 +182,31 @@ class TextDedupSpec extends SparkTestBase {
     assert(exact.subsetOf(cand),
       s"missed: ${exact -- cand}")
   }
+
+  test("tokenSetDedup: order and repetition collapse, distinct sets don't") {
+    val docs = Seq(
+      (1L, "b a a b"), (2L, "a b"), (3L, "a b b a a"), // same set {a,b}
+      (4L, "a c"), (5L, "a"))
+      .toDF("doc_id", "text")
+    val got = Dedup.tokenSetDedup(docs)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("editDistancePairs: banded distance within blocks, hot blocks dropped") {
+    def doc(id: Long, lang: String, text: String) =
+      (id, text, lang, text.length.toLong)
+    val docs = Seq(
+      doc(1, "en", "hello world"), doc(2, "en", "hello worlds"), // lev 1
+      doc(3, "en", "different text!"), // same 16-char block, beyond the band
+      doc(4, "zh", "hello world"), // other lang -> other block
+      doc(5, "en", "x" * 200)) // other length bucket
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = Dedup.editDistancePairs(docs, maxDist = 3)
+      .select("da", "db", "lev").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L)))
+    // cap = 1: the en/bucket-0 block (3 docs) is dropped loudly -> no pairs
+    val capped = Dedup.editDistancePairs(docs, maxDist = 3, maxBucket = 1)
+    assert(capped.count() == 0)
+  }
 }
