@@ -392,6 +392,11 @@ object SparkEntry {
     // gap-sessionization with session_window's half-open boundary
     "stream_session_parity" -> ((s, dir) =>
       graft.streaming.EventStream.sessionParityRun(s, s"$dir/events.parquet")),
+    // foreachBatch merge-upsert sink: 3 micro-batches each MERGE "latest
+    // event per user" into versioned keyed state; final state == the
+    // batch latest-per-user query however the files split into batches
+    "stream_upsert_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.upsertParityRun(s, s"$dir/events.parquet")),
 
     // EXT text analysis over documents:
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
@@ -793,6 +798,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           Relational.moneySum(col("l_extendedprice")).as("revenue"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // EXT correlated SCALAR subquery: orders priced above their own
+    // customer's average. Catalyst decorrelates the per-row subquery into
+    // one aggregate + join — never a per-row re-scan (q30 covers the
+    // EXISTS flavor; this is the scalar flavor). The HAVING-style compare
+    // is integer-cents vs DECIMAL avg surfaced as exact comparison on
+    // both engines via > with the same DECIMAL math.
+    "q34_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey
+        FROM g_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+              (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2)))
+               FROM g_orders i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
+
+    // EXT RANGE-interval window frame: per-user rolling 1-hour sum over
+    // EVENT TIME (value-based frame — q19's ROWS frames count rows; a
+    // range frame bounds by the ORDER key's value, so ties are peers and
+    // the result is order-independent). Integer cents keep it exact.
+    "q35_range_frame" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      ev.select(col("event_id"), col("user_id"), Events.tsUs(ev).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("roll_cents", sum("cents").over(w))
+        .select("event_id", "user_id", "roll_cents")
+        .orderBy("event_id")
     }),
   )
 
@@ -1857,7 +1894,7 @@ object SparkEntry {
            FROM documents),
          hot AS (
            SELECT lang, lb FROM d GROUP BY lang, lb
-           HAVING count(*) > 1000),
+           HAVING count(*) > 100),
          kept AS (
            SELECT d.* FROM d
            WHERE NOT EXISTS (
@@ -1922,5 +1959,34 @@ object SparkEntry {
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem WHERE l_quantity <= 10
          GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+
+    "stream_upsert_parity" ->
+      """WITH ranked AS (
+           SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+                  CAST(round(value * 100) AS BIGINT) AS last_cents,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, last_us, last_event_id, last_cents
+         FROM ranked WHERE rn = 1 ORDER BY user_id""",
+
+    "q34_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey
+         FROM orders o
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+               (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2)))
+                FROM orders i WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+
+    "q35_range_frame" ->
+      """WITH g AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+         SELECT event_id, user_id,
+                CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS roll_cents
+         FROM g ORDER BY event_id""",
   )
 }

@@ -361,9 +361,18 @@ object Dedup {
     * Blocking is the operator contract, exactly like [[simhashPairs]]'s
     * chunk buckets: per-(lang, bucket) group sizes bound the join
     * fan-out, and `maxBucket` drops pathological blocks loudly rather
-    * than letting one giant block go quadratic at scale. */
+    * than letting one giant block go quadratic at scale. The cap bounds
+    * PAIR work at maxBucket²/2 per block — and unlike content-keyed
+    * buckets, length-bucket sizes grow LINEARLY with the corpus (pair
+    * work quadratically: a 10x tools/Stress replication measured 43 s at
+    * cap 500, 121 s at 1000), so the default matches simhashPairs' 100.
+    * At real corpus scale this op is the exact RE-SCORER: generate
+    * candidates with [[simhashPairs]]/[[minhashLsh]] (content-blocked,
+    * near-dup-density-bounded) and compute banded Levenshtein only on
+    * those pairs; the length-blocked form here is the self-contained,
+    * oracle-checkable surface for corpora that fit its caps. */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 12,
-      prefixLen: Int = 40, bucketChars: Int = 16, maxBucket: Int = 1000,
+      prefixLen: Int = 40, bucketChars: Int = 16, maxBucket: Int = 100,
       id: String = "doc_id", text: String = "text",
       lang: String = "lang", nChars: String = "n_chars"): DataFrame = {
     val d = docs.select(col(id).as("doc_id"), col(lang).as("blang"),
@@ -379,6 +388,26 @@ object Dedup {
       // threshold form returns -1 above the band — keep 0..maxDist
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         expr(s"levenshtein(a.pfx, b.pfx, $maxDist)").cast("long").as("lev"))
+      .filter(col("lev") >= 0)
+      .orderBy("da", "db")
+  }
+
+  /** The 100 TB edit-distance path: re-score CANDIDATE pairs (from
+    * [[simhashPairs]] / [[minhashLsh]] — content-blocked generators whose
+    * output is bounded by near-dup density, not corpus size) with the
+    * banded Levenshtein. Two id-keyed joins to re-attach prefixes, then a
+    * map-side distance per candidate — linear in |pairs|, no self-join
+    * anywhere. Keeps pairs with distance <= maxDist. */
+  def levenshteinRescore(pairs: DataFrame, docs: DataFrame,
+      maxDist: Int = 12, prefixLen: Int = 40,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val d = docs.select(col(id).as("rid"),
+      substring(col(text), 1, prefixLen).as("rpfx"))
+    pairs.select("da", "db")
+      .join(d.select(col("rid").as("da"), col("rpfx").as("pa")), Seq("da"))
+      .join(d.select(col("rid").as("db"), col("rpfx").as("pb")), Seq("db"))
+      .select(col("da"), col("db"),
+        expr(s"levenshtein(pa, pb, $maxDist)").cast("long").as("lev"))
       .filter(col("lev") >= 0)
       .orderBy("da", "db")
   }

@@ -336,6 +336,95 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** Streaming merge-upsert sink via foreachBatch — the sink-side pattern
+    * every CDC/ingestion stream ends in: each micro-batch upserts "latest
+    * event per user" into a keyed table. Without a transactional table
+    * format in this container, the merge is expressed as versioned
+    * full-state parquet: batch N reads state version N-1 (a distributed
+    * scan, nothing collected), unions the batch's updates, keeps the
+    * winner per key, and writes version N — an idempotent rewrite, so a
+    * replayed micro-batch (foreachBatch is at-least-once) converges to
+    * the same version instead of double-applying. On a real lakehouse
+    * the body becomes one MERGE INTO against Delta/Iceberg and versions
+    * come from the table format's log; the streaming wiring (foreachBatch
+    * + AvailableNow + per-batch merge keyed on user) is identical.
+    *
+    * The winner rule is max by (event time, event_id) — a total order on
+    * events, so the final state is independent of how files split into
+    * micro-batches: that is the parity property the oracle checks.
+    *
+    * The staged corpus file is re-sliced into `nSlices` files with
+    * maxFilesPerTrigger=1, so the run genuinely merges across multiple
+    * micro-batches rather than trivially once. */
+  def upsertParityRun(spark: SparkSession, path: String,
+      nSlices: Int = 3): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val seq = parityRunSeq.incrementAndGet()
+    val pid = ProcessHandle.current().pid()
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-stage-upsert-$pid", seq.toString)
+    val target = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-upsert-target-$pid", seq.toString)
+    Files.createDirectories(stage)
+    Files.createDirectories(target)
+    // slice the corpus into nSlices staged files (event_id % n) so the
+    // AvailableNow run has one merge round per slice
+    val srcDf = spark.read.schema(fileSchema).parquet(path)
+    (0 until nSlices).foreach { i =>
+      srcDf.filter(col("event_id") % nSlices === i)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(stage.resolve(s"slice_$i").toString)
+    }
+    // file sources don't recurse into non-partition subdirs: surface each
+    // slice's part file at the staging root
+    (0 until nSlices).foreach { i =>
+      val dir = stage.resolve(s"slice_$i")
+      val listing = Files.list(dir)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+      Files.move(part, stage.resolve(s"slice_$i.parquet"))
+    }
+    val versionOf: Long => java.nio.file.Path =
+      v => target.resolve(s"v$v")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    var lastVersion = -1L
+    val mergeBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val updates = batch.select(col("user_id"),
+        unix_micros(col("ts")).as("last_us"),
+        col("event_id").as("last_event_id"),
+        round(col("value") * 100).cast("long").as("last_cents"))
+      val prev =
+        if (lastVersion < 0) updates.limit(0)
+        else spark.read.parquet(versionOf(lastVersion).toString)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("last_us"), desc("last_event_id"))
+      prev.unionByName(updates)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .write.mode("overwrite").parquet(versionOf(batchId).toString)
+      lastVersion = batchId
+    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = readParquetStream(spark, stage.toString,
+          maxFilesPerTrigger = 1, sourceSchema = fileSchema)
+        .writeStream
+        .foreachBatch(mergeBatch)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(lastVersion >= 0, "upsert stream produced no micro-batch")
+      val fin = spark.read.parquet(versionOf(lastVersion).toString)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(fin.collect(): _*), fin.schema)
+      local.orderBy("user_id")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user totals
     * across micro-batches (the `KeyValueGroupedDataset` stateful API for
     * semantics session_window can't express). State is one small record

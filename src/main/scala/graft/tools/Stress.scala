@@ -81,6 +81,19 @@ object Stress {
         graft.ops.Similarity.lshNearDup(emb, 0.4)
           .select(col("va").as("da"), col("vb").as("db"))).count()
     }
+    time("token_set_dedup") { graft.ops.Dedup.tokenSetDedup(docs).count() }
+    // replicated docs multiply every (lang, length-bucket) block by N and
+    // pair work by N² — maxBucket must shed the quadratic blocks loudly
+    // (at cap 100 most 10x blocks drop; the linear path is the rescore)
+    time("edit_distance (capped)") {
+      graft.ops.Dedup.editDistancePairs(docs).count()
+    }
+    // the scale path: content-blocked candidates + linear re-score
+    time("edit_rescore(simhash)") {
+      graft.ops.Dedup.levenshteinRescore(
+        graft.ops.Dedup.simhashPairs(docs), docs).count()
+    }
+    time("hof_stats") { graft.ops.Similarity.hofStats(emb).count() }
 
     // events replicate on event_id; user_id left as-is (same users, N×
     // denser timelines — the worst case for the banded range join's
@@ -105,6 +118,8 @@ object Stress {
       val ev = events.withColumn("us", graft.ops.Events.tsUs(events))
       graft.ops.Cdc.scd2(ev, "user_id", "event_type", "us", "event_id").count()
     }
+    time("weekly_retention") { graft.ops.Events.weeklyRetention(events).count() }
+    time("forward_fill") { graft.ops.Events.forwardFill(events).count() }
     spark.stop()
   }
 }

@@ -209,4 +209,16 @@ class TextDedupSpec extends SparkTestBase {
     val capped = Dedup.editDistancePairs(docs, maxDist = 3, maxBucket = 1)
     assert(capped.count() == 0)
   }
+
+  test("levenshteinRescore: distances on given candidates only, band filters") {
+    val docs = Seq(
+      (1L, "hello world"), (2L, "hello worlds"),
+      (3L, "totally unrelated"), (4L, "hello w0rld"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("da", "db")
+    val got = Dedup.levenshteinRescore(cand, docs, maxDist = 3)
+      .select("da", "db", "lev").as[(Long, Long, Long)].collect().toSeq
+    // (1,3) is beyond the band; (1,4) was never a candidate
+    assert(got == Seq((1L, 2L, 1L), (2L, 4L, 2L)))
+  }
 }
