@@ -817,6 +817,32 @@ object SparkEntry {
         ORDER BY o_orderkey""")
     }),
 
+    // EXT benchmark decontamination: corpus docs sharing >= 3 distinct
+    // word trigrams with the (broadcast) benchmark slice are flagged —
+    // the keep-eval-out-of-training stage of an LLM data pipeline.
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+
+    // EXT per-source quota capping (data mixing): keep the 10 lowest-id
+    // docs per source so no domain dominates the mix.
+    "fp_source_quota" -> ((s, dir) =>
+      Features.sourceQuota(t(s, dir, "documents"), cap = 10)),
+
+    // EXT normalization dedup: the corpus decorated with casing/punct/
+    // whitespace noise (ids offset) collapses back onto the originals
+    // under canonical-form dedup — exact-dedup cost, no pairwise work.
+    "dedup_normalized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val noisy = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
+      Dedup.normalizedDedup(docs.unionByName(noisy))
+    }),
+
     // EXT RANGE-interval window frame: per-user rolling 1-hour sum over
     // EVENT TIME (value-based frame — q19's ROWS frames count rows; a
     // range frame bounds by the ORDER key's value, so ties are peers and
@@ -1977,6 +2003,38 @@ object SparkEntry {
                (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2)))
                 FROM orders i WHERE i.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
+
+    "decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                WHERE len(arr) >= 3),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+         corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+         SELECT doc_id, count(*) AS n_shared
+         FROM corpus JOIN bench USING (s)
+         GROUP BY doc_id HAVING count(*) >= 3
+         ORDER BY doc_id""",
+
+    "fp_source_quota" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY doc_id""",
+
+    "dedup_normalized" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, '  ' || upper(text) || '!!' FROM documents),
+         canon AS (
+           SELECT doc_id,
+                  md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM corpus)
+         SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM canon GROUP BY fp ORDER BY keep_id""",
 
     "q35_range_frame" ->
       """WITH g AS (

@@ -352,6 +352,24 @@ object Dedup {
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
+  /** Normalization (canonical-form) dedup: lowercase, strip non-
+    * alphanumerics, collapse whitespace — then exact-dedup the canonical
+    * text. Catches the casing/punctuation/spacing variants that exact
+    * hashing misses, at exact-dedup cost (map-side canonicalize + one
+    * 128-bit fingerprint shuffle; zero pairwise work). The regex subset
+    * (char classes only) matches identically in Java regex and RE2/
+    * DuckDB, which is what makes the canonical form portable. */
+  def normalizedDedup(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col(text)), "[^a-z0-9 ]", " "), " +", " "))
+    docs
+      .select(col(id), md5(canon).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+  }
+
   /** Edit-distance (Levenshtein) near-dup pairs, blocked so the pairwise
     * work is bounded: candidates must share (lang, length-bucket), and
     * the distance is computed over a fixed-length prefix with Spark's

@@ -171,6 +171,23 @@ object Features {
     * auditable training-data pipeline needs from class rebalancing.
     * Map-only, no shuffle. Strata absent from `fractionsBp` keep
     * `defaultBp`. Keys must be non-negative. */
+  /** Per-source quota capping — the data-mixing primitive: keep at most
+    * `cap` documents per source/domain so no single crawl domain
+    * dominates the training mix. Deterministic: the kept set is the
+    * lowest `cap` ids per source (rank by a quality score instead by
+    * passing a different `order` column). One sort-shuffle on (source);
+    * per-source partitions sort-spill, never collect — and at 100 TB the
+    * window's sort key set is (source, id), a narrow projection. */
+  def sourceQuota(df: DataFrame, cap: Int = 50, stratum: String = "source",
+      order: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(order)
+    df.select(col(order), col(stratum))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col(order), col(stratum), col("rn").cast("long").as("rn"))
+      .orderBy(order)
+  }
+
   def hashStratifiedSample(df: DataFrame, stratum: String, key: String,
       fractionsBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
     require((fractionsBp.values ++ Seq(defaultBp)).forall(bp => bp >= 0 && bp <= 10000),

@@ -15,6 +15,33 @@ object TextAnalysis {
 
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct word k-grams with a benchmark/eval set — the
+    * pipeline stage that keeps test data out of training corpora.
+    *
+    * Shape: the benchmark side reduces to a DISTINCT shingle set and is
+    * explicitly broadcast (eval suites are MBs, corpora are TBs), so the
+    * check is one map-side hash probe per corpus shingle plus a doc-level
+    * count — no shuffle of the corpus beyond its own distinct, linear at
+    * 100 TB. Exact-match k-grams (via the codegen'd
+    * [[graft.functions.WordShingles]] kernel — the interpreted chain was
+    * the whole cost of this op); combine with [[graft.ops.Dedup]]'s
+    * near-dup families for fuzzy contamination. */
+  def contamination(corpus: DataFrame, bench: DataFrame, k: Int = 3,
+      minShared: Int = 3, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val sh = corpus.select(col(id),
+      explode(graft.functions.WordShingles(col(text), k)).as("s"))
+    val bsh = bench
+      .select(explode(graft.functions.WordShingles(col(text), k)).as("s"))
+      .distinct()
+    sh.join(broadcast(bsh), Seq("s"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(id)
+  }
+
   /** Per-document statistics + quality score. Ratios are exact basis
     * points (see Texty.ratioBp) so the DuckDB oracle matches bit-for-bit. */
   def textStats(docs: DataFrame, id: String = "doc_id",

@@ -94,6 +94,14 @@ object Stress {
         graft.ops.Dedup.simhashPairs(docs), docs).count()
     }
     time("hof_stats") { graft.ops.Similarity.hofStats(emb).count() }
+    time("normalized_dedup") { graft.ops.Dedup.normalizedDedup(docs).count() }
+    // bench side stays corpus-size-independent (broadcast distinct set)
+    time("decontaminate") {
+      graft.ops.TextAnalysis.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0)).count()
+    }
+    time("source_quota") { graft.ops.Features.sourceQuota(docs, 10).count() }
 
     // events replicate on event_id; user_id left as-is (same users, N×
     // denser timelines — the worst case for the banded range join's

@@ -162,6 +162,17 @@ class MlPipelineSpec extends SparkTestBase {
       s"kept $urgentKept of $urgent urgent rows")
   }
 
+  test("sourceQuota: keeps the cap lowest-order rows per stratum") {
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("doc_id", "source")
+    val got = Features.sourceQuota(df, cap = 2)
+      .select("doc_id", "source", "rn").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, "a", 1L), (2L, "a", 2L), (4L, "b", 1L),
+      (5L, "b", 2L), (6L, "c", 1L)))
+  }
+
   test("rfImportances: 64 rows summing to ~1 (FP12)") {
     val labeled = graft.ml.Classifiers.embeddingFeatures(
       Tables(spark, sf001, "embeddings"))

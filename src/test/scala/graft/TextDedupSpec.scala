@@ -210,6 +210,28 @@ class TextDedupSpec extends SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("normalizedDedup: case/punct/whitespace variants collapse") {
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO WORLD"),
+      (4L, "goodbye world"))
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizedDedup(docs)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (4L, 1L)))
+  }
+
+  test("contamination: >= minShared distinct shared trigrams flags a doc") {
+    val corpus = Seq(
+      (1L, "a b c d e"), // trigrams {a b c, b c d, c d e}: 3 shared
+      (2L, "a b c x y"), // 1 shared
+      (3L, "p q r s t")) // 0 shared
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(corpus, bench, minShared = 2)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L)))
+  }
+
   test("levenshteinRescore: distances on given candidates only, band filters") {
     val docs = Seq(
       (1L, "hello world"), (2L, "hello worlds"),
