@@ -188,6 +188,37 @@ class PlanShapeSpec extends SparkTestBase {
       s"embed_hof_stats scan not pruned:\n$hof")
   }
 
+  test("runtime bloom-filter injection reduces the big side of a shuffle join") {
+    // On a big⋈big shuffle join where one side carries a selective
+    // filter, Spark injects a runtime bloom filter on the other side —
+    // rows that cannot join are dropped BEFORE the shuffle, the single
+    // biggest I/O lever on a 100 TB fact-fact join. Local testdata is
+    // far below the production size thresholds, so the test lowers them
+    // to prove the engine's posture keeps the rewrite reachable (it is
+    // on by default in GraftSession — nothing disables it).
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.get(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = Tables(spark, sf0001, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val ord = Tables(spark, sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val plan = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally keep.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import org.apache.spark.sql.functions.col
     val orders = Tables(spark, sf0001, "orders")
