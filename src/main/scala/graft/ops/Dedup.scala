@@ -262,6 +262,11 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
+    // NB: one propagation step per localCheckpoint. Each step references
+    // its input THREE times (two label-edge unions + the label join), so
+    // stacking two steps into one un-materialized plan recomputes the
+    // inner step 3x — measured strictly slower than checkpointing each
+    // round despite halving the round trips.
     while (!converged && i < maxIter) {
       val aug = sym
         .union(labels.select(col("node").as("src"), col("label").as("dst")))

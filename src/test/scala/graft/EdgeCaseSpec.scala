@@ -113,6 +113,35 @@ class EdgeCaseSpec extends SparkTestBase {
       d(0).getLong(d(0).fieldIndex("is_current")) == 1L)
   }
 
+  test("this session's ops: empty/null inputs are safe and typed") {
+    // dedup additions: empty corpus -> no rows; null text groups with
+    // null fingerprint (md5(NULL) = NULL on both engines), edit distance
+    // drops null prefixes (levenshtein(NULL) = NULL fails the band)
+    assert(graft.ops.Dedup.tokenSetDedup(emptyDocs).count() == 0)
+    assert(graft.ops.Dedup.normalizedDedup(emptyDocs).count() == 0)
+    assert(graft.ops.Dedup.editDistancePairs(emptyDocs).count() == 0)
+    val nulls = Seq(
+      (1L, null.asInstanceOf[String], "en", 0L),
+      (2L, null.asInstanceOf[String], "en", 0L),
+      (3L, "real text", "en", 9L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val ts = graft.ops.Dedup.tokenSetDedup(nulls)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(ts == Seq((1L, 2L), (3L, 1L)))
+    assert(graft.ops.Dedup.editDistancePairs(nulls).count() == 0)
+    // contamination: empty corpus and empty bench are both safe
+    assert(graft.ops.TextAnalysis.contamination(emptyDocs, nulls).count() == 0)
+    assert(graft.ops.TextAnalysis.contamination(nulls, emptyDocs).count() == 0)
+    // retention / forward-fill / quota on empty frames
+    val emptyEvents = Tables(spark, sf0001, "events").limit(0)
+    assert(graft.ops.Events.weeklyRetention(emptyEvents).count() == 0)
+    assert(graft.ops.Events.forwardFill(emptyEvents).count() == 0)
+    assert(graft.ops.Features.sourceQuota(emptyDocs).count() == 0)
+    // hof stats: empty set safe (null embeddings don't occur in the
+    // corpus contract; empty arrays covered in SimilarityEventsSpec)
+    assert(graft.ops.Similarity.hofStats(emptyEmb).count() == 0)
+  }
+
   test("similarity ops return empty on empty embeddings") {
     assert(graft.ops.Similarity.bruteTopK(emptyEmb, 10, 5).count() == 0)
     assert(graft.ops.Similarity.bruteNearDup(emptyEmb, 0.5).count() == 0)
