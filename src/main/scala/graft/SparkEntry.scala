@@ -857,6 +857,50 @@ object SparkEntry {
         .select("event_id", "user_id", "roll_cents")
         .orderBy("event_id")
     }),
+
+    // EXT intra-doc repetition stats (Gopher repetition rules): duplicate
+    // and top-bigram occurrence fractions per document — the within-doc
+    // quality twin of the corpus-level dedup family.
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+
+    // EXT inverted index: term -> full df + the 20 lowest containing doc
+    // ids (truncated posting lists bound every output row at any scale).
+    "inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"))),
+
+    // EXT sequence-packing manifest: exact global token offsets in
+    // doc_id order via the DISTRIBUTED prefix sum (derived range slices
+    // + broadcast offsets — no single-partition window over raw rows).
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"))),
+
+    // EXT hourly resample + gap fill (LOCF on the dense per-user grid).
+    "events_resample" -> ((s, dir) =>
+      Events.resampleHourly(t(s, dir, "events"))),
+
+    // EXT rolling z-score anomaly flags — integer-exact variance test
+    // over the 24 preceding events per user, no division anywhere.
+    "events_anomaly" -> ((s, dir) =>
+      Events.rollingAnomaly(t(s, dir, "events"))),
+
+    // EXT snapshot diff: the change feed between two materializations
+    // (B = A with every 10th price bumped, every 100th key dropped, a
+    // shifted copy of every 50th added — same synthesize-then-operate
+    // pattern as cdc_apply, whose inverse this is).
+    "table_diff" -> ((s, dir) => {
+      val snapA = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val snapB = snapA.filter(col("o_orderkey") % 100 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000.0d)
+            .otherwise(col("o_totalprice")))
+        .unionByName(snapA.filter(col("o_orderkey") % 50 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      graft.ops.Cdc.snapshotDiff(snapA, snapB, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
   )
 
   // ---- Portable-hash oracle SQL (generated from the SAME constants the
@@ -1315,6 +1359,110 @@ object SparkEntry {
           AND v.us2 >= epoch_us(c.ts) - 3600000000
           AND v.us2 < epoch_us(c.ts)
          GROUP BY 1, 2, 3 ORDER BY user_id, event_id""",
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i + 1])) AS bg
+                FROM toks WHERE len(t) >= 2),
+         occ AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                      count(*) AS n_uniq_bigrams, max(c) AS top_occ
+               FROM occ GROUP BY 1)
+         SELECT doc_id, n_bigrams, n_uniq_bigrams, top_occ,
+                CAST(floor((n_bigrams - n_uniq_bigrams) * 10000.0 / n_bigrams) AS BIGINT) AS dup_bp,
+                CAST(floor(top_occ * 10000.0 / n_bigrams) AS BIGINT) AS top_bp
+         FROM s ORDER BY doc_id""",
+
+    "inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, term FROM
+                        (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents)
+                      WHERE term <> ''),
+         w AS (SELECT term, doc_id,
+                      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+                      count(*) OVER (PARTITION BY term) AS df
+               FROM tok)
+         SELECT term, CAST(max(df) AS BIGINT) AS df,
+                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         FROM w WHERE rn <= 20 GROUP BY term ORDER BY term""",
+
+    "pack_sequences" ->
+      """WITH s AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+               FROM s)
+         SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
+                (cum - n_tokens) // 256 AS seq_first,
+                (cum - 1) // 256 AS seq_last,
+                (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs
+         FROM c ORDER BY doc_id""",
+
+    "events_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         hourly AS (SELECT user_id, h, count(*) AS cnt, sum(cents) AS sum_cents
+                    FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+         grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span),
+         j AS (SELECT g.user_id, g.h, hourly.cnt, hourly.sum_cents
+               FROM grid g LEFT JOIN hourly
+                 ON g.user_id = hourly.user_id AND g.h = hourly.h)
+         SELECT user_id, h * 3600000000 AS hour_us,
+                CAST(coalesce(cnt, 0) AS BIGINT) AS n_events,
+                CAST(last_value(sum_cents IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS filled_cents
+         FROM j ORDER BY user_id, hour_us""",
+
+    "events_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         w AS (SELECT event_id, user_id, cents,
+                      CAST(count(cents) OVER fr AS BIGINT) AS n_prev,
+                      CAST(sum(cents) OVER fr AS BIGINT) AS s_prev,
+                      CAST(sum(cents * cents) OVER fr AS BIGINT) AS q_prev
+               FROM e
+               WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id, cents, n_prev,
+                CAST(coalesce(n_prev >= 8 AND
+                     (n_prev - 1) * (n_prev * cents - s_prev) * (n_prev * cents - s_prev)
+                     > 9 * n_prev * (n_prev * q_prev - s_prev * s_prev),
+                     FALSE) AS BIGINT) AS is_anomaly
+         FROM w ORDER BY event_id""",
+
+    "table_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+         b AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                           ELSE o_totalprice END AS o_totalprice,
+                      o_orderstatus
+               FROM orders WHERE o_orderkey % 100 <> 0
+               UNION ALL
+               SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+               FROM orders WHERE o_orderkey % 50 = 0),
+         j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                      CASE WHEN a.o_orderkey IS NULL THEN 'A'
+                           WHEN b.o_orderkey IS NULL THEN 'D'
+                           WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                             OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                           THEN 'U' END AS change,
+                      a.o_totalprice AS old_o_totalprice,
+                      b.o_totalprice AS new_o_totalprice,
+                      a.o_orderstatus AS old_o_orderstatus,
+                      b.o_orderstatus AS new_o_orderstatus
+               FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+         SELECT o_orderkey, change, old_o_totalprice, new_o_totalprice,
+                old_o_orderstatus, new_o_orderstatus
+         FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""",
 
     "text_top_terms" ->
       """WITH tok AS (

@@ -44,6 +44,38 @@ object Cdc {
       .drop("__rn", versionCol, opCol)
   }
 
+  /** Snapshot diff — the inverse of [[apply]]: given two materializations
+    * of the same table, emit the change feed that turns `a` into `b`
+    * ('A' added, 'D' deleted, 'U' changed on any compared column;
+    * unchanged keys are dropped, which is what makes the output feed-
+    * sized, not table-sized). The audit/regression primitive for corpus
+    * re-materializations: "what did this pipeline change?".
+    *
+    * One full-outer hash join on `key` — a single co-partitioned shuffle
+    * of both snapshots; the column compare is null-safe (`<=>`) per
+    * column, map-side after the join. Output carries old/new values for
+    * every compared column. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+      compare: Seq[String]): DataFrame = {
+    require(compare.nonEmpty, "snapshotDiff needs at least one compare column")
+    val left = a.select((key +: compare).map(c => col(c).as(s"a_$c")): _*)
+    val right = b.select((key +: compare).map(c => col(c).as(s"b_$c")): _*)
+    val changed = compare
+      .map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduce(_ || _)
+    val outCols = col("k").as(key) +: col("change") +:
+      compare.flatMap(c => Seq(col(s"a_$c").as(s"old_$c"), col(s"b_$c").as(s"new_$c")))
+    left.join(right, col(s"a_$key") === col(s"b_$key"), "full")
+      .withColumn("k", coalesce(col(s"a_$key"), col(s"b_$key")))
+      .withColumn("change",
+        when(col(s"a_$key").isNull, lit("A"))
+          .when(col(s"b_$key").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("change").isNotNull)
+      .select(outCols: _*)
+      .orderBy(key)
+  }
+
   /** Type-2 slowly-changing dimension build from a change feed: collapse
     * consecutive runs of the same attribute value per key, then stamp each
     * run with [valid_from, valid_to) and an is_current flag — the

@@ -268,6 +268,80 @@ object Events {
       .orderBy("week_start_us")
   }
 
+  /** Hourly resampling with gap fill — the time-series regularization
+    * primitive: project each user's events onto a dense hourly grid from
+    * their first to their last active hour, carrying the last observed
+    * hourly sum forward through empty hours (LOCF on the GRID, where
+    * [[forwardFill]] repairs nulls on the raw rows).
+    *
+    * Shape: one aggregate collapses events to (user, hour) — the only
+    * shuffle that sees raw rows; the grid explodes a 2-row-per-user span
+    * table (bounded by span hours, not event count); the left join and
+    * the fill window both key on user_id, so AQE plans them on the
+    * aggregated, corpus-independent cardinality. Values are exact cents.
+    * The first grid hour always has events (it IS the user's min), so
+    * `filled_cents` is never null. */
+  def resampleHourly(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    // integer div, not `/`: double division is exact here (us < 2^53)
+    // but integral `div` makes the floor semantics explicit
+    val base = events.select(col("user_id"), tsUs(events).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("h", expr(s"us div $hourUs"))
+      .drop("us")
+    val hourly = base.groupBy("user_id", "h")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+    val grid = base.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("filled_cents",
+        last(col("sum_cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"), (col("h") * hourUs).as("hour_us"),
+        coalesce(col("cnt"), lit(0L)).as("n_events"), col("filled_cents"))
+      .orderBy("user_id", "hour_us")
+  }
+
+  /** Rolling z-score anomaly flags — streaming-monitoring shape in batch:
+    * an event is anomalous when its value sits more than `sigmas` sample
+    * standard deviations from the mean of the user's `lookback` PRECEDING
+    * events (the current row never sees itself — no self-masking).
+    * Entirely INTEGER arithmetic so the flag is bit-portable: with n, s =
+    * Σcents, q = Σcents² over the frame, |x−μ| > kσ becomes
+    *   (n−1)·(n·x − s)² > k²·n·(n·q − s²)
+    * — no division, no floats, no cross-engine rounding. Bounds: cents ≤
+    * ~5.7e4 (value ≤ 560.21 in this corpus), n ≤ 24 ⇒ every term stays
+    * under ~4e14, far from BIGINT overflow; re-derive before raising
+    * `lookback` or feeding larger-valued data. Frames with n < minN
+    * abstain (flag 0 — not enough history to call an outlier).
+    *
+    * One sort-shuffle by user; the frame is O(lookback) per row. */
+  def rollingAnomaly(events: DataFrame, lookback: Int = 24, minN: Int = 8,
+      sigmas: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    val k2 = sigmas.toLong * sigmas
+    events
+      .select(col("event_id"), col("user_id"), tsUs(events).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_prev", count("cents").over(w))
+      .withColumn("s_prev", sum("cents").over(w))
+      .withColumn("q_prev", sum(col("cents") * col("cents")).over(w))
+      .withColumn("is_anomaly",
+        (col("n_prev") >= minN &&
+          (col("n_prev") - 1)
+            * (col("n_prev") * col("cents") - col("s_prev"))
+            * (col("n_prev") * col("cents") - col("s_prev"))
+          > lit(k2) * col("n_prev")
+            * (col("n_prev") * col("q_prev") - col("s_prev") * col("s_prev")))
+          .cast("long"))
+      .select("event_id", "user_id", "cents", "n_prev", "is_anomaly")
+      .orderBy("event_id")
+  }
+
   /** Forward-fill (last observation carried forward) — the canonical
     * time-series gap-repair: replace each NULL measurement with the
     * user's most recent non-null value. One sort-shuffle by user; the

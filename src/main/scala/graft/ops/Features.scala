@@ -130,6 +130,40 @@ object Features {
       .drop("__pid", "__lrn", "__off", "__total", "__rn")
   }
 
+  /** Inclusive global running total of `value` over ORDER BY `orderKey`,
+    * distributed — the prefix-sum primitive behind corpus-order layouts
+    * (sequence packing, byte-offset manifests). Same derived-slice
+    * construction as [[rangeNtileBucket]]: one driver-side approxQuantile
+    * fixes slice cut points as a pure function of the key (deterministic —
+    * no resampled range partitioning), the per-slice window runs in
+    * parallel, and a #slices-row offsets table (tiny single-partition
+    * window over an Aggregate, per the PlanShapeSpec rule) is broadcast
+    * back. No single-partition window ever sees raw rows.
+    *
+    * `orderKey` must be numeric, non-null and UNIQUE — equal keys would
+    * make the running total order-dependent. */
+  def withRunningTotal(df: DataFrame, orderKey: String, value: String,
+      out: String): DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val cuts = df.stat
+      .approxQuantile(orderKey, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    val pidExpr = cuts.zipWithIndex.foldRight(lit(cuts.length)) {
+      case ((c, i), els) => when(col(orderKey) <= c, lit(i)).otherwise(els)
+    }
+    val ranged = df.withColumn("__pid", pidExpr)
+    val wLocal = Window.partitionBy("__pid").orderBy(orderKey)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("__lcum", sum(col(value)).over(wLocal))
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy("__pid").agg(sum(col(value)).as("__psum"))
+      .withColumn("__off", coalesce(sum("__psum").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn(out, col("__off") + col("__lcum"))
+      .drop("__pid", "__lcum", "__off")
+  }
+
   /** FP4 — the reference's null imputation: numeric nulls → -1, string
     * nulls → "-1" (exp4_work4.ipynb:127-128, README.md:320-321). */
   def naFill(df: DataFrame): DataFrame =

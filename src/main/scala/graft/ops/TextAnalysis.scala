@@ -271,6 +271,98 @@ object TextAnalysis {
       .orderBy(col(id), col("chunk_idx"))
   }
 
+  /** Intra-document repetition statistics (Gopher repetition rules, Rae
+    * et al. 2021 §A1.1): the within-doc twin of the corpus-level dedup
+    * family — a doc whose text loops on itself is low quality even if
+    * globally unique. Per doc, over word bigram OCCURRENCES (not the
+    * distinct shingles [[bigramDf]] counts): total bigrams, distinct
+    * bigrams, the top bigram's occurrence count, and two exact
+    * basis-point scores — duplicate-bigram fraction and top-bigram
+    * fraction. Docs with fewer than 2 tokens have no bigrams and are
+    * absent by definition.
+    *
+    * Scale: explode→groupBy(doc, bigram) is one shuffle with map-side
+    * partial aggregation; the per-doc rollup re-aggregates rows bounded
+    * by distinct bigrams per doc. No window, no self-join. */
+  def repetitionStats(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val toks = Texty.tokens(col(text))
+    // non-distinct bigram list: zip tokens with their successors
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val occ = docs
+      .filter(size(toks) >= 2)
+      .select(col(id), explode(bigrams).as("bg"))
+      .groupBy(col(id), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    occ.groupBy(id)
+      .agg(sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_uniq_bigrams"),
+        max("c").as("top_occ"))
+      .withColumn("dup_bp",
+        Texty.ratioBp(col("n_bigrams") - col("n_uniq_bigrams"), col("n_bigrams")))
+      .withColumn("top_bp", Texty.ratioBp(col("top_occ"), col("n_bigrams")))
+      .orderBy(id)
+  }
+
+  /** Inverted index with truncated posting lists: term → full document
+    * frequency + the `cap` lowest containing doc ids — the
+    * search/retrieval build primitive. Truncation (not df-banding) keeps
+    * every term visible while BOUNDING every output row: no term can
+    * produce a giant posting row however common it is, which is what
+    * makes the index writable at 100 TB. (This corpus's synthetic vocab
+    * is 31 ubiquitous terms — a rare-term df band would be empty at
+    * every scale; real pipelines compose this with a stopword df-drop.)
+    *
+    * Scale: per-doc DISTINCT terms (array_distinct before the explode —
+    * one (doc, term) row per containing doc, not per occurrence); rank
+    * and df share ONE sort-shuffle by term (two window frames over the
+    * same partition spec), the cap filter drops everything but `cap`
+    * rows per term, and the final groupBy reuses the term partitioning.
+    * A stopword-scale term makes its window partition sort-spill rather
+    * than OOM (windows spill; collect_list would not). Postings surface
+    * as a CSV string sorted by doc id — deterministic, hash-comparable. */
+  def invertedIndex(docs: DataFrame, cap: Int = 20,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(cap >= 1, s"cap >= 1, got $cap")
+    val wRank = Window.partitionBy("term").orderBy(id)
+    val wAll = Window.partitionBy("term")
+    docs
+      .select(col(id), explode(array_distinct(Texty.tokens(col(text)))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("df", count(lit(1)).over(wAll).cast("long"))
+      .filter(col("rn") <= cap)
+      .groupBy("term")
+      .agg(max("df").as("df"), sort_array(collect_set(col(id))).as("__ids"))
+      .select(col("term"), col("df"),
+        array_join(transform(col("__ids"), _.cast("string")), ",").as("postings"))
+      .orderBy("term")
+  }
+
+  /** Sequence-packing manifest — the GPT-style "concatenate the corpus in
+    * a fixed order and cut every `budget` tokens" layout: for each doc,
+    * its token count, global start offset, and the first/last training
+    * sequence it lands in. The offset is an exact global prefix sum over
+    * doc_id order, computed DISTRIBUTED via [[Features.withRunningTotal]]
+    * (derived range slices + broadcast offsets — no single-partition
+    * window over raw rows, the one shape PlanShapeSpec forbids). */
+  def packSequences(docs: DataFrame, budget: Int = 256,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(budget >= 1, s"budget >= 1, got $budget")
+    val base = docs.select(col(id),
+      size(Texty.tokens(col(text))).cast("long").as("n_tokens"))
+    Features.withRunningTotal(base, id, "n_tokens", "cum")
+      .withColumn("start_off", col("cum") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"start_off div $budget"))
+      .withColumn("seq_last", expr(s"(cum - 1) div $budget"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .select(col(id), col("n_tokens"), col("start_off"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+      .orderBy(id)
+  }
+
   /** Document fingerprints: md5 (content-exact) + polynomial rolling hash
     * (shift-tolerant primitive used by chunk-level dedup). */
   def fingerprints(docs: DataFrame, id: String = "doc_id",

@@ -221,4 +221,25 @@ class RelationalSpec extends SparkTestBase {
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("snapshotDiff: A/D/U classification, unchanged dropped, null-safe") {
+    val a = Seq(
+      (1L, Option(10.0), "x"), (2L, Option(20.0), "y"),
+      (3L, Option.empty[Double], "z"), (4L, Option(40.0), "w"))
+      .toDF("k", "price", "status")
+    val b = Seq(
+      (1L, Option(10.0), "x"), //  unchanged -> dropped from the feed
+      (2L, Option(25.0), "y"), //  U: price moved
+      (3L, Option(30.0), "z"), //  U: null -> value must compare null-safe
+      (5L, Option(50.0), "v")) //  A: new key (and 4 -> D: gone)
+      .toDF("k", "price", "status")
+    val got = graft.ops.Cdc.snapshotDiff(a, b, "k", Seq("price", "status"))
+      .select("k", "change", "old_price", "new_price")
+      .as[(Long, String, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (2L, "U", Some(20.0), Some(25.0)),
+      (3L, "U", None, Some(30.0)),
+      (4L, "D", Some(40.0), None),
+      (5L, "A", None, Some(50.0))))
+  }
 }

@@ -255,4 +255,36 @@ class SimilarityEventsSpec extends SparkTestBase {
     // round(500)^2 + round(-250)^2 + 0 = 250000 + 62500
     assert(got == Seq((1L, 1L, 312500L), (2L, 0L, 0L)))
   }
+
+  test("resampleHourly: dense grid per user, LOCF through empty hours") {
+    def ev(id: Long, hour: Int, u: Long, v: Double) =
+      (id, new java.sql.Timestamp(hour * 3600000L), u, "view", v, "{}")
+    val df = Seq(
+      ev(1, 0, 1, 1.0), ev(2, 0, 1, 2.5), // hour 0: 2 events, 350 cents
+      ev(3, 3, 1, 4.0), //                   hours 1-2 empty -> carry 350
+      ev(4, 5, 2, 0.5)) //                   user 2: single-hour grid
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.resampleHourly(df)
+      .select("user_id", "hour_us", "n_events", "filled_cents")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val h = 3600000000L
+    assert(got == Seq(
+      (1L, 0L, 2L, 350L), (1L, h, 0L, 350L), (1L, 2 * h, 0L, 350L),
+      (1L, 3 * h, 1L, 400L), (2L, 5 * h, 1L, 50L)))
+  }
+
+  test("rollingAnomaly: abstains below minN, flags a spike, never self-masks") {
+    def ev(id: Long, v: Double) =
+      (id, new java.sql.Timestamp(id * 60000L), 1L, "view", v, "{}")
+    // 10 identical values (variance 0), then a spike
+    val df = ((1 to 10).map(i => ev(i.toLong, 1.00)) :+ ev(11L, 9.99))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Events.rollingAnomaly(df)
+      .select("event_id", "n_prev", "is_anomaly")
+      .as[(Long, Long, Long)].collect().toSeq
+    // ids 1-8: n_prev < 8 -> abstain; 9-10: zero deviation -> 0; 11: flag
+    assert(got.filter(_._3 == 1L).map(_._1) == Seq(11L))
+    assert(got.find(_._1 == 11L).get._2 == 10L)
+    assert(got.take(8).forall(r => r._2 < 8L && r._3 == 0L))
+  }
 }

@@ -243,4 +243,61 @@ class TextDedupSpec extends SparkTestBase {
     // (1,3) is beyond the band; (1,4) was never a candidate
     assert(got == Seq((1L, 2L, 1L), (2L, 4L, 2L)))
   }
+
+  test("repetitionStats: bigram OCCURRENCE fractions; <2-token docs absent") {
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams a b, b a, a b, b a: n=4 uniq=2 top=2
+      (2L, "x y z"), //       x y, y z: no repetition
+      (3L, "solo")) //        1 token -> no bigrams -> absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "n_bigrams", "n_uniq_bigrams", "top_occ",
+        "dup_bp", "top_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 2L, 5000L, 5000L),
+      (2L, 2L, 2L, 1L, 0L, 5000L)))
+  }
+
+  test("invertedIndex: full df, truncated sorted postings, per-doc distinct") {
+    val docs = Seq(
+      (2L, "a b"), (1L, "a b"), (5L, "b b"), // b once per doc despite "b b"
+      (3L, "a c"), (4L, "a"))
+      .toDF("doc_id", "text")
+    // a: df=4 but postings cap at the 3 lowest ids; c: df=1 kept too
+    val got = TextAnalysis.invertedIndex(docs, cap = 3)
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("a", 4L, "1,2,3"), ("b", 3L, "1,2,5"), ("c", 1L, "3")))
+  }
+
+  test("packSequences: cut-every-budget boundaries on a literal corpus") {
+    val tiny = Seq((1L, "t t t"), (2L, "t t"), (3L, "t t t t"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(tiny, budget = 4)
+      .select("doc_id", "n_tokens", "start_off", "seq_first", "seq_last",
+        "n_seqs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // cum: 3, 5, 9; budget 4 => doc2 straddles seqs 0-1, doc3 seqs 1-2
+    assert(got == Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 2L, 3L, 0L, 1L, 2L),
+      (3L, 4L, 5L, 1L, 2L, 2L)))
+  }
+
+  test("packSequences: distributed prefix sum == single-partition window") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = TextAnalysis.packSequences(docs, budget = 64)
+      .select("doc_id", "start_off")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("start_off", coalesce(sum("n").over(w), lit(0L)))
+      .select("doc_id", "start_off")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+  }
 }
