@@ -901,6 +901,37 @@ object SparkEntry {
       graft.ops.Cdc.snapshotDiff(snapA, snapB, "o_orderkey",
         Seq("o_totalprice", "o_orderstatus"))
     }),
+
+    // EXT typed-Aggregator top-k: same rows as q8_window_topn (shared
+    // oracle) but via partial aggregation — the shuffle carries <= k rows
+    // per (group, map partition) instead of every order. PlanShapeSpec
+    // asserts the ObjectHashAggregate partial/final shape.
+    "q8b_topk_agg" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKByScore(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.Scored]())
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"), col("t.key").as("o_orderkey"),
+          col("t.score").as("o_totalprice"),
+          (col("pos") + 1).cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // EXT corpus mixture report: per-source doc/token counts and exact
+    // bp share of total tokens (the data-mixing dashboard).
+    "corpus_mix" -> ((s, dir) =>
+      TextAnalysis.corpusMix(t(s, dir, "documents"))),
+
+    // EXT sketch profile (rows-only BY DESIGN: HLL sketches are
+    // engine-specific — no DuckDB twin; the exact profile is the
+    // oracle'd profile_lineitem): same single-scan shape, with
+    // approx_count_distinct replacing the exact dedup stage.
+    "profile_approx" -> ((s, dir) =>
+      Profiler.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"),
+        approx = true)),
   )
 
   // ---- Portable-hash oracle SQL (generated from the SAME constants the
@@ -1285,6 +1316,26 @@ object SparkEntry {
                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    // the typed-Aggregator formulation must return EXACTLY the window
+    // formulation's rows — one oracle, two physical strategies
+    "q8b_topk_agg" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+                    AS BIGINT) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "corpus_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
+         SELECT source, n_docs, n_tokens,
+                CAST(floor(n_tokens * 10000.0 / total) AS BIGINT) AS share_bp
+         FROM s CROSS JOIN t ORDER BY source""",
 
     "q9_events_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,

@@ -363,6 +363,26 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** Corpus mixture report — the data-mixing dashboard: per stratum
+    * (source/domain/language), document and token counts plus each
+    * stratum's exact basis-point share of total tokens. This is the table
+    * a training run's mixture weights are negotiated against, and the
+    * check that [[graft.ops.Features.sourceQuota]] capping actually moved
+    * the mix. One partial-aggregated shuffle collapses the corpus to
+    * #strata rows; the total rides back as a broadcast 1-row aggregate
+    * (never a driver collect). */
+  def corpusMix(docs: DataFrame, stratum: String = "source",
+      text: String = "text"): DataFrame = {
+    val s = docs.groupBy(stratum)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Texty.tokens(col(text)))).cast("long").as("n_tokens"))
+    val total = s.agg(sum("n_tokens").as("total_tokens"))
+    s.crossJoin(broadcast(total))
+      .withColumn("share_bp", Texty.ratioBp(col("n_tokens"), col("total_tokens")))
+      .select(col(stratum), col("n_docs"), col("n_tokens"), col("share_bp"))
+      .orderBy(stratum)
+  }
+
   /** Document fingerprints: md5 (content-exact) + polynomial rolling hash
     * (shift-tolerant primitive used by chunk-level dedup). */
   def fingerprints(docs: DataFrame, id: String = "doc_id",

@@ -242,4 +242,16 @@ class PlanShapeSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("q8b's aggregator top-k plans partial ObjectHashAggregate, no window") {
+    val plan = planOf("q8b_topk_agg")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed aggregator should plan ObjectHashAggregate:\n$plan")
+    // the whole point vs q8_window_topn: map-side partial top-k, so the
+    // exchange moves <= k rows per (group, map partition), and no Window
+    // operator sorts whole groups after the shuffle
+    assert(!plan.contains("Window"), s"unexpected Window:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregate pair:\n$plan")
+  }
 }

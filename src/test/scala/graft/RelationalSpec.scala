@@ -222,6 +222,54 @@ class RelationalSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("TopKByScore aggregator == window top-n on the real corpus") {
+    val agg = SparkEntry.queries("q8b_topk_agg")(spark, sf0001)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val win = SparkEntry.queries("q8_window_topn")(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(agg == win)
+  }
+
+  test("TopKByScore: score desc, key asc tie-break, buffer floor rejects") {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScore(2),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Scored]())
+    val df = Seq((1L, 5.0, 10L), (1L, 5.0, 9L), (1L, 7.0, 99L),
+      (1L, 1.0, 1L), (2L, 3.0, 3L))
+      .toDF("g", "score", "key")
+    val got = df.groupBy("g").agg(topk(col("score"), col("key")).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.score"), col("t.key"))
+      .as[(Long, Double, Long)].collect().toSeq.sorted
+    // g=1: 7.0 first, then the 5.0 tie broken by key asc (9 before 10)
+    assert(got == Seq((1L, 5.0, 9L), (1L, 7.0, 99L), (2L, 3.0, 3L)))
+  }
+
+  test("corpusMix: exact token shares in basis points") {
+    val docs = Seq(
+      (1L, "a b c", "web"), (2L, "d e", "web"), (3L, "f g h i j", "books"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.TextAnalysis.corpusMix(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("books", 1L, 5L, 5000L), ("web", 2L, 5L, 5000L)))
+  }
+
+  test("approx profile tracks the exact profile within HLL tolerance") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_orderkey")
+    val exact = graft.ops.Profiler.numericProfile(li, cols)
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = graft.ops.Profiler.numericProfile(li, cols, approx = true)
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      assert(math.abs(a - e) / e < 0.1, s"$c: approx $a vs exact $e")
+    }
+  }
+
   test("snapshotDiff: A/D/U classification, unchanged dropped, null-safe") {
     val a = Seq(
       (1L, Option(10.0), "x"), (2L, Option(20.0), "y"),
