@@ -932,6 +932,60 @@ object SparkEntry {
       Profiler.numericProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"),
         approx = true)),
+
+    // EXT market-basket co-occurrence: top-20 part pairs ordered together.
+    // Basket shape, not a self-join: one shuffle collapses lineitem to
+    // per-order DISTINCT part sets (collect_set — bounded by order size,
+    // <= 7 here, so n_orders counts ORDERS even when a part repeats
+    // across an order's lineitems), pairs are generated INLINE from each
+    // set (<= 21 rows per order, the same in-bucket trick as lshNearDup),
+    // and one more partial-aggregated shuffle counts pairs. The global
+    // top-k is TakeOrderedAndProject, never a full sort. A self-join
+    // formulation pays a third exchange for the distinct and moves every
+    // (order, part) row twice — measured 1.9 s vs 1.2 s warm at sf0.1.
+    "copurchase_pairs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(collect_set(col("l_partkey")).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("pa"), b.as("pb")))))).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), asc("pa"), asc("pb"))
+        .limit(20)),
+
+    // EXT percentile winsorization: clamp each event's value into its
+    // type's exact [p05, p95] band — the outlier-taming feature-eng pass.
+    // The percentile table is #types rows, broadcast back; values stay
+    // raw doubles until the final exact-cents surface.
+    "events_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pct = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      ev.join(broadcast(pct), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(least(greatest(col("value"), col("p05")), col("p95")) * 100)
+            .cast("long").as("clamped_cents"))
+        .orderBy("event_id")
+    }),
+
+    // EXT in-memory schema-drift union: unionByName(allowMissingColumns)
+    // null-pads each side's missing columns — the DataFrame twin of
+    // sink_schema_evolution's mergeSchema read.
+    "q36_union_by_name" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val oldBatch = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val newBatch = o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      oldBatch.unionByName(newBatch, allowMissingColumns = true)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<none>")).as("priority"))
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("priority")
+    }),
   )
 
   // ---- Portable-hash oracle SQL (generated from the SAME constants the
@@ -1327,6 +1381,37 @@ object SparkEntry {
                     AS BIGINT) AS rn
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "copurchase_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_orders
+         FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+         ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 20""",
+
+    "events_winsorize" ->
+      """WITH p AS (SELECT event_type,
+                           quantile_cont(value, 0.05) AS p05,
+                           quantile_cont(value, 0.95) AS p95
+                    FROM events GROUP BY 1)
+         SELECT event_id, e.event_type,
+                CAST(round(least(greatest(value, p05), p95) * 100) AS BIGINT)
+                  AS clamped_cents
+         FROM events e JOIN p ON e.event_type = p.event_type
+         ORDER BY event_id""",
+
+    "q36_union_by_name" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT coalesce(o_orderpriority, '<none>') AS priority,
+                count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM u GROUP BY 1 ORDER BY priority""",
 
     "corpus_mix" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,

@@ -270,6 +270,38 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("copurchase counts ORDERS, not lineitem multiplicity") {
+    // order 1 holds part 10 twice + part 20: the (10,20) pair counts once
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+    val distinct = li.distinct()
+    val got = distinct.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(distinct.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 20L, 2L)))
+  }
+
+  test("winsorize clamps into the exact per-group percentile band") {
+    val ev = (1 to 100).map(i => (i.toLong,
+      new java.sql.Timestamp(i * 1000L), 1L, "view", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val pct = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    val got = ev.join(broadcast(pct), Seq("event_type"))
+      .select(col("event_id"),
+        round(least(greatest(col("value"), col("p05")), col("p95")) * 100)
+          .cast("long").as("c"))
+      .as[(Long, Long)].collect().toMap
+    // percentile(1..100, .05) = 5.95, (.95) = 95.05 (interpolated)
+    assert(got(1L) == 595L && got(3L) == 595L) // clamped up
+    assert(got(100L) == 9505L && got(96L) == 9505L) // clamped down
+    assert(got(50L) == 5000L) // interior untouched
+  }
+
   test("snapshotDiff: A/D/U classification, unchanged dropped, null-safe") {
     val a = Seq(
       (1L, Option(10.0), "x"), (2L, Option(20.0), "y"),
