@@ -971,6 +971,42 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // EXT recursive CTE (Spark 4 WITH RECURSIVE -> UnionLoop): walk the
+    // synthetic digit-truncation forest over customers (parent(k) =
+    // k div 10, roots k < 10) to (node, root, depth) — the transitive-
+    // closure surface SQL users expect from a warehouse engine. Each
+    // loop iteration is one hash join of the frontier against customer;
+    // depth is bounded by key digits (~6 at any corpus scale).
+    "q37_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      s.sql("""
+        WITH RECURSIVE anc(node, root, depth) AS (
+          SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+          FROM g_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, a.root, a.depth + 1
+          FROM g_customer c JOIN anc a
+            ON c.c_custkey div 10 = a.node AND c.c_custkey >= 10)
+        SELECT node, root, depth FROM anc ORDER BY node""")
+    }),
+
+    // EXT portable feature hashing (HashingTF twin): token -> bucket via
+    // the shared rolling-hash basis mod 64, exact per-bucket counts.
+    // Unlike spark.ml's HashingTF (Murmur3, engine-private) every bucket
+    // assignment is SQL-reproducible, so the feature matrix itself is
+    // oracle-checkable. One explode + one partial-aggregated shuffle.
+    "fp_feature_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Texty.tokens(col("text"))).as("tk"))
+        .filter(col("tk") =!= "")
+        .select(col("doc_id"),
+          pmod(graft.functions.Texty.rollingHash(col("tk")), lit(64L))
+            .as("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "bucket")),
+
     // EXT in-memory schema-drift union: unionByName(allowMissingColumns)
     // null-pads each side's missing columns — the DataFrame twin of
     // sink_schema_evolution's mergeSchema read.
@@ -1400,6 +1436,29 @@ object SparkEntry {
                   AS clamped_cents
          FROM events e JOIN p ON e.event_type = p.event_type
          ORDER BY event_id""",
+
+    "q37_recursive_cte" ->
+      """WITH RECURSIVE anc(node, root, depth) AS (
+           SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+           FROM customer WHERE c_custkey < 10
+           UNION ALL
+           SELECT c.c_custkey, a.root, a.depth + 1
+           FROM customer c JOIN anc a
+             ON c.c_custkey // 10 = a.node AND c.c_custkey >= 10)
+         SELECT node, root, depth FROM anc ORDER BY node""",
+
+    "fp_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                      FROM documents),
+         h AS (SELECT doc_id,
+                      list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split_regex(tk, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+                        (a, x) -> (a * 31 + x) % 1000000007) % 64 AS bucket
+               FROM tok WHERE tk <> '')
+         SELECT doc_id, bucket, count(*) AS tf FROM h
+         GROUP BY 1, 2 ORDER BY doc_id, bucket""",
 
     "q36_union_by_name" ->
       """WITH u AS (
