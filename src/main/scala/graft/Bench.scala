@@ -45,10 +45,21 @@ object Bench {
       val times = (1 to 2).map(_ => once(name, fn)).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times keep the line compact (the driver truncates long
+    // tails); total-first ordering means truncation can only ever eat
+    // per-query detail, never the headline. The untruncated line is also
+    // persisted to BENCH_full.json next to the repo for the record.
+    def f3(v: Double): String = // ROOT locale: '.' decimal point always
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$qs}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // best-effort: bench result already printed
     spark.stop()
   }
 }

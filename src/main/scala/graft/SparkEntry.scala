@@ -19,6 +19,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Basket cap for copurchase_pairs: pair expansion is O(basket²), so
+    * only the `MaxBasket` lowest part ids per order generate pairs — the
+    * dedup family's bounded-candidate contract (shared by query and
+    * oracle; this corpus's baskets are ≤ 7, so nothing is dropped). */
+  val CopurchaseMaxBasket = 64
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * T1 semantics (group-count-sort, SURVEY §2 A1/A2/O1) on customer. */
   def entry(spark: SparkSession): DataFrame =
@@ -479,6 +485,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // the production dedup pipeline END TO END (the 100 TB path that
+    // Dedup.levenshteinRescore's doc promises; stages previously only
+    // checked separately): MinHash-LSH candidate generation → banded
+    // Levenshtein re-score → connected-component resolution → per-doc
+    // keep verdict (cluster members keep the canonical min-id; docs in
+    // no cluster keep themselves). The oracle composes the same stages:
+    // portable-hash MinHash CTEs + levenshtein + one recursive CTE.
+    "dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashLsh(docs)
+      val rescored = Dedup.levenshteinRescore(cand, docs)
+      val clusters = Dedup.resolveClusters(rescored)
+      docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("keep_id"))
+        .withColumn("keep", (col("keep_id") === col("doc_id")).cast("long"))
+        .orderBy("doc_id")
+    }),
 
     // EXT similarity search over embeddings:
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteTopK(t(s, dir, "embeddings"), 20, 5)),
@@ -495,6 +519,41 @@ object SparkEntry {
     // int8 embedding quantization (storage/bandwidth path)
     "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))),
 
+    // EXT ANN quality surface: recall of the sign-LSH near-dup pairs vs
+    // the exact brute-force answer at the same threshold — the tuning
+    // report a vector user reads before trusting band settings. One row
+    // of exact integer counts; both sides deterministic, so the whole
+    // report is oracle'd (the LSH side reuses the portable-hash CTEs).
+    "ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteNearDup(emb, 0.4).select("va", "vb")
+      val lsh = Similarity.lshNearDup(emb, 0.4).select("va", "vb")
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nC = exact.join(lsh, Seq("va", "vb"), "left_semi")
+        .agg(count(lit(1)).as("n_captured"))
+      nE.crossJoin(nL).crossJoin(nC)
+        .withColumn("recall_bp",
+          graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
+    }),
+
+    // EXT IVF recall report (rows-only BY DESIGN: the k-means codebook
+    // has no SQL twin): recall@k of ivfTopK at its default PARTIAL probe
+    // (nProbe 4 of 16 centroids — ~4× less scored work than exhaustive)
+    // against bruteTopK on the same queries. SimilarityEventsSpec bounds
+    // it from below; BASELINE.md records the default-settings number.
+    "ann_recall_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
+      val approx = Similarity.ivfTopK(emb, 20, 5).select("q_id", "vec_id")
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nC = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_captured"))
+      nE.crossJoin(nC)
+        .withColumn("recall_bp",
+          graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
+    }),
+
     // EXT multimodal binary columns:
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
     "mm_decode_stub" -> ((s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))),
@@ -504,6 +563,14 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleText(s, t(s, dir, "documents"))),
     // batched feature-extraction shape with an exact integer kernel
     "mm_feature_hist" -> ((s, dir) => Multimodal.featureHistogram(s, t(s, dir, "documents"))),
+    // REAL media decode: deterministic PNGs synthesized ON EXECUTORS
+    // (javax.imageio — JDK-only, no external codec), then decoded back
+    // through the batched kernel plumbing: TRUE width/height from the
+    // decoder + the exact pixel sum. Synthesis params are integer
+    // functions of doc_id, so the decoded output has a closed-form
+    // DuckDB oracle — a real encode→decode round trip with an exact
+    // correctness gate (the stub kernels stay as codec-free shapes).
+    "mm_decode_real" -> ((s, dir) => Multimodal.decodeReal(s, t(s, dir, "documents"))),
 
     // EXT: exact numeric column profile (count/nulls/distinct/min/max/sum).
     "profile_lineitem" -> ((s, dir) =>
@@ -935,18 +1002,24 @@ object SparkEntry {
 
     // EXT market-basket co-occurrence: top-20 part pairs ordered together.
     // Basket shape, not a self-join: one shuffle collapses lineitem to
-    // per-order DISTINCT part sets (collect_set — bounded by order size,
-    // <= 7 here, so n_orders counts ORDERS even when a part repeats
-    // across an order's lineitems), pairs are generated INLINE from each
-    // set (<= 21 rows per order, the same in-bucket trick as lshNearDup),
-    // and one more partial-aggregated shuffle counts pairs. The global
-    // top-k is TakeOrderedAndProject, never a full sort. A self-join
-    // formulation pays a third exchange for the distinct and moves every
-    // (order, part) row twice — measured 1.9 s vs 1.2 s warm at sf0.1.
+    // per-order DISTINCT part sets (collect_set — so n_orders counts
+    // ORDERS even when a part repeats across an order's lineitems), pairs
+    // are generated INLINE from each set (the same in-bucket trick as
+    // lshNearDup), and one more partial-aggregated shuffle counts pairs.
+    // The in-array pair expansion is O(basket²), so baskets are CAPPED at
+    // MaxBasket lowest part ids — the dedup family's drop-loudly
+    // contract: one hot basket (a customer ordering every part) degrades
+    // to dropped candidates, never a quadratic blowup. This corpus's
+    // baskets are <= 7 parts, so the cap (64) drops nothing here; the
+    // oracle implements the SAME capped semantics. The global top-k is
+    // TakeOrderedAndProject, never a full sort. A self-join formulation
+    // pays a third exchange for the distinct and moves every (order,
+    // part) row twice — measured 1.9 s vs 1.2 s warm at sf0.1.
     "copurchase_pairs" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(collect_set(col("l_partkey")).as("parts"))
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
         .select(explode(flatten(transform(col("parts"), a =>
           transform(filter(col("parts"), b => b > a),
             b => struct(a.as("pa"), b.as("pb")))))).as("p"))
@@ -959,11 +1032,38 @@ object SparkEntry {
     // type's exact [p05, p95] band — the outlier-taming feature-eng pass.
     // The percentile table is #types rows, broadcast back; values stay
     // raw doubles until the final exact-cents surface.
+    // SCALE NOTE: exact `percentile` is a TypedImperativeAggregate whose
+    // per-group buffer holds every distinct value — on a CONTINUOUS
+    // column like events.value the buffer grows linearly with corpus
+    // size per event_type, an executor-memory blowup at 100×. This exact
+    // form is the small-sf oracle twin; events_winsorize_approx below is
+    // the bounded-memory scale path (same discipline as
+    // ml/Pipelines.quantileDiscretizer's GK sketch vs the exact ntile).
     "events_winsorize" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val pct = ev.groupBy("event_type")
         .agg(expr("percentile(value, 0.05)").as("p05"),
           expr("percentile(value, 0.95)").as("p95"))
+      ev.join(broadcast(pct), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(least(greatest(col("value"), col("p05")), col("p95")) * 100)
+            .cast("long").as("clamped_cents"))
+        .orderBy("event_id")
+    }),
+
+    // EXT sketch winsorization — the 100 TB path of events_winsorize:
+    // approx_percentile's GK sketch keeps a BOUNDED buffer per group
+    // (O(accuracy), not O(distinct values)), so the percentile pass
+    // survives a continuous column at any corpus size. Rows-only BY
+    // DESIGN (GK sketch internals are engine-specific — no DuckDB twin,
+    // like profile_approx's HLL); SimilarityEventsSpec asserts the clamp
+    // bounds sit within rank-ε of the exact ones at sf0.01, and the
+    // exact twin above stays the oracle'd surface.
+    "events_winsorize_approx" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pct = ev.groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.05, 0.95), 10000)").as("p"))
+        .select(col("event_type"), col("p")(0).as("p05"), col("p")(1).as("p95"))
       ev.join(broadcast(pct), Seq("event_type"))
         .select(col("event_id"), col("event_type"),
           round(least(greatest(col("value"), col("p05")), col("p95")) * 100)
@@ -1041,7 +1141,9 @@ object SparkEntry {
        |    list_transform(string_split_regex($s, ''), c -> CAST(ascii(c) AS BIGINT))),
        |    (a, x) -> (a * ${Portable.B2} + x) % ${Portable.P2}))""".stripMargin
 
-  private def minhashLshOracle: String = {
+  /** CTE chain ending in `mh_pairs(da, db, sig_matches)` — shared by the
+    * MinHash-LSH pair oracle and the composed dedup-pipeline oracle. */
+  private def minhashLshCtes: String = {
     import Portable._
     val sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
       s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i").mkString(",\n           ")
@@ -1054,7 +1156,7 @@ object SparkEntry {
     val matches = (0 until graft.ops.Dedup.MinhashK)
       .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
        |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
        |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
        |          WHERE len(arr) >= 3),
@@ -1073,12 +1175,42 @@ object SparkEntry {
        |  cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |           FROM keptb a JOIN keptb b
        |             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |            AND a.doc_id < b.doc_id)
-       |SELECT da, db, CAST($matches AS BIGINT) AS sig_matches
-       |FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
-       |WHERE $matches >= 16
-       |ORDER BY da, db""".stripMargin
+       |            AND a.doc_id < b.doc_id),
+       |  mh_pairs AS (
+       |    SELECT da, db, CAST($matches AS BIGINT) AS sig_matches
+       |    FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+       |    WHERE $matches >= 16)""".stripMargin
   }
+
+  private def minhashLshOracle: String =
+    s"""WITH $minhashLshCtes
+       |SELECT da, db, sig_matches FROM mh_pairs ORDER BY da, db""".stripMargin
+
+  /** The composed production pipeline: MinHash-LSH candidates → banded
+    * Levenshtein re-score (40-char prefixes, distance ≤ 12 — the same
+    * parameters as Dedup.levenshteinRescore's defaults) → connected
+    * components (recursive CTE) → per-doc keep verdict. */
+  private def dedupPipelineOracle: String =
+    s"""WITH RECURSIVE $minhashLshCtes,
+       | resc AS (
+       |   SELECT p.da, p.db
+       |   FROM mh_pairs p
+       |   JOIN documents ta ON ta.doc_id = p.da
+       |   JOIN documents tb ON tb.doc_id = p.db
+       |   WHERE levenshtein(substr(ta.text, 1, 40), substr(tb.text, 1, 40)) <= 12),
+       | sym AS (SELECT da AS src, db AS dst FROM resc
+       |         UNION ALL SELECT db, da FROM resc),
+       | reach AS (
+       |   SELECT src AS a, src AS b FROM sym
+       |   UNION
+       |   SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+       | clusters AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |              FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(c.cluster_id, d.doc_id) AS keep_id,
+       |       CAST(coalesce(c.cluster_id, d.doc_id) = d.doc_id AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private def simhashOracle: String = {
     import Portable._
@@ -1176,6 +1308,24 @@ object SparkEntry {
     s"""WITH $signLshPairsCtes
        |SELECT va, vb, cosine FROM lsh_pairs ORDER BY va, vb""".stripMargin
 
+  /** Recall report of the sign-LSH pairs vs the exact all-pairs answer —
+    * both sides deterministic, so the counts (and floor-bp recall) are
+    * exact. `base` comes from the shared sign-LSH CTE chain. */
+  private def annRecallOracle: String =
+    s"""WITH $signLshPairsCtes,
+       | brute AS (
+       |   SELECT a.vec_id AS va, b.vec_id AS vb
+       |   FROM base a JOIN base b ON a.vec_id < b.vec_id
+       |   WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+       | counts AS (
+       |   SELECT (SELECT count(*) FROM brute) AS n_exact,
+       |          (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+       |          (SELECT count(*) FROM brute t JOIN lsh_pairs l
+       |             ON t.va = l.va AND t.vb = l.vb) AS n_captured)
+       |SELECT n_exact, n_lsh, n_captured,
+       |       CAST(floor(n_captured * 10000.0 / n_exact) AS BIGINT) AS recall_bp
+       |FROM counts""".stripMargin
+
   /** The sign-LSH pair set resolved to connected components — the same
     * recursive-CTE construction as dedup_clusters, over embedding edges. */
   private def embeddingClustersOracle: String =
@@ -1194,11 +1344,32 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "sim_lsh_neardup" -> signLshOracle,
     "dedup_embedding_clusters" -> embeddingClustersOracle,
+    "ann_recall" -> annRecallOracle,
     // MinHash signatures, band keys and SimHash bits are computed on the
     // portable two-prime polynomial basis shared between the codegen
     // kernels and this generated SQL — see graft.functions.Portable.
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_pipeline" -> dedupPipelineOracle,
     "dedup_simhash" -> simhashOracle,
+
+    // mm_decode_real: the synthesis params are integer functions of
+    // doc_id, so the decoded pixel sum has a closed form: with
+    // a = start value, N = W*H pixels, sum = f(a+N) - f(a) where
+    // f(n) = (n div 256)*32640 + T(n mod 256), T(m) = m(m-1)/2
+    // (each full 256-cycle sums to 32640). Dims echo the synthesis.
+    "mm_decode_real" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  8 + doc_id % 9 AS w,
+                  8 + (doc_id % 9 * 7) % 9 AS h,
+                  (doc_id % 256 * 31) % 256 AS a
+           FROM documents),
+         t AS (SELECT doc_id, w, h, a, a + w * h AS b FROM s)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(((b // 256) * 32640 + (b % 256) * ((b % 256) - 1) // 2)
+                   - ((a // 256) * 32640 + (a % 256) * ((a % 256) - 1) // 2)
+                   AS BIGINT) AS px_sum
+         FROM t ORDER BY doc_id""",
     "q1_group_count_sort" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
          GROUP BY 1 ORDER BY cnt DESC, c_mktsegment ASC""",
@@ -1418,10 +1589,17 @@ object SparkEntry {
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
 
+    // capped-basket semantics (MaxBasket lowest part ids per order) —
+    // identical to the Spark side's slice(array_sort(collect_set(...)))
     "copurchase_pairs" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         capped AS (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    row_number() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_partkey) AS rn
+             FROM li) WHERE rn <= $CopurchaseMaxBasket)
          SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_orders
-         FROM li a JOIN li b
+         FROM capped a JOIN capped b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2
          ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 20""",

@@ -19,7 +19,12 @@ case class Scored(score: Double, key: Long)
   * Ordering is total and deterministic: score descending, key ascending —
   * the same (O1-style) tie-break discipline as every ranked query in this
   * repo, so the result is bit-identical to the window formulation and the
-  * two share one DuckDB oracle.
+  * two share one DuckDB oracle. Score comparison uses
+  * `java.lang.Double.compare` semantics (NaN greatest, -0.0 < 0.0) —
+  * exactly Spark's `ORDER BY score DESC` total order, so NaN scores rank
+  * FIRST like the window form, not last (Scala tuple `-score` sorting
+  * would invert that, and `<`/`==` fast-path checks are always false for
+  * NaN).
   *
   * The buffer is a sorted ≤k-element Seq; reduce/merge re-sort k+1 (or 2k)
   * elements. Fine for presentation-sized k (≤ ~100); a binary-heap buffer
@@ -29,14 +34,18 @@ class TopKByScore(k: Int)
     extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   require(k >= 1, s"k >= 1, got $k")
 
-  private def best(xs: Seq[Scored]): Seq[Scored] =
-    xs.sortBy(s => (-s.score, s.key)).take(k)
+  // score DESC (NaN greatest, like Spark's ordering), then key ASC
+  private val ord: Ordering[Scored] = (a: Scored, b: Scored) => {
+    val c = java.lang.Double.compare(b.score, a.score)
+    if (c != 0) c else java.lang.Long.compare(a.key, b.key)
+  }
+
+  private def best(xs: Seq[Scored]): Seq[Scored] = xs.sorted(ord).take(k)
 
   override def zero: Seq[Scored] = Nil
   override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
     // a candidate worse than a full buffer's floor can never enter
-    if (b.size >= k && (a.score < b.last.score ||
-        (a.score == b.last.score && a.key > b.last.key))) b
+    if (b.size >= k && ord.compare(a, b.last) > 0) b
     else best(b :+ a)
   override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
     best(b1 ++ b2)

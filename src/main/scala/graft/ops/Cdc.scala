@@ -54,24 +54,30 @@ object Cdc {
     * One full-outer hash join on `key` — a single co-partitioned shuffle
     * of both snapshots; the column compare is null-safe (`<=>`) per
     * column, map-side after the join. Output carries old/new values for
-    * every compared column. */
+    * every compared column. Intermediate columns use a reserved `__sd_`
+    * prefix so input columns named `k`/`change` (or already `a_`/`b_`
+    * prefixed) cannot collide with the working set. */
   def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
       compare: Seq[String]): DataFrame = {
     require(compare.nonEmpty, "snapshotDiff needs at least one compare column")
-    val left = a.select((key +: compare).map(c => col(c).as(s"a_$c")): _*)
-    val right = b.select((key +: compare).map(c => col(c).as(s"b_$c")): _*)
+    val all = key +: compare
+    require(!all.exists(_.startsWith("__sd_")),
+      "snapshotDiff reserves the __sd_ column prefix")
+    val left = a.select(all.map(c => col(c).as(s"__sd_a_$c")): _*)
+    val right = b.select(all.map(c => col(c).as(s"__sd_b_$c")): _*)
     val changed = compare
-      .map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .map(c => !(col(s"__sd_a_$c") <=> col(s"__sd_b_$c")))
       .reduce(_ || _)
-    val outCols = col("k").as(key) +: col("change") +:
-      compare.flatMap(c => Seq(col(s"a_$c").as(s"old_$c"), col(s"b_$c").as(s"new_$c")))
-    left.join(right, col(s"a_$key") === col(s"b_$key"), "full")
-      .withColumn("k", coalesce(col(s"a_$key"), col(s"b_$key")))
-      .withColumn("change",
-        when(col(s"a_$key").isNull, lit("A"))
-          .when(col(s"b_$key").isNull, lit("D"))
+    val outCols = col("__sd_key").as(key) +: col("__sd_change").as("change") +:
+      compare.flatMap(c =>
+        Seq(col(s"__sd_a_$c").as(s"old_$c"), col(s"__sd_b_$c").as(s"new_$c")))
+    left.join(right, col(s"__sd_a_$key") === col(s"__sd_b_$key"), "full")
+      .withColumn("__sd_key", coalesce(col(s"__sd_a_$key"), col(s"__sd_b_$key")))
+      .withColumn("__sd_change",
+        when(col(s"__sd_a_$key").isNull, lit("A"))
+          .when(col(s"__sd_b_$key").isNull, lit("D"))
           .when(changed, lit("U")))
-      .filter(col("change").isNotNull)
+      .filter(col("__sd_change").isNotNull)
       .select(outCols: _*)
       .orderBy(key)
   }

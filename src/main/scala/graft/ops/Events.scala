@@ -283,11 +283,13 @@ object Events {
     * `filled_cents` is never null. */
   def resampleHourly(events: DataFrame): DataFrame = {
     val hourUs = 3600000000L
-    // integer div, not `/`: double division is exact here (us < 2^53)
-    // but integral `div` makes the floor semantics explicit
     val base = events.select(col("user_id"), tsUs(events).as("us"),
         round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("h", expr(s"us div $hourUs"))
+      // FLOOR division, not `div`: `div` truncates toward zero while the
+      // DuckDB oracle's `//` floors, so pre-1970 (negative epoch-us)
+      // timestamps would bucket one hour late. pmod is always >= 0, so
+      // subtracting it then dividing is exact floor division on longs.
+      .withColumn("h", expr(s"(us - pmod(us, $hourUs)) div $hourUs"))
       .drop("us")
     val hourly = base.groupBy("user_id", "h")
       .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))

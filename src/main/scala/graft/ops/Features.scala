@@ -101,15 +101,8 @@ object Features {
   def rangeNtileBucket(df: DataFrame, v: String, tieKey: String,
       n: Int, out: String = "bucket"): DataFrame = {
     require(n >= 1, s"ntile requires n >= 1, got $n")
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val cuts = df.stat
-      .approxQuantile(v, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
-      .distinct.sorted
-    val pidExpr = cuts.zipWithIndex.foldRight(lit(cuts.length)) {
-      case ((c, i), els) => when(col(v) <= c, lit(i)).otherwise(els)
-    }
     val ranged = df.withColumn("__pid",
-      when(col(v).isNull, lit(-1)).otherwise(pidExpr))
+      when(col(v).isNull, lit(-1)).otherwise(sliceId(df, v)))
     val wLocal = Window.partitionBy("__pid").orderBy(col(v), col(tieKey))
     val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
@@ -130,6 +123,34 @@ object Features {
       .drop("__pid", "__lrn", "__off", "__total", "__rn")
   }
 
+  /** Max derived range slices for [[sliceId]]: slices only bound the
+    * parallelism of the per-slice local windows, so capping costs nothing
+    * on a small job and keeps the cut-point array literal (and the one
+    * driver-side quantile job) ~4 KB at any cluster width. */
+  private val MaxSlices = 512
+
+  /** Derived range-slice id shared by [[rangeNtileBucket]] and
+    * [[withRunningTotal]]: one driver-side approxQuantile job at
+    * plan-build time fixes ≤ MaxSlices-1 cut points (deterministic by
+    * construction — see rangeNtileBucket's doc for why sampled
+    * repartitionByRange cannot be trusted here), then the slice id is the
+    * count of cuts strictly below the value — ONE flat higher-order
+    * `size(filter(cuts, c -> v > c))` over an array literal, constant
+    * expression depth and a vectorized O(#cuts) scan per row. The
+    * previous formulation folded a nested `when` PER CUT, so on a
+    * thousands-of-cores cluster (defaultParallelism-many cuts) the
+    * conditional tree grew past codegen limits and every row walked it
+    * branch by branch. */
+  private def sliceId(df: DataFrame, v: String): Column = {
+    val parts = math.min(
+      df.sparkSession.sparkContext.defaultParallelism, MaxSlices)
+    val cuts = df.stat
+      .approxQuantile(v, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    if (cuts.isEmpty) lit(0)
+    else size(filter(typedLit(cuts.toSeq), c => col(v).cast("double") > c))
+  }
+
   /** Inclusive global running total of `value` over ORDER BY `orderKey`,
     * distributed — the prefix-sum primitive behind corpus-order layouts
     * (sequence packing, byte-offset manifests). Same derived-slice
@@ -144,14 +165,7 @@ object Features {
     * make the running total order-dependent. */
   def withRunningTotal(df: DataFrame, orderKey: String, value: String,
       out: String): DataFrame = {
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val cuts = df.stat
-      .approxQuantile(orderKey, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
-      .distinct.sorted
-    val pidExpr = cuts.zipWithIndex.foldRight(lit(cuts.length)) {
-      case ((c, i), els) => when(col(orderKey) <= c, lit(i)).otherwise(els)
-    }
-    val ranged = df.withColumn("__pid", pidExpr)
+    val ranged = df.withColumn("__pid", sliceId(df, orderKey))
     val wLocal = Window.partitionBy("__pid").orderBy(orderKey)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged.withColumn("__lcum", sum(col(value)).over(wLocal))

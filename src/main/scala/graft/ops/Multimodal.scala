@@ -73,6 +73,87 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  case class DecodedImage(doc_id: Long, width: Int, height: Int, px_sum: Long)
+
+  /** ====== REAL KERNEL ====== Deterministic PNG synthesis via
+    * `javax.imageio` (in the JDK — needs no external codec): a W×H 8-bit
+    * grayscale image whose pixel at linear index i = y*W + x has value
+    * (a + i) mod 256, with
+    *   W = 8 + doc_id mod 9, H = 8 + (doc_id mod 9 * 7) mod 9,
+    *   a = (doc_id mod 256 * 31) mod 256.
+    * Every parameter is integer arithmetic on doc_id, so the DECODED
+    * dimensions and exact pixel sum have a closed-form SQL twin — which
+    * is what lets a REAL encode→decode round trip carry an exact DuckDB
+    * oracle (the mm_decode_real query), unlike the stub kernels. */
+  def synthPngBytes(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 9).toInt
+    val h = 8 + ((docId % 9) * 7 % 9).toInt
+    val a = ((docId % 256) * 31 % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, (a + y * w + x) % 256)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize the PNG payload column on EXECUTORS (batched like every
+    * kernel here) — a real binary media column derived from doc_id. */
+  def synthPng(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap(_.map(id => (id, synthPngBytes(id))))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** ====== REAL KERNEL ====== Batched PNG decode: `ImageIO.read` per
+    * payload through the SAME grouped-iterator execution shape as
+    * [[decodeMeta]] (one kernel batch per DecodeBatch payloads, results
+    * streamed, bounded memory, no driver involvement). Returns the TRUE
+    * decoded dimensions and the exact sum of 8-bit pixel samples —
+    * values that only exist post-decode. PNG grayscale is lossless, so
+    * against [[synthPng]] payloads the output matches the closed-form
+    * synthesis arithmetic exactly. */
+  def decodePngMeta(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // decode straight from memory — no ImageIO temp-file cache on executors
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(DecodeBatch).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, s"undecodable payload for doc_id=$id")
+            val r = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += r.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            DecodedImage(id, img.getWidth, img.getHeight, sum)
+          }
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
+  /** The mm_decode_real surface: synthesize real PNGs, round-trip them
+    * through the batched decode kernel. */
+  def decodeReal(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodePngMeta(spark, synthPng(spark, docs))
+
   /** Native-expression twin of the stub's size-derived fields (no kernel,
     * pure Catalyst arithmetic) — oracle-checkable, and shows that metadata
     * predicates can be evaluated without decoding. */

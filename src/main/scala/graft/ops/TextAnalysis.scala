@@ -26,16 +26,29 @@ object TextAnalysis {
     * 100 TB. Exact-match k-grams (via the codegen'd
     * [[graft.functions.WordShingles]] kernel — the interpreted chain was
     * the whole cost of this op); combine with [[graft.ops.Dedup]]'s
-    * near-dup families for fuzzy contamination. */
+    * near-dup families for fuzzy contamination.
+    *
+    * GUARDED broadcast: nothing in the signature stops a caller from
+    * passing a "bench" set that is actually corpus-sized, and an
+    * unconditional broadcast would then hit Spark's 8 GB broadcast wall
+    * (or OOM every executor before that). One cheap count over the
+    * distinct bench shingles (a scan of the SMALL side only) picks the
+    * plan: ≤ `maxBroadcastShingles` → map-side broadcast probe; above
+    * it → plain shuffle hash join on the shingle, which stays correct at
+    * any size. Same guard discipline as bruteNearDup's maxRows, except
+    * degrading to the slower-but-safe plan instead of refusing. */
   def contamination(corpus: DataFrame, bench: DataFrame, k: Int = 3,
       minShared: Int = 3, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
+      text: String = "text",
+      maxBroadcastShingles: Long = 50000000L): DataFrame = {
     val sh = corpus.select(col(id),
       explode(graft.functions.WordShingles(col(text), k)).as("s"))
     val bsh = bench
       .select(explode(graft.functions.WordShingles(col(text), k)).as("s"))
       .distinct()
-    sh.join(broadcast(bsh), Seq("s"))
+    val probe =
+      if (bsh.count() <= maxBroadcastShingles) broadcast(bsh) else bsh
+    sh.join(probe, Seq("s"))
       .groupBy(id)
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -322,4 +322,40 @@ class RelationalSpec extends SparkTestBase {
       (4L, "D", Some(40.0), None),
       (5L, "A", None, Some(50.0))))
   }
+
+  test("snapshotDiff: inputs named k/change/a_-prefixed don't collide") {
+    // 'change' is both a COMPARE column here and the verdict column name;
+    // 'a_v' starts with the old internal a_ prefix — __sd_ temp names
+    // keep them apart (ADVICE r3)
+    val a = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "change", "a_v")
+    val b = Seq((1L, "a", 1.5), (3L, "c", 3.0)).toDF("k", "change", "a_v")
+    val got = graft.ops.Cdc.snapshotDiff(a, b, "k", Seq("change", "a_v"))
+      .select("k", "change", "old_change", "new_change", "old_a_v", "new_a_v")
+      .as[(Long, String, Option[String], Option[String],
+        Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, "U", Some("a"), Some("a"), Some(1.0), Some(1.5)),
+      (2L, "D", Some("b"), None, Some(2.0), None),
+      (3L, "A", None, Some("c"), None, Some(3.0))))
+  }
+
+  test("TopKByScore: NaN scores rank FIRST, like ORDER BY score DESC") {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScore(2),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Scored]())
+    val df = Seq((1L, Double.NaN, 7L), (1L, 9.0, 1L), (1L, 5.0, 2L))
+      .toDF("g", "score", "key")
+    val agg = df.groupBy("g").agg(topk(col("score"), col("key")).as("top"))
+      .select(explode(col("top")).as("t")).select(col("t.key"))
+      .as[Long].collect().toSeq
+    // Spark's window form sorts NaN greatest in DESC order — assert the
+    // aggregator agrees with it, not just with a hardcoded expectation
+    val win = df
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY g ORDER BY score DESC, key ASC)"))
+      .filter(col("rn") <= 2).orderBy("rn")
+      .select("key").as[Long].collect().toSeq
+    assert(agg == win && agg == Seq(7L, 1L))
+  }
 }

@@ -95,6 +95,66 @@ class SimilarityEventsSpec extends SparkTestBase {
       s"LSH recall too low: ${approx.size}/${exact.size}")
   }
 
+  test("ann_recall: captured == LSH pairs (subset), recall in sane band") {
+    val (nExact, nLsh, nCaptured, recallBp) =
+      SparkEntry.queries("ann_recall")(spark, sf0001)
+        .as[(Long, Long, Long, Long)].collect().head
+    info(s"LSH pair recall: $nCaptured/$nExact = $recallBp bp (n_lsh=$nLsh)")
+    // re-scored candidates always pass the exact filter, so captured==lsh
+    assert(nCaptured == nLsh)
+    assert(nExact > 0 && recallBp >= 4000 && recallBp <= 10000,
+      s"recall_bp $recallBp outside the hard-regime band (doc: ~60%)")
+  }
+
+  test("ann_recall_ivf: partial-probe recall@k does not collapse") {
+    val (nExact, nCaptured, recallBp) =
+      SparkEntry.queries("ann_recall_ivf")(spark, sf0001)
+        .as[(Long, Long, Long)].collect().head
+    info(s"IVF recall@5 at nProbe=4/16: $nCaptured/$nExact = $recallBp bp")
+    assert(nExact == 100L) // 20 queries × k=5
+    assert(recallBp >= 5000, s"IVF recall collapsed: $recallBp bp")
+  }
+
+  test("events_winsorize_approx: sketch bounds within rank-ε of exact") {
+    val ev = Tables(spark, sf001, "events")
+    // the approx bound must land between the exact percentiles at
+    // q ∓ 0.005 — generous vs the GK guarantee (rank error ≤ N/accuracy
+    // = 0.01% + the element-vs-interpolation step)
+    val exact = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.045)").as("lo05"),
+      expr("percentile(value, 0.055)").as("hi05"),
+      expr("percentile(value, 0.945)").as("lo95"),
+      expr("percentile(value, 0.955)").as("hi95"))
+      .as[(String, Double, Double, Double, Double)].collect()
+    val approx = ev.groupBy("event_type")
+      .agg(expr("approx_percentile(value, array(0.05, 0.95), 10000)").as("p"))
+      .select(col("event_type"), col("p")(0), col("p")(1))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (t, lo05, hi05, lo95, hi95) =>
+      val (a05, a95) = approx(t)
+      assert(a05 >= lo05 && a05 <= hi05, s"$t p05 $a05 outside [$lo05,$hi05]")
+      assert(a95 >= lo95 && a95 <= hi95, s"$t p95 $a95 outside [$lo95,$hi95]")
+    }
+  }
+
+  test("PNG synth→decode round trip matches the closed-form arithmetic") {
+    // REAL javax.imageio encode + decode: the decoded dims and pixel sum
+    // must reproduce the synthesis parameters exactly (grayscale PNG is
+    // lossless), including ids past the 256 pixel-value cycle
+    val ids = Seq(0L, 1L, 17L, 255L, 256L, 1234L)
+    val got = Multimodal.decodeReal(spark, ids.toDF("doc_id"))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    val want = ids.map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + ((id % 9) * 7 % 9).toInt
+      val a = (id % 256) * 31 % 256
+      (id, w, h, (0L until (w * h).toLong).map(i => (a + i) % 256).sum)
+    }
+    assert(got == want)
+  }
+
   test("sessionize: gap > 30min starts a new session") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)

@@ -232,6 +232,36 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L)))
   }
 
+  test("contamination: shuffle-join fallback (guard) == broadcast plan") {
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val bcast = TextAnalysis.contamination(corpus, bench, minShared = 2)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toSeq
+    // maxBroadcastShingles = 0 forces the over-limit shuffle fallback
+    val shuffled = TextAnalysis.contamination(corpus, bench, minShared = 2,
+      maxBroadcastShingles = 0L)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toSeq
+    assert(shuffled == bcast && bcast == Seq((1L, 3L)))
+  }
+
+  test("dedup_pipeline: composed run agrees with the separate stages") {
+    val docs = Tables(spark, sf0001, "documents")
+    val res = SparkEntry.queries("dedup_pipeline")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    // every doc exactly once; keep flag == (keep_id == doc_id); the
+    // canonical keeper is never larger than the member
+    assert(res.map(_._1).distinct.size == res.size && res.nonEmpty)
+    assert(res.forall { case (d, kid, keep) =>
+      (keep == 1L) == (kid == d) && kid <= d })
+    val clusters = Dedup.resolveClusters(
+      Dedup.levenshteinRescore(Dedup.minhashLsh(docs), docs))
+      .as[(Long, Long)].collect().toMap
+    res.foreach { case (d, kid, _) =>
+      assert(clusters.getOrElse(d, d) == kid, s"doc $d keeps $kid") }
+  }
+
   test("levenshteinRescore: distances on given candidates only, band filters") {
     val docs = Seq(
       (1L, "hello world"), (2L, "hello worlds"),
