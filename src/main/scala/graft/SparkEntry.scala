@@ -503,6 +503,25 @@ object SparkEntry {
         .withColumn("keep", (col("keep_id") === col("doc_id")).cast("long"))
         .orderBy("doc_id")
     }),
+    // cap observability: the drop-loudly contract as a CHECKED surface —
+    // per bounded-candidate stage, how many keys went over the cap and
+    // how many (doc, key) rows they carried (exact, portable basis).
+    "dedup_cap_stats" -> ((s, dir) => Dedup.capStats(t(s, dir, "documents"))),
+    // MinHash candidate recall vs the exact n-gram Jaccard answer at the
+    // matched threshold (8 bands × 4 rows ⇒ jaccard ≳ 0.5; exact side
+    // filters at 5000 bp) — the dedup twin of ann_recall, fully oracle'd.
+    "dedup_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.ngramJaccard(docs).select("da", "db")
+      val cand = Dedup.minhashLsh(docs).select("da", "db")
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nC = cand.agg(count(lit(1)).as("n_cand"))
+      val nCap = exact.join(cand, Seq("da", "db"), "left_semi")
+        .agg(count(lit(1)).as("n_captured"))
+      nE.crossJoin(nC).crossJoin(nCap)
+        .withColumn("recall_bp",
+          graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
+    }),
 
     // EXT similarity search over embeddings:
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteTopK(t(s, dir, "embeddings"), 20, 5)),
@@ -571,6 +590,9 @@ object SparkEntry {
     // DuckDB oracle — a real encode→decode round trip with an exact
     // correctness gate (the stub kernels stay as codec-free shapes).
     "mm_decode_real" -> ((s, dir) => Multimodal.decodeReal(s, t(s, dir, "documents"))),
+    // REAL resize: decode → nearest-neighbor resample → re-encode →
+    // decode again; the checked pixel sum proves the full chain.
+    "mm_resize_real" -> ((s, dir) => Multimodal.resizeReal(s, t(s, dir, "documents"))),
 
     // EXT: exact numeric column profile (count/nulls/distinct/min/max/sum).
     "profile_lineitem" -> ((s, dir) =>
@@ -1186,6 +1208,30 @@ object SparkEntry {
     s"""WITH $minhashLshCtes
        |SELECT da, db, sig_matches FROM mh_pairs ORDER BY da, db""".stripMargin
 
+  /** MinHash candidate recall vs exact n-gram Jaccard ≥ 0.5: the jaccard
+    * side reuses the shared `tok`/`shs` string-shingle CTEs (j-prefixed
+    * names avoid clashing with the minhash chain's `kept`). */
+  private def dedupRecallOracle: String =
+    s"""WITH $minhashLshCtes,
+       | jsh AS (SELECT DISTINCT doc_id, s FROM shs),
+       | jkept AS (SELECT doc_id, s FROM jsh
+       |           WHERE s IN (SELECT s FROM jsh GROUP BY s HAVING count(*) <= 100)),
+       | jn AS (SELECT doc_id, count(*) AS n_sh FROM jkept GROUP BY 1),
+       | jcom AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |          FROM jkept a JOIN jkept b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       | jpairs AS (SELECT da, db FROM jcom
+       |            JOIN jn na ON na.doc_id = da JOIN jn nb ON nb.doc_id = db
+       |            WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000),
+       | counts AS (
+       |   SELECT (SELECT count(*) FROM jpairs) AS n_exact,
+       |          (SELECT count(*) FROM mh_pairs) AS n_cand,
+       |          (SELECT count(*) FROM jpairs j JOIN mh_pairs m
+       |             ON j.da = m.da AND j.db = m.db) AS n_captured)
+       |SELECT n_exact, n_cand, n_captured,
+       |       CAST(floor(n_captured * 10000.0 / n_exact) AS BIGINT) AS recall_bp
+       |FROM counts""".stripMargin
+
   /** The composed production pipeline: MinHash-LSH candidates → banded
     * Levenshtein re-score (40-char prefixes, distance ≤ 12 — the same
     * parameters as Dedup.levenshteinRescore's defaults) → connected
@@ -1212,7 +1258,10 @@ object SparkEntry {
        |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
-  private def simhashOracle: String = {
+  /** CTE chain ending in `sblocked(doc_id, simhash, chunk_idx, chunk)` —
+    * CTE names are disjoint from [[minhashLshCtes]]'s so the two chains
+    * can share one WITH clause (capStatsOracle does). */
+  private def simhashCtes: String = {
     import Portable._
     val voteAggs = (0 until PortableKernels.SimHashBits).map(j =>
       s"sum(CASE WHEN ((${aCoef(j)} * h1 + ${bCoef(j)} * h2 + $j) % $P1) % 2 = 1 THEN 1 ELSE -1 END) AS v$j"
@@ -1221,9 +1270,9 @@ object SparkEntry {
       .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString("\n           + ")
     val chunkSelects = (0 until 4).map(c =>
-      s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash >> ${15 * c}) & 32767 AS chunk FROM sh"
+      s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash >> ${15 * c}) & 32767 AS chunk FROM sh60"
     ).mkString("\n           UNION ALL ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+    s"""stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
        |             FROM documents WHERE text IS NOT NULL),
        |  th AS (SELECT doc_id,
        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1232,17 +1281,21 @@ object SparkEntry {
        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
        |            list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))),
        |            (a, x) -> (a * $B2 + x) % $P2) AS h2
-       |         FROM tok),
+       |         FROM stok),
        |  votes AS (SELECT doc_id,
        |           $voteAggs
        |          FROM th GROUP BY doc_id),
-       |  sh AS (SELECT doc_id,
+       |  sh60 AS (SELECT doc_id,
        |           $bits AS simhash
        |         FROM votes),
-       |  blocked AS ($chunkSelects),
-       |  keptc AS (SELECT * FROM blocked b
+       |  sblocked AS ($chunkSelects)""".stripMargin
+  }
+
+  private def simhashOracle: String =
+    s"""WITH $simhashCtes,
+       |  keptc AS (SELECT * FROM sblocked b
        |            WHERE NOT EXISTS (
-       |              SELECT 1 FROM blocked g
+       |              SELECT 1 FROM sblocked g
        |              WHERE g.chunk_idx = b.chunk_idx AND g.chunk = b.chunk
        |              GROUP BY g.chunk_idx, g.chunk HAVING count(*) > 100))
        |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
@@ -1251,7 +1304,38 @@ object SparkEntry {
        |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY da, db""".stripMargin
-  }
+
+  /** Cap observability twin of Dedup.capStats: hot-key counts + dropped
+    * row volumes per bounded-candidate stage, over the same portable
+    * chains as the operator oracles (unreferenced CTEs in the shared
+    * WITH clause are pruned by the planner). */
+  private def capStatsOracle: String =
+    s"""WITH $minhashLshCtes,
+       | $simhashCtes,
+       | sdf AS (SELECT hh, count(*) AS df FROM h
+       |         GROUP BY hh HAVING count(*) > 100),
+       | s_shingle AS (
+       |   SELECT 'shingle_df' AS stage, count(*) AS n_hot_keys,
+       |          coalesce(sum(df), 0) AS n_dropped_rows FROM sdf),
+       | bhot AS (SELECT band_idx, band_hash, count(*) AS bs FROM banded
+       |          GROUP BY 1, 2 HAVING count(*) > 50),
+       | s_band AS (
+       |   SELECT 'minhash_band' AS stage, count(*) AS n_hot_keys,
+       |          coalesce(sum(bs), 0) AS n_dropped_rows FROM bhot),
+       | chot AS (SELECT chunk_idx, chunk, count(*) AS cs FROM sblocked
+       |          GROUP BY 1, 2 HAVING count(*) > 100),
+       | s_chunk AS (
+       |   SELECT 'simhash_chunk' AS stage, count(*) AS n_hot_keys,
+       |          coalesce(sum(cs), 0) AS n_dropped_rows FROM chot),
+       | ehot AS (SELECT lang, n_chars // 16 AS lb, count(*) AS es
+       |          FROM documents GROUP BY 1, 2 HAVING count(*) > 100),
+       | s_edit AS (
+       |   SELECT 'edit_block' AS stage, count(*) AS n_hot_keys,
+       |          coalesce(sum(es), 0) AS n_dropped_rows FROM ehot)
+       |SELECT stage, n_hot_keys, CAST(n_dropped_rows AS BIGINT) AS n_dropped_rows
+       |FROM (SELECT * FROM s_shingle UNION ALL SELECT * FROM s_band
+       |      UNION ALL SELECT * FROM s_chunk UNION ALL SELECT * FROM s_edit)
+       |ORDER BY stage""".stripMargin
 
   /** DuckDB twin of Similarity.lshNearDup's portable sign-LSH (kernel
     * [[graft.functions.SignLshKeys]]): integer quantization + integer
@@ -1351,6 +1435,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_cap_stats" -> capStatsOracle,
+    "dedup_recall" -> dedupRecallOracle,
 
     // mm_decode_real: the synthesis params are integer functions of
     // doc_id, so the decoded pixel sum has a closed form: with
@@ -1370,6 +1456,24 @@ object SparkEntry {
                    - ((a // 256) * 32640 + (a % 256) * ((a % 256) - 1) // 2)
                    AS BIGINT) AS px_sum
          FROM t ORDER BY doc_id""",
+
+    // mm_resize_real: nearest-neighbor sample at ((x'·W)//16, (y'·H)//16)
+    // of the synthesized gradient — 256 sampled pixels per doc, summed.
+    "mm_resize_real" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  8 + doc_id % 9 AS w,
+                  8 + (doc_id % 9 * 7) % 9 AS h,
+                  (doc_id % 256 * 31) % 256 AS a
+           FROM documents),
+         px AS (
+           SELECT doc_id, (a + (yy * h // 16) * w + (xx * w // 16)) % 256 AS p
+           FROM s,
+                LATERAL (SELECT unnest(range(0, 16)) AS xx) xs,
+                LATERAL (SELECT unnest(range(0, 16)) AS yy) ys)
+         SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                CAST(sum(p) AS BIGINT) AS px_sum
+         FROM px GROUP BY doc_id ORDER BY doc_id""",
     "q1_group_count_sort" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
          GROUP BY 1 ORDER BY cnt DESC, c_mktsegment ASC""",

@@ -415,6 +415,83 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Cap observability — the `*_capped` counters the class doc promises:
+    * how much each bounded-candidate stage dropped on THIS corpus. One
+    * row per cap site (total order on stage name):
+    *
+    *  - `edit_block`   — (lang, length-bucket) blocks over
+    *                     [[editDistancePairs]]'s maxBucket
+    *  - `minhash_band` — LSH band buckets over [[minhashLsh]]'s
+    *                     maxBucket (computed on the df-capped shingles,
+    *                     exactly like the operator)
+    *  - `shingle_df`   — shingle hashes over [[shingleHashes]]' maxDf
+    *  - `simhash_chunk`— 15-bit chunk buckets over [[simhashPairs]]'s
+    *                     maxBucket
+    *
+    * `n_hot_keys` = keys over the cap; `n_dropped_rows` = the (doc, key)
+    * rows those keys carried — the exact volume the operators shed
+    * rather than going quadratic. Every count is integer-exact on the
+    * portable hash basis, so the whole report is DuckDB-oracle'd: the
+    * drop-loudly contract is itself a checked query surface, not a
+    * code comment. Each stage is one aggregate over the same
+    * intermediates its operator builds; cost ≈ one extra pass per
+    * stage, intended for pipeline-audit runs, not the hot path. */
+  def capStats(docs: DataFrame, k: Int = 3, maxDf: Int = 100,
+      lshMaxBucket: Int = 50, simhashMaxBucket: Int = 100,
+      editBucketChars: Int = 16, editMaxBucket: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def stageRow(name: String, keyed: DataFrame, keys: Seq[String],
+        cap: Int): DataFrame =
+      keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > cap)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_hot_keys"),
+          coalesce(sum("sz"), lit(0L)).as("n_dropped_rows"))
+        .select(lit(name).as("stage"), col("n_hot_keys"),
+          col("n_dropped_rows"))
+
+    // shingle df cap: distinct (doc, poly-hash) pairs, pre-cap
+    val sh = spread(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShinglePolyHashes(col("text"), k)).as("h"))
+    val shingleDf = stageRow("shingle_df", sh, Seq("h"), maxDf)
+
+    // minhash band cap: banded signatures built from the KEPT shingles,
+    // the same chain minhashLsh runs
+    val kept = shinglePolyHashes(docs, k, maxDf)
+    val sig = minhashSignatures(kept)
+    import graft.functions.Portable.{P1, BandMix}
+    val bandCols = (0 until MinhashBands).map { b =>
+      (0 until 4).foldLeft(lit(b + 1L).cast("long")) { (bk, j) =>
+        (bk * lit(BandMix) + col(s"m${4 * b + j}")) % lit(P1)
+      }
+    }
+    val banded = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val bandStage = stageRow("minhash_band", banded,
+      Seq("band_idx", "band_hash"), lshMaxBucket)
+
+    // simhash chunk cap: 4 × 15-bit chunk blocks
+    val shh = simhash(docs)
+    val chunks = (0 until 4).map(j =>
+      shiftrightunsigned(col("simhash"), j * 15).bitwiseAND(0x7FFFL))
+    val blocked = shh.select(col("doc_id"),
+      posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
+    val chunkStage = stageRow("simhash_chunk", blocked,
+      Seq("chunk_idx", "chunk"), simhashMaxBucket)
+
+    // edit-distance (lang, length-bucket) block cap
+    val blocks = docs.select(col("lang").as("blang"),
+      floor(col("n_chars") / editBucketChars).as("lb"))
+    val editStage = stageRow("edit_block", blocks,
+      Seq("blang", "lb"), editMaxBucket)
+
+    editStage.unionByName(bandStage).unionByName(shingleDf)
+      .unionByName(chunkStage)
+      .orderBy("stage")
+  }
+
   /** The 100 TB edit-distance path: re-score CANDIDATE pairs (from
     * [[simhashPairs]] / [[minhashLsh]] — content-blocked generators whose
     * output is bounded by near-dup density, not corpus size) with the

@@ -154,6 +154,52 @@ object Multimodal {
   def decodeReal(spark: SparkSession, docs: DataFrame): DataFrame =
     decodePngMeta(spark, synthPng(spark, docs))
 
+  /** ====== REAL KERNEL ====== PNG resize: ImageIO decode →
+    * nearest-neighbor resample to targetW×targetH (source pixel
+    * (x'·W)/W', (y'·H)/H', integer floor — the arithmetic a SQL twin can
+    * reproduce) → PNG re-encode. Binary-in/binary-out through the same
+    * batched shape as [[resize]]; unlike that stub this decodes and
+    * resamples REAL pixels, and [[resizeReal]] decodes the output AGAIN
+    * so the checked surface proves the whole encode→decode→resample→
+    * encode→decode chain. */
+  def resizePng(spark: SparkSession, payloads: DataFrame,
+      targetW: Int = 16, targetH: Int = 16): DataFrame = {
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(DecodeBatch).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val src = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(src != null, s"undecodable payload for doc_id=$id")
+            val out = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val sr = src.getRaster
+            val outr = out.getRaster
+            var y = 0
+            while (y < targetH) {
+              var x = 0
+              while (x < targetW) {
+                outr.setSample(x, y, 0, sr.getSample(
+                  x * src.getWidth / targetW, y * src.getHeight / targetH, 0))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** The mm_resize_real surface: synth → decode+resample+re-encode →
+    * decode again; dims echo the target, pixel sum has a closed form. */
+  def resizeReal(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodePngMeta(spark, resizePng(spark, synthPng(spark, docs)))
+
   /** Native-expression twin of the stub's size-derived fields (no kernel,
     * pure Catalyst arithmetic) — oracle-checkable, and shows that metadata
     * predicates can be evaluated without decoding. */

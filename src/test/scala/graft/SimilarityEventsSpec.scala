@@ -155,6 +155,21 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("PNG resize kernel: decode→resample→re-encode→decode, exact sums") {
+    val ids = Seq(0L, 5L, 300L)
+    val got = Multimodal.resizeReal(spark, ids.toDF("doc_id"))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    val want = ids.map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + ((id % 9) * 7 % 9).toInt
+      val a = (id % 256) * 31 % 256
+      val sum = (for (y <- 0 until 16; x <- 0 until 16)
+        yield (a + (y * h / 16).toLong * w + (x * w / 16)) % 256).sum
+      (id, 16, 16, sum)
+    }
+    assert(got == want)
+  }
+
   test("sessionize: gap > 30min starts a new session") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)

@@ -246,6 +246,27 @@ class TextDedupSpec extends SparkTestBase {
     assert(shuffled == bcast && bcast == Seq((1L, 3L)))
   }
 
+  test("capStats: hot keys and dropped volumes counted per cap stage") {
+    // 120 copies of one boilerplate text: its single distinct shingle
+    // exceeds maxDf=100, its identical simhash makes all 4 chunk buckets
+    // hot, and its (en, length-bucket-1) edit block exceeds 100. The two
+    // unique docs (length bucket 2) stay under every cap.
+    val docs = ((1 to 120).map(i =>
+      (i.toLong, "spam spam spam spam", "en", 19L)) ++
+      Seq((201L, "alpha beta gamma delta", "en", 40L),
+        (202L, "epsilon zeta eta theta", "en", 40L)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = Dedup.capStats(docs)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("shingle_df") == ((1L, 120L)))
+    assert(got("simhash_chunk") == ((4L, 480L)))
+    assert(got("edit_block") == ((1L, 120L)))
+    // spam docs lose their only (hot) shingle => no signatures => the two
+    // survivors can't overflow any band bucket
+    assert(got("minhash_band") == ((0L, 0L)))
+  }
+
   test("dedup_pipeline: composed run agrees with the separate stages") {
     val docs = Tables(spark, sf0001, "documents")
     val res = SparkEntry.queries("dedup_pipeline")(spark, sf0001)
