@@ -509,19 +509,10 @@ object SparkEntry {
     "dedup_cap_stats" -> ((s, dir) => Dedup.capStats(t(s, dir, "documents"))),
     // MinHash candidate recall vs the exact n-gram Jaccard answer at the
     // matched threshold (8 bands × 4 rows ⇒ jaccard ≳ 0.5; exact side
-    // filters at 5000 bp) — the dedup twin of ann_recall, fully oracle'd.
-    "dedup_recall" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val exact = Dedup.ngramJaccard(docs).select("da", "db")
-      val cand = Dedup.minhashLsh(docs).select("da", "db")
-      val nE = exact.agg(count(lit(1)).as("n_exact"))
-      val nC = cand.agg(count(lit(1)).as("n_cand"))
-      val nCap = exact.join(cand, Seq("da", "db"), "left_semi")
-        .agg(count(lit(1)).as("n_captured"))
-      nE.crossJoin(nC).crossJoin(nCap)
-        .withColumn("recall_bp",
-          graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
-    }),
+    // filters at 5000 bp) — the dedup twin of ann_recall, fully
+    // oracle'd. Both sides derive from ONE shared df-capped shingle
+    // scan (Dedup.minhashRecall), not two independent explodes.
+    "dedup_recall" -> ((s, dir) => Dedup.minhashRecall(t(s, dir, "documents"))),
 
     // EXT similarity search over embeddings:
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteTopK(t(s, dir, "embeddings"), 20, 5)),
@@ -545,13 +536,16 @@ object SparkEntry {
     // report is oracle'd (the LSH side reuses the portable-hash CTEs).
     "ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // one full-outer join + one aggregate: each pair pipeline (brute
+      // all-pairs, LSH buckets) runs exactly once
       val exact = Similarity.bruteNearDup(emb, 0.4).select("va", "vb")
       val lsh = Similarity.lshNearDup(emb, 0.4).select("va", "vb")
-      val nE = exact.agg(count(lit(1)).as("n_exact"))
-      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
-      val nC = exact.join(lsh, Seq("va", "vb"), "left_semi")
-        .agg(count(lit(1)).as("n_captured"))
-      nE.crossJoin(nL).crossJoin(nC)
+      exact.withColumn("in_e", lit(1L))
+        .join(lsh.withColumn("in_l", lit(1L)), Seq("va", "vb"), "full")
+        .agg(
+          coalesce(sum("in_e"), lit(0L)).as("n_exact"),
+          coalesce(sum("in_l"), lit(0L)).as("n_lsh"),
+          coalesce(sum(col("in_e") * col("in_l")), lit(0L)).as("n_captured"))
         .withColumn("recall_bp",
           graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
     }),
@@ -563,12 +557,16 @@ object SparkEntry {
     // it from below; BASELINE.md records the default-settings number.
     "ann_recall_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // one full-outer join + one aggregate: the brute scan and the
+      // k-means-backed IVF pipeline each run exactly once
       val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
       val approx = Similarity.ivfTopK(emb, 20, 5).select("q_id", "vec_id")
-      val nE = exact.agg(count(lit(1)).as("n_exact"))
-      val nC = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("n_captured"))
-      nE.crossJoin(nC)
+      exact.withColumn("in_e", lit(1L))
+        .join(approx.withColumn("in_a", lit(1L)),
+          Seq("q_id", "vec_id"), "full")
+        .agg(
+          coalesce(sum("in_e"), lit(0L)).as("n_exact"),
+          coalesce(sum(col("in_e") * col("in_a")), lit(0L)).as("n_captured"))
         .withColumn("recall_bp",
           graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
     }),
@@ -632,6 +630,17 @@ object SparkEntry {
           Relational.moneySum(col("o_totalprice")).as("revenue"))
         .orderBy("o_orderstatus")
     }),
+
+    // EXT Z-order (Morton) key: the multi-dim clustering key behind
+    // sources/ZOrder's layout (which ZOrderSpec measures for file
+    // skipping); the key arithmetic itself is bit-reproducible SQL, so
+    // this is the oracle-checkable surface of the layout path.
+    "zorder_key" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        graft.sources.ZOrder.mortonKey(
+          col("o_custkey") % 1024,
+          floor(col("o_totalprice")).cast("long") % 1024, 10).as("z"))
+        .orderBy("o_orderkey")),
 
     // EXT small-files compaction round-trip: fragment orders into 64
     // tiny files, compact to ~8 MB targets (sources/Compaction), read
@@ -1208,6 +1217,22 @@ object SparkEntry {
     s"""WITH $minhashLshCtes
        |SELECT da, db, sig_matches FROM mh_pairs ORDER BY da, db""".stripMargin
 
+  /** Morton interleave as generated bit arithmetic — bit i of x at
+    * position 2i, bit i of y at 2i+1, matching ZOrder.mortonKey. */
+  private def zorderKeyOracle: String = {
+    val terms = (0 until 10).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString("\n                + ")
+    s"""WITH b AS (
+       |  SELECT o_orderkey,
+       |         o_custkey % 1024 AS x,
+       |         CAST(floor(o_totalprice) AS BIGINT) % 1024 AS y
+       |  FROM orders)
+       |SELECT o_orderkey,
+       |       CAST($terms AS BIGINT) AS z
+       |FROM b ORDER BY o_orderkey""".stripMargin
+  }
+
   /** MinHash candidate recall vs exact n-gram Jaccard ≥ 0.5: the jaccard
     * side reuses the shared `tok`/`shs` string-shingle CTEs (j-prefixed
     * names avoid clashing with the minhash chain's `kept`). */
@@ -1437,6 +1462,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "dedup_cap_stats" -> capStatsOracle,
     "dedup_recall" -> dedupRecallOracle,
+    "zorder_key" -> zorderKeyOracle,
 
     // mm_decode_real: the synthesis params are integer functions of
     // doc_id, so the decoded pixel sum has a closed form: with

@@ -184,12 +184,21 @@ object Dedup {
     * band_idx+1 — reproducible in the oracle like everything upstream. */
   def minhashLsh(docs: DataFrame, k: Int = 3, maxDf: Int = 100,
       maxBucket: Int = 50, minSigMatches: Int = 16): DataFrame = {
-    import graft.functions.Portable.{P1, BandMix}
     // Signatures feed banding plus both sides of the candidate re-score
     // join: one narrow row per doc, ideal cache candidate — recomputing
     // would re-run the full shingle explode + 32-way min-agg three times.
     val sig = minhashSignatures(shinglePolyHashes(docs, k, maxDf))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    lshPairsFromSignatures(sig, maxBucket, minSigMatches)
+  }
+
+  /** Band a (persisted) signature table into LSH buckets and emit scored
+    * candidate pairs — the back half of [[minhashLsh]], split out so
+    * composed ops ([[minhashRecall]]) can feed it a signature table built
+    * from a SHARED shingle scan instead of paying a second explode. */
+  private def lshPairsFromSignatures(sig: DataFrame, maxBucket: Int,
+      minSigMatches: Int): DataFrame = {
+    import graft.functions.Portable.{P1, BandMix}
     val bandCols = (0 until MinhashBands).map { b =>
       (0 until 4).foldLeft(lit(b + 1L).cast("long")) { (bk, j) =>
         (bk * lit(BandMix) + col(s"m${4 * b + j}")) % lit(P1)
@@ -219,6 +228,45 @@ object Dedup {
       .filter(col("sig_matches") >= minSigMatches)
       .select("da", "db", "sig_matches")
       .orderBy("da", "db")
+  }
+
+  /** MinHash candidate recall vs the exact Jaccard answer, from ONE
+    * shared df-capped shingle scan — the "write the shingle table once"
+    * shape of a production dedup audit. The exact side is
+    * [[ngramJaccard]]'s construction on the poly basis (Jaccard needs
+    * only hash identity, so any 64-bit basis gives identical pairs); the
+    * approximate side is [[minhashSignatures]] + banding over the SAME
+    * kept-shingle table. One row: n_exact, n_cand, n_captured,
+    * recall_bp (exact floor-bp). */
+  def minhashRecall(docs: DataFrame, k: Int = 3, maxDf: Int = 100,
+      maxBucket: Int = 50, minSigMatches: Int = 16,
+      minJaccardBp: Long = 5000): DataFrame = {
+    val sh = shinglePolyHashes(docs, k, maxDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    val exact = common
+      .join(n.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(n.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .filter(Texty.ratioBp(col("c"), col("na") + col("nb") - col("c"))
+        >= minJaccardBp)
+      .select("da", "db")
+    val sig = minhashSignatures(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = lshPairsFromSignatures(sig, maxBucket, minSigMatches)
+      .select("da", "db")
+    // ONE full-outer join + ONE aggregate reads each pair pipeline
+    // exactly once (a count-per-side formulation re-ran them per
+    // aggregate — measured 3 extra seconds at sf0.1)
+    val joined = exact.withColumn("in_e", lit(1L))
+      .join(cand.withColumn("in_c", lit(1L)), Seq("da", "db"), "full")
+    joined.agg(
+      coalesce(sum("in_e"), lit(0L)).as("n_exact"),
+      coalesce(sum("in_c"), lit(0L)).as("n_cand"),
+      coalesce(sum(col("in_e") * col("in_c")), lit(0L)).as("n_captured"))
+      .withColumn("recall_bp", Texty.ratioBp(col("n_captured"), col("n_exact")))
   }
 
   /** Resolve near-dup pair edges into clusters: iterative min-label
@@ -451,15 +499,25 @@ object Dedup {
         .select(lit(name).as("stage"), col("n_hot_keys"),
           col("n_dropped_rows"))
 
-    // shingle df cap: distinct (doc, poly-hash) pairs, pre-cap
+    // shingle df cap: distinct (doc, poly-hash) pairs — ONE explode,
+    // persisted; both the hot-list report and the kept table (feeding
+    // the minhash chain) derive from it rather than re-exploding
     val sh = spread(docs)
       .select(col("doc_id"),
         explode(graft.functions.WordShinglePolyHashes(col("text"), k)).as("h"))
-    val shingleDf = stageRow("shingle_df", sh, Seq("h"), maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxDf)
+    val shingleDf = hot
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_hot_keys"),
+        coalesce(sum("sz"), lit(0L)).as("n_dropped_rows"))
+      .select(lit("shingle_df").as("stage"), col("n_hot_keys"),
+        col("n_dropped_rows"))
 
     // minhash band cap: banded signatures built from the KEPT shingles,
     // the same chain minhashLsh runs
-    val kept = shinglePolyHashes(docs, k, maxDf)
+    val kept = sh.join(broadcast(hot.select("h")), Seq("h"), "left_anti")
+      .select("doc_id", "h")
     val sig = minhashSignatures(kept)
     import graft.functions.Portable.{P1, BandMix}
     val bandCols = (0 until MinhashBands).map { b =>
