@@ -41,10 +41,15 @@ object Texty {
     size(filter(tokens(text), t => t.isin(set: _*)))
   }
 
-  /** Ratio in basis points as exact BIGINT: floor(num*10000/den).
+  /** Ratio in basis points as exact BIGINT: floor(num*10000/den), NULL
+    * when den = 0 (ANSI mode would otherwise raise DIVIDE_BY_ZERO on a
+    * degenerate input — e.g. a recall report over an empty corpus).
     * Used instead of rounding for oracle-checked ratios: round-half
     * semantics differ engine to engine at exact ties (e.g. 1/32), while
-    * floor of the identical double is unambiguous. */
+    * floor of the identical double is unambiguous. Oracle parity: the
+    * corpus queries never hit den = 0, so the NULL branch is
+    * Spark-side-robustness only. */
   def ratioBp(num: Column, den: Column): Column =
-    floor(num * lit(10000.0) / den).cast("long")
+    when(den === 0, lit(null).cast("long"))
+      .otherwise(floor(num * lit(10000.0) / den).cast("long"))
 }

@@ -213,4 +213,29 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(p.getLong(1) == 2 && p.getLong(2) == 0 && p.getLong(3) == 0)
     assert(p.isNullAt(4) && p.isNullAt(5) && p.isNullAt(6))
   }
+
+  test("round-4 ops: degenerate inputs are safe") {
+    // capStats on an empty corpus: all four stages report zero drops
+    val cs = graft.ops.Dedup.capStats(
+      Tables(spark, sf0001, "documents").limit(0))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(cs.map(_._1) ==
+      Seq("edit_block", "minhash_band", "shingle_df", "simhash_chunk"))
+    assert(cs.forall { case (_, hot, dropped) => hot == 0L && dropped == 0L })
+    // minhashRecall on an empty corpus: zero counts, null recall (0/0)
+    val mr = graft.ops.Dedup.minhashRecall(emptyDocs).head()
+    assert(mr.getLong(0) == 0L && mr.getLong(1) == 0L && mr.getLong(2) == 0L)
+    assert(mr.isNullAt(3), "recall over zero exact pairs must be null")
+    // z-order write on a CONSTANT column: bucket degenerates to 0, the
+    // layout still writes and round-trips
+    val const = Seq((1L, 5.0, 9.0), (2L, 5.0, 3.0)).toDF("k", "x", "y")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-zorder-const").toString
+    graft.sources.ZOrder.write(const, out, "x", "y", bits = 4, numFiles = 2)
+    assert(spark.read.parquet(out).count() == 2)
+    // mortonKey rejects out-of-contract bit widths
+    intercept[IllegalArgumentException] {
+      graft.sources.ZOrder.mortonKey(col("k"), col("k"), 0)
+    }
+  }
 }

@@ -20,6 +20,28 @@ class ZOrderSpec extends SparkTestBase {
     assert(got == Seq(0L, 1L, 2L, 39L, (1L << 20) - 1))
   }
 
+  test("mortonKey: exhaustive bijection + per-axis monotonicity (bits=6)") {
+    val n = 64
+    val z = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.mortonKey(col("x"), col("y"), 6).as("z"))
+      .as[(Long, Long, Long)].collect()
+    // bijective onto [0, n²): no two cells share a key
+    assert(z.map(_._3).distinct.length == n * n)
+    assert(z.forall(t => t._3 >= 0 && t._3 < n.toLong * n))
+    // Scala-side deinterleave reproduces both inputs exactly
+    def de(v: Long, off: Int): Long =
+      (0 until 6).map(i => ((v >> (2 * i + off)) & 1L) << i).sum
+    z.foreach { case (x, y, zz) =>
+      assert(de(zz, 0) == x && de(zz, 1) == y, s"roundtrip at ($x,$y)") }
+    // monotone along each axis (fixed y: z strictly increases with x) —
+    // the property that makes per-file z-ranges imply per-axis ranges
+    z.groupBy(_._2).values.foreach { row =>
+      val zs = row.sortBy(_._1).map(_._3)
+      assert(zs.sliding(2).forall(s => s(0) < s(1)))
+    }
+  }
+
   test("z-order layout: content is untouched, files prune on BOTH dims") {
     val orders = Tables(spark, sf0001, "orders")
     val zdir = s"$tmp/z"
