@@ -1121,6 +1121,24 @@ object SparkEntry {
         SELECT node, root, depth FROM anc ORDER BY node""")
     }),
 
+    // EXT deterministic training-order shuffle: a corpus materialized in
+    // seeded pseudo-random order — reproducible across runs, engines and
+    // partitionings because the order key is the portable affine hash of
+    // doc_id, never rand(). The "shuffle the training data" step of a
+    // data pipeline as a checkable query (order IS the semantics here,
+    // so the oracle orders by the same hash); ties impossible (hash is
+    // injective mod P1 on doc_id < P1, and doc_id breaks any residue
+    // collision).
+    "fp_shuffle_order" -> ((s, dir) => {
+      import graft.functions.Portable.{P1, aCoef, bCoef}
+      val key =
+        (((col("doc_id") % lit(P1)) * lit(aCoef(11)) + lit(bCoef(11))) % lit(P1))
+          .as("shuffle_key")
+      t(s, dir, "documents")
+        .select(col("doc_id"), key)
+        .orderBy("shuffle_key", "doc_id")
+    }),
+
     // EXT portable feature hashing (HashingTF twin): token -> bucket via
     // the shared rolling-hash basis mod 64, exact per-bucket counts.
     // Unlike spark.ml's HashingTF (Murmur3, engine-private) every bucket
@@ -1463,6 +1481,12 @@ object SparkEntry {
     "dedup_cap_stats" -> capStatsOracle,
     "dedup_recall" -> dedupRecallOracle,
     "zorder_key" -> zorderKeyOracle,
+    "fp_shuffle_order" -> {
+      import Portable.{P1, aCoef, bCoef}
+      s"""SELECT doc_id,
+            (doc_id % $P1 * ${aCoef(11)} + ${bCoef(11)}) % $P1 AS shuffle_key
+          FROM documents ORDER BY shuffle_key, doc_id"""
+    },
 
     // mm_decode_real: the synthesis params are integer functions of
     // doc_id, so the decoded pixel sum has a closed form: with
