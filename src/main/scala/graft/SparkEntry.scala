@@ -19,6 +19,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Rounds for the graph_pagerank query (shared with its generated
+    * oracle CTE chain). Integer PageRank is EXACT at any round count —
+    * 5 bounds the registered query's per-round fixed cost (~0.5 s of
+    * scheduling each at sf0.1); Graphs.pagerankInt defaults to the
+    * canonical 10 for library callers. */
+  val PagerankQueryIters = 5
+
   /** Basket cap for copurchase_pairs: pair expansion is O(basket²), so
     * only the `MaxBasket` lowest part ids per order generate pairs — the
     * dedup family's bounded-candidate contract (shared by query and
@@ -1059,6 +1066,28 @@ object SparkEntry {
         .orderBy(desc("n_orders"), asc("pa"), asc("pb"))
         .limit(20)),
 
+    // EXT iterative graph centrality: INTEGER PageRank (10 fixed
+    // rounds, floor arithmetic — bit-portable, so even the iteration is
+    // oracle'd) over the capped co-purchase part graph at min-support 2
+    // (single co-occurrences are noise, and the support threshold keeps
+    // the graph entity-vocabulary-sized — ~3.5k edges at both sf0.01
+    // and sf0.1 — instead of corpus-sized). The curation use:
+    // authority/quality weighting from a co-occurrence graph.
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      graft.ops.Graphs.pagerankInt(pairs, iters = PagerankQueryIters)
+    }),
+
     // EXT percentile winsorization: clamp each event's value into its
     // type's exact [p05, p95] band — the outlier-taming feature-eng pass.
     // The percentile table is #types rows, broadcast back; values stay
@@ -1234,6 +1263,36 @@ object SparkEntry {
   private def minhashLshOracle: String =
     s"""WITH $minhashLshCtes
        |SELECT da, db, sig_matches FROM mh_pairs ORDER BY da, db""".stripMargin
+
+  /** Integer PageRank unrolled to 10 chained CTEs (recursive terms
+    * cannot aggregate, so fixed iterations unroll instead) — every step
+    * is floor arithmetic matching Graphs.pagerankInt exactly. */
+  private def pagerankOracle: String = {
+    val iters = PagerankQueryIters
+    val steps = (1 to iters).map(i =>
+      s"""r$i AS (
+         |   SELECT s.dst AS node,
+         |          1500 + sum(r.rank // d.outdeg) * 8500 // 10000 AS rank
+         |   FROM sym s JOIN r${i - 1} r ON r.node = s.src
+         |   JOIN deg d ON d.src = s.src
+         |   GROUP BY s.dst)""".stripMargin).mkString(",\n ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
+       |           FROM capped a JOIN capped b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |           GROUP BY 1, 2 HAVING count(*) >= 2),
+       | sym AS (SELECT da AS src, db AS dst FROM pairs
+       |         UNION SELECT db, da FROM pairs),
+       | deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY 1),
+       | r0 AS (SELECT src AS node, CAST(10000 AS BIGINT) AS rank FROM deg),
+       | $steps
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
 
   /** Morton interleave as generated bit arithmetic — bit i of x at
     * position 2i, bit i of y at 2i+1, matching ZOrder.mortonKey. */
@@ -1481,6 +1540,7 @@ object SparkEntry {
     "dedup_cap_stats" -> capStatsOracle,
     "dedup_recall" -> dedupRecallOracle,
     "zorder_key" -> zorderKeyOracle,
+    "graph_pagerank" -> pagerankOracle,
     "fp_shuffle_order" -> {
       import Portable.{P1, aCoef, bCoef}
       s"""SELECT doc_id,

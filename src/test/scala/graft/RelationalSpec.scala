@@ -339,6 +339,20 @@ class RelationalSpec extends SparkTestBase {
       (3L, "A", None, Some("c"), None, Some(3.0))))
   }
 
+  test("pagerankInt: star graph, hand-computed integer rounds") {
+    // star 1-{2,3,4}: deg(1)=3, leaves 1. round 1: center receives
+    // 3*10000, leaves 10000 div 3 = 3333 each =>
+    //   r1(1) = 1500 + 30000*8500 div 10000 = 27000
+    //   r1(leaf) = 1500 + 3333*8500 div 10000 = 4333
+    // round 2: center 27000 div 3 = 9000 to each leaf; leaves send 4333
+    //   r2(1) = 1500 + (3*4333)*8500 div 10000 = 12549
+    //   r2(leaf) = 1500 + 9000*8500 div 10000 = 9150
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("da", "db")
+    val got = graft.ops.Graphs.pagerankInt(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 12549L, 2L -> 9150L, 3L -> 9150L, 4L -> 9150L))
+  }
+
   test("TopKByScore: NaN scores rank FIRST, like ORDER BY score DESC") {
     val topk = org.apache.spark.sql.functions.udaf(
       new graft.functions.TopKByScore(2),
