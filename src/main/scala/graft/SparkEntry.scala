@@ -1066,9 +1066,10 @@ object SparkEntry {
         .orderBy(desc("n_orders"), asc("pa"), asc("pb"))
         .limit(20)),
 
-    // EXT iterative graph centrality: INTEGER PageRank (10 fixed
-    // rounds, floor arithmetic — bit-portable, so even the iteration is
-    // oracle'd) over the capped co-purchase part graph at min-support 2
+    // EXT iterative graph centrality: INTEGER PageRank
+    // (PagerankQueryIters = 5 fixed rounds here; floor arithmetic —
+    // bit-portable, so even the iteration is oracle'd) over the capped
+    // co-purchase part graph at min-support 2
     // (single co-occurrences are noise, and the support threshold keeps
     // the graph entity-vocabulary-sized — ~3.5k edges at both sf0.01
     // and sf0.1 — instead of corpus-sized). The curation use:
@@ -1264,9 +1265,10 @@ object SparkEntry {
     s"""WITH $minhashLshCtes
        |SELECT da, db, sig_matches FROM mh_pairs ORDER BY da, db""".stripMargin
 
-  /** Integer PageRank unrolled to 10 chained CTEs (recursive terms
-    * cannot aggregate, so fixed iterations unroll instead) — every step
-    * is floor arithmetic matching Graphs.pagerankInt exactly. */
+  /** Integer PageRank unrolled to PagerankQueryIters chained CTEs
+    * (recursive terms cannot aggregate, so fixed iterations unroll
+    * instead) — every step is floor arithmetic matching
+    * Graphs.pagerankInt exactly. */
   private def pagerankOracle: String = {
     val iters = PagerankQueryIters
     val steps = (1 to iters).map(i =>

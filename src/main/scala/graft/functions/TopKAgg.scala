@@ -19,12 +19,13 @@ case class Scored(score: Double, key: Long)
   * Ordering is total and deterministic: score descending, key ascending —
   * the same (O1-style) tie-break discipline as every ranked query in this
   * repo, so the result is bit-identical to the window formulation and the
-  * two share one DuckDB oracle. Score comparison uses
-  * `java.lang.Double.compare` semantics (NaN greatest, -0.0 < 0.0) —
-  * exactly Spark's `ORDER BY score DESC` total order, so NaN scores rank
-  * FIRST like the window form, not last (Scala tuple `-score` sorting
-  * would invert that, and `<`/`==` fast-path checks are always false for
-  * NaN).
+  * two share one DuckDB oracle. Score comparison matches Spark's
+  * `ORDER BY score DESC` total order exactly (SQLOrderingUtil): NaN
+  * ranks greatest (FIRST in desc, like the window form — Scala tuple
+  * `-score` sorting would invert that, and `<`/`==` fast-path checks
+  * are always false for NaN), and -0.0 is normalized to 0.0 before
+  * comparing (raw `Double.compare` would order them and diverge from
+  * the window form on signed-zero ties).
   *
   * The buffer is a sorted ≤k-element Seq; reduce/merge re-sort k+1 (or 2k)
   * elements. Fine for presentation-sized k (≤ ~100); a binary-heap buffer
@@ -34,9 +35,11 @@ class TopKByScore(k: Int)
     extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   require(k >= 1, s"k >= 1, got $k")
 
-  // score DESC (NaN greatest, like Spark's ordering), then key ASC
+  // score DESC (NaN greatest, -0.0 == 0.0, like Spark's ordering),
+  // then key ASC; `+ 0.0` normalizes -0.0 to 0.0 and is exact for
+  // every other double (NaN and infinities included)
   private val ord: Ordering[Scored] = (a: Scored, b: Scored) => {
-    val c = java.lang.Double.compare(b.score, a.score)
+    val c = java.lang.Double.compare(b.score + 0.0d, a.score + 0.0d)
     if (c != 0) c else java.lang.Long.compare(a.key, b.key)
   }
 

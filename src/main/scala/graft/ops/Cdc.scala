@@ -63,6 +63,11 @@ object Cdc {
     val all = key +: compare
     require(!all.exists(_.startsWith("__sd_")),
       "snapshotDiff reserves the __sd_ column prefix")
+    // the verdict column is named `change`; a KEY of that name would make
+    // the output carry two `change` columns and break the final sort
+    // (compare columns are fine — they surface as old_/new_ prefixed)
+    require(key != "change",
+      "snapshotDiff reserves the output column name `change` for the verdict")
     val left = a.select(all.map(c => col(c).as(s"__sd_a_$c")): _*)
     val right = b.select(all.map(c => col(c).as(s"__sd_b_$c")): _*)
     val changed = compare

@@ -71,7 +71,10 @@ object Graphs {
         .localCheckpoint()
       i += 1
     }
+    // state is localCheckpoint'ed (materialized), so both caches can be
+    // released before returning — repeated calls must not leak blocks
     sym.unpersist()
+    deg.unpersist()
     state.select("node", "rank").orderBy("node")
   }
 }

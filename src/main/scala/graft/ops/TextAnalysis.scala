@@ -35,17 +35,28 @@ object TextAnalysis {
     * distinct bench shingles (a scan of the SMALL side only) picks the
     * plan: ≤ `maxBroadcastShingles` → map-side broadcast probe; above
     * it → plain shuffle hash join on the shingle, which stays correct at
-    * any size. Same guard discipline as bruteNearDup's maxRows, except
-    * degrading to the slower-but-safe plan instead of refusing. */
+    * any size. The default (5 M rows) is sized in BYTES, not just rows:
+    * word trigram strings run ~25-60 B plus relation overhead, so 5 M ≈
+    * low hundreds of MB broadcast — generous for any real eval suite,
+    * far from the wall. Same guard discipline as bruteNearDup's
+    * maxRows, except degrading to the slower-but-safe plan instead of
+    * refusing.
+    *
+    * Cache contract (same as [[graft.ops.Dedup]]'s): the distinct bench
+    * shingles feed the guard count AND the join, so they are persisted
+    * and cannot be unpersisted before the caller materializes the
+    * result — long-lived sessions should `spark.catalog.clearCache()`
+    * between pipeline runs (Bench/Verify do). */
   def contamination(corpus: DataFrame, bench: DataFrame, k: Int = 3,
       minShared: Int = 3, id: String = "doc_id",
       text: String = "text",
-      maxBroadcastShingles: Long = 50000000L): DataFrame = {
+      maxBroadcastShingles: Long = 5000000L): DataFrame = {
     val sh = corpus.select(col(id),
       explode(graft.functions.WordShingles(col(text), k)).as("s"))
     val bsh = bench
       .select(explode(graft.functions.WordShingles(col(text), k)).as("s"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe =
       if (bsh.count() <= maxBroadcastShingles) broadcast(bsh) else bsh
     sh.join(probe, Seq("s"))

@@ -372,4 +372,26 @@ class RelationalSpec extends SparkTestBase {
       .select("key").as[Long].collect().toSeq
     assert(agg == win && agg == Seq(7L, 1L))
   }
+
+  test("TopKByScore: -0.0 ties 0.0 like Spark's normalized ordering") {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScore(1),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Scored]())
+    // signed-zero scores are EQUAL in Spark's sort; the tie must break
+    // on key asc (raw Double.compare would rank 0.0 above -0.0)
+    val df = Seq((1L, -0.0, 1L), (1L, 0.0, 2L)).toDF("g", "score", "key")
+    val got = df.groupBy("g").agg(topk(col("score"), col("key")).as("top"))
+      .select(explode(col("top")).as("t")).select(col("t.key"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("snapshotDiff refuses a key named `change` (reserved verdict col)") {
+    val df = Seq((1L, 2.0)).toDF("change", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Cdc.snapshotDiff(df, df, "change", Seq("v"))
+    }
+    assert(e.getMessage.contains("change"))
+  }
 }
