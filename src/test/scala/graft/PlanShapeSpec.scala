@@ -254,4 +254,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
       s"expected partial+final aggregate pair:\n$plan")
   }
+
+  test("round-4 queries: pruned scans, codegen'd Morton key") {
+    // the PNG synth kernel needs ONLY doc_id — text must never reach
+    // the scan (a media pipeline reading payload-adjacent columns it
+    // doesn't use is exactly the waste column pruning exists to stop)
+    val mm = planOf("mm_decode_real")
+    assert(mm.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"synth/decode scan must prune to doc_id:\n$mm")
+    // the Morton key is flat shift/mask arithmetic: ONE projection
+    // directly over the pruned scan, and the only exchange is the final
+    // presentation sort's range partitioning — no hash shuffle anywhere
+    val z = planOf("zorder_key")
+    assert(z.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"),
+      s"zorder_key scan must prune to its three columns:\n$z")
+    assert(!z.contains("Exchange hashpartitioning"),
+      s"morton key must not introduce a hash shuffle:\n$z")
+    assert(z.contains("+- Project (2)") && z.contains("+- Scan parquet"),
+      s"expected one projection straight over the scan:\n$z")
+    // the training-order shuffle is scan → project → sort, nothing else
+    val fs = planOf("fp_shuffle_order")
+    assert(fs.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"fp_shuffle_order must scan doc_id only:\n$fs")
+  }
 }
