@@ -480,6 +480,10 @@ object SparkEntry {
     // EXT dedup family over documents:
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
+    // LOSSLESS prefix-filtered exact Jaccard (AllPairs/PPJoin candidate
+    // condition): same answer as UNCAPPED exact Jaccard — boilerplate
+    // shingles land in rarest-first suffixes instead of being dropped
+    "dedup_jaccard_prefix" -> ((s, dir) => Dedup.jaccardPrefix(t(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
     // near-dup pairs -> connected components -> canonical keep-id per doc
@@ -2317,6 +2321,23 @@ object SparkEntry {
          n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
          com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
                  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+         SELECT da, db,
+                CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) AS jaccard_bp
+         FROM com JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+         WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000
+         ORDER BY da, db""",
+
+    // prefix filtering is LOSSLESS, so its oracle is plain UNCAPPED
+    // exact Jaccard — no df-cap `kept` CTE, unlike dedup_ngram_jaccard
+    "dedup_jaccard_prefix" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                WHERE len(arr) >= 3),
+         n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
          SELECT da, db,
                 CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) AS jaccard_bp

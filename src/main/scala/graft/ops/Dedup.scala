@@ -156,6 +156,68 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via LOSSLESS prefix filtering
+    * (the AllPairs/PPJoin candidate condition) — the alternative scale
+    * mechanism to [[ngramJaccard]]'s df cap. The cap BOUNDS work by
+    * dropping boilerplate shingles (documents whose only shared content
+    * is hot boilerplate silently stop pairing); prefix filtering keeps
+    * every true pair: order each document's shingles by the GLOBAL
+    * rarest-first total order (df asc, hash asc — identical in every
+    * document), keep only the first |d| − ⌈t·|d|⌉ + 1 as the "prefix",
+    * and join candidates on shared PREFIX shingles plus the length
+    * bound t·max(|A|,|B|) ≤ min(|A|,|B|). Any pair with J ≥ t must
+    * share a prefix token (if A∩B avoided A's prefix it would fit in
+    * A's ⌈t|A|⌉−1 suffix, contradicting |A∩B| ≥ t|A|), so candidates →
+    * exact-verify loses nothing. Work is bounded because prefixes are
+    * RAREST-first: hot boilerplate lands in suffixes and never
+    * generates candidates — the same pathology the df cap handles, but
+    * by construction instead of by dropping.
+    *
+    * Output ≡ uncapped exact Jaccard at the same threshold (the
+    * registered query's oracle IS the plain Jaccard SQL); TextDedupSpec
+    * shows a boilerplate corpus where the capped variant goes blind and
+    * this one does not. One extra token-keyed shuffle (the df join +
+    * per-doc rank window) vs the capped variant. The prefix-length and
+    * length-filter arithmetic is integer-exact (ceil(a/b) as
+    * (a+b-1) div b) — no float thresholds. */
+  def jaccardPrefix(docs: DataFrame, k: Int = 3,
+      minJaccardBp: Long = 5000): DataFrame = {
+    require(minJaccardBp >= 1 && minJaccardBp <= 10000,
+      s"minJaccardBp in [1,10000], got $minJaccardBp")
+    val sh = spread(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingleHashes(col("text"), k)).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfT = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val prefix = sh.join(dfT, "h")
+      .withColumn("rn", row_number().over(w))
+      .join(n, "doc_id")
+      .filter(col("rn") <=
+        col("n_sh") - expr(s"(n_sh * $minJaccardBp + 9999) div 10000") + 1)
+      .select("doc_id", "h", "n_sh")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") * minJaccardBp <= col("b.n_sh") * 10000L &&
+          col("b.n_sh") * minJaccardBp <= col("a.n_sh") * 10000L)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val common = cand
+      .join(sh.select(col("doc_id").as("da"), col("h")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    common
+      .join(n.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(n.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .withColumn("jaccard_bp",
+        Texty.ratioBp(col("c"), col("na") + col("nb") - col("c")))
+      .filter(col("jaccard_bp") >= minJaccardBp)
+      .select("da", "db", "jaccard_bp")
+      .orderBy("da", "db")
+  }
+
   val MinhashK = 32 // signature length
   val MinhashBands = 8 // bands of 4 rows => catches jaccard >≈ 0.5
 

@@ -246,6 +246,24 @@ class TextDedupSpec extends SparkTestBase {
     assert(shuffled == bcast && bcast == Seq((1L, 3L)))
   }
 
+  test("jaccardPrefix: lossless where the df cap goes blind") {
+    // 12 identical docs: both their shingles exceed maxDf=5, so the
+    // capped variant drops them and finds NOTHING; prefix filtering
+    // keeps every pair at jaccard 10000 bp
+    val docs = (1 to 12).map(i => (i.toLong, "x y z w")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard(docs, maxDf = 5).count() == 0)
+    val got = Dedup.jaccardPrefix(docs)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 66 && got.forall(_._3 == 10000L))
+    // and on the real corpus it equals the UNCAPPED exact answer
+    val mixed = Tables(spark, sf0001, "documents")
+    val plain = Dedup.ngramJaccard(mixed, maxDf = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSeq
+    val pref = Dedup.jaccardPrefix(mixed)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pref == plain && pref.nonEmpty)
+  }
+
   test("capStats: hot keys and dropped volumes counted per cap stage") {
     // 120 copies of one boilerplate text: its single distinct shingle
     // exceeds maxDf=100, its identical simhash makes all 4 chunk buckets
