@@ -602,6 +602,11 @@ object SparkEntry {
     // REAL resize: decode → nearest-neighbor resample → re-encode →
     // decode again; the checked pixel sum proves the full chain.
     "mm_resize_real" -> ((s, dir) => Multimodal.resizeReal(s, t(s, dir, "documents"))),
+    // REAL audio: per-doc PCM16 WAV synthesized on executors
+    // (javax.sound.sampled — JDK-only), decoded back through the same
+    // batched kernel plumbing: TRUE header rate/frames + the exact sum
+    // of decoded samples. Closed-form oracle like mm_decode_real.
+    "mm_audio_real" -> ((s, dir) => Multimodal.audioReal(s, t(s, dir, "documents"))),
 
     // EXT: exact numeric column profile (count/nulls/distinct/min/max/sum).
     "profile_lineitem" -> ((s, dir) =>
@@ -1093,6 +1098,26 @@ object SparkEntry {
       graft.ops.Graphs.pagerankInt(pairs, iters = PagerankQueryIters)
     }),
 
+    // EXT graph: per-node triangle participation over the (capped)
+    // co-purchase graph — degree-ordered orientation bounds the wedge
+    // join at O(|E|^1.5); counts are orientation-independent so the
+    // id-ordered DuckDB self-join oracle checks them exactly. Uses ALL
+    // co-purchase pairs (no n_orders floor): triangle density IS the
+    // signal, pre-thresholding would erase it.
+    "graph_triangles" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        // no .distinct() here: triangleCounts canonicalizes + dedups its
+        // input itself — a second pre-dedup would just add a shuffle
+        .select(col("p.da").as("da"), col("p.db").as("db"))
+      graft.ops.Graphs.triangleCounts(pairs)
+    }),
+
     // EXT percentile winsorization: clamp each event's value into its
     // type's exact [p05, p95] band — the outlier-taming feature-eng pass.
     // The percentile table is #types rows, broadcast back; values stay
@@ -1547,6 +1572,29 @@ object SparkEntry {
     "dedup_recall" -> dedupRecallOracle,
     "zorder_key" -> zorderKeyOracle,
     "graph_pagerank" -> pagerankOracle,
+
+    // graph_triangles: id-ordered (u < v) edges; each triangle appears
+    // once as n1 < n2 < n3; per-node counts via unnest of the corners.
+    "graph_triangles" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         capped AS (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    row_number() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_partkey) AS rn
+             FROM li) WHERE rn <= $CopurchaseMaxBasket),
+         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM capped a JOIN capped b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         tri AS (SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+                 FROM e e1
+                 JOIN e e2 ON e2.u = e1.v
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         corners AS (SELECT n1 AS node FROM tri
+                     UNION ALL SELECT n2 FROM tri
+                     UNION ALL SELECT n3 FROM tri)
+         SELECT node, count(*) AS n_tri FROM corners
+         GROUP BY 1 ORDER BY node""",
     "fp_shuffle_order" -> {
       import Portable.{P1, aCoef, bCoef}
       s"""SELECT doc_id,
@@ -1572,6 +1620,22 @@ object SparkEntry {
                    - ((a // 256) * 32640 + (a % 256) * ((a % 256) - 1) // 2)
                    AS BIGINT) AS px_sum
          FROM t ORDER BY doc_id""",
+
+    // mm_audio_real: frame i carries signed sample (a + i) − 32768 and
+    // a + N < 2¹⁶ (no wrap), so the decoded PCM sum has the closed form
+    // N·a + N(N−1)/2 − 32768·N; rate/frames echo the synthesis.
+    "mm_audio_real" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  8000 + doc_id % 3 * 4000 AS rate,
+                  800 + doc_id % 5 * 160 AS n,
+                  doc_id * 37 % 60000 AS a
+           FROM documents)
+         SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+                CAST(n AS BIGINT) AS n_frames,
+                CAST(n * a + n * (n - 1) // 2 - 32768 * n AS BIGINT)
+                  AS pcm_sum
+         FROM s ORDER BY doc_id""",
 
     // mm_resize_real: nearest-neighbor sample at ((x'·W)//16, (y'·H)//16)
     // of the synthesized gradient — 256 sampled pixels per doc, summed.

@@ -200,6 +200,90 @@ object Multimodal {
   def resizeReal(spark: SparkSession, docs: DataFrame): DataFrame =
     decodePngMeta(spark, resizePng(spark, synthPng(spark, docs)))
 
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, n_frames: Long,
+      pcm_sum: Long)
+
+  /** ====== REAL KERNEL ====== Deterministic WAV synthesis via
+    * `javax.sound.sampled` (in the JDK — needs no external codec): a
+    * mono PCM16LE clip whose frame i carries the signed sample
+    * (a + i) − 32768, with
+    *   rate = 8000 + doc_id mod 3 * 4000,
+    *   N    = 800 + doc_id mod 5 * 160   (frames),
+    *   a    = doc_id * 37 mod 60000.
+    * a + N ≤ 61439 < 2¹⁶, so the ramp never wraps and the decoded PCM
+    * sum has the closed form N·a + N(N−1)/2 − 32768·N — integer
+    * arithmetic on doc_id, giving the REAL encode→decode round trip an
+    * exact DuckDB oracle exactly like [[synthPngBytes]] does for images. */
+  def synthWavBytes(docId: Long): Array[Byte] = {
+    val rate = (8000 + (docId % 3) * 4000).toInt
+    val n = (800 + (docId % 5) * 160).toInt
+    val a = (docId * 37 % 60000).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = a + i - 32768
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize the WAV payload column on EXECUTORS (batched like every
+    * kernel here) — a real binary audio column derived from doc_id. */
+  def synthWav(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap(_.map(id => (id, synthWavBytes(id))))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** ====== REAL KERNEL ====== Batched WAV decode:
+    * `AudioSystem.getAudioInputStream` per payload through the same
+    * grouped-iterator shape as [[decodePngMeta]]. Returns the TRUE
+    * header-decoded rate and frame count plus the exact sum of decoded
+    * signed 16-bit samples — values that only exist post-decode. PCM is
+    * lossless, so against [[synthWav]] payloads the output matches the
+    * closed-form synthesis arithmetic exactly. */
+  def decodeWavMeta(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian, s"unexpected format for doc_id=$id: $fmt")
+            val nFrames = ais.getFrameLength
+            val pcm = ais.readAllBytes()
+            ais.close()
+            var sum = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              sum += ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort.toLong
+              i += 2
+            }
+            DecodedAudio(id, fmt.getSampleRate.toInt, nFrames, sum)
+          }
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
+  /** The mm_audio_real surface: synthesize real WAVs, round-trip them
+    * through the batched decode kernel. */
+  def audioReal(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeWavMeta(spark, synthWav(spark, docs))
+
   /** Native-expression twin of the stub's size-derived fields (no kernel,
     * pure Catalyst arithmetic) — oracle-checkable, and shows that metadata
     * predicates can be evaluated without decoding. */
