@@ -440,6 +440,18 @@ object SparkEntry {
     "text_bigram_df" -> ((s, dir) =>
       TextAnalysis.bigramDf(t(s, dir, "documents"))),
 
+    // EXACT global top-20 tokens via bounded-state Misra-Gries
+    // candidates + exact rescore (no full-vocabulary shuffle); the
+    // losslessness bound is asserted inside the plan.
+    "text_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(t(s, dir, "documents"))),
+
+    // EXT integer LM-familiarity quality score: char-trigram counts
+    // trained on the corpus, documents scored by occurrence-weighted
+    // corpus frequency (broadcast-probed, charset³-bounded model).
+    "text_lm_familiarity" -> ((s, dir) =>
+      TextAnalysis.lmFamiliarity(t(s, dir, "documents"))),
+
     // per-doc top-3 terms by TF-IDF (integer-exact idf surrogate; corpus
     // df + N computed distributed, ReuseExchange shares the tf shuffle)
     "text_tfidf_topk" -> ((s, dir) =>
@@ -479,6 +491,12 @@ object SparkEntry {
 
     // EXT dedup family over documents:
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+
+    // EXT chunk-granular substring dedup: drop repeated 10-token chunks
+    // corpus-wide (keep first occurrence), rebuild each document from
+    // its surviving chunks — passage-level cleanup, not doc-level drop.
+    "dedup_chunk_substrings" -> ((s, dir) =>
+      Dedup.chunkDedup(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
     // LOSSLESS prefix-filtered exact Jaccard (AllPairs/PPJoin candidate
     // condition): same answer as UNCAPPED exact Jaccard — boilerplate
@@ -945,6 +963,12 @@ object SparkEntry {
     // docs per source so no domain dominates the mix.
     "fp_source_quota" -> ((s, dir) =>
       Features.sourceQuota(t(s, dir, "documents"), cap = 10)),
+
+    // EXT temperature resampling (α = ½): per-source keep rates from
+    // integer isqrt arithmetic + portable-hash membership; reports
+    // source, n_docs, rate_bp, n_kept.
+    "corpus_temperature_sample" -> ((s, dir) =>
+      Features.temperatureSample(t(s, dir, "documents"))),
 
     // EXT normalization dedup: the corpus decorated with casing/punct/
     // whitespace noise (ids offset) collapses back onto the originals
@@ -2136,6 +2160,29 @@ object SparkEntry {
          SELECT doc_id, rnk, term, tf FROM r WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
 
+    // text_lm_familiarity: trigram occurrences via generate_series;
+    // counts joined back occurrence-weighted; integer division.
+    "text_lm_familiarity" ->
+      """WITH tri AS (
+           SELECT doc_id, substr(text, i, 3) AS tri
+           FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS i) g
+           WHERE len(text) >= 3),
+         c AS (SELECT tri, count(*) AS n FROM tri GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+                CAST(sum(n) AS BIGINT) AS fam_sum,
+                CAST(sum(n) // count(*) AS BIGINT) AS fam_avg
+         FROM tri JOIN c USING (tri)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // text_heavy_hitters: the MG+rescore result is provably the exact
+    // top-20 (in-plan assertion), so the oracle is the plain exact count.
+    "text_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         SELECT tok, count(*) AS n_tok FROM tok WHERE tok <> ''
+         GROUP BY 1 ORDER BY n_tok DESC, tok ASC LIMIT 20""",
+
     "q32_window_ranks" ->
       """SELECT o_orderkey, o_custkey,
                 CAST(rank() OVER w AS BIGINT) AS rnk,
@@ -2374,6 +2421,35 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // dedup_chunk_substrings: 10-token chunks; first occurrence by
+    // (doc_id, pos) wins; documents rebuilt from surviving chunks.
+    "dedup_chunk_substrings" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+         occ AS (
+           SELECT doc_id, pos,
+                  array_to_string(tk[(pos*10+1):(pos*10+10)], ' ') AS chunk
+           FROM toks,
+           LATERAL (SELECT unnest(generate_series(0,
+                      (len(tk) + 9) // 10 - 1)) AS pos) p),
+         ranked AS (
+           SELECT doc_id, pos, chunk,
+                  row_number() OVER (PARTITION BY md5(chunk)
+                                     ORDER BY doc_id, pos) AS rn
+           FROM occ),
+         rebuilt AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+           FROM ranked WHERE rn = 1 GROUP BY doc_id),
+         totals AS (SELECT doc_id,
+                           CAST((len(tk) + 9) // 10 AS BIGINT) AS n_chunks
+                    FROM toks)
+         SELECT t.doc_id, t.n_chunks,
+                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(r.clean_text, '') AS clean_text
+         FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+         ORDER BY t.doc_id""",
 
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
@@ -2844,6 +2920,25 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+
+    "corpus_temperature_sample" -> {
+      import Portable.{P1, aCoef, bCoef}
+      s"""WITH i AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(floor(sqrt(count(*))) AS BIGINT) AS isq
+           FROM documents GROUP BY 1),
+         m AS (SELECT min(isq) AS min_isq FROM i),
+         r AS (SELECT source, n_docs,
+                      least(10000, min_isq * 10000 // isq) AS rate_bp
+               FROM i, m)
+         SELECT d.source, r.n_docs, r.rate_bp,
+                CAST(sum(CASE WHEN ((d.doc_id % $P1) * ${aCoef(97)}
+                                    + ${bCoef(97)}) % $P1
+                              < ${P1 / 10000L} * r.rate_bp
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM documents d JOIN r USING (source)
+         GROUP BY 1, 2, 3 ORDER BY d.source"""
+    },
 
     "dedup_normalized" ->
       """WITH corpus AS (

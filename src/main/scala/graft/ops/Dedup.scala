@@ -631,4 +631,53 @@ object Dedup {
       .filter(col("lev") >= 0)
       .orderBy("da", "db")
   }
+
+  /** Chunk-granular exact substring dedup WITH document rebuild — the
+    * "remove duplicated passages, keep the rest of the document" pass
+    * (boilerplate headers, licence blocks, templated paragraphs), as
+    * opposed to whole-document dedup which throws away documents that
+    * are mostly unique. Documents are cut into fixed `w`-token chunks;
+    * of all occurrences of an identical chunk across the corpus, only
+    * the first (min (doc_id, pos)) survives; each document is
+    * reassembled from its surviving chunks in order.
+    *
+    * Scale: the global first-occurrence decision shuffles ONLY
+    * (md5 fp, id, pos) — never chunk text (the fp-width-shuffle
+    * discipline of [[exact]]); winners come back as fixed-width
+    * (id, pos) pairs and re-attach to the re-derived chunks with one
+    * (id, pos)-keyed join, and the rebuild groups text by doc — text
+    * moves through exactly two doc-keyed exchanges regardless of
+    * duplication rate. No caps needed: every aggregation key (fp, doc)
+    * has bounded fan-in (occurrences dedup to one winner; chunks per
+    * doc is bounded by document length).
+    *
+    * Returns (id, n_chunks, n_kept, clean_text); documents whose every
+    * chunk lost rebuild to the empty string. */
+  def chunkDedup(docs: DataFrame, w: Int = 10, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(w >= 1, s"chunk width >= 1, got $w")
+    val tk = split(col(text), " ")
+    val nChunks = expr(s"(size(split($text, ' ')) + ${w - 1}) div $w")
+    val chunked = docs.select(col(id), posexplode(
+      transform(sequence(lit(0), nChunks - 1),
+        j => array_join(slice(tk, j * w + 1, lit(w)), " "))).as(Seq("pos", "chunk")))
+    val occ = chunked.select(col(id), col("pos"), col("chunk"),
+      md5(col("chunk")).as("fp"))
+    val winners = occ.select(col("fp"), col(id), col("pos"))
+      .groupBy("fp").agg(min(struct(col(id), col("pos"))).as("win"))
+      .select(col("win")(id).as("wid"), col("win")("pos").as("wpos"))
+    val kept = occ.join(winners,
+      col(id) === col("wid") && col("pos") === col("wpos"))
+    val rebuilt = kept.groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x("chunk")), " ").as("clean_text"))
+    docs.select(col(id), nChunks.cast("long").as("n_chunks"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(id)
+  }
 }

@@ -236,6 +236,44 @@ object Features {
       .orderBy(order)
   }
 
+  /** Temperature resampling (α = 1/2) — the mixture-flattening pass of a
+    * training-data pipeline: rebalance per-source document counts from
+    * c_s toward c_s^α, upweighting rare sources relative to dominant
+    * crawls, with every decision a pure integer function of the data.
+    *
+    * Rates: keep-rate bp_s = min(10000, ⌊√c_min⌋·10000 div ⌊√c_s⌋), so
+    * the rarest source keeps ~everything and expected kept counts are
+    * ∝ √(c_s·c_min) ∝ c_s^½. All integer arithmetic: ⌊√n⌋ of an exact
+    * integer is deterministic cross-engine (IEEE sqrt is correctly
+    * rounded), and membership is the [[hashSplit]] affine-hash threshold
+    * — a pure function of (key, source), stable under repartitioning,
+    * auditable by SQL. (A bp_s of 10000 admits all but ~7e-9 of hash
+    * space — the threshold granularity of P1 div 10000, identical on
+    * both engines.)
+    *
+    * Shape: one #sources aggregation, the 1-row min rides back as a
+    * broadcast, rates broadcast-join onto the corpus (sources ≪ docs),
+    * kept counts partial-agg — no corpus-sized shuffle anywhere. Returns
+    * the per-source report (counts, rate, kept); apply the same
+    * predicate to keep rows instead of counting them. */
+  def temperatureSample(df: DataFrame, stratum: String = "source",
+      key: String = "doc_id"): DataFrame = {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    val isq = df.groupBy(stratum).agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", floor(sqrt(col("n_docs"))).cast("long"))
+    val minIsq = isq.agg(min(col("isq")).as("min_isq"))
+    val rates = isq.crossJoin(broadcast(minIsq))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("min_isq * 10000 div isq")))
+      .select(col(stratum), col("n_docs"), col("rate_bp"))
+    val h = (col(key).cast("long") % lit(P1) * lit(aCoef(97)) + lit(bCoef(97))) % lit(P1)
+    df.join(broadcast(rates), stratum)
+      .withColumn("kept", h < lit(P1 / 10000L) * col("rate_bp"))
+      .groupBy(col(stratum), col("n_docs"), col("rate_bp"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(stratum)
+  }
+
   def hashStratifiedSample(df: DataFrame, stratum: String, key: String,
       fractionsBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
     require((fractionsBp.values ++ Seq(defaultBp)).forall(bp => bp >= 0 && bp <= 10000),

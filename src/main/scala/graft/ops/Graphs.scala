@@ -123,22 +123,23 @@ object Graphs {
       .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
     val lowFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    // oriented feeds three plan positions (edge probe + both adjacency
-    // sides); materialize the two-long-per-edge table once instead of
-    // recomputing the whole upstream derivation (scan → basket → pair
-    // explode → dedup → degree joins) per position — same lineage
-    // discipline as pagerankInt's per-round state
     val oriented = withDeg.select(
       when(lowFirst, col("u")).otherwise(col("v")).as("src"),
       when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint()
+    // the oriented edge list is consumed ONCE (into the adjacency agg);
+    // the per-edge probe re-derives (src, dst, N⁺(src)) by exploding the
+    // adjacency table itself, so the expensive upstream derivation
+    // (scan → basket → pair explode → dedup → degree joins) sits under a
+    // single plan subtree and the self-join's two adj occurrences are
+    // identical subtrees Spark serves from one ReusedExchange.
+    // Nodes with no out-edges (global rank maxima) have no adjacency row:
+    // the inner join drops edges whose dst has none — correct, those
+    // edges close no triangle at this orientation position.
     val adj = oriented.groupBy(col("src").as("node"))
       .agg(collect_list(col("dst")).as("nbrs"))
-    // nodes with no out-edges (global rank maxima) have no adjacency row:
-    // inner joins drop edges whose dst has none — correct, those edges
-    // close no triangle at this position and src-side rows always exist
-    val tris = oriented
-      .join(adj.select(col("node").as("src"), col("nbrs").as("nv")), "src")
+    val tris = adj
+      .select(col("node").as("src"), col("nbrs").as("nv"),
+        explode(col("nbrs")).as("dst"))
       .join(adj.select(col("node").as("dst"), col("nbrs").as("nw")), "dst")
       .select(col("src"), col("dst"),
         array_intersect(col("nv"), col("nw")).as("xs"))

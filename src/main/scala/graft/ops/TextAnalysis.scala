@@ -407,6 +407,111 @@ object TextAnalysis {
       .orderBy(stratum)
   }
 
+  /** EXACT global top-k tokens WITHOUT a full-vocabulary shuffle — the
+    * corpus-frequency surface (stopword-list mining, tokenizer-vocab
+    * seeding) at a scale where "group by token" means shuffling billions
+    * of distinct keys.
+    *
+    * Two passes, lossless by the candidate+rescore discipline
+    * ([[graft.ops.Dedup.levenshteinRescore]], PPJoin):
+    *  1. one map-only scan runs a bounded Misra–Gries summary
+    *     (`capacity` counters) per partition and emits only its
+    *     candidate tokens plus the partition's token count — ≤
+    *     (capacity+1) rows per partition, no shuffle. MG guarantees any
+    *     token with partition frequency > n_p/capacity survives, so
+    *     (by averaging over partitions) any token with GLOBAL frequency
+    *     > N/capacity appears in the union — for every partitioning.
+    *  2. a second scan counts ONLY the candidate tokens exactly (map-side
+    *     hash probe against the broadcast candidate set, partial-agg'd
+    *     shuffle of ≤ #partitions × capacity rows), then takes top-k.
+    *
+    * The result is provably exact iff the k-th rescored count exceeds
+    * N/capacity; that bound is ASSERTED inside the plan (`assert_true`
+    * over the final k rows cross-joined with the 1-row total) — fail
+    * loudly, never silently approximate, same contract as
+    * [[graft.ops.Similarity.bruteTopK]]'s refusal. Skew-immune: a hot
+    * token costs one counter per partition, never a hot shuffle key.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 20, capacity: Int = 256,
+      text: String = "text"): DataFrame = {
+    require(k >= 1 && capacity > k, s"need capacity > k >= 1; got $k, $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(split(col(text), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    // pass 1: per-partition MG candidates + token tally, in ONE scan;
+    // the tiny summary feeds two consumers, so materialize it once
+    val summary = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None if m.size < capacity => m.update(t, 1L)
+          case None => // decrement-all step: amortized O(1) per token
+            val dead = List.newBuilder[String]
+            m.foreach { case (key, c) =>
+              if (c == 1L) dead += key else m.update(key, c - 1) }
+            dead.result().foreach(m.remove)
+        }
+      }
+      Iterator.single((null: String, n)) ++ m.keysIterator.map((_, -1L))
+    }.toDF("tok", "n_p").localCheckpoint()
+    val total = summary.filter(col("tok").isNull)
+      .agg(sum(col("n_p")).as("n_total"))
+    val cands = summary.filter(col("tok").isNotNull).select("tok").distinct()
+    // pass 2: exact rescore of candidates only
+    toks.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      .orderBy(desc("n_tok"), asc("tok")).limit(k)
+      .crossJoin(broadcast(total))
+      .where(assert_true(col("n_tok") * capacity > col("n_total"),
+        lit(s"top-$k not provable at capacity $capacity: a returned count " +
+          "is under N/capacity — raise capacity")).isNull)
+      .select("tok", "n_tok")
+      .orderBy(desc("n_tok"), asc("tok"))
+  }
+
+  /** Corpus-statistical language-model familiarity scoring — the
+    * integer-exact stand-in for perplexity-based quality filtering: train
+    * a char-trigram count model ON the corpus itself, then score each
+    * document by how common its trigrams are corpus-wide. Documents full
+    * of rare trigrams (mojibake, binary spew, exotic boilerplate) score
+    * low; typical prose scores high. Floats never appear (a real LM's
+    * log-probs have no cross-engine bit parity — counts do), so the
+    * whole surface is hash-oracle-able.
+    *
+    * Scale: the trigram vocabulary is bounded by charset³ (≤ ~1 M for
+    * printable ASCII), NOT corpus size, so the count table broadcasts
+    * and scoring is a map-side probe over the trigram stream — the
+    * corpus itself never shuffles (the per-doc aggregation moves only
+    * partial-agg'd (doc, sum) rows). The broadcast is GUARDED like
+    * [[contamination]]'s: one cheap count picks broadcast vs shuffle
+    * join, so a pathological charset degrades to slower-but-safe.
+    * Documents under 3 chars have no trigrams and are absent (same as
+    * the SQL twin's empty generate_series).
+    *
+    * Cache contract (as [[contamination]]): the count table feeds the
+    * guard AND the join — persisted here, released by the session-level
+    * `clearCache` between queries. */
+  def lmFamiliarity(docs: DataFrame, maxBroadcastVocab: Long = 2000000L,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tri = docs.filter(length(col(text)) >= 3)
+      .select(col(id), explode(transform(
+        sequence(lit(1), length(col(text)) - 2),
+        i => col(text).substr(i, lit(3)))).as("tri"))
+    val counts = tri.groupBy("tri").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored =
+      if (counts.count() <= maxBroadcastVocab) tri.join(broadcast(counts), "tri")
+      else tri.join(counts, "tri")
+    scored.groupBy(col(id))
+      .agg(count(lit(1)).as("n_tri"), sum(col("n")).as("fam_sum"))
+      .withColumn("fam_avg", expr("fam_sum div n_tri"))
+      .orderBy(id)
+  }
+
   /** Document fingerprints: md5 (content-exact) + polynomial rolling hash
     * (shift-tolerant primitive used by chunk-level dedup). */
   def fingerprints(docs: DataFrame, id: String = "doc_id",

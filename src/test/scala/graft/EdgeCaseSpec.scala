@@ -238,4 +238,42 @@ class EdgeCaseSpec extends SparkTestBase {
       graft.sources.ZOrder.mortonKey(col("k"), col("k"), 0)
     }
   }
+
+  test("wav kernel: decoded meta matches the closed-form synthesis") {
+    // doc_id=5: rate 16000, N 800 (5 mod 5 = 0), a 185;
+    // sum = 800*185 + 800*799/2 - 32768*800
+    val docs = Seq(5L, 0L).toDF("doc_id")
+    val got = graft.ops.Multimodal.audioReal(spark, docs)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 8000, 800L, 800L * 0 + 800L * 799 / 2 - 32768L * 800),
+      (5L, 16000, 800L, 800L * 185 + 800L * 799 / 2 - 32768L * 800)))
+  }
+
+  test("round-4b ops: degenerate inputs are safe") {
+    // heavy hitters on an empty corpus: no candidates, no rows, no throw
+    assert(graft.ops.TextAnalysis.heavyHitters(emptyDocs).count() == 0)
+    // chunk dedup: empty corpus → empty; a single doc keeps everything
+    assert(graft.ops.Dedup.chunkDedup(emptyDocs).count() == 0)
+    val one = Seq((7L, "a b c")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.chunkDedup(one, w = 2)
+      .as[(Long, Long, Long, String)].head() == ((7L, 2L, 2L, "a b c")))
+    // temperature sampling: empty corpus → empty report
+    assert(graft.ops.Features.temperatureSample(emptyDocs).count() == 0)
+    // triangle counts: triangle-free graph → empty, not a crash
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    assert(graft.ops.Graphs.triangleCounts(path).count() == 0)
+  }
+
+  test("heavyHitters: unprovable top-k fails loudly, never approximates") {
+    // 40 uniform tokens, capacity 21: every count is N/40, and
+    // count*21 < N — the in-plan losslessness assertion must fire
+    val docs = (0 until 50).map(i =>
+      (i.toLong, (0 until 40).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.ops.TextAnalysis.heavyHitters(docs, k = 20, capacity = 21).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -353,6 +353,16 @@ class RelationalSpec extends SparkTestBase {
     assert(got == Map(1L -> 12549L, 2L -> 9150L, 3L -> 9150L, 4L -> 9150L))
   }
 
+  test("triangleCounts: K4 plus pendant, duplicate/reversed edges canonicalized") {
+    // K4 on 1-4 has 4 triangles, each node in 3; pendant 5 closes none.
+    // Duplicate (1,2) and reversed (2,1) must collapse to one edge.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (5L, 1L)).toDF("da", "db")
+    val got = graft.ops.Graphs.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("TopKByScore: NaN scores rank FIRST, like ORDER BY score DESC") {
     val topk = org.apache.spark.sql.functions.udaf(
       new graft.functions.TopKByScore(2),

@@ -369,4 +369,69 @@ class TextDedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSeq.sorted
     assert(got == want)
   }
+
+  test("heavyHitters: exact top-k on a skewed corpus with forced decrements") {
+    // 'hot' 500x, 'warm' 100x, 30 tail tokens 2x each → N = 660.
+    // capacity 8 < vocab 32 forces the Misra-Gries decrement path on
+    // every partition; the guard holds (100 * 8 = 800 > 660), so the
+    // result must equal the exact top-2 regardless of summary contents.
+    val rows =
+      (0 until 500).map(i => (i.toLong, "hot")) ++
+      (0 until 100).map(i => (500L + i, "warm")) ++
+      (0 until 30).flatMap(j =>
+        Seq((600L + 2 * j, s"tail$j"), (601L + 2 * j, s"tail$j")))
+    val docs = rows.toDF("doc_id", "text").repartition(4)
+    val got = TextAnalysis.heavyHitters(docs, k = 2, capacity = 8)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hot", 500L), ("warm", 100L)))
+  }
+
+  test("lmFamiliarity: hand-counted trigram scores; shuffle fallback agrees") {
+    // trigrams: d1 {abc,bcd}, d2 {abc,bcd,cdx} → counts abc=2, bcd=2,
+    // cdx=1; d3 is too short to score
+    val docs = Seq((1L, "abcd"), (2L, "abcdx"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val want = Seq((1L, 2L, 4L, 2L), (2L, 3L, 5L, 1L))
+    val got = TextAnalysis.lmFamiliarity(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // vocab guard forces the non-broadcast join; results identical
+    val shuffled = TextAnalysis.lmFamiliarity(docs, maxBroadcastVocab = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(shuffled == want)
+  }
+
+  test("chunkDedup: first occurrence wins, documents rebuild in order") {
+    val c = (s: Char) => (1 to 10).map(i => s"$s$i").mkString(" ")
+    val docs = Seq(
+      (1L, c('a') + " " + c('b')),  // chunks A, B — both first
+      (2L, c('a') + " " + c('c')),  // A repeats → keeps only C
+      (3L, c('a') + " " + c('b'))   // fully duplicate → empty rebuild
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, c('a') + " " + c('b')),
+      (2L, 2L, 1L, c('c')),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("temperatureSample: integer rates and hash membership, recomputed locally") {
+    // counts 100 and 4 → isq 10 and 2, min_isq 2 →
+    // rate(big) = 2*10000 div 10 = 2000 bp, rate(small) = 10000 bp
+    val docs = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 104).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "text").withColumn("source", col("text"))
+    val got = graft.ops.Features.temperatureSample(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    def kept(ids: Range, bp: Long): Long = ids.count { i =>
+      (i.toLong % P1 * aCoef(97) + bCoef(97)) % P1 < P1 / 10000L * bp
+    }.toLong
+    assert(got == Seq(
+      ("big", 100L, 2000L, kept(0 until 100, 2000L)),
+      ("small", 4L, 10000L, kept(100 until 104, 10000L))))
+    // sanity: the rarest source keeps everything at bp 10000
+    assert(got.find(_._1 == "small").get._4 == 4L)
+  }
 }
