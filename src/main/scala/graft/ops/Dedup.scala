@@ -176,10 +176,20 @@ object Dedup {
     * Output ≡ uncapped exact Jaccard at the same threshold (the
     * registered query's oracle IS the plain Jaccard SQL); TextDedupSpec
     * shows a boilerplate corpus where the capped variant goes blind and
-    * this one does not. One extra token-keyed shuffle (the df join +
-    * per-doc rank window) vs the capped variant. The prefix-length and
-    * length-filter arithmetic is integer-exact (ceil(a/b) as
-    * (a+b-1) div b) — no float thresholds. */
+    * this one does not. The prefix-length and length-filter arithmetic
+    * is integer-exact (ceil(a/b) as (a+b-1) div b) — no float
+    * thresholds.
+    *
+    * Shape: the per-doc rarest-first shingle ARRAY is the working
+    * representation (one groupBy over the df-joined shingle stream,
+    * checkpointed — |docs| rows). Prefixes are array slices; candidate
+    * verification is `size(array_intersect)` after two |cand|-row joins
+    * against the array table — NOT a re-join of the full exploded
+    * shingle stream (measured at sf0.1: 6.8 s → the exploded-verify
+    * shape's two 1M-row shuffles + per-pair count dominate; arrays cut
+    * the verify to candidate-sized work). Per-doc arrays are bounded by
+    * document length (same bound the explode already materializes), so
+    * no skew risk beyond the corpus's own max-doc-length. */
   def jaccardPrefix(docs: DataFrame, k: Int = 3,
       minJaccardBp: Long = 5000): DataFrame = {
     require(minJaccardBp >= 1 && minJaccardBp <= 10000,
@@ -189,28 +199,33 @@ object Dedup {
         explode(graft.functions.WordShingleHashes(col("text"), k)).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfT = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("h"))
-    val prefix = sh.join(dfT, "h")
-      .withColumn("rn", row_number().over(w))
-      .join(n, "doc_id")
-      .filter(col("rn") <=
-        col("n_sh") - expr(s"(n_sh * $minJaccardBp + 9999) div 10000") + 1)
-      .select("doc_id", "h", "n_sh")
+    // rarest-first total order (df asc, h asc) via one struct-array sort;
+    // localCheckpoint: 3 consumers (prefix explode + both verify sides),
+    // and materializing lets the wide shingle stream unpersist eagerly
+    val arr = sh.join(dfT, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dh"))
+      .select(col("doc_id"),
+        transform(col("dh"), x => x("h")).as("hs"),
+        size(col("dh")).cast("long").as("n_sh"))
+      .localCheckpoint()
+    sh.unpersist()
+    val pfxLen =
+      col("n_sh") - expr(s"(n_sh * $minJaccardBp + 9999) div 10000") + 1
+    val prefix = arr.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("hs"), lit(1), pfxLen.cast("int"))).as("h"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n_sh") * minJaccardBp <= col("b.n_sh") * 10000L &&
           col("b.n_sh") * minJaccardBp <= col("a.n_sh") * 10000L)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val common = cand
-      .join(sh.select(col("doc_id").as("da"), col("h")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    common
-      .join(n.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
-      .join(n.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+    cand
+      .join(arr.select(col("doc_id").as("da"), col("hs").as("ha"),
+        col("n_sh").as("na")), "da")
+      .join(arr.select(col("doc_id").as("db"), col("hs").as("hb"),
+        col("n_sh").as("nb")), "db")
+      .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard_bp",
         Texty.ratioBp(col("c"), col("na") + col("nb") - col("c")))
       .filter(col("jaccard_bp") >= minJaccardBp)
