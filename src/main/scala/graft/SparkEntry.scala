@@ -26,6 +26,10 @@ object SparkEntry {
     * canonical 10 for library callers. */
   val PagerankQueryIters = 5
 
+  /** Fixed literal query for the search_bm25 surface (shared with its
+    * generated oracle SQL — terms must be plain ASCII words). */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window")
+
   /** Basket cap for copurchase_pairs: pair expansion is O(basket²), so
     * only the `MaxBasket` lowest part ids per order generate pairs — the
     * dedup family's bounded-candidate contract (shared by query and
@@ -452,6 +456,16 @@ object SparkEntry {
     "text_lm_familiarity" -> ((s, dir) =>
       TextAnalysis.lmFamiliarity(t(s, dir, "documents"))),
 
+    // EXT integer BM25 retrieval: top-10 docs for a fixed literal query;
+    // corpus shuffles only query-term postings, never its vocabulary.
+    "search_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), Bm25QueryTerms)),
+
+    // EXT tokenizer-training surface: corpus-wide adjacent-char-pair
+    // frequencies (the first BPE merge statistic), top-20.
+    "bpe_merge_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(t(s, dir, "documents"))),
+
     // per-doc top-3 terms by TF-IDF (integer-exact idf surrogate; corpus
     // df + N computed distributed, ReuseExchange shares the tf shuffle)
     "text_tfidf_topk" -> ((s, dir) =>
@@ -530,6 +544,24 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("keep_id"))
         .withColumn("keep", (col("keep_id") === col("doc_id")).cast("long"))
+        .orderBy("doc_id")
+    }),
+    // EXT leakage-safe train/test split: near-duplicate CLUSTERS land in
+    // one split (a doc and its near-copy must never straddle train/test
+    // — the decontamination failure mode hash-splitting raw doc ids
+    // can't prevent). Composes the production dedup pipeline's cluster
+    // ids with the portable hash split keyed on cluster_id, so split
+    // membership is a pure function of content relationships.
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.resolveClusters(
+        Dedup.levenshteinRescore(Dedup.minhashLsh(docs), docs))
+      val withCluster = docs.select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      Features.hashSplit(withCluster, "cluster_id", 2000)
+        .select("doc_id", "cluster_id", "split")
         .orderBy("doc_id")
     }),
     // cap observability: the drop-loudly contract as a CHECKED surface —
@@ -1415,6 +1447,36 @@ object SparkEntry {
        |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The dedup-pipeline cluster ids fed through the portable hash split
+    * keyed on cluster_id — same CTE chain as [[dedupPipelineOracle]],
+    * same affine-hash arithmetic as the fp_hash_split oracle. */
+  private def leakageSplitOracle: String = {
+    import Portable.{P1, aCoef, bCoef}
+    s"""WITH RECURSIVE $minhashLshCtes,
+       | resc AS (
+       |   SELECT p.da, p.db
+       |   FROM mh_pairs p
+       |   JOIN documents ta ON ta.doc_id = p.da
+       |   JOIN documents tb ON tb.doc_id = p.db
+       |   WHERE levenshtein(substr(ta.text, 1, 40), substr(tb.text, 1, 40)) <= 12),
+       | sym AS (SELECT da AS src, db AS dst FROM resc
+       |         UNION ALL SELECT db, da FROM resc),
+       | reach AS (
+       |   SELECT src AS a, src AS b FROM sym
+       |   UNION
+       |   SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+       | clusters AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |              FROM reach GROUP BY 1),
+       | withc AS (SELECT d.doc_id,
+       |                  coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |           FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN ((cluster_id % $P1) * ${aCoef(7)} + ${bCoef(7)}) % $P1
+       |                 < ${P1 / 10000L * 2000L}
+       |            THEN 'test' ELSE 'train' END AS split
+       |FROM withc ORDER BY doc_id""".stripMargin
+  }
+
   /** CTE chain ending in `sblocked(doc_id, simhash, chunk_idx, chunk)` —
     * CTE names are disjoint from [[minhashLshCtes]]'s so the two chains
     * can share one WITH clause (capStatsOracle does). */
@@ -1591,6 +1653,7 @@ object SparkEntry {
     // kernels and this generated SQL — see graft.functions.Portable.
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
+    "split_leakage_safe" -> leakageSplitOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_cap_stats" -> capStatsOracle,
     "dedup_recall" -> dedupRecallOracle,
@@ -2182,6 +2245,48 @@ object SparkEntry {
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          SELECT tok, count(*) AS n_tok FROM tok WHERE tok <> ''
          GROUP BY 1 ORDER BY n_tok DESC, tok ASC LIMIT 20""",
+
+    // search_bm25: same basis-point integer formula, same div order;
+    // dl counts non-empty tokens; sums cast back to BIGINT (DuckDB sums
+    // to HUGEINT).
+    "search_bm25" -> {
+      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dl AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+           FROM documents),
+         st AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ($terms) GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id,
+                  CAST(sum(
+                    (((10000 * st.n_docs) // df.df) * t.tf * (12000 + 10000))
+                    // (t.tf * 10000 +
+                       (12000 * (10000 - 7500 + (7500 * dl.dl) // st.avgdl)) // 10000)
+                  ) AS BIGINT) AS score_bp
+           FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+           GROUP BY 1)
+         SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk,
+                score_bp
+         FROM scored ORDER BY score_bp DESC, doc_id LIMIT 10"""
+    },
+
+    // bpe_merge_pairs: adjacent char pairs inside whitespace tokens.
+    "bpe_merge_pairs" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         p AS (
+           SELECT substr(tok, i, 2) AS pair
+           FROM tok,
+           LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS i) g
+           WHERE len(tok) >= 2)
+         SELECT pair, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
 
     "q32_window_ranks" ->
       """SELECT o_orderkey, o_custkey,

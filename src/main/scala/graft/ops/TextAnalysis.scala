@@ -512,6 +512,78 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** Integer-exact BM25 retrieval: top-k documents for a literal query —
+    * the search/RAG-indexing surface over the same corpus the dedup and
+    * quality families curate. Every factor of the classical formula is
+    * re-expressed in basis-point integer arithmetic with explicit floor
+    * semantics so scores are bit-identical on any engine (log-idf and
+    * float length-norm have no cross-engine parity; the monotone
+    * surrogates preserve BM25's structure):
+    *
+    *   idf_bp     = (10000·N) div df              (rare terms weigh more)
+    *   dlnorm_bp  = 10000 − b + (b·dl) div avgdl  (b = 7500: length penalty)
+    *   contrib    = (idf_bp·tf·(k1 + 10000))
+    *                  div (tf·10000 + (k1·dlnorm_bp) div 10000)
+    *                                              (k1 = 12000: tf saturation)
+    *   score_bp   = Σ_terms contrib
+    *
+    * Scale: the corpus never shuffles its vocabulary — tokens filter to
+    * the literal query terms map-side BEFORE the (doc, term) aggregation,
+    * so the only corpus-keyed shuffle carries query-term postings; df is
+    * a |query|-row aggregate over those postings (broadcast back); dl
+    * rides the posting rows (min over the per-doc constant), and the
+    * corpus-wide (N, avgdl) pair is a 1-row map-only aggregate. The
+    * global top-k plans TakeOrderedAndProject. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1Bp: Long = 12000L, bBp: Long = 7500L,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k >= 1, s"k >= 1, got $k")
+    val toks = split(col(text), " ")
+    val dl = size(filter(toks, t => t =!= "")).cast("long")
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(dl).as("sum_dl"))
+      .select(col("n_docs"), expr("sum_dl div n_docs").as("avgdl"))
+    val tf = docs.select(col(id), dl.as("dl"), explode(toks).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.orderBy(desc("score_bp"), col(id))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bp", expr("(10000 * n_docs) div df"))
+      .withColumn("dlnorm_bp",
+        lit(10000L - bBp) + expr(s"($bBp * dl) div avgdl"))
+      .withColumn("contrib", expr(
+        s"(idf_bp * tf * ($k1Bp + 10000)) div " +
+          s"(tf * 10000 + ($k1Bp * dlnorm_bp) div 10000)"))
+      .groupBy(col(id)).agg(sum(col("contrib")).as("score_bp"))
+      .orderBy(desc("score_bp"), col(id)).limit(k)
+      // ≤ k rows reach the rank window: the single partition is the point
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col(id), col("rnk"), col("score_bp"))
+      .orderBy("rnk")
+  }
+
+  /** First-iteration BPE merge statistics: corpus-wide frequencies of
+    * adjacent character pairs within whitespace tokens, top-k — the
+    * statistic a byte-pair-encoding tokenizer trainer maximizes on its
+    * first merge (and re-derives each round after merging; this surface
+    * is the building block). Map-only explode; the aggregation key space
+    * is bounded by charset² — a fixed-size shuffle independent of corpus
+    * size — and the global top-k plans TakeOrderedAndProject. */
+  def bpePairStats(docs: DataFrame, k: Int = 20,
+      text: String = "text"): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    docs.select(explode(split(col(text), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair")).limit(k)
+  }
+
   /** Document fingerprints: md5 (content-exact) + polynomial rolling hash
     * (shift-tolerant primitive used by chunk-level dedup). */
   def fingerprints(docs: DataFrame, id: String = "doc_id",

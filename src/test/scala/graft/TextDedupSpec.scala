@@ -434,4 +434,44 @@ class TextDedupSpec extends SparkTestBase {
     // sanity: the rarest source keeps everything at bp 10000
     assert(got.find(_._1 == "small").get._4 == 4L)
   }
+
+  test("bm25TopK: hand-computed integer scores (saturation + length norm)") {
+    // dl: d1=4 d2=2 d3=2; N=3, avgdl = 8 div 3 = 2
+    // idf: a = 30000 div 2 = 15000, d = 30000 div 1 = 30000
+    // dlnorm: d1 = 2500 + (7500*4) div 2 = 17500; d2 = 2500 + 7500 = 10000
+    // contrib(1,a) = 15000*2*22000 div (20000 + 12000*17500 div 10000) = 16097
+    // contrib(2,a) = 15000*1*22000 div (10000 + 12000) = 15000
+    // contrib(2,d) = 30000*1*22000 div 22000 = 30000
+    val docs = Seq((1L, "a b a c"), (2L, "a d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("a", "d"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 45000L), (1L, 2L, 16097L)))
+  }
+
+  test("bpePairStats: within-token char pairs, deterministic top-k cut") {
+    // tokens ab, ab, cd, abc -> pairs ab:3, bc:1, cd:1; tie-break pair asc
+    val docs = Seq((1L, "ab ab cd"), (2L, "abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(docs, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L), ("bc", 1L)))
+    // single-char tokens generate no pairs
+    assert(TextAnalysis.bpePairStats(Seq((1L, "a b c")).toDF("doc_id", "text"))
+      .count() == 0)
+  }
+
+  test("split_leakage_safe: cluster members never straddle splits") {
+    val res = SparkEntry.queries("split_leakage_safe")(spark, sf0001)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(res.nonEmpty && res.map(_._1).distinct.size == res.size)
+    // every cluster lands in exactly one split
+    res.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.map(_._3).distinct.size == 1, s"cluster $cid straddles") }
+    // split is the portable affine hash of cluster_id at 2000 bp
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    res.foreach { case (_, cid, split) =>
+      val h = (cid % P1 * aCoef(7) + bCoef(7)) % P1
+      assert((h < P1 / 10000L * 2000L) == (split == "test"))
+    }
+  }
 }
