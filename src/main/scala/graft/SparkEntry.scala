@@ -30,6 +30,10 @@ object SparkEntry {
     * generated oracle SQL — terms must be plain ASCII words). */
   val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window")
 
+  /** Merge rounds for the bpe_train query (shared with its unrolled
+    * oracle CTE chain). */
+  val BpeTrainMerges = 5
+
   /** Basket cap for copurchase_pairs: pair expansion is O(basket²), so
     * only the `MaxBasket` lowest part ids per order generate pairs — the
     * dedup family's bounded-candidate contract (shared by query and
@@ -465,6 +469,12 @@ object SparkEntry {
     // frequencies (the first BPE merge statistic), top-20.
     "bpe_merge_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(t(s, dir, "documents"))),
+
+    // EXT distributed BPE training: the first 5 merge rounds end-to-end
+    // (count pairs → global argmax → greedy rewrite, per round); the
+    // oracle unrolls the loop as CTEs with scalar-subquery argmaxes.
+    "bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), BpeTrainMerges)),
 
     // per-doc top-3 terms by TF-IDF (integer-exact idf surrogate; corpus
     // df + N computed distributed, ReuseExchange shares the tf shuffle)
@@ -1447,6 +1457,34 @@ object SparkEntry {
        |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** BPE training unrolled: round i's pair counts come from round i−1's
+    * representation; the argmax is a 1-row CTE consumed both by the
+    * merge table and (as scalar subqueries) by round i's rewrite —
+    * exactly TextAnalysis.bpeTrain's loop with `replace` doing the
+    * greedy left-to-right non-overlapping merge in both engines. */
+  private def bpeTrainOracle(merges: Int): String = {
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS (SELECT s[i] || ' ' || s[i+1] AS pair, count(*) AS n
+         |        FROM (SELECT string_split(rep, ' ') AS s FROM r${i - 1}),
+         |        LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) g
+         |        WHERE len(s) >= 2 GROUP BY 1),
+         | m$i AS (SELECT $i AS round, pair, n FROM p$i
+         |         ORDER BY n DESC, pair LIMIT 1),
+         | r$i AS (SELECT replace(rep, (SELECT pair FROM m$i),
+         |                (SELECT replace(pair, ' ', '') FROM m$i)) AS rep
+         |         FROM r${i - 1})""".stripMargin
+    }.mkString(",\n ")
+    val union = (1 to merges)
+      .map(i => s"SELECT * FROM m$i").mkString("\n           UNION ALL ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       | r0 AS (SELECT array_to_string(string_split_regex(tok, ''), ' ') AS rep
+       |        FROM tok WHERE tok <> ''),
+       | $rounds
+       |SELECT CAST(round AS BIGINT) AS round, pair, CAST(n AS BIGINT) AS n
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   /** The dedup-pipeline cluster ids fed through the portable hash split
     * keyed on cluster_id — same CTE chain as [[dedupPipelineOracle]],
     * same affine-hash arithmetic as the fp_hash_split oracle. */
@@ -1654,6 +1692,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "split_leakage_safe" -> leakageSplitOracle,
+    "bpe_train" -> bpeTrainOracle(BpeTrainMerges),
     "dedup_simhash" -> simhashOracle,
     "dedup_cap_stats" -> capStatsOracle,
     "dedup_recall" -> dedupRecallOracle,

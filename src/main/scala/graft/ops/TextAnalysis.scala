@@ -584,6 +584,69 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("pair")).limit(k)
   }
 
+  /** Distributed BPE tokenizer training — the first `merges` merge
+    * rounds, exactly the algorithm (Sennrich et al. 2016): represent
+    * every token occurrence as its characters joined by single spaces,
+    * and each round (a) counts adjacent-symbol pairs corpus-wide,
+    * (b) picks the global argmax (ties: pair ascending), (c) rewrites
+    * every occurrence by the merge. Greedy left-to-right non-overlapping
+    * rewrite is exactly `replace("x y" → "xy")` semantics — identical in
+    * Spark and DuckDB, which is what makes the whole training loop
+    * hash-oracle-able (the oracle unrolls rounds as CTEs with scalar
+    * subqueries for the argmax).
+    *
+    * Scale: each round is one map-side pair explode + a bounded-key
+    * aggregation (the pair space is observed-symbol-vocabulary², not
+    * corpus-sized), a 1-row argmax collect (the driver-side step every
+    * distributed BPE trainer has), and a map-only rewrite. Per-round
+    * lineage is truncated (localCheckpoint) like
+    * [[graft.ops.Graphs.pagerankInt]]'s state. Rounds stop early if no
+    * pair remains. Production tokenizer training samples the corpus
+    * first — compose with [[graft.ops.Features]]' samplers.
+    *
+    * Returns the merge table (round, pair, n). */
+  def bpeTrain(docs: DataFrame, merges: Int = 5,
+      text: String = "text"): DataFrame = {
+    require(merges >= 1 && merges <= 50, s"merges in [1,50], got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var reps = docs.select(explode(split(col(text), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      // split(tok, "") keeps a trailing "" in Spark; drop empties so
+      // symbols are exactly the characters
+      .select(concat_ws(" ",
+        filter(split(col("tok"), ""), s => s =!= "")).as("rep"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val syms = split(col("rep"), " ")
+      val top = reps
+        .filter(size(syms) >= 2) // sequence(0, -1) would DESCEND, not empty
+        .select(explode(transform(sequence(lit(0), size(syms) - 2),
+          i => concat(element_at(syms, i + 1), lit(" "),
+            element_at(syms, i + 2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(1)
+        .as[(String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pair, n) = top.head
+        out += ((r.toLong, pair, n))
+        val old = reps
+        reps = reps.select(
+          org.apache.spark.sql.functions.replace(col("rep"), lit(pair),
+            lit(pair.replace(" ", ""))).as("rep"))
+          .localCheckpoint()
+        old.unpersist()
+        r += 1
+      }
+    }
+    reps.unpersist()
+    out.toSeq.toDF("round", "pair", "n").orderBy("round")
+  }
+
   /** Document fingerprints: md5 (content-exact) + polynomial rolling hash
     * (shift-tolerant primitive used by chunk-level dedup). */
   def fingerprints(docs: DataFrame, id: String = "doc_id",

@@ -460,6 +460,24 @@ class TextDedupSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("bpeTrain: hand-traced merges; stops early when no pair remains") {
+    // reps "a b a b", "a b" -> m1 = ("a b", 3); rewrite -> "ab ab", "ab"
+    // -> m2 = ("ab ab", 1); rewrite -> "abab", "ab" -> no pairs left
+    val docs = Seq((1L, "abab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a b", 3L), (2L, "ab ab", 1L)))
+  }
+
+  test("bpeTrain: per-position pair counts, left-to-right greedy rewrite") {
+    // "aaa" -> "a a a": pair (a,a) at 2 positions; replace("a a a",
+    // "a a", "aa") = "aa a" (greedy non-overlapping), then ("aa","a")
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 2)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a a", 2L), (2L, "aa a", 1L)))
+  }
+
   test("split_leakage_safe: cluster members never straddle splits") {
     val res = SparkEntry.queries("split_leakage_safe")(spark, sf0001)
       .as[(Long, Long, String)].collect().toSeq
