@@ -277,4 +277,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(fs.contains("ReadSchema: struct<doc_id:bigint>"),
       s"fp_shuffle_order must scan doc_id only:\n$fs")
   }
+
+  test("retrieval/tokenizer queries: global top-k, pruned scans, broadcasts") {
+    // BM25's top-k must be TakeOrderedAndProject (never a full sort) and
+    // the corpus scan must prune to (doc_id, text); df + corpus stats
+    // ride broadcasts, so no sort-merge join anywhere
+    val bm = planOf("search_bm25")
+    assert(bm.contains("TakeOrderedAndProject"),
+      s"bm25 top-k should plan TakeOrderedAndProject:\n$bm")
+    assert(bm.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"bm25 scan not pruned:\n$bm")
+    assert(!bm.contains("SortMergeJoin"),
+      s"bm25 stats/df joins must broadcast:\n$bm")
+    // pair stats: text-only scan, top-k via TakeOrderedAndProject
+    val bp = planOf("bpe_merge_pairs")
+    assert(bp.contains("TakeOrderedAndProject"),
+      s"bpe pair top-k should plan TakeOrderedAndProject:\n$bp")
+    assert(bp.contains("ReadSchema: struct<text:string>"),
+      s"bpe pair scan must prune to text:\n$bp")
+    // temperature sampling: the rate table joins by broadcast only
+    val ts = planOf("corpus_temperature_sample")
+    assert(ts.contains("BroadcastHashJoin") && !ts.contains("SortMergeJoin"),
+      s"temperature rates must broadcast:\n$ts")
+    // array-verify prefix Jaccard: the rank window is gone (rarest-first
+    // order comes from one struct-array sort inside the aggregate)
+    val jp = planOf("dedup_jaccard_prefix")
+    assert(!jp.contains("Window"),
+      s"jaccardPrefix should not plan a Window after the array rewrite:\n$jp")
+  }
 }
