@@ -34,18 +34,31 @@ object Stress {
       }.reduce(_.union(_))
     }
 
+    // Bench's block-store hygiene, adapted: ops localCheckpoint
+    // intermediates (CC rounds, signature tables) that clearCache can't
+    // see; without releasing them between ops the block store grows over
+    // the suite and inflates later timings 2-3x (the exact pathology
+    // Bench documents). The pinned set protects the replicated
+    // corpus/events caches — everything else unpersists after each op.
+    var pinned: Set[Int] = Set.empty
+    def pin(): Unit =
+      pinned = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => pinned(id) }
+        .values.foreach(_.unpersist(true))
+    }
+
     val docs = replicate(Tables(spark, sfDir, "documents"), "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val emb = replicate(Tables(spark, sfDir, "embeddings"), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"stress corpus: ${docs.count()} docs, ${emb.count()} vectors " +
       s"(${factor}x $sfDir)")
-
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
-    }
+    pin()
 
     // NB: replicated docs are exact duplicates across replicas — the
     // df-cap drops every shingle (df = factor x original). That is the
@@ -102,6 +115,27 @@ object Stress {
         docs.filter(col("doc_id") % 50 === 0)).count()
     }
     time("source_quota") { graft.ops.Features.sourceQuota(docs, 10).count() }
+    // round-4b additions: heavy hitters is map-only MG + candidate
+    // rescore (skew-immune by construction); lm_familiarity's trigram
+    // vocabulary is charset³-bounded so only the probe stream scales;
+    // chunk dedup shuffles fingerprints, never chunk text; bm25 shuffles
+    // only query-term postings; jaccard_prefix's prefixes are df-ranked
+    // on the N×-duplicated corpus (every shingle df multiplies by N —
+    // prefix sets stay put, candidate pairs grow with true duplication)
+    time("heavy_hitters") { graft.ops.TextAnalysis.heavyHitters(docs).count() }
+    time("lm_familiarity") { graft.ops.TextAnalysis.lmFamiliarity(docs).count() }
+    time("chunk_dedup") { graft.ops.Dedup.chunkDedup(docs).count() }
+    time("bm25_topk") {
+      graft.ops.TextAnalysis.bm25TopK(docs,
+        graft.SparkEntry.Bm25QueryTerms).count()
+    }
+    time("bpe_train(3)") {
+      graft.ops.TextAnalysis.bpeTrain(docs, merges = 3).count()
+    }
+    time("temperature_sample") {
+      graft.ops.Features.temperatureSample(docs).count()
+    }
+    time("jaccard_prefix") { graft.ops.Dedup.jaccardPrefix(docs).count() }
 
     // events replicate on event_id; user_id left as-is (same users, N×
     // denser timelines — the worst case for the banded range join's
@@ -109,6 +143,7 @@ object Stress {
     val events = replicate(Tables(spark, sfDir, "events"), "event_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"stress events: ${events.count()} rows")
+    pin()
     time("banded_range_join") {
       graft.ops.Events.bandedRangeJoin(events).count()
     }

@@ -265,6 +265,24 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(graft.ops.Graphs.triangleCounts(path).count() == 0)
   }
 
+  test("round-4c ops: degenerate inputs are safe") {
+    // BM25: empty corpus and absent query terms both yield empty, no throw
+    assert(graft.ops.TextAnalysis.bm25TopK(emptyDocs, Seq("x")).count() == 0)
+    assert(graft.ops.TextAnalysis.bm25TopK(
+      Seq((1L, "a b")).toDF("doc_id", "text"), Seq("zzz")).count() == 0)
+    // BPE training: empty corpus trains no merges; single-char tokens
+    // have no pairs and never crash the sequence bound
+    assert(graft.ops.TextAnalysis.bpeTrain(emptyDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.bpeTrain(
+      Seq((1L, "a b c")).toDF("doc_id", "text")).count() == 0)
+    // chunk dedup at width 1 degenerates to token-level dedup, no crash
+    assert(graft.ops.Dedup.chunkDedup(
+      Seq((1L, "x y x")).toDF("doc_id", "text"), w = 1)
+      .as[(Long, Long, Long, String)].head() == ((1L, 3L, 2L, "x y")))
+    // pair stats on an empty corpus
+    assert(graft.ops.TextAnalysis.bpePairStats(emptyDocs).count() == 0)
+  }
+
   test("heavyHitters: unprovable top-k fails loudly, never approximates") {
     // 40 uniform tokens, capacity 21: every count is N/40, and
     // count*21 < N — the in-plan losslessness assertion must fire

@@ -264,6 +264,16 @@ class TextDedupSpec extends SparkTestBase {
     assert(pref == plain && pref.nonEmpty)
   }
 
+  test("jaccardPrefix: duplicate groups expand through their rep's pairs") {
+    // docs 1,2 identical; 3 near-dups them (J = 2/4 = 5000 bp); 4 unrelated.
+    // expected: intra (1,2,10000) + cross (1,3),(2,3) at 5000 via rep 1.
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "a b c d f"), (4L, "q r s t u")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefix(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 10000L), (1L, 3L, 5000L), (2L, 3L, 5000L)))
+  }
+
   test("capStats: hot keys and dropped volumes counted per cap stage") {
     // 120 copies of one boilerplate text: its single distinct shingle
     // exceeds maxDf=100, its identical simhash makes all 4 chunk buckets
