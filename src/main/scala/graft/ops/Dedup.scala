@@ -203,8 +203,11 @@ object Dedup {
     * makes pairwise work independent of duplication while the output
     * stays bit-identical (the expansion joins are output-sized — the
     * true answer on such a corpus IS quadratic in d, which is the
-    * caller's signal to run [[exact]] dedup first). Measured at 10×
-    * sf0.1 replication: 333 s → output-bound seconds. */
+    * caller's signal to run [[exact]] dedup first). A duplicate-free
+    * corpus skips the collapse (one cheap membership probe against the
+    * checkpointed group table) and runs the pairwise machinery
+    * directly. Measured at 10× sf0.1 replication: 333 s → output-bound
+    * seconds; duplicate-free cost unchanged. */
   def jaccardPrefix(docs: DataFrame, k: Int = 3,
       minJaccardBp: Long = 5000): DataFrame = {
     require(minJaccardBp >= 1 && minJaccardBp <= 10000,
@@ -212,13 +215,56 @@ object Dedup {
     // fp-width shuffle discipline ([[exact]]): group membership derives
     // from (md5, id) pairs; text only moves in the rep-side join below
     val ids = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-    val groups = ids.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
-    val members = ids.join(groups, "fp").select("rep_id", "doc_id")
-      .localCheckpoint() // three consumers: reps filter + both expansions
+    val groups = ids.groupBy("fp")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // duplicate-free probe costs one fp-width shuffle; the expansion
+    // machinery (members checkpoint, rep join) only materializes when
+    // duplicates actually exist
+    val hasDups = groups.filter(col("m") > 1).limit(1).count() > 0
+    if (!hasDups) {
+      groups.unpersist()
+      return prefixPairs(docs, k, minJaccardBp)
+        .select(col("ra").as("da"), col("rb").as("db"), col("jaccard_bp"))
+        .orderBy("da", "db")
+    }
+    val members = ids.join(groups.select("fp", "rep_id"), "fp")
+      .select("rep_id", "doc_id")
+      .localCheckpoint() // two consumers: reps filter + both expansions
+    groups.unpersist()
     val reps = docs.join(
       members.filter(col("doc_id") === col("rep_id")).select("doc_id"),
       "doc_id")
-    val sh = spread(reps)
+    val (repPairs, arr) = prefixPairsWithArr(reps, k, minJaccardBp)
+    // expansion: members of shingle-bearing groups pair at 10000 within
+    // the group (arr inner join drops shingle-less reps); cross-group
+    // pairs fan out each rep pair over both memberships
+    val m = members
+      .join(arr.select(col("doc_id").as("rep_id")), "rep_id")
+    val intra = m.as("a").join(m.as("b"),
+        col("a.rep_id") === col("b.rep_id") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        lit(10000L).as("jaccard_bp"))
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("ra"), col("doc_id").as("ma")), "ra")
+      .join(members.select(col("rep_id").as("rb"), col("doc_id").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("da"),
+        greatest(col("ma"), col("mb")).as("db"), col("jaccard_bp"))
+    intra.union(cross).orderBy("da", "db")
+  }
+
+  /** The pairwise prefix-filter machinery of [[jaccardPrefix]] over a
+    * (distinct-text) corpus: returns pairs (ra, rb, jaccard_bp). */
+  private def prefixPairs(corpus: DataFrame, k: Int,
+      minJaccardBp: Long): DataFrame =
+    prefixPairsWithArr(corpus, k, minJaccardBp)._1
+
+  /** [[prefixPairs]] plus the per-doc shingle-array table (the expansion
+    * path needs `arr` to identify shingle-bearing groups). */
+  private def prefixPairsWithArr(corpus: DataFrame, k: Int,
+      minJaccardBp: Long): (DataFrame, DataFrame) = {
+    val sh = spread(corpus)
       .select(col("doc_id"),
         explode(graft.functions.WordShingleHashes(col("text"), k)).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -254,22 +300,7 @@ object Dedup {
         Texty.ratioBp(col("c"), col("na") + col("nb") - col("c")))
       .filter(col("jaccard_bp") >= minJaccardBp)
       .select(col("da").as("ra"), col("db").as("rb"), col("jaccard_bp"))
-    // expansion: members of shingle-bearing groups pair at 10000 within
-    // the group (arr inner join drops shingle-less reps); cross-group
-    // pairs fan out each rep pair over both memberships
-    val m = members
-      .join(arr.select(col("doc_id").as("rep_id")), "rep_id")
-    val intra = m.as("a").join(m.as("b"),
-        col("a.rep_id") === col("b.rep_id") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        lit(10000L).as("jaccard_bp"))
-    val cross = repPairs
-      .join(members.select(col("rep_id").as("ra"), col("doc_id").as("ma")), "ra")
-      .join(members.select(col("rep_id").as("rb"), col("doc_id").as("mb")), "rb")
-      .select(least(col("ma"), col("mb")).as("da"),
-        greatest(col("ma"), col("mb")).as("db"), col("jaccard_bp"))
-    intra.union(cross).orderBy("da", "db")
+    (repPairs, arr)
   }
 
   val MinhashK = 32 // signature length
