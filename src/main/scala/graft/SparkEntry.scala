@@ -476,6 +476,13 @@ object SparkEntry {
     "bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), BpeTrainMerges)),
 
+    // EXT tokenizer application: encode the corpus with the trained
+    // merges — per-doc word/char/token counts + tokens-per-char
+    // compression (the token-budget statistic); one map-only corpus
+    // pass after dictionary-bounded training.
+    "bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), BpeTrainMerges)),
+
     // per-doc top-3 terms by TF-IDF (integer-exact idf surrogate; corpus
     // df + N computed distributed, ReuseExchange shares the tf shuffle)
     "text_tfidf_topk" -> ((s, dir) =>
@@ -521,6 +528,12 @@ object SparkEntry {
     // its surviving chunks — passage-level cleanup, not doc-level drop.
     "dedup_chunk_substrings" -> ((s, dir) =>
       Dedup.chunkDedup(t(s, dir, "documents"))),
+
+    // EXT boilerplate strip: 10-token chunks present in >= 3 DISTINCT
+    // docs removed from EVERY document (df-threshold cleanup — unlike
+    // chunk dedup's keep-first), docs rebuilt from surviving chunks.
+    "text_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateStrip(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
     // LOSSLESS prefix-filtered exact Jaccard (AllPairs/PPJoin candidate
     // condition): same answer as UNCAPPED exact Jaccard — boilerplate
@@ -1462,7 +1475,10 @@ object SparkEntry {
     * merge table and (as scalar subqueries) by round i's rewrite —
     * exactly TextAnalysis.bpeTrain's loop with `replace` doing the
     * greedy left-to-right non-overlapping merge in both engines. */
-  private def bpeTrainOracle(merges: Int): String = {
+  /** CTE chain shared by the bpe_train / bpe_encode oracles: char reps
+    * of every token occurrence (r0), then per round i the pair counts
+    * (p_i), the argmax merge (m_i), and the rewritten reps (r_i). */
+  private def bpeRoundsCtes(merges: Int): String = {
     val rounds = (1 to merges).map { i =>
       s"""p$i AS (SELECT s[i] || ' ' || s[i+1] AS pair, count(*) AS n
          |        FROM (SELECT string_split(rep, ' ') AS s FROM r${i - 1}),
@@ -1474,15 +1490,47 @@ object SparkEntry {
          |                (SELECT replace(pair, ' ', '') FROM m$i)) AS rep
          |         FROM r${i - 1})""".stripMargin
     }.mkString(",\n ")
-    val union = (1 to merges)
-      .map(i => s"SELECT * FROM m$i").mkString("\n           UNION ALL ")
-    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS tok
        |             FROM documents),
        | r0 AS (SELECT array_to_string(string_split_regex(tok, ''), ' ') AS rep
        |        FROM tok WHERE tok <> ''),
-       | $rounds
+       | $rounds""".stripMargin
+  }
+
+  private def bpeTrainOracle(merges: Int): String = {
+    val union = (1 to merges)
+      .map(i => s"SELECT * FROM m$i").mkString("\n           UNION ALL ")
+    s"""WITH ${bpeRoundsCtes(merges)}
        |SELECT CAST(round AS BIGINT) AS round, pair, CAST(n AS BIGINT) AS n
        |FROM ($union) ORDER BY round""".stripMargin
+  }
+
+  /** Merges derived by the training CTEs, then applied to every token
+    * occurrence (with doc_id retained) as the same chained greedy
+    * replaces the Spark side folds into one projection. */
+  private def bpeEncodeOracle(merges: Int): String = {
+    val rep = (1 to merges).foldLeft("rep")((c, i) =>
+      s"replace($c, (SELECT pair FROM m$i), (SELECT replace(pair, ' ', '') FROM m$i))")
+    s"""WITH ${bpeRoundsCtes(merges)},
+       | dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |          FROM documents),
+       | drep AS (SELECT doc_id, len(tok) AS n_c,
+       |                 array_to_string(string_split_regex(tok, ''), ' ') AS rep
+       |          FROM dtok WHERE tok <> ''),
+       | enc AS (SELECT doc_id, n_c, len(string_split($rep, ' ')) AS n_s
+       |         FROM drep),
+       | agg AS (SELECT doc_id, count(*) AS n_words, sum(n_c) AS n_chars,
+       |                sum(n_s) AS n_tokens
+       |         FROM enc GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
+       |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(CASE WHEN coalesce(a.n_chars, 0) = 0 THEN 0
+       |                 ELSE (a.n_tokens * 10000) // a.n_chars END AS BIGINT)
+       |         AS compression_bp
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** The dedup-pipeline cluster ids fed through the portable hash split
@@ -1693,6 +1741,7 @@ object SparkEntry {
     "dedup_pipeline" -> dedupPipelineOracle,
     "split_leakage_safe" -> leakageSplitOracle,
     "bpe_train" -> bpeTrainOracle(BpeTrainMerges),
+    "bpe_encode" -> bpeEncodeOracle(BpeTrainMerges),
     "dedup_simhash" -> simhashOracle,
     "dedup_cap_stats" -> capStatsOracle,
     "dedup_recall" -> dedupRecallOracle,
@@ -2586,6 +2635,34 @@ object SparkEntry {
            SELECT doc_id, count(*) AS n_kept,
                   string_agg(chunk, ' ' ORDER BY pos) AS clean_text
            FROM ranked WHERE rn = 1 GROUP BY doc_id),
+         totals AS (SELECT doc_id,
+                           CAST((len(tk) + 9) // 10 AS BIGINT) AS n_chunks
+                    FROM toks)
+         SELECT t.doc_id, t.n_chunks,
+                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(r.clean_text, '') AS clean_text
+         FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+         ORDER BY t.doc_id""",
+
+    // text_boilerplate: chunks in >= 3 distinct docs removed everywhere
+    // (first occurrence included); sub-threshold chunks all survive.
+    "text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+         occ AS (
+           SELECT doc_id, pos,
+                  array_to_string(tk[(pos*10+1):(pos*10+10)], ' ') AS chunk
+           FROM toks,
+           LATERAL (SELECT unnest(generate_series(0,
+                      (len(tk) + 9) // 10 - 1)) AS pos) p),
+         hot AS (SELECT md5(chunk) AS fp FROM occ
+                 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+         kept AS (SELECT * FROM occ
+                  WHERE md5(chunk) NOT IN (SELECT fp FROM hot)),
+         rebuilt AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id),
          totals AS (SELECT doc_id,
                            CAST((len(tk) + 9) // 10 AS BIGINT) AS n_chunks
                     FROM toks)

@@ -765,4 +765,49 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(id)
   }
+
+  /** Boilerplate removal — the df-threshold cleanup pass (C4/RefinedWeb
+    * style "drop lines that recur across the corpus"): a `w`-token chunk
+    * appearing in at least `minDocs` DISTINCT documents is boilerplate
+    * (headers, licence blocks, templated navigation) and is removed from
+    * EVERY document — including its first occurrence, which is what
+    * distinguishes this from [[chunkDedup]]'s keep-first passage dedup.
+    * Chunks below the threshold all survive, even if repeated within one
+    * document (repetition inside a doc is [[TextAnalysis.repetition]]'s
+    * concern, not boilerplate).
+    *
+    * Scale: the df count shuffles ONLY (md5 fp, doc_id) — never chunk
+    * text; the hot set comes back as bare fingerprints (its size is
+    * bounded by corpus boilerplate density, typically minuscule) and is
+    * removed with one fp-keyed LEFT ANTI join AQE turns into a broadcast
+    * when the hot side is small — correct unconditionally either way.
+    * Rebuild is the same two doc-keyed text exchanges as [[chunkDedup]].
+    *
+    * Returns (id, n_chunks, n_kept, clean_text). */
+  def boilerplateStrip(docs: DataFrame, w: Int = 10, minDocs: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(w >= 1, s"chunk width >= 1, got $w")
+    require(minDocs >= 2, s"minDocs >= 2, got $minDocs")
+    val tk = split(col(text), " ")
+    val nChunks = expr(s"(size(split($text, ' ')) + ${w - 1}) div $w")
+    val occ = docs.select(col(id), posexplode(
+      transform(sequence(lit(0), nChunks - 1),
+        j => array_join(slice(tk, j * w + 1, lit(w)), " "))).as(Seq("pos", "chunk")))
+      .withColumn("fp", md5(col("chunk")))
+    val hot = occ.select(col("fp"), col(id))
+      .groupBy("fp").agg(countDistinct(col(id)).as("dfd"))
+      .filter(col("dfd") >= minDocs).select("fp")
+    val kept = occ.join(hot, Seq("fp"), "left_anti")
+    val rebuilt = kept.groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x("chunk")), " ").as("clean_text"))
+    docs.select(col(id), nChunks.cast("long").as("n_chunks"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(id)
+  }
 }

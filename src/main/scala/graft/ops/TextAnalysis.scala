@@ -614,6 +614,17 @@ object TextAnalysis {
     * Returns the merge table (round, pair, n). */
   def bpeTrain(docs: DataFrame, merges: Int = 5,
       text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMergeList(docs, merges, text).toDF("round", "pair", "n")
+      .orderBy("round")
+  }
+
+  /** The training loop behind [[bpeTrain]]/[[bpeEncode]], returning the
+    * driver-resident merge table (every distributed BPE trainer collects
+    * exactly this artifact — it IS the tokenizer). */
+  private def bpeMergeList(docs: DataFrame, merges: Int,
+      text: String): Seq[(Long, String, Long)] = {
     require(merges >= 1 && merges <= 50, s"merges in [1,50], got $merges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -652,7 +663,51 @@ object TextAnalysis {
     // the merge table is driver-resident — the checkpointed corpus can
     // release its blocks before returning (no lazy dependency remains)
     reps0.unpersist()
-    out.toSeq.toDF("round", "pair", "n").orderBy("round")
+    out.toSeq
+  }
+
+  /** BPE ENCODE — apply a trained merge table to the corpus, the other
+    * half of the tokenizer story ([[bpeTrain]] derives the merges; this
+    * tokenizes with them). Per document: word count, character count,
+    * post-merge token count, and compression in basis points
+    * (`tokens·10000 div chars` — the tokens-per-byte statistic every
+    * training-data budget is planned around). Greedy non-overlapping
+    * left-to-right merge application is the same `replace("x y"→"xy")`
+    * chain as training, so the oracle reuses the training CTEs and
+    * applies the merges as chained scalar-subquery replaces.
+    *
+    * Scale: training cost is dictionary-bounded (see [[bpeTrain]]);
+    * encoding is ONE map-only corpus pass — the `merges` replaces fuse
+    * into a single codegen'd projection — followed by a doc-keyed
+    * partial aggregation. Nothing but (id, two longs) shuffles. Empty
+    * documents surface with zero counts (left join back to the corpus),
+    * not as dropped rows. */
+  def bpeEncode(docs: DataFrame, merges: Int = 5, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val pairs = bpeMergeList(docs, merges, text).map(_._2)
+    val rep0 = concat_ws(" ",
+      filter(split(col("tok"), ""), s => s =!= ""))
+    val rep = pairs.foldLeft(rep0)((c, p) =>
+      org.apache.spark.sql.functions.replace(c, lit(p),
+        lit(p.replace(" ", ""))))
+    val perTok = docs
+      .select(col(id), explode(split(col(text), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(id), length(col("tok")).cast("long").as("n_c"),
+        size(split(rep, " ")).cast("long").as("n_s"))
+    val agg = perTok.groupBy(col(id)).agg(
+      count(lit(1)).as("n_words"),
+      sum(col("n_c")).as("n_chars"),
+      sum(col("n_s")).as("n_tokens"))
+    docs.select(col(id)).join(agg, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("compression_bp",
+        when(col("n_chars") === 0L, lit(0L))
+          .otherwise(expr("(n_tokens * 10000) div n_chars")))
+      .orderBy(id)
   }
 
   /** Document fingerprints: md5 (content-exact) + polynomial rolling hash

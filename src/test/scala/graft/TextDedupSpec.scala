@@ -426,6 +426,33 @@ class TextDedupSpec extends SparkTestBase {
       (3L, 2L, 0L, "")))
   }
 
+  test("boilerplateStrip: df-threshold removes ALL occurrences, keeps sub-threshold repeats") {
+    val c = (s: Char) => (1 to 10).map(i => s"$s$i").mkString(" ")
+    val docs = Seq(
+      (1L, c('a') + " " + c('b')),  // A in 3 docs -> boilerplate
+      (2L, c('a') + " " + c('c')),  // C in 2 docs -> survives
+      (3L, c('a') + " " + c('b')),  // B in 2 docs -> survives
+      (4L, c('c') + " " + c('c'))   // within-doc repeat, df=2 -> both kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateStrip(docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, c('b')),
+      (2L, 2L, 1L, c('c')),
+      (3L, 2L, 1L, c('b')),
+      (4L, 2L, 2L, c('c') + " " + c('c'))))
+  }
+
+  test("bpeEncode: greedy merge application; empty docs surface with zeros") {
+    // training on "abab ab" yields merges "a b"->"ab", "ab ab"->"abab"
+    // (the bpeTrain hand-trace above); encoding: "abab" -> 1 token,
+    // "ab" -> 1 token; compression = 2*10000 div 6 = 3333 bp
+    val docs = Seq((1L, "abab ab"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, merges = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 6L, 2L, 3333L), (2L, 0L, 0L, 0L, 0L)))
+  }
+
   test("temperatureSample: integer rates and hash membership, recomputed locally") {
     // counts 100 and 4 → isq 10 and 2, min_isq 2 →
     // rate(big) = 2*10000 div 10 = 2000 bp, rate(small) = 10000 bp
