@@ -534,6 +534,12 @@ object SparkEntry {
     // chunk dedup's keep-first), docs rebuilt from surviving chunks.
     "text_boilerplate" -> ((s, dir) =>
       Dedup.boilerplateStrip(t(s, dir, "documents"))),
+
+    // EXT COMPOSED corpus-prep pipeline: boilerplate strip → quality
+    // filter on cleaned text → exact dedup → decontaminate reps, with
+    // first-failing-stage attribution per doc and the kept token budget.
+    "corpus_prep" -> ((s, dir) =>
+      TextAnalysis.corpusPrep(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
     // LOSSLESS prefix-filtered exact Jaccard (AllPairs/PPJoin candidate
     // condition): same answer as UNCAPPED exact Jaccard — boilerplate
@@ -2671,6 +2677,75 @@ object SparkEntry {
                 coalesce(r.clean_text, '') AS clean_text
          FROM totals t LEFT JOIN rebuilt r USING (doc_id)
          ORDER BY t.doc_id""",
+
+    // corpus_prep: the composed pipeline — boilerplate CTEs feed the
+    // quality rules on clean_text, md5 groups pick min-id reps, reps'
+    // trigrams probe the bench split; first failing stage attributed.
+    "corpus_prep" ->
+      """WITH corpus AS (SELECT doc_id, text, source FROM documents
+                         WHERE doc_id % 50 <> 0),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+         occ AS (
+           SELECT doc_id, pos,
+                  array_to_string(tk[(pos*10+1):(pos*10+10)], ' ') AS chunk
+           FROM toks,
+           LATERAL (SELECT unnest(generate_series(0,
+                      (len(tk) + 9) // 10 - 1)) AS pos) p),
+         hot AS (SELECT md5(chunk) AS cfp FROM occ
+                 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+         keptc AS (SELECT * FROM occ
+                   WHERE md5(chunk) NOT IN (SELECT cfp FROM hot)),
+         rebuilt AS (SELECT doc_id,
+                            string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+                     FROM keptc GROUP BY doc_id),
+         base AS (SELECT c.doc_id, c.source,
+                         coalesce(r.clean_text, '') AS clean_text
+                  FROM corpus c LEFT JOIN rebuilt r USING (doc_id)),
+         s AS (SELECT doc_id,
+                  CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(list_sum(list_transform(string_split(clean_text, ' '),
+                       t -> length(t))) AS BIGINT) AS sum_tok_len,
+                  CAST(len(list_filter(string_split(clean_text, ' '),
+                       t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stopwords,
+                  CAST(floor(len(list_distinct(string_split(clean_text, ' '))) * 10000.0
+                       / len(string_split(clean_text, ' '))) AS BIGINT) AS uniq_ratio_bp
+               FROM base),
+         q AS (SELECT doc_id, n_tokens,
+                  CAST((n_tokens BETWEEN 5 AND 5000)
+                   AND (sum_tok_len BETWEEN n_tokens * 3 AND n_tokens * 10)
+                   AND n_stopwords >= 2 AND uniq_ratio_bp >= 3000 AS BIGINT) AS keep
+               FROM s),
+         wq AS (SELECT b.doc_id, b.source, b.clean_text, q.n_tokens, q.keep,
+                       md5(b.clean_text) AS fp
+                FROM base b JOIN q USING (doc_id)),
+         reps AS (SELECT fp, min(doc_id) AS rep_id FROM wq
+                  WHERE keep = 1 GROUP BY fp),
+         repdocs AS (SELECT w.doc_id, w.clean_text FROM wq w
+                     JOIN reps r ON w.fp = r.fp AND w.doc_id = r.rep_id),
+         csh AS (SELECT DISTINCT doc_id,
+                        arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                 FROM (SELECT doc_id, string_split(clean_text, ' ') AS arr
+                       FROM repdocs) t,
+                 LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                 WHERE len(arr) >= 3),
+         bsh AS (SELECT DISTINCT arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                 FROM (SELECT string_split(text, ' ') AS arr FROM documents
+                       WHERE doc_id % 50 = 0) t,
+                 LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                 WHERE len(arr) >= 3),
+         contam AS (SELECT doc_id FROM csh JOIN bsh USING (s)
+                    GROUP BY doc_id HAVING count(*) >= 3)
+         SELECT w.doc_id, w.source,
+                CASE WHEN w.keep = 0 THEN 'quality'
+                     WHEN w.doc_id <> r.rep_id THEN 'duplicate'
+                     WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                     ELSE 'kept' END AS status,
+                CAST(CASE WHEN w.keep = 1 AND w.doc_id = r.rep_id
+                           AND c.doc_id IS NULL
+                          THEN w.n_tokens ELSE 0 END AS BIGINT) AS n_tokens_kept
+         FROM wq w LEFT JOIN reps r ON w.fp = r.fp
+                   LEFT JOIN contam c ON w.doc_id = c.doc_id
+         ORDER BY w.doc_id""",
 
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),

@@ -710,6 +710,67 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** COMPOSED corpus preparation — the full text-pipeline path run end to
+    * end as ONE lazy plan, the way a 100 TB training-data build actually
+    * executes it (each stage checked separately elsewhere; this query
+    * checks their composition and the stage-attribution semantics):
+    *
+    *   1. boilerplate strip ([[Dedup.boilerplateStrip]]): df-threshold
+    *      chunk removal, docs rebuilt as `clean_text`;
+    *   2. Gopher quality filter ([[qualityFilter]]) over the CLEANED
+    *      text — stripping first means quality judges what would
+    *      actually be trained on;
+    *   3. exact dedup among quality passers (md5(clean_text), min-id
+    *      rep wins);
+    *   4. decontamination ([[contamination]]) of the surviving reps
+    *      only — the cheapest place in the chain to probe the benchmark
+    *      shingle set.
+    *
+    * Output, per corpus doc: (doc_id, source, status, n_tokens_kept)
+    * where status is the FIRST failing stage — 'quality', 'duplicate',
+    * 'contaminated' — or 'kept', and n_tokens_kept is the cleaned token
+    * count for kept docs (0 otherwise): summing it per source gives the
+    * post-pipeline token budget directly.
+    *
+    * Scale: no stage adds a shape beyond its standalone form — chunk/
+    * shingle exchanges carry fingerprints, the dedup shuffle carries
+    * md5s, contamination probes reps only (strictly fewer rows than the
+    * corpus), and the stage joins are doc-keyed. The bench split
+    * (doc_id % 50 == 0) stands in for an external eval suite. */
+  def corpusPrep(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", source: String = "source"): DataFrame = {
+    val bench = docs.filter(col(id) % 50 === 0)
+      .select(col(text).as("clean_text"))
+    val corpus = docs.filter(col(id) % 50 =!= 0)
+    val stripped = Dedup.boilerplateStrip(corpus, id = id, text = text)
+      .select(col(id), col("clean_text"))
+    val base = corpus.select(col(id), col(source).as("source"))
+      .join(stripped, Seq(id))
+    val q = qualityFilter(base, id = id, text = "clean_text")
+      .select(col(id), col("n_tokens"), col("keep"))
+    val withQ = base.join(q, Seq(id))
+      .withColumn("fp", md5(col("clean_text")))
+    val reps = withQ.filter(col("keep") === 1)
+      .groupBy("fp").agg(min(col(id)).as("rep_id"))
+    val repDocs = withQ.join(reps, Seq("fp"))
+      .filter(col(id) === col("rep_id"))
+      .select(col(id), col("clean_text"))
+    val contam = contamination(repDocs, bench, id = id, text = "clean_text")
+      .select(col(id).as("contam_id"))
+    withQ
+      .join(reps, Seq("fp"), "left")
+      .join(contam, col(id) === col("contam_id"), "left")
+      .withColumn("status",
+        when(col("keep") === 0, lit("quality"))
+          .when(col(id) =!= col("rep_id"), lit("duplicate"))
+          .when(col("contam_id").isNotNull, lit("contaminated"))
+          .otherwise(lit("kept")))
+      .select(col(id), col("source"), col("status"),
+        when(col("status") === "kept", col("n_tokens")).otherwise(lit(0L))
+          .as("n_tokens_kept"))
+      .orderBy(id)
+  }
+
   /** Document fingerprints: md5 (content-exact) + polynomial rolling hash
     * (shift-tolerant primitive used by chunk-level dedup). */
   def fingerprints(docs: DataFrame, id: String = "doc_id",

@@ -443,6 +443,27 @@ class TextDedupSpec extends SparkTestBase {
       (4L, 2L, 2L, c('c') + " " + c('c'))))
   }
 
+  test("corpusPrep: first-failing-stage attribution through the composed pipeline") {
+    val boiler = (1 to 10).map(i => s"a$i").mkString(" ")  // 10-token chunk
+    val good = "the and alpha bravo candle"                 // passes quality
+    val docs = Seq(
+      (50L, "zebra1 zebra2 zebra3 zebra4 zebra5"), // bench split (id%50==0)
+      (1L, boiler + " " + good),  // boiler stripped -> kept
+      (2L, boiler + " " + good),  // same clean text -> duplicate of 1
+      (3L, boiler),               // strips to empty -> quality
+      (4L, "the and zebra1 zebra2 zebra3 zebra4 zebra5"), // 3 bench trigrams
+      (5L, "the and delta echo foxtrot")                  // kept
+    ).toDF("doc_id", "text").withColumn("source", lit("s1"))
+    val got = TextAnalysis.corpusPrep(docs)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "s1", "kept", 5L),
+      (2L, "s1", "duplicate", 0L),
+      (3L, "s1", "quality", 0L),
+      (4L, "s1", "contaminated", 0L),
+      (5L, "s1", "kept", 5L)))
+  }
+
   test("bpeEncode: greedy merge application; empty docs surface with zeros") {
     // training on "abab ab" yields merges "a b"->"ab", "ab ab"->"abab"
     // (the bpeTrain hand-trace above); encoding: "abab" -> 1 token,
