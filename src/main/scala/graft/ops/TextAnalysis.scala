@@ -190,18 +190,29 @@ object TextAnalysis {
     * is hash-oracle-able. Map-only: tokenize + array aggregates per row,
     * no shuffle except the presentation sort — safe at any scale. */
   def qualityFilter(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    withQualityColumns(docs, text)
+      .select(col(id), col("n_tokens"), col("sum_tok_len"),
+        col("n_stopwords"), col("uniq_ratio_bp"), col("r_len"),
+        col("r_mean_len"), col("r_stopwords"), col("r_uniq"), col("keep"))
+      .orderBy(id)
+
+  /** APPENDS the [[qualityFilter]] stat/rule/keep columns to `docs` in
+    * one map-only projection — the composable form: [[corpusPrep]] uses
+    * it to avoid a corpus-sized self-join of the filter output back onto
+    * the cleaned text. */
+  def withQualityColumns(docs: DataFrame,
       text: String = "text"): DataFrame = {
     val toks = Texty.tokens(col(text))
     val flag = (c: Column) => c.cast("long")
     docs
-      .select(
-        col(id),
-        size(toks).cast("long").as("n_tokens"),
-        aggregate(transform(toks, t => length(t)), lit(0L), _ + _)
-          .as("sum_tok_len"),
-        Texty.stopCount(col(text), StopWords).cast("long").as("n_stopwords"),
-        Texty.ratioBp(size(array_distinct(toks)), size(toks))
-          .as("uniq_ratio_bp"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("sum_tok_len",
+        aggregate(transform(toks, t => length(t)), lit(0L), _ + _))
+      .withColumn("n_stopwords",
+        Texty.stopCount(col(text), StopWords).cast("long"))
+      .withColumn("uniq_ratio_bp",
+        Texty.ratioBp(size(array_distinct(toks)), size(toks)))
       .withColumn("r_len",
         flag(col("n_tokens") >= 5 && col("n_tokens") <= 5000))
       .withColumn("r_mean_len",
@@ -212,7 +223,6 @@ object TextAnalysis {
       .withColumn("keep",
         flag(col("r_len") + col("r_mean_len") + col("r_stopwords") +
           col("r_uniq") === 4))
-      .orderBy(id)
   }
 
   /** Corpus-level bigram document frequencies, global top-k: which word
@@ -735,8 +745,14 @@ object TextAnalysis {
     * Scale: no stage adds a shape beyond its standalone form — chunk/
     * shingle exchanges carry fingerprints, the dedup shuffle carries
     * md5s, contamination probes reps only (strictly fewer rows than the
-    * corpus), and the stage joins are doc-keyed. The bench split
-    * (doc_id % 50 == 0) stands in for an external eval suite. */
+    * corpus), and the stage joins are doc-keyed. Quality columns are
+    * APPENDED in the strip pass ([[withQualityColumns]]), not joined
+    * back, so the cleaned corpus is built exactly once; that build
+    * (strip → quality → fp) feeds three consumers (rep agg, benchmark
+    * probe, final attribution join) and is persisted — same cache
+    * contract as [[graft.ops.Dedup]]: the caller materializes before
+    * `clearCache()`. The bench split (doc_id % 50 == 0) stands in for
+    * an external eval suite. */
   def corpusPrep(docs: DataFrame, id: String = "doc_id",
       text: String = "text", source: String = "source"): DataFrame = {
     val bench = docs.filter(col(id) % 50 === 0)
@@ -746,10 +762,11 @@ object TextAnalysis {
       .select(col(id), col("clean_text"))
     val base = corpus.select(col(id), col(source).as("source"))
       .join(stripped, Seq(id))
-    val q = qualityFilter(base, id = id, text = "clean_text")
-      .select(col(id), col("n_tokens"), col("keep"))
-    val withQ = base.join(q, Seq(id))
+    val withQ = withQualityColumns(base, "clean_text")
+      .select(col(id), col("source"), col("clean_text"),
+        col("n_tokens"), col("keep"))
       .withColumn("fp", md5(col("clean_text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = withQ.filter(col("keep") === 1)
       .groupBy("fp").agg(min(col(id)).as("rep_id"))
     val repDocs = withQ.join(reps, Seq("fp"))
