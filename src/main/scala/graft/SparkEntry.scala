@@ -465,6 +465,12 @@ object SparkEntry {
     "search_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopK(t(s, dir, "documents"), Bm25QueryTerms)),
 
+    // EXT hybrid retrieval: BM25 top-10 ∪ cosine top-10 (query = vec 0's
+    // embedding) fused by integer-exact Reciprocal Rank Fusion.
+    "search_hybrid" -> ((s, dir) =>
+      TextAnalysis.searchHybrid(t(s, dir, "documents"),
+        t(s, dir, "embeddings"), Bm25QueryTerms)),
+
     // EXT tokenizer-training surface: corpus-wide adjacent-char-pair
     // frequencies (the first BPE merge statistic), top-20.
     "bpe_merge_pairs" -> ((s, dir) =>
@@ -2368,6 +2374,54 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk,
                 score_bp
          FROM scored ORDER BY score_bp DESC, doc_id LIMIT 10"""
+    },
+
+    // search_hybrid: the bm25 CTEs + a one-query cosine top-10, fused by
+    // RRF on ranks (10000 // (60 + rank), 0 when absent from a list).
+    "search_hybrid" -> {
+      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dl AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+           FROM documents),
+         st AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ($terms) GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id,
+                  CAST(sum(
+                    (((10000 * st.n_docs) // df.df) * t.tf * (12000 + 10000))
+                    // (t.tf * 10000 +
+                       (12000 * (10000 - 7500 + (7500 * dl.dl) // st.avgdl)) // 10000)
+                  ) AS BIGINT) AS score_bp
+           FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+           GROUP BY 1),
+         lex AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id)
+                          AS BIGINT) AS lex_rank
+                 FROM scored ORDER BY score_bp DESC, doc_id LIMIT 10),
+         base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         qv AS (SELECT v, nrm FROM base WHERE vec_id = 0),
+         cos AS (SELECT b.vec_id,
+                        list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
+                 FROM base b, qv q WHERE b.vec_id <> 0),
+         vec AS (SELECT vec_id AS doc_id,
+                        CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                          AS BIGINT) AS vec_rank
+                 FROM cos ORDER BY cosine DESC, vec_id LIMIT 10)
+         SELECT doc_id,
+                CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+                CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
+                CAST(coalesce(10000 // (60 + lex_rank), 0)
+                     + coalesce(10000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_bp
+         FROM lex FULL JOIN vec USING (doc_id)
+         ORDER BY rrf_bp DESC, doc_id"""
     },
 
     // bpe_merge_pairs: adjacent char pairs inside whitespace tokens.

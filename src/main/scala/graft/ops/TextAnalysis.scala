@@ -575,6 +575,52 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** Hybrid retrieval — BM25 lexical ranks fused with embedding-cosine
+    * ranks by Reciprocal Rank Fusion (Cormack et al. 2009), the standard
+    * two-tower + lexical ensemble of a RAG data pipeline. The fused
+    * score is integer-exact basis points, `10000 div (rrfK + rank)` per
+    * system (0 when absent from that system's top-k), so the whole
+    * surface is hash-oracle-able: fusing RANKS — not raw scores — is the
+    * point of RRF, and it also sidesteps cross-engine float drift.
+    *
+    * The query doc (`queryVecId`) stands in for an encoded query: its
+    * embedding is the vector-side probe (itself excluded from results).
+    *
+    * Scale: BM25 touches only query-term postings ([[bm25TopK]]); the
+    * vector side is one broadcast of a single query vector and a corpus
+    * scan that TakeOrderedAndProject reduces to per-partition top-k
+    * heaps; fusion is a full outer join of two ≤k-row lists — driver-
+    * trivial, executor-bounded. */
+  def searchHybrid(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVecId: Long = 0L, k: Int = 10, rrfK: Long = 60L,
+      id: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val lex = bm25TopK(docs, terms, k, id = id)
+      .select(col(id), col("rnk").as("lex_rank"))
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val q = base.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val w = Window.orderBy(desc("cosine"), asc("vec_id"))
+    val vec = base.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        Similarity.dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+      .orderBy(desc("cosine"), asc("vec_id")).limit(k)
+      // ≤ k rows reach the single-partition rank window (bm25TopK shape)
+      .withColumn("vec_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id").as(id), col("vec_rank"))
+    lex.join(vec, Seq(id), "full")
+      .withColumn("rrf_bp",
+        coalesce(expr(s"10000 div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"10000 div ($rrfK + vec_rank)"), lit(0L)))
+      .select(col(id),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        col("rrf_bp"))
+      .orderBy(desc("rrf_bp"), col(id))
+  }
+
   /** First-iteration BPE merge statistics: corpus-wide frequencies of
     * adjacent character pairs within whitespace tokens, top-k — the
     * statistic a byte-pair-encoding tokenizer trainer maximizes on its

@@ -507,6 +507,24 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((2L, 1L, 45000L), (1L, 2L, 16097L)))
   }
 
+  test("searchHybrid: RRF fuses lexical and vector ranks, absent side scores 0") {
+    // bm25 (terms a,d): doc2 rank 1, doc1 rank 2 (hand trace in bm25TopK
+    // test); cosine vs vec 0 = [1,0]: vec1 cos 1 -> rank 1, vec2 cos 0 ->
+    // rank 2, vec3 cos -1 -> rank 3. RRF bp: 10000 div (60 + rank).
+    val docs = Seq((1L, "a b a c"), (2L, "a d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = TextAnalysis.searchHybrid(docs, emb, Seq("a", "d"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 161L + 163L),
+      (2L, 1L, 2L, 163L + 161L),
+      (3L, 0L, 3L, 158L)))
+  }
+
   test("bpePairStats: within-token char pairs, deterministic top-k cut") {
     // tokens ab, ab, cd, abc -> pairs ab:3, bc:1, cd:1; tie-break pair asc
     val docs = Seq((1L, "ab ab cd"), (2L, "abc")).toDF("doc_id", "text")
