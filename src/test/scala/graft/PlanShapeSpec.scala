@@ -305,4 +305,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!jp.contains("Window"),
       s"jaccardPrefix should not plan a Window after the array rewrite:\n$jp")
   }
+
+  test("corpus_prep reuses its cached clean-corpus build; hybrid search tops out") {
+    // the strip -> quality -> fp intermediate is persisted and feeds three
+    // consumers: the plan must read it via InMemoryTableScan, and the
+    // boilerplate hot-set removal stays an anti join (never a filter over
+    // a collected list)
+    val cp = planOf("corpus_prep")
+    assert(cp.contains("InMemoryTableScan"),
+      s"corpus_prep should reuse the persisted clean-corpus build:\n$cp")
+    assert(cp.contains("LeftAnti"),
+      s"boilerplate hot-set removal should plan an anti join:\n$cp")
+    spark.catalog.clearCache()
+    // boilerplate strip standalone: anti join + fp-keyed aggregation
+    val tb = planOf("text_boilerplate")
+    assert(tb.contains("LeftAnti"),
+      s"text_boilerplate hot-set removal should plan an anti join:\n$tb")
+    // hybrid: both candidate lists are global top-k heaps, fusion has no
+    // sort-merge join (two <= k-row lists)
+    val sh = planOf("search_hybrid")
+    assert(sh.contains("TakeOrderedAndProject"),
+      s"search_hybrid candidate lists should plan TakeOrderedAndProject:\n$sh")
+    // bpe_encode: the merge applications fold into projections — the
+    // encode side is one map pass + one doc-keyed agg, never a window
+    val be = planOf("bpe_encode")
+    assert(!be.contains("Window"),
+      s"bpe_encode should be window-free:\n$be")
+  }
 }
