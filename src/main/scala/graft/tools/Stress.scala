@@ -136,6 +136,23 @@ object Stress {
       graft.ops.Features.temperatureSample(docs).count()
     }
     time("jaccard_prefix") { graft.ops.Dedup.jaccardPrefix(docs).count() }
+    // round-4c additions: boilerplate's hot-fp set grows with duplicated
+    // chunks (every chunk's df multiplies by N — the ENTIRE replicated
+    // corpus strips to empty, the df-threshold doing its job loudly);
+    // bpe_encode's merge applications are corpus-size-linear map work;
+    // corpus_prep composes strip+quality+dedup+decontaminate off ONE
+    // cached clean build; search_hybrid's candidate lists stay k-row.
+    time("boilerplate_strip") {
+      graft.ops.Dedup.boilerplateStrip(docs).count()
+    }
+    time("bpe_encode(3)") {
+      graft.ops.TextAnalysis.bpeEncode(docs, merges = 3).count()
+    }
+    time("corpus_prep") { graft.ops.TextAnalysis.corpusPrep(docs).count() }
+    time("search_hybrid") {
+      graft.ops.TextAnalysis.searchHybrid(docs, emb,
+        graft.SparkEntry.Bm25QueryTerms).count()
+    }
 
     // events replicate on event_id; user_id left as-is (same users, N×
     // denser timelines — the worst case for the banded range join's

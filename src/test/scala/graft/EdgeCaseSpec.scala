@@ -283,6 +283,33 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(graft.ops.TextAnalysis.bpePairStats(emptyDocs).count() == 0)
   }
 
+  test("round-4d ops: degenerate inputs are safe") {
+    // boilerplate strip: empty corpus; below-threshold corpus unchanged
+    assert(graft.ops.Dedup.boilerplateStrip(emptyDocs).count() == 0)
+    assert(graft.ops.Dedup.boilerplateStrip(
+      Seq((1L, "x y")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].head() == ((1L, 1L, 1L, "x y")))
+    // bpe encode: empty corpus (no merges trainable) yields empty output
+    assert(graft.ops.TextAnalysis.bpeEncode(emptyDocs).count() == 0)
+    // single-char tokens: zero merges, token count = word count
+    assert(graft.ops.TextAnalysis.bpeEncode(
+      Seq((1L, "a b c")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long)].head() == ((1L, 3L, 3L, 3L, 10000L)))
+    // hybrid search: absent query terms -> lexical list empty, fusion
+    // still returns the vector list with lex_rank 0
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val hybrid = graft.ops.TextAnalysis.searchHybrid(
+      Seq((1L, "a b")).toDF("doc_id", "text"), emb, Seq("zzz"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(hybrid == Seq((1L, 0L, 1L, 163L)))
+    // corpus_prep: corpus that is ENTIRELY the bench split (doc_id % 50
+    // == 0) -> empty output, no throw
+    assert(graft.ops.TextAnalysis.corpusPrep(
+      Seq((0L, "a b"), (50L, "c d")).toDF("doc_id", "text")
+        .withColumn("source", lit("s"))).count() == 0)
+  }
+
   test("heavyHitters: unprovable top-k fails loudly, never approximates") {
     // 40 uniform tokens, capacity 21: every count is N/40, and
     // count*21 < N — the in-plan losslessness assertion must fire
