@@ -118,10 +118,11 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("single-partition windows only ever run over aggregated inputs") {
     // A global (empty-partition) window funnels every row through one
-    // task — allowed only above an Aggregate, where cardinality is group
-    // count, not row count. Guards fp_quantile_bucket's distributed-ntile
-    // regression and any future accidental global window.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // task — allowed only above a BOUNDED input: an Aggregate (cardinality
+    // = group count) or a GlobalLimit (≤ k rows, the rank-a-top-k shape
+    // bm25TopK/searchHybrid use). Guards fp_quantile_bucket's
+    // distributed-ntile regression and any future accidental global window.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
     SparkEntry.queries.foreach { case (name, fn) =>
       val planOpt =
         try Some(fn(spark, sf0001).queryExecution.optimizedPlan)
@@ -129,7 +130,10 @@ class PlanShapeSpec extends SparkTestBase {
       planOpt.foreach { plan =>
         plan.foreach {
           case w: LWindow if w.partitionSpec.isEmpty =>
-            assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+            assert(w.collectFirst {
+              case a: Aggregate => a
+              case l: GlobalLimit => l
+            }.nonEmpty,
               s"$name plans a single-partition window over raw rows")
           case _ => ()
         }
