@@ -616,6 +616,11 @@ object SparkEntry {
     "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), 20, 5)),
+    // EXT product quantization ANN: 4-byte codes + per-query ADC lookup
+    // tables, exact cosine re-rank of the shortlist. Rows-only (k-means
+    // floats); ≡ bruteTopK at shortlist >= corpus, spec-asserted.
+    "sim_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), 20, 5)),
     // similarity × dedup composition: sign-LSH near-dup pairs resolved to
     // connected components — embedding-level duplicate clusters
     "dedup_embedding_clusters" -> ((s, dir) =>

@@ -161,6 +161,85 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product quantization top-k (Jégou et al. 2011) — the OTHER classic
+    * ANN scale path, orthogonal to [[ivfTopK]]'s list pruning: compress
+    * every vector to `m` byte codes (one seeded k-means codebook per
+    * subspace over unit vectors), score candidates against a per-query
+    * lookup table of subspace dot products (ADC — asymmetric distance
+    * computation), then EXACTLY re-rank the ADC shortlist with the
+    * codegen'd cosine. With `shortlist` >= corpus size the re-rank sees
+    * every candidate and the result equals [[bruteTopK]] bit-for-bit
+    * regardless of codebook quality (the IVF full-probe discipline,
+    * spec-asserted); at production settings the ADC pass reads `m` bytes
+    * per vector instead of `4·dim`.
+    *
+    * Scale shape: codebooks are `m × codebookSize` tiny rows (broadcast);
+    * the LUT is `nQueries × m × codebookSize` (broadcast); the ADC pass
+    * is one broadcast hash join over the exploded codes with map-side
+    * partial aggregation keyed (query, vector) — no corpus self-join
+    * anywhere; the exact re-rank touches only `nQueries × shortlist`
+    * full vectors. Returns (q_id, rnk, vec_id, cosine) like [[bruteTopK]];
+    * rows-only at the driver (k-means floats have no DuckDB twin). */
+  def pqTopK(emb: DataFrame, nQueries: Int, k: Int, m: Int = 4,
+      codebookSize: Int = 16, shortlist: Int = 50, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim, got $m / $dim")
+    require(shortlist >= k, s"shortlist >= k, got $shortlist < $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("unit", transform(col("embedding"),
+        e => (e / col("nrm")).cast("float")))
+    // one seeded k-means per subspace; fits are sequential driver calls
+    // but each is a distributed Lloyd run over an (N x subDim) slice
+    var encoded = base
+    val codebooks = (0 until m).map { s =>
+      val withSub = encoded.withColumn(s"sub$s",
+        array_to_vector(transform(
+          slice(col("unit"), s * subDim + 1, subDim), _.cast("double"))))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(codebookSize).setSeed(seed + s).setMaxIter(8)
+        .setFeaturesCol(s"sub$s").setPredictionCol(s"code$s")
+        .fit(withSub)
+      encoded = model.transform(withSub).drop(s"sub$s")
+      model.clusterCenters.zipWithIndex.map { case (c, code) =>
+        (s, code, c.toArray.map(_.toFloat)) }
+    }.flatten.toSeq.toDF("s", "code", "cw")
+    val codes = encoded.withColumn("codes",
+      array((0 until m).map(s => col(s"code$s")): _*))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("unit").as("qu"))
+    // ADC lookup table: dot(query subvector, codeword) per (query, s, code)
+    val lut = q.crossJoin(broadcast(codebooks))
+      .select(col("q_id"),col("s"), col("code"),
+        dot(slice(col("qu"), col("s") * subDim + 1, lit(subDim)),
+          col("cw")).as("lv"))
+    val adc = codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum(col("lv")).as("adc"))
+    val wAdc = Window.partitionBy("q_id").orderBy(desc("adc"), asc("vec_id"))
+    val cand = adc.withColumn("adc_rnk", row_number().over(wAdc))
+      .filter(col("adc_rnk") <= shortlist).select("q_id", "vec_id")
+
+    // exact re-rank of the shortlist — bruteTopK's scoring, tie-break, shape
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    cand.join(base.select(col("vec_id"), col("embedding"), col("nrm")),
+        Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
   /** IVF (inverted-file) approximate top-k: the classic ANN scale path.
     *
     *  1. Fit a seeded k-means coarse quantizer on unit vectors (spark.ml,

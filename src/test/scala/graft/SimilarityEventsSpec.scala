@@ -71,6 +71,29 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(ivf == brute) // probing every list == exhaustive scan
   }
 
+  test("pqTopK with corpus-wide shortlist equals bruteTopK exactly") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val brute = graft.ops.Similarity.bruteTopK(emb, 10, 5).collect().toSeq
+    // shortlist covers every candidate -> the exact re-rank IS brute force,
+    // whatever the codebooks learned
+    val pq = graft.ops.Similarity
+      .pqTopK(emb, 10, 5, shortlist = 500).collect().toSeq
+    assert(pq == brute)
+  }
+
+  test("pqTopK at production shortlist keeps sane recall and rank structure") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val brute = graft.ops.Similarity.bruteTopK(emb, 10, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = graft.ops.Similarity.pqTopK(emb, 10, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // ADC shortlist of 50/500 then exact re-rank: recall@5 must stay high
+    assert(pq.size == brute.size)
+    val recall = (pq & brute).size * 100 / brute.size
+    info(s"PQ recall@5 at shortlist=50: $recall%")
+    assert(recall >= 50, s"PQ recall collapsed: $recall%")
+  }
+
   test("ivfTopK with partial probing returns k ranked rows per query") {
     val emb = Tables(spark, sf0001, "embeddings")
     val ivf = graft.ops.Similarity
