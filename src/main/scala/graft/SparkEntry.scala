@@ -401,6 +401,11 @@ object SparkEntry {
     // double addition is order-sensitive, cents are not)
     "stream_user_stats_parity" -> ((s, dir) =>
       graft.streaming.EventStream.userStatsParityRun(s, s"$dir/events.parquet")),
+    // stream-static enrichment: per-batch broadcast dim join + stateful
+    // counts, final result == the batch events × customer join
+    "stream_enrich_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.enrichmentParityRun(
+        s, s"$dir/events.parquet", t(s, dir, "customer"))),
     // flatMapGroupsWithState streaming dedup over a real AvailableNow run:
     // kept set == batch "lowest doc_id per md5 fingerprint survives"
     "stream_dedup_parity" -> ((s, dir) =>
@@ -546,6 +551,11 @@ object SparkEntry {
     // first-failing-stage attribution per doc and the kept token budget.
     "corpus_prep" -> ((s, dir) =>
       TextAnalysis.corpusPrep(t(s, dir, "documents"))),
+
+    // EXT per-(source, lang) corpus health report: volumes, quality pass
+    // rate, exact-dup rate — integer bp, one keyed aggregation.
+    "corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
     // LOSSLESS prefix-filtered exact Jaccard (AllPairs/PPJoin candidate
     // condition): same answer as UNCAPPED exact Jaccard — boilerplate
@@ -2148,6 +2158,12 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
 
+    // stream-static enrichment final counts == the batch dim join
+    "stream_enrich_parity" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type, count(*) AS cnt
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // final mapGroupsWithState state must equal the batch per-user agg;
     // cents = round(value*100) summed exactly. coalesce(sum, 0): a user
     // whose every value is NULL sums to NULL here but to 0 cents on the
@@ -2380,6 +2396,31 @@ object SparkEntry {
                 score_bp
          FROM scored ORDER BY score_bp DESC, doc_id LIMIT 10"""
     },
+
+    // corpus_report: quality rules (quality_filter oracle) aggregated
+    // per (source, lang) with exact-dup rate off distinct md5 counts.
+    "corpus_report" ->
+      """WITH s AS (
+           SELECT doc_id, source, lang, md5(text) AS fp,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(list_sum(list_transform(string_split(text, ' '),
+                       t -> length(t))) AS BIGINT) AS sum_tok_len,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stopwords,
+                  CAST(floor(len(list_distinct(string_split(text, ' '))) * 10000.0
+                       / len(string_split(text, ' '))) AS BIGINT) AS uniq_ratio_bp
+           FROM documents),
+         q AS (SELECT *, CAST((n_tokens BETWEEN 5 AND 5000)
+                  AND (sum_tok_len BETWEEN n_tokens * 3 AND n_tokens * 10)
+                  AND n_stopwords >= 2 AND uniq_ratio_bp >= 3000 AS BIGINT) AS keep
+               FROM s)
+         SELECT source, lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                CAST(sum(keep) * 10000 // count(*) AS BIGINT) AS quality_bp,
+                CAST((count(*) - count(DISTINCT fp)) * 10000 // count(*) AS BIGINT) AS dup_bp,
+                CAST(sum(n_tokens) // count(*) AS BIGINT) AS avg_tokens
+         FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // search_hybrid: the bm25 CTEs + a one-query cosine top-10, fused by
     // RRF on ranks (10000 // (60 + rank), 0 when absent from a list).

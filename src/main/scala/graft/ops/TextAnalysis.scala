@@ -834,6 +834,34 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** Per-(source, lang) corpus health report — the dashboard aggregation
+    * a data team watches during a crawl/ingest: document and token
+    * volumes, Gopher-quality pass rate, and exact-duplicate rate, all in
+    * integer basis points so the whole report hash-matches DuckDB.
+    *
+    * Scale: one map pass appends the quality columns
+    * ([[withQualityColumns]]) and the md5 fingerprint, then ONE
+    * aggregation keyed (source, lang) — count/sum columns partial-
+    * aggregate map-side; the dup rate's `countDistinct(fp)` expands to
+    * the standard two-phase distinct aggregate on fingerprints, never
+    * text. */
+  def corpusReport(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", source: String = "source",
+      lang: String = "lang"): DataFrame =
+    withQualityColumns(docs, text)
+      .withColumn("fp", md5(col(text)))
+      .groupBy(col(source).as("source"), col(lang).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("keep")).as("n_quality"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        expr("n_quality * 10000 div n_docs").as("quality_bp"),
+        expr("(n_docs - n_distinct) * 10000 div n_docs").as("dup_bp"),
+        expr("n_tokens div n_docs").as("avg_tokens"))
+      .orderBy("source", "lang")
+
   /** Document fingerprints: md5 (content-exact) + polynomial rolling hash
     * (shift-tolerant primitive used by chunk-level dedup). */
   def fingerprints(docs: DataFrame, id: String = "doc_id",

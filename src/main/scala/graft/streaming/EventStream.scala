@@ -149,6 +149,30 @@ object EventStream {
       tumblingCounts(_))
       .orderBy("win_start_us", "event_type")
 
+  /** Stream-static enrichment — the classic fact-stream × dimension
+    * shape: every micro-batch of the event stream joins a STATIC
+    * dimension (no watermark needed on the static side; Spark re-plans
+    * the join per batch with the dim broadcast), then a stateful count
+    * per (segment, event_type) accumulates across batches. The dim join
+    * is stateless — only the downstream aggregate holds state — which is
+    * exactly why this shape scales: a 1000-executor stream enriches at
+    * map speed against a broadcast dim and shuffles only group keys. */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"))),
+      col("user_id") === col("c_custkey"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[enrichedCounts]] as a real AvailableNow run (complete-mode memory
+    * sink): final counts equal the batch events × customer join exactly —
+    * the seventh driver-oracle'd streaming parity family. */
+  def enrichmentParityRun(spark: SparkSession, path: String,
+      dim: DataFrame, maxFilesPerTrigger: Int = 16): DataFrame =
+    parityRun(spark, path, "enrich", maxFilesPerTrigger, "complete")(
+      enrichedCounts(_, dim))
+      .orderBy("segment", "event_type")
+
   /** Streaming twin of Events.sessionize: native session windows (gap
     * merge) keyed by user. Watermark evicts closed sessions. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",

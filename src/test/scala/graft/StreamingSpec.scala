@@ -214,6 +214,25 @@ class StreamingSpec extends SparkTestBase {
       .count() == got.count())
   }
 
+  test("enrichedCounts joins the static dim per batch and accumulates counts") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "RETAIL"), (3L, "AUTO"))
+      .toDF("c_custkey", "c_mktsegment")
+    val in = MemoryStream[Event]
+    in.addData(Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 2, "click", 1.0))
+    in.addData( // second micro-batch accumulates into the same groups
+      Event(3, ts(3), 3, "click", 1.0),
+      Event(4, ts(4), 1, "view", 1.0),
+      Event(5, ts(5), 9, "click", 1.0)) // no dim row -> dropped (inner)
+    val got = runBatches(
+      EventStream.enrichedCounts(in.toDF(), dim).writeStream
+        .outputMode(OutputMode.Complete), "enrich_stream")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("AUTO", "click", 2L), ("AUTO", "view", 1L), ("RETAIL", "click", 1L)))
+  }
+
   test("streaming tumbling matches batch tumblingAgg on the same data") {
     implicit val sc = spark.sqlContext
     val events = Seq(

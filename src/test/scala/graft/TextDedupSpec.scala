@@ -464,6 +464,21 @@ class TextDedupSpec extends SparkTestBase {
       (5L, "s1", "kept", 5L)))
   }
 
+  test("corpusReport: per-(source, lang) volumes, quality and dup rates in bp") {
+    val good = "the and alpha bravo candle" // passes every Gopher rule
+    val docs = Seq(
+      (1L, good, "s1", "en"),
+      (2L, good, "s1", "en"),   // exact dup of doc 1
+      (3L, "x y", "s1", "en"),  // quality fail (2 tokens)
+      (4L, "ab", "s2", "zh")    // quality fail (1 token)
+    ).toDF("doc_id", "text", "source", "lang")
+    val got = TextAnalysis.corpusReport(docs)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", "en", 3L, 12L, 6666L, 3333L, 4L),
+      ("s2", "zh", 1L, 1L, 0L, 0L, 1L)))
+  }
+
   test("bpeEncode: greedy merge application; empty docs surface with zeros") {
     // training on "abab ab" yields merges "a b"->"ab", "ab ab"->"abab"
     // (the bpeTrain hand-trace above); encoding: "abab" -> 1 token,
