@@ -31,12 +31,13 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** [[schema]] as stored in the driver corpus parquet: `ts` is
-    * TIMESTAMP(NANOS), which Spark 4 reads only as a raw nanosecond LONG
-    * (`spark.sql.legacy.parquet.nanosAsLong` — same story as
-    * `graft.ops.Events`). */
-  val fileSchema: StructType = StructType(
-    schema.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+  /** The corpus parquet's own schema, probed from the file footer on the
+    * driver (one metadata read — streams must declare schemas up front,
+    * so the staging-time probe is how a file stream adapts to whatever
+    * `ts` encoding the corpus generation chose; `graft.ops.Events.tsUs`
+    * is the batch-side twin of this discipline). */
+  def probeFileSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
 
   /** File-based stream source: new parquet files under `path` become
     * micro-batches (`maxFilesPerTrigger` caps per-batch work). `path` may
@@ -49,14 +50,19 @@ object EventStream {
       .schema(sourceSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
-    // normalize a nanosecond-LONG ts (corpus parquet) to TimestampType;
-    // floor division like Events.tsUs (pre-1970 values round down).
+    // normalize `ts` to TimestampType whatever the corpus encoding:
+    // nanosecond LONG (legacy TIMESTAMP(NANOS) corpora — floor division
+    // like Events.tsUs, pre-1970 values round down) or TIMESTAMP_NTZ
+    // (current corpora — exact cast under the session's UTC timezone).
     // Schemas without a ts column (e.g. documents) pass through untouched.
-    if (df.schema.fieldNames.contains("ts") &&
-        df.schema("ts").dataType == LongType)
-      df.withColumn("ts",
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts",
         timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-    else df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Streaming twin of Events.tumblingAgg: per (1-hour window, type)
@@ -97,8 +103,10 @@ object EventStream {
     * across a long session (Bench runs each parity query 3x). */
   private def parityRun(spark: SparkSession, path: String, tag: String,
       maxFilesPerTrigger: Int, outputMode: String,
-      sourceSchema: StructType = fileSchema)(
+      sourceSchema: StructType = null)(
       transform: DataFrame => DataFrame): DataFrame = {
+    val srcSchema =
+      if (sourceSchema ne null) sourceSchema else probeFileSchema(spark, path)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // per-invocation sink table AND staging subdir: repeated runs must not
     // collide, and a reused directory must never replay files staged by an
@@ -122,7 +130,7 @@ object EventStream {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       val q = transform(
         readParquetStream(spark, stage.toString, maxFilesPerTrigger,
-          sourceSchema = sourceSchema))
+          sourceSchema = srcSchema))
         .writeStream
         .format("memory").queryName(name)
         .outputMode(outputMode)
@@ -393,7 +401,9 @@ object EventStream {
     Files.createDirectories(target)
     // slice the corpus into nSlices staged files (event_id % n) so the
     // AvailableNow run has one merge round per slice
-    val srcDf = spark.read.schema(fileSchema).parquet(path)
+    // inferred batch read: the staged slices inherit the corpus's own
+    // ts encoding, which readParquetStream normalizes per-type below
+    val srcDf = spark.read.parquet(path)
     (0 until nSlices).foreach { i =>
       srcDf.filter(col("event_id") % nSlices === i)
         .coalesce(1).write.mode("overwrite")
@@ -433,7 +443,7 @@ object EventStream {
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       val q = readParquetStream(spark, stage.toString,
-          maxFilesPerTrigger = 1, sourceSchema = fileSchema)
+          maxFilesPerTrigger = 1, sourceSchema = srcDf.schema)
         .writeStream
         .foreachBatch(mergeBatch)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -90,8 +90,9 @@ class RelationalSpec extends SparkTestBase {
     val events = Tables(spark, sf0001, "events")
     val banded = graft.ops.Events.bandedRangeJoin(events)
       .as[(Long, Long, Long, Long, Double)].collect().toSet
-    // brute force: plain theta join, same window arithmetic
-    val us = org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")
+    // brute force: plain theta join, same window arithmetic (tsUs adapts
+    // to whichever ts encoding the corpus generation chose)
+    val us = graft.ops.Events.tsUs(events)
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), us.as("us"))
     val views = events.filter(col("event_type") === "view")
