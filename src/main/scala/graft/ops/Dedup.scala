@@ -82,17 +82,8 @@ object Dedup {
       .select("doc_id", "s")
   }
 
-  /** Spread a narrow-input/wide-output stage: a small parquet file scans
-    * as ONE partition, so an explode-heavy projection would run on one
-    * core. Gate on the scan's FILE count (plan inspection only — probing
-    * rdd.getNumPartitions would force AQE to materialize every upstream
-    * stage of a derived input just to read a number): few-or-no files →
-    * repartition (the shuffle moves only the raw docs); many files means
-    * the scan is already parallel (the real-scale case) → no-op. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < target) df.repartition(target) else df
-  }
+  /** See [[Spread]] — shared fan-out for narrow-input/wide-output stages. */
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   /** Distinct (doc, shingle-hash) pairs with the same df cap as
     * [[shingles]] — every downstream consumer (Jaccard join keys, MinHash
@@ -282,12 +273,25 @@ object Dedup {
     sh.unpersist()
     val pfxLen =
       col("n_sh") - expr(s"(n_sh * $minJaccardBp + 9999) div 10000") + 1
+    // posexplode keeps each prefix token's 0-based rank for the PPJoin
+    // positional filter below
     val prefix = arr.select(col("doc_id"), col("n_sh"),
-      explode(slice(col("hs"), lit(1), pfxLen.cast("int"))).as("h"))
+      posexplode(slice(col("hs"), lit(1), pfxLen.cast("int")))
+        .as(Seq("p", "h")))
+    // PPJoin positional filter (lossless, tighter than the plain prefix
+    // filter): a match at ranks (pa, pb) bounds the overlap by the
+    // tokens at-or-after the match, min(na−pa, nb−pb); the pair can
+    // only reach jaccard ≥ s if that bound ≥ α = ceil(s·(na+nb)/(1+s)).
+    // Integer-exact in bp: bound·(10000+bp) ≥ bp·(na+nb).
+    val posBound =
+      least(col("a.n_sh") - col("a.p"), col("b.n_sh") - col("b.p")) *
+        (10000L + minJaccardBp) >=
+        lit(minJaccardBp) * (col("a.n_sh") + col("b.n_sh"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n_sh") * minJaccardBp <= col("b.n_sh") * 10000L &&
-          col("b.n_sh") * minJaccardBp <= col("a.n_sh") * 10000L)
+          col("b.n_sh") * minJaccardBp <= col("a.n_sh") * 10000L &&
+          posBound)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val repPairs = cand

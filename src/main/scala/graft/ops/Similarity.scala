@@ -193,21 +193,35 @@ object Similarity {
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("unit", transform(col("embedding"),
         e => (e / col("nrm")).cast("float")))
+    def subVec(s: Int) = array_to_vector(transform(
+      slice(col("unit"), s * subDim + 1, subDim), _.cast("double")))
     // one seeded k-means per subspace; fits are sequential driver calls
-    // but each is a distributed Lloyd run over an (N x subDim) slice
-    var encoded = base
-    val codebooks = (0 until m).map { s =>
-      val withSub = encoded.withColumn(s"sub$s",
-        array_to_vector(transform(
-          slice(col("unit"), s * subDim + 1, subDim), _.cast("double"))))
-      val model = new org.apache.spark.ml.clustering.KMeans()
+    // but each is a distributed Lloyd run over an (N x subDim) slice.
+    // Subspaces are independent, so each fit reads a single projected
+    // column straight off base — never through the other models'
+    // transform lineage (the chained form re-ran every earlier model's
+    // assignment inside each later fit's input pass).
+    // k-means|| init stays: with 16-word codebooks the init quality IS
+    // the recall (random init measurably collapses shortlist recall).
+    // The m fits are independent seeded jobs, so they run CONCURRENTLY
+    // (scala-parallel-collections over the thread-safe Spark scheduler):
+    // wall-clock is one fit, not m.
+    import scala.collection.parallel.CollectionConverters._
+    val models = (0 until m).par.map { s =>
+      new org.apache.spark.ml.clustering.KMeans()
         .setK(codebookSize).setSeed(seed + s).setMaxIter(8)
         .setFeaturesCol(s"sub$s").setPredictionCol(s"code$s")
-        .fit(withSub)
-      encoded = model.transform(withSub).drop(s"sub$s")
+        .fit(base.select(subVec(s).as(s"sub$s")))
+    }.toList
+    val codebooks = models.zipWithIndex.flatMap { case (model, s) =>
       model.clusterCenters.zipWithIndex.map { case (c, code) =>
         (s, code, c.toArray.map(_.toFloat)) }
-    }.flatten.toSeq.toDF("s", "code", "cw")
+    }.toSeq.toDF("s", "code", "cw")
+    // assignment: one pass over base through all m models' predictors
+    val withSubs = (0 until m).foldLeft(base) { (df, s) =>
+      df.withColumn(s"sub$s", subVec(s)) }
+    val encoded = models.foldLeft(withSubs) { (df, model) =>
+      model.transform(df) }.drop((0 until m).map(s => s"sub$s"): _*)
     val codes = encoded.withColumn("codes",
       array((0 until m).map(s => col(s"code$s")): _*))
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
@@ -268,9 +282,12 @@ object Similarity {
     // ranking + exact re-score fix any assignment, so a near-converged
     // codebook costs recall nothing while halving the fit (ml.KMeans
     // persists its instances RDD internally for the Lloyd iterations)
+    // random (seeded) init for the same reason as [[pqTopK]]: probe
+    // ranking + exact re-score fix any assignment, so the k-means||
+    // init passes buy nothing here
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setSeed(seed).setFeaturesCol("unit")
-      .setPredictionCol("cluster").setMaxIter(8)
+      .setPredictionCol("cluster").setMaxIter(8).setInitMode("random")
     val model = km.fit(base)
     // inverted lists: corpus partitioned by coarse cluster. NOT persisted:
     // the two consumers below (query probes, list scoring) each recompute

@@ -507,7 +507,9 @@ object TextAnalysis {
     * `clearCache` between queries. */
   def lmFamiliarity(docs: DataFrame, maxBroadcastVocab: Long = 2000000L,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val tri = docs.filter(length(col(text)) >= 3)
+    // the trigram explode multiplies rows ~|text|-fold: fan the few-file
+    // doc scan out first or the whole expansion runs on one core
+    val tri = Spread(docs).filter(length(col(text)) >= 3)
       .select(col(id), explode(transform(
         sequence(lit(1), length(col(text)) - 2),
         i => col(text).substr(i, lit(3)))).as("tri"))
