@@ -423,6 +423,10 @@ object SparkEntry {
     // batch latest-per-user query however the files split into batches
     "stream_upsert_parity" -> ((s, dir) =>
       graft.streaming.EventStream.upsertParityRun(s, s"$dir/events.parquet")),
+    // same latest-event-per-user contract through the Spark 4 v2 state
+    // API (StatefulProcessor + transformWithState on RocksDB state)
+    "stream_tws_latest_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.twsLatestParityRun(s, s"$dir/events.parquet")),
 
     // EXT text analysis over documents:
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
@@ -573,6 +577,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // the full ingest ADMISSION verdict per arriving doc (exact vs
+    // corpus, exact within batch, MinHash-LSH near-dup vs corpus, new):
+    // the decision a training pipeline makes every ingest cycle
+    "dedup_ingest_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ingestGate(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     // the production dedup pipeline END TO END (the 100 TB path that
     // Dedup.levenshteinRescore's doc promises; stages previously only
     // checked separately): MinHash-LSH candidate generation → banded
@@ -626,6 +639,20 @@ object SparkEntry {
     "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), 20, 5)),
+    // EXT persisted ANN index: build the IVF index once (cluster-
+    // partitioned lists on disk), then answer the query batch by probing
+    // it — the scan reads only the probed partitions (DPP). Rows-only
+    // (k-means floats); ≡ the inline ivfTopK, spec-asserted.
+    "ann_index_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-ivf-index-${ProcessHandle.current().pid()}")
+        .toString
+      Similarity.buildIvfIndex(emb, idx)
+      Similarity.probeIvfIndex(s, idx,
+        emb.filter(col("vec_id") < 20), 5)
+    }),
     // EXT product quantization ANN: 4-byte codes + per-query ADC lookup
     // tables, exact cosine re-rank of the shortlist. Rows-only (k-means
     // floats); ≡ bruteTopK at shortlist >= corpus, spec-asserted.
@@ -1400,6 +1427,48 @@ object SparkEntry {
     s"""WITH $minhashLshCtes
        |SELECT da, db, sig_matches FROM mh_pairs ORDER BY da, db""".stripMargin
 
+  /** Ingest-gate verdicts: reuses the minhash chain's `sig`/`keptb` CTEs
+    * (built over ALL documents = corpus ∪ batch, exactly what
+    * Dedup.ingestGate computes signatures over) and restricts the bucket
+    * probe to batch(odd) × corpus(even). Precedence CASE mirrors the
+    * operator: exact vs corpus > exact within batch > LSH near > new. */
+  private def ingestGateOracle: String = {
+    val matches = (0 until graft.ops.Dedup.MinhashK)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $minhashLshCtes,
+       | corp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+       | bat  AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
+       | cfp AS (SELECT fp, min(doc_id) AS exact_id FROM corp GROUP BY 1),
+       | bk  AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat GROUP BY 1),
+       | nc AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+       |        FROM keptb bb JOIN keptb cb
+       |          ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+       |        WHERE bb.doc_id % 2 = 1 AND cb.doc_id % 2 = 0),
+       | sc AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
+       |        FROM nc JOIN sig sa ON sa.doc_id = bid
+       |                JOIN sig sb ON sb.doc_id = cid
+       |        WHERE $matches >= 16),
+       | best AS (SELECT bid, cid FROM (
+       |            SELECT bid, cid,
+       |                   row_number() OVER (PARTITION BY bid
+       |                                      ORDER BY sm DESC, cid) AS rn
+       |            FROM sc) WHERE rn = 1)
+       |SELECT b.doc_id AS doc_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
+       |       WHEN nb.cid IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS verdict,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
+       |       WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
+       |       WHEN nb.cid IS NOT NULL THEN nb.cid
+       |       ELSE NULL END AS match_id
+       |FROM bat b LEFT JOIN cfp e ON e.fp = b.fp
+       |JOIN bk k ON k.fp = b.fp
+       |LEFT JOIN best nb ON nb.bid = b.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Integer PageRank unrolled to PagerankQueryIters chained CTEs
     * (recursive terms cannot aggregate, so fixed iterations unroll
     * instead) — every step is floor arithmetic matching
@@ -1765,6 +1834,7 @@ object SparkEntry {
     // portable two-prime polynomial basis shared between the codegen
     // kernels and this generated SQL — see graft.functions.Portable.
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_ingest_gate" -> ingestGateOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "split_leakage_safe" -> leakageSplitOracle,
     "bpe_train" -> bpeTrainOracle(BpeTrainMerges),
@@ -3281,6 +3351,19 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
 
     "stream_upsert_parity" ->
+      """WITH ranked AS (
+           SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+                  CAST(round(value * 100) AS BIGINT) AS last_cents,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, last_us, last_event_id, last_cents
+         FROM ranked WHERE rn = 1 ORDER BY user_id""",
+
+    // identical contract to stream_upsert_parity: two streaming
+    // implementations (foreachBatch merge / transformWithState state),
+    // one batch truth
+    "stream_tws_latest_parity" ->
       """WITH ranked AS (
            SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
                   CAST(round(value * 100) AS BIGINT) AS last_cents,

@@ -347,8 +347,12 @@ object Dedup {
     * candidate pairs — the back half of [[minhashLsh]], split out so
     * composed ops ([[minhashRecall]]) can feed it a signature table built
     * from a SHARED shingle scan instead of paying a second explode. */
-  private def lshPairsFromSignatures(sig: DataFrame, maxBucket: Int,
-      minSigMatches: Int): DataFrame = {
+  /** (doc_id, band_idx, band_hash) rows from a signature table, with
+    * buckets above `maxBucket` members dropped (the hot-bucket cap —
+    * fixed-width broadcast hot-list, same discipline as [[shingleHashes]]).
+    * Shared by the self-join LSH pairs and the [[ingestGate]] cross-side
+    * probe so both see identical bucket selectivity. */
+  private def bandedKeys(sig: DataFrame, maxBucket: Int): DataFrame = {
     import graft.functions.Portable.{P1, BandMix}
     val bandCols = (0 until MinhashBands).map { b =>
       (0 until 4).foldLeft(lit(b + 1L).cast("long")) { (bk, j) =>
@@ -360,8 +364,19 @@ object Dedup {
     val hotBuckets = banded.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
       .select("band_idx", "band_hash")
-    val kept = banded
+    banded
       .join(broadcast(hotBuckets), Seq("band_idx", "band_hash"), "left_anti")
+  }
+
+  /** Signature-component match count between two aliased [[minhashSignatures]]
+    * sides (`sa`, `sb`): the sig_matches/K jaccard estimate. */
+  private def sigMatchCount: Column = (0 until MinhashK)
+    .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1L).otherwise(0L))
+    .reduce(_ + _)
+
+  private def lshPairsFromSignatures(sig: DataFrame, maxBucket: Int,
+      minSigMatches: Int): DataFrame = {
+    val kept = bandedKeys(sig, maxBucket)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = kept.as("a").join(kept.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -369,16 +384,89 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val matches = (0 until MinhashK)
-      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1L).otherwise(0L))
-      .reduce(_ + _)
     cand
       .join(sig.as("sa"), col("da") === col("sa.doc_id"))
       .join(sig.as("sb"), col("db") === col("sb.doc_id"))
-      .withColumn("sig_matches", matches)
+      .withColumn("sig_matches", sigMatchCount)
       .filter(col("sig_matches") >= minSigMatches)
       .select("da", "db", "sig_matches")
       .orderBy("da", "db")
+  }
+
+  /** Continuous-ingest admission gate: classify every document of an
+    * arriving `batch` against the standing `corpus` — the decision a
+    * training-data pipeline makes on every ingest cycle before letting
+    * new documents in. Verdict precedence per batch doc:
+    *
+    *   1. `exact_dup`  — its text fingerprint already exists in the
+    *      corpus (match_id = smallest such corpus doc);
+    *   2. `batch_dup`  — fingerprint is new to the corpus but an earlier
+    *      (smaller-id) batch doc has the same text (match_id = that
+    *      keeper; exactly one keeper admits per novel fingerprint);
+    *   3. `near_dup`   — MinHash-LSH banding puts it in a bucket with a
+    *      corpus doc and ≥ `minSigMatches`/[[MinhashK]] signature
+    *      components agree (match_id = the corpus doc with the most
+    *      matching components, smallest id on ties);
+    *   4. `new`        — admitted (match_id null).
+    *
+    * Scale: fingerprints shuffle as fixed-width md5 strings, never text;
+    * signatures/banding reuse the [[minhashLsh]] machinery with the SAME
+    * df and hot-bucket caps computed over corpus ∪ batch (so gate
+    * selectivity matches the batch-mode self-join exactly), and the
+    * candidate probe joins batch-side buckets against corpus-side
+    * buckets only — a steady-state ingest never pays the corpus×corpus
+    * quadrant. In production the corpus-side signature/banding tables
+    * are incrementally maintained (append admitted docs' rows per cycle)
+    * rather than recomputed; every stage here is deterministic and
+    * portable, so the whole gate is DuckDB-oracle-checkable end to end. */
+  def ingestGate(corpus: DataFrame, batch: DataFrame, k: Int = 3,
+      maxDf: Int = 100, maxBucket: Int = 50, minSigMatches: Int = 16,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val cfp = corpus.select(md5(col(text)).as("fp"), col(id).as("cid"))
+      .groupBy("fp").agg(min("cid").as("exact_id"))
+    val bfp = batch.select(col(id).as("doc_id"), md5(col(text)).as("fp"))
+    val bkeep = bfp.groupBy("fp").agg(min("doc_id").as("batch_keep_id"))
+
+    // near-dup probe: one signature build over corpus ∪ batch, split back
+    // into sides by membership (id-width join, no parity assumption)
+    val union = corpus.select(col(id).as("doc_id"), col(text).as("text"))
+      .unionByName(batch.select(col(id).as("doc_id"), col(text).as("text")))
+    val sig = minhashSignatures(shinglePolyHashes(union, k, maxDf))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = bandedKeys(sig, maxBucket)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val batchIds = batch.select(col(id).as("doc_id"))
+    val keptB = kept.join(batchIds, "doc_id")
+    val keptC = kept.join(batchIds, Seq("doc_id"), "left_anti")
+    val cand = keptB.as("b").join(keptC.as("c"),
+        col("b.band_idx") === col("c.band_idx") &&
+          col("b.band_hash") === col("c.band_hash"))
+      .select(col("b.doc_id").as("bid"), col("c.doc_id").as("cid"))
+      .distinct()
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("bid").orderBy(desc("sig_matches"), asc("cid"))
+    val near = cand
+      .join(sig.as("sa"), col("bid") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("cid") === col("sb.doc_id"))
+      .withColumn("sig_matches", sigMatchCount)
+      .filter(col("sig_matches") >= minSigMatches)
+      .select(col("bid"), col("cid"), col("sig_matches"))
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("bid").as("doc_id"), col("cid").as("near_id"))
+
+    bfp.join(cfp, Seq("fp"), "left")
+      .join(bkeep, "fp")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact_dup"))
+          .when(col("doc_id") =!= col("batch_keep_id"), lit("batch_dup"))
+          .when(col("near_id").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        when(col("exact_id").isNotNull, col("exact_id"))
+          .when(col("doc_id") =!= col("batch_keep_id"), col("batch_keep_id"))
+          .when(col("near_id").isNotNull, col("near_id")).as("match_id"))
+      .orderBy("doc_id")
   }
 
   /** MinHash candidate recall vs the exact Jaccard answer, from ONE

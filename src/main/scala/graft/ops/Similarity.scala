@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -270,6 +270,19 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    val (listed, centroids) = ivfParts(emb, nCentroids, seed)
+    val q = listed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    ivfProbe(listed, centroids, q, k, nProbe)
+  }
+
+  /** The two tables an IVF index consists of: the inverted lists
+    * (vec_id, embedding, nrm, cluster) and the tiny centroid table
+    * (cluster, centroid, c_norm2). Shared by the inline [[ivfTopK]] and
+    * the persisted [[buildIvfIndex]]/[[probeIvfIndex]] pair. */
+  private def ivfParts(emb: DataFrame, nCentroids: Int,
+      seed: Long): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
 
@@ -310,10 +323,13 @@ object Similarity {
         (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum)
       }
       .toSeq.toDF("cluster", "centroid", "c_norm2")
+    (listed, centroids)
+  }
 
-    val q = listed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"))
+  /** Probe-side scoring shared by [[ivfTopK]] and [[probeIvfIndex]]:
+    * `q` is (q_id, qv, qn). */
+  private def ivfProbe(listed: DataFrame, centroids: DataFrame,
+      q: DataFrame, k: Int, nProbe: Int): DataFrame = {
     // rank each query's centroids by euclidean distance of the UNIT query
     // to the (non-unit) centroid, keep nProbe nearest
     val wq = Window.partitionBy("q_id")
@@ -335,6 +351,38 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "vec_id", "cosine")
       .orderBy("q_id", "rnk")
+  }
+
+  /** Persist an IVF index under `dir` — the build-once/probe-many shape
+    * real vector search runs at scale (the inline [[ivfTopK]] re-fits the
+    * quantizer per call; a 100 TB corpus fits it once per index build and
+    * amortizes it over every query batch that follows).
+    *
+    * Layout: `lists/` holds the inverted lists HIVE-PARTITIONED BY
+    * CLUSTER, so a probe scan prunes to the nProbe/nCentroids partitions
+    * it actually ranks (dynamic partition pruning from the broadcast
+    * probe table — the same mechanism `dpp_partitioned_join` exercises);
+    * `centroids/` holds the nCentroids-row quantizer table. */
+  def buildIvfIndex(emb: DataFrame, dir: String, nCentroids: Int = 16,
+      seed: Long = 42L): Unit = {
+    val (listed, centroids) = ivfParts(emb, nCentroids, seed)
+    listed.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/lists")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Probe a [[buildIvfIndex]] index with an arbitrary query table
+    * (vec_id, embedding): same ranking/scoring as [[ivfTopK]], reading
+    * the persisted lists instead of re-deriving them. Self-matches
+    * (identical vec_id) are excluded like the inline form. */
+  def probeIvfIndex(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val listed = spark.read.parquet(s"$dir/lists")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val q = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    ivfProbe(listed, centroids, q, k, nProbe)
   }
 
   /** Per-vector statistics via higher-order array functions — the

@@ -368,6 +368,93 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  case class LatestRow(user_id: Long, last_us: Long, last_event_id: Long,
+      last_cents: Long)
+
+  /** Spark 4 arbitrary-state API v2 showcase ([[org.apache.spark.sql.
+    * streaming.StatefulProcessor]] + `transformWithState`, the successor
+    * of mapGroupsWithState): per-user ValueState holding the latest event
+    * by (event time, event_id). The merge is a max — commutative and
+    * associative — so the final state is independent of how the source
+    * splits into micro-batches: the parity property. TTLConfig.NONE
+    * because the key space is the user dimension (bounded); a TTL is one
+    * argument away for unbounded key spaces. */
+  private class LatestEventProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, LatestRow, LatestRow] {
+    @transient private var latest:
+        org.apache.spark.sql.streaming.ValueState[LatestRow] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      latest = getHandle.getValueState[LatestRow]("latest",
+        org.apache.spark.sql.Encoders.product[LatestRow],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[LatestRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LatestRow] = {
+      var cur = if (latest.exists()) latest.get() else null
+      rows.foreach { r =>
+        if (cur == null || r.last_us > cur.last_us ||
+            (r.last_us == cur.last_us && r.last_event_id > cur.last_event_id))
+          cur = r
+      }
+      latest.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** The latest-event-per-user stream through [[LatestEventProcessor]].
+    * All arithmetic (epoch micros, cents) happens in SQL expressions
+    * BEFORE the typed boundary, so the processor only compares longs —
+    * nothing to drift vs the batch/oracle forms. */
+  def twsLatest(events: DataFrame): Dataset[LatestRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("last_us"),
+        col("event_id").as("last_event_id"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L))
+          .as("last_cents"))
+      .as[LatestRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new LatestEventProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** Parity family for [[twsLatest]]: real AvailableNow run over the
+    * staged corpus, final state == the batch latest-event-per-user
+    * (same oracle as the foreachBatch upsert — two implementations, one
+    * contract). The v2 state API requires the RocksDB state store; the
+    * conf is pinned for the run and restored after (streams pin their
+    * provider at start, so the change cannot leak into the run itself). */
+  def twsLatestParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val sunk = parityRun(spark, path, "twslatest", maxFilesPerTrigger,
+        "update") { events => twsLatest(events).toDF() }
+      // update mode emits the running state per touched micro-batch; the
+      // state is max-monotone, so the final row per user is the max
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("last_us"), desc("last_event_id"))
+      sunk.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select("user_id", "last_us", "last_event_id", "last_cents")
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Streaming merge-upsert sink via foreachBatch — the sink-side pattern
     * every CDC/ingestion stream ends in: each micro-batch upserts "latest
     * event per user" into a keyed table. Without a transactional table

@@ -107,6 +107,22 @@ class SimilarityEventsSpec extends SparkTestBase {
     }
   }
 
+  test("probeIvfIndex == inline ivfTopK; probe scan prunes partitions") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivf-spec").toString
+    graft.ops.Similarity.buildIvfIndex(emb, idx)
+    val probed = graft.ops.Similarity
+      .probeIvfIndex(spark, idx, emb.filter($"vec_id" < 10), 5)
+    val inline = graft.ops.Similarity.ivfTopK(emb, 10, 5)
+    assert(probed.collect().toSeq == inline.collect().toSeq)
+    // the probed lists scan must be dynamically pruned to the probed
+    // clusters — reading all partitions would defeat the index layout
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"probe scan not partition-pruned:\n$plan")
+  }
+
   test("lshNearDup finds most exact pairs at sf0.001 (candidate pruning only)") {
     val emb = Tables(spark, sf0001, "embeddings")
     val exact = Similarity.bruteNearDup(emb, 0.4)

@@ -196,6 +196,24 @@ class StreamingSpec extends SparkTestBase {
       s"resume reprocessed or dropped rows: $seen")
   }
 
+  test("twsLatestParityRun (transformWithState) equals batch latest-event-per-user") {
+    import org.apache.spark.sql.functions.{col, desc, round, row_number}
+    val got = EventStream.twsLatestParityRun(spark, s"$sf0001/events.parquet")
+    val ev = Tables(spark, sf0001, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("last_us"), desc("last_event_id"))
+    val batch = ev.select(col("user_id"),
+        graft.ops.Events.tsUs(ev).as("last_us"),
+        col("event_id").as("last_event_id"),
+        round(col("value") * 100).cast("long").as("last_cents"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    assert(got.count() == batch.count())
+    assert(got.join(batch,
+      Seq("user_id", "last_us", "last_event_id", "last_cents"))
+      .count() == got.count())
+  }
+
   test("upsertParityRun final state equals batch latest-event-per-user") {
     import org.apache.spark.sql.functions.{col, desc, round, row_number, unix_micros}
     val got = EventStream.upsertParityRun(spark, s"$sf0001/events.parquet")

@@ -120,6 +120,32 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq(1L, 5L))
   }
 
+  test("ingestGate: all four verdicts and their precedence on a literal batch") {
+    // near-dup fodder: long shared shingle runs so LSH bands collide
+    val longA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val longB = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
+    val corpus = Seq(
+      (2L, "alpha beta gamma delta"), (4L, longA), (6L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta"), // exact vs corpus -> exact_dup(2)
+      (3L, longB),                    // near-dup of corpus 4
+      (5L, "fresh content one"),      // new, but duplicated at id 7
+      (7L, "fresh content one"),      // batch_dup of keeper 5
+      (9L, "alpha beta gamma delta"), // corpus exact beats batch dup -> exact_dup(2)
+      (11L, "entirely novel stuff"))  // new
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.ingestGate(corpus, batch)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, "exact_dup", Some(2L)),
+      (3L, "near_dup", Some(4L)),
+      (5L, "new", None),
+      (7L, "batch_dup", Some(5L)),
+      (9L, "exact_dup", Some(2L)),
+      (11L, "new", None)))
+  }
+
   test("portable kernels: poly-shingle count matches string path; SimHash60 fits 60 bits") {
     val docs = Tables(spark, sf0001, "documents").limit(200)
       .union(Seq((90001L, "a b", "x", "x", 3L), (90002L, "ends with space ", "x", "x", 16L))
