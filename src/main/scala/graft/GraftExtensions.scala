@@ -70,6 +70,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("simhash60", 1, children)
         SimHash60(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(s, k) - distinct word k-shingle strings"),
+      (children: Seq[Expression]) => {
+        checkArity("word_shingles", 2, children)
+        graft.functions.WordShingles(children.head,
+          intLit("word_shingles", children(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_lsh_keys"),
+      info("sign_lsh_keys",
+        "sign_lsh_keys(v, bitsPerBand, bands) - banded random-hyperplane sign keys of a float array"),
+      (children: Seq[Expression]) => {
+        checkArity("sign_lsh_keys", 3, children)
+        graft.functions.SignLshKeys(children.head,
+          intLit("sign_lsh_keys", children(1)),
+          intLit("sign_lsh_keys", children(2)))
+      }))
   }
 
   /** The k parameter of the shingle kernels is a compile-time constant

@@ -427,6 +427,9 @@ object SparkEntry {
     // API (StatefulProcessor + transformWithState on RocksDB state)
     "stream_tws_latest_parity" -> ((s, dir) =>
       graft.streaming.EventStream.twsLatestParityRun(s, s"$dir/events.parquet")),
+    // ListState member of the v2 family: bounded per-user top-3 events
+    "stream_tws_topk_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.twsTopKParityRun(s, s"$dir/events.parquet")),
 
     // EXT text analysis over documents:
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
@@ -3359,6 +3362,17 @@ object SparkEntry {
            FROM events)
          SELECT user_id, last_us, last_event_id, last_cents
          FROM ranked WHERE rn = 1 ORDER BY user_id""",
+
+    // ListState top-k: the batch truth is the per-user top-3 window
+    "stream_tws_topk_parity" ->
+      """WITH ranked AS (
+           SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+                  CAST(round(value * 100) AS BIGINT) AS last_cents,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnk
+           FROM events)
+         SELECT user_id, rnk, last_us, last_event_id, last_cents
+         FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk""",
 
     // identical contract to stream_upsert_parity: two streaming
     // implementations (foreachBatch merge / transformWithState state),

@@ -424,35 +424,99 @@ object EventStream {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
-  /** Parity family for [[twsLatest]]: real AvailableNow run over the
-    * staged corpus, final state == the batch latest-event-per-user
-    * (same oracle as the foreachBatch upsert — two implementations, one
-    * contract). The v2 state API requires the RocksDB state store; the
-    * conf is pinned for the run and restored after (streams pin their
-    * provider at start, so the change cannot leak into the run itself). */
-  def twsLatestParityRun(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Int = 16): DataFrame = {
+  /** Run `body` with the RocksDB state store pinned (required by the v2
+    * state API) and the previous provider restored after — streams pin
+    * their provider at start, so the change cannot leak into the run. */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider")
-    try {
-      val sunk = parityRun(spark, path, "twslatest", maxFilesPerTrigger,
-        "update") { events => twsLatest(events).toDF() }
-      // update mode emits the running state per touched micro-batch; the
-      // state is max-monotone, so the final row per user is the max
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(desc("last_us"), desc("last_event_id"))
-      sunk.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-        .select("user_id", "last_us", "last_event_id", "last_cents")
-        .orderBy("user_id")
-    } finally {
+    try body finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  /** Parity family for [[twsLatest]]: real AvailableNow run over the
+    * staged corpus, final state == the batch latest-event-per-user
+    * (same oracle as the foreachBatch upsert — two implementations, one
+    * contract). */
+  def twsLatestParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = withRocksDb(spark) {
+    val sunk = parityRun(spark, path, "twslatest", maxFilesPerTrigger,
+      "update") { events => twsLatest(events).toDF() }
+    // update mode emits the running state per touched micro-batch; the
+    // state is max-monotone, so the final row per user is the max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("last_us"), desc("last_event_id"))
+    sunk.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select("user_id", "last_us", "last_event_id", "last_cents")
+      .orderBy("user_id")
+  }
+
+  /** ListState member of the v2-API family: per-user top-`k` events by
+    * (event time, event_id), kept as a bounded ListState. The kept set
+    * is the k-max of everything seen — commutative/associative, so the
+    * final state is micro-batch-slicing-independent like [[twsLatest]].
+    * State is hard-bounded at k rows per user (the v2 analogue of the
+    * typed TopK Aggregator's ≤k-rows-per-group contract). */
+  private class TopKEventsProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, LatestRow, LatestRow] {
+    @transient private var kept:
+        org.apache.spark.sql.streaming.ListState[LatestRow] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      kept = getHandle.getListState[LatestRow]("topk",
+        org.apache.spark.sql.Encoders.product[LatestRow],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[LatestRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LatestRow] = {
+      val merged = (kept.get() ++ rows)
+        .toArray
+        .sortBy(r => (-r.last_us, -r.last_event_id))
+        .take(k)
+      kept.put(merged)
+      merged.iterator
+    }
+  }
+
+  /** Parity family for [[TopKEventsProcessor]]: every emitted row is a
+    * then-current top-k member, and the true final top-k rows are always
+    * in the last emission — so top-k over the distinct emitted rows
+    * equals the batch answer however the source was sliced. */
+  def twsTopKParityRun(spark: SparkSession, path: String, k: Int = 3,
+      maxFilesPerTrigger: Int = 16): DataFrame = withRocksDb(spark) {
+    val sunk = parityRun(spark, path, "twstopk", maxFilesPerTrigger,
+      "update") { events =>
+      val sp = events.sparkSession
+      import sp.implicits._
+      events.filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("last_us"),
+          col("event_id").as("last_event_id"),
+          coalesce(round(col("value") * 100).cast("long"), lit(0L))
+            .as("last_cents"))
+        .as[LatestRow]
+        .groupByKey(_.user_id)
+        .transformWithState(new TopKEventsProcessor(k),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("last_us"), desc("last_event_id"))
+    sunk.distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("user_id", "rnk", "last_us", "last_event_id", "last_cents")
+      .orderBy("user_id", "rnk")
   }
 
   /** Streaming merge-upsert sink via foreachBatch — the sink-side pattern

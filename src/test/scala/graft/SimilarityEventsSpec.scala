@@ -32,6 +32,16 @@ class SimilarityEventsSpec extends SparkTestBase {
     val e2 = intercept[Exception](
       spark.sql("SELECT word_shingle_hashes('a b', 1 + 1)").head())
     assert(e2.getMessage.contains("literal int"))
+    // string shingles and sign-LSH keys complete the kernel surface
+    val s = spark.sql(
+      """SELECT word_shingles('a b c d', 3) AS ws,
+        |       sign_lsh_keys(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT)),
+        |                     8, 4) AS keys""".stripMargin).head()
+    assert(s.getSeq[String](0) == Seq("a b c", "b c d"))
+    val directKeys = Seq(Array(0.5f, -1.0f)).toDF("v")
+      .select(graft.functions.SignLshKeys(col("v"), 8, 4).as("k"))
+      .head().getSeq[Long](0)
+    assert(s.getSeq[Long](1) == directKeys && directKeys.length == 4)
   }
 
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {

@@ -214,6 +214,24 @@ class StreamingSpec extends SparkTestBase {
       .count() == got.count())
   }
 
+  test("twsTopKParityRun (ListState) equals batch per-user top-3 window") {
+    import org.apache.spark.sql.functions.{col, desc, round, row_number}
+    val got = EventStream.twsTopKParityRun(spark, s"$sf0001/events.parquet")
+    val ev = Tables(spark, sf0001, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("last_us"), desc("last_event_id"))
+    val batch = ev.select(col("user_id"),
+        graft.ops.Events.tsUs(ev).as("last_us"),
+        col("event_id").as("last_event_id"),
+        round(col("value") * 100).cast("long").as("last_cents"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+    assert(got.count() == batch.count())
+    assert(got.join(batch,
+      Seq("user_id", "rnk", "last_us", "last_event_id", "last_cents"))
+      .count() == got.count())
+  }
+
   test("upsertParityRun final state equals batch latest-event-per-user") {
     import org.apache.spark.sql.functions.{col, desc, round, row_number, unix_micros}
     val got = EventStream.upsertParityRun(spark, s"$sf0001/events.parquet")
