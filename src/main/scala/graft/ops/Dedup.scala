@@ -422,20 +422,26 @@ object Dedup {
   def ingestGate(corpus: DataFrame, batch: DataFrame, k: Int = 3,
       maxDf: Int = 100, maxBucket: Int = 50, minSigMatches: Int = 16,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val cfp = corpus.select(md5(col(text)).as("fp"), col(id).as("cid"))
+    // null-text docs are EXPLICITLY out of scope on both sides: a null
+    // fingerprint never equals anything (and would otherwise fall out of
+    // the inner keeper join silently) — callers route null text to a
+    // cleaning stage, not the gate
+    val corpusNN = corpus.filter(col(text).isNotNull)
+    val batchNN = batch.filter(col(text).isNotNull)
+    val cfp = corpusNN.select(md5(col(text)).as("fp"), col(id).as("cid"))
       .groupBy("fp").agg(min("cid").as("exact_id"))
-    val bfp = batch.select(col(id).as("doc_id"), md5(col(text)).as("fp"))
+    val bfp = batchNN.select(col(id).as("doc_id"), md5(col(text)).as("fp"))
     val bkeep = bfp.groupBy("fp").agg(min("doc_id").as("batch_keep_id"))
 
     // near-dup probe: one signature build over corpus ∪ batch, split back
     // into sides by membership (id-width join, no parity assumption)
-    val union = corpus.select(col(id).as("doc_id"), col(text).as("text"))
-      .unionByName(batch.select(col(id).as("doc_id"), col(text).as("text")))
+    val union = corpusNN.select(col(id).as("doc_id"), col(text).as("text"))
+      .unionByName(batchNN.select(col(id).as("doc_id"), col(text).as("text")))
     val sig = minhashSignatures(shinglePolyHashes(union, k, maxDf))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val kept = bandedKeys(sig, maxBucket)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val batchIds = batch.select(col(id).as("doc_id"))
+    val batchIds = batchNN.select(col(id).as("doc_id"))
     val keptB = kept.join(batchIds, "doc_id")
     val keptC = kept.join(batchIds, Seq("doc_id"), "left_anti")
     val cand = keptB.as("b").join(keptC.as("c"),
@@ -540,8 +546,11 @@ object Dedup {
     val p = pairs.select(col(a).as("src"), col(b).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // init = min over the closed neighborhood: exactly what round 1 of
+    // the propagation loop would compute, at the cost of one aggregate
+    // instead of a union + join + aggregate — one round saved
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), col("node")).as("label"))
       .localCheckpoint()
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))

@@ -146,6 +146,25 @@ class TextDedupSpec extends SparkTestBase {
       (11L, "new", None)))
   }
 
+  test("ingestGate: null-text docs are excluded on both sides, empties handled") {
+    val corpus = Seq((2L, "alpha beta"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, null.asInstanceOf[String]), // null text -> not gated, absent
+      (3L, "alpha beta"),              // exact_dup of 2
+      (5L, "solo"))                    // new
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.ingestGate(corpus, batch)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq((3L, "exact_dup", Some(2L)), (5L, "new", None)))
+    // empty batch -> empty verdict table, no crash
+    assert(graft.ops.Dedup.ingestGate(corpus, batch.limit(0)).count() == 0L)
+    // empty corpus -> batch self-dedups only
+    val selfOnly = graft.ops.Dedup.ingestGate(corpus.limit(0), batch)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(selfOnly == Seq((3L, "new", None), (5L, "new", None)))
+  }
+
   test("portable kernels: poly-shingle count matches string path; SimHash60 fits 60 bits") {
     val docs = Tables(spark, sf0001, "documents").limit(200)
       .union(Seq((90001L, "a b", "x", "x", 3L), (90002L, "ends with space ", "x", "x", 16L))
