@@ -648,9 +648,12 @@ object SparkEntry {
     // (k-means floats); ≡ the inline ivfTopK, spec-asserted.
     "ann_index_probe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // FIXED dir name (no pid): the probe reads the index lazily, so it
+      // cannot be deleted inside this function — overwrite-in-place
+      // bounds tmp usage to one index copy across repeated runs
+      // (single driver process at a time, like the sink_* roundtrips)
       val idx = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-ivf-index-${ProcessHandle.current().pid()}")
+        .get(System.getProperty("java.io.tmpdir"), "graft-ivf-index")
         .toString
       Similarity.buildIvfIndex(emb, idx)
       Similarity.probeIvfIndex(s, idx,

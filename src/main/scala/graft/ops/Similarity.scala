@@ -295,9 +295,12 @@ object Similarity {
     // ranking + exact re-score fix any assignment, so a near-converged
     // codebook costs recall nothing while halving the fit (ml.KMeans
     // persists its instances RDD internally for the Lloyd iterations)
-    // random (seeded) init for the same reason as [[pqTopK]]: probe
-    // ranking + exact re-score fix any assignment, so the k-means||
-    // init passes buy nothing here
+    // random (seeded) init: the coarse quantizer only decides which
+    // lists neighbors land in, and partial-probe recall is measured
+    // unchanged at the spec's settings — so the k-means|| init passes
+    // buy nothing HERE. This does NOT generalize to [[pqTopK]], whose
+    // ADC shortlist quality depends directly on codebook quality:
+    // random init measurably collapses its recall (it keeps k-means||).
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setSeed(seed).setFeaturesCol("unit")
       .setPredictionCol("cluster").setMaxIter(8).setInitMode("random")

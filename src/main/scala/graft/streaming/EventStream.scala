@@ -369,7 +369,7 @@ object EventStream {
   }
 
   case class LatestRow(user_id: Long, last_us: Long, last_event_id: Long,
-      last_cents: Long)
+      last_cents: Option[Long])
 
   /** Spark 4 arbitrary-state API v2 showcase ([[org.apache.spark.sql.
     * streaming.StatefulProcessor]] + `transformWithState`, the successor
@@ -408,21 +408,29 @@ object EventStream {
     * All arithmetic (epoch micros, cents) happens in SQL expressions
     * BEFORE the typed boundary, so the processor only compares longs —
     * nothing to drift vs the batch/oracle forms. */
-  def twsLatest(events: DataFrame): Dataset[LatestRow] = {
+  /** The event -> (user, us, event_id, cents) projection shared by the
+    * whole latest-event family. Cents stay NULLABLE (Option) for a null
+    * `value` — matching the foreachBatch upsert twin and the SQL oracles
+    * (CAST(round(NULL*100) AS BIGINT) IS NULL). Rows with a null user_id
+    * are dropped on both stream and oracle sides. */
+  private def latestRows(events: DataFrame): Dataset[LatestRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.filter(col("user_id").isNotNull)
       .select(col("user_id"),
         unix_micros(col("ts")).as("last_us"),
         col("event_id").as("last_event_id"),
-        coalesce(round(col("value") * 100).cast("long"), lit(0L))
-          .as("last_cents"))
+        round(col("value") * 100).cast("long").as("last_cents"))
       .as[LatestRow]
-      .groupByKey(_.user_id)
+  }
+
+  def twsLatest(events: DataFrame): Dataset[LatestRow] =
+    latestRows(events)
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
       .transformWithState(new LatestEventProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
-        org.apache.spark.sql.streaming.OutputMode.Update())
-  }
+        org.apache.spark.sql.streaming.OutputMode.Update())(
+        org.apache.spark.sql.Encoders.product[LatestRow])
 
   /** Run `body` with the RocksDB state store pinned (required by the v2
     * state API) and the previous provider restored after — streams pin
@@ -495,19 +503,12 @@ object EventStream {
       maxFilesPerTrigger: Int = 16): DataFrame = withRocksDb(spark) {
     val sunk = parityRun(spark, path, "twstopk", maxFilesPerTrigger,
       "update") { events =>
-      val sp = events.sparkSession
-      import sp.implicits._
-      events.filter(col("user_id").isNotNull)
-        .select(col("user_id"),
-          unix_micros(col("ts")).as("last_us"),
-          col("event_id").as("last_event_id"),
-          coalesce(round(col("value") * 100).cast("long"), lit(0L))
-            .as("last_cents"))
-        .as[LatestRow]
-        .groupByKey(_.user_id)
+      latestRows(events)
+        .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
         .transformWithState(new TopKEventsProcessor(k),
           org.apache.spark.sql.streaming.TimeMode.None(),
-          org.apache.spark.sql.streaming.OutputMode.Update())
+          org.apache.spark.sql.streaming.OutputMode.Update())(
+          org.apache.spark.sql.Encoders.product[LatestRow])
         .toDF()
     }
     val w = org.apache.spark.sql.expressions.Window
