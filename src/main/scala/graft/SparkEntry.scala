@@ -763,6 +763,51 @@ object SparkEntry {
         .orderBy(col("cnt").cast("long").desc, col("c_mktsegment"))
     }),
 
+    // EXT malformed-record policy: one synthesized CSV (ids 0..49,
+    // every 3rd amount unparseable) read under PERMISSIVE-with-capture,
+    // DROPMALFORMED and the quarantine split — per-policy integer stats.
+    // The oracle recomputes the expected stats arithmetically from the
+    // synthesis rule (same trick as the multimodal kernel surfaces).
+    "source_malformed_policy" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-malformed-src-${ProcessHandle.current().pid()}")
+      Files.createDirectories(base)
+      val lines = "id,amount" +: (0 until 50).map(i =>
+        if (i % 3 == 0) s"$i,x$i" else s"$i,${i * 100L}")
+      Files.write(base.resolve("rows.csv"),
+        java.util.Arrays.asList(lines: _*))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("amount",
+          org.apache.spark.sql.types.LongType)))
+      val perm = graft.sources.Csv.readPermissiveCorrupt(
+        s, base.toString, schema)
+      val dropped = graft.sources.Csv.readDropMalformed(
+        s, base.toString, schema)
+      val (clean, raw) = graft.sources.Csv.quarantine(
+        s, base.toString, schema)
+      val nullLong = lit(null).cast("long")
+      def stats(policy: String, df: org.apache.spark.sql.DataFrame,
+          idSum: org.apache.spark.sql.Column,
+          amountSum: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"), idSum.as("id_sum"),
+            amountSum.as("amount_sum"))
+          .select(lit(policy).as("policy"), col("n_rows"),
+            col("id_sum"), col("amount_sum"))
+      stats("drop_malformed", dropped, sum(col("id")), sum(col("amount")))
+        .union(stats("permissive_all", perm,
+          sum(col("id")), sum(col("amount"))))
+        .union(stats("permissive_corrupt",
+          perm.filter(col("_corrupt_record").isNotNull),
+          sum(col("id")), max(nullLong)))
+        .union(stats("quarantine_clean", clean,
+          sum(col("id")), sum(col("amount"))))
+        .union(stats("quarantine_raw", raw, max(nullLong), max(nullLong)))
+        .orderBy("policy")
+    }),
+
     // EXT partitioned parquet sink + partition-pruned scan (the layout a
     // 100 TB corpus lives in — graft.sources.Partitioned; PlanShapeSpec
     // asserts the read-back plan prunes on PartitionFilters). Same
@@ -3089,6 +3134,38 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS VARCHAR) AS cnt
          FROM customer GROUP BY 1
          ORDER BY count(*) DESC, c_mktsegment ASC""",
+
+    // the synthesized-input trick: the expected per-policy stats are a
+    // pure function of the synthesis rule (ids 0..49, every 3rd amount
+    // unparseable), so DuckDB recomputes them from range() arithmetic
+    "source_malformed_policy" ->
+      """WITH g AS (
+           SELECT CAST(r.range AS BIGINT) AS id,
+                  CAST(r.range * 100 AS BIGINT) AS amount,
+                  r.range % 3 = 0 AS bad
+           FROM range(50) r)
+         SELECT * FROM (
+           SELECT 'drop_malformed' AS policy, count(*) AS n_rows,
+                  CAST(sum(id) AS BIGINT) AS id_sum,
+                  CAST(sum(amount) AS BIGINT) AS amount_sum
+           FROM g WHERE NOT bad
+           UNION ALL
+           SELECT 'permissive_all', count(*), CAST(sum(id) AS BIGINT),
+                  CAST(sum(CASE WHEN bad THEN NULL ELSE amount END) AS BIGINT)
+           FROM g
+           UNION ALL
+           SELECT 'permissive_corrupt', count(*), CAST(sum(id) AS BIGINT),
+                  CAST(NULL AS BIGINT)
+           FROM g WHERE bad
+           UNION ALL
+           SELECT 'quarantine_clean', count(*), CAST(sum(id) AS BIGINT),
+                  CAST(sum(amount) AS BIGINT)
+           FROM g WHERE NOT bad
+           UNION ALL
+           SELECT 'quarantine_raw', count(*), CAST(NULL AS BIGINT),
+                  CAST(NULL AS BIGINT)
+           FROM g WHERE bad)
+         ORDER BY policy""",
 
     // decode stub is deterministic byte math; the corpus is pure ASCII
     // (byte values == code points), so the full kernel output is

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** CSV source/sink surface of the reference (SURVEY.md §2a S1–S4).
@@ -104,5 +105,53 @@ object Csv {
       .option("header", true).option("encoding", encoding)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .csv(dir)
+  }
+
+  /** Malformed-record policy — what a 100 TB ingest decides about the
+    * rows that don't parse. PERMISSIVE read with the raw line captured:
+    * fields that fail their declared type land as null and the WHOLE
+    * original line is preserved in `corruptCol` (schema must include it
+    * as a nullable StringType field — enforced here). The preserved raw
+    * line is what makes quarantine-and-replay possible; DROPMALFORMED
+    * ([[readDropMalformed]]) silently loses it, FAILFAST turns one bad
+    * row into a dead job — both are the wrong default at scale. */
+  def readPermissiveCorrupt(spark: SparkSession, path: String,
+      schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"pass the DATA schema only; $corruptCol is appended here")
+    spark.read
+      .option("header", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(StructField(corruptCol, StringType, nullable = true)))
+      .csv(path)
+  }
+
+  /** The drop-don't-quarantine policy: malformed rows vanish from the
+    * result (use only when the loss is acceptable AND measured — pair
+    * with a count against the permissive read). */
+  def readDropMalformed(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("header", true)
+      .option("mode", "DROPMALFORMED")
+      .schema(schema)
+      .csv(path)
+
+  /** Quarantine split of a permissive read: (clean rows without the
+    * corrupt column, quarantined raw lines). The parsed read is
+    * persisted: Spark refuses plans that reference ONLY the corrupt
+    * column of a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN — its
+    * documented remedy is caching the parsed result), and the split
+    * reads the scan twice anyway. Same cache contract as
+    * graft.ops.Dedup: callers `clearCache()` between pipeline runs. */
+  def quarantine(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record")
+      : (DataFrame, DataFrame) = {
+    val all = readPermissiveCorrupt(spark, path, schema, corruptCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (all.filter(col(corruptCol).isNull).drop(corruptCol),
+      all.filter(col(corruptCol).isNotNull).select(col(corruptCol).as("raw")))
   }
 }

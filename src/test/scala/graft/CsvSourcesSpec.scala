@@ -42,6 +42,42 @@ class CsvSourcesSpec extends SparkTestBase {
       .first().getDouble(0) == 5800.5)
   }
 
+  test("malformed policies: quarantine preserves raw lines, FAILFAST dies loudly") {
+    val dir = tmpDir("csv-malformed")
+    Files.writeString(Paths.get(dir, "in.csv"),
+      "id,amount\n1,100\n2,xx\n3,300\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("amount",
+        org.apache.spark.sql.types.LongType)))
+    val (clean, raw) = Csv.quarantine(spark, s"$dir/in.csv", schema)
+    assert(clean.as[(Long, Long)].collect().toSet == Set((1L, 100L), (3L, 300L)))
+    // the ORIGINAL line survives byte-for-byte — that's what makes
+    // replay-after-fix possible
+    assert(raw.as[String].collect().toSeq == Seq("2,xx"))
+    // permissive keeps the parseable fields of a corrupt row
+    val perm = Csv.readPermissiveCorrupt(spark, s"$dir/in.csv", schema)
+    val bad = perm.filter($"_corrupt_record".isNotNull)
+      .select("id", "amount").as[(Long, Option[Long])].collect().toSeq
+    assert(bad == Seq((2L, None)))
+    // passing a schema that already contains the corrupt column is a
+    // caller error, refused up front
+    val e = intercept[IllegalArgumentException](
+      Csv.readPermissiveCorrupt(spark, s"$dir/in.csv",
+        schema.add(org.apache.spark.sql.types.StructField("_corrupt_record",
+          StringType))))
+    assert(e.getMessage.contains("DATA schema"))
+    // FAILFAST: one bad row kills the job — the wrong default at scale.
+    // (collect, not count: count prunes every column, so the malformed
+    // field is never even parsed and no error fires — pruning reaches
+    // the parser itself)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.option("header", true).option("mode", "FAILFAST")
+        .schema(schema).csv(s"$dir/in.csv").collect()
+    }
+  }
+
   test("loan schema has the reference's 42 nullable fields") {
     assert(Csv.loanSchema.fields.length == 42)
     assert(Csv.loanSchema.fields.forall(_.nullable))
