@@ -19,6 +19,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Shared shape of the ann_recall_* reports: exact vs approx (q_id,
+    * vec_id) sets -> one row of integer counts + recall in basis points.
+    * One full-outer join + one aggregate — each pipeline runs once. */
+  private def annRecallReport(exact: DataFrame,
+      approx: DataFrame): DataFrame =
+    exact.withColumn("in_e", lit(1L))
+      .join(approx.withColumn("in_a", lit(1L)),
+        Seq("q_id", "vec_id"), "full")
+      .agg(
+        coalesce(sum("in_e"), lit(0L)).as("n_exact"),
+        coalesce(sum(col("in_e") * col("in_a")), lit(0L)).as("n_captured"))
+      .withColumn("recall_bp",
+        graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
+
   /** Rounds for the graph_pagerank query (shared with its generated
     * oracle CTE chain). Integer PageRank is EXACT at any round count —
     * 5 bounds the registered query's per-round fixed cost (~0.5 s of
@@ -705,14 +719,16 @@ object SparkEntry {
       // k-means-backed IVF pipeline each run exactly once
       val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
       val approx = Similarity.ivfTopK(emb, 20, 5).select("q_id", "vec_id")
-      exact.withColumn("in_e", lit(1L))
-        .join(approx.withColumn("in_a", lit(1L)),
-          Seq("q_id", "vec_id"), "full")
-        .agg(
-          coalesce(sum("in_e"), lit(0L)).as("n_exact"),
-          coalesce(sum(col("in_e") * col("in_a")), lit(0L)).as("n_captured"))
-        .withColumn("recall_bp",
-          graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
+      annRecallReport(exact, approx)
+    }),
+    // recall@k of the PQ/ADC shortlist path at production settings —
+    // completes the per-path ANN quality surface (LSH: ann_recall,
+    // IVF: ann_recall_ivf, PQ: here). Rows-only (k-means codebooks).
+    "ann_recall_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
+      val approx = Similarity.pqTopK(emb, 20, 5).select("q_id", "vec_id")
+      annRecallReport(exact, approx)
     }),
 
     // EXT multimodal binary columns:

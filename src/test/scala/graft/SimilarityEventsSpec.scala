@@ -164,6 +164,15 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(recallBp >= 5000, s"IVF recall collapsed: $recallBp bp")
   }
 
+  test("ann_recall_pq: ADC-shortlist recall@k does not collapse") {
+    val (nExact, nCaptured, recallBp) =
+      SparkEntry.queries("ann_recall_pq")(spark, sf0001)
+        .as[(Long, Long, Long)].collect().head
+    info(s"PQ recall@5 at m=4/16 codewords: $nCaptured/$nExact = $recallBp bp")
+    assert(nExact == 100L) // 20 queries × k=5
+    assert(recallBp >= 4000, s"PQ recall collapsed: $recallBp bp")
+  }
+
   test("events_winsorize_approx: sketch bounds within rank-ε of exact") {
     val ev = Tables(spark, sf001, "events")
     // the approx bound must land between the exact percentiles at
