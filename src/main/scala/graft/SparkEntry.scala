@@ -19,6 +19,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** One-time shutdown hook deleting this process's staged IVF index:
+    * the probe consumes the files lazily, so cleanup can only run at JVM
+    * exit (prevents per-pid dirs accumulating across driver runs). */
+  private val ivfCleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def ivfIndexCleanup(dir: String): Unit =
+    if (ivfCleanupRegistered.compareAndSet(false, true))
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles).toSeq.flatten.foreach(rm)
+          p.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
+
   /** Shared shape of the ann_recall_* reports: exact vs approx (q_id,
     * vec_id) sets -> one row of integer counts + recall in basis points.
     * One full-outer join + one aggregate — each pipeline runs once. */
@@ -662,13 +676,14 @@ object SparkEntry {
     // (k-means floats); ≡ the inline ivfTopK, spec-asserted.
     "ann_index_probe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      // FIXED dir name (no pid): the probe reads the index lazily, so it
-      // cannot be deleted inside this function — overwrite-in-place
-      // bounds tmp usage to one index copy across repeated runs
-      // (single driver process at a time, like the sink_* roundtrips)
+      // pid-scoped (concurrent processes must not overwrite each other's
+      // index mid-probe) + overwrite-in-place bounds each process to one
+      // copy; the probe reads lazily so deletion happens at JVM exit
       val idx = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"), "graft-ivf-index")
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-ivf-index-${ProcessHandle.current().pid()}")
         .toString
+      ivfIndexCleanup(idx)
       Similarity.buildIvfIndex(emb, idx)
       Similarity.probeIvfIndex(s, idx,
         emb.filter(col("vec_id") < 20), 5)
@@ -3466,7 +3481,8 @@ object SparkEntry {
                   CAST(round(value * 100) AS BIGINT) AS last_cents,
                   row_number() OVER (PARTITION BY user_id
                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnk
-           FROM events)
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL)
          SELECT user_id, rnk, last_us, last_event_id, last_cents
          FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk""",
 
@@ -3479,7 +3495,8 @@ object SparkEntry {
                   CAST(round(value * 100) AS BIGINT) AS last_cents,
                   row_number() OVER (PARTITION BY user_id
                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-           FROM events)
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL)
          SELECT user_id, last_us, last_event_id, last_cents
          FROM ranked WHERE rn = 1 ORDER BY user_id""",
 

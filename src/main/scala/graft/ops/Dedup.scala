@@ -428,6 +428,15 @@ object Dedup {
     // cleaning stage, not the gate
     val corpusNN = corpus.filter(col(text).isNotNull)
     val batchNN = batch.filter(col(text).isNotNull)
+    // the shared signature build below merges rows by doc id, so an id
+    // living on BOTH sides would fuse two different documents into one
+    // bogus signature and silently drop the corpus doc from the probe —
+    // refuse loudly instead (one id-width semi-join; real pipelines with
+    // independent id sequences must remap before gating)
+    require(corpusNN.select(col(id))
+        .join(batchNN.select(col(id)), id :: Nil, "left_semi")
+        .isEmpty,
+      "ingestGate requires corpus and batch doc ids to be disjoint")
     val cfp = corpusNN.select(md5(col(text)).as("fp"), col(id).as("cid"))
       .groupBy("fp").agg(min("cid").as("exact_id"))
     val bfp = batchNN.select(col(id).as("doc_id"), md5(col(text)).as("fp"))
@@ -548,9 +557,14 @@ object Dedup {
     val sym = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     // init = min over the closed neighborhood: exactly what round 1 of
     // the propagation loop would compute, at the cost of one aggregate
-    // instead of a union + join + aggregate — one round saved
-    var labels = sym.groupBy(col("src").as("node"))
-      .agg(least(min(col("dst")), col("node")).as("label"))
+    // instead of a union + join + aggregate — one round saved.
+    // Group on the RAW column and alias after: referencing a grouping
+    // ALIAS inside agg() only resolves through implicit lateral-column-
+    // alias resolution (a default-on conf), while grouping EXPRESSIONS
+    // are always referenceable.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("node"), col("label"))
       .localCheckpoint()
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))

@@ -404,19 +404,17 @@ object EventStream {
     }
   }
 
-  /** The latest-event-per-user stream through [[LatestEventProcessor]].
-    * All arithmetic (epoch micros, cents) happens in SQL expressions
-    * BEFORE the typed boundary, so the processor only compares longs —
-    * nothing to drift vs the batch/oracle forms. */
   /** The event -> (user, us, event_id, cents) projection shared by the
     * whole latest-event family. Cents stay NULLABLE (Option) for a null
     * `value` — matching the foreachBatch upsert twin and the SQL oracles
-    * (CAST(round(NULL*100) AS BIGINT) IS NULL). Rows with a null user_id
-    * are dropped on both stream and oracle sides. */
+    * (CAST(round(NULL*100) AS BIGINT) IS NULL). Rows with a null
+    * user_id or ts are dropped — mirrored by the tws oracles' WHERE
+    * clause (user_id is the group key; a null ts cannot ride the
+    * non-Option last_us encoder). */
   private def latestRows(events: DataFrame): Dataset[LatestRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.filter(col("user_id").isNotNull)
+    events.filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"),
         unix_micros(col("ts")).as("last_us"),
         col("event_id").as("last_event_id"),
@@ -424,6 +422,10 @@ object EventStream {
       .as[LatestRow]
   }
 
+  /** The latest-event-per-user stream through [[LatestEventProcessor]].
+    * All arithmetic (epoch micros, cents) happens in SQL expressions
+    * BEFORE the typed boundary, so the processor only compares longs —
+    * nothing to drift vs the batch/oracle forms. */
   def twsLatest(events: DataFrame): Dataset[LatestRow] =
     latestRows(events)
       .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)

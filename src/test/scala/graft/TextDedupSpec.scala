@@ -163,6 +163,12 @@ class TextDedupSpec extends SparkTestBase {
     val selfOnly = graft.ops.Dedup.ingestGate(corpus.limit(0), batch)
       .as[(Long, String, Option[Long])].collect().toSeq
     assert(selfOnly == Seq((3L, "new", None), (5L, "new", None)))
+    // a doc id on BOTH sides would fuse two documents into one signature
+    // — refused loudly, not silently corrupted
+    val clash = Seq((2L, "other text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Dedup.ingestGate(corpus, clash))
+    assert(e.getMessage.contains("disjoint"))
   }
 
   test("portable kernels: poly-shingle count matches string path; SimHash60 fits 60 bits") {
