@@ -71,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash60(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode canonical composition (NFC) of a string"),
+      (children: Seq[Expression]) => {
+        checkArity("nfc_normalize", 1, children)
+        graft.functions.NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(s, k) - distinct word k-shingle strings"),

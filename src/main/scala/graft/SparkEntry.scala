@@ -608,6 +608,31 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // EXT Unicode NFC dedup: composed (U+00E9) and decomposed (e+U+0301)
+    // spellings of the same text are different bytes — exact dedup is
+    // blind to them until canonical composition. The corpus is ASCII, so
+    // deterministic composed/decomposed variants are synthesized per doc
+    // (the text_redact trick) and collapsed through the codegen'd
+    // NfcNormalize kernel; the oracle rebuilds the same variants with
+    // chr() and DuckDB's nfc_normalize — two independent NFC
+    // implementations (JDK vs utf8proc) agreeing byte-for-byte.
+    "dedup_unicode_nfc" -> ((s, dir) => {
+      // composed / decomposed twins as explicit escapes: U+00E9 e-acute
+      // vs e + U+0301 combining acute; U+00FC u-umlaut vs u + U+0308
+      // combining diaeresis
+      val raw = when(col("doc_id") % 4 === 0, lit("caf\u00e9"))
+        .when(col("doc_id") % 4 === 1, lit("cafe\u0301"))
+        .when(col("doc_id") % 4 === 2, lit("Z\u00fcrich"))
+        .otherwise(lit("Zu\u0308rich"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .withColumn("norm", graft.functions.NfcNormalize(col("raw")))
+        .groupBy("norm")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw")).as("n_raw_forms"),
+          min(col("doc_id")).as("keep_id"))
+        .orderBy("norm")
+    }),
     // the full ingest ADMISSION verdict per arriving doc (exact vs
     // corpus, exact within batch, MinHash-LSH near-dup vs corpus, new):
     // the decision a training pipeline makes every ingest cycle
@@ -1917,6 +1942,23 @@ object SparkEntry {
     // kernels and this generated SQL — see graft.functions.Portable.
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_ingest_gate" -> ingestGateOracle,
+
+    // two independent NFC implementations must agree byte-for-byte:
+    // the Spark side normalizes via the JDK, this oracle via DuckDB's
+    // utf8proc — NFC is fully specified, so they do
+    "dedup_unicode_nfc" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN 'caf' || chr(233)
+                    WHEN 1 THEN 'cafe' || chr(769)
+                    WHEN 2 THEN 'Z' || chr(252) || 'rich'
+                    ELSE 'Zu' || chr(776) || 'rich' END AS raw
+           FROM documents)
+         SELECT nfc_normalize(raw) AS norm, count(*) AS n_docs,
+                count(DISTINCT raw) AS n_raw_forms,
+                min(doc_id) AS keep_id
+         FROM raw GROUP BY 1 ORDER BY norm""",
     "dedup_pipeline" -> dedupPipelineOracle,
     "split_leakage_safe" -> leakageSplitOracle,
     "bpe_train" -> bpeTrainOracle(BpeTrainMerges),

@@ -120,6 +120,23 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq(1L, 5L))
   }
 
+  test("NfcNormalize: decomposed composes, normalized passes through, null-safe") {
+    val df = Seq(
+      Some("cafe\u0301"),   // decomposed -> NFC caf+U00E9
+      Some("caf\u00e9"),    // already NFC -> unchanged (fast path)
+      Some("Zu\u0308rich"), // decomposed -> NFC Z+U00FC+rich
+      None)
+      .toDF("t")
+      .select(graft.functions.NfcNormalize($"t").as("n"))
+    assert(df.as[Option[String]].collect().toSeq ==
+      Seq(Some("caf\u00e9"), Some("caf\u00e9"), Some("Z\u00fcrich"), None))
+    // SQL surface via extensions
+    // NB: Spark's chr() is mod-256 ASCII (unlike DuckDB's codepoint
+    // chr), so the combining mark goes in as a compiler escape
+    assert(spark.sql("SELECT nfc_normalize('cafe\u0301')")
+      .head().getString(0) == "caf\u00e9")
+  }
+
   test("ingestGate: all four verdicts and their precedence on a literal batch") {
     // near-dup fodder: long shared shingle runs so LSH bands collide
     val longA = (1 to 40).map(i => s"tok$i").mkString(" ")
