@@ -67,4 +67,55 @@ class PropertySpec extends SparkTestBase {
         assert(out.map(_._2).sum == ks.length)
       }
   }
+
+  test("jaccardPrefix is lossless vs brute pairwise Jaccard on random corpora") {
+    // random small docs over a tiny vocabulary => dense high-jaccard
+    // pairs, plus planted exact duplicates to force the group expansion
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(4, 9).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(12, doc), 4).zipWithIndex.foreach { case (texts, si) =>
+      val docs = (texts :+ texts.head) // planted duplicate of doc 0
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.Dedup.jaccardPrefix(docs)
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, j) => ((a, b), j) }.toMap
+      // brute force in Scala on the same distinct-shingle sets
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ")
+        (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val byId = (texts :+ texts.head).zipWithIndex
+        .map { case (t, i) => i.toLong -> sh(t) }.toMap
+      val want = (for {
+        a <- byId.keys; b <- byId.keys if a < b
+        sa = byId(a); sb = byId(b)
+        c = (sa & sb).size
+        u = (sa | sb).size
+        if u > 0
+        j = c.toLong * 10000L / u
+        if j >= 5000L
+      } yield ((a, b), j)).toMap
+      assert(got == want, s"seed $si: prefix join diverged from brute")
+    }
+  }
+
+  test("NfcNormalize is idempotent and length-bounded on arbitrary unicode") {
+    val gen = Gen.listOfN(12,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\u00e9', '\u0301', '\u00fc',
+        '\u0308', '\u00c5', 'A', '\u030a'))).map(_.mkString)
+    samples(Gen.listOfN(20, gen), 4).foreach { ss =>
+      val out = ss.toDF("t")
+        .select(graft.functions.NfcNormalize(col("t")).as("n1"))
+        .select(col("n1"),
+          graft.functions.NfcNormalize(col("n1")).as("n2"))
+        .as[(String, String)].collect()
+      out.foreach { case (n1, n2) =>
+        assert(n1 == n2, "NFC must be idempotent")
+        assert(java.text.Normalizer
+          .isNormalized(n1, java.text.Normalizer.Form.NFC))
+      }
+    }
+  }
 }
