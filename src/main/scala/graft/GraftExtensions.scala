@@ -79,6 +79,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.NfcNormalize(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("nfkc_normalize"),
+      info("nfkc_normalize",
+        "nfkc_normalize(s) - Unicode compatibility composition (NFKC): also folds ligatures/fullwidth forms"),
+      (children: Seq[Expression]) => {
+        checkArity("nfkc_normalize", 1, children)
+        graft.functions.UnicodeNormalize(children.head,
+          java.text.Normalizer.Form.NFKC)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(s, k) - distinct word k-shingle strings"),

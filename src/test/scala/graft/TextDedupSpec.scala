@@ -135,6 +135,19 @@ class TextDedupSpec extends SparkTestBase {
     // chr), so the combining mark goes in as a compiler escape
     assert(spark.sql("SELECT nfc_normalize('cafe\u0301')")
       .head().getString(0) == "caf\u00e9")
+    // NFKC additionally folds compatibility forms: the fi ligature
+    // U+FB01 and fullwidth A U+FF21 become plain ASCII — the search/
+    // tokenization normalization; NFC leaves both untouched
+    val (nfc, nfkc) = Seq("\ufb01le \uff21").toDF("t")
+      .select(
+        graft.functions.NfcNormalize($"t").as("c"),
+        graft.functions.UnicodeNormalize($"t",
+          java.text.Normalizer.Form.NFKC).as("kc"))
+      .as[(String, String)].head()
+    assert(nfc == "\ufb01le \uff21")
+    assert(nfkc == "file A")
+    assert(spark.sql("SELECT nfkc_normalize('\ufb01le')")
+      .head().getString(0) == "file")
   }
 
   test("ingestGate: all four verdicts and their precedence on a literal batch") {
