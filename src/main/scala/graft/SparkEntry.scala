@@ -592,6 +592,10 @@ object SparkEntry {
     "corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
+    // asymmetric inclusion (doc quoted inside another): containment
+    // |A∩B|/|A| ≥ 0.8 per direction — what symmetric jaccard misses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"))),
     // LOSSLESS prefix-filtered exact Jaccard (AllPairs/PPJoin candidate
     // condition): same answer as UNCAPPED exact Jaccard — boilerplate
     // shingles land in rarest-first suffixes instead of being dropped
@@ -3057,6 +3061,30 @@ object SparkEntry {
          FROM com JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
          WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000
          ORDER BY da, db""",
+
+    // directed containment: same shingle CTEs as the jaccard oracle,
+    // both directions unioned from the one undirected co-occurrence
+    "dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                WHERE len(arr) >= 3),
+         kept AS (SELECT doc_id, s FROM sh
+                  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
+         n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         dirs AS (
+           SELECT da AS inner_id, db AS outer_id,
+                  CAST(floor(c * 10000.0 / na.n_sh) AS BIGINT) AS contain_bp
+           FROM com JOIN n na ON na.doc_id = da
+           UNION ALL
+           SELECT db, da, CAST(floor(c * 10000.0 / nb.n_sh) AS BIGINT)
+           FROM com JOIN n nb ON nb.doc_id = db)
+         SELECT inner_id, outer_id, contain_bp FROM dirs
+         WHERE contain_bp >= 8000
+         ORDER BY inner_id, outer_id""",
 
     // prefix filtering is LOSSLESS, so its oracle is plain UNCAPPED
     // exact Jaccard — no df-cap `kept` CTE, unlike dedup_ngram_jaccard

@@ -120,6 +120,38 @@ object Dedup {
       .select("doc_id", "h")
   }
 
+  /** Asymmetric shingle-containment near-dup pairs: containment of A in
+    * B = |A∩B| / |A| — the inclusion measure symmetric Jaccard is blind
+    * to. A short document quoted whole inside a long one has jaccard
+    * ≈ |A|/|B| (tiny) but containment ≈ 1; training corpora are full of
+    * exactly this shape (quotes, boilerplate wrappers, concatenated
+    * scrapes), and keeping the container while dropping the contained
+    * doc is the standard curation move. Emits one DIRECTED row per
+    * (inner, outer) direction meeting the threshold — an exact dup pair
+    * appears in both directions at 10000 bp. Same df-capped shingle
+    * machinery and one shingle-keyed shuffle as [[ngramJaccard]]. */
+  def containmentPairs(docs: DataFrame, k: Int = 3, maxDf: Int = 100,
+      minContainBp: Long = 8000): DataFrame = {
+    require(minContainBp >= 1 && minContainBp <= 10000,
+      s"minContainBp in [1,10000], got $minContainBp")
+    val sh = shingleHashes(docs, k, maxDf).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+      .join(n.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(n.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+    // both directions from ONE undirected co-occurrence table
+    val aInB = common.select(col("da").as("inner_id"), col("db").as("outer_id"),
+      Texty.ratioBp(col("c"), col("na")).as("contain_bp"))
+    val bInA = common.select(col("db").as("inner_id"), col("da").as("outer_id"),
+      Texty.ratioBp(col("c"), col("nb")).as("contain_bp"))
+    aInB.union(bInA)
+      .filter(col("contain_bp") >= minContainBp)
+      .orderBy("inner_id", "outer_id")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share >=1 kept
     * shingle; jaccard = |A∩B| / (|A|+|B|-|A∩B|), reported in exact basis
     * points. The shingle-equijoin is a plain shuffle hash join on the

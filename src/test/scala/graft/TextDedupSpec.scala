@@ -150,6 +150,24 @@ class TextDedupSpec extends SparkTestBase {
       .head().getString(0) == "file")
   }
 
+  test("containmentPairs: quoted-inside doc flags one direction only") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = "prefix words here " + short + " suffix trailer tokens four five"
+    val df = Seq((1L, short), (2L, long),
+      (3L, "unrelated text about other things entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df)
+      .as[(Long, Long, Long)].collect().toSeq
+    // every shingle of doc 1 occurs in doc 2 -> containment 10000 for
+    // (1 in 2); doc 2 has many shingles outside doc 1 -> reverse
+    // direction under the 0.8 threshold; doc 3 shares nothing
+    assert(got == Seq((1L, 2L, 10000L)))
+    // exact duplicates contain each other: both directions at 10000
+    val dup = Seq((1L, short), (2L, short)).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(dup).as[(Long, Long, Long)]
+      .collect().toSeq == Seq((1L, 2L, 10000L), (2L, 1L, 10000L)))
+  }
+
   test("ingestGate: all four verdicts and their precedence on a literal batch") {
     // near-dup fodder: long shared shingle runs so LSH bands collide
     val longA = (1 to 40).map(i => s"tok$i").mkString(" ")
