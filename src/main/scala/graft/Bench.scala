@@ -9,11 +9,22 @@ import org.apache.spark.sql.SparkSession
   * steady-state throughput, not first-run compilation noise. The corpus at
   * sf0.1 is small enough that per-stage scheduling overhead dominates any
   * single cold run.
+  *
+  * The JSON stamps the host 1-min load average at start and end plus the
+  * run count, so a recording taken under external contention (the r4
+  * artifact carried 6-9x outliers traced to load-average-5 background
+  * load) is self-identifying instead of needing forensic re-timing: a
+  * loadavg far above SPARK_GRAFT_CPUS at either edge means the wall-clock
+  * numbers are not comparable across sessions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadAtStart = loadAvg()
     val spark = GraftSession.local(cpus, appName = "graft-bench")
 
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -42,7 +53,7 @@ object Bench {
     SparkEntry.queries.foreach { case (name, fn) => once(name, fn) }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map(_ => once(name, fn)).filter(_ >= 0)
+      val times = (1 to runsPerQuery).map(_ => once(name, fn)).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     // 3-decimal times keep the line compact (the driver truncates long
@@ -54,8 +65,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val loadAtEnd = loadAvg()
+    val cond =
+      s""""loadavg_start":${f3(loadAtStart)},"loadavg_end":${f3(loadAtEnd)},"runs_per_query":$runsPerQuery,"cpus":$cpus"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$cond,"queries":$qs}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

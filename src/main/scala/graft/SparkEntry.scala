@@ -19,26 +19,41 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** One-time shutdown hook deleting this process's staged IVF index:
-    * the probe consumes the files lazily, so cleanup can only run at JVM
+  /** One-time shutdown hook deleting every staged pid-scoped artifact
+    * dir a query registered (IVF index, malformed-CSV fixture): the
+    * consumers read the files LAZILY, so cleanup can only run at JVM
     * exit (prevents per-pid dirs accumulating across driver runs). */
-  private val ivfCleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def ivfIndexCleanup(dir: String): Unit =
-    if (ivfCleanupRegistered.compareAndSet(false, true))
+  private val stagedCleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val stagedCleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def stagedDirCleanup(dir: String): Unit = {
+    stagedCleanupDirs.add(dir)
+    if (stagedCleanupRegistered.compareAndSet(false, true))
       sys.addShutdownHook {
         def rm(p: java.io.File): Unit = {
           if (p.isDirectory) Option(p.listFiles).toSeq.flatten.foreach(rm)
           p.delete(): Unit
         }
-        rm(new java.io.File(dir))
+        stagedCleanupDirs.forEach(p => rm(new java.io.File(p)))
       }
+  }
 
   /** Shared shape of the ann_recall_* reports: exact vs approx (q_id,
     * vec_id) sets -> one row of integer counts + recall in basis points.
-    * One full-outer join + one aggregate — each pipeline runs once. */
-  private def annRecallReport(exact: DataFrame,
-      approx: DataFrame): DataFrame =
-    exact.withColumn("in_e", lit(1L))
+    * One full-outer join + one aggregate — each pipeline runs once.
+    *
+    * `floorBp`: quality floor asserted INSIDE the plan (`assert_true`,
+    * the [[graft.ops.TextAnalysis.heavyHitters]] fail-loudly contract).
+    * The rows-only ANN reports (IVF/PQ — k-means floats, no DuckDB twin)
+    * would otherwise pass the driver gate on rows>0 even if a regression
+    * collapsed recall to zero; with the floor, a collapse breaks the
+    * query. Floors sit ~1000 bp under the BASELINE.md recorded bands so
+    * corpus regeneration jitter doesn't trip them, while a real
+    * regression (wrong probe set, broken codebook) still does. */
+  private def annRecallReport(exact: DataFrame, approx: DataFrame,
+      floorBp: Option[Int] = None): DataFrame = {
+    val report = exact.withColumn("in_e", lit(1L))
       .join(approx.withColumn("in_a", lit(1L)),
         Seq("q_id", "vec_id"), "full")
       .agg(
@@ -46,6 +61,11 @@ object SparkEntry {
         coalesce(sum(col("in_e") * col("in_a")), lit(0L)).as("n_captured"))
       .withColumn("recall_bp",
         graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
+    floorBp.fold(report)(f => report.where(assert_true(
+      col("recall_bp") >= f,
+      lit(s"ANN recall collapsed below the $f bp floor — approximate " +
+        "path is no longer finding the exact answers")).isNull))
+  }
 
   /** Rounds for the graph_pagerank query (shared with its generated
     * oracle CTE chain). Integer PageRank is EXACT at any round count —
@@ -67,6 +87,32 @@ object SparkEntry {
     * dedup family's bounded-candidate contract (shared by query and
     * oracle; this corpus's baskets are ≤ 7, so nothing is dropped). */
   val CopurchaseMaxBasket = 64
+
+  /** Deterministic loan-shaped table synthesized from orders — the input
+    * of the `loan_t*` queries, exercising [[graft.ops.LoanWorkload]] (the
+    * reference's actual T1–T3 API) against driver oracles. Every derived
+    * column is modular arithmetic + string concat both engines compute
+    * identically; work_year covers all four parser branches (null /
+    * "10+ years" / "< 1 year" / "n years"). Money columns are
+    * integer-valued so t3's double arithmetic is exact cross-engine. */
+  private def synthLoan(s: SparkSession, dir: String): DataFrame = {
+    val wn = col("o_orderkey") % 13
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("loan_id"),
+      col("o_custkey").as("user_id"),
+      concat(lit("ind_"), (col("o_orderkey") % 14).cast("string"))
+        .as("industry"),
+      concat(lit("emp_"), (col("o_orderkey") % 6).cast("string"))
+        .as("employer_type"),
+      when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+        .when(wn >= 10, lit("10+ years"))
+        .when(wn === 0, lit("< 1 year"))
+        .otherwise(concat(wn.cast("string"), lit(" years")))
+        .as("work_year"),
+      (col("o_orderkey") % 5 + 1).as("year_of_loan"),
+      (col("o_orderkey") % 2000 + 500).as("monthly_payment"),
+      (col("o_orderkey") % 30000 + 1000).as("total_loan"))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * T1 semantics (group-count-sort, SURVEY §2 A1/A2/O1) on customer. */
@@ -112,6 +158,22 @@ object SparkEntry {
         .select("p_partkey", "p_name", "work_year_num")
         .orderBy("p_partkey")
     }),
+
+    // T1–T3 on the ACTUAL loan workload surface (graft.ops.LoanWorkload —
+    // the drop-in API a reference user runs): the driver corpus has no
+    // loan table, so a loan-shaped one is synthesized deterministically
+    // from orders (the q3_3 trick) and the SAME synthesis is inlined in
+    // each oracle — T1/T3 semantics become driver-oracle'd end to end
+    // instead of spec-trusted. (T2's bucketHistogram and the GBK goldens
+    // stay covered by q2_bucket_histogram and LoanWorkloadSpec.)
+    "loan_t1" -> ((s, dir) =>
+      graft.ops.LoanWorkload.t1IndustryCount(synthLoan(s, dir))),
+    "loan_t3_1" -> ((s, dir) =>
+      graft.ops.LoanWorkload.t3EmployerTypeRatio(synthLoan(s, dir))),
+    "loan_t3_2" -> ((s, dir) =>
+      graft.ops.LoanWorkload.t3TotalMoney(synthLoan(s, dir))),
+    "loan_t3_3" -> ((s, dir) =>
+      graft.ops.LoanWorkload.t3WorkYearFilter(synthLoan(s, dir))),
 
     // A2/A3 generalised: multi-aggregate pricing summary (TPC-H Q1 shape).
     "q4_pricing_summary" -> ((s, dir) =>
@@ -596,6 +658,11 @@ object SparkEntry {
     // |A∩B|/|A| ≥ 0.8 per direction — what symmetric jaccard misses
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"))),
+    // LOSSLESS prefix-filtered containment (inner-side-only prefix under
+    // the containment bound): same answer as UNCAPPED directed
+    // containment — no df-cap blindness
+    "dedup_containment_prefix" -> ((s, dir) =>
+      Dedup.containmentPrefix(t(s, dir, "documents"))),
     // LOSSLESS prefix-filtered exact Jaccard (AllPairs/PPJoin candidate
     // condition): same answer as UNCAPPED exact Jaccard — boilerplate
     // shingles land in rarest-first suffixes instead of being dropped
@@ -712,7 +779,7 @@ object SparkEntry {
         .get(System.getProperty("java.io.tmpdir"),
           s"graft-ivf-index-${ProcessHandle.current().pid()}")
         .toString
-      ivfIndexCleanup(idx)
+      stagedDirCleanup(idx)
       Similarity.buildIvfIndex(emb, idx)
       Similarity.probeIvfIndex(s, idx,
         emb.filter(col("vec_id") < 20), 5)
@@ -763,7 +830,7 @@ object SparkEntry {
       // k-means-backed IVF pipeline each run exactly once
       val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
       val approx = Similarity.ivfTopK(emb, 20, 5).select("q_id", "vec_id")
-      annRecallReport(exact, approx)
+      annRecallReport(exact, approx, floorBp = Some(5000))
     }),
     // recall@k of the PQ/ADC shortlist path at production settings —
     // completes the per-path ANN quality surface (LSH: ann_recall,
@@ -772,7 +839,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
       val approx = Similarity.pqTopK(emb, 20, 5).select("q_id", "vec_id")
-      annRecallReport(exact, approx)
+      annRecallReport(exact, approx, floorBp = Some(4600))
     }),
 
     // EXT multimodal binary columns:
@@ -833,6 +900,8 @@ object SparkEntry {
       val base = Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft-malformed-src-${ProcessHandle.current().pid()}")
       Files.createDirectories(base)
+      // the CSV reads below are lazy — JVM-exit cleanup, like the IVF dir
+      stagedDirCleanup(base.toString)
       val lines = "id,amount" +: (0 until 50).map(i =>
         if (i % 3 == 0) s"$i,x$i" else s"$i,${i * 100L}")
       Files.write(base.resolve("rows.csv"),
@@ -1037,6 +1106,11 @@ object SparkEntry {
         s, graft.ml.Classifiers.embeddingFeatures(t(s, dir, "embeddings")))),
     "ml_rf_importances" -> ((s, dir) =>
       graft.ml.Classifiers.rfImportances(
+        s, graft.ml.Classifiers.embeddingFeatures(t(s, dir, "embeddings")))),
+    // S6 model persistence: fit → save → reload → re-score, bitwise
+    // parity asserted in-plan (rows-only: RF fits have no DuckDB twin)
+    "ml_model_roundtrip" -> ((s, dir) =>
+      graft.ml.Classifiers.modelRoundtrip(
         s, graft.ml.Classifiers.embeddingFeatures(t(s, dir, "embeddings")))),
 
     // FP1+FP3+FP5 end-to-end feature pipeline on the EXACT twins
@@ -2095,6 +2169,51 @@ object SparkEntry {
          SELECT p_partkey, p_name, work_year_num FROM p
          WHERE work_year_num > 5 ORDER BY p_partkey""",
 
+    // loan_t*: the synthLoan CTE is the SQL twin of the Spark-side
+    // synthesis — identical modular arithmetic over orders, so the
+    // LoanWorkload semantics (MR comparator sort, bround ratio, parser)
+    // are what the hash compare actually checks
+    "loan_t1" ->
+      """WITH loan AS (SELECT 'ind_' || (o_orderkey % 14) AS industry FROM orders)
+         SELECT industry, count(*) AS cnt FROM loan
+         GROUP BY 1 ORDER BY cnt DESC, industry ASC""",
+
+    "loan_t3_1" ->
+      """WITH loan AS (SELECT 'emp_' || (o_orderkey % 6) AS employer_type FROM orders)
+         SELECT employer_type, count(*) AS cnt,
+                round_even(count(*) / (SELECT count(*) FROM loan), 4) AS ratio
+         FROM loan GROUP BY 1 ORDER BY cnt DESC, employer_type ASC""",
+
+    "loan_t3_2" ->
+      """WITH loan AS (
+           SELECT o_orderkey AS loan_id, o_custkey AS user_id,
+                  o_orderkey % 5 + 1 AS year_of_loan,
+                  o_orderkey % 2000 + 500 AS monthly_payment,
+                  o_orderkey % 30000 + 1000 AS total_loan
+           FROM orders)
+         SELECT loan_id, user_id,
+                CAST(year_of_loan AS DOUBLE) * CAST(monthly_payment AS DOUBLE) * 12
+                  - CAST(total_loan AS DOUBLE) AS total_money
+         FROM loan ORDER BY loan_id""",
+
+    "loan_t3_3" ->
+      """WITH loan AS (
+           SELECT o_orderkey AS loan_id, o_custkey AS user_id,
+                  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                       WHEN o_orderkey % 13 >= 10 THEN '10+ years'
+                       WHEN o_orderkey % 13 = 0 THEN '< 1 year'
+                       ELSE (o_orderkey % 13) || ' years' END AS work_year
+           FROM orders),
+         p AS (
+           SELECT loan_id, user_id, work_year,
+                  CASE WHEN work_year IS NULL THEN -1
+                       WHEN contains(work_year, '10+') THEN 11
+                       WHEN contains(work_year, '<') THEN 0
+                       ELSE CAST(split_part(work_year, ' ', 1) AS INT) END AS work_year_num
+           FROM loan)
+         SELECT loan_id, user_id, work_year, work_year_num FROM p
+         WHERE work_year_num > 5 ORDER BY loan_id""",
+
     "q4_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -3074,6 +3193,28 @@ object SparkEntry {
          n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
          com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
                  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         dirs AS (
+           SELECT da AS inner_id, db AS outer_id,
+                  CAST(floor(c * 10000.0 / na.n_sh) AS BIGINT) AS contain_bp
+           FROM com JOIN n na ON na.doc_id = da
+           UNION ALL
+           SELECT db, da, CAST(floor(c * 10000.0 / nb.n_sh) AS BIGINT)
+           FROM com JOIN n nb ON nb.doc_id = db)
+         SELECT inner_id, outer_id, contain_bp FROM dirs
+         WHERE contain_bp >= 8000
+         ORDER BY inner_id, outer_id""",
+
+    // prefix filtering is LOSSLESS, so its oracle is plain UNCAPPED
+    // directed containment — no df-cap `kept` CTE, unlike dedup_containment
+    "dedup_containment_prefix" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                WHERE len(arr) >= 3),
+         n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                  GROUP BY 1, 2),
          dirs AS (
            SELECT da AS inner_id, db AS outer_id,

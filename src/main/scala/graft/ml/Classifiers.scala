@@ -2,9 +2,9 @@ package graft.ml
 
 import org.apache.spark.ml.classification.{
   LinearSVC, LogisticRegression, MultilayerPerceptronClassifier,
-  RandomForestClassifier}
+  RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,71 @@ object Classifiers {
       .map { case (m, f) => (m, Await.result(f, Duration.Inf), nTrain, nTest) }
     train.unpersist(); test.unpersist()
     rows.toDF("model", "auc", "n_train", "n_test").orderBy("model")
+  }
+
+  /** One-time shutdown hook deleting this process's staged model dir —
+    * same lifecycle as the IVF index staging (the reload reads the files
+    * lazily, so cleanup can only happen at JVM exit; pid-scoping plus
+    * overwrite-in-place bounds each process to one copy). */
+  private val modelCleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def modelDirCleanup(dir: String): Unit =
+    if (modelCleanupRegistered.compareAndSet(false, true))
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles).toSeq.flatten.foreach(rm)
+          p.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
+
+  /** S6 model persistence (the reference saves its trained RF,
+    * 任务四/exp4_work4.ipynb:690 cell 45): fit the reference-parameter RF
+    * on the seeded train split, `write.overwrite().save` it (Spark ML's
+    * Parquet + JSON-metadata layout — the format a 1000-executor scoring
+    * job would reload from shared storage), `load` it back, and score the
+    * held-out split with BOTH instances.
+    *
+    * The returned report is one row of exact integers: test size, count
+    * of prediction disagreements, count of rawPrediction-vector
+    * disagreements (bitwise — same trees, so the margins must be
+    * byte-identical doubles, not merely close). Parity is ASSERTED inside
+    * the plan (`assert_true`, the [[graft.ops.TextAnalysis.heavyHitters]]
+    * fail-loudly contract): a broken save/reload fails the driver check
+    * instead of passing rows-only. Rows-only by design — RF fits have no
+    * DuckDB twin (SURVEY §5). */
+  def modelRoundtrip(spark: SparkSession, labeled: DataFrame,
+      seed: Long = Seed): DataFrame = {
+    val Array(train, test) = labeled.randomSplit(Array(0.8, 0.2), seed)
+    train.persist()
+    val model = new RandomForestClassifier()
+      .setMaxDepth(7).setNumTrees(30).setSeed(seed) // FP10 (:572)
+      .fit(train)
+    train.unpersist()
+    val dir = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"),
+        s"graft-rf-model-${ProcessHandle.current().pid()}")
+      .toString
+    model.write.overwrite().save(dir)
+    modelDirCleanup(dir)
+    val reloaded = RandomForestClassificationModel.load(dir)
+    def score(m: RandomForestClassificationModel, tag: String): DataFrame =
+      m.transform(test).select(
+        col("vec_id"),
+        col("prediction").as(s"pred_$tag"),
+        vector_to_array(col("rawPrediction")).as(s"raw_$tag"))
+    score(model, "orig").join(score(reloaded, "reload"), "vec_id")
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("pred_orig") =!= col("pred_reload"), 1L).otherwise(0L))
+          .as("n_pred_mismatch"),
+        sum(when(col("raw_orig") =!= col("raw_reload"), 1L).otherwise(0L))
+          .as("n_raw_mismatch"))
+      .select(lit("random_forest").as("model"),
+        col("n_test"), col("n_pred_mismatch"), col("n_raw_mismatch"))
+      .where(assert_true(
+        col("n_pred_mismatch") === 0L && col("n_raw_mismatch") === 0L,
+        lit("model save/reload parity broken: reloaded RF scores differ " +
+          "from the in-memory model")).isNull)
   }
 
   /** FP10+FP12: fit the RF alone and surface per-feature impurity

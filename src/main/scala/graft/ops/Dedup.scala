@@ -134,7 +134,12 @@ object Dedup {
       minContainBp: Long = 8000): DataFrame = {
     require(minContainBp >= 1 && minContainBp <= 10000,
       s"minContainBp in [1,10000], got $minContainBp")
-    val sh = shingleHashes(docs, k, maxDf).persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint, not persist (the prefixPairsWithArr
+    // lifecycle discipline): the kept-shingle stream feeds three
+    // consumers, but a persist would outlive this call — repeated ops in
+    // one session accumulate cached tables until the caller clearCache()s;
+    // checkpoint blocks are released when the Dataset is GC'd
+    val sh = shingleHashes(docs, k, maxDf).localCheckpoint()
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -149,6 +154,75 @@ object Dedup {
       Texty.ratioBp(col("c"), col("nb")).as("contain_bp"))
     aInB.union(bInA)
       .filter(col("contain_bp") >= minContainBp)
+      .orderBy("inner_id", "outer_id")
+  }
+
+  /** [[containmentPairs]] at PPJoin losslessness: directed containment
+    * |A∩B|/|A| ≥ t with NO df cap — the capped variant inherits the cap's
+    * blindness (two docs whose shared content is hot boilerplate beyond
+    * maxDf silently stop pairing; TextDedupSpec demonstrates the miss).
+    *
+    * The prefix filter under the CONTAINMENT bound sits on the inner side
+    * only: order each doc's shingles by the global rarest-first total
+    * order ([[rarestFirstArrays]]) and keep the first |A| − ⌈t·|A|⌉ + 1
+    * as A's prefix. If A∩B avoided A's prefix it would fit in the
+    * ⌈t|A|⌉ − 1 suffix, contradicting |A∩B| ≥ t|A| — so a contained doc
+    * must share a PREFIX token with the container's FULL set, and
+    * candidates → exact-verify loses nothing. The outer side has no
+    * prefix (any of its tokens can be the shared one), but work stays
+    * bounded for the same reason as [[jaccardPrefix]]: inner prefixes are
+    * rarest-first, so hot boilerplate never generates candidates from the
+    * probing side — df(h) postings are only walked for RARE h.
+    *
+    * Two additional lossless prunes on the candidate join: the length
+    * bound |B| ≥ t·|A| (overlap can't exceed |B|), and the PPJoin
+    * positional bound at the earliest common token — tokens sort in the
+    * same global order in both docs, so overlap ≤ min(|A|−pa, |B|−pb)
+    * at 0-based match ranks (pa, pb); integer-exact in bp. Verification
+    * is `size(array_intersect)` over the checkpointed array table —
+    * candidate-sized work, the [[jaccardPrefix]] shape.
+    *
+    * Output ≡ uncapped directed containment (the registered query's
+    * oracle IS the plain containment SQL, no `kept` CTE). Exact
+    * duplicates contain each other at 10000 bp and DO pair here; on a
+    * duplicate-saturated corpus that true answer is quadratic in the
+    * duplication factor — run [[exact]] first, as with every pairwise
+    * op. */
+  def containmentPrefix(docs: DataFrame, k: Int = 3,
+      minContainBp: Long = 8000): DataFrame = {
+    require(minContainBp >= 1 && minContainBp <= 10000,
+      s"minContainBp in [1,10000], got $minContainBp")
+    val arr = rarestFirstArrays(docs, k)
+    // inner prefix length |A| − ⌈t·|A|⌉ + 1, integer-exact
+    val pfxLen =
+      col("n_sh") - expr(s"(n_sh * $minContainBp + 9999) div 10000") + 1
+    val innerPfx = arr.select(col("doc_id"), col("n_sh"),
+      posexplode(slice(col("hs"), lit(1), pfxLen.cast("int")))
+        .as(Seq("p", "h")))
+    val outerFull = arr.select(col("doc_id"), col("n_sh"),
+      posexplode(col("hs")).as(Seq("p", "h")))
+    // positional bound: keep iff min(|A|−pa, |B|−pb) · 10000 ≥ t_bp · |A|
+    // (valid at the earliest common token; a true pair always passes
+    // there, so keeping pairs where ANY match passes is conservative)
+    val posBound =
+      least(col("a.n_sh") - col("a.p"), col("b.n_sh") - col("b.p")) *
+        10000L >= lit(minContainBp) * col("a.n_sh")
+    val cand = innerPfx.as("a").join(outerFull.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n_sh") * 10000L >= lit(minContainBp) * col("a.n_sh") &&
+          posBound)
+      .select(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+      .distinct()
+    cand
+      .join(arr.select(col("doc_id").as("inner_id"), col("hs").as("ha"),
+        col("n_sh").as("na")), "inner_id")
+      .join(arr.select(col("doc_id").as("outer_id"), col("hs").as("hb")),
+        "outer_id")
+      .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("contain_bp", Texty.ratioBp(col("c"), col("na")))
+      .filter(col("contain_bp") >= minContainBp)
+      .select("inner_id", "outer_id", "contain_bp")
       .orderBy("inner_id", "outer_id")
   }
 
@@ -283,18 +357,19 @@ object Dedup {
       minJaccardBp: Long): DataFrame =
     prefixPairsWithArr(corpus, k, minJaccardBp)._1
 
-  /** [[prefixPairs]] plus the per-doc shingle-array table (the expansion
-    * path needs `arr` to identify shingle-bearing groups). */
-  private def prefixPairsWithArr(corpus: DataFrame, k: Int,
-      minJaccardBp: Long): (DataFrame, DataFrame) = {
+  /** Per-doc shingle arrays in the GLOBAL rarest-first total order
+    * (df asc, hash asc — identical in every document): the working
+    * representation of every prefix-filter op ([[jaccardPrefix]],
+    * [[containmentPrefix]]). One groupBy over the df-joined shingle
+    * stream, localCheckpoint'd: multiple consumers (prefix explode +
+    * verify sides), and materializing lets the wide shingle stream
+    * unpersist eagerly. */
+  private def rarestFirstArrays(corpus: DataFrame, k: Int): DataFrame = {
     val sh = spread(corpus)
       .select(col("doc_id"),
         explode(graft.functions.WordShingleHashes(col("text"), k)).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfT = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    // rarest-first total order (df asc, h asc) via one struct-array sort;
-    // localCheckpoint: 3 consumers (prefix explode + both verify sides),
-    // and materializing lets the wide shingle stream unpersist eagerly
     val arr = sh.join(dfT, "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dh"))
@@ -303,6 +378,14 @@ object Dedup {
         size(col("dh")).cast("long").as("n_sh"))
       .localCheckpoint()
     sh.unpersist()
+    arr
+  }
+
+  /** [[prefixPairs]] plus the per-doc shingle-array table (the expansion
+    * path needs `arr` to identify shingle-bearing groups). */
+  private def prefixPairsWithArr(corpus: DataFrame, k: Int,
+      minJaccardBp: Long): (DataFrame, DataFrame) = {
+    val arr = rarestFirstArrays(corpus, k)
     val pfxLen =
       col("n_sh") - expr(s"(n_sh * $minJaccardBp + 9999) div 10000") + 1
     // posexplode keeps each prefix token's 0-based rank for the PPJoin
@@ -441,6 +524,15 @@ object Dedup {
     *      matching components, smallest id on ties);
     *   4. `new`        — admitted (match_id null).
     *
+    * KNOWN BLIND SPOT (intentional): the near-dup probe is batch×corpus
+    * only, so two near-duplicate — but not byte-identical — docs arriving
+    * in the SAME batch are both admitted as `new` (only exact batch dups
+    * are caught, verdict 2). This is the steady-state cost choice: the
+    * probe never pays a batch×batch quadrant, and the standard deployment
+    * self-dedups each batch with [[pipeline]] BEFORE gating, which is
+    * where intra-batch near-dups belong. Once admitted, the pair is also
+    * visible to any later full-corpus audit ([[minhashRecall]]).
+    *
     * Scale: fingerprints shuffle as fixed-width md5 strings, never text;
     * signatures/banding reuse the [[minhashLsh]] machinery with the SAME
     * df and hot-bucket caps computed over corpus ∪ batch (so gate
@@ -478,10 +570,13 @@ object Dedup {
     // into sides by membership (id-width join, no parity assumption)
     val union = corpusNN.select(col(id).as("doc_id"), col(text).as("text"))
       .unionByName(batchNN.select(col(id).as("doc_id"), col(text).as("text")))
+    // eager localCheckpoint, not persist ([[containmentPairs]] lifecycle
+    // discipline): sig feeds banding + both verify sides, kept feeds both
+    // probe sides, but persisted blocks must not outlive this call
     val sig = minhashSignatures(shinglePolyHashes(union, k, maxDf))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val kept = bandedKeys(sig, maxBucket)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val batchIds = batchNN.select(col(id).as("doc_id"))
     val keptB = kept.join(batchIds, "doc_id")
     val keptC = kept.join(batchIds, Seq("doc_id"), "left_anti")

@@ -81,26 +81,50 @@ object EventStream {
   /** Execute [[tumblingCounts]] as a REAL streaming query over the events
     * parquet path — file-source micro-batches, `AvailableNow` trigger (a
     * bounded run over everything currently in the source, the standard
-    * backfill/parity harness), complete-mode memory sink — and return the
+    * backfill/parity harness), complete-mode file sink — and return the
     * final result, totally ordered. In complete mode no window is ever
     * evicted, so the result equals the batch `Events.tumblingAgg` exactly:
-    * this is the driver-oracle surface for the streaming family.
-    *
-    * The MEMORY sink is the parity/testing sink only (it collects to the
-    * driver); production queries keep the same readStream→transform and
-    * write to files/Kafka with append mode + watermark eviction. */
+    * this is the driver-oracle surface for the streaming family. */
   private val parityRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** JVM-exit cleanup of every parity artifact dir this process staged
+    * (sink output, upsert version chain): the read-back DataFrames scan
+    * the files LAZILY, so deletion can only happen at exit — same
+    * lifecycle as the IVF index staging. Pid-scoping bounds disk use to
+    * one process's artifacts; the hook stops dirs accumulating across
+    * driver runs. */
+  private val parityCleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val parityCleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def parityCleanupAtExit(dir: java.nio.file.Path): Unit = {
+    parityCleanupDirs.add(dir.toString)
+    if (parityCleanupRegistered.compareAndSet(false, true))
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles).toSeq.flatten.foreach(rm)
+          p.delete(): Unit
+        }
+        parityCleanupDirs.forEach(p => rm(new java.io.File(p)))
+      }
+  }
 
   /** Shared harness of the `*ParityRun` queries: stage the single-file
     * corpus parquet into a pid-scoped directory (a file stream source
     * needs a DIRECTORY — FileStreamSource pins partition-discovery
     * basePath to the source path — and files arriving in a watched dir is
     * the honest shape of a file stream anyway), run `transform` of the
-    * stream to a memory sink with an AvailableNow trigger, and return the
-    * sink rows as a LOCAL DataFrame. The memory-sink temp view is dropped
-    * once collected — parity results are presentation-sized by contract,
-    * and leaving one pinned view per invocation would leak driver memory
-    * across a long session (Bench runs each parity query 3x). */
+    * stream through a `foreachBatch` PARQUET sink with an AvailableNow
+    * trigger, and return the sink files as a read-back DataFrame.
+    *
+    * The sink never touches the driver: complete-mode batches (each one
+    * the full re-computed result) overwrite the output dir so the last
+    * batch wins; append/update batches append, tagged with `__batch_id`
+    * so downstream parity logic can select each key's FINAL emission
+    * without assuming emitted rows are unique. Unlike the earlier
+    * memory-sink + collect() formulation, output size is bounded by the
+    * executors' write throughput, not driver memory — at 100× key
+    * cardinality the parity read-back stays a distributed scan. */
   private def parityRun(spark: SparkSession, path: String, tag: String,
       maxFilesPerTrigger: Int, outputMode: String,
       sourceSchema: StructType = null)(
@@ -108,17 +132,27 @@ object EventStream {
     val srcSchema =
       if (sourceSchema ne null) sourceSchema else probeFileSchema(spark, path)
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    // per-invocation sink table AND staging subdir: repeated runs must not
-    // collide, and a reused directory must never replay files staged by an
-    // EARLIER invocation (stale files would corrupt parity results)
+    // per-invocation sink subdir AND staging subdir: repeated runs must
+    // not collide, and a reused directory must never replay files staged
+    // by an EARLIER invocation (stale files would corrupt parity results)
     val seq = parityRunSeq.incrementAndGet()
-    val name = s"graft_stream_${tag}_$seq"
+    val pid = ProcessHandle.current().pid()
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-stream-stage-$tag-${ProcessHandle.current().pid()}", seq.toString)
+      s"graft-stream-stage-$tag-$pid", seq.toString)
     Files.createDirectories(stage)
     val src = Paths.get(path)
     Files.copy(src, stage.resolve(src.getFileName),
       StandardCopyOption.REPLACE_EXISTING)
+    val resultRoot = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-result-$pid")
+    parityCleanupAtExit(resultRoot)
+    val out = resultRoot.resolve(s"$tag-$seq").toString
+    val complete = outputMode == "complete"
+    val sink: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      if (complete) batch.write.mode("overwrite").parquet(out)
+      else batch.withColumn("__batch_id", lit(batchId))
+        .write.mode("append").parquet(out)
+    }
     // Stateful operators instantiate one state store PER shuffle
     // partition PER stateful op; at the parity runs' data volume the
     // fixed store open/commit cost dominates (a stream-stream join pays
@@ -132,17 +166,12 @@ object EventStream {
         readParquetStream(spark, stage.toString, maxFilesPerTrigger,
           sourceSchema = srcSchema))
         .writeStream
-        .format("memory").queryName(name)
         .outputMode(outputMode)
+        .foreachBatch(sink)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val sunk = spark.table(name)
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
-      spark.catalog.dropTempView(name)
-      local
+      spark.read.parquet(out)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the staged copy served this one run; don't accumulate per call
@@ -260,6 +289,7 @@ object EventStream {
         slice.filter(col("event_type") === "click"),
         slice.filter(col("event_type") === "view"))
     }
+      .drop("__batch_id") // append mode: each match emitted exactly once
       .orderBy("l_event_id", "r_event_id")
 
   case class Doc(doc_id: Long, fingerprint: String)
@@ -312,6 +342,7 @@ object EventStream {
           .as[Doc])
         .toDF()
     }
+      .drop("__batch_id") // append mode: each kept doc emitted exactly once
       .orderBy("doc_id")
   }
 
@@ -497,10 +528,14 @@ object EventStream {
     }
   }
 
-  /** Parity family for [[TopKEventsProcessor]]: every emitted row is a
-    * then-current top-k member, and the true final top-k rows are always
-    * in the last emission — so top-k over the distinct emitted rows
-    * equals the batch answer however the source was sliced. */
+  /** Parity family for [[TopKEventsProcessor]]: each emission is the
+    * key's then-current FULL top-k, so the rows of each user's LAST
+    * emission (highest `__batch_id` touching that user — the harness tags
+    * every update-mode batch) ARE the final top-k. Selecting by final
+    * emission makes no uniqueness assumption about event rows: two
+    * identical input events both survive into the emission and rank 1
+    * and 2, exactly as the batch/DuckDB oracle ranks them (a `distinct()`
+    * over all emissions would have collapsed them). */
   def twsTopKParityRun(spark: SparkSession, path: String, k: Int = 3,
       maxFilesPerTrigger: Int = 16): DataFrame = withRocksDb(spark) {
     val sunk = parityRun(spark, path, "twstopk", maxFilesPerTrigger,
@@ -513,9 +548,13 @@ object EventStream {
           org.apache.spark.sql.Encoders.product[LatestRow])
         .toDF()
     }
+    val perUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(desc("last_us"), desc("last_event_id"))
-    sunk.distinct()
+    sunk
+      .withColumn("__last_emit", max("__batch_id").over(perUser))
+      .filter(col("__batch_id") === col("__last_emit"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("user_id", "rnk", "last_us", "last_event_id", "last_cents")
@@ -549,10 +588,14 @@ object EventStream {
     val pid = ProcessHandle.current().pid()
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft-stream-stage-upsert-$pid", seq.toString)
-    val target = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-stream-upsert-target-$pid", seq.toString)
+    val targetRoot = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-upsert-target-$pid")
+    val target = targetRoot.resolve(seq.toString)
     Files.createDirectories(stage)
     Files.createDirectories(target)
+    // the returned DataFrame scans the final version's files lazily, so
+    // the whole version chain lives until JVM exit (pid-scoped, hooked)
+    parityCleanupAtExit(targetRoot)
     // slice the corpus into nSlices staged files (event_id % n) so the
     // AvailableNow run has one merge round per slice
     // inferred batch read: the staged slices inherit the corpus's own
@@ -604,10 +647,11 @@ object EventStream {
         .start()
       q.awaitTermination()
       require(lastVersion >= 0, "upsert stream produced no micro-batch")
-      val fin = spark.read.parquet(versionOf(lastVersion).toString)
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(fin.collect(): _*), fin.schema)
-      local.orderBy("user_id")
+      // read the final version directly — a distributed scan, nothing
+      // collected; the version chain is pinned on disk until JVM exit,
+      // so the lazy read-back stays valid however large the key space
+      spark.read.parquet(versionOf(lastVersion).toString)
+        .orderBy("user_id")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }

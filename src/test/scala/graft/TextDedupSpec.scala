@@ -168,6 +168,35 @@ class TextDedupSpec extends SparkTestBase {
       .collect().toSeq == Seq((1L, 2L, 10000L), (2L, 1L, 10000L)))
   }
 
+  test("containmentPrefix: lossless where the df cap goes blind") {
+    // 12 identical docs: both their shingles exceed maxDf=5, so the
+    // capped variant drops them and finds NOTHING; the prefix variant
+    // pairs every directed pair at containment 10000 bp
+    val docs = (1 to 12).map(i => (i.toLong, "x y z w")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(docs, maxDf = 5).count() == 0)
+    val got = Dedup.containmentPrefix(docs)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 132 && got.forall(_._3 == 10000L)) // 12·11 directed
+    // and on the real corpus it equals the UNCAPPED capped-variant answer
+    val mixed = Tables(spark, sf0001, "documents")
+    val plain = Dedup.containmentPairs(mixed, maxDf = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSeq
+    val pref = Dedup.containmentPrefix(mixed)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pref == plain && pref.nonEmpty)
+  }
+
+  test("containmentPrefix: quoted-inside doc flags one direction only") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = "prefix words here " + short +
+      " suffix trailer tokens four five"
+    val df = Seq((1L, short), (2L, long),
+      (3L, "unrelated text about other things entirely"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPrefix(df).as[(Long, Long, Long)]
+      .collect().toSeq == Seq((1L, 2L, 10000L)))
+  }
+
   test("ingestGate: all four verdicts and their precedence on a literal batch") {
     // near-dup fodder: long shared shingle runs so LSH bands collide
     val longA = (1 to 40).map(i => s"tok$i").mkString(" ")
