@@ -713,6 +713,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // the gate's PERSISTED form: corpus signatures/caps built ONCE into
+    // an on-disk index (pid-scoped, JVM-exit cleanup like the IVF one),
+    // every cycle probes it with batch-sized work — the steady-state
+    // 100 TB ingest shape. Caps are corpus-scoped by construction (the
+    // one semantic difference from the inline gate), and the oracle
+    // rebuilds the same corpus-scoped chain in SQL.
+    "dedup_sig_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-sig-index-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(idx)
+      Dedup.buildSigIndex(docs.filter(col("doc_id") % 2 === 0), idx)
+      Dedup.probeSigIndex(s, idx, docs.filter(col("doc_id") % 2 === 1))
+    }),
     // the production dedup pipeline END TO END (the 100 TB path that
     // Dedup.levenshteinRescore's doc promises; stages previously only
     // checked separately): MinHash-LSH candidate generation → banded
@@ -1654,6 +1670,81 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Persisted-sig-index probe: the ingest-gate verdict chain with
+    * CORPUS-SCOPED caps — df hot list and hot buckets computed over the
+    * even (indexed) half only, batch signatures built by dropping the
+    * CORPUS hot shingles (exactly what Dedup.buildSigIndex persists and
+    * probeSigIndex reads back). Mirrors the operator's build→probe
+    * semantics end to end in one SQL chain. */
+  private def sigIndexProbeOracle: String = {
+    import Portable._
+    def sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
+      s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i")
+      .mkString(",\n           ")
+    def bandSelects(sigTable: String) =
+      (0 until graft.ops.Dedup.MinhashBands).map { b =>
+        val key = (0 until 4).foldLeft(s"CAST(${b + 1} AS BIGINT)") { (acc, j) =>
+          s"(($acc * $BandMix + m${4 * b + j}) % $P1)"
+        }
+        s"SELECT doc_id, $b AS band_idx, $key AS band_hash FROM $sigTable"
+      }.mkString("\n           UNION ALL ")
+    val matches = (0 until graft.ops.Dedup.MinhashK)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+       |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+       |          WHERE len(arr) >= 3),
+       |  h AS (SELECT DISTINCT doc_id, ${polySql("s")} AS hh FROM shs),
+       |  hot AS (SELECT hh FROM h WHERE doc_id % 2 = 0
+       |          GROUP BY hh HAVING count(*) > 100),
+       |  keptc AS (SELECT doc_id, hh FROM h WHERE doc_id % 2 = 0
+       |            AND hh NOT IN (SELECT hh FROM hot)),
+       |  keptbt AS (SELECT doc_id, hh FROM h WHERE doc_id % 2 = 1
+       |             AND hh NOT IN (SELECT hh FROM hot)),
+       |  sigc AS (SELECT doc_id, $sigAggs FROM keptc GROUP BY doc_id),
+       |  sigb AS (SELECT doc_id, $sigAggs FROM keptbt GROUP BY doc_id),
+       |  bandc AS (${bandSelects("sigc")}),
+       |  hotbk AS (SELECT band_idx, band_hash FROM bandc
+       |            GROUP BY 1, 2 HAVING count(*) > 50),
+       |  kbc AS (SELECT * FROM bandc b WHERE NOT EXISTS (
+       |            SELECT 1 FROM hotbk g
+       |            WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
+       |  bandb AS (${bandSelects("sigb")}),
+       |  kbb AS (SELECT * FROM bandb b WHERE NOT EXISTS (
+       |            SELECT 1 FROM hotbk g
+       |            WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
+       |  nc AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+       |         FROM kbb bb JOIN kbc cb
+       |           ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash),
+       |  sc AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
+       |         FROM nc JOIN sigb sa ON sa.doc_id = bid
+       |                 JOIN sigc sb ON sb.doc_id = cid
+       |         WHERE $matches >= 16),
+       |  best AS (SELECT bid, cid FROM (
+       |             SELECT bid, cid,
+       |                    row_number() OVER (PARTITION BY bid
+       |                                       ORDER BY sm DESC, cid) AS rn
+       |             FROM sc) WHERE rn = 1),
+       |  corp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+       |  bat  AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
+       |  cfp AS (SELECT fp, min(doc_id) AS exact_id FROM corp GROUP BY 1),
+       |  bk  AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat GROUP BY 1)
+       |SELECT b.doc_id AS doc_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
+       |       WHEN nb.cid IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS verdict,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
+       |       WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
+       |       WHEN nb.cid IS NOT NULL THEN nb.cid
+       |       ELSE NULL END AS match_id
+       |FROM bat b LEFT JOIN cfp e ON e.fp = b.fp
+       |JOIN bk k ON k.fp = b.fp
+       |LEFT JOIN best nb ON nb.bid = b.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Integer PageRank unrolled to PagerankQueryIters chained CTEs
     * (recursive terms cannot aggregate, so fixed iterations unroll
     * instead) — every step is floor arithmetic matching
@@ -2020,6 +2111,7 @@ object SparkEntry {
     // kernels and this generated SQL — see graft.functions.Portable.
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_ingest_gate" -> ingestGateOracle,
+    "dedup_sig_index_probe" -> sigIndexProbeOracle,
 
     // two independent NFC implementations must agree byte-for-byte:
     // the Spark side normalizes via the JDK, this oracle via DuckDB's

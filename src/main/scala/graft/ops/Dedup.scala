@@ -468,19 +468,27 @@ object Dedup {
     * Shared by the self-join LSH pairs and the [[ingestGate]] cross-side
     * probe so both see identical bucket selectivity. */
   private def bandedKeys(sig: DataFrame, maxBucket: Int): DataFrame = {
+    val banded = bandKeysRaw(sig)
+    val hotBuckets = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
+      .select("band_idx", "band_hash")
+    banded
+      .join(broadcast(hotBuckets), Seq("band_idx", "band_hash"), "left_anti")
+  }
+
+  /** Uncapped (doc_id, band_idx, band_hash) banding of a signature table
+    * — the raw stream [[bandedKeys]] caps and [[buildSigIndex]] persists
+    * (the index keeps its hot-bucket list as separate build-time state
+    * so probes can apply the SAME cap to their own keys). */
+  private def bandKeysRaw(sig: DataFrame): DataFrame = {
     import graft.functions.Portable.{P1, BandMix}
     val bandCols = (0 until MinhashBands).map { b =>
       (0 until 4).foldLeft(lit(b + 1L).cast("long")) { (bk, j) =>
         (bk * lit(BandMix) + col(s"m${4 * b + j}")) % lit(P1)
       }
     }
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-    val hotBuckets = banded.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
-      .select("band_idx", "band_hash")
-    banded
-      .join(broadcast(hotBuckets), Seq("band_idx", "band_hash"), "left_anti")
   }
 
   /** Signature-component match count between two aliased [[minhashSignatures]]
@@ -597,6 +605,114 @@ object Dedup {
       .filter(col("__rn") === 1)
       .select(col("bid").as("doc_id"), col("cid").as("near_id"))
 
+    bfp.join(cfp, Seq("fp"), "left")
+      .join(bkeep, "fp")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact_dup"))
+          .when(col("doc_id") =!= col("batch_keep_id"), lit("batch_dup"))
+          .when(col("near_id").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        when(col("exact_id").isNotNull, col("exact_id"))
+          .when(col("doc_id") =!= col("batch_keep_id"), col("batch_keep_id"))
+          .when(col("near_id").isNotNull, col("near_id")).as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  /** PERSISTED ingest index — the steady-state form of [[ingestGate]].
+    * The gate recomputes corpus signatures every cycle (its df and
+    * hot-bucket caps are scoped over corpus ∪ batch); at 100 TB the
+    * corpus side is computed ONCE here and written as four parquet
+    * tables, and every later ingest cycle pays batch-sized work only:
+    *
+    *  - `fp/`           (fp, exact_id): md5 dictionary for verdict 1;
+    *  - `hot_shingles/` (h): shingles with corpus df > maxDf — probes
+    *    drop the same shingles from batch docs, so batch signatures are
+    *    comparable with the indexed ones;
+    *  - `sig/`          (doc_id, m0..m31): MinHash signatures;
+    *  - `hot_buckets/` + `banded/`: LSH bucket keys with the build-time
+    *    hot-bucket list kept SEPARATE, so probes cap their own keys with
+    *    identical selectivity.
+    *
+    * Cap scoping is the one deliberate semantic difference from the
+    * inline gate: the index pins df/bucket statistics AT BUILD TIME
+    * (production refreshes them on periodic rebuilds; appending admitted
+    * docs' sig/banded rows between rebuilds is a plain parquet append).
+    * All state is on the portable-hash basis, so the whole
+    * build→probe→verdict chain is DuckDB-oracle-checkable. */
+  def buildSigIndex(corpus: DataFrame, path: String, k: Int = 3,
+      maxDf: Int = 100, maxBucket: Int = 50,
+      id: String = "doc_id", text: String = "text"): Unit = {
+    val c = corpus.filter(col(text).isNotNull)
+    c.select(md5(col(text)).as("fp"), col(id).as("cid"))
+      .groupBy("fp").agg(min("cid").as("exact_id"))
+      .write.mode("overwrite").parquet(s"$path/fp")
+    val sh = spread(c.select(col(id).as("doc_id"), col(text).as("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.WordShinglePolyHashes(col("text"), k)).as("h"))
+      .localCheckpoint() // feeds the hot list + the kept stream
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+      .localCheckpoint() // feeds the sink + the anti join
+    hot.write.mode("overwrite").parquet(s"$path/hot_shingles")
+    val sig = minhashSignatures(
+      sh.join(broadcast(hot), Seq("h"), "left_anti"))
+      .localCheckpoint() // feeds the sink + banding
+    sig.write.mode("overwrite").parquet(s"$path/sig")
+    val banded = bandKeysRaw(sig).localCheckpoint()
+    val hotBuckets = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
+      .select("band_idx", "band_hash")
+      .localCheckpoint()
+    hotBuckets.write.mode("overwrite").parquet(s"$path/hot_buckets")
+    banded
+      .join(broadcast(hotBuckets), Seq("band_idx", "band_hash"), "left_anti")
+      .write.mode("overwrite").parquet(s"$path/banded")
+  }
+
+  /** Classify `batch` against a [[buildSigIndex]] index: same verdicts
+    * and precedence as [[ingestGate]] (exact_dup / batch_dup / near_dup
+    * / new + match_id), but every corpus-side input is a parquet scan of
+    * build-time state — the probe never touches corpus text. Work per
+    * cycle: one batch shingle explode, one signature aggregate, one
+    * bucket equi-join against the indexed keys (batch×corpus only), one
+    * candidate-sized signature verify. The same batch-internal near-dup
+    * blind spot as the gate applies ([[pipeline]] the batch first). */
+  def probeSigIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, k: Int = 3, minSigMatches: Int = 16,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val b = batch.filter(col(text).isNotNull)
+    val bfp = b.select(col(id).as("doc_id"), md5(col(text)).as("fp"))
+    val bkeep = bfp.groupBy("fp").agg(min("doc_id").as("batch_keep_id"))
+    val cfp = spark.read.parquet(s"$path/fp")
+    val hot = spark.read.parquet(s"$path/hot_shingles")
+    val sh = spread(b.select(col(id).as("doc_id"), col(text).as("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.WordShinglePolyHashes(col("text"), k)).as("h"))
+    val bsig = minhashSignatures(
+      sh.join(broadcast(hot), Seq("h"), "left_anti"))
+      .localCheckpoint() // feeds banding + the verify side
+    val hotBuckets = spark.read.parquet(s"$path/hot_buckets")
+    val bBand = bandKeysRaw(bsig)
+      .join(broadcast(hotBuckets), Seq("band_idx", "band_hash"), "left_anti")
+    val cand = bBand.as("b")
+      .join(spark.read.parquet(s"$path/banded").as("c"),
+        col("b.band_idx") === col("c.band_idx") &&
+          col("b.band_hash") === col("c.band_hash"))
+      .select(col("b.doc_id").as("bid"), col("c.doc_id").as("cid"))
+      .distinct()
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("bid").orderBy(desc("sig_matches"), asc("cid"))
+    val near = cand
+      .join(bsig.as("sa"), col("bid") === col("sa.doc_id"))
+      .join(spark.read.parquet(s"$path/sig").as("sb"),
+        col("cid") === col("sb.doc_id"))
+      .withColumn("sig_matches", sigMatchCount)
+      .filter(col("sig_matches") >= minSigMatches)
+      .select(col("bid"), col("cid"), col("sig_matches"))
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("bid").as("doc_id"), col("cid").as("near_id"))
     bfp.join(cfp, Seq("fp"), "left")
       .join(bkeep, "fp")
       .join(near, Seq("doc_id"), "left")

@@ -101,6 +101,38 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("containmentPrefix is lossless vs brute directed containment on random corpora") {
+    // same adversarial regime as the jaccardPrefix property: tiny
+    // vocabulary => dense overlaps, plus a planted exact duplicate
+    // (duplicates contain each other at 10000 both directions)
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(4, 9).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(12, doc), 4).zipWithIndex.foreach { case (texts, si) =>
+      val docs = (texts :+ texts.head)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.Dedup.containmentPrefix(docs)
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, c) => ((a, b), c) }.toMap
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ")
+        (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val byId = (texts :+ texts.head).zipWithIndex
+        .map { case (t, i) => i.toLong -> sh(t) }.toMap
+      val want = (for {
+        a <- byId.keys; b <- byId.keys if a != b
+        sa = byId(a); sb = byId(b)
+        if sa.nonEmpty
+        c = (sa & sb).size
+        bp = c.toLong * 10000L / sa.size
+        if bp >= 8000L
+      } yield ((a, b), bp)).toMap
+      assert(got == want, s"seed $si: containment prefix join diverged from brute")
+    }
+  }
+
   test("NfcNormalize is idempotent and length-bounded on arbitrary unicode") {
     val gen = Gen.listOfN(12,
       Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\u00e9', '\u0301', '\u00fc',
