@@ -1564,6 +1564,127 @@ object SparkEntry {
           Relational.moneySum(col("o_totalprice")).as("revenue"))
         .orderBy("priority")
     }),
+
+    // EXT Count-Min frequency sketch: point-frequency estimates from
+    // depth×width (3×1024) counters — the KB-sized per-shard frequency
+    // summary a 100 TB pipeline keeps when the key universe can't be
+    // materialized. Probes = the exact global top-20 tokens, so the
+    // output exposes estimate vs truth (est ≥ true always; both sides
+    // compute the identical portable-hash cells, so even the collision
+    // overcounts are hash-checked).
+    "sketch_cms" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(graft.functions.Texty.tokens(col("text"))).as("tk"))
+        .filter(col("tk") =!= "")
+      val counters = graft.ops.Sketches.cmsBuild(tok, "tk")
+      val top = tok.groupBy("tk").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), asc("tk")).limit(20)
+      graft.ops.Sketches.cmsEstimate(counters, top.select("tk"), "tk")
+        .join(top, "tk")
+        .select(col("tk").as("token"), col("true_cnt"), col("cms_est"))
+        .orderBy(desc("true_cnt"), asc("token"))
+    }),
+
+    // EXT Bloom-filter semi-join reduction: the runtime-filter shape —
+    // build an 8 KB filter over the filtered dim's keys, prune the fact
+    // SCAN with a codegen'd membership predicate (no join, no shuffle),
+    // then let the exact semi join kill the false positives. Result is
+    // EXACT (oracle = plain IN-subquery); what the Bloom pass changes is
+    // that at 100 TB the shuffle carries ~selectivity of the fact table
+    // instead of all of it. SketchesSpec asserts the pruning actually
+    // prunes (candidates ≪ fact, ⊇ true matches).
+    "join_bloom_prune" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      graft.ops.Sketches.bloomPrunedSemiJoin(
+          t(s, dir, "orders"), dim, "o_custkey", "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // EXT incremental materialized-view maintenance: the standing
+    // per-user stats view (built from 90% of events) is refreshed with a
+    // delta batch (the other 10%) by merging PARTIAL AGGREGATES —
+    // Cdc.mergeAggState re-sums/re-mins the state tables without
+    // rescanning base. Oracle = the full recompute over all events: the
+    // merge must be indistinguishable from it, which is the MV
+    // correctness contract. O(|delta| + |view|) per refresh at 100 TB.
+    "mv_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val withCols = ev.select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        graft.ops.Events.tsUs(ev).as("us"))
+      def pagg(df: DataFrame) = df.groupBy("user_id").agg(
+        count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+        min("us").as("min_us"), max("us").as("max_us"))
+      graft.ops.Cdc.mergeAggState(Seq("user_id"),
+          pagg(withCols.filter(col("event_id") % 10 =!= 0)),
+          pagg(withCols.filter(col("event_id") % 10 === 0)))
+        .orderBy("user_id")
+    }),
+
+    // EXT multi-source BFS hop distances over the min-support-2
+    // co-purchase graph (same graph as graph_pagerank): distance from
+    // the seed set {node % 101 = 0} capped at 4 hops — link-distance-
+    // from-trusted-set as a curation signal. Frontier rounds broadcast
+    // only the frontier; the oracle is a recursive CTE taking min(d).
+    "graph_bfs" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      val seeds = pairs.select(col("da").as("node"))
+        .union(pairs.select(col("db").as("node")))
+        .filter(col("node") % 101 === 0).distinct()
+      graft.ops.Graphs.bfsHops(pairs, seeds, maxHops = 4)
+    }),
+
+    // EXT gaps-and-islands: per-user consecutive-active-day streaks via
+    // the day − row_number() constant-difference trick — no self-join,
+    // no iteration, one user-keyed window pass over the (user, day)
+    // dedup. The engagement-streak surface of an analytics store.
+    "events_streaks" -> ((s, dir) =>
+      graft.ops.Events.streaks(t(s, dir, "events"))),
+
+    // EXT fuzzy entity resolution: blocked candidate generation (4-char
+    // prefix blocks survive the controlled corruption) scored with the
+    // codegen'd Jaro-Winkler expression — Spark ships levenshtein but no
+    // JW, so this is functions/JaroWinkler.scala, pinned bit-compatible
+    // with DuckDB's jaro_winkler_similarity. Two INDEPENDENT
+    // implementations agreeing on every rounded basis-point score is the
+    // oracle (the NFC-normalizer discipline). Queries are entity names
+    // with one deterministically-deleted character past the block
+    // prefix; threshold is applied to the rounded integer score so both
+    // engines cut identically.
+    "er_fuzzy_match" -> ((s, dir) => {
+      val ents = t(s, dir, "part").select(col("p_partkey"),
+        concat(col("p_name"), lit("-"),
+          (col("p_partkey") % 1000).cast("string")).as("name"))
+      val dirty = ents.filter(col("p_partkey") % 37 === 0)
+        .withColumn("pos",
+          (lit(5) + col("p_partkey") % (length(col("name")) - lit(5))).cast("int"))
+        .select(col("p_partkey").as("q_key"),
+          concat(expr("substring(name, 1, pos)"),
+            expr("substring(name, pos + 2, 1000000)")).as("dirty"))
+      broadcast(dirty.withColumn("blk", substring(col("dirty"), 1, 4)))
+        .join(ents.select(col("p_partkey").as("cand_key"), col("name"))
+          .withColumn("blk", substring(col("name"), 1, 4)), "blk")
+        .withColumn("jw_bp",
+          round(graft.functions.JaroWinkler(col("dirty"), col("name")) * 10000)
+            .cast("long"))
+        .filter(col("jw_bp") >= 9000)
+        .select("q_key", "cand_key", "jw_bp")
+        .orderBy("q_key", "cand_key")
+    }),
   )
 
   // ---- Portable-hash oracle SQL (generated from the SAME constants the
@@ -1775,6 +1896,70 @@ object SparkEntry {
        | $steps
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY node""".stripMargin
   }
+
+  /** Count-Min cells in SQL: the same rolling hash as fp_feature_hash's
+    * oracle and the same affine row hashes as [[graft.ops.Sketches]]
+    * (coefficients inlined from the shared Portable constants), so every
+    * counter — including collision overcounts — is re-derived
+    * independently and hash-compared. */
+  private def cmsOracle: String = {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    import graft.ops.Sketches.{CmsDepth, CmsSeedBase, CmsWidth}
+    val aCase = (0 until CmsDepth)
+      .map(r => s"WHEN $r THEN ${aCoef(CmsSeedBase + r)}").mkString(" ")
+    val bCase = (0 until CmsDepth)
+      .map(r => s"WHEN $r THEN ${bCoef(CmsSeedBase + r)}").mkString(" ")
+    val rows = (0 until CmsDepth).mkString(", ")
+    def bucket(h: String) =
+      s"((CASE rr.r $aCase END * $h + CASE rr.r $bCase END) % $P1) % $CmsWidth"
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+       | cnt AS (SELECT tk, count(*) AS true_cnt FROM tok
+       |         WHERE tk <> '' GROUP BY 1),
+       | h AS (SELECT tk, true_cnt,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split_regex(tk, ''),
+       |            c -> CAST(ascii(c) AS BIGINT))),
+       |          (a, x) -> (a * 31 + x) % 1000000007) AS h1
+       |       FROM cnt),
+       | cells AS (SELECT rr.r AS r, ${bucket("h.h1")} AS bucket, h.true_cnt
+       |           FROM h CROSS JOIN (SELECT unnest([$rows]) AS r) rr),
+       | counters AS (SELECT r, bucket, CAST(sum(true_cnt) AS BIGINT) AS counter
+       |              FROM cells GROUP BY 1, 2),
+       | top AS (SELECT tk, true_cnt FROM cnt
+       |         ORDER BY true_cnt DESC, tk LIMIT 20),
+       | probe AS (SELECT h.tk, h.true_cnt, rr.r AS r, ${bucket("h.h1")} AS bucket
+       |           FROM h JOIN top USING (tk)
+       |           CROSS JOIN (SELECT unnest([$rows]) AS r) rr)
+       |SELECT p.tk AS token, p.true_cnt AS true_cnt,
+       |       CAST(min(c.counter) AS BIGINT) AS cms_est
+       |FROM probe p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+       |GROUP BY 1, 2 ORDER BY true_cnt DESC, token""".stripMargin
+  }
+
+  /** BFS oracle: the pagerank pair-graph CTEs + a recursive walk carrying
+    * (node, depth); UNION (distinct) bounds the walk at |V|·maxHops rows
+    * and min(d) recovers the hop distance. */
+  private def bfsOracle: String =
+    s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
+       |           FROM capped a JOIN capped b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |           GROUP BY 1, 2 HAVING count(*) >= 2),
+       | sym AS (SELECT da AS src, db AS dst FROM pairs
+       |         UNION SELECT db, da FROM pairs),
+       | seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 101 = 0),
+       | walk(node, d) AS (
+       |   SELECT node, CAST(0 AS BIGINT) FROM seeds
+       |   UNION
+       |   SELECT s.dst, w.d + 1 FROM walk w JOIN sym s ON s.src = w.node
+       |   WHERE w.d < 4)
+       |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk
+       |GROUP BY 1 ORDER BY node""".stripMargin
 
   /** Morton interleave as generated bit arithmetic — bit i of x at
     * position 2i, bit i of y at 2i+1, matching ZOrder.mortonKey. */
@@ -2544,6 +2729,68 @@ object SparkEntry {
                 count(*) AS cnt,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM u GROUP BY 1 ORDER BY priority""",
+
+    "sketch_cms" -> cmsOracle,
+    "graph_bfs" -> bfsOracle,
+
+    // the Bloom pass is pruning plumbing with zero false negatives and
+    // an exact downstream join — the oracle is the plain semi join it
+    // must be indistinguishable from (SketchesSpec covers the filter
+    // mechanics themselves)
+    "join_bloom_prune" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+         GROUP BY 1 ORDER BY o_orderpriority""",
+
+    // the MV correctness contract: merged partial aggregates must be
+    // indistinguishable from the full recompute — so the oracle IS the
+    // full recompute
+    "mv_incremental" ->
+      """SELECT user_id, count(*) AS cnt,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+         FROM events GROUP BY 1 ORDER BY user_id""",
+
+    "events_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day FROM events),
+         isl AS (SELECT user_id, day,
+                        day - row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY day) AS island
+                 FROM d),
+         runs AS (SELECT user_id, island, count(*) AS len
+                  FROM isl GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_streaks,
+                CAST(max(len) AS BIGINT) AS longest_streak,
+                CAST(sum(len) AS BIGINT) AS active_days
+         FROM runs GROUP BY 1 ORDER BY user_id""",
+
+    // two independent Jaro-Winkler implementations (the codegen kernel
+    // vs DuckDB's) must agree on every rounded basis-point score — the
+    // same cross-engine discipline as dedup_unicode_nfc. ASCII-bound on
+    // the oracle side only (DuckDB scores bytes; the corpus is ASCII).
+    "er_fuzzy_match" ->
+      """WITH e AS (SELECT p_partkey,
+                           p_name || '-' || CAST(p_partkey % 1000 AS VARCHAR) AS name
+                    FROM part),
+         q AS (SELECT p_partkey AS q_key, name,
+                      CAST(5 + p_partkey % (length(name) - 5) AS INT) AS pos
+               FROM e WHERE p_partkey % 37 = 0),
+         qd AS (SELECT q_key,
+                       substring(name, 1, pos) || substring(name, pos + 2, 1000000)
+                         AS dirty
+                FROM q),
+         cand AS (SELECT qd.q_key, e.p_partkey AS cand_key,
+                         CAST(round(jaro_winkler_similarity(qd.dirty, e.name)
+                                    * 10000) AS BIGINT) AS jw_bp
+                  FROM qd JOIN e
+                    ON substring(qd.dirty, 1, 4) = substring(e.name, 1, 4))
+         SELECT q_key, cand_key, jw_bp FROM cand
+         WHERE jw_bp >= 9000
+         ORDER BY q_key, cand_key""",
 
     "corpus_mix" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,

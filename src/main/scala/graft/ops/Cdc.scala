@@ -115,4 +115,35 @@ object Cdc {
         col("valid_to_us").isNull.cast("long").as("is_current"))
       .orderBy(col(key), col("valid_from_us"), col(seq))
   }
+
+  /** Incremental materialized-view maintenance for self-maintainable
+    * aggregates: merge any number of PARTIALLY AGGREGATED state tables
+    * (the standing view + each new delta batch's partial agg) into the
+    * view that a full recompute over base ∪ deltas would produce —
+    * without ever rescanning base. Merge rules are by column-name
+    * convention, the same algebra Spark's own partial/final
+    * HashAggregate uses internally, surfaced as a library op:
+    * `cnt`/`sum_*` re-SUM, `min_*` re-MIN, `max_*` re-MAX (all
+    * decomposable aggregates; AVG is derived downstream as sum/cnt,
+    * never merged directly — the classic non-decomposable trap).
+    *
+    * The 100 TB argument IS this op: refreshing a corpus-wide stats view
+    * costs O(|delta| + |view|) instead of O(|base|), so per-view cells
+    * (not per-event rows) cross the one shuffle. Insert-only deltas
+    * only — MIN/MAX are not maintainable under deletes (a delete of the
+    * current extremum needs the base rescan this op exists to avoid;
+    * route deletes through [[apply]] + recompute instead). */
+  def mergeAggState(key: Seq[String], parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one state table")
+    val all = parts.reduce(_.unionByName(_))
+    val aggs = all.columns.filterNot(key.contains).toSeq.map { c =>
+      if (c == "cnt" || c.startsWith("sum_")) sum(col(c)).as(c)
+      else if (c.startsWith("min_")) min(col(c)).as(c)
+      else if (c.startsWith("max_")) max(col(c)).as(c)
+      else throw new IllegalArgumentException(
+        s"no merge rule for column '$c' — name it cnt/sum_*/min_*/max_* " +
+          "or drop it from the state tables")
+    }
+    all.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -370,4 +370,39 @@ object Events {
       .select("event_id", "user_id", "filled_cents")
       .orderBy("event_id")
   }
+
+  /** Gaps-and-islands over per-user activity: collapse events to distinct
+    * active DAYS, then the classic `day − row_number()` trick — within a
+    * user, consecutive days share the constant difference, so the
+    * difference IS the island key (no self-join, no iteration). Output
+    * per user: number of distinct streaks, longest streak length in
+    * days, and total active days — the engagement-streak surface every
+    * analytics store ships.
+    *
+    * Day = `epoch_us div 86_400_000_000` (floor): pure integer epoch
+    * arithmetic, so the grouping is timezone-free and exactly
+    * reproducible in the oracle (the epoch-us portability contract in
+    * this file's header). Shuffle budget: one (user, day) dedup that
+    * partial-aggregates map-side, then ONE user-keyed sort-window pass
+    * whose input is active-days-sized (≪ event count); the two
+    * aggregations after it reuse the same user partitioning.
+    */
+  def streaks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val us = tsUs(events)
+    // exact floor division: subtract the remainder first so the one
+    // double division is over an exact multiple (us < 2^53, lossless)
+    val day = ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("long")
+    events
+      .select(col("user_id"), day.as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
 }

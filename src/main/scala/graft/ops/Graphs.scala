@@ -158,4 +158,51 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
       .orderBy("node")
   }
+
+  /** Multi-source BFS hop distances over an undirected simple graph:
+    * (node, dist) for every node within `maxHops` of any seed, dist =
+    * the MINIMUM hop count (0 for the seeds themselves). The
+    * shortest-path companion to [[pagerankInt]]/[[triangleCounts]] —
+    * curation uses it as link-distance-from-trusted-set (domain
+    * whitelist expansion, contamination blast-radius).
+    *
+    * Frontier algorithm, not iterated full-relaxation: round h joins
+    * ONLY the previous frontier against the edge list and anti-joins
+    * the visited set, so each round's work is proportional to the
+    * frontier's edge neighborhood, not |V| — and because BFS layers are
+    * definitionally disjoint, a node's first discovery IS its shortest
+    * distance (no min-combine pass needed). The frontier is broadcast
+    * (bounded by the seed neighborhood's growth; same |V|-vocabulary
+    * argument as pagerankInt's contrib — co-partition edges by src
+    * instead if frontiers outgrow broadcast), the cached symmetric edge
+    * table never shuffles, and lineage is truncated per round with
+    * localCheckpoint exactly like [[Dedup.resolveClusters]]. Rounds =
+    * maxHops (graph diameter when uncapped) — the O(d) scheduling
+    * pattern shared by every iterative op in this family.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, a: String = "da",
+      b: String = "db", seedCol: String = "node", maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var h = 1
+    while (h <= maxHops) {
+      val next = sym
+        .join(broadcast(frontier.select(col("node").as("src"))), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    sym.unpersist()
+    visited.orderBy("node")
+  }
 }

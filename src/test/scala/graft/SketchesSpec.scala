@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.FuzzyKernels
+import graft.ops.{Cdc, Events, Graphs, Sketches}
+
+/** Round-5 operator family: Count-Min sketch, Bloom semi-join reduction,
+  * incremental MV maintenance, BFS hop distances, activity streaks, and
+  * the Jaro-Winkler kernel. Each test pins the op's defining invariant
+  * (CMS never undercounts, Bloom never false-negatives, the MV merge is
+  * indistinguishable from a recompute, BFS = brute shortest path); the
+  * cross-engine value checks live in the driver oracle gate.
+  */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Jaro-Winkler kernel ------------------------------------------
+  // Expected values pinned by probing DuckDB's jaro_winkler_similarity
+  // directly (see functions/JaroWinkler.scala scaladoc) — the kernel
+  // must be bit-identical for the er_fuzzy_match oracle to hold.
+
+  private def jw(a: String, b: String): Double =
+    FuzzyKernels.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("jaroWinkler: DuckDB-pinned values, bit-exact") {
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("jellyfish", "smellyfish") == 0.8962962962962964)
+    assert(jw("kitten", "sitting") == 0.746031746031746)
+    assert(jw("DwAyNE", "DuANE") == 0.8400000000000001)
+    assert(jw("ab", "abcdefghij") == 0.7866666666666667)
+    // integer-halved transpositions (t=1, not the textbook 1.5)
+    assert(FuzzyKernels.jaro("abcdef", "bcadef") == 0.9444444444444445)
+    // boost gate is STRICT > 0.7: jaro here is exactly 0.6, no bonus
+    // despite the 4-char common prefix
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") == 0.6)
+    // window = max(0, max/2 - 1): adjacent transposed 2-char strings
+    // share no in-window match at all
+    assert(jw("ab", "ba") == 0.0)
+    assert(jw("a", "a") == 1.0)
+  }
+
+  test("jaroWinkler: edges + algebraic properties") {
+    assert(jw("", "") == 0.0) // DuckDB scores empty-vs-anything 0
+    assert(jw("", "abc") == 0.0)
+    assert(jw("abc", "") == 0.0)
+    val rnd = new scala.util.Random(42)
+    def word() = (0 until 1 + rnd.nextInt(12))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (1 to 500).foreach { _ =>
+      val (a, b) = (word(), word())
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"out of range: jw($a, $b) = $s")
+      assert(s == jw(b, a), s"asymmetric on ($a, $b)")
+      assert(jw(a, a) == 1.0)
+      assert(FuzzyKernels.jaro(a, b) <= s) // boost never decreases
+    }
+  }
+
+  // ---- Count-Min sketch ---------------------------------------------
+
+  test("cms: never undercounts, and is exact absent collisions") {
+    val occ = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(explode(graft.functions.Texty.tokens(col("text"))).as("tk"))
+      .filter(col("tk") =!= "")
+    val counters = Sketches.cmsBuild(occ, "tk").cache()
+    // state is bounded by depth × width no matter the corpus size —
+    // the entire point of the sketch
+    assert(counters.count() <= Sketches.CmsDepth * Sketches.CmsWidth)
+    val truth = occ.groupBy("tk").agg(count(lit(1)).as("true_cnt"))
+    val est = Sketches.cmsEstimate(counters, truth.select("tk"), "tk")
+    val joined = est.join(truth, "tk")
+      .select(col("tk"), col("cms_est"), col("true_cnt"))
+      .as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (tk, e, t) =>
+      assert(e >= t, s"CMS undercounted '$tk': est $e < true $t")
+    }
+    // with ~vocab distinct tokens vs 3×1024 cells, at least SOME tokens
+    // must estimate exactly (a token overcounts only if it collides in
+    // ALL depth rows)
+    assert(joined.count { case (_, e, t) => e == t } > 0)
+    counters.unpersist()
+  }
+
+  test("cms: unseen key with an untouched cell estimates low") {
+    val occ = Seq("a", "a", "b").toDF("tk")
+    val counters = Sketches.cmsBuild(occ, "tk")
+    val est = Sketches.cmsEstimate(counters,
+      Seq("zqx-never-seen").toDF("tk"), "tk")
+      .as[(String, Long)].collect().head
+    // 2 distinct keys into 3×1024 cells: the probe cannot collide with
+    // both in every row — min over rows lands on an empty cell
+    assert(est._2 == 0L)
+  }
+
+  // ---- Bloom semi-join reduction ------------------------------------
+
+  test("bloom: no false negatives; pruning actually prunes") {
+    val dim = spark.read.parquet(s"$sf001/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val fact = spark.read.parquet(s"$sf001/orders.parquet")
+    val words = Sketches.bloomBuild(dim, "c_custkey")
+    // every dim key passes its own filter — the no-false-negative law
+    assert(dim.filter(!Sketches.bloomMightContain(col("c_custkey"), words))
+      .count() == 0L)
+    val candidates = fact
+      .filter(Sketches.bloomMightContain(col("o_custkey"), words)).count()
+    val exact = fact.join(dim.select(col("c_custkey").as("o_custkey")),
+      Seq("o_custkey"), "semi").count()
+    val total = fact.count()
+    assert(candidates >= exact, "bloom dropped a true match")
+    assert(candidates < total,
+      s"bloom pruned nothing: $candidates of $total")
+    // composed reducer is EXACT
+    assert(Sketches.bloomPrunedSemiJoin(fact, dim, "o_custkey", "c_custkey")
+      .count() == exact)
+  }
+
+  // ---- incremental MV maintenance -----------------------------------
+
+  test("mergeAggState: 3-way merge ≡ full recompute") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val rows = ev.select(col("user_id"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"),
+      Events.tsUs(ev).as("us"))
+    def pagg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").agg(count(lit(1)).as("cnt"),
+        sum("cents").as("sum_cents"),
+        min("us").as("min_us"), max("us").as("max_us"))
+    val merged = Cdc.mergeAggState(Seq("user_id"),
+      pagg(rows.filter(col("event_id") % 3 === 0)),
+      pagg(rows.filter(col("event_id") % 3 === 1)),
+      pagg(rows.filter(col("event_id") % 3 === 2)))
+    assert(merged.exceptAll(pagg(rows)).isEmpty &&
+      pagg(rows).exceptAll(merged).isEmpty)
+  }
+
+  test("mergeAggState: refuses columns without a merge rule") {
+    val st = Seq((1L, 2L, 3.0)).toDF("k", "cnt", "avg_value")
+    intercept[IllegalArgumentException] {
+      Cdc.mergeAggState(Seq("k"), st)
+    }
+  }
+
+  // ---- BFS hop distances --------------------------------------------
+
+  test("bfsHops: equals brute shortest paths on a known graph") {
+    // 1-2-3-4-5 path, 10-11 separate component, 6 dangling off 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (10L, 11L)).toDF("da", "db")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graphs.bfsHops(edges, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L, 4L -> 3L))
+    // 5 is 4 hops out (beyond cap), 10/11 unreachable: absent
+  }
+
+  test("bfsHops: multi-source takes the minimum over seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("da", "db")
+    val got = Graphs.bfsHops(edges, Seq(1L, 4L).toDF("node"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  // ---- gaps-and-islands streaks --------------------------------------
+
+  test("streaks: hand-computed islands") {
+    val us = (day: Long, k: Long) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400 + k))
+    // user 1: days 10,11,12 + 20,21 -> 2 streaks, longest 3, active 5
+    // user 2: day 10 three times -> 1 streak of 1
+    val ev = (Seq((1L, us(10, 0)), (1L, us(10, 5000)), (1L, us(11, 3)),
+      (1L, us(12, 9)), (1L, us(20, 1)), (1L, us(21, 2)),
+      (2L, us(10, 1)), (2L, us(10, 2)), (2L, us(10, 3))))
+      .toDF("user_id", "ts")
+    val got = Events.streaks(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 5L), (2L, 1L, 1L, 1L)))
+  }
+}
