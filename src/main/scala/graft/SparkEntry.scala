@@ -88,6 +88,9 @@ object SparkEntry {
     * oracle; this corpus's baskets are ≤ 7, so nothing is dropped). */
   val CopurchaseMaxBasket = 64
 
+  /** Pick count for fp_pps_sample (shared with its generated oracle). */
+  val PpsSampleK = 50
+
   /** Deterministic loan-shaped table synthesized from orders — the input
     * of the `loan_t*` queries, exercising [[graft.ops.LoanWorkload]] (the
     * reference's actual T1–T3 API) against driver oracles. Every derived
@@ -1665,6 +1668,41 @@ object SparkEntry {
     // with one deterministically-deleted character past the block
     // prefix; threshold is applied to the rounded integer score so both
     // engines cut identically.
+    // EXT systematic PPS sampling: exactly-k size-weighted picks from a
+    // distributed prefix sum over the portable-hash order — the integer,
+    // engine-reproducible alternative to exponential-race weighted
+    // reservoirs (whose -ln(u)/w keys are ULP roulette). Heavy docs can
+    // be picked multiple times (PPS-with-replacement convention).
+    "fp_pps_sample" -> ((s, dir) =>
+      Features.ppsSample(
+        t(s, dir, "documents").select(col("doc_id"), length(col("text")).as("w")),
+        "doc_id", "w", k = PpsSampleK)),
+
+    // EXT file-level min/max data skipping without a table format: stage
+    // orders range-clustered on o_orderdate, derive the per-file stats
+    // manifest, answer a 6-month band query by scanning ONLY the files
+    // whose [min,max] intersects. Result is exact (residual filter on
+    // top), oracle = the plain band filter; SketchesSpec asserts the
+    // scan actually skips files. The Delta/Iceberg skipping mechanism
+    // as a library op.
+    "manifest_prune" -> ((s, dir) => {
+      val staged = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-manifest-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(staged)
+      graft.sources.Manifest.stageClustered(
+        t(s, dir, "orders"), staged, "o_orderdate", 8)
+      val mani = graft.sources.Manifest.buildManifest(s, staged, "o_orderdate")
+      graft.sources.Manifest.prunedBandRead(s, mani, staged, "o_orderdate",
+          to_timestamp(lit("1997-01-01 00:00:00")),
+          to_timestamp(lit("1997-07-01 00:00:00")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "er_fuzzy_match" -> ((s, dir) => {
       val ents = t(s, dir, "part").select(col("p_partkey"),
         concat(col("p_name"), lit("-"),
@@ -1934,6 +1972,26 @@ object SparkEntry {
        |       CAST(min(c.counter) AS BIGINT) AS cms_est
        |FROM probe p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
        |GROUP BY 1, 2 ORDER BY true_cnt DESC, token""".stripMargin
+  }
+
+  /** Systematic PPS oracle: the same portable-affine-hash layout order
+    * and integer threshold-counting as [[graft.ops.Features.ppsSample]]
+    * (aCoef/bCoef(13) inlined), with the prefix sum as a plain window —
+    * floor division on all-positive operands, so `//` ≡ Spark's `div`. */
+  private def ppsOracle: String = {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    s"""WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS wt,
+       |                  ((doc_id % $P1) * ${aCoef(13)} + ${bCoef(13)}) % $P1 AS ok
+       |           FROM documents),
+       | tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM w),
+       | c AS (SELECT doc_id, wt,
+       |              CAST(sum(wt) OVER (ORDER BY ok) AS BIGINT) AS cum
+       |       FROM w)
+       |SELECT doc_id, wt,
+       |       (cum * $PpsSampleK) // total - ((cum - wt) * $PpsSampleK) // total AS picks
+       |FROM c CROSS JOIN tot
+       |WHERE (cum * $PpsSampleK) // total - ((cum - wt) * $PpsSampleK) // total > 0
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** BFS oracle: the pagerank pair-graph CTEs + a recursive walk carrying
@@ -2732,6 +2790,18 @@ object SparkEntry {
 
     "sketch_cms" -> cmsOracle,
     "graph_bfs" -> bfsOracle,
+    "fp_pps_sample" -> ppsOracle,
+
+    // the manifest/pruning machinery changes which FILES are opened, not
+    // which rows qualify — the oracle is the band filter the result must
+    // exactly equal (SketchesSpec asserts the skipping itself)
+    "manifest_prune" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+         GROUP BY 1 ORDER BY o_orderpriority""",
 
     // the Bloom pass is pruning plumbing with zero false negatives and
     // an exact downstream join — the oracle is the plain semi join it

@@ -183,6 +183,52 @@ object Features {
   def naFill(df: DataFrame): DataFrame =
     df.na.fill(-1).na.fill("-1")
 
+  /** Systematic probability-proportional-to-size sampling: draw exactly
+    * `k` picks where each row's expected pick count is `k·w/Σw` — the
+    * size-weighted corpus subsampling primitive (sample documents
+    * proportional to token count, orders proportional to value) that
+    * `sampleBy` (per-stratum Bernoulli) cannot express. Fully integer
+    * and deterministic, hence oracle-able — the float-free alternative
+    * to exponential-race weighted reservoir sampling, whose `-ln(u)/w`
+    * keys are engine-specific ULP roulette.
+    *
+    * Mechanism: rows are laid on a line in portable-affine-hash order
+    * (the seeded systematic-sampling shuffle; hash of `key` is injective
+    * mod P1 for keys < P1 so the order is total), each row occupying an
+    * interval of length `w` in the prefix-sum; row r is picked once per
+    * threshold multiple of Σw/k inside its interval:
+    * `picks(r) = ⌊cum·k/Σw⌋ − ⌊(cum−w)·k/Σw⌋`. Rows heavier than Σw/k
+    * can be picked multiple times (the PPS-with-replacement convention;
+    * callers wanting ≤1 cap the weight first). Σ picks = k exactly.
+    *
+    * Scale: one distributed prefix sum ([[withRunningTotal]] — per-slice
+    * windows + a broadcast offsets table, no single-partition pass over
+    * raw rows) plus a broadcast 1-row total. Overflow guard: cum·k must
+    * stay under 2⁶³ — with Σw ≤ 9·10¹⁵ (a petabyte-scale char count)
+    * and k ≤ 10³ the product is ≤ 9·10¹⁸·0.001; the require below
+    * enforces it rather than silently wrapping. */
+  def ppsSample(df: DataFrame, key: String, weight: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    val ok = (col(key).cast("long") % lit(P1) * lit(aCoef(13)) + lit(bCoef(13))) % lit(P1)
+    val laid = df.select(col(key), col(weight).cast("long").as("wt"),
+      ok.as("__ok"))
+    val cum = withRunningTotal(laid, "__ok", "wt", "cum")
+    val tot = laid.agg(sum("wt").as("total"))
+      .select(col("total"),
+        assert_true(col("total") <= lit(Long.MaxValue / k),
+          lit("pps overflow: total weight * k exceeds 2^63")).as("__guard"))
+    cum.join(broadcast(tot))
+      // __guard is always NULL when the overflow check passes (assert_true
+      // throws otherwise); routing picks through it forces the evaluation
+      .withColumn("picks", when(col("__guard").isNull,
+        expr(s"(cum * $k) div total - ((cum - wt) * $k) div total")))
+      .filter(col("picks") > 0)
+      .select(col(key), col("wt"), col("picks"))
+      .orderBy(key)
+  }
+
   /** Deterministic hash split — the reproducible train/test partition a
     * data pipeline needs instead of `randomSplit` (which reshuffles on
     * every run and every partitioning change): a row's split depends only

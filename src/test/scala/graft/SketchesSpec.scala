@@ -166,6 +166,95 @@ class SketchesSpec extends SparkTestBase {
     assert(got == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  // ---- systematic PPS sampling ---------------------------------------
+
+  test("ppsSample: exactly k picks, heavy rows favored, deterministic") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("w"))
+    val k = 50
+    val got = graft.ops.Features.ppsSample(docs, "doc_id", "w", k)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._3).sum == k, "systematic PPS must emit exactly k picks")
+    assert(got.forall(_._3 >= 1))
+    // determinism: same input -> identical sample (no rand() anywhere)
+    val again = graft.ops.Features.ppsSample(docs, "doc_id", "w", k)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == again)
+    // size-weighting: every row heavier than 2·Σw/k MUST be picked
+    // (its interval contains at least one threshold)
+    val total = docs.agg(sum("w")).as[Long].collect().head
+    val mustPick = docs.filter(col("w") * k >= lit(2L * total))
+      .select("doc_id").as[Long].collect().toSet
+    assert(mustPick.subsetOf(got.map(_._1).toSet))
+  }
+
+  test("ppsSample: matches a single-partition window recompute") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("w"))
+      .filter(col("doc_id") % 7 === 0) // small slice, cheap brute
+    val k = 9
+    val got = graft.ops.Features.ppsSample(docs, "doc_id", "w", k)
+      .as[(Long, Long, Long)].collect().toSeq
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    val rows = docs.as[(Long, Int)].collect()
+      .map { case (id, w) => (id, w.toLong, (id % P1 * aCoef(13) + bCoef(13)) % P1) }
+      .sortBy(_._3)
+    val total = rows.map(_._2).sum
+    var cum = 0L
+    val brute = rows.flatMap { case (id, w, _) =>
+      val prev = cum; cum += w
+      val picks = cum * k / total - prev * k / total
+      if (picks > 0) Some((id, w, picks)) else None
+    }.sortBy(_._1).toSeq
+    assert(got == brute)
+  }
+
+  // ---- file-level min/max skipping -----------------------------------
+
+  test("manifest: band read skips files and equals the plain filter") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-manifest-spec").toString
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    graft.sources.Manifest.stageClustered(orders, tmp, "o_orderdate", 8)
+    val mani = graft.sources.Manifest
+      .buildManifest(spark, tmp, "o_orderdate").cache()
+    assert(mani.count() == 8) // one stats row per staged file
+    val lo = to_timestamp(lit("1997-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1997-07-01 00:00:00"))
+    // a 6-month band of a ~6.5-year range must NOT need all 8 files
+    val files = graft.sources.Manifest.qualifyingFiles(mani, lo, hi)
+    assert(files.length < 8 && files.nonEmpty,
+      s"range clustering should localize the band: ${files.length} of 8")
+    val pruned = graft.sources.Manifest
+      .prunedBandRead(spark, mani, tmp, "o_orderdate", lo, hi)
+    val direct = orders.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    assert(pruned.count() == direct.count())
+    assert(pruned.select("o_orderkey").exceptAll(direct.select("o_orderkey")).isEmpty)
+    mani.unpersist()
+    val rm: java.io.File => Unit = { f =>
+      def go(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles).toSeq.flatten.foreach(go)
+        p.delete(): Unit
+      }
+      go(f)
+    }
+    rm(new java.io.File(tmp))
+  }
+
+  test("manifest: empty band yields empty result with the right schema") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-manifest-spec-empty").toString
+    val orders = spark.read.parquet(s"$sf001/orders.parquet").limit(100)
+    graft.sources.Manifest.stageClustered(orders, tmp, "o_orderdate", 2)
+    val mani = graft.sources.Manifest.buildManifest(spark, tmp, "o_orderdate")
+    val got = graft.sources.Manifest.prunedBandRead(spark, mani, tmp,
+      "o_orderdate",
+      to_timestamp(lit("2050-01-01 00:00:00")),
+      to_timestamp(lit("2051-01-01 00:00:00")))
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == orders.columns.toSeq)
+  }
+
   // ---- gaps-and-islands streaks --------------------------------------
 
   test("streaks: hand-computed islands") {
