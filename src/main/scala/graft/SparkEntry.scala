@@ -1576,12 +1576,17 @@ object SparkEntry {
     // compute the identical portable-hash cells, so even the collision
     // overcounts are hash-checked).
     "sketch_cms" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
+      // one corpus scan: the vocabulary-sized count table feeds the
+      // sketch (weighted build), the top-20 probe set AND the truth
+      // column; localCheckpoint stops the three consumers from each
+      // replaying the scan+shuffle
+      val counts = t(s, dir, "documents")
         .select(explode(graft.functions.Texty.tokens(col("text"))).as("tk"))
         .filter(col("tk") =!= "")
-      val counters = graft.ops.Sketches.cmsBuild(tok, "tk")
-      val top = tok.groupBy("tk").agg(count(lit(1)).as("true_cnt"))
-        .orderBy(desc("true_cnt"), asc("tk")).limit(20)
+        .groupBy("tk").agg(count(lit(1)).as("true_cnt"))
+        .localCheckpoint()
+      val counters = graft.ops.Sketches.cmsBuildWeighted(counts, "tk", "true_cnt")
+      val top = counts.orderBy(desc("true_cnt"), asc("tk")).limit(20)
       graft.ops.Sketches.cmsEstimate(counters, top.select("tk"), "tk")
         .join(top, "tk")
         .select(col("tk").as("token"), col("true_cnt"), col("cms_est"))

@@ -47,15 +47,27 @@ object Sketches {
     * rolling hash so the oracle can re-derive every cell. */
   def cmsBuild(occurrences: DataFrame, keyCol: String,
       depth: Int = CmsDepth, width: Long = CmsWidth,
+      seedBase: Int = CmsSeedBase): DataFrame =
+    cmsBuildWeighted(occurrences.select(col(keyCol), lit(1L).as("__w")),
+      keyCol, "__w", depth, width, seedBase)
+
+  /** [[cmsBuild]] from PRE-AGGREGATED (key, count) rows — when a
+    * per-key count table already exists (or the consumer needs it
+    * anyway, as sketch_cms does for its truth column), feeding it here
+    * means the raw occurrences are scanned once for the counts and the
+    * sketch is derived from the vocabulary-sized table, not a second
+    * pass over the corpus. Hashes each distinct key once. */
+  def cmsBuildWeighted(counts: DataFrame, keyCol: String, cntCol: String,
+      depth: Int = CmsDepth, width: Long = CmsWidth,
       seedBase: Int = CmsSeedBase): DataFrame = {
-    occurrences
-      .select(Texty.rollingHash(col(keyCol)).as("h"))
+    counts
+      .select(Texty.rollingHash(col(keyCol)).as("h"), col(cntCol).as("__w"))
       .select(explode(array((0 until depth).map { r =>
         struct(lit(r).as("r"),
           affineBucket(col("h"), seedBase + r, width).as("bucket"))
-      }: _*)).as("c"))
+      }: _*)).as("c"), col("__w"))
       .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
-      .agg(count(lit(1)).as("counter"))
+      .agg(sum("__w").as("counter"))
   }
 
   /** Point-frequency estimates for `probes` (distinct string keys in
