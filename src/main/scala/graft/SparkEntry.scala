@@ -1663,16 +1663,22 @@ object SparkEntry {
     "events_streaks" -> ((s, dir) =>
       graft.ops.Events.streaks(t(s, dir, "events"))),
 
-    // EXT fuzzy entity resolution: blocked candidate generation (4-char
-    // prefix blocks survive the controlled corruption) scored with the
-    // codegen'd Jaro-Winkler expression — Spark ships levenshtein but no
-    // JW, so this is functions/JaroWinkler.scala, pinned bit-compatible
-    // with DuckDB's jaro_winkler_similarity. Two INDEPENDENT
-    // implementations agreeing on every rounded basis-point score is the
-    // oracle (the NFC-normalizer discipline). Queries are entity names
-    // with one deterministically-deleted character past the block
-    // prefix; threshold is applied to the rounded integer score so both
-    // engines cut identically.
+    // EXT portable HyperLogLog: approx-distinct of l_orderkey over the
+    // lineitem occurrence stream from 1024 integer registers — unlike
+    // approx_count_distinct (engine-private HLL++, rows-only in
+    // profile_approx) every register, the scaled harmonic sum AND the
+    // rounded estimate are reproduced by the DuckDB twin, so the sketch
+    // itself is hash-checked. Output includes the exact distinct count
+    // and err_bp — the estimator's accuracy is part of the result.
+    "sketch_hll_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.ops.Sketches.hllSummary(
+          graft.ops.Sketches.hllRegisters(li.select("l_orderkey"), "l_orderkey"))
+        .crossJoin(li.agg(countDistinct("l_orderkey").as("true_distinct")))
+        .withColumn("err_bp",
+          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
+    }),
+
     // EXT systematic PPS sampling: exactly-k size-weighted picks from a
     // distributed prefix sum over the portable-hash order — the integer,
     // engine-reproducible alternative to exponential-race weighted
@@ -1708,6 +1714,21 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // EXT fuzzy entity resolution: blocked candidate generation (4-char
+    // prefix blocks survive the controlled corruption) scored with the
+    // codegen'd Jaro-Winkler expression — Spark ships levenshtein but no
+    // JW, so this is functions/JaroWinkler.scala, pinned bit-compatible
+    // with DuckDB's jaro_winkler_similarity. Two INDEPENDENT
+    // implementations agreeing on every rounded basis-point score is the
+    // oracle (the NFC-normalizer discipline). Queries are entity names
+    // with one deterministically-deleted character past the block
+    // prefix; threshold is applied to the rounded integer score so both
+    // engines cut identically.
+    // SCALE NOTE: this corpus's 4-char name prefixes have FIXED
+    // cardinality, so block sizes (hence candidate pairs) grow with N —
+    // acceptable at sf scales; production ER must block on keys whose
+    // cardinality scales with the data (sorted neighborhood, phonetic +
+    // length bands) under the dedup family's bounded-candidate contract.
     "er_fuzzy_match" -> ((s, dir) => {
       val ents = t(s, dir, "part").select(col("p_partkey"),
         concat(col("p_name"), lit("-"),
@@ -1977,6 +1998,47 @@ object SparkEntry {
        |       CAST(min(c.counter) AS BIGINT) AS cms_est
        |FROM probe p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
        |GROUP BY 1, 2 ORDER BY true_cnt DESC, token""".stripMargin
+  }
+
+  /** Portable-HLL oracle: re-derives the quadratic two-prime hash, the
+    * 40-bit rho source, every register, the scaled harmonic sum and the
+    * single double division (C inlined as the same Scala double literal)
+    * — see [[graft.ops.Sketches.hllRegisters]] for why each step is
+    * shaped for cross-engine exactness. */
+  private def hllOracle: String = {
+    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
+    import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
+    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
+    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
+    val top = HllVBits + 1
+    s"""WITH q AS (SELECT l_orderkey % $P1 AS q1, l_orderkey % $P2 AS q2
+       |           FROM lineitem),
+       | h AS (SELECT ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
+       |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
+       |       FROM q),
+       | b AS (SELECT hv % $HllM AS bucket,
+       |              (hv // $HllM) % ${1L << HllVBits} AS v FROM h),
+       | r AS (SELECT bucket,
+       |              max(CASE WHEN v = 0 THEN $top
+       |                       ELSE $top - length(bin(v)) END) AS reg
+       |       FROM b GROUP BY 1),
+       | s AS (SELECT count(*) AS n_used,
+       |              sum(1::BIGINT << CAST($top - reg AS INT)) AS used_scaled
+       |       FROM r),
+       | t AS (SELECT count(DISTINCT l_orderkey) AS true_distinct FROM lineitem),
+       | f AS (SELECT n_used, $HllM - n_used AS zeros,
+       |              CAST(used_scaled
+       |                   + ($HllM - n_used) * (1::BIGINT << $top) AS BIGINT)
+       |                AS sum_scaled,
+       |              true_distinct
+       |       FROM s CROSS JOIN t)
+       |SELECT n_used, zeros, sum_scaled,
+       |       CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+       |         AS est_distinct,
+       |       true_distinct,
+       |       abs(CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+       |           - true_distinct) * 10000 // true_distinct AS err_bp
+       |FROM f""".stripMargin
   }
 
   /** Systematic PPS oracle: the same portable-affine-hash layout order
@@ -2794,6 +2856,7 @@ object SparkEntry {
          FROM u GROUP BY 1 ORDER BY priority""",
 
     "sketch_cms" -> cmsOracle,
+    "sketch_hll_distinct" -> hllOracle,
     "graph_bfs" -> bfsOracle,
     "fp_pps_sample" -> ppsOracle,
 

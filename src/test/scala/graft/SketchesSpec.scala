@@ -97,6 +97,47 @@ class SketchesSpec extends SparkTestBase {
     assert(est._2 == 0L)
   }
 
+  test("cms: shard sketches merge by cell-wise addition") {
+    val occ = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.functions.Texty.tokens(col("text"))).as("tk"))
+      .filter(col("tk") =!= "")
+    val full = Sketches.cmsBuild(occ.select("tk"), "tk")
+    val merged = Sketches.cmsBuild(occ.filter(col("doc_id") % 2 === 0).select("tk"), "tk")
+      .unionByName(Sketches.cmsBuild(occ.filter(col("doc_id") % 2 === 1).select("tk"), "tk"))
+      .groupBy("r", "bucket").agg(sum("counter").as("counter"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  // ---- portable HyperLogLog -----------------------------------------
+
+  test("hll: shard registers merge by cell-wise max; estimate in band") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val full = Sketches.hllRegisters(li.select("l_orderkey"), "l_orderkey")
+    val merged = Sketches
+      .hllRegisters(li.filter(col("l_orderkey") % 2 === 0)
+        .select("l_orderkey"), "l_orderkey")
+      .unionByName(Sketches.hllRegisters(li.filter(col("l_orderkey") % 2 === 1)
+        .select("l_orderkey"), "l_orderkey"))
+      .groupBy("bucket").agg(max("reg").as("reg"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // estimate accuracy: n ≈ 14.4·m is the healthy raw-HLL regime;
+    // theory std is 325 bp, gate at 3 sigma
+    val row = Sketches.hllSummary(full)
+      .crossJoin(li.agg(countDistinct("l_orderkey").as("true_distinct")))
+      .select("est_distinct", "true_distinct").as[(Long, Long)].collect().head
+    val errBp = math.abs(row._1 - row._2) * 10000 / row._2
+    assert(errBp < 1000, s"HLL err $errBp bp (est ${row._1} vs ${row._2})")
+  }
+
+  test("hll: duplicate occurrences do not change the registers") {
+    val keys = Seq(1L, 2L, 3L, 4L, 5L).toDF("k")
+    val dup = Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 5L, 5L, 5L).toDF("k")
+    val a = Sketches.hllRegisters(keys, "k")
+    val b = Sketches.hllRegisters(dup, "k")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   // ---- Bloom semi-join reduction ------------------------------------
 
   test("bloom: no false negatives; pruning actually prunes") {
