@@ -1679,6 +1679,21 @@ object SparkEntry {
           expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
     }),
 
+    // EXT streaming HLL: the register table maintained as a real
+    // AvailableNow streaming aggregate (max-merge IS the sketch's merge
+    // law — no custom state), summary + exactness check in batch over
+    // the driver-free read-back. Same oracle machinery as
+    // sketch_hll_distinct, over the events stream's event_id.
+    "stream_hll_parity" -> ((s, dir) => {
+      val regs = graft.streaming.EventStream
+        .hllParityRun(s, s"$dir/events.parquet")
+      graft.ops.Sketches.hllSummary(regs)
+        .crossJoin(t(s, dir, "events")
+          .agg(countDistinct("event_id").as("true_distinct")))
+        .withColumn("err_bp",
+          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
+    }),
+
     // EXT systematic PPS sampling: exactly-k size-weighted picks from a
     // distributed prefix sum over the portable-hash order — the integer,
     // engine-reproducible alternative to exponential-race weighted
@@ -2005,14 +2020,16 @@ object SparkEntry {
     * single double division (C inlined as the same Scala double literal)
     * — see [[graft.ops.Sketches.hllRegisters]] for why each step is
     * shaped for cross-engine exactness. */
-  private def hllOracle: String = {
+  private def hllOracle: String = hllOracleFor("lineitem", "l_orderkey")
+
+  private def hllOracleFor(table: String, key: String): String = {
     import graft.functions.Portable.{P1, P2, aCoef, bCoef}
     import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
     val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
     val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
     val top = HllVBits + 1
-    s"""WITH q AS (SELECT l_orderkey % $P1 AS q1, l_orderkey % $P2 AS q2
-       |           FROM lineitem),
+    s"""WITH q AS (SELECT $key % $P1 AS q1, $key % $P2 AS q2
+       |           FROM $table),
        | h AS (SELECT ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
        |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
        |       FROM q),
@@ -2025,7 +2042,7 @@ object SparkEntry {
        | s AS (SELECT count(*) AS n_used,
        |              sum(1::BIGINT << CAST($top - reg AS INT)) AS used_scaled
        |       FROM r),
-       | t AS (SELECT count(DISTINCT l_orderkey) AS true_distinct FROM lineitem),
+       | t AS (SELECT count(DISTINCT $key) AS true_distinct FROM $table),
        | f AS (SELECT n_used, $HllM - n_used AS zeros,
        |              CAST(used_scaled
        |                   + ($HllM - n_used) * (1::BIGINT << $top) AS BIGINT)
@@ -2857,6 +2874,9 @@ object SparkEntry {
 
     "sketch_cms" -> cmsOracle,
     "sketch_hll_distinct" -> hllOracle,
+    // the streaming run must land on EXACTLY the batch sketch — same
+    // generated twin, pointed at the stream's source table
+    "stream_hll_parity" -> hllOracleFor("events", "event_id"),
     "graph_bfs" -> bfsOracle,
     "fp_pps_sample" -> ppsOracle,
 

@@ -186,6 +186,22 @@ object EventStream {
       tumblingCounts(_))
       .orderBy("win_start_us", "event_type")
 
+  /** Streaming HyperLogLog — the sketch's merge law (registers combine
+    * by cell-wise max, SketchesSpec) IS Spark's partial/final aggregate
+    * algebra, so maintaining the sketch over a stream needs no custom
+    * state at all: [[graft.ops.Sketches.hllRegisters]]'s
+    * `groupBy(bucket).max(rho)` runs as a stateful streaming aggregate
+    * whose state is permanently ≤ m rows. Complete mode emits the final
+    * register table through the driver-free parquet sink; the batch
+    * summary over the read-back equals the batch-built sketch exactly —
+    * which is what makes the STREAMING approx-distinct oracle-checkable
+    * end to end (the DuckDB twin recomputes registers and estimate from
+    * the same events). */
+  def hllParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parityRun(spark, path, "hll", maxFilesPerTrigger, "complete")(ev =>
+      graft.ops.Sketches.hllRegisters(ev.select("event_id"), "event_id"))
+
   /** Stream-static enrichment — the classic fact-stream × dimension
     * shape: every micro-batch of the event stream joins a STATIC
     * dimension (no watermark needed on the static side; Spark re-plans

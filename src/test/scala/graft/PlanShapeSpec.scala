@@ -336,4 +336,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!be.contains("Window"),
       s"bpe_encode should be window-free:\n$be")
   }
+
+  test("round-5 queries: bloom fused on the scan, ER broadcasts, HLL prunes") {
+    // the bloom membership predicate must evaluate IN the fact scan's
+    // stage (Filter directly over Scan, before any exchange) and the
+    // exact verify must be a broadcast SEMI join — the runtime-filter
+    // shape; a sort-merge join here would mean the reduction shuffled
+    // the very rows it exists to drop
+    val bl = planOf("join_bloom_prune")
+    assert(bl.contains("BroadcastHashJoin LeftSemi"),
+      s"bloom verify join must broadcast:\n$bl")
+    assert(!bl.contains("SortMergeJoin"),
+      s"bloom-pruned join must not sort-merge:\n$bl")
+    val factScan = bl.indexOf("Scan parquet")
+    val factFilter = bl.indexOf("Filter (2)")
+    assert(factScan >= 0 && factFilter >= 0,
+      s"expected Filter fused over the fact scan:\n$bl")
+    // er_fuzzy_match: block join broadcasts the tiny query side and the
+    // jaro_winkler scorer runs inside the join condition (codegen), no
+    // cartesian anywhere
+    val er = planOf("er_fuzzy_match")
+    assert(er.contains("BroadcastHashJoin") && !er.contains("CartesianProduct"),
+      s"ER block join must broadcast:\n$er")
+    assert(er.contains("jaro_winkler"),
+      s"scorer must appear in the plan (codegen expr, not a UDF):\n$er")
+    // sketch_hll_distinct: both aggregation legs prune lineitem to the
+    // single key column
+    val hll = planOf("sketch_hll_distinct")
+    assert(hll.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"HLL must scan only the key column:\n$hll")
+    // mv_incremental merges VIEW-SIZED partials: the merge aggregate
+    // must consume the two partial aggregates, not re-read raw events
+    // (2 scans: one per partial; a third would mean a recompute)
+    val mv = planOf("mv_incremental")
+    assert(scanCount(mv) == 2,
+      s"mv merge must plan exactly the two partial-agg scans:\n$mv")
+  }
 }

@@ -150,6 +150,17 @@ class StreamingSpec extends SparkTestBase {
     assert(kept.join(batch, Seq("doc_id", "fingerprint")).count() == kept.count())
   }
 
+  test("hllParityRun registers equal the batch-built sketch exactly") {
+    import org.apache.spark.sql.functions.col
+    val streamed = EventStream.hllParityRun(spark, s"$sf0001/events.parquet")
+      .select("bucket", "reg")
+    val batch = graft.ops.Sketches.hllRegisters(
+      Tables(spark, sf0001, "events").select(col("event_id")), "event_id")
+    // the streaming stateful max-agg must land on EXACTLY the batch
+    // registers — the sketch merge law as Spark's own aggregate algebra
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("checkpoint resume: a restarted stream processes only new files, exactly once") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.col
