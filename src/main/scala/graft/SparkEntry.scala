@@ -78,6 +78,12 @@ object SparkEntry {
     * generated oracle SQL — terms must be plain ASCII words). */
   val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window")
 
+  /** Single-term query set for the MRR retrieval eval — mid-frequency
+    * corpus terms whose max per-doc tf reaches the density-relevance
+    * threshold, so "first dense hit" is a non-trivial ranking question. */
+  val MrrQueryTerms: Seq[String] =
+    Seq("batch", "hash", "join", "scan", "stream", "table")
+
   /** Merge rounds for the bpe_train query (shared with its unrolled
     * oracle CTE chain). */
   val BpeTrainMerges = 5
@@ -1764,6 +1770,129 @@ object SparkEntry {
         .select("q_key", "cand_key", "jw_bp")
         .orderBy("q_key", "cand_key")
     }),
+
+    // EXT per-group HLL: one scan → one register table PER return-flag
+    // (shuffle key space |groups|·m cells, max still decomposable) —
+    // approx-distinct-by-dimension from a single pass, where exact
+    // countDistinct-per-group re-shuffles every raw key. Output keeps
+    // the exact count and err_bp per group: the estimator's per-slice
+    // accuracy is part of the result, as in sketch_hll_distinct.
+    "sketch_hll_groups" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.ops.Sketches.hllSummaryBy(
+          graft.ops.Sketches.hllRegistersBy(
+            li.select(col("l_returnflag"), col("l_orderkey")),
+            "l_orderkey", Seq("l_returnflag")),
+          Seq("l_returnflag"))
+        .join(li.groupBy("l_returnflag")
+          .agg(countDistinct("l_orderkey").as("true_distinct")), "l_returnflag")
+        .withColumn("err_bp",
+          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
+        .orderBy("l_returnflag")
+    }),
+
+    // EXT HLL merge law: register-wise max of two independently-built
+    // sketches IS the sketch of the union — exactly, not approximately,
+    // which is why per-shard sketches compose across any ad-hoc slice at
+    // 100 TB without re-scanning. Two overlapping l_partkey slices;
+    // truth = exact distinct of the union filter.
+    "sketch_hll_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def regs(f: org.apache.spark.sql.Column) = graft.ops.Sketches.hllRegisters(
+        li.filter(f).select("l_partkey"), "l_partkey")
+      graft.ops.Sketches.hllSummary(graft.ops.Sketches.hllMergeRegisters(
+          regs(col("l_returnflag") === "R"), regs(col("l_linenumber") === 1)))
+        .crossJoin(li
+          .filter(col("l_returnflag") === "R" || col("l_linenumber") === 1)
+          .agg(countDistinct("l_partkey").as("true_distinct")))
+        .withColumn("err_bp",
+          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
+    }),
+
+    // EXT KMV bottom-k distinct sketch: k smallest portable quad-hashes
+    // of the distinct keys — TakeOrdered, nothing shuffles, and the
+    // bottom-k doubles as a uniform distinct-key sample. Estimator
+    // (k−1)·R/h_k runs as three correctly-rounded double ops in both
+    // engines (numerator inlined as the same double literal).
+    "sketch_kmv_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.ops.Sketches.kmvSummary(
+          graft.ops.Sketches.kmvBottom(li.select("l_orderkey"), "l_orderkey"))
+        .crossJoin(li.agg(countDistinct("l_orderkey").as("true_distinct")))
+        .withColumn("err_bp",
+          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
+    }),
+
+    // EXT mergeable histogram quantiles: fixed 4096×4096-cent bins over
+    // extendedprice cents (range [0, 2²⁴) covers every SF; the TPC-H
+    // price cap is SF-independent) — bin counts ADD across shards,
+    // unlike any exact rank, and the estimate (covering bin's upper
+    // edge) is integer-exact: the oracle-able alternative to GK/KLL
+    // whose state depends on merge order. Error ≤ bin width ($40.96) by
+    // construction.
+    "sketch_hist_quantiles" -> ((s, dir) => {
+      val cents = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.ops.Sketches.histQuantiles(
+        graft.ops.Sketches.histCounts(cents, "cents", 0L, 4096L, 4096),
+        Seq(5000, 9000, 9900, 9990), 0L, 4096L, 4096)
+    }),
+
+    // EXT CMS join-size estimation: |events ⋈ orders ON user=cust|
+    // bounded from two KB-sized Count-Min tables (same geometry/seed) by
+    // the inner-product estimate min_r Σ_b cA(r,b)·cB(r,b) — the
+    // pre-flight "can this join's output even be materialized" check a
+    // planner runs at 100 TB without scanning either side. est ≥ true
+    // always; truth (the exact join count) ships in the output with
+    // err_bp, like every sketch in the family.
+    "sketch_join_size" -> ((s, dir) => {
+      def counts(df: DataFrame, kc: String) =
+        df.groupBy(col(kc).cast("string").as("k")).agg(count(lit(1)).as("cnt"))
+      val cA = graft.ops.Sketches.cmsBuildWeighted(
+        counts(t(s, dir, "events"), "user_id"), "k", "cnt")
+      val cB = graft.ops.Sketches.cmsBuildWeighted(
+        counts(t(s, dir, "orders"), "o_custkey"), "k", "cnt")
+      graft.ops.Sketches.cmsJoinSize(cA, cB)
+        .crossJoin(t(s, dir, "events").join(t(s, dir, "orders"),
+            col("user_id") === col("o_custkey"))
+          .agg(count(lit(1)).as("true_size")))
+        .withColumn("err_bp",
+          expr("abs(join_size_est - true_size) * 10000 div true_size"))
+    }),
+
+    // EXT robust outliers: per-user Median-Absolute-Deviation screen
+    // (|c − med| > 5·MAD), kept fully integer via the ×2/×4 scaled
+    // medians (see Events.madOutliers scaladoc) so two engines with
+    // independent exact-percentile implementations agree bit-for-bit.
+    "events_mad_outliers" -> ((s, dir) =>
+      graft.ops.Events.madOutliers(t(s, dir, "events"))),
+
+    // EXT time-decayed recency score: Σ cents·2^(30 − age_days) per user
+    // in exact integers (power-of-two half-life decay IS a left shift;
+    // see Events.decayAgg) — the recency feature a training pipeline
+    // derives, with zero float roulette.
+    "events_decay_agg" -> ((s, dir) =>
+      graft.ops.Events.decayAgg(t(s, dir, "events"))),
+
+    // EXT retrieval-quality eval: per single-term query, the reciprocal
+    // rank of the first term-DENSE (tf ≥ 3) hit in the BM25 top-10 —
+    // MRR as 2520/rank exact integers (2520 = lcm(1..10), the RRF
+    // discipline). The eval surface a RAG pipeline runs per index build.
+    "search_mrr_eval" -> ((s, dir) =>
+      TextAnalysis.retrievalMrr(t(s, dir, "documents"), MrrQueryTerms)),
+
+    // EXT streaming histogram: the fixed-geometry bin table maintained
+    // as a real AvailableNow streaming aggregate (bin counts sum-merge —
+    // the sketch's merge law IS Spark's partial/final agg algebra),
+    // quantiles extracted in batch from the driver-free read-back.
+    // Oracle recomputes hist + covering-bin quantiles from the batch
+    // table: stream ≡ batch is the parity under test.
+    "stream_hist_parity" -> ((s, dir) => {
+      val hist = graft.streaming.EventStream
+        .histParityRun(s, s"$dir/events.parquet")
+      graft.ops.Sketches.histQuantiles(
+        hist, Seq(2500, 5000, 7500, 9900), 0L, 64L, 1024)
+    }),
   )
 
   // ---- Portable-hash oracle SQL (generated from the SAME constants the
@@ -2057,6 +2186,218 @@ object SparkEntry {
        |           - true_distinct) * 10000 // true_distinct AS err_bp
        |FROM f""".stripMargin
   }
+
+  /** Per-group HLL oracle: [[hllOracleFor]] with the group column carried
+    * through every CTE — registers, harmonic sums and estimates all
+    * GROUP BY the dimension, exactly like
+    * [[graft.ops.Sketches.hllRegistersBy]]. */
+  private def hllGroupsOracle: String = {
+    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
+    import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
+    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
+    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
+    val top = HllVBits + 1
+    s"""WITH q AS (SELECT l_returnflag AS g, l_orderkey % $P1 AS q1,
+       |                  l_orderkey % $P2 AS q2 FROM lineitem),
+       | h AS (SELECT g, ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
+       |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
+       |       FROM q),
+       | b AS (SELECT g, hv % $HllM AS bucket,
+       |              (hv // $HllM) % ${1L << HllVBits} AS v FROM h),
+       | r AS (SELECT g, bucket,
+       |              max(CASE WHEN v = 0 THEN $top
+       |                       ELSE $top - length(bin(v)) END) AS reg
+       |       FROM b GROUP BY 1, 2),
+       | s AS (SELECT g, count(*) AS n_used,
+       |              sum(1::BIGINT << CAST($top - reg AS INT)) AS used_scaled
+       |       FROM r GROUP BY 1),
+       | t AS (SELECT l_returnflag AS g,
+       |              count(DISTINCT l_orderkey) AS true_distinct
+       |       FROM lineitem GROUP BY 1),
+       | f AS (SELECT s.g, n_used, $HllM - n_used AS zeros,
+       |              CAST(used_scaled
+       |                   + ($HllM - n_used) * (1::BIGINT << $top) AS BIGINT)
+       |                AS sum_scaled,
+       |              true_distinct
+       |       FROM s JOIN t ON s.g = t.g)
+       |SELECT g AS l_returnflag, n_used, zeros, sum_scaled,
+       |       CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+       |         AS est_distinct,
+       |       true_distinct,
+       |       abs(CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+       |           - true_distinct) * 10000 // true_distinct AS err_bp
+       |FROM f ORDER BY 1""".stripMargin
+  }
+
+  /** HLL-union oracle: registers built over the UNION ALL of the two key
+    * slices — mathematically identical to the register-wise max merge the
+    * Spark side performs ([[graft.ops.Sketches.hllMergeRegisters]]'s
+    * merge law), which is exactly the property under test. */
+  private def hllUnionOracle: String = {
+    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
+    import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
+    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
+    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
+    val top = HllVBits + 1
+    s"""WITH k AS (SELECT l_partkey AS kk FROM lineitem WHERE l_returnflag = 'R'
+       |           UNION ALL
+       |           SELECT l_partkey FROM lineitem WHERE l_linenumber = 1),
+       | q AS (SELECT kk % $P1 AS q1, kk % $P2 AS q2 FROM k),
+       | h AS (SELECT ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
+       |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
+       |       FROM q),
+       | b AS (SELECT hv % $HllM AS bucket,
+       |              (hv // $HllM) % ${1L << HllVBits} AS v FROM h),
+       | r AS (SELECT bucket,
+       |              max(CASE WHEN v = 0 THEN $top
+       |                       ELSE $top - length(bin(v)) END) AS reg
+       |       FROM b GROUP BY 1),
+       | s AS (SELECT count(*) AS n_used,
+       |              sum(1::BIGINT << CAST($top - reg AS INT)) AS used_scaled
+       |       FROM r),
+       | t AS (SELECT count(DISTINCT l_partkey) AS true_distinct
+       |       FROM lineitem WHERE l_returnflag = 'R' OR l_linenumber = 1),
+       | f AS (SELECT n_used, $HllM - n_used AS zeros,
+       |              CAST(used_scaled
+       |                   + ($HllM - n_used) * (1::BIGINT << $top) AS BIGINT)
+       |                AS sum_scaled,
+       |              true_distinct
+       |       FROM s CROSS JOIN t)
+       |SELECT n_used, zeros, sum_scaled,
+       |       CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+       |         AS est_distinct,
+       |       true_distinct,
+       |       abs(CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+       |           - true_distinct) * 10000 // true_distinct AS err_bp
+       |FROM f""".stripMargin
+  }
+
+  /** KMV oracle: the same quadratic two-prime hash over the distinct
+    * keys, bottom-k via ORDER BY/LIMIT, and the (k−1)·R/h_k estimator
+    * with the numerator inlined as the identical double literal — three
+    * correctly-rounded IEEE ops in both engines
+    * ([[graft.ops.Sketches.kmvSummary]]). */
+  private def kmvOracle: String = {
+    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
+    import graft.ops.Sketches.{HllSeedBase, KmvK}
+    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
+    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
+    val numer = (KmvK - 1).toDouble * (P1 * P2).toDouble
+    s"""WITH d AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k
+       |           FROM lineitem),
+       | q AS (SELECT k % $P1 AS q1, k % $P2 AS q2 FROM d),
+       | h AS (SELECT ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
+       |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS h
+       |       FROM q),
+       | b AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+       | s AS (SELECT count(*) AS k_used, max(h) AS kth_hash FROM b),
+       | t AS (SELECT count(DISTINCT l_orderkey) AS true_distinct
+       |       FROM lineitem),
+       | f AS (SELECT k_used, kth_hash,
+       |              CASE WHEN k_used < $KmvK THEN k_used
+       |                   ELSE CAST(round($numer / CAST(kth_hash AS DOUBLE))
+       |                             AS BIGINT) END AS est_distinct,
+       |              true_distinct
+       |       FROM s CROSS JOIN t)
+       |SELECT k_used, kth_hash, est_distinct, true_distinct,
+       |       abs(est_distinct - true_distinct) * 10000 // true_distinct
+       |         AS err_bp
+       |FROM f""".stripMargin
+  }
+
+  /** Histogram-quantile oracle: identical fixed-geometry binning,
+    * cumulative window and covering-bin selection — every number is an
+    * integer in both engines. */
+  private def histQuantilesOracle: String =
+    s"""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+       |                    AS cents FROM lineitem),
+       | hb AS (SELECT least(4095, greatest(0, (cents - 0) // 4096))
+       |                 AS bucket,
+       |               count(*) AS cnt
+       |        FROM c GROUP BY 1),
+       | cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket)
+       |                             AS BIGINT) AS cum
+       |         FROM hb),
+       | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hb),
+       | qs AS (SELECT CAST(unnest([5000, 9000, 9900, 9990]) AS BIGINT)
+       |                 AS q_bp)
+       |SELECT q_bp, CAST(min(bucket) AS BIGINT) AS bucket,
+       |       CAST(0 + (min(bucket) + 1) * 4096 - 1 AS BIGINT) AS est_upper,
+       |       max(n_total) AS n_total
+       |FROM qs CROSS JOIN cum CROSS JOIN tot
+       |WHERE cum * 10000 >= q_bp * n_total
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CMS join-size oracle: both counter tables re-derived cell by cell
+    * (same rolling hash and affine row hashes as [[cmsOracle]]), then the
+    * per-row inner products and their min — and the exact join count as
+    * the truth column. */
+  private def joinSizeOracle: String = {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    import graft.ops.Sketches.{CmsDepth, CmsSeedBase, CmsWidth}
+    val aCase = (0 until CmsDepth)
+      .map(r => s"WHEN $r THEN ${aCoef(CmsSeedBase + r)}").mkString(" ")
+    val bCase = (0 until CmsDepth)
+      .map(r => s"WHEN $r THEN ${bCoef(CmsSeedBase + r)}").mkString(" ")
+    val rows = (0 until CmsDepth).mkString(", ")
+    def bucket(h: String) =
+      s"((CASE rr.r $aCase END * $h + CASE rr.r $bCase END) % $P1) % $CmsWidth"
+    def hashOf(k: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split_regex($k, ''),
+         |            c -> CAST(ascii(c) AS BIGINT))),
+         |          (a, x) -> (a * 31 + x) % $P1)""".stripMargin
+    s"""WITH ac AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+       |            FROM events GROUP BY 1),
+       | bc AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS cnt
+       |        FROM orders GROUP BY 1),
+       | ah AS (SELECT ${hashOf("k")} AS h1, cnt FROM ac),
+       | bh AS (SELECT ${hashOf("k")} AS h1, cnt FROM bc),
+       | acell AS (SELECT rr.r AS r, ${bucket("ah.h1")} AS bucket, ah.cnt
+       |           FROM ah CROSS JOIN (SELECT unnest([$rows]) AS r) rr),
+       | acnt AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS ca
+       |          FROM acell GROUP BY 1, 2),
+       | bcell AS (SELECT rr.r AS r, ${bucket("bh.h1")} AS bucket, bh.cnt
+       |           FROM bh CROSS JOIN (SELECT unnest([$rows]) AS r) rr),
+       | bcnt AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS cb
+       |          FROM bcell GROUP BY 1, 2),
+       | dots AS (SELECT a.r, CAST(sum(a.ca * b.cb) AS BIGINT) AS dot
+       |          FROM acnt a JOIN bcnt b ON a.r = b.r AND a.bucket = b.bucket
+       |          GROUP BY 1),
+       | est AS (SELECT min(dot) AS join_size_est FROM dots),
+       | tru AS (SELECT count(*) AS true_size
+       |         FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+       |SELECT join_size_est, true_size,
+       |       abs(join_size_est - true_size) * 10000 // true_size AS err_bp
+       |FROM est CROSS JOIN tru""".stripMargin
+  }
+
+  /** MAD oracle: DuckDB's quantile_cont against Spark's percentile —
+    * two independent exact interpolated-median implementations forced to
+    * agree exactly by the ×2/×4 integer scaling
+    * ([[graft.ops.Events.madOutliers]]). */
+  private def madOracle: String =
+    s"""WITH c AS (SELECT user_id,
+       |                  CAST(round(value * 100) AS BIGINT) AS c
+       |           FROM events),
+       | med AS (SELECT user_id,
+       |                CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS m2,
+       |                count(*) AS n_events
+       |         FROM c GROUP BY 1),
+       | dev AS (SELECT c.user_id, abs(2 * c.c - m.m2) AS d2, m.m2,
+       |                m.n_events
+       |         FROM c JOIN med m ON c.user_id = m.user_id),
+       | mad AS (SELECT user_id,
+       |                CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad4,
+       |                max(m2) AS m2, max(n_events) AS n_events
+       |         FROM dev GROUP BY 1)
+       |SELECT mad.user_id, max(mad.n_events) AS n_events,
+       |       max(mad.m2) AS med_cents2, max(mad.mad4) AS mad_cents4,
+       |       CAST(sum(CASE WHEN 2 * d.d2 > 5 * mad.mad4 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_outliers
+       |FROM mad JOIN (SELECT user_id, d2 FROM dev) d
+       |  ON mad.user_id = d.user_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Systematic PPS oracle: the same portable-affine-hash layout order
     * and integer threshold-counting as [[graft.ops.Features.ppsSample]]
@@ -2874,6 +3215,79 @@ object SparkEntry {
 
     "sketch_cms" -> cmsOracle,
     "sketch_hll_distinct" -> hllOracle,
+    "sketch_hll_groups" -> hllGroupsOracle,
+    "sketch_hll_union" -> hllUnionOracle,
+    "sketch_kmv_distinct" -> kmvOracle,
+    "sketch_hist_quantiles" -> histQuantilesOracle,
+    "sketch_join_size" -> joinSizeOracle,
+    "events_mad_outliers" -> madOracle,
+
+    // the search_bm25 scoring fragments re-used per term-partition, plus
+    // the density-relevance CASE and the exact 2520/rank
+    "search_mrr_eval" -> {
+      val terms = MrrQueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dl AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+           FROM documents),
+         st AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ($terms) GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT t.term, t.doc_id, t.tf,
+                  CAST(
+                    (((10000 * st.n_docs) // df.df) * t.tf * (12000 + 10000))
+                    // (t.tf * 10000 +
+                       (12000 * (10000 - 7500 + (7500 * dl.dl) // st.avgdl)) // 10000)
+                  AS BIGINT) AS score_bp
+           FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st),
+         rnk AS (SELECT term, doc_id, tf, score_bp,
+                        CAST(row_number() OVER (PARTITION BY term
+                          ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
+                 FROM scored),
+         top AS (SELECT * FROM rnk WHERE rnk <= 10)
+         SELECT term, min(CASE WHEN tf >= 3 THEN rnk END) AS best_rank,
+                count(*) AS n_ranked,
+                coalesce(2520 // min(CASE WHEN tf >= 3 THEN rnk END),
+                         CAST(0 AS BIGINT)) AS rr_scaled
+         FROM top GROUP BY 1 ORDER BY term"""
+    },
+
+    // power-of-two decay: cents << (30 − capped age); day = floor of
+    // epoch-us (the events_streaks day convention, proven portable)
+    "events_decay_agg" ->
+      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                           epoch_us(ts) // 86400000000 AS day FROM events),
+          a AS (SELECT max(day) AS as_of FROM e)
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(cents << CAST(30 - least(as_of - day, 30) AS INT))
+                     AS BIGINT) AS decay_scaled
+         FROM e CROSS JOIN a GROUP BY 1 ORDER BY user_id""",
+
+    // streamed bin table ≡ batch hist, then the same covering-bin
+    // quantile selection as sketch_hist_quantiles at the events-value
+    // geometry (1024 × 64-cent bins)
+    "stream_hist_parity" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+          hb AS (SELECT least(1023, greatest(0, (cents - 0) // 64)) AS bucket,
+                        count(*) AS cnt
+                 FROM c GROUP BY 1),
+          cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket)
+                                      AS BIGINT) AS cum
+                  FROM hb),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hb),
+          qs AS (SELECT CAST(unnest([2500, 5000, 7500, 9900]) AS BIGINT)
+                          AS q_bp)
+         SELECT q_bp, CAST(min(bucket) AS BIGINT) AS bucket,
+                CAST(0 + (min(bucket) + 1) * 64 - 1 AS BIGINT) AS est_upper,
+                max(n_total) AS n_total
+         FROM qs CROSS JOIN cum CROSS JOIN tot
+         WHERE cum * 10000 >= q_bp * n_total
+         GROUP BY 1 ORDER BY 1""",
     // the streaming run must land on EXACTLY the batch sketch — same
     // generated twin, pointed at the stream's source table
     "stream_hll_parity" -> hllOracleFor("events", "event_id"),

@@ -405,4 +405,71 @@ object Events {
         sum(col("len")).as("active_days"))
       .orderBy("user_id")
   }
+
+  /** Per-user exponentially time-decayed value score — the recency
+    * feature of a training pipeline (recent behavior outweighs stale),
+    * computed in EXACT integers: with half-life = 1 day and a
+    * `horizonDays` cap, score·2^horizon = Σ cents·2^(horizon − age) is
+    * a plain BIGINT sum (decay by powers of two IS a left shift; ages at
+    * or beyond the horizon all contribute at weight 1 — a floor, not a
+    * cutoff, keeping the sum monotone in history). The anchor `as_of` is
+    * the corpus max day, so the score is reproducible from the data
+    * alone. Overflow: cents·2^horizon per event ≤ ~5·10¹³ at horizon 30
+    * — ~10⁵ events/user headroom; horizon is the knob, documented like
+    * [[graft.ops.Sketches.CmsWidth]]. */
+  def decayAgg(events: DataFrame, horizonDays: Int = 30): DataFrame = {
+    val us = tsUs(events)
+    val day = ((us - pmod(us, lit(86400000000L))) / lit(86400000000L))
+      .cast("long")
+    val rows = events.select(col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"), day.as("day"))
+    rows.crossJoin(rows.agg(max("day").as("as_of")))
+      .withColumn("age",
+        least(col("as_of") - col("day"), lit(horizonDays.toLong)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(call_function("shiftleft", col("cents"),
+          (lit(horizonDays.toLong) - col("age")).cast("int")))
+          .as("decay_scaled"))
+      .orderBy("user_id")
+  }
+
+  /** Per-user robust outlier summary via Median Absolute Deviation —
+    * the outlier screen that, unlike mean/stddev z-scores
+    * ([[rollingAnomaly]]'s windowed cousin), is itself immune to the
+    * outliers it hunts (50% breakdown point vs 0%).
+    *
+    * Exactness discipline: everything stays integer. With cents c and
+    * exact interpolated medians, both engines agree on `2·median`
+    * (Spark `percentile` and DuckDB `quantile_cont` both compute
+    * lower + (upper−lower)·frac; at frac=0.5 over integer cents every
+    * intermediate is an exact multiple of 0.5 — lossless in double, so
+    * ×2 recovers an exact BIGINT). m2 = 2·med(c), d2 = |2c − m2|
+    * (integer), mad4 = 2·med(d2). The k=5 outlier test
+    * |c − med| > 5·mad becomes the integer comparison 2·d2 > 5·mad4.
+    *
+    * Two grouped percentile passes over user-keyed shuffles — the
+    * second operates on the (user, d2) projection only. mad4 = 0
+    * (>50% of a user's values at the median) flags every deviating
+    * event, the standard MAD degeneracy; surfaced, not hidden, via the
+    * mad4 column. */
+  def madOutliers(events: DataFrame, k: Int = 5): DataFrame = {
+    val cents = events.select(col("user_id"),
+      round(col("value") * 100).cast("long").as("c"))
+    val med = cents.groupBy("user_id")
+      .agg(expr("CAST(2 * percentile(c, 0.5D) AS BIGINT)").as("m2"),
+        count(lit(1)).as("n_events"))
+    val dev = cents.join(med, "user_id")
+      .withColumn("d2", abs(lit(2L) * col("c") - col("m2")))
+    dev.groupBy("user_id")
+      .agg(expr("CAST(2 * percentile(d2, 0.5D) AS BIGINT)").as("mad4"),
+        max("m2").as("m2"), max("n_events").as("n_events"))
+      .join(dev.select("user_id", "d2"), "user_id")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("m2").as("med_cents2"),
+        max("mad4").as("mad_cents4"),
+        sum(when(lit(2L) * col("d2") > lit(k.toLong) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("user_id")
+  }
 }

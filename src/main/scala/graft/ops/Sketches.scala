@@ -132,39 +132,166 @@ object Sketches {
     * across libms — the one float that CAN'T be made portable); size
     * the register count to the expected cardinality instead. */
   def hllRegisters(keys: DataFrame, keyCol: String,
-      seedBase: Int = HllSeedBase): DataFrame = {
+      seedBase: Int = HllSeedBase): DataFrame =
+    hllRegistersBy(keys, keyCol, Nil, seedBase)
+
+  /** Per-GROUP register tables in one pass: `(groupCols..., bucket, reg)`
+    * — the shuffle key space is |groups|·m cells and max is decomposable,
+    * so a billion-key stream still partial-aggregates to ≤ |groups|·m
+    * rows per map partition. One sketch per group for the price of one
+    * scan is what makes approx-distinct-by-dimension viable at 100 TB
+    * (exact countDistinct per group re-shuffles the raw keys). */
+  def hllRegistersBy(keys: DataFrame, keyCol: String,
+      groupCols: Seq[String], seedBase: Int = HllSeedBase): DataFrame =
+    keys
+      .select(col(keyCol).cast("long").as("k") +: groupCols.map(col): _*)
+      .withColumn("h", quadHash(col("k"), seedBase))
+      .select(Seq((col("h") % lit(HllM)).as("bucket"),
+        expr(s"(h div $HllM) % ${1L << HllVBits}").as("v"))
+        ++ groupCols.map(col): _*)
+      .withColumn("rho", when(col("v") === 0, lit(HllVBits + 1))
+        .otherwise(lit(HllVBits + 1) - length(expr("bin(v)"))))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("reg"))
+
+  /** The quadratic two-prime mix shared by the HLL and KMV sketches —
+    * `(((k² mod p)·a + k·b) mod p)` per prime, CRT-combined to a value
+    * uniform on [0, P1·P2). See [[hllRegisters]] for why each step is
+    * shaped this way (permutation-bias, overflow, portability). */
+  private[graft] def quadHash(key: Column, seedBase: Int): Column = {
     import graft.functions.Portable.{P1, P2, aCoef, bCoef}
     val (a1, b1) = (aCoef(seedBase), bCoef(seedBase))
     val (a2, b2) = (aCoef(seedBase + 1), bCoef(seedBase + 1))
-    keys
-      .select(col(keyCol).cast("long").as("k"))
-      .withColumn("q1", col("k") % lit(P1))
-      .withColumn("q2", col("k") % lit(P2))
-      .withColumn("h",
-        (((col("q1") * col("q1") % lit(P1)) * lit(a1) + col("q1") * lit(b1)) % lit(P1)) * lit(P2)
-          + ((col("q2") * col("q2") % lit(P2)) * lit(a2) + col("q2") * lit(b2)) % lit(P2))
-      .select((col("h") % lit(HllM)).as("bucket"),
-        expr(s"(h div $HllM) % ${1L << HllVBits}").as("v"))
-      .withColumn("rho", when(col("v") === 0, lit(HllVBits + 1))
-        .otherwise(lit(HllVBits + 1) - length(expr("bin(v)"))))
-      .groupBy("bucket").agg(max("rho").as("reg"))
+    val q1 = key % lit(P1)
+    val q2 = key % lit(P2)
+    ((q1 * q1 % lit(P1)) * lit(a1) + q1 * lit(b1)) % lit(P1) * lit(P2) +
+      ((q2 * q2 % lit(P2)) * lit(a2) + q2 * lit(b2)) % lit(P2)
   }
 
   /** One-row estimate from the register table: `round(C / sum_scaled)`
     * where `sum_scaled = Σ 2^(41−reg)` with empty buckets contributing
     * 2⁴¹ — the harmonic mean kept in exact integers until the single
     * final division. */
-  def hllSummary(regs: DataFrame): DataFrame =
+  def hllSummary(regs: DataFrame): DataFrame = hllSummaryBy(regs, Nil)
+
+  /** [[hllSummary]] per group — one estimate row per distinct
+    * `groupCols` value in a [[hllRegistersBy]] table. */
+  def hllSummaryBy(regs: DataFrame, groupCols: Seq[String]): DataFrame =
     regs
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_used"),
         sum(call_function("shiftleft", lit(1L),
           (lit(HllVBits + 1) - col("reg")).cast("int"))).as("used_scaled"))
-      .select(col("n_used"), (lit(HllM) - col("n_used")).as("zeros"),
+      .select(groupCols.map(col) ++ Seq(col("n_used"),
+        (lit(HllM) - col("n_used")).as("zeros"),
         (col("used_scaled")
           + (lit(HllM) - col("n_used")) * lit(1L << (HllVBits + 1)))
-          .as("sum_scaled"))
+          .as("sum_scaled")): _*)
       .withColumn("est_distinct",
         round(lit(HllC) / col("sum_scaled").cast("double")).cast("long"))
+
+  /** Register-wise max of two register tables — the HLL MERGE LAW:
+    * `regs(A ∪ B) = max(regs(A), regs(B))` exactly, because each
+    * register is itself a max over its bucket's stream. This is the
+    * whole reason a 100 TB pipeline keeps sketches per shard/day: union
+    * cardinality across any ad-hoc slice combination is a KB-sized
+    * merge, never a re-scan. Exactness (not approximate-on-approximate)
+    * is what the sketch_hll_union oracle pins. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy("bucket").agg(max("reg").as("reg"))
+
+  /** KMV (k-minimum-values / bottom-k) sketch: the k smallest
+    * [[quadHash]] values over the DISTINCT keys. TakeOrdered physical
+    * plan — each partition keeps its own k smallest, the driver merges
+    * k-sized heaps, nothing ever shuffles. Doubles as a uniform sample
+    * of the distinct-key universe (hash order is oblivious to key
+    * semantics), which is its second job in practice: distinct-count
+    * AND a representative key sample from one bounded pass. */
+  def kmvBottom(keys: DataFrame, keyCol: String, k: Int = KmvK,
+      seedBase: Int = HllSeedBase): DataFrame =
+    keys
+      .select(col(keyCol).cast("long").as("k")).distinct()
+      .select(quadHash(col("k"), seedBase).as("h"))
+      .orderBy("h").limit(k)
+
+  /** One-row KMV estimate: `(k−1) · R / h_k` where R = P1·P2 is the
+    * hash range — the classic bottom-k estimator (Bar-Yossef et al.,
+    * "Counting distinct elements in a data stream", RANDOM 2002). The
+    * numerator (k−1)·R overflows BIGINT, so both engines compute the
+    * SAME three correctly-rounded double ops (cast, multiply-by-literal,
+    * divide) then round — the er_fuzzy_match / HllC determinism
+    * discipline. When fewer than k distinct hashes exist the bottom-k
+    * IS the universe and the count is exact. */
+  def kmvSummary(bottom: DataFrame, k: Int = KmvK): DataFrame = {
+    import graft.functions.Portable.{P1, P2}
+    val numer = (k - 1).toDouble * (P1 * P2).toDouble
+    bottom
+      .agg(count(lit(1)).as("k_used"), max("h").as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(round(lit(numer) / col("kth_hash").cast("double"))
+            .cast("long")))
+  }
+
+  /** Default KMV size: relative error ~1/√(k−1) ≈ 6.3%. */
+  val KmvK = 256
+
+  /** Fixed-geometry equi-width histogram over a long column — the
+    * mergeable quantile summary (bin counts ADD across shards, unlike
+    * any exact rank). `lo`/`width`/`bins` are build-time constants;
+    * values clamp into [0, bins). With power-of-two width the bucket
+    * expression is one integer op, and every downstream estimate is
+    * integer-exact — fully oracle-able, unlike GK/KLL whose state
+    * depends on merge order. One partial-agg'd shuffle of ≤ bins rows
+    * per map partition. */
+  def histCounts(values: DataFrame, valCol: String, lo: Long,
+      width: Long, bins: Int): DataFrame =
+    values
+      .select(least(lit(bins - 1L), greatest(lit(0L),
+        expr(s"(($valCol - $lo) div $width)"))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a histogram: for each q (basis points) the
+    * first bucket whose cumulative count covers q — estimate = the
+    * bucket's inclusive upper edge, so error is bounded by bin width by
+    * construction. Input bin rows are first re-summed per bucket, so a
+    * UNION of shard histograms (or a sketch read back from disk) feeds in
+    * directly — and the re-aggregate structurally bounds the cumulative
+    * window's input to ≤ `bins` rows (the sketch, not the data), the
+    * global-window-over-Aggregate-only contract PlanShapeSpec enforces
+    * registry-wide. */
+  def histQuantiles(hist: DataFrame, qBps: Seq[Int], lo: Long,
+      width: Long, bins: Int): DataFrame = {
+    val h = hist.groupBy("bucket").agg(sum("cnt").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = h.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(h.agg(sum("cnt").as("n_total")))
+    val qs = hist.sparkSession.range(1)
+      .select(explode(array(qBps.map(q => lit(q.toLong)): _*)).as("q_bp"))
+    qs.join(cum, cum("cum") * 10000L >= qs("q_bp") * cum("n_total"))
+      .groupBy("q_bp")
+      .agg(min("bucket").as("bucket"), max("n_total").as("n_total"))
+      .withColumn("est_upper",
+        lit(lo) + (col("bucket") + 1L) * lit(width) - 1L)
+      .select("q_bp", "bucket", "est_upper", "n_total")
+      .orderBy("q_bp")
+  }
+
+  /** Equi-join output-size estimate from two Count-Min tables of the
+    * SAME geometry/seed: min over rows r of Σ_b cA(r,b)·cB(r,b) — the
+    * CM inner-product bound (est ≥ |A ⋈ B|, overshoot ≤ N_A·N_B/width
+    * per row w.h.p.). THE pre-flight cardinality check at 100 TB: the
+    * planner-side answer to "can this join's output even be
+    * materialized" from two KB summaries, no scan of either table.
+    * Counter products cap at (N_A/row)·(N_B/row) per cell — width is
+    * the overflow knob, documented at [[CmsWidth]]. */
+  def cmsJoinSize(cA: DataFrame, cB: DataFrame): DataFrame =
+    cA.withColumnRenamed("counter", "ca")
+      .join(cB.withColumnRenamed("counter", "cb"), Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min("dot").as("join_size_est"))
 
   /** Build an m-bit Bloom filter over a long key column, returned as the
     * packed word array (mBits/64 longs). Distributed build: each key

@@ -577,6 +577,52 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** Retrieval-quality evaluation: per single-term query, rank the
+    * corpus by the integer BM25 score ([[bm25TopK]]'s exact formula) and
+    * report the reciprocal rank of the first RELEVANT hit in the top-k —
+    * relevance being the label-free density criterion tf ≥ `relevanceTf`
+    * (a doc that merely mentions the term once is a weak hit; the eval
+    * asks whether the scorer surfaces term-DENSE docs first). MRR is the
+    * standard first-relevant metric of a RAG/retrieval pipeline;
+    * `rr_scaled` = 2520/rank (2520 = lcm(1..10)) keeps 1/rank exact in
+    * integers, the RRF discipline.
+    *
+    * Scale: only query-term postings are touched; the per-term rank
+    * window sorts one posting list per partition. Stop-word-sized
+    * postings need the heavy-hitters cap first ([[invertedIndex]]'s cap
+    * contract); curated eval terms are never that. */
+  def retrievalMrr(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      relevanceTf: Int = 3, k1Bp: Long = 12000L, bBp: Long = 7500L,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = split(col(text), " ")
+    val dl = size(filter(toks, t => t =!= "")).cast("long")
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(dl).as("sum_dl"))
+      .select(col("n_docs"), expr("sum_dl div n_docs").as("avgdl"))
+    val tf = docs.select(col(id), dl.as("dl"), explode(toks).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wr = Window.partitionBy("term").orderBy(desc("score_bp"), col(id))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bp", expr("(10000 * n_docs) div df"))
+      .withColumn("dlnorm_bp",
+        lit(10000L - bBp) + expr(s"($bBp * dl) div avgdl"))
+      .withColumn("score_bp", expr(
+        s"(idf_bp * tf * ($k1Bp + 10000)) div " +
+          s"(tf * 10000 + ($k1Bp * dlnorm_bp) div 10000)"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= k)
+      .groupBy("term")
+      .agg(min(when(col("tf") >= relevanceTf, col("rnk"))).as("best_rank"),
+        count(lit(1)).as("n_ranked"))
+      .withColumn("rr_scaled",
+        coalesce(expr("2520 div best_rank"), lit(0L)))
+      .orderBy("term")
+  }
+
   /** Hybrid retrieval — BM25 lexical ranks fused with embedding-cosine
     * ranks by Reciprocal Rank Fusion (Cormack et al. 2009), the standard
     * two-tower + lexical ensemble of a RAG data pipeline. The fused

@@ -202,6 +202,19 @@ object EventStream {
     parityRun(spark, path, "hll", maxFilesPerTrigger, "complete")(ev =>
       graft.ops.Sketches.hllRegisters(ev.select("event_id"), "event_id"))
 
+  /** The histogram sketch maintained as a streaming aggregate: bin
+    * counts are sum-mergeable (the mergeability that makes the sketch a
+    * sketch), so `histCounts` IS a valid streaming groupBy — state
+    * permanently ≤ `bins` rows like [[hllParityRun]]'s register table.
+    * Value-cents geometry [0, 2¹⁶) in 1024 × 64-cent bins covers the
+    * corpus value range at every SF. */
+  def histParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parityRun(spark, path, "hist", maxFilesPerTrigger, "complete")(ev =>
+      graft.ops.Sketches.histCounts(
+        ev.select(round(col("value") * 100).cast("long").as("cents")),
+        "cents", 0L, 64L, 1024))
+
   /** Stream-static enrichment — the classic fact-stream × dimension
     * shape: every micro-batch of the event stream joins a STATIC
     * dimension (no watermark needed on the static side; Spark re-plans

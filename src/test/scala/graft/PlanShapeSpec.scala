@@ -91,6 +91,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"q28 plans a global sort exchange:\n$plan")
   }
 
+  test("kmv bottom-k plans TakeOrderedAndProject over a pruned scan") {
+    // the KMV sketch's whole scale story is that the bottom-k never
+    // shuffles: per-partition heaps merged on the driver, scan pruned
+    // to the key column
+    val plan = planOf("sketch_kmv_distinct")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"kmv lost the top-k plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"kmv plans a global sort exchange:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"kmv scan not pruned to the key:\n$plan")
+  }
+
   test("partitioned sink read-back prunes on PartitionFilters") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-part-prune").toString

@@ -138,6 +138,156 @@ class SketchesSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("hllRegistersBy: per-group registers equal independent builds") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val grouped = Sketches.hllRegistersBy(
+      li.select(col("l_returnflag"), col("l_orderkey")),
+      "l_orderkey", Seq("l_returnflag"))
+    li.select("l_returnflag").distinct().as[String].collect().foreach { g =>
+      val solo = Sketches.hllRegisters(
+        li.filter(col("l_returnflag") === g).select("l_orderkey"), "l_orderkey")
+      val slice = grouped.filter(col("l_returnflag") === g)
+        .select("bucket", "reg")
+      assert(slice.exceptAll(solo).isEmpty && solo.exceptAll(slice).isEmpty,
+        s"group $g registers diverge from an independent build")
+    }
+  }
+
+  test("hllMergeRegisters: merge law — max-merge ≡ sketch of the union") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val a = li.filter(col("l_returnflag") === "R").select("l_partkey")
+    val b = li.filter(col("l_linenumber") === 1).select("l_partkey")
+    val merged = Sketches.hllMergeRegisters(
+      Sketches.hllRegisters(a, "l_partkey"),
+      Sketches.hllRegisters(b, "l_partkey"))
+    val direct = Sketches.hllRegisters(a.unionByName(b), "l_partkey")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  // ---- KMV bottom-k --------------------------------------------------
+
+  test("kmv: exact below k, in-band above k, occurrence-invariant") {
+    // 5 distinct keys, duplicated occurrences: count is EXACT (= 5)
+    val small = Seq(1L, 1L, 2L, 3L, 3L, 3L, 4L, 5L).toDF("k")
+    val s = Sketches.kmvSummary(Sketches.kmvBottom(small, "k"))
+      .select("k_used", "est_distinct").as[(Long, Long)].collect().head
+    assert(s == ((5L, 5L)))
+    // full corpus: ~15k distinct vs k=256 -> relative error ~1/sqrt(k-1)
+    // ≈ 6.3%; gate at 3 sigma ≈ 1900 bp
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val row = Sketches.kmvSummary(
+        Sketches.kmvBottom(li.select("l_orderkey"), "l_orderkey"))
+      .crossJoin(li.agg(countDistinct("l_orderkey").as("t")))
+      .select("est_distinct", "t").as[(Long, Long)].collect().head
+    val errBp = math.abs(row._1 - row._2) * 10000 / row._2
+    assert(errBp < 1900, s"KMV err $errBp bp (est ${row._1} vs ${row._2})")
+    // duplicate occurrences cannot move the bottom-k of the DISTINCT keys
+    val dup = Sketches.kmvSummary(
+        Sketches.kmvBottom(li.select("l_orderkey")
+          .unionByName(li.select("l_orderkey")), "l_orderkey"))
+      .select("est_distinct").as[Long].collect().head
+    assert(dup == row._1)
+  }
+
+  // ---- mergeable histogram quantiles ---------------------------------
+
+  test("histQuantiles: covering bin brackets the exact quantile; shards add") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val cents = li.select(
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val (lo, width, bins) = (0L, 4096L, 4096)
+    val hist = Sketches.histCounts(cents, "cents", lo, width, bins)
+    val qBps = Seq(5000, 9000, 9900)
+    val est = Sketches.histQuantiles(hist, qBps, lo, width, bins)
+      .select("q_bp", "est_upper").as[(Long, Long)].collect().toMap
+    val sorted = cents.as[Long].collect().sorted
+    qBps.foreach { q =>
+      // exact q-quantile by the same covering-count definition: the
+      // smallest value v with #(≤v) · 10000 ≥ q · n
+      val idx = ((q.toLong * sorted.length + 9999) / 10000 - 1).toInt
+      val truth = sorted(math.max(idx, 0))
+      val upper = est(q.toLong)
+      assert(truth <= upper && truth > upper - width,
+        s"q=$q: exact $truth outside estimated bin ($upper-$width, $upper]")
+    }
+    // bin counts ADD across shards — the mergeability that GK/KLL lacks
+    val shardSum = Sketches
+      .histCounts(cents.filter(col("cents") % 2 === 0), "cents", lo, width, bins)
+      .unionByName(Sketches
+        .histCounts(cents.filter(col("cents") % 2 =!= 0), "cents", lo, width, bins))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    assert(shardSum.exceptAll(hist).isEmpty && hist.exceptAll(shardSum).isEmpty)
+  }
+
+  // ---- CMS join-size estimate ----------------------------------------
+
+  test("cmsJoinSize: never underestimates; exact absent collisions") {
+    // tiny universes: 3 distinct keys into 3×1024 cells — no collisions,
+    // estimate must be EXACTLY sum of f_a·f_b = 2·3 + 1·1 = 7
+    val a = Seq("x", "x", "y", "z").toDF("k")
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val b = Seq("x", "x", "x", "y", "w").toDF("k")
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val est = Sketches.cmsJoinSize(
+        Sketches.cmsBuildWeighted(a, "k", "cnt"),
+        Sketches.cmsBuildWeighted(b, "k", "cnt"))
+      .as[Long].collect().head
+    assert(est == 7L)
+    // corpus-scale: est ≥ true always (inner product only overcounts)
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ord = spark.read.parquet(s"$sf001/orders.parquet")
+    def counts(df: org.apache.spark.sql.DataFrame, kc: String) =
+      df.groupBy(col(kc).cast("string").as("k")).agg(count(lit(1)).as("cnt"))
+    val big = Sketches.cmsJoinSize(
+        Sketches.cmsBuildWeighted(counts(ev, "user_id"), "k", "cnt"),
+        Sketches.cmsBuildWeighted(counts(ord, "o_custkey"), "k", "cnt"))
+      .as[Long].collect().head
+    val truth = ev.join(ord, col("user_id") === col("o_custkey")).count()
+    assert(big >= truth, s"CM inner product undercounted: $big < $truth")
+  }
+
+  // ---- MAD outliers ---------------------------------------------------
+
+  test("madOutliers: flags the planted spike, honors MAD degeneracy") {
+    // user 1: tight cluster around 10.00 plus one wild 99.99 spike
+    // -> med=10.00, MAD=0.02, spike flagged, cluster not
+    // user 2: >50% of values identical -> mad4 = 0 (degenerate), every
+    // deviating value flagged — surfaced, not hidden
+    val rows = Seq(
+      (1L, 9.98), (1L, 9.99), (1L, 10.00), (1L, 10.01), (1L, 10.02),
+      (1L, 99.99),
+      (2L, 5.00), (2L, 5.00), (2L, 5.00), (2L, 7.00))
+      .toDF("user_id", "value")
+    val got = Events.madOutliers(rows)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // user 1: n=6, med2 = 2·((10.00+10.01)/2 · 100) = 2001·2 = hmm —
+    // six sorted cents: 998,999,1000,1001,1002,9999; interpolated median
+    // = (1000+1001)/2 -> m2 = 2001; d2 = |2c − 2001| = {5,3,1,1,3,17997};
+    // sorted d2: 1,1,3,3,5,17997 -> mad4 = 2·3 = 6; outlier iff 2·d2 > 30
+    assert(got.contains((1L, 6L, 2001L, 6L, 1L)))
+    // user 2: cents {500,500,500,700}; m2 = 1000; d2 = {0,0,0,400};
+    // mad4 = 0 -> the single deviating row is flagged
+    assert(got.contains((2L, 4L, 1000L, 0L, 1L)))
+  }
+
+  // ---- time-decayed aggregate ----------------------------------------
+
+  test("decayAgg: hand-computed shifts; horizon floors, not cuts") {
+    val day = (d: Long) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(d * 86400 + 7))
+    // as_of = day 100. user 1: 1.00 @d100 (age 0), 2.00 @d99 (age 1),
+    // 4.00 @d98 (age 2) -> 100·2^30 + 200·2^29 + 400·2^28
+    // user 2: 1.00 @d100, 3.00 @d50 (age 50 -> capped 30, weight 2^0)
+    val ev = Seq(
+      (1L, day(100), 1.00), (1L, day(99), 2.00), (1L, day(98), 4.00),
+      (2L, day(100), 1.00), (2L, day(50), 3.00))
+      .toDF("user_id", "ts", "value")
+    val got = Events.decayAgg(ev).as[(Long, Long, Long)].collect().toSeq
+    val u1 = 100L * (1L << 30) + 200L * (1L << 29) + 400L * (1L << 28)
+    val u2 = 100L * (1L << 30) + 300L
+    assert(got == Seq((1L, 3L, u1), (2L, 2L, u2)))
+  }
+
   // ---- Bloom semi-join reduction ------------------------------------
 
   test("bloom: no false negatives; pruning actually prunes") {

@@ -161,6 +161,17 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("histParityRun bin table equals the batch-built histogram exactly") {
+    import org.apache.spark.sql.functions.{col, round}
+    val streamed = EventStream.histParityRun(spark, s"$sf0001/events.parquet")
+      .select("bucket", "cnt")
+    val batch = graft.ops.Sketches.histCounts(
+      Tables(spark, sf0001, "events")
+        .select(round(col("value") * 100).cast("long").as("cents")),
+      "cents", 0L, 64L, 1024)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("checkpoint resume: a restarted stream processes only new files, exactly once") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.col
