@@ -1881,6 +1881,72 @@ object SparkEntry {
     "search_mrr_eval" -> ((s, dir) =>
       TextAnalysis.retrievalMrr(t(s, dir, "documents"), MrrQueryTerms)),
 
+    // EXT declarative data-quality expectations: check/unique/FK rules
+    // over five corpus tables in one report — same-table rules fuse into
+    // ONE scan of conditional aggregates, each FK is one aggregated
+    // anti-join. The contract gate an ingest runs before data reaches
+    // training; violations are counts (gate via assert_true downstream,
+    // quarantine via the rule predicate). Two rules genuinely fire on
+    // this corpus (negative acctbals, a >400 event value) — the report
+    // is exercised, not vacuous.
+    "dq_expectations" -> ((s, dir) => {
+      import graft.ops.DataQuality._
+      report(
+        Map("orders" -> t(s, dir, "orders"),
+          "customer" -> t(s, dir, "customer"),
+          "lineitem" -> t(s, dir, "lineitem"),
+          "events" -> t(s, dir, "events"),
+          "documents" -> t(s, dir, "documents")),
+        Seq(
+          Check("orders", "o_custkey_not_null", col("o_custkey").isNull),
+          Check("orders", "o_totalprice_positive",
+            !(col("o_totalprice") > 0)),
+          Unique("orders", "o_orderkey"),
+          Check("customer", "c_acctbal_non_negative", col("c_acctbal") < 0),
+          Unique("customer", "c_custkey"),
+          Check("lineitem", "l_quantity_1_50",
+            col("l_quantity") < 1 || col("l_quantity") > 50),
+          Check("events", "value_le_400", col("value") > 400),
+          Check("documents", "n_chars_consistent",
+            col("n_chars") =!= length(col("text"))),
+          ForeignKey("orders", "o_custkey", "customer", "c_custkey"),
+          ForeignKey("lineitem", "l_orderkey", "orders", "o_orderkey")))
+    }),
+
+    // EXT out-of-orderness audit: per event type, how many events
+    // arrived (event_id order) after a later-timestamped sibling, and
+    // the max lateness — the number that SIZES a watermark before
+    // anyone picks one (delay ≥ max_lateness_us drops nothing).
+    "events_order_audit" -> ((s, dir) =>
+      graft.ops.Events.orderAudit(t(s, dir, "events"))),
+
+    // EXT schema-evolution read: stage two parquet generations (gen=2
+    // adds o_orderpriority), read them as one dataset via footer
+    // merging + partition-dir provenance, back-fill the evolved column
+    // with an explicit default, and aggregate across the generation
+    // boundary. Oracle rebuilds the same answer from the base table
+    // with the evolution rule inlined.
+    "source_schema_evolution" -> ((s, dir) => {
+      val staged = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-evo-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(staged)
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$staged/gen=1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$staged/gen=2")
+      graft.sources.Evolution.readEvolved(s, staged,
+          Map("o_orderpriority" -> lit("UNKNOWN")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // EXT streaming histogram: the fixed-geometry bin table maintained
     // as a real AvailableNow streaming aggregate (bin counts sum-merge —
     // the sketch's merge law IS Spark's partial/final agg algebra),
@@ -3221,6 +3287,74 @@ object SparkEntry {
     "sketch_hist_quantiles" -> histQuantilesOracle,
     "sketch_join_size" -> joinSizeOracle,
     "events_mad_outliers" -> madOracle,
+
+    // every rule recomputed as plain SQL: CASE sums for checks,
+    // count − count(DISTINCT) for uniqueness, NOT EXISTS for FKs
+    "dq_expectations" ->
+      """WITH o AS (SELECT count(*) AS n,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+                CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+                count(o_orderkey) - count(DISTINCT o_orderkey) AS v_uniq
+         FROM orders),
+        c AS (SELECT count(*) AS n,
+                CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_bal,
+                count(c_custkey) - count(DISTINCT c_custkey) AS v_uniq
+              FROM customer),
+        l AS (SELECT count(*) AS n,
+                CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+              FROM lineitem),
+        e AS (SELECT count(*) AS n,
+                CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS v_val
+              FROM events),
+        d AS (SELECT count(*) AS n,
+                CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_nc
+              FROM documents)
+        SELECT 'check:orders.o_custkey_not_null' AS rule, n AS n_checked, v_null AS n_violations FROM o
+        UNION ALL SELECT 'check:orders.o_totalprice_positive', n, v_price FROM o
+        UNION ALL SELECT 'unique:orders.o_orderkey', n, v_uniq FROM o
+        UNION ALL SELECT 'check:customer.c_acctbal_non_negative', n, v_bal FROM c
+        UNION ALL SELECT 'unique:customer.c_custkey', n, v_uniq FROM c
+        UNION ALL SELECT 'check:lineitem.l_quantity_1_50', n, v_qty FROM l
+        UNION ALL SELECT 'check:events.value_le_400', n, v_val FROM e
+        UNION ALL SELECT 'check:documents.n_chars_consistent', n, v_nc FROM d
+        UNION ALL SELECT 'fk:orders.o_custkey->customer.c_custkey',
+               (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+               (SELECT count(*) FROM orders o2 WHERE o2.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c2
+                                WHERE c2.c_custkey = o2.o_custkey))
+        UNION ALL SELECT 'fk:lineitem.l_orderkey->orders.o_orderkey',
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+               (SELECT count(*) FROM lineitem l2 WHERE l2.l_orderkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM orders o3
+                                WHERE o3.o_orderkey = l2.l_orderkey))
+        ORDER BY rule""",
+
+    // running-max window in arrival (event_id) order, strictly prior rows
+    "events_order_audit" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
+                    FROM events),
+          x AS (SELECT event_type, us,
+                       max(us) OVER (PARTITION BY event_type ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prior_max
+                FROM e)
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN prior_max > us THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_late,
+                CAST(coalesce(max(CASE WHEN prior_max > us
+                                       THEN prior_max - us END), 0)
+                     AS BIGINT) AS max_lateness_us
+         FROM x GROUP BY 1 ORDER BY event_type""",
+
+    // the evolution rule inlined over the base table: even keys are
+    // generation 1 (no priority column -> default), odd keys carry it
+    "source_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'UNKNOWN'
+                     ELSE o_orderpriority END AS o_orderpriority,
+                count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
 
     // the search_bm25 scoring fragments re-used per term-partition, plus
     // the density-relevance CASE and the exact 2520/rank

@@ -406,6 +406,30 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Out-of-orderness audit — the measurement that SIZES a watermark
+    * before anyone picks one: treating `event_id` as arrival order, an
+    * event is LATE iff some same-type event with a LATER timestamp
+    * already arrived; its lateness is running-max(ts) − ts. A stream
+    * configured with watermark delay ≥ the reported max lateness would
+    * have dropped nothing — exactly the number an operator needs from a
+    * batch backfill before turning on [[graft.streaming.EventStream]]'s
+    * watermarked aggregations. One type-keyed window pass, map-side
+    * nothing — the partition key is the stream's own key. */
+  def orderAudit(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_type"), col("event_id"), tsUs(events).as("us"))
+      .withColumn("prior_max", max("us").over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("prior_max") > col("us"), 1L).otherwise(0L))
+          .as("n_late"),
+        coalesce(max(when(col("prior_max") > col("us"),
+          col("prior_max") - col("us"))), lit(0L)).as("max_lateness_us"))
+      .orderBy("event_type")
+  }
+
   /** Per-user exponentially time-decayed value score — the recency
     * feature of a training pipeline (recent behavior outweighs stale),
     * computed in EXACT integers: with half-life = 1 day and a

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DataQuality, Events}
+
+/** Data-contract surfaces: the expectations rule algebra, the
+  * out-of-orderness watermark audit, and schema-evolution reads. */
+class DataQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("expectations: hand-planted violations counted exactly") {
+    // id 3 duplicated; one null name; one negative amount; child 99
+    // orphaned (no parent 99); null FK is NOT an orphan
+    val parent = Seq((1L, "a"), (2L, "b"), (3L, "c"), (3L, "d"),
+      (4L, null.asInstanceOf[String])).toDF("id", "name")
+    val child = Seq((10L, Some(1L), 5.0), (11L, Some(99L), -2.0),
+      (12L, None, 1.0)).toDF("cid", "pid", "amount")
+    val got = DataQuality.report(
+      Map("p" -> parent, "c" -> child),
+      Seq(
+        DataQuality.Check("p", "name_not_null", col("name").isNull),
+        DataQuality.Unique("p", "id"),
+        DataQuality.Check("c", "amount_positive", !(col("amount") > 0)),
+        DataQuality.ForeignKey("c", "pid", "p", "id")))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("check:c.amount_positive", 3L, 1L),
+      ("check:p.name_not_null", 5L, 1L),
+      ("fk:c.pid->p.id", 2L, 1L), // n_checked counts non-null FKs only
+      ("unique:p.id", 5L, 1L)))
+  }
+
+  test("expectations: same-table rules fuse into one scan") {
+    val df = spark.read.parquet(s"$sf001/orders.parquet")
+    val plan = DataQuality.report(Map("orders" -> df), Seq(
+        DataQuality.Check("orders", "ck_null", col("o_custkey").isNull),
+        DataQuality.Check("orders", "tp_pos", !(col("o_totalprice") > 0)),
+        DataQuality.Unique("orders", "o_orderkey")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+    assert(scans == 1, s"3 rules on one table must be 1 scan, got $scans:\n$plan")
+  }
+
+  test("expectations: unknown table refused") {
+    intercept[IllegalArgumentException] {
+      DataQuality.report(Map.empty,
+        Seq(DataQuality.Unique("ghost", "id")))
+    }
+  }
+
+  test("orderAudit: hand-computed lateness") {
+    val ts = (s: Long) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // type A, arrival order 1..4: ts 100, 50 (late by 50s), 200, 199
+    // (late by 1s) -> n_late 2, max 50s. type B in order -> 0 late.
+    val ev = Seq(
+      (1L, ts(100), "A"), (2L, ts(50), "A"), (3L, ts(200), "A"),
+      (4L, ts(199), "A"),
+      (5L, ts(10), "B"), (6L, ts(20), "B"))
+      .toDF("event_id", "ts", "event_type")
+    val got = Events.orderAudit(ev)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 4L, 2L, 50000000L), ("B", 2L, 0L, 0L)))
+  }
+
+  test("readEvolved: footer merge + default fill + gen provenance") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-evo-spec").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt")
+      .write.parquet(s"$root/gen=1")
+    Seq((3L, 30.0, "HI"), (4L, 40.0, null.asInstanceOf[String]))
+      .toDF("k", "amt", "prio").write.parquet(s"$root/gen=2")
+    val got = graft.sources.Evolution.readEvolved(spark, root,
+        Map("prio" -> lit("UNK")))
+      .select("k", "amt", "prio", "gen").orderBy("k")
+      .as[(Long, Double, String, Int)].collect().toSeq
+    // gen-1 rows back-filled; the DOCUMENTED policy also fills gen-2's
+    // genuine null (DEFAULT semantics); gen is a partition column
+    assert(got == Seq((1L, 10.0, "UNK", 1), (2L, 20.0, "UNK", 1),
+      (3L, 30.0, "HI", 2), (4L, 40.0, "UNK", 2)))
+    val rm: java.io.File => Unit = { f =>
+      def go(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles).toSeq.flatten.foreach(go)
+        p.delete(): Unit
+      }
+      go(f)
+    }
+    rm(new java.io.File(root))
+  }
+}
