@@ -1881,6 +1881,45 @@ object SparkEntry {
     "search_mrr_eval" -> ((s, dir) =>
       TextAnalysis.retrievalMrr(t(s, dir, "documents"), MrrQueryTerms)),
 
+    // EXT per-group histogram quantiles: p50/p95 of value cents PER
+    // EVENT TYPE from one scan — groups·bins shuffle key space, the
+    // group-keyed cumulative window runs over each group's ≤1024 sketch
+    // rows. The by-dimension latency/value-distribution dashboard query.
+    "sketch_hist_groups" -> ((s, dir) => {
+      val cents = t(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Sketches.histQuantilesBy(
+        graft.ops.Sketches.histCountsBy(cents, "cents", Seq("event_type"),
+          0L, 64L, 1024),
+        Seq("event_type"), Seq(5000, 9500), 0L, 64L, 1024)
+    }),
+
+    // EXT temporal as-of-validity join: facts (the events themselves)
+    // joined to the SCD2 state dimension version valid AT EVENT TIME —
+    // "what state was the user in when this event happened", the
+    // history-faithful alternative to joining the current snapshot.
+    // Aggregated to (state, event_type) counts; the diagonal dominates
+    // (an event's own type IS the state it sets) while off-diagonal
+    // cells arise from equal-timestamp change ties (the LAST change at
+    // a us owns the half-open window starting there) — exactly the tie
+    // semantics the [from, to) windows pin.
+    "scd2_temporal_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val evU = ev.select(col("user_id"), col("event_id"),
+        col("event_type"), Events.tsUs(ev).as("us"))
+      val dim = graft.ops.Cdc.scd2(evU,
+          key = "user_id", attr = "event_type", orderUs = "us",
+          seq = "event_id")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from_us"), col("valid_to_us"))
+      graft.ops.Cdc.temporalJoin(
+          evU.select("user_id", "event_id", "event_type", "us"),
+          dim, "user_id", "us")
+        .groupBy("state", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("state", "event_type")
+    }),
+
     // EXT declarative data-quality expectations: check/unique/FK rules
     // over five corpus tables in one report — same-table rules fuse into
     // ONE scan of conditional aggregates, each FK is one aggregated
@@ -3287,6 +3326,57 @@ object SparkEntry {
     "sketch_hist_quantiles" -> histQuantilesOracle,
     "sketch_join_size" -> joinSizeOracle,
     "events_mad_outliers" -> madOracle,
+
+    // grouped twin of stream_hist_parity's hist SQL, partitioned
+    // cumulative window + per-group covering-bin selection
+    "sketch_hist_groups" ->
+      """WITH c AS (SELECT event_type,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+          hb AS (SELECT event_type,
+                        least(1023, greatest(0, (cents - 0) // 64)) AS bucket,
+                        count(*) AS cnt
+                 FROM c GROUP BY 1, 2),
+          cum AS (SELECT event_type, bucket,
+                         CAST(sum(cnt) OVER (PARTITION BY event_type
+                           ORDER BY bucket) AS BIGINT) AS cum
+                  FROM hb),
+          tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_total
+                  FROM hb GROUP BY 1),
+          qs AS (SELECT CAST(unnest([5000, 9500]) AS BIGINT) AS q_bp)
+         SELECT cum.event_type AS event_type, q_bp,
+                CAST(min(cum.bucket) AS BIGINT) AS bucket,
+                CAST(0 + (min(cum.bucket) + 1) * 64 - 1 AS BIGINT)
+                  AS est_upper,
+                max(tot.n_total) AS n_total
+         FROM qs CROSS JOIN cum
+         JOIN tot ON tot.event_type = cum.event_type
+         WHERE cum.cum * 10000 >= q_bp * tot.n_total
+         GROUP BY 1, 2 ORDER BY event_type, q_bp""",
+
+    // the scd2_build version CTEs + the half-open-window as-of join
+    "scd2_temporal_join" ->
+      """WITH ordered AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                  lag(event_type) OVER w AS prev,
+                  row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         runs AS (
+           SELECT user_id, event_id, event_type, us FROM ordered
+           WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+         v AS (
+           SELECT user_id, event_type AS state, us AS valid_from_us,
+                  lead(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS valid_to_us
+           FROM runs),
+         f AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+               FROM events)
+         SELECT v.state, f.event_type, count(*) AS cnt
+         FROM f JOIN v ON f.user_id = v.user_id
+                      AND f.us >= v.valid_from_us
+                      AND (v.valid_to_us IS NULL OR f.us < v.valid_to_us)
+         GROUP BY 1, 2 ORDER BY state, event_type""",
 
     // every rule recomputed as plain SQL: CASE sums for checks,
     // count − count(DISTINCT) for uniqueness, NOT EXISTS for FKs

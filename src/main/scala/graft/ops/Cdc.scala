@@ -116,6 +116,30 @@ object Cdc {
       .orderBy(col(key), col("valid_from_us"), col(seq))
   }
 
+  /** Temporal (as-of-validity) dimension join — the consumer side of
+    * [[scd2]]: each fact row joins the version whose
+    * `[valid_from_us, valid_to_us)` half-open window contains the fact
+    * time (`valid_to_us IS NULL` = the open current version). THE
+    * lakehouse pattern for "what was this entity's state when the event
+    * happened" — joining the dimension's current snapshot instead
+    * silently rewrites history.
+    *
+    * Plan shape is the scale argument: the key equality is the join
+    * condition, so this is an ordinary hash/sort-merge join shuffled on
+    * `key`, with the validity window as a RESIDUAL filter — never a
+    * range-only (nested-loop) join. Per fact at most one version
+    * matches (windows within a key partition the timeline — [[scd2]]
+    * guarantees non-overlap by construction). */
+  def temporalJoin(facts: DataFrame, versions: DataFrame, key: String,
+      factUs: String): DataFrame = {
+    val d = versions.withColumnRenamed(key, "__vk")
+    facts.join(d,
+        facts(key) === d("__vk") &&
+          col(factUs) >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col(factUs) < col("valid_to_us")))
+      .drop("__vk")
+  }
+
   /** Incremental materialized-view maintenance for self-maintainable
     * aggregates: merge any number of PARTIALLY AGGREGATED state tables
     * (the standing view + each new delta batch's partial agg) into the

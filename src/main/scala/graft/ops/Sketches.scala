@@ -246,10 +246,18 @@ object Sketches {
     * per map partition. */
   def histCounts(values: DataFrame, valCol: String, lo: Long,
       width: Long, bins: Int): DataFrame =
+    histCountsBy(values, valCol, Nil, lo, width, bins)
+
+  /** Per-GROUP histogram tables from one pass — groups·bins shuffle key
+    * space, the same one-scan-many-sketches economics as
+    * [[hllRegistersBy]]. */
+  def histCountsBy(values: DataFrame, valCol: String,
+      groupCols: Seq[String], lo: Long, width: Long, bins: Int): DataFrame =
     values
-      .select(least(lit(bins - 1L), greatest(lit(0L),
-        expr(s"(($valCol - $lo) div $width)"))).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .select(groupCols.map(col) :+ least(lit(bins - 1L), greatest(lit(0L),
+        expr(s"(($valCol - $lo) div $width)"))).as("bucket"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
 
   /** Quantile estimates from a histogram: for each q (basis points) the
     * first bucket whose cumulative count covers q — estimate = the
@@ -261,22 +269,38 @@ object Sketches {
     * global-window-over-Aggregate-only contract PlanShapeSpec enforces
     * registry-wide. */
   def histQuantiles(hist: DataFrame, qBps: Seq[Int], lo: Long,
-      width: Long, bins: Int): DataFrame = {
-    val h = hist.groupBy("bucket").agg(sum("cnt").as("cnt"))
+      width: Long, bins: Int): DataFrame =
+    histQuantilesBy(hist, Nil, qBps, lo, width, bins)
+
+  /** [[histQuantiles]] per group over a [[histCountsBy]] table: the
+    * cumulative window partitions on the group columns, so each
+    * partition is one group's ≤ `bins` sketch rows — bounded state per
+    * task, arbitrarily many groups in parallel. */
+  def histQuantilesBy(hist: DataFrame, groupCols: Seq[String],
+      qBps: Seq[Int], lo: Long, width: Long, bins: Int): DataFrame = {
+    val h = hist.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
       .orderBy("bucket").rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = h.withColumn("cum", sum("cnt").over(w))
-      .crossJoin(h.agg(sum("cnt").as("n_total")))
+    val tot = h.groupBy(groupCols.map(col): _*)
+      .agg(sum("cnt").as("n_total"))
+    val withCum = h.withColumn("cum", sum("cnt").over(w))
+    val cum =
+      if (groupCols.isEmpty) withCum.crossJoin(tot)
+      else withCum.join(tot, groupCols)
     val qs = hist.sparkSession.range(1)
       .select(explode(array(qBps.map(q => lit(q.toLong)): _*)).as("q_bp"))
     qs.join(cum, cum("cum") * 10000L >= qs("q_bp") * cum("n_total"))
-      .groupBy("q_bp")
+      .groupBy((groupCols :+ "q_bp").map(col): _*)
       .agg(min("bucket").as("bucket"), max("n_total").as("n_total"))
       .withColumn("est_upper",
         lit(lo) + (col("bucket") + 1L) * lit(width) - 1L)
-      .select("q_bp", "bucket", "est_upper", "n_total")
-      .orderBy("q_bp")
+      .select(groupCols.map(col)
+        ++ Seq(col("q_bp"), col("bucket"), col("est_upper"),
+          col("n_total")): _*)
+      .orderBy((groupCols :+ "q_bp").map(col): _*)
   }
 
   /** Equi-join output-size estimate from two Count-Min tables of the

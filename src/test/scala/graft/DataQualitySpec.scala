@@ -65,6 +65,23 @@ class DataQualitySpec extends SparkTestBase {
     assert(got == Seq(("A", 4L, 2L, 50000000L), ("B", 2L, 0L, 0L)))
   }
 
+  test("temporalJoin: facts land in the version valid at their time") {
+    // versions for key 1: A [10, 20), B [20, null). Facts at 10 (start
+    // inclusive -> A), 19 (A), 20 (end exclusive -> B), 99 (open B).
+    // Key 2 has only an open version; a fact before its start matches
+    // nothing (inner join drops it).
+    val dim = Seq((1L, "A", 10L, Some(20L)), (1L, "B", 20L, None),
+      (2L, "C", 50L, None))
+      .toDF("k", "state", "valid_from_us", "valid_to_us")
+    val facts = Seq((1L, 101L, 10L), (1L, 102L, 19L), (1L, 103L, 20L),
+      (1L, 104L, 99L), (2L, 201L, 49L), (2L, 202L, 50L))
+      .toDF("k", "fid", "us")
+    val got = graft.ops.Cdc.temporalJoin(facts, dim, "k", "us")
+      .select("fid", "state").as[(Long, String)].collect().toMap
+    assert(got == Map(101L -> "A", 102L -> "A", 103L -> "B",
+      104L -> "B", 202L -> "C"))
+  }
+
   test("readEvolved: footer merge + default fill + gen provenance") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-evo-spec").toString

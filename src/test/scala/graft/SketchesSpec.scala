@@ -219,6 +219,54 @@ class SketchesSpec extends SparkTestBase {
     assert(shardSum.exceptAll(hist).isEmpty && hist.exceptAll(shardSum).isEmpty)
   }
 
+  test("histCountsBy/histQuantilesBy: per-group ≡ independent builds") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val cents = ev.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val (lo, width, bins) = (0L, 64L, 1024)
+    val grouped = Sketches.histQuantilesBy(
+      Sketches.histCountsBy(cents, "cents", Seq("event_type"), lo, width, bins),
+      Seq("event_type"), Seq(5000, 9500), lo, width, bins)
+    cents.select("event_type").distinct().as[String].collect().foreach { g =>
+      val solo = Sketches.histQuantiles(
+        Sketches.histCounts(cents.filter(col("event_type") === g)
+          .select("cents"), "cents", lo, width, bins),
+        Seq(5000, 9500), lo, width, bins)
+      val slice = grouped.filter(col("event_type") === g)
+        .select("q_bp", "bucket", "est_upper", "n_total")
+      assert(slice.exceptAll(solo).isEmpty && solo.exceptAll(slice).isEmpty,
+        s"group $g quantiles diverge from an independent build")
+    }
+  }
+
+  // ---- retrieval MRR eval --------------------------------------------
+
+  test("retrievalMrr: hand-scored ranking on a tiny corpus") {
+    // query 'x': doc 1 is short and dense (tf=3), doc 2 mentions x once,
+    // doc 3 is x-dense but long. BM25 favors 1; first dense hit rank 1
+    // -> rr 2520. query 'y': only doc 2 has it, tf=1 < 3 -> no dense hit
+    // in top-k, best_rank null, rr 0.
+    val docs = Seq(
+      (1L, "x x x pad"),
+      (2L, "x y pad pad pad pad pad pad"),
+      (3L, "x x x " + Seq.fill(40)("pad").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .retrievalMrr(docs, Seq("x", "y"), k = 10)
+      .select("term", "best_rank", "rr_scaled")
+      .as[(String, Option[Long], Long)].collect().toSeq
+    assert(got == Seq(("x", Some(1L), 2520L), ("y", None, 0L)))
+    // first relevant NOT at rank 1: make doc 2 the clear BM25 winner on
+    // 'z' (short, tf=2 < 3) over the dense-but-long doc 3
+    val docs2 = Seq(
+      (2L, "z z"),
+      (3L, "z z z " + Seq.fill(40)("pad").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r2 = graft.ops.TextAnalysis.retrievalMrr(docs2, Seq("z"), k = 10)
+      .select("best_rank", "rr_scaled").as[(Long, Long)].collect().head
+    assert(r2 == ((2L, 1260L))) // 2520/2
+  }
+
   // ---- CMS join-size estimate ----------------------------------------
 
   test("cmsJoinSize: never underestimates; exact absent collisions") {
