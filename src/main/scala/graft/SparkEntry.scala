@@ -1881,6 +1881,21 @@ object SparkEntry {
     "search_mrr_eval" -> ((s, dir) =>
       TextAnalysis.retrievalMrr(t(s, dir, "documents"), MrrQueryTerms)),
 
+    // EXT integer covariance diagnostic: n²·cov(value_cents,
+    // minute_of_day) per type as one exact BIGINT — the value-vs-time
+    // dependence screen with divisions left to the consumer. Bounds:
+    // Σx ≤ n·49e3, Σy ≤ n·1439; Σx·Σy < 2^63 through n ≈ 3.6×10⁸ rows
+    // per type (sf ≈ 100); beyond that, pre-aggregate per day first.
+    "events_covariance" -> ((s, dir) =>
+      graft.ops.Events.covarianceDiag(t(s, dir, "events"))),
+
+    // EXT behavioral transition matrix: consecutive (prev → next)
+    // event-type counts per user timeline with integer row shares — the
+    // Markov statistic behind next-action features. One lag window, one
+    // |types|²-cell aggregate.
+    "events_transitions" -> ((s, dir) =>
+      graft.ops.Events.transitions(t(s, dir, "events"))),
+
     // EXT per-group histogram quantiles: p50/p95 of value cents PER
     // EVENT TYPE from one scan — groups·bins shuffle key space, the
     // group-keyed cumulative window runs over each group's ≤1024 sketch
@@ -3326,6 +3341,37 @@ object SparkEntry {
     "sketch_hist_quantiles" -> histQuantilesOracle,
     "sketch_join_size" -> joinSizeOracle,
     "events_mad_outliers" -> madOracle,
+
+    // the same integer moments; pmod ≡ % on non-negative epoch-us
+    "events_covariance" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(round(value * 100) AS BIGINT) AS x,
+                           (epoch_us(ts) % 86400000000) // 60000000 AS y
+                    FROM events),
+          m AS (SELECT event_type, count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS sum_x,
+                       CAST(sum(y) AS BIGINT) AS sum_y,
+                       CAST(sum(x * y) AS BIGINT) AS sum_xy
+                FROM e GROUP BY 1)
+         SELECT event_type, n, sum_x, sum_y,
+                n * sum_xy - sum_x * sum_y AS cov_scaled
+         FROM m ORDER BY event_type""",
+
+    // lag window in (ts, event_id) order; row shares as floor-div bp
+
+    "events_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_type
+                    FROM events),
+          p AS (SELECT prev_type, event_type AS next_type, count(*) AS cnt
+                FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS row_total
+                FROM p GROUP BY 1)
+         SELECT p.prev_type, p.next_type, p.cnt,
+                (p.cnt * 10000) // t.row_total AS share_bp
+         FROM p JOIN t USING (prev_type)
+         ORDER BY prev_type, next_type""",
 
     // grouped twin of stream_hist_parity's hist SQL, partitioned
     // cumulative window + per-group covering-bin selection

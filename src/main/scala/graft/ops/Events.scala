@@ -406,6 +406,51 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Integer-exact covariance diagnostic between event value (cents)
+    * and minute-of-day, per type: `cov_scaled = n·Σxy − Σx·Σy = n²·cov`
+    * — the drift/dependence screen ("do big-value events cluster at
+    * certain hours?") with the float divisions left to the consumer, so
+    * the statistic itself is hash-exact cross-engine. Minute (not µs)
+    * granularity keeps every product within BIGINT through sf100
+    * (Σx·Σy is the binding term; bounds in the registered query doc).
+    * One map-side-combined scan. */
+  def covarianceDiag(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x"),
+        tsUs(events).as("us"))
+      .withColumn("y", expr("pmod(us, 86400000000) div 60000000"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
+        sum("y").as("sum_y"), sum(col("x") * col("y")).as("sum_xy"))
+      .withColumn("cov_scaled",
+        col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+      .select("event_type", "n", "sum_x", "sum_y", "cov_scaled")
+      .orderBy("event_type")
+
+  /** First-order behavioral transition matrix: counts and row-share of
+    * consecutive (prev → next) event-type pairs per user timeline — the
+    * Markov-chain statistic behind next-action features and
+    * anomalous-sequence screens. One user-keyed window pass (lag), one
+    * |types|²-cell aggregate; `share_bp` = cnt·10000 div row total keeps
+    * the row-stochastic matrix integer-exact. Ties at equal timestamps
+    * are ordered by event_id, the corpus arrival sequence. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsUs(events).as("us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("prev_type").agg(sum("cnt").as("row_total"))
+    pairs.join(totals, "prev_type")
+      .withColumn("share_bp", expr("cnt * 10000 div row_total"))
+      .select("prev_type", "next_type", "cnt", "share_bp")
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Out-of-orderness audit — the measurement that SIZES a watermark
     * before anyone picks one: treating `event_id` as arrival order, an
     * event is LATE iff some same-type event with a LATER timestamp

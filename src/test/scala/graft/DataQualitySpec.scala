@@ -82,6 +82,35 @@ class DataQualitySpec extends SparkTestBase {
       104L -> "B", 202L -> "C"))
   }
 
+  test("transitions: hand-built chain with integer row shares") {
+    val ts = (s: Long) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // user 1: A->B->A->C ; user 2: B->A. Pairs: A->B 1, B->A 2, A->C 1.
+    // Row totals: A 2, B 2 -> shares A->B 5000, A->C 5000, B->A 10000.
+    val ev = Seq(
+      (1L, ts(1), "A"), (2L, ts(2), "B"), (3L, ts(3), "A"), (4L, ts(4), "C"),
+      (5L, ts(1), "B"), (6L, ts(2), "A"))
+      .toDF("event_id", "ts", "event_type")
+      .withColumn("user_id", when(col("event_id") <= 4, 1L).otherwise(2L))
+    val got = Events.transitions(ev)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 1L, 5000L), ("A", "C", 1L, 5000L),
+      ("B", "A", 2L, 10000L)))
+  }
+
+  test("covarianceDiag: n²·cov matches a direct computation") {
+    val ts = (m: Long) => // m minutes past midnight UTC
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(m * 60))
+    // x = {100, 300}, y = {10, 30}: n=2, Σx=400, Σy=40, Σxy=10000
+    // cov_scaled = 2·10000 − 400·40 = 4000 (= n²·cov, cov=1000)
+    val ev = Seq((1L, ts(10), "A", 1.00), (2L, ts(30), "A", 3.00))
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", lit(1L))
+    val got = Events.covarianceDiag(ev)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 2L, 400L, 40L, 4000L)))
+  }
+
   test("readEvolved: footer merge + default fill + gen provenance") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-evo-spec").toString
