@@ -1881,6 +1881,33 @@ object SparkEntry {
     "search_mrr_eval" -> ((s, dir) =>
       TextAnalysis.retrievalMrr(t(s, dir, "documents"), MrrQueryTerms)),
 
+    // EXT snapshot isolation + time travel: two committed versions of an
+    // orders table (v1 = a subset, v2 = full — "late data arrived"),
+    // published via the atomic-manifest-move protocol; the query reads
+    // BOTH versions after the second commit and aggregates each — the
+    // as-of read an auditable pipeline replays. Commits are idempotent
+    // per staging root (re-runs read the original versions); uncommitted
+    // staging files are structurally invisible (SnapshotsSpec proves
+    // both isolation and the optimistic-concurrency retry).
+    "snapshot_time_travel" -> ((s, dir) => {
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-snap-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(root)
+      val o = t(s, dir, "orders")
+      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
+        graft.sources.Snapshots.commit(
+          o.filter(col("o_orderkey") % 3 =!= 0), root)
+        graft.sources.Snapshots.commit(o, root)
+      }
+      def agg(v: Long) = graft.sources.Snapshots.read(s, root, Some(v))
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .select(lit(v).as("version"), col("cnt"), col("revenue"))
+      agg(1L).unionByName(agg(2L)).orderBy("version")
+    }),
+
     // EXT integer covariance diagnostic: n²·cov(value_cents,
     // minute_of_day) per type as one exact BIGINT — the value-vs-time
     // dependence screen with divisions left to the consumer. Bounds:
@@ -3341,6 +3368,19 @@ object SparkEntry {
     "sketch_hist_quantiles" -> histQuantilesOracle,
     "sketch_join_size" -> joinSizeOracle,
     "events_mad_outliers" -> madOracle,
+
+    // the committed snapshots re-derived from the base table: v1 is the
+    // keyed subset, v2 the full table
+    "snapshot_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders WHERE o_orderkey % 3 <> 0
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), count(*),
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM orders
+         ORDER BY version""",
 
     // the same integer moments; pmod ≡ % on non-negative epoch-us
     "events_covariance" ->

@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshot commits over plain parquet (EXT — the ACID
+  * primitive behind Delta/Iceberg, surfaced as a library op): writers
+  * stage immutable data files, then PUBLISH atomically by moving a
+  * manifest (the file list) into `_manifests/v<N>.list`. Readers resolve
+  * a manifest and read exactly its files, so they see every committed
+  * snapshot fully or not at all — snapshot isolation — and any retained
+  * older version stays readable (time travel) since published files are
+  * never mutated.
+  *
+  * Commit protocol, local-filesystem edition:
+  *  - data files land under `data/<uuid>/` (stage dir named by writer —
+  *    never reused, so a crashed writer leaves only invisible garbage);
+  *  - the manifest is written to a temp name and `ATOMIC_MOVE`d to
+  *    `v<N>.list`; the move fails if vN exists, which IS the optimistic
+  *    concurrency check — the loser re-reads the latest version and
+  *    retries with N+1 (same contract as a table format's conditional
+  *    log append; on an object store this move becomes a
+  *    put-if-absent).
+  *
+  * The driver-side state is manifest-sized (#files), the table-format
+  * log-replay bound, same as [[Manifest]]. Scoped to one writer process
+  * per JVM-visible filesystem; cross-datacenter coordination is a
+  * catalog's job, not a file protocol's.
+  */
+object Snapshots {
+
+  private val ManifestDir = "_manifests"
+
+  private def manifestDir(root: String): Path = {
+    val p = Paths.get(root, ManifestDir)
+    Files.createDirectories(p)
+    p
+  }
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getFileName.toString
+    if (n.startsWith("v") && n.endsWith(".list"))
+      n.stripPrefix("v").stripSuffix(".list").toLongOption
+    else None
+  }
+
+  /** Highest published version, if any commit exists. */
+  def latestVersion(root: String): Option[Long] = {
+    val dir = manifestDir(root)
+    val vs = Files.list(dir).iterator().asScala.flatMap(versionOf).toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Commit `df` as the next version of the table at `root`; returns the
+    * published version number. Data is staged under a fresh uuid dir
+    * first; publication is the single atomic manifest move. */
+  def commit(df: DataFrame, root: String): Long = {
+    val stage = s"data/${java.util.UUID.randomUUID()}"
+    df.write.parquet(s"$root/$stage")
+    val files = Files.list(Paths.get(root, stage)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .map(n => s"$stage/$n").toSeq.sorted
+    require(files.nonEmpty, "refusing to commit an empty snapshot")
+    val dir = manifestDir(root)
+    var v = latestVersion(root).getOrElse(0L) + 1
+    while (true) {
+      val tmp = Files.createTempFile(dir, s".v$v-", ".tmp")
+      Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+      try {
+        Files.move(tmp, dir.resolve(s"v$v.list"),
+          StandardCopyOption.ATOMIC_MOVE)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race: retry at the next v
+          v = math.max(v + 1, latestVersion(root).getOrElse(0L) + 1)
+      }
+    }
+    v // unreachable
+  }
+
+  /** Read a snapshot: the latest published version, or `asOf` a specific
+    * one. Plans a scan over exactly the manifest's files — uncommitted
+    * staging data is structurally invisible. */
+  def read(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $root"))
+    val list = manifestDir(root).resolve(s"v$v.list")
+    require(Files.exists(list), s"version $v was never published at $root")
+    val files = Files.readAllLines(list).asScala.toSeq
+      .filter(_.nonEmpty).map(f => s"$root/$f")
+    require(files.nonEmpty, s"version $v has an empty manifest at $root")
+    spark.read.parquet(files: _*)
+  }
+}

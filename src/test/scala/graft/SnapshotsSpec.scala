@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.Snapshots
+
+/** The snapshot commit protocol: atomic publication, isolation from
+  * uncommitted staging data, time travel, and the optimistic-concurrency
+  * version race. */
+class SnapshotsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-snap-spec").toString
+
+  private def rm(dir: String): Unit = {
+    def go(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles).toSeq.flatten.foreach(go)
+      p.delete(): Unit
+    }
+    go(new java.io.File(dir))
+  }
+
+  test("commit/read round trip and time travel across versions") {
+    val root = freshRoot()
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
+    val v2 = Snapshots.commit(
+      Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "s"), root)
+    assert(v1 == 1L && v2 == 2L)
+    assert(Snapshots.latestVersion(root).contains(2L))
+    // latest read sees v2; as-of v1 still reads the ORIGINAL snapshot
+    assert(Snapshots.read(spark, root).count() == 3L)
+    val old = Snapshots.read(spark, root, Some(1L))
+      .as[(Long, String)].collect().toSet
+    assert(old == Set((1L, "a"), (2L, "b")))
+    rm(root)
+  }
+
+  test("uncommitted staging data is structurally invisible") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 10L)).toDF("k", "v"), root)
+    // a crashed writer's orphan staging dir: data present, never published
+    Seq((99L, 99L)).toDF("k", "v")
+      .write.parquet(s"$root/data/orphan-stage")
+    assert(Snapshots.read(spark, root).count() == 1L,
+      "reader must plan only manifest-listed files")
+    rm(root)
+  }
+
+  test("version race: loser retries past the taken number") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 1L)).toDF("k", "v"), root)
+    // another writer published v2 between our latestVersion() and move
+    Files.write(Paths.get(root, "_manifests", "v2.list"),
+      Array.emptyByteArray)
+    intercept[IllegalArgumentException] { // v2's empty manifest: no files
+      Snapshots.read(spark, root, Some(2L)).count()
+    }
+    val v = Snapshots.commit(Seq((2L, 2L)).toDF("k", "v"), root)
+    assert(v == 3L, s"commit must skip the taken v2, got v$v")
+    assert(Snapshots.read(spark, root, Some(3L)).count() == 1L)
+    rm(root)
+  }
+
+  test("refuses reads with no committed snapshot or unknown version") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException] { Snapshots.read(spark, root) }
+    Snapshots.commit(Seq((1L, 1L)).toDF("k", "v"), root)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root, Some(7L))
+    }
+    rm(root)
+  }
+}
