@@ -1881,6 +1881,16 @@ object SparkEntry {
     "search_mrr_eval" -> ((s, dir) =>
       TextAnalysis.retrievalMrr(t(s, dir, "documents"), MrrQueryTerms)),
 
+    // EXT stratified distinct-key sample: bottom-20 portable hashes per
+    // documents source — k deterministic representatives per stratum
+    // from one pass (each doubles as the stratum's KMV basis); the
+    // semantics-oblivious hash order is what makes it uniform.
+    "fp_bottomk_stratified" -> ((s, dir) =>
+      graft.ops.Sketches.kmvBottomBy(
+          t(s, dir, "documents").select("source", "doc_id"),
+          "doc_id", Seq("source"), k = 20)
+        .orderBy("source", "rn")),
+
     // EXT snapshot isolation + time travel: two committed versions of an
     // orders table (v1 = a subset, v2 = full — "late data arrived"),
     // published via the atomic-manifest-move protocol; the query reads
@@ -3368,6 +3378,27 @@ object SparkEntry {
     "sketch_hist_quantiles" -> histQuantilesOracle,
     "sketch_join_size" -> joinSizeOracle,
     "events_mad_outliers" -> madOracle,
+
+    // the same quad-hash (hllOracleFor's h expression) ranked per source
+    "fp_bottomk_stratified" -> {
+      import graft.functions.Portable.{P1, P2, aCoef, bCoef}
+      import graft.ops.Sketches.HllSeedBase
+      val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
+      val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
+      s"""WITH d AS (SELECT DISTINCT source, CAST(doc_id AS BIGINT) AS k
+         |           FROM documents),
+         | q AS (SELECT source, k, k % $P1 AS q1, k % $P2 AS q2 FROM d),
+         | h AS (SELECT source, k,
+         |              ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
+         |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS h
+         |       FROM q),
+         | r AS (SELECT source, k AS doc_id, h,
+         |              CAST(row_number() OVER (PARTITION BY source
+         |                ORDER BY h, k) AS BIGINT) AS rn
+         |       FROM h)
+         |SELECT source, doc_id, h, rn FROM r WHERE rn <= 20
+         |ORDER BY source, rn""".stripMargin
+    },
 
     // the committed snapshots re-derived from the base table: v1 is the
     // keyed subset, v2 the full table

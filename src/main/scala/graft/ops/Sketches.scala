@@ -236,6 +236,26 @@ object Sketches {
   /** Default KMV size: relative error ~1/√(k−1) ≈ 6.3%. */
   val KmvK = 256
 
+  /** Per-GROUP bottom-k over the distinct keys: a deterministic
+    * STRATIFIED distinct-key sample (k representatives per stratum,
+    * hash-order = semantics-oblivious) that is simultaneously each
+    * stratum's KMV basis. Group-keyed rank window — each partition
+    * sorts only its own postings; ties on h broken by key so the
+    * sample is reproducible under hash collisions. */
+  def kmvBottomBy(keys: DataFrame, keyCol: String, groupCols: Seq[String],
+      k: Int = KmvK, seedBase: Int = HllSeedBase): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("h", "k")
+    keys
+      .select(groupCols.map(col) :+ col(keyCol).cast("long").as("k"): _*)
+      .distinct()
+      .withColumn("h", quadHash(col("k"), seedBase))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(groupCols.map(col)
+        ++ Seq(col("k").as(keyCol), col("h"), col("rn")): _*)
+  }
+
   /** Fixed-geometry equi-width histogram over a long column — the
     * mergeable quantile summary (bin counts ADD across shards, unlike
     * any exact rank). `lo`/`width`/`bins` are build-time constants;

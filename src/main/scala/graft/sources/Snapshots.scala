@@ -82,6 +82,39 @@ object Snapshots {
     v // unreachable
   }
 
+  /** Garbage-collect staging data: delete every file under `data/` that
+    * no RETAINED manifest references, then drop manifests older than
+    * `keepLast` versions. Time travel keeps working for the retained
+    * window; orphan stages from crashed writers go away. Returns the
+    * number of data files deleted. Safe ordering: manifests are removed
+    * FIRST so a concurrent reader can never resolve a version whose
+    * files are being deleted (it fails at manifest resolution instead —
+    * the table-format vacuum contract). */
+  def vacuum(root: String, keepLast: Int = 2): Int = {
+    require(keepLast >= 1, s"must retain at least 1 version, got $keepLast")
+    val dir = manifestDir(root)
+    val versions = Files.list(dir).iterator().asScala
+      .flatMap(p => versionOf(p).map(_ -> p)).toSeq.sortBy(_._1)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    drop.foreach { case (_, p) => Files.deleteIfExists(p) }
+    val live = keep.flatMap { case (_, p) =>
+      Files.readAllLines(p).asScala.filter(_.nonEmpty)
+    }.toSet
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.exists(dataRoot)) return 0
+    var deleted = 0
+    Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>
+      if (Files.isRegularFile(p)) {
+        val rel = Paths.get(root).relativize(p).toString
+        if (!live.contains(rel)) { Files.deleteIfExists(p); deleted += 1 }
+      } else if (Files.isDirectory(p) && p != dataRoot) {
+        // prune now-empty stage dirs (best effort)
+        try Files.delete(p) catch { case _: Exception => () }
+      }
+    }
+    deleted
+  }
+
   /** Read a snapshot: the latest published version, or `asOf` a specific
     * one. Plans a scan over exactly the manifest's files — uncommitted
     * staging data is structurally invisible. */

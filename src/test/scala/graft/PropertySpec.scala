@@ -150,4 +150,45 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("sketch merge laws hold on random key multisets and shardings") {
+    import graft.ops.Sketches
+    val keysGen = Gen.listOfN(400,
+      Gen.oneOf(Gen.choose(0L, 50L), Gen.choose(0L, 1000000L)))
+    samples(keysGen, 3).zipWithIndex.foreach { case (keys, i) =>
+      val df = keys.toDF("k")
+      val splitBit = 2 + i // vary the sharding, not just the data
+      val odd = df.filter(col("k") % splitBit =!= 0)
+      val even = df.filter(col("k") % splitBit === 0)
+      // HLL: register-wise max of shard sketches ≡ sketch of the whole
+      val hllFull = Sketches.hllRegisters(df, "k")
+      val hllMerged = Sketches.hllMergeRegisters(
+        Sketches.hllRegisters(odd, "k"), Sketches.hllRegisters(even, "k"))
+      assert(hllMerged.exceptAll(hllFull).isEmpty
+        && hllFull.exceptAll(hllMerged).isEmpty)
+      // histogram: shard bin counts ADD; histQuantilesBy re-sums, so
+      // feeding it the raw shard UNION equals the whole-data build
+      val (lo, width, bins) = (0L, 4096L, 256)
+      val hFull = Sketches.histQuantiles(
+        Sketches.histCounts(df, "k", lo, width, bins),
+        Seq(2500, 9900), lo, width, bins)
+      val hShards = Sketches.histQuantiles(
+        Sketches.histCounts(odd, "k", lo, width, bins).unionByName(
+          Sketches.histCounts(even, "k", lo, width, bins)),
+        Seq(2500, 9900), lo, width, bins)
+      assert(hShards.exceptAll(hFull).isEmpty
+        && hFull.exceptAll(hShards).isEmpty)
+      // KMV: occurrence multiplicity is invisible; estimate exact < k
+      val est = Sketches.kmvSummary(Sketches.kmvBottom(df, "k"))
+        .select("est_distinct").as[Long].collect().head
+      val dupEst = Sketches
+        .kmvSummary(Sketches.kmvBottom(df.unionByName(df), "k"))
+        .select("est_distinct").as[Long].collect().head
+      assert(est == dupEst)
+      val trueDistinct = keys.distinct.length.toLong
+      if (trueDistinct < Sketches.KmvK)
+        assert(est == trueDistinct,
+          s"KMV must be exact below k: $est vs $trueDistinct")
+    }
+  }
 }

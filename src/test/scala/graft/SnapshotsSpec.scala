@@ -62,6 +62,27 @@ class SnapshotsSpec extends SparkTestBase {
     rm(root)
   }
 
+  test("vacuum: drops old versions + orphans, keeps the retained window") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 1L)).toDF("k", "v"), root) // v1
+    Snapshots.commit(Seq((2L, 2L)).toDF("k", "v"), root) // v2
+    Snapshots.commit(Seq((3L, 3L)).toDF("k", "v"), root) // v3
+    Seq((99L, 99L)).toDF("k", "v") // orphan stage, never published
+      .write.parquet(s"$root/data/orphan-stage")
+    val deleted = Snapshots.vacuum(root, keepLast = 2)
+    assert(deleted > 0, "v1's data files and the orphan must be deleted")
+    // retained window still reads, including time travel to v2
+    assert(Snapshots.read(spark, root).as[(Long, Long)].collect().toSeq
+      == Seq((3L, 3L)))
+    assert(Snapshots.read(spark, root, Some(2L))
+      .as[(Long, Long)].collect().toSeq == Seq((2L, 2L)))
+    // v1 is gone: manifest removed before data, so resolution fails fast
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root, Some(1L))
+    }
+    rm(root)
+  }
+
   test("refuses reads with no committed snapshot or unknown version") {
     val root = freshRoot()
     intercept[IllegalArgumentException] { Snapshots.read(spark, root) }
