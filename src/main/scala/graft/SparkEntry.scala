@@ -2038,6 +2038,20 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // EXT streaming → versioned table: every micro-batch lands as one
+    // append-committed snapshot version (atomic manifest publication —
+    // no reader ever sees a torn batch; the version history is the
+    // stream's progress log). Final read must equal the batch source
+    // exactly; SnapshotsSpec/StreamingSpec pin the per-batch version
+    // count and the prefix property.
+    "stream_snapshot_parity" -> ((s, dir) => {
+      val fin = graft.streaming.EventStream
+        .snapshotSinkRun(s, s"$dir/events.parquet")
+      fin.select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .orderBy("event_id")
+    }),
+
     // EXT streaming histogram: the fixed-geometry bin table maintained
     // as a real AvailableNow streaming aggregate (bin counts sum-merge —
     // the sketch's merge law IS Spark's partial/final agg algebra),
@@ -3607,6 +3621,12 @@ object SparkEntry {
                 CAST(sum(cents << CAST(30 - least(as_of - day, 30) AS INT))
                      AS BIGINT) AS decay_scaled
          FROM e CROSS JOIN a GROUP BY 1 ORDER BY user_id""",
+
+    // the streamed-and-committed table must BE the source, row for row
+    "stream_snapshot_parity" ->
+      """SELECT event_id, user_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events ORDER BY event_id""",
 
     // streamed bin table ≡ batch hist, then the same covering-bin
     // quantile selection as sketch_hist_quantiles at the events-value

@@ -82,6 +82,43 @@ object Snapshots {
     v // unreachable
   }
 
+  /** APPEND commit: publish a new version whose manifest = the previous
+    * latest version's files + `df`'s newly staged files — the
+    * append-only table shape a streaming sink needs (each micro-batch
+    * becomes one version; readers always see a whole number of
+    * batches, never a torn one). Same atomic-move publication; on a
+    * lost race the loser re-reads the NEW latest manifest so no
+    * concurrent append is dropped. */
+  def commitAppend(df: DataFrame, root: String): Long = {
+    val stage = s"data/${java.util.UUID.randomUUID()}"
+    df.write.parquet(s"$root/$stage")
+    val newFiles = Files.list(Paths.get(root, stage)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .map(n => s"$stage/$n").toSeq.sorted
+    require(newFiles.nonEmpty, "refusing to append an empty batch")
+    val dir = manifestDir(root)
+    while (true) {
+      val base = latestVersion(root)
+      val prevFiles = base.map(v =>
+        Files.readAllLines(dir.resolve(s"v$v.list")).asScala.toSeq
+          .filter(_.nonEmpty)).getOrElse(Nil)
+      val v = base.getOrElse(0L) + 1
+      val tmp = Files.createTempFile(dir, s".v$v-", ".tmp")
+      Files.write(tmp, (prevFiles ++ newFiles).mkString("\n")
+        .getBytes("UTF-8"))
+      try {
+        Files.move(tmp, dir.resolve(s"v$v.list"),
+          StandardCopyOption.ATOMIC_MOVE)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // re-read the new base and retry
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Garbage-collect staging data: delete every file under `data/` that
     * no RETAINED manifest references, then drop manifests older than
     * `keepLast` versions. Time travel keeps working for the retained

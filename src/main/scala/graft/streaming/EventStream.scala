@@ -215,6 +215,53 @@ object EventStream {
         ev.select(round(col("value") * 100).cast("long").as("cents")),
         "cents", 0L, 64L, 1024))
 
+  /** Streaming micro-batches committed into a versioned snapshot table
+    * ([[graft.sources.Snapshots.commitAppend]] per batch via
+    * foreachBatch) — the "stream into an ACID table" shape: every
+    * version is a whole number of micro-batches, a concurrent reader
+    * can never see a torn batch, and the table's version history IS the
+    * stream's progress log (time travel to any prefix). The source is
+    * staged as `nSplits` files read one per trigger, so the run
+    * genuinely exercises multiple commits, not one. Returns the final
+    * table read (driver-free: the read plans the last manifest's
+    * files). */
+  def snapshotSinkRun(spark: SparkSession, path: String,
+      nSplits: Int = 4): DataFrame =
+    snapshotSinkRunWithRoot(spark, path, nSplits)._1
+
+  /** [[snapshotSinkRun]] also returning the table root, so specs can
+    * inspect the version history the run produced. */
+  def snapshotSinkRunWithRoot(spark: SparkSession, path: String,
+      nSplits: Int = 4): (DataFrame, String) = {
+    import java.nio.file.{Files, Paths}
+    val seq = parityRunSeq.incrementAndGet()
+    val pid = ProcessHandle.current().pid()
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-stage-snap-$pid", seq.toString)
+    Files.createDirectories(stage)
+    val srcSchema = probeFileSchema(spark, path)
+    spark.read.schema(srcSchema).parquet(path)
+      .repartitionByRange(nSplits, col("event_id"))
+      .write.mode("overwrite").parquet(stage.toString)
+    val resultRoot = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-result-$pid")
+    parityCleanupAtExit(resultRoot)
+    val tableRoot = resultRoot.resolve(s"snap-$seq").toString
+    Files.createDirectories(Paths.get(tableRoot))
+    val q = readParquetStream(spark, stage.toString, maxFilesPerTrigger = 1,
+        sourceSchema = srcSchema)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Snapshots.commitAppend(batch, tableRoot): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (graft.sources.Snapshots.read(spark, tableRoot), tableRoot)
+  }
+
   /** Stream-static enrichment — the classic fact-stream × dimension
     * shape: every micro-batch of the event stream joins a STATIC
     * dimension (no watermark needed on the static side; Spark re-plans

@@ -83,6 +83,20 @@ class SnapshotsSpec extends SparkTestBase {
     rm(root)
   }
 
+  test("commitAppend: versions accumulate; every version is a prefix") {
+    val root = freshRoot()
+    Snapshots.commitAppend(Seq((1L, 1L)).toDF("k", "v"), root)
+    Snapshots.commitAppend(Seq((2L, 2L)).toDF("k", "v"), root)
+    Snapshots.commitAppend(Seq((3L, 3L)).toDF("k", "v"), root)
+    assert(Snapshots.latestVersion(root).contains(3L))
+    (1L to 3L).foreach { v =>
+      val ks = Snapshots.read(spark, root, Some(v))
+        .select("k").as[Long].collect().toSet
+      assert(ks == (1L to v).toSet, s"v$v must be the first $v batches")
+    }
+    rm(root)
+  }
+
   test("refuses reads with no committed snapshot or unknown version") {
     val root = freshRoot()
     intercept[IllegalArgumentException] { Snapshots.read(spark, root) }

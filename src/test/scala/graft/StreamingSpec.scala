@@ -172,6 +172,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("snapshotSinkRun: committed table equals the source; versions are batch-grained") {
+    import org.apache.spark.sql.functions.col
+    val (fin, root) = EventStream.snapshotSinkRunWithRoot(spark,
+      s"$sf0001/events.parquet", nSplits = 3)
+    val src = Tables(spark, sf0001, "events")
+    assert(fin.count() == src.count())
+    assert(fin.select("event_id").exceptAll(src.select("event_id")).isEmpty,
+      "streamed-and-committed table must hold exactly the source rows")
+    // one version per non-empty micro-batch (1 file per trigger), and a
+    // mid-stream version is a strict prefix of the final row set
+    val latest = graft.sources.Snapshots.latestVersion(root).get
+    assert(latest == 3L, s"3 staged files -> 3 commits, got $latest")
+    val v1 = graft.sources.Snapshots.read(spark, root, Some(1L))
+    assert(v1.count() > 0 && v1.count() < src.count())
+    assert(v1.select("event_id").exceptAll(fin.select("event_id")).isEmpty)
+  }
+
   test("checkpoint resume: a restarted stream processes only new files, exactly once") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.col
