@@ -180,8 +180,12 @@ object Sketches {
     regs
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_used"),
-        sum(call_function("shiftleft", lit(1L),
-          (lit(HllVBits + 1) - col("reg")).cast("int"))).as("used_scaled"))
+        // coalesce: an EMPTY register table (empty input stream) has a
+        // null sum; all-empty-buckets then estimates ~0.72·m, the raw
+        // estimator's documented small-range floor, instead of null
+        coalesce(sum(call_function("shiftleft", lit(1L),
+          (lit(HllVBits + 1) - col("reg")).cast("int"))), lit(0L))
+          .as("used_scaled"))
       .select(groupCols.map(col) ++ Seq(col("n_used"),
         (lit(HllM) - col("n_used")).as("zeros"),
         (col("used_scaled")

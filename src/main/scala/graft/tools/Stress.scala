@@ -180,6 +180,47 @@ object Stress {
     }
     time("weekly_retention") { graft.ops.Events.weeklyRetention(events).count() }
     time("forward_fill") { graft.ops.Events.forwardFill(events).count() }
+    // round-5 session-2 additions. Sketch state is size-FIXED, so the
+    // only scaling term is the scan: registers/bins/bottom-k must stay
+    // byte-identical in row count while wall-clock tracks corpus size.
+    // temporalJoin sees N× denser per-user version chains AND N× facts —
+    // per-key work is versions×facts within a user, the windows keep it
+    // a key-partitioned merge, never a cross.
+    time("hll_registers(events)") {
+      graft.ops.Sketches.hllRegisters(
+        events.select("event_id"), "event_id").count()
+    }
+    time("kmv_bottomk") {
+      graft.ops.Sketches.kmvBottom(
+        events.select("event_id"), "event_id").count()
+    }
+    time("hist_counts") {
+      graft.ops.Sketches.histCounts(
+        events.select(round(col("value") * 100).cast("long").as("cents")),
+        "cents", 0L, 64L, 1024).count()
+    }
+    time("mad_outliers") { graft.ops.Events.madOutliers(events).count() }
+    time("transitions") { graft.ops.Events.transitions(events).count() }
+    time("order_audit") { graft.ops.Events.orderAudit(events).count() }
+    time("scd2_temporal_join") {
+      val evU = events.select(col("user_id"), col("event_id"),
+        col("event_type"), graft.ops.Events.tsUs(events).as("us"))
+      val dim = graft.ops.Cdc.scd2(evU, "user_id", "event_type", "us",
+          "event_id")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from_us"), col("valid_to_us"))
+      graft.ops.Cdc.temporalJoin(
+        evU.select("user_id", "event_id", "event_type", "us"),
+        dim, "user_id", "us").count()
+    }
+    time("dq_expectations(events)") {
+      graft.ops.DataQuality.report(Map("events" -> events), Seq(
+        graft.ops.DataQuality.Check("events", "value_le_400",
+          col("value") > 400),
+        graft.ops.DataQuality.Check("events", "value_nonneg",
+          col("value") < 0),
+        graft.ops.DataQuality.Unique("events", "event_id"))).count()
+    }
     spark.stop()
   }
 }

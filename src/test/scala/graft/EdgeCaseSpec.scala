@@ -321,4 +321,62 @@ class EdgeCaseSpec extends SparkTestBase {
     }
     assert(ex.getMessage != null)
   }
+
+  test("sketch family degenerates cleanly on empty and single-row input") {
+    import graft.ops.Sketches
+    val empty = Seq.empty[Long].toDF("k")
+    assert(Sketches.hllRegisters(empty, "k").count() == 0)
+    // empty registers -> every bucket empty -> the raw estimator's
+    // documented small-range floor of ~0.72·m, not null and not 0
+    val s = Sketches.hllSummary(Sketches.hllRegisters(empty, "k"))
+      .select("est_distinct").as[Long].collect().head
+    val floor = math.round(Sketches.HllC
+      / (Sketches.HllM.toDouble * math.pow(2.0, Sketches.HllVBits + 1)))
+    assert(s == floor, s"empty-set estimate $s != raw-HLL floor $floor")
+    // empty KMV: k_used 0, estimate exact 0, kth_hash null
+    val kmv = Sketches.kmvSummary(Sketches.kmvBottom(empty, "k"))
+      .select("k_used", "est_distinct").as[(Long, Long)].collect().head
+    assert(kmv == ((0L, 0L)))
+    // empty histogram -> no bins, and quantiles over it -> no rows
+    val h = Sketches.histCounts(empty, "k", 0L, 64L, 16)
+    assert(h.count() == 0)
+    assert(Sketches.histQuantiles(h, Seq(5000), 0L, 64L, 16).count() == 0)
+    // single row: p0..p100 all land in its bin
+    val one = Sketches.histQuantiles(
+      Sketches.histCounts(Seq(100L).toDF("k"), "k", 0L, 64L, 16),
+      Seq(1, 5000, 10000), 0L, 64L, 16)
+      .select("bucket").as[Long].collect().toSeq
+    assert(one == Seq(1L, 1L, 1L))
+  }
+
+  test("madOutliers: single event and constant series flag nothing") {
+    val single = Seq((1L, 5.0)).toDF("user_id", "value")
+    val s = graft.ops.Events.madOutliers(single)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(s == ((1L, 1L, 1000L, 0L, 0L))) // d2=0: 0 > 5·0 is false
+    val const = Seq((1L, 2.0), (1L, 2.0), (1L, 2.0)).toDF("user_id", "value")
+    val c = graft.ops.Events.madOutliers(const)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(c._5 == 0L)
+  }
+
+  test("transitions/orderAudit: single-event users produce no pairs, no lateness") {
+    val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1))
+    val ev = Seq((1L, ts, "A", 1L), (2L, ts, "B", 2L))
+      .toDF("event_id", "ts", "event_type", "user_id")
+    assert(graft.ops.Events.transitions(ev).count() == 0)
+    val audit = graft.ops.Events.orderAudit(ev)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(audit == Seq(("A", 1L, 0L, 0L), ("B", 1L, 0L, 0L)))
+  }
+
+  test("dq report: FK over an empty child counts zero checked, zero orphans") {
+    val parent = Seq((1L, "x")).toDF("id", "s")
+    val child = Seq.empty[(Long, Long)].toDF("cid", "pid")
+    val got = graft.ops.DataQuality.report(
+      Map("p" -> parent, "c" -> child),
+      Seq(graft.ops.DataQuality.ForeignKey("c", "pid", "p", "id")))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("fk:c.pid->p.id", 0L, 0L)))
+  }
 }
