@@ -1918,6 +1918,20 @@ object SparkEntry {
       agg(1L).unionByName(agg(2L)).orderBy("version")
     }),
 
+    // EXT quality-aware canonical selection: each near-dup cluster
+    // keeps its BEST member (max uniq ratio → max length → min id), not
+    // the min-id — canonical choice IS a quality decision when
+    // near-dups differ in boilerplate/truncation. Integer ranking keys
+    // make the argmax deterministic cross-engine.
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(t(s, dir, "documents"))),
+
+    // EXT top-k three-step paths: most frequent (t1 → t2 → t3)
+    // sequences over user timelines — the path-mining companion to
+    // events_transitions. Two lags, |types|³-bounded agg, TakeOrdered.
+    "events_paths_top" -> ((s, dir) =>
+      graft.ops.Events.topPaths(t(s, dir, "events"))),
+
     // EXT integer covariance diagnostic: n²·cov(value_cents,
     // minute_of_day) per type as one exact BIGINT — the value-vs-time
     // dependence screen with divisions left to the consumer. Bounds:
@@ -3426,6 +3440,58 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          FROM orders
          ORDER BY version""",
+
+    // the dedup_clusters recursive-CTE closure + the quality_filter
+    // integer columns + the same three-key argmax
+    "dedup_keep_best" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                WHERE len(arr) >= 3),
+         kept AS (SELECT doc_id, s FROM sh
+                  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
+         n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db FROM com
+           JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+           WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000),
+         sym AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+         reach AS (
+           SELECT src AS a, src AS b FROM sym
+           UNION
+           SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         clu AS (SELECT a AS doc_id, min(b) AS cluster_id
+                 FROM reach GROUP BY 1),
+         q AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      CAST(floor(len(list_distinct(string_split(text, ' '))) * 10000.0
+                           / len(string_split(text, ' '))) AS BIGINT) AS uniq_ratio_bp
+               FROM documents),
+         j AS (SELECT clu.cluster_id, clu.doc_id, q.n_tokens, q.uniq_ratio_bp,
+                      row_number() OVER (PARTITION BY clu.cluster_id
+                        ORDER BY q.uniq_ratio_bp DESC, q.n_tokens DESC,
+                                 clu.doc_id) AS rn,
+                      count(*) OVER (PARTITION BY clu.cluster_id) AS n_members
+               FROM clu JOIN q ON q.doc_id = clu.doc_id)
+         SELECT cluster_id, doc_id AS keep_id,
+                CAST(n_members AS BIGINT) AS n_members, uniq_ratio_bp, n_tokens
+         FROM j WHERE rn = 1 ORDER BY cluster_id""",
+
+    // two lags on the same (ts, event_id) user window; full tie-break
+    "events_paths_top" ->
+      """WITH o AS (SELECT user_id, event_type,
+                           lag(event_type, 2) OVER w AS t1,
+                           lag(event_type, 1) OVER w AS t2
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT t1, t2, event_type AS t3, count(*) AS cnt
+         FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY cnt DESC, t1, t2, t3 LIMIT 10""",
 
     // the same integer moments; pmod ≡ % on non-negative epoch-us
     "events_covariance" ->

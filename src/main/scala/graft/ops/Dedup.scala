@@ -1168,4 +1168,29 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(id)
   }
+
+  /** Quality-aware canonical selection: for each near-dup cluster
+    * ([[resolveClusters]] over [[ngramJaccard]] candidates), keep the
+    * BEST member — max uniq-token ratio, then max length, then min id —
+    * instead of the min-id convention. This is what production dedup
+    * actually ships: near-duplicates differ precisely in boilerplate
+    * and truncation, so canonical choice IS a quality decision. All
+    * ranking keys are integers (the quality_filter basis-point columns),
+    * so the argmax is deterministic and oracle-able. One quality scan +
+    * a cluster-keyed rank window over cluster-sized partitions. */
+  def keepBest(docs: DataFrame): DataFrame = {
+    val clusters = resolveClusters(ngramJaccard(docs))
+    val q = graft.ops.TextAnalysis.qualityFilter(docs)
+      .select("doc_id", "n_tokens", "uniq_ratio_bp")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val wr = wc.orderBy(desc("uniq_ratio_bp"), desc("n_tokens"),
+      asc("doc_id"))
+    clusters.join(q, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_members"), col("uniq_ratio_bp"), col("n_tokens"))
+      .orderBy("cluster_id")
+  }
 }

@@ -406,6 +406,26 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Top-k three-step behavioral paths: the most frequent consecutive
+    * (t1 → t2 → t3) event-type sequences across user timelines — the
+    * path-mining companion to [[transitions]] (first-order pairs miss
+    * patterns like view→click→purchase vs view→click→view). Two lags
+    * on the same user window, one |types|³-bounded aggregate, global
+    * top-k via TakeOrdered with a full tie-break. */
+  def topPaths(events: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsUs(events).as("us"))
+      .withColumn("t1", lag("event_type", 2).over(w))
+      .withColumn("t2", lag("event_type", 1).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("t1"), asc("t2"), asc("t3"))
+      .limit(k)
+  }
+
   /** Integer-exact covariance diagnostic between event value (cents)
     * and minute-of-day, per type: `cov_scaled = n·Σxy − Σx·Σy = n²·cov`
     * — the drift/dependence screen ("do big-value events cluster at

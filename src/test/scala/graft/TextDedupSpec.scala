@@ -711,4 +711,37 @@ class TextDedupSpec extends SparkTestBase {
       assert((h < P1 / 10000L * 2000L) == (split == "test"))
     }
   }
+
+  test("keepBest: the cluster's canonical is the quality argmax, not min id") {
+    // docs 1/2/3 are one near-dup cluster (same text ± repetition).
+    // doc 1 (min id) is the REPETITIVE variant (low uniq ratio); doc 3
+    // is the clean long one -> keepBest must pick 3 where min-id picks 1.
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, base + " spam spam spam spam spam spam"),
+      (2L, base),
+      (3L, base + " kilo lima mike november"),
+      (9L, "totally unrelated text " + Seq.tabulate(8)(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.keepBest(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.length == 1, s"one cluster expected, got $got")
+    val (cluster, keep, members, _, _) = got.head
+    assert(cluster == 1L && members == 3L)
+    assert(keep == 3L, s"canonical must be the clean doc 3, got $keep")
+    // min-id convention would have chosen 1 — the difference under test
+  }
+
+  test("topPaths: hand-built trigram sequence counts") {
+    val ts = (s: Long) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // user 1: A B C A B C -> paths ABC, BCA, CAB, ABC
+    val ev = Seq("A", "B", "C", "A", "B", "C").zipWithIndex.map {
+      case (t, i) => (i.toLong, ts(i.toLong), t, 1L)
+    }.toDF("event_id", "ts", "event_type", "user_id")
+    val got = graft.ops.Events.topPaths(ev)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", "C", 2L), ("B", "C", "A", 1L),
+      ("C", "A", "B", 1L)))
+  }
 }
