@@ -1918,6 +1918,14 @@ object SparkEntry {
       agg(1L).unionByName(agg(2L)).orderBy("version")
     }),
 
+    // EXT Matryoshka truncation eval: recall@10 of the first-16-dim
+    // prefix ranking vs the full 64-dim ranking, per query — the
+    // dimension-adaptive-retrieval measurement run before shipping a
+    // truncated index. Output is ids + integer bp, so floats only need
+    // to ORDER identically (sim_brute_topk's pinned determinism).
+    "ann_recall_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(t(s, dir, "embeddings"), dims = 16)),
+
     // EXT quality-aware canonical selection: each near-dup cluster
     // keeps its BEST member (max uniq ratio → max length → min id), not
     // the min-id — canonical choice IS a quality decision when
@@ -3440,6 +3448,43 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          FROM orders
          ORDER BY version""",
+
+    // sim_brute_topk's ranking CTEs twice (full vs [1:16] prefix), then
+    // a per-query set intersection in integers
+    "ann_recall_matryoshka" ->
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         tb AS (
+           SELECT vec_id, embedding[1:16]::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding[1:16]::DOUBLE[],
+                                        embedding[1:16]::DOUBLE[])) AS nrm
+           FROM embeddings),
+         fullk AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q.vec_id AS q_id, b.vec_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(b.v, q.v) / (b.nrm * q.nrm) DESC,
+                               b.vec_id ASC) AS rnk
+             FROM base b JOIN base q ON q.vec_id < 20 AND b.vec_id <> q.vec_id)
+           WHERE rnk <= 10),
+         prek AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q.vec_id AS q_id, b.vec_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(b.v, q.v) / (b.nrm * q.nrm) DESC,
+                               b.vec_id ASC) AS rnk
+             FROM tb b JOIN tb q ON q.vec_id < 20 AND b.vec_id <> q.vec_id)
+           WHERE rnk <= 10),
+         j AS (SELECT coalesce(f.q_id, p.q_id) AS q_id,
+                      CASE WHEN f.vec_id IS NOT NULL AND p.vec_id IS NOT NULL
+                           THEN 1 ELSE 0 END AS cap
+               FROM fullk f FULL JOIN prek p
+                 ON f.q_id = p.q_id AND f.vec_id = p.vec_id)
+         SELECT q_id, CAST(sum(cap) AS BIGINT) AS n_captured,
+                (CAST(sum(cap) AS BIGINT) * 10000) // 10 AS recall_bp
+         FROM j GROUP BY 1 ORDER BY q_id""",
 
     // the dedup_clusters recursive-CTE closure + the quality_filter
     // integer columns + the same three-key argmax

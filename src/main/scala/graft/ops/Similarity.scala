@@ -34,6 +34,29 @@ object Similarity {
   /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries).
     * Query side is tiny => Spark picks BroadcastNestedLoopJoin; each
     * executor scans its slice of the corpus once per batch of queries. */
+  /** Matryoshka truncation eval: recall@k of brute top-k under a
+    * PREFIX of the embedding dims vs the full vector — the measurement
+    * behind MRL-style dimension-adaptive retrieval ("how much ranking
+    * quality do the first `dims` dims carry"), run before shipping a
+    * truncated index. Pure composition of two [[bruteTopK]] passes and
+    * a full-outer set intersection per query; output is ids and integer
+    * basis points, so the float ranking only has to ORDER identically
+    * cross-engine (the sim_brute_topk determinism already pinned). */
+  def matryoshkaRecall(emb: DataFrame, dims: Int, nQueries: Int = 20,
+      k: Int = 10): DataFrame = {
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    val fullK = bruteTopK(emb, nQueries, k).select("q_id", "vec_id")
+    val preK = bruteTopK(trunc, nQueries, k).select("q_id", "vec_id")
+    fullK.withColumn("in_f", lit(1L))
+      .join(preK.withColumn("in_p", lit(1L)), Seq("q_id", "vec_id"), "full")
+      .groupBy("q_id")
+      .agg(coalesce(sum(col("in_f") * col("in_p")), lit(0L))
+        .as("n_captured"))
+      .withColumn("recall_bp", expr(s"n_captured * 10000 div $k"))
+      .orderBy("q_id")
+  }
+
   def bruteTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))

@@ -420,4 +420,17 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got.find(_._1 == 11L).get._2 == 10L)
     assert(got.take(8).forall(r => r._2 < 8L && r._3 == 0L))
   }
+
+  test("matryoshkaRecall: full-width prefix is a perfect 10000 bp; prefix degrades within bounds") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val full = graft.ops.Similarity.matryoshkaRecall(emb, dims = 64,
+        nQueries = 10, k = 5)
+      .select("recall_bp").as[Long].collect()
+    assert(full.length == 10 && full.forall(_ == 10000L),
+      "prefix = full vector must reproduce the exact ranking")
+    val pre = graft.ops.Similarity.matryoshkaRecall(emb, dims = 16,
+        nQueries = 10, k = 5)
+      .select("recall_bp").as[Long].collect()
+    assert(pre.length == 10 && pre.forall(r => r >= 0L && r <= 10000L))
+  }
 }
