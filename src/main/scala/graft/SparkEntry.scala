@@ -1918,6 +1918,29 @@ object SparkEntry {
       agg(1L).unionByName(agg(2L)).orderBy("version")
     }),
 
+    // EXT copy-on-write erasure: delete every row of a keyed slice from
+    // the committed snapshot table — untouched files carry by
+    // reference, only match-bearing files rewrite, and the delete is a
+    // new VERSION (physical erasure completes at vacuum; the two-phase
+    // contract). Output = the post-delete table aggregate; oracle =
+    // the base table minus the predicate.
+    "snapshot_delete" -> ((s, dir) => {
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-snapdel-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(root)
+      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
+        graft.sources.Snapshots.commit(t(s, dir, "orders")
+          .repartitionByRange(4, col("o_orderkey")), root)
+        graft.sources.Snapshots.commitDelete(s, root,
+          col("o_custkey") % 97 === 0)
+      }
+      graft.sources.Snapshots.read(s, root)
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+    }),
+
     // EXT Matryoshka truncation eval: recall@10 of the first-16-dim
     // prefix ranking vs the full 64-dim ranking, per query — the
     // dimension-adaptive-retrieval measurement run before shipping a
@@ -3448,6 +3471,13 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          FROM orders
          ORDER BY version""",
+
+    // the erased table ≡ the base table minus the predicate
+    "snapshot_delete" ->
+      """SELECT count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders WHERE NOT (o_custkey % 97 = 0)""",
 
     // sim_brute_topk's ranking CTEs twice (full vs [1:16] prefix), then
     // a per-query set intersection in integers

@@ -119,6 +119,68 @@ object Snapshots {
     -1L // unreachable
   }
 
+  /** Copy-on-write DELETE (the erasure primitive — GDPR-style "remove
+    * every row matching `predicate`"): publish a new version whose
+    * manifest carries UNTOUCHED files by reference and replaces only the
+    * files that actually contain matches with filtered rewrites. File
+    * granularity is what makes erasure affordable at 100 TB: a delete
+    * keyed like the table's clustering touches a handful of files, not
+    * the table (pair with [[Manifest.stageClustered]]-style layout).
+    * Readers on older versions still see the pre-delete data until
+    * [[vacuum]] — physical erasure completes when vacuum drops the old
+    * manifests, the two-phase contract every table format has.
+    * Returns (newVersion, carriedFiles, rewrittenFiles). */
+  def commitDelete(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): (Long, Int, Int) = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $root"))
+    val dir = manifestDir(root)
+    val files = Files.readAllLines(dir.resolve(s"v$v.list")).asScala.toSeq
+      .filter(_.nonEmpty)
+    val abs = files.map(f => s"$root/$f")
+    // file-granular match probe: one pruned pass, #files-bounded result
+    val touchedAbs = spark.read.parquet(abs: _*)
+      .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+      .filter(predicate)
+      .select("__f").distinct().collect().map(_.getString(0)).toSet
+    def isTouched(rel: String) =
+      touchedAbs.exists(a => a.endsWith(rel) || a.endsWith(s"/$rel"))
+    val (touched, carried) = files.partition(isTouched)
+    val rewritten =
+      if (touched.isEmpty) Nil
+      else {
+        val stage = s"data/${java.util.UUID.randomUUID()}"
+        spark.read.parquet(touched.map(f => s"$root/$f"): _*)
+          .filter(!predicate)
+          .write.parquet(s"$root/$stage")
+        Files.list(Paths.get(root, stage)).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+          .map(n => s"$stage/$n").toSeq.sorted
+      }
+    val newFiles = carried ++ rewritten
+    // a delete matching every row publishes an EMPTY table version (the
+    // rewrite's 0-row part file carries the schema); this require only
+    // guards the writer corner of producing no files at all
+    require(newFiles.nonEmpty,
+      "rewrite produced no files; cannot publish a schema-less version")
+    var nv = v + 1
+    while (true) {
+      val tmp = Files.createTempFile(dir, s".v$nv-", ".tmp")
+      Files.write(tmp, newFiles.mkString("\n").getBytes("UTF-8"))
+      try {
+        Files.move(tmp, dir.resolve(s"v$nv.list"),
+          StandardCopyOption.ATOMIC_MOVE)
+        return (nv, carried.size, rewritten.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          nv = math.max(nv + 1, latestVersion(root).getOrElse(0L) + 1)
+      }
+    }
+    (-1L, 0, 0) // unreachable
+  }
+
   /** Garbage-collect staging data: delete every file under `data/` that
     * no RETAINED manifest references, then drop manifests older than
     * `keepLast` versions. Time travel keeps working for the retained

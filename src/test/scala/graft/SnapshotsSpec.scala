@@ -97,6 +97,48 @@ class SnapshotsSpec extends SparkTestBase {
     rm(root)
   }
 
+  test("commitDelete: file-granular COW — untouched files carry by reference") {
+    val root = freshRoot()
+    // two hand-staged files: ks 1-3 and ks 10-12; delete k=11 -> file A
+    // must carry untouched, file B rewrites without 11
+    import org.apache.spark.sql.functions.col
+    Snapshots.commit(
+      Seq(1L, 2L, 3L).toDF("k").coalesce(1)
+        .unionByName(Seq(10L, 11L, 12L).toDF("k").coalesce(1))
+        .repartitionByRange(2, col("k")), root)
+    val (v, carried, rewritten) =
+      Snapshots.commitDelete(spark, root, col("k") === 11L)
+    assert(v == 2L && carried == 1 && rewritten == 1,
+      s"expected 1 carried + 1 rewritten, got ($carried, $rewritten)")
+    assert(Snapshots.read(spark, root).as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 10L, 12L))
+    // pre-delete version still readable until vacuum (two-phase erasure)
+    assert(Snapshots.read(spark, root, Some(1L)).as[Long].collect().toSet
+      .contains(11L))
+    Snapshots.vacuum(root, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root, Some(1L))
+    }
+    rm(root)
+  }
+
+  test("commitDelete: no matches carries everything; full erase -> empty table version") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    Snapshots.commit(Seq(1L, 2L).toDF("k"), root)
+    val (v, carried, rewritten) =
+      Snapshots.commitDelete(spark, root, col("k") === 99L)
+    assert(rewritten == 0 && carried > 0)
+    assert(Snapshots.read(spark, root, Some(v)).count() == 2L)
+    // deleting every row is a legitimate state: an EMPTY table version
+    // (the rewrite's 0-row part file carries the schema)
+    val (v2, c2, _) = Snapshots.commitDelete(spark, root, col("k") < 100L)
+    assert(c2 == 0)
+    val emptied = Snapshots.read(spark, root, Some(v2))
+    assert(emptied.count() == 0L && emptied.columns.toSeq == Seq("k"))
+    rm(root)
+  }
+
   test("refuses reads with no committed snapshot or unknown version") {
     val root = freshRoot()
     intercept[IllegalArgumentException] { Snapshots.read(spark, root) }
