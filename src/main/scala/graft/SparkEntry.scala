@@ -1918,6 +1918,19 @@ object SparkEntry {
       agg(1L).unionByName(agg(2L)).orderBy("version")
     }),
 
+    // EXT inter-arrival profile: per-user min/max/×2-scaled-median gap —
+    // the burstiness statistic behind bot screens and session-gap /
+    // watermark sizing. One lag window + grouped exact percentile.
+    "events_interarrival" -> ((s, dir) =>
+      graft.ops.Events.interArrival(t(s, dir, "events"))),
+
+    // EXT windowed funnel: conversions must land within 24h of a VALID
+    // prior-stage hit (latest-valid-prior carry = an EXISTS as a window
+    // max, no self-join) — the product-analytics semantics where a
+    // purchase a month after the click is not a conversion.
+    "events_funnel_timed" -> ((s, dir) =>
+      graft.ops.Events.funnelTimed(t(s, dir, "events"))),
+
     // EXT copy-on-write erasure: delete every row of a keyed slice from
     // the committed snapshot table — untouched files carry by
     // reference, only match-bearing files rewrite, and the delete is a
@@ -3471,6 +3484,64 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          FROM orders
          ORDER BY version""",
+
+    // lag gaps in (ts, event_id) order; quantile_cont ×2 vs percentile ×2
+    "events_interarrival" ->
+      """WITH g AS (SELECT user_id,
+                           epoch_us(ts) - lag(epoch_us(ts))
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS gap
+                    FROM events)
+         SELECT user_id, count(*) AS n_gaps,
+                min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+                CAST(2 * quantile_cont(gap, 0.5) AS BIGINT) AS med_gap_us2
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY 1 ORDER BY user_id""",
+
+    // events_funnel's CTE chain with max-carry (latest valid prior) and
+    // the 24h gap condition on every hit
+    "events_funnel_timed" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE event_type IN ('view','click','purchase')),
+         w0 AS (SELECT *, CASE WHEN event_type = 'view' THEN us END AS h0
+                FROM e),
+         c1 AS (SELECT *, max(h0)
+                  OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS carry_1
+                FROM w0),
+         w1 AS (SELECT *, CASE WHEN event_type = 'click'
+                                AND carry_1 IS NOT NULL AND us > carry_1
+                                AND us - carry_1 <= 86400000000
+                               THEN us END AS h1
+                FROM c1),
+         c2 AS (SELECT *, max(h1)
+                  OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS carry_2
+                FROM w1),
+         w2 AS (SELECT *, CASE WHEN event_type = 'purchase'
+                                AND carry_2 IS NOT NULL AND us > carry_2
+                                AND us - carry_2 <= 86400000000
+                               THEN us END AS h2
+                FROM c2),
+         per_user AS (
+           SELECT user_id,
+                  max(CASE WHEN h0 IS NOT NULL THEN 1 ELSE 0 END) AS s_0,
+                  max(CASE WHEN h1 IS NOT NULL THEN 1 ELSE 0 END) AS s_1,
+                  max(CASE WHEN h2 IS NOT NULL THEN 1 ELSE 0 END) AS s_2
+           FROM w2 GROUP BY 1),
+         t AS (SELECT COALESCE(CAST(sum(s_0) AS BIGINT), 0) AS n_0,
+                      COALESCE(CAST(sum(s_1) AS BIGINT), 0) AS n_1,
+                      COALESCE(CAST(sum(s_2) AS BIGINT), 0) AS n_2
+               FROM per_user)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                  n_0 AS n_users FROM t
+           UNION ALL SELECT 2, 'view>click', n_1 FROM t
+           UNION ALL SELECT 3, 'view>click>purchase', n_2 FROM t)
+         ORDER BY stage_idx""",
 
     // the erased table ≡ the base table minus the predicate
     "snapshot_delete" ->

@@ -406,6 +406,69 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Per-user inter-arrival (burstiness) profile: min/max/median gap
+    * between consecutive events in microseconds — the cadence statistic
+    * behind bot screens (impossibly regular or impossibly fast senders)
+    * and the empirical basis for session-gap and watermark choices
+    * (complements [[orderAudit]]'s lateness view). Median kept exact
+    * via the ×2 integer scaling ([[madOutliers]]'s discipline). */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), tsUs(events).as("us"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", col("us") - col("prev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), min("gap").as("min_gap_us"),
+        max("gap").as("max_gap_us"),
+        expr("CAST(2 * percentile(gap, 0.5D) AS BIGINT)").as("med_gap_us2"))
+      .orderBy("user_id")
+  }
+
+  /** Time-constrained funnel: like [[funnel]], but a stage-i event only
+    * converts if it lands within `maxGapMinutes` of a VALID stage-(i−1)
+    * hit — the windowed-funnel semantics every product-analytics store
+    * ships (a purchase a month after the click is not a conversion).
+    * The carry is the LATEST valid prior hit (max over preceding rows):
+    * if any valid prior hit is within the gap, the latest one is, so
+    * the max-carry is a sufficient witness — an EXISTS under a window
+    * function, no self-join. */
+  def funnelTimed(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      maxGapMinutes: Int = 1440): DataFrame = {
+    require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
+    val gapUs = maxGapMinutes * 60000000L
+    val us = tsUs(events)
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var df = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_id"), col("event_type"), us.as("us"))
+      .withColumn("hit_us_0",
+        when(col("event_type") === stages.head, col("us")))
+    stages.indices.tail.foreach { i =>
+      df = df
+        .withColumn(s"carry_$i", max(col(s"hit_us_${i - 1}")).over(w))
+        .withColumn(s"hit_us_$i",
+          when(col("event_type") === stages(i) &&
+            col(s"carry_$i").isNotNull && col("us") > col(s"carry_$i") &&
+            col("us") - col(s"carry_$i") <= lit(gapUs),
+            col("us")))
+    }
+    val sFlags = stages.indices.map(i =>
+      max(col(s"hit_us_$i").isNotNull.cast("long")).as(s"s_$i"))
+    val perUser = df.groupBy("user_id").agg(sFlags.head, sFlags.tail: _*)
+    val nSums = stages.indices.map(i =>
+      coalesce(sum(col(s"s_$i")), lit(0L)).as(s"n_$i"))
+    val totals = perUser.agg(nSums.head, nSums.tail: _*)
+    val stackArgs = stages.indices.map(i =>
+      s"${i + 1}L, '${stages.take(i + 1).mkString(">")}', n_$i").mkString(", ")
+    totals.selectExpr(
+      s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_users)")
+      .orderBy("stage_idx")
+  }
+
   /** Top-k three-step behavioral paths: the most frequent consecutive
     * (t1 → t2 → t3) event-type sequences across user timelines — the
     * path-mining companion to [[transitions]] (first-order pairs miss

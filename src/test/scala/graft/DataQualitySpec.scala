@@ -111,6 +111,39 @@ class DataQualitySpec extends SparkTestBase {
     assert(got == Seq(("A", 2L, 400L, 40L, 4000L)))
   }
 
+  test("funnelTimed: out-of-window conversions do not count; re-views re-arm") {
+    val ts = (m: Long) => // minutes
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(m * 60))
+    // gap = 60 min. user 1: view@0, click@30 (ok), purchase@200 — 170min
+    // after the click -> NOT converted. user 2: view@0, click@61 (out of
+    // window) but view@50 re-arms -> click@61 converts (11min), purchase
+    // @100 converts (39min). user 3: click with no prior view -> stage 1
+    // only if they view later... they never view -> counted nowhere.
+    val ev = Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(30), "click"),
+      (3L, 1L, ts(200), "purchase"),
+      (4L, 2L, ts(0), "view"), (5L, 2L, ts(50), "view"),
+      (6L, 2L, ts(61), "click"), (7L, 2L, ts(100), "purchase"),
+      (8L, 3L, ts(10), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Events.funnelTimed(ev, maxGapMinutes = 60)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 2L), (2L, "view>click", 2L),
+      (3L, "view>click>purchase", 1L)))
+  }
+
+  test("interArrival: hand-computed gaps with exact scaled median") {
+    val ts = (s: Long) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // user 1 events at 0, 10, 30, 70 -> gaps 10s, 20s, 40s:
+    // min 10s, max 40s, median 20s -> med2 = 40_000_000
+    val ev = Seq((1L, ts(0)), (2L, ts(10)), (3L, ts(30)), (4L, ts(70)))
+      .toDF("event_id", "ts").withColumn("user_id", lit(1L))
+    val got = graft.ops.Events.interArrival(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 10000000L, 40000000L, 40000000L)))
+  }
+
   test("readEvolved: footer merge + default fill + gen provenance") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-evo-spec").toString
