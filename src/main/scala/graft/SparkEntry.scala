@@ -1918,6 +1918,29 @@ object SparkEntry {
       agg(1L).unionByName(agg(2L)).orderBy("version")
     }),
 
+    // EXT personalized PageRank: restart mass returns only to the seed
+    // set ({node % 101 = 0}, the graph_bfs seeds) — random-walk
+    // proximity to trusted nodes, the ranking cousin of graph_bfs' hop
+    // distances, in the same bit-portable integer arithmetic as
+    // graph_pagerank.
+    "graph_ppr" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      val seeds = pairs.select(col("da").as("node"))
+        .union(pairs.select(col("db").as("node")))
+        .filter(col("node") % 101 === 0).distinct()
+      graft.ops.Graphs.pprInt(pairs, seeds)
+    }),
+
     // EXT inter-arrival profile: per-user min/max/×2-scaled-median gap —
     // the burstiness statistic behind bot screens and session-gap /
     // watermark sizing. One lag window + grouped exact percentile.
@@ -2332,6 +2355,51 @@ object SparkEntry {
        | r0 AS (SELECT src AS node, CAST(10000 AS BIGINT) AS rank FROM deg),
        | $steps
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: the [[pagerankOracle]] CTE prologue
+    * with seed-gated restart mass, unrolled left-join rounds keeping
+    * zero-inflow nodes — every floor step mirrored. */
+  private def pprOracle: String = {
+    val iters = 6
+    val steps = (1 to iters).map(i =>
+      s"""r$i AS (
+         |   SELECT n.node, n.seed_base + coalesce(f.flow, 0) AS rank,
+         |          n.outdeg, n.seed_base
+         |   FROM nodes n LEFT JOIN (
+         |     SELECT s.dst AS node,
+         |            sum(r.rank // d2.outdeg) * 8500 // 10000 AS flow
+         |     FROM sym s JOIN r${i - 1} r ON r.node = s.src
+         |     JOIN deg d2 ON d2.src = s.src
+         |     GROUP BY 1) f ON f.node = n.node)""".stripMargin)
+      .mkString(",\n ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
+       |           FROM capped a JOIN capped b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |           GROUP BY 1, 2 HAVING count(*) >= 2),
+       | sym AS (SELECT da AS src, db AS dst FROM pairs
+       |         UNION SELECT db, da FROM pairs),
+       | deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY 1),
+       | seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 101 = 0),
+       | nodes AS (SELECT d.src AS node, d.outdeg,
+       |                  CASE WHEN s.node IS NOT NULL
+       |                       THEN CAST(1500 AS BIGINT)
+       |                       ELSE CAST(0 AS BIGINT) END AS seed_base
+       |           FROM deg d LEFT JOIN seeds s ON s.node = d.src),
+       | r0 AS (SELECT node,
+       |               CASE WHEN seed_base > 0 THEN CAST(10000 AS BIGINT)
+       |                    ELSE CAST(0 AS BIGINT) END AS rank,
+       |               outdeg, seed_base
+       |        FROM nodes),
+       | $steps
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters
+       |WHERE rank > 0 ORDER BY node""".stripMargin
   }
 
   /** Count-Min cells in SQL: the same rolling hash as fp_feature_hash's
@@ -3035,6 +3103,7 @@ object SparkEntry {
     "dedup_recall" -> dedupRecallOracle,
     "zorder_key" -> zorderKeyOracle,
     "graph_pagerank" -> pagerankOracle,
+    "graph_ppr" -> pprOracle,
 
     // graph_triangles: id-ordered (u < v) edges; each triangle appears
     // once as n1 < n2 < n3; per-node counts via unnest of the corners.

@@ -78,6 +78,61 @@ object Graphs {
     state.select("node", "rank").orderBy("node")
   }
 
+  /** Personalized PageRank, integer-exact: like [[pagerankInt]] but the
+    * restart mass returns ONLY to the seed set — rank becomes "proximity
+    * to the seeds through the graph", the random-walk similarity behind
+    * related-item recommendation and trusted-set expansion (the ranking
+    * cousin of [[bfsHops]]' hop distances: hops count edges, PPR weighs
+    * paths). Same bit-portable floor arithmetic and per-round broadcast
+    * of the |V|-sized state; non-seed nodes start at 0 and receive only
+    * flowed mass, so mass concentrates near the seeds. The left join
+    * keeps zero-inflow nodes in the state (their rank is the seed base
+    * or 0), which the unrolled-CTE oracle mirrors exactly. */
+  def pprInt(edges: DataFrame, seeds: DataFrame, a: String = "da",
+      b: String = "db", iters: Int = 6, scale: Long = 10000L,
+      dampBp: Long = 8500L): DataFrame = {
+    require(iters >= 1 && dampBp >= 0 && dampBp <= 10000,
+      s"iters >= 1 and dampBp in [0,10000]; got $iters, $dampBp")
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * (10000L - dampBp) / 10000L
+    val seedFlag = seeds.select(col("node")).distinct()
+      .withColumn("__seed", lit(1L))
+    val nodes = deg.select(col("src").as("node"), col("outdeg"))
+      .join(broadcast(seedFlag), Seq("node"), "left")
+      .withColumn("seed_base",
+        when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)))
+      .drop("__seed")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = nodes
+      .withColumn("rank",
+        when(col("seed_base") > 0, lit(scale)).otherwise(lit(0L)))
+      .select("node", "rank", "outdeg", "seed_base")
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contrib = state.select(col("node").as("src"),
+        expr("rank div outdeg").as("c"))
+      val flow = sym.join(broadcast(contrib), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(expr(s"sum(c) * $dampBp div 10000").as("flow"))
+      state = nodes.join(flow, Seq("node"), "left")
+        .withColumn("rank",
+          col("seed_base") + coalesce(col("flow"), lit(0L)))
+        .select("node", "rank", "outdeg", "seed_base")
+        .localCheckpoint()
+      i += 1
+    }
+    sym.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
+    state.select("node", "rank").filter(col("rank") > 0).orderBy("node")
+  }
+
   /** Per-node triangle participation counts over an undirected simple
     * graph — the local-clustering signal (spam/boilerplate hubs have
     * star-shaped neighborhoods, organic entities close triangles).

@@ -405,6 +405,23 @@ class SketchesSpec extends SparkTestBase {
     assert(got == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("pprInt: seeds-only restart; all-seeds degenerates to pagerank") {
+    // path 1-2-3 seeded at 1; isolated pair 10-11 unreachable -> dropped
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val got = Graphs.pprInt(edges, Seq(1L).toDF("node"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(!got.contains(10L) && !got.contains(11L),
+      "unreachable component must hold zero mass")
+    assert(got(1L) > got(3L),
+      s"mass must concentrate at the seed: $got")
+    // every node a seed -> the update rule IS pagerankInt's
+    val all = edges.select(col("da").as("node"))
+      .unionByName(edges.select(col("db").as("node"))).distinct()
+    val ppr = Graphs.pprInt(edges, all, iters = 5)
+    val pr = Graphs.pagerankInt(edges, iters = 5)
+    assert(ppr.exceptAll(pr).isEmpty && pr.exceptAll(ppr).isEmpty)
+  }
+
   // ---- systematic PPS sampling ---------------------------------------
 
   test("ppsSample: exactly k picks, heavy rows favored, deterministic") {
