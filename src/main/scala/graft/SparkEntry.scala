@@ -1918,6 +1918,26 @@ object SparkEntry {
       agg(1L).unionByName(agg(2L)).orderBy("version")
     }),
 
+    // EXT token-mass quantiles: doc-length percentiles WEIGHTED by
+    // token count — "below what length does half the token mass live",
+    // the batch-filling statistic (doc-count medians mislead when short
+    // docs dominate counts but not mass). Same mergeable geometry;
+    // histQuantiles consumes the weighted bins unchanged.
+    "sketch_hist_weighted" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      graft.ops.Sketches.histQuantiles(
+        graft.ops.Sketches.histCountsWeighted(d, "n_chars", "n_tok",
+          0L, 4L, 1024),
+        Seq(2500, 5000, 9000), 0L, 4L, 1024)
+    }),
+
+    // EXT streaming DQ monitor: the fused Check-rule aggregate as ONE
+    // row of sum-merged stream state — the always-on ingest guardrail,
+    // final row ≡ the batch report exactly.
+    "stream_dq_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.dqParityRun(s, s"$dir/events.parquet")),
+
     // EXT personalized PageRank: restart mass returns only to the seed
     // set ({node % 101 = 0}, the graph_bfs seeds) — random-walk
     // proximity to trusted nodes, the ranking cousin of graph_bfs' hop
@@ -3553,6 +3573,40 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          FROM orders
          ORDER BY version""",
+
+    // weighted bins: sum of token counts per 4-char length bin, then
+    // the same covering-bin selection
+    "sketch_hist_weighted" ->
+      """WITH d AS (SELECT n_chars,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tok
+                    FROM documents),
+          hb AS (SELECT least(1023, greatest(0, (n_chars - 0) // 4))
+                          AS bucket,
+                        CAST(sum(n_tok) AS BIGINT) AS cnt
+                 FROM d GROUP BY 1),
+          cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket)
+                                      AS BIGINT) AS cum
+                  FROM hb),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hb),
+          qs AS (SELECT CAST(unnest([2500, 5000, 9000]) AS BIGINT) AS q_bp)
+         SELECT q_bp, CAST(min(bucket) AS BIGINT) AS bucket,
+                CAST(0 + (min(bucket) + 1) * 4 - 1 AS BIGINT) AS est_upper,
+                max(n_total) AS n_total
+         FROM qs CROSS JOIN cum CROSS JOIN tot
+         WHERE cum * 10000 >= q_bp * n_total
+         GROUP BY 1 ORDER BY 1""",
+
+    // one-row sum-merged stream state ≡ the batch conditional aggregate
+    "stream_dq_parity" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS v_gt400,
+                CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS v_neg,
+                CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v_null_type
+         FROM events""",
 
     // lag gaps in (ts, event_id) order; quantile_cont ×2 vs percentile ×2
     "events_interarrival" ->

@@ -283,6 +283,21 @@ object Sketches {
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** WEIGHTED histogram: each value contributes `wCol` (a non-negative
+    * long) instead of 1 — the mass-quantile basis ("the doc length below
+    * which half the TOKENS live", which at training time matters more
+    * than the doc-count median: token mass is what fills batches).
+    * Same fixed geometry, same mergeability; feed [[histQuantiles]]
+    * unchanged — its covering-count selection then answers weighted
+    * quantiles. */
+  def histCountsWeighted(values: DataFrame, valCol: String, wCol: String,
+      lo: Long, width: Long, bins: Int): DataFrame =
+    values
+      .select(least(lit(bins - 1L), greatest(lit(0L),
+        expr(s"(($valCol - $lo) div $width)"))).as("bucket"),
+        col(wCol).cast("long").as("__w"))
+      .groupBy("bucket").agg(sum("__w").as("cnt"))
+
   /** Quantile estimates from a histogram: for each q (basis points) the
     * first bucket whose cumulative count covers q — estimate = the
     * bucket's inclusive upper edge, so error is bounded by bin width by

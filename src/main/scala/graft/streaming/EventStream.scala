@@ -215,6 +215,21 @@ object EventStream {
         ev.select(round(col("value") * 100).cast("long").as("cents")),
         "cents", 0L, 64L, 1024))
 
+  /** The data-quality monitor as stream state: a fused one-row
+    * conditional aggregate of Check-rule violation counts (the
+    * [[graft.ops.DataQuality]] fused-scan shape) maintained as a
+    * streaming aggregate — counts sum-merge, so the monitor's state is
+    * ONE row forever and the final row equals the batch report exactly.
+    * The always-on ingest guardrail a pipeline runs beside the stream. */
+  def dqParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parityRun(spark, path, "dq", maxFilesPerTrigger, "complete")(ev =>
+      ev.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value") > 400, 1L).otherwise(0L)).as("v_gt400"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("v_neg"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L))
+          .as("v_null_type")))
+
   /** Streaming micro-batches committed into a versioned snapshot table
     * ([[graft.sources.Snapshots.commitAppend]] per batch via
     * foreachBatch) — the "stream into an ACID table" shape: every
