@@ -887,6 +887,14 @@ object SparkEntry {
     // REAL resize: decode → nearest-neighbor resample → re-encode →
     // decode again; the checked pixel sum proves the full chain.
     "mm_resize_real" -> ((s, dir) => Multimodal.resizeReal(s, t(s, dir, "documents"))),
+    // REAL frame sampling: 3-5-frame animated GIFs synthesized on
+    // executors (ImageIO sequence writer), every 2nd frame decoded back
+    // via the frame-indexed reader — TRUE dims + exact pixel sums with
+    // a closed-form oracle (solid frames make the palette round-trip
+    // exact by construction). The video-pipeline frame-sample shape,
+    // one-to-many and driver-free.
+    "mm_frames_real" -> ((s, dir) =>
+      Multimodal.framesReal(s, t(s, dir, "documents"))),
     // REAL audio: per-doc PCM16 WAV synthesized on executors
     // (javax.sound.sampled — JDK-only), decoded back through the same
     // batched kernel plumbing: TRUE header rate/frames + the exact sum
@@ -3159,6 +3167,19 @@ object SparkEntry {
     // a = start value, N = W*H pixels, sum = f(a+N) - f(a) where
     // f(n) = (n div 256)*32640 + T(n mod 256), T(m) = m(m-1)/2
     // (each full 256-cycle sums to 32640). Dims echo the synthesis.
+    // closed-form frame arithmetic: solid gray g(doc,f) × w × h for
+    // every sampled (every-2nd) frame index
+    "mm_frames_real" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 5 AS w, 6 + doc_id % 7 AS h,
+                           3 + doc_id % 3 AS nf
+                    FROM documents),
+          f AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS fi FROM d)
+         SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST((((doc_id % 256) * 31 + 37 * fi) % 256) * w * h
+                     AS BIGINT) AS px_sum
+         FROM f ORDER BY doc_id, frame_idx""",
+
     "mm_decode_real" ->
       """WITH s AS (
            SELECT doc_id,

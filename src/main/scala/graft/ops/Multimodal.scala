@@ -419,6 +419,94 @@ object Multimodal {
     * its own row — the one-to-many kernel shape (flatMap inside the
     * batched iterator; output cardinality is data-dependent, memory stays
     * bounded per partition because frames stream out lazily). */
+  case class SampledFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, px_sum: Long)
+
+  /** Synthesize a REAL multi-frame animated GIF: 3–5 solid-gray frames
+    * whose level is a pure function of (doc_id, frame) — solid frames
+    * make the GIF palette round-trip exact by construction, so the
+    * decoded pixel sums have a closed-form oracle like [[synthPngBytes]].
+    * ImageIO's sequence writer (prepareWriteSequence/writeToSequence) is
+    * the JDK-only animated-GIF encoder. */
+  def synthGifBytes(docId: Long): Array[Byte] = {
+    val w = 6 + (docId % 5).toInt
+    val h = 6 + (docId % 7).toInt
+    val nFrames = 3 + (docId % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = (((docId % 256) * 31 + 37L * f) % 256).toInt
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** ====== REAL KERNEL ====== Frame sampling over a true multi-frame
+    * container: decode every `every`-th frame of each GIF payload with
+    * ImageIO's frame-indexed reader and emit TRUE decoded dims + the
+    * exact pixel sum (via getRGB — the reader returns palette-indexed
+    * rasters, so raw samples would be palette INDICES, not gray levels).
+    * The frame-sample shape a video pipeline runs: one-to-many rows per
+    * payload, streamed lazily, per-partition reader reuse, no driver. */
+  def sampleGifFrames(spark: SparkSession, payloads: DataFrame,
+      every: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(every >= 1, s"every >= 1, got $every")
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        it.flatMap { case (id, bytes) =>
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val n = reader.getNumImages(true)
+          Iterator.range(0, n, every).map { f =>
+            val img = reader.read(f)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (img.getRGB(x, y) & 0xFF); x += 1
+              }
+              y += 1
+            }
+            SampledFrame(id, f, img.getWidth, img.getHeight, sum)
+          }
+        }
+      }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** The mm_frames_real surface: synthesize animated GIFs on executors,
+    * sample every 2nd frame through the batched reader kernel. */
+  def framesReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.grouped(DecodeBatch)
+        .flatMap(_.map(id => (id, synthGifBytes(id)))))
+      .toDF("doc_id", "payload")
+    sampleGifFrames(spark, payloads)
+  }
+
   def frameSample(spark: SparkSession, docs: DataFrame,
       frameBytes: Int = 32, stride: Int = 4): DataFrame = {
     import spark.implicits._

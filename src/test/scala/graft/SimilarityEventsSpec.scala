@@ -213,6 +213,24 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("animated-GIF synth→frame-sample round trip is exact") {
+    // REAL multi-frame container: every 2nd frame decoded back must
+    // reproduce the solid-gray synthesis arithmetic exactly (solid
+    // frames force a lossless palette round trip)
+    val ids = Seq(0L, 1L, 7L, 255L, 256L, 999L)
+    val got = Multimodal.framesReal(spark, ids.toDF("doc_id"))
+      .as[(Long, Int, Int, Int, Long)].collect().toSeq
+    val want = ids.sorted.flatMap { id =>
+      val w = 6 + (id % 5).toInt
+      val h = 6 + (id % 7).toInt
+      val nf = 3 + (id % 3).toInt
+      (0 until nf by 2).map { f =>
+        (id, f, w, h, ((id % 256) * 31 + 37L * f) % 256 * w * h)
+      }
+    }
+    assert(got == want)
+  }
+
   test("PNG resize kernel: decode→resample→re-encode→decode, exact sums") {
     val ids = Seq(0L, 5L, 300L)
     val got = Multimodal.resizeReal(spark, ids.toDF("doc_id"))
