@@ -71,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash60(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1], bit-compatible with DuckDB's jaro_winkler_similarity"),
+      (children: Seq[Expression]) => {
+        checkArity("jaro_winkler", 2, children)
+        graft.functions.JaroWinkler(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize",
         "nfc_normalize(s) - Unicode canonical composition (NFC) of a string"),

@@ -42,6 +42,9 @@ class SimilarityEventsSpec extends SparkTestBase {
       .select(graft.functions.SignLshKeys(col("v"), 8, 4).as("k"))
       .head().getSeq[Long](0)
     assert(s.getSeq[Long](1) == directKeys && directKeys.length == 4)
+    // the fuzzy kernel completes the SQL surface, DuckDB-pinned value
+    val jw = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j").head()
+    assert(jw.getDouble(0) == 0.9611111111111111)
   }
 
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {
