@@ -140,6 +140,7 @@ object EventStream {
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft-stream-stage-$tag-$pid", seq.toString)
     Files.createDirectories(stage)
+    parityCleanupAtExit(stage.getParent) // pid-scoped staging root
     val src = Paths.get(path)
     Files.copy(src, stage.resolve(src.getFileName),
       StandardCopyOption.REPLACE_EXISTING)
@@ -254,6 +255,7 @@ object EventStream {
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft-stream-stage-snap-$pid", seq.toString)
     Files.createDirectories(stage)
+    parityCleanupAtExit(stage.getParent) // pid-scoped staging root
     val srcSchema = probeFileSchema(spark, path)
     spark.read.schema(srcSchema).parquet(path)
       .repartitionByRange(nSplits, col("event_id"))
@@ -683,6 +685,7 @@ object EventStream {
       s"graft-stream-upsert-target-$pid")
     val target = targetRoot.resolve(seq.toString)
     Files.createDirectories(stage)
+    parityCleanupAtExit(stage.getParent) // pid-scoped staging root
     Files.createDirectories(target)
     // the returned DataFrame scans the final version's files lazily, so
     // the whole version chain lives until JVM exit (pid-scoped, hooked)
