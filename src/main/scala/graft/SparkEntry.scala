@@ -1982,6 +1982,40 @@ object SparkEntry {
     "events_funnel_timed" -> ((s, dir) =>
       graft.ops.Events.funnelTimed(t(s, dir, "events"))),
 
+    // EXT transactional stats-pruned reads: two CLUSTERED commits (the
+    // second an append) each carrying a per-file [min,max] sidecar; the
+    // band read plans only intersecting files ACROSS BOTH stages, with
+    // snapshot isolation — Manifest-style skipping made versioned and
+    // incremental, i.e. the miniature table format completed. Result is
+    // exact (residual filter); SnapshotsSpec asserts the skipping.
+    "snapshot_pruned_read" -> ((s, dir) => {
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-snapband-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(root)
+      // NTZ read as UTC (GraftSession pins the session zone): the epoch
+      // band constants below are the same instants
+      val o = t(s, dir, "orders")
+        .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
+        graft.sources.Snapshots.commitClustered(s,
+          o.filter(col("o_orderkey") % 2 === 0), root, "od_us", 8)
+        graft.sources.Snapshots.commitClustered(s,
+          o.filter(col("o_orderkey") % 2 =!= 0), root, "od_us", 8,
+          append = true)
+      }
+      val lo = java.time.Instant.parse("1997-01-01T00:00:00Z")
+        .getEpochSecond * 1000000L
+      val hi = java.time.Instant.parse("1997-07-01T00:00:00Z")
+        .getEpochSecond * 1000000L
+      graft.sources.Snapshots.readBand(s, root, "od_us", lo, hi)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // EXT copy-on-write erasure: delete every row of a keyed slice from
     // the committed snapshot table — untouched files carry by
     // reference, only match-bearing files rewrite, and the delete is a
@@ -3686,6 +3720,17 @@ object SparkEntry {
            UNION ALL SELECT 2, 'view>click', n_1 FROM t
            UNION ALL SELECT 3, 'view>click>purchase', n_2 FROM t)
          ORDER BY stage_idx""",
+
+    // exactness contract: the pruned versioned read ≡ the plain band
+    // filter over everything committed (all of orders)
+    "snapshot_pruned_read" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+         GROUP BY 1 ORDER BY o_orderpriority""",
 
     // the erased table ≡ the base table minus the predicate
     "snapshot_delete" ->

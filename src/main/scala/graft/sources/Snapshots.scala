@@ -53,17 +53,10 @@ object Snapshots {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Commit `df` as the next version of the table at `root`; returns the
-    * published version number. Data is staged under a fresh uuid dir
-    * first; publication is the single atomic manifest move. */
-  def commit(df: DataFrame, root: String): Long = {
-    val stage = s"data/${java.util.UUID.randomUUID()}"
-    df.write.parquet(s"$root/$stage")
-    val files = Files.list(Paths.get(root, stage)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .map(n => s"$stage/$n").toSeq.sorted
-    require(files.nonEmpty, "refusing to commit an empty snapshot")
+  /** Atomic publication with the optimistic-concurrency retry: write
+    * the file list to a temp name, ATOMIC_MOVE to the next free
+    * `v<N>.list`. Shared by every commit flavor. */
+  private def publish(root: String, files: Seq[String]): Long = {
     val dir = manifestDir(root)
     var v = latestVersion(root).getOrElse(0L) + 1
     while (true) {
@@ -79,7 +72,102 @@ object Snapshots {
           v = math.max(v + 1, latestVersion(root).getOrElse(0L) + 1)
       }
     }
-    v // unreachable
+    -1L // unreachable
+  }
+
+  /** Stage `df` under a fresh uuid dir and return its relative file
+    * list (sorted). */
+  private def stageData(df: DataFrame, root: String): Seq[String] = {
+    val stage = s"data/${java.util.UUID.randomUUID()}"
+    df.write.parquet(s"$root/$stage")
+    Files.list(Paths.get(root, stage)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .map(n => s"$stage/$n").toSeq.sorted
+  }
+
+  /** Commit `df` as the next version of the table at `root`; returns the
+    * published version number. Data is staged under a fresh uuid dir
+    * first; publication is the single atomic manifest move. */
+  def commit(df: DataFrame, root: String): Long = {
+    val files = stageData(df, root)
+    require(files.nonEmpty, "refusing to commit an empty snapshot")
+    publish(root, files)
+  }
+
+  /** Commit `df` range-clustered on LONG column `statCol` into `nFiles`
+    * files WITH a per-file [min,max,rows] stats sidecar (`_stats` inside
+    * the stage dir — stats are a property of the immutable FILES, so
+    * they travel with the stage and survive being carried by reference
+    * through appends/deletes). This is the missing half that turns the
+    * snapshot protocol into a miniature table format: versioned atomic
+    * commits AND stats-based file skipping ([[readBand]]) from the same
+    * manifests — what [[Manifest]] does for a static dir, now
+    * transactional and incremental. Set `append` to carry the previous
+    * version's files (each stage keeps its own sidecar, so a version's
+    * stats resolve per-stage). */
+  def commitClustered(spark: SparkSession, df: DataFrame, root: String,
+      statCol: String, nFiles: Int, append: Boolean = false): Long = {
+    require(df.schema(statCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"stat column $statCol must be LONG (convert timestamps via unix_micros first)")
+    val clustered = df.repartitionByRange(nFiles,
+      org.apache.spark.sql.functions.col(statCol))
+    val files = stageData(clustered, root)
+    require(files.nonEmpty, "refusing to commit an empty snapshot")
+    val stageDir = files.head.split("/").take(2).mkString("/")
+    // one pruned scan of the staged files -> #files stats rows
+    import org.apache.spark.sql.functions.{col => c, count, input_file_name, lit, max, min}
+    val stats = spark.read.parquet(s"$root/$stageDir")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(c(statCol)).as("mn"), max(c(statCol)).as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val rel = r.getString(0).replaceFirst("^file:/*", "/")
+        s"${Paths.get(rel).getFileName}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}"
+      }.sorted
+    Files.write(Paths.get(root, stageDir, "_stats"),
+      stats.mkString("\n").getBytes("UTF-8"))
+    val prev = if (!append) Nil else latestVersion(root).map { v =>
+      Files.readAllLines(manifestDir(root).resolve(s"v$v.list")).asScala
+        .toSeq.filter(_.nonEmpty)
+    }.getOrElse(Nil)
+    publish(root, prev ++ files)
+  }
+
+  /** Band read `statCol ∈ [lo, hi)` through a version's per-stage stats
+    * sidecars: plan a scan over ONLY the files whose [min,max]
+    * intersects, residual filter on top — exact result
+    * ([[Manifest.prunedBandRead]]'s contract) with snapshot isolation
+    * and time travel. Files from stages without a sidecar (plain
+    * [[commit]]/[[commitAppend]]) are conservatively always read. */
+  def readBand(spark: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val v = asOf.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $root"))
+    val all = Files.readAllLines(manifestDir(root).resolve(s"v$v.list"))
+      .asScala.toSeq.filter(_.nonEmpty)
+    val byStage = all.groupBy(f => f.split("/").take(2).mkString("/"))
+    val keep = byStage.toSeq.flatMap { case (stage, files) =>
+      val sidecar = Paths.get(root, stage, "_stats")
+      if (!Files.exists(sidecar)) files
+      else {
+        val ranges = Files.readAllLines(sidecar).asScala.map { line =>
+          val p = line.split("\t")
+          p(0) -> (p(1).toLong, p(2).toLong)
+        }.toMap
+        files.filter { f =>
+          val name = Paths.get(f).getFileName.toString
+          ranges.get(name).forall { case (mn, mx) => mx >= lo && mn < hi }
+        }
+      }
+    }
+    val src =
+      if (keep.isEmpty) read(spark, root, Some(v)).limit(0)
+      else spark.read.parquet(keep.map(f => s"$root/$f"): _*)
+    src.filter(c(statCol) >= lo && c(statCol) < hi)
   }
 
   /** APPEND commit: publish a new version whose manifest = the previous
@@ -199,13 +287,18 @@ object Snapshots {
     val live = keep.flatMap { case (_, p) =>
       Files.readAllLines(p).asScala.filter(_.nonEmpty)
     }.toSet
+    // a live stage's _stats sidecar must survive with its files
+    val liveStages = live.map(f => f.split("/").take(2).mkString("/"))
     val dataRoot = Paths.get(root, "data")
     if (!Files.exists(dataRoot)) return 0
     var deleted = 0
     Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>
       if (Files.isRegularFile(p)) {
         val rel = Paths.get(root).relativize(p).toString
-        if (!live.contains(rel)) { Files.deleteIfExists(p); deleted += 1 }
+        val keepIt = live.contains(rel) ||
+          (p.getFileName.toString == "_stats" &&
+            liveStages.contains(rel.split("/").take(2).mkString("/")))
+        if (!keepIt) { Files.deleteIfExists(p); deleted += 1 }
       } else if (Files.isDirectory(p) && p != dataRoot) {
         // prune now-empty stage dirs (best effort)
         try Files.delete(p) catch { case _: Exception => () }

@@ -139,6 +139,39 @@ class SnapshotsSpec extends SparkTestBase {
     rm(root)
   }
 
+  test("commitClustered/readBand: stats sidecars skip files across stages") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // stage 1: ks 0..99 in 4 range-clustered files; stage 2 (append):
+    // ks 100..199 in 4 more — a band inside stage 1 must not open
+    // stage 2's files (nor most of stage 1's)
+    Snapshots.commitClustered(spark,
+      spark.range(0, 100).selectExpr("id AS k", "id * 10 AS v"),
+      root, "k", 4)
+    Snapshots.commitClustered(spark,
+      spark.range(100, 200).selectExpr("id AS k", "id * 10 AS v"),
+      root, "k", 4, append = true)
+    val band = Snapshots.readBand(spark, root, "k", 10L, 30L)
+    assert(band.select("k").as[Long].collect().sorted.toSeq
+      == (10L until 30L).toSeq)
+    val opened = band.select(
+      org.apache.spark.sql.functions.input_file_name()).distinct().count()
+    assert(opened < 8 && opened >= 1,
+      s"band of 20 keys must not open all 8 files, opened $opened")
+    // time travel composes: the v1 band sees only stage-1 data
+    assert(Snapshots.readBand(spark, root, "k", 0L, 1000L, asOf = Some(1L))
+      .count() == 100L)
+    // vacuum keeps the live stages' sidecars: band reads still prune
+    Snapshots.commitDelete(spark, root, col("k") === 150L)
+    Snapshots.vacuum(root, keepLast = 1)
+    val after = Snapshots.readBand(spark, root, "k", 10L, 30L)
+    assert(after.count() == 20L)
+    val openedAfter = after.select(
+      org.apache.spark.sql.functions.input_file_name()).distinct().count()
+    assert(openedAfter < 8, s"post-vacuum pruning lost: $openedAfter")
+    rm(root)
+  }
+
   test("refuses reads with no committed snapshot or unknown version") {
     val root = freshRoot()
     intercept[IllegalArgumentException] { Snapshots.read(spark, root) }
