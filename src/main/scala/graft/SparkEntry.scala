@@ -1952,6 +1952,9 @@ object SparkEntry {
     // distances, in the same bit-portable integer arithmetic as
     // graph_pagerank.
     "graph_ppr" -> ((s, dir) => {
+      // localCheckpoint: the co-purchase derivation feeds BOTH the edge
+      // set and the seed extraction — materialize it once (the
+      // sketch_cms shared-scan discipline)
       val pairs = t(s, dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(slice(array_sort(collect_set(col("l_partkey"))),
@@ -1963,6 +1966,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
         .select("da", "db")
+        .localCheckpoint()
       val seeds = pairs.select(col("da").as("node"))
         .union(pairs.select(col("db").as("node")))
         .filter(col("node") % 101 === 0).distinct()

@@ -120,7 +120,10 @@ object Graphs {
       val flow = sym.join(broadcast(contrib), "src")
         .groupBy(col("dst").as("node"))
         .agg(expr(s"sum(c) * $dampBp div 10000").as("flow"))
-      state = nodes.join(flow, Seq("node"), "left")
+      // flow is |V|-sized like contrib: broadcast it so the per-round
+      // state refresh is a map-side hash join over the cached nodes
+      // table, not a two-sided shuffle per iteration
+      state = nodes.join(broadcast(flow), Seq("node"), "left")
         .withColumn("rank",
           col("seed_base") + coalesce(col("flow"), lit(0L)))
         .select("node", "rank", "outdeg", "seed_base")
