@@ -1986,6 +1986,31 @@ object SparkEntry {
     "events_funnel_timed" -> ((s, dir) =>
       graft.ops.Events.funnelTimed(t(s, dir, "events"))),
 
+    // EXT sliding-window distinct via the merge law: per-day HLL
+    // register tables (one scan), then each day's trailing-7-day
+    // distinct-event estimate from a day×window range join over SKETCH
+    // rows — the classic sliding-distinct that exact methods rescan the
+    // window for. Truth + err_bp per day ship in the output.
+    "sketch_hll_sliding" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = graft.ops.Events.tsUs(ev)
+      val withDay = ev.select(col("event_id"),
+        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L))
+          .cast("long").as("day"))
+      val regs = graft.ops.Sketches.hllRegistersBy(
+        withDay, "event_id", Seq("day"))
+      val truth = withDay.select(col("day").as("d")).distinct().as("dd")
+        .join(withDay.as("e"),
+          col("e.day") <= col("dd.d") && col("e.day") > col("dd.d") - 7)
+        .groupBy(col("dd.d").as("day"))
+        .agg(countDistinct(col("e.event_id")).as("true_distinct"))
+      graft.ops.Sketches.hllSlidingSummary(regs, 7)
+        .join(truth, "day")
+        .withColumn("err_bp",
+          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
+        .orderBy("day")
+    }),
+
     // EXT transactional stats-pruned reads: two CLUSTERED commits (the
     // second an append) each carrying a per-file [min,max] sidecar; the
     // band read plans only intersecting files ACROSS BOTH stages, with
@@ -2761,6 +2786,56 @@ object SparkEntry {
        |FROM mad JOIN (SELECT user_id, d2 FROM dev) d
        |  ON mad.user_id = d.user_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sliding-HLL oracle: per-day registers (the grouped hll CTEs keyed
+    * by epoch day), the day×window range-join max-merge, and per-day
+    * summaries + exact trailing-window truth. */
+  private def hllSlidingOracle: String = {
+    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
+    import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
+    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
+    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
+    val top = HllVBits + 1
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) // 86400000000 AS day
+       |           FROM events),
+       | q AS (SELECT day, event_id % $P1 AS q1, event_id % $P2 AS q2
+       |       FROM e),
+       | h AS (SELECT day,
+       |              ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
+       |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
+       |       FROM q),
+       | b AS (SELECT day, hv % $HllM AS bucket,
+       |              (hv // $HllM) % ${1L << HllVBits} AS v FROM h),
+       | r AS (SELECT day, bucket,
+       |              max(CASE WHEN v = 0 THEN $top
+       |                       ELSE $top - length(bin(v)) END) AS reg
+       |       FROM b GROUP BY 1, 2),
+       | days AS (SELECT DISTINCT day FROM r),
+       | mg AS (SELECT d.day AS day, r.bucket, max(r.reg) AS reg
+       |        FROM days d JOIN r ON r.day <= d.day AND r.day > d.day - 7
+       |        GROUP BY 1, 2),
+       | s AS (SELECT day, count(*) AS n_used,
+       |              sum(1::BIGINT << CAST($top - reg AS INT)) AS used_scaled
+       |       FROM mg GROUP BY 1),
+       | t AS (SELECT d.day AS day,
+       |              count(DISTINCT e2.event_id) AS true_distinct
+       |       FROM days d JOIN e e2
+       |         ON e2.day <= d.day AND e2.day > d.day - 7
+       |       GROUP BY 1),
+       | f AS (SELECT s.day, n_used, $HllM - n_used AS zeros,
+       |              CAST(used_scaled
+       |                   + ($HllM - n_used) * (1::BIGINT << $top) AS BIGINT)
+       |                AS sum_scaled,
+       |              true_distinct
+       |       FROM s JOIN t ON s.day = t.day)
+       |SELECT day, n_used, zeros, sum_scaled,
+       |       CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+       |         AS est_distinct,
+       |       true_distinct,
+       |       abs(CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+       |           - true_distinct) * 10000 // true_distinct AS err_bp
+       |FROM f ORDER BY day""".stripMargin
+  }
 
   /** Systematic PPS oracle: the same portable-affine-hash layout order
     * and integer threshold-counting as [[graft.ops.Features.ppsSample]]
@@ -3593,6 +3668,7 @@ object SparkEntry {
     "sketch_cms" -> cmsOracle,
     "sketch_hll_distinct" -> hllOracle,
     "sketch_hll_groups" -> hllGroupsOracle,
+    "sketch_hll_sliding" -> hllSlidingOracle,
     "sketch_hll_union" -> hllUnionOracle,
     "sketch_kmv_distinct" -> kmvOracle,
     "sketch_hist_quantiles" -> histQuantilesOracle,

@@ -194,6 +194,25 @@ object Sketches {
       .withColumn("est_distinct",
         round(lit(HllC) / col("sum_scaled").cast("double")).cast("long"))
 
+  /** Sliding-window distinct from per-day sketches: for each day, merge
+    * the trailing `windowDays` days' register tables by the max law and
+    * estimate — the classic "7-day distinct" that exact methods must
+    * rescan the whole window for, answered here from day-sketch state
+    * alone (≤ m rows per day, forever). The day×window range join runs
+    * over SKETCH rows (days × m), not data: broadcast-joinable at any
+    * corpus size, which is the entire point. Input: a
+    * [[hllRegistersBy]] table grouped by `day`. */
+  def hllSlidingSummary(regsByDay: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays >= 1, got $windowDays")
+    val days = regsByDay.select(col("day")).distinct()
+    val merged = days.as("d").join(regsByDay.as("r"),
+        col("r.day") <= col("d.day") &&
+          col("r.day") > col("d.day") - windowDays)
+      .groupBy(col("d.day").as("day"), col("r.bucket").as("bucket"))
+      .agg(max(col("r.reg")).as("reg"))
+    hllSummaryBy(merged, Seq("day"))
+  }
+
   /** Register-wise max of two register tables — the HLL MERGE LAW:
     * `regs(A ∪ B) = max(regs(A), regs(B))` exactly, because each
     * register is itself a max over its bucket's stream. This is the

@@ -164,6 +164,30 @@ class SketchesSpec extends SparkTestBase {
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
 
+  test("hllSlidingSummary: window=1 ≡ per-day; window merge ≡ union sketch") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val us = graft.ops.Events.tsUs(ev)
+    val withDay = ev.select(col("event_id"),
+      ((us - pmod(us, lit(86400000000L))) / lit(86400000000L))
+        .cast("long").as("day"))
+    val regs = Sketches.hllRegistersBy(withDay, "event_id", Seq("day"))
+    // window = 1: the "sliding" summary must equal plain per-day ones
+    val w1 = Sketches.hllSlidingSummary(regs, 1)
+    val perDay = Sketches.hllSummaryBy(regs, Seq("day"))
+    assert(w1.exceptAll(perDay).isEmpty && perDay.exceptAll(w1).isEmpty)
+    // spot-check a mid-corpus day at window 7: the merged estimate must
+    // equal the sketch built directly from the window's raw keys
+    val day = withDay.agg(max("day")).head().getLong(0) - 3
+    val direct = Sketches.hllSummary(Sketches.hllRegisters(
+      withDay.filter(col("day") <= day && col("day") > day - 7)
+        .select("event_id"), "event_id"))
+      .select("est_distinct").as[Long].head()
+    val slid = Sketches.hllSlidingSummary(regs, 7)
+      .filter(col("day") === day)
+      .select("est_distinct").as[Long].head()
+    assert(slid == direct, s"merge law broke under sliding: $slid != $direct")
+  }
+
   // ---- KMV bottom-k --------------------------------------------------
 
   test("kmv: exact below k, in-band above k, occurrence-invariant") {
