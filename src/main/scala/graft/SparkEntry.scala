@@ -1986,6 +1986,12 @@ object SparkEntry {
     "events_funnel_timed" -> ((s, dir) =>
       graft.ops.Events.funnelTimed(t(s, dir, "events"))),
 
+    // EXT grouped exact quartiles: ×4-scaled interpolated quartiles of
+    // cents per type — dyadic ranks make 4·percentile an exact BIGINT
+    // in both engines (the madOutliers ×2 discipline at quarter ranks).
+    "events_quartiles" -> ((s, dir) =>
+      graft.ops.Events.quartilesByType(t(s, dir, "events"))),
+
     // EXT sliding-window distinct via the merge law: per-day HLL
     // register tables (one scan), then each day's trailing-7-day
     // distinct-event estimate from a day×window range join over SKETCH
@@ -3742,6 +3748,17 @@ object SparkEntry {
                 CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
                      AS BIGINT) AS v_null_type
          FROM events""",
+
+    // quantile_cont at quarter ranks ×4 ≡ percentile ×4, all integers
+    "events_quartiles" ->
+      """WITH c AS (SELECT event_type,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(4 * quantile_cont(c, 0.25) AS BIGINT) AS p25_cents4,
+                CAST(4 * quantile_cont(c, 0.5) AS BIGINT) AS p50_cents4,
+                CAST(4 * quantile_cont(c, 0.75) AS BIGINT) AS p75_cents4
+         FROM c GROUP BY 1 ORDER BY event_type""",
 
     // lag gaps in (ts, event_id) order; quantile_cont ×2 vs percentile ×2
     "events_interarrival" ->

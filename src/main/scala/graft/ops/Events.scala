@@ -586,6 +586,24 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Per-type exact quartiles of the value distribution, ×4-scaled to
+    * integers: at q ∈ {¼, ½, ¾} the interpolated rank arithmetic over
+    * integer cents produces exact quarter-integers (dyadic fractions —
+    * every intermediate is exact in double), so 4·percentile is an
+    * exact BIGINT both engines agree on. The grouped-exact-quantile
+    * slot between [[madOutliers]]' medians and the histogram sketch's
+    * approximations: one sort-based aggregate per group. */
+  def quartilesByType(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(4 * percentile(c, 0.25D) AS BIGINT)").as("p25_cents4"),
+        expr("CAST(4 * percentile(c, 0.5D) AS BIGINT)").as("p50_cents4"),
+        expr("CAST(4 * percentile(c, 0.75D) AS BIGINT)").as("p75_cents4"))
+      .orderBy("event_type")
+
   /** Per-user robust outlier summary via Median Absolute Deviation —
     * the outlier screen that, unlike mean/stddev z-scores
     * ([[rollingAnomaly]]'s windowed cousin), is itself immune to the
