@@ -1986,6 +1986,38 @@ object SparkEntry {
     "events_funnel_timed" -> ((s, dir) =>
       graft.ops.Events.funnelTimed(t(s, dir, "events"))),
 
+    // EXT incremental MV over the versioned table: the standing
+    // per-user view (built at v1) refreshed with the v1→v2 FILE-LEVEL
+    // delta (two manifest reads recover exactly the appended rows — no
+    // change journal) merged as partial aggregates. The composition a
+    // lakehouse MV actually runs: version history supplies the delta,
+    // mergeAggState supplies the algebra, and the result must be
+    // indistinguishable from a full recompute (the oracle).
+    "snapshot_incremental_mv" -> ((s, dir) => {
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-snapmv-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(root)
+      val ev = t(s, dir, "events")
+      val rows = ev.select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        graft.ops.Events.tsUs(ev).as("us"))
+      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
+        graft.sources.Snapshots.commit(
+          rows.filter(col("event_id") % 10 =!= 0), root)
+        graft.sources.Snapshots.commitAppend(
+          rows.filter(col("event_id") % 10 === 0), root)
+      }
+      def pagg(df: DataFrame) = df.groupBy("user_id").agg(
+        count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+        min("us").as("min_us"), max("us").as("max_us"))
+      val view1 = pagg(graft.sources.Snapshots.read(s, root, Some(1L)))
+      val delta = graft.sources.Snapshots.readVersionDelta(s, root, 1L, 2L)
+      graft.ops.Cdc.mergeAggState(Seq("user_id"), view1, pagg(delta))
+        .orderBy("user_id")
+    }),
+
     // EXT grouped exact quartiles: ×4-scaled interpolated quartiles of
     // cents per type — dyadic ranks make 4·percentile an exact BIGINT
     // in both engines (the madOutliers ×2 discipline at quarter ranks).
@@ -3748,6 +3780,14 @@ object SparkEntry {
                 CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
                      AS BIGINT) AS v_null_type
          FROM events""",
+
+    // the MV indistinguishability contract: full recompute over events
+    "snapshot_incremental_mv" ->
+      """SELECT user_id, count(*) AS cnt,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+         FROM events GROUP BY 1 ORDER BY user_id""",
 
     // quantile_cont at quarter ranks ×4 ≡ percentile ×4, all integers
     "events_quartiles" ->

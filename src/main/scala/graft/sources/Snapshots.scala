@@ -269,6 +269,30 @@ object Snapshots {
     (-1L, 0, 0) // unreachable
   }
 
+  /** File-level delta between two versions: the rows of every file that
+    * `toV`'s manifest lists and `fromV`'s does not. For append-only
+    * histories this IS the data that arrived in between — recovered
+    * from two manifest reads, no row diffing, no change journal: the
+    * incremental-consumer shape where a downstream view reads each
+    * version delta exactly once ([[graft.ops.Cdc.mergeAggState]] is the
+    * canonical consumer, and its insert-only contract is the same
+    * contract stated here: COW deletes rewrite files, so a delta across
+    * a delete would re-surface rewritten rows — consume appends only). */
+  def readVersionDelta(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val dir = manifestDir(root)
+    def filesOf(v: Long): Seq[String] = {
+      val p = dir.resolve(s"v$v.list")
+      require(Files.exists(p), s"version $v was never published at $root")
+      Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    }
+    val before = filesOf(fromV).toSet
+    val added = filesOf(toV).filterNot(before)
+    require(added.nonEmpty, s"no files added between v$fromV and v$toV")
+    spark.read.parquet(added.map(f => s"$root/$f"): _*)
+  }
+
   /** Garbage-collect staging data: delete every file under `data/` that
     * no RETAINED manifest references, then drop manifests older than
     * `keepLast` versions. Time travel keeps working for the retained

@@ -172,6 +172,25 @@ class SnapshotsSpec extends SparkTestBase {
     rm(root)
   }
 
+  test("readVersionDelta: exactly the appended rows, refusal modes") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("k", "v"), root)
+    Snapshots.commitAppend(Seq((4L, 40L), (5L, 50L)).toDF("k", "v"), root)
+    assert(Snapshots.readVersionDelta(spark, root, 1L, 2L)
+      .select("k").as[Long].collect().toSet == Set(3L))
+    // spanning delta = both appends, never v1's rows
+    assert(Snapshots.readVersionDelta(spark, root, 1L, 3L)
+      .select("k").as[Long].collect().toSet == Set(3L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersionDelta(spark, root, 2L, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersionDelta(spark, root, 1L, 9L) // never published
+    }
+    rm(root)
+  }
+
   test("refuses reads with no committed snapshot or unknown version") {
     val root = freshRoot()
     intercept[IllegalArgumentException] { Snapshots.read(spark, root) }
