@@ -151,6 +151,66 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("funnel laws on random event streams: stages shrink, gaps only cut") {
+    import graft.ops.Events
+    val evGen = Gen.listOfN(120, for {
+      u <- Gen.choose(1L, 6L)
+      t <- Gen.choose(0L, 5000L)
+      s <- Gen.oneOf("view", "click", "purchase", "other")
+    } yield (u, t, s))
+    samples(evGen, 3).foreach { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, t, s), i) =>
+        (i.toLong, u, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(t)), s)
+      }.toDF("event_id", "user_id", "ts", "event_type")
+      def counts(df: org.apache.spark.sql.DataFrame) =
+        df.select("n_users").as[Long].collect().toSeq
+      val untimed = counts(Events.funnel(ev))
+      val timed = counts(Events.funnelTimed(ev, maxGapMinutes = 10))
+      val wide = counts(Events.funnelTimed(ev, maxGapMinutes = 1000000))
+      // stage counts never increase along the funnel
+      assert(untimed == untimed.sorted.reverse)
+      assert(timed == timed.sorted.reverse)
+      // a time gap can only CUT conversions, stage by stage...
+      timed.zip(untimed).foreach { case (t, u) => assert(t <= u) }
+      // ...and a gap wider than the whole stream cuts nothing
+      assert(wide == untimed)
+      // inter-arrival bookkeeping: one gap per event beyond each
+      // user's first, every gap non-negative
+      val ia = Events.interArrival(ev)
+        .select("n_gaps", "min_gap_us").as[(Long, Long)].collect()
+      val nUsers = rows.map(_._1).distinct.length
+      assert(ia.map(_._1).sum == rows.length - nUsers)
+      assert(ia.forall(_._2 >= 0L))
+    }
+  }
+
+  test("temporalJoin totality: every fact joins exactly one version") {
+    import graft.ops.{Cdc, Events => Ev}
+    val evGen = Gen.listOfN(80, for {
+      u <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0L, 2000L)
+      s <- Gen.oneOf("A", "B", "C")
+    } yield (u, t, s))
+    samples(evGen, 3).foreach { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, t, s), i) =>
+        (i.toLong, u, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(t)), s)
+      }.toDF("event_id", "user_id", "ts", "event_type")
+      val evU = ev.select(col("user_id"), col("event_id"),
+        col("event_type"), Ev.tsUs(ev).as("us"))
+      val dim = Cdc.scd2(evU, "user_id", "event_type", "us", "event_id")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from_us"), col("valid_to_us"))
+      val joined = Cdc.temporalJoin(
+        evU.select("user_id", "event_id", "us"), dim, "user_id", "us")
+      // the version windows partition each user's timeline from their
+      // first event on, so every fact matches EXACTLY one version
+      assert(joined.count() == rows.length.toLong)
+      assert(joined.select("event_id").distinct().count() == rows.length)
+    }
+  }
+
   test("sketch merge laws hold on random key multisets and shardings") {
     import graft.ops.Sketches
     val keysGen = Gen.listOfN(400,
