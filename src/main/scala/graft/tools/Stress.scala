@@ -213,6 +213,23 @@ object Stress {
         evU.select("user_id", "event_id", "event_type", "us"),
         dim, "user_id", "us").count()
     }
+    time("funnel_timed") {
+      graft.ops.Events.funnelTimed(events).count()
+    }
+    time("quartiles_by_type") {
+      graft.ops.Events.quartilesByType(events).count()
+    }
+    // sliding HLL at N× rows: day count is FIXED, so the merge join
+    // stays sketch-sized — only the register-build scan scales
+    time("hll_sliding(7d)") {
+      val us = graft.ops.Events.tsUs(events)
+      val withDay = events.select(col("event_id"),
+        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L))
+          .cast("long").as("day"))
+      graft.ops.Sketches.hllSlidingSummary(
+        graft.ops.Sketches.hllRegistersBy(withDay, "event_id", Seq("day")),
+        7).count()
+    }
     time("dq_expectations(events)") {
       graft.ops.DataQuality.report(Map("events" -> events), Seq(
         graft.ops.DataQuality.Check("events", "value_le_400",
