@@ -46,10 +46,17 @@ object Snapshots {
     else None
   }
 
+  /** Directory listing with the stream CLOSED (Files.list holds an fd
+    * open until closed — commit retry loops and bench reruns would
+    * otherwise accumulate handles for the JVM's lifetime). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Highest published version, if any commit exists. */
   def latestVersion(root: String): Option[Long] = {
-    val dir = manifestDir(root)
-    val vs = Files.list(dir).iterator().asScala.flatMap(versionOf).toSeq
+    val vs = listDir(manifestDir(root)).flatMap(versionOf)
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -80,10 +87,10 @@ object Snapshots {
   private def stageData(df: DataFrame, root: String): Seq[String] = {
     val stage = s"data/${java.util.UUID.randomUUID()}"
     df.write.parquet(s"$root/$stage")
-    Files.list(Paths.get(root, stage)).iterator().asScala
+    listDir(Paths.get(root, stage))
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .map(n => s"$stage/$n").toSeq.sorted
+      .map(n => s"$stage/$n").sorted
   }
 
   /** Commit `df` as the next version of the table at `root`; returns the
@@ -178,12 +185,7 @@ object Snapshots {
     * lost race the loser re-reads the NEW latest manifest so no
     * concurrent append is dropped. */
   def commitAppend(df: DataFrame, root: String): Long = {
-    val stage = s"data/${java.util.UUID.randomUUID()}"
-    df.write.parquet(s"$root/$stage")
-    val newFiles = Files.list(Paths.get(root, stage)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .map(n => s"$stage/$n").toSeq.sorted
+    val newFiles = stageData(df, root)
     require(newFiles.nonEmpty, "refusing to append an empty batch")
     val dir = manifestDir(root)
     while (true) {
@@ -236,37 +238,16 @@ object Snapshots {
     val (touched, carried) = files.partition(isTouched)
     val rewritten =
       if (touched.isEmpty) Nil
-      else {
-        val stage = s"data/${java.util.UUID.randomUUID()}"
+      else stageData(
         spark.read.parquet(touched.map(f => s"$root/$f"): _*)
-          .filter(!predicate)
-          .write.parquet(s"$root/$stage")
-        Files.list(Paths.get(root, stage)).iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-          .map(n => s"$stage/$n").toSeq.sorted
-      }
+          .filter(!predicate), root)
     val newFiles = carried ++ rewritten
     // a delete matching every row publishes an EMPTY table version (the
     // rewrite's 0-row part file carries the schema); this require only
     // guards the writer corner of producing no files at all
     require(newFiles.nonEmpty,
       "rewrite produced no files; cannot publish a schema-less version")
-    var nv = v + 1
-    while (true) {
-      val tmp = Files.createTempFile(dir, s".v$nv-", ".tmp")
-      Files.write(tmp, newFiles.mkString("\n").getBytes("UTF-8"))
-      try {
-        Files.move(tmp, dir.resolve(s"v$nv.list"),
-          StandardCopyOption.ATOMIC_MOVE)
-        return (nv, carried.size, rewritten.size)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          nv = math.max(nv + 1, latestVersion(root).getOrElse(0L) + 1)
-      }
-    }
-    (-1L, 0, 0) // unreachable
+    (publish(root, newFiles), carried.size, rewritten.size)
   }
 
   /** File-level delta between two versions: the rows of every file that
@@ -304,8 +285,8 @@ object Snapshots {
   def vacuum(root: String, keepLast: Int = 2): Int = {
     require(keepLast >= 1, s"must retain at least 1 version, got $keepLast")
     val dir = manifestDir(root)
-    val versions = Files.list(dir).iterator().asScala
-      .flatMap(p => versionOf(p).map(_ -> p)).toSeq.sortBy(_._1)
+    val versions = listDir(dir)
+      .flatMap(p => versionOf(p).map(_ -> p)).sortBy(_._1)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
     drop.foreach { case (_, p) => Files.deleteIfExists(p) }
     val live = keep.flatMap { case (_, p) =>
@@ -316,7 +297,9 @@ object Snapshots {
     val dataRoot = Paths.get(root, "data")
     if (!Files.exists(dataRoot)) return 0
     var deleted = 0
-    Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>
+    val walk = Files.walk(dataRoot)
+    val entries = try walk.iterator().asScala.toSeq finally walk.close()
+    entries.reverse.foreach { p =>
       if (Files.isRegularFile(p)) {
         val rel = Paths.get(root).relativize(p).toString
         val keepIt = live.contains(rel) ||
