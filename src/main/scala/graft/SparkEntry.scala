@@ -2018,6 +2018,17 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // EXT vocabulary drift: top-20 token-share movers (integer bp)
+    // between the even- and odd-id corpus halves — the
+    // distribution-shift monitor run between ingest batches. Shares of
+    // token MASS, so unequal slice sizes compare.
+    "text_vocab_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.vocabDrift(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 =!= 0))
+    }),
+
     // EXT grouped exact quartiles: ×4-scaled interpolated quartiles of
     // cents per type — dyadic ranks make 4·percentile an exact BIGINT
     // in both engines (the madOutliers ×2 discipline at quarter ranks).
@@ -3788,6 +3799,28 @@ object SparkEntry {
                   AS sum_cents,
                 min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
          FROM events GROUP BY 1 ORDER BY user_id""",
+
+    // token-mass shares per half, full-outer merged, top-20 |delta|
+    "text_vocab_drift" ->
+      """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS tk
+                     FROM documents WHERE doc_id % 2 = 0),
+          ca AS (SELECT tk, count(*) AS cnt FROM ta WHERE tk <> ''
+                 GROUP BY 1),
+          sa AS (SELECT tk, (cnt * 10000)
+                   // (SELECT sum(cnt) FROM ca) AS share_a_bp FROM ca),
+          tb AS (SELECT unnest(string_split(text, ' ')) AS tk
+                 FROM documents WHERE doc_id % 2 <> 0),
+          cb AS (SELECT tk, count(*) AS cnt FROM tb WHERE tk <> ''
+                 GROUP BY 1),
+          sb AS (SELECT tk, (cnt * 10000)
+                   // (SELECT sum(cnt) FROM cb) AS share_b_bp FROM cb),
+          m AS (SELECT coalesce(sa.tk, sb.tk) AS tk,
+                       CAST(coalesce(share_a_bp, 0) AS BIGINT) AS share_a_bp,
+                       CAST(coalesce(share_b_bp, 0) AS BIGINT) AS share_b_bp
+                FROM sa FULL JOIN sb ON sa.tk = sb.tk)
+         SELECT tk, share_a_bp, share_b_bp,
+                abs(share_a_bp - share_b_bp) AS drift_bp
+         FROM m ORDER BY drift_bp DESC, tk LIMIT 20""",
 
     // quantile_cont at quarter ranks ×4 ≡ percentile ×4, all integers
     "events_quartiles" ->

@@ -577,6 +577,36 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** Vocabulary drift between two corpus slices: per token, the
+    * absolute difference of its SHARE of each slice's token mass
+    * (basis points, integer floor) — the distribution-shift monitor a
+    * pipeline runs between ingest batches ("did the token mix move"),
+    * reported as the top-k movers. Shares, not raw counts, so unequal
+    * slice sizes compare; integer bp so the ranking is exact. Two
+    * vocabulary-sized aggregates + a full-outer merge; TakeOrdered
+    * top-k with a token tie-break. */
+  def vocabDrift(a: DataFrame, b: DataFrame, k: Int = 20,
+      text: String = "text"): DataFrame = {
+    def shares(df: DataFrame) = {
+      val cnt = df
+        .select(explode(Texty.tokens(col(text))).as("tk"))
+        .filter(col("tk") =!= "")
+        .groupBy("tk").agg(count(lit(1)).as("cnt"))
+      cnt.crossJoin(broadcast(cnt.agg(sum("cnt").as("total"))))
+        .select(col("tk"), expr("cnt * 10000 div total").as("share_bp"))
+    }
+    shares(a).withColumnRenamed("share_bp", "share_a_bp")
+      .join(shares(b).withColumnRenamed("share_bp", "share_b_bp"),
+        Seq("tk"), "full")
+      .select(col("tk"),
+        coalesce(col("share_a_bp"), lit(0L)).as("share_a_bp"),
+        coalesce(col("share_b_bp"), lit(0L)).as("share_b_bp"))
+      .withColumn("drift_bp",
+        abs(col("share_a_bp") - col("share_b_bp")))
+      .orderBy(desc("drift_bp"), asc("tk"))
+      .limit(k)
+  }
+
   /** Retrieval-quality evaluation: per single-term query, rank the
     * corpus by the integer BM25 score ([[bm25TopK]]'s exact formula) and
     * report the reciprocal rank of the first RELEVANT hit in the top-k —
