@@ -22,16 +22,33 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // optional comma-separated subset (fast iteration / error-path demos);
+    // a subset recording never overwrites the full-suite BENCH_full.json
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = subset.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadAtStart = loadAvg()
     val spark = GraftSession.local(cpus, appName = "graft-bench")
 
+    // A query that throws records -1.0 AND its name+message in `errors`
+    // below — the round-5 lesson: a silent sentinel excluded from the
+    // total let ann_recall_pq's sf0.1 assert failure hide inside five
+    // consecutive "clean" recordings. The JSON line now carries
+    // "errors":[...] and "n_errors"; a recording is only clean when
+    // n_errors == 0, and BASELINE.md must not call it clean otherwise.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val elapsed =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.next().take(160)
+          -1.0
+        }
       // ops persist reused intermediates (signatures, inverted lists);
       // clear between runs (outside the timed region) so timings measure
       // the op, not a cache of a previous identical plan, and the block
@@ -50,10 +67,12 @@ object Bench {
 
     // Warmup: exercise scan/shuffle/codegen paths once, uncounted.
     spark.range(0, 2000000).selectExpr("sum(id * 2)").collect()
-    SparkEntry.queries.foreach { case (name, fn) => once(name, fn) }
+    queries.foreach { case (name, fn) => once(name, fn) }
+    errors.clear() // only timed-run failures count (warmup may race caches)
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map(_ => once(name, fn)).filter(_ >= 0)
+      if (times.nonEmpty) errors.remove(name) // a later run succeeded
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     // 3-decimal times keep the line compact (the driver truncates long
@@ -66,14 +85,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val loadAtEnd = loadAvg()
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, m) => s"${js(k)}:${js(m)}" }
+      .mkString("{", ",", "}")
     val cond =
       s""""loadavg_start":${f3(loadAtStart)},"loadavg_end":${f3(loadAtEnd)},"runs_per_query":$runsPerQuery,"cpus":$cpus"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$cond,"queries":$qs}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir",$cond,"queries":$qs}"""
     println(line)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // best-effort: bench result already printed
+    if (subset.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () } // best-effort: bench result already printed
     spark.stop()
   }
 }

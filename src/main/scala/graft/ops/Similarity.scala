@@ -202,12 +202,26 @@ object Similarity {
     * partial aggregation keyed (query, vector) — no corpus self-join
     * anywhere; the exact re-rank touches only `nQueries × shortlist`
     * full vectors. Returns (q_id, rnk, vec_id, cosine) like [[bruteTopK]];
-    * rows-only at the driver (k-means floats have no DuckDB twin). */
+    * rows-only at the driver (k-means floats have no DuckDB twin).
+    *
+    * `shortlist = -1` (the default) auto-sizes to `max(50, ceil(0.15·N))`
+    * — the round-5 fixed 50 held its 4600 bp recall floor at N=500 but
+    * collapsed to 2600 bp at N=2000 (the corpus grew, the shortlist
+    * didn't). At the 16^4-code test codebook, ADC resolution is coarse
+    * enough that recall tracks the shortlist FRACTION, not its absolute
+    * size (measured via [[graft.tools.PqTune]]: 15% of corpus = 7600 bp
+    * at N=500, 7200 bp at N=2000). At production N you keep the re-rank
+    * sublinear the other way: grow `m·codebookSize` (ADC resolution) so
+    * the fraction needed for a given recall falls — the auto rule is the
+    * honest calibration for THIS codebook, not a universal constant. */
   def pqTopK(emb: DataFrame, nQueries: Int, k: Int, m: Int = 4,
-      codebookSize: Int = 16, shortlist: Int = 50, dim: Int = 64,
+      codebookSize: Int = 16, shortlist: Int = -1, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m must divide dim, got $m / $dim")
-    require(shortlist >= k, s"shortlist >= k, got $shortlist < $k")
+    val autoShortlist =
+      if (shortlist > 0) shortlist
+      else math.max(50L, math.ceil(emb.count() * 0.15).toLong).toInt
+    require(autoShortlist >= k, s"shortlist >= k, got $autoShortlist < $k")
     val spark = emb.sparkSession
     import spark.implicits._
     val subDim = dim / m
@@ -262,7 +276,7 @@ object Similarity {
       .groupBy("q_id", "vec_id").agg(sum(col("lv")).as("adc"))
     val wAdc = Window.partitionBy("q_id").orderBy(desc("adc"), asc("vec_id"))
     val cand = adc.withColumn("adc_rnk", row_number().over(wAdc))
-      .filter(col("adc_rnk") <= shortlist).select("q_id", "vec_id")
+      .filter(col("adc_rnk") <= autoShortlist).select("q_id", "vec_id")
 
     // exact re-rank of the shortlist — bruteTopK's scoring, tie-break, shape
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))

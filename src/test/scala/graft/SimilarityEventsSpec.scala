@@ -100,10 +100,11 @@ class SimilarityEventsSpec extends SparkTestBase {
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
     val pq = graft.ops.Similarity.pqTopK(emb, 10, 5)
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
-    // ADC shortlist of 50/500 then exact re-rank: recall@5 must stay high
+    // auto shortlist (max(50, 15% of corpus) = 75/500) then exact
+    // re-rank: recall@5 must stay high
     assert(pq.size == brute.size)
     val recall = (pq & brute).size * 100 / brute.size
-    info(s"PQ recall@5 at shortlist=50: $recall%")
+    info(s"PQ recall@5 at auto shortlist: $recall%")
     assert(recall >= 50, s"PQ recall collapsed: $recall%")
   }
 
