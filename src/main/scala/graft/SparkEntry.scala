@@ -67,6 +67,36 @@ object SparkEntry {
         "path is no longer finding the exact answers")).isNull))
   }
 
+  /** Shared corpus for the er_* queries: entity names (p_name plus a
+    * mod-1000 numeric suffix) and a deterministic dirty query set — one
+    * character deleted at position pos+1 ∈ [6, len], i.e. always past
+    * the first 5 chars. Both the ops/EntityResolution blocking passes
+    * and the generated DuckDB twin derive from this one definition. */
+  /** Blocking parameters for the er_* queries, shared with the generated
+    * DuckDB twins (the cap is deterministic, so both engines must cut
+    * identically). prefix+suffix = 10 <= the min entity-name length
+    * (two-word p_name >= 7 chars plus the "-N" suffix), the precondition
+    * for ops/EntityResolution's single-edit recall theorem. The cap sits
+    * above the largest first-word block at sf0.1 (~N/8), so tested-scale
+    * runs are uncapped (er_block_stats records n_dropped = 0) while a
+    * 100× degenerate corpus stays bounded. */
+  val ErPrefixLen = 5
+  val ErSuffixLen = 5
+  val ErMaxBlock = 4096
+
+  private def erCorpus(part: DataFrame): (DataFrame, DataFrame) = {
+    val ents = part.select(col("p_partkey").as("cand_key"),
+      concat(col("p_name"), lit("-"),
+        (col("p_partkey") % 1000).cast("string")).as("name"))
+    val dirty = ents.filter(col("cand_key") % 37 === 0)
+      .withColumn("pos",
+        (lit(5) + col("cand_key") % (length(col("name")) - lit(5))).cast("int"))
+      .select(col("cand_key").as("q_key"),
+        concat(expr("substring(name, 1, pos)"),
+          expr("substring(name, pos + 2, 1000000)")).as("dirty"))
+    (ents, dirty)
+  }
+
   /** Rounds for the graph_pagerank query (shared with its generated
     * oracle CTE chain). Integer PageRank is EXACT at any round count —
     * 5 bounds the registered query's per-round fixed cost (~0.5 s of
@@ -1743,40 +1773,34 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
-    // EXT fuzzy entity resolution: blocked candidate generation (4-char
-    // prefix blocks survive the controlled corruption) scored with the
-    // codegen'd Jaro-Winkler expression — Spark ships levenshtein but no
-    // JW, so this is functions/JaroWinkler.scala, pinned bit-compatible
-    // with DuckDB's jaro_winkler_similarity. Two INDEPENDENT
-    // implementations agreeing on every rounded basis-point score is the
-    // oracle (the NFC-normalizer discipline). Queries are entity names
-    // with one deterministically-deleted character past the block
-    // prefix; threshold is applied to the rounded integer score so both
-    // engines cut identically.
-    // SCALE NOTE: this corpus's 4-char name prefixes have FIXED
-    // cardinality, so block sizes (hence candidate pairs) grow with N —
-    // acceptable at sf scales; production ER must block on keys whose
-    // cardinality scales with the data (sorted neighborhood, phonetic +
-    // length bands) under the dedup family's bounded-candidate contract.
+    // EXT fuzzy entity resolution: two-pass (prefix-5, suffix-5)
+    // blocked candidates under ops/EntityResolution's bounded-candidate
+    // contract — single-edit recall is a pigeonhole theorem (one edit
+    // cannot corrupt both a 5-char prefix and a 5-char suffix of a
+    // >=10-char name), block caps are deterministic, drops are reported
+    // by er_block_stats. Scoring is the codegen'd Jaro-Winkler
+    // expression — Spark ships levenshtein but no JW, so this is
+    // functions/JaroWinkler.scala, pinned bit-compatible with DuckDB's
+    // jaro_winkler_similarity. Two INDEPENDENT implementations agreeing
+    // on every rounded basis-point score is the oracle (the
+    // NFC-normalizer discipline). Queries are entity names with one
+    // deterministically-deleted character past position 5; threshold is
+    // applied to the rounded integer score so both engines cut
+    // identically.
     "er_fuzzy_match" -> ((s, dir) => {
-      val ents = t(s, dir, "part").select(col("p_partkey"),
-        concat(col("p_name"), lit("-"),
-          (col("p_partkey") % 1000).cast("string")).as("name"))
-      val dirty = ents.filter(col("p_partkey") % 37 === 0)
-        .withColumn("pos",
-          (lit(5) + col("p_partkey") % (length(col("name")) - lit(5))).cast("int"))
-        .select(col("p_partkey").as("q_key"),
-          concat(expr("substring(name, 1, pos)"),
-            expr("substring(name, pos + 2, 1000000)")).as("dirty"))
-      broadcast(dirty.withColumn("blk", substring(col("dirty"), 1, 4)))
-        .join(ents.select(col("p_partkey").as("cand_key"), col("name"))
-          .withColumn("blk", substring(col("name"), 1, 4)), "blk")
-        .withColumn("jw_bp",
-          round(graft.functions.JaroWinkler(col("dirty"), col("name")) * 10000)
-            .cast("long"))
-        .filter(col("jw_bp") >= 9000)
-        .select("q_key", "cand_key", "jw_bp")
-        .orderBy("q_key", "cand_key")
+      val (ents, dirty) = erCorpus(t(s, dir, "part"))
+      graft.ops.EntityResolution.fuzzyMatch(ents, dirty, 9000,
+        ErPrefixLen, ErSuffixLen, ErMaxBlock)
+    }),
+    // blocking health for the ER surface: per-pass key cardinality,
+    // largest block, cap-dropped volume — the dedup_cap_stats
+    // discipline applied to entity resolution, so a corpus whose keys
+    // collapse (fixed-vocabulary prefixes at 100×) is VISIBLE in a
+    // report instead of silently quadratic.
+    "er_block_stats" -> ((s, dir) => {
+      val (ents, _) = erCorpus(t(s, dir, "part"))
+      graft.ops.EntityResolution.blockStats(ents,
+        ErPrefixLen, ErSuffixLen, ErMaxBlock)
     }),
 
     // EXT per-group HLL: one scan → one register table PER return-flag
@@ -4276,25 +4300,55 @@ object SparkEntry {
     // vs DuckDB's) must agree on every rounded basis-point score — the
     // same cross-engine discipline as dedup_unicode_nfc. ASCII-bound on
     // the oracle side only (DuckDB scores bytes; the corpus is ASCII).
+    // The blocking (two passes, deterministic cap) is replicated
+    // structurally so a capped run still hash-matches.
     "er_fuzzy_match" ->
-      """WITH e AS (SELECT p_partkey,
+      s"""WITH e AS (SELECT p_partkey AS cand_key,
                            p_name || '-' || CAST(p_partkey % 1000 AS VARCHAR) AS name
                     FROM part),
-         q AS (SELECT p_partkey AS q_key, name,
-                      CAST(5 + p_partkey % (length(name) - 5) AS INT) AS pos
-               FROM e WHERE p_partkey % 37 = 0),
+         q AS (SELECT cand_key AS q_key, name,
+                      CAST(5 + cand_key % (length(name) - 5) AS INT) AS pos
+               FROM e WHERE cand_key % 37 = 0),
          qd AS (SELECT q_key,
                        substring(name, 1, pos) || substring(name, pos + 2, 1000000)
                          AS dirty
                 FROM q),
-         cand AS (SELECT qd.q_key, e.p_partkey AS cand_key,
-                         CAST(round(jaro_winkler_similarity(qd.dirty, e.name)
-                                    * 10000) AS BIGINT) AS jw_bp
-                  FROM qd JOIN e
-                    ON substring(qd.dirty, 1, 4) = substring(e.name, 1, 4))
-         SELECT q_key, cand_key, jw_bp FROM cand
-         WHERE jw_bp >= 9000
+         ebl AS (SELECT 'p' AS pass, substring(name, 1, $ErPrefixLen) AS blk,
+                        cand_key, name FROM e
+                 UNION ALL
+                 SELECT 's', right(name, $ErSuffixLen), cand_key, name FROM e),
+         ecap AS (SELECT pass, blk, cand_key, name FROM (
+                    SELECT *, row_number() OVER (PARTITION BY pass, blk
+                                                 ORDER BY cand_key) AS rn
+                    FROM ebl) WHERE rn <= $ErMaxBlock),
+         qbl AS (SELECT 'p' AS pass, substring(dirty, 1, $ErPrefixLen) AS blk,
+                        q_key, dirty FROM qd
+                 UNION ALL
+                 SELECT 's', right(dirty, $ErSuffixLen), q_key, dirty FROM qd),
+         cand AS (SELECT DISTINCT q_key, cand_key, dirty, name
+                  FROM qbl JOIN ecap USING (pass, blk))
+         SELECT q_key, cand_key,
+                CAST(round(jaro_winkler_similarity(dirty, name) * 10000)
+                     AS BIGINT) AS jw_bp
+         FROM cand
+         WHERE CAST(round(jaro_winkler_similarity(dirty, name) * 10000)
+                    AS BIGINT) >= 9000
          ORDER BY q_key, cand_key""",
+
+    "er_block_stats" ->
+      s"""WITH e AS (SELECT p_partkey AS cand_key,
+                           p_name || '-' || CAST(p_partkey % 1000 AS VARCHAR) AS name
+                    FROM part),
+         ebl AS (SELECT 'p' AS pass, substring(name, 1, $ErPrefixLen) AS blk,
+                        cand_key FROM e
+                 UNION ALL
+                 SELECT 's', right(name, $ErSuffixLen), cand_key FROM e),
+         sz AS (SELECT pass, blk, count(*) AS sz FROM ebl GROUP BY 1, 2)
+         SELECT pass, count(*) AS n_blocks,
+                CAST(sum(sz) AS BIGINT) AS n_entities,
+                max(sz) AS max_block,
+                CAST(sum(greatest(sz - $ErMaxBlock, 0)) AS BIGINT) AS n_dropped
+         FROM sz GROUP BY pass ORDER BY pass""",
 
     "corpus_mix" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,

@@ -64,6 +64,38 @@ object Curve {
     val nodeShift = basePairs.agg(greatest(max("da"), max("db")))
       .head.getLong(0) + 1L
 
+    // ER corpus: entity names replicated with a replica marker on BOTH
+    // ends (prefix "r<r>x", suffix "x<r>r") so neither the prefix-pass
+    // nor the suffix-pass block keys collide across replicas — the same
+    // disjoint-space discipline as the token prefixes above. True match
+    // pairs therefore grow linearly; what's timed is the candidate
+    // machinery. Keys shift by a multiple of 37·1000 so the dirty-query
+    // selector (key % 37) and name suffix (key % 1000) are replica-
+    // invariant.
+    val baseEnts = Tables(spark, sfDir, "part")
+      .select(col("p_partkey").as("cand_key"),
+        concat(col("p_name"), lit("-"),
+          (col("p_partkey") % 1000).cast("string")).as("name"))
+    val entShift = {
+      val m = baseEnts.agg(max("cand_key")).head.getLong(0) + 1L
+      ((m / 37000L) + 1L) * 37000L
+    }
+    def entsAt(n: Int): DataFrame =
+      (0 until n).map { r =>
+        val nm = if (r == 0) col("name")
+                 else concat(lit(s"r${r}x"), col("name"), lit(s"x${r}r"))
+        baseEnts.select((col("cand_key") + lit(r * entShift)).as("cand_key"),
+          nm.as("name"))
+      }.reduce(_.union(_))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def dirtyFrom(ents: DataFrame): DataFrame =
+      ents.filter(col("cand_key") % 37 === 0)
+        .withColumn("pos", (lit(5) +
+          col("cand_key") % (length(col("name")) - lit(5))).cast("int"))
+        .select(col("cand_key").as("q_key"),
+          concat(expr("substring(name, 1, pos)"),
+            expr("substring(name, pos + 2, 1000000)")).as("dirty"))
+
     def edgesAt(n: Int): DataFrame =
       (0 until n).map { r =>
         basePairs.select(
@@ -85,21 +117,28 @@ object Curve {
       (dt, n)
     }
 
-    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+    val allOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "jaccard_prefix" -> (d => graft.ops.Dedup.jaccardPrefix(d)),
       "containment_capped" -> (d => graft.ops.Dedup.containmentPairs(d)),
       "containment_prefix" -> (d => graft.ops.Dedup.containmentPrefix(d)),
-      "triangles" -> (d => graft.ops.Graphs.triangleCounts(d)))
+      "triangles" -> (d => graft.ops.Graphs.triangleCounts(d)),
+      "er_fuzzy" -> (d => graft.ops.EntityResolution.fuzzyMatch(d, dirtyFrom(d))))
+    // optional second arg: comma-separated op subset
+    val ops = args.drop(1).headOption
+      .map(_.split(",").toSet)
+      .fold(allOps)(sel => allOps.filter(o => sel(o._1)))
 
     // JIT/codegen warmup, uncounted
     ops.foreach { case (name, f) =>
-      val in = if (name == "triangles") edgesAt(1) else docsAt(1)
+      val in = if (name == "triangles") edgesAt(1)
+               else if (name == "er_fuzzy") entsAt(1) else docsAt(1)
       in.count(); pin(); f(in).count(); in.unpersist(true)
     }
 
     val results = ops.map { case (name, f) =>
       name -> factors.map { n =>
-        val in = if (name == "triangles") edgesAt(n) else docsAt(n)
+        val in = if (name == "triangles") edgesAt(n)
+                 else if (name == "er_fuzzy") entsAt(n) else docsAt(n)
         val rows = in.count() // materialize the replicated input, uncounted
         pin()
         val (dt, out) = time(f(in).count())
