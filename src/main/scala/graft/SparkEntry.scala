@@ -1422,11 +1422,14 @@ object SparkEntry {
     // EXT sketch profile (rows-only BY DESIGN: HLL sketches are
     // engine-specific — no DuckDB twin; the exact profile is the
     // oracle'd profile_lineitem): same single-scan shape, with
-    // approx_count_distinct replacing the exact dedup stage.
+    // approx_count_distinct replacing the exact dedup stage. The ±25%
+    // in-plan gate vs the exact distinct (5× the sketch's 5% rsd) makes
+    // this rows-only entry fail-loudly on estimator regression —
+    // production calls drop the gate (checkApprox = None).
     "profile_approx" -> ((s, dir) =>
       Profiler.numericProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"),
-        approx = true)),
+        approx = true, checkApprox = Some(0.25))),
 
     // EXT market-basket co-occurrence: top-20 part pairs ordered together.
     // Basket shape, not a self-join: one shuffle collapses lineitem to
@@ -1529,13 +1532,37 @@ object SparkEntry {
     // DESIGN (GK sketch internals are engine-specific — no DuckDB twin,
     // like profile_approx's HLL); SimilarityEventsSpec asserts the clamp
     // bounds sit within rank-ε of the exact ones at sf0.01, and the
-    // exact twin above stays the oracle'd surface.
+    // exact twin above stays the oracle'd surface. The same rank-ε
+    // bound is ALSO asserted IN-PLAN (fail-loudly for a rows-only
+    // entry), and scale-correctly: instead of re-running the exact
+    // percentile (the very memory blowup the approx path exists to
+    // avoid), a second BOUNDED aggregate counts values strictly below
+    // p05 / above p95 per type and requires each to land within
+    // 5% ± 1% of the group — the GK sketch's own rank guarantee
+    // (error 1/accuracy = 0.01% here) plus generous element-step
+    // headroom on a continuous column. A sketch regression that moves
+    // a clamp bound off its rank breaks the query at ANY corpus size.
     "events_winsorize_approx" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val pct = ev.groupBy("event_type")
         .agg(expr("approx_percentile(value, array(0.05, 0.95), 10000)").as("p"))
         .select(col("event_type"), col("p")(0).as("p05"), col("p")(1).as("p95"))
+      val epsBp = 100 // ±1% of group size, in basis points
+      val gate = ev.join(broadcast(pct), Seq("event_type"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_hi"))
+        .where(assert_true(
+          abs(col("n_lo") * 10000 - col("n") * 500) <= col("n") * epsBp &&
+          abs(col("n_hi") * 10000 - col("n") * 500) <= col("n") * epsBp,
+          concat(lit("approx winsorize bounds drifted off the 5% rank for "),
+            col("event_type"), lit(": n_lo="), col("n_lo").cast("string"),
+            lit(" n_hi="), col("n_hi").cast("string"),
+            lit(" of n="), col("n").cast("string"))).isNull)
+        .select(col("event_type"), lit(1L).as("gate_ok"))
       ev.join(broadcast(pct), Seq("event_type"))
+        .join(broadcast(gate), Seq("event_type"))
         .select(col("event_id"), col("event_type"),
           round(least(greatest(col("value"), col("p05")), col("p95")) * 100)
             .cast("long").as("clamped_cents"))

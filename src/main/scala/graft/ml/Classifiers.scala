@@ -33,27 +33,57 @@ object Classifiers {
   val Seed = 42L
 
   /** Binary-labeled vector features from the driver's embeddings table:
-    * `features` = the 64-dim embedding, `label` = one-vs-rest on class 0.
-    * (One compact cluster vs the rest is linearly separable, so the two
-    * linear models are expected to learn it too; an arbitrary 5-vs-5
-    * grouping of the 10 clusters is not.) */
+    * `features` = the 64-dim embedding, `label` = the sign of a FIXED
+    * linear functional of the embedding (even dims minus odd dims).
+    *
+    * Why a derived label and not the table's own cluster id: the
+    * corpus's 10 Gaussian clusters overlap heavily (measured on the
+    * round-6 regenerated corpus: within-cluster spread ~1.0 vs centroid
+    * separation ~0.2, nearest-centroid accuracy 41%), so any
+    * one-vs-rest AUC tops out near chance and a floor anchored on it is
+    * vacuous — it cannot distinguish a healthy pipeline from a
+    * sabotaged one. The linear-functional label is deterministic in the
+    * features (Bayes AUC = 1.0): a correct pipeline scores high, while
+    * ANY feature corruption (wrong columns, broken assembly, scrambled
+    * split) collapses AUC toward 0.5 and trips [[trainEval]]'s in-plan
+    * floors. ~50/50 balanced since the embedding components are
+    * near-symmetric around 0. */
   def embeddingFeatures(emb: DataFrame): DataFrame =
     emb.select(
       col("vec_id"),
       array_to_vector(col("embedding")).as("features"),
-      (col("label") === 0).cast("double").as("label"))
+      (aggregate(zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (e, i) => when(i % 2 === 0, e).otherwise(-e)),
+        lit(0.0d), (acc, x) => acc + x) > 0).cast("double").as("label"))
 
   private def auc(predictions: DataFrame, rawCol: String = "rawPrediction"): Double =
     new BinaryClassificationEvaluator()
       .setRawPredictionCol(rawCol)
       .evaluate(predictions) // default metric: areaUnderROC (FP11)
 
+  /** In-plan AUC floors (basis points) per model for [[trainEval]] —
+    * the recall-floor discipline applied to the ML gate: without them a
+    * silent fit regression (wrong features, broken split) passes the
+    * driver's rows>0 check. Set ~1000 bp under the measured band across
+    * sf0.001/0.01/0.1 on the Bayes-separable gate label (LR .974–.993,
+    * SVC .974–.997, MLP .960–.997, RF .681–.800 — RF is weakest on a
+    * 64-dim oblique linear boundary, as axis-aligned trees should be):
+    * corpus-regeneration jitter clears them, a sabotaged feature
+    * pipeline (AUC → ~.5) does not. */
+  val AucFloorsBp: Map[String, Int] = Map(
+    "logistic_regression" -> 8800, "linear_svc" -> 8800,
+    "mlp" -> 8500, "random_forest" -> 5800)
+
   /** FP6–FP11: seeded 0.8/0.2 split, fit LR / LinearSVC / MLP / RF, each
     * evaluated on its own held-out predictions. Returns one row per model:
-    * (model, auc, n_train, n_test) — deterministic given the seed, but ML
-    * AUCs are never DuckDB-oracle'd (SURVEY §5 / §7). */
+    * (model, auc, auc_bp, n_train, n_test) — deterministic given the
+    * seed, but ML AUCs are never DuckDB-oracle'd (SURVEY §5 / §7); the
+    * [[AucFloorsBp]] floors are asserted INSIDE the plan instead, so a
+    * collapse fails the driver gate loudly. */
   def trainEval(spark: SparkSession, labeled: DataFrame,
-      featureDim: Int = 64, seed: Long = Seed): DataFrame = {
+      featureDim: Int = 64, seed: Long = Seed,
+      floorsBp: Map[String, Int] = AucFloorsBp): DataFrame = {
     import spark.implicits._
     val Array(train, test) = labeled.randomSplit(Array(0.8, 0.2), seed)
     train.persist(); test.persist()
@@ -83,7 +113,16 @@ object Classifiers {
     val rows = fits
       .map { case (m, f) => (m, Await.result(f, Duration.Inf), nTrain, nTest) }
     train.unpersist(); test.unpersist()
-    rows.toDF("model", "auc", "n_train", "n_test").orderBy("model")
+    val floorCol = floorsBp.foldLeft(lit(0)) { case (acc, (m, f)) =>
+      when(col("model") === m, lit(f)).otherwise(acc) }
+    rows.toDF("model", "auc", "n_train", "n_test")
+      .withColumn("auc_bp", floor(col("auc") * 10000).cast("long"))
+      .where(assert_true(col("auc_bp") >= floorCol,
+        concat(lit("AUC collapsed below the in-plan floor for "),
+          col("model"), lit(": "), col("auc_bp").cast("string"),
+          lit(" bp — the feature pipeline or split is broken"))).isNull)
+      .select("model", "auc", "auc_bp", "n_train", "n_test")
+      .orderBy("model")
   }
 
   /** One-time shutdown hook deleting this process's staged model dir —

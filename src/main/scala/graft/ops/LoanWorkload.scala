@@ -111,6 +111,13 @@ object LoanWorkload {
         // t4Features' naFill maps missing is_default to -1; unlabeled
         // rows must not reach the binary fit (labels outside {0,1} throw)
         .filter(col("label").isin(0.0, 1.0)),
-      featureDim = dim)
+      featureDim = dim,
+      // no AUC floors here: the SYNTHESIZED loan table's is_default is
+      // label noise by construction (measured LR AUC ≈ 0.45 — the real
+      // train_data.csv behind the ref's 0.80/0.85 anchors is not in the
+      // repo), so this surface pins pipeline mechanics, not model
+      // quality; the calibrated driver-gated floors live on
+      // ml_train_eval's Bayes-separable embeddings label.
+      floorsBp = Map.empty)
   }
 }

@@ -31,22 +31,50 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Profiler {
 
+  /** `checkApprox`: when profiling with `approx`, ALSO run the exact
+    * dedup stage and assert IN-PLAN that every column's HLL estimate
+    * sits within ±`checkApprox` (relative) of the exact distinct count
+    * — the recall-floor discipline for a rows-only query (the driver
+    * gate otherwise accepts any rows>0, so a broken sketch would pass
+    * silently). The bound should sit ~5× over approx_count_distinct's
+    * default 5% rsd, so estimator jitter clears it while a real
+    * regression (wrong column, broken sketch merge) does not. The check pays for the exact pass
+    * it exists to avoid — it is a TEST-SCALE gate; production profiling
+    * at 100 TB calls with `checkApprox = None` and trusts the
+    * estimator's published error. */
   def numericProfile(df: DataFrame, cols: Seq[String],
-      approx: Boolean = false): DataFrame = {
+      approx: Boolean = false,
+      checkApprox: Option[Double] = None): DataFrame = {
     require(cols.nonEmpty, "numericProfile requires at least one column")
     val names = array(cols.map(lit(_)): _*)
     val pairs = df.select(posexplode(
       array(cols.map(c => col(c).cast(DecimalType(38, 6))): _*))
       .as(Seq("cidx", "v")))
     val perColumn =
-      if (approx)
-        pairs.groupBy("cidx").agg(
+      if (approx) {
+        val prof = pairs.groupBy("cidx").agg(
           count(lit(1)).as("n_rows"),
           count(col("v")).as("n_non_null"),
           approx_count_distinct(col("v")).as("n_distinct"),
           min("v").as("min_v"), max("v").as("max_v"),
           sum(col("v").cast(DecimalType(28, 2))).cast("double").as("sum_v"))
-      else {
+        checkApprox.fold(prof) { eps =>
+          val exact = pairs.groupBy("cidx", "v")
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy("cidx")
+            .agg(count(when(col("v").isNotNull, lit(1))).as("exact_distinct"))
+          prof.join(exact, "cidx")
+            .where(assert_true(
+              abs(col("n_distinct") - col("exact_distinct"))
+                <= greatest(col("exact_distinct") * eps, lit(4.0d)),
+              concat(lit("approx distinct drifted beyond the ±"),
+                lit((eps * 100).toString), lit("% gate for column idx "),
+                col("cidx").cast("string"), lit(": est "),
+                col("n_distinct").cast("string"), lit(" vs exact "),
+                col("exact_distinct").cast("string"))).isNull)
+            .drop("exact_distinct")
+        }
+      } else {
         val dist = pairs.groupBy("cidx", "v").agg(count(lit(1)).as("cnt"))
         dist.groupBy("cidx").agg(
           sum("cnt").as("n_rows"),

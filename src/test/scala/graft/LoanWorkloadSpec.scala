@@ -134,8 +134,11 @@ class LoanWorkloadSpec extends SparkTestBase {
     // 31 numerics (34 minus ids/label) + 6 indexed strings + 2 date buckets
     assert(dim == 39, s"dim=$dim")
     val res = LoanWorkload.t4TrainEval(feats)
-      .as[(String, Double, Long, Long)].collect()
+      .as[(String, Double, Long, Long, Long)].collect()
     assert(res.length == 4)
-    res.foreach { case (_, auc, _, _) => assert(auc >= 0.0 && auc <= 1.0) }
+    res.foreach { case (m, auc, _, _, _) =>
+      info(f"$m auc=$auc%.3f")
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
   }
 }

@@ -90,23 +90,47 @@ class MlPipelineSpec extends SparkTestBase {
       (org.apache.spark.ml.linalg.Vectors.dense(feats), label.toDouble)
     }
     val labeled = rows.toDF("features", "label")
-    val res = graft.ml.Classifiers.trainEval(spark, labeled, featureDim = 8)
-      .as[(String, Double, Long, Long)].collect()
+    // relaxed uniform floors: this test pins learnability + determinism
+    // on synthetic data, not the corpus-calibrated gate (tested below)
+    val floors = graft.ml.Classifiers.AucFloorsBp.view.mapValues(_ => 8000).toMap
+    val res = graft.ml.Classifiers
+      .trainEval(spark, labeled, featureDim = 8, floorsBp = floors)
+      .as[(String, Double, Long, Long, Long)].collect()
     assert(res.map(_._1).toSeq ==
       Seq("linear_svc", "logistic_regression", "mlp", "random_forest"))
-    res.foreach { case (m, auc, _, _) => assert(auc > 0.8, s"$m auc=$auc") }
-    assert(res.head._3 + res.head._4 == 400)
-    val res2 = graft.ml.Classifiers.trainEval(spark, labeled, featureDim = 8)
-      .as[(String, Double, Long, Long)].collect()
+    res.foreach { case (m, auc, _, _, _) => assert(auc > 0.8, s"$m auc=$auc") }
+    assert(res.head._4 + res.head._5 == 400)
+    val res2 = graft.ml.Classifiers
+      .trainEval(spark, labeled, featureDim = 8, floorsBp = floors)
+      .as[(String, Double, Long, Long, Long)].collect()
     assert(res.toSeq == res2.toSeq)
   }
 
-  test("trainEval runs on the driver embeddings corpus (smoke)") {
+  test("trainEval runs on the driver embeddings corpus with the " +
+      "calibrated floors armed (smoke)") {
     val labeled = graft.ml.Classifiers.embeddingFeatures(
       Tables(spark, sf0001, "embeddings"))
     val res = graft.ml.Classifiers.trainEval(spark, labeled)
-      .as[(String, Double, Long, Long)].collect()
+      .as[(String, Double, Long, Long, Long)].collect()
     assert(res.length == 4 && res.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    // auc_bp column is the floored bp of auc
+    res.foreach { case (_, auc, bp, _, _) => assert(bp == math.floor(auc * 10000).toLong) }
+  }
+
+  test("a sabotaged feature pipeline FAILS the in-plan AUC floors " +
+      "(VERDICT r5 item 3: the gate must be driver-visible)") {
+    import org.apache.spark.sql.functions._
+    // labels decoupled from features: every model collapses to ~0.5 AUC
+    val sabotaged = graft.ml.Classifiers.embeddingFeatures(
+        Tables(spark, sf0001, "embeddings"))
+      .withColumn("label", (col("vec_id") % 2).cast("double"))
+    val ex = intercept[Exception] {
+      graft.ml.Classifiers.trainEval(spark, sabotaged).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("AUC collapsed")), ex.toString)
   }
 
   test("hashSplit: key-deterministic, partition-independent, ~testBp ratio") {

@@ -271,6 +271,28 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("profile checkApprox gate: passes at the calibrated bound, " +
+      "FAILS loudly when the tolerance cannot hold (VERDICT r5 item 7)") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_orderkey")
+    // armed at the registered 25% bound: clean
+    val ok = graft.ops.Profiler
+      .numericProfile(li, cols, approx = true, checkApprox = Some(0.25))
+    assert(ok.count() == 2)
+    // an impossible tolerance must break the plan, not shrink output:
+    // l_orderkey has thousands of distincts, HLL error >> 0.001%
+    val ex = intercept[Exception] {
+      graft.ops.Profiler
+        .numericProfile(li, cols, approx = true, checkApprox = Some(1e-5))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("approx distinct drifted")),
+      ex.toString)
+  }
+
   test("copurchase counts ORDERS, not lineitem multiplicity") {
     // order 1 holds part 10 twice + part 20: the (10,20) pair counts once
     val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
