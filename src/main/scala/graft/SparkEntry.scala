@@ -2193,8 +2193,11 @@ object SparkEntry {
     // EXT integer covariance diagnostic: n²·cov(value_cents,
     // minute_of_day) per type as one exact BIGINT — the value-vs-time
     // dependence screen with divisions left to the consumer. Bounds:
-    // Σx ≤ n·49e3, Σy ≤ n·1439; Σx·Σy < 2^63 through n ≈ 3.6×10⁸ rows
-    // per type (sf ≈ 100); beyond that, pre-aggregate per day first.
+    // Σx ≤ n·49e3, Σy ≤ n·1439, so Σx·Σy ≤ n²·7.05e7 < 2^63 through
+    // n ≈ 3.6×10⁵ rows per type (≈ sf35 on this corpus's ~10 types —
+    // NOT sf100; the round-5 doc overstated it 1000×). Beyond that,
+    // pre-aggregate per day first or widen to DECIMAL — Spark wraps
+    // long overflow silently where DuckDB throws.
     "events_covariance" -> ((s, dir) =>
       graft.ops.Events.covarianceDiag(t(s, dir, "events"))),
 
@@ -3897,8 +3900,9 @@ object SparkEntry {
          FROM g WHERE gap IS NOT NULL
          GROUP BY 1 ORDER BY user_id""",
 
-    // events_funnel's CTE chain with max-carry (latest valid prior) and
-    // the 24h gap condition on every hit
+    // events_funnel's CTE chain with the RANGE-frame EXISTS carry: a
+    // stage hit converts iff a valid prior-stage hit lies in
+    // us ∈ [event − 24h, event − 1] (strictly earlier, within gap)
     "events_funnel_timed" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
@@ -3906,23 +3910,23 @@ object SparkEntry {
          w0 AS (SELECT *, CASE WHEN event_type = 'view' THEN us END AS h0
                 FROM e),
          c1 AS (SELECT *, max(h0)
-                  OVER (PARTITION BY user_id ORDER BY us, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 86400000000 PRECEDING
+                                  AND 1 PRECEDING)
                   AS carry_1
                 FROM w0),
          w1 AS (SELECT *, CASE WHEN event_type = 'click'
-                                AND carry_1 IS NOT NULL AND us > carry_1
-                                AND us - carry_1 <= 86400000000
+                                AND carry_1 IS NOT NULL
                                THEN us END AS h1
                 FROM c1),
          c2 AS (SELECT *, max(h1)
-                  OVER (PARTITION BY user_id ORDER BY us, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 86400000000 PRECEDING
+                                  AND 1 PRECEDING)
                   AS carry_2
                 FROM w1),
          w2 AS (SELECT *, CASE WHEN event_type = 'purchase'
-                                AND carry_2 IS NOT NULL AND us > carry_2
-                                AND us - carry_2 <= 86400000000
+                                AND carry_2 IS NOT NULL
                                THEN us END AS h2
                 FROM c2),
          per_user AS (

@@ -61,7 +61,12 @@ object DataQuality {
       val df = tables(tbl)
       val aggs = rs.map {
         case (_, c: Check) =>
-          sum(when(c.failCond, 1L).otherwise(0L)).as(c.name)
+          // coalesce: over an EMPTY table sum(when(...)) is NULL, which
+          // would break the counts contract (and any n_violations = 0
+          // gate) exactly when a DQ gate matters most — an empty ingest
+          // batch has zero violations, not unknown violations
+          coalesce(sum(when(c.failCond, 1L).otherwise(0L)), lit(0L))
+            .as(c.name)
         case (_, u: Unique) =>
           (count(col(u.col)) - countDistinct(col(u.col))).as(u.name)
         case (_, r) => sys.error(s"unreachable: $r")

@@ -427,21 +427,25 @@ object Events {
   }
 
   /** Time-constrained funnel: like [[funnel]], but a stage-i event only
-    * converts if it lands within `maxGapMinutes` of a VALID stage-(i−1)
-    * hit — the windowed-funnel semantics every product-analytics store
-    * ships (a purchase a month after the click is not a conversion).
-    * The carry is the LATEST valid prior hit (max over preceding rows):
-    * if any valid prior hit is within the gap, the latest one is, so
-    * the max-carry is a sufficient witness — an EXISTS under a window
-    * function, no self-join. */
+    * converts if a VALID stage-(i−1) hit EXISTS strictly earlier and
+    * within `maxGapMinutes` — the windowed-funnel semantics every
+    * product-analytics store ships (a purchase a month after the click
+    * is not a conversion). The EXISTS is evaluated as a RANGE-frame
+    * window max over `us ∈ [event − gap, event − 1]`: carry non-null
+    * ⟺ a qualifying prior hit exists, with no self-join. (The round-5
+    * form took the max over ALL preceding rows and re-tested
+    * strictness/gap against that single latest hit — which missed a
+    * conversion whenever the latest valid prior hit shared the event's
+    * timestamp while an earlier one satisfied the strict test; the
+    * range frame asks the EXISTS question directly.) */
   def funnelTimed(events: DataFrame,
       stages: Seq[String] = Seq("view", "click", "purchase"),
       maxGapMinutes: Int = 1440): DataFrame = {
     require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
     val gapUs = maxGapMinutes * 60000000L
     val us = tsUs(events)
-    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-gapUs, -1)
     var df = events
       .filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), col("event_id"), col("event_type"), us.as("us"))
@@ -452,8 +456,7 @@ object Events {
         .withColumn(s"carry_$i", max(col(s"hit_us_${i - 1}")).over(w))
         .withColumn(s"hit_us_$i",
           when(col("event_type") === stages(i) &&
-            col(s"carry_$i").isNotNull && col("us") > col(s"carry_$i") &&
-            col("us") - col(s"carry_$i") <= lit(gapUs),
+            col(s"carry_$i").isNotNull,
             col("us")))
     }
     val sFlags = stages.indices.map(i =>
@@ -494,9 +497,14 @@ object Events {
     * — the drift/dependence screen ("do big-value events cluster at
     * certain hours?") with the float divisions left to the consumer, so
     * the statistic itself is hash-exact cross-engine. Minute (not µs)
-    * granularity keeps every product within BIGINT through sf100
-    * (Σx·Σy is the binding term; bounds in the registered query doc).
-    * One map-side-combined scan. */
+    * granularity keeps the binding Σx·Σy term (≤ n²·7.05e7) within
+    * BIGINT through n ≈ 3.6×10⁵ rows PER TYPE — comfortable at bench
+    * sfs but NOT at sf100; past that, pre-aggregate per day first (the
+    * per-day sums shrink n by the day count before the cross product)
+    * or widen the accumulation to DECIMAL. Spark long arithmetic wraps
+    * silently on overflow while DuckDB throws, so the bound is a
+    * correctness line, not a performance one (bounds restated in the
+    * registered query doc). One map-side-combined scan. */
   def covarianceDiag(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

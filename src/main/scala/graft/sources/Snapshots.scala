@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,12 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Commit protocol, local-filesystem edition:
   *  - data files land under `data/<uuid>/` (stage dir named by writer —
   *    never reused, so a crashed writer leaves only invisible garbage);
-  *  - the manifest is written to a temp name and `ATOMIC_MOVE`d to
-  *    `v<N>.list`; the move fails if vN exists, which IS the optimistic
-  *    concurrency check — the loser re-reads the latest version and
-  *    retries with N+1 (same contract as a table format's conditional
-  *    log append; on an object store this move becomes a
-  *    put-if-absent).
+  *  - the manifest is written to a temp name and hard-LINKED to
+  *    `v<N>.list`; link(2) fails with EEXIST if vN exists, which IS the
+  *    optimistic concurrency check — the loser re-reads the latest
+  *    version and retries (same contract as a table format's
+  *    conditional log append; on an object store this becomes a
+  *    put-if-absent). NOT a rename: POSIX rename(2) silently replaces
+  *    an existing target, which turns "conditional" into
+  *    last-writer-wins.
   *
   * The driver-side state is manifest-sized (#files), the table-format
   * log-replay bound, same as [[Manifest]]. Scoped to one writer process
@@ -60,27 +62,59 @@ object Snapshots {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Atomic publication with the optimistic-concurrency retry: write
-    * the file list to a temp name, ATOMIC_MOVE to the next free
-    * `v<N>.list`. Shared by every commit flavor. */
-  private def publish(root: String, files: Seq[String]): Long = {
+  private def filesOf(root: String, v: Long): Seq[String] =
+    Files.readAllLines(manifestDir(root).resolve(s"v$v.list")).asScala
+      .toSeq.filter(_.nonEmpty)
+
+  /** Rebase-aware atomic publication — the ONE optimistic-concurrency
+    * loop every commit flavor shares. Each attempt re-resolves the
+    * CURRENT latest manifest, derives the new file list from it via
+    * `rebase(latestFiles)`, and link(2)s onto exactly latest+1; a
+    * lost race (v already taken) loops, so the rebase closure always
+    * sees the files it is racing against. This is what makes commit
+    * semantics (append keeps concurrent appends, delete re-probes
+    * concurrently appended files) hold under contention — a retry that
+    * only bumped the version number would publish a manifest derived
+    * from a stale base, silently dropping the winner's files (the
+    * round-5 commitClustered(append) lost-update bug).
+    *
+    * `rebase` may be called multiple times and must be idempotent over
+    * already-processed files. */
+  private def publishRebased(root: String)
+      (rebase: Seq[String] => Seq[String]): Long = {
     val dir = manifestDir(root)
-    var v = latestVersion(root).getOrElse(0L) + 1
     while (true) {
+      val base = latestVersion(root)
+      val files = rebase(base.map(filesOf(root, _)).getOrElse(Nil))
+      require(files.nonEmpty, "refusing to publish an empty manifest")
+      val v = base.getOrElse(0L) + 1
       val tmp = Files.createTempFile(dir, s".v$v-", ".tmp")
       Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+      // put-if-absent via hard link, NOT ATOMIC_MOVE: on POSIX a move is
+      // rename(2), which silently REPLACES an existing target — the
+      // round-5 protocol's FileAlreadyExistsException was unreachable,
+      // making every "conditional" publication last-writer-wins (a real
+      // race overwrote the winner's manifest; round-6's interleaving
+      // spec caught it). link(2) fails with EEXIST, which is the
+      // conditional create this protocol needs; the linked content is
+      // already fully written, so readers never see a torn manifest. On
+      // an object store this becomes a genuine put-if-absent.
       try {
-        Files.move(tmp, dir.resolve(s"v$v.list"),
-          StandardCopyOption.ATOMIC_MOVE)
+        Files.createLink(dir.resolve(s"v$v.list"), tmp)
+        Files.deleteIfExists(tmp)
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race: retry at the next v
-          v = math.max(v + 1, latestVersion(root).getOrElse(0L) + 1)
+          Files.deleteIfExists(tmp) // lost the race: rebase and retry
       }
     }
     -1L // unreachable
   }
+
+  /** Publication for commits whose file list does not depend on the
+    * previous version (plain [[commit]] / non-append clustered). */
+  private def publish(root: String, files: Seq[String]): Long =
+    publishRebased(root)(_ => files)
 
   /** Stage `df` under a fresh uuid dir and return its relative file
     * list (sorted). */
@@ -95,7 +129,7 @@ object Snapshots {
 
   /** Commit `df` as the next version of the table at `root`; returns the
     * published version number. Data is staged under a fresh uuid dir
-    * first; publication is the single atomic manifest move. */
+    * first; publication is the single conditional manifest link. */
   def commit(df: DataFrame, root: String): Long = {
     val files = stageData(df, root)
     require(files.nonEmpty, "refusing to commit an empty snapshot")
@@ -136,11 +170,11 @@ object Snapshots {
       }.sorted
     Files.write(Paths.get(root, stageDir, "_stats"),
       stats.mkString("\n").getBytes("UTF-8"))
-    val prev = if (!append) Nil else latestVersion(root).map { v =>
-      Files.readAllLines(manifestDir(root).resolve(s"v$v.list")).asScala
-        .toSeq.filter(_.nonEmpty)
-    }.getOrElse(Nil)
-    publish(root, prev ++ files)
+    if (!append) publish(root, files)
+    // append rides the rebase loop: the previous file list is resolved
+    // INSIDE each attempt, so losing a race to a concurrent commit
+    // re-reads the winner's manifest instead of dropping its files
+    else publishRebased(root)(prev => prev ++ files)
   }
 
   /** Band read `statCol ∈ [lo, hi)` through a version's per-stage stats
@@ -187,26 +221,7 @@ object Snapshots {
   def commitAppend(df: DataFrame, root: String): Long = {
     val newFiles = stageData(df, root)
     require(newFiles.nonEmpty, "refusing to append an empty batch")
-    val dir = manifestDir(root)
-    while (true) {
-      val base = latestVersion(root)
-      val prevFiles = base.map(v =>
-        Files.readAllLines(dir.resolve(s"v$v.list")).asScala.toSeq
-          .filter(_.nonEmpty)).getOrElse(Nil)
-      val v = base.getOrElse(0L) + 1
-      val tmp = Files.createTempFile(dir, s".v$v-", ".tmp")
-      Files.write(tmp, (prevFiles ++ newFiles).mkString("\n")
-        .getBytes("UTF-8"))
-      try {
-        Files.move(tmp, dir.resolve(s"v$v.list"),
-          StandardCopyOption.ATOMIC_MOVE)
-        return v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // re-read the new base and retry
-      }
-    }
-    -1L // unreachable
+    publishRebased(root)(prev => prev ++ newFiles)
   }
 
   /** Copy-on-write DELETE (the erasure primitive — GDPR-style "remove
@@ -220,34 +235,71 @@ object Snapshots {
     * [[vacuum]] — physical erasure completes when vacuum drops the old
     * manifests, the two-phase contract every table format has.
     * Returns (newVersion, carriedFiles, rewrittenFiles). */
+  /** (continued) Concurrency: the publication rides [[publishRebased]],
+    * so a delete racing a [[commitAppend]] cannot drop the appended
+    * files — on a lost race the rebase re-probes exactly the files the
+    * winner added (idempotent bookkeeping below) and rewrites any that
+    * match before re-attempting. A race against a writer that REMOVED a
+    * file this delete already rewrote (concurrent delete/delete) is a
+    * genuine write-write conflict and aborts with
+    * ConcurrentModificationException — the table-format answer; retry
+    * the whole delete against the new version. `raceHook` runs once
+    * after the initial probe/rewrite, before the first publication
+    * attempt — the deterministic interleaving seam SnapshotsSpec uses to
+    * prove the rebase (no-op in production use). */
   def commitDelete(spark: SparkSession, root: String,
-      predicate: org.apache.spark.sql.Column): (Long, Int, Int) = {
-    val v = latestVersion(root).getOrElse(
+      predicate: org.apache.spark.sql.Column,
+      raceHook: () => Unit = () => ()): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $root"))
-    val dir = manifestDir(root)
-    val files = Files.readAllLines(dir.resolve(s"v$v.list")).asScala.toSeq
-      .filter(_.nonEmpty)
-    val abs = files.map(f => s"$root/$f")
-    // file-granular match probe: one pruned pass, #files-bounded result
-    val touchedAbs = spark.read.parquet(abs: _*)
-      .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
-      .filter(predicate)
-      .select("__f").distinct().collect().map(_.getString(0)).toSet
-    def isTouched(rel: String) =
-      touchedAbs.exists(a => a.endsWith(rel) || a.endsWith(s"/$rel"))
-    val (touched, carried) = files.partition(isTouched)
-    val rewritten =
-      if (touched.isEmpty) Nil
-      else stageData(
-        spark.read.parquet(touched.map(f => s"$root/$f"): _*)
-          .filter(!predicate), root)
-    val newFiles = carried ++ rewritten
-    // a delete matching every row publishes an EMPTY table version (the
-    // rewrite's 0-row part file carries the schema); this require only
-    // guards the writer corner of producing no files at all
-    require(newFiles.nonEmpty,
-      "rewrite produced no files; cannot publish a schema-less version")
-    (publish(root, newFiles), carried.size, rewritten.size)
+    // keep rows where the predicate is NOT TRUE: a NULL-evaluating
+    // predicate (e.g. equality on a nullable column) must KEEP the row —
+    // filter(!predicate) silently erased it (Not(NULL) = NULL)
+    val keepPred = not(coalesce(predicate, lit(false)))
+    // idempotent probe bookkeeping across rebase attempts: every file
+    // ever probed maps to touched/untouched; rewrites accumulate
+    val probed = scala.collection.mutable.Map.empty[String, Boolean]
+    val rewrites = scala.collection.mutable.ArrayBuffer.empty[String]
+    def probeAndRewrite(files: Seq[String]): Unit = {
+      val fresh = files.filterNot(probed.contains)
+      if (fresh.isEmpty) return
+      // file-granular match probe: one pruned pass, #files-bounded result
+      val touchedAbs = spark.read.parquet(fresh.map(f => s"$root/$f"): _*)
+        .withColumn("__f", input_file_name())
+        .filter(predicate)
+        .select("__f").distinct().collect().map(_.getString(0)).toSet
+      def isTouched(rel: String) =
+        touchedAbs.exists(a => a.endsWith(rel) || a.endsWith(s"/$rel"))
+      val (touched, untouched) = fresh.partition(isTouched)
+      untouched.foreach(probed(_) = false)
+      touched.foreach(probed(_) = true)
+      if (touched.nonEmpty)
+        rewrites ++= stageData(
+          spark.read.parquet(touched.map(f => s"$root/$f"): _*)
+            .filter(keepPred), root)
+    }
+    var hookPending = true
+    var carriedCount = 0
+    val v = publishRebased(root) { latest =>
+      probeAndRewrite(latest)
+      val gone = probed.collect {
+        case (f, true) if !latest.contains(f) => f }
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer removed files this delete rewrote " +
+            s"(${gone.mkString(", ")}); retry the delete against the " +
+            "new version")
+      val carried = latest.filter(f => !probed(f))
+      carriedCount = carried.size
+      // a delete matching every row publishes an EMPTY table version
+      // (the rewrite's 0-row part file carries the schema); an empty
+      // file list here is the writer corner of producing no files at
+      // all and is rejected by publishRebased's nonEmpty require
+      if (hookPending) { hookPending = false; raceHook() }
+      carried ++ rewrites
+    }
+    (v, carriedCount, rewrites.size)
   }
 
   /** File-level delta between two versions: the rows of every file that

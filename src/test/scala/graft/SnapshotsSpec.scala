@@ -200,4 +200,108 @@ class SnapshotsSpec extends SparkTestBase {
     }
     rm(root)
   }
+
+  test("commitDelete keeps rows whose predicate evaluates to NULL " +
+      "(ADVICE r5: Not(NULL) = NULL must not erase)") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // email nullable: the NULL-email row matches nothing and must survive
+    Snapshots.commit(
+      Seq((1L, Some("x@y")), (2L, None), (3L, Some("z@w")))
+        .toDF("k", "email"), root)
+    val (_, _, _) = Snapshots.commitDelete(spark, root,
+      col("email") === "x@y")
+    val kept = Snapshots.read(spark, root)
+      .select("k").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L),
+      s"NULL-predicate row was erased: kept only $kept")
+    rm(root)
+  }
+
+  test("commitDelete racing commitAppend: the appended file survives " +
+      "AND its matching rows are deleted (VERDICT r5 item 5)") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    Snapshots.commit(
+      Seq((1L, "keep"), (2L, "drop")).toDF("k", "tag")
+        .repartition(2), root)
+    // the hook fires after the delete probed/rewrote v1 but BEFORE its
+    // first publication attempt — a concurrent append wins v2
+    var appendedV = -1L
+    val (v, _, _) = Snapshots.commitDelete(spark, root,
+      col("tag") === "drop",
+      raceHook = () => {
+        appendedV = Snapshots.commitAppend(
+          Seq((3L, "keep"), (4L, "drop")).toDF("k", "tag"), root)
+      })
+    assert(appendedV == 2L && v == 3L,
+      s"expected append v2 then delete v3, got append v$appendedV delete v$v")
+    val finalRows = Snapshots.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    // no appended row silently dropped; every 'drop' row (including the
+    // concurrently appended one) deleted
+    assert(finalRows == Set((1L, "keep"), (3L, "keep")), finalRows.toString)
+    rm(root)
+  }
+
+  test("concurrent delete/delete is a write-write conflict, not silent " +
+      "loss: the loser aborts with ConcurrentModificationException") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // one data file, so both deletes must rewrite the SAME file — the
+    // unresolvable write-write overlap (disjoint-file deletes compose
+    // fine through the rebase, as the racing-append test shows)
+    Snapshots.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "tag").coalesce(1), root)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.commitDelete(spark, root, col("tag") === "a",
+        raceHook = () => {
+          // the inner delete rewrites the same file the outer one did
+          Snapshots.commitDelete(spark, root, col("tag") === "b")
+          ()
+        })
+    }
+    // the inner delete's result stands; the table is consistent
+    val rows = Snapshots.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a")))
+    rm(root)
+  }
+
+  test("commitAppend under real thread contention: every appender's " +
+      "rows survive (publishRebased re-reads the winner's manifest)") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((0L, 0L)).toDF("k", "v"), root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fs = (1 to 6).map { i =>
+      Future(Snapshots.commitAppend(Seq((i.toLong, i.toLong)).toDF("k", "v"), root))
+    }
+    val vs = fs.map(Await.result(_, Duration.Inf))
+    assert(vs.toSet.size == 6, s"versions must be distinct: $vs")
+    val keys = Snapshots.read(spark, root).select("k").as[Long].collect().toSet
+    assert(keys == (0L to 6L).toSet, s"lost an append: $keys")
+    rm(root)
+  }
+
+  test("commitClustered(append) racing another commit keeps both " +
+      "(the round-5 lost-update path)") {
+    import org.apache.spark.sql.functions.col
+    // deterministic interleave: pre-take the version number the
+    // clustered append will try first, exactly like the version-race
+    // test, but with CONTENT in the winner manifest — the old code kept
+    // the pre-read base and dropped the winner's file on retry
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 1L)).toDF("k", "v"), root)
+    // winner: a real append published as v2 by another writer
+    val winnerV = Snapshots.commitAppend(Seq((2L, 2L)).toDF("k", "v"), root)
+    assert(winnerV == 2L)
+    val v = Snapshots.commitClustered(spark,
+      Seq((3L, 3L), (4L, 4L)).toDF("k", "v"), root, "k", 2, append = true)
+    assert(v == 3L)
+    val keys = Snapshots.read(spark, root).select("k").as[Long].collect().toSet
+    assert(keys == Set(1L, 2L, 3L, 4L), s"append dropped files: $keys")
+    rm(root)
+  }
 }
