@@ -12,6 +12,43 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graphs {
 
+  /** Join strategies for the iterative family's per-round edge ⋈ state
+    * join. `broadcast` (default): the |V|-sized state is broadcast and
+    * the cached edge table never shuffles — right while |V| (the entity
+    * vocabulary) fits an executor. `copartition`: the edge table is
+    * hash-partitioned by src ONCE (cached with its partitioning and
+    * sort order), the state arrives through a |V|-sized exchange, and
+    * every round is a merge join whose EDGE side re-shuffles never and
+    * re-sorts never — the shape that keeps working when |V| outgrows
+    * broadcast limits (hundreds of millions of entities), at the cost
+    * of a |V| exchange per round instead of a broadcast per round. The
+    * merge hint pins the strategy so AQE cannot silently flip the plan
+    * back to a broadcast that would OOM at the scale this mode exists
+    * for. Results are bit-identical across strategies (integer
+    * arithmetic; PlanShapeSpec asserts both the equality and the
+    * no-broadcast plan shape). */
+  val Strategies = Set("broadcast", "copartition")
+
+  private def requireStrategy(s: String): Unit =
+    require(Strategies(s), s"strategy must be one of $Strategies, got $s")
+
+  /** Edge table prepared for the chosen strategy: co-partitioning pins
+    * the hash distribution + per-partition sort on the join key so the
+    * per-round merge join neither exchanges nor sorts the edge side.
+    * (private[graft]: PlanShapeSpec asserts the per-round join shape
+    * directly — the loop bodies localCheckpoint away their plans.) */
+  private[graft] def prepEdges(sym: DataFrame, key: String,
+      strategy: String): DataFrame =
+    if (strategy == "broadcast") sym.persist(StorageLevel.MEMORY_AND_DISK)
+    else sym.repartition(col(key)).sortWithinPartitions(key)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Per-round edge ⋈ |V|-state join under the chosen strategy. */
+  private[graft] def stateJoin(edges: DataFrame, state: DataFrame,
+      key: String, strategy: String): DataFrame =
+    if (strategy == "broadcast") edges.join(broadcast(state), key)
+    else edges.hint("merge").join(state, key)
+
   /** INTEGER PageRank over an undirected simple graph, `iters` fixed
     * rounds — every step is integer arithmetic with explicit floor
     * semantics, so ranks are bit-identical on any engine (the float
@@ -37,20 +74,23 @@ object Graphs {
     * the partial-aggregated contribution sum (map-side combine reduces
     * it to ≤ |V| rows per map partition); re-attaching outdeg is a
     * |V| ⋈ |V| join AQE broadcasts on its own. Lineage is truncated per
-    * round (localCheckpoint) exactly like resolveClusters. If |V| ever
-    * exceeds broadcast limits (hundreds of millions of entities), drop
-    * the hint and co-partition edges and state by src instead. Rank
-    * magnitudes are bounded by scale · |V| (conservation up to floors),
-    * far from BIGINT range.
+    * round (localCheckpoint) exactly like resolveClusters. When |V|
+    * exceeds broadcast limits (hundreds of millions of entities), pass
+    * `strategy = "copartition"` — see [[Strategies]]. Rank magnitudes
+    * are bounded by scale · |V| (conservation up to floors), far from
+    * BIGINT range.
     */
   def pagerankInt(edges: DataFrame, a: String = "da", b: String = "db",
-      iters: Int = 10, scale: Long = 10000L, dampBp: Long = 8500L): DataFrame = {
+      iters: Int = 10, scale: Long = 10000L, dampBp: Long = 8500L,
+      strategy: String = "broadcast"): DataFrame = {
     require(iters >= 1 && dampBp >= 0 && dampBp <= 10000,
       s"iters >= 1 and dampBp in [0,10000]; got $iters, $dampBp")
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    requireStrategy(strategy)
+    val sym = prepEdges(
+      edges.select(col(a).as("src"), col(b).as("dst"))
+        .union(edges.select(col(b).as("src"), col(a).as("dst")))
+        .distinct(),
+      "src", strategy)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (10000L - dampBp) / 10000L
@@ -62,12 +102,14 @@ object Graphs {
     while (i < iters) {
       val contrib = state.select(col("node").as("src"),
         expr("rank div outdeg").as("c"))
-      val sums = sym.join(broadcast(contrib), "src")
+      val sums = stateJoin(sym, contrib, "src", strategy)
         .groupBy(col("dst").as("node"))
         .agg(expr(s"CAST($base AS BIGINT) + sum(c) * $dampBp div 10000")
           .as("rank"))
-      state = sums
-        .join(broadcast(deg.withColumnRenamed("src", "node")), "node")
+      val degAsNode = deg.withColumnRenamed("src", "node")
+      state = (if (strategy == "broadcast")
+          sums.join(broadcast(degAsNode), "node")
+        else sums.hint("merge").join(degAsNode, "node"))
         .localCheckpoint()
       i += 1
     }
@@ -90,13 +132,15 @@ object Graphs {
     * or 0), which the unrolled-CTE oracle mirrors exactly. */
   def pprInt(edges: DataFrame, seeds: DataFrame, a: String = "da",
       b: String = "db", iters: Int = 6, scale: Long = 10000L,
-      dampBp: Long = 8500L): DataFrame = {
+      dampBp: Long = 8500L, strategy: String = "broadcast"): DataFrame = {
     require(iters >= 1 && dampBp >= 0 && dampBp <= 10000,
       s"iters >= 1 and dampBp in [0,10000]; got $iters, $dampBp")
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    requireStrategy(strategy)
+    val sym = prepEdges(
+      edges.select(col(a).as("src"), col(b).as("dst"))
+        .union(edges.select(col(b).as("src"), col(a).as("dst")))
+        .distinct(),
+      "src", strategy)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (10000L - dampBp) / 10000L
@@ -117,13 +161,16 @@ object Graphs {
     while (i < iters) {
       val contrib = state.select(col("node").as("src"),
         expr("rank div outdeg").as("c"))
-      val flow = sym.join(broadcast(contrib), "src")
+      val flow = stateJoin(sym, contrib, "src", strategy)
         .groupBy(col("dst").as("node"))
         .agg(expr(s"sum(c) * $dampBp div 10000").as("flow"))
       // flow is |V|-sized like contrib: broadcast it so the per-round
       // state refresh is a map-side hash join over the cached nodes
-      // table, not a two-sided shuffle per iteration
-      state = nodes.join(broadcast(flow), Seq("node"), "left")
+      // table, not a two-sided shuffle per iteration (merge-joined
+      // under copartition for the same no-broadcast guarantee)
+      state = (if (strategy == "broadcast")
+          nodes.join(broadcast(flow), Seq("node"), "left")
+        else nodes.hint("merge").join(flow, Seq("node"), "left"))
         .withColumn("rank",
           col("seed_base") + coalesce(col("flow"), lit(0L)))
         .select("node", "rank", "outdeg", "seed_base")
@@ -231,27 +278,31 @@ object Graphs {
     * definitionally disjoint, a node's first discovery IS its shortest
     * distance (no min-combine pass needed). The frontier is broadcast
     * (bounded by the seed neighborhood's growth; same |V|-vocabulary
-    * argument as pagerankInt's contrib — co-partition edges by src
-    * instead if frontiers outgrow broadcast), the cached symmetric edge
+    * argument as pagerankInt's contrib), the cached symmetric edge
     * table never shuffles, and lineage is truncated per round with
-    * localCheckpoint exactly like [[Dedup.resolveClusters]]. Rounds =
-    * maxHops (graph diameter when uncapped) — the O(d) scheduling
-    * pattern shared by every iterative op in this family.
+    * localCheckpoint exactly like [[Dedup.resolveClusters]]. When
+    * frontiers outgrow broadcast, `strategy = "copartition"` merge-joins
+    * them against the once-partitioned edge table ([[Strategies]]).
+    * Rounds = maxHops (graph diameter when uncapped) — the O(d)
+    * scheduling pattern shared by every iterative op in this family.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, a: String = "da",
-      b: String = "db", seedCol: String = "node", maxHops: Int = 4): DataFrame = {
+      b: String = "db", seedCol: String = "node", maxHops: Int = 4,
+      strategy: String = "broadcast"): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    requireStrategy(strategy)
+    val sym = prepEdges(
+      edges.select(col(a).as("src"), col(b).as("dst"))
+        .union(edges.select(col(b).as("src"), col(a).as("dst")))
+        .distinct(),
+      "src", strategy)
     var visited = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = visited
     var h = 1
     while (h <= maxHops) {
-      val next = sym
-        .join(broadcast(frontier.select(col("node").as("src"))), "src")
+      val next = stateJoin(sym,
+          frontier.select(col("node").as("src")), "src", strategy)
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "anti")
         .withColumn("dist", lit(h.toLong))

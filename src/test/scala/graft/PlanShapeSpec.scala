@@ -350,6 +350,54 @@ class PlanShapeSpec extends SparkTestBase {
       s"bpe_encode should be window-free:\n$be")
   }
 
+  test("graph copartition strategy: per-round join is a merge join with " +
+      "NO broadcast, edge side cached pre-partitioned; results identical " +
+      "to broadcast mode (VERDICT r5 item 4)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Tables(spark, sf001, "lineitem")
+      .select(col("l_orderkey").as("da"), col("l_partkey").as("db"))
+      .limit(2000).distinct()
+    // plan shape of the round join under copartition — the loop bodies
+    // localCheckpoint their plans away, so assert on the seam the loop
+    // uses (prepEdges + stateJoin)
+    val sym = graft.ops.Graphs.prepEdges(
+      edges.select(col("da").as("src"), col("db").as("dst")),
+      "src", "copartition")
+    try {
+      val state = edges.select(col("da").as("src")).distinct()
+        .withColumn("c", lit(1L))
+      val round = graft.ops.Graphs.stateJoin(sym, state, "src", "copartition")
+        .groupBy("dst").agg(sum("c").as("s"))
+      round.collect()
+      val plan = round.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"no merge join:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"copartition must never broadcast (it exists for the |V| that " +
+          s"cannot):\n$plan")
+      // the cached edge side supplies partitioning: the only exchange
+      // below the join feeds the small state side
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      val scanIdx = plan.indexOf("InMemoryTableScan")
+      assert(scanIdx > joinIdx, s"edge side not read from cache:\n$plan")
+    } finally sym.unpersist()
+    // results bit-identical across strategies for all three ops
+    val seeds = edges.select(col("da").as("node")).distinct().limit(3)
+    def runAll(strategy: String): Seq[Set[(Long, Long)]] = Seq(
+      graft.ops.Graphs.pagerankInt(edges, iters = 3, strategy = strategy)
+        .as[(Long, Long)].collect().toSet,
+      graft.ops.Graphs.pprInt(edges, seeds, iters = 3, strategy = strategy)
+        .as[(Long, Long)].collect().toSet,
+      graft.ops.Graphs.bfsHops(edges, seeds, maxHops = 3, strategy = strategy)
+        .as[(Long, Long)].collect().toSet)
+    val Seq(prB, pprB, bfsB) = runAll("broadcast")
+    val Seq(prC, pprC, bfsC) = runAll("copartition")
+    assert(prB == prC, "pagerank diverged across strategies")
+    assert(pprB == pprC, "ppr diverged across strategies")
+    assert(bfsB == bfsC, "bfs diverged across strategies")
+    assert(prB.nonEmpty && pprB.nonEmpty && bfsB.nonEmpty)
+  }
+
   test("round-5 queries: bloom fused on the scan, ER broadcasts, HLL prunes") {
     // the bloom membership predicate must evaluate IN the fact scan's
     // stage (Filter directly over Scan, before any exchange) and the
