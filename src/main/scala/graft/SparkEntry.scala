@@ -84,6 +84,44 @@ object SparkEntry {
   val ErSuffixLen = 5
   val ErMaxBlock = 4096
 
+  /** Shared DuckDB CTE prefix for the er_* oracles: the erCorpus
+    * definition (entities + deterministically corrupted queries). */
+  private val ErCorpusCtes =
+    s"""e AS (SELECT p_partkey AS cand_key,
+                    p_name || '-' || CAST(p_partkey % 1000 AS VARCHAR) AS name
+             FROM part),
+       q AS (SELECT cand_key AS q_key, name,
+                    CAST(5 + cand_key % (length(name) - 5) AS INT) AS pos
+             FROM e WHERE cand_key % 37 = 0),
+       qd AS (SELECT q_key,
+                     substring(name, 1, pos) || substring(name, pos + 2, 1000000)
+                       AS dirty
+              FROM q)"""
+
+  /** [[ErCorpusCtes]] plus the two-pass capped blocking and JW scoring
+    * (structurally replicating ops/EntityResolution.fuzzyMatch), ending
+    * in `er_scored(q_key, cand_key, jw_bp)`. */
+  private val ErPairCtes =
+    s"""$ErCorpusCtes,
+       ebl AS (SELECT 'p' AS pass, substring(name, 1, $ErPrefixLen) AS blk,
+                      cand_key, name FROM e
+               UNION ALL
+               SELECT 's', right(name, $ErSuffixLen), cand_key, name FROM e),
+       ecap AS (SELECT pass, blk, cand_key, name FROM (
+                  SELECT *, row_number() OVER (PARTITION BY pass, blk
+                                               ORDER BY cand_key) AS rn
+                  FROM ebl) WHERE rn <= $ErMaxBlock),
+       qbl AS (SELECT 'p' AS pass, substring(dirty, 1, $ErPrefixLen) AS blk,
+                      q_key, dirty FROM qd
+               UNION ALL
+               SELECT 's', right(dirty, $ErSuffixLen), q_key, dirty FROM qd),
+       er_cand AS (SELECT DISTINCT q_key, cand_key, dirty, name
+                   FROM qbl JOIN ecap USING (pass, blk)),
+       er_scored AS (SELECT q_key, cand_key,
+                            CAST(round(jaro_winkler_similarity(dirty, name)
+                                       * 10000) AS BIGINT) AS jw_bp
+                     FROM er_cand)"""
+
   private def erCorpus(part: DataFrame): (DataFrame, DataFrame) = {
     val ents = part.select(col("p_partkey").as("cand_key"),
       concat(col("p_name"), lit("-"),
@@ -1829,6 +1867,33 @@ object SparkEntry {
       graft.ops.EntityResolution.blockStats(ents,
         ErPrefixLen, ErSuffixLen, ErMaxBlock)
     }),
+    // EXT sorted-neighborhood ER (Hernández-Stolfo): queries + entities
+    // in ONE globally sorted list, each query scored only against
+    // entities within ±10 positions — candidate volume a HARD
+    // O(queries × 2w) no corpus can break (the other classic blocking;
+    // production multi-pass ER unions this with the key passes). The
+    // global rank is DISTRIBUTED (prefix-sliced local windows + offset
+    // lift, Features.rangeNtileBucket's construction on string keys) and
+    // equals the oracle's plain row_number exactly.
+    "er_sorted_neighborhood" -> ((s, dir) => {
+      val (ents, dirty) = erCorpus(t(s, dir, "part"))
+      graft.ops.EntityResolution.sortedNeighborhood(ents, dirty)
+    }),
+    // EXT ER composition: fuzzy-match pairs resolved to connected
+    // components — the "same real-world entity" cluster table a linkage
+    // pipeline actually ships (match pairs are evidence; the CLUSTER is
+    // the deliverable). Pointer-doubling rounds (Dedup.resolveClusters)
+    // over the two-pass blocked JW matches; recursive-CTE oracle like
+    // dedup_clusters.
+    "er_clusters" -> ((s, dir) => {
+      val (ents, dirty) = erCorpus(t(s, dir, "part"))
+      val pairs = graft.ops.EntityResolution.fuzzyMatch(ents, dirty, 9000,
+          ErPrefixLen, ErSuffixLen, ErMaxBlock)
+        .filter(col("q_key") =!= col("cand_key"))
+        .select(col("q_key").as("da"), col("cand_key").as("db"))
+      Dedup.resolveClusters(pairs)
+        .withColumnRenamed("doc_id", "entity_key")
+    }),
 
     // EXT per-group HLL: one scan → one register table PER return-flag
     // (shuffle key space |groups|·m cells, max still decomposable) —
@@ -1866,6 +1931,35 @@ object SparkEntry {
           .agg(countDistinct("l_partkey").as("true_distinct")))
         .withColumn("err_bp",
           expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
+    }),
+
+    // EXT histogram merge law — the HLL-union discipline for the
+    // quantile sketch: bucket-wise SUM of two independently-built
+    // histCounts tables IS the histogram of the union stream, EXACTLY
+    // (counts are additive) — why per-shard histograms compose across
+    // ad-hoc slices at 100 TB without re-scanning. Two DISJOINT
+    // lineitem slices (union-all stream = concatenation, so the law is
+    // count addition); output = the p50/p90 quantile rows derived from
+    // the MERGED sketch, plus per-quantile identity vs the union-built
+    // sketch (diff_upper, must be 0).
+    "sketch_hist_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def cents(f: org.apache.spark.sql.Column) = li.filter(f)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val sliceA = col("l_linenumber") === 1
+      val sliceB = col("l_linenumber") === 2
+      def hist(df: DataFrame) =
+        graft.ops.Sketches.histCounts(df, "cents", 0L, 4096L, 4096)
+      val merged = hist(cents(sliceA)).unionByName(hist(cents(sliceB)))
+        .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      val ofUnion = hist(cents(sliceA || sliceB))
+      def q(h: DataFrame) = graft.ops.Sketches.histQuantiles(
+        h, Seq(5000, 9000), 0L, 4096L, 4096)
+      q(merged).alias("m")
+        .join(q(ofUnion).select(col("q_bp"),
+          col("est_upper").as("union_upper")), "q_bp")
+        .withColumn("diff_upper", col("est_upper") - col("union_upper"))
+        .orderBy("q_bp")
     }),
 
     // EXT KMV bottom-k distinct sketch: k smallest portable quad-hashes
@@ -2166,6 +2260,37 @@ object SparkEntry {
       graft.sources.Snapshots.read(s, root)
         .agg(count(lit(1)).as("cnt"),
           Relational.moneySum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // EXT compaction (OPTIMIZE): five small append commits bin-packed
+    // into 2 files by Snapshots.compact — contents identical by
+    // construction (the report row proves it: post-compaction count +
+    // exact money sum over the read-back, plus the file counts), old
+    // versions still time-travel until vacuum. The small-files answer
+    // for streaming-append tables.
+    "snapshot_compaction" -> ((s, dir) => {
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-snapcompact-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(root)
+      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
+        val orders = t(s, dir, "orders")
+        (0 until 5).foreach { i =>
+          graft.sources.Snapshots.commitAppend(
+            orders.filter(col("o_orderkey") % 5 === i).coalesce(1), root)
+        }
+        graft.sources.Snapshots.compact(s, root, targetFiles = 2)
+      }
+      val before = graft.sources.Snapshots
+        .read(s, root, Some(5L)).inputFiles.length.toLong
+      val after = graft.sources.Snapshots
+        .read(s, root).inputFiles.length.toLong
+      graft.sources.Snapshots.read(s, root)
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .withColumn("files_before", lit(before))
+        .withColumn("files_after", lit(after))
     }),
 
     // EXT Matryoshka truncation eval: recall@10 of the first-16-dim
@@ -3775,6 +3900,31 @@ object SparkEntry {
     "sketch_hll_union" -> hllUnionOracle,
     "sketch_kmv_distinct" -> kmvOracle,
     "sketch_hist_quantiles" -> histQuantilesOracle,
+
+    // the merge law IS the identity under test (the hll_union
+    // discipline): the oracle derives the quantiles from the histogram
+    // of the concatenated slices — bucket-wise count addition makes the
+    // merged sketch equal it exactly, so diff_upper must be 0
+    "sketch_hist_merge" ->
+      s"""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS cents
+                   FROM lineitem WHERE l_linenumber IN (1, 2)),
+         hb AS (SELECT least(4095, greatest(0, (cents - 0) // 4096))
+                  AS bucket, count(*) AS cnt
+                FROM c GROUP BY 1),
+         cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket)
+                                     AS BIGINT) AS cum
+                 FROM hb),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hb),
+         qs AS (SELECT CAST(unnest([5000, 9000]) AS BIGINT) AS q_bp)
+         SELECT q_bp, CAST(min(bucket) AS BIGINT) AS bucket,
+                CAST((min(bucket) + 1) * 4096 - 1 AS BIGINT) AS est_upper,
+                max(n_total) AS n_total,
+                CAST((min(bucket) + 1) * 4096 - 1 AS BIGINT) AS union_upper,
+                CAST(0 AS BIGINT) AS diff_upper
+         FROM qs CROSS JOIN cum CROSS JOIN tot
+         WHERE cum * 10000 >= q_bp * n_total
+         GROUP BY 1 ORDER BY 1""",
     "sketch_join_size" -> joinSizeOracle,
     "events_mad_outliers" -> madOracle,
 
@@ -3963,6 +4113,17 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS revenue
          FROM orders WHERE NOT (o_custkey % 97 = 0)""",
+
+    // compaction is pure physical reorganization: the read-back must
+    // aggregate to the plain table's numbers; file counts are fixed by
+    // the construction (5 single-file appends -> 2 compacted files)
+    "snapshot_compaction" ->
+      """SELECT count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue,
+                CAST(5 AS BIGINT) AS files_before,
+                CAST(2 AS BIGINT) AS files_after
+         FROM orders""",
 
     // sim_brute_topk's ranking CTEs twice (full vs [1:16] prefix), then
     // a per-query set intersection in integers
@@ -4334,36 +4495,45 @@ object SparkEntry {
     // The blocking (two passes, deterministic cap) is replicated
     // structurally so a capped run still hash-matches.
     "er_fuzzy_match" ->
-      s"""WITH e AS (SELECT p_partkey AS cand_key,
-                           p_name || '-' || CAST(p_partkey % 1000 AS VARCHAR) AS name
-                    FROM part),
-         q AS (SELECT cand_key AS q_key, name,
-                      CAST(5 + cand_key % (length(name) - 5) AS INT) AS pos
-               FROM e WHERE cand_key % 37 = 0),
-         qd AS (SELECT q_key,
-                       substring(name, 1, pos) || substring(name, pos + 2, 1000000)
-                         AS dirty
-                FROM q),
-         ebl AS (SELECT 'p' AS pass, substring(name, 1, $ErPrefixLen) AS blk,
-                        cand_key, name FROM e
-                 UNION ALL
-                 SELECT 's', right(name, $ErSuffixLen), cand_key, name FROM e),
-         ecap AS (SELECT pass, blk, cand_key, name FROM (
-                    SELECT *, row_number() OVER (PARTITION BY pass, blk
-                                                 ORDER BY cand_key) AS rn
-                    FROM ebl) WHERE rn <= $ErMaxBlock),
-         qbl AS (SELECT 'p' AS pass, substring(dirty, 1, $ErPrefixLen) AS blk,
-                        q_key, dirty FROM qd
-                 UNION ALL
-                 SELECT 's', right(dirty, $ErSuffixLen), q_key, dirty FROM qd),
-         cand AS (SELECT DISTINCT q_key, cand_key, dirty, name
-                  FROM qbl JOIN ecap USING (pass, blk))
-         SELECT q_key, cand_key,
-                CAST(round(jaro_winkler_similarity(dirty, name) * 10000)
-                     AS BIGINT) AS jw_bp
-         FROM cand
-         WHERE CAST(round(jaro_winkler_similarity(dirty, name) * 10000)
-                    AS BIGINT) >= 9000
+      s"""WITH $ErPairCtes
+         SELECT q_key, cand_key, jw_bp FROM er_scored
+         WHERE jw_bp >= 9000
+         ORDER BY q_key, cand_key""",
+
+    // the blocked JW pairs resolved to connected components — the same
+    // recursive-CTE min-reachable-id construction as dedup_clusters
+    "er_clusters" ->
+      s"""WITH RECURSIVE $ErPairCtes,
+         pairs AS (SELECT q_key AS da, cand_key AS db FROM er_scored
+                   WHERE jw_bp >= 9000 AND q_key <> cand_key),
+         sym AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+         reach AS (
+           SELECT src AS a, src AS b FROM sym
+           UNION
+           SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+         SELECT a AS entity_key, min(b) AS cluster_id
+         FROM reach GROUP BY 1 ORDER BY entity_key""",
+
+    // sorted-neighborhood: one global row_number over the merged
+    // (entities + dirty queries) list, neighbor probe = rank-band join
+    "er_sorted_neighborhood" ->
+      s"""WITH $ErCorpusCtes,
+         u AS (SELECT name, 'e' AS side, cand_key AS key FROM e
+               UNION ALL SELECT dirty, 'q', q_key FROM qd),
+         ranked AS (SELECT *, row_number()
+                      OVER (ORDER BY name, side, key) AS rn
+                    FROM u),
+         qr AS (SELECT key AS q_key, name AS dirty, rn FROM ranked
+                WHERE side = 'q'),
+         er AS (SELECT key AS cand_key, name, rn FROM ranked
+                WHERE side = 'e')
+         SELECT qr.q_key, er.cand_key,
+                CAST(round(jaro_winkler_similarity(qr.dirty, er.name)
+                           * 10000) AS BIGINT) AS jw_bp
+         FROM qr JOIN er ON er.rn BETWEEN qr.rn - 10 AND qr.rn + 10
+         WHERE CAST(round(jaro_winkler_similarity(qr.dirty, er.name)
+                          * 10000) AS BIGINT) >= 9000
          ORDER BY q_key, cand_key""",
 
     "er_block_stats" ->

@@ -82,6 +82,88 @@ object EntityResolution {
       .select("q_key", "cand_key", "jw_bp")
       .orderBy("q_key", "cand_key")
 
+  /** Distributed exact global rank over (`name`, tie columns) — NO
+    * single-partition window (the PlanShapeSpec rule): rows are sliced
+    * by a 6-char ASCII prefix packed into a long (prefix packing is
+    * monotone in the lexicographic order, so slice boundaries respect
+    * it; 48 bits stays exact through approxQuantile's doubles), local
+    * row_numbers run per slice in parallel, and a #slices-row broadcast
+    * offset table lifts them to exact global ranks — the
+    * [[Features.rangeNtileBucket]] construction adapted to string keys.
+    * Ranks are identical to a plain `row_number() OVER (ORDER BY name,
+    * ties)`, which is what lets a second engine recompute them. */
+  private[graft] def globalRank(rows: DataFrame, tieCols: Seq[String],
+      out: String = "rn"): DataFrame = {
+    val packed = (1 to 6).foldLeft(lit(0L)) { (acc, i) =>
+      acc * 256L + coalesce(ascii(substring(col("name"), i, 1)), lit(0)) }
+    val withKey = rows.withColumn("__pk", packed.cast("double"))
+    val spark = rows.sparkSession
+    val parts = math.min(spark.sparkContext.defaultParallelism, 512)
+    val cuts = withKey.stat
+      .approxQuantile("__pk", (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    val sliceId =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(typedLit(cuts.toSeq), c => col("__pk") > c))
+    val sliced = withKey.withColumn("__sid", sliceId)
+    val wLocal = Window.partitionBy("__sid")
+      .orderBy(col("name") +: tieCols.map(col): _*)
+    val local = sliced.withColumn("__lrn",
+      row_number().over(wLocal).cast("long"))
+    val counts = sliced.groupBy("__sid").agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.orderBy("__sid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .select("__sid", "__off")
+    local.join(broadcast(offs), Seq("__sid"))
+      .withColumn(out, col("__off") + col("__lrn"))
+      .drop("__pk", "__sid", "__lrn", "__off")
+  }
+
+  /** Sorted-neighborhood ER (Hernández & Stolfo 1995) — the OTHER
+    * classic bounded-candidate blocking, orthogonal to
+    * [[blockedCandidates]]' key passes: queries and entities merge into
+    * ONE globally sorted list (by name string; side then id break
+    * ties), and each query is compared only against entities within
+    * `window` positions. Candidate volume is a HARD O(queries ×
+    * 2·window) by construction — no cap needed, no degenerate corpus
+    * can break it — at the price of heuristic recall: a corruption that
+    * moves a name far in sort order escapes the window (on this corpus
+    * a deletion inside the name stem jumps the whole same-stem suffix
+    * block, so SN alone measures ~45% self-recall at sf0.01 where the
+    * key passes prove 100%). That asymmetry is exactly why production
+    * multi-pass ER runs BOTH families and unions candidates. The
+    * neighbor probe is an EQUI-join on exploded rank offsets, never a
+    * range join.
+    * Output: (q_key, cand_key, jw_bp) at `thresholdBp`, total-ordered. */
+  def sortedNeighborhood(entities: DataFrame, queries: DataFrame,
+      window: Int = 10, thresholdBp: Int = 9000): DataFrame = {
+    require(window >= 1, s"window >= 1, got $window")
+    val unioned = entities.select(col("name"), lit("e").as("side"),
+        col("cand_key").as("key"))
+      .unionAll(queries.select(col("dirty").as("name"), lit("q").as("side"),
+        col("q_key").as("key")))
+    // ranked feeds both join sides: materialize once (eager
+    // localCheckpoint — the containment/ingestGate lineage discipline)
+    val ranked = globalRank(unioned, Seq("side", "key")).localCheckpoint()
+    val ents = ranked.filter(col("side") === "e")
+      .select(col("rn"), col("key").as("cand_key"), col("name"))
+    val probes = ranked.filter(col("side") === "q")
+      .select(col("key").as("q_key"), col("name").as("dirty"),
+        explode(sequence(col("rn") - window, col("rn") + window)).as("rn"))
+      .filter(col("rn") >= 1)
+    probes.join(ents, "rn")
+      .withColumn("jw_bp",
+        round(graft.functions.JaroWinkler(col("dirty"), col("name")) * 10000)
+          .cast("long"))
+      .filter(col("jw_bp") >= thresholdBp)
+      // (q_key, cand_key) pairs are unique by construction: every
+      // entity holds exactly one rank, so no distinct pass is needed
+      .select("q_key", "cand_key", "jw_bp")
+      .orderBy("q_key", "cand_key")
+  }
+
   /** Per-pass blocking health report — the `dedup_cap_stats` discipline:
     * block-key cardinality, entity volume, the largest block, and how
     * many entities the cap dropped. A capped run shows n_dropped > 0

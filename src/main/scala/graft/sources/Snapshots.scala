@@ -302,6 +302,45 @@ object Snapshots {
     (v, carriedCount, rewrites.size)
   }
 
+  /** COMPACTION (the OPTIMIZE primitive): rewrite the current version's
+    * data into `targetFiles` files and publish the result as a new
+    * version — the small-files answer for a table fed by streaming
+    * appends (each micro-batch commit leaves one small file; scan cost
+    * and manifest length grow per batch until someone bin-packs).
+    * Contents are IDENTICAL by construction — compaction is pure
+    * physical reorganization, which is what lets readers keep using the
+    * table mid-compaction (snapshot isolation) and lets [[vacuum]]
+    * reclaim the small files once the retention window passes.
+    *
+    * Concurrency rides [[publishRebased]] like [[commitDelete]]: files
+    * a concurrent append adds after the compaction read simply CARRY
+    * into the new manifest uncompacted (they'll be picked up by the
+    * next compaction — no data loss, no conflict), while a concurrent
+    * writer REMOVING a compacted source file (a racing delete) aborts
+    * with ConcurrentModificationException. Returns
+    * (newVersion, filesBefore, filesAfter). */
+  def compact(spark: SparkSession, root: String,
+      targetFiles: Int = 1, raceHook: () => Unit = () => ()): (Long, Int, Int) = {
+    require(targetFiles >= 1, s"targetFiles >= 1, got $targetFiles")
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $root"))
+    val source = filesOf(root, v)
+    val rewritten = stageData(
+      spark.read.parquet(source.map(f => s"$root/$f"): _*)
+        .coalesce(targetFiles), root)
+    var hookPending = true
+    val newV = publishRebased(root) { latest =>
+      val gone = source.filterNot(latest.contains)
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer removed compacted source files " +
+            s"(${gone.mkString(", ")}); retry the compaction")
+      if (hookPending) { hookPending = false; raceHook() }
+      latest.filterNot(source.contains) ++ rewritten
+    }
+    (newV, source.size, rewritten.size)
+  }
+
   /** File-level delta between two versions: the rows of every file that
     * `toV`'s manifest lists and `fromV`'s does not. For append-only
     * histories this IS the data that arrived in between — recovered

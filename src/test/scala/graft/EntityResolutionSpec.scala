@@ -87,6 +87,58 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(clean == 0L)
   }
 
+  test("globalRank equals a plain global row_number (distributed rank " +
+      "construction, string keys)") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = ents.limit(500)
+      .select(col("name"), lit("e").as("side"), col("cand_key").as("key"))
+    val got = EntityResolution.globalRank(rows, Seq("side", "key"))
+      .select("key", "rn").as[(Long, Long)].collect().toMap
+    // oracle: the single-partition window (fine in a TEST)
+    val want = rows.withColumn("rn",
+        row_number().over(Window.orderBy("name", "side", "key")).cast("long"))
+      .select("key", "rn").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("sortedNeighborhood: candidate volume is a hard O(q x 2w); the " +
+      "registered corruption is found when it sorts within the window") {
+    val dirty = ents.filter(col("cand_key") % 37 === 0)
+      .withColumn("pos", (lit(5) +
+        col("cand_key") % (length(col("name")) - lit(5))).cast("int"))
+      .select(col("cand_key").as("q_key"),
+        concat(expr("substring(name, 1, pos)"),
+          expr("substring(name, pos + 2, 1000000)")).as("dirty"))
+    val w = 10
+    val out = EntityResolution.sortedNeighborhood(ents, dirty, window = w)
+    val nq = dirty.count()
+    assert(out.count() <= nq * (2 * w + 1))
+    // heuristic recall: a deletion inside the name stem jumps the whole
+    // same-stem suffix block (~N/64 rows — larger than any fixed
+    // window), so SN alone finds ~45% here (measured). The assertion
+    // guards collapse-to-zero, not totality — full recall is the
+    // prefix/suffix passes' theorem; production unions both.
+    val self = out.filter(col("q_key") === col("cand_key")).count()
+    assert(self * 10 >= nq * 3, s"self-recall collapsed: $self of $nq")
+  }
+
+  test("er clusters: every surviving match pair shares a cluster") {
+    val dirty = ents.filter(col("cand_key") % 37 === 0)
+      .withColumn("pos", (lit(5) +
+        col("cand_key") % (length(col("name")) - lit(5))).cast("int"))
+      .select(col("cand_key").as("q_key"),
+        concat(expr("substring(name, 1, pos)"),
+          expr("substring(name, pos + 2, 1000000)")).as("dirty"))
+    val pairs = EntityResolution.fuzzyMatch(ents, dirty)
+      .filter(col("q_key") =!= col("cand_key"))
+      .select(col("q_key").as("da"), col("cand_key").as("db"))
+    val clusters = graft.ops.Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("fuzzyMatch finds the registered corruption set at >= 9000 bp") {
     val dirty = ents.filter(col("cand_key") % 37 === 0)
       .withColumn("pos", (lit(5) +

@@ -285,6 +285,39 @@ class SnapshotsSpec extends SparkTestBase {
     rm(root)
   }
 
+  test("compact: identical contents in targetFiles files; time travel " +
+      "intact; a racing append carries uncompacted") {
+    val root = freshRoot()
+    (1 to 4).foreach { i =>
+      Snapshots.commitAppend(Seq((i.toLong, i.toLong)).toDF("k", "v")
+        .coalesce(1), root)
+    }
+    var appended = false
+    val (v, before, after) = Snapshots.compact(spark, root, targetFiles = 2,
+      raceHook = () => {
+        Snapshots.commitAppend(Seq((9L, 9L)).toDF("k", "v").coalesce(1), root)
+        appended = true
+      })
+    assert(appended && v == 6L && before == 4 && after == 2)
+    val cur = Snapshots.read(spark, root)
+    // the racing append's row survives, uncompacted (3 files: 2 + 1)
+    assert(cur.select("k").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 9L))
+    assert(cur.inputFiles.length == 3)
+    // pre-compaction version still time-travels
+    assert(Snapshots.read(spark, root, Some(4L))
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // a racing DELETE of a compacted source is a write-write conflict
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.compact(spark, root, targetFiles = 1,
+        raceHook = () => {
+          import org.apache.spark.sql.functions.col
+          Snapshots.commitDelete(spark, root, col("k") === 9L)
+          ()
+        })
+    }
+    rm(root)
+  }
+
   test("commitClustered(append) racing another commit keeps both " +
       "(the round-5 lost-update path)") {
     import org.apache.spark.sql.functions.col
