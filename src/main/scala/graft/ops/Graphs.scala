@@ -86,13 +86,21 @@ object Graphs {
     require(iters >= 1 && dampBp >= 0 && dampBp <= 10000,
       s"iters >= 1 and dampBp in [0,10000]; got $iters, $dampBp")
     requireStrategy(strategy)
-    val sym = prepEdges(
-      edges.select(col(a).as("src"), col(b).as("dst"))
-        .union(edges.select(col(b).as("src"), col(a).as("dst")))
-        .distinct(),
-      "src", strategy)
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val symBare = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+    val deg = symBare.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // dst's outdeg rides ON the cached edge table (one |E| ⋈ |V| attach
+    // paid ONCE): the per-round aggregate then carries it through
+    // (all-equal within a dst group), so each round is ONE join + one
+    // partial-agg'd shuffle — the round-5 shape re-joined deg per round,
+    // an extra |V| broadcast join × iters for a value that never changes
+    val sym = prepEdges(
+      symBare.join(broadcast(deg
+        .select(col("src").as("dst"), col("outdeg").as("dst_outdeg"))),
+        "dst"),
+      "src", strategy)
     val base = scale * (10000L - dampBp) / 10000L
     // state carries outdeg so each round's contribution is a map-side
     // projection of the |V|-sized state, never an edge-sized join
@@ -102,14 +110,11 @@ object Graphs {
     while (i < iters) {
       val contrib = state.select(col("node").as("src"),
         expr("rank div outdeg").as("c"))
-      val sums = stateJoin(sym, contrib, "src", strategy)
+      state = stateJoin(sym, contrib, "src", strategy)
         .groupBy(col("dst").as("node"))
         .agg(expr(s"CAST($base AS BIGINT) + sum(c) * $dampBp div 10000")
-          .as("rank"))
-      val degAsNode = deg.withColumnRenamed("src", "node")
-      state = (if (strategy == "broadcast")
-          sums.join(broadcast(degAsNode), "node")
-        else sums.hint("merge").join(degAsNode, "node"))
+          .as("rank"),
+          max("dst_outdeg").as("outdeg"))
         .localCheckpoint()
       i += 1
     }
@@ -136,12 +141,10 @@ object Graphs {
     require(iters >= 1 && dampBp >= 0 && dampBp <= 10000,
       s"iters >= 1 and dampBp in [0,10000]; got $iters, $dampBp")
     requireStrategy(strategy)
-    val sym = prepEdges(
-      edges.select(col(a).as("src"), col(b).as("dst"))
-        .union(edges.select(col(b).as("src"), col(a).as("dst")))
-        .distinct(),
-      "src", strategy)
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val symBare = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+    val deg = symBare.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (10000L - dampBp) / 10000L
     val seedFlag = seeds.select(col("node")).distinct()
@@ -151,7 +154,18 @@ object Graphs {
       .withColumn("seed_base",
         when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)))
       .drop("__seed")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // dst's (outdeg, seed_base) ride ON the cached edge table — the
+    // pagerankInt one-time-attach shape. In the symmetric closure every
+    // node in `nodes` has >= 1 incoming edge and contrib covers EVERY
+    // node each round (zero-rank nodes contribute c = 0 rows, they
+    // don't disappear), so the per-round aggregate reaches every node
+    // and the round-5 nodes-side left join — a second |V| join × iters
+    // for values that never change — is not needed at all.
+    val sym = prepEdges(
+      symBare.join(broadcast(nodes.select(col("node").as("dst"),
+        col("outdeg").as("dst_outdeg"),
+        col("seed_base").as("dst_seed_base"))), "dst"),
+      "src", strategy)
     var state = nodes
       .withColumn("rank",
         when(col("seed_base") > 0, lit(scale)).otherwise(lit(0L)))
@@ -161,25 +175,17 @@ object Graphs {
     while (i < iters) {
       val contrib = state.select(col("node").as("src"),
         expr("rank div outdeg").as("c"))
-      val flow = stateJoin(sym, contrib, "src", strategy)
+      state = stateJoin(sym, contrib, "src", strategy)
         .groupBy(col("dst").as("node"))
-        .agg(expr(s"sum(c) * $dampBp div 10000").as("flow"))
-      // flow is |V|-sized like contrib: broadcast it so the per-round
-      // state refresh is a map-side hash join over the cached nodes
-      // table, not a two-sided shuffle per iteration (merge-joined
-      // under copartition for the same no-broadcast guarantee)
-      state = (if (strategy == "broadcast")
-          nodes.join(broadcast(flow), Seq("node"), "left")
-        else nodes.hint("merge").join(flow, Seq("node"), "left"))
-        .withColumn("rank",
-          col("seed_base") + coalesce(col("flow"), lit(0L)))
-        .select("node", "rank", "outdeg", "seed_base")
+        .agg(expr(s"max(dst_seed_base) + sum(c) * $dampBp div 10000")
+          .as("rank"),
+          max("dst_outdeg").as("outdeg"),
+          max("dst_seed_base").as("seed_base"))
         .localCheckpoint()
       i += 1
     }
     sym.unpersist()
     deg.unpersist()
-    nodes.unpersist()
     state.select("node", "rank").filter(col("rank") > 0).orderBy("node")
   }
 
@@ -296,19 +302,24 @@ object Graphs {
         .union(edges.select(col(b).as("src"), col(a).as("dst")))
         .distinct(),
       "src", strategy)
-    var visited = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
-    var frontier = visited
+    // visited = the UNION of per-round checkpointed frontiers, never
+    // re-materialized: BFS layers are disjoint, so the anti-join can
+    // read the lazy union of already-checkpointed pieces directly — the
+    // round-5 shape localCheckpoint'ed the growing visited table AGAIN
+    // every round (a second materialization of O(|V|) rows × rounds for
+    // data that was already on the block store)
+    var frontiers = List(seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint())
+    def visited = frontiers.reduce(_.unionByName(_))
     var h = 1
     while (h <= maxHops) {
       val next = stateJoin(sym,
-          frontier.select(col("node").as("src")), "src", strategy)
+          frontiers.head.select(col("node").as("src")), "src", strategy)
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "anti")
         .withColumn("dist", lit(h.toLong))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
-      frontier = next
+      frontiers ::= next
       h += 1
     }
     sym.unpersist()
