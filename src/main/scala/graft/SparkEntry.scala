@@ -1626,6 +1626,81 @@ object SparkEntry {
         SELECT node, root, depth FROM anc ORDER BY node""")
     }),
 
+    // EXT Spark 4 VARIANT: semi-structured JSON parsed ONCE into the
+    // binary variant encoding, then typed-path extraction
+    // (variant_get with a cast in the extraction itself — the
+    // shred-on-read shape that replaces per-field get_json_object
+    // re-parses at 100 TB). The JSON is constructed from typed columns
+    // so both engines parse identical strings.
+    "q38_variant_json" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val j = concat(lit("{\"u\":{\"id\":"), col("user_id"),
+        lit(",\"m\":["), col("event_id") % 7, lit(","),
+        col("event_id") % 11, lit("]},\"t\":\""), col("event_type"),
+        lit("\"}"))
+      ev.select(parse_json(j).as("v"))
+        .select(
+          variant_get(col("v"), "$.t", "string").as("t"),
+          variant_get(col("v"), "$.u.id", "bigint").as("uid"),
+          variant_get(col("v"), "$.u.m[1]", "bigint").as("m1"))
+        .groupBy("t").agg(count(lit(1)).as("n"),
+          sum("uid").as("sum_uid"), sum("m1").as("sum_m1"))
+        .orderBy("t")
+    }),
+
+    // EXT LATERAL correlated subquery: top-2 orders PER sampled
+    // customer — the per-row dependent subquery SQL users reach for
+    // before learning window functions; Catalyst decorrelates it into
+    // a join, no per-row execution.
+    "q39_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.cents
+        FROM g_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM g_orders WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey % 50 = 0
+        ORDER BY c.c_custkey, o.o_orderkey""")
+    }),
+
+    // EXT UNPIVOT (melt): wide measure columns to (name, value) rows —
+    // the relational reshape feeding any per-measure profiling;
+    // integer-cents basis so the folded sums hash cross-engine.
+    "q40_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT name, count(*) AS n, sum(cents) AS total_cents
+        FROM (
+          SELECT * FROM (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS extendedprice,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS quantity,
+                   CAST(round(l_tax * 100) AS BIGINT) AS tax
+            FROM g_lineitem)
+          UNPIVOT (cents FOR name IN (extendedprice, quantity, tax)))
+        GROUP BY name ORDER BY name""")
+    }),
+
+    // EXT modern aggregate surface: ordered LISTAGG (Spark 4), exact
+    // integer median (×2-scaled: even-count interpolation lands on
+    // halves in both engines), count_if — the post-SQL:2016 aggregates
+    // an analyst expects; all deterministic by construction.
+    "q41_modern_aggs" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
+               CAST(2 * median(cents) AS BIGINT) AS med2_cents,
+               count_if(cents > 10000000) AS n_big
+        FROM (SELECT o_orderstatus, o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM g_orders)
+        GROUP BY 1 ORDER BY 1""")
+    }),
+
     // EXT deterministic training-order shuffle: a corpus materialized in
     // seeded pseudo-random order — reproducible across runs, engines and
     // partitionings because the order key is the portable affine hash of
@@ -5365,6 +5440,53 @@ object SparkEntry {
            SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
          SELECT a AS doc_id, min(b) AS cluster_id
          FROM reach GROUP BY 1 ORDER BY doc_id""",
+
+    // identical constructed JSON, DuckDB's json extraction as the
+    // second parser — the variant path must agree field-for-field
+    "q38_variant_json" ->
+      """WITH j AS (
+           SELECT '{"u":{"id":' || CAST(user_id AS VARCHAR) ||
+                  ',"m":[' || CAST(event_id % 7 AS VARCHAR) || ',' ||
+                  CAST(event_id % 11 AS VARCHAR) || ']},"t":"' ||
+                  event_type || '"}' AS v
+           FROM events)
+         SELECT v->>'$.t' AS t, count(*) AS n,
+                CAST(sum(CAST(v->>'$.u.id' AS BIGINT)) AS BIGINT) AS sum_uid,
+                CAST(sum(CAST(v->>'$.u.m[1]' AS BIGINT)) AS BIGINT) AS sum_m1
+         FROM j GROUP BY 1 ORDER BY t""",
+
+    "q39_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.cents
+         FROM customer c
+         JOIN LATERAL (
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+         WHERE c.c_custkey % 50 = 0
+         ORDER BY c.c_custkey, o.o_orderkey""",
+
+    "q40_unpivot" ->
+      """SELECT name, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS total_cents
+         FROM (
+           SELECT * FROM (
+             SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS extendedprice,
+                    CAST(round(l_quantity * 100) AS BIGINT) AS quantity,
+                    CAST(round(l_tax * 100) AS BIGINT) AS tax
+             FROM lineitem)
+           UNPIVOT (cents FOR name IN (extendedprice, quantity, tax)))
+         GROUP BY name ORDER BY name""",
+
+    "q41_modern_aggs" ->
+      """SELECT o_orderstatus,
+                string_agg(DISTINCT o_orderpriority, ','
+                           ORDER BY o_orderpriority) AS prios,
+                CAST(2 * median(cents) AS BIGINT) AS med2_cents,
+                count_if(cents > 10000000) AS n_big
+         FROM (SELECT o_orderstatus, o_orderpriority,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+         GROUP BY 1 ORDER BY 1""",
 
     // regex syntax restricted to the Java-regex ∩ RE2 common subset
     // (char classes + bounded repeats) so both engines match identically
