@@ -1353,6 +1353,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // EXT contamination MATRIX: the decontaminate gate stratified to a
+    // (training source × benchmark source) grid — which domains leak
+    // into which eval sets, and how badly; the release-review view.
+    "decontaminate_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contaminationMatrix(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+    // EXT packing-efficiency report: sequence count, padding waste bp,
+    // boundary-straddler count at budget 256 — the number a training
+    // run's context-budget choice is negotiated against.
+    "pack_efficiency" -> ((s, dir) =>
+      TextAnalysis.packEfficiency(t(s, dir, "documents"))),
 
     // EXT per-source quota capping (data mixing): keep the 10 lowest-id
     // docs per source so no domain dominates the mix.
@@ -5950,6 +5964,51 @@ object SparkEntry {
          FROM corpus JOIN bench USING (s)
          GROUP BY doc_id HAVING count(*) >= 3
          ORDER BY doc_id""",
+
+    "decontaminate_matrix" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS arr
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source,
+                       arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                WHERE len(arr) >= 3),
+         bench AS (SELECT DISTINCT source AS bench_source, s FROM sh
+                   WHERE doc_id % 50 = 0),
+         corpus AS (SELECT source AS corpus_source, doc_id, s FROM sh
+                    WHERE doc_id % 50 <> 0),
+         cell AS (SELECT corpus_source, bench_source, doc_id,
+                         count(*) AS n_shared
+                  FROM corpus JOIN bench USING (s)
+                  GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+         SELECT corpus_source, bench_source,
+                count(*) AS n_contaminated_docs,
+                CAST(sum(n_shared) AS BIGINT) AS n_shared_shingles
+         FROM cell GROUP BY 1, 2 ORDER BY corpus_source, bench_source""",
+
+    "pack_efficiency" ->
+      """WITH s AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+               FROM s),
+         p AS (SELECT n_tokens,
+                      (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs,
+                      (cum - 1) // 256 AS seq_last
+               FROM c),
+         a AS (SELECT count(*) AS n_docs,
+                      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                      CAST(max(seq_last) + 1 AS BIGINT) AS n_sequences,
+                      CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_straddlers
+               FROM p)
+         SELECT n_docs, total_tokens, n_sequences, n_straddlers,
+                n_sequences * 256 AS padded_tokens,
+                (n_sequences * 256 - total_tokens) * 10000
+                  // (n_sequences * 256) AS waste_bp
+         FROM a""",
 
     "fp_source_quota" ->
       """SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (

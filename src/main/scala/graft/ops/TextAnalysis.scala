@@ -66,6 +66,32 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** Contamination MATRIX: [[contamination]] stratified to a
+    * (corpus stratum × benchmark stratum) grid — the release-gate view
+    * ("which training domains leak into which eval sets, and how
+    * badly") rather than the per-document list. Per cell: documents
+    * over the `minShared` threshold and total shared-shingle volume.
+    * Same broadcast-probe shape; the grid aggregate is
+    * |strata|²-bounded. */
+  def contaminationMatrix(corpus: DataFrame, bench: DataFrame,
+      k: Int = 3, minShared: Int = 3, stratum: String = "source",
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = corpus.select(col(stratum).as("corpus_source"), col(id),
+      explode(graft.functions.WordShingles(col(text), k)).as("s"))
+    val bsh = bench
+      .select(col(stratum).as("bench_source"),
+        explode(graft.functions.WordShingles(col(text), k)).as("s"))
+      .distinct()
+    sh.join(broadcast(bsh), Seq("s"))
+      .groupBy("corpus_source", "bench_source", id)
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy("corpus_source", "bench_source")
+      .agg(count(lit(1)).as("n_contaminated_docs"),
+        sum("n_shared").as("n_shared_shingles"))
+      .orderBy("corpus_source", "bench_source")
+  }
+
   /** Per-document statistics + quality score. Ratios are exact basis
     * points (see Texty.ratioBp) so the DuckDB oracle matches bit-for-bit. */
   def textStats(docs: DataFrame, id: String = "doc_id",
@@ -396,6 +422,25 @@ object TextAnalysis {
         col("seq_first"), col("seq_last"), col("n_seqs"))
       .orderBy(id)
   }
+
+  /** Packing-efficiency report over [[packSequences]]: one row of exact
+    * integers a training-infra owner reads before picking the context
+    * budget — corpus size, sequence count, padding waste in basis
+    * points of the padded volume, and how many documents straddle a
+    * sequence boundary (straddlers are the docs a packer either splits
+    * or pads around; their share decides whether budget or layout is
+    * the lever). The running total is the same distributed prefix sum
+    * as packSequences — no single-partition window. */
+  def packEfficiency(docs: DataFrame, budget: Int = 256,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    packSequences(docs, budget, id, text)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (max("seq_last") + 1L).as("n_sequences"),
+        sum(when(col("n_seqs") > 1, 1L).otherwise(0L)).as("n_straddlers"))
+      .withColumn("padded_tokens", col("n_sequences") * budget)
+      .withColumn("waste_bp", Texty.ratioBp(
+        col("padded_tokens") - col("total_tokens"), col("padded_tokens")))
 
   /** Corpus mixture report — the data-mixing dashboard: per stratum
     * (source/domain/language), document and token counts plus each
