@@ -122,6 +122,42 @@ object SparkEntry {
                                        * 10000) AS BIGINT) AS jw_bp
                      FROM er_cand)"""
 
+  /** Shared DuckDB CTE prefix for the mm perceptual-hash oracles: the
+    * closed-form recompute of the synthesized stride-73 image (variant 1
+    * perturbs one pixel), its 9×8 nearest-neighbor grid and the packed
+    * dHash halves — ending in `hashes(doc_id, v, hash_hi, hash_lo)`.
+    * Mirrors Multimodal.synthHashPngBytes + dhashOf exactly. */
+  private val DhashCte =
+    """s AS (SELECT doc_id, v,
+                   9 + doc_id % 8 AS w,
+                   8 + (doc_id % 8 * 5) % 8 AS h,
+                   (doc_id % 256 * 31) % 256 AS a
+            FROM documents,
+                 LATERAL (SELECT unnest([0, 1]) AS v) vs),
+       g AS (SELECT doc_id, v, a, doc_id % (w * h) AS pj,
+                    xx, yy, (yy * h // 8) * w + (xx * w // 9) AS i
+             FROM s,
+                  LATERAL (SELECT unnest(range(0, 9)) AS xx) xs,
+                  LATERAL (SELECT unnest(range(0, 8)) AS yy) ys),
+       p AS (SELECT doc_id, v, xx, yy,
+                    CASE WHEN v = 1 AND i = pj
+                         THEN (a + 73 * i + 96) % 256
+                         ELSE (a + 73 * i) % 256 END AS px
+             FROM g),
+       b AS (SELECT l.doc_id, l.v, l.yy * 8 + l.xx AS idx,
+                    CASE WHEN r.px > l.px THEN 1 ELSE 0 END AS bt
+             FROM p l JOIN p r ON r.doc_id = l.doc_id AND r.v = l.v
+                              AND r.yy = l.yy AND r.xx = l.xx + 1
+             WHERE l.xx < 8),
+       hashes AS (SELECT doc_id, v,
+                    CAST(sum(CASE WHEN idx >= 32
+                             THEN bt * (1::BIGINT << (idx - 32))
+                             ELSE 0 END) AS BIGINT) AS hash_hi,
+                    CAST(sum(CASE WHEN idx < 32
+                             THEN bt * (1::BIGINT << idx)
+                             ELSE 0 END) AS BIGINT) AS hash_lo
+                  FROM b GROUP BY doc_id, v)"""
+
   private def erCorpus(part: DataFrame): (DataFrame, DataFrame) = {
     val ents = part.select(col("p_partkey").as("cand_key"),
       concat(col("p_name"), lit("-"),
@@ -968,6 +1004,20 @@ object SparkEntry {
     // batched kernel plumbing: TRUE header rate/frames + the exact sum
     // of decoded samples. Closed-form oracle like mm_decode_real.
     "mm_audio_real" -> ((s, dir) => Multimodal.audioReal(s, t(s, dir, "documents"))),
+    // REAL perceptual hash: both variants of each doc's PNG (variant 1
+    // differs by ONE invisible pixel — byte-different, perceptually
+    // identical) synthesized + decoded on executors, dHash computed from
+    // TRUE pixels (9×8 nearest-neighbor resample, adjacent-pixel
+    // comparisons). Closed-form oracle: the whole
+    // encode→decode→resample→compare chain is integer arithmetic.
+    "mm_dhash_real" -> ((s, dir) => Multimodal.dhashReal(s, t(s, dir, "documents"))),
+    // Multimodal near-dup dedup: Hamming-LSH over the dHash corpus —
+    // identical-hash collapse first, 4×16-bit banding (pigeonhole: every
+    // pair at dist ≤ 3 keeps one band intact → guaranteed recall), exact
+    // xor+bit_count verify. The image twin of dedup_minhash_lsh, with
+    // the same bounded-candidate contract — and it catches exactly the
+    // pairs that exact byte/md5 dedup provably cannot.
+    "mm_phash_neardup" -> ((s, dir) => Multimodal.phashNearDup(s, t(s, dir, "documents"))),
 
     // EXT: exact numeric column profile (count/nulls/distinct/min/max/sum).
     "profile_lineitem" -> ((s, dir) =>
@@ -3657,6 +3707,45 @@ object SparkEntry {
          SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
                 CAST(sum(p) AS BIGINT) AS px_sum
          FROM px GROUP BY doc_id ORDER BY doc_id""",
+
+    // mm_dhash_real: the synthesized stride-73 ramp (one perturbed pixel
+    // in variant 1) is integer arithmetic on doc_id, so the 9×8 grid,
+    // the adjacent-pixel comparisons, and the packed 2×32-bit hash all
+    // have exact SQL twins — a REAL decode→resample→hash chain oracle'd
+    // bit for bit.
+    "mm_dhash_real" ->
+      s"""WITH $DhashCte
+         SELECT doc_id, CAST(v AS INT) AS variant, hash_hi, hash_lo
+         FROM hashes ORDER BY doc_id, variant""",
+
+    // mm_phash_neardup: identical-hash collapse → 4×16-bit band join →
+    // exact Hamming verify, replicated structurally (the banding is part
+    // of the CONTRACT — a pair at dist ≤ 3 must share a band by
+    // pigeonhole, so the capped construction stays oracle-able).
+    "mm_phash_neardup" ->
+      s"""WITH $DhashCte,
+          groups AS (
+            SELECT hash_hi, hash_lo, min(doc_id * 2 + v) AS rep
+            FROM hashes GROUP BY hash_hi, hash_lo),
+          bands AS (
+            SELECT rep, hash_hi, hash_lo, band_key
+            FROM groups, LATERAL (SELECT unnest([
+                   hash_lo & 65535,
+                   65536 + ((hash_lo >> 16) & 65535),
+                   131072 + (hash_hi & 65535),
+                   196608 + ((hash_hi >> 16) & 65535)]) AS band_key) bk),
+          cand AS (
+            SELECT DISTINCT l.rep AS l_rep, r.rep AS r_rep,
+                   l.hash_hi AS l_hi, l.hash_lo AS l_lo,
+                   r.hash_hi AS r_hi, r.hash_lo AS r_lo
+            FROM bands l JOIN bands r
+              ON l.band_key = r.band_key AND l.rep < r.rep)
+         SELECT l_rep, r_rep,
+                CAST(bit_count(xor(l_hi, r_hi)) + bit_count(xor(l_lo, r_lo))
+                     AS INT) AS dist
+         FROM cand
+         WHERE bit_count(xor(l_hi, r_hi)) + bit_count(xor(l_lo, r_lo)) <= 3
+         ORDER BY l_rep, r_rep""",
     "q1_group_count_sort" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
          GROUP BY 1 ORDER BY cnt DESC, c_mktsegment ASC""",

@@ -507,6 +507,143 @@ object Multimodal {
     sampleGifFrames(spark, payloads)
   }
 
+  case class DHash(doc_id: Long, variant: Int, hash_hi: Long, hash_lo: Long)
+
+  /** ====== REAL KERNEL ====== Deterministic PNG synthesis for the
+    * perceptual-hash surfaces: a stride-73 ramp (73 coprime to 256), so
+    * adjacent-pixel comparisons — the signal dHash reads — vary richly
+    * instead of being monotone. Pixel at linear i = y·W + x is
+    * (a + 73·i) mod 256; `variant = 1` additionally perturbs the single
+    * pixel at linear index pj = doc_id mod (W·H) to (base + 96) mod
+    * 256 — an invisible-to-the-eye, byte-level-different twin. W ≥ 9 and
+    * H ≥ 8 so the 9×8 dHash grid samples each source pixel AT MOST once
+    * (floor(x·W/9) is strictly increasing for W ≥ 9) — the perturbed
+    * pixel feeds at most the two comparisons that read it, bounding the
+    * twin's Hamming distance at 2. Every parameter is integer arithmetic
+    * on doc_id, so the decoded hash has a closed-form SQL twin like the
+    * other real kernels. */
+  def synthHashPngBytes(docId: Long, variant: Int): Array[Byte] = {
+    val w = 9 + (docId % 8).toInt
+    val h = 8 + ((docId % 8) * 5 % 8).toInt
+    val a = ((docId % 256) * 31 % 256).toInt
+    val pj = (docId % (w * h)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      val base = (a + 73L * i % 256).toInt % 256
+      val px = if (variant == 1 && i == pj) (base + 96) % 256 else base
+      raster.setSample(i % w, i / w, 0, px)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash of a decoded grayscale image: nearest-neighbor
+    * resample to a 9×8 grid (source pixel (x·W/9, y·H/8), integer floor —
+    * the same resample arithmetic as [[resizePng]]), then bit (y·8 + x) =
+    * 1 iff grid(x+1, y) > grid(x, y). Split into two unsigned-32-bit
+    * halves so the value survives BIGINT arithmetic on both engines. */
+  def dhashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val r = img.getRaster
+    val grid = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        grid(y)(x) = r.getSample(x * img.getWidth / 9, y * img.getHeight / 8, 0)
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var idx = 0
+    while (idx < 64) {
+      val y0 = idx / 8
+      val x0 = idx % 8
+      if (grid(y0)(x0 + 1) > grid(y0)(x0)) {
+        if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+      }
+      idx += 1
+    }
+    (hi, lo)
+  }
+
+  /** ====== REAL KERNEL ====== The mm_dhash_real surface: synthesize both
+    * variants of each doc's PNG on executors, decode them back with
+    * ImageIO and compute the perceptual difference hash from TRUE pixels.
+    * The one perturbed pixel flips at most 2 of the 64 bits (each source
+    * pixel is sampled at most once, and feeds at most two comparisons),
+    * so (v0, v1) are Hamming-near twins with DIFFERENT bytes — what
+    * perceptual dedup exists to catch and exact byte/md5 dedup provably
+    * cannot. */
+  def dhashReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(DecodeBatch).flatMap(_.flatMap { id =>
+          Seq(0, 1).map { v =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthHashPngBytes(id, v)))
+            require(img != null, s"undecodable payload for doc_id=$id v=$v")
+            val (hi, lo) = dhashOf(img)
+            DHash(id, v, hi, lo)
+          }
+        })
+      }.toDF().orderBy("doc_id", "variant")
+  }
+
+  /** Hamming-LSH near-duplicate image pairs over the dHash corpus —
+    * multimodal dedup with the same bounded-candidate discipline as the
+    * text family:
+    *  1. byte-identical-hash collapse FIRST (groupBy the 64-bit hash →
+    *     min-key representative), so degenerate repeated images cost one
+    *     group row, never O(dups²) candidates;
+    *  2. band each hash into 4×16-bit keys; candidates = distinct-hash
+    *     pairs sharing ANY band (a shuffle join on band_key — never
+    *     all-pairs). Pigeonhole recall theorem: ≤ 3 differing bits touch
+    *     ≤ 3 bands, so one band survives intact — every pair within the
+    *     maxDist = 3 threshold is REACHED, exactly (the ER blocking
+    *     contract, for images);
+    *  3. exact verify: Hamming distance via xor + bit_count (codegen'd),
+    *     keep 1 ≤ dist ≤ maxDist.
+    * Output: (l_rep, r_rep, dist) over representative keys
+    * key = doc_id·2 + variant. */
+  def phashNearDup(spark: SparkSession, docs: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"4x16 banding only guarantees recall to dist 3, got $maxDist")
+    val hashes = dhashReal(spark, docs)
+      .select((col("doc_id") * 2 + col("variant")).as("key"),
+        col("hash_hi"), col("hash_lo"))
+    val groups = hashes.groupBy("hash_hi", "hash_lo")
+      .agg(min("key").as("rep"))
+    val bands = groups.select(col("rep"), col("hash_hi"), col("hash_lo"),
+      explode(array(
+        col("hash_lo").bitwiseAND(lit(0xFFFFL)),
+        lit(0x10000L) + shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        lit(0x20000L) + col("hash_hi").bitwiseAND(lit(0xFFFFL)),
+        lit(0x30000L) + shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xFFFFL))
+      )).as("band_key"))
+    val l = bands.select(col("band_key"), col("rep").as("l_rep"),
+      col("hash_hi").as("l_hi"), col("hash_lo").as("l_lo"))
+    val r = bands.select(col("band_key"), col("rep").as("r_rep"),
+      col("hash_hi").as("r_hi"), col("hash_lo").as("r_lo"))
+    l.join(r, Seq("band_key"))
+      .where(col("l_rep") < col("r_rep"))
+      .select("l_rep", "r_rep", "l_hi", "l_lo", "r_hi", "r_lo").distinct()
+      .withColumn("dist",
+        (bit_count(col("l_hi").bitwiseXOR(col("r_hi"))) +
+          bit_count(col("l_lo").bitwiseXOR(col("r_lo")))).cast("int"))
+      .where(col("dist") <= maxDist)
+      .select("l_rep", "r_rep", "dist")
+      .orderBy("l_rep", "r_rep")
+  }
+
   def frameSample(spark: SparkSession, docs: DataFrame,
       frameBytes: Int = 32, stride: Int = 4): DataFrame = {
     import spark.implicits._

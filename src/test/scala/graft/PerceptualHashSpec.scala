@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Multimodal
+
+/** The perceptual-hash (dHash) multimodal-dedup family:
+  * mm_dhash_real / mm_phash_neardup. */
+class PerceptualHashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent closed-form recompute of the dHash halves — the same
+    * arithmetic the DuckDB oracle runs, written without touching the
+    * kernel (no ImageIO, no resample code shared). */
+  private def expectedHash(id: Long, v: Int): (Long, Long) = {
+    val w = 9 + (id % 8).toInt
+    val h = 8 + ((id % 8) * 5 % 8).toInt
+    val a = ((id % 256) * 31 % 256).toInt
+    val pj = (id % (w * h)).toInt
+    def px(x: Int, y: Int): Int = {
+      val i = (y * h / 8) * w + (x * w / 9)
+      val base = ((a + 73L * i) % 256).toInt
+      if (v == 1 && i == pj) (base + 96) % 256 else base
+    }
+    var hi = 0L; var lo = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val idx = y * 8 + x
+      if (px(x + 1, y) > px(x, y)) {
+        if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+      }
+    }
+    (hi, lo)
+  }
+
+  private val docs = (0L until 150L).toDF("doc_id")
+
+  test("real decode→resample→hash chain matches the closed form") {
+    val got = Multimodal.dhashReal(spark, docs)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 300)
+    for (id <- 0L until 150L; v <- 0 to 1)
+      assert(got((id, v)) == expectedHash(id, v),
+        s"hash mismatch for doc_id=$id variant=$v")
+  }
+
+  test("variant twins are byte-different but Hamming-near (dist <= 2)") {
+    for (id <- 0L until 150L) {
+      val b0 = Multimodal.synthHashPngBytes(id, 0)
+      val b1 = Multimodal.synthHashPngBytes(id, 1)
+      assert(!java.util.Arrays.equals(b0, b1),
+        s"variants of $id should differ at the byte level")
+      val (h0, l0) = expectedHash(id, 0)
+      val (h1, l1) = expectedHash(id, 1)
+      val dist = java.lang.Long.bitCount(h0 ^ h1) +
+        java.lang.Long.bitCount(l0 ^ l1)
+      assert(dist <= 2, s"twin distance $dist > 2 for doc_id=$id")
+    }
+  }
+
+  test("banded near-dup join == brute-force pairs at dist <= 3") {
+    // ground truth over DISTINCT hashes (identical images collapse to
+    // their min-key representative, like the operator)
+    val hashes = (for (id <- 0L until 150L; v <- 0 to 1)
+      yield (id * 2 + v, expectedHash(id, v)))
+    val groups = hashes.groupBy(_._2).map { case (h, ks) =>
+      (ks.map(_._1).min, h) }.toSeq
+    val brute = (for {
+      (lr, (lh, ll)) <- groups; (rr, (rh, rl)) <- groups
+      if lr < rr
+      d = java.lang.Long.bitCount(lh ^ rh) + java.lang.Long.bitCount(ll ^ rl)
+      if d <= 3
+    } yield (lr, rr, d)).toSet
+    assert(brute.nonEmpty, "corpus should contain near-dup pairs")
+    val got = Multimodal.phashNearDup(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pigeonhole: <= 3 differing bits leave one of 4 bands intact, so the
+    // banded join reaches EVERY brute pair — equality, not containment
+    assert(got == brute)
+  }
+}
