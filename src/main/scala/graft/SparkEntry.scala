@@ -201,6 +201,14 @@ object SparkEntry {
   /** Pick count for fp_pps_sample (shared with its generated oracle). */
   val PpsSampleK = 50
 
+  /** graph_kcore parameters, shared with the generated unrolled oracle:
+    * the 2-core of the n_orders≥2 co-purchase graph peels in ≤ 6 rounds
+    * at sf0.001–0.1 (measured); 8 gives headroom, and kCore's in-plan
+    * fixpoint certificate throws rather than under-peel if a future
+    * corpus needs more. */
+  val KcoreK = 2
+  val KcoreRounds = 8
+
   /** Deterministic loan-shaped table synthesized from orders — the input
     * of the `loan_t*` queries, exercising [[graft.ops.LoanWorkload]] (the
     * reference's actual T1–T3 API) against driver oracles. Every derived
@@ -655,6 +663,27 @@ object SparkEntry {
                 col("doc_id") % 1000, col("doc_id") % 10000))
               .otherwise(lit("")))))),
 
+    // EXT table-level privacy audit (the release gate complementing
+    // text_redact's per-doc scrub): k-anonymity / l-diversity over a
+    // quasi-identifier projection of customer — (nation, segment,
+    // balance-kilobucket) as the QI, name as the sensitive column. One
+    // hash aggregate; only the violating tail is returned.
+    "privacy_k_anon" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymityGroups(
+        t(s, dir, "customer").withColumn("bal_kb",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        qi = Seq("c_nationkey", "c_mktsegment", "bal_kb"),
+        sensitive = "c_name", k = 5, l = 2)),
+
+    // EXT one-row k-anonymity release report: suppression rate in bp,
+    // dataset min-k/min-l — the number a data-release checklist gates on.
+    "privacy_k_report" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymityReport(
+        t(s, dir, "customer").withColumn("bal_kb",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        qi = Seq("c_nationkey", "c_mktsegment", "bal_kb"),
+        sensitive = "c_name", k = 5, l = 2)),
+
     // per-doc top-3 terms by frequency (stopword-filtered, exact tf)
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"))),
@@ -970,6 +999,14 @@ object SparkEntry {
       val approx = Similarity.pqTopK(emb, 20, 5).select("q_id", "vec_id")
       annRecallReport(exact, approx, floorBp = Some(4600))
     }),
+
+    // EXT audited k-means step: quantized-integer Lloyd iteration over
+    // the embedding corpus — deterministic seeds, broadcast-centroid
+    // assignment, portable floor-mean update, centroid-shift convergence
+    // signal. The clustering primitive behind IVF codebooks, with an
+    // EXACT oracle (the ml.KMeans float/seed paths stay rows-only).
+    "sim_kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansStep(t(s, dir, "embeddings"))),
 
     // EXT multimodal binary columns:
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
@@ -1602,6 +1639,27 @@ object SparkEntry {
         // input itself — a second pre-dedup would just add a shuffle
         .select(col("p.da").as("da"), col("p.db").as("db"))
       graft.ops.Graphs.triangleCounts(pairs)
+    }),
+
+    // EXT graph: 2-core of the thresholded co-purchase graph — iterative
+    // peeling with the in-plan fixpoint certificate (any peel fixpoint
+    // IS the k-core, so the certificate makes the fixed round count
+    // safe). The dense-cohesion screen over the same graph pagerank
+    // ranks; 8 rounds covers the measured peel depth (6 at sf0.1) with
+    // headroom.
+    "graph_kcore" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      graft.ops.Graphs.kCore(pairs, k = KcoreK, rounds = KcoreRounds)
     }),
 
     // EXT percentile winsorization: clamp each event's value into its
@@ -2815,6 +2873,40 @@ object SparkEntry {
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** k-core oracle: the [[pagerankOracle]] edge prologue, then
+    * KcoreRounds unrolled peel stages, then the surviving degrees —
+    * floor-free integer counts throughout, so the peel replicates
+    * Graphs.kCore exactly. Each stage is formulated as ONE window-
+    * filtered pass over the previous (an edge survives iff both its
+    * endpoints keep degree ≥ k — identical to the keep-set semi-join),
+    * because DuckDB inlines CTEs: a stage referencing its predecessor
+    * three times would expand 3^rounds scans and exhaust file handles. */
+  private def kcoreOracle: String = {
+    val steps = (1 to KcoreRounds).map(i =>
+      s"""e$i AS (SELECT src, dst FROM (
+         |     SELECT src, dst,
+         |            count(*) OVER (PARTITION BY src) AS ds,
+         |            count(*) OVER (PARTITION BY dst) AS dd
+         |     FROM e${i - 1})
+         |   WHERE ds >= $KcoreK AND dd >= $KcoreK)""".stripMargin)
+      .mkString(",\n ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
+       |           FROM capped a JOIN capped b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |           GROUP BY 1, 2 HAVING count(*) >= 2),
+       | e0 AS (SELECT da AS src, db AS dst FROM pairs
+       |        UNION SELECT db, da FROM pairs),
+       | $steps
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$KcoreRounds GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   /** Personalized-PageRank oracle: the [[pagerankOracle]] CTE prologue
     * with seed-gated restart mass, unrolled left-join rounds keeping
     * zero-inflow nodes — every floor step mirrored. */
@@ -3611,6 +3703,7 @@ object SparkEntry {
     "dedup_recall" -> dedupRecallOracle,
     "zorder_key" -> zorderKeyOracle,
     "graph_pagerank" -> pagerankOracle,
+    "graph_kcore" -> kcoreOracle,
     "graph_ppr" -> pprOracle,
 
     // graph_triangles: id-ordered (u < v) edges; each triangle appears
@@ -3707,6 +3800,50 @@ object SparkEntry {
          SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
                 CAST(sum(p) AS BIGINT) AS px_sum
          FROM px GROUP BY doc_id ORDER BY doc_id""",
+
+    // sim_kmeans_step: the whole Lloyd round re-derived in SQL over the
+    // same floor(x·1024) quantization; the floor-mean uses the portable
+    // ((s % n) + n) % n identity (Spark pmod) so negative per-dim sums
+    // floor identically on both engines.
+    "sim_kmeans_step" ->
+      """WITH qv AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024)
+                       AS BIGINT) AS q
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, d, q AS c FROM qv WHERE vec_id < 8),
+         d1 AS (SELECT v.vec_id, c.cid,
+                       sum((v.q - c.c) * (v.q - c.c)) AS dist2
+                FROM qv v JOIN c0 c USING (d) GROUP BY v.vec_id, c.cid),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+                  FROM d1) WHERE rn = 1),
+         c1 AS (SELECT cid, d, sum(q) AS s, count(*) AS n
+                FROM qv JOIN a1 USING (vec_id) GROUP BY cid, d),
+         c1f AS (SELECT cid, d,
+                        (s - ((s % n) + n) % n) // n AS c FROM c1),
+         d2 AS (SELECT v.vec_id, c.cid,
+                       sum((v.q - c.c) * (v.q - c.c)) AS dist2
+                FROM qv v JOIN c1f c USING (d) GROUP BY v.vec_id, c.cid),
+         a2 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+                  FROM d2) WHERE rn = 1),
+         nr1 AS (SELECT cid, count(*) AS n_r1 FROM a1 GROUP BY cid),
+         nr2 AS (SELECT cid, count(*) AS n_r2 FROM a2 GROUP BY cid),
+         cs AS (SELECT n.cid, sum(n.c) AS centroid_sum,
+                       sum((n.c - o.c) * (n.c - o.c)) AS shift_sq
+                FROM c1f n JOIN c0 o ON n.cid = o.cid AND n.d = o.d
+                GROUP BY n.cid)
+         SELECT CAST(nr1.cid AS BIGINT) AS cluster_id,
+                CAST(nr1.n_r1 AS BIGINT) AS n_r1,
+                CAST(COALESCE(nr2.n_r2, 0) AS BIGINT) AS n_r2,
+                CAST(cs.centroid_sum AS BIGINT) AS centroid_sum,
+                CAST(cs.shift_sq AS BIGINT) AS shift_sq
+         FROM nr1 LEFT JOIN nr2 ON nr1.cid = nr2.cid
+              JOIN cs ON nr1.cid = cs.cid
+         ORDER BY cluster_id""",
 
     // mm_dhash_real: the synthesized stride-73 ramp (one perturbed pixel
     // in variant 1) is integer arithmetic on doc_id, so the 9×8 grid,
@@ -5608,6 +5745,41 @@ object SparkEntry {
                   regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
          FROM s ORDER BY doc_id""",
+
+    // privacy_k_anon / privacy_k_report: the k-anonymity audit re-derived
+    // as one GROUP BY over the same QI projection; all outputs are counts
+    // and integer bp (// floors, both sides non-negative).
+    "privacy_k_anon" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+                  CAST(count(*) AS BIGINT) AS group_n,
+                  CAST(count(DISTINCT c_name) AS BIGINT) AS l_distinct
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT c_nationkey, c_mktsegment, bal_kb, group_n, l_distinct,
+                group_n < 5 AS k_violation,
+                l_distinct < 2 AS l_violation
+         FROM g WHERE group_n < 5 OR l_distinct < 2
+         ORDER BY c_nationkey, c_mktsegment, bal_kb""",
+
+    "privacy_k_report" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+                  count(*) AS group_n,
+                  count(DISTINCT c_name) AS l_distinct
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT CAST(sum(group_n) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(COALESCE(sum(group_n) FILTER (WHERE group_n < 5), 0)
+                     AS BIGINT) AS rows_k_violating,
+                CAST(COALESCE(sum(group_n) FILTER (WHERE l_distinct < 2), 0)
+                     AS BIGINT) AS rows_l_violating,
+                CAST(min(group_n) AS BIGINT) AS min_k,
+                CAST(min(l_distinct) AS BIGINT) AS min_l,
+                CAST(COALESCE(sum(group_n) FILTER (WHERE group_n < 5), 0)
+                     * 10000 // sum(group_n) AS BIGINT) AS suppress_bp
+         FROM g""",
 
     // NOT EXISTS, not NOT IN: a NULL fp in base (null-text doc) would
     // turn NOT IN into UNKNOWN for every row, while Spark's left_anti

@@ -325,4 +325,61 @@ object Graphs {
     sym.unpersist()
     visited.orderBy("node")
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * node whose remaining degree is < k; what survives is the maximal
+    * subgraph where everyone keeps ≥ k neighbors — the dense-cohesion
+    * screen (bot rings and link farms live in high cores, organic
+    * long-tail entities peel away; conversely a 100 TB curation run
+    * peels to find the spam core to EXCLUDE). Output: (node, core_deg =
+    * the node's degree inside the k-core).
+    *
+    * Peeling is confluent — any fixpoint of the peel step IS the k-core
+    * regardless of deletion order — so the result carries its own
+    * certificate: after `rounds` fixed peels, every surviving node's
+    * degree is re-checked IN-PLAN (`assert_true`, the fail-loud
+    * contract). If `rounds` under-shoots the corpus's peel depth the
+    * query throws rather than returning a too-large pseudo-core; the
+    * fix is raising `rounds`, and the unrolled oracle twin replicates
+    * whatever value is chosen.
+    *
+    * Scale shape: each round is one degree aggregate over the remaining
+    * edges plus a semi-join of both endpoints against the surviving
+    * node set — the keep-set is |V|-bounded (the entity vocabulary, the
+    * same broadcast-ability argument as [[pagerankInt]]'s contrib), the
+    * edge table only ever SHRINKS, and lineage is truncated per round
+    * with localCheckpoint like the rest of the family. `copartition`
+    * pins merge joins when |V| outgrows broadcast. Rounds = peel depth
+    * ≤ graph degeneracy-diameter, the family's O(d) scheduling bound.
+    */
+  def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
+      a: String = "da", b: String = "db",
+      strategy: String = "broadcast"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireStrategy(strategy)
+    var sym = edges
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .select(col("u").as("src"), col("v").as("dst"))
+    sym = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("src")
+      sym = stateJoin(stateJoin(sym, keep, "src", strategy),
+          keep.withColumnRenamed("src", "dst"), "dst", strategy)
+        .select("src", "dst")
+        .localCheckpoint()
+      i += 1
+    }
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+      .where(assert_true(col("core_deg") >= k,
+        lit(s"k-core peeling did not converge in $rounds rounds — a " +
+          "surviving node still has degree < " + k +
+          "; raise `rounds` (and the oracle twin's unroll) together"))
+        .isNull)
+      .orderBy("node")
+  }
 }

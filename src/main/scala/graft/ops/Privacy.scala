@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-level privacy audits (EXT — LLM-pipeline release gates).
+  *
+  * [[TextAnalysis.redactPii]] handles the per-document scrub; these are
+  * the complementary TABLE-level checks a training-data release runs
+  * before shipping: re-identification risk via k-anonymity (how many
+  * rows sit in quasi-identifier groups smaller than k) and attribute
+  * disclosure via l-diversity (groups where a sensitive column takes
+  * fewer than l distinct values — everyone in the group leaks it).
+  *
+  * Scale shape: ONE hash aggregate over the quasi-identifier columns
+  * computing group size and the sensitive column's exact distinct count
+  * together, then a #groups-sized rollup — no self-joins, no windows,
+  * partial aggregation map-side. At 100 TB the QI cardinality (not the
+  * row count) bounds reducer state, exactly like any groupBy report.
+  * All outputs are counts and integer basis points ⇒ hash-oracle'd.
+  */
+object Privacy {
+
+  /** Per-QI-group audit rows: group size (the k of every member) and
+    * the sensitive column's distinct count (the l), flagged against the
+    * requested thresholds. Only flagged groups are returned — at scale
+    * the violating tail is the actionable (and small) output, the
+    * compliant bulk is not. */
+  def kAnonymityGroups(df: DataFrame, qi: Seq[String], sensitive: String,
+      k: Int = 5, l: Int = 2): DataFrame =
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitive)).as("l_distinct"))
+      .filter(col("group_n") < k || col("l_distinct") < l)
+      .select(qi.map(col) :+ col("group_n") :+ col("l_distinct") :+
+        (col("group_n") < k).as("k_violation") :+
+        (col("l_distinct") < l).as("l_violation"): _*)
+      .orderBy(qi.map(col): _*)
+
+  /** One-row release-gate summary: total rows, QI-group count, rows in
+    * k-violating groups (= rows that would need suppression or
+    * generalization), rows in l-violating groups, the dataset's actual
+    * min-k and min-l, and the suppression rate in integer bp. The
+    * consumer gates on `suppress_bp` or asserts `min_k >= k`. */
+  def kAnonymityReport(df: DataFrame, qi: Seq[String], sensitive: String,
+      k: Int = 5, l: Int = 2): DataFrame = {
+    val groups = df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitive)).as("l_distinct"))
+    groups.agg(
+      sum(col("group_n")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(when(col("group_n") < k, col("group_n"))), lit(0L))
+        .as("rows_k_violating"),
+      coalesce(sum(when(col("l_distinct") < l, col("group_n"))), lit(0L))
+        .as("rows_l_violating"),
+      min(col("group_n")).as("min_k"),
+      min(col("l_distinct")).as("min_l"))
+    .select(col("n_rows"), col("n_groups"), col("rows_k_violating"),
+      col("rows_l_violating"), col("min_k"), col("min_l"),
+      expr("rows_k_violating * 10000 div n_rows").as("suppress_bp"))
+  }
+}

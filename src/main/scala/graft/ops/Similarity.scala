@@ -436,6 +436,70 @@ object Similarity {
     * quantized to round(x·1000), then summed as BIGINT): float sums are
     * order- and width-sensitive across engines, integer sums are exact
     * (SURVEY.md §7 "hard parts" — same discipline as moneySum). */
+  /** One audited Lloyd (k-means) step over the embedding corpus, fully
+    * integer-deterministic — the clustering primitive behind IVF
+    * codebooks and corpus partitioning, surfaced with an EXACT oracle
+    * (unlike ml.KMeans's float/seed paths, which stay rows-only):
+    *
+    *  1. quantize each vector to BIGINT at `scale` (floor(x·1024) — the
+    *     ann-oracle discipline; |q| ≤ 1024, so Σ_dims (Δq)² ≤ 2.7e8,
+    *     nowhere near overflow);
+    *  2. seed centroids = the first k vectors (deterministic seeding, as
+    *     reproducible pipelines require);
+    *  3. assign: nearest centroid by squared L2 over the quantized ints,
+    *     ties → lower centroid id (min(struct(dist2, cid)) — a map-side
+    *     agg against BROADCAST centroids, the scale shape: k·dims cells
+    *     per executor, one corpus scan per round);
+    *  4. update: per-dim floor-mean via the portable pmod identity
+    *     (s − pmod(s, n))/n — Spark `div` truncates while DuckDB `//`
+    *     floors, so raw integer division would diverge on negative sums;
+    *  5. re-assign against the updated centroids.
+    *
+    * Output per cluster: both rounds' member counts, the updated
+    * centroid's coordinate sum, and the squared centroid shift — the
+    * convergence signal a production loop would iterate on. Every value
+    * is exact BIGINT arithmetic ⇒ hash-oracle'd end to end.
+    *
+    * Seeds are members of their own cluster at distance 0 in round 1, so
+    * no cluster is ever empty and the floor-mean never divides by zero. */
+  def kmeansStep(emb: DataFrame, k: Int = 8, scale: Int = 1024): DataFrame = {
+    val qv = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        floor(col("x").cast("double") * scale).cast("long").as("q"))
+    val c0 = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("d"), col("q").as("c"))
+
+    def assign(centroids: DataFrame): DataFrame =
+      qv.join(broadcast(centroids), Seq("d"))
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cid"))).getField("cid").as("cid"))
+
+    val a1 = assign(c0)
+    val c1 = qv.join(a1, Seq("vec_id"))
+      .groupBy("cid", "d")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .select(col("cid"), col("d"),
+        expr("(s - pmod(s, n)) div n").as("c"))
+    val a2 = assign(c1)
+
+    val nr1 = a1.groupBy("cid").agg(count(lit(1)).as("n_r1"))
+    val nr2 = a2.groupBy("cid").agg(count(lit(1)).as("n_r2"))
+    val cstats = c1.join(c0.withColumnRenamed("c", "c_old"), Seq("cid", "d"))
+      .groupBy("cid")
+      .agg(sum("c").as("centroid_sum"),
+        sum((col("c") - col("c_old")) * (col("c") - col("c_old")))
+          .as("shift_sq"))
+    nr1.join(nr2, Seq("cid"), "left")
+      .join(cstats, Seq("cid"))
+      .select(col("cid").cast("long").as("cluster_id"),
+        col("n_r1"), coalesce(col("n_r2"), lit(0L)).as("n_r2"),
+        col("centroid_sum"), col("shift_sq"))
+      .orderBy("cluster_id")
+  }
+
   def hofStats(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)").as("n_pos"),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DataQuality, Events}
+import graft.ops.{DataQuality, Events, Privacy}
 
 /** Data-contract surfaces: the expectations rule algebra, the
   * out-of-orderness watermark audit, and schema-evolution reads. */
@@ -29,6 +29,39 @@ class DataQualitySpec extends SparkTestBase {
       ("check:p.name_not_null", 5L, 1L),
       ("fk:c.pid->p.id", 2L, 1L), // n_checked counts non-null FKs only
       ("unique:p.id", 5L, 1L)))
+  }
+
+  test("privacy: k-anonymity / l-diversity on hand-planted groups") {
+    // A: 6 rows all-distinct sensitive (compliant); B: 3 rows (k-viol);
+    // C: 5 rows single sensitive value (l-viol); D: singleton (both)
+    val df = (
+      (1 to 6).map(i => ("A", s"s$i")) ++
+      Seq(("B", "x"), ("B", "y"), ("B", "x")) ++
+      (1 to 5).map(_ => ("C", "same")) ++
+      Seq(("D", "z"))
+    ).toDF("qi", "s")
+    val groups = Privacy.kAnonymityGroups(df, Seq("qi"), "s")
+      .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(groups == Seq(
+      ("B", 3L, 2L, true, false),
+      ("C", 5L, 1L, false, true),
+      ("D", 1L, 1L, true, true)))
+    val rep = Privacy.kAnonymityReport(df, Seq("qi"), "s")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(rep == ((15L, 4L, 4L, 6L, 1L, 1L, 2666L)))
+  }
+
+  test("privacy: report invariants on the sf0.001 customer QI") {
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .withColumn("bal_kb", floor(col("c_acctbal") / 1000).cast("long"))
+    val rep = Privacy.kAnonymityReport(cust,
+      Seq("c_nationkey", "c_mktsegment", "bal_kb"), "c_name")
+      .collect().head
+    assert(rep.getAs[Long]("n_rows") == cust.count())
+    assert(rep.getAs[Long]("rows_k_violating") <= rep.getAs[Long]("n_rows"))
+    assert(rep.getAs[Long]("min_k") >= 1L)
+    val bp = rep.getAs[Long]("suppress_bp")
+    assert(bp >= 0L && bp <= 10000L)
   }
 
   test("expectations: same-table rules fuse into one scan") {

@@ -177,6 +177,38 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(recallBp >= 4000, s"PQ recall collapsed: $recallBp bp")
   }
 
+  test("kmeansStep: hand-computed Lloyd round on a separable corpus") {
+    // seeds = vec 0 (near x-axis) and vec 1 (near y-axis); members 2..5
+    // split cleanly. Quantized at 1024: floor is exact on these values.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.5f, 0.0f)),   // -> cluster 0
+      (3L, Array(0.25f, 0.0f)),  // -> cluster 0
+      (4L, Array(0.0f, 0.5f)),   // -> cluster 1
+      (5L, Array(0.0f, 0.25f))   // -> cluster 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // cluster 0: q-vectors (1024,0),(512,0),(256,0) -> mean (597,0)
+    //   (1792 div 3 = 597 floor); shift (1024-597)^2 = 182329
+    // cluster 1: symmetric in y
+    assert(out.toSeq == Seq(
+      (0L, 3L, 3L, 597L, 182329L),
+      (1L, 3L, 3L, 597L, 182329L)))
+  }
+
+  test("kmeansStep: clusters partition the corpus at sf0.001") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val n = emb.count()
+    val out = Similarity.kmeansStep(emb).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getLong(1)).sum == n, "round-1 assignment partitions")
+    assert(out.map(_.getLong(2)).sum == n, "round-2 assignment partitions")
+    assert(out.forall(_.getLong(4) >= 0L))
+  }
+
   test("events_winsorize_approx: sketch bounds within rank-ε of exact") {
     val ev = Tables(spark, sf001, "events")
     // the approx bound must land between the exact percentiles at

@@ -446,6 +446,42 @@ class SketchesSpec extends SparkTestBase {
     assert(ppr.exceptAll(pr).isEmpty && pr.exceptAll(ppr).isEmpty)
   }
 
+  // ---- k-core peeling -------------------------------------------------
+
+  test("kCore: triangle survives, pendant chain peels away") {
+    // triangle {1,2,3} + chain 3-4-5: 5 peels (deg 1), then 4 peels —
+    // the 2-core is exactly the triangle, each member at degree 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("da", "db")
+    val got = Graphs.kCore(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // strategies agree bit-for-bit
+    val cop = Graphs.kCore(edges, k = 2, rounds = 3,
+      strategy = "copartition").as[(Long, Long)].collect().toSeq
+    assert(cop == got)
+  }
+
+  test("kCore: under-peeling fails loudly via the fixpoint certificate") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("da", "db")
+    // rounds = 1 removes node 5 but leaves 4 at degree 1 < k — the
+    // in-plan assert must throw, never return the pseudo-core
+    val ex = intercept[Exception] {
+      Graphs.kCore(edges, k = 2, rounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge") ||
+      Option(ex.getCause).exists(_.getMessage.contains("did not converge")))
+  }
+
+  test("kCore: k=3 of a 4-clique plus tail is the clique") {
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (clique ++ Seq((4L, 9L), (9L, 10L))).toDF("da", "db")
+    val got = Graphs.kCore(edges, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
   // ---- systematic PPS sampling ---------------------------------------
 
   test("ppsSample: exactly k picks, heavy rows favored, deterministic") {
