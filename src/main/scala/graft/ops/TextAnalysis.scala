@@ -271,6 +271,51 @@ object TextAnalysis {
       .orderBy(desc("df"), asc("bigram"))
       .limit(k)
 
+  /** Collocation mining: the corpus's top-k adjacent word pairs by
+    * LIFT — observed co-occurrence over the independence expectation,
+    * `lift_bp = 10⁴ · c(w₁w₂) · N div (c(w₁) · c(w₂))` — the integer
+    * stand-in for PMI (PMI = log lift, and log is monotone, so the
+    * RANKING is identical while the arithmetic stays exact cross-engine;
+    * the §7 float discipline). High-lift pairs are multiword expressions
+    * — what a tokenizer-vocab or stopword-phrase curation pass mines.
+    *
+    * OCCURRENCE counts, not document frequencies ([[bigramDf]] is the
+    * df/contamination twin): both gram tables aggregate from one
+    * tokenized scan, the unigram table joins back twice (broadcast —
+    * it's the vocabulary, the [[Graphs]] |V| argument), and the global
+    * N is a 1-row broadcast cross join. `minCount` floors the pair
+    * support first, both the statistical floor (lift on a count of 1 is
+    * noise) and the scale bound: the joined table is the ≥ minCount
+    * pair tail, not every hapax bigram. Top-k = TakeOrderedAndProject.
+    *
+    * Overflow: c·N·10⁴ needs c·N < 9.2e14 — holds through N ≈ 3e9
+    * corpus tokens with the observed c ≤ 3e5 pair tail; beyond, widen
+    * the product to DECIMAL(38) (DuckDB throws where Spark wraps — the
+    * oracle would catch a wrap, same guard as events_covariance). */
+  def collocations(docs: DataFrame, k: Int = 30, minCount: Int = 5,
+      text: String = "text"): DataFrame = {
+    val toks = docs.select(Texty.tokens(col(text)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("n_total"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_xy"), col("c1"), col("c2"),
+        expr("c_xy * n_total * 10000 div (c1 * c2)").as("lift_bp"))
+      .orderBy(desc("lift_bp"), asc("bigram"))
+      .limit(k)
+  }
+
   def tokenCounts(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame =
     docs.select(
