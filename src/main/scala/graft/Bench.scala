@@ -96,6 +96,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir",$cond,"queries":$qs}"""
     println(line)
+    // The driver keeps only the TAIL of a too-long stdout line, so the
+    // totals-first full line can arrive headless ("parsed": null in
+    // BENCH_r05/r06). Emit a compact headline-only trailer AFTER the
+    // per-query dump: whatever truncation happens upstream, the last
+    // line always parses. The full line (with per-query times) is still
+    // persisted untruncated to BENCH_full.json below.
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir",$cond}""")
     if (subset.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -5717,16 +5717,41 @@ object SparkEntry {
            UNPIVOT (cents FOR name IN (extendedprice, quantity, tax)))
          GROUP BY name ORDER BY name""",
 
+    // version-portable twin (round-6 driver hash-FAIL fix): the driver's
+    // DuckDB diverged from local on string_agg(DISTINCT .. ORDER BY) and
+    // median() over BIGINT (cont-vs-disc interpolation), so the oracle
+    // avoids both — distinct-then-ordered-agg via a pre-deduped subquery,
+    // and the x2-median by explicit dyadic rank selection (odd n: twice
+    // the middle row; even n: sum of the two middle rows), which is pure
+    // integer arithmetic in any engine.
     "q41_modern_aggs" ->
-      """SELECT o_orderstatus,
-                string_agg(DISTINCT o_orderpriority, ','
-                           ORDER BY o_orderpriority) AS prios,
-                CAST(2 * median(cents) AS BIGINT) AS med2_cents,
-                count_if(cents > 10000000) AS n_big
-         FROM (SELECT o_orderstatus, o_orderpriority,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-               FROM orders)
-         GROUP BY 1 ORDER BY 1""",
+      """WITH c AS (
+           SELECT o_orderstatus, o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         p AS (
+           SELECT o_orderstatus,
+                  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+           FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM c)
+           GROUP BY 1),
+         r AS (
+           SELECT o_orderstatus, cents,
+                  row_number() OVER (PARTITION BY o_orderstatus ORDER BY cents) AS rn,
+                  count(*) OVER (PARTITION BY o_orderstatus) AS n
+           FROM c),
+         m AS (
+           SELECT o_orderstatus,
+                  CAST(sum(CASE WHEN n % 2 = 1 AND rn * 2 = n + 1 THEN 2 * cents
+                                WHEN n % 2 = 0 AND (rn * 2 = n OR rn * 2 = n + 2) THEN cents
+                                ELSE 0 END) AS BIGINT) AS med2_cents
+           FROM r GROUP BY 1),
+         b AS (
+           SELECT o_orderstatus,
+                  CAST(sum(CASE WHEN cents > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+           FROM c GROUP BY 1)
+         SELECT p.o_orderstatus, p.prios, m.med2_cents, b.n_big
+         FROM p JOIN m USING (o_orderstatus) JOIN b USING (o_orderstatus)
+         ORDER BY 1""",
 
     // regex syntax restricted to the Java-regex ∩ RE2 common subset
     // (char classes + bounded repeats) so both engines match identically

@@ -96,7 +96,18 @@ object EntityResolution {
       out: String = "rn"): DataFrame = {
     val packed = (1 to 6).foldLeft(lit(0L)) { (acc, i) =>
       acc * 256L + coalesce(ascii(substring(col("name"), i, 1)), lit(0)) }
-    val withKey = rows.withColumn("__pk", packed.cast("double"))
+    // base-256 packing is monotone vs lexicographic order ONLY while
+    // every packed code point fits one byte; a prefix char ≥ U+0100
+    // would silently mis-slice (wrong global ranks), so the Latin-1
+    // assumption is enforced in-plan rather than assumed in the doc
+    val prefixOk = coalesce(
+      substring(col("name"), 1, 6).rlike("^[\\x00-\\xFF]*$"), lit(true))
+    val withKey = rows.withColumn("__pk",
+      when(assert_true(prefixOk,
+        lit("globalRank: name prefix contains a code point > 255 — " +
+          "base-256 prefix packing breaks lexicographic monotonicity; " +
+          "pre-normalize names or widen the packing")).isNull,
+        packed).cast("double"))
     val spark = rows.sparkSession
     val parts = math.min(spark.sparkContext.defaultParallelism, 512)
     val cuts = withKey.stat

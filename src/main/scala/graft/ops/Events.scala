@@ -514,8 +514,17 @@ object Events {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
         sum("y").as("sum_y"), sum(col("x") * col("y")).as("sum_xy"))
+      // the documented overflow line, enforced: counts are already in the
+      // aggregate, so crossing it throws in-plan instead of wrapping
+      // silently (Spark long arithmetic wraps; DuckDB throws — without
+      // this guard the two engines would diverge EXACTLY when the number
+      // stops being trustworthy)
       .withColumn("cov_scaled",
-        col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+        when(assert_true(col("n") <= lit(360000L),
+          lit("covarianceDiag: event_type group exceeds the documented " +
+            "BIGINT overflow line (n > 3.6e5 rows/type) — pre-aggregate " +
+            "per day or widen the accumulation to DECIMAL")).isNull,
+          col("n") * col("sum_xy") - col("sum_x") * col("sum_y")))
       .select("event_type", "n", "sum_x", "sum_y", "cov_scaled")
       .orderBy("event_type")
 

@@ -58,6 +58,14 @@ object Privacy {
       min(col("l_distinct")).as("min_l"))
     .select(col("n_rows"), col("n_groups"), col("rows_k_violating"),
       col("rows_l_violating"), col("min_k"), col("min_l"),
-      expr("rows_k_violating * 10000 div n_rows").as("suppress_bp"))
+      // empty release candidate ⇒ n_rows is NULL (sum over zero groups)
+      // and an all-NULL report could be misread as "no violations" by a
+      // gate that only checks suppress_bp — assert_true(NULL) throws, so
+      // an empty input fails loudly instead
+      when(assert_true(col("n_rows") > 0,
+        lit("kAnonymityReport: empty release candidate — nothing to " +
+          "audit; refusing to emit a NULL report that a release gate " +
+          "could misread as pass")).isNull,
+        expr("rows_k_violating * 10000 div n_rows")).as("suppress_bp"))
   }
 }

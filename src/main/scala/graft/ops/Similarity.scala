@@ -461,7 +461,13 @@ object Similarity {
     * is exact BIGINT arithmetic ⇒ hash-oracle'd end to end.
     *
     * Seeds are members of their own cluster at distance 0 in round 1, so
-    * no cluster is ever empty and the floor-mean never divides by zero. */
+    * no cluster is ever empty and the floor-mean never divides by zero —
+    * PROVIDED vec_ids 0..k-1 all exist (asserted in-plan below; sparse
+    * ids would silently seed fewer than k clusters) and the k seed
+    * vectors are pairwise distinct: two identical seeds tie at distance
+    * 0 and the lower-cid tie-break empties the higher seed's cluster in
+    * round 1 (reported as n_r1 = 0, not an error — the caller picks
+    * distinct seeds or reads the counts). */
   def kmeansStep(emb: DataFrame, k: Int = 8, scale: Int = 1024): DataFrame = {
     val qv = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("d", "x")))
@@ -469,6 +475,14 @@ object Similarity {
         floor(col("x").cast("double") * scale).cast("long").as("q"))
     val c0 = qv.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("d"), col("q").as("c"))
+    // seed-completeness gate: filter(vec_id < k) assumes dense ids
+    // 0..k-1; a corpus with sparse ids would seed < k clusters and the
+    // "no empty clusters" doc claim above would silently break
+    val seedCk = c0.agg(countDistinct(col("cid")).as("n_seed"))
+      .select(assert_true(col("n_seed") === k,
+        lit(s"kmeansStep: expected $k seed vectors with vec_id 0..${k - 1}" +
+          " — sparse vec_ids seed fewer clusters; re-key ids densely " +
+          "first")).as("__seed_g"))
 
     def assign(centroids: DataFrame): DataFrame =
       qv.join(broadcast(centroids), Seq("d"))
@@ -494,7 +508,11 @@ object Similarity {
           .as("shift_sq"))
     nr1.join(nr2, Seq("cid"), "left")
       .join(cstats, Seq("cid"))
-      .select(col("cid").cast("long").as("cluster_id"),
+      .join(broadcast(seedCk))
+      // routing cluster_id through the guard forces its evaluation
+      // (it is NULL when the seed check passes, throws otherwise)
+      .select(when(col("__seed_g").isNull, col("cid").cast("long"))
+          .as("cluster_id"),
         col("n_r1"), coalesce(col("n_r2"), lit(0L)).as("n_r2"),
         col("centroid_sum"), col("shift_sq"))
       .orderBy("cluster_id")
