@@ -692,6 +692,12 @@ object SparkEntry {
     "text_bigram_df" -> ((s, dir) =>
       TextAnalysis.bigramDf(t(s, dir, "documents"))),
 
+    // EXT collocation mining: top-30 adjacent pairs by integer lift
+    // (= monotone PMI rank; occurrence counts, broadcast vocab joins,
+    // minCount-5 support floor, TakeOrdered top-k)
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"))),
+
     // EXACT global top-20 tokens via bounded-state Misra-Gries
     // candidates + exact rescore (no full-vocabulary shuffle); the
     // losslessness bound is asserted inside the plan.
@@ -5284,6 +5290,33 @@ object SparkEntry {
            FROM toks WHERE len(t) >= 2)
          SELECT bigram, count(*) AS df FROM bg GROUP BY 1
          ORDER BY df DESC, bigram ASC LIMIT 20""",
+
+    // lift arithmetic is pure BIGINT (sum() widened back down; // floors
+    // = Spark div on the all-positive operands); split-on-space mirrors
+    // Texty.tokens including empty tokens
+    "text_collocations" ->
+      """WITH toks AS (
+           SELECT string_split(text, ' ') AS t FROM documents),
+         uni AS (
+           SELECT u.w, CAST(count(*) AS BIGINT) AS c
+           FROM toks, LATERAL (SELECT unnest(t) AS w) u GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+         pr AS (
+           SELECT t[i] AS w1, t[i + 1] AS w2
+           FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+           WHERE len(t) >= 2),
+         p AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+           FROM pr GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT p.w1 || ' ' || p.w2 AS bigram, p.c_xy,
+                u1.c AS c1, u2.c AS c2,
+                CAST(p.c_xy * n_total * 10000 // (u1.c * u2.c) AS BIGINT)
+                  AS lift_bp
+         FROM p
+         JOIN uni u1 ON p.w1 = u1.w
+         JOIN uni u2 ON p.w2 = u2.w
+         CROSS JOIN tot
+         ORDER BY lift_bp DESC, bigram ASC LIMIT 30""",
 
     "text_tfidf_topk" ->
       """WITH tok AS (

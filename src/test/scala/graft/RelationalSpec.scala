@@ -210,6 +210,22 @@ class RelationalSpec extends SparkTestBase {
     assert(out == Seq(("a b", 2L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("collocations ranks pairs by integer lift with support floor") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    // unigrams a:3 b:3 c:1 d:1, N=8; lift_bp = c_xy*N*10000 div (c1*c2)
+    val out = graft.ops.TextAnalysis.collocations(docs, k = 10, minCount = 1)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("c d", 1L, 1L, 1L, 80000L),
+      ("a b", 3L, 3L, 3L, 3L * 8 * 10000 / 9),
+      ("b a", 2L, 3L, 3L, 2L * 8 * 10000 / 9)))
+    // support floor drops every pair with c_xy < minCount
+    val floored =
+      graft.ops.TextAnalysis.collocations(docs, k = 10, minCount = 3)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(floored == Seq(("a b", 3L, 3L, 3L, 3L * 8 * 10000 / 9)))
+  }
+
   test("all registered queries run at sf0.001 and every oracle key exists") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
