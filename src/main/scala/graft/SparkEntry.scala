@@ -1062,6 +1062,10 @@ object SparkEntry {
     // pairs that exact byte/md5 dedup provably cannot.
     "mm_phash_neardup" -> ((s, dir) => Multimodal.phashNearDup(s, t(s, dir, "documents"))),
 
+    // hot-band-bucket drop accounting for the image near-dup cap — the
+    // image twin of dedup_cap_stats (one row, zeros when nothing hot)
+    "mm_phash_cap_stats" -> ((s, dir) => Multimodal.phashCapStats(s, t(s, dir, "documents"))),
+
     // EXT: exact numeric column profile (count/nulls/distinct/min/max/sum).
     "profile_lineitem" -> ((s, dir) =>
       Profiler.numericProfile(t(s, dir, "lineitem"),
@@ -3877,11 +3881,16 @@ object SparkEntry {
                    65536 + ((hash_lo >> 16) & 65535),
                    131072 + (hash_hi & 65535),
                    196608 + ((hash_hi >> 16) & 65535)]) AS band_key) bk),
+          hot AS (
+            SELECT band_key FROM bands GROUP BY 1 HAVING count(*) > 64),
+          kept AS (
+            SELECT * FROM bands
+            WHERE band_key NOT IN (SELECT band_key FROM hot)),
           cand AS (
             SELECT DISTINCT l.rep AS l_rep, r.rep AS r_rep,
                    l.hash_hi AS l_hi, l.hash_lo AS l_lo,
                    r.hash_hi AS r_hi, r.hash_lo AS r_lo
-            FROM bands l JOIN bands r
+            FROM kept l JOIN kept r
               ON l.band_key = r.band_key AND l.rep < r.rep)
          SELECT l_rep, r_rep,
                 CAST(bit_count(xor(l_hi, r_hi)) + bit_count(xor(l_lo, r_lo))
@@ -3889,6 +3898,26 @@ object SparkEntry {
          FROM cand
          WHERE bit_count(xor(l_hi, r_hi)) + bit_count(xor(l_lo, r_lo)) <= 3
          ORDER BY l_rep, r_rep""",
+
+    "mm_phash_cap_stats" ->
+      s"""WITH $DhashCte,
+          groups AS (
+            SELECT hash_hi, hash_lo, min(doc_id * 2 + v) AS rep
+            FROM hashes GROUP BY hash_hi, hash_lo),
+          bands AS (
+            SELECT rep, band_key
+            FROM groups, LATERAL (SELECT unnest([
+                   hash_lo & 65535,
+                   65536 + ((hash_lo >> 16) & 65535),
+                   131072 + (hash_hi & 65535),
+                   196608 + ((hash_hi >> 16) & 65535)]) AS band_key) bk),
+          sz AS (SELECT band_key, CAST(count(*) AS BIGINT) AS sz
+                 FROM bands GROUP BY 1),
+          hot AS (SELECT * FROM sz WHERE sz > 64)
+         SELECT 'phash_band' AS stage,
+                CAST(coalesce(count(*), 0) AS BIGINT) AS n_hot_keys,
+                CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_dropped_rows
+         FROM hot""",
     "q1_group_count_sort" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
          GROUP BY 1 ORDER BY cnt DESC, c_mktsegment ASC""",

@@ -613,25 +613,29 @@ object Multimodal {
     *  3. exact verify: Hamming distance via xor + bit_count (codegen'd),
     *     keep 1 ≤ dist ≤ maxDist.
     * Output: (l_rep, r_rep, dist) over representative keys
-    * key = doc_id·2 + variant. */
+    * key = doc_id·2 + variant.
+    *
+    * `maxBucket` is the hot-bucket cap (the [[Dedup.minhashLsh]]
+    * discipline, applied to images): a band value shared by more than
+    * `maxBucket` DISTINCT hashes is dropped from candidate generation
+    * via a broadcast hot-list, so a skewed corpus (near-constant band
+    * halves — e.g. letterboxed or bordered images) is bounded at
+    * O(maxBucket²) per bucket instead of quadratic in the corpus.
+    * Identical images never hit the cap (they collapse to one rep in
+    * step 1); what the cap trades away is recall for NEAR-identical
+    * clusters wider than maxBucket, and that trade is observable, not
+    * silent — [[phashCapStats]] reports hot-key and dropped-row counts
+    * (the image twin of `dedup_cap_stats`). */
   def phashNearDup(spark: SparkSession, docs: DataFrame,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
     require(maxDist <= 3, s"4x16 banding only guarantees recall to dist 3, got $maxDist")
-    val hashes = dhashReal(spark, docs)
-      .select((col("doc_id") * 2 + col("variant")).as("key"),
-        col("hash_hi"), col("hash_lo"))
-    val groups = hashes.groupBy("hash_hi", "hash_lo")
-      .agg(min("key").as("rep"))
-    val bands = groups.select(col("rep"), col("hash_hi"), col("hash_lo"),
-      explode(array(
-        col("hash_lo").bitwiseAND(lit(0xFFFFL)),
-        lit(0x10000L) + shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
-        lit(0x20000L) + col("hash_hi").bitwiseAND(lit(0xFFFFL)),
-        lit(0x30000L) + shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xFFFFL))
-      )).as("band_key"))
-    val l = bands.select(col("band_key"), col("rep").as("l_rep"),
+    val bands = dhashBands(spark, docs)
+    val hot = bands.groupBy("band_key").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") > maxBucket).select("band_key")
+    val kept = bands.join(broadcast(hot), Seq("band_key"), "left_anti")
+    val l = kept.select(col("band_key"), col("rep").as("l_rep"),
       col("hash_hi").as("l_hi"), col("hash_lo").as("l_lo"))
-    val r = bands.select(col("band_key"), col("rep").as("r_rep"),
+    val r = kept.select(col("band_key"), col("rep").as("r_rep"),
       col("hash_hi").as("r_hi"), col("hash_lo").as("r_lo"))
     l.join(r, Seq("band_key"))
       .where(col("l_rep") < col("r_rep"))
@@ -643,6 +647,42 @@ object Multimodal {
       .select("l_rep", "r_rep", "dist")
       .orderBy("l_rep", "r_rep")
   }
+
+  /** Shared banding front half of [[phashNearDup]] / [[phashCapStats]]:
+    * distinct-hash representatives of the dHash corpus, exploded into
+    * their 4×16-bit band keys (band index folded into the key's high
+    * bits so bands never cross-match). */
+  private def dhashBands(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val hashes = dhashReal(spark, docs)
+      .select((col("doc_id") * 2 + col("variant")).as("key"),
+        col("hash_hi"), col("hash_lo"))
+    val groups = hashes.groupBy("hash_hi", "hash_lo")
+      .agg(min("key").as("rep"))
+    groups.select(col("rep"), col("hash_hi"), col("hash_lo"),
+      explode(array(
+        col("hash_lo").bitwiseAND(lit(0xFFFFL)),
+        lit(0x10000L) + shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        lit(0x20000L) + col("hash_hi").bitwiseAND(lit(0xFFFFL)),
+        lit(0x30000L) + shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xFFFFL))
+      )).as("band_key"))
+  }
+
+  /** Cap observability for [[phashNearDup]] — one row reporting how many
+    * band buckets exceed `maxBucket` distinct hashes and how many banded
+    * rows those hot buckets carry (= the candidate-generation volume the
+    * cap removed). The drop volume is itself an oracle-checked quantity,
+    * so "the cap silently ate my near-dups" cannot happen: a nonzero
+    * n_dropped_rows is visible in the same registry that reports the
+    * pairs. Always exactly one row (zeros when nothing is hot). */
+  def phashCapStats(spark: SparkSession, docs: DataFrame,
+      maxBucket: Int = 64): DataFrame =
+    dhashBands(spark, docs)
+      .groupBy("band_key").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxBucket)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_hot_keys"),
+        coalesce(sum("sz"), lit(0L)).as("n_dropped_rows"))
+      .select(lit("phash_band").as("stage"), col("n_hot_keys"),
+        col("n_dropped_rows"))
 
   def frameSample(spark: SparkSession, docs: DataFrame,
       frameBytes: Int = 32, stride: Int = 4): DataFrame = {

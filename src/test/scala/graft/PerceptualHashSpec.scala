@@ -76,4 +76,24 @@ class PerceptualHashSpec extends SparkTestBase {
     // banded join reaches EVERY brute pair — equality, not containment
     assert(got == brute)
   }
+
+  test("hot-band cap bounds candidates and reports the drop volume") {
+    // default cap (64) never fires on this corpus: stats row is zeros
+    // and the capped result equals the uncapped brute equality above
+    val quiet = Multimodal.phashCapStats(spark, docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(quiet.toSeq == Seq(("phash_band", 0L, 0L)))
+
+    // force the cap with maxBucket = 0: every band bucket is hot, so no
+    // candidates survive, and the stats at the same threshold account
+    // for every banded row of every distinct hash (4 bands per rep)
+    val capped = Multimodal.phashNearDup(spark, docs, maxBucket = 0)
+    assert(capped.count() == 0)
+    val nReps = Multimodal.dhashReal(spark, docs)
+      .select("hash_hi", "hash_lo").distinct().count()
+    val stats = Multimodal.phashCapStats(spark, docs, maxBucket = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.length == 1 && stats.head._3 == nReps * 4,
+      s"dropped-row accounting should cover all ${nReps * 4} banded rows: $stats")
+  }
 }
