@@ -122,6 +122,19 @@ object SparkEntry {
                                        * 10000) AS BIGINT) AS jw_bp
                      FROM er_cand)"""
 
+  /** Planted intra-batch near-dup pair for `dedup_ingest_gate`: two
+    * odd (= batch-side) ids far above any corpus doc_id, with a unique
+    * token vocabulary (never collides with natural shingles) and texts
+    * differing by one trailing token — 58 of 59 word 3-shingles shared,
+    * so MinHash puts them in a band bucket together and ≥16/32 signature
+    * components agree. A gets `new`, B gets `batch_near_dup`→A, at every
+    * sf. The oracle builds the same two rows from these constants. */
+  private val PlantedNearDupIdA = 9000001L
+  private val PlantedNearDupIdB = 9000003L
+  private val PlantedNearDupTextA =
+    (0 until 60).map(i => s"plantedtok$i").mkString(" ")
+  private val PlantedNearDupTextB = PlantedNearDupTextA + " plantedtail"
+
   /** Shared DuckDB CTE prefix for the mm perceptual-hash oracles: the
     * closed-form recompute of the synthesized stride-73 image (variant 1
     * perturbs one pixel), its 9×8 nearest-neighbor grid and the packed
@@ -853,13 +866,22 @@ object SparkEntry {
         .orderBy("norm")
     }),
     // the full ingest ADMISSION verdict per arriving doc (exact vs
-    // corpus, exact within batch, MinHash-LSH near-dup vs corpus, new):
-    // the decision a training pipeline makes every ingest cycle
+    // corpus, exact within batch, MinHash-LSH near-dup vs corpus,
+    // near-dup within the batch, new): the decision a training pipeline
+    // makes every ingest cycle. Two synthetic batch docs with unique
+    // vocabulary are PLANTED so the intra-batch quadrant provably fires
+    // on every corpus size (natural odd/odd near-dups aren't guaranteed);
+    // the oracle plants the identical rows.
     "dedup_ingest_gate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = Seq(
+        (PlantedNearDupIdA, PlantedNearDupTextA),
+        (PlantedNearDupIdB, PlantedNearDupTextB)).toDF("doc_id", "text")
+      val all = docs.unionByName(planted)
       Dedup.ingestGate(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1))
+        all.filter(col("doc_id") % 2 === 0),
+        all.filter(col("doc_id") % 2 === 1))
     }),
     // the gate's PERSISTED form: corpus signatures/caps built ONCE into
     // an on-disk index (pid-scoped, JVM-exit cleanup like the IVF one),
@@ -2692,7 +2714,7 @@ object SparkEntry {
 
   /** CTE chain ending in `mh_pairs(da, db, sig_matches)` — shared by the
     * MinHash-LSH pair oracle and the composed dedup-pipeline oracle. */
-  private def minhashLshCtes: String = {
+  private def minhashLshCtes(base: String = "documents"): String = {
     import Portable._
     val sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
       s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i").mkString(",\n           ")
@@ -2705,7 +2727,7 @@ object SparkEntry {
     val matches = (0 until graft.ops.Dedup.MinhashK)
       .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM $base),
        |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
        |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
        |          WHERE len(arr) >= 3),
@@ -2732,7 +2754,7 @@ object SparkEntry {
   }
 
   private def minhashLshOracle: String =
-    s"""WITH $minhashLshCtes
+    s"""WITH ${minhashLshCtes()}
        |SELECT da, db, sig_matches FROM mh_pairs ORDER BY da, db""".stripMargin
 
   /** Ingest-gate verdicts: reuses the minhash chain's `sig`/`keptb` CTEs
@@ -2744,9 +2766,13 @@ object SparkEntry {
     val matches = (0 until graft.ops.Dedup.MinhashK)
       .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH $minhashLshCtes,
-       | corp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
-       | bat  AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
+    s"""WITH docs_p AS (
+       |   SELECT doc_id, text FROM documents
+       |   UNION ALL SELECT $PlantedNearDupIdA, '$PlantedNearDupTextA'
+       |   UNION ALL SELECT $PlantedNearDupIdB, '$PlantedNearDupTextB'),
+       | ${minhashLshCtes("docs_p")},
+       | corp AS (SELECT doc_id, md5(text) AS fp FROM docs_p WHERE doc_id % 2 = 0),
+       | bat  AS (SELECT doc_id, md5(text) AS fp FROM docs_p WHERE doc_id % 2 = 1),
        | cfp AS (SELECT fp, min(doc_id) AS exact_id FROM corp GROUP BY 1),
        | bk  AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat GROUP BY 1),
        | nc AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
@@ -2761,19 +2787,36 @@ object SparkEntry {
        |            SELECT bid, cid,
        |                   row_number() OVER (PARTITION BY bid
        |                                      ORDER BY sm DESC, cid) AS rn
-       |            FROM sc) WHERE rn = 1)
+       |            FROM sc) WHERE rn = 1),
+       | nbb AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS bbid
+       |         FROM keptb bb JOIN keptb cb
+       |           ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+       |         WHERE bb.doc_id % 2 = 1 AND cb.doc_id % 2 = 1
+       |           AND cb.doc_id < bb.doc_id),
+       | sbb AS (SELECT bid, bbid, CAST($matches AS BIGINT) AS sm
+       |         FROM nbb JOIN sig sa ON sa.doc_id = bid
+       |                  JOIN sig sb ON sb.doc_id = bbid
+       |         WHERE $matches >= 16),
+       | bestb AS (SELECT bid, bbid FROM (
+       |             SELECT bid, bbid,
+       |                    row_number() OVER (PARTITION BY bid
+       |                                       ORDER BY sm DESC, bbid) AS rn
+       |             FROM sbb) WHERE rn = 1)
        |SELECT b.doc_id AS doc_id,
        |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
        |       WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
        |       WHEN nb.cid IS NOT NULL THEN 'near_dup'
+       |       WHEN bb2.bbid IS NOT NULL THEN 'batch_near_dup'
        |       ELSE 'new' END AS verdict,
        |  CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
        |       WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
        |       WHEN nb.cid IS NOT NULL THEN nb.cid
+       |       WHEN bb2.bbid IS NOT NULL THEN bb2.bbid
        |       ELSE NULL END AS match_id
        |FROM bat b LEFT JOIN cfp e ON e.fp = b.fp
        |JOIN bk k ON k.fp = b.fp
        |LEFT JOIN best nb ON nb.bid = b.doc_id
+       |LEFT JOIN bestb bb2 ON bb2.bid = b.doc_id
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -3371,7 +3414,7 @@ object SparkEntry {
     * side reuses the shared `tok`/`shs` string-shingle CTEs (j-prefixed
     * names avoid clashing with the minhash chain's `kept`). */
   private def dedupRecallOracle: String =
-    s"""WITH $minhashLshCtes,
+    s"""WITH ${minhashLshCtes()},
        | jsh AS (SELECT DISTINCT doc_id, s FROM shs),
        | jkept AS (SELECT doc_id, s FROM jsh
        |           WHERE s IN (SELECT s FROM jsh GROUP BY s HAVING count(*) <= 100)),
@@ -3396,7 +3439,7 @@ object SparkEntry {
     * parameters as Dedup.levenshteinRescore's defaults) → connected
     * components (recursive CTE) → per-doc keep verdict. */
   private def dedupPipelineOracle: String =
-    s"""WITH RECURSIVE $minhashLshCtes,
+    s"""WITH RECURSIVE ${minhashLshCtes()},
        | resc AS (
        |   SELECT p.da, p.db
        |   FROM mh_pairs p
@@ -3485,7 +3528,7 @@ object SparkEntry {
     * same affine-hash arithmetic as the fp_hash_split oracle. */
   private def leakageSplitOracle: String = {
     import Portable.{P1, aCoef, bCoef}
-    s"""WITH RECURSIVE $minhashLshCtes,
+    s"""WITH RECURSIVE ${minhashLshCtes()},
        | resc AS (
        |   SELECT p.da, p.db
        |   FROM mh_pairs p
@@ -3562,7 +3605,7 @@ object SparkEntry {
     * chains as the operator oracles (unreferenced CTEs in the shared
     * WITH clause are pruned by the planner). */
   private def capStatsOracle: String =
-    s"""WITH $minhashLshCtes,
+    s"""WITH ${minhashLshCtes()},
        | $simhashCtes,
        | sdf AS (SELECT hh, count(*) AS df FROM h
        |         GROUP BY hh HAVING count(*) > 100),

@@ -530,16 +530,20 @@ object Dedup {
     *      corpus doc and ≥ `minSigMatches`/[[MinhashK]] signature
     *      components agree (match_id = the corpus doc with the most
     *      matching components, smallest id on ties);
-    *   4. `new`        — admitted (match_id null).
-    *
-    * KNOWN BLIND SPOT (intentional): the near-dup probe is batch×corpus
-    * only, so two near-duplicate — but not byte-identical — docs arriving
-    * in the SAME batch are both admitted as `new` (only exact batch dups
-    * are caught, verdict 2). This is the steady-state cost choice: the
-    * probe never pays a batch×batch quadrant, and the standard deployment
-    * self-dedups each batch with [[pipeline]] BEFORE gating, which is
-    * where intra-batch near-dups belong. Once admitted, the pair is also
-    * visible to any later full-corpus audit ([[minhashRecall]]).
+    *   4. `batch_near_dup` — no corpus match, but banding pairs it with
+    *      an EARLIER (smaller-id) doc of the same batch at ≥
+    *      `minSigMatches` components (match_id = that doc, best-match
+    *      then smallest-id tie-break). This closes the round-5/6
+    *      documented blind spot where two near-identical — but not
+    *      byte-identical — docs arriving in one batch were both admitted
+    *      as `new`. The batch×batch quadrant is batch-sized (same
+    *      banding, same hot-bucket caps), so the steady-state cost story
+    *      is unchanged: the probe still never pays corpus×corpus. The
+    *      match target is chosen by id order, not verdict — it may
+    *      itself be rejected by an earlier rule (a gate consumer
+    *      resolving chains follows match_id links, the
+    *      [[resolveClusters]] pointer discipline);
+    *   5. `new`        — admitted (match_id null).
     *
     * Scale: fingerprints shuffle as fixed-width md5 strings, never text;
     * signatures/banding reuse the [[minhashLsh]] machinery with the SAME
@@ -605,17 +609,41 @@ object Dedup {
       .filter(col("__rn") === 1)
       .select(col("bid").as("doc_id"), col("cid").as("near_id"))
 
+    // intra-batch near-dup quadrant (verdict 4): same banded keys, each
+    // batch doc against EARLIER batch docs only — batch-sized work
+    val candBB = keptB.as("b").join(keptB.as("c"),
+        col("b.band_idx") === col("c.band_idx") &&
+          col("b.band_hash") === col("c.band_hash") &&
+          col("c.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("bid"), col("c.doc_id").as("bbid"))
+      .distinct()
+    val wBestB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bid").orderBy(desc("sig_matches"), asc("bbid"))
+    val nearB = candBB
+      .join(sig.as("sa"), col("bid") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("bbid") === col("sb.doc_id"))
+      .withColumn("sig_matches", sigMatchCount)
+      .filter(col("sig_matches") >= minSigMatches)
+      .select(col("bid"), col("bbid"), col("sig_matches"))
+      .withColumn("__rn", row_number().over(wBestB))
+      .filter(col("__rn") === 1)
+      .select(col("bid").as("doc_id"), col("bbid").as("batch_near_id"))
+
     bfp.join(cfp, Seq("fp"), "left")
       .join(bkeep, "fp")
       .join(near, Seq("doc_id"), "left")
+      .join(nearB, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_id").isNotNull, lit("exact_dup"))
           .when(col("doc_id") =!= col("batch_keep_id"), lit("batch_dup"))
           .when(col("near_id").isNotNull, lit("near_dup"))
+          .when(col("batch_near_id").isNotNull, lit("batch_near_dup"))
           .otherwise(lit("new")).as("verdict"),
         when(col("exact_id").isNotNull, col("exact_id"))
           .when(col("doc_id") =!= col("batch_keep_id"), col("batch_keep_id"))
-          .when(col("near_id").isNotNull, col("near_id")).as("match_id"))
+          .when(col("near_id").isNotNull, col("near_id"))
+          .when(col("batch_near_id").isNotNull, col("batch_near_id"))
+          .as("match_id"))
       .orderBy("doc_id")
   }
 

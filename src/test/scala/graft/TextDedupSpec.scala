@@ -197,10 +197,14 @@ class TextDedupSpec extends SparkTestBase {
       .collect().toSeq == Seq((1L, 2L, 10000L)))
   }
 
-  test("ingestGate: all four verdicts and their precedence on a literal batch") {
+  test("ingestGate: all five verdicts and their precedence on a literal batch") {
     // near-dup fodder: long shared shingle runs so LSH bands collide
     val longA = (1 to 40).map(i => s"tok$i").mkString(" ")
     val longB = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
+    // intra-batch pair: unique vocabulary (never matches corpus), one
+    // trailing-token difference — the round-6 blind spot now caught
+    val longC = (1 to 40).map(i => s"btok$i").mkString(" ")
+    val longD = longC + " btokTail"
     val corpus = Seq(
       (2L, "alpha beta gamma delta"), (4L, longA), (6L, "unrelated text here"))
       .toDF("doc_id", "text")
@@ -210,7 +214,9 @@ class TextDedupSpec extends SparkTestBase {
       (5L, "fresh content one"),      // new, but duplicated at id 7
       (7L, "fresh content one"),      // batch_dup of keeper 5
       (9L, "alpha beta gamma delta"), // corpus exact beats batch dup -> exact_dup(2)
-      (11L, "entirely novel stuff"))  // new
+      (11L, "entirely novel stuff"),  // new
+      (13L, longC),                   // new (first of the intra-batch pair)
+      (15L, longD))                   // batch_near_dup of 13
       .toDF("doc_id", "text")
     val got = graft.ops.Dedup.ingestGate(corpus, batch)
       .as[(Long, String, Option[Long])].collect().toSeq
@@ -220,7 +226,9 @@ class TextDedupSpec extends SparkTestBase {
       (5L, "new", None),
       (7L, "batch_dup", Some(5L)),
       (9L, "exact_dup", Some(2L)),
-      (11L, "new", None)))
+      (11L, "new", None),
+      (13L, "new", None),
+      (15L, "batch_near_dup", Some(13L))))
   }
 
   test("ingestGate: null-text docs are excluded on both sides, empties handled") {
