@@ -970,11 +970,16 @@ object SparkEntry {
       Similarity.probeIvfIndex(s, idx,
         emb.filter(col("vec_id") < 20), 5)
     }),
-    // EXT product quantization ANN: 4-byte codes + per-query ADC lookup
-    // tables, exact cosine re-rank of the shortlist. Rows-only (k-means
-    // floats); ≡ bruteTopK at shortlist >= corpus, spec-asserted.
+    // EXT product quantization ANN at the SUBLINEAR configuration:
+    // 8-byte codes over 256-word codebooks buy enough ADC resolution
+    // that a FIXED 64-row exact re-rank holds recall (PqTune-measured
+    // 9300 bp at sf0.1 N=2000 = 3.2% of corpus, 10000 bp at N=500 —
+    // vs the coarse 4x16 codebook's 15%-of-corpus auto shortlist).
+    // Rows-only (k-means floats); ≡ bruteTopK at shortlist >= corpus,
+    // spec-asserted.
     "sim_pq_topk" -> ((s, dir) =>
-      Similarity.pqTopK(t(s, dir, "embeddings"), 20, 5)),
+      Similarity.pqTopK(t(s, dir, "embeddings"), 20, 5,
+        m = 8, codebookSize = 256, shortlist = 64)),
     // similarity × dedup composition: sign-LSH near-dup pairs resolved to
     // connected components — embedding-level duplicate clusters
     "dedup_embedding_clusters" -> ((s, dir) =>
@@ -1024,8 +1029,13 @@ object SparkEntry {
     "ann_recall_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
-      val approx = Similarity.pqTopK(emb, 20, 5).select("q_id", "vec_id")
-      annRecallReport(exact, approx, floorBp = Some(4600))
+      // the sublinear config sim_pq_topk runs; floor raised 4600 → 6000
+      // now that the hi-res codebook measures 9300 bp at sf0.1 (a
+      // regenerated corpus has headroom; a collapse below 60% recall
+      // means the codebook-resolution contract broke — fail loudly)
+      val approx = Similarity.pqTopK(emb, 20, 5,
+        m = 8, codebookSize = 256, shortlist = 64).select("q_id", "vec_id")
+      annRecallReport(exact, approx, floorBp = Some(6000))
     }),
 
     // EXT audited k-means step: quantized-integer Lloyd iteration over

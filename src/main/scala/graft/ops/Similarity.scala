@@ -212,8 +212,14 @@ object Similarity {
     * size (measured via [[graft.tools.PqTune]]: 15% of corpus = 7600 bp
     * at N=500, 7200 bp at N=2000). At production N you keep the re-rank
     * sublinear the other way: grow `m·codebookSize` (ADC resolution) so
-    * the fraction needed for a given recall falls — the auto rule is the
-    * honest calibration for THIS codebook, not a universal constant. */
+    * the fraction needed for a given recall falls — DEMONSTRATED, not
+    * just claimed: at m=8/codebookSize=256 a FIXED 64-row shortlist
+    * measures (PqTune, round 7) 9300 bp at N=2000 (3.2% of corpus) and
+    * 10000 bp at N=500, vs the coarse codebook needing 15% for 7200 bp.
+    * That configuration is what `sim_pq_topk`/`ann_recall_pq` register
+    * (floor-armed at 6000 bp), making the re-rank O(nQueries·64) exact
+    * cosines while the ADC pass stays m bytes/vector — the auto rule
+    * remains only as the honest calibration for the coarse default. */
   def pqTopK(emb: DataFrame, nQueries: Int, k: Int, m: Int = 4,
       codebookSize: Int = 16, shortlist: Int = -1, dim: Int = 64,
       seed: Long = 42L): DataFrame = {

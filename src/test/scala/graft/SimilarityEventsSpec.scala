@@ -108,6 +108,22 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(recall >= 50, s"PQ recall collapsed: $recall%")
   }
 
+  test("pqTopK hi-res codebook holds recall with a fixed 64-row shortlist") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val brute = graft.ops.Similarity.bruteTopK(emb, 10, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // the registered sublinear configuration: 8x256 codebooks, exact
+    // re-rank bounded at 64 rows/query (12.8% here, 3.2% at sf0.1 and
+    // falling with N — the scale path)
+    val pq = graft.ops.Similarity.pqTopK(emb, 10, 5,
+        m = 8, codebookSize = 256, shortlist = 64)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(pq.size == brute.size)
+    val recall = (pq & brute).size * 100 / brute.size
+    info(s"PQ hi-res recall@5 at fixed shortlist 64: $recall%")
+    assert(recall >= 60, s"hi-res PQ recall collapsed: $recall%")
+  }
+
   test("ivfTopK with partial probing returns k ranked rows per query") {
     val emb = Tables(spark, sf0001, "embeddings")
     val ivf = graft.ops.Similarity
