@@ -745,6 +745,13 @@ object SparkEntry {
     "bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), BpeTrainMerges)),
 
+    // EXT batched BPE training: same merge table, ~maxBatch× fewer
+    // full pair-count passes (the 100 TB pass-count shape). Shares the
+    // SEQUENTIAL oracle — the driver hash compare IS the equivalence
+    // gate, so any batching divergence fails loudly.
+    "bpe_train_batched" -> ((s, dir) =>
+      TextAnalysis.bpeTrainBatched(t(s, dir, "documents"), BpeTrainMerges)),
+
     // EXT tokenizer application: encode the corpus with the trained
     // merges — per-doc word/char/token counts + tokens-per-char
     // compression (the token-budget statistic); one map-only corpus
@@ -3760,6 +3767,9 @@ object SparkEntry {
     "dedup_pipeline" -> dedupPipelineOracle,
     "split_leakage_safe" -> leakageSplitOracle,
     "bpe_train" -> bpeTrainOracle(BpeTrainMerges),
+    // the batched trainer must reproduce the SEQUENTIAL merge table —
+    // same oracle, so the driver's hash compare is the equivalence gate
+    "bpe_train_batched" -> bpeTrainOracle(BpeTrainMerges),
     "bpe_encode" -> bpeEncodeOracle(BpeTrainMerges),
     "dedup_simhash" -> simhashOracle,
     "dedup_cap_stats" -> capStatsOracle,

@@ -844,6 +844,92 @@ object TextAnalysis {
       .orderBy("round")
   }
 
+  /** Batched BPE training — [[bpeTrain]]'s merge table mined with up to
+    * `maxBatch` merges per full pair-count pass, the 100 TB pass-count
+    * fix for the one sequential cost [[bpeTrain]] retains (one
+    * dictionary-wide aggregate per merge). Per round: one weighted pair
+    * count, ONE driver argmax collect of the top few candidates, then a
+    * greedy batch of extra merges accepted only while provably
+    * low-interaction — each next candidate must (a) be strictly below
+    * the previous accepted count (a TIE is exactly where merge order
+    * changes the table → stop) and (b) share no symbol with any
+    * accepted pair (shared-symbol merges change each other's counts →
+    * stop, never skip: sequential might pick the conflicting pair next).
+    * Accepted merges apply in acceptance order in one fused projection,
+    * and the dictionary localCheckpoints per round, so lineage stays
+    * O(1) instead of the sequential form's O(rounds) replay chain.
+    *
+    * Exactness boundary, stated honestly: symbol-disjointness freezes
+    * every accepted candidate's own count (pair adjacencies change only
+    * around a merged symbol), so reported (pair, n) rows are exact; the
+    * one divergence mode left is a pair CREATED by an earlier merge in
+    * the batch outranking a later accepted candidate, which strict
+    * descent makes rare but not impossible. The guard is loud, not
+    * statistical: the spec asserts batched ≡ sequential on the test
+    * corpora, and the registered `bpe_train_batched` query shares the
+    * SEQUENTIAL DuckDB oracle — any divergence is a driver hash FAIL,
+    * never silent drift. Measured (sf0.1, merges=20): see BASELINE.md. */
+  def bpeTrainBatched(docs: DataFrame, merges: Int = 5, maxBatch: Int = 4,
+      text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMergeListBatched(docs, merges, maxBatch, text)
+      .toDF("round", "pair", "n").orderBy("round")
+  }
+
+  private def bpeMergeListBatched(docs: DataFrame, merges: Int,
+      maxBatch: Int, text: String): Seq[(Long, String, Long)] = {
+    require(merges >= 1 && merges <= 50, s"merges in [1,50], got $merges")
+    require(maxBatch >= 1, s"maxBatch >= 1, got $maxBatch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val reps0 = docs.select(explode(split(col(text), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("w"))
+      .select(concat_ws(" ",
+        filter(split(col("tok"), ""), s => s =!= "")).as("rep"), col("w"))
+      .localCheckpoint()
+    var reps = reps0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val syms = split(col("rep"), " ")
+      val topC = reps
+        .filter(size(syms) >= 2)
+        .select(col("w"), explode(transform(sequence(lit(0), size(syms) - 2),
+          i => concat(element_at(syms, i + 1), lit(" "),
+            element_at(syms, i + 2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("w")).as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(math.max(4 * maxBatch, 8))
+        .as[(String, Long)].collect()
+      if (topC.isEmpty) exhausted = true
+      else {
+        val want = math.min(maxBatch, merges - r + 1)
+        val accepted = scala.collection.mutable.ArrayBuffer(topC.head)
+        val usedSyms =
+          scala.collection.mutable.Set(topC.head._1.split(' ').toSeq: _*)
+        var i = 1
+        var stop = false
+        while (!stop && accepted.size < want && i < topC.length) {
+          val (p, n) = topC(i)
+          val ps = p.split(' ')
+          if (n == accepted.last._2 || ps.exists(usedSyms)) stop = true
+          else { accepted += ((p, n)); usedSyms ++= ps }
+          i += 1
+        }
+        accepted.foreach { case (p, n) => out += ((r.toLong, p, n)); r += 1 }
+        val newRep = accepted.foldLeft(col("rep")) { (c, pn) =>
+          org.apache.spark.sql.functions.replace(c, lit(pn._1),
+            lit(pn._1.replace(" ", "")))
+        }
+        reps = reps.select(newRep.as("rep"), col("w")).localCheckpoint()
+      }
+    }
+    reps0.unpersist()
+    out.toSeq
+  }
+
   /** The training loop behind [[bpeTrain]]/[[bpeEncode]], returning the
     * driver-resident merge table (every distributed BPE trainer collects
     * exactly this artifact — it IS the tokenizer). */

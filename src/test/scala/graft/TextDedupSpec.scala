@@ -705,6 +705,33 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((1L, "a a", 2L), (2L, "aa a", 1L)))
   }
 
+  test("bpeTrainBatched: merge table equals sequential bpeTrain") {
+    // the real corpus at two merge depths (the registered query's 5 and
+    // a deeper 20 that spans many batched rounds)
+    val docs = Tables(spark, sf0001, "documents")
+    for (m <- Seq(5, 20)) {
+      val seqT = TextAnalysis.bpeTrain(docs, merges = m)
+        .as[(Long, String, Long)].collect().toSeq
+      val bat = TextAnalysis.bpeTrainBatched(docs, merges = m)
+        .as[(Long, String, Long)].collect().toSeq
+      assert(bat == seqT, s"batched diverged from sequential at merges=$m")
+    }
+    // tie corpus: equal top counts force the batch to stop at one merge
+    // per round — still identical to sequential
+    val ties = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrainBatched(ties, merges = 4)
+      .as[(Long, String, Long)].collect().toSeq ==
+      TextAnalysis.bpeTrain(ties, merges = 4)
+        .as[(Long, String, Long)].collect().toSeq)
+    // conflict corpus: overlapping-symbol candidates ("a b" then "b c")
+    // must not batch together
+    val conf = Seq((1L, "abc abc abc abd")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrainBatched(conf, merges = 4)
+      .as[(Long, String, Long)].collect().toSeq ==
+      TextAnalysis.bpeTrain(conf, merges = 4)
+        .as[(Long, String, Long)].collect().toSeq)
+  }
+
   test("split_leakage_safe: cluster members never straddle splits") {
     val res = SparkEntry.queries("split_leakage_safe")(spark, sf0001)
       .as[(Long, Long, String)].collect().toSeq
