@@ -697,6 +697,12 @@ object SparkEntry {
         qi = Seq("c_nationkey", "c_mktsegment", "bal_kb"),
         sensitive = "c_name", k = 5, l = 2)),
 
+    // EXT DP count release (geometric mechanism, integer-portable
+    // discrete-Laplace sampler): per-nation noisy customer counts with
+    // per-row epsilon stamps; the whole mechanism hash-oracle-checked
+    "privacy_dp_counts" -> ((s, dir) =>
+      graft.ops.Privacy.dpCounts(t(s, dir, "customer"), "c_nationkey")),
+
     // per-doc top-3 terms by frequency (stopword-filtered, exact tf)
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"))),
@@ -5930,6 +5936,31 @@ object SparkEntry {
                 CAST(COALESCE(sum(group_n) FILTER (WHERE group_n < 5), 0)
                      * 10000 // sum(group_n) AS BIGINT) AS suppress_bp
          FROM g""",
+
+    // trailing-ones(h) = bit_count((h XOR h+1)) - 1 is the portable
+    // Geometric(1/2) draw; the noise is the difference of two draws
+    "privacy_dp_counts" ->
+      s"""WITH g AS (
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true
+            FROM customer GROUP BY 1),
+          h AS (
+            SELECT c_nationkey, n_true,
+              (CAST(c_nationkey AS BIGINT) % ${Portable.P1}
+                 * ${Portable.aCoef(17)} + ${Portable.bCoef(17)})
+                % ${Portable.P1} AS h1,
+              (CAST(c_nationkey AS BIGINT) % ${Portable.P1}
+                 * ${Portable.aCoef(18)} + ${Portable.bCoef(18)})
+                % ${Portable.P1} AS h2
+            FROM g),
+          z AS (
+            SELECT c_nationkey, n_true,
+              CAST((bit_count(xor(h1, h1 + 1)) - 1)
+                 - (bit_count(xor(h2, h2 + 1)) - 1) AS BIGINT) AS noise
+            FROM h)
+         SELECT c_nationkey, n_true, noise,
+                CAST(greatest(n_true + noise, 0) AS BIGINT) AS released,
+                CAST(6931 AS BIGINT) AS eps_bp
+         FROM z ORDER BY c_nationkey""",
 
     // NOT EXISTS, not NOT IN: a NULL fp in base (null-text doc) would
     // turn NOT IN into UNKNOWN for every row, while Spark's left_anti

@@ -68,4 +68,45 @@ object Privacy {
           "could misread as pass")).isNull,
         expr("rows_k_violating * 10000 div n_rows")).as("suppress_bp"))
   }
+
+  /** Differentially-private count release via the GEOMETRIC MECHANISM
+    * (Ghosh-Roughgarden-Sundararajan 2009): per-group counts perturbed
+    * by discrete-Laplace noise Z = G₁ − G₂, the difference of two iid
+    * Geometric(1/2) draws, giving P(Z = z) ∝ α^|z| with α = 1/2 —
+    * ε = ln 2 per released count at sensitivity 1 (`eps_bp` = 6931
+    * stamps each row with its budget spend ×10⁴).
+    *
+    * Sampling is INTEGER-ONLY and portable: two seeded affine hashes of
+    * the group key give near-uniform values in [0, P1), and
+    * trailing-ones(h) = bit_count((h XOR (h+1)) >> 1) is a perfect
+    * Geometric(1/2) draw on uniform bits — no float inverse-CDF, no
+    * log, identical in Spark and DuckDB bit arithmetic, which is what
+    * lets the whole MECHANISM be hash-oracle-checked end to end.
+    *
+    * LOUD CAVEAT (by design, the seeded-ML stance of this repo): noise
+    * derived deterministically from the group key is NOT differential
+    * privacy — an adversary who knows the key recomputes the noise.
+    * This surface verifies mechanism SHAPE (per-row budget accounting,
+    * noise distribution, release arithmetic); production swaps the two
+    * hash draws for a secure RNG and keeps every other line. Released
+    * counts are clamped at 0 (counts are non-negative; clamping is
+    * post-processing — DP holds through it).
+    *
+    * Scale: one hash aggregate + a map-only noise projection; nothing
+    * but (key, count) shuffles. */
+  def dpCounts(df: DataFrame, key: String, magIdx: Int = 17,
+      signIdx: Int = 18): DataFrame = {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    def affine(i: Int): Column =
+      (col(key).cast("long") % lit(P1) * lit(aCoef(i)) + lit(bCoef(i))) % lit(P1)
+    def trailingOnes(h: Column): Column =
+      (bit_count(h.bitwiseXOR(h + lit(1L))) - lit(1)).cast("long")
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise",
+        trailingOnes(affine(magIdx)) - trailingOnes(affine(signIdx)))
+      .withColumn("released", greatest(col("n_true") + col("noise"), lit(0L)))
+      .withColumn("eps_bp", lit(6931L))
+      .orderBy(key)
+  }
 }

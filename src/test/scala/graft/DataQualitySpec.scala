@@ -64,6 +64,31 @@ class DataQualitySpec extends SparkTestBase {
     assert(bp >= 0L && bp <= 10000L)
   }
 
+  test("privacy: dpCounts geometric mechanism — exact noise, clamp, budget") {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    def to(h: Long): Long = java.lang.Long.bitCount(h ^ (h + 1)) - 1
+    def noise(k: Long): Long = {
+      def h(i: Int) = (k % P1 * aCoef(i) + bCoef(i)) % P1
+      to(h(17)) - to(h(18))
+    }
+    // multi-count groups plus 50 singletons (some of which must clamp)
+    val df = (Seq.fill(5)(0L) ++ Seq.fill(3)(1L) ++ (2L to 51L)).toDF("k")
+    val got = graft.ops.Privacy.dpCounts(df, "k")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    got.foreach { case (k, n, z, rel, eps) =>
+      assert(z == noise(k), s"noise mismatch for key $k")
+      assert(rel == math.max(n + z, 0L))
+      assert(eps == 6931L)
+    }
+    assert(got.map(_._1) == (0L to 51L))
+    assert(got.take(2).map(_._2) == Seq(5L, 3L))
+    // discrete-Laplace: clamping must fire somewhere among the
+    // singletons (noise <= -1 has probability ~1/3 per key)
+    assert(got.drop(2).exists(_._4 == 0L), "no singleton clamped to 0")
+    assert(got.exists(_._3 > 0L) && got.exists(_._3 < 0L),
+      "noise should be two-sided")
+  }
+
   test("expectations: same-table rules fuse into one scan") {
     val df = spark.read.parquet(s"$sf001/orders.parquet")
     val plan = DataQuality.report(Map("orders" -> df), Seq(
