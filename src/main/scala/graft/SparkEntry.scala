@@ -961,6 +961,12 @@ object SparkEntry {
 
     // EXT similarity search over embeddings:
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteTopK(t(s, dir, "embeddings"), 20, 5)),
+
+    // EXT contrastive-training hard negatives: per-anchor top-5
+    // different-label cosine neighbors + hardest-positive margin flags
+    // (the triplet-loss active set); same broadcast scan shape as brute
+    "sim_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), 20, 5)),
     "sim_neardup_cosine" -> ((s, dir) => Similarity.bruteNearDup(t(s, dir, "embeddings"), 0.4)),
     "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
     "sim_ivf_topk" -> ((s, dir) =>
@@ -5999,6 +6005,28 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, rnk, vec_id, cosine FROM ranked
          WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+    "sim_hard_negatives" ->
+      """WITH base AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, q.label AS q_label, b.vec_id, b.label,
+                  list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
+           FROM base b JOIN base q ON q.vec_id < 20 AND b.vec_id <> q.vec_id),
+         pos AS (
+           SELECT q_id, max(cosine) AS pos_cos FROM scored
+           WHERE label = q_label GROUP BY 1),
+         neg AS (
+           SELECT q_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rnk
+           FROM scored WHERE label <> q_label)
+         SELECT n.q_id, n.rnk, n.vec_id, n.cosine, p.pos_cos,
+                n.cosine > p.pos_cos AS violates_margin
+         FROM neg n LEFT JOIN pos p ON p.q_id = n.q_id
+         WHERE n.rnk <= 5 ORDER BY n.q_id, n.rnk""",
 
     "sim_neardup_cosine" ->
       """WITH base AS (

@@ -57,6 +57,45 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Hard-negative mining — the contrastive-training sampler: for each
+    * anchor (vec_id < nQueries), the top-k most-cosine-similar vectors
+    * with a DIFFERENT label ("similar but wrong" — the negatives that
+    * actually move a retrieval/embedding model), plus the anchor's
+    * hardest positive (max same-label cosine) and the triplet-margin
+    * flag `violates_margin` = negative beats hardest positive — the
+    * active set a margin-0 triplet loss would train on. Anchors without
+    * any positive surface with NULL pos_cos/flag (not dropped, not
+    * defaulted — the caller decides).
+    *
+    * Scale shape: identical to [[bruteTopK]] (one broadcast of the
+    * nQueries anchors against the corpus, map-side scoring, per-anchor
+    * top-k) — the corpus is scanned, never self-joined; swap the scorer
+    * for [[ivfTopK]]/[[pqTopK]] candidates at billion-row corpora and
+    * keep the same label-exclusion + margin tail. Float cosine ordering
+    * is the sim_brute_topk cross-engine discipline; whole output
+    * hash-oracle'd. */
+  def hardNegatives(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("nrm", norm(col("embedding")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("label").as("q_label"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+    val hardestPos = scored.filter(col("label") === col("q_label"))
+      .groupBy("q_id").agg(max("cosine").as("pos_cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .join(broadcast(hardestPos), Seq("q_id"), "left")
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"),
+        col("pos_cos"),
+        (col("cosine") > col("pos_cos")).as("violates_margin"))
+      .orderBy("q_id", "rnk")
+  }
+
   def bruteTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))

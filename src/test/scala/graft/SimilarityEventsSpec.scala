@@ -108,6 +108,30 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(recall >= 50, s"PQ recall collapsed: $recall%")
   }
 
+  test("hardNegatives: different-label top-k with triplet-margin flags") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0),  // anchor
+      (1L, Seq(1f, 1f), 0),  // positive, cos = 1/sqrt2
+      (2L, Seq(4f, 1f), 1),  // hard negative, cos = 4/sqrt17 > pos
+      (3L, Seq(1f, 4f), 1),  // easy negative, cos = 1/sqrt17 < pos
+      (4L, Seq(-1f, 0f), 9)  // anti-aligned negative, ranks last
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.hardNegatives(emb, nQueries = 1, k = 2)
+      .as[(Long, Int, Long, Double, Option[Double], Option[Boolean])]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._6)) == Seq(
+      (0L, 1, 2L, Some(true)),   // negative beats hardest positive
+      (0L, 2, 3L, Some(false))))
+    assert(math.abs(got.head._4 - 4.0 / math.sqrt(17)) < 1e-6)
+    assert(math.abs(got.head._5.get - 1.0 / math.sqrt(2)) < 1e-6)
+    // an anchor with NO positive surfaces NULL pos_cos + NULL flag
+    val solo = graft.ops.Similarity.hardNegatives(
+        emb.filter(col("vec_id") =!= 1L), nQueries = 1, k = 2)
+      .as[(Long, Int, Long, Double, Option[Double], Option[Boolean])]
+      .collect().toSeq
+    assert(solo.forall(r => r._5.isEmpty && r._6.isEmpty) && solo.size == 2)
+  }
+
   test("pqTopK hi-res codebook holds recall with a fixed 64-row shortlist") {
     val emb = Tables(spark, sf0001, "embeddings")
     val brute = graft.ops.Similarity.bruteTopK(emb, 10, 5)
