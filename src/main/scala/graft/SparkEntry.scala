@@ -717,6 +717,11 @@ object SparkEntry {
     "text_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"))),
 
+    // EXT per-source n-gram diversity (distinct-1/distinct-2 bp): the
+    // templated-text / model-contamination screen per corpus slice
+    "text_ngram_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(t(s, dir, "documents"))),
+
     // EXACT global top-20 tokens via bounded-state Misra-Gries
     // candidates + exact rescore (no full-vocabulary shuffle); the
     // losslessness bound is asserted inside the plan.
@@ -5421,6 +5426,29 @@ object SparkEntry {
          JOIN uni u2 ON p.w2 = u2.w
          CROSS JOIN tot
          ORDER BY lift_bp DESC, bigram ASC LIMIT 30""",
+
+    "text_ngram_diversity" ->
+      """WITH toks AS (
+           SELECT source, string_split(text, ' ') AS t FROM documents),
+         uni AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_unigrams,
+                  CAST(count(DISTINCT u.g) AS BIGINT) AS d_unigrams
+           FROM toks, LATERAL (SELECT unnest(t) AS g) u GROUP BY 1),
+         bi AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(count(DISTINCT t[i] || ' ' || t[i + 1]) AS BIGINT)
+                    AS d_bigrams
+           FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+           WHERE len(t) >= 2 GROUP BY 1)
+         SELECT u.source, u.n_unigrams, u.d_unigrams,
+                CAST(u.d_unigrams * 10000 // u.n_unigrams AS BIGINT)
+                  AS distinct1_bp,
+                CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(b.d_bigrams, 0) AS BIGINT) AS d_bigrams,
+                CAST(b.d_bigrams * 10000 // b.n_bigrams AS BIGINT)
+                  AS distinct2_bp
+         FROM uni u LEFT JOIN bi b ON b.source = u.source
+         ORDER BY u.source""",
 
     "text_tfidf_topk" ->
       """WITH tok AS (

@@ -316,6 +316,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-stratum n-gram diversity report — the distinct-1 / distinct-2
+    * ratios of Li et al. 2016 applied to corpus curation: for each
+    * `by` slice (source, lang), total and distinct unigram/bigram
+    * counts and their ratios in integer bp. LOW distinct-n = templated
+    * or machine-duplicated text (the slice a mixture re-weights down or
+    * a dedup pass revisits); a diversity COLLAPSE between two corpus
+    * versions is the cheap memorization/mode-collapse screen for
+    * model-generated contamination.
+    *
+    * Scale: two gram streams off one tokenized scan, each a (stratum,
+    * gram)-keyed count-distinct — reducer state is the per-stratum gram
+    * VOCABULARY, not the corpus. At 100 TB swap the exact
+    * countDistinct for [[Sketches.hllGrouped]] registers (same report,
+    * ±2% — the merge-law discipline is already spec'd there); exact is
+    * the right default at audit scale because the ratios feed release
+    * gates. Strata with no bigrams (all docs single-token) surface with
+    * zero counts and NULL distinct2_bp rather than dropping. */
+  def ngramDiversity(docs: DataFrame, by: String = "source",
+      text: String = "text"): DataFrame = {
+    val toks = docs.select(col(by), Texty.tokens(col(text)).as("t"))
+    val uniAgg = toks.select(col(by), explode(col("t")).as("g"))
+      .groupBy(by).agg(count(lit(1)).as("n_unigrams"),
+        countDistinct(col("g")).as("d_unigrams"))
+    val biAgg = toks.filter(size(col("t")) >= 2)
+      .select(col(by), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> concat(t[i], ' ', t[i + 1]))")).as("g"))
+      .groupBy(by).agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("g")).as("d_bigrams"))
+    uniAgg.join(biAgg, Seq(by), "left")
+      .select(col(by),
+        col("n_unigrams"), col("d_unigrams"),
+        expr("d_unigrams * 10000 div n_unigrams").as("distinct1_bp"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("d_bigrams"), lit(0L)).as("d_bigrams"),
+        expr("d_bigrams * 10000 div n_bigrams").as("distinct2_bp"))
+      .orderBy(by)
+  }
+
   def tokenCounts(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame =
     docs.select(

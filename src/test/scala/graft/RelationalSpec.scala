@@ -226,6 +226,19 @@ class RelationalSpec extends SparkTestBase {
     assert(floored == Seq(("a b", 3L, 3L, 3L, 3L * 8 * 10000 / 9)))
   }
 
+  test("ngramDiversity: per-stratum distinct ratios, bigramless stratum kept") {
+    val docs = Seq(
+      (1L, "a b a", "en", "A"),
+      (2L, "x", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.ops.TextAnalysis.ngramDiversity(docs)
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 2L, 6666L, 2L, 2L, Some(10000L)),
+      ("B", 1L, 1L, 10000L, 0L, 0L, None)))
+  }
+
   test("all registered queries run at sf0.001 and every oracle key exists") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
