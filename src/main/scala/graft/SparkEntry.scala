@@ -722,6 +722,11 @@ object SparkEntry {
     "text_ngram_diversity" -> ((s, dir) =>
       TextAnalysis.ngramDiversity(t(s, dir, "documents"))),
 
+    // EXT the same report on HLL registers (the 100 TB swap applied:
+    // |strata|·1024 cells of reducer state, estimates hash-oracle'd)
+    "text_ngram_diversity_hll" -> ((s, dir) =>
+      TextAnalysis.ngramDiversityHll(t(s, dir, "documents"))),
+
     // EXACT global top-20 tokens via bounded-state Misra-Gries
     // candidates + exact rescore (no full-vocabulary shuffle); the
     // losslessness bound is asserted inside the plan.
@@ -3121,6 +3126,63 @@ object SparkEntry {
        |FROM f""".stripMargin
   }
 
+  /** HLL-diversity oracle: the [[hllOracleFor]] chain run per SOURCE over
+    * rolling-hashed unigram/bigram streams (the fp_feature_hash gram-hash
+    * twin feeding the sketch pipeline), joined with exact totals. */
+  private def ngramDiversityHllOracle: String = {
+    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
+    import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
+    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
+    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
+    val top = HllVBits + 1
+    val gramHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split_regex(g, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % " +
+      s"$P1)"
+    def chain(p: String, gramCte: String): String =
+      s"""${p}k AS (SELECT source, $gramHash AS k FROM $gramCte),
+         | ${p}h AS (SELECT source,
+         |        ((((k % $P1) * (k % $P1)) % $P1) * $a1 + (k % $P1) * $b1) % $P1 * $P2
+         |        + ((((k % $P2) * (k % $P2)) % $P2) * $a2 + (k % $P2) * $b2) % $P2 AS hv
+         |      FROM ${p}k),
+         | ${p}r AS (SELECT source, hv % $HllM AS bucket,
+         |        max(CASE WHEN (hv // $HllM) % ${1L << HllVBits} = 0 THEN $top
+         |                 ELSE $top - length(bin((hv // $HllM) % ${1L << HllVBits}))
+         |            END) AS reg
+         |      FROM ${p}h GROUP BY 1, 2),
+         | ${p}e AS (SELECT source,
+         |        CAST(round($HllC / CAST(
+         |          sum(1::BIGINT << CAST($top - reg AS INT))
+         |          + ($HllM - count(*)) * (1::BIGINT << $top) AS DOUBLE))
+         |        AS BIGINT) AS est
+         |      FROM ${p}r GROUP BY 1)""".stripMargin
+    s"""WITH toks AS (
+       |   SELECT source, string_split(text, ' ') AS t FROM documents),
+       | ug AS (SELECT source, u.g
+       |        FROM toks, LATERAL (SELECT unnest(t) AS g) u),
+       | bg AS (SELECT source, t[i] || ' ' || t[i + 1] AS g
+       |        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+       |        WHERE len(t) >= 2),
+       | ${chain("u", "ug")},
+       | ${chain("b", "bg")},
+       | un AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unigrams
+       |        FROM ug GROUP BY 1),
+       | bn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams
+       |        FROM bg GROUP BY 1)
+       |SELECT un.source, un.n_unigrams,
+       |       ue.est AS est_d_unigrams,
+       |       CAST(ue.est * 10000 // un.n_unigrams AS BIGINT)
+       |         AS est_distinct1_bp,
+       |       CAST(coalesce(bn.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       be.est AS est_d_bigrams,
+       |       CAST(be.est * 10000 // bn.n_bigrams AS BIGINT)
+       |         AS est_distinct2_bp
+       |FROM un JOIN ue ON ue.source = un.source
+       |LEFT JOIN bn ON bn.source = un.source
+       |LEFT JOIN be ON be.source = un.source
+       |ORDER BY un.source""".stripMargin
+  }
+
   /** Per-group HLL oracle: [[hllOracleFor]] with the group column carried
     * through every CTE — registers, harmonic sums and estimates all
     * GROUP BY the dimension, exactly like
@@ -5449,6 +5511,8 @@ object SparkEntry {
                   AS distinct2_bp
          FROM uni u LEFT JOIN bi b ON b.source = u.source
          ORDER BY u.source""",
+
+    "text_ngram_diversity_hll" -> ngramDiversityHllOracle,
 
     "text_tfidf_topk" ->
       """WITH tok AS (

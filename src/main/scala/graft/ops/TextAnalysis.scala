@@ -355,6 +355,46 @@ object TextAnalysis {
       .orderBy(by)
   }
 
+  /** [[ngramDiversity]] with the documented 100 TB swap APPLIED: the
+    * per-stratum distinct counts come from portable HLL register tables
+    * ([[Sketches.hllRegistersBy]]) over rolling-hashed grams instead of
+    * exact countDistinct — reducer state is |strata|·1024 registers,
+    * not the gram vocabulary, and a billion-gram stream partial-
+    * aggregates map-side. Totals stay exact (they're plain counts).
+    * Raw-HLL small-range bias applies below ~2.5·m distinct grams (the
+    * [[Sketches.hllRegisters]] sizing note); at audit scale the exact
+    * variant is the gate, this is the fleet-wide monitor. Every number
+    * is the same portable arithmetic as the sketch family ⇒ the whole
+    * estimated report is hash-oracle-checked, estimates included. */
+  def ngramDiversityHll(docs: DataFrame, by: String = "source",
+      text: String = "text"): DataFrame = {
+    val toks = docs.select(col(by), Texty.tokens(col(text)).as("t"))
+    val uniG = toks.select(col(by), explode(col("t")).as("g"))
+    val biG = toks.filter(size(col("t")) >= 2)
+      .select(col(by), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> concat(t[i], ' ', t[i + 1]))")).as("g"))
+    def est(grams: DataFrame, out: String): DataFrame =
+      Sketches.hllSummaryBy(
+        Sketches.hllRegistersBy(
+          grams.select(col(by), Texty.rollingHash(col("g")).as("k")),
+          "k", Seq(by)),
+        Seq(by))
+        .select(col(by), col("est_distinct").as(out))
+    val un = uniG.groupBy(by).agg(count(lit(1)).as("n_unigrams"))
+    val bn = biG.groupBy(by).agg(count(lit(1)).as("n_bigrams"))
+    un.join(est(uniG, "est_d_unigrams"), Seq(by))
+      .join(bn, Seq(by), "left")
+      .join(est(biG, "est_d_bigrams"), Seq(by), "left")
+      .select(col(by),
+        col("n_unigrams"), col("est_d_unigrams"),
+        expr("est_d_unigrams * 10000 div n_unigrams").as("est_distinct1_bp"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("est_d_bigrams"),
+        expr("est_d_bigrams * 10000 div n_bigrams").as("est_distinct2_bp"))
+      .orderBy(by)
+  }
+
   def tokenCounts(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame =
     docs.select(

@@ -239,6 +239,29 @@ class RelationalSpec extends SparkTestBase {
       ("B", 1L, 1L, 10000L, 0L, 0L, None)))
   }
 
+  test("ngramDiversityHll: exact totals; estimates accurate above 2.5m") {
+    // corpus totals are exact whatever the regime
+    val docs = Tables(spark, sf0001, "documents")
+    val exact = graft.ops.TextAnalysis.ngramDiversity(docs)
+      .select("source", "n_unigrams")
+      .as[(String, Long)].collect().toMap
+    val corp = graft.ops.TextAnalysis.ngramDiversityHll(docs)
+      .select("source", "n_unigrams")
+      .as[(String, Long)].collect().toSeq
+    assert(corp.toMap == exact && corp.map(_._1).toSet == exact.keySet)
+
+    // accurate regime: 10k+ distinct grams per stratum (> 2.5·1024, past
+    // the documented raw-HLL small-range floor) → within ~3·stderr (10%)
+    val big = (0L until 3500L)
+      .map(i => (i, s"u${3 * i} u${3 * i + 1} u${3 * i + 2}", "en", "S"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.ops.TextAnalysis.ngramDiversityHll(big)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r._2 == 10500L && r._5 == 7000L) // exact totals
+    assert(math.abs(r._3 - 10500L) <= 1050, s"unigram est ${r._3}")
+    assert(math.abs(r._6 - 7000L) <= 700, s"bigram est ${r._6}")
+  }
+
   test("all registered queries run at sf0.001 and every oracle key exists") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
