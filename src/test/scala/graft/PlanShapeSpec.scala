@@ -119,6 +119,34 @@ class PlanShapeSpec extends SparkTestBase {
       s"partition filter not pruned at the scan:\n$plan")
   }
 
+  test("round-7 queries: broadcast anchors, single aggregates, pruned scans") {
+    // hard negatives: anchors broadcast against the corpus — never a
+    // sort-merge self-join; positives/negatives both off broadcasts
+    val hn = planOf("sim_hard_negatives")
+    assert(hn.contains("BroadcastHashJoin") && !hn.contains("SortMergeJoin"),
+      s"hard negatives should broadcast anchors:\n$hn")
+    // dp counts: one hash aggregate over the key + map-only noise — no
+    // window, no join
+    val dp = planOf("privacy_dp_counts")
+    assert(!dp.contains("Window") && !dp.contains("Join"),
+      s"dpCounts should be one aggregate + projection:\n$dp")
+    assert(dp.contains("ReadSchema: struct<c_nationkey:int>"),
+      s"dpCounts scan not pruned:\n$dp")
+    // diversity reports: pruned to (text, source); collocations prunes
+    // to text only and plans TakeOrderedAndProject for its top-k
+    Seq("text_ngram_diversity", "text_ngram_diversity_hll").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("ReadSchema: struct<text:string,source:string>")
+        || p.contains("ReadSchema: struct<source:string,text:string>"),
+        s"$q scan not pruned:\n$p")
+    }
+    val coll = planOf("text_collocations")
+    assert(coll.contains("ReadSchema: struct<text:string>"),
+      s"collocations scan not pruned:\n$coll")
+    assert(coll.contains("TakeOrderedAndProject"),
+      s"collocations top-k should plan TakeOrdered:\n$coll")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =
