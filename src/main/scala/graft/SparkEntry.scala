@@ -922,6 +922,26 @@ object SparkEntry {
       Dedup.buildSigIndex(docs.filter(col("doc_id") % 2 === 0), idx)
       Dedup.probeSigIndex(s, idx, docs.filter(col("doc_id") % 2 === 1))
     }),
+    // TWO ingest cycles against one index: build on the even half,
+    // probe batch 1 (doc_id ≡ 1 mod 4), APPEND its admitted (verdict
+    // `new`) docs — batch-sized, no rebuild, caps stay build-pinned —
+    // then probe batch 2 (doc_id ≡ 3 mod 4), whose verdicts see cycle-1
+    // admissions as corpus. The steady-state 100 TB maintenance loop,
+    // oracle-replicated end to end.
+    "dedup_sig_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-sig-append-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(idx)
+      Dedup.buildSigIndex(docs.filter(col("doc_id") % 2 === 0), idx)
+      val batch1 = docs.filter(col("doc_id") % 4 === 1)
+      val admittedIds = Dedup.probeSigIndex(s, idx, batch1)
+        .filter(col("verdict") === "new").select("doc_id")
+      Dedup.appendToSigIndex(s, idx, batch1.join(admittedIds, "doc_id"))
+      Dedup.probeSigIndex(s, idx, docs.filter(col("doc_id") % 4 === 3))
+    }),
     // the production dedup pipeline END TO END (the 100 TB path that
     // Dedup.levenshteinRescore's doc promises; stages previously only
     // checked separately): MinHash-LSH candidate generation → banded
@@ -2865,6 +2885,103 @@ object SparkEntry {
     * CORPUS hot shingles (exactly what Dedup.buildSigIndex persists and
     * probeSigIndex reads back). Mirrors the operator's build→probe
     * semantics end to end in one SQL chain. */
+  /** Two-cycle sig-index oracle: one shared shingle/signature chain with
+    * BUILD-PINNED (even-half-scoped) hot lists, probe of batch 1
+    * (doc_id ≡ 1 mod 4), admission of its `new` docs, then probe of
+    * batch 2 (doc_id ≡ 3 mod 4) against even ∪ admitted — exactly the
+    * parquet-append state the operator maintains. */
+  private def sigIndexAppendOracle: String = {
+    import Portable._
+    def sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
+      s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i")
+      .mkString(",\n           ")
+    def bandSelects(sigTable: String) =
+      (0 until graft.ops.Dedup.MinhashBands).map { b =>
+        val key = (0 until 4).foldLeft(s"CAST(${b + 1} AS BIGINT)") { (acc, j) =>
+          s"(($acc * $BandMix + m${4 * b + j}) % $P1)"
+        }
+        s"SELECT doc_id, $b AS band_idx, $key AS band_hash FROM $sigTable"
+      }.mkString("\n           UNION ALL ")
+    val matches = (0 until graft.ops.Dedup.MinhashK)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+       |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+       |          WHERE len(arr) >= 3),
+       |  h AS (SELECT DISTINCT doc_id, ${polySql("s")} AS hh FROM shs),
+       |  hot AS (SELECT hh FROM h WHERE doc_id % 2 = 0
+       |          GROUP BY hh HAVING count(*) > 100),
+       |  kept AS (SELECT doc_id, hh FROM h
+       |           WHERE hh NOT IN (SELECT hh FROM hot)),
+       |  sig AS (SELECT doc_id, $sigAggs FROM kept GROUP BY doc_id),
+       |  bandall AS (${bandSelects("sig")}),
+       |  hotbk AS (SELECT band_idx, band_hash FROM bandall
+       |            WHERE doc_id % 2 = 0
+       |            GROUP BY 1, 2 HAVING count(*) > 50),
+       |  kb AS (SELECT * FROM bandall b WHERE NOT EXISTS (
+       |           SELECT 1 FROM hotbk g
+       |           WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
+       |  corp1 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+       |  cfp1 AS (SELECT fp, min(doc_id) AS exact_id FROM corp1 GROUP BY 1),
+       |  bat1 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 = 1),
+       |  bk1 AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat1 GROUP BY 1),
+       |  nc1 AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+       |          FROM kb bb JOIN kb cb
+       |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+       |          WHERE bb.doc_id % 4 = 1 AND cb.doc_id % 2 = 0),
+       |  sc1 AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
+       |          FROM nc1 JOIN sig sa ON sa.doc_id = bid
+       |                   JOIN sig sb ON sb.doc_id = cid
+       |          WHERE $matches >= 16),
+       |  best1 AS (SELECT bid, cid FROM (
+       |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
+       |                       ORDER BY sm DESC, cid) AS rn
+       |              FROM sc1) WHERE rn = 1),
+       |  v1 AS (SELECT b.doc_id,
+       |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+       |                WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
+       |                WHEN nb.cid IS NOT NULL THEN 'near_dup'
+       |                ELSE 'new' END AS verdict
+       |         FROM bat1 b LEFT JOIN cfp1 e ON e.fp = b.fp
+       |         JOIN bk1 k ON k.fp = b.fp
+       |         LEFT JOIN best1 nb ON nb.bid = b.doc_id),
+       |  adm AS (SELECT doc_id FROM v1 WHERE verdict = 'new'),
+       |  cfp2 AS (SELECT fp, exact_id FROM cfp1
+       |           UNION ALL
+       |           SELECT fp, min(doc_id) AS exact_id FROM bat1
+       |           WHERE doc_id IN (SELECT doc_id FROM adm) GROUP BY fp),
+       |  bat2 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 = 3),
+       |  bk2 AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat2 GROUP BY 1),
+       |  nc2 AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+       |          FROM kb bb JOIN kb cb
+       |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+       |          WHERE bb.doc_id % 4 = 3
+       |            AND (cb.doc_id % 2 = 0
+       |                 OR cb.doc_id IN (SELECT doc_id FROM adm))),
+       |  sc2 AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
+       |          FROM nc2 JOIN sig sa ON sa.doc_id = bid
+       |                   JOIN sig sb ON sb.doc_id = cid
+       |          WHERE $matches >= 16),
+       |  best2 AS (SELECT bid, cid FROM (
+       |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
+       |                       ORDER BY sm DESC, cid) AS rn
+       |              FROM sc2) WHERE rn = 1)
+       |SELECT b.doc_id AS doc_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
+       |       WHEN nb.cid IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS verdict,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
+       |       WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
+       |       WHEN nb.cid IS NOT NULL THEN nb.cid
+       |       ELSE NULL END AS match_id
+       |FROM bat2 b LEFT JOIN cfp2 e ON e.fp = b.fp
+       |JOIN bk2 k ON k.fp = b.fp
+       |LEFT JOIN best2 nb ON nb.bid = b.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def sigIndexProbeOracle: String = {
     import Portable._
     def sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
@@ -3826,6 +3943,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_ingest_gate" -> ingestGateOracle,
     "dedup_sig_index_probe" -> sigIndexProbeOracle,
+    "dedup_sig_index_append" -> sigIndexAppendOracle,
 
     // two independent NFC implementations must agree byte-for-byte:
     // the Spark side normalizes via the JDK, this oracle via DuckDB's

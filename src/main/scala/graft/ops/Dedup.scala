@@ -698,6 +698,42 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/banded")
   }
 
+  /** Incremental index maintenance — the steady-state cycle the
+    * [[buildSigIndex]] scaladoc promised ("appending admitted docs'
+    * sig/banded rows between rebuilds is a plain parquet append"), now
+    * demonstrated instead of documented: append the ADMITTED docs of a
+    * probed batch (their fp dictionary rows, hot-shingle-filtered
+    * signatures, and hot-bucket-filtered band keys) so the NEXT cycle's
+    * probe sees them as corpus — batch-sized work, no rebuild.
+    *
+    * Cap scoping is inherited, pinned at build time: the appended docs'
+    * shingles are filtered by the BUILD-TIME hot list and their band
+    * keys by the BUILD-TIME hot buckets (df/bucket statistics refresh
+    * only on periodic rebuilds — the documented contract). Caller
+    * invariant: `admitted` is the batch's keeper set (verdict `new`),
+    * so fps are disjoint from the dictionary; the fp append still
+    * min-groups per fp defensively. */
+  def appendToSigIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, admitted: DataFrame, k: Int = 3,
+      id: String = "doc_id", text: String = "text"): Unit = {
+    val a = admitted.filter(col(text).isNotNull)
+    a.select(md5(col(text)).as("fp"), col(id).as("cid"))
+      .groupBy("fp").agg(min("cid").as("exact_id"))
+      .write.mode("append").parquet(s"$path/fp")
+    val hot = spark.read.parquet(s"$path/hot_shingles")
+    val sh = spread(a.select(col(id).as("doc_id"), col(text).as("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.WordShinglePolyHashes(col("text"), k)).as("h"))
+    val sig = minhashSignatures(
+      sh.join(broadcast(hot), Seq("h"), "left_anti"))
+      .localCheckpoint() // feeds the sig sink + banding
+    sig.write.mode("append").parquet(s"$path/sig")
+    val hotBuckets = spark.read.parquet(s"$path/hot_buckets")
+    bandKeysRaw(sig)
+      .join(broadcast(hotBuckets), Seq("band_idx", "band_hash"), "left_anti")
+      .write.mode("append").parquet(s"$path/banded")
+  }
+
   /** Classify `batch` against a [[buildSigIndex]] index: same verdicts
     * and precedence as [[ingestGate]] (exact_dup / batch_dup / near_dup
     * / new + match_id), but every corpus-side input is a parquet scan of

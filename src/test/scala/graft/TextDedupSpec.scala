@@ -705,6 +705,39 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((1L, "a a", 2L), (2L, "aa a", 1L)))
   }
 
+  test("appendToSigIndex: cycle-2 probe sees cycle-1 admissions as corpus") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sig-append-spec").toString
+    val longA = (1 to 40).map(i => s"ctok$i").mkString(" ")  // corpus doc
+    val longB = (1 to 40).map(i => s"ntok$i").mkString(" ")  // admitted in c1
+    val longB2 = (1 to 39).map(i => s"ntok$i").mkString(" ") + " ntokX"
+    val corpus = Seq((2L, longA)).toDF("doc_id", "text")
+    Dedup.buildSigIndex(corpus, dir)
+    val batch1 = Seq((1L, longB)).toDF("doc_id", "text")
+    val v1 = Dedup.probeSigIndex(spark, dir, batch1)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(v1 == Seq((1L, "new", None)))
+    Dedup.appendToSigIndex(spark, dir, batch1)
+    // batch 2: near-dup of the ADMITTED doc (uncatchable without the
+    // append — its vocabulary never touches the built corpus), plus an
+    // exact dup of it, plus a genuinely new doc
+    val batch2 = Seq((3L, longB2), (5L, longB), (7L, "entirely new thing"))
+      .toDF("doc_id", "text")
+    val v2 = Dedup.probeSigIndex(spark, dir, batch2)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(v2 == Seq(
+      (3L, "near_dup", Some(1L)),
+      (5L, "exact_dup", Some(1L)),
+      (7L, "new", None)))
+    // negative control: a fresh, never-appended index misses all of it
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-sig-append-ctl").toString
+    Dedup.buildSigIndex(corpus, dir2)
+    val ctl = Dedup.probeSigIndex(spark, dir2, batch2)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(ctl.forall(_._2 == "new"))
+  }
+
   test("bpeTrainBatched: merge table equals sequential bpeTrain") {
     // the real corpus at two merge depths (the registered query's 5 and
     // a deeper 20 that spans many batched rounds)
