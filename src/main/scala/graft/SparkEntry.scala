@@ -647,6 +647,13 @@ object SparkEntry {
     // batch latest-per-user query however the files split into batches
     "stream_upsert_parity" -> ((s, dir) =>
       graft.streaming.EventStream.upsertParityRun(s, s"$dir/events.parquet")),
+    // the admission gate DEPLOYED as a stream: 3 document micro-batches
+    // probe the persisted sig index via foreachBatch, each cycle appends
+    // its admitted docs so later cycles see them as corpus; verdicts AND
+    // micro-batch assignment both hash-checked by the N-cycle oracle
+    "stream_ingest_gate_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.ingestGateParityRun(
+        s, s"$dir/documents.parquet")),
     // same latest-event-per-user contract through the Spark 4 v2 state
     // API (StatefulProcessor + transformWithState on RocksDB state)
     "stream_tws_latest_parity" -> ((s, dir) =>
@@ -2979,6 +2986,94 @@ object SparkEntry {
        |FROM bat2 b LEFT JOIN cfp2 e ON e.fp = b.fp
        |JOIN bk2 k ON k.fp = b.fp
        |LEFT JOIN best2 nb ON nb.bid = b.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** N-cycle streaming-gate oracle: the [[sigIndexAppendOracle]] chain
+    * generalized — cycle j gates docs with `doc_id % 2n = 2j+1` against
+    * even ∪ (admissions of all earlier cycles), and the emitted
+    * admit_cycle is recomputed as `(doc_id % 2n) div 2`, pinning the
+    * micro-batch order itself under the hash check. */
+  private def streamGateOracle(nCycles: Int): String = {
+    import Portable._
+    def sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
+      s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i")
+      .mkString(",\n           ")
+    def bandSelects(sigTable: String) =
+      (0 until graft.ops.Dedup.MinhashBands).map { b =>
+        val key = (0 until 4).foldLeft(s"CAST(${b + 1} AS BIGINT)") { (acc, j) =>
+          s"(($acc * $BandMix + m${4 * b + j}) % $P1)"
+        }
+        s"SELECT doc_id, $b AS band_idx, $key AS band_hash FROM $sigTable"
+      }.mkString("\n           UNION ALL ")
+    val matches = (0 until graft.ops.Dedup.MinhashK)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val mod = 2 * nCycles
+    val cycles = (0 until nCycles).map { j =>
+      val admUnion = (0 until j).map(k =>
+        s"OR cb.doc_id IN (SELECT doc_id FROM adm$k)").mkString(" ")
+      val cfpUnion = (0 until j).map(k =>
+        s"""UNION ALL
+           |           SELECT fp, min(doc_id) AS exact_id FROM bat$k
+           |           WHERE doc_id IN (SELECT doc_id FROM adm$k) GROUP BY fp""".stripMargin)
+        .mkString("\n           ")
+      s"""bat$j AS (SELECT doc_id, md5(text) AS fp FROM documents
+         |           WHERE doc_id % $mod = ${2 * j + 1}),
+         |  bk$j AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat$j GROUP BY 1),
+         |  cfpu$j AS (SELECT fp, exact_id FROM cfp0
+         |           $cfpUnion),
+         |  nc$j AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+         |          FROM kb bb JOIN kb cb
+         |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+         |          WHERE bb.doc_id % $mod = ${2 * j + 1}
+         |            AND (cb.doc_id % 2 = 0 $admUnion)),
+         |  sc$j AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
+         |          FROM nc$j JOIN sig sa ON sa.doc_id = bid
+         |                   JOIN sig sb ON sb.doc_id = cid
+         |          WHERE $matches >= 16),
+         |  best$j AS (SELECT bid, cid FROM (
+         |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
+         |                       ORDER BY sm DESC, cid) AS rn
+         |              FROM sc$j) WHERE rn = 1),
+         |  v$j AS (SELECT b.doc_id,
+         |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+         |                WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
+         |                WHEN nb.cid IS NOT NULL THEN 'near_dup'
+         |                ELSE 'new' END AS verdict,
+         |           CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
+         |                WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
+         |                WHEN nb.cid IS NOT NULL THEN nb.cid
+         |                ELSE NULL END AS match_id
+         |         FROM bat$j b LEFT JOIN cfpu$j e ON e.fp = b.fp
+         |         JOIN bk$j k ON k.fp = b.fp
+         |         LEFT JOIN best$j nb ON nb.bid = b.doc_id),
+         |  adm$j AS (SELECT doc_id FROM v$j WHERE verdict = 'new')""".stripMargin
+    }.mkString(",\n  ")
+    val finalUnion = (0 until nCycles).map(j =>
+      s"SELECT doc_id, verdict, match_id, CAST($j AS BIGINT) AS admit_cycle FROM v$j")
+      .mkString("\n         UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+       |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+       |          WHERE len(arr) >= 3),
+       |  h AS (SELECT DISTINCT doc_id, ${polySql("s")} AS hh FROM shs),
+       |  hot AS (SELECT hh FROM h WHERE doc_id % 2 = 0
+       |          GROUP BY hh HAVING count(*) > 100),
+       |  kept AS (SELECT doc_id, hh FROM h
+       |           WHERE hh NOT IN (SELECT hh FROM hot)),
+       |  sig AS (SELECT doc_id, $sigAggs FROM kept GROUP BY doc_id),
+       |  bandall AS (${bandSelects("sig")}),
+       |  hotbk AS (SELECT band_idx, band_hash FROM bandall
+       |            WHERE doc_id % 2 = 0
+       |            GROUP BY 1, 2 HAVING count(*) > 50),
+       |  kb AS (SELECT * FROM bandall b WHERE NOT EXISTS (
+       |           SELECT 1 FROM hotbk g
+       |           WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
+       |  corp0 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+       |  cfp0 AS (SELECT fp, min(doc_id) AS exact_id FROM corp0 GROUP BY 1),
+       |  $cycles
+       |SELECT * FROM ($finalUnion)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -6598,6 +6693,8 @@ object SparkEntry {
            FROM events)
          SELECT user_id, last_us, last_event_id, last_cents
          FROM ranked WHERE rn = 1 ORDER BY user_id""",
+
+    "stream_ingest_gate_parity" -> streamGateOracle(3),
 
     // ListState top-k: the batch truth is the per-user top-3 window
     "stream_tws_topk_parity" ->

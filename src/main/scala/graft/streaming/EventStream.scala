@@ -751,6 +751,92 @@ object EventStream {
     }
   }
 
+  /** CONTINUOUS-INGEST admission gate as a stream — the production
+    * deployment of the [[graft.ops.Dedup]] index family wired through
+    * Structured Streaming: a sig index is built once on the even corpus
+    * half, then micro-batches of arriving documents flow through
+    * foreachBatch, where each batch is (1) classified by
+    * [[graft.ops.Dedup.probeSigIndex]] (exact/batch/near/new + match_id,
+    * batch-sized work), (2) its verdicts appended to the sink, and (3)
+    * its ADMITTED docs appended to the index via
+    * [[graft.ops.Dedup.appendToSigIndex]] — so later micro-batches see
+    * earlier admissions as corpus. Exactly the maintenance loop
+    * `dedup_sig_index_append` proves in batch land, now across real
+    * micro-batch boundaries.
+    *
+    * Determinism: the odd half is sliced by `doc_id % (2·nSlices)` into
+    * one staged file per cycle with STRICTLY INCREASING modification
+    * times, and FileStreamSource with maxFilesPerTrigger=1 processes
+    * files in timestamp order — so cycle membership is a pure function
+    * of doc_id and the oracle can replay the chain in SQL. The emitted
+    * `admit_cycle` (= micro-batch id) is itself hash-checked against
+    * `(doc_id mod 2n) div 2`: a scrambled batch order fails loudly
+    * rather than silently reordering admissions. */
+  def ingestGateParityRun(spark: SparkSession, path: String,
+      nSlices: Int = 3): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val seq = parityRunSeq.incrementAndGet()
+    val pid = ProcessHandle.current().pid()
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-stage-gate-$pid", seq.toString)
+    val idxRoot = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-gate-idx-$pid")
+    val idx = idxRoot.resolve(seq.toString).toString
+    val resultRoot = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-result-$pid")
+    Files.createDirectories(stage)
+    parityCleanupAtExit(stage.getParent)
+    parityCleanupAtExit(idxRoot)
+    parityCleanupAtExit(resultRoot)
+    val out = resultRoot.resolve(s"gate-$seq").toString
+    val srcDf = spark.read.parquet(path)
+    graft.ops.Dedup.buildSigIndex(
+      srcDf.filter(col("doc_id") % 2 === 0), idx)
+    val mod = 2 * nSlices
+    (0 until nSlices).foreach { j =>
+      srcDf.filter(col("doc_id") % mod === (2 * j + 1))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(stage.resolve(s"slice_$j").toString)
+    }
+    (0 until nSlices).foreach { j =>
+      val dir = stage.resolve(s"slice_$j")
+      val listing = Files.list(dir)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+      val staged = stage.resolve(s"slice_$j.parquet")
+      Files.move(part, staged)
+      // strictly increasing mtimes pin the micro-batch order (the
+      // FileStreamSource listing sorts by timestamp)
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + j * 60000L))
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val gateBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val verdicts = graft.ops.Dedup.probeSigIndex(spark, idx, batch)
+        .localCheckpoint() // verdicts feed the sink AND the admit join
+      verdicts.withColumn("admit_cycle", lit(batchId))
+        .write.mode("append").parquet(out)
+      val admitted = batch.join(
+        verdicts.filter(col("verdict") === "new").select("doc_id"), "doc_id")
+      graft.ops.Dedup.appendToSigIndex(spark, idx, admitted)
+    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = readParquetStream(spark, stage.toString,
+          maxFilesPerTrigger = 1, sourceSchema = srcDf.schema)
+        .writeStream
+        .foreachBatch(gateBatch)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).orderBy("doc_id")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user totals
     * across micro-batches (the `KeyValueGroupedDataset` stateful API for
     * semantics session_window can't express). State is one small record

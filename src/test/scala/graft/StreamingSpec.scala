@@ -150,6 +150,45 @@ class StreamingSpec extends SparkTestBase {
     assert(kept.join(batch, Seq("doc_id", "fingerprint")).count() == kept.count())
   }
 
+  test("ingestGateParityRun: cross-cycle admissions gate later batches") {
+    import org.apache.spark.sql.functions.col
+    // plant a corpus where every verdict crosses or stays in a known
+    // micro-batch: cycle = (doc_id % 6) div 2 for odd docs, even = corpus
+    val textA = (1 to 40).map(i => s"atok$i").mkString(" ")
+    val textA2 = (1 to 39).map(i => s"atok$i").mkString(" ") + " atokX"
+    val textB = (1 to 40).map(i => s"btok$i").mkString(" ")
+    val textB2 = (1 to 39).map(i => s"btok$i").mkString(" ") + " btokX"
+    val docs = Seq(
+      (2L, textA, "en", "S"),               // corpus
+      (1L, textB, "en", "S"),               // c0: new (admitted)
+      (7L, textB, "en", "S"),               // c0: batch_dup of 1
+      (3L, textB, "en", "S"),               // c1: exact_dup of ADMITTED 1
+      (9L, textB2, "en", "S"),              // c1: near_dup of ADMITTED 1
+      (5L, textA2, "en", "S"),              // c2: near_dup of corpus 2
+      (11L, "entirely novel thing here", "en", "S")) // c2: new
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gate-parity-spec")
+    val staged = dir.resolve("stage")
+    docs.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val listing = java.nio.file.Files.list(staged)
+    val part =
+      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
+    val file = dir.resolve("documents.parquet")
+    java.nio.file.Files.move(part, file)
+    val got = EventStream.ingestGateParityRun(spark, file.toString)
+      .as[(Long, String, Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "new", None, 0L),
+      (3L, "exact_dup", Some(1L), 1L),
+      (5L, "near_dup", Some(2L), 2L),
+      (7L, "batch_dup", Some(1L), 0L),
+      (9L, "near_dup", Some(1L), 1L),
+      (11L, "new", None, 2L)))
+  }
+
   test("hllParityRun registers equal the batch-built sketch exactly") {
     import org.apache.spark.sql.functions.col
     val streamed = EventStream.hllParityRun(spark, s"$sf0001/events.parquet")
