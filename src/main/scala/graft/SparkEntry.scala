@@ -710,6 +710,22 @@ object SparkEntry {
     "privacy_dp_counts" -> ((s, dir) =>
       graft.ops.Privacy.dpCounts(t(s, dir, "customer"), "c_nationkey")),
 
+    // EXT the APPLIED suppression release: rows whose QI group passes
+    // both k and l — the policy the audits report on, executed
+    "privacy_suppress" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymitySuppress(
+        t(s, dir, "customer").withColumn("bal_kb",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        qi = Seq("c_nationkey", "c_mktsegment", "bal_kb"),
+        sensitive = "c_name", k = 5, l = 2)
+        .orderBy("c_custkey")),
+
+    // EXT DP sum release at bounded sensitivity: per-row clamp to
+    // [0, 5000_00] cents, sensitivity-granular discrete-Laplace noise
+    "privacy_dp_sums" -> ((s, dir) =>
+      graft.ops.Privacy.dpSums(t(s, dir, "customer"), "c_nationkey",
+        round(col("c_acctbal") * 100), clampMax = 500000L)),
+
     // per-doc top-3 terms by frequency (stopword-filtered, exact tf)
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"))),
@@ -6247,6 +6263,50 @@ object SparkEntry {
                 CAST(COALESCE(sum(group_n) FILTER (WHERE group_n < 5), 0)
                      * 10000 // sum(group_n) AS BIGINT) AS suppress_bp
          FROM g""",
+
+    "privacy_suppress" ->
+      """WITH aug AS (
+           SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb
+           FROM customer),
+         g AS (
+           SELECT c_nationkey, c_mktsegment, bal_kb
+           FROM aug
+           GROUP BY 1, 2, 3
+           HAVING count(*) >= 5 AND count(DISTINCT c_name) >= 2)
+         SELECT a.* FROM aug a
+         JOIN g ON g.c_nationkey = a.c_nationkey
+               AND g.c_mktsegment = a.c_mktsegment
+               AND g.bal_kb = a.bal_kb
+         ORDER BY a.c_custkey""",
+
+    "privacy_dp_sums" ->
+      s"""WITH c AS (
+            SELECT c_nationkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS v
+            FROM customer),
+          g AS (
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true,
+                   CAST(sum(greatest(least(v, 500000), 0)) AS BIGINT)
+                     AS sum_clamped
+            FROM c GROUP BY 1),
+          z AS (
+            SELECT c_nationkey, n_true, sum_clamped,
+              (sum_clamped + 250000) // 500000 AS units,
+              CAST((bit_count(xor(h1, h1 + 1)) - 1)
+                 - (bit_count(xor(h2, h2 + 1)) - 1) AS BIGINT) AS noise_units
+            FROM (SELECT *,
+                   (CAST(c_nationkey AS BIGINT) % ${Portable.P1}
+                      * ${Portable.aCoef(19)} + ${Portable.bCoef(19)})
+                     % ${Portable.P1} AS h1,
+                   (CAST(c_nationkey AS BIGINT) % ${Portable.P1}
+                      * ${Portable.aCoef(20)} + ${Portable.bCoef(20)})
+                     % ${Portable.P1} AS h2
+                  FROM g))
+         SELECT c_nationkey, n_true, sum_clamped, noise_units,
+                CAST(greatest((units + noise_units) * 500000, 0) AS BIGINT)
+                  AS released,
+                CAST(6931 AS BIGINT) AS eps_bp
+         FROM z ORDER BY c_nationkey""",
 
     // trailing-ones(h) = bit_count((h XOR h+1)) - 1 is the portable
     // Geometric(1/2) draw; the noise is the difference of two draws

@@ -69,6 +69,25 @@ object Privacy {
         expr("rows_k_violating * 10000 div n_rows")).as("suppress_bp"))
   }
 
+  /** APPLY the k-anonymity/l-diversity policy the audits report on:
+    * return only the rows whose QI group satisfies both thresholds —
+    * the suppression release itself, not the report about it. The
+    * complement of [[kAnonymityGroups]]' violating tail by
+    * construction: one hash aggregate over the QI produces the
+    * compliant-group keys, one semi-join (broadcast when the compliant
+    * key set is small, shuffle otherwise — Catalyst's call) filters the
+    * release. Row identity is preserved — no projection, so the caller
+    * chains generalization or [[dpCounts]] on top. */
+  def kAnonymitySuppress(df: DataFrame, qi: Seq[String], sensitive: String,
+      k: Int = 5, l: Int = 2): DataFrame = {
+    val ok = df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitive)).as("l_distinct"))
+      .filter(col("group_n") >= k && col("l_distinct") >= l)
+      .select(qi.map(col): _*)
+    df.join(ok, qi, "left_semi")
+  }
+
   /** Differentially-private count release via the GEOMETRIC MECHANISM
     * (Ghosh-Roughgarden-Sundararajan 2009): per-group counts perturbed
     * by discrete-Laplace noise Z = G₁ − G₂, the difference of two iid
@@ -96,17 +115,57 @@ object Privacy {
     * but (key, count) shuffles. */
   def dpCounts(df: DataFrame, key: String, magIdx: Int = 17,
       signIdx: Int = 18): DataFrame = {
-    import graft.functions.Portable.{P1, aCoef, bCoef}
-    def affine(i: Int): Column =
-      (col(key).cast("long") % lit(P1) * lit(aCoef(i)) + lit(bCoef(i))) % lit(P1)
-    def trailingOnes(h: Column): Column =
-      (bit_count(h.bitwiseXOR(h + lit(1L))) - lit(1)).cast("long")
     df.groupBy(col(key))
       .agg(count(lit(1)).as("n_true"))
       .withColumn("noise",
-        trailingOnes(affine(magIdx)) - trailingOnes(affine(signIdx)))
+        discreteLaplace(col(key), magIdx, signIdx))
       .withColumn("released", greatest(col("n_true") + col("noise"), lit(0L)))
       .withColumn("eps_bp", lit(6931L))
       .orderBy(key)
+  }
+
+  /** DP SUM release — the geometric mechanism at bounded sensitivity:
+    * per-row contributions are CLAMPED to [0, clampMax] (the standard
+    * contribution bound; without it one row could move the sum
+    * arbitrarily and no finite ε exists), the clamped sum is rounded to
+    * clampMax granularity, and discrete-Laplace noise is added IN THOSE
+    * UNITS — support on multiples of the sensitivity is what keeps the
+    * ε = ln 2 ratio bound airtight (unit-scale noise under a
+    * sensitivity-C statistic is the classic granularity hole: a shift
+    * smaller than C has unbounded likelihood ratio). Same integer
+    * trailing-ones sampler and the same LOUD seeded-noise caveat as
+    * [[dpCounts]]. Output: true row count, clamped exact sum, released
+    * sum (clampMax-granular, ≥ 0), eps_bp stamp. */
+  def dpSums(df: DataFrame, key: String, value: Column, clampMax: Long,
+      magIdx: Int = 19, signIdx: Int = 20): DataFrame = {
+    require(clampMax >= 1, s"clampMax >= 1, got $clampMax")
+    df.select(col(key), value.cast("long").as("__v"))
+      .withColumn("__c", greatest(least(col("__v"), lit(clampMax)), lit(0L)))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_true"), sum("__c").as("sum_clamped"))
+      .withColumn("__units",
+        expr(s"(sum_clamped + ${clampMax / 2}) div $clampMax"))
+      .withColumn("noise_units",
+        discreteLaplace(col(key), magIdx, signIdx))
+      .withColumn("released",
+        greatest((col("__units") + col("noise_units")) * lit(clampMax),
+          lit(0L)))
+      .withColumn("eps_bp", lit(6931L))
+      .select(key, "n_true", "sum_clamped", "noise_units", "released",
+        "eps_bp")
+      .orderBy(key)
+  }
+
+  /** Shared discrete-Laplace draw (difference of two Geometric(1/2)
+    * trailing-ones samples over seeded affine hashes of the group key —
+    * see [[dpCounts]] for the construction and the seeded caveat). */
+  private def discreteLaplace(key: Column, magIdx: Int,
+      signIdx: Int): Column = {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    def affine(i: Int): Column =
+      (key.cast("long") % lit(P1) * lit(aCoef(i)) + lit(bCoef(i))) % lit(P1)
+    def trailingOnes(h: Column): Column =
+      (bit_count(h.bitwiseXOR(h + lit(1L))) - lit(1)).cast("long")
+    trailingOnes(affine(magIdx)) - trailingOnes(affine(signIdx))
   }
 }

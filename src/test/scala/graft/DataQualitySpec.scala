@@ -89,6 +89,44 @@ class DataQualitySpec extends SparkTestBase {
       "noise should be two-sided")
   }
 
+  test("privacy: suppression releases exactly the compliant groups") {
+    val df = (
+      (1 to 6).map(i => ("A", s"s$i")) ++          // compliant
+      Seq(("B", "x"), ("B", "y"), ("B", "x")) ++   // k-violating (n=3)
+      (1 to 5).map(_ => ("C", "same")) ++          // l-violating
+      Seq(("D", "z"))                              // both
+    ).toDF("qi", "s")
+    val rel = graft.ops.Privacy.kAnonymitySuppress(df, Seq("qi"), "s")
+      .as[(String, String)].collect().toSeq.sorted
+    assert(rel == (1 to 6).map(i => ("A", s"s$i")).sorted)
+    // empty input -> empty release, no crash
+    assert(graft.ops.Privacy
+      .kAnonymitySuppress(df.limit(0), Seq("qi"), "s").count() == 0L)
+  }
+
+  test("privacy: dpSums clamps contributions and noises in sensitivity units") {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    def to(h: Long): Long = java.lang.Long.bitCount(h ^ (h + 1)) - 1
+    def noise(k: Long): Long = {
+      def h(i: Int) = (k % P1 * aCoef(i) + bCoef(i)) % P1
+      to(h(19)) - to(h(20))
+    }
+    // key 0: values 150, -40 (clamped to 0), 999 (clamped to 100)
+    val df = Seq((0L, 150L), (0L, -40L), (0L, 999L), (1L, 30L))
+      .toDF("k", "v")
+    val got = graft.ops.Privacy.dpSums(df, "k", col("v"), clampMax = 100L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // key 0: clamped sum = 100+0+100 = 200 -> units (200+50)/100 = 2
+    // key 1: clamped sum = 30 -> units (30+50)/100 = 0
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((0L, 3L, 200L), (1L, 1L, 30L)))
+    got.foreach { case (k, _, _, z, rel, eps) =>
+      assert(z == noise(k))
+      val units = if (k == 0L) 2L else 0L
+      assert(rel == math.max((units + z) * 100L, 0L))
+      assert(eps == 6931L)
+    }
+  }
+
   test("expectations: same-table rules fuse into one scan") {
     val df = spark.read.parquet(s"$sf001/orders.parquet")
     val plan = DataQuality.report(Map("orders" -> df), Seq(
