@@ -610,10 +610,47 @@ object TextAnalysis {
     * loudly, never silently approximate, same contract as
     * [[graft.ops.Similarity.bruteTopK]]'s refusal. Skew-immune: a hot
     * token costs one counter per partition, never a hot shuffle key.
-    */
+    *
+    * ADAPTIVE capacity (the round-7 10×-decade lesson: the fixed 256
+    * bound failed loudly on a corpus whose vocabulary grows with N —
+    * disjoint-token replication, the adversarial non-Zipf shape): a
+    * probe run at the given capacity checks the bound; if it fails, ONE
+    * retry at `n_total/n_k + 2` counters — an upper bound on what's
+    * needed, because the failed probe's rescored n_k is exact for its
+    * candidates and therefore a lower bound on the true k-th count.
+    * The returned plan still carries the armed assert at the retry
+    * capacity, so a corpus the clamp (2²⁴ counters) can't cover fails
+    * loudly, never approximately. Price: the probe is one extra
+    * two-scan pass — the cost of not guessing state size; callers that
+    * know their vocabulary pass a right-sized `capacity` and the probe
+    * confirms in one go. */
   def heavyHitters(docs: DataFrame, k: Int = 20, capacity: Int = 256,
-      text: String = "text"): DataFrame = {
+      text: String = "text", maxCapacity: Int = 1 << 24): DataFrame = {
     require(k >= 1 && capacity > k, s"need capacity > k >= 1; got $k, $capacity")
+    require(maxCapacity >= capacity,
+      s"maxCapacity >= capacity; got $maxCapacity < $capacity")
+    val probe = rescoredTopK(docs, k, capacity, text)
+      .agg(min("n_tok").as("nk"), max("n_total").as("nt")).head()
+    val cap2 =
+      if (probe.isNullAt(0)) capacity // empty corpus: any capacity holds
+      else {
+        val nk = probe.getLong(0); val nt = probe.getLong(1)
+        if (nk * capacity.toLong > nt) capacity
+        else math.min(maxCapacity.toLong, nt / nk + 2L).toInt
+      }
+    rescoredTopK(docs, k, cap2, text)
+      .where(assert_true(col("n_tok") * cap2 > col("n_total"),
+        lit(s"top-$k not provable at capacity $cap2: a returned count " +
+          "is under N/capacity — raise capacity")).isNull)
+      .select("tok", "n_tok")
+      .orderBy(desc("n_tok"), asc("tok"))
+  }
+
+  /** The two-pass MG-candidates + exact-rescore pipeline behind
+    * [[heavyHitters]]: k rows of (tok, n_tok, n_total), unasserted —
+    * the caller arms the losslessness bound (or probes it). */
+  private def rescoredTopK(docs: DataFrame, k: Int, capacity: Int,
+      text: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(explode(split(col(text), " ")).as("tok"))
@@ -645,11 +682,6 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("n_tok"))
       .orderBy(desc("n_tok"), asc("tok")).limit(k)
       .crossJoin(broadcast(total))
-      .where(assert_true(col("n_tok") * capacity > col("n_total"),
-        lit(s"top-$k not provable at capacity $capacity: a returned count " +
-          "is under N/capacity — raise capacity")).isNull)
-      .select("tok", "n_tok")
-      .orderBy(desc("n_tok"), asc("tok"))
   }
 
   /** Corpus-statistical language-model familiarity scoring — the

@@ -312,14 +312,25 @@ class EdgeCaseSpec extends SparkTestBase {
 
   test("heavyHitters: unprovable top-k fails loudly, never approximates") {
     // 40 uniform tokens, capacity 21: every count is N/40, and
-    // count*21 < N — the in-plan losslessness assertion must fire
+    // count*21 < N. With growth pinned (maxCapacity = capacity) the
+    // in-plan losslessness assertion must fire ...
     val docs = (0 until 50).map(i =>
       (i.toLong, (0 until 40).map(j => s"t$j").mkString(" ")))
       .toDF("doc_id", "text")
     val ex = intercept[Exception] {
-      graft.ops.TextAnalysis.heavyHitters(docs, k = 20, capacity = 21).collect()
+      graft.ops.TextAnalysis
+        .heavyHitters(docs, k = 20, capacity = 21, maxCapacity = 21)
+        .collect()
     }
     assert(ex.getMessage != null)
+    // ... and with adaptive growth allowed (the default), the same
+    // corpus resizes to a provable capacity (2000/50 + 2 = 42) and
+    // returns the exact tie-broken top-20
+    val got = graft.ops.TextAnalysis
+      .heavyHitters(docs, k = 20, capacity = 21)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = (0 until 40).map(j => s"t$j").sorted.take(20).map((_, 50L))
+    assert(got == want)
   }
 
   test("sketch family degenerates cleanly on empty and single-row input") {
