@@ -222,6 +222,13 @@ object SparkEntry {
   val KcoreK = 2
   val KcoreRounds = 8
 
+  /** Sweep count for graph_labelprop (shared with its unrolled oracle):
+    * synchronous LPA stabilizes in 3–4 sweeps on the thresholded
+    * co-purchase graph; a fixed-round label SNAPSHOT (not a fixpoint)
+    * is the checked contract, so any value works — 4 is where the
+    * community structure stops moving at sf0.01–0.1. */
+  val LabelPropRounds = 4
+
   /** Deterministic loan-shaped table synthesized from orders — the input
     * of the `loan_t*` queries, exercising [[graft.ops.LoanWorkload]] (the
     * reference's actual T1–T3 API) against driver oracles. Every derived
@@ -1776,6 +1783,26 @@ object SparkEntry {
       graft.ops.Graphs.kCore(pairs, k = KcoreK, rounds = KcoreRounds)
     }),
 
+    // EXT graph: synchronous label-propagation communities over the
+    // thresholded co-purchase graph — the topical-cluster / ring screen
+    // (per-community quotas, coordinated-spam excision). Deterministic
+    // min-label tie-break means even the sweep trajectory is oracle'd;
+    // LabelPropRounds fixed sweeps, labels snapshot not fixpoint.
+    "graph_labelprop" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      graft.ops.Graphs.labelProp(pairs, rounds = LabelPropRounds)
+    }),
+
     // EXT percentile winsorization: clamp each event's value into its
     // type's exact [p05, p95] band — the outlier-taming feature-eng pass.
     // The percentile table is #types rows, broadcast back; values stay
@@ -3227,6 +3254,43 @@ object SparkEntry {
        |FROM e$KcoreRounds GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** Label-propagation oracle: the [[pagerankOracle]] edge prologue,
+    * then LabelPropRounds unrolled synchronous sweeps — per sweep, one
+    * (node, label) neighbor count, a per-node max window, and the
+    * min-label tie-break; the argmax is formulated as
+    * `min(label) WHERE cnt = max(cnt) OVER node`, which is exactly
+    * Graphs.labelProp's `max(struct(cnt, −label))` collapse. Each CTE
+    * references its predecessor once (the kcoreOracle inlining rule). */
+  private def labelPropOracle: String = {
+    val steps = (1 to LabelPropRounds).map(i =>
+      s"""r$i AS (
+         |   SELECT node, min(label) AS label FROM (
+         |     SELECT node, label, cnt, max(cnt) OVER (PARTITION BY node) AS mx
+         |     FROM (SELECT s.dst AS node, r.label, count(*) AS cnt
+         |           FROM sym s JOIN r${i - 1} r ON r.node = s.src
+         |           GROUP BY 1, 2))
+         |   WHERE cnt = mx GROUP BY node)""".stripMargin).mkString(",\n ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
+       |           FROM capped a JOIN capped b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |           GROUP BY 1, 2 HAVING count(*) >= 2),
+       | sym AS (SELECT da AS src, db AS dst FROM pairs
+       |         UNION SELECT db, da FROM pairs),
+       | r0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+       | $steps,
+       | sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size
+       |           FROM r$LabelPropRounds GROUP BY 1)
+       |SELECT r.node, r.label, s.comm_size
+       |FROM r$LabelPropRounds r JOIN sizes s ON s.label = r.label
+       |ORDER BY r.node""".stripMargin
+  }
+
   /** Personalized-PageRank oracle: the [[pagerankOracle]] CTE prologue
     * with seed-gated restart mass, unrolled left-join rounds keeping
     * zero-inflow nodes — every floor step mirrored. */
@@ -4085,6 +4149,7 @@ object SparkEntry {
     "zorder_key" -> zorderKeyOracle,
     "graph_pagerank" -> pagerankOracle,
     "graph_kcore" -> kcoreOracle,
+    "graph_labelprop" -> labelPropOracle,
     "graph_ppr" -> pprOracle,
 
     // graph_triangles: id-ordered (u < v) edges; each triangle appears

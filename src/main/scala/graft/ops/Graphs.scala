@@ -352,6 +352,65 @@ object Graphs {
     * pins merge joins when |V| outgrows broadcast. Rounds = peel depth
     * ≤ graph degeneracy-diameter, the family's O(d) scheduling bound.
     */
+  /** Synchronous label-propagation community detection (LPA), `rounds`
+    * fixed sweeps — the near-linear community screen over the same
+    * co-occurrence graphs the centrality family reads (communities =
+    * topical clusters / coordinated rings; the curation use is
+    * per-community quotas and spam-ring excision, the label twin of
+    * [[kCore]]'s density screen).
+    *
+    *   label₀(v) = v
+    *   labelᵢ(v) = the most frequent label among v's neighbors,
+    *               ties → the SMALLEST such label
+    *
+    * Fully deterministic — no float, no randomized visit order: the
+    * synchronous sweep + min-label tie-break makes every round a pure
+    * integer function of the previous one, so a second engine
+    * replicates the fixed-round trajectory exactly (the same
+    * bit-portability argument as [[pagerankInt]]'s floor arithmetic;
+    * asynchronous LPA's visit-order dependence is exactly what an
+    * unrolled SQL twin could NOT check). Convergence is not asserted:
+    * synchronous LPA can 2-cycle on bipartite-ish subgraphs, so a
+    * fixed-round label snapshot — not a fixpoint — is the contract.
+    *
+    * Scale shape: per round, one edge ⋈ |V|-state join under the
+    * chosen strategy (broadcast state, or `copartition` merge joins
+    * with the edge side pinned — never reshuffled) feeding TWO hash
+    * aggregates: (dst, label) counts, then an argmax collapsed via
+    * `max(struct(cnt, −label))` — a map-side-combinable agg instead of
+    * a per-node sort window. State stays |V| rows; lineage truncates
+    * per round. Output: (node, label, comm_size).
+    */
+  def labelProp(edges: DataFrame, rounds: Int = 4, a: String = "da",
+      b: String = "db", strategy: String = "broadcast"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    requireStrategy(strategy)
+    val sym = prepEdges(
+      edges.select(col(a).as("src"), col(b).as("dst"))
+        .union(edges.select(col(b).as("src"), col(a).as("dst")))
+        .distinct(),
+      "src", strategy)
+    var state = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      state = stateJoin(sym, state.withColumnRenamed("node", "src"),
+          "src", strategy)
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), negate(col("label")).as("nl"))).as("m"))
+        .select(col("node"), negate(col("m.nl")).as("label"))
+        .localCheckpoint()
+      i += 1
+    }
+    sym.unpersist()
+    val sizes = state.groupBy("label").agg(count(lit(1)).as("comm_size"))
+    state.join(broadcast(sizes), "label")
+      .select("node", "label", "comm_size")
+      .orderBy("node")
+  }
+
   def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
       a: String = "da", b: String = "db",
       strategy: String = "broadcast"): DataFrame = {

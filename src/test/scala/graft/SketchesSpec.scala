@@ -474,6 +474,34 @@ class SketchesSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("did not converge")))
   }
 
+  // ---- label propagation ----------------------------------------------
+
+  test("labelProp: barbell converges to one community per triangle") {
+    // two triangles bridged by 3-4: hand-traced synchronous sweeps with
+    // the min-label tie-break settle at {1,2,3}->1 and {4,5,6}->3 by
+    // round 3 and stay there — the round-4 snapshot is the stable one
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("da", "db")
+    val got = Graphs.labelProp(edges, rounds = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)))
+    // strategies agree bit-for-bit (the family contract)
+    val cop = Graphs.labelProp(edges, rounds = 4,
+      strategy = "copartition").as[(Long, Long, Long)].collect().toSeq
+    assert(cop == got)
+  }
+
+  test("labelProp: one sweep on a path pins the min-label tie-break") {
+    // path 1-2-3 after one synchronous sweep: node 1 takes 2 (its only
+    // neighbor), node 2 ties {1,3} and must take the SMALLER label 1,
+    // node 3 takes 2 — any other tie-break changes this snapshot
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val got = Graphs.labelProp(edges, rounds = 1)
+      .select("node", "label").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (3L, 2L)))
+  }
+
   test("kCore: k=3 of a 4-clique plus tail is the clique") {
     val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     val edges = (clique ++ Seq((4L, 9L), (9L, 10L))).toDF("da", "db")
