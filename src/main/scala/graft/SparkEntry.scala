@@ -2314,6 +2314,32 @@ object SparkEntry {
           expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
     }),
 
+    // EXT sketch: KMV Jaccard resemblance between the returned-parts
+    // and accepted-parts vocabularies — overlap answered from two
+    // bottom-k sketches (TakeOrdered, never a co-shuffle of the full
+    // distinct sets); the exact truth + err_bp ride along as the eval
+    // columns, kmv_distinct-style. Both the estimate and the truth are
+    // integer arithmetic, so the whole report is hash-oracle'd.
+    "sketch_kmv_jaccard" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val est = graft.ops.Sketches.kmvJaccard(
+        li.filter(col("l_returnflag") === "R").select("l_partkey"),
+        li.filter(col("l_returnflag") === "A").select("l_partkey"),
+        "l_partkey")
+      val truth = li.filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_partkey").as("k"),
+          (col("l_returnflag") === "R").cast("long").as("ia"),
+          (col("l_returnflag") === "A").cast("long").as("ib"))
+        .groupBy("k").agg(max("ia").as("ia"), max("ib").as("ib"))
+        .agg(sum(expr("ia * ib")).as("n_inter"),
+          count(lit(1)).as("n_union"))
+        .withColumn("true_jacc_bp", expr("n_inter * 10000 DIV n_union"))
+      est.crossJoin(truth)
+        .withColumn("err_bp", abs(col("jacc_bp") - col("true_jacc_bp")))
+        .select("k_used", "kth_hash", "n_both", "jacc_bp",
+          "n_inter", "n_union", "true_jacc_bp", "err_bp")
+    }),
+
     // EXT mergeable histogram quantiles: fixed 4096×4096-cent bins over
     // extendedprice cents (range [0, 2²⁴) covers every SF; the TPC-H
     // price cap is SF-independent) — bin counts ADD across shards,
@@ -3593,6 +3619,53 @@ object SparkEntry {
        |FROM f""".stripMargin
   }
 
+  /** KMV-Jaccard oracle: both bottom-k sketches re-derived hash by
+    * hash (the [[kmvOracle]] quadratic mix), the coordinated union
+    * bottom-k with membership flags, and the exact truth — every
+    * column, including the estimate's error, is integer arithmetic. */
+  private def kmvJaccardOracle: String = {
+    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
+    import graft.ops.Sketches.{HllSeedBase, KmvK}
+    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
+    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
+    def bottomCtes(name: String, flag: String): String =
+      s"""d$name AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS k
+         |           FROM lineitem WHERE l_returnflag = '$flag'),
+         | q$name AS (SELECT k, k % $P1 AS q1, k % $P2 AS q2 FROM d$name),
+         | h$name AS (SELECT k,
+         |        ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
+         |        + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS h
+         |        FROM q$name),
+         | b$name AS (SELECT k, h FROM h$name ORDER BY h, k LIMIT $KmvK)"""
+        .stripMargin
+    s"""WITH ${bottomCtes("a", "R")},
+       | ${bottomCtes("b", "A")},
+       | u AS (SELECT h, k, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |     SELECT h, k, 1 AS in_a, 0 AS in_b FROM ba
+       |     UNION ALL SELECT h, k, 0 AS in_a, 1 AS in_b FROM bb)
+       |   GROUP BY 1, 2),
+       | bu AS (SELECT * FROM u ORDER BY h, k LIMIT $KmvK),
+       | s AS (SELECT count(*) AS k_used, max(h) AS kth_hash,
+       |              CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+       |       FROM bu),
+       | tr AS (SELECT CAST(sum(ia * ib) AS BIGINT) AS n_inter,
+       |               count(*) AS n_union
+       |        FROM (SELECT l_partkey,
+       |                     max(CASE WHEN l_returnflag = 'R' THEN 1
+       |                              ELSE 0 END) AS ia,
+       |                     max(CASE WHEN l_returnflag = 'A' THEN 1
+       |                              ELSE 0 END) AS ib
+       |              FROM lineitem WHERE l_returnflag IN ('R', 'A')
+       |              GROUP BY 1))
+       |SELECT k_used, kth_hash, n_both,
+       |       n_both * 10000 // k_used AS jacc_bp,
+       |       n_inter, n_union,
+       |       n_inter * 10000 // n_union AS true_jacc_bp,
+       |       abs(n_both * 10000 // k_used
+       |           - n_inter * 10000 // n_union) AS err_bp
+       |FROM s CROSS JOIN tr""".stripMargin
+  }
+
   /** Histogram-quantile oracle: identical fixed-geometry binning,
     * cumulative window and covering-bin selection — every number is an
     * integer in both engines. */
@@ -4685,6 +4758,7 @@ object SparkEntry {
     "sketch_hll_sliding" -> hllSlidingOracle,
     "sketch_hll_union" -> hllUnionOracle,
     "sketch_kmv_distinct" -> kmvOracle,
+    "sketch_kmv_jaccard" -> kmvJaccardOracle,
     "sketch_hist_quantiles" -> histQuantilesOracle,
 
     // the merge law IS the identity under test (the hll_union

@@ -279,6 +279,48 @@ object Sketches {
         ++ Seq(col("k").as(keyCol), col("h"), col("rn")): _*)
   }
 
+  /** KMV set-RESEMBLANCE: the Jaccard similarity of two key sets
+    * estimated from their bottom-k sketches alone — the sketch-sized
+    * answer to "how much do these two slices' vocabularies / user
+    * bases / part mixes overlap", where the exact answer needs both
+    * full distinct sets co-shuffled. The estimator (Bar-Yossef et al.'s
+    * bottom-k coordinated sample): take the k smallest hashes of A ∪ B
+    * and count how many belong to both sets; `n_both / k_used` is an
+    * unbiased Jaccard estimate with ±1/√k error.
+    *
+    * The membership flags are EXACT from the two sketches: any element
+    * of bottom-k(A ∪ B) that lies in A has rank ≤ k within A's hash
+    * order too, so it necessarily appears in bottom-k(A) — no second
+    * look at the data. That closure property is why coordinated
+    * bottom-k samples compose (the same argument that makes
+    * [[kmvBottom]]'s union merge law exact), and it is what a pair of
+    * INDEPENDENT per-set samples would not give.
+    *
+    * Both per-set sketches are TakeOrdered plans (per-partition heaps,
+    * no shuffle); the merge touches 2k rows. Ties on h break by key so
+    * the sketch — and therefore the estimate — is bit-reproducible.
+    * Output: one row (k_used, kth_hash, n_both, jacc_bp). The exact
+    * Jaccard stays out of the operator on purpose — at scale it does
+    * not exist cheaply; the registered query's oracle recomputes BOTH
+    * the sketch estimate and the truth for the error report instead. */
+  def kmvJaccard(a: DataFrame, b: DataFrame, keyCol: String,
+      k: Int = KmvK, seedBase: Int = HllSeedBase): DataFrame = {
+    def bottom(df: DataFrame): DataFrame =
+      df.select(col(keyCol).cast("long").as("k")).distinct()
+        .select(col("k"), quadHash(col("k"), seedBase).as("h"))
+        .orderBy("h", "k").limit(k)
+    val ba = bottom(a).withColumn("in_a", lit(1L)).withColumn("in_b", lit(0L))
+    val bb = bottom(b).withColumn("in_a", lit(0L)).withColumn("in_b", lit(1L))
+    ba.unionByName(bb)
+      .groupBy("h", "k")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .orderBy("h", "k").limit(k)
+      .agg(count(lit(1)).as("k_used"), max("h").as("kth_hash"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .withColumn("jacc_bp", expr("n_both * 10000 DIV k_used"))
+      .select("k_used", "kth_hash", "n_both", "jacc_bp")
+  }
+
   /** Fixed-geometry equi-width histogram over a long column — the
     * mergeable quantile summary (bin counts ADD across shards, unlike
     * any exact rank). `lo`/`width`/`bins` are build-time constants;

@@ -213,6 +213,37 @@ class SketchesSpec extends SparkTestBase {
     assert(dup == row._1)
   }
 
+  test("kmvJaccard: exact below k; identical and disjoint extremes") {
+    // |A ∪ B| = 90 < k=256 -> the union bottom-k IS the universe and
+    // the estimate is exact: inter 30 / union 90 -> 3333 bp
+    val a = (1L to 60L).toDF("k")
+    val b = (31L to 90L).toDF("k")
+    val r = Sketches.kmvJaccard(a, b, "k")
+      .select("k_used", "n_both", "jacc_bp")
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((90L, 30L, 3333L)))
+    // identical sets: every sampled key is in both -> 10000 bp
+    val same = Sketches.kmvJaccard(a, a, "k")
+      .select("jacc_bp").as[Long].collect().head
+    assert(same == 10000L)
+    // disjoint sets -> 0 bp
+    val disj = Sketches.kmvJaccard(a, (1000L to 1100L).toDF("k"), "k")
+      .select("jacc_bp").as[Long].collect().head
+    assert(disj == 0L)
+  }
+
+  test("kmvJaccard: above-k estimate lands within the sampling band") {
+    // two overlapping 3000-key ranges, true jacc = 2000/4000 = 5000 bp;
+    // ±1/sqrt(k) at k=256 is ~625 bp 1-sigma -> gate at 3 sigma
+    val a = (1L to 3000L).toDF("k")
+    val b = (1001L to 4000L).toDF("k")
+    val r = Sketches.kmvJaccard(a, b, "k")
+      .select("k_used", "jacc_bp").as[(Long, Long)].collect().head
+    assert(r._1 == 256L)
+    assert(math.abs(r._2 - 5000L) < 1900L,
+      s"KMV jaccard ${r._2} bp vs truth 5000 bp")
+  }
+
   // ---- mergeable histogram quantiles ---------------------------------
 
   test("histQuantiles: covering bin brackets the exact quantile; shards add") {
