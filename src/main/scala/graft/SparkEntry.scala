@@ -2768,6 +2768,17 @@ object SparkEntry {
           ForeignKey("lineitem", "l_orderkey", "orders", "o_orderkey")))
     }),
 
+    // EXT DQ rule INFERENCE — the draft-contract generator: profile
+    // orders once (fused scan + bounded per-column domain probes) and
+    // emit the not-null / unique / enum / range rules the data already
+    // satisfies, with evidence. o_orderkey proves unique+range,
+    // o_orderstatus/o_orderpriority land as small enums; every gate is
+    // evaluated in-plan, so the inference itself is oracle'd.
+    "dq_suggest" -> ((s, dir) =>
+      graft.ops.DataQuality.suggestRules(t(s, dir, "orders"),
+        numCols = Seq("o_orderkey", "o_custkey"),
+        strCols = Seq("o_orderstatus", "o_orderpriority"))),
+
     // EXT out-of-orderness audit: per event type, how many events
     // arrived (event_id order) after a later-timestamped sibling, and
     // the max lateness — the number that SIZES a watermark before
@@ -5196,6 +5207,63 @@ object SparkEntry {
                 AND NOT EXISTS (SELECT 1 FROM orders o3
                                 WHERE o3.o_orderkey = l2.l_orderkey))
         ORDER BY rule""",
+
+    // dq_suggest: the same profile recomputed column by column; enum
+    // domains via string_agg over a PRE-SORTED DISTINCT subquery (the
+    // q41 version-portability discipline), gates as WHERE clauses on
+    // the UNION ALL branches. Only rules that hold are emitted.
+    "dq_suggest" ->
+      """WITH p AS (SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ok,
+                count(DISTINCT o_orderkey) AS nd_ok,
+                CAST(min(o_orderkey) AS BIGINT) AS mn_ok,
+                CAST(max(o_orderkey) AS BIGINT) AS mx_ok,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ck,
+                count(DISTINCT o_custkey) AS nd_ck,
+                CAST(min(o_custkey) AS BIGINT) AS mn_ck,
+                CAST(max(o_custkey) AS BIGINT) AS mx_ck,
+                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_st,
+                count(DISTINCT o_orderstatus) AS nd_st,
+                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_pr,
+                count(DISTINCT o_orderpriority) AS nd_pr
+         FROM orders),
+        dom_st AS (SELECT string_agg(v, ',') AS dom FROM (
+            SELECT DISTINCT o_orderstatus AS v FROM orders
+            WHERE o_orderstatus IS NOT NULL ORDER BY v)),
+        dom_pr AS (SELECT string_agg(v, ',') AS dom FROM (
+            SELECT DISTINCT o_orderpriority AS v FROM orders
+            WHERE o_orderpriority IS NOT NULL ORDER BY v))
+        SELECT * FROM (
+          SELECT 'o_orderkey' AS col_name, 'not_null' AS rule, n_rows,
+                 nn_ok AS n_null, nd_ok AS n_distinct, '' AS details
+          FROM p WHERE nn_ok = 0
+          UNION ALL SELECT 'o_orderkey', 'unique', n_rows, nn_ok, nd_ok, ''
+          FROM p WHERE n_rows > nn_ok AND nd_ok = n_rows - nn_ok
+          UNION ALL SELECT 'o_orderkey', 'range', n_rows, nn_ok, nd_ok,
+                 mn_ok || '..' || mx_ok
+          FROM p WHERE n_rows > nn_ok
+          UNION ALL SELECT 'o_custkey', 'not_null', n_rows, nn_ck, nd_ck, ''
+          FROM p WHERE nn_ck = 0
+          UNION ALL SELECT 'o_custkey', 'unique', n_rows, nn_ck, nd_ck, ''
+          FROM p WHERE n_rows > nn_ck AND nd_ck = n_rows - nn_ck
+          UNION ALL SELECT 'o_custkey', 'range', n_rows, nn_ck, nd_ck,
+                 mn_ck || '..' || mx_ck
+          FROM p WHERE n_rows > nn_ck
+          UNION ALL SELECT 'o_orderstatus', 'not_null', n_rows, nn_st, nd_st, ''
+          FROM p WHERE nn_st = 0
+          UNION ALL SELECT 'o_orderstatus', 'unique', n_rows, nn_st, nd_st, ''
+          FROM p WHERE n_rows > nn_st AND nd_st = n_rows - nn_st
+          UNION ALL SELECT 'o_orderstatus', 'enum', n_rows, nn_st, nd_st,
+                 (SELECT dom FROM dom_st)
+          FROM p WHERE nd_st > 0 AND nd_st <= 12
+          UNION ALL SELECT 'o_orderpriority', 'not_null', n_rows, nn_pr, nd_pr, ''
+          FROM p WHERE nn_pr = 0
+          UNION ALL SELECT 'o_orderpriority', 'unique', n_rows, nn_pr, nd_pr, ''
+          FROM p WHERE n_rows > nn_pr AND nd_pr = n_rows - nn_pr
+          UNION ALL SELECT 'o_orderpriority', 'enum', n_rows, nn_pr, nd_pr,
+                 (SELECT dom FROM dom_pr)
+          FROM p WHERE nd_pr > 0 AND nd_pr <= 12)
+        ORDER BY col_name, rule""",
 
     // running-max window in arrival (event_id) order, strictly prior rows
     "events_order_audit" ->

@@ -92,4 +92,70 @@ object DataQuality {
 
     (perTable ++ fks).reduce(_.unionByName(_)).orderBy("rule")
   }
+
+  /** Rule INFERENCE — the other direction of [[report]]: profile the
+    * table once and emit the expectation rules the data already
+    * satisfies (not-null, unique-key candidates, small-domain enums,
+    * numeric ranges), each with its supporting evidence. The output is
+    * the draft contract a new ingest source gets reviewed against; the
+    * suggestions feed straight back into [[Check]]/[[Unique]] rules.
+    *
+    * Execution: ONE fused profile scan for every count (null counts,
+    * exact distinct counts, integer min/max — a column costs aggregates,
+    * not passes), plus one `distinct → orderBy → limit(enumMax+1)` probe
+    * per STRING column for the enum domain — bounded by construction:
+    * the TakeOrdered cap means a high-cardinality column contributes at
+    * most enumMax+1 rows of state, never its value universe (the
+    * collect_set spelling would buffer every distinct value per column
+    * — the exact blowup this shape exists to avoid). No driver
+    * decisions: gates are evaluated in-plan, so the whole inference is
+    * one deterministic query both engines can run.
+    *
+    * `numCols` must be integer-typed (min/max surface as BIGINT — the
+    * cross-engine exactness discipline; profile float money columns
+    * through their cents form instead). Output: (col_name, rule,
+    * n_rows, n_null, n_distinct, details), only rules that HOLD. */
+  def suggestRules(df: DataFrame, numCols: Seq[String],
+      strCols: Seq[String], enumMax: Int = 12): DataFrame = {
+    val all = numCols ++ strCols
+    require(all.nonEmpty, "need at least one column")
+    require(all.distinct.size == all.size, "duplicate column in profile")
+    val aggs = all.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")) } ++
+      numCols.flatMap { c => Seq(
+        min(col(c)).cast("long").as(s"mn_$c"),
+        max(col(c)).cast("long").as(s"mx_$c")) }
+    val prof = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val doms = strCols.map { c =>
+      df.select(col(c)).filter(col(c).isNotNull).distinct()
+        .orderBy(c).limit(enumMax + 1)
+        .agg(array_join(array_sort(collect_list(col(c))), ",")
+          .as(s"dom_$c"))
+    }
+    val joined = doms.foldLeft(prof)((p, d) => p.crossJoin(d))
+    val entries = all.flatMap { c =>
+      val nn = col(s"nn_$c")
+      val nd = col(s"nd_$c")
+      def e(rule: String, ok: Column, details: Column) =
+        struct(lit(c).as("col_name"), lit(rule).as("rule"), ok.as("ok"),
+          nn.as("n_null"), nd.as("n_distinct"), details.as("details"))
+      Seq(
+        e("not_null", nn === 0L, lit("")),
+        e("unique", col("n_rows") > nn && nd === col("n_rows") - nn,
+          lit(""))) ++
+        (if (numCols.contains(c))
+          Seq(e("range", col("n_rows") > nn,
+            concat_ws("..", col(s"mn_$c"), col(s"mx_$c"))))
+        else
+          Seq(e("enum", nd > 0L && nd <= enumMax, col(s"dom_$c"))))
+    }
+    joined.select(col("n_rows"), explode(array(entries: _*)).as("e"))
+      .filter(col("e.ok"))
+      .select(col("e.col_name").as("col_name"), col("e.rule").as("rule"),
+        col("n_rows"), col("e.n_null").as("n_null"),
+        col("e.n_distinct").as("n_distinct"),
+        col("e.details").as("details"))
+      .orderBy("col_name", "rule")
+  }
 }

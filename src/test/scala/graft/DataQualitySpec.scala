@@ -31,6 +31,43 @@ class DataQualitySpec extends SparkTestBase {
       ("unique:p.id", 5L, 1L)))
   }
 
+  test("suggestRules: planted table yields exactly the holding rules") {
+    // id: unique, no nulls -> not_null + unique + range
+    // score: one null -> range only (not_null gated out, not unique)
+    // cat: 2-value domain, no nulls -> not_null + enum
+    // tag: null present, all-distinct non-nulls -> unique + enum (no
+    //      not_null); domain excludes the null
+    val df = Seq(
+      (1L, Some(10L), "a", Some("x")),
+      (2L, Some(20L), "b", Some("y")),
+      (3L, None, "a", None),
+      (4L, Some(10L), "b", Some("z"))
+    ).toDF("id", "score", "cat", "tag")
+    val got = DataQuality.suggestRules(df, numCols = Seq("id", "score"),
+        strCols = Seq("cat", "tag"), enumMax = 12)
+      .as[(String, String, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("cat", "enum", 4L, 0L, 2L, "a,b"),
+      ("cat", "not_null", 4L, 0L, 2L, ""),
+      ("id", "not_null", 4L, 0L, 4L, ""),
+      ("id", "range", 4L, 0L, 4L, "1..4"),
+      ("id", "unique", 4L, 0L, 4L, ""),
+      ("score", "range", 4L, 1L, 2L, "10..20"),
+      ("tag", "enum", 4L, 1L, 3L, "x,y,z"),
+      ("tag", "unique", 4L, 1L, 3L, "")))
+  }
+
+  test("suggestRules: enum gate drops a domain wider than enumMax") {
+    val df = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "cat")
+    val got = DataQuality.suggestRules(df, numCols = Seq("id"),
+        strCols = Seq("cat"), enumMax = 5)
+      .select("col_name", "rule").as[(String, String)].collect().toSeq
+    // cat is unique+not_null but NOT an enum; the truncated domain
+    // probe must never leak a partial domain
+    assert(got == Seq(("cat", "not_null"), ("cat", "unique"),
+      ("id", "not_null"), ("id", "range"), ("id", "unique")))
+  }
+
   test("privacy: k-anonymity / l-diversity on hand-planted groups") {
     // A: 6 rows all-distinct sensitive (compliant); B: 3 rows (k-viol);
     // C: 5 rows single sensitive value (l-viol); D: singleton (both)
