@@ -2786,6 +2786,12 @@ object SparkEntry {
     "events_order_audit" -> ((s, dir) =>
       graft.ops.Events.orderAudit(t(s, dir, "events"))),
 
+    // EXT seasonal-baseline anomaly screen: which (type, day) broke the
+    // hour-of-day rhythm — baseline is a (types·24)-row broadcast, the
+    // fact side never shuffles for the join, top-k via TakeOrdered.
+    "events_seasonal" -> ((s, dir) =>
+      graft.ops.Events.seasonalResiduals(t(s, dir, "events"))),
+
     // EXT schema-evolution read: stage two parquet generations (gen=2
     // adds o_orderpriority), read them as one dataset via footer
     // merging + partition-dir provenance, back-fill the evolved column
@@ -5281,6 +5287,25 @@ object SparkEntry {
                                        THEN prior_max - us END), 0)
                      AS BIGINT) AS max_lateness_us
          FROM x GROUP BY 1 ORDER BY event_type""",
+
+    // events_seasonal: floor-mean baseline per (type, hour-of-day),
+    // summed absolute deviation per (type, day), top 30
+    "events_seasonal" ->
+      """WITH t AS (SELECT event_type,
+                           CAST(round(value * 100) AS BIGINT) AS c,
+                           (epoch_us(ts) // 3600000000) % 24 AS hod,
+                           epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+          b AS (SELECT event_type, hod,
+                       CAST(sum(c) // count(*) AS BIGINT) AS mean_c
+                FROM t GROUP BY 1, 2),
+          s AS (SELECT t.event_type, t.day, count(*) AS n_events,
+                       CAST(sum(abs(t.c - b.mean_c)) AS BIGINT) AS sad_cents
+                FROM t JOIN b ON b.event_type = t.event_type
+                             AND b.hod = t.hod
+                GROUP BY 1, 2)
+         SELECT event_type, day, n_events, sad_cents FROM s
+         ORDER BY sad_cents DESC, event_type, day LIMIT 30""",
 
     // the evolution rule inlined over the base table: even keys are
     // generation 1 (no priority column -> default), odd keys carry it

@@ -659,4 +659,39 @@ object Events {
           .otherwise(0L)).as("n_outliers"))
       .orderBy("user_id")
   }
+
+  /** Seasonal-baseline anomaly screen: learn the (event_type ×
+    * hour-of-day) expected value from the corpus itself, then rank
+    * (event_type, day) buckets by their summed absolute deviation from
+    * that baseline — the "which day broke the daily rhythm" monitor
+    * that catches traffic-shape incidents a global mean hides (a value
+    * normal at 14:00 can be anomalous at 03:00).
+    *
+    * Integer throughout: values in cents, the per-(type, hod) baseline
+    * as a FLOOR mean (`tot div n` — bit-portable like every mean in
+    * the family), deviation = Σ|c − baseline|. UTC hour/day come from
+    * integer division of epoch-µs; [[tsUs]] absorbs the parquet
+    * encoding drift.
+    *
+    * Scale shape: one hash agg to the (types · 24)-row baseline, which
+    * broadcasts back onto the event scan (never a shuffle of the fact
+    * side), one (type, day)-keyed agg, and a TakeOrdered top-k. Adding
+    * 100× data changes only the scan time. */
+  def seasonalResiduals(events: DataFrame, topK: Int = 30): DataFrame = {
+    val withT = events.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"),
+        tsUs(events).as("us"))
+      .withColumn("hod", expr("(us div 3600000000) % 24"))
+      .withColumn("day", expr("us div 86400000000"))
+    val baseline = withT.groupBy("event_type", "hod")
+      .agg(sum("c").as("tot"), count(lit(1)).as("n"))
+      .withColumn("mean_c", expr("tot div n"))
+      .select("event_type", "hod", "mean_c")
+    withT.join(broadcast(baseline), Seq("event_type", "hod"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(abs(col("c") - col("mean_c"))).as("sad_cents"))
+      .orderBy(desc("sad_cents"), asc("event_type"), asc("day"))
+      .limit(topK)
+  }
 }

@@ -68,6 +68,27 @@ class DataQualitySpec extends SparkTestBase {
       ("id", "not_null"), ("id", "range"), ("id", "unique")))
   }
 
+  test("seasonalResiduals: hand-computed baseline, deviation, ranking") {
+    // type a, hod 0, three events across two days: pooled floor mean =
+    // (100+200+400)/3 = 233 cents; SAD day0 = 133+33 = 166, day1 = 167
+    // -> day1 ranks first. type b's two hods each see exactly one value
+    // -> baseline equals the value, SAD 0 (the per-hod separation pin:
+    // pooling b's hods would give mean 200 and SAD 200 instead).
+    val us = udf((d: Long, h: Long, m: Long) =>
+      d * 86400000000L + h * 3600000000L + m * 60000000L)
+    val ev = Seq(
+      ("a", 1.00, 0L, 0L, 0L), ("a", 2.00, 0L, 0L, 1L),
+      ("a", 4.00, 1L, 0L, 0L),
+      ("b", 1.00, 0L, 0L, 0L), ("b", 3.00, 0L, 1L, 0L)
+    ).toDF("event_type", "value", "d", "h", "m")
+      .select(col("event_type"), col("value"),
+        timestamp_micros(us(col("d"), col("h"), col("m"))).as("ts"))
+    val got = Events.seasonalResiduals(ev)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 1L, 167L), ("a", 0L, 2L, 166L),
+      ("b", 0L, 2L, 0L)))
+  }
+
   test("privacy: k-anonymity / l-diversity on hand-planted groups") {
     // A: 6 rows all-distinct sensitive (compliant); B: 3 rows (k-viol);
     // C: 5 rows single sensitive value (l-viol); D: singleton (both)
