@@ -1325,6 +1325,24 @@ object SparkEntry {
         .select("o_orderkey", "o_orderpriority")
         .orderBy("o_orderkey")),
 
+    // EXT leave-one-out smoothed target encoding (label = order status
+    // 'F'): per-row LOO collapses to at most two encodings per
+    // category, so the compact (category, y) surface checks EVERY
+    // row's feature value — max=min within each group is asserted
+    // in-plan rather than averaged away.
+    "fp_target_encode" -> ((s, dir) => {
+      val enc = Features.targetEncodeLoo(t(s, dir, "orders"),
+        "o_orderpriority", col("o_orderstatus") === "F", m = 20)
+      enc.groupBy("o_orderpriority", "y")
+        .agg(count(lit(1)).as("n_rows"), max("prior_bp").as("prior_bp"),
+          max("enc_bp").as("enc_bp"), min("enc_bp").as("enc_lo"))
+        .where(assert_true(col("enc_bp") === col("enc_lo"),
+          lit("LOO encoding must be constant within (category, label)"))
+          .isNull)
+        .select("o_orderpriority", "y", "n_rows", "prior_bp", "enc_bp")
+        .orderBy("o_orderpriority", "y")
+    }),
+
     // EXT JSONL sink + explicit-schema source round-trip (the LLM-corpus
     // interchange format), then an aggregate — oracle is the plain
     // aggregate over the parquet original. Same pid-scoped tmp dir
@@ -6838,6 +6856,26 @@ object SparkEntry {
                     ELSE ${P1 / 10000L * 500L} END
           ORDER BY o_orderkey"""
     },
+
+    // per-row LOO encodings recomputed, collapsed over (category, y) —
+    // constant within each group by construction, so max() is exact
+    "fp_target_encode" ->
+      """WITH w AS (SELECT o_orderpriority AS cat,
+                           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                             AS y
+                    FROM orders),
+          st AS (SELECT cat, CAST(sum(y) AS BIGINT) AS sum_y,
+                        count(*) AS n_c
+                 FROM w GROUP BY 1),
+          g AS (SELECT CAST(sum(y) * 10000 // count(*) AS BIGINT)
+                         AS prior_bp
+                FROM w)
+         SELECT w.cat AS o_orderpriority, CAST(w.y AS BIGINT) AS y,
+                count(*) AS n_rows, max(g.prior_bp) AS prior_bp,
+                max(CAST(((st.sum_y - w.y) * 10000 + 20 * g.prior_bp)
+                         // (st.n_c - 1 + 20) AS BIGINT)) AS enc_bp
+         FROM w JOIN st ON st.cat = w.cat CROSS JOIN g
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "fp_string_index" ->
       """WITH d1 AS (

@@ -320,6 +320,40 @@ object Features {
       .orderBy(stratum)
   }
 
+  /** Leave-one-out smoothed target encoding — the high-cardinality
+    * categorical feature the tree/linear stage actually wants (a
+    * category's empirical label rate, shrunk toward the global prior),
+    * with the standard leakage fix built in: each row's OWN label is
+    * subtracted from its category's sum before the rate is formed, so
+    * the feature never smuggles the row's target into training.
+    *
+    *   enc(row) = ((Σ_c y − y_row)·10000 + m·prior_bp) div (n_c − 1 + m)
+    *
+    * All integers (label is 0/1, rates in basis points, floor
+    * division), so unlike sklearn/category_encoders float paths the
+    * whole transform is bit-portable and oracle-checkable. `m` is the
+    * shrinkage pseudo-count: a singleton category (n_c = 1) gets
+    * exactly the prior; a huge one barely moves.
+    *
+    * Scale shape: one (category)-keyed aggregate (vocabulary-sized),
+    * broadcast back onto the scan + a 1-row prior cross join — the
+    * encoded table never shuffles the fact side, the map-side pattern
+    * every wide feature pipeline needs at 100 TB. Output: input
+    * columns + y, prior_bp, `out`. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, label: Column,
+      m: Int = 20, out: String = "enc_bp"): DataFrame = {
+    require(m >= 1, s"smoothing pseudo-count m must be >= 1, got $m")
+    val withY = df.withColumn("y", label.cast("long"))
+    val stats = withY.groupBy(catCol)
+      .agg(sum("y").as("__sum_y"), count(lit(1)).as("__n_c"))
+    val prior = withY.agg(expr("sum(y) * 10000 div count(1)").as("prior_bp"))
+    withY.join(broadcast(stats), catCol)
+      .crossJoin(broadcast(prior))
+      .withColumn(out,
+        expr(s"((__sum_y - y) * 10000 + $m * prior_bp) div (__n_c - 1 + $m)"))
+      .drop("__sum_y", "__n_c")
+  }
+
   def hashStratifiedSample(df: DataFrame, stratum: String, key: String,
       fractionsBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
     require((fractionsBp.values ++ Seq(defaultBp)).forall(bp => bp >= 0 && bp <= 10000),

@@ -197,6 +197,21 @@ class MlPipelineSpec extends SparkTestBase {
       (5L, "b", 2L), (6L, "c", 1L)))
   }
 
+  test("targetEncodeLoo: hand-computed LOO shrinkage; singleton = prior") {
+    // prior = 2/4 = 5000 bp, m = 2.
+    // A (y = 1,1,0): y=1 rows -> ((2-1)*10000 + 2*5000) div (3-1+2) = 5000
+    //                y=0 row  -> ((2-0)*10000 + 10000) div 4 = 7500
+    // B singleton y=0 -> (0 + 10000) div (0+2) = 5000 — exactly the
+    // prior: shrinkage fully absorbs a category with no OTHER evidence
+    val df = Seq(("A", 1L, 1), ("A", 2L, 1), ("A", 3L, 0), ("B", 4L, 0))
+      .toDF("cat", "id", "lbl")
+    val got = Features.targetEncodeLoo(df, "cat", col("lbl") === 1, m = 2)
+      .select("id", "y", "prior_bp", "enc_bp")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 5000L, 5000L), (2L, 1L, 5000L, 5000L),
+      (3L, 0L, 5000L, 7500L), (4L, 0L, 5000L, 5000L)))
+  }
+
   test("rfImportances: 64 rows summing to ~1 (FP12)") {
     val labeled = graft.ml.Classifiers.embeddingFeatures(
       Tables(spark, sf001, "embeddings"))
