@@ -2810,6 +2810,13 @@ object SparkEntry {
     "events_seasonal" -> ((s, dir) =>
       graft.ops.Events.seasonalResiduals(t(s, dir, "events"))),
 
+    // EXT RFM segmentation: per-user recency/frequency/monetary exact
+    // quintiles (distributed rangeNtileBucket — no single-partition
+    // window) composed into the 3-digit segment; ntile passes run over
+    // the |users|-sized profile, the event scan happens once.
+    "events_rfm" -> ((s, dir) =>
+      graft.ops.Events.rfmSegments(t(s, dir, "events"))),
+
     // EXT schema-evolution read: stage two parquet generations (gen=2
     // adds o_orderpriority), read them as one dataset via footer
     // merging + partition-dir provenance, back-fill the evolved column
@@ -5324,6 +5331,31 @@ object SparkEntry {
                 GROUP BY 1, 2)
          SELECT event_type, day, n_events, sad_cents FROM s
          ORDER BY sad_cents DESC, event_type, day LIMIT 30""",
+
+    // events_rfm: ntile(5) with the user_id tie-break — SQL ntile's
+    // uneven-bucket rule (first N mod n buckets take the extra row) is
+    // exactly what rangeNtileBucket replicates
+    "events_rfm" ->
+      """WITH b AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+                           count(*) AS n_events,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                AS BIGINT) AS tot_cents
+                    FROM events GROUP BY 1),
+          g AS (SELECT max(last_us) AS mx FROM b),
+          s AS (SELECT user_id,
+                       (mx - last_us) // 86400000000 AS recency_days,
+                       n_events, tot_cents,
+                       CAST(ntile(5) OVER (ORDER BY last_us, user_id)
+                            AS BIGINT) AS r_score,
+                       CAST(ntile(5) OVER (ORDER BY n_events, user_id)
+                            AS BIGINT) AS f_score,
+                       CAST(ntile(5) OVER (ORDER BY tot_cents, user_id)
+                            AS BIGINT) AS m_score
+                FROM b CROSS JOIN g)
+         SELECT user_id, recency_days, n_events, tot_cents,
+                r_score, f_score, m_score,
+                r_score * 100 + f_score * 10 + m_score AS rfm
+         FROM s ORDER BY user_id""",
 
     // the evolution rule inlined over the base table: even keys are
     // generation 1 (no priority column -> default), odd keys carry it

@@ -694,4 +694,45 @@ object Events {
       .orderBy(desc("sad_cents"), asc("event_type"), asc("day"))
       .limit(topK)
   }
+
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * classic behavioral scoring every growth/CRM pipeline runs: per
+    * user, days since last event, event count, and total spend, each
+    * ranked into `n` exact quantile buckets, composed into the
+    * three-digit RFM segment (555 = recent + frequent + big spender).
+    *
+    * The three scores are EXACT ntiles via
+    * [[Features.rangeNtileBucket]] — the distributed form with no
+    * single-partition window anywhere in the plan (the PlanShapeSpec
+    * rule); ties break on user_id so both engines assign identical
+    * buckets. Ascending order means higher score = more recent / more
+    * frequent / higher value, the conventional reading. Recency is
+    * measured against the corpus max timestamp (a 1-row broadcast), in
+    * whole UTC days — all integer.
+    *
+    * Scale: one user-keyed aggregate, then three range-partitioned
+    * ntile passes over the |users|-sized profile (not the event
+    * stream) — the fact scan happens once. */
+  def rfmSegments(events: DataFrame, n: Int = 5): DataFrame = {
+    val base = events.select(col("user_id"), tsUs(events).as("us"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("user_id")
+      .agg(max("us").as("last_us"), count(lit(1)).as("n_events"),
+        sum("c").as("tot_cents"))
+    val withRec = base
+      .crossJoin(broadcast(base.agg(max("last_us").as("corpus_max_us"))))
+      .withColumn("recency_days",
+        expr("(corpus_max_us - last_us) div 86400000000"))
+    val scored = Seq(("last_us", "r_score"), ("n_events", "f_score"),
+      ("tot_cents", "m_score")).foldLeft(withRec) {
+        case (df, (v, out)) =>
+          Features.rangeNtileBucket(df, v, "user_id", n, out)
+      }
+    scored
+      .withColumn("rfm",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .select("user_id", "recency_days", "n_events", "tot_cents",
+        "r_score", "f_score", "m_score", "rfm")
+      .orderBy("user_id")
+  }
 }

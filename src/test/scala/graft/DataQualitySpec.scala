@@ -89,6 +89,31 @@ class DataQualitySpec extends SparkTestBase {
       ("b", 0L, 2L, 0L)))
   }
 
+  test("rfmSegments: hand-built users, independent score dimensions") {
+    // five users, one per quintile on R and F; u2's big spend reorders
+    // only the M dimension (ascending tot: u1,u3,u4,u5,u2) — the pin
+    // that the three ntiles rank independently
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map { i =>
+        val v = if (u == 2) 10.00 else 1.00
+        (u.toLong, v, (u - 1).toLong * 86400000000L + i * 60000000L)
+      }
+    }
+    val ev = rows.toDF("user_id", "value", "us")
+      .select(col("user_id"), col("value"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = Events.rfmSegments(ev)
+      .select("user_id", "recency_days", "r_score", "f_score", "m_score",
+        "rfm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, 1L, 1L, 111L),
+      (2L, 3L, 2L, 2L, 5L, 225L),
+      (3L, 2L, 3L, 3L, 2L, 332L),
+      (4L, 1L, 4L, 4L, 3L, 443L),
+      (5L, 0L, 5L, 5L, 4L, 554L)))
+  }
+
   test("privacy: k-anonymity / l-diversity on hand-planted groups") {
     // A: 6 rows all-distinct sensitive (compliant); B: 3 rows (k-viol);
     // C: 5 rows single sensitive value (l-viol); D: singleton (both)
