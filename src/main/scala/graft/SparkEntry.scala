@@ -1125,6 +1125,14 @@ object SparkEntry {
     "sim_kmeans_step" -> ((s, dir) =>
       Similarity.kmeansStep(t(s, dir, "embeddings"))),
 
+    // EXT IVF-layout balance audit: per-cluster membership share,
+    // inertia and radius under the audited integer coarse quantizer —
+    // the measurement that decides whether an IVF probe plan survives
+    // scale (a hot list turns nProbe=1 into a scan). One broadcast-
+    // centroid pass + a k-row agg; exact, hash-oracle'd.
+    "sim_kmeans_balance" -> ((s, dir) =>
+      Similarity.kmeansAssignStats(t(s, dir, "embeddings"))),
+
     // EXT multimodal binary columns:
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
     "mm_decode_stub" -> ((s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))),
@@ -4405,6 +4413,32 @@ object SparkEntry {
          FROM nr1 LEFT JOIN nr2 ON nr1.cid = nr2.cid
               JOIN cs ON nr1.cid = cs.cid
          ORDER BY cluster_id""",
+
+    // sim_kmeans_balance: the same quantization/assignment CTEs as
+    // sim_kmeans_step, keeping dist2 at the argmin for inertia/radius
+    "sim_kmeans_balance" ->
+      """WITH qv AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024)
+                       AS BIGINT) AS q
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, d, q AS c FROM qv WHERE vec_id < 8),
+         d1 AS (SELECT v.vec_id, c.cid,
+                       sum((v.q - c.c) * (v.q - c.c)) AS dist2
+                FROM qv v JOIN c0 c USING (d) GROUP BY v.vec_id, c.cid),
+         a1 AS (SELECT vec_id, cid, dist2 FROM (
+                  SELECT vec_id, cid, dist2, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+                  FROM d1) WHERE rn = 1),
+         tot AS (SELECT count(*) AS n_total FROM a1)
+         SELECT CAST(cid AS BIGINT) AS cluster_id,
+                count(*) AS n_members,
+                CAST(count(*) * 10000 // max(n_total) AS BIGINT)
+                  AS share_bp,
+                CAST(sum(dist2) AS BIGINT) AS inertia,
+                CAST(max(dist2) AS BIGINT) AS radius_sq
+         FROM a1 CROSS JOIN tot
+         GROUP BY cid ORDER BY cluster_id""",
 
     // mm_dhash_real: the synthesized stride-73 ramp (one perturbed pixel
     // in variant 1) is integer arithmetic on doc_id, so the 9×8 grid,

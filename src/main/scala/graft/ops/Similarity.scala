@@ -514,20 +514,9 @@ object Similarity {
     * round 1 (reported as n_r1 = 0, not an error — the caller picks
     * distinct seeds or reads the counts). */
   def kmeansStep(emb: DataFrame, k: Int = 8, scale: Int = 1024): DataFrame = {
-    val qv = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d"),
-        floor(col("x").cast("double") * scale).cast("long").as("q"))
-    val c0 = qv.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("d"), col("q").as("c"))
-    // seed-completeness gate: filter(vec_id < k) assumes dense ids
-    // 0..k-1; a corpus with sparse ids would seed < k clusters and the
-    // "no empty clusters" doc claim above would silently break
-    val seedCk = c0.agg(countDistinct(col("cid")).as("n_seed"))
-      .select(assert_true(col("n_seed") === k,
-        lit(s"kmeansStep: expected $k seed vectors with vec_id 0..${k - 1}" +
-          " — sparse vec_ids seed fewer clusters; re-key ids densely " +
-          "first")).as("__seed_g"))
+    val qv = quantized(emb, scale)
+    val c0 = seedCentroids(qv, k)
+    val seedCk = seedGuard(c0, k)
 
     def assign(centroids: DataFrame): DataFrame =
       qv.join(broadcast(centroids), Seq("d"))
@@ -560,6 +549,75 @@ object Similarity {
           .as("cluster_id"),
         col("n_r1"), coalesce(col("n_r2"), lit(0L)).as("n_r2"),
         col("centroid_sum"), col("shift_sq"))
+      .orderBy("cluster_id")
+  }
+
+  /** floor(x·scale) BIGINT quantization of the embedding corpus — the
+    * ann-oracle discipline shared by [[kmeansStep]] and
+    * [[kmeansAssignStats]]. */
+  private def quantized(emb: DataFrame, scale: Int): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        floor(col("x").cast("double") * scale).cast("long").as("q"))
+
+  /** Deterministic seeds = the first k vectors. */
+  private def seedCentroids(qv: DataFrame, k: Int): DataFrame =
+    qv.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("d"), col("q").as("c"))
+
+  /** Seed-completeness gate: filter(vec_id < k) assumes dense ids
+    * 0..k-1; a corpus with sparse ids would seed < k clusters and the
+    * "no empty clusters" claim would silently break. 1-row guard,
+    * NULL on pass / throws on fail (joined broadcast into the output
+    * plan). */
+  private def seedGuard(c0: DataFrame, k: Int): DataFrame =
+    c0.agg(countDistinct(col("cid")).as("n_seed"))
+      .select(assert_true(col("n_seed") === k,
+        lit(s"kmeansStep: expected $k seed vectors with vec_id 0..${k - 1}" +
+          " — sparse vec_ids seed fewer clusters; re-key ids densely " +
+          "first")).as("__seed_g"))
+
+  /** Assignment-BALANCE audit of the deterministic coarse quantizer:
+    * assign every vector to its nearest seed centroid (the
+    * [[kmeansStep]] metric — squared L2 over floor(x·scale) ints,
+    * lower-cid tie-break) and report, per cluster, the membership
+    * count, corpus share in basis points, inertia (Σ dist²) and radius
+    * (max dist²).
+    *
+    * This is the number that decides whether an IVF layout survives
+    * scale: probe cost is proportional to LIST SIZE, so a coarse
+    * quantizer with a hot cluster (share_bp ≫ 10000/k) turns nProbe=1
+    * into a scan of the hot list — the imbalance must be measured, not
+    * assumed (the [[graft.ops.Dedup]] cap-stats discipline applied to
+    * vector partitioning). Radius catches the dual failure: a huge
+    * radius means the list's members are far from their centroid and
+    * recall will sag there.
+    *
+    * One broadcast-centroid scan + a k-row aggregate — the audit costs
+    * one corpus pass regardless of size. Exact integers throughout ⇒
+    * hash-oracle'd. */
+  def kmeansAssignStats(emb: DataFrame, k: Int = 8,
+      scale: Int = 1024): DataFrame = {
+    val qv = quantized(emb, scale)
+    val c0 = seedCentroids(qv, k)
+    val best = qv.join(broadcast(c0), Seq("d"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("m.dist2").as("dist2"))
+    val tot = best.agg(count(lit(1)).as("n_total"))
+    best.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("dist2").as("inertia"),
+        max("dist2").as("radius_sq"))
+      .crossJoin(broadcast(tot))
+      .join(broadcast(seedGuard(c0, k)))
+      .select(when(col("__seed_g").isNull, col("cid").cast("long"))
+          .as("cluster_id"),
+        col("n_members"), expr("n_members * 10000 div n_total").as("share_bp"),
+        col("inertia"), col("radius_sq"))
       .orderBy("cluster_id")
   }
 

@@ -239,6 +239,35 @@ class SimilarityEventsSpec extends SparkTestBase {
       (1L, 3L, 3L, 597L, 182329L)))
   }
 
+  test("kmeansAssignStats: hand-computed shares, inertia and radius") {
+    // seeds v0=(0,0), v1=(10,10); v2=(0.5,0)->c0 at 512²; v3=(9.5,10)
+    // ->c1 at 512² — two clusters of 2, share 5000 bp each
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.5f, 0.0f)),
+      (3L, Array(9.5f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssignStats(df, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 5000L, 262144L, 262144L),
+      (1L, 2L, 5000L, 262144L, 262144L)))
+  }
+
+  test("kmeansAssignStats: shares partition the corpus at sf0.001") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val n = emb.count()
+    val out = Similarity.kmeansAssignStats(emb).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getLong(1)).sum == n, "members partition the corpus")
+    // floor shares can undershoot by < k bp in total, never overshoot
+    val shareSum = out.map(_.getLong(2)).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - 8L)
+    assert(out.forall(r => r.getLong(4) >= 0L &&
+      r.getLong(3) >= r.getLong(4)), "inertia >= radius >= 0")
+  }
+
   test("kmeansStep: clusters partition the corpus at sf0.001") {
     val emb = Tables(spark, sf0001, "embeddings")
     val n = emb.count()
