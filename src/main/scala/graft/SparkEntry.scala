@@ -805,6 +805,12 @@ object SparkEntry {
     "bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(t(s, dir, "documents"), BpeTrainMerges)),
 
+    // EXT tokenizer fertility: tokens-per-word and chars-per-token per
+    // source under the trained merge table — the token-budget /
+    // domain-mismatch statistic (integer milli-units).
+    "bpe_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(t(s, dir, "documents"), BpeTrainMerges)),
+
     // per-doc top-3 terms by TF-IDF (integer-exact idf surrogate; corpus
     // df + N computed distributed, ReuseExchange shares the tf shuffle)
     "text_tfidf_topk" -> ((s, dir) =>
@@ -4034,6 +4040,40 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Fertility oracle: the [[bpeEncodeOracle]] per-doc encoding CTEs
+    * rolled up per source in milli-units. */
+  private def bpeFertilityOracle(merges: Int): String = {
+    val rep = (1 to merges).foldLeft("rep")((c, i) =>
+      s"replace($c, (SELECT pair FROM m$i), (SELECT replace(pair, ' ', '') FROM m$i))")
+    s"""WITH ${bpeRoundsCtes(merges)},
+       | dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |          FROM documents),
+       | drep AS (SELECT doc_id, len(tok) AS n_c,
+       |                 array_to_string(string_split_regex(tok, ''), ' ') AS rep
+       |          FROM dtok WHERE tok <> ''),
+       | enc AS (SELECT doc_id, n_c, len(string_split($rep, ' ')) AS n_s
+       |         FROM drep),
+       | agg AS (SELECT doc_id, count(*) AS n_words, sum(n_c) AS n_chars,
+       |                sum(n_s) AS n_tokens
+       |         FROM enc GROUP BY 1),
+       | per AS (SELECT d.doc_id, d.source,
+       |                coalesce(a.n_words, 0) AS n_words,
+       |                coalesce(a.n_chars, 0) AS n_chars,
+       |                coalesce(a.n_tokens, 0) AS n_tokens
+       |         FROM documents d LEFT JOIN agg a USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(CASE WHEN sum(n_words) = 0 THEN 0
+       |                 ELSE sum(n_tokens) * 1000 // sum(n_words) END
+       |            AS BIGINT) AS fertility_milli,
+       |       CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+       |                 ELSE sum(n_chars) * 1000 // sum(n_tokens) END
+       |            AS BIGINT) AS chars_per_token_milli
+       |FROM per GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   /** The dedup-pipeline cluster ids fed through the portable hash split
     * keyed on cluster_id — same CTE chain as [[dedupPipelineOracle]],
     * same affine-hash arithmetic as the fp_hash_split oracle. */
@@ -4266,6 +4306,7 @@ object SparkEntry {
     // same oracle, so the driver's hash compare is the equivalence gate
     "bpe_train_batched" -> bpeTrainOracle(BpeTrainMerges),
     "bpe_encode" -> bpeEncodeOracle(BpeTrainMerges),
+    "bpe_fertility" -> bpeFertilityOracle(BpeTrainMerges),
     "dedup_simhash" -> simhashOracle,
     "dedup_cap_stats" -> capStatsOracle,
     "dedup_recall" -> dedupRecallOracle,

@@ -1131,6 +1131,36 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** Tokenizer FERTILITY report — [[bpeEncode]] rolled up per source:
+    * how many tokens the trained tokenizer spends per word
+    * (fertility), and how many characters each token covers
+    * (compression), per corpus slice. This is the statistic that
+    * decides token budgets and flags tokenizer/domain mismatch: a
+    * source whose fertility is far above the rest (many tokens per
+    * word) is one the merge table never learned — its share of the
+    * training budget silently inflates.
+    *
+    *   fertility_milli       = Σtokens · 1000 div Σwords
+    *   chars_per_token_milli = Σchars  · 1000 div Σtokens
+    *
+    * Integer milli-units, floor division — the corpus_mix share
+    * discipline. Cost = one [[bpeEncode]] pass (training is
+    * dictionary-bounded, encoding map-only) + a source-keyed rollup of
+    * three longs. */
+  def bpeFertility(docs: DataFrame, merges: Int = 5): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(bpeEncode(docs, merges), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_chars").as("n_chars"), sum("n_tokens").as("n_tokens"))
+      .withColumn("fertility_milli",
+        when(col("n_words") === 0L, lit(0L))
+          .otherwise(expr("n_tokens * 1000 div n_words")))
+      .withColumn("chars_per_token_milli",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("n_chars * 1000 div n_tokens")))
+      .orderBy("source")
+
   /** COMPOSED corpus preparation — the full text-pipeline path run end to
     * end as ONE lazy plan, the way a 100 TB training-data build actually
     * executes it (each stage checked separately elsewhere; this query

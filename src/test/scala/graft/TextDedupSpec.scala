@@ -676,6 +676,19 @@ class TextDedupSpec extends SparkTestBase {
       (3L, 0L, 3L, 158L)))
   }
 
+  test("bpeFertility: the merge-covered source reads cheaper per word") {
+    // merges=1 learns "a b"->"ab" (count 4 beats "x y" at 2); s1's
+    // words collapse to 1 token (fertility 1000 milli), s2's stay at 2
+    // chars = 2 tokens (2000) — the domain-mismatch signal in miniature
+    val docs = Seq((1L, "ab ab ab ab", "s1"), (2L, "xy xy", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.bpeFertility(docs, merges = 1)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 1L, 4L, 8L, 4L, 1000L, 2000L),
+      ("s2", 1L, 2L, 4L, 4L, 2000L, 1000L)))
+  }
+
   test("bpePairStats: within-token char pairs, deterministic top-k cut") {
     // tokens ab, ab, cd, abc -> pairs ab:3, bc:1, cd:1; tie-break pair asc
     val docs = Seq((1L, "ab ab cd"), (2L, "abc")).toDF("doc_id", "text")
