@@ -2824,6 +2824,13 @@ object SparkEntry {
     "events_seasonal" -> ((s, dir) =>
       graft.ops.Events.seasonalResiduals(t(s, dir, "events"))),
 
+    // EXT last-touch attribution: purchase revenue credited to the most
+    // recent prior non-purchase event type — the asOfJoin union-window
+    // formulation (one user-keyed sort, no self/range join), with
+    // unattributed conversions surfaced as an explicit '(none)' row.
+    "events_attribution" -> ((s, dir) =>
+      graft.ops.Events.lastTouchAttribution(t(s, dir, "events"))),
+
     // EXT RFM segmentation: per-user recency/frequency/monetary exact
     // quintiles (distributed rangeNtileBucket — no single-partition
     // window) composed into the 3-digit segment; ntile passes run over
@@ -5406,6 +5413,31 @@ object SparkEntry {
                 GROUP BY 1, 2)
          SELECT event_type, day, n_events, sad_cents FROM s
          ORDER BY sad_cents DESC, event_type, day LIMIT 30""",
+
+    // events_attribution: the same IGNORE NULLS carry window, channel
+    // rollup and floor share
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           event_type,
+                           CAST(round(value * 100) AS BIGINT) AS c,
+                           CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END AS is_conv
+                    FROM events),
+          t AS (SELECT *, last_value(CASE WHEN is_conv = 0
+                                          THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY us, is_conv, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS touch
+                FROM e),
+          g AS (SELECT coalesce(touch, '(none)') AS channel,
+                       count(*) AS n_conversions,
+                       CAST(sum(c) AS BIGINT) AS rev_cents
+                FROM t WHERE is_conv = 1 GROUP BY 1),
+          tot AS (SELECT sum(rev_cents) AS tot FROM g)
+         SELECT channel, n_conversions, rev_cents,
+                CAST(rev_cents * 10000 // tot AS BIGINT) AS rev_share_bp
+         FROM g CROSS JOIN tot ORDER BY rev_cents DESC, channel""",
 
     // events_rfm: ntile(5) with the user_id tie-break — SQL ntile's
     // uneven-bucket rule (first N mod n buckets take the extra row) is

@@ -695,6 +695,46 @@ object Events {
       .limit(topK)
   }
 
+  /** LAST-TOUCH revenue attribution: credit each conversion's value to
+    * the user's most recent PRIOR non-conversion event type (the
+    * "channel"), then report per-channel conversion counts, revenue and
+    * revenue share — the marketing-analytics staple built on the same
+    * union-window linear formulation as [[asOfJoin]] (one user-keyed
+    * sort window, NO self-join, no range join: the quadratic
+    * event×event formulation this family exists to avoid).
+    *
+    * A conversion with no prior touch lands in the explicit '(none)'
+    * channel rather than being dropped — unattributed revenue is a
+    * number stakeholders ask for. Same-instant touch-then-convert
+    * counts as a touch (the conversion sorts after its tie by the
+    * is_conv key). Revenue in exact cents; shares in floor basis
+    * points (the corpus_mix discipline).
+    *
+    * Scale: one user-keyed sort shuffle + a \|channels\|-row rollup and
+    * 1-row total broadcast. */
+  def lastTouchAttribution(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val tagged = events.select(col("user_id"), col("event_id"),
+        tsUs(events).as("us"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("is_conv", (col("event_type") === convType).cast("int"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("is_conv"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val per = tagged
+      .withColumn("touch",
+        last(when(col("is_conv") === 0, struct(col("event_type"))),
+          ignoreNulls = true).over(w).getField("event_type"))
+      .filter(col("is_conv") === 1)
+      .withColumn("channel", coalesce(col("touch"), lit("(none)")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"), sum("c").as("rev_cents"))
+    per.crossJoin(broadcast(per.agg(sum("rev_cents").as("tot"))))
+      .withColumn("rev_share_bp", expr("rev_cents * 10000 div tot"))
+      .select("channel", "n_conversions", "rev_cents", "rev_share_bp")
+      .orderBy(desc("rev_cents"), asc("channel"))
+  }
+
   /** RFM (recency / frequency / monetary) user segmentation — the
     * classic behavioral scoring every growth/CRM pipeline runs: per
     * user, days since last event, event count, and total spend, each

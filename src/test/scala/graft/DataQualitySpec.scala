@@ -89,6 +89,30 @@ class DataQualitySpec extends SparkTestBase {
       ("b", 0L, 2L, 0L)))
   }
 
+  test("lastTouchAttribution: carry, tie, and no-touch channels") {
+    // u1: click -> purchase(2.00) attributes to click; a same-instant
+    // view at the purchase ts still counts (is_conv sorts the
+    // conversion after its tie). u2: purchase(1.00) with no prior touch
+    // -> '(none)'. u3: click, view -> purchase(3.00) goes to view
+    // (latest touch wins, not first).
+    val ev = Seq(
+      (1L, 10L, "click", 0.0, 100L),
+      (1L, 11L, "view", 0.0, 200L),
+      (1L, 12L, "purchase", 2.00, 200L),
+      (2L, 20L, "purchase", 1.00, 100L),
+      (3L, 30L, "click", 0.0, 100L),
+      (3L, 31L, "view", 0.0, 150L),
+      (3L, 32L, "purchase", 3.00, 300L)
+    ).toDF("user_id", "event_id", "event_type", "value", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), timestamp_micros(col("us")).as("ts"))
+    val got = Events.lastTouchAttribution(ev)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("view", 2L, 500L, 8333L),
+      ("(none)", 1L, 100L, 1666L)))
+  }
+
   test("rfmSegments: hand-built users, independent score dimensions") {
     // five users, one per quintile on R and F; u2's big spend reorders
     // only the M dimension (ascending tot: u1,u3,u4,u5,u2) — the pin
