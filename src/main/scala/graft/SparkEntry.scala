@@ -1835,6 +1835,26 @@ object SparkEntry {
       graft.ops.Graphs.labelProp(pairs, rounds = LabelPropRounds)
     }),
 
+    // EXT graph link prediction: common-neighbor Jaccard over the
+    // thresholded co-purchase graph — candidates from wedges only
+    // (never the n² pair space), hub-capped per the bounded-candidate
+    // contract (inert at this corpus's degrees, so exact), existing
+    // edges anti-joined away, top-50 suggested links.
+    "graph_jaccard_links" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      graft.ops.Graphs.jaccardNeighbors(pairs)
+    }),
+
     // EXT percentile winsorization: clamp each event's value into its
     // type's exact [p05, p95] band — the outlier-taming feature-eng pass.
     // The percentile table is #types rows, broadcast back; values stay
@@ -3380,6 +3400,43 @@ object SparkEntry {
        |ORDER BY r.node""".stripMargin
   }
 
+  /** Jaccard link-prediction oracle: the shared edge prologue, the
+    * row_number neighbor cap replicated structurally, wedge pair
+    * counts, the NOT-EXISTS edge exclusion, exact degrees, floor bp. */
+  private def jaccardLinksOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
+       |           FROM capped a JOIN capped b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |           GROUP BY 1, 2 HAVING count(*) >= 2),
+       | adj AS (SELECT da AS src, db AS dst FROM pairs
+       |         UNION ALL SELECT db, da FROM pairs),
+       | deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
+       | cn AS (SELECT src, dst FROM (
+       |     SELECT src, dst, row_number() OVER (PARTITION BY src
+       |                                         ORDER BY dst) AS rn
+       |     FROM adj) WHERE rn <= 64),
+       | wedges AS (SELECT x.dst AS a, y.dst AS b, count(*) AS common
+       |            FROM cn x JOIN cn y
+       |              ON x.src = y.src AND x.dst < y.dst
+       |            GROUP BY 1, 2),
+       | ne AS (SELECT w.* FROM wedges w
+       |        WHERE NOT EXISTS (SELECT 1 FROM adj e
+       |                          WHERE e.src = w.a AND e.dst = w.b))
+       |SELECT ne.a, ne.b, CAST(ne.common AS BIGINT) AS common,
+       |       CAST(dx.deg AS BIGINT) AS deg_a,
+       |       CAST(dy.deg AS BIGINT) AS deg_b,
+       |       CAST(ne.common * 10000 // (dx.deg + dy.deg - ne.common)
+       |            AS BIGINT) AS jacc_bp
+       |FROM ne JOIN deg dx ON dx.src = ne.a
+       |        JOIN deg dy ON dy.src = ne.b
+       |ORDER BY jacc_bp DESC, a, b LIMIT 50""".stripMargin
+
   /** Personalized-PageRank oracle: the [[pagerankOracle]] CTE prologue
     * with seed-gated restart mass, unrolled left-join rounds keeping
     * zero-inflow nodes — every floor step mirrored. */
@@ -4321,6 +4378,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_labelprop" -> labelPropOracle,
+    "graph_jaccard_links" -> jaccardLinksOracle,
     "graph_ppr" -> pprOracle,
 
     // graph_triangles: id-ordered (u < v) edges; each triangle appears

@@ -411,6 +411,57 @@ object Graphs {
       .orderBy("node")
   }
 
+  /** Common-neighbor Jaccard LINK PREDICTION: for non-adjacent node
+    * pairs, score = |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    * "customers who bought these also bought" / missing-edge signal,
+    * per-PAIR where [[triangleCounts]] is per-node.
+    *
+    * Candidate pairs come from wedges (two neighbors of a shared
+    * center), so only pairs with ≥ 1 common neighbor ever materialize
+    * — never the n² pair space. The wedge expansion is the family's
+    * bounded-candidate contract: each center contributes pairs from at
+    * most `maxNeighbors` lowest-id neighbors (deg² blowup capped at
+    * maxNeighbors² per hub, the [[graft.ops.Dedup.minhashLsh]]
+    * maxBucket discipline — on this corpus degrees sit far below the
+    * cap, so counts are exact and the oracle replicates the cap
+    * structurally). Denominator degrees are exact (uncapped).
+    * Existing edges are anti-joined away; output is the top `topK`
+    * suggested links by (jacc_bp desc, a, b).
+    *
+    * Scale: one row_number window over the (src-keyed) adjacency, a
+    * self-join on the center key (same partitioning both sides), a
+    * (a, b)-keyed count, one anti join, two broadcast degree joins,
+    * TakeOrdered. */
+  def jaccardNeighbors(edges: DataFrame, maxNeighbors: Int = 64,
+      topK: Int = 50, a: String = "da", b: String = "db"): DataFrame = {
+    val sym = edges
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val adj = sym.select(col("u").as("src"), col("v").as("dst"))
+      .union(sym.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    val capped = adj.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxNeighbors).select("src", "dst")
+    val wedges = capped.as("x").join(capped.as("y"), Seq("src"))
+      .filter(col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("common"))
+    wedges
+      .join(adj.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "anti")
+      .join(broadcast(deg.select(col("src").as("a"), col("deg").as("deg_a"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("src").as("b"), col("deg").as("deg_b"))),
+        Seq("b"))
+      .withColumn("jacc_bp",
+        expr("common * 10000 div (deg_a + deg_b - common)"))
+      .select("a", "b", "common", "deg_a", "deg_b", "jacc_bp")
+      .orderBy(desc("jacc_bp"), asc("a"), asc("b"))
+      .limit(topK)
+  }
+
   def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
       a: String = "da", b: String = "db",
       strategy: String = "broadcast"): DataFrame = {

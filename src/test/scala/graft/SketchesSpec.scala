@@ -505,6 +505,30 @@ class SketchesSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("did not converge")))
   }
 
+  // ---- common-neighbor Jaccard link prediction ------------------------
+
+  test("jaccardNeighbors: square suggests its diagonals, triangle none") {
+    // 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) share both
+    // centers -> common=2, degrees all 2, jacc = 2/(2+2-2) = 10000 bp
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("da", "db")
+    val got = Graphs.jaccardNeighbors(square)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 2L, 2L, 10000L),
+      (2L, 4L, 2L, 2L, 2L, 10000L)))
+    // triangle: every wedge pair is already an edge -> nothing to suggest
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("da", "db")
+    assert(Graphs.jaccardNeighbors(tri).isEmpty)
+  }
+
+  test("jaccardNeighbors: neighbor cap bounds wedge candidates") {
+    // star center 0 with leaves 1..5: all wedge pairs come from the
+    // center; cap=2 keeps only leaves {1,2} -> exactly one pair
+    val star = (1L to 5L).map(l => (0L, l)).toDF("da", "db")
+    val got = Graphs.jaccardNeighbors(star, maxNeighbors = 2)
+      .select("a", "b", "common").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L)))
+  }
+
   // ---- label propagation ----------------------------------------------
 
   test("labelProp: barbell converges to one community per triangle") {
