@@ -2366,6 +2366,21 @@ object SparkEntry {
           expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
     }),
 
+    // EXT sketch: AMS second moment — the self-join size / repetition
+    // statistic from 128 mergeable sign counters; truth + err ride
+    // along, every column integer (median via the dyadic ×2 trick).
+    "sketch_ams_f2" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val est = graft.ops.Sketches.amsF2(li.select("l_orderkey"),
+        "l_orderkey")
+      val truth = li.groupBy("l_orderkey").agg(count(lit(1)).as("f"))
+        .agg(sum(expr("f * f")).as("f2_true"), sum("f").as("n_rows"))
+      est.crossJoin(truth)
+        .withColumn("err_bp",
+          expr("abs(f2_est2 - 2 * f2_true) * 10000 div (2 * f2_true)"))
+        .select("n_rows", "f2_true", "f2_est2", "err_bp")
+    }),
+
     // EXT sketch: KMV Jaccard resemblance between the returned-parts
     // and accepted-parts vocabularies — overlap answered from two
     // bottom-k sketches (TakeOrdered, never a co-shuffle of the full
@@ -3786,6 +3801,42 @@ object SparkEntry {
        |FROM s CROSS JOIN tr""".stripMargin
   }
 
+  /** AMS F₂ oracle: all 128 sign counters re-derived from the inlined
+    * affine coefficient formulas, the grouped floor-means, the dyadic
+    * ×2 median, and the exact truth. */
+  private def amsF2Oracle: String = {
+    import graft.functions.Portable.{P1, P2, AMul, BMul}
+    import graft.ops.Sketches.AmsSeedBase
+    s"""WITH k AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+       | j AS (SELECT CAST(unnest(generate_series(0, 127)) AS BIGINT) AS j),
+       | c AS (SELECT j, j * 2 + $AmsSeedBase AS i FROM j),
+       | cf AS (SELECT j,
+       |               ((2 * i + 1) * $AMul) % $P1 AS a1,
+       |               ((i + 1) * $BMul) % $P1 AS b1,
+       |               ((2 * (i + 1) + 1) * $AMul) % $P1 AS a2,
+       |               ((i + 2) * $BMul) % $P1 AS b2
+       |        FROM c),
+       | e AS (SELECT cf.j,
+       |              1 - 2 * (((((k.k % $P1) * (k.k % $P1) % $P1) * cf.a1
+       |                         + (k.k % $P1) * cf.b1) % $P1 * $P2
+       |                        + (((k.k % $P2) * (k.k % $P2) % $P2) * cf.a2
+       |                           + (k.k % $P2) * cf.b2) % $P2) % 2) AS s
+       |       FROM k CROSS JOIN cf),
+       | x AS (SELECT j, CAST(sum(s) AS BIGINT) AS x FROM e GROUP BY 1),
+       | m AS (SELECT j % 8 AS g, sum(x * x) // 16 AS m FROM x GROUP BY 1),
+       | srt AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM m),
+       | med AS (SELECT CAST(sum(CASE WHEN rn IN (4, 5) THEN m END)
+       |                     AS BIGINT) AS f2_est2 FROM srt),
+       | tr AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_true,
+       |               CAST(sum(f) AS BIGINT) AS n_rows
+       |        FROM (SELECT count(*) AS f FROM lineitem
+       |              GROUP BY l_orderkey))
+       |SELECT n_rows, f2_true, f2_est2,
+       |       abs(f2_est2 - 2 * f2_true) * 10000 // (2 * f2_true)
+       |         AS err_bp
+       |FROM med CROSS JOIN tr""".stripMargin
+  }
+
   /** Histogram-quantile oracle: identical fixed-geometry binning,
     * cumulative window and covering-bin selection — every number is an
     * integer in both engines. */
@@ -4941,6 +4992,7 @@ object SparkEntry {
     "sketch_hll_union" -> hllUnionOracle,
     "sketch_kmv_distinct" -> kmvOracle,
     "sketch_kmv_jaccard" -> kmvJaccardOracle,
+    "sketch_ams_f2" -> amsF2Oracle,
     "sketch_hist_quantiles" -> histQuantilesOracle,
 
     // the merge law IS the identity under test (the hll_union

@@ -232,6 +232,19 @@ class SketchesSpec extends SparkTestBase {
     assert(disj == 0L)
   }
 
+  test("amsF2: single-key stream is exact; distinct stream lands in band") {
+    // one key repeated n times: every counter is ±n, every square is
+    // n² — the median is exactly n² whatever the signs do
+    val one = Seq.fill(40)(7L).toDF("k")
+    val exact = Sketches.amsF2(one, "k").as[Long].collect().head
+    assert(exact == 2L * 40L * 40L)
+    // 2000 distinct keys: F2 = 2000; the 8x16 grid with a 2-wise family
+    // is loose, so gate generously (inside [0.2x, 3x] of 2*F2)
+    val d = (1L to 2000L).toDF("k")
+    val est = Sketches.amsF2(d, "k").as[Long].collect().head
+    assert(est > 800L && est < 12000L, s"AMS est2 $est vs truth 4000")
+  }
+
   test("kmvJaccard: above-k estimate lands within the sampling band") {
     // two overlapping 3000-key ranges, true jacc = 2000/4000 = 5000 bp;
     // ±1/sqrt(k) at k=256 is ~625 bp 1-sigma -> gate at 3 sigma
