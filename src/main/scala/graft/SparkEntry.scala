@@ -1172,6 +1172,10 @@ object SparkEntry {
     // batched kernel plumbing: TRUE header rate/frames + the exact sum
     // of decoded samples. Closed-form oracle like mm_decode_real.
     "mm_audio_real" -> ((s, dir) => Multimodal.audioReal(s, t(s, dir, "documents"))),
+    // REAL audio loudness profile: energy / peak / duration from decoded
+    // PCM — the silence/clipping screen; ramp synthesis keeps the whole
+    // decode chain closed-form (see Multimodal.decodeWavStats).
+    "mm_audio_stats" -> ((s, dir) => Multimodal.audioStats(s, t(s, dir, "documents"))),
     // REAL perceptual hash: both variants of each doc's PNG (variant 1
     // differs by ONE invisible pixel — byte-different, perceptually
     // identical) synthesized + decoded on executors, dHash computed from
@@ -4508,6 +4512,28 @@ object SparkEntry {
                 CAST(n * a + n * (n - 1) // 2 - 32768 * n AS BIGINT)
                   AS pcm_sum
          FROM s ORDER BY doc_id""",
+
+    // mm_audio_stats: the ramp's per-sample squares summed directly
+    // (generate_series per clip — exact, no float), endpoint peak,
+    // floor duration
+    "mm_audio_stats" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  8000 + doc_id % 3 * 4000 AS rate,
+                  800 + doc_id % 5 * 160 AS n,
+                  doc_id * 37 % 60000 - 32768 AS b
+           FROM documents),
+          s AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i, b
+                FROM d),
+          e AS (SELECT doc_id, CAST(sum((b + i) * (b + i)) AS BIGINT)
+                         AS energy
+                FROM s GROUP BY 1)
+         SELECT d.doc_id, CAST(d.rate AS INT) AS sample_rate,
+                CAST(d.n AS BIGINT) AS n_frames, e.energy,
+                CAST(greatest(abs(d.b), abs(d.b + d.n - 1)) AS BIGINT)
+                  AS peak,
+                CAST(d.n * 1000000 // d.rate AS BIGINT) AS duration_us
+         FROM d JOIN e USING (doc_id) ORDER BY d.doc_id""",
 
     // mm_resize_real: nearest-neighbor sample at ((x'·W)//16, (y'·H)//16)
     // of the synthesized gradient — 256 sampled pixels per doc, summed.

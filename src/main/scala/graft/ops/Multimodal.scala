@@ -284,6 +284,55 @@ object Multimodal {
   def audioReal(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeWavMeta(spark, synthWav(spark, docs))
 
+  case class AudioStats(doc_id: Long, sample_rate: Int, n_frames: Long,
+      energy: Long, peak: Long, duration_us: Long)
+
+  /** ====== REAL KERNEL ====== Loudness/energy profile from decoded
+    * PCM: per clip, Σ sample² (energy — the clipping / silence screen
+    * an audio-corpus filter runs before feature extraction), peak
+    * |sample|, and integer duration in µs from the decoded header.
+    * Same batched `AudioSystem` decode as [[decodeWavMeta]]; against
+    * [[synthWav]] payloads the ramp makes every statistic closed-form
+    * (Σ of consecutive squares), so the REAL decode chain keeps an
+    * exact DuckDB twin. RMS is deliberately NOT surfaced: isqrt via
+    * double `sqrt` can floor differently across engines at
+    * perfect-square boundaries — energy and frame count carry the same
+    * information exactly. */
+  def decodeWavStats(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian, s"unexpected format for doc_id=$id: $fmt")
+            val nFrames = ais.getFrameLength
+            val pcm = ais.readAllBytes()
+            ais.close()
+            var energy = 0L
+            var peak = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val s = ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort.toLong
+              energy += s * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 2
+            }
+            val rate = fmt.getSampleRate.toLong
+            AudioStats(id, fmt.getSampleRate.toInt, nFrames, energy, peak,
+              nFrames * 1000000L / rate)
+          }
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
+  /** The mm_audio_stats surface: synth → decode → loudness profile. */
+  def audioStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeWavStats(spark, synthWav(spark, docs))
+
   /** Native-expression twin of the stub's size-derived fields (no kernel,
     * pure Catalyst arithmetic) — oracle-checkable, and shows that metadata
     * predicates can be evaluated without decoding. */

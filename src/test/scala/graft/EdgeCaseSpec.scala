@@ -250,6 +250,18 @@ class EdgeCaseSpec extends SparkTestBase {
       (5L, 16000, 800L, 800L * 185 + 800L * 799 / 2 - 32768L * 800)))
   }
 
+  test("wav loudness kernel: energy/peak/duration match closed forms") {
+    // doc_id=1: rate 12000, N 960, a 37 -> ramp b..b+959 with
+    // b = 37 - 32768 = -32731; energy by direct summation here,
+    // peak = |b| (the ramp never crosses back above |b|),
+    // duration = 960 * 1e6 / 12000 = 80000 us
+    val b = -32731L
+    val energy = (0L until 960L).map(i => (b + i) * (b + i)).sum
+    val got = graft.ops.Multimodal.audioStats(spark, Seq(1L).toDF("doc_id"))
+      .as[(Long, Int, Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 12000, 960L, energy, 32731L, 80000L)))
+  }
+
   test("round-4b ops: degenerate inputs are safe") {
     // heavy hitters on an empty corpus: no candidates, no rows, no throw
     assert(graft.ops.TextAnalysis.heavyHitters(emptyDocs).count() == 0)
