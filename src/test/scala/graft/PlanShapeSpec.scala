@@ -147,6 +147,53 @@ class PlanShapeSpec extends SparkTestBase {
       s"collocations top-k should plan TakeOrdered:\n$coll")
   }
 
+  test("round-8 queries: broadcast baselines, TakeOrdered top-ks, " +
+      "no single-partition windows") {
+    // seasonal screen: the (types·24)-row baseline broadcasts back onto
+    // the fact scan (never SMJ), top-k plans TakeOrdered
+    val seas = planOf("events_seasonal")
+    assert(seas.contains("BroadcastHashJoin") &&
+      !seas.contains("SortMergeJoin"),
+      s"seasonal baseline should broadcast:\n$seas")
+    assert(seas.contains("TakeOrderedAndProject"),
+      s"seasonal top-k should plan TakeOrdered:\n$seas")
+    // attribution: ONE user-keyed sort window, never a join of events
+    // against events
+    val attr = planOf("events_attribution")
+    assert(!attr.contains("SortMergeJoin") &&
+      !attr.contains("CartesianProduct"),
+      s"attribution must not self-join the stream:\n$attr")
+    // RFM: no DATA-sized single-partition window (the rangeNtileBucket
+    // contract — a global ntile would funnel all users through one
+    // partition). The op's own #slices-row offsets window (over the
+    // __cnt per-slice counts) is the documented, bounded exception.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val rfmPlan = SparkEntry.queries("events_rfm")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val dataSizedGlobalWindows = rfmPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        !w.child.output.exists(_.name == "__cnt") => w
+    }
+    assert(dataSizedGlobalWindows.isEmpty,
+      s"events_rfm plans a data-sized single-partition window:\n$rfmPlan")
+    // link prediction: top-k via TakeOrdered; degree joins broadcast
+    val links = planOf("graph_jaccard_links")
+    assert(links.contains("TakeOrderedAndProject"),
+      s"jaccard links should plan TakeOrdered:\n$links")
+    assert(links.contains("BroadcastHashJoin"),
+      s"jaccard degree joins should broadcast:\n$links")
+    // target encoding: category stats broadcast back, no SMJ
+    val te = planOf("fp_target_encode")
+    assert(te.contains("BroadcastHashJoin") && !te.contains("SortMergeJoin"),
+      s"target encoding should broadcast its stats:\n$te")
+    // AMS: pruned to the key column; the R-fold expansion must partial-
+    // aggregate before the shuffle (one HashAggregate below the
+    // exchange)
+    val ams = planOf("sketch_ams_f2")
+    assert(ams.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"amsF2 scan not pruned:\n$ams")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =
