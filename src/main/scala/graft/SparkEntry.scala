@@ -2918,6 +2918,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // EXT streaming AMS: the 128 sign counters as a real AvailableNow
+    // streaming aggregate — counters sum-merge, so the streamed state
+    // equals the batch sketch bit for bit; estimate + truth in batch
+    // from the read-back. The key-skew monitor beside the stream.
+    "stream_ams_parity" -> ((s, dir) => {
+      val counters = graft.streaming.EventStream
+        .amsParityRun(s, s"$dir/events.parquet")
+      val truth = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("f"))
+        .agg(sum(expr("f * f")).as("f2_true"), sum("f").as("n_rows"))
+      graft.ops.Sketches.amsEstimate(counters).crossJoin(truth)
+        .withColumn("err_bp",
+          expr("abs(f2_est2 - 2 * f2_true) * 10000 div (2 * f2_true)"))
+        .select("n_rows", "f2_true", "f2_est2", "err_bp")
+    }),
+
     // EXT streaming histogram: the fixed-geometry bin table maintained
     // as a real AvailableNow streaming aggregate (bin counts sum-merge —
     // the sketch's merge law IS Spark's partial/final agg algebra),
@@ -3808,10 +3824,16 @@ object SparkEntry {
   /** AMS F₂ oracle: all 128 sign counters re-derived from the inlined
     * affine coefficient formulas, the grouped floor-means, the dyadic
     * ×2 median, and the exact truth. */
-  private def amsF2Oracle: String = {
+  private def amsF2Oracle: String = amsOracleFor("lineitem", "l_orderkey")
+
+  /** Parameterized over (table, key) so the streaming parity twin
+    * (`stream_ams_parity`, events/user_id) shares the generator —
+    * streamed counters ≡ batch counters exactly, so one SQL derivation
+    * checks both. */
+  private def amsOracleFor(table: String, keyCol: String): String = {
     import graft.functions.Portable.{P1, P2, AMul, BMul}
     import graft.ops.Sketches.AmsSeedBase
-    s"""WITH k AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+    s"""WITH k AS (SELECT CAST($keyCol AS BIGINT) AS k FROM $table),
        | j AS (SELECT CAST(unnest(generate_series(0, 127)) AS BIGINT) AS j),
        | c AS (SELECT j, j * 2 + $AmsSeedBase AS i FROM j),
        | cf AS (SELECT j,
@@ -3833,8 +3855,8 @@ object SparkEntry {
        |                     AS BIGINT) AS f2_est2 FROM srt),
        | tr AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_true,
        |               CAST(sum(f) AS BIGINT) AS n_rows
-       |        FROM (SELECT count(*) AS f FROM lineitem
-       |              GROUP BY l_orderkey))
+       |        FROM (SELECT count(*) AS f FROM $table
+       |              GROUP BY $keyCol))
        |SELECT n_rows, f2_true, f2_est2,
        |       abs(f2_est2 - 2 * f2_true) * 10000 // (2 * f2_true)
        |         AS err_bp
@@ -5019,6 +5041,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> kmvOracle,
     "sketch_kmv_jaccard" -> kmvJaccardOracle,
     "sketch_ams_f2" -> amsF2Oracle,
+    "stream_ams_parity" -> amsOracleFor("events", "user_id"),
     "sketch_hist_quantiles" -> histQuantilesOracle,
 
     // the merge law IS the identity under test (the hll_union

@@ -354,11 +354,20 @@ object Sketches {
     * per shard forever — the sketch merges by addition across shards,
     * the agg-algebra property every sketch in this family exists for. */
   def amsF2(keys: DataFrame, keyCol: String, groups: Int = 8,
+      perGroup: Int = 16, seedBase: Int = AmsSeedBase): DataFrame =
+    amsEstimate(amsCounters(keys, keyCol, groups, perGroup, seedBase),
+      groups, perGroup)
+
+  /** The R = groups·perGroup sign counters (j, x) — the sketch STATE.
+    * Pure sum-merge algebra: counters from shards/micro-batches ADD, so
+    * this stage runs unchanged as a streaming aggregate (R rows of
+    * state forever) — see `stream_ams_parity`. */
+  def amsCounters(keys: DataFrame, keyCol: String, groups: Int = 8,
       perGroup: Int = 16, seedBase: Int = AmsSeedBase): DataFrame = {
     import graft.functions.Portable.{P1, P2, AMul, BMul}
     require(groups >= 1 && perGroup >= 1, "need positive grid dims")
     val r = groups * perGroup
-    val xs = keys.select(col(keyCol).cast("long").as("k"))
+    keys.select(col(keyCol).cast("long").as("k"))
       .select(col("k"),
         explode(sequence(lit(0L), lit((r - 1).toLong))).as("j"))
       .withColumn("i", col("j") * 2L + lit(seedBase.toLong))
@@ -373,13 +382,17 @@ object Sketches {
           .stripMargin))
       .withColumn("s", lit(1L) - lit(2L) * expr("h % 2"))
       .groupBy("j").agg(sum("s").as("x"))
-    val means = xs
+  }
+
+  /** Median-of-floor-means estimate from a counter table. */
+  def amsEstimate(counters: DataFrame, groups: Int = 8,
+      perGroup: Int = 16): DataFrame =
+    counters
       .withColumn("g", expr(s"j % $groups"))
       .groupBy("g").agg(expr(s"sum(x * x) div $perGroup").as("m"))
-    means.agg(array_sort(collect_list(col("m"))).as("ms"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
       .select((element_at(col("ms"), groups / 2)
         + element_at(col("ms"), groups / 2 + 1)).as("f2_est2"))
-  }
 
   /** Fixed-geometry equi-width histogram over a long column — the
     * mergeable quantile summary (bin counts ADD across shards, unlike

@@ -216,6 +216,19 @@ object EventStream {
         ev.select(round(col("value") * 100).cast("long").as("cents")),
         "cents", 0L, 64L, 1024))
 
+  /** The AMS F₂ sketch as stream state: the 128 sign counters
+    * maintained as a streaming aggregate — signs ADD across
+    * micro-batches (the sketch's merge law is literally `sum`), so the
+    * final counter table equals the batch one BIT FOR BIT, not
+    * approximately. The always-on self-join-size / key-skew monitor a
+    * pipeline keeps beside the stream: R rows of state forever,
+    * whatever the volume. Keyed on user_id — F₂ of the user activity
+    * distribution, the "is one user dominating the stream" number. */
+  def amsParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parityRun(spark, path, "ams", maxFilesPerTrigger, "complete")(ev =>
+      graft.ops.Sketches.amsCounters(ev.select("user_id"), "user_id"))
+
   /** The data-quality monitor as stream state: a fused one-row
     * conditional aggregate of Check-rule violation counts (the
     * [[graft.ops.DataQuality]] fused-scan shape) maintained as a

@@ -211,6 +211,15 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("amsParityRun counter table equals the batch-built sketch exactly") {
+    val streamed = EventStream.amsParityRun(spark, s"$sf0001/events.parquet")
+      .select("j", "x")
+    val batch = graft.ops.Sketches.amsCounters(
+      Tables(spark, sf0001, "events").select("user_id"), "user_id")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("snapshotSinkRun: committed table equals the source; versions are batch-grained") {
     import org.apache.spark.sql.functions.col
     val (fin, root) = EventStream.snapshotSinkRunWithRoot(spark,
