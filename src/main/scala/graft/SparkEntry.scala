@@ -2877,6 +2877,16 @@ object SparkEntry {
     "events_rfm" -> ((s, dir) =>
       graft.ops.Events.rfmSegments(t(s, dir, "events"))),
 
+    // EXT lagged cross-correlation: does `click` lead `purchase`? The
+    // correlogram over zero-filled hourly count series in exact
+    // integers (dot + H·dot − Σa·Σb centered numerator) — one hash agg
+    // collapses the scan to a #hours-sized series, the lag sweep is a
+    // broadcast nested-loop over series×13 lags; the fact table never
+    // shuffles twice.
+    "events_xcorr" -> ((s, dir) =>
+      graft.ops.Events.laggedCrossCorrelation(
+        t(s, dir, "events"), "click", "purchase")),
+
     // EXT schema-evolution read: stage two parquet generations (gen=2
     // adds o_orderpriority), read them as one dataset via footer
     // merging + partition-dir provenance, back-fill the evolved column
@@ -5597,6 +5607,30 @@ object SparkEntry {
          SELECT channel, n_conversions, rev_cents,
                 CAST(rev_cents * 10000 // tot AS BIGINT) AS rev_share_bp
          FROM g CROSS JOIN tot ORDER BY rev_cents DESC, channel""",
+
+    // events_xcorr: zero-filled hourly series, lag sweep −6..6, exact
+    // integer dot + centered numerator (inner join ≡ zero-fill for
+    // products; lags with no overlapping hours coalesce to dot = 0)
+    "events_xcorr" ->
+      """WITH e AS (SELECT event_type,
+                           epoch_us(ts) // 3600000000 AS h
+                    FROM events),
+          r AS (SELECT max(h) - min(h) + 1 AS hh FROM e),
+          a AS (SELECT h, count(*) AS ca FROM e
+                WHERE event_type = 'click' GROUP BY 1),
+          b AS (SELECT h, count(*) AS cb FROM e
+                WHERE event_type = 'purchase' GROUP BY 1),
+          l AS (SELECT range AS lag FROM range(-6, 7)),
+          d AS (SELECT l.lag, CAST(sum(a.ca * b.cb) AS BIGINT) AS dot
+                FROM l JOIN a ON true JOIN b ON b.h = a.h + l.lag
+                GROUP BY 1),
+          s AS (SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM a) AS sa,
+                       (SELECT CAST(sum(cb) AS BIGINT) FROM b) AS sb,
+                       (SELECT hh FROM r) AS hh)
+         SELECT l.lag, coalesce(d.dot, 0) AS dot,
+                s.hh * coalesce(d.dot, 0) - s.sa * s.sb AS cov_scaled
+         FROM l LEFT JOIN d ON d.lag = l.lag CROSS JOIN s
+         ORDER BY l.lag""",
 
     // events_rfm: ntile(5) with the user_id tie-break — SQL ntile's
     // uneven-bucket rule (first N mod n buckets take the extra row) is

@@ -775,4 +775,53 @@ object Events {
         "r_score", "f_score", "m_score", "rfm")
       .orderBy("user_id")
   }
+
+  /** Lagged cross-correlation between two event types' hourly count
+    * series — "does `a` lead `b`, and by how many hours?", the
+    * monitoring/causal-screening primitive (error spikes preceding
+    * purchase drops, clicks leading signups).
+    *
+    * Both series are the zero-filled hourly counts over the corpus's
+    * active hour range [h₀, h₁] (H = h₁−h₀+1 hours). For each lag τ in
+    * [−maxLag, maxLag] the report carries the raw lagged dot product
+    * dot(τ) = Σ_h a(h)·b(h+τ) and the centered numerator
+    * cov_scaled(τ) = H·dot(τ) − Σa·Σb — Pearson's numerator ×H², sign
+    * and argmax identical to the normalized correlogram but computed in
+    * EXACT integers (counts × counts; no float variance division), so
+    * the whole correlogram hash-oracles. Zero-fill makes the inner join
+    * the correct product sum: absent hours contribute 0 terms.
+    *
+    * Scale shape: ONE hash aggregate collapses the event scan to the
+    * (type × hour) series — at 100 TB the series size is bounded by the
+    * time range (years ≈ 10⁴–10⁵ hours), not the row count. The
+    * 2·maxLag+1-row lag dimension and the `b` series both broadcast, so
+    * the lag sweep is a map-side nested-loop over #hours·#lags tiny
+    * rows; nothing re-shuffles the fact table. */
+  def laggedCrossCorrelation(events: DataFrame, typeA: String,
+      typeB: String, maxLag: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    val hours = events.select(col("event_type"), tsUs(events).as("us"))
+      .withColumn("h", expr("us div 3600000000"))
+    val range = hours.agg(min("h").as("h0"), max("h").as("h1"))
+      .withColumn("hh", col("h1") - col("h0") + lit(1L))
+    def series(t: String, cnt: String) =
+      hours.filter(col("event_type") === t).groupBy("h")
+        .agg(count(lit(1)).as(cnt))
+    val a = series(typeA, "ca")
+    val b = series(typeB, "cb")
+    val lags = spark.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val dots = a.crossJoin(broadcast(lags))
+      .join(broadcast(b.withColumnRenamed("h", "hb")),
+        col("hb") === col("h") + col("lag"))
+      .groupBy("lag").agg(sum(expr("ca * cb")).as("dot"))
+    val sums = a.agg(sum("ca").as("sa"))
+      .crossJoin(b.agg(sum("cb").as("sb"))).crossJoin(range)
+    lags.join(dots, Seq("lag"), "left")
+      .withColumn("dot", coalesce(col("dot"), lit(0L)))
+      .crossJoin(broadcast(sums))
+      .withColumn("cov_scaled", expr("hh * dot - sa * sb"))
+      .select("lag", "dot", "cov_scaled")
+      .orderBy("lag")
+  }
 }

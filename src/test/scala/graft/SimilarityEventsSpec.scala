@@ -556,4 +556,35 @@ class SimilarityEventsSpec extends SparkTestBase {
       .select("recall_bp").as[Long].collect()
     assert(pre.length == 10 && pre.forall(r => r >= 0L && r <= 10000L))
   }
+
+  test("laggedCrossCorrelation: matches brute force, zero-fills empty lags, peaks at the planted lead") {
+    def ev(id: Long, hour: Long, tpe: String) =
+      (id, new java.sql.Timestamp(hour * 3600000L), 1L, tpe, 1.0, "{}")
+    // clicks at hours 0,0,1,3; purchases shifted +2: hours 2,2,2,5
+    val rows = Seq(ev(1, 0, "click"), ev(2, 0, "click"), ev(3, 1, "click"),
+      ev(4, 3, "click"), ev(5, 2, "purchase"), ev(6, 2, "purchase"),
+      ev(7, 2, "purchase"), ev(8, 5, "purchase"))
+    val df = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.laggedCrossCorrelation(df, "click", "purchase",
+        maxLag = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (-6L to 6L), "one row per lag, ordered")
+    // brute-force reference over the zero-filled series
+    val a = rows.filter(_._4 == "click").groupBy(r => r._2.getTime / 3600000)
+      .map { case (h, g) => h -> g.size.toLong }
+    val b = rows.filter(_._4 == "purchase")
+      .groupBy(r => r._2.getTime / 3600000)
+      .map { case (h, g) => h -> g.size.toLong }
+    val hh = 6L // hours 0..5
+    val sa = a.values.sum; val sb = b.values.sum
+    got.foreach { case (lag, dot, cov) =>
+      val want = a.map { case (h, ca) => ca * b.getOrElse(h + lag, 0L) }.sum
+      assert(dot == want, s"dot at lag $lag")
+      assert(cov == hh * want - sa * sb, s"cov_scaled at lag $lag")
+    }
+    // the planted +2 lead is the argmax, and far lags zero-fill to 0
+    assert(got.maxBy(_._3)._1 == 2L)
+    assert(got.find(_._1 == -6L).get._2 == 0L)
+  }
 }
