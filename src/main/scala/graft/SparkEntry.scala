@@ -733,6 +733,18 @@ object SparkEntry {
       graft.ops.Privacy.dpSums(t(s, dir, "customer"), "c_nationkey",
         round(col("c_acctbal") * 100), clampMax = 500000L)),
 
+    // EXT t-closeness audit: the leak l-diversity misses — per
+    // (priority, year) group, TVD-in-bp between the group's
+    // order-status mix and the global one, worst 20 groups first; the
+    // full status domain scored per group (absent cells = p 0), all
+    // integer so the gate number itself hash-oracles.
+    "privacy_t_closeness" -> ((s, dir) =>
+      graft.ops.Privacy.tClosenessReport(
+        t(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")).cast("long")),
+        qi = Seq("o_orderpriority", "o_year"),
+        sensitive = "o_orderstatus")),
+
     // per-doc top-3 terms by frequency (stopword-filtered, exact tf)
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"))),
@@ -1034,6 +1046,13 @@ object SparkEntry {
     "sim_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(t(s, dir, "embeddings"), 20, 5)),
     "sim_neardup_cosine" -> ((s, dir) => Similarity.bruteNearDup(t(s, dir, "embeddings"), 0.4)),
+
+    // EXT cosine RANGE search: everything within τ=0.3 of each of 20
+    // query vectors — the radius contract near-dup admission and
+    // recall-oriented retrieval want (k is wrong there); threshold
+    // filters in the scan, no per-query window/rank shuffle at all
+    "sim_range_search" -> ((s, dir) =>
+      Similarity.rangeSearch(t(s, dir, "embeddings"), 20, 0.3)),
     "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), 20, 5)),
@@ -1857,6 +1876,29 @@ object SparkEntry {
         .filter(col("n_orders") >= 2)
         .select("da", "db")
       graft.ops.Graphs.jaccardNeighbors(pairs)
+    }),
+
+    // EXT graph: modularity scoring of the labelProp partition — the
+    // detector's quality number (Newman-Girvan Q in exact integers:
+    // per-community 4·m·e_c − d_c² contributions, global q_bp riding
+    // along), so "did the communities improve" is a driver-checked
+    // fact, not a judgment call. Overflow-guarded in-plan at 1.5e9
+    // edges.
+    "graph_modularity" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      graft.ops.Graphs.modularityReport(pairs,
+        graft.ops.Graphs.labelProp(pairs, rounds = LabelPropRounds)
+          .select("node", "label"))
     }),
 
     // EXT percentile winsorization: clamp each event's value into its
@@ -2850,6 +2892,23 @@ object SparkEntry {
         numCols = Seq("o_orderkey", "o_custkey"),
         strCols = Seq("o_orderstatus", "o_orderpriority"))),
 
+    // EXT distribution-drift monitor: 1995–97 orders as the reference
+    // slice vs 1998+ as current, histogrammed on price cents into 25
+    // shared $20k buckets — per-bucket floor-bp shares + deltas, with
+    // TVD and L∞ riding along; one tagged-union scan, one bucket-width
+    // hash agg, integer end to end (TVD over bp instead of PSI's ln so
+    // the gate number itself hash-oracles).
+    "dq_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .withColumn("us", unix_micros(col("o_orderdate").cast("timestamp")))
+      val cut = 883612800000000L // 1998-01-01T00:00:00Z
+      graft.ops.DataQuality.distributionDrift(
+        o.filter(col("us") < cut), o.filter(col("us") >= cut),
+        "cents", lo = 0L, width = 2000000L, nBuckets = 25)
+    }),
+
     // EXT out-of-orderness audit: per event type, how many events
     // arrived (event_id order) after a later-timestamped sibling, and
     // the max lateness — the number that SIZES a watermark before
@@ -3415,7 +3474,10 @@ object SparkEntry {
     * `min(label) WHERE cnt = max(cnt) OVER node`, which is exactly
     * Graphs.labelProp's `max(struct(cnt, −label))` collapse. Each CTE
     * references its predecessor once (the kcoreOracle inlining rule). */
-  private def labelPropOracle: String = {
+  /** Shared CTE prologue for the label-prop family: thresholded
+    * co-purchase pairs, symmetric closure, and the unrolled synchronous
+    * sweeps r1..r`LabelPropRounds` (min-label tie-break replicated). */
+  private def labelPropCtes: String = {
     val steps = (1 to LabelPropRounds).map(i =>
       s"""r$i AS (
          |   SELECT node, min(label) AS label FROM (
@@ -3424,7 +3486,7 @@ object SparkEntry {
          |           FROM sym s JOIN r${i - 1} r ON r.node = s.src
          |           GROUP BY 1, 2))
          |   WHERE cnt = mx GROUP BY node)""".stripMargin).mkString(",\n ")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        | capped AS (SELECT l_orderkey, l_partkey FROM (
        |     SELECT l_orderkey, l_partkey,
        |            row_number() OVER (PARTITION BY l_orderkey
@@ -3437,13 +3499,49 @@ object SparkEntry {
        | sym AS (SELECT da AS src, db AS dst FROM pairs
        |         UNION SELECT db, da FROM pairs),
        | r0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
-       | $steps,
+       | $steps""".stripMargin
+  }
+
+  private def labelPropOracle: String =
+    s"""WITH ${labelPropCtes},
        | sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size
        |           FROM r$LabelPropRounds GROUP BY 1)
        |SELECT r.node, r.label, s.comm_size
        |FROM r$LabelPropRounds r JOIN sizes s ON s.label = r.label
        |ORDER BY r.node""".stripMargin
-  }
+
+  /** Modularity twin: the label-prop unroll feeds the exact
+    * 4·m·e_c − d_c² contribution per community and the two-spelling
+    * q_bp (multiply-first under m < 5·10⁴, denominator-first above). */
+  private def modularityOracle: String =
+    s"""WITH ${labelPropCtes},
+       | lab AS (SELECT node, label FROM r$LabelPropRounds),
+       | mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+       | ei AS (SELECT lu.label, CAST(count(*) AS BIGINT) AS e_intra
+       |        FROM pairs p JOIN lab lu ON lu.node = p.da
+       |                     JOIN lab lv ON lv.node = p.db
+       |        WHERE lu.label = lv.label GROUP BY 1),
+       | deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |         FROM sym GROUP BY 1),
+       | ds AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_sum
+       |        FROM deg d JOIN lab l ON l.node = d.node GROUP BY 1),
+       | nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+       |        FROM lab GROUP BY 1),
+       | per AS (SELECT nn.label, nn.n_nodes,
+       |                coalesce(ei.e_intra, 0) AS e_intra, ds.d_sum,
+       |                4 * mm.m * coalesce(ei.e_intra, 0)
+       |                  - ds.d_sum * ds.d_sum AS contrib_scaled,
+       |                mm.m AS m
+       |         FROM nn LEFT JOIN ei ON ei.label = nn.label
+       |                 JOIN ds ON ds.label = nn.label CROSS JOIN mm),
+       | q AS (SELECT CASE WHEN max(m) < 50000
+       |              THEN CAST(sum(contrib_scaled) AS BIGINT) * 10000
+       |                   // (4 * max(m) * max(m))
+       |              ELSE CAST(sum(contrib_scaled) AS BIGINT)
+       |                   // (4 * max(m) * max(m) // 10000) END AS q_bp
+       |       FROM per)
+       |SELECT label, n_nodes, e_intra, d_sum, contrib_scaled, q_bp
+       |FROM per CROSS JOIN q ORDER BY label""".stripMargin
 
   /** Jaccard link-prediction oracle: the shared edge prologue, the
     * row_number neighbor cap replicated structurally, wedge pair
@@ -4465,6 +4563,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_labelprop" -> labelPropOracle,
+    "graph_modularity" -> modularityOracle,
     "graph_jaccard_links" -> jaccardLinksOracle,
     "graph_ppr" -> pprOracle,
 
@@ -5546,6 +5645,34 @@ object SparkEntry {
                  (SELECT dom FROM dom_pr)
           FROM p WHERE nd_pr > 0 AND nd_pr <= 12)
         ORDER BY col_name, rule""",
+
+    // dq_drift: shared clamped $20k-cent buckets, floor-bp shares,
+    // TVD = sum|delta| div 2 and L-inf riding along on every row
+    "dq_drift" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                           CASE WHEN epoch_us(o_orderdate)
+                                     < 883612800000000 THEN 0 ELSE 1 END
+                             AS side
+                    FROM orders),
+          c AS (SELECT least(24, greatest(0, v // 2000000)) AS bucket,
+                       CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_ref,
+                       CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_cur
+                FROM o GROUP BY 1),
+          t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+                       CAST(sum(n_cur) AS BIGINT) AS nc FROM c),
+          p AS (SELECT bucket, n_ref, n_cur,
+                       n_ref * 10000 // nr AS ref_bp,
+                       n_cur * 10000 // nc AS cur_bp,
+                       abs(n_cur * 10000 // nc - n_ref * 10000 // nr)
+                         AS delta_bp
+                FROM c CROSS JOIN t),
+          w AS (SELECT CAST(sum(delta_bp) AS BIGINT) // 2 AS tvd_bp,
+                       CAST(max(delta_bp) AS BIGINT) AS linf_bp FROM p)
+         SELECT bucket, n_ref, n_cur, ref_bp, cur_bp, delta_bp,
+                tvd_bp, linf_bp
+         FROM p CROSS JOIN w ORDER BY bucket""",
 
     // running-max window in arrival (event_id) order, strictly prior rows
     "events_order_audit" ->
@@ -6890,6 +7017,37 @@ object SparkEntry {
                 CAST(6931 AS BIGINT) AS eps_bp
          FROM z ORDER BY c_nationkey""",
 
+    // privacy_t_closeness: full (group × status-domain) grid via the
+    // cross join, absent cells coalesce to p=0, TVD in floor bp
+    "privacy_t_closeness" ->
+      """WITH o AS (SELECT o_orderpriority,
+                           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                           o_orderstatus
+                    FROM orders),
+          cell AS (SELECT o_orderpriority, o_year, o_orderstatus,
+                          CAST(count(*) AS BIGINT) AS n_gs
+                   FROM o GROUP BY 1, 2, 3),
+          grp AS (SELECT o_orderpriority, o_year,
+                         CAST(sum(n_gs) AS BIGINT) AS n_group
+                  FROM cell GROUP BY 1, 2),
+          dom AS (SELECT o_orderstatus,
+                         CAST(count(*) AS BIGINT) AS n_s
+                  FROM o GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM o),
+          f AS (SELECT g.o_orderpriority, g.o_year, g.n_group,
+                       coalesce(c.n_gs, 0) * 10000 // g.n_group AS p_bp,
+                       d.n_s * 10000 // t.n_tot AS q_bp
+                FROM grp g CROSS JOIN dom d CROSS JOIN tot t
+                LEFT JOIN cell c
+                  ON c.o_orderpriority = g.o_orderpriority
+                 AND c.o_year = g.o_year
+                 AND c.o_orderstatus = d.o_orderstatus)
+         SELECT o_orderpriority, o_year,
+                CAST(max(n_group) AS BIGINT) AS n_group,
+                CAST(sum(abs(p_bp - q_bp)) AS BIGINT) // 2 AS t_bp
+         FROM f GROUP BY 1, 2
+         ORDER BY t_bp DESC, o_orderpriority, o_year LIMIT 20""",
+
     // trailing-ones(h) = bit_count((h XOR h+1)) - 1 is the portable
     // Geometric(1/2) draw; the noise is the difference of two draws
     "privacy_dp_counts" ->
@@ -6952,6 +7110,17 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, rnk, vec_id, cosine FROM ranked
          WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+    "sim_range_search" ->
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings)
+         SELECT q.vec_id AS q_id, b.vec_id,
+                list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
+         FROM base b JOIN base q ON q.vec_id < 20 AND b.vec_id <> q.vec_id
+         WHERE list_dot_product(b.v, q.v) / (b.nrm * q.nrm) >= 0.3
+         ORDER BY q_id, b.vec_id""",
 
     "sim_hard_negatives" ->
       """WITH base AS (

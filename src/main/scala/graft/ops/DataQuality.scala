@@ -158,4 +158,65 @@ object DataQuality {
         col("e.details").as("details"))
       .orderBy("col_name", "rule")
   }
+
+  /** Distribution-drift report between a reference slice and a current
+    * slice of the same numeric column — the monitor every scheduled
+    * ingest runs so a silent upstream change (new price tier, unit
+    * switch, truncated feed) is caught as a DISTRIBUTION shift even when
+    * row counts and null rates look healthy.
+    *
+    * Both slices are histogrammed into the same `nBuckets` equal-width
+    * integer buckets (clamped at the edges, the sketch_hist discipline);
+    * the report carries per-bucket counts and floor-bp shares, the
+    * per-bucket share delta, and two whole-distribution statistics
+    * riding along on every row: total variation distance
+    * `tvd_bp = Σ|Δbp| div 2` and the worst single bucket `linf_bp`.
+    * TVD over bp-quantized shares (not PSI) is deliberate: it needs no
+    * logarithm, so the WHOLE report is integer arithmetic and
+    * hash-oracles cross-engine — PSI's ln() would make the gate number
+    * float-fragile exactly where a release decision hangs on it.
+    *
+    * Empty slices fail loudly in-plan (`assert_true`): a drift monitor
+    * that returns NULL shares on a dead feed is itself the incident.
+    *
+    * Scale shape: the two slices union into ONE scan with a side tag —
+    * one hash aggregate to ≤nBuckets rows (conditional sums give both
+    * histograms in one pass), then 1-row broadcast totals. Buckets with
+    * no mass in either slice are absent (sparse output). At 100 TB the
+    * report costs exactly one fact-scan + a bucket-width shuffle. */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    require(width >= 1, s"bucket width >= 1, got $width")
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    def tagged(df: DataFrame, s: Int) =
+      df.select(col(valueCol).cast("long").as("v"))
+        .select(least(lit(nBuckets - 1L), greatest(lit(0L),
+          expr(s"(v - $lo) div $width"))).as("bucket"),
+          lit(s).as("side"))
+    val counts = tagged(ref, 0).unionByName(tagged(cur, 1))
+      .groupBy("bucket")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val tot = counts.agg(
+      coalesce(sum("n_ref"), lit(0L)).as("nr"),
+      coalesce(sum("n_cur"), lit(0L)).as("nc"))
+    val per = counts.crossJoin(broadcast(tot))
+      .withColumn("ref_bp",
+        when(assert_true(col("nr") > 0 && col("nc") > 0,
+          lit("distributionDrift: a slice is empty — a dead feed is " +
+            "the incident, not a zero-drift pass")).isNull,
+          expr("n_ref * 10000 div nr")))
+      // gated on the asserted column so the guard fires BEFORE the
+      // division can raise ANSI DIVIDE_BY_ZERO with the wrong story
+      .withColumn("cur_bp",
+        when(col("ref_bp").isNotNull, expr("n_cur * 10000 div nc")))
+      .withColumn("delta_bp", abs(col("cur_bp") - col("ref_bp")))
+    val whole = per.agg(
+      expr("sum(delta_bp) div 2").as("tvd_bp"),
+      max("delta_bp").as("linf_bp"))
+    per.crossJoin(broadcast(whole))
+      .select("bucket", "n_ref", "n_cur", "ref_bp", "cur_bp",
+        "delta_bp", "tvd_bp", "linf_bp")
+      .orderBy("bucket")
+  }
 }

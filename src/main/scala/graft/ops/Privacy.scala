@@ -156,6 +156,50 @@ object Privacy {
       .orderBy(key)
   }
 
+  /** t-closeness audit (Li-Li-Venkatasubramanian 2007) — the third rung
+    * of the release-gate ladder after k-anonymity and l-diversity:
+    * l-diversity only counts DISTINCT sensitive values per QI group, so
+    * a group that is 99% one diagnosis with a token second value passes
+    * l=2 while still leaking. t-closeness instead bounds the DISTANCE
+    * between each group's sensitive-value distribution and the global
+    * one; here that distance is total variation over floor-bp-quantized
+    * shares (`t_bp = Σ_s |p_g(s)−q(s)| div 2`, in [0, 10000]) — the
+    * categorical-attribute form of the paper's metric, chosen over
+    * EMD/KL for the same reason [[DataQuality.distributionDrift]] picks
+    * TVD: integer arithmetic end to end, so the gate number itself
+    * hash-oracles. Absent (group, value) cells count as p=0 — the full
+    * sensitive domain is scored for every group, not just the values
+    * the group happens to contain.
+    *
+    * Output: the topK WORST groups (highest t_bp) with their sizes —
+    * the review queue, biggest leak first. Gate semantics belong to the
+    * caller (`assert_true(max t_bp <= t)`), the family convention.
+    *
+    * Scale shape: one (QI × sensitive) hash agg, one QI rollup, and a
+    * \|domain\|-row broadcast blown onto the #groups-sized table — the
+    * fact table is scanned twice (cells + domain), never joined to
+    * itself; reducer state is #groups·\|domain\|, bounded by the QI and
+    * sensitive cardinalities, not the row count. */
+  def tClosenessReport(df: DataFrame, qi: Seq[String], sensitive: String,
+      topK: Int = 20): DataFrame = {
+    val qiCols = qi.map(col)
+    val cell = df.groupBy(qiCols :+ col(sensitive): _*)
+      .agg(count(lit(1)).as("n_gs"))
+    val grp = cell.groupBy(qiCols: _*).agg(sum("n_gs").as("n_group"))
+    val dom = df.groupBy(col(sensitive)).agg(count(lit(1)).as("n_s"))
+    val tot = df.agg(count(lit(1)).as("n_tot"))
+    grp.crossJoin(broadcast(dom.crossJoin(tot)))
+      .join(cell, qi :+ sensitive, "left")
+      .withColumn("p_bp",
+        expr("coalesce(n_gs, 0) * 10000 div n_group"))
+      .withColumn("q_bp", expr("n_s * 10000 div n_tot"))
+      .groupBy(qiCols: _*)
+      .agg(max("n_group").as("n_group"),
+        expr("sum(abs(p_bp - q_bp)) div 2").as("t_bp"))
+      .orderBy(desc("t_bp") +: qiCols.map(_.asc): _*)
+      .limit(topK)
+  }
+
   /** Shared discrete-Laplace draw (difference of two Geometric(1/2)
     * trailing-ones samples over seeded affine hashes of the group key —
     * see [[dpCounts]] for the construction and the seeded caveat). */

@@ -96,6 +96,37 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Cosine RANGE search — "everything within τ of each query", the
+    * other retrieval primitive next to top-k: radius queries are what
+    * near-dup admission (`cosine ≥ τ ⇒ duplicate`), recall-oriented RAG
+    * filters, and labeling-set expansion actually want, where k is the
+    * wrong contract (a query with 3 neighbors above τ must return 3,
+    * not k).
+    *
+    * Scale shape: STRICTLY LIGHTER than [[bruteTopK]] — the broadcast
+    * query batch is scored map-side against the corpus scan and the
+    * threshold filters IN the scan; no per-query window, no rank
+    * shuffle, output is only the matching tail. At billion-row corpora
+    * swap the scan for the IVF-pruned candidate stream ([[ivfTopK]]'s
+    * probe set) and keep the same threshold tail. Float cosine follows
+    * the sim_brute_topk cross-engine discipline (array order is the
+    * summation order in both engines), so the whole match set
+    * hash-oracles. */
+  def rangeSearch(emb: DataFrame, nQueries: Int,
+      minCosine: Double): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+      .filter(col("cosine") >= minCosine)
+      .select("q_id", "vec_id", "cosine")
+      .orderBy("q_id", "vec_id")
+  }
+
   def bruteTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))

@@ -371,4 +371,41 @@ class DataQualitySpec extends SparkTestBase {
     }
     rm(new java.io.File(root))
   }
+
+  test("distributionDrift: hand-computed shares, TVD/L-inf, edge clamp") {
+    // ref: 4 rows in bucket 0, 4 in bucket 1 (width 10, lo 0)
+    // cur: 2 in bucket 0, 6 in bucket 1 -> shares 2500/7500 vs 5000/5000
+    val ref = Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L).toDF("v")
+    val cur = Seq(5L, 6L, 15L, 16L, 17L, 18L, 19L, -5L).toDF("v")
+    // cur has -5 -> clamps into bucket 0 (3 rows there: 5,6,-5)
+    val got = DataQuality.distributionDrift(ref, cur, "v",
+        lo = 0L, width = 10L, nBuckets = 4)
+      .select("bucket", "n_ref", "n_cur", "ref_bp", "cur_bp", "delta_bp",
+        "tvd_bp", "linf_bp")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // shares: ref 5000/5000, cur 3750/6250 -> deltas 1250/1250
+    assert(got == Seq(
+      (0L, 4L, 3L, 5000L, 3750L, 1250L, 1250L, 1250L),
+      (1L, 4L, 5L, 5000L, 6250L, 1250L, 1250L, 1250L)))
+  }
+
+  test("tClosenessReport: TVD vs the global mix, worst first, absent cells scored") {
+    // global mix x:y = 4:4 -> q = 5000/5000 bp
+    // A = 1x1y (t 0), B = 2x0y (t 5000, the absent-y cell must score),
+    // C = 1x3y (t 2500)
+    val df = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "x"),
+      ("C", "x"), ("C", "y"), ("C", "y"), ("C", "y")).toDF("grp", "s")
+    val got = Privacy.tClosenessReport(df, Seq("grp"), "s")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("B", 2L, 5000L), ("C", 4L, 2500L), ("A", 2L, 0L)))
+  }
+
+  test("distributionDrift: an empty slice fails loudly, never NULL-passes") {
+    val ref = Seq(1L, 2L).toDF("v")
+    val cur = spark.emptyDataFrame.select(lit(1L).as("v")).filter(lit(false))
+    val e = intercept[Exception](
+      DataQuality.distributionDrift(ref, cur, "v", 0L, 10L, 4).collect())
+    assert(e.getMessage.contains("dead feed"))
+  }
 }

@@ -557,6 +557,22 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(pre.length == 10 && pre.forall(r => r >= 0L && r <= 10000L))
   }
 
+  test("rangeSearch: threshold tail only, radius not k, self excluded") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(2.0f, 0.0f)),   // cos 1.0 (scale-invariant)
+      (2L, Array(0.0f, 1.0f)),   // cos 0.0 — below tau
+      (3L, Array(0.8f, 0.6f)),   // cos 0.8
+      (4L, Array(-1.0f, 0.0f)))  // cos -1.0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.rangeSearch(emb, nQueries = 1, minCosine = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((0L, 1L), (0L, 3L)),
+      "exactly the >= tau tail, ordered by (q_id, vec_id)")
+    assert(math.abs(got(0)._3 - 1.0) < 1e-6)
+    assert(math.abs(got(1)._3 - 0.8) < 1e-6)
+  }
+
   test("laggedCrossCorrelation: matches brute force, zero-fills empty lags, peaks at the planted lead") {
     def ev(id: Long, hour: Long, tpe: String) =
       (id, new java.sql.Timestamp(hour * 3600000L), 1L, tpe, 1.0, "{}")

@@ -560,6 +560,26 @@ class SketchesSpec extends SparkTestBase {
     assert(cop == got)
   }
 
+  test("modularityReport: hand-computed Q on the barbell, zero for the trivial partition") {
+    // two triangles + bridge: m=7; perfect split {1,2,3}|{4,5,6}:
+    // e_c=3, d_c=7 each -> contrib = 4*7*3 - 49 = 35, Q_num = 70,
+    // q_bp = 700000 div 196 = 3571
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("da", "db")
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val got = Graphs.modularityReport(edges, good)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 7L, 35L, 3571L),
+      (4L, 3L, 3L, 7L, 35L, 3571L)))
+    // everything in one community: Q = 0 exactly (4m*m - (2m)^2)
+    val triv = Seq((1L, 9L), (2L, 9L), (3L, 9L),
+      (4L, 9L), (5L, 9L), (6L, 9L)).toDF("node", "label")
+    val q0 = Graphs.modularityReport(edges, triv)
+      .select("q_bp").as[Long].head()
+    assert(q0 == 0L)
+  }
+
   test("labelProp: one sweep on a path pins the min-label tie-break") {
     // path 1-2-3 after one synchronous sweep: node 1 takes 2 (its only
     // neighbor), node 2 ties {1,3} and must take the SMALLER label 1,
