@@ -627,6 +627,12 @@ object SparkEntry {
     // streaming family gets a driver-oracle'd row, not just specs.
     "stream_tumbling_parity" -> ((s, dir) =>
       graft.streaming.EventStream.tumblingCountsParityRun(s, s"$dir/events.parquet")),
+    // sliding (overlapping) windows as a real streaming run — the
+    // stateful agg holds window/slide live windows per (slot, type);
+    // complete mode keeps them all, so the run equals batch slidingAgg
+    "stream_sliding_parity" -> ((s, dir) =>
+      graft.streaming.EventStream.slidingCountsParityRun(
+        s, s"$dir/events.parquet")),
     // mapGroupsWithState per-user running totals, final state == batch agg
     // (exact integer cents — state-iterator order is not deterministic,
     // double addition is order-sensitive, cents are not)
@@ -6002,6 +6008,18 @@ object SparkEntry {
                 count(*) AS cnt,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+
+    // the streaming sliding run must equal the batch sliding aggregate
+    // (each event fans out to its two covering 1h/30min windows)
+    "stream_sliding_parity" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+         w AS (
+           SELECT (us // 1800000000) * 1800000000 AS win_start_us, event_type, value FROM e
+           UNION ALL
+           SELECT (us // 1800000000) * 1800000000 - 1800000000 AS win_start_us, event_type, value FROM e)
+         SELECT win_start_us, event_type, count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
 
     // stream-static enrichment final counts == the batch dim join
     "stream_enrich_parity" ->

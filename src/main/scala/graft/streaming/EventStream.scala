@@ -187,6 +187,33 @@ object EventStream {
       tumblingCounts(_))
       .orderBy("win_start_us", "event_type")
 
+  /** Sliding-window streaming aggregate — the OVERLAPPING-window member
+    * of the stateful family ([[tumblingCounts]]' twin at windowSec >
+    * slideSec): each event lands in windowSec/slideSec windows, so the
+    * stateful agg maintains that many live windows per (slot, type) —
+    * state is (window span / slide)·|types| rows, bounded by the
+    * watermark evicting closed windows in append deployments; the
+    * complete-mode parity run keeps them all so the result equals the
+    * batch [[graft.ops.Events.slidingAgg]] exactly (same 1 h window /
+    * 30 min slide, same decimal-exact sum). */
+  def slidingCounts(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "3600 seconds", "1800 seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  def slidingCountsParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parityRun(spark, path, "sliding", maxFilesPerTrigger, "complete")(
+      slidingCounts(_))
+      .orderBy("win_start_us", "event_type")
+
   /** Streaming HyperLogLog — the sketch's merge law (registers combine
     * by cell-wise max, SketchesSpec) IS Spark's partial/final aggregate
     * algebra, so maintaining the sketch over a stream needs no custom

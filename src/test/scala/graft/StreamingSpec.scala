@@ -373,4 +373,26 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, String, Long, Double)].collect().toSet
     assert(streamRows == batchRows)
   }
+
+  test("streaming sliding matches batch slidingAgg; events fan out to both covering windows") {
+    implicit val sc = spark.sqlContext
+    // 1h windows on a 30min slide: minute 5 lands in starts {-30m, 0},
+    // minute 35 in {0, 30m}, 65 in {30m, 60m}, 95 in {60m, 90m}
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.5),
+      Event(2, ts(35), 2, "click", 2.5),
+      Event(3, ts(65), 1, "view", 3.0),
+      Event(4, ts(95), 3, "view", 4.0))
+    val in = MemoryStream[Event]
+    in.addData(events: _*)
+    val streamRows = runBatches(
+      EventStream.slidingCounts(in.toDF()).writeStream
+        .outputMode(OutputMode.Complete), "parity_sliding")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batchRows = graft.ops.Events.slidingAgg(events.toDF())
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamRows == batchRows)
+    // every event contributes to exactly window/slide = 2 windows
+    assert(streamRows.toSeq.map(_._3).sum == 2L * events.size)
+  }
 }
