@@ -2459,6 +2459,38 @@ object SparkEntry {
           "n_inter", "n_union", "true_jacc_bp", "err_bp")
     }),
 
+    // EXT sketch set algebra: union/intersection/both directed
+    // differences of the small-lot (qty ≤ 5) vs bulk (qty ≥ 45) part
+    // vocabularies, all from the SAME two coordinated bottom-k sketches
+    // kmv_jaccard reads (fractions exact on the sample by rank closure;
+    // union via (k−1)·R/h_k) — "what did the feed drop" from 2k sketch
+    // rows; exact truths + err ride along, kmv-style, all hash-oracle'd.
+    "sketch_kmv_setops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val est = graft.ops.Sketches.kmvSetOps(
+        li.filter(col("l_quantity") <= 5).select("l_partkey"),
+        li.filter(col("l_quantity") >= 45).select("l_partkey"),
+        "l_partkey")
+      val truth = li.filter(col("l_quantity") <= 5 || col("l_quantity") >= 45)
+        .select(col("l_partkey").as("k"),
+          (col("l_quantity") <= 5).cast("long").as("ia"),
+          (col("l_quantity") >= 45).cast("long").as("ib"))
+        .groupBy("k").agg(max("ia").as("ia"), max("ib").as("ib"))
+        .agg(count(lit(1)).as("true_union"),
+          sum(expr("ia * ib")).as("true_inter"),
+          sum(expr("ia * (1 - ib)")).as("true_a_only"),
+          sum(expr("(1 - ia) * ib")).as("true_b_only"))
+      est.crossJoin(truth)
+        .withColumn("err_union_bp",
+          expr("abs(est_union - true_union) * 10000 div true_union"))
+        .withColumn("err_diff_ab_bp",
+          expr("abs(est_diff_ab - true_a_only) * 10000 div true_a_only"))
+        .select("k_used", "kth_hash", "n_both", "n_a_only", "n_b_only",
+          "est_union", "est_inter", "est_diff_ab", "est_diff_ba",
+          "true_union", "true_inter", "true_a_only", "true_b_only",
+          "err_union_bp", "err_diff_ab_bp")
+    }),
+
     // EXT mergeable histogram quantiles: fixed 4096×4096-cent bins over
     // extendedprice cents (range [0, 2²⁴) covers every SF; the TPC-H
     // price cap is SF-independent) — bin counts ADD across shards,
@@ -3897,9 +3929,9 @@ object SparkEntry {
     import graft.ops.Sketches.{HllSeedBase, KmvK}
     val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
     val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-    def bottomCtes(name: String, flag: String): String =
+    def bottomCtes(name: String, cond: String): String =
       s"""d$name AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS k
-         |           FROM lineitem WHERE l_returnflag = '$flag'),
+         |           FROM lineitem WHERE $cond),
          | q$name AS (SELECT k, k % $P1 AS q1, k % $P2 AS q2 FROM d$name),
          | h$name AS (SELECT k,
          |        ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
@@ -3907,8 +3939,8 @@ object SparkEntry {
          |        FROM q$name),
          | b$name AS (SELECT k, h FROM h$name ORDER BY h, k LIMIT $KmvK)"""
         .stripMargin
-    s"""WITH ${bottomCtes("a", "R")},
-       | ${bottomCtes("b", "A")},
+    s"""WITH ${bottomCtes("a", "l_quantity <= 5")},
+       | ${bottomCtes("b", "l_quantity >= 45")},
        | u AS (SELECT h, k, max(in_a) AS in_a, max(in_b) AS in_b FROM (
        |     SELECT h, k, 1 AS in_a, 0 AS in_b FROM ba
        |     UNION ALL SELECT h, k, 0 AS in_a, 1 AS in_b FROM bb)
@@ -3933,6 +3965,71 @@ object SparkEntry {
        |       abs(n_both * 10000 // k_used
        |           - n_inter * 10000 // n_union) AS err_bp
        |FROM s CROSS JOIN tr""".stripMargin
+  }
+
+  /** KMV set-algebra oracle: the kmvJaccard machinery (quadratic-mix
+    * bottom-k sketches, coordinated union merge) extended with the
+    * exact only-in-A/only-in-B sample fractions, the (k−1)·R/h_k union
+    * estimate, the derived intersection/difference estimates, and the
+    * four exact truths + error columns. */
+  private def kmvSetOpsOracle: String = {
+    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
+    import graft.ops.Sketches.{HllSeedBase, KmvK}
+    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
+    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
+    val numer = (KmvK - 1).toDouble * (P1 * P2).toDouble
+    def bottomCtes(name: String, cond: String): String =
+      s"""d$name AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS k
+         |           FROM lineitem WHERE $cond),
+         | q$name AS (SELECT k, k % $P1 AS q1, k % $P2 AS q2 FROM d$name),
+         | h$name AS (SELECT k,
+         |        ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
+         |        + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS h
+         |        FROM q$name),
+         | b$name AS (SELECT k, h FROM h$name ORDER BY h, k LIMIT $KmvK)"""
+        .stripMargin
+    s"""WITH ${bottomCtes("a", "l_quantity <= 5")},
+       | ${bottomCtes("b", "l_quantity >= 45")},
+       | u AS (SELECT h, k, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |     SELECT h, k, 1 AS in_a, 0 AS in_b FROM ba
+       |     UNION ALL SELECT h, k, 0 AS in_a, 1 AS in_b FROM bb)
+       |   GROUP BY 1, 2),
+       | bu AS (SELECT * FROM u ORDER BY h, k LIMIT $KmvK),
+       | s AS (SELECT count(*) AS k_used, max(h) AS kth_hash,
+       |              CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       |              CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_a_only,
+       |              CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_b_only
+       |       FROM bu),
+       | e AS (SELECT *,
+       |              CASE WHEN k_used < $KmvK THEN k_used
+       |                   ELSE CAST(round($numer / CAST(kth_hash AS DOUBLE))
+       |                             AS BIGINT) END AS est_union
+       |       FROM s),
+       | e2 AS (SELECT *,
+       |               est_union * n_both // k_used AS est_inter,
+       |               est_union * n_a_only // k_used AS est_diff_ab,
+       |               est_union * n_b_only // k_used AS est_diff_ba
+       |        FROM e),
+       | tr AS (SELECT count(*) AS true_union,
+       |               CAST(sum(ia * ib) AS BIGINT) AS true_inter,
+       |               CAST(sum(ia * (1 - ib)) AS BIGINT) AS true_a_only,
+       |               CAST(sum((1 - ia) * ib) AS BIGINT) AS true_b_only
+       |        FROM (SELECT l_partkey,
+       |                     max(CASE WHEN l_quantity <= 5 THEN 1
+       |                              ELSE 0 END) AS ia,
+       |                     max(CASE WHEN l_quantity >= 45 THEN 1
+       |                              ELSE 0 END) AS ib
+       |              FROM lineitem
+       |              WHERE l_quantity <= 5 OR l_quantity >= 45
+       |              GROUP BY 1))
+       |SELECT k_used, kth_hash, n_both, n_a_only, n_b_only,
+       |       est_union, est_inter, est_diff_ab, est_diff_ba,
+       |       true_union, true_inter, true_a_only, true_b_only,
+       |       abs(est_union - true_union) * 10000 // true_union
+       |         AS err_union_bp,
+       |       abs(est_diff_ab - true_a_only) * 10000 // true_a_only
+       |         AS err_diff_ab_bp
+       |FROM e2 CROSS JOIN tr""".stripMargin
   }
 
   /** AMS F₂ oracle: all 128 sign counters re-derived from the inlined
@@ -5155,6 +5252,7 @@ object SparkEntry {
     "sketch_hll_union" -> hllUnionOracle,
     "sketch_kmv_distinct" -> kmvOracle,
     "sketch_kmv_jaccard" -> kmvJaccardOracle,
+    "sketch_kmv_setops" -> kmvSetOpsOracle,
     "sketch_ams_f2" -> amsF2Oracle,
     "stream_ams_parity" -> amsOracleFor("events", "user_id"),
     "sketch_hist_quantiles" -> histQuantilesOracle,

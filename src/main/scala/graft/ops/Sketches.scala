@@ -321,6 +321,46 @@ object Sketches {
       .select("k_used", "kth_hash", "n_both", "jacc_bp")
   }
 
+  /** Full set ALGEBRA from the same two coordinated bottom-k sketches
+    * [[kmvJaccard]] reads: union size via the (k−1)·R/h_k estimator on
+    * the merged sketch, then intersection and BOTH directed differences
+    * as `est_union · fraction div k_used` — the fractions (n_both,
+    * n_a_only, n_b_only) are EXACT on the coordinated sample by the
+    * same rank-closure argument as the Jaccard flags ("what's new in
+    * this snapshot vs the corpus", "how many keys did the feed drop"
+    * answered from 2k sketch rows, never a co-shuffle of the distinct
+    * sets). When the union has fewer than k distinct keys the sketch IS
+    * the union and every estimate is exact. Same TakeOrdered plans, 2k
+    * merge rows, bit-reproducible tie-breaks; estimates are integer (or
+    * the kmv round-one-double-division discipline), so the whole
+    * algebra hash-oracles. */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String,
+      k: Int = KmvK, seedBase: Int = HllSeedBase): DataFrame = {
+    import graft.functions.Portable.{P1, P2}
+    val numer = (k - 1).toDouble * (P1 * P2).toDouble
+    def bottom(df: DataFrame): DataFrame =
+      df.select(col(keyCol).cast("long").as("k")).distinct()
+        .select(col("k"), quadHash(col("k"), seedBase).as("h"))
+        .orderBy("h", "k").limit(k)
+    val ba = bottom(a).withColumn("in_a", lit(1L)).withColumn("in_b", lit(0L))
+    val bb = bottom(b).withColumn("in_a", lit(0L)).withColumn("in_b", lit(1L))
+    ba.unionByName(bb)
+      .groupBy("h", "k")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .orderBy("h", "k").limit(k)
+      .agg(count(lit(1)).as("k_used"), max("h").as("kth_hash"),
+        sum(expr("in_a * in_b")).as("n_both"),
+        sum(expr("in_a * (1 - in_b)")).as("n_a_only"),
+        sum(expr("(1 - in_a) * in_b")).as("n_b_only"))
+      .withColumn("est_union",
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(round(lit(numer) / col("kth_hash").cast("double"))
+            .cast("long")))
+      .withColumn("est_inter", expr("est_union * n_both div k_used"))
+      .withColumn("est_diff_ab", expr("est_union * n_a_only div k_used"))
+      .withColumn("est_diff_ba", expr("est_union * n_b_only div k_used"))
+  }
+
   /** Seed offset for the AMS sign hashes (clear of the CMS/Bloom/HLL
     * coefficient ranges). */
   val AmsSeedBase = 900

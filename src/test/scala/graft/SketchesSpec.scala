@@ -232,6 +232,24 @@ class SketchesSpec extends SparkTestBase {
     assert(disj == 0L)
   }
 
+  test("kmvSetOps: whole algebra exact below k; disjoint split accounted") {
+    // |A ∪ B| = 90 < k -> sketch IS the universe: union/inter/diffs exact
+    val a = (1L to 60L).toDF("k")
+    val b = (31L to 90L).toDF("k")
+    val r = Sketches.kmvSetOps(a, b, "k")
+      .select("k_used", "n_both", "n_a_only", "n_b_only", "est_union",
+        "est_inter", "est_diff_ab", "est_diff_ba")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(r == ((90L, 30L, 30L, 30L, 90L, 30L, 30L, 30L)))
+    // disjoint: intersection estimate 0, the two differences partition
+    // the union
+    val d = Sketches.kmvSetOps(a, (1000L to 1100L).toDF("k"), "k")
+      .select("est_union", "est_inter", "est_diff_ab", "est_diff_ba")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(d._2 == 0L && d._1 == 161L && d._3 + d._4 == d._1)
+  }
+
   test("amsF2: single-key stream is exact; distinct stream lands in band") {
     // one key repeated n times: every counter is ±n, every square is
     // n² — the median is exactly n² whatever the signs do
