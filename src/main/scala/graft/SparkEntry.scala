@@ -1648,6 +1648,19 @@ object SparkEntry {
     "corpus_temperature_sample" -> ((s, dir) =>
       Features.temperatureSample(t(s, dir, "documents"))),
 
+    // EXT curriculum schedule: easy→hard stages by exact n_chars ntile,
+    // seeded hash shuffle within stages, exact global positions via the
+    // distributed running total — the bit-reproducible data order a
+    // curriculum training run replays; id-width overflow asserted
+    // in-plan.
+    "corpus_curriculum" -> ((s, dir) =>
+      Features.curriculumSchedule(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        difficulty = "n_chars", key = "doc_id")
+        .select("doc_id", "source", "n_chars", "stage", "shuffle_key",
+          "position")
+        .orderBy("position")),
+
     // EXT normalization dedup: the corpus decorated with casing/punct/
     // whitespace noise (ids offset) collapses back onto the originals
     // under canonical-form dedup — exact-dedup cost, no pairwise work.
@@ -7740,6 +7753,25 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+
+    // corpus_curriculum: SQL ntile (the rangeNtileBucket twin), the
+    // seeded affine shuffle hash, and a plain global row_number in
+    // (stage, shuffle_key, doc_id) order
+    "corpus_curriculum" -> {
+      import Portable.{P1, aCoef, bCoef}
+      s"""WITH s AS (
+           SELECT doc_id, source, n_chars,
+                  CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)
+                       AS BIGINT) AS stage,
+                  (CAST(doc_id AS BIGINT) % $P1 * ${aCoef(98)}
+                     + ${bCoef(98)}) % $P1 % 100000 AS shuffle_key
+           FROM documents)
+         SELECT doc_id, source, n_chars, stage, shuffle_key,
+                CAST(row_number() OVER (ORDER BY stage, shuffle_key,
+                                                 doc_id)
+                     AS BIGINT) AS position
+         FROM s ORDER BY position"""
+    },
 
     "corpus_temperature_sample" -> {
       import Portable.{P1, aCoef, bCoef}

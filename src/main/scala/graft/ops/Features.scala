@@ -320,6 +320,51 @@ object Features {
       .orderBy(stratum)
   }
 
+  /** Curriculum training schedule — the deterministic global order a
+    * curriculum-learning run feeds documents in: easy→hard STAGES by an
+    * integer difficulty column (exact ntile via [[rangeNtileBucket]] —
+    * no single-partition window sees raw rows), and WITHIN each stage a
+    * seeded hash shuffle (the [[temperatureSample]] affine-hash family)
+    * so no source or ingest order runs in long streaks. The output
+    * `position` is the exact global 1-based rank in (stage,
+    * shuffle_key, key) order, computed distributed via
+    * [[withRunningTotal]] over a composite order key.
+    *
+    * The composite key packs (stage, shuffle_key, key) into one BIGINT,
+    * which needs key ∈ [0, 10¹⁰) and nStages ≤ 8 — the key bound is
+    * asserted IN-PLAN (overflow would silently scramble the schedule;
+    * the id-width assumption fails loudly instead), the stage bound at
+    * build time. Everything is integer arithmetic on seeded hashes, so
+    * the entire schedule — stages, shuffle, global positions — is
+    * hash-oracle-checkable; re-running on the same corpus reproduces it
+    * bit for bit (the reproducibility a training run's data order
+    * needs).
+    *
+    * Scale shape: one ntile pass over the \|docs\| profile, a map-only
+    * hash column, then withRunningTotal's slice-local windows + a
+    * #slices-row broadcast — no corpus-sized single-partition anything. */
+  def curriculumSchedule(df: DataFrame, difficulty: String, key: String,
+      nStages: Int = 4, shuffleMod: Long = 100000L): DataFrame = {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    require(nStages >= 1 && nStages <= 8,
+      s"nStages must be in [1, 8] (composite-key headroom), got $nStages")
+    val staged = rangeNtileBucket(df, difficulty, key, nStages, "stage")
+      .withColumn("shuffle_key",
+        (col(key).cast("long") % lit(P1) * lit(aCoef(98)) + lit(bCoef(98)))
+          % lit(P1) % lit(shuffleMod))
+    val keyed = staged
+      .withColumn("__ord",
+        when(assert_true(col(key) >= 0 && col(key) < lit(10000000000L),
+          lit("curriculumSchedule: key outside [0, 1e10) would overflow " +
+            "the composite order key and silently scramble the " +
+            "schedule")).isNull,
+          (col("stage") * lit(shuffleMod) + col("shuffle_key"))
+            * lit(10000000000L) + col(key)))
+      .withColumn("__one", lit(1L))
+    withRunningTotal(keyed, "__ord", "__one", "position")
+      .drop("__ord", "__one")
+  }
+
   /** Leave-one-out smoothed target encoding — the high-cardinality
     * categorical feature the tree/linear stage actually wants (a
     * category's empirical label rate, shrunk toward the global prior),

@@ -212,6 +212,35 @@ class MlPipelineSpec extends SparkTestBase {
       (3L, 0L, 5000L, 7500L), (4L, 0L, 5000L, 5000L)))
   }
 
+  test("curriculumSchedule: ntile stages, seeded shuffle, exact global positions, id-width guard") {
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    val df = Seq((0L, "a", 10L), (1L, "a", 20L), (2L, "b", 30L),
+      (3L, "b", 40L), (4L, "a", 50L), (5L, "b", 60L), (6L, "a", 70L),
+      (7L, "b", 80L)).toDF("doc_id", "source", "n_chars")
+    val got = Features.curriculumSchedule(df, "n_chars", "doc_id",
+        nStages = 4)
+      .select("doc_id", "stage", "shuffle_key", "position")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def h(k: Long) = (k % P1 * aCoef(98) + bCoef(98)) % P1 % 100000L
+    // ntile(4) over 8 rows in (n_chars, doc_id) order: two per stage
+    val expStage = Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L,
+      4L -> 3L, 5L -> 3L, 6L -> 4L, 7L -> 4L)
+    got.foreach { case (id, st, sk, _) =>
+      assert(st == expStage(id), s"stage of $id")
+      assert(sk == h(id), s"shuffle key of $id")
+    }
+    // positions are 1..8 and follow (stage, shuffle_key, doc_id) order
+    assert(got.map(_._4).sorted == (1L to 8L))
+    assert(got.sortBy(_._4).map(_._1) ==
+      got.sortBy(r => (r._2, r._3, r._1)).map(_._1))
+    // an id past the composite-key width fails loudly, never scrambles
+    val bad = Seq((10000000000L, "a", 1L)).toDF("doc_id", "source",
+      "n_chars")
+    val e = intercept[Exception](
+      Features.curriculumSchedule(bad, "n_chars", "doc_id").collect())
+    assert(e.getMessage.contains("scramble"))
+  }
+
   test("rfImportances: 64 rows summing to ~1 (FP12)") {
     val labeled = graft.ml.Classifiers.embeddingFeatures(
       Tables(spark, sf001, "embeddings"))
