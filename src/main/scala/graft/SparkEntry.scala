@@ -622,6 +622,13 @@ object SparkEntry {
     // the quadratic "views in the preceding hour" interval predicate
     "q27_range_join_banded" -> ((s, dir) =>
       Events.bandedRangeJoin(t(s, dir, "events"))),
+    // interval×interval overlap join: which user pairs were active
+    // concurrently — sessions explode to covered hour bands (bounded
+    // in-plan), candidates meet on a band equi-join, the exact overlap
+    // predicate filters; banding losslessness proven by the plain
+    // quadratic oracle
+    "q42_interval_overlap" -> ((s, dir) =>
+      Events.sessionOverlaps(t(s, dir, "events"))),
     // REAL Structured Streaming run (file micro-batches, AvailableNow,
     // complete-mode memory sink) — equals the batch tumbling agg, so the
     // streaming family gets a driver-oracle'd row, not just specs.
@@ -6183,6 +6190,37 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                 max(us) - min(us) AS duration_us
          FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+
+    // banding is an execution strategy here too; the oracle is the
+    // plain quadratic session×session overlap join
+    "q42_interval_overlap" ->
+      """WITH marked AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM marked),
+         ses AS (
+           SELECT user_id, session_idx, min(us) AS start_us,
+                  max(us) AS end_us
+           FROM numbered GROUP BY 1, 2),
+         p AS (
+           SELECT a.user_id AS user_a, b.user_id AS user_b,
+                  least(a.end_us, b.end_us)
+                    - greatest(a.start_us, b.start_us) AS overlap_us
+           FROM ses a JOIN ses b
+             ON a.user_id < b.user_id
+            AND a.start_us <= b.end_us AND b.start_us <= a.end_us)
+         SELECT user_a, user_b, count(*) AS n_overlaps,
+                CAST(sum(overlap_us) AS BIGINT) AS tot_overlap_us
+         FROM p GROUP BY 1, 2
+         ORDER BY n_overlaps DESC, tot_overlap_us DESC, user_a, user_b
+         LIMIT 100""",
 
     // banding is an execution strategy; the oracle is the plain bounded
     // non-equi left join

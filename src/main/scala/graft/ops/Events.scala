@@ -776,6 +776,62 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Interval-OVERLAP join over derived sessions: which user pairs were
+    * active at the same time, how often, and for how long — concurrency
+    * analytics (shared-incident correlation, household/bot detection)
+    * whose naive form is the quadratic session×session non-equi join.
+    *
+    * Execution is the banding strategy of [[bandedRangeJoin]] extended
+    * to interval×interval: each session explodes to the hour bands it
+    * covers, candidates meet on a band EQUI-join, the exact overlap
+    * predicate filters, and a distinct collapses pairs that share
+    * several bands. Banding is lossless (two overlapping intervals
+    * share ≥ 1 covering band), which the plain-quadratic oracle twin
+    * proves. The per-session explode is bounded: a session spanning ≥
+    * `maxBands` bands fails IN-PLAN (fail-loud, the family contract)
+    * rather than silently fanning out — size the band width to the gap
+    * timeout (a gap-g session's span is (n_events−1)·g at worst, and
+    * pathological spans are exactly what the guard should surface).
+    *
+    * Scale: sessions are |users·sessions|-sized (≪ events); the band
+    * join shuffles band-keyed candidates only (concurrency per band,
+    * not the session universe), then one pair-keyed aggregate and
+    * TakeOrdered. */
+  def sessionOverlaps(events: DataFrame, gapMinutes: Int = 30,
+      bandUs: Long = 3600000000L, maxBands: Int = 64,
+      topK: Int = 100): DataFrame = {
+    val ses = sessionize(events, gapMinutes)
+      .select(col("user_id"), col("session_idx"),
+        col("start_us"), col("end_us"))
+      .withColumn("b0", expr(s"start_us div $bandUs"))
+      .withColumn("b1", expr(s"end_us div $bandUs"))
+    val banded = ses.withColumn("band", explode(sequence(col("b0"),
+        when(assert_true(col("b1") - col("b0") < maxBands,
+          lit(s"sessionOverlaps: a session covers >= $maxBands bands — " +
+            "widen bandUs or investigate the pathological session " +
+            "instead of letting it fan out")).isNull, col("b1")))))
+      .select("user_id", "session_idx", "start_us", "end_us", "band")
+    def side(tag: String) = banded.select(
+      col("user_id").as(s"u$tag"), col("session_idx").as(s"s$tag"),
+      col("start_us").as(s"start_$tag"), col("end_us").as(s"end_$tag"),
+      col("band"))
+    side("a").join(side("b"), Seq("band"))
+      .filter(col("ua") < col("ub") &&
+        col("start_a") <= col("end_b") && col("start_b") <= col("end_a"))
+      .select("ua", "sa", "ub", "sb", "start_a", "end_a", "start_b",
+        "end_b")
+      .distinct()
+      .withColumn("overlap_us",
+        least(col("end_a"), col("end_b"))
+          - greatest(col("start_a"), col("start_b")))
+      .groupBy(col("ua").as("user_a"), col("ub").as("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum("overlap_us").as("tot_overlap_us"))
+      .orderBy(desc("n_overlaps"), desc("tot_overlap_us"),
+        asc("user_a"), asc("user_b"))
+      .limit(topK)
+  }
+
   /** Lagged cross-correlation between two event types' hourly count
     * series — "does `a` lead `b`, and by how many hours?", the
     * monitoring/causal-screening primitive (error spikes preceding

@@ -557,6 +557,27 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(pre.length == 10 && pre.forall(r => r >= 0L && r <= 10000L))
   }
 
+  test("sessionOverlaps: hand-traced concurrency pairs, touching counts, band guard fires") {
+    def ev(id: Long, min: Long, u: Long) =
+      (id, new java.sql.Timestamp(min * 60000L), u, "view", 1.0, "{}")
+    // gap 10min: u1 [0,10]; u2 [5,6] + [22,23]; u3 [10,25]
+    val df = Seq(ev(1, 0, 1), ev(2, 10, 1), ev(3, 5, 2), ev(4, 6, 2),
+      ev(5, 22, 2), ev(6, 23, 2), ev(7, 10, 3), ev(8, 20, 3),
+      ev(9, 25, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.sessionOverlaps(df, gapMinutes = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // (1,2): [0,10]∩[5,6] = 1min; (2,3): [22,23]∩[10,25] = 1min;
+    // (1,3): closed intervals TOUCH at minute 10 -> counted, overlap 0
+    assert(got == Seq((1L, 2L, 1L, 60000000L), (2L, 3L, 1L, 60000000L),
+      (1L, 3L, 1L, 0L)))
+    // a session fanning past maxBands bands fails loudly
+    val e = intercept[Exception](
+      Events.sessionOverlaps(df, gapMinutes = 10, bandUs = 60000000L,
+        maxBands = 2).collect())
+    assert(e.getMessage.contains("pathological session"))
+  }
+
   test("rangeSearch: threshold tail only, radius not k, self excluded") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),   // query
