@@ -1199,6 +1199,14 @@ object SparkEntry {
     // one-to-many and driver-free.
     "mm_frames_real" -> ((s, dir) =>
       Multimodal.framesReal(s, t(s, dir, "documents"))),
+    // REAL shot-boundary detection: decode EVERY frame of a GIF with a
+    // PLANTED +100 luminance scene cut (1 in 4 docs single-scene),
+    // reduce to integer mean luminance in the batched reader kernel,
+    // flag cuts on the per-doc lag diff — pixels never shuffle, only
+    // (doc, frame, mean) rows; the cut structure has a closed-form
+    // oracle while Spark must recover it from true decoded pixels.
+    "mm_shot_detect" -> ((s, dir) =>
+      Multimodal.shotDetect(s, t(s, dir, "documents"))),
     // REAL audio: per-doc PCM16 WAV synthesized on executors
     // (javax.sound.sampled — JDK-only), decoded back through the same
     // batched kernel plumbing: TRUE header rate/frames + the exact sum
@@ -4736,6 +4744,18 @@ object SparkEntry {
                 CAST((((doc_id % 256) * 31 + 37 * fi) % 256) * w * h
                      AS BIGINT) AS px_sum
          FROM f ORDER BY doc_id, frame_idx""",
+
+    // mm_shot_detect: the planted scene structure in closed form —
+    // 6+id%3 frames, +100 cut at 2+id%3 unless id%4=0 (single scene);
+    // within-scene drift is 2/frame, far under the threshold 50
+    "mm_shot_detect" ->
+      """SELECT doc_id,
+                CAST(6 + doc_id % 3 AS BIGINT) AS n_frames,
+                CAST(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_cuts,
+                CAST(CASE WHEN doc_id % 4 <> 0 THEN 2 + doc_id % 3
+                          ELSE -1 END AS INT) AS first_cut_idx
+         FROM documents ORDER BY doc_id""",
 
     "mm_decode_real" ->
       """WITH s AS (

@@ -556,6 +556,105 @@ object Multimodal {
     sampleGifFrames(spark, payloads)
   }
 
+  /** ====== REAL KERNEL ====== GIF synthesis with a PLANTED scene cut
+    * for the shot-detection surface: frames 0..c−1 are uniform gray
+    * g₁ + 2f (a gentle within-scene drift, so "no change" is never a
+    * degenerate zero signal), frames c.. are g₁ + 100 + 2f — a hard
+    * +100 luminance step at the cut. Docs with id ≡ 0 (mod 4) get NO
+    * cut (single scene) so the detector's negative path is exercised
+    * too. g₁ = 10 + id%90 and ≤ 8 frames keep every level in [10, 213]
+    * — no wrap, no clamp; all parameters are integer functions of
+    * doc_id, so the expected cut structure has a closed-form SQL twin
+    * while the Spark side must recover it from REAL decoded pixels. */
+  def synthShotGifBytes(docId: Long): Array[Byte] = {
+    val w = 6 + (docId % 5).toInt
+    val h = 6 + (docId % 7).toInt
+    val nFrames = 6 + (docId % 3).toInt
+    val cut = 2 + (docId % 3).toInt
+    val g1 = 10 + (docId % 90).toInt
+    val hasCut = docId % 4 != 0
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val scene = if (hasCut && f >= cut) 100 else 0
+      val g = g1 + scene + 2 * f
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** ====== REAL KERNEL ====== Shot-boundary detection — the video
+    * curation primitive (split footage into shots before per-shot
+    * sampling/captioning): decode EVERY frame of each container, reduce
+    * each to its integer mean luminance, and flag a cut wherever the
+    * mean jumps by more than `threshold` between consecutive frames.
+    * Frame decode + reduce runs in the batched per-partition reader
+    * kernel (one reader per partition, lazily streamed, no driver);
+    * the temporal diff is a per-doc lag window over the #frames-sized
+    * reduced table — the heavy pixel work never shuffles, only
+    * (doc_id, frame_idx, mean) rows do. Per doc: frame count, cut
+    * count, and the first cut index (−1 when the doc is a single
+    * shot). At 100 TB of video the reduced table is #frames rows —
+    * the plan's shuffle is independent of pixel volume. */
+  def shotDetect(spark: SparkSession, docs: DataFrame,
+      threshold: Int = 50): DataFrame = {
+    import spark.implicits._
+    val means = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        it.grouped(DecodeBatch).flatMap(_.flatMap { id =>
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(synthShotGifBytes(id))))
+          val n = reader.getNumImages(true)
+          Iterator.range(0, n).map { f =>
+            val img = reader.read(f)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (img.getRGB(x, y) & 0xFF); x += 1
+              }
+              y += 1
+            }
+            (id, f, sum / (img.getWidth * img.getHeight))
+          }
+        })
+      }.toDF("doc_id", "frame_idx", "mean_gray")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    means
+      .withColumn("prev", lag("mean_gray", 1).over(w))
+      .withColumn("is_cut",
+        (col("prev").isNotNull &&
+          abs(col("mean_gray") - col("prev")) > threshold).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), sum("is_cut").as("n_cuts"),
+        coalesce(min(when(col("is_cut") === 1L, col("frame_idx"))),
+          lit(-1)).as("first_cut_idx"))
+      .orderBy("doc_id")
+  }
+
   case class DHash(doc_id: Long, variant: Int, hash_hi: Long, hash_lo: Long)
 
   /** ====== REAL KERNEL ====== Deterministic PNG synthesis for the

@@ -557,6 +557,22 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(pre.length == 10 && pre.forall(r => r >= 0L && r <= 10000L))
   }
 
+  test("shotDetect: planted cuts recovered from true decoded frames") {
+    val ids = (0L to 7L).toDF("doc_id")
+    val got = Multimodal.shotDetect(spark, ids)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val want = (0L to 7L).map { id =>
+      val hasCut = id % 4 != 0
+      (id, 6 + id % 3, if (hasCut) 1L else 0L,
+        if (hasCut) (2 + id % 3).toInt else -1)
+    }
+    assert(got == want)
+    // a gentler threshold still must not fire on the 2/frame drift
+    val strict = Multimodal.shotDetect(spark, ids, threshold = 5)
+      .select("n_cuts").as[Long].collect().toSeq
+    assert(strict == got.map(_._3), "drift of 2 never trips threshold 5")
+  }
+
   test("sessionOverlaps: hand-traced concurrency pairs, touching counts, band guard fires") {
     def ev(id: Long, min: Long, u: Long) =
       (id, new java.sql.Timestamp(min * 60000L), u, "view", 1.0, "{}")
