@@ -3012,6 +3012,13 @@ object SparkEntry {
       graft.ops.Events.laggedCrossCorrelation(
         t(s, dir, "events"), "click", "purchase")),
 
+    // EXT CUSUM level-shift alarm: the sequential-looking recursion in
+    // its exact prefix-scan form (running residual sum minus clamped
+    // running min — two frames over one type-keyed window); sustained
+    // small elevations alarm where per-day thresholds stay silent.
+    "events_cusum" -> ((s, dir) =>
+      graft.ops.Events.cusumAlarm(t(s, dir, "events"))),
+
     // EXT schema-evolution read: stage two parquet generations (gen=2
     // adds o_orderpriority), read them as one dataset via footer
     // merging + partition-dir provenance, back-fill the evolved column
@@ -5878,6 +5885,31 @@ object SparkEntry {
          SELECT channel, n_conversions, rev_cents,
                 CAST(rev_cents * 10000 // tot AS BIGINT) AS rev_share_bp
          FROM g CROSS JOIN tot ORDER BY rev_cents DESC, channel""",
+
+    // events_cusum: the same prefix-scan spelling — running residual
+    // sum and clamped running min over the per-type day series
+    "events_cusum" ->
+      """WITH d AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           count(*) AS x
+                    FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type,
+                       CAST(sum(x) // count(*) AS BIGINT) AS mu
+                FROM d GROUP BY 1),
+          p AS (SELECT d.event_type, d.day, CAST(d.x AS BIGINT) AS x,
+                       b.mu,
+                       CAST(sum(d.x - b.mu) OVER w AS BIGINT) AS p
+                FROM d JOIN b ON b.event_type = d.event_type
+                WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                             ROWS UNBOUNDED PRECEDING)),
+          s AS (SELECT *, p - least(0, min(p) OVER
+                            (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING)) AS s
+                FROM p)
+         SELECT event_type, day, x, mu, p, s,
+                CAST(CASE WHEN s > 25 THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_alarm
+         FROM s ORDER BY event_type, day""",
 
     // events_xcorr: zero-filled hourly series, lag sweep −6..6, exact
     // integer dot + centered numerator (inner join ≡ zero-fill for

@@ -776,6 +776,40 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** CUSUM change-point alarm over per-type daily counts — the
+    * level-shift detector that catches a SUSTAINED small elevation a
+    * per-day threshold misses (each day individually normal, the run of
+    * them not). Classic one-sided CUSUM against the type's own floor
+    * mean μ: Sᵈ = max(0, Sᵈ⁻¹ + (xᵈ − μ)), alarm when S > h.
+    *
+    * The recursion LOOKS inherently sequential, but has an exact
+    * prefix-scan form: with Pᵈ = Σ(xᵢ − μ) the running residual sum,
+    * Sᵈ = Pᵈ − min(0, min_{j≤d} Pⱼ) — a running sum plus a running min,
+    * two frames over ONE type-keyed sort window, fully distributed and
+    * integer-exact (so the alarm trajectory itself hash-oracles).
+    * Detects upward shifts over ACTIVE days; densify (resample) first
+    * if silent days should count as drops — the one-sided-up form is
+    * the traffic/abuse monitor.
+    *
+    * Scale: one hash agg to the (types × days) table — time-bounded,
+    * like [[laggedCrossCorrelation]] — then a broadcast μ join and a
+    * tiny per-type window. The event scan happens once. */
+  def cusumAlarm(events: DataFrame, h: Long = 25L): DataFrame = {
+    val daily = events.select(col("event_type"), tsUs(events).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val base = daily.groupBy("event_type")
+      .agg(expr("sum(x) div count(1)").as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(broadcast(base), "event_type")
+      .withColumn("p", sum(col("x") - col("mu")).over(w))
+      .withColumn("s", col("p") - least(lit(0L), min("p").over(w)))
+      .withColumn("is_alarm", (col("s") > h).cast("long"))
+      .select("event_type", "day", "x", "mu", "p", "s", "is_alarm")
+      .orderBy("event_type", "day")
+  }
+
   /** Interval-OVERLAP join over derived sessions: which user pairs were
     * active at the same time, how often, and for how long — concurrency
     * analytics (shared-incident correlation, household/bot detection)

@@ -557,6 +557,30 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(pre.length == 10 && pre.forall(r => r >= 0L && r <= 10000L))
   }
 
+  test("cusumAlarm: prefix-scan form equals the clamped recursion; sustained shift alarms") {
+    // one type, 6 days: counts 10,10,10 then 16,16,16; mu = 78/6 = 13
+    // residuals -3,-3,-3,+3,+3,+3 -> recursion S = 0,0,0,3,6,9
+    var id = 0L
+    val rows = for {
+      (day, n) <- Seq((0L, 10), (1L, 10), (2L, 10), (3L, 16), (4L, 16),
+        (5L, 16))
+      k <- 1 to n
+    } yield {
+      id += 1
+      (id, new java.sql.Timestamp(day * 86400000L + k * 1000L), 1L,
+        "click", 1.0, "{}")
+    }
+    val df = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.cusumAlarm(df, h = 5L)
+      .select("day", "x", "mu", "s", "is_alarm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._4) == Seq(0L, 0L, 0L, 3L, 6L, 9L),
+      "S trajectory must equal the clamped recursion")
+    // each +3 day is individually under h=5; the RUN of them alarms
+    assert(got.map(_._5) == Seq(0L, 0L, 0L, 0L, 1L, 1L))
+  }
+
   test("shotDetect: planted cuts recovered from true decoded frames") {
     val ids = (0L to 7L).toDF("doc_id")
     val got = Multimodal.shotDetect(spark, ids)
