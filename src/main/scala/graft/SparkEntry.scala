@@ -1663,6 +1663,17 @@ object SparkEntry {
     "corpus_temperature_sample" -> ((s, dir) =>
       Features.temperatureSample(t(s, dir, "documents"))),
 
+    // EXT minority oversampling: whole-number replication rep = n_max
+    // div n_class per language (residual imbalance ≤ 2× by the floor
+    // policy) — deterministic, no RNG, so the rebalanced corpus itself
+    // hash-oracles; broadcast class table + map-side explode, the fact
+    // side never shuffles.
+    "fp_oversample" -> ((s, dir) =>
+      Features.oversampleMinority(
+        t(s, dir, "documents").select("doc_id", "lang"), "lang")
+        .select("doc_id", "lang", "n_class", "rep", "copy_idx")
+        .orderBy("doc_id", "copy_idx")),
+
     // EXT curriculum schedule: easy→hard stages by exact n_chars ntile,
     // seeded hash shuffle within stages, exact global positions via the
     // distributed running total — the bit-reproducible data order a
@@ -7843,6 +7854,18 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+
+    // fp_oversample: the same floor replication, unnested
+    "fp_oversample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_class
+                    FROM documents GROUP BY 1),
+          m AS (SELECT max(n_class) AS n_max FROM c),
+          r AS (SELECT lang, n_class, n_max // n_class AS rep
+                FROM c CROSS JOIN m)
+         SELECT d.doc_id, d.lang, r.n_class, r.rep,
+                CAST(unnest(range(1, r.rep + 1)) AS BIGINT) AS copy_idx
+         FROM documents d JOIN r ON r.lang = d.lang
+         ORDER BY d.doc_id, copy_idx""",
 
     // corpus_curriculum: SQL ntile (the rangeNtileBucket twin), the
     // seeded affine shuffle hash, and a plain global row_number in

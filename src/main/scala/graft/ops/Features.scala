@@ -320,6 +320,32 @@ object Features {
       .orderBy(stratum)
   }
 
+  /** Deterministic minority-class oversampling — the class-rebalance
+    * pass a classifier/multilingual training run applies when the label
+    * (or language) mix is skewed: every row of class c is replicated
+    * `rep_c = n_max div n_c` times, so each class lands within
+    * (n_max/2, n_max] of the majority — residual imbalance ≤ 2×, by the
+    * floor policy. Equal whole-number replication is DELIBERATE: the
+    * fractional remainder is not sampled, so the output is a pure
+    * function of the data (no RNG, no per-row roulette), reproducible
+    * and hash-oracle-checkable — the sampling twin of
+    * [[temperatureSample]]'s downweighting direction. `copy_idx`
+    * disambiguates replicas for downstream shuffles/splits.
+    *
+    * Scale shape: one \|classes\|-row aggregate + 1-row max broadcast
+    * back onto the scan, then a map-side `explode(sequence(1, rep))` —
+    * the fact table never shuffles; output size is Σ rep_c·n_c ≤
+    * \|classes\|·n_max by construction. */
+  def oversampleMinority(df: DataFrame, label: String): DataFrame = {
+    val counts = df.groupBy(label).agg(count(lit(1)).as("n_class"))
+    val reps = counts
+      .crossJoin(broadcast(counts.agg(max("n_class").as("n_max"))))
+      .withColumn("rep", expr("n_max div n_class"))
+      .select(col(label), col("n_class"), col("rep"))
+    df.join(broadcast(reps), label)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("rep"))))
+  }
+
   /** Curriculum training schedule — the deterministic global order a
     * curriculum-learning run feeds documents in: easy→hard STAGES by an
     * integer difficulty column (exact ntile via [[rangeNtileBucket]] —

@@ -212,6 +212,28 @@ class MlPipelineSpec extends SparkTestBase {
       (3L, 0L, 5000L, 7500L), (4L, 0L, 5000L, 5000L)))
   }
 
+  test("oversampleMinority: floor replication, <=2x residual, majority untouched") {
+    // classes: a x6 (majority), b x3 (rep 2), c x2 (rep 3), d x4 (rep 1)
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(4)("d")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "lab")
+    val got = Features.oversampleMinority(df, "lab")
+      .groupBy("lab").agg(count(lit(1)).as("n_after"),
+        max("rep").as("rep"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((6L, 1L)))
+    assert(got("b") == ((6L, 2L)))
+    assert(got("c") == ((6L, 3L)))
+    assert(got("d") == ((4L, 1L))) // 6 div 4 = 1: within 2x, untouched
+    // copy_idx enumerates each replica exactly once
+    val copies = Features.oversampleMinority(df, "lab")
+      .filter(col("lab") === "c").select("id", "copy_idx")
+      .as[(Long, Long)].collect().toSet
+    assert(copies == (for (i <- 9L to 10L; c <- 1L to 3L)
+      yield (i, c)).toSet)
+  }
+
   test("curriculumSchedule: ntile stages, seeded shuffle, exact global positions, id-width guard") {
     import graft.functions.Portable.{P1, aCoef, bCoef}
     val df = Seq((0L, "a", 10L), (1L, "a", 20L), (2L, "b", 30L),
