@@ -2847,6 +2847,50 @@ object SparkEntry {
         .withColumn("files_after", lit(after))
     }),
 
+    // EXT snapshot retention GC as a first-class query: build a fresh
+    // 4-version chain, vacuum to the last 2, and report the whole GC
+    // outcome — versions before/after, orphaned data files reclaimed,
+    // the surviving latest read AND the retained older version still
+    // time-travelling. A fresh per-invocation root keeps the report
+    // deterministic under bench reruns (a shared root would vacuum 0 on
+    // the second pass).
+    "snapshot_vacuum" -> ((s, dir) => {
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-snapvacuum-${ProcessHandle.current().pid()}",
+          java.util.UUID.randomUUID().toString)
+        .toString
+      stagedDirCleanup(root)
+      val orders = t(s, dir, "orders")
+      (0 until 4).foreach { i =>
+        graft.sources.Snapshots.commit(
+          orders.filter(col("o_orderkey") % 4 <= i).coalesce(1), root)
+      }
+      // count DATA files (committer sidecars like _SUCCESS/.crc vary by
+      // environment — the report pins only what the protocol owns)
+      def dataFiles(): Long = {
+        val w = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(root, "data"))
+        try w.filter(p => p.toString.endsWith(".parquet")).count()
+        finally w.close()
+      }
+      val before = graft.sources.Snapshots.versions(root).size.toLong
+      val dataBefore = dataFiles()
+      graft.sources.Snapshots.vacuum(root, keepLast = 2)
+      val after = graft.sources.Snapshots.versions(root).size.toLong
+      val dataAfter = dataFiles()
+      val prev = graft.sources.Snapshots.read(s, root, Some(3L))
+        .agg(count(lit(1)).as("cnt_prev"))
+      graft.sources.Snapshots.read(s, root)
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .withColumn("versions_before", lit(before))
+        .withColumn("versions_after", lit(after))
+        .withColumn("data_files_before", lit(dataBefore))
+        .withColumn("data_files_after", lit(dataAfter))
+        .crossJoin(prev)
+    }),
+
     // EXT Matryoshka truncation eval: recall@10 of the first-16-dim
     // prefix ranking vs the full 64-dim ranking, per query — the
     // dimension-adaptive-retrieval measurement run before shipping a
@@ -5531,6 +5575,20 @@ object SparkEntry {
     // compaction is pure physical reorganization: the read-back must
     // aggregate to the plain table's numbers; file counts are fixed by
     // the construction (5 single-file appends -> 2 compacted files)
+    // snapshot_vacuum: the GC outcome in closed form — 4 single-file
+    // commits, keep 2, so 2 manifests + 2 orphaned data files go; v3
+    // (o_orderkey % 4 <= 2) still time-travels
+    "snapshot_vacuum" ->
+      """SELECT (SELECT count(*) FROM orders) AS cnt,
+                (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                             AS DOUBLE) FROM orders) AS revenue,
+                CAST(4 AS BIGINT) AS versions_before,
+                CAST(2 AS BIGINT) AS versions_after,
+                CAST(4 AS BIGINT) AS data_files_before,
+                CAST(2 AS BIGINT) AS data_files_after,
+                (SELECT count(*) FROM orders WHERE o_orderkey % 4 <= 2)
+                  AS cnt_prev""",
+
     "snapshot_compaction" ->
       """SELECT count(*) AS cnt,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

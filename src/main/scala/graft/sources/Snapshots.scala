@@ -56,6 +56,11 @@ object Snapshots {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
+  /** All published versions, ascending — manifest-listing-sized driver
+    * state, the same bound as [[latestVersion]]. */
+  def versions(root: String): Seq[Long] =
+    listDir(manifestDir(root)).flatMap(versionOf).sorted
+
   /** Highest published version, if any commit exists. */
   def latestVersion(root: String): Option[Long] = {
     val vs = listDir(manifestDir(root)).flatMap(versionOf)
