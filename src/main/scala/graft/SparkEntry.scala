@@ -3067,6 +3067,14 @@ object SparkEntry {
       graft.ops.Events.laggedCrossCorrelation(
         t(s, dir, "events"), "click", "purchase")),
 
+    // EXT rolling 7-day distinct actives: the windowed COUNT DISTINCT
+    // no frame expresses — exact via the fan-out trick over the
+    // (type, user, day) activity table (events collapse first, the
+    // explode multiplies only the small table), phantom trailing days
+    // trimmed.
+    "events_rolling_distinct" -> ((s, dir) =>
+      graft.ops.Events.rollingActiveUsers(t(s, dir, "events"))),
+
     // EXT CUSUM level-shift alarm: the sequential-looking recursion in
     // its exact prefix-scan form (running residual sum minus clamped
     // running min — two frames over one type-keyed window); sustained
@@ -5954,6 +5962,21 @@ object SparkEntry {
          SELECT channel, n_conversions, rev_cents,
                 CAST(rev_cents * 10000 // tot AS BIGINT) AS rev_share_bp
          FROM g CROSS JOIN tot ORDER BY rev_cents DESC, channel""",
+
+    // events_rolling_distinct: the same fan-out — each active day
+    // covers 7 report days, trimmed at the corpus's last active day
+    "events_rolling_distinct" ->
+      """WITH a AS (SELECT DISTINCT event_type, user_id,
+                           epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+          m AS (SELECT max(day) AS max_day FROM a),
+          f AS (SELECT event_type, user_id,
+                       unnest(range(day, day + 7)) AS d
+                FROM a)
+         SELECT f.event_type, f.d AS day,
+                count(DISTINCT f.user_id) AS n_active
+         FROM f CROSS JOIN m WHERE f.d <= m.max_day
+         GROUP BY 1, 2 ORDER BY event_type, day""",
 
     // events_cusum: the same prefix-scan spelling — running residual
     // sum and clamped running min over the per-type day series

@@ -776,6 +776,40 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Rolling 7-day distinct actives (per type, per day) — the windowed
+    * COUNT DISTINCT no window frame can express (distinct does not
+    * decompose over frames): the WAU/MAU-style metric computed exactly
+    * by the fan-out trick — each (type, user, active-day) row covers
+    * the `windowDays` report days it contributes to, so the rolling
+    * distinct becomes a plain per-day distinct aggregate after a
+    * bounded explode.
+    *
+    * Scale shape: events collapse FIRST to the (type, user, day)
+    * distinct activity table (the corpus-sized scan happens once; the
+    * activity table is \|users × active days\|, far smaller), the
+    * explode multiplies THAT by windowDays, and one hash agg with
+    * partial countDistinct finishes. Report days past the corpus's
+    * last active day are trimmed (the fan-out would otherwise invent
+    * phantom trailing days); leading days report genuine partial
+    * windows. */
+  def rollingActiveUsers(events: DataFrame,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays >= 1, got $windowDays")
+    val activity = events
+      .select(col("event_type"), col("user_id"), tsUs(events).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .select("event_type", "user_id", "day").distinct()
+    val maxDay = activity.agg(max("day").as("max_day"))
+    activity
+      .withColumn("d",
+        explode(sequence(col("day"), col("day") + (windowDays - 1))))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("d") <= col("max_day"))
+      .groupBy(col("event_type"), col("d").as("day"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("event_type", "day")
+  }
+
   /** CUSUM change-point alarm over per-type daily counts — the
     * level-shift detector that catches a SUSTAINED small elevation a
     * per-day threshold misses (each day individually normal, the run of

@@ -557,6 +557,22 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(pre.length == 10 && pre.forall(r => r >= 0L && r <= 10000L))
   }
 
+  test("rollingActiveUsers: exact trailing-window distinct, partial head, trimmed tail") {
+    def ev(id: Long, day: Long, u: Long) =
+      (id, new java.sql.Timestamp(day * 86400000L + id), u, "view", 1.0,
+        "{}")
+    // users: 1 active days 0,1; 2 active day 0 (twice); 3 active day 9
+    val df = Seq(ev(1, 0, 1), ev(2, 1, 1), ev(3, 0, 2), ev(4, 0, 2),
+      ev(5, 9, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.rollingActiveUsers(df, windowDays = 3)
+      .select("day", "n_active").as[(Long, Long)].collect().toSeq
+    // day 0: {1,2}=2; day 1: {1,2}=2; day 2: {1,2}=2; day 3: {1}=1;
+    // days 4..8 absent (no activity in window); day 9: {3}=1;
+    // days 10,11 trimmed (past the last active day)
+    assert(got == Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 1L), (9L, 1L)))
+  }
+
   test("cusumAlarm: prefix-scan form equals the clamped recursion; sustained shift alarms") {
     // one type, 6 days: counts 10,10,10 then 16,16,16; mu = 78/6 = 13
     // residuals -3,-3,-3,+3,+3,+3 -> recursion S = 0,0,0,3,6,9
