@@ -3030,6 +3030,14 @@ object SparkEntry {
         "cents", lo = 0L, width = 2000000L, nBuckets = 25)
     }),
 
+    // EXT key-skew diagnosis: the exact Gini of the per-user event load
+    // + heaviest keys with shares — the report that decides whether a
+    // join needs salting BEFORE anyone pays for the straggler; ranks
+    // assigned distributed, overflow asserted in-plan.
+    "dq_key_skew" -> ((s, dir) =>
+      graft.ops.Skew.keySkewReport(
+        t(s, dir, "events").select("user_id"), "user_id")),
+
     // EXT out-of-orderness audit: per event type, how many events
     // arrived (event_id order) after a later-timestamped sibling, and
     // the max lateness — the number that SIZES a watermark before
@@ -5873,6 +5881,31 @@ object SparkEntry {
                  (SELECT dom FROM dom_pr)
           FROM p WHERE nd_pr > 0 AND nd_pr <= 12)
         ORDER BY col_name, rule""",
+
+    // dq_key_skew: sorted-rank Gini identity + heaviest-key shares
+    "dq_key_skew" ->
+      """WITH c AS (SELECT CAST(user_id AS BIGINT) AS k,
+                           CAST(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1),
+          r AS (SELECT k, cnt,
+                       CAST(row_number() OVER (ORDER BY cnt, k)
+                            AS BIGINT) AS rank
+                FROM c),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(cnt) AS BIGINT) AS n_rows,
+                       CAST(sum(rank * cnt) AS BIGINT) AS rank_mass,
+                       CAST(max(cnt) AS BIGINT) AS max_cnt
+                FROM r),
+          su AS (SELECT n_keys, n_rows,
+                        (2 * rank_mass - (n_keys + 1) * n_rows) * 10000
+                          // (n_keys * n_rows) AS gini_bp,
+                        max_cnt * 10000 // n_rows AS max_share_bp
+                 FROM t)
+         SELECT r.k AS user_id, r.cnt,
+                r.cnt * 10000 // su.n_rows AS share_bp,
+                su.n_keys, su.n_rows, su.gini_bp, su.max_share_bp
+         FROM r CROSS JOIN su
+         ORDER BY r.cnt DESC, user_id LIMIT 10""",
 
     // dq_drift: shared clamped $20k-cent buckets, floor-bp shares,
     // TVD = sum|delta| div 2 and L-inf riding along on every row

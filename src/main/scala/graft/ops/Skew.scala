@@ -18,6 +18,59 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Key-skew DIAGNOSIS — the report that decides whether a join needs
+    * [[saltedJoin]]/AQE skew handling before anyone pays for it: the
+    * top-`topK` heaviest keys with their load shares, plus two
+    * whole-distribution statistics riding on every row — `max_share_bp`
+    * (the single worst key's share: the partition that will straggle)
+    * and the exact GINI coefficient of the key-load distribution in bp
+    * (0 = perfectly even, →10000 = one key owns everything).
+    *
+    * Gini is computed EXACTLY from the sorted-rank identity
+    * `G = (2·Σ rankᵢ·cntᵢ − (n+1)·N) / (n·N)` with ranks assigned
+    * distributed ([[Features.withRunningTotal]] over a packed
+    * (cnt, key) composite — the curriculumSchedule packing discipline,
+    * key width asserted IN-PLAN), so the skew number itself
+    * hash-oracles. Σrank·cnt stays under signed-64 while n·N < 9·10¹⁸
+    * — beyond that the report is DECIMAL territory, documented not
+    * silent (assert rides the same guard).
+    *
+    * Scale: one hash agg to the \|keys\|-sized load table, one
+    * distributed rank pass over it, two 1-row broadcasts, TakeOrdered.
+    * The fact table is scanned once. */
+  def keySkewReport(df: DataFrame, key: String,
+      topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key).cast("long").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val packed = counts.withColumn("__ord",
+      when(assert_true(col("k") >= 0 && col("k") < lit(10000000000L) &&
+          col("cnt") < lit(900000000L),
+        lit("keySkewReport: key outside [0, 1e10) or a key heavier " +
+          "than 9e8 rows overflows the packed rank key — widen to " +
+          "DECIMAL before trusting this report")).isNull,
+        col("cnt") * lit(10000000000L) + col("k")))
+      .withColumn("__one", lit(1L))
+    val ranked = Features.withRunningTotal(packed, "__ord", "__one",
+      "rank")
+    val tot = ranked.agg(count(lit(1)).as("n_keys"),
+      sum("cnt").as("n_rows"),
+      sum(expr("rank * cnt")).as("rank_mass"),
+      max("cnt").as("max_cnt"))
+    val summary = tot
+      .withColumn("gini_bp", expr(
+        "(2 * rank_mass - (n_keys + 1) * n_rows) * 10000" +
+          " div (n_keys * n_rows)"))
+      .withColumn("max_share_bp", expr("max_cnt * 10000 div n_rows"))
+      .select("n_keys", "n_rows", "gini_bp", "max_share_bp")
+    ranked.crossJoin(broadcast(summary))
+      .withColumn("share_bp", expr("cnt * 10000 div n_rows"))
+      .select(col("k").as(key), col("cnt"), col("share_bp"),
+        col("n_keys"), col("n_rows"), col("gini_bp"),
+        col("max_share_bp"))
+      .orderBy(desc("cnt"), asc(key))
+      .limit(topK)
+  }
+
   /** Equi-join `left ⋈ right` on `key` with left-side salting. `salt`
     * should be ≥ the worst observed key-partition imbalance factor.
     * Right side grows ×salt (keep it the dimension side). */

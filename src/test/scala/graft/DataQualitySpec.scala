@@ -390,6 +390,26 @@ class DataQualitySpec extends SparkTestBase {
       (1L, 4L, 5L, 5000L, 6250L, 1250L, 1250L, 1250L)))
   }
 
+  test("keySkewReport: hand-computed Gini and shares; uniform load is zero") {
+    // loads: key 1->1, 2->1, 3->2, 4->4 (n=4, N=8)
+    // ranks asc (cnt, key): 1,2,3,4 -> rank_mass 1+2+6+16 = 25
+    // gini = (50 - 40)*1e4 div 32 = 3125; max share 5000
+    val rows = (Seq.fill(1)(1L) ++ Seq.fill(1)(2L) ++ Seq.fill(2)(3L) ++
+      Seq.fill(4)(4L)).toDF("k")
+    val got = graft.ops.Skew.keySkewReport(rows, "k")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (4L, 4L, 5000L, 4L, 8L, 3125L, 5000L),
+      (3L, 2L, 2500L, 4L, 8L, 3125L, 5000L),
+      (1L, 1L, 1250L, 4L, 8L, 3125L, 5000L),
+      (2L, 1L, 1250L, 4L, 8L, 3125L, 5000L)))
+    // perfectly even load: Gini exactly 0
+    val even = (1L to 6L).flatMap(k => Seq.fill(3)(k)).toDF("k")
+    val g0 = graft.ops.Skew.keySkewReport(even, "k")
+      .select("gini_bp").as[Long].head()
+    assert(g0 == 0L)
+  }
+
   test("tClosenessReport: TVD vs the global mix, worst first, absent cells scored") {
     // global mix x:y = 4:4 -> q = 5000/5000 bp
     // A = 1x1y (t 0), B = 2x0y (t 5000, the absent-y cell must score),
