@@ -3075,6 +3075,13 @@ object SparkEntry {
       graft.ops.Events.laggedCrossCorrelation(
         t(s, dir, "events"), "click", "purchase")),
 
+    // EXT forecast-baseline backtest: seasonal-naive (d−7) vs naive
+    // (d−1) MAE per type on days where both references exist — the
+    // bar any shipped forecaster must beat; day-arithmetic joins, no
+    // gap-blind row frames.
+    "events_forecast_baseline" -> ((s, dir) =>
+      graft.ops.Events.forecastBacktest(t(s, dir, "events"))),
+
     // EXT rolling 7-day distinct actives: the windowed COUNT DISTINCT
     // no frame expresses — exact via the fan-out trick over the
     // (type, user, day) activity table (events collapse first, the
@@ -5995,6 +6002,27 @@ object SparkEntry {
          SELECT channel, n_conversions, rev_cents,
                 CAST(rev_cents * 10000 // tot AS BIGINT) AS rev_share_bp
          FROM g CROSS JOIN tot ORDER BY rev_cents DESC, channel""",
+
+    // events_forecast_baseline: the same day-arithmetic joins
+    "events_forecast_baseline" ->
+      """WITH d AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1, 2)
+         SELECT a.event_type, count(*) AS n_days,
+                CAST(sum(abs(a.x - s.x)) AS BIGINT) // count(*)
+                  AS mae_seasonal,
+                CAST(sum(abs(a.x - n.x)) AS BIGINT) // count(*)
+                  AS mae_naive,
+                CASE WHEN CAST(sum(abs(a.x - s.x)) AS BIGINT) // count(*)
+                          <= CAST(sum(abs(a.x - n.x)) AS BIGINT)
+                             // count(*)
+                     THEN 'seasonal' ELSE 'naive' END AS winner
+         FROM d a JOIN d s ON s.event_type = a.event_type
+                          AND s.day = a.day - 7
+                  JOIN d n ON n.event_type = a.event_type
+                          AND n.day = a.day - 1
+         GROUP BY 1 ORDER BY a.event_type""",
 
     // events_rolling_distinct: the same fan-out — each active day
     // covers 7 report days, trimmed at the corpus's last active day

@@ -776,6 +776,41 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Forecast-baseline backtest — the honesty check every forecasting
+    * project runs FIRST: score the two classic baselines (seasonal
+    * naive ŷ(d) = y(d−7), plain naive ŷ(d) = y(d−1)) against realized
+    * per-type daily counts, on exactly the days where both baselines
+    * have a reference. Any model shipped later must beat the winning
+    * baseline's MAE; a "forecast" that doesn't is noise with extra
+    * steps. MAE in floor-integer units so the whole backtest
+    * hash-oracles; lags come from day-arithmetic equi-joins on the
+    * (type, day) table — honest about gaps (a day without a d−7
+    * reference is excluded, not zero-filled) and never a
+    * rows-between frame that would silently misread missing days as
+    * adjacent.
+    *
+    * Scale: one hash agg to the time-bounded daily table, two
+    * self-equi-joins of that small table, one per-type rollup. */
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val daily = events.select(col("event_type"), tsUs(events).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val sn = daily.select(col("event_type"), (col("day") + 7).as("day"),
+      col("x").as("f_sn"))
+    val nv = daily.select(col("event_type"), (col("day") + 1).as("day"),
+      col("x").as("f_nv"))
+    daily.join(sn, Seq("event_type", "day"))
+      .join(nv, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(abs(x - f_sn)) div count(1)").as("mae_seasonal"),
+        expr("sum(abs(x - f_nv)) div count(1)").as("mae_naive"))
+      .withColumn("winner",
+        when(col("mae_seasonal") <= col("mae_naive"), lit("seasonal"))
+          .otherwise(lit("naive")))
+      .orderBy("event_type")
+  }
+
   /** Rolling 7-day distinct actives (per type, per day) — the windowed
     * COUNT DISTINCT no window frame can express (distinct does not
     * decompose over frames): the WAU/MAU-style metric computed exactly

@@ -557,6 +557,26 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(pre.length == 10 && pre.forall(r => r >= 0L && r <= 10000L))
   }
 
+  test("forecastBacktest: pure weekly pattern — seasonal MAE 0, naive pays the wrap") {
+    // x(d) = (d % 7) * 2 + 5 over days 0..13: seasonal naive is exact,
+    // plain naive pays +2 per day and 12 at each week wrap
+    var id = 0L
+    val rows = for {
+      day <- 0L to 13L
+      k <- 1 to ((day % 7) * 2 + 5).toInt
+    } yield {
+      id += 1
+      (id, new java.sql.Timestamp(day * 86400000L + k * 1000L), 1L,
+        "click", 1.0, "{}")
+    }
+    val df = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.forecastBacktest(df)
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    // days 7..13 scored: mae_seasonal = 0; naive sum 12+2*6 = 24 -> 3
+    assert(got == Seq(("click", 7L, 0L, 3L, "seasonal")))
+  }
+
   test("rollingActiveUsers: exact trailing-window distinct, partial head, trimmed tail") {
     def ev(id: Long, day: Long, u: Long) =
       (id, new java.sql.Timestamp(day * 86400000L + id), u, "view", 1.0,
