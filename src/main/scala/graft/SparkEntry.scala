@@ -799,6 +799,13 @@ object SparkEntry {
     "search_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopK(t(s, dir, "documents"), Bm25QueryTerms)),
 
+    // EXT PRF query expansion (Rocchio/BM25): top-3 feedback docs mine
+    // the 3 heaviest non-query non-stopword terms, the corpus rescoring
+    // joins the expanded set as a broadcast TABLE (never collected),
+    // and the chosen expansion itself rides along as a checked column.
+    "search_prf_expand" -> ((s, dir) =>
+      TextAnalysis.prfExpand(t(s, dir, "documents"), Bm25QueryTerms)),
+
     // EXT hybrid retrieval: BM25 top-10 ∪ cosine top-10 (query = vec 0's
     // embedding) fused by integer-exact Reciprocal Rank Fusion.
     "search_hybrid" -> ((s, dir) =>
@@ -6587,6 +6594,58 @@ object SparkEntry {
     // search_bm25: same basis-point integer formula, same div order;
     // dl counts non-empty tokens; sums cast back to BIGINT (DuckDB sums
     // to HUGEINT).
+    // search_prf_expand: the whole feedback loop unrolled — base
+    // ranking, mined expansion (pre-sorted-subquery string_agg, the
+    // q41-hardened discipline), term-table rescore, final top-10
+    "search_prf_expand" -> {
+      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      val excl = (Bm25QueryTerms ++ graft.ops.TextAnalysis.StopWords)
+        .map(t => s"'$t'").mkString(", ")
+      def scoreCte(tfN: String, dfN: String): String =
+        s"""SELECT t.doc_id,
+           |       CAST(sum(
+           |         (((10000 * st.n_docs) // d.df) * t.tf * (12000 + 10000))
+           |         // (t.tf * 10000 +
+           |            (12000 * (10000 - 7500 + (7500 * dl.dl) // st.avgdl)) // 10000)
+           |       ) AS BIGINT) AS score_bp
+           |FROM $tfN t JOIN $dfN d USING (term)
+           |            JOIN dl USING (doc_id), st
+           |GROUP BY 1""".stripMargin
+      s"""WITH dl AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+           FROM documents),
+         st AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+         tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                 WHERE term IN ($terms) GROUP BY 1, 2),
+         df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+         s0 AS (${scoreCte("tf0", "df0")}),
+         base AS (SELECT doc_id FROM s0 ORDER BY score_bp DESC, doc_id LIMIT 3),
+         mined AS (SELECT term, count(*) AS tf_fb
+                   FROM tok JOIN base USING (doc_id)
+                   WHERE term <> '' AND term NOT IN ($excl)
+                   GROUP BY 1 ORDER BY tf_fb DESC, term LIMIT 3),
+         expcsv AS (SELECT string_agg(term, ',') AS expanded_terms
+                    FROM (SELECT term FROM mined ORDER BY term)),
+         allt AS (SELECT DISTINCT term FROM (
+             SELECT term FROM mined
+             UNION ALL SELECT unnest(ARRAY[$terms]) AS term)),
+         tf1 AS (SELECT doc_id, term, count(*) AS tf
+                 FROM tok JOIN allt USING (term) GROUP BY 1, 2),
+         df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+         s1 AS (${scoreCte("tf1", "df1")}),
+         top AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY score_bp DESC,
+                                                         doc_id)
+                             AS BIGINT) AS rnk,
+                        score_bp
+                 FROM s1 ORDER BY score_bp DESC, doc_id LIMIT 10)
+         SELECT top.doc_id, top.rnk, top.score_bp, e.expanded_terms
+         FROM top CROSS JOIN expcsv e ORDER BY rnk"""
+    },
+
     "search_bm25" -> {
       val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH dl AS (

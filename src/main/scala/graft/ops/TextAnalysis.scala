@@ -747,6 +747,77 @@ object TextAnalysis {
     * rides the posting rows (min over the per-doc constant), and the
     * corpus-wide (N, avgdl) pair is a 1-row map-only aggregate. The
     * global top-k plans TakeOrderedAndProject. */
+  /** [[bm25TopK]]'s scorer with the term set as a TABLE instead of a
+    * literal list — what query expansion needs: the expanded vocabulary
+    * is data (derived in-plan from feedback docs), so it joins in as a
+    * broadcast instead of being collected into an `isin`. Same integer
+    * contribution arithmetic, same plan shape (postings-only shuffle). */
+  private def bm25ScoreByTermTable(docs: DataFrame, terms: DataFrame,
+      k1Bp: Long, bBp: Long, id: String, text: String): DataFrame = {
+    val toks = split(col(text), " ")
+    val dl = size(filter(toks, t => t =!= "")).cast("long")
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(dl).as("sum_dl"))
+      .select(col("n_docs"), expr("sum_dl div n_docs").as("avgdl"))
+    val tf = docs.select(col(id), dl.as("dl"), explode(toks).as("term"))
+      .join(broadcast(terms.select("term").distinct()), "term")
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bp", expr("(10000 * n_docs) div df"))
+      .withColumn("dlnorm_bp",
+        lit(10000L - bBp) + expr(s"($bBp * dl) div avgdl"))
+      .withColumn("contrib", expr(
+        s"(idf_bp * tf * ($k1Bp + 10000)) div " +
+          s"(tf * 10000 + ($k1Bp * dlnorm_bp) div 10000)"))
+      .groupBy(col(id)).agg(sum(col("contrib")).as("score_bp"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio's PRF, the
+    * BM25 edition): retrieve `fbDocs` feedback docs for the original
+    * query, mine their `fbTerms` most frequent non-query non-stopword
+    * terms, and re-score the corpus with the EXPANDED term set — the
+    * classic recall lever when the user's two words under-specify the
+    * intent. Everything stays in-plan: feedback docs come from
+    * [[bm25TopK]], the mined terms are a TakeOrdered table (never
+    * collected), and the rescore joins them in via
+    * [[bm25ScoreByTermTable]]'s broadcast. The chosen expansion terms
+    * ride along as a sorted CSV column so the expansion itself — not
+    * just the ranking — is driver-checked. Integer BM25 throughout ⇒
+    * the whole feedback loop hash-oracles.
+    *
+    * Scale: two postings-only passes over the corpus (base + rescore)
+    * plus one token scan of fbDocs documents; no corpus-sized shuffle
+    * beyond bm25's own. */
+  def prfExpand(docs: DataFrame, queryTerms: Seq[String], fbDocs: Int = 3,
+      fbTerms: Int = 3, k: Int = 10, k1Bp: Long = 12000L,
+      bBp: Long = 7500L, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1 && k >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = bm25TopK(docs, queryTerms, fbDocs, k1Bp, bBp, id, text)
+    val fb = docs.join(base.select(col(id)), Seq(id), "left_semi")
+    val mined = fb.select(explode(split(col(text), " ")).as("term"))
+      .filter(col("term") =!= "" && !col("term").isin(queryTerms: _*) &&
+        !col("term").isin(StopWords: _*))
+      .groupBy("term").agg(count(lit(1)).as("tf_fb"))
+      .orderBy(desc("tf_fb"), asc("term")).limit(fbTerms)
+    val expandedCsv = mined.agg(
+      array_join(array_sort(collect_list("term")), ",")
+        .as("expanded_terms"))
+    val allTerms = mined.select("term")
+      .unionByName(queryTerms.toDF("term")).distinct()
+    val w = Window.orderBy(desc("score_bp"), col(id))
+    bm25ScoreByTermTable(docs, allTerms, k1Bp, bBp, id, text)
+      .orderBy(desc("score_bp"), col(id)).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(expandedCsv))
+      .select(col(id), col("rnk"), col("score_bp"), col("expanded_terms"))
+      .orderBy("rnk")
+  }
+
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
       k1Bp: Long = 12000L, bBp: Long = 7500L,
       id: String = "doc_id", text: String = "text"): DataFrame = {

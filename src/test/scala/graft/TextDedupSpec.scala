@@ -658,6 +658,27 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((2L, 1L, 45000L), (1L, 2L, 16097L)))
   }
 
+  test("prfExpand: feedback docs mine the expansion, rescore surfaces a doc the raw query misses") {
+    // query {spark}: d1 is the only hit and becomes the feedback doc;
+    // its dominant non-query non-stop term is "alpha" (tf 2), so d4 —
+    // which shares no raw query term — enters the expanded ranking
+    val docs = Seq(
+      (1L, "spark alpha alpha beta"),
+      (2L, "gamma delta"),
+      (3L, "beta beta gamma"),
+      (4L, "alpha zeta"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.prfExpand(docs, Seq("spark"), fbDocs = 1,
+        fbTerms = 1, k = 10)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.forall(_._4 == "alpha"), "expansion mined from d1")
+    val ranked = got.map(_._1)
+    assert(ranked.contains(4L), "expanded query must surface d4")
+    assert(ranked.contains(1L) && !ranked.contains(2L) &&
+      !ranked.contains(3L))
+    assert(got.head._1 == 1L, "the feedback doc still ranks first")
+  }
+
   test("searchHybrid: RRF fuses lexical and vector ranks, absent side scores 0") {
     // bm25 (terms a,d): doc2 rank 1, doc1 rank 2 (hand trace in bm25TopK
     // test); cosine vs vec 0 = [1,0]: vec1 cos 1 -> rank 1, vec2 cos 0 ->
