@@ -3030,10 +3030,13 @@ object SparkEntry {
       val o = t(s, dir, "orders")
         .withColumn("cents",
           expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-        .withColumn("us", unix_micros(col("o_orderdate").cast("timestamp")))
-      val cut = 883612800000000L // 1998-01-01T00:00:00Z
+      // predicate on the RAW column (not a derived epoch), so both
+      // slice scans carry PushedFilters — at 100 TB the row-group stats
+      // prune most of the table per slice (PlanShapeSpec asserts it)
+      val cut = expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
       graft.ops.DataQuality.distributionDrift(
-        o.filter(col("us") < cut), o.filter(col("us") >= cut),
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
         "cents", lo = 0L, width = 2000000L, nBuckets = 25)
     }),
 

@@ -194,6 +194,70 @@ class PlanShapeSpec extends SparkTestBase {
       s"amsF2 scan not pruned:\n$ams")
   }
 
+  test("round-9 queries: pushed slice predicates, broadcast sweeps, " +
+      "no data-sized global windows") {
+    // dq_drift: BOTH slice scans must carry the raw-column date
+    // predicate as a pushed filter (a derived-epoch filter would read
+    // the whole table per slice at 100 TB)
+    val drift = planOf("dq_drift")
+    assert(drift.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "LessThan(o_orderdate,"),
+      s"dq_drift ref-slice predicate not pushed:\n$drift")
+    assert(drift.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"dq_drift cur-slice predicate not pushed:\n$drift")
+    assert(!drift.contains("SortMergeJoin"),
+      s"dq_drift totals must broadcast:\n$drift")
+    // events_xcorr: the lag sweep is a broadcast nested-loop over the
+    // hours-sized series — never a sort-merge of anything
+    val xc = planOf("events_xcorr")
+    assert(!xc.contains("SortMergeJoin"),
+      s"xcorr lag sweep must broadcast:\n$xc")
+    assert(xc.contains("ReadSchema: struct<ts:"),
+      s"xcorr should scan only ts + event_type:\n$xc")
+    // rolling distinct: maxDay broadcasts; scan pruned to 3 columns
+    val rd = planOf("events_rolling_distinct")
+    assert(!rd.contains("SortMergeJoin"),
+      s"rolling distinct max-day must broadcast:\n$rd")
+    // sim_range_search: NO window, NO rank shuffle — the radius
+    // contract is a filter in the scan stage
+    val rs = planOf("sim_range_search")
+    assert(!rs.contains("Window") && !rs.contains("SortMergeJoin"),
+      s"range search must be window-free:\n$rs")
+    // dq_key_skew: ranks come from withRunningTotal — the only
+    // single-partition windows allowed are its #slices-row offset
+    // tables (child output __psum/__cnt), never raw keys
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val skewPlan = SparkEntry.queries("dq_key_skew")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val rawGlobal = skewPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        !w.child.output.exists(c =>
+          c.name == "__psum" || c.name == "__cnt") => w
+    }
+    assert(rawGlobal.isEmpty,
+      s"dq_key_skew plans a data-sized global window:\n$skewPlan")
+    // oversample: class table broadcasts, fact side never shuffles
+    val ov = planOf("fp_oversample")
+    assert(ov.contains("BroadcastHashJoin") && !ov.contains("SortMergeJoin"),
+      s"oversample reps must broadcast:\n$ov")
+    // interval overlap: top-k via TakeOrdered; the band join may
+    // shuffle (that's the point) but never goes cartesian
+    val io = planOf("q42_interval_overlap")
+    assert(io.contains("TakeOrderedAndProject"),
+      s"interval overlap should plan TakeOrdered:\n$io")
+    assert(!io.contains("CartesianProduct"),
+      s"interval overlap must stay banded:\n$io")
+    // modularity: label joins broadcast onto the edge list
+    val mo = planOf("graph_modularity")
+    assert(mo.contains("BroadcastHashJoin"),
+      s"modularity label joins should broadcast:\n$mo")
+    // PRF: the mined term table joins the corpus as a broadcast
+    val prf = planOf("search_prf_expand")
+    assert(prf.contains("BroadcastHashJoin") &&
+      !prf.contains("CartesianProduct"),
+      s"PRF term tables must broadcast:\n$prf")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =
