@@ -2373,6 +2373,30 @@ object SparkEntry {
     // the deliverable). Pointer-doubling rounds (Dedup.resolveClusters)
     // over the two-pass blocked JW matches; recursive-CTE oracle like
     // dedup_clusters.
+    // EXT survivorship (the step AFTER er_clusters): merge each
+    // duplicate cluster into one golden record by field-level rules —
+    // longest name, max non-null amount (null count surfaced), modal
+    // category — on synthesized customer duplicates (a truncated twin
+    // with a missing amount, a re-categorized twin); two cluster-keyed
+    // hash aggs, deterministic min-struct argmaxes, fully oracle'd.
+    "er_golden_record" -> ((s, dir) => {
+      val orig = t(s, dir, "customer").select(
+        col("c_custkey").as("cluster_key"), col("c_name").as("name"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("amount"),
+        col("c_mktsegment").as("category"))
+      val truncated = orig.filter(col("cluster_key") % 7 === 0)
+        .select(col("cluster_key"),
+          expr("substring(name, 1, length(name) - 2)").as("name"),
+          lit(null).cast("long").as("amount"), col("category"))
+      val recat = orig.filter(col("cluster_key") % 14 === 0)
+        .select(col("cluster_key"), col("name"),
+          (col("amount") - 100L).as("amount"),
+          lit("DUP").as("category"))
+      graft.ops.EntityResolution.goldenRecords(
+        orig.unionByName(truncated).unionByName(recat),
+        "cluster_key", "name", "amount", "category")
+    }),
+
     "er_clusters" -> ((s, dir) => {
       val (ents, dirty) = erCorpus(t(s, dir, "part"))
       val pairs = graft.ops.EntityResolution.fuzzyMatch(ents, dirty, 9000,
@@ -6304,6 +6328,48 @@ object SparkEntry {
          WHERE CAST(round(jaro_winkler_similarity(qr.dirty, er.name)
                           * 10000) AS BIGINT) >= 9000
          ORDER BY q_key, cand_key""",
+
+    // er_golden_record: survivorship rules replicated with rank
+    // windows (length-desc-then-name, cnt-desc-then-category)
+    "er_golden_record" ->
+      """WITH orig AS (
+           SELECT c_custkey AS cluster_key, c_name AS name,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS amount,
+                  c_mktsegment AS category
+           FROM customer),
+         t1 AS (SELECT cluster_key,
+                       substring(name, 1, length(name) - 2) AS name,
+                       CAST(NULL AS BIGINT) AS amount, category
+                FROM orig WHERE cluster_key % 7 = 0),
+         t2 AS (SELECT cluster_key, name, amount - 100 AS amount,
+                       'DUP' AS category
+                FROM orig WHERE cluster_key % 14 = 0),
+         rec AS (SELECT * FROM orig UNION ALL SELECT * FROM t1
+                 UNION ALL SELECT * FROM t2),
+         base AS (SELECT cluster_key,
+                         CAST(count(*) AS BIGINT) AS n_members,
+                         CAST(max(amount) AS BIGINT) AS amount,
+                         CAST(sum(CASE WHEN amount IS NULL THEN 1
+                                       ELSE 0 END) AS BIGINT)
+                           AS n_null_amount
+                  FROM rec GROUP BY 1),
+         nm AS (SELECT cluster_key, name FROM (
+                  SELECT cluster_key, name,
+                         row_number() OVER (PARTITION BY cluster_key
+                           ORDER BY length(name) DESC, name) AS rn
+                  FROM rec) WHERE rn = 1),
+         md AS (SELECT cluster_key, category FROM (
+                  SELECT cluster_key, category,
+                         row_number() OVER (PARTITION BY cluster_key
+                           ORDER BY cnt DESC, category) AS rn
+                  FROM (SELECT cluster_key, category, count(*) AS cnt
+                        FROM rec WHERE category IS NOT NULL
+                        GROUP BY 1, 2)) WHERE rn = 1)
+         SELECT b.cluster_key, b.n_members, nm.name, b.amount,
+                b.n_null_amount, md.category
+         FROM base b JOIN nm USING (cluster_key)
+                     LEFT JOIN md USING (cluster_key)
+         ORDER BY cluster_key""",
 
     "er_block_stats" ->
       s"""WITH e AS (SELECT p_partkey AS cand_key,

@@ -190,4 +190,45 @@ object EntityResolution {
         max("sz").as("max_block"),
         sum(greatest(col("sz") - maxBlock, lit(0L))).as("n_dropped"))
       .orderBy("pass")
+
+  /** SURVIVORSHIP — the step after matching/clustering that MDM calls
+    * the golden record: per cluster, merge the member records into one
+    * survivor by field-level rules rather than picking one row
+    * wholesale (the best name and the best amount often live on
+    * DIFFERENT members):
+    *   - `name`: longest wins, ties to the lexicographically smallest
+    *     (completeness proxy — truncated duplicates lose);
+    *   - `amount`: max of the non-null values (nulls never overwrite
+    *     data), with the null count surfaced (`n_null_amount` — how
+    *     much of the cluster was missing the field matters to a data
+    *     steward);
+    *   - `category`: the cluster MODE, ties to the smallest value —
+    *     deterministic by construction, like every argmax here (the
+    *     labelProp min-struct tie-break, so the merged record
+    *     hash-oracles).
+    *
+    * Scale shape: two cluster-keyed hash aggregates (the base rules in
+    * one, the mode needs its own two-level agg) joined on the
+    * \|clusters\|-sized key — no windows over the raw records, no
+    * sorting of member lists. */
+  def goldenRecords(records: DataFrame, clusterCol: String,
+      nameCol: String, amountCol: String, catCol: String): DataFrame = {
+    val base = records.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(negate(length(col(nameCol))).as("nl"),
+          col(nameCol).as("v"))).getField("v").as("name"),
+        max(col(amountCol)).as("amount"),
+        sum(when(col(amountCol).isNull, 1L).otherwise(0L))
+          .as("n_null_amount"))
+    val mode = records.filter(col(catCol).isNotNull)
+      .groupBy(col(clusterCol), col(catCol))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(clusterCol))
+      .agg(min(struct(negate(col("cnt")).as("nc"), col(catCol).as("v")))
+        .getField("v").as("category"))
+    base.join(mode, Seq(clusterCol), "left")
+      .select(col(clusterCol), col("n_members"), col("name"),
+        col("amount"), col("n_null_amount"), col("category"))
+      .orderBy(clusterCol)
+  }
 }

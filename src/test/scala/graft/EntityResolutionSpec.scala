@@ -153,4 +153,24 @@ class EntityResolutionSpec extends SparkTestBase {
     val bad = matches.agg(min("jw_bp")).head.getLong(0)
     assert(bad >= 9000L)
   }
+
+  test("goldenRecords: field-level survivorship, not row-wise winner-take-all") {
+    // cluster 1: best name on r1, best amount on r2 — the golden record
+    // must combine fields from DIFFERENT members; r3's null never wins
+    // cluster 2: name-length tie -> lexicographically smaller survives;
+    // category mode ties -> smaller value
+    val rec = Seq(
+      (1L, "alice anderson", Some(100L), "gold"),
+      (1L, "alice", Some(900L), "gold"),
+      (1L, "alice a", None: Option[Long], "silver"),
+      (2L, "bob b", Some(5L), "tin"),
+      (2L, "bob a", Some(5L), "zinc"))
+      .toDF("cluster_key", "name", "amount", "category")
+    val got = EntityResolution.goldenRecords(rec,
+        "cluster_key", "name", "amount", "category")
+      .as[(Long, Long, String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, "alice anderson", 900L, 1L, "gold"),
+      (2L, 2L, "bob a", 5L, 0L, "tin")))
+  }
 }
