@@ -4086,8 +4086,8 @@ object SparkEntry {
          |        FROM q$name),
          | b$name AS (SELECT k, h FROM h$name ORDER BY h, k LIMIT $KmvK)"""
         .stripMargin
-    s"""WITH ${bottomCtes("a", "l_quantity <= 5")},
-       | ${bottomCtes("b", "l_quantity >= 45")},
+    s"""WITH ${bottomCtes("a", "l_returnflag = 'R'")},
+       | ${bottomCtes("b", "l_returnflag = 'A'")},
        | u AS (SELECT h, k, max(in_a) AS in_a, max(in_b) AS in_b FROM (
        |     SELECT h, k, 1 AS in_a, 0 AS in_b FROM ba
        |     UNION ALL SELECT h, k, 0 AS in_a, 1 AS in_b FROM bb)
@@ -5867,8 +5867,10 @@ object SparkEntry {
         ORDER BY rule""",
 
     // dq_suggest: the same profile recomputed column by column; enum
-    // domains via string_agg over a PRE-SORTED DISTINCT subquery (the
-    // q41 version-portability discipline), gates as WHERE clauses on
+    // domains via string_agg with an EXPLICIT ORDER BY over a
+    // pre-deduped subquery (the q41 discipline tightened: a pre-SORTED
+    // subquery alone is not honored under DuckDB's parallel
+    // aggregation — observed flaky locally), gates as WHERE clauses on
     // the UNION ALL branches. Only rules that hold are emitted.
     "dq_suggest" ->
       """WITH p AS (SELECT count(*) AS n_rows,
@@ -5885,12 +5887,12 @@ object SparkEntry {
                 CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_pr,
                 count(DISTINCT o_orderpriority) AS nd_pr
          FROM orders),
-        dom_st AS (SELECT string_agg(v, ',') AS dom FROM (
+        dom_st AS (SELECT string_agg(v, ',' ORDER BY v) AS dom FROM (
             SELECT DISTINCT o_orderstatus AS v FROM orders
-            WHERE o_orderstatus IS NOT NULL ORDER BY v)),
-        dom_pr AS (SELECT string_agg(v, ',') AS dom FROM (
+            WHERE o_orderstatus IS NOT NULL)),
+        dom_pr AS (SELECT string_agg(v, ',' ORDER BY v) AS dom FROM (
             SELECT DISTINCT o_orderpriority AS v FROM orders
-            WHERE o_orderpriority IS NOT NULL ORDER BY v))
+            WHERE o_orderpriority IS NOT NULL))
         SELECT * FROM (
           SELECT 'o_orderkey' AS col_name, 'not_null' AS rule, n_rows,
                  nn_ok AS n_null, nd_ok AS n_distinct, '' AS details
@@ -6696,8 +6698,8 @@ object SparkEntry {
                    FROM tok JOIN base USING (doc_id)
                    WHERE term <> '' AND term NOT IN ($excl)
                    GROUP BY 1 ORDER BY tf_fb DESC, term LIMIT 3),
-         expcsv AS (SELECT string_agg(term, ',') AS expanded_terms
-                    FROM (SELECT term FROM mined ORDER BY term)),
+         expcsv AS (SELECT string_agg(term, ',' ORDER BY term)
+                      AS expanded_terms FROM mined),
          allt AS (SELECT DISTINCT term FROM (
              SELECT term FROM mined
              UNION ALL SELECT unnest(ARRAY[$terms]) AS term)),
