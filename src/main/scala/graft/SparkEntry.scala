@@ -1408,6 +1408,31 @@ object SparkEntry {
         .orderBy("o_orderpriority", "y")
     }),
 
+    // EXT calibration report: two scorers through the same reliability
+    // diagram — the LOO target encoding (a genuinely calibrated
+    // forecast: tiny ECE, its mass in one fine bin) vs a sham score
+    // with spread but no signal (flat observed rate under a rising
+    // predicted rate: the big ECE AUC never shows). Each report is a
+    // ≤bins-row hash agg + 1-row broadcast.
+    "fp_calibration" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val enc = Features.targetEncodeLoo(orders,
+        "o_orderpriority", col("o_orderstatus") === "F", m = 20)
+      val calibrated = Features
+        .calibrationReport(enc, col("enc_bp"), col("y"), nBins = 100)
+        .withColumn("scorer", lit("loo_encoding"))
+      val sham = orders.select(
+        (col("o_orderkey") % 100 * 100 + 50).as("p"),
+        (col("o_orderstatus") === "F").cast("long").as("y"))
+      val lying = Features
+        .calibrationReport(sham, col("p"), col("y"), nBins = 10)
+        .withColumn("scorer", lit("sham_spread"))
+      calibrated.unionByName(lying)
+        .select("scorer", "bin", "n", "mean_pred_bp", "rate_bp",
+          "gap_bp", "ece_bp")
+        .orderBy("scorer", "bin")
+    }),
+
     // EXT JSONL sink + explicit-schema source round-trip (the LLM-corpus
     // interchange format), then an aggregate — oracle is the plain
     // aggregate over the parquet original. Same pid-scoped tmp dir
@@ -7879,6 +7904,60 @@ object SparkEntry {
                          // (st.n_c - 1 + 20) AS BIGINT)) AS enc_bp
          FROM w JOIN st ON st.cat = w.cat CROSS JOIN g
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // fp_calibration: per-row LOO encodings re-derived, binned, ECE;
+    // the sham scorer's chain unioned below
+    "fp_calibration" ->
+      """WITH w AS (SELECT o_orderpriority AS cat,
+                           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                             AS y
+                    FROM orders),
+          st AS (SELECT cat, CAST(sum(y) AS BIGINT) AS sum_y,
+                        count(*) AS n_c
+                 FROM w GROUP BY 1),
+          g AS (SELECT CAST(sum(y) * 10000 // count(*) AS BIGINT)
+                         AS prior_bp
+                FROM w),
+          e AS (SELECT CAST(w.y AS BIGINT) AS y,
+                       CAST(((st.sum_y - w.y) * 10000 + 20 * g.prior_bp)
+                            // (st.n_c - 1 + 20) AS BIGINT) AS p
+                FROM w JOIN st ON st.cat = w.cat CROSS JOIN g),
+          per AS (SELECT least(99, greatest(0, p * 100 // 10000)) AS bin,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(p) // count(*) AS BIGINT)
+                           AS mean_pred_bp,
+                         CAST(sum(y) * 10000 // count(*) AS BIGINT)
+                           AS rate_bp
+                  FROM e GROUP BY 1),
+          per2 AS (SELECT *, abs(mean_pred_bp - rate_bp) AS gap_bp
+                   FROM per),
+          ece AS (SELECT CAST(sum(n * gap_bp) // sum(n) AS BIGINT)
+                           AS ece_bp
+                  FROM per2),
+          sh AS (SELECT o_orderkey % 100 * 100 + 50 AS p,
+                        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                          AS y
+                 FROM orders),
+          sper AS (SELECT least(9, greatest(0, p * 10 // 10000)) AS bin,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(p) // count(*) AS BIGINT)
+                            AS mean_pred_bp,
+                          CAST(sum(y) * 10000 // count(*) AS BIGINT)
+                            AS rate_bp
+                   FROM sh GROUP BY 1),
+          sper2 AS (SELECT *, abs(mean_pred_bp - rate_bp) AS gap_bp
+                    FROM sper),
+          sece AS (SELECT CAST(sum(n * gap_bp) // sum(n) AS BIGINT)
+                            AS ece_bp
+                   FROM sper2)
+         SELECT 'loo_encoding' AS scorer, bin, n, mean_pred_bp, rate_bp,
+                gap_bp, ece_bp
+         FROM per2 CROSS JOIN ece
+         UNION ALL
+         SELECT 'sham_spread', bin, n, mean_pred_bp, rate_bp, gap_bp,
+                ece_bp
+         FROM sper2 CROSS JOIN sece
+         ORDER BY scorer, bin""",
 
     "fp_string_index" ->
       """WITH d1 AS (

@@ -320,6 +320,35 @@ object Features {
       .orderBy(stratum)
   }
 
+  /** Calibration (reliability) report — the eval every probabilistic
+    * scorer ships with: bin predictions into `nBins` equal-width
+    * probability bins and compare each bin's mean predicted rate to its
+    * OBSERVED rate, with the expected calibration error
+    * `ece_bp = Σ n_b·|gap_b| div N` riding on every row. A model can
+    * have great AUC and terrible calibration — this is the report that
+    * tells them apart, and with predictions in integer bp (this repo's
+    * rate convention) the whole reliability diagram hash-oracles.
+    *
+    * Scale: one hash agg to ≤nBins rows + a 1-row broadcast. Empty
+    * bins are absent (sparse, like distributionDrift). */
+  def calibrationReport(df: DataFrame, predBp: Column, label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    val per = df
+      .select(predBp.cast("long").as("p"), label.cast("long").as("y"))
+      .withColumn("bin", least(lit(nBins - 1L),
+        greatest(lit(0L), expr(s"p * $nBins div 10000"))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(p) div count(1)").as("mean_pred_bp"),
+        expr("sum(y) * 10000 div count(1)").as("rate_bp"))
+      .withColumn("gap_bp", abs(col("mean_pred_bp") - col("rate_bp")))
+    per.crossJoin(broadcast(
+        per.agg(expr("sum(n * gap_bp) div sum(n)").as("ece_bp"))))
+      .select("bin", "n", "mean_pred_bp", "rate_bp", "gap_bp", "ece_bp")
+      .orderBy("bin")
+  }
+
   /** Deterministic minority-class oversampling — the class-rebalance
     * pass a classifier/multilingual training run applies when the label
     * (or language) mix is skewed: every row of class c is replicated

@@ -212,6 +212,24 @@ class MlPipelineSpec extends SparkTestBase {
       (3L, 0L, 5000L, 7500L), (4L, 0L, 5000L, 5000L)))
   }
 
+  test("calibrationReport: perfectly calibrated bins gap 0; a lying bin drives ECE") {
+    // bin 2 (p=2500, 4 rows, 1 positive -> rate 2500): gap 0
+    // bin 7 (p=7500, 4 rows, 0 positive -> rate 0): gap 7500
+    // ECE = (4*0 + 4*7500) div 8 = 3750
+    val df = (Seq.fill(3)((2500L, 0L)) ++ Seq((2500L, 1L)) ++
+      Seq.fill(4)((7500L, 0L))).toDF("p", "y")
+    val got = Features.calibrationReport(df, col("p"), col("y"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 4L, 2500L, 2500L, 0L, 3750L),
+      (7L, 4L, 7500L, 0L, 7500L, 3750L)))
+    // p = 10000 clamps into the top bin, never an 11th
+    val edge = Seq((10000L, 1L)).toDF("p", "y")
+    val b = Features.calibrationReport(edge, col("p"), col("y"))
+      .select("bin").as[Long].head()
+    assert(b == 9L)
+  }
+
   test("oversampleMinority: floor replication, <=2x residual, majority untouched") {
     // classes: a x6 (majority), b x3 (rep 2), c x2 (rep 3), d x4 (rep 1)
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++
