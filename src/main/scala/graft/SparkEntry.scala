@@ -1223,6 +1223,11 @@ object SparkEntry {
     // PCM — the silence/clipping screen; ramp synthesis keeps the whole
     // decode chain closed-form (see Multimodal.decodeWavStats).
     "mm_audio_stats" -> ((s, dir) => Multimodal.audioStats(s, t(s, dir, "documents"))),
+    // REAL voice-activity detection: per-frame energy reduced IN the
+    // decode kernel (audio bytes never shuffle), voiced runs segmented
+    // by one per-doc lag window; planted bursts (1-in-5 single-burst)
+    // give the whole segmentation a closed-form oracle.
+    "mm_audio_vad" -> ((s, dir) => Multimodal.audioVad(s, t(s, dir, "documents"))),
     // REAL perceptual hash: both variants of each doc's PNG (variant 1
     // differs by ONE invisible pixel — byte-different, perceptually
     // identical) synthesized + decoded on executors, dHash computed from
@@ -4888,6 +4893,20 @@ object SparkEntry {
                 CAST((((doc_id % 256) * 31 + 37 * fi) % 256) * w * h
                      AS BIGINT) AS px_sum
          FROM f ORDER BY doc_id, frame_idx""",
+
+    // mm_audio_vad: the planted burst structure in closed form —
+    // bursts at frame 2 (len 2+id%3) and 8+id%3 (len 1+id%2, absent
+    // when id%5=0); silence is true zero energy
+    "mm_audio_vad" ->
+      """SELECT doc_id,
+                CAST(12 + doc_id % 5 AS BIGINT) AS n_frames,
+                CAST(2 + doc_id % 3
+                     + CASE WHEN doc_id % 5 <> 0 THEN 1 + doc_id % 2
+                            ELSE 0 END AS BIGINT) AS n_voiced,
+                CAST(CASE WHEN doc_id % 5 <> 0 THEN 2 ELSE 1 END
+                     AS BIGINT) AS n_segments,
+                CAST(2 AS INT) AS first_voiced_frame
+         FROM documents ORDER BY doc_id""",
 
     // mm_shot_detect: the planted scene structure in closed form —
     // 6+id%3 frames, +100 cut at 2+id%3 unless id%4=0 (single scene);

@@ -236,6 +236,95 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** ====== REAL KERNEL ====== WAV synthesis with PLANTED voiced
+    * segments for the activity-detection surface: audio is F frames of
+    * 160 samples each; frames [2, 2+v₁) carry a constant ±8000 signal,
+    * frames [8+id%3, 8+id%3+v₂) a second burst — except docs with
+    * id ≡ 0 (mod 5), which stay single-burst (the negative path).
+    * F = 12 + id%5, v₁ = 2 + id%3, v₂ = 1 + id%2 keep the bursts
+    * disjoint with ≥1 silent frame between, so the segment structure
+    * is closed-form. Everything else is silence (true zeros). */
+  def synthVadWavBytes(docId: Long): Array[Byte] = {
+    val frames = (12 + docId % 5).toInt
+    val v1 = (2 + docId % 3).toInt
+    val s2 = (8 + docId % 3).toInt
+    val v2 = (1 + docId % 2).toInt
+    val twoSeg = docId % 5 != 0
+    def voiced(j: Int): Boolean =
+      (j >= 2 && j < 2 + v1) || (twoSeg && j >= s2 && j < s2 + v2)
+    val n = frames * 160
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if (voiced(i / 160)) 8000 else 0
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true,
+      false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** ====== REAL KERNEL ====== Energy-threshold voice-activity
+    * detection — the audio-curation primitive that decides which clip
+    * regions are worth transcribing/training on: decode the PCM, reduce
+    * each 160-sample frame to its integer energy IN the batched reader
+    * kernel (only (doc, frame, energy) rows ever shuffle — the audio
+    * byte volume stays in the scan stage, the [[shotDetect]]
+    * discipline), then segment voiced runs with one per-doc lag window
+    * (gaps-and-islands). Per clip: total/voiced frame counts, segment
+    * count, first voiced frame (−1 for all-silence). Against
+    * [[synthVadWavBytes]] payloads every number is closed-form while
+    * the Spark side must recover it from true decoded samples. */
+  def audioVad(spark: SparkSession, docs: DataFrame,
+      energyThreshold: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val frames = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap(_.flatMap { id =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(synthVadWavBytes(id)))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unexpected format for doc_id=$id: $fmt")
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val nFrames = pcm.length / (2 * 160)
+          Iterator.range(0, nFrames).map { j =>
+            var e = 0L
+            var i = j * 160
+            while (i < (j + 1) * 160) {
+              val s = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8))
+                .toShort.toLong
+              e += s * s
+              i += 1
+            }
+            (id, j, e)
+          }
+        })
+      }.toDF("doc_id", "frame_idx", "energy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("voiced", (col("energy") > energyThreshold).cast("long"))
+      .withColumn("starts",
+        (col("voiced") === 1L &&
+          coalesce(lag("voiced", 1).over(w), lit(0L)) === 0L)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), sum("voiced").as("n_voiced"),
+        sum("starts").as("n_segments"),
+        coalesce(min(when(col("voiced") === 1L, col("frame_idx"))),
+          lit(-1)).as("first_voiced_frame"))
+      .orderBy("doc_id")
+  }
+
   /** Synthesize the WAV payload column on EXECUTORS (batched like every
     * kernel here) — a real binary audio column derived from doc_id. */
   def synthWav(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -617,6 +617,25 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got.map(_._5) == Seq(0L, 0L, 0L, 0L, 1L, 1L))
   }
 
+  test("audioVad: planted bursts recovered from true decoded PCM") {
+    val ids = (0L to 9L).toDF("doc_id")
+    val got = Multimodal.audioVad(spark, ids)
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    val want = (0L to 9L).map { id =>
+      val two = id % 5 != 0
+      (id, 12 + id % 5,
+        2 + id % 3 + (if (two) 1 + id % 2 else 0L),
+        if (two) 2L else 1L, 2)
+    }
+    assert(got == want)
+    // a sky-high threshold silences everything: 0 segments, -1 marker
+    val mute = Multimodal.audioVad(spark, ids,
+        energyThreshold = Long.MaxValue / 2)
+      .select("n_segments", "first_voiced_frame")
+      .as[(Long, Int)].collect().toSeq
+    assert(mute.forall(_ == ((0L, -1))))
+  }
+
   test("shotDetect: planted cuts recovered from true decoded frames") {
     val ids = (0L to 7L).toDF("doc_id")
     val got = Multimodal.shotDetect(spark, ids)
