@@ -616,6 +616,11 @@ object SparkEntry {
     // time-series as-of join: each click sees the user's latest prior view
     "q15_asof_join" -> ((s, dir) =>
       Events.asOfJoin(t(s, dir, "events"), "click", "view")),
+    // FORWARD as-of join: each click sees the user's NEXT view and the
+    // gap to it — time-to-next-touch; same union-window linear shape,
+    // the window just runs in descending time (no self/range join)
+    "q43_asof_forward" -> ((s, dir) =>
+      Events.asOfJoinForward(t(s, dir, "events"), "click", "view")),
     "q10_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
     // batch range join via time banding: the equi-join reformulation of
@@ -5309,6 +5314,31 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
            ON a.user_id = b.user_id AND a.ts >= b.ts
          ORDER BY a.user_id, us, a.event_id""",
+
+    // q43_asof_forward: portable explicit formulation (rank the
+    // following views, take the first; a version-fragile ASOF <=
+    // spelling deliberately avoided — the q41 discipline)
+    "q43_asof_forward" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+                    FROM events WHERE event_type = 'click'),
+          v AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+                FROM events WHERE event_type = 'view'),
+          j AS (SELECT c.user_id, c.event_id, c.us, c.value,
+                       v.value AS next_value, v.us AS r_us,
+                       row_number() OVER (
+                         PARTITION BY c.user_id, c.event_id
+                         ORDER BY v.us, v.event_id) AS rn
+                FROM c JOIN v ON v.user_id = c.user_id AND v.us >= c.us)
+         SELECT user_id, event_id, us, value, next_value,
+                r_us - us AS gap_us
+         FROM j WHERE rn = 1
+         UNION ALL
+         SELECT c.user_id, c.event_id, c.us, c.value,
+                CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+         FROM c WHERE NOT EXISTS (SELECT 1 FROM v
+                                  WHERE v.user_id = c.user_id
+                                    AND v.us >= c.us)
+         ORDER BY user_id, us, event_id""",
 
     "q12_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,

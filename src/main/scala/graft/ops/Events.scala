@@ -91,6 +91,43 @@ object Events {
       .orderBy("user_id", "us", "event_id")
   }
 
+  /** FORWARD as-of join — [[asOfJoin]]'s time-reversed twin: each
+    * `leftType` event sees the user's NEXT (earliest strictly-or-
+    * simultaneously following) `rightType` event's value and the gap to
+    * it in µs — the "time to next touch" primitive (click→next
+    * purchase latency, alert→next incident). Same union-window linear
+    * formulation, the window simply runs in DESCENDING time carrying
+    * the first upcoming right row; no self-join, no range join. A
+    * simultaneous right event counts as "next" (≥ semantics, mirroring
+    * the backward join's ≤), ties beyond that take the min event_id.
+    * gap_us is NULL when no right event follows. */
+  def asOfJoinForward(events: DataFrame, leftType: String,
+      rightType: String): DataFrame = {
+    val us = tsUs(events)
+    val tagged = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("event_id"), us.as("us"),
+        col("event_type"), col("value"))
+      .withColumn("is_left", (col("event_type") === leftType).cast("int"))
+    // descending time; at a timestamp tie is_left ASC walks the right
+    // row first so a simultaneous right event IS visible to the left
+    // row (the ≥ mirror of asOfJoin's ≤), and event_id DESC makes the
+    // carried survivor the MIN right id among exact ties
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("is_left").asc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("nxt",
+        last(when(col("is_left") === 0,
+          struct(col("value"), col("us").as("r_us"))),
+          ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("user_id"), col("event_id"), col("us"), col("value"),
+        col("nxt").getField("value").as("next_value"),
+        (col("nxt").getField("r_us") - col("us")).as("gap_us"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** Bounded-interval (range) join, batch form: for every `leftType`
     * event, count + exact-sum the same user's `rightType` events in the
     * preceding `windowSec` seconds (exclusive of the event instant —

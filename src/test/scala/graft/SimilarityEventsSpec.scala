@@ -382,6 +382,28 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(out == Map(2L -> Some(10.0), 4L -> Some(20.0), 5L -> None))
   }
 
+  test("asOfJoinForward: earliest following view, simultaneous counts, gap exact") {
+    def ev(id: Long, tMin: Long, u: Long, tpe: String, v: Double) =
+      (id, new java.sql.Timestamp(tMin * 60000L), u, tpe, v, "{}")
+    val df = Seq(
+      ev(1, 5, 1, "click", 1.0), // next view at 9 -> 20.0, gap 4min
+      ev(2, 9, 1, "view", 20.0),
+      ev(3, 9, 1, "click", 2.0), // simultaneous view at 9 counts -> 20.0
+      ev(4, 12, 1, "view", 30.0),
+      ev(5, 13, 1, "click", 3.0), // no view after -> null
+      ev(6, 1, 2, "click", 4.0)) // user 2 has no view -> null
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.asOfJoinForward(df, "click", "view")
+      .select("event_id", "next_value", "gap_us")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> ((Some(20.0), Some(4L * 60000000L))),
+      3L -> ((Some(20.0), Some(0L))),
+      5L -> ((None, None)),
+      6L -> ((None, None))))
+  }
+
   test("asOfJoin: a null-VALUED right match is returned, not skipped (ASOF semantics)") {
     val df = Seq(
       (1L, new java.sql.Timestamp(0L), 1L, "view", Some(5.0), "{}"),
