@@ -3159,6 +3159,13 @@ object SparkEntry {
     "events_rolling_distinct" -> ((s, dir) =>
       graft.ops.Events.rollingActiveUsers(t(s, dir, "events"))),
 
+    // EXT Pareto concentration: exact activity deciles (distributed
+    // ntile), per-decile event share + cumulative-from-the-top — the
+    // whale-dependence number beside dq_key_skew's Gini; the cumulative
+    // window runs over the 10-row aggregate, never raw users.
+    "events_pareto" -> ((s, dir) =>
+      graft.ops.Events.paretoReport(t(s, dir, "events"))),
+
     // EXT CUSUM level-shift alarm: the sequential-looking recursion in
     // its exact prefix-scan form (running residual sum minus clamped
     // running min — two frames over one type-keyed window); sustained
@@ -6148,6 +6155,25 @@ object SparkEntry {
                 count(DISTINCT f.user_id) AS n_active
          FROM f CROSS JOIN m WHERE f.d <= m.max_day
          GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // events_pareto: SQL ntile twin + the same 10-row cumulative
+    "events_pareto" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                    FROM events GROUP BY 1),
+          d AS (SELECT CAST(ntile(10) OVER (ORDER BY n_events, user_id)
+                            AS BIGINT) AS decile,
+                       n_events
+                FROM u),
+          g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                       CAST(sum(n_events) AS BIGINT) AS n_events
+                FROM d GROUP BY 1),
+          t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM g)
+         SELECT g.decile, g.n_users, g.n_events,
+                g.n_events * 10000 // t.tot AS share_bp,
+                CAST(sum(g.n_events) OVER (ORDER BY g.decile DESC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  * 10000 // t.tot AS cum_share_bp
+         FROM g CROSS JOIN t ORDER BY g.decile DESC""",
 
     // events_cusum: the same prefix-scan spelling — running residual
     // sum and clamped running min over the per-type day series

@@ -882,6 +882,35 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Pareto concentration report — "do 20% of users drive 80% of
+    * events?": users ranked into exact activity deciles
+    * ([[Features.rangeNtileBucket]], no data-sized global window), each
+    * decile's user count, event mass, share, and the cumulative share
+    * read from the heaviest decile down. The decile table is 10 rows,
+    * so the cumulative window runs over an AGGREGATE (the PlanShapeSpec
+    * exception), never raw users. Integer floor bp throughout. The
+    * whale-dependence number next to [[graft.ops.Skew.keySkewReport]]'s
+    * Gini: same distribution, the product-analytics view of it. */
+  def paretoReport(events: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val byDecile = Features
+      .rangeNtileBucket(perUser, "n_events", "user_id", nBuckets,
+        "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("n_events"))
+    val w = Window.orderBy(desc("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDecile
+      .crossJoin(broadcast(byDecile.agg(sum("n_events").as("tot"))))
+      .withColumn("share_bp", expr("n_events * 10000 div tot"))
+      .withColumn("cum", sum("n_events").over(w))
+      .withColumn("cum_share_bp", expr("cum * 10000 div tot"))
+      .select("decile", "n_users", "n_events", "share_bp",
+        "cum_share_bp")
+      .orderBy(desc("decile"))
+  }
+
   /** CUSUM change-point alarm over per-type daily counts — the
     * level-shift detector that catches a SUSTAINED small elevation a
     * per-day threshold misses (each day individually normal, the run of

@@ -615,6 +615,24 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 1L), (9L, 1L)))
   }
 
+  test("paretoReport: hand-computed decile shares and cumulative mass") {
+    // 4 users, 2 buckets: u1=1, u2=1 | u3=2, u4=6 events (tot 10)
+    def ev(id: Long, u: Long) =
+      (id, new java.sql.Timestamp(id * 1000L), u, "view", 1.0, "{}")
+    var id = 0L
+    val rows = Seq(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 6).flatMap {
+      case (u, n) => Seq.fill(n) { id += 1; ev(id, u) }
+    }
+    val df = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.paretoReport(df, nBuckets = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 2 = {u3, u4}: 8 events = 8000 bp; cum from top 8000 then 10000
+    assert(got == Seq(
+      (2L, 2L, 8L, 8000L, 8000L),
+      (1L, 2L, 2L, 2000L, 10000L)))
+  }
+
   test("cusumAlarm: prefix-scan form equals the clamped recursion; sustained shift alarms") {
     // one type, 6 days: counts 10,10,10 then 16,16,16; mu = 78/6 = 13
     // residuals -3,-3,-3,+3,+3,+3 -> recursion S = 0,0,0,3,6,9
