@@ -690,6 +690,12 @@ object SparkEntry {
     // EXT text analysis over documents:
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+    // EXT language-ID eval vs the labeled lang column: full confusion
+    // matrix with per-cell row-recall / column-precision and global
+    // accuracy riding along — the asymmetric-confusion surface a bare
+    // accuracy number hides; |langs|²-bounded agg + broadcast marginals
+    "lang_id_eval" -> ((s, dir) =>
+      TextAnalysis.langIdEval(t(s, dir, "documents"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     // fixed-size token windows with overlap (LLM context chunking)
@@ -7163,6 +7169,46 @@ object SparkEntry {
                      WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
                      ELSE 'fr' END AS lang_pred
          FROM s ORDER BY doc_id""",
+
+    // lang_id_eval: the lang_id scorer chain + label join + marginals
+    "lang_id_eval" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','is','to'))) AS score_en,
+                  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','ist','das'))) AS score_de,
+                  len(list_filter(string_split(text,' '), t -> t IN ('el','los','es','y','una'))) AS score_es,
+                  len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une'))) AS score_fr,
+                  regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+           FROM documents),
+          p AS (SELECT doc_id,
+                       CASE WHEN has_cjk THEN 'zh'
+                            WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und'
+                            WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                            WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                            WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM s),
+          j AS (SELECT d.lang AS lang_true, p.lang_pred
+                FROM documents d JOIN p ON p.doc_id = d.doc_id),
+          c AS (SELECT lang_true, lang_pred,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM j GROUP BY 1, 2),
+          rt AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS n_true
+                 FROM c GROUP BY 1),
+          ct AS (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS n_pred
+                 FROM c GROUP BY 1),
+          tt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(CASE WHEN lang_true = lang_pred
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_correct
+                 FROM j)
+         SELECT c.lang_true, c.lang_pred, c.n, rt.n_true, ct.n_pred,
+                c.n * 10000 // rt.n_true AS recall_bp,
+                c.n * 10000 // ct.n_pred AS precision_bp,
+                tt.n_correct * 10000 // tt.n_docs AS accuracy_bp
+         FROM c JOIN rt USING (lang_true) JOIN ct USING (lang_pred)
+              CROSS JOIN tt
+         ORDER BY lang_true, lang_pred""",
 
     "token_counts" ->
       """SELECT doc_id,

@@ -147,6 +147,40 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** Language-ID EVALUATION against the corpus's labeled `lang` column
+    * — the confusion matrix + the headline numbers that decide whether
+    * the n-gram heuristic is good enough to gate ingest on: per
+    * (true, predicted) cell its count, the cell's share of the true
+    * class (row recall) and of the predicted class (column precision),
+    * and the global accuracy riding on every row, all in floor bp.
+    * Classifier evals that only report accuracy hide exactly the
+    * asymmetric confusions (es↔fr here) this surfaces.
+    *
+    * Scale: the scorer is map-only ([[langId]]); the matrix is a
+    * \|langs\|²-bounded hash agg with two broadcast marginals and a
+    * 1-row total. */
+  def langIdEval(docs: DataFrame, labelCol: String = "lang"): DataFrame = {
+    val joined = docs.select(col("doc_id"), col(labelCol).as("lang_true"))
+      .join(langId(docs), "doc_id")
+    val cells = joined.groupBy("lang_true", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("lang_true").agg(sum("n").as("n_true"))
+    val colTot = cells.groupBy("lang_pred").agg(sum("n").as("n_pred"))
+    val tot = joined.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("lang_true") === col("lang_pred"), 1L).otherwise(0L))
+        .as("n_correct"))
+    cells
+      .join(broadcast(rowTot), "lang_true")
+      .join(broadcast(colTot), "lang_pred")
+      .crossJoin(broadcast(tot))
+      .withColumn("recall_bp", expr("n * 10000 div n_true"))
+      .withColumn("precision_bp", expr("n * 10000 div n_pred"))
+      .withColumn("accuracy_bp", expr("n_correct * 10000 div n_docs"))
+      .select("lang_true", "lang_pred", "n", "n_true", "n_pred",
+        "recall_bp", "precision_bp", "accuracy_bp")
+      .orderBy("lang_true", "lang_pred")
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * lexer ([a-z]+ | digit runs | single non-alnum symbols). */
   /** Per-document top-k terms by frequency (stopwords and empty tokens

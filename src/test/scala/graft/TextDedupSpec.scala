@@ -658,6 +658,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((2L, 1L, 45000L), (1L, 2L, 16097L)))
   }
 
+  test("langIdEval: confusion cells, marginals, accuracy hand-checked") {
+    // en doc scored en (hit); de doc with no profile words -> 'und'
+    // (miss); second en doc scored en
+    val docs = Seq(
+      (1L, "the cat and the dog", "en"),
+      (2L, "kein profilwort hier", "de"),
+      (3L, "of mice and men", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langIdEval(docs)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("de", "und", 1L, 1L, 1L, 10000L, 10000L, 6666L),
+      ("en", "en", 2L, 2L, 2L, 10000L, 10000L, 6666L)))
+  }
+
   test("prfExpand: feedback docs mine the expansion, rescore surfaces a doc the raw query misses") {
     // query {spark}: d1 is the only hit and becomes the feedback doc;
     // its dominant non-query non-stop term is "alpha" (tf 2), so d4 —
