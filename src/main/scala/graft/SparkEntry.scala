@@ -3165,6 +3165,13 @@ object SparkEntry {
     "events_rolling_distinct" -> ((s, dir) =>
       graft.ops.Events.rollingActiveUsers(t(s, dir, "events"))),
 
+    // EXT growth accounting: per-day new/retained/resurrected/churned
+    // from ONE user-keyed window over the collapsed activity table —
+    // the ledger identity active = new+retained+resurrected asserted
+    // in-plan; churn lands on the day after the silent gap.
+    "events_lifecycle" -> ((s, dir) =>
+      graft.ops.Events.growthAccounting(t(s, dir, "events"))),
+
     // EXT Pareto concentration: exact activity deciles (distributed
     // ntile), per-decile event share + cumulative-from-the-top — the
     // whale-dependence number beside dq_key_skew's Gini; the cumulative
@@ -6161,6 +6168,43 @@ object SparkEntry {
                 count(DISTINCT f.user_id) AS n_active
          FROM f CROSS JOIN m WHERE f.d <= m.max_day
          GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // events_lifecycle: the same lag/lead classification in SQL
+    "events_lifecycle" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+          c AS (SELECT user_id, day,
+                       lag(day) OVER w AS prev_day,
+                       lead(day) OVER w AS next_day
+                FROM a
+                WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+          m AS (SELECT max(day) AS max_day FROM a),
+          k AS (SELECT day,
+                       CASE WHEN prev_day IS NULL THEN 'new'
+                            WHEN prev_day = day - 1 THEN 'retained'
+                            ELSE 'resurrected' END AS kind,
+                       next_day
+                FROM c),
+          pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+                        CAST(sum(CASE WHEN kind = 'new' THEN 1 ELSE 0
+                                 END) AS BIGINT) AS n_new,
+                        CAST(sum(CASE WHEN kind = 'retained' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_retained,
+                        CAST(sum(CASE WHEN kind = 'resurrected' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_resurrected
+                 FROM k GROUP BY 1),
+          ch AS (SELECT k.day + 1 AS day,
+                        CAST(count(*) AS BIGINT) AS n_churned
+                 FROM k CROSS JOIN m
+                 WHERE k.day < m.max_day
+                   AND (k.next_day IS NULL OR k.next_day > k.day + 1)
+                 GROUP BY 1)
+         SELECT pd.day, pd.n_active, pd.n_new, pd.n_retained,
+                pd.n_resurrected,
+                coalesce(ch.n_churned, 0) AS n_churned
+         FROM pd LEFT JOIN ch ON ch.day = pd.day
+         ORDER BY pd.day""",
 
     // events_pareto: SQL ntile twin + the same 10-row cumulative
     "events_pareto" ->

@@ -882,6 +882,61 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Growth accounting — the daily user-lifecycle ledger every product
+    * team keeps: each (user, active-day) classifies as NEW (first day
+    * ever), RETAINED (also active the previous day) or RESURRECTED
+    * (seen before, but not yesterday), and a user CHURNS on the day
+    * after their last consecutive run (active d, silent d+1). The books
+    * balance by construction — active(d) = new + retained +
+    * resurrected, and the identity is asserted IN-PLAN so a
+    * classification bug can never ship a report that quietly
+    * double-counts.
+    *
+    * Everything derives from ONE user-keyed sort window over the
+    * (user, day) distinct activity table (lag for the previous active
+    * day, min for the first): the corpus scan collapses first, the
+    * window runs over \|users × active days\|, then a day-keyed rollup.
+    * Churn on the corpus's last day is structurally unknowable (no d+1
+    * yet) and reported as 0 there, the honest convention. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), tsUs(events).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .select("user_id", "day").distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val classed = activity
+      .withColumn("prev_day", lag("day", 1).over(w))
+      .withColumn("next_day", lead("day", 1).over(w))
+      .withColumn("kind",
+        when(col("prev_day").isNull, lit("new"))
+          .when(col("prev_day") === col("day") - 1, lit("retained"))
+          .otherwise(lit("resurrected")))
+    val maxDay = activity.agg(max("day").as("max_day"))
+    val perDay = classed.groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("kind") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = classed
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") < col("max_day") &&
+        (col("next_day").isNull || col("next_day") > col("day") + 1))
+      .groupBy((col("day") + 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    perDay.join(churn, Seq("day"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .where(assert_true(
+        col("n_active") ===
+          col("n_new") + col("n_retained") + col("n_resurrected"),
+        lit("growthAccounting: the ledger must balance — active = " +
+          "new + retained + resurrected")).isNull)
+      .select("day", "n_active", "n_new", "n_retained",
+        "n_resurrected", "n_churned")
+      .orderBy("day")
+  }
+
   /** Pareto concentration report — "do 20% of users drive 80% of
     * events?": users ranked into exact activity deciles
     * ([[Features.rangeNtileBucket]], no data-sized global window), each

@@ -615,6 +615,23 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 1L), (9L, 1L)))
   }
 
+  test("growthAccounting: ledger balances, churn on the day after the gap") {
+    def ev(id: Long, day: Long, u: Long) =
+      (id, new java.sql.Timestamp(day * 86400000L + id), u, "view", 1.0,
+        "{}")
+    // u1: days 0,1,3 (gap at 2); u2: day 1 only; u3: days 0..3
+    val df = Seq(ev(1, 0, 1), ev(2, 1, 1), ev(3, 3, 1), ev(4, 1, 2),
+      ev(5, 0, 3), ev(6, 1, 3), ev(7, 2, 3), ev(8, 3, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.growthAccounting(df)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 0L, 0L, 0L),
+      (1L, 3L, 1L, 2L, 0L, 0L),
+      (2L, 1L, 0L, 1L, 0L, 2L), // u1 and u2 churned into day 2
+      (3L, 2L, 0L, 1L, 1L, 0L))) // u1 resurrects; last day churn = 0
+  }
+
   test("paretoReport: hand-computed decile shares and cumulative mass") {
     // 4 users, 2 buckets: u1=1, u2=1 | u3=2, u4=6 events (tot 10)
     def ev(id: Long, u: Long) =
