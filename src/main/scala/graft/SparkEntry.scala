@@ -757,6 +757,16 @@ object SparkEntry {
       graft.ops.Privacy.dpSums(t(s, dir, "customer"), "c_nationkey",
         round(col("c_acctbal") * 100), clampMax = 500000L)),
 
+    // EXT generalization ladder: coarsen the balance QI through
+    // 1k/10k/100k/1M buckets, report each level's k-anonymity landscape
+    // and the cheapest level fitting the 5% suppression budget —
+    // generalize-before-suppress as a driver-checked table.
+    "privacy_generalization" -> ((s, dir) =>
+      graft.ops.Privacy.generalizationLadder(
+        t(s, dir, "customer"),
+        qiFixed = Seq("c_nationkey", "c_mktsegment"),
+        numCol = "c_acctbal", sensitive = "c_name")),
+
     // EXT t-closeness audit: the leak l-diversity misses — per
     // (priority, year) group, TVD-in-bp between the group's
     // order-status mix and the global one, worst 20 groups first; the
@@ -7708,6 +7718,38 @@ object SparkEntry {
                   AS released,
                 CAST(6931 AS BIGINT) AS eps_bp
          FROM z ORDER BY c_nationkey""",
+
+    // privacy_generalization: one block per ladder level, the same
+    // floor-bucket arithmetic, argmin level under the budget
+    "privacy_generalization" -> {
+      val blocks = (0 until 4).map { lv =>
+        val width = 1000L * math.pow(10, lv).toLong
+        s"""SELECT CAST($lv AS BIGINT) AS level,
+           |       CAST(count(*) AS BIGINT) AS n_groups,
+           |       CAST(sum(group_n) AS BIGINT) AS n_rows,
+           |       CAST(coalesce(sum(CASE WHEN group_n < 5
+           |                              THEN group_n END), 0)
+           |            AS BIGINT) AS rows_k_violating,
+           |       CAST(min(group_n) AS BIGINT) AS min_k,
+           |       CAST(min(l_distinct) AS BIGINT) AS min_l
+           |FROM (SELECT c_nationkey, c_mktsegment,
+           |             CAST(floor(c_acctbal / $width) AS BIGINT) AS b,
+           |             count(*) AS group_n,
+           |             count(DISTINCT c_name) AS l_distinct
+           |      FROM customer GROUP BY 1, 2, 3)""".stripMargin
+      }.mkString("(", ")\n UNION ALL (", ")")
+      s"""WITH lvls AS ($blocks),
+         | lv2 AS (SELECT *, rows_k_violating * 10000 // n_rows
+         |                     AS suppress_bp
+         |         FROM lvls),
+         | ch AS (SELECT CAST(coalesce(min(level), -1) AS BIGINT)
+         |                 AS chosen_level
+         |        FROM lv2 WHERE suppress_bp <= 500)
+         |SELECT level, n_groups, n_rows, rows_k_violating, min_k,
+         |       min_l, suppress_bp, ch.chosen_level,
+         |       level = ch.chosen_level AS chosen
+         |FROM lv2 CROSS JOIN ch ORDER BY level""".stripMargin
+    },
 
     // privacy_t_closeness: full (group × status-domain) grid via the
     // cross join, absent cells coalesce to p=0, TVD in floor bp

@@ -156,6 +156,50 @@ object Privacy {
       .orderBy(key)
   }
 
+  /** GENERALIZATION ladder — the knob a release turns BEFORE
+    * suppressing rows: coarsen the numeric quasi-identifier through
+    * exponentially wider buckets (width·10ˡ) and report, per level, the
+    * k-anonymity landscape (groups, violating rows, min-k/min-l,
+    * suppression cost in bp) plus which level is the CHEAPEST that fits
+    * the suppression budget — generalize until suppression is
+    * affordable, the standard Mondrian-style trade-off made a
+    * driver-checked table. `chosen_level` = −1 on every row when no
+    * level fits (the ladder ran out — fail the release, don't round
+    * down silently).
+    *
+    * Scale: one QI hash agg per level (levels ≪ 10, fused scans per
+    * level) + a 1-row broadcast argmin. All integer. */
+  def generalizationLadder(df: DataFrame, qiFixed: Seq[String],
+      numCol: String, sensitive: String, k: Int = 5, l: Int = 2,
+      levels: Int = 4, baseWidth: Long = 1000L,
+      budgetBp: Long = 500L): DataFrame = {
+    require(levels >= 1 && baseWidth >= 1)
+    val perLevel = (0 until levels).map { lv =>
+      val width = baseWidth * math.pow(10, lv).toLong
+      df.withColumn("__b",
+          expr(s"CAST(floor($numCol / $width) AS BIGINT)"))
+        .groupBy((qiFixed :+ "__b").map(col): _*)
+        .agg(count(lit(1)).as("group_n"),
+          countDistinct(col(sensitive)).as("l_distinct"))
+        .agg(lit(lv.toLong).as("level"),
+          count(lit(1)).as("n_groups"),
+          sum("group_n").as("n_rows"),
+          coalesce(sum(when(col("group_n") < k, col("group_n"))),
+            lit(0L)).as("rows_k_violating"),
+          min("group_n").as("min_k"),
+          min("l_distinct").as("min_l"))
+        .withColumn("suppress_bp",
+          expr("rows_k_violating * 10000 div n_rows"))
+    }.reduce(_.unionByName(_))
+    val chosen = perLevel.filter(col("suppress_bp") <= budgetBp)
+      .agg(coalesce(min("level"), lit(-1L)).as("chosen_level"))
+    perLevel.crossJoin(broadcast(chosen))
+      .withColumn("chosen", col("level") === col("chosen_level"))
+      .select("level", "n_groups", "n_rows", "rows_k_violating",
+        "min_k", "min_l", "suppress_bp", "chosen_level", "chosen")
+      .orderBy("level")
+  }
+
   /** t-closeness audit (Li-Li-Venkatasubramanian 2007) — the third rung
     * of the release-gate ladder after k-anonymity and l-diversity:
     * l-diversity only counts DISTINCT sensitive values per QI group, so

@@ -390,6 +390,24 @@ class DataQualitySpec extends SparkTestBase {
       (1L, 4L, 5L, 5000L, 6250L, 1250L, 1250L, 1250L)))
   }
 
+  test("generalizationLadder: coarsening monotone, cheapest fitting level chosen") {
+    // ids 1..40, value = id*10: width 10 -> every group singleton
+    // (suppress 10000 bp); width 100 -> buckets of ~10 with one
+    // straggler (v=400 alone -> 250 bp, under budget); width 1000 ->
+    // one bucket (0 bp). budget 500 -> cheapest fitting level is 1.
+    val df = (1L to 40L).map(i => (i, i * 10.0, s"n$i")).toDF("id", "v", "nm")
+      .withColumn("qi", lit("all"))
+    val got = graft.ops.Privacy.generalizationLadder(df,
+        qiFixed = Seq("qi"), numCol = "v", sensitive = "nm",
+        levels = 3, baseWidth = 10L)
+      .select("level", "suppress_bp", "chosen_level", "chosen")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._2) == Seq(10000L, 250L, 0L),
+      "suppression must fall as buckets widen")
+    assert(got.map(_._3).distinct == Seq(1L))
+    assert(got.map(_._4) == Seq(false, true, false))
+  }
+
   test("keySkewReport: hand-computed Gini and shares; uniform load is zero") {
     // loads: key 1->1, 2->1, 3->2, 4->4 (n=4, N=8)
     // ranks asc (cnt, key): 1,2,3,4 -> rank_mass 1+2+6+16 = 25
