@@ -3175,6 +3175,13 @@ object SparkEntry {
     "events_rolling_distinct" -> ((s, dir) =>
       graft.ops.Events.rollingActiveUsers(t(s, dir, "events"))),
 
+    // EXT concurrency timeline: sweep-line (+1/−1 session boundaries,
+    // running sum = live sessions) with the global running sum computed
+    // DISTRIBUTED (withRunningTotal's sliced windows — no data-sized
+    // single-partition window); top-20 peak moments, global peak rides.
+    "events_concurrency" -> ((s, dir) =>
+      graft.ops.Events.concurrencyTimeline(t(s, dir, "events"))),
+
     // EXT growth accounting: per-day new/retained/resurrected/churned
     // from ONE user-keyed window over the collapsed activity table —
     // the ledger identity active = new+retained+resurrected asserted
@@ -6178,6 +6185,37 @@ object SparkEntry {
                 count(DISTINCT f.user_id) AS n_active
          FROM f CROSS JOIN m WHERE f.d <= m.max_day
          GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // events_concurrency: sweep line with a plain global running sum
+    // (the oracle may centralize; the engine must not)
+    "events_concurrency" ->
+      """WITH marked AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM marked),
+         ses AS (SELECT user_id, session_idx, min(us) AS start_us,
+                        max(us) AS end_us
+                 FROM numbered GROUP BY 1, 2),
+         b AS (SELECT t, CAST(sum(d) AS BIGINT) AS delta FROM (
+             SELECT start_us AS t, 1 AS d FROM ses
+             UNION ALL SELECT end_us + 1, -1 FROM ses)
+           GROUP BY 1 HAVING sum(d) <> 0),
+         tl AS (SELECT t, delta,
+                       CAST(sum(delta) OVER (ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS concurrency
+                FROM b),
+         pk AS (SELECT max(concurrency) AS peak FROM tl)
+         SELECT tl.t, tl.delta, tl.concurrency, pk.peak
+         FROM tl CROSS JOIN pk
+         ORDER BY concurrency DESC, t LIMIT 20""",
 
     // events_lifecycle: the same lag/lead classification in SQL
     "events_lifecycle" ->

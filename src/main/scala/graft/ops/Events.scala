@@ -882,6 +882,36 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Concurrency timeline — "how many sessions were open at once, and
+    * when did we peak": the classic sweep line (+1 at each session
+    * start, −1 just past its end, running sum = live concurrency) with
+    * the one piece that usually doesn't scale made distributed — the
+    * global running sum over boundary times runs through
+    * [[Features.withRunningTotal]]'s sliced windows, so no data-sized
+    * single-partition window exists anywhere in the plan (capacity
+    * planning's version of the PlanShapeSpec rule). Same-instant
+    * boundaries collapse into one net delta first (starts and ends at
+    * the same microsecond cancel before the scan, closed-interval
+    * semantics: a session [a, b] is live AT b). Output: the top-`topK`
+    * moments by live concurrency with the global peak riding along. */
+  def concurrencyTimeline(events: DataFrame, gapMinutes: Int = 30,
+      topK: Int = 20): DataFrame = {
+    val ses = sessionize(events, gapMinutes)
+      .select(col("start_us"), col("end_us"))
+    val bounds = ses.select(col("start_us").as("t"), lit(1L).as("d"))
+      .unionByName(
+        ses.select((col("end_us") + 1).as("t"), lit(-1L).as("d")))
+      .groupBy("t").agg(sum("d").as("delta"))
+      .filter(col("delta") =!= 0L)
+    val timeline = Features.withRunningTotal(bounds, "t", "delta",
+      "concurrency")
+    timeline.crossJoin(broadcast(
+        timeline.agg(max("concurrency").as("peak"))))
+      .select("t", "delta", "concurrency", "peak")
+      .orderBy(desc("concurrency"), asc("t"))
+      .limit(topK)
+  }
+
   /** Growth accounting — the daily user-lifecycle ledger every product
     * team keeps: each (user, active-day) classifies as NEW (first day
     * ever), RETAINED (also active the previous day) or RESURRECTED

@@ -615,6 +615,23 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got == Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 1L), (9L, 1L)))
   }
 
+  test("concurrencyTimeline: sweep line counts overlapping sessions exactly") {
+    def ev(id: Long, min: Long, u: Long) =
+      (id, new java.sql.Timestamp(min * 60000L), u, "view", 1.0, "{}")
+    // sessions (gap 10): u1 [0,10], u2 [5,6], u3 [8,9] — u2 closes
+    // before u3 opens, so concurrency walks 1,2,1,2,1,0 and peaks at 2
+    val df = Seq(ev(1, 0, 1), ev(2, 10, 1), ev(3, 5, 2), ev(4, 6, 2),
+      ev(5, 8, 3), ev(6, 9, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.concurrencyTimeline(df, gapMinutes = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.head._3 == 2L && got.head._4 == 2L,
+      "peak concurrency is 2 (u2 closed before u3 opened)")
+    assert(got.map(_._3).max == got.head._4)
+    // net-zero instants are collapsed away; deltas are +-1 here
+    assert(got.forall(r => r._2 == 1L || r._2 == -1L))
+  }
+
   test("growthAccounting: ledger balances, churn on the day after the gap") {
     def ev(id: Long, day: Long, u: Long) =
       (id, new java.sql.Timestamp(day * 86400000L + id), u, "view", 1.0,
