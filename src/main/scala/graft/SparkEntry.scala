@@ -2267,6 +2267,28 @@ object SparkEntry {
     // rescanning base. Oracle = the full recompute over all events: the
     // merge must be indistinguishable from it, which is the MV
     // correctness contract. O(|delta| + |view|) per refresh at 100 TB.
+    // EXT incremental JOIN view: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB over
+    // PRE-delta states (post-delta on either side double-counts the
+    // corner — the classic IVM bug, here a driver hash-FAIL because the
+    // oracle is the full recompute); view refresh costs |Δ|-sized joins,
+    // never a base×base re-join.
+    "mv_join_incremental" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+        col("o_orderkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        col("c_mktsegment"))
+      val a = o.filter(col("o_orderkey") % 10 =!= 0)
+      val da = o.filter(col("o_orderkey") % 10 === 0)
+      val b = c.filter(col("custkey") % 7 =!= 0)
+      val db = c.filter(col("custkey") % 7 === 0)
+      graft.ops.Cdc.mergeJoinView(a.join(b, Seq("custkey")),
+          a, b, da, db, Seq("custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     "mv_incremental" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val withCols = ev.select(col("user_id"), col("event_id"),
@@ -6457,6 +6479,16 @@ object SparkEntry {
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
          GROUP BY 1 ORDER BY o_orderpriority""",
+
+    // same MV contract for the JOIN identity: the oracle is the full
+    // (A∪ΔA) ⋈ (B∪ΔB) recompute — any delta-algebra double count or
+    // miss hash-fails
+    "mv_join_incremental" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                     AS DOUBLE) AS revenue
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         GROUP BY 1 ORDER BY c.c_mktsegment""",
 
     // the MV correctness contract: merged partial aggregates must be
     // indistinguishable from the full recompute — so the oracle IS the

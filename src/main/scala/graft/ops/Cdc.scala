@@ -170,4 +170,27 @@ object Cdc {
     }
     all.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Incremental maintenance of a JOIN view under insert-only deltas —
+    * the other classic IVM identity next to [[mergeAggState]]'s
+    * decomposable aggregates:
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * with A, B the PRE-delta states (using post-delta states on either
+    * side double-counts the ΔA ⋈ ΔB corner — the classic IVM bug; the
+    * registered query's oracle is the full recompute, so that bug is a
+    * driver hash-FAIL here, never folklore). Returns oldView ∪ Δ.
+    *
+    * The 100 TB argument: refreshing the view costs |Δ|-sized joins
+    * (delta side broadcast when small) instead of re-joining the two
+    * base tables — O(|Δ|·avg-fanout + |view|) rows moved, not
+    * O(|A| + |B|). Insert-only, like mergeAggState: deletes need
+    * retraction semantics (route through [[apply]] + recompute). */
+  def mergeJoinView(oldView: DataFrame, a: DataFrame, b: DataFrame,
+      da: DataFrame, db: DataFrame, key: Seq[String]): DataFrame =
+    oldView
+      .unionByName(da.join(b, key))
+      .unionByName(a.join(db, key))
+      .unionByName(da.join(db, key))
 }

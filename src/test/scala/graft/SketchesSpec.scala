@@ -464,6 +464,28 @@ class SketchesSpec extends SparkTestBase {
       pagg(rows).exceptAll(merged).isEmpty)
   }
 
+  test("mergeJoinView: delta identity ≡ full recompute; post-delta states would double-count") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val da = Seq((1L, "a3"), (3L, "a4")).toDF("k", "av")
+    val b = Seq((1L, "b1"), (3L, "b2")).toDF("k", "bv")
+    val db = Seq((2L, "b3"), (1L, "b4")).toDF("k", "bv")
+    val merged = Cdc.mergeJoinView(a.join(b, Seq("k")), a, b, da, db,
+        Seq("k"))
+      .as[(Long, String, String)].collect().toSet
+    val full = a.unionByName(da).join(b.unionByName(db), Seq("k"))
+      .as[(Long, String, String)].collect().toSet
+    assert(merged == full, "delta algebra must equal the full re-join")
+    // the classic bug: using POST-delta A on the A x dB leg
+    val buggy = a.join(b, Seq("k"))
+      .unionByName(da.join(b, Seq("k")))
+      .unionByName(a.unionByName(da).join(db, Seq("k")))
+      .unionByName(da.join(db, Seq("k")))
+      .as[(Long, String, String)].collect()
+    assert(buggy.length > full.size,
+      "post-delta states double-count the corner — the identity matters")
+  }
+
   test("mergeAggState: refuses columns without a merge rule") {
     val st = Seq((1L, 2L, 3.0)).toDF("k", "cnt", "avg_value")
     intercept[IllegalArgumentException] {
