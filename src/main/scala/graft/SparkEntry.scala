@@ -2004,6 +2004,26 @@ object SparkEntry {
           .select("node", "label"))
     }),
 
+    // EXT graph: degree assortativity of the thresholded co-purchase
+    // graph — Newman's r as pure integer moments over edge stubs (the
+    // only rounding is the final floor div, twin-matched), deciding
+    // whether hub-capped algorithms bite on this topology; regular
+    // graphs surface r NULL (undefined), never a fake 0.
+    "graph_assortativity" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      graft.ops.Graphs.assortativity(pairs)
+    }),
+
     // EXT percentile winsorization: clamp each event's value into its
     // type's exact [p05, p95] band — the outlier-taming feature-eng pass.
     // The percentile table is #types rows, broadcast back; values stay
@@ -3781,6 +3801,39 @@ object SparkEntry {
        | $steps""".stripMargin
   }
 
+  /** Assortativity twin: the same co-purchase prologue, stub moments,
+    * and the single final floor division. */
+  private def assortativityOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
+       |           FROM capped a JOIN capped b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |           GROUP BY 1, 2 HAVING count(*) >= 2),
+       | stubs AS (SELECT da AS src, db AS dst FROM pairs
+       |           UNION ALL SELECT db, da FROM pairs),
+       | deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |         FROM stubs GROUP BY 1),
+       | j AS (SELECT dx.deg AS x, dy.deg AS y
+       |       FROM stubs s JOIN deg dx ON dx.src = s.src
+       |                    JOIN deg dy ON dy.src = s.dst),
+       | t AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+       |              CAST(sum(x) AS BIGINT) AS sx,
+       |              CAST(sum(x * x) AS BIGINT) AS sxx,
+       |              CAST(sum(x * y) AS BIGINT) AS sxy
+       |       FROM j)
+       |SELECT m2, sx, sxx, sxy,
+       |       m2 * sxy - sx * sx AS num,
+       |       m2 * sxx - sx * sx AS den,
+       |       CASE WHEN m2 * sxx - sx * sx <> 0
+       |            THEN (m2 * sxy - sx * sx) * 1000
+       |                 // (m2 * sxx - sx * sx) END AS r_milli
+       |FROM t""".stripMargin
+
   private def labelPropOracle: String =
     s"""WITH ${labelPropCtes},
        | sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size
@@ -4908,6 +4961,7 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracle,
     "graph_labelprop" -> labelPropOracle,
     "graph_modularity" -> modularityOracle,
+    "graph_assortativity" -> assortativityOracle,
     "graph_jaccard_links" -> jaccardLinksOracle,
     "graph_ppr" -> pprOracle,
 

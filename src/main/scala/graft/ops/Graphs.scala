@@ -524,6 +524,53 @@ object Graphs {
       .orderBy("label")
   }
 
+  /** Degree ASSORTATIVITY — Newman's r: do hubs link to hubs (r > 0,
+    * social-graph shape) or to leaves (r < 0, hub-and-spoke)? The
+    * Pearson correlation of end-point degrees over edge stubs, computed
+    * ENTIRELY in integers: with both orientations of each edge
+    * (M = 2m stubs, x the source degree, y the destination degree),
+    *   num = M·Σxy − Σx·Σy,  den = M·Σx² − (Σx)²,
+    *   r_milli = num·1000 div den
+    * — symmetric, so one Σx/Σx² pair serves both marginals, and the
+    * only rounding anywhere is the final floor division (matched by the
+    * twin), which is what lets a CORRELATION be hash-oracled. The
+    * network-shape number that decides whether hub-capped algorithms
+    * (the bounded-candidate family) will bite on this graph.
+    *
+    * den = 0 (a regular graph — every degree equal) surfaces r_milli
+    * NULL rather than a crash or fake 0: correlation of a constant is
+    * undefined, and the report says so.
+    *
+    * Scale: one degree agg, one broadcast of the \|V\|-sized degree
+    * table onto the edge list, one 1-row rollup. Sums are bounded by
+    * M·maxdeg² — past ~10⁹ stubs of ~10³ degrees move to DECIMAL,
+    * documented not silent (assert in-plan). */
+  def assortativity(edges: DataFrame, a: String = "da",
+      b: String = "db"): DataFrame = {
+    val sym = edges
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val stubs = sym.select(col("u").as("src"), col("v").as("dst"))
+      .union(sym.select(col("v").as("src"), col("u").as("dst")))
+    val deg = stubs.groupBy("src").agg(count(lit(1)).as("deg"))
+    stubs
+      .join(broadcast(deg), "src")
+      .join(broadcast(deg.select(col("src").as("dst"),
+        col("deg").as("deg_y"))), "dst")
+      .agg(count(lit(1)).as("m2"), sum("deg").as("sx"),
+        sum(expr("deg * deg")).as("sxx"),
+        sum(expr("deg * deg_y")).as("sxy"))
+      .withColumn("num",
+        when(assert_true(col("m2") < 1000000000L,
+          lit("assortativity: past ~1e9 stubs the integer moments risk " +
+            "overflow — re-score in DECIMAL(38,0)")).isNull,
+          expr("m2 * sxy - sx * sx")))
+      .withColumn("den", expr("m2 * sxx - sx * sx"))
+      .withColumn("r_milli",
+        when(col("den") =!= 0L, expr("num * 1000 div den")))
+      .select("m2", "sx", "sxx", "sxy", "num", "den", "r_milli")
+  }
+
   def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
       a: String = "da", b: String = "db",
       strategy: String = "broadcast"): DataFrame = {

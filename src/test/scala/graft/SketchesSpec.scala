@@ -600,6 +600,22 @@ class SketchesSpec extends SparkTestBase {
     assert(cop == got)
   }
 
+  test("assortativity: star is maximally disassortative, regular graph undefined") {
+    // star 0-{1,2,3}: stubs x,y pairs are (3,1)x3 and (1,3)x3
+    // m2=6, sx=12, sxx=30, sxy=18 -> num=108-144=-36, den=180-144=36
+    // r_milli = -1000 (perfect anti-correlation)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("da", "db")
+    val got = Graphs.assortativity(star)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().head
+    assert(got == ((6L, 12L, 30L, 18L, -36L, 36L, Some(-1000L))))
+    // triangle: every degree 2 -> den 0 -> r undefined (NULL, not 0)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("da", "db")
+    val r = Graphs.assortativity(tri)
+      .select("r_milli").as[Option[Long]].collect().head
+    assert(r.isEmpty)
+  }
+
   test("modularityReport: hand-computed Q on the barbell, zero for the trivial partition") {
     // two triangles + bridge: m=7; perfect split {1,2,3}|{4,5,6}:
     // e_c=3, d_c=7 each -> contrib = 4*7*3 - 49 = 35, Q_num = 70,
