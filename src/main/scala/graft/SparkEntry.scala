@@ -696,6 +696,11 @@ object SparkEntry {
     // accuracy number hides; |langs|²-bounded agg + broadcast marginals
     "lang_id_eval" -> ((s, dir) =>
       TextAnalysis.langIdEval(t(s, dir, "documents"))),
+    // EXT readability: Flesch reading ease in integer milli (vowel-run
+    // syllable proxy, min-1 sentences) — the grade-level quality signal
+    // beside length/stopword ratios; map-only, floor-div twin-matched
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     // fixed-size token windows with overlap (LLM context chunking)
@@ -7387,6 +7392,22 @@ object SparkEntry {
          FROM c JOIN rt USING (lang_true) JOIN ct USING (lang_pred)
               CROSS JOIN tt
          ORDER BY lang_true, lang_pred""",
+
+    // text_readability: same proxy arithmetic, same floor divisions
+    "text_readability" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS BIGINT) AS n_words,
+                  CAST(greatest(len(regexp_extract_all(text, '[.!?]')),
+                       1) AS BIGINT) AS n_sentences,
+                  CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                       AS BIGINT) AS n_syllables
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                206835 - (1015 * n_words) // n_sentences
+                       - (84600 * n_syllables) // n_words AS fre_milli
+         FROM s WHERE n_words > 0 ORDER BY doc_id""",
 
     "token_counts" ->
       """SELECT doc_id,

@@ -147,6 +147,37 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** Flesch reading-ease readability, integer-milli edition — the
+    * grade-level quality signal corpus curation uses beside length/
+    * stopword ratios (kids' content vs legalese vs prose reads
+    * differently even at equal token counts):
+    *
+    *   fre_milli = 206835 − (1015·words) div sentences
+    *                      − (84600·syllables) div words
+    *
+    * (the classic 206.835 − 1.015·w/s − 84.6·syll/w, ×1000, each term
+    * floor-divided identically in the twin). Syllables use the standard
+    * cheap proxy — vowel-group runs — and sentences count terminal
+    * punctuation (min 1, so punctuation-free fragments score as one
+    * long sentence instead of dividing by zero). Empty docs are
+    * excluded (readability of nothing is undefined). Map-only. */
+  def readability(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val t = col(text)
+    docs.select(col(id),
+        size(filter(split(t, " "), x => x =!= "")).cast("long")
+          .as("n_words"),
+        greatest(size(regexp_extract_all(t, lit("[.!?]"), lit(0)))
+          .cast("long"), lit(1L)).as("n_sentences"),
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("fre_milli",
+        expr("206835 - (1015 * n_words) div n_sentences" +
+          " - (84600 * n_syllables) div n_words"))
+      .orderBy(id)
+  }
+
   /** Language-ID EVALUATION against the corpus's labeled `lang` column
     * — the confusion matrix + the headline numbers that decide whether
     * the n-gram heuristic is good enough to gate ingest on: per

@@ -658,6 +658,21 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((2L, 1L, 45000L), (1L, 2L, 16097L)))
   }
 
+  test("readability: hand-computed Flesch milli, min-1 sentences, empty excluded") {
+    // "the cat sat." : words 3, sentences 1, vowel runs: e,a,a -> 3
+    // fre = 206835 - 1015*3/1 - 84600*3/3 = 206835 - 3045 - 84600
+    val docs = Seq(
+      (1L, "the cat sat."),
+      (2L, "xz qrst"), // no vowels (y counts!), no punct: syll 0, sent 1
+      (3L, ""))         // empty -> excluded
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 3L, 206835L - 3045L - 84600L),
+      (2L, 2L, 1L, 0L, 206835L - 2030L)))
+  }
+
   test("langIdEval: confusion cells, marginals, accuracy hand-checked") {
     // en doc scored en (hit); de doc with no profile words -> 'und'
     // (miss); second en doc scored en
