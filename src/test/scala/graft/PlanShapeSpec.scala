@@ -258,6 +258,52 @@ class PlanShapeSpec extends SparkTestBase {
       s"PRF term tables must broadcast:\n$prf")
   }
 
+  test("round-10 queries: distributed scans stay distributed, " +
+      "marginals broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // concurrency timeline: the sweep-line prefix sum must NOT exist as
+    // a data-sized single-partition window (withRunningTotal's
+    // #slices-row offset table is the allowed exception)
+    val ct = SparkEntry.queries("events_concurrency")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val rawGlobal = ct.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        !w.child.output.exists(c =>
+          c.name == "__psum" || c.name == "__cnt") => w
+    }
+    assert(rawGlobal.isEmpty,
+      s"events_concurrency plans a data-sized global window:\n$ct")
+    // growth accounting: ONE user-keyed window spec, no self-join of
+    // the activity table
+    val lc = SparkEntry.queries("events_lifecycle")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val lcSpecs = lc.collect { case w: LWindow =>
+      (w.partitionSpec.map(_.sql), w.orderSpec.map(_.sql)) }
+    assert(lcSpecs.distinct.size == 1,
+      s"events_lifecycle should reuse one window spec: $lcSpecs")
+    // assortativity: degree table broadcasts onto the stub list
+    val as = planOf("graph_assortativity")
+    assert(as.contains("BroadcastHashJoin") &&
+      !as.contains("SortMergeJoin"),
+      s"assortativity degree joins should broadcast:\n$as")
+    // join IVM: the view merge must not plan a cartesian anywhere and
+    // the delta legs join hash-style
+    val mv = planOf("mv_join_incremental")
+    assert(!mv.contains("CartesianProduct"),
+      s"mv_join_incremental must stay keyed:\n$mv")
+    // lang-id eval marginals broadcast back onto the cell table
+    val le = planOf("lang_id_eval")
+    assert(le.contains("BroadcastHashJoin") &&
+      !le.contains("SortMergeJoin"),
+      s"lang_id_eval marginals should broadcast:\n$le")
+    // readability is map-only over a pruned scan: no join, no window
+    val rd = planOf("text_readability")
+    assert(!rd.contains("Join") && !rd.contains("Window"),
+      s"readability must stay map-only:\n$rd")
+    assert(rd.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"readability scan not pruned:\n$rd")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =
