@@ -1464,6 +1464,16 @@ object SparkEntry {
         .orderBy("scorer", "bin")
     }),
 
+    // EXT exact AUC: Mann-Whitney U in pure integers (×2 midranks
+    // absorb ties) over the distinct-score table — the hash-oracled
+    // companion to the ML family's float AUC floors; degenerate
+    // one-class inputs fail loudly.
+    "fp_auc_exact" -> ((s, dir) => {
+      val enc = Features.targetEncodeLoo(t(s, dir, "orders"),
+        "o_orderpriority", col("o_orderstatus") === "F", m = 20)
+      Features.aucExact(enc, col("enc_bp"), col("y"))
+    }),
+
     // EXT JSONL sink + explicit-schema source round-trip (the LLM-corpus
     // interchange format), then an aggregate — oracle is the plain
     // aggregate over the parquet original. Same pid-scoped tmp dir
@@ -8256,6 +8266,40 @@ object SparkEntry {
                          // (st.n_c - 1 + 20) AS BIGINT)) AS enc_bp
          FROM w JOIN st ON st.cat = w.cat CROSS JOIN g
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // fp_auc_exact: the LOO chain + distinct-score midranks ×2
+    "fp_auc_exact" ->
+      """WITH w AS (SELECT o_orderpriority AS cat,
+                           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                             AS y
+                    FROM orders),
+          st AS (SELECT cat, CAST(sum(y) AS BIGINT) AS sum_y,
+                        count(*) AS n_c
+                 FROM w GROUP BY 1),
+          g AS (SELECT CAST(sum(y) * 10000 // count(*) AS BIGINT)
+                         AS prior_bp
+                FROM w),
+          e AS (SELECT CAST(w.y AS BIGINT) AS y,
+                       CAST(((st.sum_y - w.y) * 10000 + 20 * g.prior_bp)
+                            // (st.n_c - 1 + 20) AS BIGINT) AS s
+                FROM w JOIN st ON st.cat = w.cat CROSS JOIN g),
+          bs AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+                        CAST(sum(y) AS BIGINT) AS cnt_pos
+                 FROM e GROUP BY 1),
+          r AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS below
+                FROM bs),
+          t AS (SELECT CAST(sum(cnt_pos) AS BIGINT) AS n_pos,
+                       CAST(sum(cnt - cnt_pos) AS BIGINT) AS n_neg,
+                       CAST(sum((2 * below + cnt + 1) * cnt_pos)
+                            AS BIGINT) AS r2_pos
+                FROM r)
+         SELECT n_pos, n_neg,
+                r2_pos - n_pos * (n_pos + 1) AS u2,
+                (r2_pos - n_pos * (n_pos + 1)) * 10000
+                  // (2 * n_pos * n_neg) AS auc_bp
+         FROM t""",
 
     // fp_calibration: per-row LOO encodings re-derived, binned, ECE;
     // the sham scorer's chain unioned below

@@ -320,6 +320,41 @@ object Features {
       .orderBy(stratum)
   }
 
+  /** EXACT AUC — the Mann-Whitney U statistic in pure integers, the
+    * companion to the ML family's float AUC floors (those are rows-only
+    * gates; this one hash-oracles): with tied scores taking midranks,
+    *   rank2(s) = 2·(# scores below s) + (# tied at s) + 1   (×2 ranks)
+    *   U×2     = Σ_{positives} rank2 − n₁·(n₁+1)
+    *   auc_bp  = U×2 · 10⁴ div (2·n₁·n₀)
+    * — ×2 scaling absorbs the midrank halves, so ties cost no floats.
+    * Computed over the DISTINCT-score table (one hash agg collapses the
+    * rows, the prefix runs over |distinct scores| — bounded by the
+    * score's resolution, bp ⇒ ≤ 10⁴ rows — so the cumulative window is
+    * aggregate-sized, never row-sized). Output: one row with n_pos,
+    * n_neg, u2, auc_bp. Degenerate inputs (no positives or no
+    * negatives) fail loudly in-plan — AUC of one class is undefined,
+    * not 0. */
+  def aucExact(df: DataFrame, scoreBp: Column, label: Column): DataFrame = {
+    val base = df.select(scoreBp.cast("long").as("s"),
+      label.cast("long").as("y"))
+    val byScore = base.groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("cnt_pos"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("below") + col("cnt") + 1L)
+      .agg(sum("cnt_pos").as("n_pos"),
+        sum(col("cnt") - col("cnt_pos")).as("n_neg"),
+        sum(col("rank2") * col("cnt_pos")).as("r2_pos"))
+      .withColumn("u2",
+        when(assert_true(col("n_pos") > 0 && col("n_neg") > 0,
+          lit("aucExact: AUC needs both classes — a one-class input is " +
+            "undefined, not 0")).isNull,
+          expr("r2_pos - n_pos * (n_pos + 1)")))
+      .withColumn("auc_bp", expr("u2 * 10000 div (2 * n_pos * n_neg)"))
+      .select("n_pos", "n_neg", "u2", "auc_bp")
+  }
+
   /** Calibration (reliability) report — the eval every probabilistic
     * scorer ships with: bin predictions into `nBins` equal-width
     * probability bins and compare each bin's mean predicted rate to its

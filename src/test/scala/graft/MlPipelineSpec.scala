@@ -212,6 +212,21 @@ class MlPipelineSpec extends SparkTestBase {
       (3L, 0L, 5000L, 7500L), (4L, 0L, 5000L, 5000L)))
   }
 
+  test("aucExact: perfect, random-tie, inverted, and one-class cases") {
+    def auc(rows: Seq[(Long, Long)]): Long =
+      Features.aucExact(rows.toDF("s", "y"), col("s"), col("y"))
+        .select("auc_bp").as[Long].head()
+    // perfect separation -> 10000; all tied -> 5000; inverted -> 0
+    assert(auc(Seq((10L, 1L), (5L, 0L), (9L, 1L), (4L, 0L))) == 10000L)
+    assert(auc(Seq((7L, 1L), (7L, 0L), (7L, 1L), (7L, 0L))) == 5000L)
+    assert(auc(Seq((1L, 1L), (9L, 0L))) == 0L)
+    // a known mixed case: pos {3, 1}, neg {2} -> pairs won 1 of 2
+    assert(auc(Seq((3L, 1L), (1L, 1L), (2L, 0L))) == 5000L)
+    // one-class input fails loudly
+    val e = intercept[Exception](auc(Seq((1L, 1L), (2L, 1L))))
+    assert(e.getMessage.contains("both classes"))
+  }
+
   test("calibrationReport: perfectly calibrated bins gap 0; a lying bin drives ECE") {
     // bin 2 (p=2500, 4 rows, 1 positive -> rate 2500): gap 0
     // bin 7 (p=7500, 4 rows, 0 positive -> rate 0): gap 7500
