@@ -1464,6 +1464,13 @@ object SparkEntry {
         .orderBy("scorer", "bin")
     }),
 
+    // EXT cohort LTV: cumulative revenue per customer by months since
+    // first purchase, by acquisition month — integer months/cents, the
+    // cumulative window over the (cohort × age) aggregate, never raw
+    // orders.
+    "q44_cohort_ltv" -> ((s, dir) =>
+      Relational.cohortLtv(t(s, dir, "orders"))),
+
     // EXT exact AUC: Mann-Whitney U in pure integers (×2 midranks
     // absorb ties) over the distinct-score table — the hash-oracled
     // companion to the ML family's float AUC floors; degenerate
@@ -8266,6 +8273,36 @@ object SparkEntry {
                          // (st.n_c - 1 + 20) AS BIGINT)) AS enc_bp
          FROM w JOIN st ON st.cat = w.cat CROSS JOIN g
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q44_cohort_ltv: same integer month arithmetic + windowed
+    // cumulative over the cohort×age aggregate
+    "q44_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+                           CAST(year(o_orderdate) * 12
+                                + month(o_orderdate) - 1 AS BIGINT) AS m,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS cents
+                    FROM orders),
+          f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+          sz AS (SELECT cohort_m, CAST(count(*) AS BIGINT)
+                          AS cohort_size
+                 FROM f GROUP BY 1),
+          c AS (SELECT f.cohort_m, o.m - f.cohort_m AS age,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(sum(o.cents) AS BIGINT) AS rev_cents
+                FROM o JOIN f ON f.o_custkey = o.o_custkey
+                WHERE o.m - f.cohort_m <= 11
+                GROUP BY 1, 2),
+          r AS (SELECT c.*, sz.cohort_size,
+                       CAST(sum(c.rev_cents) OVER (
+                              PARTITION BY c.cohort_m ORDER BY c.age
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS cum_rev_cents
+                FROM c JOIN sz ON sz.cohort_m = c.cohort_m)
+         SELECT cohort_m, age, n_orders, rev_cents, cohort_size,
+                cum_rev_cents,
+                cum_rev_cents // cohort_size AS ltv_cents
+         FROM r ORDER BY cohort_m, age""",
 
     // fp_auc_exact: the LOO chain + distinct-score midranks ×2
     "fp_auc_exact" ->

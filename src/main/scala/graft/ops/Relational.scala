@@ -151,4 +151,39 @@ object Relational {
       .filter(col("rn") <= n)
       .orderBy(asc(part), asc("rn"))
   }
+
+  /** Cohort LTV curves — cumulative revenue per customer by months
+    * since first purchase, grouped by acquisition month: THE
+    * unit-economics table ("how much is a January-acquired customer
+    * worth by month 6, and are newer cohorts better"). Months are
+    * integers (year·12 + month − 1), revenue exact cents, LTV a floor
+    * division — hash-oracle-able end to end.
+    *
+    * Scale shape: one customer-keyed agg pins each customer's cohort,
+    * one join back onto the fact scan (broadcast while \|customers\|
+    * allows, Catalyst/AQE's call), one (cohort × age)-keyed agg, and
+    * the cumulative window runs over THAT ≤ cohorts·(maxAge+1)-row
+    * aggregate — never raw orders. */
+  def cohortLtv(orders: DataFrame, maxAge: Int = 11): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("m"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val first = o.groupBy("o_custkey").agg(min("m").as("cohort_m"))
+    val sizes = first.groupBy("cohort_m")
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = o.join(first, "o_custkey")
+      .withColumn("age", col("m") - col("cohort_m"))
+      .filter(col("age") <= maxAge)
+      .groupBy("cohort_m", "age")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+    val w = Window.partitionBy("cohort_m").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(broadcast(sizes), "cohort_m")
+      .withColumn("cum_rev_cents", sum("rev_cents").over(w))
+      .withColumn("ltv_cents", expr("cum_rev_cents div cohort_size"))
+      .select("cohort_m", "age", "n_orders", "rev_cents", "cohort_size",
+        "cum_rev_cents", "ltv_cents")
+      .orderBy("cohort_m", "age")
+  }
 }

@@ -479,4 +479,25 @@ class RelationalSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("change"))
   }
+
+  test("cohortLtv: cohorts pinned to first purchase, cumulative per-customer value") {
+    def ts(y: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"$y-$m%02d-15 00:00:00")
+    // cust 1: first 1995-01, orders 100 + 50 (month+1); cust 2 joins
+    // the same cohort with 200; cust 3 is a 1995-02 cohort of one
+    val df = Seq(
+      (1L, 1L, "O", 100.0, ts(1995, 1), "x"),
+      (2L, 1L, "O", 50.0, ts(1995, 2), "x"),
+      (3L, 2L, "O", 200.0, ts(1995, 1), "x"),
+      (4L, 3L, "O", 75.0, ts(1995, 2), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = graft.ops.Relational.cohortLtv(df)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val m0 = 1995L * 12 // 1995-01 as year*12 + month - 1
+    assert(got == Seq(
+      (m0, 0L, 2L, 30000L, 2L, 30000L, 15000L),
+      (m0, 1L, 1L, 5000L, 2L, 35000L, 17500L),
+      (m0 + 1, 0L, 1L, 7500L, 1L, 7500L, 7500L)))
+  }
 }
