@@ -792,6 +792,13 @@ object SparkEntry {
     "text_bigram_df" -> ((s, dir) =>
       TextAnalysis.bigramDf(t(s, dir, "documents"))),
 
+    // EXT frequency-of-frequencies spectrum: hapax mass + log2 tail
+    // decay + per-band vocab/token shares — the Zipf diagnostic behind
+    // every vocabulary-size and pruning-threshold decision. One
+    // vocabulary shuffle, then <=64-row aggregates.
+    "text_freq_spectrum" -> ((s, dir) =>
+      TextAnalysis.freqSpectrum(t(s, dir, "documents"))),
+
     // EXT collocation mining: top-30 adjacent pairs by integer lift
     // (= monotone PMI rank; occurrence counts, broadcast vocab joins,
     // minCount-5 support floor, TakeOrdered top-k)
@@ -1471,6 +1478,26 @@ object SparkEntry {
     "q44_cohort_ltv" -> ((s, dir) =>
       Relational.cohortLtv(t(s, dir, "orders"))),
 
+    // EXT ABC classification: how many parts carry 80% / 95% of
+    // revenue — share cut points on the rank-ordered cumulative curve
+    // (not fixed-population deciles), exact cents, distributed prefix
+    // sum over the packed desc-key; packing + boundary products
+    // in-plan guarded.
+    "q46_abc_class" -> ((s, dir) =>
+      Relational.abcClassification(t(s, dir, "lineitem"), "l_partkey",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))),
+
+    // EXT skyline: the Pareto frontier of (price, size) over part —
+    // sort-based distributed prefix-max, O(n log n) vs the oracle's
+    // textbook O(n²) NOT-EXISTS dominance check (fine at sf0.01; the
+    // Spark plan is what runs at scale).
+    "q45_skyline" -> ((s, dir) =>
+      Relational.skyline(
+        t(s, dir, "part").select(
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cost"),
+          col("p_size").as("gain")),
+        "cost", "gain")),
+
     // EXT exact AUC: Mann-Whitney U in pure integers (×2 midranks
     // absorb ties) over the distinct-score table — the hash-oracled
     // companion to the ML family's float AUC floors; degenerate
@@ -1564,6 +1591,33 @@ object SparkEntry {
       Features.hashSplit(t(s, dir, "orders"), "o_orderkey", 2000)
         .select("o_orderkey", "split")
         .orderBy("o_orderkey")),
+
+    // EXT inverse-propensity weights for the deterministic stratified
+    // sample: per-stratum reweighting factors + the floor round-trip
+    // error — the bookkeeping that keeps downsampled estimates honest;
+    // a stratum sampled to zero fails loudly in-plan.
+    "fp_propensity_weights" -> ((s, dir) =>
+      Features.propensityWeights(t(s, dir, "orders"), "o_orderpriority",
+        "o_orderkey", Map("1-URGENT" -> 2000, "5-LOW" -> 1000),
+        defaultBp = 500)),
+
+    // EXT isotonic calibration: the PAV-equivalent max-min identity over
+    // 16 exact score ntiles — monotone fit, hash-exact doubles (every
+    // mean is double(BIGINT)/double(BIGINT)); the corpus collapses to
+    // 16 rows before the O(B^3) identity runs.
+    "fp_isotonic" -> ((s, dir) =>
+      Features.isotonicBins(
+        Features.rangeNtileBucket(t(s, dir, "orders"), "o_totalprice",
+          "o_orderkey", 16),
+        "bucket", col("o_orderstatus") === "F")),
+
+    // EXT deterministic k-fold CV partition + per-fold class-balance
+    // report: fold is a pure affine-hash function of the key (auditable,
+    // repartition-stable), the report is the k-row table read before
+    // trusting a CV estimate. Map-only assignment, one k-row aggregate.
+    "fp_kfold" -> ((s, dir) =>
+      Features.kfoldReport(t(s, dir, "orders"), "o_orderkey",
+        col("o_orderstatus") === "F")),
 
     // T4 classifiers (FP6-FP12), seeded; rows-only (never oracle'd).
     "ml_train_eval" -> ((s, dir) =>
@@ -2044,6 +2098,51 @@ object SparkEntry {
         .filter(col("n_orders") >= 2)
         .select("da", "db")
       graft.ops.Graphs.assortativity(pairs)
+    }),
+
+    // EXT connected components: the min-label fixpoint over the
+    // copurchase graph (Dedup.resolveClusters — shortcutting min
+    // propagation, O(log d) effective rounds, convergence asserted) +
+    // component sizes. The explicit CC surface the dedup/ER families
+    // use internally, exposed as a graph query.
+    "graph_components" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      val cc = graft.ops.Dedup.resolveClusters(pairs, "da", "db")
+        .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+      val sizes = cc.groupBy("component")
+        .agg(count(lit(1)).as("comp_size"))
+      cc.join(broadcast(sizes), Seq("component"))
+        .select("node", "component", "comp_size")
+        .orderBy("node")
+    }),
+
+    // EXT degree distribution: log2-binned degree histogram + CCDF tail
+    // over the same co-purchase graph — the skew diagnostic that sizes
+    // every broadcast/copartition/cap decision; one edge scan, one
+    // node-keyed count, a <=64-row binned aggregate.
+    "graph_degree_dist" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      graft.ops.Graphs.degreeDistribution(pairs)
     }),
 
     // EXT percentile winsorization: clamp each event's value into its
@@ -2650,6 +2749,15 @@ object SparkEntry {
     // kmv_jaccard reads (fractions exact on the sample by rank closure;
     // union via (k−1)·R/h_k) — "what did the feed drop" from 2k sketch
     // rows; exact truths + err ride along, kmv-style, all hash-oracle'd.
+    // EXT bitmap-index distinct: exact per-type distinct users as
+    // 32-id bitmap words folded with bit_or (full map-side combine);
+    // the '(all)' row merges the per-type WORD TABLES (the rollup
+    // law), never re-scans events, and an in-plan assert pins every
+    // count to an independent count(distinct).
+    "sketch_bitmap_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.bitmapDistinct(
+        t(s, dir, "events"), "event_type", "user_id")),
+
     "sketch_kmv_setops" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val est = graft.ops.Sketches.kmvSetOps(
@@ -2962,6 +3070,74 @@ object SparkEntry {
           Relational.moneySum(col("o_totalprice")).as("revenue"))
     }),
 
+    // EXT MERGE INTO (upsert): one change batch carrying updates
+    // (priority rewritten on orderkey%7, tombstone-disjoint), deletes
+    // (custkey%101 tombstones), and inserts (offset keys) applied by
+    // Snapshots.commitMerge — file-granular rewrite, untouched files
+    // carried by reference. The read-back aggregate + class counts are
+    // fully derivable from orders, so the table-format semantics are
+    // driver-oracle'd end to end.
+    "snapshot_merge" -> ((s, dir) => {
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-snapmerge-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(root)
+      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority")
+        graft.sources.Snapshots.commit(
+          orders.repartitionByRange(4, col("o_orderkey")), root)
+        val updates = orders
+          .filter(col("o_orderkey") % 7 === 0 && col("o_custkey") % 101 =!= 0)
+          .withColumn("o_orderpriority", lit("X-MERGED"))
+          .withColumn("_delete", lit(false))
+        val deletes = orders.filter(col("o_custkey") % 101 === 0)
+          .withColumn("_delete", lit(true))
+        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_orderpriority", lit("X-NEW"))
+          .withColumn("_delete", lit(false))
+        graft.sources.Snapshots.commitMerge(s, root,
+          updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
+      }
+      graft.sources.Snapshots.read(s, root)
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"),
+          sum((col("o_orderpriority") === "X-MERGED").cast("long"))
+            .as("n_merged"),
+          sum((col("o_orderpriority") === "X-NEW").cast("long"))
+            .as("n_new"))
+    }),
+
+    // EXT additive schema evolution on the snapshot store: an appended
+    // batch carries a NEW column; readEvolved (mergeSchema) surfaces it
+    // as NULL on old files while time-traveling readers of v1 keep the
+    // original schema — the table-format evolution contract,
+    // driver-oracle'd via the evolved read's aggregate.
+    "snapshot_add_column" -> ((s, dir) => {
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-snapaddcol-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(root)
+      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
+        val orders = t(s, dir, "orders")
+        graft.sources.Snapshots.commit(
+          orders.select("o_orderkey", "o_totalprice"), root)
+        graft.sources.Snapshots.commitAppend(
+          orders.filter(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              (col("o_orderkey") % 7).as("o_band")), root)
+      }
+      graft.sources.Snapshots.readEvolved(s, root)
+        .agg(count(lit(1)).as("cnt"),
+          count(col("o_band")).as("n_band"),
+          sum(col("o_band")).as("band_sum"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+    }),
+
     // EXT compaction (OPTIMIZE): five small append commits bin-packed
     // into 2 files by Snapshots.compact — contents identical by
     // construction (the report row proves it: post-compaction count +
@@ -3179,6 +3355,13 @@ object SparkEntry {
         "cents", lo = 0L, width = 2000000L, nBuckets = 25)
     }),
 
+    // EXT Benford first-digit audit: fabricated-data screen on order
+    // totals — exact cents, leading digit as a string op on BIGINT,
+    // pre-floored log constants; one scan to a 9-row aggregate.
+    "dq_benford" -> ((s, dir) =>
+      graft.ops.DataQuality.benfordAudit(
+        t(s, dir, "orders"), "o_totalprice")),
+
     // EXT key-skew diagnosis: the exact Gini of the per-user event load
     // + heaviest keys with shares — the report that decides whether a
     // join needs salting BEFORE anyone pays for the straggler; ranks
@@ -3199,6 +3382,19 @@ object SparkEntry {
     // fact side never shuffles for the join, top-k via TakeOrdered.
     "events_seasonal" -> ((s, dir) =>
       graft.ops.Events.seasonalResiduals(t(s, dir, "events"))),
+
+    // EXT DAU/MAU stickiness per calendar month: ΣDAU·10000 div
+    // (days·MAU), one floor at the end — the engagement headline; the
+    // corpus collapses to (month, day, user) before any aggregate.
+    "events_stickiness" -> ((s, dir) =>
+      graft.ops.Events.stickiness(t(s, dir, "events"))),
+
+    // EXT position-based (U-shaped) multi-touch attribution: each
+    // purchase's revenue split 2/1/…/1/2 across its journey's touches
+    // via the telescoping floor-division allocation — exact
+    // conservation, one user-keyed sort shuffle, no self-join.
+    "events_attribution_position" -> ((s, dir) =>
+      graft.ops.Events.positionAttribution(t(s, dir, "events"))),
 
     // EXT last-touch attribution: purchase revenue credited to the most
     // recent prior non-purchase event type — the asOfJoin union-window
@@ -3855,6 +4051,74 @@ object SparkEntry {
        |            THEN (m2 * sxy - sx * sx) * 1000
        |                 // (m2 * sxx - sx * sx) END AS r_milli
        |FROM t""".stripMargin
+
+  /** Connected-components twin: RECURSIVE label spread — every node
+    * accumulates the labels of everything it can reach (set-semantics
+    * UNION terminates at the closure), then min per node = the
+    * component's min node id, the exact fixpoint the Spark side's
+    * shortcutting propagation converges to (and asserts). A fixed-round
+    * unroll was tried first and planned pathologically in DuckDB
+    * (deeply nested inlined CTE chains); the recursive form is the
+    * engine's native iteration and closes in seconds at oracle scale.
+    * Closure size is Σ comp², fine at sf0.01 (giant component ~1.9k). */
+  private def componentsOracle: String =
+    s"""WITH RECURSIVE
+       | li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
+       |           FROM capped a JOIN capped b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |           GROUP BY 1, 2 HAVING count(*) >= 2),
+       | sym AS (SELECT da AS src, db AS dst FROM pairs
+       |         UNION SELECT db, da FROM pairs),
+       | nodes AS (SELECT DISTINCT src AS node FROM sym),
+       | lbl(node, l) AS (
+       |   SELECT node, node FROM nodes
+       |   UNION
+       |   SELECT s.src, l.l FROM sym s JOIN lbl l ON l.node = s.dst),
+       | fin AS (SELECT node, min(l) AS component FROM lbl GROUP BY 1),
+       | sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+       |           FROM fin GROUP BY 1)
+       |SELECT f.node, f.component, s.comp_size
+       |FROM fin f JOIN sizes s ON s.component = f.component
+       |ORDER BY f.node""".stripMargin
+
+  /** Degree-distribution twin: the copurchase edge prologue, degrees
+    * over both stub directions, ⌊log₂⌋ via a powers-of-two range join
+    * (no float log — the binary-digit-count formulation of the Spark
+    * side), CCDF over the ≤ 64-row binned table. */
+  private def degreeDistOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
+       |           FROM capped a JOIN capped b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |           GROUP BY 1, 2 HAVING count(*) >= 2),
+       | stubs AS (SELECT da AS node FROM pairs
+       |           UNION ALL SELECT db FROM pairs),
+       | deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+       |         FROM stubs GROUP BY 1),
+       | b AS (SELECT d.node, d.degree, CAST(max(t.i) AS BIGINT) AS bin
+       |       FROM deg d JOIN range(0, 40) t(i)
+       |         ON (CAST(1 AS BIGINT) << CAST(t.i AS INTEGER)) <= d.degree
+       |       GROUP BY 1, 2),
+       | g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_nodes,
+       |              CAST(sum(degree) AS BIGINT) AS sum_degree
+       |       FROM b GROUP BY 1)
+       |SELECT bin,
+       |       CAST(1 AS BIGINT) << CAST(bin AS INTEGER) AS lo_degree,
+       |       n_nodes, sum_degree,
+       |       CAST(sum(n_nodes) OVER (ORDER BY bin DESC
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_nodes_ge_lo
+       |FROM g ORDER BY bin""".stripMargin
 
   private def labelPropOracle: String =
     s"""WITH ${labelPropCtes},
@@ -4984,6 +5248,8 @@ object SparkEntry {
     "graph_labelprop" -> labelPropOracle,
     "graph_modularity" -> modularityOracle,
     "graph_assortativity" -> assortativityOracle,
+    "graph_degree_dist" -> degreeDistOracle,
+    "graph_components" -> componentsOracle,
     "graph_jaccard_links" -> jaccardLinksOracle,
     "graph_ppr" -> pprOracle,
 
@@ -5613,6 +5879,25 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM u GROUP BY 1 ORDER BY priority""",
 
+    // sketch_bitmap_distinct: the identical word/bit arithmetic —
+    // exact, so the oracle replicates the bitmap AND the merge law
+    "sketch_bitmap_distinct" ->
+      """WITH ids AS (SELECT event_type AS g, CAST(user_id AS BIGINT)
+                               AS id
+                      FROM events),
+          w AS (SELECT g, id // 32 AS widx,
+                       bit_or(CAST(1 AS BIGINT)
+                              << CAST(id % 32 AS INTEGER)) AS word
+                FROM ids GROUP BY 1, 2),
+          pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_words,
+                        CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct
+                 FROM w GROUP BY 1),
+          mw AS (SELECT widx, bit_or(word) AS word FROM w GROUP BY 1),
+          ma AS (SELECT '(all)' AS g, CAST(count(*) AS BIGINT) AS n_words,
+                        CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct
+                 FROM mw)
+         SELECT * FROM pg UNION ALL SELECT * FROM ma ORDER BY g""",
+
     "sketch_cms" -> cmsOracle,
     "sketch_hll_distinct" -> hllOracle,
     "sketch_hll_groups" -> hllGroupsOracle,
@@ -5837,6 +6122,43 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS revenue
          FROM orders WHERE NOT (o_custkey % 97 = 0)""",
+
+    // snapshot_add_column: the evolved table re-derived — v1 rows with
+    // a NULL band, the appended batch with its computed band
+    "snapshot_add_column" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice,
+                            CAST(NULL AS BIGINT) AS o_band
+                     FROM orders),
+          app AS (SELECT o_orderkey, o_totalprice,
+                         CAST(o_orderkey % 7 AS BIGINT) AS o_band
+                  FROM orders WHERE o_orderkey % 3 = 0),
+          a AS (SELECT * FROM v1 UNION ALL SELECT * FROM app)
+         SELECT count(*) AS cnt,
+                CAST(count(o_band) AS BIGINT) AS n_band,
+                CAST(sum(o_band) AS BIGINT) AS band_sum,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM a""",
+
+    // snapshot_merge: the merged table re-derived relationally —
+    // survivors with rewritten priorities plus the offset-key inserts
+    "snapshot_merge" ->
+      """WITH surv AS (SELECT o_totalprice,
+                              CASE WHEN o_orderkey % 7 = 0
+                                   THEN 'X-MERGED'
+                                   ELSE o_orderpriority END AS prio
+                       FROM orders WHERE o_custkey % 101 <> 0),
+          ins AS (SELECT o_totalprice, 'X-NEW' AS prio
+                  FROM orders WHERE o_orderkey % 13 = 0),
+          allr AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+         SELECT count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue,
+                CAST(sum(CASE WHEN prio = 'X-MERGED' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_merged,
+                CAST(sum(CASE WHEN prio = 'X-NEW' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_new
+         FROM allr""",
 
     // compaction is pure physical reorganization: the read-back must
     // aggregate to the plain table's numbers; file counts are fixed by
@@ -6134,6 +6456,36 @@ object SparkEntry {
           FROM p WHERE nd_pr > 0 AND nd_pr <= 12)
         ORDER BY col_name, rule""",
 
+    // dq_benford: identical digit/cents arithmetic, VALUES constant
+    // table for the pre-floored Benford millis
+    "dq_benford" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS cents
+                    FROM orders),
+          d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM c WHERE cents > 0 GROUP BY 1),
+          t AS (SELECT CAST(sum(CASE WHEN cents > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_pos,
+                       CAST(sum(CASE WHEN cents <= 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dropped
+                FROM c),
+          b(bd, benford_milli) AS (VALUES (1, 301), (2, 176), (3, 124),
+                 (4, 96), (5, 79), (6, 66), (7, 57), (8, 51), (9, 45)),
+          per AS (SELECT d.digit, d.n,
+                         d.n * 1000 // t.n_pos AS share_milli,
+                         CAST(b.benford_milli AS BIGINT) AS benford_milli,
+                         CAST(abs(d.n * 1000 // t.n_pos
+                                  - b.benford_milli) AS BIGINT)
+                           AS dev_milli,
+                         t.n_dropped
+                  FROM d JOIN b ON b.bd = d.digit CROSS JOIN t)
+         SELECT digit, n, share_milli, benford_milli, dev_milli,
+                n_dropped,
+                CAST(sum(dev_milli) OVER () AS BIGINT) AS total_dev_milli
+         FROM per ORDER BY digit""",
+
     // dq_key_skew: sorted-rank Gini identity + heaviest-key shares
     "dq_key_skew" ->
       """WITH c AS (SELECT CAST(user_id AS BIGINT) AS k,
@@ -6247,6 +6599,73 @@ object SparkEntry {
          SELECT channel, n_conversions, rev_cents,
                 CAST(rev_cents * 10000 // tot AS BIGINT) AS rev_share_bp
          FROM g CROSS JOIN tot ORDER BY rev_cents DESC, channel""",
+
+    // events_stickiness: the same (month, day, user) collapse; month
+    // fields are tz-free (Spark session is UTC, parquet ts is naive)
+    "events_stickiness" ->
+      """WITH triple AS (SELECT DISTINCT
+                           CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT)
+                             AS m,
+                           epoch_us(ts) // 86400000000 AS day, user_id
+                         FROM events),
+          d AS (SELECT m, day, CAST(count(*) AS BIGINT) AS dau
+                FROM triple GROUP BY 1, 2),
+          dd AS (SELECT m, CAST(sum(dau) AS BIGINT) AS dau_sum,
+                        CAST(count(*) AS BIGINT) AS n_days
+                 FROM d GROUP BY 1),
+          mm AS (SELECT m, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+                 FROM triple GROUP BY 1)
+         SELECT dd.m, n_days, dau_sum // n_days AS avg_dau, mau,
+                dau_sum * 10000 // (n_days * mau) AS stickiness_bp
+         FROM dd JOIN mm ON mm.m = dd.m ORDER BY dd.m""",
+
+    // events_attribution_position: same journey segmentation, the
+    // U-shaped 2/1/…/1/2 weights, and the telescoping floor-division
+    // credit (rev·cumw//W − rev·cumw_prev//W) — conserves exactly
+    "events_attribution_position" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           event_type,
+                           CAST(round(value * 100) AS BIGINT) AS c,
+                           CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END AS is_conv
+                    FROM events),
+          j AS (SELECT *, COALESCE(sum(is_conv)
+                       OVER (PARTITION BY user_id
+                             ORDER BY us, is_conv, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS jid
+                FROM e),
+          conv AS (SELECT user_id, jid, c AS rev_cents
+                   FROM j WHERE is_conv = 1),
+          t AS (SELECT user_id, jid, event_type,
+                       row_number() OVER (PARTITION BY user_id, jid
+                                          ORDER BY us, event_id) AS p,
+                       count(*) OVER (PARTITION BY user_id, jid) AS n
+                FROM j WHERE is_conv = 0),
+          cr AS (SELECT t.event_type, conv.rev_cents,
+                        CASE WHEN p = 1 OR p = n THEN 2 ELSE 1 END AS w,
+                        sum(CASE WHEN p = 1 OR p = n THEN 2 ELSE 1 END)
+                          OVER (PARTITION BY t.user_id, t.jid ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS cumw,
+                        CASE WHEN n >= 2 THEN n + 2 ELSE 2 END AS bigw
+                 FROM t JOIN conv ON conv.user_id = t.user_id
+                                 AND conv.jid = t.jid),
+          agg AS (SELECT event_type AS channel,
+                         CAST(count(*) AS BIGINT) AS n_touches,
+                         CAST(sum(rev_cents * cumw // bigw
+                                  - rev_cents * (cumw - w) // bigw)
+                              AS BIGINT) AS credit_cents
+                  FROM cr GROUP BY 1),
+          nn AS (SELECT '(none)' AS channel,
+                        CAST(count(*) AS BIGINT) AS n_touches,
+                        CAST(sum(rev_cents) AS BIGINT) AS credit_cents
+                 FROM conv LEFT JOIN (SELECT DISTINCT user_id, jid
+                                      FROM t) tt
+                   ON tt.user_id = conv.user_id AND tt.jid = conv.jid
+                 WHERE tt.user_id IS NULL
+                 HAVING count(*) > 0)
+         SELECT * FROM agg UNION ALL SELECT * FROM nn
+         ORDER BY credit_cents DESC, channel""",
 
     // events_forecast_baseline: the same day-arithmetic joins
     "events_forecast_baseline" ->
@@ -7198,6 +7617,30 @@ object SparkEntry {
            SELECT 3, 'view>click>purchase', n_2 FROM t)
          ORDER BY stage_idx""",
 
+    // text_freq_spectrum: same tokenization, powers-of-two range join
+    // for the log2 bin (the graph_degree_dist twin)
+    "text_freq_spectrum" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+          tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+                 FROM tok WHERE term <> '' GROUP BY 1),
+          b AS (SELECT tf.term, tf.f, CAST(max(t.i) AS BIGINT) AS bin
+                FROM tf JOIN range(0, 40) t(i)
+                  ON (CAST(1 AS BIGINT) << CAST(t.i AS INTEGER)) <= tf.f
+                GROUP BY 1, 2),
+          g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_terms,
+                       CAST(sum(f) AS BIGINT) AS n_occurrences
+                FROM b GROUP BY 1),
+          t2 AS (SELECT CAST(sum(n_terms) AS BIGINT) AS vocab,
+                        CAST(sum(n_occurrences) AS BIGINT) AS toks
+                 FROM g)
+         SELECT bin,
+                CAST(1 AS BIGINT) << CAST(bin AS INTEGER) AS lo_f,
+                n_terms, n_occurrences,
+                n_terms * 1000 // vocab AS terms_share_milli,
+                n_occurrences * 1000 // toks AS occ_share_milli
+         FROM g CROSS JOIN t2 ORDER BY bin""",
+
     "text_bigram_df" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -7991,6 +8434,80 @@ object SparkEntry {
          FROM orders ORDER BY o_orderkey"""
     },
 
+    // fp_propensity_weights: the affine membership formula re-derives
+    // the sampled counts; weights + round-trip error in floor bp
+    "fp_propensity_weights" -> {
+      import Portable.{P1, aCoef, bCoef}
+      s"""WITH o AS (SELECT o_orderpriority AS stratum,
+                            CAST(count(*) AS BIGINT) AS n_orig
+                     FROM orders GROUP BY 1),
+          sm AS (SELECT o_orderpriority AS stratum,
+                        CAST(count(*) AS BIGINT) AS n_samp
+                 FROM orders
+                 WHERE ((o_orderkey % $P1) * ${aCoef(11)} + ${bCoef(11)})
+                       % $P1
+                       < CASE o_orderpriority
+                           WHEN '1-URGENT' THEN ${P1 / 10000L * 2000L}
+                           WHEN '5-LOW' THEN ${P1 / 10000L * 1000L}
+                           ELSE ${P1 / 10000L * 500L} END
+                 GROUP BY 1),
+          j AS (SELECT o.stratum, o.n_orig,
+                       COALESCE(sm.n_samp, 0) AS n_samp
+                FROM o LEFT JOIN sm ON sm.stratum = o.stratum)
+         SELECT stratum AS o_orderpriority, n_orig, n_samp,
+                n_orig * 10000 // n_samp AS weight_bp,
+                n_samp * (n_orig * 10000 // n_samp) // 10000 AS est_n,
+                abs(n_samp * (n_orig * 10000 // n_samp) // 10000
+                    - n_orig) * 10000 // n_orig AS err_bp
+         FROM j ORDER BY stratum"""
+    },
+
+    // fp_isotonic: ntile binning + the same max-min identity as two
+    // non-equi joins over the 16-row bin table
+    "fp_isotonic" ->
+      """WITH base AS (SELECT ntile(16) OVER (ORDER BY o_totalprice,
+                                              o_orderkey) AS b,
+                              CASE WHEN o_orderstatus = 'F' THEN 1
+                                   ELSE 0 END AS y
+                       FROM orders),
+          bins AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(y) AS BIGINT) AS sum_y
+                   FROM base GROUP BY 1),
+          pre AS (SELECT b, n, sum_y,
+                         CAST(sum(n) OVER (ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+                         CAST(sum(sum_y) OVER (ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cy
+                  FROM bins),
+          ivl AS (SELECT l.b AS j, r.b AS kk,
+                         CAST(r.cy - l.cy + l.sum_y AS DOUBLE)
+                         / CAST(r.cn - l.cn + l.n AS DOUBLE) AS a
+                  FROM pre l JOIN pre r ON l.b <= r.b),
+          inn AS (SELECT i.b AS i, v.j, min(v.a) AS mn
+                  FROM bins i JOIN ivl v
+                    ON v.j <= i.b AND i.b <= v.kk
+                  GROUP BY 1, 2),
+          fit AS (SELECT i, max(mn) AS iso_fit FROM inn GROUP BY 1)
+         SELECT bins.b AS bin, bins.n, bins.sum_y,
+                CAST(bins.sum_y AS DOUBLE) / CAST(bins.n AS DOUBLE)
+                  AS rate,
+                fit.iso_fit
+         FROM bins JOIN fit ON fit.i = bins.b ORDER BY bin""",
+
+    // fp_kfold: the identical affine fold draw (coefficient index 17),
+    // then the k-row balance rollup
+    "fp_kfold" -> {
+      import Portable.{P1, aCoef, bCoef}
+      s"""SELECT fold, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 CAST(sum(y) * 10000 // count(*) AS BIGINT) AS pos_bp
+         FROM (SELECT ((o_orderkey % $P1) * ${aCoef(17)} + ${bCoef(17)})
+                      % $P1 % 5 AS fold,
+                      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+               FROM orders)
+         GROUP BY 1 ORDER BY 1"""
+    },
+
     "sim_brute_topk" ->
       """WITH base AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -8303,6 +8820,44 @@ object SparkEntry {
                 cum_rev_cents,
                 cum_rev_cents // cohort_size AS ltv_cents
          FROM r ORDER BY cohort_m, age""",
+
+    // q46_abc_class: the same rank-ordered cumulative shares via one
+    // desc window — share boundaries as ×10000 integer products
+    "q46_abc_class" ->
+      """WITH rev AS (SELECT CAST(l_partkey AS BIGINT) AS item,
+                             CAST(sum(CAST(round(l_extendedprice * 100)
+                                           AS BIGINT)) AS BIGINT) AS value
+                      FROM lineitem GROUP BY 1),
+          t AS (SELECT CAST(sum(value) AS BIGINT) AS t FROM rev),
+          c AS (SELECT item, value,
+                       CAST(sum(value) OVER (ORDER BY value DESC, item ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM rev),
+          cl AS (SELECT CASE WHEN cum * 10000 <= t.t * 8000 THEN 'A'
+                             WHEN cum * 10000 <= t.t * 9500 THEN 'B'
+                             ELSE 'C' END AS cls, value
+                 FROM c CROSS JOIN t)
+         SELECT cls, CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(value) AS BIGINT) AS class_cents,
+                CAST(sum(value) * 10000 // (SELECT t FROM t) AS BIGINT)
+                  AS share_bp
+         FROM cl GROUP BY 1 ORDER BY 1""",
+
+    // q45_skyline: textbook NOT-EXISTS dominance over distinct points —
+    // quadratic but exact, the independent formulation of the Spark
+    // side's sort-based frontier
+    "q45_skyline" ->
+      """WITH pts AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT)
+                               AS cost,
+                             CAST(p_size AS BIGINT) AS gain,
+                             CAST(count(*) AS BIGINT) AS n_rows
+                      FROM part GROUP BY 1, 2)
+         SELECT cost, gain, n_rows FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.cost <= p.cost AND q.gain >= p.gain
+             AND (q.cost < p.cost OR q.gain > p.gain))
+         ORDER BY cost""",
 
     // fp_auc_exact: the LOO chain + distinct-score midranks ×2
     "fp_auc_exact" ->

@@ -219,4 +219,46 @@ object DataQuality {
         "delta_bp", "tvd_bp", "linf_bp")
       .orderBy("bucket")
   }
+
+  /** Benford's-law first-digit milli shares: log₁₀(1+1/d) for d = 1..9,
+    * pre-floored so both engines compare against the same integers. */
+  private val BenfordMilli = Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L,
+    51L, 45L)
+
+  /** Benford first-significant-digit audit — the classic fabricated-data
+    * screen on any naturally-spread money/size column: organic amounts
+    * lead with 1 ~30% of the time; invented ones cluster uniformly.
+    * Values are quantized to exact cents first (the moneySum
+    * discipline), so the leading digit is a pure string operation on a
+    * BIGINT — no float log anywhere — and every output column is an
+    * integer: per-digit count, observed share (milli), Benford's
+    * expected share (milli, pre-floored constants), absolute deviation,
+    * and the total-variation-style sum of deviations riding on every
+    * row. Non-positive values are excluded (they carry no leading
+    * digit), their count surfaced as `n_dropped` so a gate can notice a
+    * feed gone negative.
+    *
+    * Scale: one scan → 9-row hash aggregate; everything after runs on
+    * the 9-row table. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = expr(s"CAST(round($valueCol * 100) AS BIGINT)")
+    val tagged = df.select(cents.as("cents"))
+    val digits = tagged.filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = tagged.agg(
+      sum((col("cents") > 0).cast("long")).as("n_pos"),
+      sum((col("cents") <= 0).cast("long")).as("n_dropped"))
+    val per = digits.crossJoin(broadcast(tot))
+      .withColumn("share_milli", expr("n * 1000 div n_pos"))
+      .withColumn("benford_milli",
+        element_at(typedLit(BenfordMilli), col("digit").cast("int")))
+      .withColumn("dev_milli", abs(col("share_milli") - col("benford_milli")))
+    per.crossJoin(broadcast(
+        per.agg(sum("dev_milli").as("total_dev_milli"))))
+      .select("digit", "n", "share_milli", "benford_milli", "dev_milli",
+        "n_dropped", "total_dev_milli")
+      .orderBy("digit")
+  }
 }

@@ -772,6 +772,106 @@ object Events {
       .orderBy(desc("rev_cents"), asc("channel"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * complement to [[lastTouchAttribution]]: each conversion's revenue
+    * is split across ALL touches in its journey (the events since the
+    * user's previous conversion), with the first and last touch earning
+    * double weight (2/1/…/1/2) — the standard U-shape in integer form.
+    *
+    * Exact conservation with NO float shares and NO largest-remainder
+    * bookkeeping: credit_i = ⌊rev·cumw_i/W⌋ − ⌊rev·cumw_{i−1}/W⌋ — the
+    * telescoping dyadic-rank allocation (the events_quartiles
+    * discipline), which sums to exactly rev per journey and is
+    * reproducible in any engine with floor division. rev ≥ 0 and
+    * cumw ≥ 0, so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree.
+    *
+    * Journey segmentation, ordering and the '(none)' channel for
+    * touchless conversions all follow [[lastTouchAttribution]]'s
+    * contract (same-instant touch sorts before its conversion via the
+    * is_conv sort key; trailing touches with no closing conversion earn
+    * nothing).
+    *
+    * Scale: ONE user-keyed sort shuffle shared by the journey-id and
+    * position windows, a journey-keyed conversion join (both sides
+    * already co-partitioned on user_id), and a \|channels\|-row rollup.
+    * No self-join, no range join. */
+  def positionAttribution(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val tagged = events.select(col("user_id"), col("event_id"),
+        tsUs(events).as("us"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("is_conv", (col("event_type") === convType).cast("int"))
+    val wPrev = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("is_conv"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val jd = tagged.withColumn("jid",
+      coalesce(sum("is_conv").over(wPrev), lit(0)))
+    val convs = jd.filter(col("is_conv") === 1)
+      .select(col("user_id"), col("jid"), col("c").as("rev_cents"))
+    val wPos = Window.partitionBy("user_id", "jid")
+      .orderBy(col("us"), col("event_id"))
+    val touches = jd.filter(col("is_conv") === 0)
+      .withColumn("p", row_number().over(wPos))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("user_id", "jid")))
+    val credited = touches
+      .join(convs, Seq("user_id", "jid"))
+      .withColumn("w",
+        when(col("p") === 1 || col("p") === col("n"), lit(2L)).otherwise(lit(1L)))
+      // cumw in position order; W = n+2 for n>=2, else 2 (single touch)
+      .withColumn("cumw", sum("w").over(
+        Window.partitionBy("user_id", "jid").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("bigw",
+        when(col("n") >= 2, col("n") + 2L).otherwise(lit(2L)))
+      .withColumn("credit", expr("rev_cents * cumw div bigw") -
+        expr("rev_cents * (cumw - w) div bigw"))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum("credit").as("credit_cents"))
+    val none = convs.join(
+        touches.select("user_id", "jid").distinct(),
+        Seq("user_id", "jid"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"), sum("rev_cents").as("credit_cents"))
+      .filter(col("n_touches") > 0)
+      .select(lit("(none)").as("channel"), col("n_touches"),
+        col("credit_cents"))
+    credited.unionByName(none)
+      .orderBy(desc("credit_cents"), asc("channel"))
+  }
+
+  /** DAU/MAU stickiness — the engagement ratio every growth dashboard
+    * leads with: per calendar month, the average daily active users
+    * over the month's ACTIVE days versus the monthly actives, in floor
+    * basis points (computed as ΣDAU·10000 div (days·MAU) — one floor at
+    * the end, not a floor-of-floors). Months are integer year·12+m−1
+    * (the cohortLtv discipline); days are UTC epoch-days.
+    *
+    * Scale: one distinct-collapse to (month, day, user) — map-side
+    * combined — then two aggregates whose widest is (month, day); the
+    * MAU distinct runs over the already-collapsed triple, never raw
+    * events. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val t = tsCol(events)
+    val triple = events.select(
+        (year(t) * 12 + month(t) - 1).cast("long").as("m"),
+        (tsUs(events) / lit(86400000000L)).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val daily = triple.groupBy("m", "day")
+      .agg(count(lit(1)).as("dau"))
+      .groupBy("m")
+      .agg(sum("dau").as("dau_sum"), count(lit(1)).as("n_days"))
+    val monthly = triple.select("m", "user_id").distinct()
+      .groupBy("m").agg(count(lit(1)).as("mau"))
+    daily.join(monthly, "m")
+      .withColumn("avg_dau", expr("dau_sum div n_days"))
+      .withColumn("stickiness_bp",
+        expr("dau_sum * 10000 div (n_days * mau)"))
+      .select("m", "n_days", "avg_dau", "mau", "stickiness_bp")
+      .orderBy("m")
+  }
+
   /** RFM (recency / frequency / monetary) user segmentation — the
     * classic behavioral scoring every growth/CRM pipeline runs: per
     * user, days since last event, event count, and total spend, each

@@ -248,6 +248,37 @@ object Features {
       when(h < lit(P1 / 10000L * testBp), lit("test")).otherwise(lit("train")))
   }
 
+  /** Deterministic k-fold assignment — the cross-validation partition as
+    * a pure function of the row KEY (same portable affine basis as
+    * [[hashSplit]], a different coefficient index so the fold draw is
+    * independent of the train/test draw): fold = ((key·a+b) mod P1)
+    * mod k. Map-only, no shuffle, stable under repartitioning and
+    * replication, recomputable by any engine — so fold membership is
+    * auditable and a re-run never leaks validation rows into training.
+    * Keys must be non-negative. */
+  def kfoldAssign(df: DataFrame, key: String, k: Int = 5,
+      out: String = "fold"): DataFrame = {
+    require(k >= 2, s"k >= 2, got $k")
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    // coefficient index 17: decorrelated from hashSplit (7), the
+    // stratified sampler (11, SAME key domain on orders) and pps (13)
+    val h = (col(key).cast("long") % lit(P1) * lit(aCoef(17)) + lit(bCoef(17))) % lit(P1)
+    df.withColumn(out, (h % k).cast("long"))
+  }
+
+  /** Per-fold balance report over a [[kfoldAssign]] partition: row
+    * count, positive count, and positive rate in floor basis points —
+    * the sanity table read before trusting a CV estimate (a fold with a
+    * skewed class mix biases its validation score). k rows out. */
+  def kfoldReport(df: DataFrame, key: String, label: Column,
+      k: Int = 5): DataFrame =
+    kfoldAssign(df, key, k)
+      .select(col("fold"), label.cast("long").as("y"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .withColumn("pos_bp", expr("n_pos * 10000 div n"))
+      .orderBy("fold")
+
   /** Stratified sampling by a label/stratum column (seeded `sampleBy`) —
     * the class-rebalancing primitive of a training-data pipeline. One
     * pass, per-row Bernoulli keyed by stratum: no shuffle at all. Exact
@@ -384,6 +415,52 @@ object Features {
       .orderBy("bin")
   }
 
+  /** Isotonic (monotone-nondecreasing) calibration fit over pre-binned
+    * scores — the PAV-equivalent computed by the EXACT max-min identity
+    * iso_i = max_{j≤i} min_{k≥i} mean(y over bins j..k), which needs no
+    * sequential pooling loop: on the ≤B-row bin aggregate the identity
+    * is two tiny non-equi joins. The classic calibration companion to
+    * [[calibrationReport]] — that one measures miscalibration, this one
+    * FIXES it while preserving score order.
+    *
+    * Determinism across engines: every interval mean is
+    * double(BIGINT sum)/double(BIGINT count) — identical operands give
+    * identical IEEE results, and min/max over identical doubles are
+    * exact, so the fit hash-oracles with no epsilon. Monotonicity is
+    * structural (the max-min form is provably nondecreasing in i).
+    *
+    * Scale: the corpus collapses to B rows BEFORE the O(B³) identity
+    * runs — at 100 TB the expensive part is the one binning aggregate,
+    * and B stays a constant (16 here). */
+  def isotonicBins(df: DataFrame, binCol: String,
+      label: Column): DataFrame = {
+    val bins = df
+      .select(col(binCol).cast("long").as("b"), label.cast("long").as("y"))
+      .groupBy("b").agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pre = bins
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cy", sum("sum_y").over(w))
+    val l = pre.select(col("b").as("j"), col("cy").as("cyj"),
+      col("cn").as("cnj"), col("sum_y").as("syj"), col("n").as("nj"))
+    val r = pre.select(col("b").as("kk"), col("cy").as("cyk"),
+      col("cn").as("cnk"))
+    val ivl = l.join(r, col("j") <= col("kk"))
+      .select(col("j"), col("kk"),
+        ((col("cyk") - col("cyj") + col("syj")).cast("double") /
+          (col("cnk") - col("cnj") + col("nj")).cast("double")).as("a"))
+    val inner = bins.select(col("b").as("i"))
+      .join(ivl, col("j") <= col("i") && col("i") <= col("kk"))
+      .groupBy("i", "j").agg(min("a").as("mn"))
+    val fit = inner.groupBy("i").agg(max("mn").as("iso_fit"))
+    bins.join(fit, col("b") === col("i"))
+      .select(col("b").as("bin"), col("n"), col("sum_y"),
+        (col("sum_y").cast("double") / col("n").cast("double")).as("rate"),
+        col("iso_fit"))
+      .orderBy("bin")
+  }
+
   /** Deterministic minority-class oversampling — the class-rebalance
     * pass a classifier/multilingual training run applies when the label
     * (or language) mix is skewed: every row of class c is replicated
@@ -501,5 +578,35 @@ object Features {
         when(col(stratum) === v, lit(P1 / 10000L * bp)).otherwise(els)
     }
     df.filter(h < threshold)
+  }
+
+  /** Inverse-propensity weights for a [[hashStratifiedSample]] draw —
+    * the bookkeeping that keeps a downsampled corpus statistically
+    * honest: per stratum, the original and sampled counts, the
+    * reweighting factor `weight_bp = n_orig·10000 div n_samp` every
+    * sampled row must carry into downstream estimates, and the
+    * round-trip check `est_n = n_samp·weight_bp div 10000` with its
+    * floor error in bp. A stratum sampled to ZERO rows fails loudly
+    * in-plan — a zero-mass stratum cannot be reweighted, and silently
+    * dropping it is exactly the bias this table exists to prevent.
+    *
+    * Scale: two \|strata\|-row aggregates off the same scan shape; the
+    * join is strata-sized. */
+  def propensityWeights(df: DataFrame, stratum: String, key: String,
+      fractionsBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
+    val orig = df.groupBy(stratum).agg(count(lit(1)).as("n_orig"))
+    val samp = hashStratifiedSample(df, stratum, key, fractionsBp, defaultBp)
+      .groupBy(stratum).agg(count(lit(1)).as("n_samp"))
+    orig.join(samp, Seq(stratum), "left")
+      .withColumn("n_samp", coalesce(col("n_samp"), lit(0L)))
+      .withColumn("weight_bp",
+        when(assert_true(col("n_samp") > 0,
+            lit("propensityWeights: a stratum sampled to zero rows — " +
+              "raise its fraction; zero-mass strata cannot be " +
+              "reweighted")).isNull,
+          expr("n_orig * 10000 div n_samp")))
+      .withColumn("est_n", expr("n_samp * weight_bp div 10000"))
+      .withColumn("err_bp", expr("abs(est_n - n_orig) * 10000 div n_orig"))
+      .orderBy(stratum)
   }
 }

@@ -601,4 +601,40 @@ object Graphs {
         .isNull)
       .orderBy("node")
   }
+
+  /** Log₂-binned degree distribution with tail counts — the first
+    * diagnostic run on any derived graph (is it power-law? where does
+    * the hub tail start?) and the input to every skew decision the
+    * iterative family makes (broadcast vs copartition, cap sizes).
+    *
+    * All integer: the bin is ⌊log₂ degree⌋ computed as
+    * `length(bin(degree)) − 1` (binary digit count — no float log whose
+    * boundary ULPs differ across engines), `lo_degree = 2^bin` labels
+    * the bin, and `n_nodes_ge_lo` is the reverse-cumulative tail (#nodes
+    * with degree ≥ 2^bin) — the CCDF read off a ≤ 64-row table.
+    *
+    * Scale shape: one edge scan, one node-keyed count, one ≤ 64-row
+    * aggregate; the reverse-cumulative window runs over THAT aggregate
+    * (the PlanShapeSpec tiny-window allowance), never raw nodes.
+    * `edges` rows must be unique undirected pairs (the copurchase
+    * builder's contract) so degree = neighbor count. */
+  def degreeDistribution(edges: DataFrame, a: String = "da",
+      b: String = "db"): DataFrame = {
+    val nodes = edges.select(col(a).as("node"))
+      .unionAll(edges.select(col(b).as("node")))
+    val deg = nodes.groupBy("node").agg(count(lit(1)).as("degree"))
+    val binned = deg
+      .withColumn("bin", (length(bin(col("degree"))) - 1).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_nodes"), sum("degree").as("sum_degree"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    binned
+      .withColumn("lo_degree",
+        call_function("shiftleft", lit(1L), col("bin").cast("int")))
+      .withColumn("n_nodes_ge_lo", sum("n_nodes").over(w))
+      .select("bin", "lo_degree", "n_nodes", "sum_degree", "n_nodes_ge_lo")
+      .orderBy("bin")
+  }
 }

@@ -186,4 +186,109 @@ object Relational {
         "cum_rev_cents", "ltv_cents")
       .orderBy("cohort_m", "age")
   }
+
+  /** Skyline (Pareto-dominance frontier): the distinct points where no
+    * other point is ≤ on `costCol` AND ≥ on `gainCol` with at least one
+    * strict — the classic multi-criteria OLAP operator ("cheapest part
+    * at every size class", "fastest supplier at every price"). Both
+    * inputs must already be exact integers (cents / counts — the
+    * moneySum discipline), so the frontier is hash-oracle-able.
+    *
+    * Sort-based, NOT the textbook O(n²) dominance self-join: a point
+    * survives iff its gain strictly exceeds the best gain among all
+    * STRICTLY cheaper points (equal-gain-cheaper dominates) and it is
+    * the best gain at its own cost (equal-cost-higher-gain dominates).
+    * The strict-prefix max runs distributed — the
+    * [[Features.withRunningTotal]] slice construction with max instead
+    * of sum: per-slice window in parallel, #slices-row broadcast offset
+    * (a tiny single-partition window over an Aggregate, the
+    * PlanShapeSpec allowance), never a data-sized global window.
+    *
+    * Scale shape: two hash aggregates collapse the corpus to
+    * \|distinct costs\| rows BEFORE any window (a bounded domain —
+    * prices in cents), so the scan dominates and the frontier pass is
+    * noise; the n_rows join-back is frontier-sized (broadcast). */
+  def skyline(df: DataFrame, costCol: String, gainCol: String): DataFrame = {
+    val pts = df.groupBy(col(costCol).cast("long").as("cost"),
+        col(gainCol).cast("long").as("gain"))
+      .agg(count(lit(1)).as("n_rows"))
+    val perCost = pts.groupBy("cost").agg(max("gain").as("gain"))
+    // distributed strict-prefix max over cost order (cost unique here)
+    val parts = math.min(
+      df.sparkSession.sparkContext.defaultParallelism, 512)
+    val cuts = perCost.stat
+      .approxQuantile("cost", (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    val sid =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(typedLit(cuts.toSeq), c => col("cost").cast("double") > c))
+    val ranged = perCost.withColumn("__sid", sid)
+    val wLocal = Window.partitionBy("__sid").orderBy("cost")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy("__sid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy("__sid").agg(max("gain").as("__smax"))
+      .withColumn("__off", max("__smax").over(wOff))
+      .select("__sid", "__off")
+    val frontier = ranged
+      .withColumn("__lmax", max("gain").over(wLocal))
+      .join(broadcast(offs), Seq("__sid"))
+      .withColumn("__prev", greatest(
+        coalesce(col("__lmax"), lit(Long.MinValue)),
+        coalesce(col("__off"), lit(Long.MinValue))))
+      .filter(col("gain") > col("__prev"))
+      .select("cost", "gain")
+    pts.join(broadcast(frontier), Seq("cost", "gain"))
+      .select("cost", "gain", "n_rows")
+      .orderBy("cost")
+  }
+
+  /** ABC (cumulative-share) classification — the inventory/portfolio
+    * 80/95 analysis: rank items by revenue desc, class A while the
+    * running total stays ≤ `aBp` of grand total, B through `bBp`, C
+    * after (the straddling item classes by where its cumulative END
+    * lands — the standard convention, and floor-exact here).
+    *
+    * Distinct from a decile concentration report (events_pareto): the
+    * boundaries are SHARE cut points on the cumulative curve, not
+    * fixed-population bins, so \|A\| itself is the answer ("how many
+    * SKUs are 80% of revenue").
+    *
+    * All integer: revenue in exact cents; the rank-ordered running
+    * total via [[Features.withRunningTotal]] over a packed desc-key
+    * (value·2²¹ − key, negated — monotone for the (value desc, key asc)
+    * order; packing and the ×10000 boundary products are in-plan
+    * guarded, with the documented fix of pre-scaling cents → dollars
+    * when a corpus outgrows them). One item-keyed aggregate collapses
+    * the fact scan before the prefix pass — the skyline discipline. */
+  def abcClassification(df: DataFrame, itemCol: String, centsCol: Column,
+      aBp: Int = 8000, bBp: Int = 9500): DataFrame = {
+    require(0 < aBp && aBp < bBp && bBp < 10000, s"0<aBp<bBp<10000, got $aBp/$bBp")
+    val rev = df.select(col(itemCol).cast("long").as("item"), centsCol.as("c"))
+      .groupBy("item").agg(sum("c").as("value"))
+    val keyed = rev.withColumn("__k",
+      when(assert_true(
+          col("value") >= 0 && col("value") < lit(1L << 41) &&
+            col("item") >= 0 && col("item") < lit(1L << 21),
+          lit("abcClassification: desc-key packing out of range " +
+            "(value < 2^41, 0 <= item < 2^21) — pre-scale cents to " +
+            "dollars or widen the packing")).isNull,
+        -(col("value") * lit(1L << 21)) + col("item")))
+    val cum = Features.withRunningTotal(keyed, "__k", "value", "cum")
+    val tot = rev.agg(
+      sum("value").as("t"),
+      assert_true(sum("value") <= lit(Long.MaxValue / 10000L),
+        lit("abcClassification: grand total * 10000 would overflow — " +
+          "pre-scale cents to dollars")).as("__g"))
+    val classed = cum.join(broadcast(tot))
+      .withColumn("cls",
+        when(col("__g").isNull && col("cum") * 10000L <= col("t") * aBp, "A")
+          .when(col("cum") * 10000L <= col("t") * bBp, "B")
+          .otherwise("C"))
+    classed.groupBy("cls")
+      .agg(count(lit(1)).as("n_items"), sum("value").as("class_cents"))
+      .crossJoin(broadcast(rev.agg(sum("value").as("t2"))))
+      .withColumn("share_bp", expr("class_cents * 10000 div t2"))
+      .select("cls", "n_items", "class_cents", "share_bp")
+      .orderBy("cls")
+  }
 }

@@ -1402,4 +1402,37 @@ object TextAnalysis {
       md5(col(text)).as("fp_md5"),
       Texty.rollingHash(col(text)).as("fp_roll"))
       .orderBy(id)
+
+  /** Frequency-of-frequencies spectrum — the Zipf diagnostic read before
+    * sizing a tokenizer vocabulary or a pruning threshold: how many
+    * terms occur exactly-once (bin 0 = the hapax mass every BPE/vocab
+    * decision hinges on), how the tail decays, and what share of both
+    * the vocabulary and the token volume each log₂ frequency band
+    * carries. Bin = binary digit count of the term frequency (the
+    * [[Graphs.degreeDistribution]] arithmetic — no float log), shares
+    * in floor milli.
+    *
+    * Scale: explode → one (term)-keyed aggregate (the unavoidable
+    * vocabulary shuffle, map-side combined) → a ≤ 64-row binned
+    * aggregate + 1-row broadcast totals. */
+  def freqSpectrum(docs: DataFrame, text: String = "text"): DataFrame = {
+    val tf = docs.select(explode(split(col(text), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val spec = tf
+      .withColumn("bin", (length(bin(col("f"))) - 1).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_terms"), sum("f").as("n_occurrences"))
+    val tot = spec.agg(sum("n_terms").as("vocab"),
+      sum("n_occurrences").as("toks"))
+    spec.crossJoin(broadcast(tot))
+      .withColumn("lo_f",
+        call_function("shiftleft", lit(1L), col("bin").cast("int")))
+      .withColumn("terms_share_milli", expr("n_terms * 1000 div vocab"))
+      .withColumn("occ_share_milli",
+        expr("n_occurrences * 1000 div toks"))
+      .select("bin", "lo_f", "n_terms", "n_occurrences",
+        "terms_share_milli", "occ_share_milli")
+      .orderBy("bin")
+  }
 }

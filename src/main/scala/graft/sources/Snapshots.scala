@@ -307,6 +307,78 @@ object Snapshots {
     (v, carriedCount, rewrites.size)
   }
 
+  /** MERGE (the upsert primitive — the table-format `MERGE INTO` in one
+    * batch): apply a change set keyed on `key` — matched rows are
+    * REPLACED by their change row (or DELETED when the change's
+    * `deleteCol` is true), unmatched non-delete changes INSERT — and
+    * publish the result as one new version. File-granular like
+    * [[commitDelete]]: untouched files carry by reference; only files
+    * actually holding a matched key are rewritten (matched rows
+    * removed — their replacements ride the single staged upsert batch,
+    * which also carries the inserts). A tombstone for an absent key is
+    * a no-op, not an error (CDC streams routinely replay tombstones).
+    * Change keys must be unique per batch (last-writer semantics need
+    * an ordering column — pre-collapse with [[graft.ops.Events]]-style
+    * latest-per-key before calling).
+    *
+    * Concurrency rides [[publishRebased]] with [[commitDelete]]'s
+    * idempotent probe bookkeeping: a racing append's files are
+    * re-probed on rebase; a racing writer removing a file this merge
+    * rewrote aborts with ConcurrentModificationException. Returns
+    * (newVersion, carriedFiles, rewrittenOrAddedFiles). */
+  def commitMerge(spark: SparkSession, root: String, changes: DataFrame,
+      key: String, deleteCol: String = "_delete",
+      raceHook: () => Unit = () => ()): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, not}
+    latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $root"))
+    val dataCols = changes.columns.filterNot(_ == deleteCol).map(col(_))
+    val upserts = changes
+      .filter(not(coalesce(col(deleteCol), lit(false))))
+      .select(dataCols: _*)
+    val keys = changes.select(col(key)).distinct()
+    val probed = scala.collection.mutable.Map.empty[String, Boolean]
+    val rewrites = scala.collection.mutable.ArrayBuffer.empty[String]
+    def probeAndRewrite(files: Seq[String]): Unit = {
+      val fresh = files.filterNot(probed.contains)
+      if (fresh.isEmpty) return
+      val touchedAbs = spark.read.parquet(fresh.map(f => s"$root/$f"): _*)
+        .withColumn("__f", input_file_name())
+        .join(broadcast(keys), Seq(key))
+        .select("__f").distinct().collect().map(_.getString(0)).toSet
+      def isTouched(rel: String) =
+        touchedAbs.exists(a => a.endsWith(rel) || a.endsWith(s"/$rel"))
+      val (touched, untouched) = fresh.partition(isTouched)
+      untouched.foreach(probed(_) = false)
+      touched.foreach(probed(_) = true)
+      if (touched.nonEmpty)
+        rewrites ++= stageData(
+          spark.read.parquet(touched.map(f => s"$root/$f"): _*)
+            .join(broadcast(keys), Seq(key), "left_anti"), root)
+    }
+    // the upsert batch stages ONCE — inserts and replacements share it
+    // (an all-tombstone batch stages no files; fine, the manifest keeps
+    // the carried + rewritten survivors)
+    val upsertFiles = stageData(upserts, root)
+    var hookPending = true
+    var carriedCount = 0
+    val v = publishRebased(root) { latest =>
+      probeAndRewrite(latest)
+      val gone = probed.collect {
+        case (f, true) if !latest.contains(f) => f }
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer removed files this merge rewrote " +
+            s"(${gone.mkString(", ")}); retry the merge against the " +
+            "new version")
+      val carried = latest.filter(f => !probed(f))
+      carriedCount = carried.size
+      if (hookPending) { hookPending = false; raceHook() }
+      carried ++ rewrites ++ upsertFiles
+    }
+    (v, carriedCount, rewrites.size + upsertFiles.size)
+  }
+
   /** COMPACTION (the OPTIMIZE primitive): rewrite the current version's
     * data into `targetFiles` files and publish the result as a new
     * version — the small-files answer for a table fed by streaming
@@ -423,5 +495,26 @@ object Snapshots {
       .filter(_.nonEmpty).map(f => s"$root/$f")
     require(files.nonEmpty, s"version $v has an empty manifest at $root")
     spark.read.parquet(files: _*)
+  }
+
+  /** Schema-evolved read: like [[read]] but unions columns ACROSS the
+    * version's files (`mergeSchema`) — the additive-evolution contract
+    * every table format promises: a [[commitAppend]] batch may carry NEW
+    * columns; old files surface them as NULL, old readers (plain
+    * [[read]]) keep seeing their original schema untouched. Kept as a
+    * separate entry point because schema merging pays a per-file footer
+    * reconciliation at planning time — the evolved read is the opt-in
+    * path, not a tax on every scan. Column REMOVAL/retyping is not
+    * evolution (it breaks old readers) and has no API here by design. */
+  def readEvolved(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $root"))
+    val list = manifestDir(root).resolve(s"v$v.list")
+    require(Files.exists(list), s"version $v was never published at $root")
+    val files = Files.readAllLines(list).asScala.toSeq
+      .filter(_.nonEmpty).map(f => s"$root/$f")
+    require(files.nonEmpty, s"version $v has an empty manifest at $root")
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 }

@@ -113,6 +113,57 @@ class DataQualitySpec extends SparkTestBase {
       ("(none)", 1L, 100L, 1666L)))
   }
 
+  test("stickiness: month grouping, active-day average, one-floor bp") {
+    // month of day 0 (1970-01): day 0 has users {1,2}, day 1 has {1}
+    // -> dau_sum 3, n_days 2, mau 2, bp = 30000 div 4 = 7500
+    val us = (day: Long, u: Long) => (u, day * 86400000000L + u)
+    val ev = Seq(us(0, 1), us(0, 2), us(1, 1))
+      .toDF("user_id", "usec")
+      .select(col("user_id"), timestamp_micros(col("usec")).as("ts"))
+    val got = graft.ops.Events.stickiness(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val m0 = 1970L * 12 // 1970-01 as year*12 + month - 1
+    assert(got == Seq((m0, 2L, 1L, 2L, 7500L)))
+  }
+
+  test("benfordAudit: digit extraction, milli shares, dropped non-positives") {
+    // cents: 100,150 -> digit 1; 25 -> 2; 999 -> 9; -500 and 0 dropped
+    val df = Seq(1.00, 1.50, 0.25, 9.99, -5.00, 0.0).toDF("v")
+    val got = graft.ops.DataQuality.benfordAudit(df, "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 500L, 301L, 199L, 2L, 478L),
+      (2L, 1L, 250L, 176L, 74L, 2L, 478L),
+      (9L, 1L, 250L, 45L, 205L, 2L, 478L)))
+  }
+
+  test("positionAttribution: U-weights, exact conservation, (none) journey") {
+    // u1 journey 0: click/view/signup then purchase(10.00) — weights
+    // 2/1/2, W=5, telescoping credits 400/200/400 (sum = 1000 exactly);
+    // u1 journey 1: purchase(5.00) with no touches -> '(none)' 500.
+    // u2: single-touch journey (click) closing purchase(2.00) -> 200.
+    val ev = Seq(
+      (1L, 10L, "click", 0.0, 100L),
+      (1L, 11L, "view", 0.0, 200L),
+      (1L, 12L, "signup", 0.0, 300L),
+      (1L, 13L, "purchase", 10.00, 400L),
+      (1L, 14L, "purchase", 5.00, 500L),
+      (2L, 20L, "click", 0.0, 100L),
+      (2L, 21L, "purchase", 2.00, 200L)
+    ).toDF("user_id", "event_id", "event_type", "value", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), timestamp_micros(col("us")).as("ts"))
+    val got = Events.positionAttribution(ev)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 2L, 600L),
+      ("(none)", 1L, 500L),
+      ("signup", 1L, 400L),
+      ("view", 1L, 200L)))
+    // conservation: credits sum to total conversion revenue
+    assert(got.map(_._3).sum == 1700L)
+  }
+
   test("rfmSegments: hand-built users, independent score dimensions") {
     // five users, one per quintile on R and F; u2's big spend reorders
     // only the M dimension (ascending tot: u1,u3,u4,u5,u2) — the pin

@@ -296,6 +296,75 @@ class MlPipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("scramble"))
   }
 
+  test("isotonicBins: PAVA pooling via the max-min identity; monotone output") {
+    // rates 1.0 / 0.0 / 1.0 -> PAVA pools bins 1+2 to 0.5, keeps 1.0
+    val df = Seq((1L, 1L), (1L, 1L), (2L, 0L), (2L, 0L),
+      (3L, 1L), (3L, 1L)).toDF("bucket", "y")
+    val got = Features.isotonicBins(df, "bucket", col("y") === 1L)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1.0, 0.5),
+      (2L, 2L, 0L, 0.0, 0.5),
+      (3L, 2L, 2L, 1.0, 1.0)))
+    assert(got.map(_._5).sliding(2).forall(p => p.head <= p.last))
+    // already-monotone input: the fit IS the raw rate
+    val mono = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1L),
+      (3L, 1L), (3L, 1L)).toDF("bucket", "y")
+    val fit2 = Features.isotonicBins(mono, "bucket", col("y") === 1L)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    fit2.foreach { case (_, _, _, rate, iso) => assert(rate == iso) }
+  }
+
+  test("kfoldAssign: pure key function — repartition-stable, in-range, exact formula") {
+    val df = (0L until 100L).toDF("k")
+    val a1 = Features.kfoldAssign(df, "k", 5)
+      .select("k", "fold").as[(Long, Long)].collect().toMap
+    val a2 = Features.kfoldAssign(df.repartition(7), "k", 5)
+      .select("k", "fold").as[(Long, Long)].collect().toMap
+    assert(a1 == a2)
+    assert(a1.values.forall(f => f >= 0 && f < 5))
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    val exp = (0L until 100L).map(k =>
+      k -> (k % P1 * aCoef(17) + bCoef(17)) % P1 % 5).toMap
+    assert(a1 == exp)
+  }
+
+  test("propensityWeights: weights recover originals; zero-mass stratum fails loudly") {
+    val df = (0L until 200L).map(k => (k, if (k < 100) "x" else "y"))
+      .toDF("k", "s")
+    val got = Features.propensityWeights(df, "s", "k",
+      Map("x" -> 5000, "y" -> 2000))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // membership replicated from the affine formula
+    import graft.functions.Portable.{P1, aCoef, bCoef}
+    def in(k: Long, bp: Long) =
+      (k % P1 * aCoef(11) + bCoef(11)) % P1 < P1 / 10000L * bp
+    val nx = (0L until 100L).count(in(_, 5000)).toLong
+    val ny = (100L until 200L).count(in(_, 2000)).toLong
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("x", 100L, nx), ("y", 100L, ny)))
+    got.foreach { case (_, no, ns, w, est, err) =>
+      assert(w == no * 10000 / ns)
+      assert(est == ns * w / 10000)
+      assert(err == math.abs(est - no) * 10000 / no)
+    }
+    // a stratum whose fraction rounds to zero rows must throw in-plan
+    val zero = Features.propensityWeights(df, "s", "k",
+      Map("x" -> 5000), defaultBp = 0)
+    val e = intercept[Exception](zero.collect())
+    assert(e.getMessage.contains("zero") ||
+      Option(e.getCause).exists(_.getMessage.contains("zero")))
+  }
+
+  test("kfoldReport: conserves rows and positives across folds") {
+    val df = (0L until 100L).toDF("k")
+    val rep = Features.kfoldReport(df, "k", col("k") % 3 === 0, 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep.map(_._2).sum == 100L)
+    assert(rep.map(_._3).sum == 34L) // multiples of 3 in [0,100)
+    rep.foreach { case (_, n, pos, bp) => assert(bp == pos * 10000 / n) }
+  }
+
   test("rfImportances: 64 rows summing to ~1 (FP12)") {
     val labeled = graft.ml.Classifiers.embeddingFeatures(
       Tables(spark, sf001, "embeddings"))

@@ -500,4 +500,45 @@ class RelationalSpec extends SparkTestBase {
       (m0, 1L, 1L, 5000L, 2L, 35000L, 17500L),
       (m0 + 1, 0L, 1L, 7500L, 1L, 7500L, 7500L)))
   }
+
+  test("skyline: strict dominance, same-cost and equal-gain edges, dup counts") {
+    val df = Seq(
+      (1L, 5L), (1L, 3L), // same cost: only max gain survives
+      (2L, 5L),           // equal gain at higher cost: dominated
+      (2L, 7L),           // survives
+      (3L, 7L),           // equal gain, strictly costlier: dominated
+      (3L, 9L), (3L, 9L), // duplicate frontier point: n_rows = 2
+      (5L, 1L))           // strictly dominated
+      .toDF("cost", "gain")
+    val got = Relational.skyline(df, "cost", "gain")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 1L), (2L, 7L, 1L), (3L, 9L, 2L)))
+  }
+
+  test("abcClassification: boundary-inclusive classes, straddler lands by cum end") {
+    // values 80/15/5 of total 100: cum 80 -> A (<= 80%), 95 -> B
+    // (<= 95%), 100 -> C — boundary equality stays in the lower class
+    val df = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("item", "c")
+    val got = graft.ops.Relational.abcClassification(df, "item", col("c"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 1L, 80L, 8000L), ("B", 1L, 15L, 1500L),
+      ("C", 1L, 5L, 500L)))
+    // four equal items: cum 25/50/75 are A, the last (100%) is C —
+    // no B at all when the curve jumps over the band
+    val eq = (1L to 4L).map(i => (i, 25L)).toDF("item", "c")
+    val got2 = graft.ops.Relational.abcClassification(eq, "item", col("c"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got2 == Seq(("A", 3L, 75L, 7500L), ("C", 1L, 25L, 2500L)))
+  }
+
+  test("skyline: single point and monotone chain") {
+    val one = Relational.skyline(Seq((4L, 4L)).toDF("cost", "gain"),
+      "cost", "gain").as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq((4L, 4L, 1L)))
+    // strictly increasing cost AND gain: every point on the frontier
+    val chain = Relational.skyline(
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("cost", "gain"),
+      "cost", "gain").as[(Long, Long, Long)].collect().toSeq
+    assert(chain == Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
+  }
 }

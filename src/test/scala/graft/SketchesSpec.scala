@@ -616,6 +616,35 @@ class SketchesSpec extends SparkTestBase {
     assert(r.isEmpty)
   }
 
+  test("graph components composition: disjoint triangles, min labels, sizes") {
+    // triangles {1,2,3} and {10,11,12} plus a 2-path {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("da", "db")
+    val cc = graft.ops.Dedup.resolveClusters(edges, "da", "db")
+      .withColumnRenamed("doc_id", "node")
+      .withColumnRenamed("cluster_id", "component")
+    val sizes = cc.groupBy("component").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == Map(1L -> 3L, 10L -> 3L, 20L -> 2L))
+    val labels = cc.as[(Long, Long)].collect().toMap
+    assert(labels(3L) == 1L && labels(12L) == 10L && labels(21L) == 20L)
+  }
+
+  test("degreeDistribution: log2 bins, CCDF tail, star hub") {
+    // star 0-{1..5}: hub degree 5 (bin 2), leaves degree 1 (bin 0)
+    val star = (1L to 5L).map(i => (0L, i)).toDF("da", "db")
+    val got = Graphs.degreeDistribution(star)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 5L, 5L, 6L),  // 5 leaves; all 6 nodes have degree >= 1
+      (2L, 4L, 1L, 5L, 1L))) // the hub; 1 node with degree >= 4
+    // boundary: degree 2 lands in bin 1, not bin 0 (path 1-2-3)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val bins = Graphs.degreeDistribution(path)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(bins == Seq((0L, 1L, 2L, 2L, 3L), (1L, 2L, 1L, 2L, 1L)))
+  }
+
   test("modularityReport: hand-computed Q on the barbell, zero for the trivial partition") {
     // two triangles + bridge: m=7; perfect split {1,2,3}|{4,5,6}:
     // e_c=3, d_c=7 each -> contrib = 4*7*3 - 49 = 35, Q_num = 70,
@@ -757,5 +786,27 @@ class SketchesSpec extends SparkTestBase {
     val got = Events.streaks(ev)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 3L, 5L), (2L, 1L, 1L, 1L)))
+  }
+
+  // ---- bitmap distinct -------------------------------------------------
+
+  test("bitmapDistinct: word layout, merge-law '(all)' row, dup ids") {
+    // a: ids 0,1,1,33 -> words {0: bits 0+1, 1: bit 1} = 2 words, 3 ids
+    // b: ids 1,64     -> words {0: bit 1, 2: bit 0}    = 2 words, 2 ids
+    // (all) merges word tables: 3 words, 4 distinct ids
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 1L), ("a", 33L),
+      ("b", 1L), ("b", 64L)).toDF("grp", "id")
+    val got = graft.ops.Sketches.bitmapDistinct(df, "grp", "id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("(all)", 3L, 4L), ("a", 2L, 3L), ("b", 2L, 2L)))
+  }
+
+  test("bitmapDistinct: negative id fails loudly") {
+    val df = Seq(("a", -1L)).toDF("grp", "id")
+    val ex = intercept[Exception] {
+      graft.ops.Sketches.bitmapDistinct(df, "grp", "id").collect()
+    }
+    assert(ex.getMessage.contains("negative") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative")))
   }
 }

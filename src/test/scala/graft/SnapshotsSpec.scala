@@ -122,6 +122,66 @@ class SnapshotsSpec extends SparkTestBase {
     rm(root)
   }
 
+  test("commitMerge: update + delete + insert in one version; untouched files carry") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    // file A: ks 1-3, file B: ks 10-12 (values = k*10)
+    Snapshots.commit(
+      Seq(1L, 2L, 3L).map(k => (k, k * 10)).toDF("k", "v").coalesce(1)
+        .unionByName(Seq(10L, 11L, 12L).map(k => (k, k * 10))
+          .toDF("k", "v").coalesce(1))
+        .repartitionByRange(2, col("k")), root)
+    // update k=11 -> v=999; delete k=12; insert k=20; tombstone for the
+    // absent k=77 is a no-op; file A never holds a matched key -> carries
+    val changes = Seq(
+      (11L, 999L, false), (12L, 0L, true), (20L, 200L, false),
+      (77L, 0L, true)).toDF("k", "v", "_delete")
+    val (v, carried, changed) =
+      Snapshots.commitMerge(spark, root, changes, "k")
+    assert(v == 2L && carried == 1, s"expected 1 carried, got $carried")
+    assert(changed >= 2, s"rewrite + upsert batch expected, got $changed")
+    assert(Snapshots.read(spark, root).as[(Long, Long)].collect().toSet
+      == Set((1L, 10L), (2L, 20L), (3L, 30L), (10L, 100L),
+        (11L, 999L), (20L, 200L)))
+    // pre-merge version still time-travels
+    assert(Snapshots.read(spark, root, Some(1L)).as[(Long, Long)]
+      .collect().toSet.contains((12L, 120L)))
+    rm(root)
+  }
+
+  test("readEvolved: appended new column is NULL on old files; old readers unaffected") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+    Snapshots.commitAppend(
+      Seq((3L, 30L, 7L)).toDF("k", "v", "band"), root)
+    val evolved = Snapshots.readEvolved(spark, root)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(evolved == Set((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some(7L))))
+    // time travel to v1 keeps the ORIGINAL two-column schema
+    val v1 = Snapshots.read(spark, root, Some(1L))
+    assert(v1.columns.toSeq == Seq("k", "v"))
+    assert(v1.count() == 2)
+    rm(root)
+  }
+
+  test("commitMerge: all-tombstone batch shrinks the table; racing append survives") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    Snapshots.commit(
+      Seq(1L, 2L, 3L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")), root)
+    // an append races in between the merge's probe and its publication
+    val changes = Seq((2L, 0L, true)).toDF("k", "v", "_delete")
+    val (v, _, _) = Snapshots.commitMerge(spark, root, changes, "k",
+      raceHook = () =>
+        Snapshots.commitAppend(Seq((9L, 9L)).toDF("k", "v"), root))
+    assert(v == 3L) // the racing append took v2; the merge rebased to v3
+    assert(Snapshots.read(spark, root).as[(Long, Long)].collect().toSet
+      == Set((1L, 1L), (3L, 3L), (9L, 9L)))
+    rm(root)
+  }
+
   test("commitDelete: no matches carries everything; full erase -> empty table version") {
     val root = freshRoot()
     import org.apache.spark.sql.functions.col

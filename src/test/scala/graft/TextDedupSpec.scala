@@ -877,4 +877,18 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq(("A", "B", "C", 2L), ("B", "C", "A", 1L),
       ("C", "A", "B", 1L)))
   }
+
+  test("freqSpectrum: hapax bin, log2 bands, exact milli shares") {
+    // term freqs: a->5 (bin 2), b->2 (bin 1), c->1, d->1 (bin 0)
+    // vocab=4, toks=9
+    val docs = Seq(
+      (1L, "a a a b c"),
+      (2L, "a a b d")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.freqSpectrum(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 2L, 2L, 500L, 222L),  // hapaxes c,d
+      (1L, 2L, 1L, 2L, 250L, 222L),  // b
+      (2L, 4L, 1L, 5L, 250L, 555L))) // a
+  }
 }
