@@ -3111,6 +3111,40 @@ object SparkEntry {
             .as("n_new"))
     }),
 
+    // EXT write-audit-publish (WAP): the ingest batch lands on a BRANCH
+    // (same data pool, separate manifest line — main readers never see
+    // it), is audited there, then fast-forwards into main as ONE
+    // conditional manifest link; the branch is dropped after publish.
+    // Isolation/conflict/vacuum-pinning semantics are spec'd; the
+    // driver checks the published end state relationally.
+    "snapshot_wap" -> ((s, dir) => {
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-snapwap-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(root)
+      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        graft.sources.Snapshots.commit(orders, root)
+        graft.sources.Snapshots.createBranch(root, "audit")
+        graft.sources.Snapshots.commitAppendToBranch(
+          t(s, dir, "orders").filter(col("o_orderkey") % 11 === 0)
+            .select("o_orderkey", "o_totalprice"), root, "audit")
+        // the A of WAP: gate the branch before anything reaches main
+        graft.sources.Snapshots.readBranch(s, root, "audit")
+          .agg(count(lit(1)).as("n"))
+          .select(assert_true(col("n") > 0,
+            lit("WAP audit: branch is empty")).as("g"))
+          .collect()
+        graft.sources.Snapshots.fastForward(root, "audit")
+        graft.sources.Snapshots.dropBranch(root, "audit")
+      }
+      graft.sources.Snapshots.read(s, root)
+        .agg(count(lit(1)).as("cnt"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+    }),
+
     // EXT additive schema evolution on the snapshot store: an appended
     // batch carries a NEW column; readEvolved (mergeSchema) surfaces it
     // as NULL on old files while time-traveling readers of v1 keep the
@@ -6122,6 +6156,18 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS revenue
          FROM orders WHERE NOT (o_custkey % 97 = 0)""",
+
+    // snapshot_wap: main after publish = the base table plus the
+    // audited branch batch
+    "snapshot_wap" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders
+                    UNION ALL
+                    SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_orderkey % 11 = 0)
+         SELECT count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM a""",
 
     // snapshot_add_column: the evolved table re-derived — v1 rows with
     // a NULL band, the appended batch with its computed band

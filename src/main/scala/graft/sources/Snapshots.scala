@@ -41,6 +41,19 @@ object Snapshots {
     p
   }
 
+  /** Branch manifest namespace: `<root>/_manifests/branches/<name>/`.
+    * Branches share the root's `data/` pool (manifests hold
+    * root-relative paths), so branching never copies data — the
+    * Iceberg/Nessie layout. */
+  private def branchDir(root: String, branch: String): Path = {
+    require(branch.nonEmpty && branch.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"branch names are [A-Za-z0-9_-], got '$branch'")
+    val p = Paths.get(root, ManifestDir, "branches", branch)
+    Files.createDirectories(p)
+    p
+  }
+
   private def versionOf(p: Path): Option[Long] = {
     val n = p.getFileName.toString
     if (n.startsWith("v") && n.endsWith(".list"))
@@ -85,12 +98,24 @@ object Snapshots {
     *
     * `rebase` may be called multiple times and must be idempotent over
     * already-processed files. */
+  private def latestVersionAt(dir: Path): Option[Long] = {
+    val vs = listDir(dir).flatMap(versionOf)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def filesAt(dir: Path, v: Long): Seq[String] =
+    Files.readAllLines(dir.resolve(s"v$v.list")).asScala
+      .toSeq.filter(_.nonEmpty)
+
   private def publishRebased(root: String)
+      (rebase: Seq[String] => Seq[String]): Long =
+    publishRebasedAt(manifestDir(root))(rebase)
+
+  private def publishRebasedAt(dir: Path)
       (rebase: Seq[String] => Seq[String]): Long = {
-    val dir = manifestDir(root)
     while (true) {
-      val base = latestVersion(root)
-      val files = rebase(base.map(filesOf(root, _)).getOrElse(Nil))
+      val base = latestVersionAt(dir)
+      val files = rebase(base.map(filesAt(dir, _)).getOrElse(Nil))
       require(files.nonEmpty, "refusing to publish an empty manifest")
       val v = base.getOrElse(0L) + 1
       val tmp = Files.createTempFile(dir, s".v$v-", ".tmp")
@@ -457,7 +482,15 @@ object Snapshots {
       .flatMap(p => versionOf(p).map(_ -> p)).sortBy(_._1)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
     drop.foreach { case (_, p) => Files.deleteIfExists(p) }
-    val live = keep.flatMap { case (_, p) =>
+    // OPEN BRANCHES keep their references live: a vacuum racing a WAP
+    // audit must not reclaim files only a branch manifest points at
+    val branchLists = {
+      val b = dir.resolve("branches")
+      if (!Files.exists(b)) Seq.empty
+      else listDir(b).filter(Files.isDirectory(_))
+        .flatMap(bd => listDir(bd).filter(p => versionOf(p).isDefined))
+    }
+    val live = (keep.map(_._2) ++ branchLists).flatMap { p =>
       Files.readAllLines(p).asScala.filter(_.nonEmpty)
     }.toSet
     // a live stage's _stats sidecar must survive with its files
@@ -495,6 +528,81 @@ object Snapshots {
       .filter(_.nonEmpty).map(f => s"$root/$f")
     require(files.nonEmpty, s"version $v has an empty manifest at $root")
     spark.read.parquet(files: _*)
+  }
+
+  /** Create `branch` at the CURRENT main state — the write-audit-publish
+    * (WAP) entry point: branch v1 references exactly main's latest file
+    * list (no data copied — manifests are root-relative into the shared
+    * `data/` pool), and the base main version is recorded for
+    * [[fastForward]]'s conflict check. Returns the base version. */
+  def createBranch(root: String, branch: String): Long = {
+    val base = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $root"))
+    val dir = branchDir(root, branch)
+    require(latestVersionAt(dir).isEmpty,
+      s"branch '$branch' already exists at $root")
+    Files.write(dir.resolve("base"), base.toString.getBytes("UTF-8"))
+    publishRebasedAt(dir)(_ => filesOf(root, base))
+    base
+  }
+
+  /** Append a batch to `branch` — staged into the shared data pool,
+    * published only into the branch's manifest line: main readers never
+    * see it until [[fastForward]]. Same rebase loop as
+    * [[commitAppend]], so concurrent branch writers compose. */
+  def commitAppendToBranch(df: DataFrame, root: String,
+      branch: String): Long = {
+    val newFiles = stageData(df, root)
+    require(newFiles.nonEmpty, "refusing to append an empty batch")
+    publishRebasedAt(branchDir(root, branch))(prev => prev ++ newFiles)
+  }
+
+  /** Read `branch`'s latest state (the audit side of WAP). */
+  def readBranch(spark: SparkSession, root: String,
+      branch: String): DataFrame = {
+    val dir = branchDir(root, branch)
+    val v = latestVersionAt(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch '$branch' does not exist at $root"))
+    val files = filesAt(dir, v).map(f => s"$root/$f")
+    require(files.nonEmpty, s"branch '$branch' has an empty manifest")
+    spark.read.parquet(files: _*)
+  }
+
+  /** PUBLISH (the P of WAP): fast-forward main to the branch's audited
+    * state in one conditional manifest link. Requires main to still sit
+    * at the branch's recorded base version — if any writer advanced
+    * main since the branch was cut, the audit ran against a stale base
+    * and the publish aborts with ConcurrentModificationException
+    * (re-branch from the new main and re-audit; blind re-application
+    * would drop the interleaved commit's files). Returns the new main
+    * version. */
+  def fastForward(root: String, branch: String): Long = {
+    val dir = branchDir(root, branch)
+    val basePath = dir.resolve("base")
+    require(Files.exists(basePath),
+      s"branch '$branch' does not exist at $root")
+    val base = Files.readString(basePath).trim.toLong
+    val bv = latestVersionAt(dir).getOrElse(
+      throw new IllegalStateException(s"branch '$branch' has no manifest"))
+    val files = filesAt(dir, bv)
+    publishRebased(root) { _ =>
+      val cur = latestVersion(root).getOrElse(0L)
+      if (cur != base)
+        throw new java.util.ConcurrentModificationException(
+          s"main advanced v$base -> v$cur since branch '$branch' was " +
+            "cut; re-branch from the new main and re-audit")
+      files
+    }
+  }
+
+  /** Remove `branch`'s manifest line (after [[fastForward]] or an
+    * abandoned audit) — open branches pin their files against
+    * [[vacuum]], so dropping the branch is what releases them. */
+  def dropBranch(root: String, branch: String): Unit = {
+    val dir = branchDir(root, branch)
+    listDir(dir).foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(dir)
   }
 
   /** Schema-evolved read: like [[read]] but unions columns ACROSS the

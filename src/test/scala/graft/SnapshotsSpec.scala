@@ -149,6 +149,49 @@ class SnapshotsSpec extends SparkTestBase {
     rm(root)
   }
 
+  test("WAP branch: isolation, fast-forward, and the stale-base conflict") {
+    val root = freshRoot()
+    Snapshots.commit(Seq(1L, 2L).toDF("k"), root)
+    Snapshots.createBranch(root, "audit")
+    Snapshots.commitAppendToBranch(Seq(3L).toDF("k"), root, "audit")
+    // isolation: main readers see v1 only; the branch sees its append
+    assert(Snapshots.read(spark, root).as[Long].collect().toSet
+      == Set(1L, 2L))
+    assert(Snapshots.readBranch(spark, root, "audit")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // publish: one conditional link, main jumps to the audited state
+    val v = Snapshots.fastForward(root, "audit")
+    assert(v == 2L)
+    assert(Snapshots.read(spark, root).as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    // conflict: a branch cut before an interleaved main commit cannot
+    // fast-forward (its audit ran against a stale base)
+    Snapshots.createBranch(root, "audit2")
+    Snapshots.commitAppendToBranch(Seq(4L).toDF("k"), root, "audit2")
+    Snapshots.commitAppend(Seq(9L).toDF("k"), root) // main moves to v3
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.fastForward(root, "audit2")
+    }
+    rm(root)
+  }
+
+  test("WAP branch: open branches pin their files against vacuum; dropBranch releases") {
+    val root = freshRoot()
+    Snapshots.commit(Seq(1L).toDF("k"), root)
+    Snapshots.createBranch(root, "wip")
+    Snapshots.commitAppendToBranch(Seq(2L).toDF("k"), root, "wip")
+    Snapshots.commitAppend(Seq(5L).toDF("k"), root) // v2 on main
+    Snapshots.vacuum(root, keepLast = 1)
+    // the branch-only file survived the vacuum
+    assert(Snapshots.readBranch(spark, root, "wip")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    Snapshots.dropBranch(root, "wip")
+    intercept[IllegalArgumentException] {
+      Snapshots.readBranch(spark, root, "wip")
+    }
+    rm(root)
+  }
+
   test("readEvolved: appended new column is NULL on old files; old readers unaffected") {
     val root = freshRoot()
     Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
