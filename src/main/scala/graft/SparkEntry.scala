@@ -792,6 +792,12 @@ object SparkEntry {
     "text_bigram_df" -> ((s, dir) =>
       TextAnalysis.bigramDf(t(s, dir, "documents"))),
 
+    // EXT cross-source vocabulary overlap: exact per-pair Jaccard in bp
+    // — the mirror/re-crawl detector a corpus mix runs; (source, term)
+    // collapse, then a term-keyed join bounded by |sources|^2 per term.
+    "text_source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlap(t(s, dir, "documents"))),
+
     // EXT frequency-of-frequencies spectrum: hapax mass + log2 tail
     // decay + per-band vocab/token shares — the Zipf diagnostic behind
     // every vocabulary-size and pruning-threshold decision. One
@@ -7662,6 +7668,27 @@ object SparkEntry {
            UNION ALL
            SELECT 3, 'view>click>purchase', n_2 FROM t)
          ORDER BY stage_idx""",
+
+    // text_source_overlap: the same (source, term) collapse + pair join
+    "text_source_overlap" ->
+      """WITH v AS (SELECT DISTINCT src, term FROM (
+                      SELECT source AS src,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                    WHERE term <> ''),
+          sz AS (SELECT src, CAST(count(*) AS BIGINT) AS v FROM v
+                 GROUP BY 1),
+          i AS (SELECT a.src AS sa, b.src AS sb,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM v a JOIN v b
+                  ON b.term = a.term AND a.src < b.src
+                GROUP BY 1, 2)
+         SELECT i.sa, i.sb, za.v AS va, zb.v AS vb, i.inter,
+                za.v + zb.v - i.inter AS uni,
+                i.inter * 10000 // (za.v + zb.v - i.inter) AS jaccard_bp
+         FROM i JOIN sz za ON za.src = i.sa
+                JOIN sz zb ON zb.src = i.sb
+         ORDER BY i.sa, i.sb""",
 
     // text_freq_spectrum: same tokenization, powers-of-two range join
     // for the log2 bin (the graph_degree_dist twin)

@@ -1403,6 +1403,37 @@ object TextAnalysis {
       Texty.rollingHash(col(text)).as("fp_roll"))
       .orderBy(id)
 
+  /** Cross-source vocabulary overlap — the corpus-mix diagnostic: for
+    * every source pair, exact vocabulary sizes, intersection, union and
+    * Jaccard in floor bp. Near-identical sources (a re-crawl, a mirror)
+    * jump out as high-Jaccard pairs BEFORE they skew a training mix;
+    * the exact-set twin of the KMV-sketch Jaccard one file over.
+    *
+    * Scale: one distinct-collapse to (source, term) — the vocabulary
+    * shuffle, map-side combined — then a term-keyed self-join whose
+    * fan-out per term is bounded by \|sources\|² (sources are a handful
+    * by construction, never corpus-sized), and a \|sources\|-row size
+    * table joined twice (broadcast). */
+  def sourceOverlap(docs: DataFrame, source: String = "source",
+      text: String = "text"): DataFrame = {
+    val vocab = docs.select(col(source).as("src"),
+        explode(split(col(text), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val sizes = vocab.groupBy("src").agg(count(lit(1)).as("v"))
+    val inter = vocab.select(col("src").as("sa"), col("term"))
+      .join(vocab.select(col("src").as("sb"), col("term")), "term")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("sa"), col("v").as("va"))), "sa")
+      .join(broadcast(sizes.select(col("src").as("sb"), col("v").as("vb"))), "sb")
+      .withColumn("uni", col("va") + col("vb") - col("inter"))
+      .withColumn("jaccard_bp", expr("inter * 10000 div uni"))
+      .select("sa", "sb", "va", "vb", "inter", "uni", "jaccard_bp")
+      .orderBy("sa", "sb")
+  }
+
   /** Frequency-of-frequencies spectrum — the Zipf diagnostic read before
     * sizing a tokenizer vocabulary or a pruning threshold: how many
     * terms occur exactly-once (bin 0 = the hapax mass every BPE/vocab

@@ -618,4 +618,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(scanCount(mv) == 2,
       s"mv merge must plan exactly the two partial-agg scans:\n$mv")
   }
+
+  test("round-11 queries: prefix scans stay sliced, rollups broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // skyline + ABC: the only global windows allowed are the
+    // #slices-row offset tables of the distributed prefix construction
+    // (outputs __smax / __psum), never a data-sized sort
+    Seq("q45_skyline", "q46_abc_class").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      val rawGlobal = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          !w.child.output.exists(c =>
+            c.name == "__smax" || c.name == "__psum") => w
+      }
+      assert(rawGlobal.isEmpty,
+        s"$q plans a data-sized global window:\n$plan")
+    }
+    // position attribution: every window is user-keyed; one sort
+    // shuffle family, no self-join of raw events (journey join is
+    // (user, jid)-keyed on already-windowed rows)
+    val pa = SparkEntry.queries("events_attribution_position")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val paGlobal = pa.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(paGlobal.isEmpty,
+      s"attribution windows must be user-keyed:\n$pa")
+    // bitmap distinct: the exact-check join runs on group-sized
+    // aggregates — broadcast, never a fact-sized sort-merge
+    val bm = planOf("sketch_bitmap_distinct")
+    assert(!bm.contains("SortMergeJoin"),
+      s"bitmapDistinct joins group-sized tables — broadcast them:\n$bm")
+    assert(bm.contains("bit_or"),
+      s"bitmapDistinct must fold words with bit_or partials:\n$bm")
+    // source overlap: size tables broadcast onto the pair aggregate
+    val so = planOf("text_source_overlap")
+    assert(!so.contains("CartesianProduct"),
+      s"source overlap must stay term-keyed:\n$so")
+    // stickiness: the (month, day, user) collapse happens BEFORE any
+    // wider aggregate — no window at all in this plan
+    val st = planOf("events_stickiness")
+    assert(!st.contains("Window"),
+      s"stickiness is aggregates-only:\n$st")
+  }
 }

@@ -878,6 +878,16 @@ class TextDedupSpec extends SparkTestBase {
       ("C", "A", "B", 1L)))
   }
 
+  test("sourceOverlap: exact pair Jaccard; zero-overlap pairs absent") {
+    val docs = Seq(
+      (1L, "x y z", "a"), (2L, "y z w", "b"), (3L, "q", "c"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.TextAnalysis.sourceOverlap(docs)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    // a∩b = {y,z}: 2 of union 4 -> 5000 bp; c shares nothing -> no row
+    assert(got == Seq(("a", "b", 3L, 3L, 2L, 4L, 5000L)))
+  }
+
   test("freqSpectrum: hapax bin, log2 bands, exact milli shares") {
     // term freqs: a->5 (bin 2), b->2 (bin 1), c->1, d->1 (bin 0)
     // vocab=4, toks=9
