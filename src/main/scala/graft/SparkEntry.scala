@@ -484,6 +484,36 @@ object SparkEntry {
         ORDER BY c_custkey""")
     }),
 
+    // EXT three-valued NOT IN semantics: the classic NULL trap as a
+    // pinned behavior — a NOT IN whose subquery CAN contain NULL
+    // filters everything (x <> NULL is UNKNOWN), while NOT EXISTS and
+    // the NULL-purged NOT IN agree on the true anti count. An engine
+    // that "fixes" NOT IN silently breaks SQL; this query pins that we
+    // don't, in both engines at once.
+    "q47_not_in_nulls" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("nullable_key",
+          when(col("c_custkey") % 1000 === 0, lit(null))
+            .otherwise(col("c_custkey")))
+        .createOrReplaceTempView("g_nullable_cust")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders_nin")
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM g_orders_nin
+           WHERE o_custkey NOT IN
+                 (SELECT nullable_key FROM g_nullable_cust))
+            AS not_in_with_null,
+          (SELECT count(*) FROM g_orders_nin
+           WHERE o_custkey NOT IN
+                 (SELECT nullable_key FROM g_nullable_cust
+                  WHERE nullable_key IS NOT NULL))
+            AS not_in_purged,
+          (SELECT count(*) FROM g_orders_nin o
+           WHERE NOT EXISTS (SELECT 1 FROM g_nullable_cust c
+                             WHERE c.nullable_key = o.o_custkey))
+            AS not_exists_cnt""")
+    }),
+
     // EXT explicit GROUPING SETS ((flag), (status)) — the shape neither
     // rollup nor cube can express (two disjoint single-column sets).
     "q31_grouping_sets" -> ((s, dir) => {
@@ -2501,6 +2531,22 @@ object SparkEntry {
     // law — no custom state), summary + exactness check in batch over
     // the driver-free read-back. Same oracle machinery as
     // sketch_hll_distinct, over the events stream's event_id.
+    // EXT bitmap words as streaming state: bit_or merges across
+    // micro-batches (the rollup law run incrementally) — the final
+    // popcounts are EXACT distincts equal to the batch count(distinct),
+    // driver-checked; the HLL parity above is the sketch fallback.
+    "stream_bitmap_parity" -> ((s, dir) => {
+      val words = graft.streaming.EventStream
+        .bitmapParityRun(s, s"$dir/events.parquet")
+      words.groupBy("event_type")
+        .agg(count(lit(1)).as("n_words"),
+          sum(bit_count(col("word")).cast("long")).as("n_distinct"))
+        .join(t(s, dir, "events").groupBy("event_type")
+          .agg(countDistinct("user_id").as("true_distinct")),
+          Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     "stream_hll_parity" -> ((s, dir) => {
       val regs = graft.streaming.EventStream
         .hllParityRun(s, s"$dir/events.parquet")
@@ -7001,6 +7047,22 @@ object SparkEntry {
     // the streaming run must land on EXACTLY the batch sketch — same
     // generated twin, pointed at the stream's source table
     "stream_hll_parity" -> hllOracleFor("events", "event_id"),
+
+    // stream_bitmap_parity: streamed word table == batch word table bit
+    // for bit, so the oracle is the batch bitmap + the exact distinct
+    "stream_bitmap_parity" ->
+      """WITH w AS (SELECT event_type,
+                           CAST(user_id AS BIGINT) // 32 AS widx,
+                           bit_or(CAST(1 AS BIGINT)
+                                  << CAST(user_id % 32 AS INTEGER)) AS word
+                    FROM events GROUP BY 1, 2)
+         SELECT w.event_type,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct,
+                CAST((SELECT count(DISTINCT user_id) FROM events e
+                      WHERE e.event_type = w.event_type) AS BIGINT)
+                  AS true_distinct
+         FROM w GROUP BY 1 ORDER BY 1""",
     "graph_bfs" -> bfsOracle,
     "fp_pps_sample" -> ppsOracle,
 
@@ -7625,6 +7687,24 @@ object SparkEntry {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+
+    // q47_not_in_nulls: identical 3VL semantics expected from DuckDB
+    "q47_not_in_nulls" ->
+      """WITH nc AS (SELECT CASE WHEN c_custkey % 1000 = 0 THEN NULL
+                                 ELSE c_custkey END AS nullable_key
+                     FROM customer)
+         SELECT
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT nullable_key FROM nc))
+             AS not_in_with_null,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT nullable_key FROM nc
+                                    WHERE nullable_key IS NOT NULL))
+             AS not_in_purged,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM nc c
+                              WHERE c.nullable_key = o.o_custkey))
+             AS not_exists_cnt""",
 
     "q31_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,

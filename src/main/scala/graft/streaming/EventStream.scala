@@ -243,6 +243,24 @@ object EventStream {
         ev.select(round(col("value") * 100).cast("long").as("cents")),
         "cents", 0L, 64L, 1024))
 
+  /** The bitmap-distinct word table as stream state: 32-id bitmap words
+    * `bit_or`-merge across micro-batches (OR is the bitmap rollup law —
+    * [[graft.ops.Sketches.bitmapDistinct]]'s '(all)' construction run
+    * incrementally), so the final word table equals the batch one BIT
+    * FOR BIT and the popcounts are EXACT distincts, not estimates.
+    * State is \|types\|·\|id-universe\|/32 longs forever — the
+    * always-on exact distinct-users monitor a stream keeps while ids
+    * stay dictionary-encoded; the HLL twin above is the fallback when
+    * they don't. */
+  def bitmapParityRun(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parityRun(spark, path, "bitmap", maxFilesPerTrigger, "complete")(ev =>
+      ev.select(col("event_type"), expr("user_id div 32").as("widx"),
+          call_function("shiftleft", lit(1L),
+            (col("user_id") % 32).cast("int")).as("bit"))
+        .groupBy("event_type", "widx")
+        .agg(expr("bit_or(bit)").as("word")))
+
   /** The AMS F₂ sketch as stream state: the 128 sign counters
     * maintained as a streaming aggregate — signs ADD across
     * micro-batches (the sketch's merge law is literally `sum`), so the

@@ -393,6 +393,25 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(audit == Seq(("A", 1L, 0L, 0L), ("B", 1L, 0L, 0L)))
   }
 
+  test("NOT IN with a NULL in the subquery filters everything (3VL pinned)") {
+    // keys {1,2}; subquery {1, NULL}: NOT IN -> 0 rows (2 <> NULL is
+    // UNKNOWN); purged NOT IN and NOT EXISTS both keep key 2
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("ec_probe")
+    Seq(Some(1L), None).toDF("nk").createOrReplaceTempView("ec_sub")
+    val got = spark.sql("""
+      SELECT
+        (SELECT count(*) FROM ec_probe
+         WHERE k NOT IN (SELECT nk FROM ec_sub)) AS with_null,
+        (SELECT count(*) FROM ec_probe
+         WHERE k NOT IN (SELECT nk FROM ec_sub
+                         WHERE nk IS NOT NULL)) AS purged,
+        (SELECT count(*) FROM ec_probe p
+         WHERE NOT EXISTS (SELECT 1 FROM ec_sub s
+                           WHERE s.nk = p.k)) AS not_ex""")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((0L, 1L, 1L)))
+  }
+
   test("dq report: FK over an empty child counts zero checked, zero orphans") {
     val parent = Seq((1L, "x")).toDF("id", "s")
     val child = Seq.empty[(Long, Long)].toDF("cid", "pid")

@@ -211,6 +211,22 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("bitmapParityRun word table equals the batch words bit for bit") {
+    import org.apache.spark.sql.functions.{call_function, col, expr, lit}
+    val streamed = EventStream.bitmapParityRun(spark, s"$sf0001/events.parquet")
+      .select("event_type", "widx", "word")
+    val batch = Tables(spark, sf0001, "events")
+      .select(col("event_type"), expr("user_id div 32").as("widx"),
+        call_function("shiftleft", lit(1L),
+          (col("user_id") % 32).cast("int")).as("bit"))
+      .groupBy("event_type", "widx")
+      .agg(expr("bit_or(bit)").as("word"))
+    // bit_or merges across micro-batches = the bitmap rollup law as
+    // Spark's own aggregate algebra; popcounts are then EXACT distincts
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("amsParityRun counter table equals the batch-built sketch exactly") {
     val streamed = EventStream.amsParityRun(spark, s"$sf0001/events.parquet")
       .select("j", "x")
