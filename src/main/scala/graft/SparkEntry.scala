@@ -2136,6 +2136,24 @@ object SparkEntry {
       graft.ops.Graphs.assortativity(pairs)
     }),
 
+    // EXT truncated harmonic centrality: sum of 1/d in floor milli over
+    // a 6-hop radius from the 8 lowest nodes — |seeds| simultaneous BFS
+    // layers, integer-exact end to end; the all-pairs-free closeness.
+    "graph_harmonic" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))),
+          1, CopurchaseMaxBasket).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          transform(filter(col("parts"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select("da", "db")
+      graft.ops.Graphs.harmonicCentrality(pairs)
+    }),
+
     // EXT connected components: the min-label fixpoint over the
     // copurchase graph (Dedup.resolveClusters — shortcutting min
     // propagation, O(log d) effective rounds, convergence asserted) +
@@ -4173,6 +4191,37 @@ object SparkEntry {
        |FROM fin f JOIN sizes s ON s.component = f.component
        |ORDER BY f.node""".stripMargin
 
+  /** Harmonic-centrality twin: recursive multi-source walk with the
+    * hop cap inside the recursive term (same truncation as the Spark
+    * side's maxHops), min distance per (seed, node), then the floor
+    * milli sum. */
+  private def harmonicOracle: String =
+    s"""WITH RECURSIVE
+       | li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
+       |           FROM capped a JOIN capped b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |           GROUP BY 1, 2 HAVING count(*) >= 2),
+       | sym AS (SELECT da AS src, db AS dst FROM pairs
+       |         UNION SELECT db, da FROM pairs),
+       | seeds AS (SELECT node FROM (
+       |     SELECT DISTINCT src AS node FROM sym ORDER BY node LIMIT 8)),
+       | walk(seed, node, d) AS (
+       |   SELECT node, node, 0 FROM seeds
+       |   UNION
+       |   SELECT w.seed, s.dst, w.d + 1
+       |   FROM walk w JOIN sym s ON s.src = w.node
+       |   WHERE w.d < 6),
+       | dist AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
+       |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+       |       CAST(sum(1000 // d) AS BIGINT) AS harmonic_milli
+       |FROM dist WHERE d >= 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Degree-distribution twin: the copurchase edge prologue, degrees
     * over both stub directions, ⌊log₂⌋ via a powers-of-two range join
     * (no float log — the binary-digit-count formulation of the Spark
@@ -5336,6 +5385,7 @@ object SparkEntry {
     "graph_assortativity" -> assortativityOracle,
     "graph_degree_dist" -> degreeDistOracle,
     "graph_components" -> componentsOracle,
+    "graph_harmonic" -> harmonicOracle,
     "graph_jaccard_links" -> jaccardLinksOracle,
     "graph_ppr" -> pprOracle,
 

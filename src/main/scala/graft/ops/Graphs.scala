@@ -602,6 +602,50 @@ object Graphs {
       .orderBy("node")
   }
 
+  /** Truncated harmonic centrality from the `nSeeds` lowest node ids —
+    * Σ 1/d(s,v) over nodes within `maxHops`, in floor milli (Σ
+    * 1000 div d — integer-exact, so the whole multi-source BFS is
+    * hash-oracle-able). Truncation at a hop radius is the standard
+    * scale practice: full closeness needs all-pairs distances, while
+    * the truncated form is \|seeds\| simultaneous BFS frontiers.
+    *
+    * Multi-source layering: frontier rows are (seed, node) pairs, each
+    * round one edge join + anti-join against the visited union (the
+    * [[bfsHops]] disjoint-layer shape, seed-tagged); state is bounded
+    * by \|seeds\|·\|V\| and each layer localCheckpoints so no round
+    * recomputes its predecessors. */
+  def harmonicCentrality(edges: DataFrame, nSeeds: Int = 8,
+      maxHops: Int = 6, a: String = "da", b: String = "db"): DataFrame = {
+    require(nSeeds >= 1 && maxHops >= 1, s"need seeds/hops, got $nSeeds/$maxHops")
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(nSeeds)
+    var frontiers = List(seeds.select(col("node").as("seed"))
+      .withColumn("node", col("seed"))
+      .withColumn("dist", lit(0L)).localCheckpoint())
+    def visited = frontiers.reduce(_.unionByName(_))
+    var h = 1
+    while (h <= maxHops) {
+      val next = frontiers.head.select(col("seed"), col("node").as("src"))
+        .join(sym, "src")
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited.select("seed", "node"), Seq("seed", "node"), "anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint()
+      frontiers ::= next
+      h += 1
+    }
+    sym.unpersist()
+    visited.filter(col("dist") >= 1)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000 div dist")).as("harmonic_milli"))
+      .orderBy("seed")
+  }
+
   /** Log₂-binned degree distribution with tail counts — the first
     * diagnostic run on any derived graph (is it power-law? where does
     * the hub tail start?) and the input to every skew decision the

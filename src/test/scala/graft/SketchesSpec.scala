@@ -616,6 +616,16 @@ class SketchesSpec extends SparkTestBase {
     assert(r.isEmpty)
   }
 
+  test("harmonicCentrality: hand distances on a path, truncation, seed set") {
+    // path 1-2-3-4-5, seeds = 2 lowest nodes {1,2}, maxHops 2:
+    // seed 1 reaches 2(d1),3(d2): 1000+500 = 1500, n=2
+    // seed 2 reaches 1(d1),3(d1),4(d2): 1000+1000+500 = 2500, n=3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("da", "db")
+    val got = Graphs.harmonicCentrality(path, nSeeds = 2, maxHops = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1500L), (2L, 3L, 2500L)))
+  }
+
   test("graph components composition: disjoint triangles, min labels, sizes") {
     // triangles {1,2,3} and {10,11,12} plus a 2-path {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
