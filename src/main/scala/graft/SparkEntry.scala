@@ -1732,6 +1732,13 @@ object SparkEntry {
     "embed_hof_stats" -> ((s, dir) =>
       Similarity.hofStats(t(s, dir, "embeddings"))),
 
+    // EXT audited covariance/power-iteration step: G = Σ qqᵀ as a
+    // dims²-cell aggregate + v1 = G·1 — the PCA/whitening primitive
+    // hash-oracled exactly (the kmeansStep discipline on second
+    // moments); one vec-keyed shuffle, then 4096 rows.
+    "embed_cov_power" -> ((s, dir) =>
+      Similarity.covPowerStep(t(s, dir, "embeddings"))),
+
     // EXT dynamic partition pruning: fact partitioned on disk by
     // priority, dim filtered on a non-partition attribute — the scan must
     // prune partitions at RUNTIME from the broadcast dim (PlanShapeSpec
@@ -9274,6 +9281,26 @@ object SparkEntry {
                        * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
                   AS BIGINT) AS qnorm2
          FROM embeddings ORDER BY vec_id""",
+
+    // embed_cov_power: the same quantize → explode → per-vector pair
+    // products → dims² aggregate → row sums
+    "embed_cov_power" ->
+      """WITH q AS (SELECT vec_id, d - 1 AS d,
+                           CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)
+                             AS q
+                    FROM (SELECT vec_id, unnest(embedding) AS x,
+                                 generate_subscripts(embedding, 1) AS d
+                          FROM embeddings)),
+          g AS (SELECT a.d, b.d AS d2,
+                       CAST(sum(a.q * b.q) AS BIGINT) AS g
+                FROM q a JOIN q b ON b.vec_id = a.vec_id
+                GROUP BY 1, 2),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+         SELECT d, CAST(sum(g) AS BIGINT) AS v1_q,
+                CAST(sum(CASE WHEN d2 = d THEN g END) AS BIGINT)
+                  AS diag_q,
+                (SELECT n FROM n) AS n
+         FROM g GROUP BY d ORDER BY d""",
 
     "dpp_partitioned_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,

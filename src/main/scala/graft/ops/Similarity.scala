@@ -660,4 +660,41 @@ object Similarity {
                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
                 0L, (acc, v) -> acc + v * v)""").as("qnorm2"))
       .orderBy("vec_id")
+
+  /** Audited covariance-structure step — the PCA/whitening primitive
+    * surfaced with an EXACT oracle (the [[kmeansStep]] discipline
+    * applied to second moments): vectors quantize to BIGINT at `scale`
+    * (⌊x·1024⌋), the un-centered second-moment matrix G = Σ q qᵀ is one
+    * (d, d′)-keyed aggregate (dims² cells, NOT corpus-sized), and one
+    * power-iteration step v₁ = G·1 (the row sums — the first Krylov
+    * vector from the all-ones start every power method accepts) rides
+    * along per dimension with the diagonal (energy) term.
+    *
+    * Overflow headroom: \|q\| ≤ 1024 ⇒ \|q·q′\| ≤ 2²⁰ per vector pair
+    * of dims; a cell is Σ over N vectors ≤ N·2²⁰ and the row sum ≤
+    * dims· that — 2e11 at N=20k/dims=64, four orders inside BIGINT;
+    * the in-plan assert arms the documented line rather than wrapping.
+    *
+    * Scale: explode to (vec, d, q) — 64× the scan, map-only — then ONE
+    * shuffle keyed on vec_id for the self-join and a dims²-row
+    * aggregate; everything after runs on 4096 rows. */
+  def covPowerStep(emb: DataFrame, scale: Int = 1024): DataFrame = {
+    val qv = quantized(emb, scale)
+    val g = qv.join(qv.select(col("vec_id"), col("d").as("d2"),
+        col("q").as("q2")), "vec_id")
+      .groupBy("d", "d2")
+      .agg(sum(col("q") * col("q2")).as("g"))
+    val n = emb.agg(count(lit(1)).as("n"))
+    g.groupBy("d")
+      .agg(sum("g").as("v1_q"),
+        sum(when(col("d2") === col("d"), col("g"))).as("diag_q"))
+      .crossJoin(broadcast(n))
+      .select(col("d"),
+        when(assert_true(abs(col("v1_q")) <= lit(Long.MaxValue / 4096),
+            lit("covPowerStep: row sum nearing BIGINT overflow — lower " +
+              "the quantization scale or shard dimensions")).isNull,
+          col("v1_q")).as("v1_q"),
+        col("diag_q"), col("n"))
+      .orderBy("d")
+  }
 }

@@ -217,6 +217,18 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(recallBp >= 4000, s"PQ recall collapsed: $recallBp bp")
   }
 
+  test("covPowerStep: hand-computed second moments and row sums") {
+    // q(v0)=(1024,0), q(v1)=(1024,1024): G = [[2m, m],[m, m]], m = 2^20
+    // v1 = G·1 -> (3m, 2m); diag -> (2m, m)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val m = 1L << 20
+    val got = Similarity.covPowerStep(df)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 3 * m, 2 * m, 2L), (1, 2 * m, m, 2L)))
+  }
+
   test("kmeansStep: hand-computed Lloyd round on a separable corpus") {
     // seeds = vec 0 (near x-axis) and vec 1 (near y-axis); members 2..5
     // split cleanly. Quantized at 1024: floor is exact on these values.
