@@ -1304,6 +1304,13 @@ object SparkEntry {
     // comparisons). Closed-form oracle: the whole
     // encode→decode→resample→compare chain is integer arithmetic.
     "mm_dhash_real" -> ((s, dir) => Multimodal.dhashReal(s, t(s, dir, "documents"))),
+
+    // EXT acoustic fingerprinting: frame-energy signature bits from
+    // REAL decoded PCM (the dHash idea one modality over) + exact
+    // Hamming between planted variants — closed-form oracle, decode
+    // volume stays in the scan stage.
+    "mm_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprint(s, t(s, dir, "documents"))),
     // Multimodal near-dup dedup: Hamming-LSH over the dHash corpus —
     // identical-hash collapse first, 4×16-bit banding (pigeonhole: every
     // pair at dist ≤ 3 keeps one band intact → guaranteed recall), exact
@@ -5618,6 +5625,23 @@ object SparkEntry {
       s"""WITH $DhashCte
          SELECT doc_id, CAST(v AS INT) AS variant, hash_hi, hash_lo
          FROM hashes ORDER BY doc_id, variant""",
+
+    // mm_audio_fingerprint: the planted pattern and its single-bit
+    // flip, closed-form — the decode chain must land exactly here
+    "mm_audio_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+                           CAST((doc_id * 37 + 11) % 65536 AS BIGINT)
+                             AS fp0
+                    FROM documents),
+          v AS (SELECT doc_id, fp0,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN xor(fp0, CAST(1 AS BIGINT)
+                                          << CAST(doc_id % 16 AS INTEGER))
+                            ELSE fp0 END AS fp1
+                FROM f)
+         SELECT doc_id, fp0, fp1,
+                CAST(bit_count(xor(fp0, fp1)) AS BIGINT) AS hamming
+         FROM v ORDER BY doc_id""",
 
     // mm_phash_neardup: identical-hash collapse → 4×16-bit band join →
     // exact Hamming verify, replicated structurally (the banding is part

@@ -373,6 +373,92 @@ object Multimodal {
   def audioReal(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeWavMeta(spark, synthWav(spark, docs))
 
+  /** ====== REAL KERNEL ====== WAV synthesis with a PLANTED 16-bit
+    * frame-energy pattern for the fingerprint surface: 16 frames of 160
+    * samples, frame j at constant amplitude 4000 when bit j of
+    * `pattern = (id·37 + 11) mod 2¹⁶` is set, else 1000 (nonzero — the
+    * decode path must separate quiet from loud, not zero from signal).
+    * Variant 1 flips bit (id mod 16) for ids ≡ 0 (mod 4) — a planted
+    * near-duplicate at Hamming distance exactly 1; other ids' variants
+    * are bit-identical. Closed-form end to end. */
+  def synthFpWavBytes(docId: Long, variant: Int): Array[Byte] = {
+    val base = ((docId * 37 + 11) % 65536).toInt
+    val pat =
+      if (variant == 1 && docId % 4 == 0) base ^ (1 << (docId % 16).toInt)
+      else base
+    val n = 16 * 160
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val amp = if ((pat & (1 << (i / 160))) != 0) 4000 else 1000
+      pcm(2 * i) = (amp & 0xFF).toByte
+      pcm(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true,
+      false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** ====== REAL KERNEL ====== Acoustic fingerprinting — the
+    * frame-energy-signature primitive behind audio near-dup detection
+    * (the dHash idea one modality over): decode the PCM, reduce each
+    * 160-sample frame to its integer energy in the batched reader (the
+    * [[audioVad]] discipline — only (doc, variant, fp) ever shuffles),
+    * threshold to one bit per frame, pack to a 16-bit fingerprint.
+    * Output per doc: both variants' fingerprints and their exact
+    * Hamming distance — against [[synthFpWavBytes]] payloads every
+    * value is closed-form (the planted pattern and its single-bit
+    * flip), while the Spark side must recover it from true decoded
+    * samples through javax.sound. Frame energies: 160·4000² = 2.56e9
+    * vs 160·1000² = 1.6e8 — the 1e9 threshold sits an order of
+    * magnitude from both. */
+  def audioFingerprint(spark: SparkSession, docs: DataFrame,
+      energyThreshold: Long = 1000000000L): DataFrame = {
+    import spark.implicits._
+    val fps = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap(_.flatMap { id =>
+          Iterator.range(0, 2).map { v =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(synthFpWavBytes(id, v)))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian, s"unexpected format for doc_id=$id: $fmt")
+            val pcm = ais.readAllBytes()
+            ais.close()
+            val nFrames = pcm.length / (2 * 160)
+            var fp = 0L
+            var j = 0
+            while (j < nFrames && j < 16) {
+              var e = 0L
+              var i = j * 160
+              while (i < (j + 1) * 160) {
+                val s = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8))
+                  .toShort.toLong
+                e += s * s
+                i += 1
+              }
+              if (e > energyThreshold) fp |= (1L << j)
+              j += 1
+            }
+            (id, v, fp)
+          }
+        })
+      }.toDF("doc_id", "variant", "fp")
+    fps.groupBy("doc_id")
+      .agg(max(when(col("variant") === 0, col("fp"))).as("fp0"),
+        max(when(col("variant") === 1, col("fp"))).as("fp1"))
+      .withColumn("hamming",
+        bit_count(col("fp0").bitwiseXOR(col("fp1"))).cast("long"))
+      .orderBy("doc_id")
+  }
+
   case class AudioStats(doc_id: Long, sample_rate: Int, n_frames: Long,
       energy: Long, peak: Long, duration_us: Long)
 

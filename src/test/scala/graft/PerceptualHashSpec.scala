@@ -96,4 +96,20 @@ class PerceptualHashSpec extends SparkTestBase {
     assert(stats.length == 1 && stats.head._3 == nReps * 4,
       s"dropped-row accounting should cover all ${nReps * 4} banded rows: $stats")
   }
+
+  test("audioFingerprint: decoded energies recover the planted pattern; flip = hamming 1") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(0L, 1L, 3L, 4L, 7L, 8L).toDF("doc_id")
+    val got = graft.ops.Multimodal.audioFingerprint(spark, docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def pat(id: Long) = (id * 37 + 11) % 65536
+    assert(got.map(_._1) == Seq(0L, 1L, 3L, 4L, 7L, 8L))
+    got.foreach { case (id, fp0, fp1, h) =>
+      assert(fp0 == pat(id), s"doc $id fp0")
+      if (id % 4 == 0) {
+        assert(fp1 == (pat(id) ^ (1L << (id % 16).toInt)) && h == 1L,
+          s"doc $id should be a planted hamming-1 near-dup")
+      } else assert(fp1 == fp0 && h == 0L, s"doc $id variants identical")
+    }
+  }
 }
