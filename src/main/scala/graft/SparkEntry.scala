@@ -3501,6 +3501,12 @@ object SparkEntry {
     "events_seasonal" -> ((s, dir) =>
       graft.ops.Events.seasonalResiduals(t(s, dir, "events"))),
 
+    // EXT autoregression diagnostics: exact OLS slope of daily counts
+    // on lags 1..7 in floor milli + raw moments — self-persistence per
+    // type; Pearson's irrational denominator deliberately avoided.
+    "events_ar_coeffs" -> ((s, dir) =>
+      graft.ops.Events.arCoefficients(t(s, dir, "events"))),
+
     // EXT DAU/MAU stickiness per calendar month: ΣDAU·10000 div
     // (days·MAU), one floor at the end — the engagement headline; the
     // corpus collapses to (month, day, user) before any aggregate.
@@ -6778,6 +6784,38 @@ object SparkEntry {
          SELECT channel, n_conversions, rev_cents,
                 CAST(rev_cents * 10000 // tot AS BIGINT) AS rev_share_bp
          FROM g CROSS JOIN tot ORDER BY rev_cents DESC, channel""",
+
+    // events_ar_coeffs: the same day collapse + lagged self-join
+    "events_ar_coeffs" ->
+      """WITH d AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1, 2),
+          j AS (SELECT a.event_type, t.lag,
+                       a.x AS y, b.x AS xlag
+                FROM d a
+                CROSS JOIN range(1, 8) t(lag)
+                JOIN d b ON b.event_type = a.event_type
+                        AND b.day = a.day - t.lag),
+          g AS (SELECT event_type, CAST(lag AS BIGINT) AS lag,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(xlag) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(xlag * xlag) AS BIGINT) AS sxx,
+                       CAST(sum(y * xlag) AS BIGINT) AS sxy
+                FROM j GROUP BY 1, 2)
+         SELECT event_type, lag, n, sx, sy, sxx, sxy,
+                -- FLOOR division: DuckDB's // truncates toward zero on
+                -- negatives, so subtract the positive mod first (the
+                -- Spark side's pmod identity)
+                CASE WHEN n * sxx - sx * sx <> 0
+                     THEN ((n * sxy - sx * sy) * 1000
+                           - ((((n * sxy - sx * sy) * 1000)
+                               % (n * sxx - sx * sx)
+                               + (n * sxx - sx * sx))
+                              % (n * sxx - sx * sx)))
+                          // (n * sxx - sx * sx) END AS slope_milli
+         FROM g ORDER BY event_type, lag""",
 
     // events_stickiness: the same (month, day, user) collapse; month
     // fields are tz-free (Spark session is UTC, parquet ts is naive)

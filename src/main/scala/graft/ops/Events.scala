@@ -840,6 +840,48 @@ object Events {
       .orderBy(desc("credit_cents"), asc("channel"))
   }
 
+  /** Autoregression diagnostics — per (event_type, lag 1..maxLag), the
+    * EXACT OLS slope of the daily count on its lag, in floor milli:
+    * slope = (n·Σxy − Σx·Σy)·1000 div (n·Σx² − (Σx)²). The
+    * self-persistence profile a forecasting/anomaly stack reads before
+    * choosing a model — deliberately the regression SLOPE and raw
+    * moment sums rather than Pearson r, whose √(varx·vary) denominator
+    * is irrational and engine-ULP-dependent (the assortativity r_milli
+    * shortcut needs identical marginals, which lagged windows don't
+    * have). Days missing from either side of a lag pair drop (inner
+    * join) — gaps are absence of evidence, not zeros.
+    *
+    * Scale: one (type, day) aggregate collapses the stream, the lag
+    * fan-out is ×maxLag over THAT table, and the join is
+    * (type, day)-keyed. Degenerate constant windows yield NULL slope
+    * (zero variance), not a division error. */
+  def arCoefficients(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val d = events.select(col("event_type"),
+        (tsUs(events) / lit(86400000000L)).cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val lagged = d.select(col("event_type"), col("day"), col("x"),
+        explode(typedLit((1 to maxLag).map(_.toLong))).as("lag"))
+      .select(col("event_type"), (col("day") + col("lag")).as("day"),
+        col("lag"), col("x").as("xlag"))
+    d.join(lagged, Seq("event_type", "day"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sy"),
+        sum("xlag").as("sx"), sum(col("x") * col("xlag")).as("sxy"),
+        sum(col("xlag") * col("xlag")).as("sxx"))
+      // negative numerators: Spark div truncates, DuckDB // floors —
+      // the pmod identity (a − pmod(a,b)) div b floors portably
+      // (b = the variance term, always > 0 here)
+      .withColumn("slope_milli",
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+          expr("""((n * sxy - sx * sy) * 1000
+                   - pmod((n * sxy - sx * sy) * 1000,
+                          n * sxx - sx * sx))
+                  div (n * sxx - sx * sx)""")))
+      .select("event_type", "lag", "n", "sx", "sy", "sxx", "sxy",
+        "slope_milli")
+      .orderBy("event_type", "lag")
+  }
+
   /** DAU/MAU stickiness — the engagement ratio every growth dashboard
     * leads with: per calendar month, the average daily active users
     * over the month's ACTIVE days versus the monthly actives, in floor

@@ -113,6 +113,30 @@ class DataQualitySpec extends SparkTestBase {
       ("(none)", 1L, 100L, 1666L)))
   }
 
+  test("arCoefficients: hand slopes, FLOOR on negative quotients, zero-variance NULL") {
+    // type p: counts 1,2,3,4 on days 0..3 -> lag-1 and lag-2 slopes
+    // exactly +1000 milli; lag-3 has one pair (zero variance) -> NULL.
+    // type n: counts 4,1,2 -> lag-1 slope -3000/9 = -333.33, which
+    // must FLOOR to -334 (a truncating div would say -333).
+    val us = (day: Long, k: Long) => day * 86400000000L + k
+    val rows =
+      (0 until 4).flatMap(d => (0 to d).map(i =>
+        ("p", us(d.toLong, i.toLong)))) ++
+      Seq(("n", 0L, 4), ("n", 1L, 1), ("n", 2L, 2)).flatMap {
+        case (t, d, c) => (0 until c).map(i => (t, us(d, i.toLong))) }
+    val ev = rows.zipWithIndex
+      .map { case ((t, u), i) => (i.toLong, t, u) }
+      .toDF("user_id", "event_type", "usec")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("usec")).as("ts"))
+    val got = graft.ops.Events.arCoefficients(ev, maxLag = 3)
+      .select("event_type", "lag", "slope_milli")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("n", 1L, Some(-334L)), ("n", 2L, None),
+      ("p", 1L, Some(1000L)), ("p", 2L, Some(1000L)), ("p", 3L, None)))
+  }
+
   test("stickiness: month grouping, active-day average, one-floor bp") {
     // month of day 0 (1970-01): day 0 has users {1,2}, day 1 has {1}
     // -> dau_sum 3, n_days 2, mau 2, bp = 30000 div 4 = 7500
