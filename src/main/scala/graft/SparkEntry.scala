@@ -1530,6 +1530,34 @@ object SparkEntry {
       Relational.abcClassification(t(s, dir, "lineitem"), "l_partkey",
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))),
 
+    // EXT order-to-ship lead time over the FACT⋈FACT equi-join
+    // (lineitem ⋈ orders on orderkey — at warehouse scale the
+    // bucketed/co-partitioned join shape q20 demonstrates; here AQE's
+    // sort-merge is the right default): per priority, exact day-lag
+    // stats with the signed-floor average (this corpus's synthetic
+    // dates produce negative lags — precisely the pmod-identity case).
+    "q48_lead_time" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        (unix_micros(col("o_orderdate").cast("timestamp"))
+          / lit(86400000000L)).cast("long").as("od"))
+      val l = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        (unix_micros(col("l_shipdate").cast("timestamp"))
+          / lit(86400000000L)).cast("long").as("sd"))
+      l.join(o, "o_orderkey")
+        .withColumn("lag", col("sd") - col("od"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), min("lag").as("min_days"),
+          max("lag").as("max_days"), sum("lag").as("sum_days"),
+          sum((col("lag") < 0).cast("long")).as("n_negative"))
+        .withColumn("avg_days_milli",
+          expr("(sum_days * 1000 - pmod(sum_days * 1000, n)) div n"))
+        .select("o_orderpriority", "n", "min_days", "max_days",
+          "sum_days", "n_negative", "avg_days_milli")
+        .orderBy("o_orderpriority")
+    }),
+
     // EXT skyline: the Pareto frontier of (price, size) over part —
     // sort-based distributed prefix-max, O(n log n) vs the oracle's
     // textbook O(n²) NOT-EXISTS dominance check (fine at sf0.01; the
@@ -9092,6 +9120,30 @@ object SparkEntry {
                 cum_rev_cents,
                 cum_rev_cents // cohort_size AS ltv_cents
          FROM r ORDER BY cohort_m, age""",
+
+    // q48_lead_time: same epoch-day arithmetic; signed floor average
+    // via the positive-mod identity (DuckDB // truncates on negatives)
+    "q48_lead_time" ->
+      """WITH j AS (SELECT o.o_orderpriority,
+                           epoch_us(l.l_shipdate) // 86400000000
+                           - epoch_us(o.o_orderdate) // 86400000000
+                             AS lag
+                    FROM lineitem l
+                    JOIN orders o ON o.o_orderkey = l.l_orderkey),
+          g AS (SELECT o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(min(lag) AS BIGINT) AS min_days,
+                       CAST(max(lag) AS BIGINT) AS max_days,
+                       CAST(sum(lag) AS BIGINT) AS sum_days,
+                       CAST(sum(CASE WHEN lag < 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_negative
+                FROM j GROUP BY 1)
+         SELECT o_orderpriority, n, min_days, max_days, sum_days,
+                n_negative,
+                (sum_days * 1000
+                 - (((sum_days * 1000 % n) + n) % n)) // n
+                  AS avg_days_milli
+         FROM g ORDER BY o_orderpriority""",
 
     // q46_abc_class: the same rank-ordered cumulative shares via one
     // desc window — share boundaries as ×10000 integer products

@@ -515,6 +515,20 @@ class RelationalSpec extends SparkTestBase {
     assert(got == Seq((1L, 5L, 1L), (2L, 7L, 1L), (3L, 9L, 2L)))
   }
 
+  test("q48_lead_time: signed floor-average identity holds on real testdata") {
+    val got = SparkEntry.queries("q48_lead_time")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, mn, mx, sum, nneg, avg) =>
+      assert(n > 0 && mn <= mx && nneg >= 0 && nneg <= n)
+      // the pinned convention: FLOOR, not truncation, on negative sums
+      assert(avg == Math.floorDiv(sum * 1000, n),
+        s"avg_days_milli must floor: $avg vs ${Math.floorDiv(sum * 1000, n)}")
+    }
+    // the synthetic corpus produces negative lags — the signed path is live
+    assert(got.map(_._6).sum > 0, "expected negative lags in testdata")
+  }
+
   test("abcClassification: boundary-inclusive classes, straddler lands by cum end") {
     // values 80/15/5 of total 100: cum 80 -> A (<= 80%), 95 -> B
     // (<= 95%), 100 -> C — boundary equality stays in the lower class
