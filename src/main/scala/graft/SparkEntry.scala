@@ -1079,6 +1079,46 @@ object SparkEntry {
       Dedup.appendToSigIndex(s, idx, batch1.join(admittedIds, "doc_id"))
       Dedup.probeSigIndex(s, idx, docs.filter(col("doc_id") % 4 === 3))
     }),
+    // the REBUILD phase of the ingest lifecycle — the piece the append
+    // query's build-pinned-caps contract defers to ("df/bucket statistics
+    // refresh only on periodic rebuilds"): after one probe→append cycle,
+    // rebuild the index from the GROWN corpus (even ∪ cycle-1 admits), so
+    // hot-shingle dfs and hot buckets re-scope over what the index now
+    // holds, then probe batch 2 against BOTH indexes side by side. The
+    // verdict_parity column is the cap-drift measurement itself (1 where
+    // pinned and refreshed caps agree — at this corpus they all do; a 0
+    // would mean an appended doc pushed a shingle/bucket over its cap).
+    // Oracle replicates both probe chains: build-pinned (the append
+    // oracle's) and corpus2-rescoped.
+    "dedup_sig_index_rebuild" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def tmpIdx(tag: String) = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-sig-rebuild-$tag-${ProcessHandle.current().pid()}")
+        .toString
+      val idxA = tmpIdx("a"); val idxB = tmpIdx("b")
+      stagedDirCleanup(idxA); stagedDirCleanup(idxB)
+      val corpus0 = docs.filter(col("doc_id") % 2 === 0)
+      Dedup.buildSigIndex(corpus0, idxA)
+      val batch1 = docs.filter(col("doc_id") % 4 === 1)
+      val admitted1 = batch1.join(
+        Dedup.probeSigIndex(s, idxA, batch1)
+          .filter(col("verdict") === "new").select("doc_id"),
+        "doc_id")
+      Dedup.appendToSigIndex(s, idxA, admitted1)
+      Dedup.buildSigIndex(corpus0.unionByName(admitted1), idxB)
+      val batch2 = docs.filter(col("doc_id") % 4 === 3)
+      val vAppend = Dedup.probeSigIndex(s, idxA, batch2)
+        .select(col("doc_id"), col("verdict").as("verdict_appended"),
+          col("match_id").as("match_appended"))
+      val vRebuild = Dedup.probeSigIndex(s, idxB, batch2)
+        .select(col("doc_id"), col("verdict").as("verdict_rebuilt"),
+          col("match_id").as("match_rebuilt"))
+      vRebuild.join(vAppend, "doc_id")
+        .withColumn("verdict_parity",
+          (col("verdict_rebuilt") === col("verdict_appended")).cast("long"))
+        .orderBy("doc_id")
+    }),
     // the production dedup pipeline END TO END (the 100 TB path that
     // Dedup.levenshteinRescore's doc promises; stages previously only
     // checked separately): MinHash-LSH candidate generation → banded
@@ -1143,8 +1183,13 @@ object SparkEntry {
     "sim_range_search" -> ((s, dir) =>
       Similarity.rangeSearch(t(s, dir, "embeddings"), 20, 0.3)),
     "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
+    // coarse quantizer fit on the bounded 1000-row sample (the cap BITES
+    // at this corpus — half the vectors — so the sampled-training path
+    // is the one the recall floor actually measures; at 100 TB k-means
+    // over the full corpus is a cost cliff that buys no recall)
     "sim_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), 20, 5)),
+      Similarity.ivfTopK(t(s, dir, "embeddings"), 20, 5,
+        fitSampleCap = 1000)),
     // EXT persisted ANN index: build the IVF index once (cluster-
     // partitioned lists on disk), then answer the query batch by probing
     // it — the scan reads only the probed partitions (DPP). Rows-only
@@ -1170,9 +1215,29 @@ object SparkEntry {
     // vs the coarse 4x16 codebook's 15%-of-corpus auto shortlist).
     // Rows-only (k-means floats); ≡ bruteTopK at shortlist >= corpus,
     // spec-asserted.
+    // codebooks fit on the bounded 1000-row sample (bites here: measured
+    // 9000 bp sampled vs 9300 full at sf0.1 — IvfPqTune-recorded); the
+    // ADC shortlist is the bounded-state TopKAgg, not a full-N window
     "sim_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), 20, 5,
-        m = 8, codebookSize = 256, shortlist = 64)),
+        m = 8, codebookSize = 256, shortlist = 64, fitSampleCap = 1000)),
+    // EXT the COMPOSED ANN scale path (IVFADC): IVF lists bound WHICH
+    // vectors are candidates (6 of 16 lists probed per query — the codes
+    // scan partition-prunes via DPP, PlanShapeSpec-asserted), PQ codes
+    // bound the BYTES per candidate (8 vs 256), a fixed 64-row exact
+    // re-rank restores ranking. Build-once/probe-many persisted form;
+    // rows-only (k-means floats); recall floor armed in ann_recall_ivfpq.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft-ivfpq-index-${ProcessHandle.current().pid()}")
+        .toString
+      stagedDirCleanup(idx)
+      Similarity.buildIvfPqIndex(emb, idx, fitSampleCap = 1000)
+      Similarity.probeIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") < 20), 5, nProbe = 6)
+    }),
     // similarity × dedup composition: sign-LSH near-dup pairs resolved to
     // connected components — embedding-level duplicate clusters
     "dedup_embedding_clusters" -> ((s, dir) =>
@@ -1211,10 +1276,14 @@ object SparkEntry {
     "ann_recall_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // one full-outer join + one aggregate: the brute scan and the
-      // k-means-backed IVF pipeline each run exactly once
+      // k-means-backed IVF pipeline each run exactly once. Floor 4800:
+      // the sampled coarse fit (cap 1000, bites here) measures 5800 bp
+      // at sf0.1 vs 6600 full-fit (IvfPqTune) — the band moved with the
+      // deliberately-bitten sample, the floor follows ~1000 bp under it
       val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
-      val approx = Similarity.ivfTopK(emb, 20, 5).select("q_id", "vec_id")
-      annRecallReport(exact, approx, floorBp = Some(5000))
+      val approx = Similarity.ivfTopK(emb, 20, 5, fitSampleCap = 1000)
+        .select("q_id", "vec_id")
+      annRecallReport(exact, approx, floorBp = Some(4800))
     }),
     // recall@k of the PQ/ADC shortlist path at production settings —
     // completes the per-path ANN quality surface (LSH: ann_recall,
@@ -1227,7 +1296,20 @@ object SparkEntry {
       // regenerated corpus has headroom; a collapse below 60% recall
       // means the codebook-resolution contract broke — fail loudly)
       val approx = Similarity.pqTopK(emb, 20, 5,
-        m = 8, codebookSize = 256, shortlist = 64).select("q_id", "vec_id")
+          m = 8, codebookSize = 256, shortlist = 64, fitSampleCap = 1000)
+        .select("q_id", "vec_id")
+      annRecallReport(exact, approx, floorBp = Some(6000))
+    }),
+    // recall of the COMPOSED IVFADC path at the registered settings
+    // (nProbe 6/16 lists = 37.5% of codes scanned, sampled fits, 64-row
+    // exact re-rank): measured 6900 bp at sf0.1 (IvfPqTune) vs 5800 for
+    // the same coarse quantizer probing alone at nProbe 4 — the PQ stage
+    // costs ~nothing on top of its IVF pruning. Rows-only (k-means).
+    "ann_recall_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
+      val approx = Similarity.ivfPqTopK(emb, 20, 5, nProbe = 6,
+        fitSampleCap = 1000).select("q_id", "vec_id")
       annRecallReport(exact, approx, floorBp = Some(6000))
     }),
 
@@ -3914,6 +3996,158 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Rebuild-phase oracle: the [[sigIndexAppendOracle]] chain (build on
+    * the even half, probe batch 1, admit, probe batch 2 against the
+    * BUILD-PINNED caps) joined side-by-side with a REBUILT chain whose
+    * hot-shingle dfs and hot buckets are re-scoped over the grown corpus
+    * (even ∪ cycle-1 admits) — exactly what Dedup.buildSigIndex computes
+    * when rerun on the union. The verdict_parity column is the
+    * cap-drift measurement. cfpu (the grown md5 dictionary) is shared by
+    * both sides: admitted docs' fps are disjoint from the corpus
+    * dictionary by the admission rule itself.
+    *
+    * Multi-referenced CTEs are AS MATERIALIZED: DuckDB 1.0 INLINES every
+    * CTE reference, so without it `adm` (5 references) re-evaluates the
+    * whole pinned signature chain per use — measured >15 min at sf0.01
+    * vs ~20 s materialized (the unrolled-CTE planning lesson's sibling;
+    * single-reference CTEs stay plain). */
+  private def sigIndexRebuildOracle: String = {
+    import Portable._
+    def sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
+      s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i")
+      .mkString(",\n           ")
+    def bandSelects(sigTable: String) =
+      (0 until graft.ops.Dedup.MinhashBands).map { b =>
+        val key = (0 until 4).foldLeft(s"CAST(${b + 1} AS BIGINT)") { (acc, j) =>
+          s"(($acc * $BandMix + m${4 * b + j}) % $P1)"
+        }
+        s"SELECT doc_id, $b AS band_idx, $key AS band_hash FROM $sigTable"
+      }.mkString("\n           UNION ALL ")
+    val matches = (0 until graft.ops.Dedup.MinhashK)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val member = "(doc_id % 2 = 0 OR doc_id IN (SELECT doc_id FROM adm))"
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+       |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+       |          WHERE len(arr) >= 3),
+       |  h AS MATERIALIZED (SELECT DISTINCT doc_id, ${polySql("s")} AS hh FROM shs),
+       |  hot AS (SELECT hh FROM h WHERE doc_id % 2 = 0
+       |          GROUP BY hh HAVING count(*) > 100),
+       |  kept AS (SELECT doc_id, hh FROM h
+       |           WHERE hh NOT IN (SELECT hh FROM hot)),
+       |  sig AS MATERIALIZED (SELECT doc_id, $sigAggs FROM kept GROUP BY doc_id),
+       |  bandall AS MATERIALIZED (${bandSelects("sig")}),
+       |  hotbk AS (SELECT band_idx, band_hash FROM bandall
+       |            WHERE doc_id % 2 = 0
+       |            GROUP BY 1, 2 HAVING count(*) > 50),
+       |  kb AS MATERIALIZED (SELECT * FROM bandall b WHERE NOT EXISTS (
+       |           SELECT 1 FROM hotbk g
+       |           WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
+       |  corp1 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+       |  cfp1 AS MATERIALIZED (SELECT fp, min(doc_id) AS exact_id FROM corp1 GROUP BY 1),
+       |  bat1 AS MATERIALIZED (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 = 1),
+       |  bk1 AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat1 GROUP BY 1),
+       |  nc1 AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+       |          FROM kb bb JOIN kb cb
+       |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+       |          WHERE bb.doc_id % 4 = 1 AND cb.doc_id % 2 = 0),
+       |  sc1 AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
+       |          FROM nc1 JOIN sig sa ON sa.doc_id = bid
+       |                   JOIN sig sb ON sb.doc_id = cid
+       |          WHERE $matches >= 16),
+       |  best1 AS (SELECT bid, cid FROM (
+       |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
+       |                       ORDER BY sm DESC, cid) AS rn
+       |              FROM sc1) WHERE rn = 1),
+       |  v1 AS (SELECT b.doc_id,
+       |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+       |                WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
+       |                WHEN nb.cid IS NOT NULL THEN 'near_dup'
+       |                ELSE 'new' END AS verdict
+       |         FROM bat1 b LEFT JOIN cfp1 e ON e.fp = b.fp
+       |         JOIN bk1 k ON k.fp = b.fp
+       |         LEFT JOIN best1 nb ON nb.bid = b.doc_id),
+       |  adm AS MATERIALIZED (SELECT doc_id FROM v1 WHERE verdict = 'new'),
+       |  cfpu AS MATERIALIZED (SELECT fp, exact_id FROM cfp1
+       |           UNION ALL
+       |           SELECT fp, min(doc_id) AS exact_id FROM bat1
+       |           WHERE doc_id IN (SELECT doc_id FROM adm) GROUP BY fp),
+       |  bat2 AS MATERIALIZED (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 = 3),
+       |  bk2 AS MATERIALIZED (SELECT fp, min(doc_id) AS batch_keep_id FROM bat2 GROUP BY 1),
+       |  nca AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+       |          FROM kb bb JOIN kb cb
+       |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+       |          WHERE bb.doc_id % 4 = 3
+       |            AND (cb.doc_id % 2 = 0
+       |                 OR cb.doc_id IN (SELECT doc_id FROM adm))),
+       |  sca AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
+       |          FROM nca JOIN sig sa ON sa.doc_id = bid
+       |                   JOIN sig sb ON sb.doc_id = cid
+       |          WHERE $matches >= 16),
+       |  besta AS (SELECT bid, cid FROM (
+       |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
+       |                       ORDER BY sm DESC, cid) AS rn
+       |              FROM sca) WHERE rn = 1),
+       |  va AS (SELECT b.doc_id,
+       |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+       |                WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
+       |                WHEN nb.cid IS NOT NULL THEN 'near_dup'
+       |                ELSE 'new' END AS verdict,
+       |           CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
+       |                WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
+       |                WHEN nb.cid IS NOT NULL THEN nb.cid
+       |                ELSE NULL END AS match_id
+       |         FROM bat2 b LEFT JOIN cfpu e ON e.fp = b.fp
+       |         JOIN bk2 k ON k.fp = b.fp
+       |         LEFT JOIN besta nb ON nb.bid = b.doc_id),
+       |  hotr AS (SELECT hh FROM h WHERE $member
+       |           GROUP BY hh HAVING count(*) > 100),
+       |  keptr AS (SELECT doc_id, hh FROM h
+       |            WHERE hh NOT IN (SELECT hh FROM hotr)),
+       |  sigr AS MATERIALIZED (SELECT doc_id, $sigAggs FROM keptr GROUP BY doc_id),
+       |  bandr AS MATERIALIZED (${bandSelects("sigr")}),
+       |  hotbkr AS (SELECT band_idx, band_hash FROM bandr
+       |             WHERE $member
+       |             GROUP BY 1, 2 HAVING count(*) > 50),
+       |  kbr AS MATERIALIZED (SELECT * FROM bandr b WHERE NOT EXISTS (
+       |            SELECT 1 FROM hotbkr g
+       |            WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
+       |  ncr AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+       |          FROM kbr bb JOIN kbr cb
+       |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+       |          WHERE bb.doc_id % 4 = 3
+       |            AND (cb.doc_id % 2 = 0
+       |                 OR cb.doc_id IN (SELECT doc_id FROM adm))),
+       |  scr AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
+       |          FROM ncr JOIN sigr sa ON sa.doc_id = bid
+       |                   JOIN sigr sb ON sb.doc_id = cid
+       |          WHERE $matches >= 16),
+       |  bestr AS (SELECT bid, cid FROM (
+       |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
+       |                       ORDER BY sm DESC, cid) AS rn
+       |              FROM scr) WHERE rn = 1),
+       |  vr AS (SELECT b.doc_id,
+       |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+       |                WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
+       |                WHEN nb.cid IS NOT NULL THEN 'near_dup'
+       |                ELSE 'new' END AS verdict,
+       |           CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
+       |                WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
+       |                WHEN nb.cid IS NOT NULL THEN nb.cid
+       |                ELSE NULL END AS match_id
+       |         FROM bat2 b LEFT JOIN cfpu e ON e.fp = b.fp
+       |         JOIN bk2 k ON k.fp = b.fp
+       |         LEFT JOIN bestr nb ON nb.bid = b.doc_id)
+       |SELECT r.doc_id AS doc_id,
+       |  r.verdict AS verdict_rebuilt, r.match_id AS match_rebuilt,
+       |  a.verdict AS verdict_appended, a.match_id AS match_appended,
+       |  CAST(CASE WHEN r.verdict = a.verdict THEN 1 ELSE 0 END AS BIGINT)
+       |    AS verdict_parity
+       |FROM vr r JOIN va a ON a.doc_id = r.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** N-cycle streaming-gate oracle: the [[sigIndexAppendOracle]] chain
     * generalized — cycle j gates docs with `doc_id % 2n = 2j+1` against
     * even ∪ (admissions of all earlier cycles), and the emitted
@@ -5397,6 +5631,7 @@ object SparkEntry {
     "dedup_ingest_gate" -> ingestGateOracle,
     "dedup_sig_index_probe" -> sigIndexProbeOracle,
     "dedup_sig_index_append" -> sigIndexAppendOracle,
+    "dedup_sig_index_rebuild" -> sigIndexRebuildOracle,
 
     // two independent NFC implementations must agree byte-for-byte:
     // the Spark side normalizes via the JDK, this oracle via DuckDB's

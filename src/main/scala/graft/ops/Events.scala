@@ -783,8 +783,13 @@ object Events {
     * telescoping dyadic-rank allocation (the events_quartiles
     * discipline), which sums to exactly rev per journey and is
     * reproducible in any engine with floor division. rev ≥ 0 and
-    * cumw ≥ 0, so Spark's truncating `div` and DuckDB's flooring `//`
-    * agree.
+    * cumw ≥ 0, so Spark's `div` and DuckDB's `//` (both truncate toward
+    * zero on negatives — measured, see [[arCoefficients]]; truncation
+    * and floor only coincide for non-negative operands) agree. The
+    * non-negativity is ENFORCED in-plan (assert_true on the conversion
+    * rows, the bitmapDistinct precondition style): signed revenue would
+    * silently skew per-touch credits instead of failing loudly —
+    * pre-collapse refunds before attributing.
     *
     * Journey segmentation, ordering and the '(none)' channel for
     * touchless conversions all follow [[lastTouchAttribution]]'s
@@ -808,7 +813,14 @@ object Events {
     val jd = tagged.withColumn("jid",
       coalesce(sum("is_conv").over(wPrev), lit(0)))
     val convs = jd.filter(col("is_conv") === 1)
-      .select(col("user_id"), col("jid"), col("c").as("rev_cents"))
+      .select(col("user_id"), col("jid"),
+        // assert_true is NULL on pass, throws on fail — routing the value
+        // through the guard forces its evaluation on every conversion row
+        when(assert_true(col("c") >= 0,
+          lit("positionAttribution: negative conversion value — U-shape " +
+            "credit math assumes rev >= 0 (floor == truncate there); " +
+            "pre-collapse refunds before attributing")).isNull,
+          col("c")).as("rev_cents"))
     val wPos = Window.partitionBy("user_id", "jid")
       .orderBy(col("us"), col("event_id"))
     val touches = jd.filter(col("is_conv") === 0)

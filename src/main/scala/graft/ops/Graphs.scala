@@ -477,33 +477,50 @@ object Graphs {
     * re-scores in DECIMAL(38,0) past a billion edges).
     *
     * Scale shape: two |V|-sized label joins onto the canonical edge
-    * list (broadcast while labels fit, the family's strategy knob
-    * belongs to the detector not the scorer), then everything is
-    * #communities-sized aggregates + 1-row broadcasts. The edge list is
-    * scanned twice (intra-count + degrees), never self-joined. */
+    * list, then everything is #communities-sized aggregates + 1-row
+    * broadcasts. The edge list is scanned twice (intra-count + degrees),
+    * never self-joined. The label joins follow the family's
+    * [[Strategies]] knob: `broadcast` (default) ships the |V|-sized
+    * label table to every executor; `copartition` shuffles it instead
+    * (merge-hinted like [[stateJoin]], so AQE cannot flip the plan back
+    * to a broadcast that would OOM at the |V| this mode exists for) —
+    * in that mode NOTHING |V|-sized is ever broadcast, only the 1-row
+    * scalars. Results are bit-identical across strategies (integer
+    * arithmetic; PlanShapeSpec asserts equality + the no-broadcast
+    * shape). */
   def modularityReport(edges: DataFrame, labels: DataFrame,
-      a: String = "da", b: String = "db"): DataFrame = {
+      a: String = "da", b: String = "db",
+      strategy: String = "broadcast"): DataFrame = {
+    requireStrategy(strategy)
     val sym = edges
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     val lab = labels.select(col("node"), col("label"))
     val m = sym.agg(count(lit(1)).as("m"))
-    val labeled = sym
-      .join(broadcast(lab.select(col("node").as("u"), col("label").as("lu"))),
-        "u")
-      .join(broadcast(lab.select(col("node").as("v"), col("label").as("lv"))),
-        "v")
+    val labeled = stateJoin(
+      stateJoin(sym,
+        lab.select(col("node").as("u"), col("label").as("lu")), "u", strategy),
+      lab.select(col("node").as("v"), col("label").as("lv")), "v", strategy)
     val eIntra = labeled.filter(col("lu") === col("lv"))
       .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_intra"))
-    val dSum = sym.select(col("u").as("node"))
-      .union(sym.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-      .join(broadcast(lab), "node")
+    val dSum = stateJoin(
+      sym.select(col("u").as("node"))
+        .union(sym.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg")),
+      lab, "node", strategy)
       .groupBy("label").agg(sum("deg").as("d_sum"))
-    val per = lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
-      .join(eIntra, Seq("label"), "left")
-      .withColumn("e_intra", coalesce(col("e_intra"), lit(0L)))
-      .join(dSum, "label")
+    // the per-label rollup joins are #communities-sized and broadcast
+    // safely by default; under copartition they take the merge hint too —
+    // the mode's contract is NO hash build anywhere (label cardinality is
+    // data-dependent, and the mode exists for graphs where "small" lied)
+    def labelJoin(l: DataFrame, r: DataFrame, typ: String): DataFrame =
+      if (strategy == "broadcast") l.join(r, Seq("label"), typ)
+      else l.hint("merge").join(r, Seq("label"), typ)
+    val per = labelJoin(labelJoin(
+        lab.groupBy("label").agg(count(lit(1)).as("n_nodes")),
+        eIntra, "left")
+        .withColumn("e_intra", coalesce(col("e_intra"), lit(0L))),
+      dSum, "inner")
       .crossJoin(broadcast(m))
       .withColumn("contrib_scaled",
         when(assert_true(col("m") <= 1500000000L,
@@ -541,22 +558,27 @@ object Graphs {
     * NULL rather than a crash or fake 0: correlation of a constant is
     * undefined, and the report says so.
     *
-    * Scale: one degree agg, one broadcast of the \|V\|-sized degree
-    * table onto the edge list, one 1-row rollup. Sums are bounded by
-    * M·maxdeg² — past ~10⁹ stubs of ~10³ degrees move to DECIMAL,
-    * documented not silent (assert in-plan). */
+    * Scale: one degree agg, two attaches of the \|V\|-sized degree
+    * table onto the stub list (broadcast by default; under the
+    * [[Strategies]] `copartition` knob they become merge-hinted shuffle
+    * joins so no \|V\|-sized build ever ships to the driver-side
+    * broadcast path — a 10⁹-node degree table kills broadcast mode),
+    * one 1-row rollup. Sums are bounded by M·maxdeg² — past ~10⁹ stubs
+    * of ~10³ degrees move to DECIMAL, documented not silent (assert
+    * in-plan). Results are strategy-independent bit-for-bit (integer
+    * moments; PlanShapeSpec asserts equality + the no-broadcast shape). */
   def assortativity(edges: DataFrame, a: String = "da",
-      b: String = "db"): DataFrame = {
+      b: String = "db", strategy: String = "broadcast"): DataFrame = {
+    requireStrategy(strategy)
     val sym = edges
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     val stubs = sym.select(col("u").as("src"), col("v").as("dst"))
       .union(sym.select(col("v").as("src"), col("u").as("dst")))
     val deg = stubs.groupBy("src").agg(count(lit(1)).as("deg"))
-    stubs
-      .join(broadcast(deg), "src")
-      .join(broadcast(deg.select(col("src").as("dst"),
-        col("deg").as("deg_y"))), "dst")
+    stateJoin(stateJoin(stubs, deg, "src", strategy),
+        deg.select(col("src").as("dst"), col("deg").as("deg_y")),
+        "dst", strategy)
       .agg(count(lit(1)).as("m2"), sum("deg").as("sx"),
         sum(expr("deg * deg")).as("sxx"),
         sum(expr("deg * deg_y")).as("sxy"))

@@ -2,10 +2,11 @@ package graft.ops
 
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.ArrayDot
+import graft.functions.{ArrayDot, Portable, Scored, TopKByScore}
 
 /** Similarity search over an embedding column `Array[Float]`
   * (BASELINE.json north star; SURVEY.md §2h EXT).
@@ -292,67 +293,34 @@ object Similarity {
     * remains only as the honest calibration for the coarse default. */
   def pqTopK(emb: DataFrame, nQueries: Int, k: Int, m: Int = 4,
       codebookSize: Int = 16, shortlist: Int = -1, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m must divide dim, got $m / $dim")
     val autoShortlist =
       if (shortlist > 0) shortlist
       else math.max(50L, math.ceil(emb.count() * 0.15).toLong).toInt
     require(autoShortlist >= k, s"shortlist >= k, got $autoShortlist < $k")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val subDim = dim / m
 
-    val base = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
-      .withColumn("unit", transform(col("embedding"),
-        e => (e / col("nrm")).cast("float")))
-    def subVec(s: Int) = array_to_vector(transform(
-      slice(col("unit"), s * subDim + 1, subDim), _.cast("double")))
-    // one seeded k-means per subspace; fits are sequential driver calls
-    // but each is a distributed Lloyd run over an (N x subDim) slice.
-    // Subspaces are independent, so each fit reads a single projected
-    // column straight off base — never through the other models'
-    // transform lineage (the chained form re-ran every earlier model's
-    // assignment inside each later fit's input pass).
-    // k-means|| init stays: with 16-word codebooks the init quality IS
-    // the recall (random init measurably collapses shortlist recall).
-    // The m fits are independent seeded jobs, so they run CONCURRENTLY
-    // (scala-parallel-collections over the thread-safe Spark scheduler):
-    // wall-clock is one fit, not m.
-    import scala.collection.parallel.CollectionConverters._
-    val models = (0 until m).par.map { s =>
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(codebookSize).setSeed(seed + s).setMaxIter(8)
-        .setFeaturesCol(s"sub$s").setPredictionCol(s"code$s")
-        .fit(base.select(subVec(s).as(s"sub$s")))
-    }.toList
-    val codebooks = models.zipWithIndex.flatMap { case (model, s) =>
-      model.clusterCenters.zipWithIndex.map { case (c, code) =>
-        (s, code, c.toArray.map(_.toFloat)) }
-    }.toSeq.toDF("s", "code", "cw")
-    // assignment: one pass over base through all m models' predictors
-    val withSubs = (0 until m).foldLeft(base) { (df, s) =>
-      df.withColumn(s"sub$s", subVec(s)) }
-    val encoded = models.foldLeft(withSubs) { (df, model) =>
-      model.transform(df) }.drop((0 until m).map(s => s"sub$s"): _*)
-    val codes = encoded.withColumn("codes",
-      array((0 until m).map(s => col(s"code$s")): _*))
+    val base = withUnit(emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding"))))
+    val codec = pqFit(base, m, codebookSize, subDim, seed, fitSampleCap)
+    val codes = pqEncode(base, codec)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
 
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("unit").as("qu"))
-    // ADC lookup table: dot(query subvector, codeword) per (query, s, code)
-    val lut = q.crossJoin(broadcast(codebooks))
-      .select(col("q_id"),col("s"), col("code"),
-        dot(slice(col("qu"), col("s") * subDim + 1, lit(subDim)),
-          col("cw")).as("lv"))
-    val adc = codes.join(broadcast(lut), Seq("s", "code"))
+    // ADC: candidates are the WHOLE code table (flat PQ — a compressed
+    // scan; [[ivfPqTopK]] is the composed form whose candidate pass is
+    // list-bounded), scored against the broadcast LUT with map-side
+    // partial aggregation keyed (query, vector)
+    val adc = codes.join(broadcast(adcLut(q, codec.codebooks, subDim)),
+        Seq("s", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id").agg(sum(col("lv")).as("adc"))
-    val wAdc = Window.partitionBy("q_id").orderBy(desc("adc"), asc("vec_id"))
-    val cand = adc.withColumn("adc_rnk", row_number().over(wAdc))
-      .filter(col("adc_rnk") <= autoShortlist).select("q_id", "vec_id")
+    val cand = adcShortlist(adc, col("vec_id"), autoShortlist)
+      .select("q_id", "vec_id")
 
     // exact re-rank of the shortlist — bruteTopK's scoring, tie-break, shape
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
@@ -365,6 +333,287 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "vec_id", "cosine")
       .orderBy("q_id", "rnk")
+  }
+
+  /** Default codebook-fit sample cap: quantizer training reads AT MOST
+    * this many rows however big the corpus is (the production ANN
+    * discipline — FAISS-style indexes train on ~100k–1M sampled vectors;
+    * a Lloyd fit over all of a 100 TB corpus is a cost cliff that buys
+    * no recall). Registered queries pin a cap that BITES at bench scale
+    * so the sampled path is the one the floors actually measure. */
+  val DefaultFitSampleCap = 100000
+
+  /** Largest shortlist the [[TopKByScore]] aggregator path serves: the
+    * sorted-Seq buffer re-sorts k+1 rows per insert, the right trade at
+    * presentation-sized k but not at corpus-sized parity configurations
+    * (shortlist ≥ N keeps everything — nothing to bound, the window
+    * form is strictly simpler there). */
+  private val MaxAggShortlist = 128
+
+  /** Upper bound on nCentroids for the IVFADC path — the shortlist
+    * aggregator's (score, key) rows pack `vec_id * MaxClusters +
+    * cluster` into the key (each vec_id maps to ONE cluster, so the
+    * packed order ≡ vec_id order and the tie-break discipline is
+    * unchanged), letting the exact re-rank join the partitioned lists
+    * on (cluster, vec_id) and prune like the candidate pass. Requires
+    * non-negative vec_ids (any parquet-scan corpus here). */
+  val MaxClusters = 1024
+
+  /** Deterministic bounded fit sample for quantizer training: a seeded
+    * affine portable hash on `vec_id` keeps ~`cap` rows (coefficient
+    * index 19 — disjoint from the hashSplit/sample/PPS/kfold draws, so
+    * sampling never correlates with split membership). `n <= cap`
+    * short-circuits to the full frame; the one `count()` is an
+    * index-build-time cost, paid where production pays it. pmod-first
+    * keeps every product inside signed-64 for any vec_id. */
+  private def fitSample(df: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"fitSampleCap >= 1, got $cap")
+    val n = df.count()
+    if (n <= cap) df
+    else {
+      val keepBp = math.min(10000L, (cap * 10000L) / n + 1L)
+      df.filter(
+        pmod(pmod(col("vec_id"), lit(Portable.P1)) * lit(Portable.aCoef(19))
+          + lit(Portable.bCoef(19)), lit(Portable.P1)) % 10000L < keepBp)
+    }
+  }
+
+  /** Unit-vector column (float, sequential-sum discipline) appended. */
+  private def withUnit(base: DataFrame): DataFrame =
+    base.withColumn("unit", transform(col("embedding"),
+      e => (e / col("nrm")).cast("float")))
+
+  private def subVec(s: Int, subDim: Int): Column = array_to_vector(
+    transform(slice(col("unit"), s * subDim + 1, subDim), _.cast("double")))
+
+  /** The m per-subspace codebooks: fitted models (for encoding) + the
+    * broadcastable (s, code, cw) table (for ADC LUTs). One seeded
+    * k-means per subspace over the BOUNDED [[fitSample]] — each fit
+    * reads a single projected column straight off the sampled frame
+    * (never through the other models' transform lineage), and the m
+    * fits run CONCURRENTLY (scala-parallel-collections over the
+    * thread-safe Spark scheduler): wall-clock is one fit, not m.
+    * k-means|| init stays: codebook init quality IS the shortlist
+    * recall (random init measurably collapses it — unlike the IVF
+    * coarse quantizer, where probe ranking + exact re-score make init
+    * irrelevant). */
+  private case class PqCodec(
+      models: List[org.apache.spark.ml.clustering.KMeansModel],
+      codebooks: DataFrame)
+
+  private def pqFit(base: DataFrame, m: Int, codebookSize: Int,
+      subDim: Int, seed: Long, fitSampleCap: Int): PqCodec = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    // one bounded sample shared by all m fits (count() runs once)
+    val fitBase = fitSample(base, fitSampleCap)
+    import scala.collection.parallel.CollectionConverters._
+    val models = (0 until m).par.map { s =>
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(codebookSize).setSeed(seed + s).setMaxIter(8)
+        .setFeaturesCol(s"sub$s").setPredictionCol(s"code$s")
+        .fit(fitBase.select(subVec(s, subDim).as(s"sub$s")))
+    }.toList
+    val codebooks = models.zipWithIndex.flatMap { case (model, s) =>
+      model.clusterCenters.zipWithIndex.map { case (c, code) =>
+        (s, code, c.toArray.map(_.toFloat)) }
+    }.toSeq.toDF("s", "code", "cw")
+    PqCodec(models, codebooks)
+  }
+
+  /** Encode every row of `base` (needs `unit`): all input columns except
+    * the scratch subvectors, plus `codes` = the m byte codes as one
+    * array — one pass through all m models' predictors. */
+  private def pqEncode(base: DataFrame, codec: PqCodec): DataFrame = {
+    val m = codec.models.size
+    val subDim = codec.models.head.clusterCenters.head.size
+    val withSubs = (0 until m).foldLeft(base) { (df, s) =>
+      df.withColumn(s"sub$s", subVec(s, subDim)) }
+    codec.models.foldLeft(withSubs) { (df, model) => model.transform(df) }
+      .drop((0 until m).map(s => s"sub$s"): _*)
+      .withColumn("codes", array((0 until m).map(s => col(s"code$s")): _*))
+      .drop((0 until m).map(s => s"code$s"): _*)
+  }
+
+  /** ADC lookup table: dot(query subvector, codeword) per
+    * (query, s, code) — nQueries × m × codebookSize rows, broadcast. */
+  private def adcLut(q: DataFrame, codebooks: DataFrame,
+      subDim: Int): DataFrame =
+    q.crossJoin(broadcast(codebooks))
+      .select(col("q_id"), col("s"), col("code"),
+        dot(slice(col("qu"), col("s") * subDim + 1, lit(subDim)),
+          col("cw")).as("lv"))
+
+  /** ADC shortlist selection. Production-sized shortlists go through
+    * the typed [[TopKByScore]] aggregator (ObjectHashAggregate: ≤
+    * shortlist rows per (query, map partition) cross the exchange —
+    * never the q-keyed full-candidate sort a `row_number` window pays);
+    * the window form survives only for full-probe parity configurations
+    * (shortlist ≥ corpus), where nothing is dropped anyway. `keyCol`
+    * must be a non-negative long that ORDERS like vec_id (vec_id
+    * itself, or the [[MaxClusters]] packing); ADC-score ties break
+    * ascending on it, the family's O1 discipline, identical in both
+    * branches. */
+  private def adcShortlist(adc: DataFrame, keyCol: Column,
+      shortlist: Int): DataFrame =
+    if (shortlist <= MaxAggShortlist) {
+      val topsl = udaf(new TopKByScore(shortlist), ExpressionEncoder[Scored]())
+      adc.groupBy("q_id")
+        .agg(topsl(col("adc"), keyCol).as("top"))
+        .select(col("q_id"), explode(col("top")).as("t"))
+        .select(col("q_id"), col("t.key").as("vec_id"))
+    } else {
+      adc.withColumn("__k", keyCol)
+        .withColumn("adc_rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("adc"), asc("__k"))))
+        .filter(col("adc_rnk") <= shortlist)
+        .select(col("q_id"), col("__k").as("vec_id"))
+    }
+
+  /** IVFADC top-k (Jégou et al. 2011, the composed form): IVF's coarse
+    * quantizer bounds WHICH vectors are candidates (nProbe of nCentroids
+    * inverted lists per query), PQ's byte codes bound HOW MUCH is read
+    * per candidate (m bytes via the ADC LUT instead of 4·dim), and a
+    * fixed-size exact re-rank restores ranking quality — every
+    * production ANN system (FAISS IVFADC/IVF-PQ) is this composition.
+    * [[ivfTopK]] alone scans full vectors of probed lists; [[pqTopK]]
+    * alone ADC-scans EVERY code row per query batch; composed, the
+    * candidate pass reads ~nProbe/nCentroids of the code table and the
+    * full-width vectors are touched only for shortlist × nQueries rows.
+    *
+    * Codes are raw-vector codebooks (not residual-encoded): residual PQ
+    * adds per-list codebook quality but couples the codec to the coarse
+    * quantizer (re-encode the corpus on every coarse refresh); the
+    * measured recall at the registered settings clears the same floor,
+    * so the operationally simpler codec wins here — documented trade.
+    *
+    * Full-probe parity: with nProbe = nCentroids and shortlist ≥ corpus
+    * the result equals [[bruteTopK]] bit-for-bit (spec-asserted — the
+    * IVF and PQ disciplines compose). Rows-only at the driver (k-means
+    * floats); recall is floor-armed in `ann_recall_ivfpq`.
+    *
+    * Both quantizers train on the bounded [[fitSample]]. Inline form
+    * re-derives the index per call; [[buildIvfPqIndex]] /
+    * [[probeIvfPqIndex]] is the build-once/probe-many shape whose
+    * candidate scan partition-prunes (DPP) to the probed lists. */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8,
+      codebookSize: Int = 256, shortlist: Int = 64, dim: Int = 64,
+      seed: Long = 42L, fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
+    val (codes, lists, centroids, codebooks, subDim) =
+      ivfPqParts(emb, nCentroids, m, codebookSize, dim, seed, fitSampleCap)
+    val q = withUnit(lists).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("unit").as("qu"))
+    ivfPqProbe(codes, lists, centroids, codebooks, q, k, nProbe,
+      shortlist, subDim)
+  }
+
+  /** The four tables an IVFADC index consists of: PQ codes and full
+    * vectors both keyed by coarse cluster, plus the tiny centroid and
+    * codebook tables (broadcast everywhere). */
+  private def ivfPqParts(emb: DataFrame, nCentroids: Int, m: Int,
+      codebookSize: Int, dim: Int, seed: Long, fitSampleCap: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim, got $m / $dim")
+    require(nCentroids >= 1 && nCentroids <= MaxClusters,
+      s"nCentroids in [1, $MaxClusters] (shortlist key packing), got " +
+        nCentroids)
+    val subDim = dim / m
+    val (listed, centroids) = ivfParts(emb, nCentroids, seed, fitSampleCap)
+    val base = withUnit(listed)
+    val codec = pqFit(base, m, codebookSize, subDim, seed, fitSampleCap)
+    val codes = pqEncode(base, codec)
+      .select(col("cluster"), col("vec_id"), col("codes"))
+    val lists = listed.select("cluster", "vec_id", "embedding", "nrm")
+    (codes, lists, centroids, codec.codebooks, subDim)
+  }
+
+  /** IVFADC probe shared by [[ivfPqTopK]] and [[probeIvfPqIndex]]:
+    * `codes` (cluster, vec_id, codes), `lists` (cluster, vec_id,
+    * embedding, nrm), `q` (q_id, qv, qn, qu). */
+  private def ivfPqProbe(codes: DataFrame, lists: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, q: DataFrame, k: Int,
+      nProbe: Int, shortlist: Int, subDim: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist >= k, got $shortlist < $k")
+    // probe ranking: ivfProbe's euclid-consistent centroid score
+    val wq = Window.partitionBy("q_id").orderBy(desc("c_score"), asc("cluster"))
+    val probes = q.join(broadcast(centroids))
+      .withColumn("c_score",
+        lit(2) * dot(col("qv"), col("centroid")) / col("qn") - col("c_norm2"))
+      .withColumn("c_rnk", row_number().over(wq))
+      .filter(col("c_rnk") <= nProbe)
+      .select("q_id", "cluster")
+    // candidate generation is LIST-BOUNDED: the codes scan joins the
+    // broadcast probe table ON THE PARTITION COLUMN first (the persisted
+    // form dynamic-partition-prunes here — PlanShapeSpec asserts it),
+    // then explodes to (s, code) and hits the LUT with map-side partial
+    // aggregation keyed (query, cluster, vector)
+    val adc = codes.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cluster"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(adcLut(q, codebooks, subDim)), Seq("q_id", "s", "code"))
+      .groupBy("q_id", "cluster", "vec_id")
+      .agg(sum(col("lv")).as("adc"))
+    // bounded-state shortlist with the cluster packed into the key, so
+    // the exact re-rank can join the lists on (cluster, vec_id) and
+    // prune the full-vector scan to the probed lists too
+    val cand = adcShortlist(adc,
+        col("vec_id") * lit(MaxClusters.toLong) + col("cluster"), shortlist)
+      .select(col("q_id"),
+        expr(s"vec_id div $MaxClusters").as("vec_id"),
+        pmod(col("vec_id"), lit(MaxClusters.toLong)).cast("int").as("cluster"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    cand.join(lists, Seq("cluster", "vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Persist an IVFADC index under `dir` — [[buildIvfIndex]]'s layout
+    * extended with the compressed candidate table: `codes/` (m bytes per
+    * vector) and `lists/` (full vectors, re-rank only) both
+    * HIVE-PARTITIONED BY CLUSTER so probes prune to the nProbe lists
+    * they rank; `centroids/` + `codebooks/` are the tiny broadcast
+    * tables. At 100 TB the ADC pass reads nProbe/nCentroids of an
+    * m-byte-per-vector table — the only full-width reads are
+    * shortlist × nQueries point lookups inside probed partitions. */
+  def buildIvfPqIndex(emb: DataFrame, dir: String, nCentroids: Int = 16,
+      m: Int = 8, codebookSize: Int = 256, dim: Int = 64, seed: Long = 42L,
+      fitSampleCap: Int = DefaultFitSampleCap): Unit = {
+    val (codes, lists, centroids, codebooks, _) =
+      ivfPqParts(emb, nCentroids, m, codebookSize, dim, seed, fitSampleCap)
+    codes.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/codes")
+    lists.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/lists")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Probe a [[buildIvfPqIndex]] index with an arbitrary query table
+    * (vec_id, embedding). Self-matches excluded like every inline form.
+    * The one-row codebook-width read recovers subDim (metadata-bounded,
+    * the manifest-collect discipline). */
+  def probeIvfPqIndex(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4, shortlist: Int = 64): DataFrame = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val lists = spark.read.parquet(s"$dir/lists")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val subDim = codebooks.select(size(col("cw")).as("d")).head.getInt(0)
+    val q = withUnit(queries.select(col("vec_id").as("q_id"),
+          col("embedding"))
+        .withColumn("nrm", norm(col("embedding"))))
+      .select(col("q_id"), col("embedding").as("qv"), col("nrm").as("qn"),
+        col("unit").as("qu"))
+    ivfPqProbe(codes, lists, centroids, codebooks, q, k, nProbe,
+      shortlist, subDim)
   }
 
   /** IVF (inverted-file) approximate top-k: the classic ANN scale path.
@@ -382,8 +631,9 @@ object Similarity {
     * everything = exhaustive scan), which is the property the spec tests.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    val (listed, centroids) = ivfParts(emb, nCentroids, seed)
+      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
+    val (listed, centroids) = ivfParts(emb, nCentroids, seed, fitSampleCap)
     val q = listed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
@@ -394,8 +644,8 @@ object Similarity {
     * (vec_id, embedding, nrm, cluster) and the tiny centroid table
     * (cluster, centroid, c_norm2). Shared by the inline [[ivfTopK]] and
     * the persisted [[buildIvfIndex]]/[[probeIvfIndex]] pair. */
-  private def ivfParts(emb: DataFrame, nCentroids: Int,
-      seed: Long): (DataFrame, DataFrame) = {
+  private def ivfParts(emb: DataFrame, nCentroids: Int, seed: Long,
+      fitSampleCap: Int): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
 
@@ -417,7 +667,10 @@ object Similarity {
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setSeed(seed).setFeaturesCol("unit")
       .setPredictionCol("cluster").setMaxIter(8).setInitMode("random")
-    val model = km.fit(base)
+    // coarse quantizer trains on the bounded [[fitSample]] (assignment
+    // below still covers the whole corpus — sampling moves centroids,
+    // never drops vectors)
+    val model = km.fit(fitSample(base, fitSampleCap))
     // inverted lists: corpus partitioned by coarse cluster. NOT persisted:
     // the two consumers below (query probes, list scoring) each recompute
     // one narrow columnar scan + a 16-centroid assignment — cheaper and
@@ -480,8 +733,8 @@ object Similarity {
     * probe table — the same mechanism `dpp_partitioned_join` exercises);
     * `centroids/` holds the nCentroids-row quantizer table. */
   def buildIvfIndex(emb: DataFrame, dir: String, nCentroids: Int = 16,
-      seed: Long = 42L): Unit = {
-    val (listed, centroids) = ivfParts(emb, nCentroids, seed)
+      seed: Long = 42L, fitSampleCap: Int = DefaultFitSampleCap): Unit = {
+    val (listed, centroids) = ivfParts(emb, nCentroids, seed, fitSampleCap)
     listed.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$dir/lists")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")

@@ -45,12 +45,29 @@ object Snapshots {
     * Branches share the root's `data/` pool (manifests hold
     * root-relative paths), so branching never copies data — the
     * Iceberg/Nessie layout. */
-  private def branchDir(root: String, branch: String): Path = {
+  private def branchPath(root: String, branch: String): Path = {
     require(branch.nonEmpty && branch.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_'),
       s"branch names are [A-Za-z0-9_-], got '$branch'")
-    val p = Paths.get(root, ManifestDir, "branches", branch)
+    Paths.get(root, ManifestDir, "branches", branch)
+  }
+
+  /** Creating accessor — ONLY [[createBranch]] may mint the directory. */
+  private def branchDir(root: String, branch: String): Path = {
+    val p = branchPath(root, branch)
     Files.createDirectories(p)
+    p
+  }
+
+  /** Non-creating resolver for every read/append/drop entry point: a
+    * lookup of a branch that was never created must throw, not leave a
+    * stray empty directory under `_manifests/branches/` that [[vacuum]]
+    * then scans forever (the side-effect-free read discipline). */
+  private def branchDirExisting(root: String, branch: String): Path = {
+    val p = branchPath(root, branch)
+    if (!Files.isDirectory(p) || !Files.exists(p.resolve("base")))
+      throw new IllegalArgumentException(
+        s"branch '$branch' does not exist at $root")
     p
   }
 
@@ -342,9 +359,12 @@ object Snapshots {
     * removed — their replacements ride the single staged upsert batch,
     * which also carries the inserts). A tombstone for an absent key is
     * a no-op, not an error (CDC streams routinely replay tombstones).
-    * Change keys must be unique per batch (last-writer semantics need
-    * an ordering column — pre-collapse with [[graft.ops.Events]]-style
-    * latest-per-key before calling).
+    * Change keys must be unique per batch — ENFORCED with a loud
+    * batch-sized check before anything stages (real MERGE INTO aborts
+    * on multiple source matches; silently staging every duplicate
+    * would publish duplicate-key rows in the new version). Last-writer
+    * semantics need an ordering column — pre-collapse with
+    * [[graft.ops.Events]]-style latest-per-key before calling.
     *
     * Concurrency rides [[publishRebased]] with [[commitDelete]]'s
     * idempotent probe bookkeeping: a racing append's files are
@@ -354,9 +374,17 @@ object Snapshots {
   def commitMerge(spark: SparkSession, root: String, changes: DataFrame,
       key: String, deleteCol: String = "_delete",
       raceHook: () => Unit = () => ()): (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, not}
     latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $root"))
+    // unique-key precondition, checked LOUDLY before anything stages:
+    // one change-batch-sized aggregate (the bitmapDistinct precondition
+    // discipline applied at the driver, since merge is an action)
+    require(changes.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).isEmpty,
+      s"commitMerge requires unique change keys per batch (MERGE INTO " +
+        s"aborts on multiple source matches); collapse to latest-per-" +
+        s"key on '$key' with an explicit ordering first")
     val dataCols = changes.columns.filterNot(_ == deleteCol).map(col(_))
     val upserts = changes
       .filter(not(coalesce(col(deleteCol), lit(false))))
@@ -539,10 +567,25 @@ object Snapshots {
     val base = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $root"))
     val dir = branchDir(root, branch)
-    require(latestVersionAt(dir).isEmpty,
-      s"branch '$branch' already exists at $root")
-    Files.write(dir.resolve("base"), base.toString.getBytes("UTF-8"))
-    publishRebasedAt(dir)(_ => filesOf(root, base))
+    // the base file is the existence token, written CREATE_NEW so two
+    // racing createBranch calls decide a single winner ATOMICALLY at the
+    // filesystem (a check-then-write would let the loser overwrite the
+    // winner's base and publish v2 on top of its v1, silently breaking
+    // the put-if-absent discipline publishRebasedAt exists for)
+    try Files.write(dir.resolve("base"), base.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"branch '$branch' already exists at $root")
+    }
+    val v = publishRebasedAt(dir)(_ => filesOf(root, base))
+    // v != 1 means manifests predate our base token — a dropBranch raced
+    // this create halfway; surface it rather than adopt the orphan state
+    if (v != 1L)
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$branch' had stale manifests at creation (v$v); " +
+          "drop and re-create it")
     base
   }
 
@@ -552,15 +595,16 @@ object Snapshots {
     * [[commitAppend]], so concurrent branch writers compose. */
   def commitAppendToBranch(df: DataFrame, root: String,
       branch: String): Long = {
+    val dir = branchDirExisting(root, branch)
     val newFiles = stageData(df, root)
     require(newFiles.nonEmpty, "refusing to append an empty batch")
-    publishRebasedAt(branchDir(root, branch))(prev => prev ++ newFiles)
+    publishRebasedAt(dir)(prev => prev ++ newFiles)
   }
 
   /** Read `branch`'s latest state (the audit side of WAP). */
   def readBranch(spark: SparkSession, root: String,
       branch: String): DataFrame = {
-    val dir = branchDir(root, branch)
+    val dir = branchDirExisting(root, branch)
     val v = latestVersionAt(dir).getOrElse(
       throw new IllegalArgumentException(
         s"branch '$branch' does not exist at $root"))
@@ -578,11 +622,8 @@ object Snapshots {
     * would drop the interleaved commit's files). Returns the new main
     * version. */
   def fastForward(root: String, branch: String): Long = {
-    val dir = branchDir(root, branch)
-    val basePath = dir.resolve("base")
-    require(Files.exists(basePath),
-      s"branch '$branch' does not exist at $root")
-    val base = Files.readString(basePath).trim.toLong
+    val dir = branchDirExisting(root, branch)
+    val base = Files.readString(dir.resolve("base")).trim.toLong
     val bv = latestVersionAt(dir).getOrElse(
       throw new IllegalStateException(s"branch '$branch' has no manifest"))
     val files = filesAt(dir, bv)
@@ -600,7 +641,7 @@ object Snapshots {
     * abandoned audit) — open branches pin their files against
     * [[vacuum]], so dropping the branch is what releases them. */
   def dropBranch(root: String, branch: String): Unit = {
-    val dir = branchDir(root, branch)
+    val dir = branchDirExisting(root, branch)
     listDir(dir).foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(dir)
   }

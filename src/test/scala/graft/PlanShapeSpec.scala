@@ -583,6 +583,57 @@ class PlanShapeSpec extends SparkTestBase {
     assert(prB.nonEmpty && pprB.nonEmpty && bfsB.nonEmpty)
   }
 
+  test("round-8: PQ shortlist is a bounded aggregate, IVFADC codes scan " +
+      "DPP-prunes, modularity/assortativity run broadcast-free under " +
+      "copartition (VERDICT r7 items 1-4)") {
+    import org.apache.spark.sql.functions._
+    // sim_pq_topk's ADC shortlist must be the typed TopKAgg
+    // (ObjectHashAggregate: <= 64 rows per (query, map partition) cross
+    // the exchange) — the q-keyed full-candidate row_number sort it
+    // replaces would shuffle-sort 20·N rows to keep 64
+    val pq = planOf("sim_pq_topk")
+    assert(pq.contains("ObjectHashAggregate"),
+      s"PQ shortlist must plan as the bounded TopKAgg:\n$pq")
+    // the composed IVFADC probe: candidate generation is list-bounded —
+    // the persisted codes scan carries dynamic partition pruning from
+    // the broadcast probe table (without it every partition of a 100 TB
+    // code table gets read for a 6-list probe)
+    val ivfpq = planOf("sim_ivfpq_topk")
+    assert(ivfpq.contains("dynamicpruning"),
+      s"IVFADC codes scan not partition-pruned:\n$ivfpq")
+    // modularity/assortativity under the copartition knob: the |V|-sized
+    // label/degree attaches become merge-hinted shuffle joins — NO hash
+    // build anywhere in the plan (the 1-row scalar crossJoins stay
+    // BroadcastNestedLoop, which is not a |V|-sized build) — and results
+    // are bit-identical to broadcast mode (integer arithmetic)
+    import spark.implicits._
+    val edges = Tables(spark, sf001, "lineitem")
+      .select(col("l_orderkey").as("da"), col("l_partkey").as("db"))
+      .limit(2000).distinct()
+    val labels = edges.select(col("da").as("node"))
+      .union(edges.select(col("db").as("node"))).distinct()
+      .withColumn("label", pmod(col("node"), lit(7L)))
+    val modC = graft.ops.Graphs.modularityReport(edges, labels,
+      strategy = "copartition")
+    val modPlan = modC.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!modPlan.contains("BroadcastHashJoin"),
+      s"copartition modularity must not broadcast-build:\n$modPlan")
+    val asoC = graft.ops.Graphs.assortativity(edges,
+      strategy = "copartition")
+    val asoPlan = asoC.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!asoPlan.contains("BroadcastHashJoin"),
+      s"copartition assortativity must not broadcast-build:\n$asoPlan")
+    val modB = graft.ops.Graphs.modularityReport(edges, labels)
+      .collect().toSeq
+    assert(modC.collect().toSeq == modB && modB.nonEmpty,
+      "modularity diverged across strategies")
+    val asoB = graft.ops.Graphs.assortativity(edges).collect().toSeq
+    assert(asoC.collect().toSeq == asoB && asoB.nonEmpty,
+      "assortativity diverged across strategies")
+  }
+
   test("round-5 queries: bloom fused on the scan, ER broadcasts, HLL prunes") {
     // the bloom membership predicate must evaluate IN the fact scan's
     // stage (Filter directly over Scan, before any exchange) and the

@@ -177,6 +177,49 @@ class SimilarityEventsSpec extends SparkTestBase {
       s"probe scan not partition-pruned:\n$plan")
   }
 
+  test("ivfPqTopK full-probe + corpus-wide shortlist equals bruteTopK") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val brute = graft.ops.Similarity.bruteTopK(emb, 10, 5).collect().toSeq
+    // probing every list with a shortlist covering every candidate makes
+    // the exact re-rank exhaustive regardless of either quantizer — the
+    // IVF and PQ parity disciplines must COMPOSE (also exercises the
+    // window shortlist branch and the packed cluster/vec_id key)
+    val full = graft.ops.Similarity.ivfPqTopK(emb, 10, 5,
+      nCentroids = 4, nProbe = 4, m = 4, codebookSize = 16,
+      shortlist = 500).collect().toSeq
+    assert(full == brute)
+  }
+
+  test("ivfPqTopK sampled-fit production settings keep sane recall; " +
+      "persisted probe matches inline") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val brute = graft.ops.Similarity.bruteTopK(emb, 10, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // registered shape: 6/16 lists probed, 8x256 codebooks fit on a
+    // BITING sample (250 of 500), 64-row exact re-rank via the bounded
+    // TopKAgg shortlist (IvfPqTune: 7000 bp here, 6900 bp at sf0.1)
+    val prod = graft.ops.Similarity.ivfPqTopK(emb, 10, 5, nProbe = 6,
+      fitSampleCap = 250)
+    val prodSet = prod.select("q_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    assert(prodSet.size == brute.size)
+    val recall = (prodSet & brute).size * 100 / brute.size
+    info(s"IVFADC recall@5 at nProbe 6/16, sampled fits: $recall%")
+    assert(recall >= 40, s"IVFADC recall collapsed: $recall%")
+    // build-once/probe-many form answers identically to the inline form
+    // (same seeds, same bounded fit sample) and the codes scan carries
+    // dynamic partition pruning to the probed lists
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-spec").toString
+    graft.ops.Similarity.buildIvfPqIndex(emb, idx, fitSampleCap = 250)
+    val probed = graft.ops.Similarity.probeIvfPqIndex(spark, idx,
+      emb.filter($"vec_id" < 10), 5, nProbe = 6)
+    assert(probed.collect().toSeq == prod.collect().toSeq)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"IVFADC codes scan not partition-pruned:\n$plan")
+  }
+
   test("lshNearDup finds most exact pairs at sf0.001 (candidate pruning only)") {
     val emb = Tables(spark, sf0001, "embeddings")
     val exact = Similarity.bruteNearDup(emb, 0.4)

@@ -803,6 +803,40 @@ class TextDedupSpec extends SparkTestBase {
     assert(ctl.forall(_._2 == "new"))
   }
 
+  test("sig-index REBUILD re-scopes the caps appendToSigIndex pins") {
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-sig-rebuild-$tag").toString
+    val dirA = tmp("a"); val dirB = tmp("b")
+    // d0 and the batch-1 doc share exactly ONE shingle ('a b c'); the
+    // rest of batch-1's vocabulary is disjoint, so it probes as `new`
+    // and is admitted — but its admission pushes df('a b c') to 2
+    val d0 = "a b c " + (1 to 20).map(i => s"ctok$i").mkString(" ")
+    val b1 = "a b c " + (1 to 20).map(i => s"ntok$i").mkString(" ")
+    val corpus = Seq((0L, d0)).toDF("doc_id", "text")
+    val batch1 = Seq((1L, b1)).toDF("doc_id", "text")
+    Dedup.buildSigIndex(corpus, dirA, maxDf = 1)
+    val v1 = Dedup.probeSigIndex(spark, dirA, batch1)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(v1 == Seq((1L, "new", None)))
+    Dedup.appendToSigIndex(spark, dirA, batch1)
+    // appended index: hot list stays BUILD-PINNED (df over d0 alone —
+    // nothing hot); rebuilt index: df re-scoped over d0 ∪ b1, so the
+    // shared shingle crosses maxDf=1 and lands on the refreshed hot list
+    Dedup.buildSigIndex(corpus.unionByName(batch1), dirB, maxDf = 1)
+    assert(spark.read.parquet(s"$dirA/hot_shingles").isEmpty,
+      "build-pinned hot list must not see the appended doc's df")
+    assert(spark.read.parquet(s"$dirB/hot_shingles").count() == 1L,
+      "rebuild must re-scope dfs over the grown corpus")
+    // a near-dup of d0 verdicts identically on both indexes: the newly
+    // hot shingle drops from BOTH sides' signatures symmetrically
+    val batch2 = Seq((3L, d0 + " extra")).toDF("doc_id", "text")
+    val vA = Dedup.probeSigIndex(spark, dirA, batch2)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    val vB = Dedup.probeSigIndex(spark, dirB, batch2)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(vA == Seq((3L, "near_dup", Some(0L))) && vA == vB)
+  }
+
   test("bpeTrainBatched: merge table equals sequential bpeTrain") {
     // the real corpus at two merge depths (the registered query's 5 and
     // a deeper 20 that spans many batched rounds)
