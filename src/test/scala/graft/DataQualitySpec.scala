@@ -186,6 +186,18 @@ class DataQualitySpec extends SparkTestBase {
       ("view", 1L, 200L)))
     // conservation: credits sum to total conversion revenue
     assert(got.map(_._3).sum == 1700L)
+    // the rev >= 0 precondition is an IN-PLAN guard, not a doc line: a
+    // refund-valued conversion fails loudly instead of silently skewing
+    // per-touch credits (floor == truncate only holds for rev >= 0)
+    val refund = Seq(
+      (3L, 30L, "click", 0.0, 100L),
+      (3L, 31L, "purchase", -4.00, 200L)
+    ).toDF("user_id", "event_id", "event_type", "value", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), timestamp_micros(col("us")).as("ts"))
+    val e = intercept[Exception](
+      Events.positionAttribution(refund).collect())
+    assert(e.getMessage.contains("negative conversion value"))
   }
 
   test("rfmSegments: hand-built users, independent score dimensions") {

@@ -440,4 +440,46 @@ class SnapshotsSpec extends SparkTestBase {
     assert(keys == Set(1L, 2L, 3L, 4L), s"append dropped files: $keys")
     rm(root)
   }
+
+  test("commitMerge refuses duplicate change keys before staging anything") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 10L)).toDF("k", "v"), root)
+    val dup = Seq((2L, 20L), (2L, 21L)).toDF("k", "v")
+      .withColumn("_delete", lit(false))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commitMerge(spark, root, dup, "k"))
+    assert(e.getMessage.contains("unique change keys"))
+    // nothing staged, nothing published: still one version, one row
+    assert(Snapshots.read(spark, root).count() == 1L)
+    rm(root)
+  }
+
+  test("branch lifecycle guards: reads never mint directories, " +
+      "re-create is refused atomically") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 1L)).toDF("k", "v"), root)
+    // read/append/drop on a branch that was never created must throw AND
+    // leave no stray directory for vacuum to scan forever
+    intercept[IllegalArgumentException](
+      Snapshots.readBranch(spark, root, "ghost"))
+    intercept[IllegalArgumentException](
+      Snapshots.commitAppendToBranch(Seq((2L, 2L)).toDF("k", "v"),
+        root, "ghost"))
+    intercept[IllegalArgumentException](Snapshots.dropBranch(root, "ghost"))
+    intercept[IllegalArgumentException](Snapshots.fastForward(root, "ghost"))
+    assert(!Files.exists(
+      Paths.get(root, "_manifests", "branches", "ghost")),
+      "read path minted a stray branch directory")
+    // create-then-create: the base file is the CREATE_NEW existence
+    // token, so the second create loses deterministically
+    Snapshots.createBranch(root, "audit3")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.createBranch(root, "audit3"))
+    assert(e.getMessage.contains("already exists"))
+    // after a drop the name is reusable (the token goes with the dir)
+    Snapshots.dropBranch(root, "audit3")
+    assert(Snapshots.createBranch(root, "audit3") >= 1L)
+    rm(root)
+  }
 }
