@@ -14,6 +14,8 @@ object IvfPqTune {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cap = sys.env.get("SPARK_GRAFT_FIT_CAP").map(_.toInt).getOrElse(1000)
+    val nc = sys.env.get("SPARK_GRAFT_IVF_NC").map(_.toInt).getOrElse(16)
+    val sl = sys.env.get("SPARK_GRAFT_IVFPQ_SL").map(_.toInt).getOrElse(64)
     val sweep = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2, 4, 8, 16)
     val spark = graft.GraftSession.local(8, appName = "graft-ivfpqtune")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -43,9 +45,9 @@ object IvfPqTune {
       recall(Similarity.ivfTopK(emb, 20, 5, fitSampleCap = cap)))
     // the composition across the probe sweep, sampled fit
     sweep.foreach { np =>
-      println(s"ivfpq nc=16 np=$np m=8 cb=256 sl=64 cap=$cap recall_bp=" +
-        recall(Similarity.ivfPqTopK(emb, 20, 5, nProbe = np,
-          fitSampleCap = cap)))
+      println(s"ivfpq nc=$nc np=$np m=8 cb=256 sl=$sl cap=$cap recall_bp=" +
+        recall(Similarity.ivfPqTopK(emb, 20, 5, nCentroids = nc,
+          nProbe = np, shortlist = sl, fitSampleCap = cap)))
     }
     spark.stop()
   }

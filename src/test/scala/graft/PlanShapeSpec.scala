@@ -599,8 +599,15 @@ class PlanShapeSpec extends SparkTestBase {
     // the broadcast probe table (without it every partition of a 100 TB
     // code table gets read for a 6-list probe)
     val ivfpq = planOf("sim_ivfpq_topk")
-    assert(ivfpq.contains("dynamicpruning"),
-      s"IVFADC codes scan not partition-pruned:\n$ivfpq")
+    // BOTH partitioned scans must carry a dynamicpruning partition
+    // filter: the codes scan (candidate generation) and the lists scan
+    // (the exact re-rank — prunable because the shortlist packs the
+    // cluster into the TopKAgg key and rejoins on (cluster, vec_id))
+    val prunedScans = "PartitionFilters: \\[[^\\]]*dynamicpruning".r
+      .findAllIn(ivfpq).size
+    assert(prunedScans >= 2,
+      s"IVFADC must DPP-prune codes AND lists scans, got $prunedScans:\n" +
+        ivfpq)
     // modularity/assortativity under the copartition knob: the |V|-sized
     // label/degree attaches become merge-hinted shuffle joins — NO hash
     // build anywhere in the plan (the 1-row scalar crossJoins stay
