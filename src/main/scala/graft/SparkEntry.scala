@@ -1247,6 +1247,29 @@ object SparkEntry {
     // int8 embedding quantization (storage/bandwidth path)
     "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))),
 
+    // EXT exact duplicate-vector dedup (vector-store hygiene): corpus
+    // vectors are distinct by construction, so one exact duplicate is
+    // PLANTED (vec 0 re-ingested under id+10^7 — the shard-replay
+    // failure mode the op exists for) and the one group is the
+    // deterministic positive the oracle checks
+    "embed_dup_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      Similarity.exactDupVectors(emb.unionByName(planted))
+    }),
+    // EXT norm-distribution audit: banded integer squared norms — dead
+    // vectors / exploded outliers / two-encoder bimodality all surface
+    // as band structure; map-only + #bands-row agg
+    "embed_norm_audit" -> ((s, dir) =>
+      Similarity.normHistogram(t(s, dir, "embeddings"))),
+    // EXT per-dimension centroid drift between corpus halves — the
+    // distribution-shift audit before mixing corpora / swapping encoder
+    // versions; floor-means via the portable pmod identity (sums go
+    // negative), dims x 2 aggregate cells
+    "embed_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(t(s, dir, "embeddings"))),
+
     // EXT ANN quality surface: recall of the sign-LSH near-dup pairs vs
     // the exact brute-force answer at the same threshold — the tuning
     // report a vector user reads before trusting band settings. One row
@@ -8459,6 +8482,58 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // exact duplicate vectors: quantize-then-poly-fold fingerprint (the
+    // portable two-prime basis), planted duplicate = vec 0 under id+10^7
+    "embed_dup_exact" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+         |              UNION ALL
+         |              SELECT vec_id + 10000000, embedding FROM embeddings
+         |              WHERE vec_id = 0),
+         |  f AS (SELECT vec_id,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(embedding, x ->
+         |              ((CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)
+         |                % ${graft.functions.Portable.P1})
+         |               + ${graft.functions.Portable.P1})
+         |              % ${graft.functions.Portable.P1})),
+         |            (a, b) -> (a * ${graft.functions.Portable.B1} + b)
+         |                      % ${graft.functions.Portable.P1}) AS fp
+         |        FROM base)
+         |SELECT min(vec_id) AS keep_id, max(vec_id) AS max_id,
+         |       count(*) AS n_dups
+         |FROM f GROUP BY fp HAVING count(*) >= 2
+         |ORDER BY keep_id""".stripMargin,
+
+    "embed_norm_audit" ->
+      """WITH q AS (SELECT vec_id,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(embedding, x ->
+                          CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))),
+                        (a, v) -> a + v * v) AS qn2
+                    FROM embeddings)
+         SELECT qn2 // 262144 AS band, count(*) AS n_vectors,
+                min(qn2) AS min_qnorm2, max(qn2) AS max_qnorm2
+         FROM q GROUP BY 1 ORDER BY band""",
+
+    // per-dimension floor-means via the pmod identity (sums go negative;
+    // DuckDB // truncates, so raw division would diverge from floor)
+    "embed_centroid_drift" ->
+      """WITH q AS (SELECT vec_id, d - 1 AS d,
+                      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS q
+                    FROM (SELECT vec_id, unnest(embedding) AS x,
+                                 generate_subscripts(embedding, 1) AS d
+                          FROM embeddings)),
+           m AS (SELECT d, vec_id % 2 AS half, sum(q) AS s,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM q GROUP BY 1, 2),
+           mm AS (SELECT d, half,
+                         (s - (((s % n) + n) % n)) // n AS m FROM m)
+         SELECT d, max(CASE WHEN half = 0 THEN m END) AS mean_even,
+                max(CASE WHEN half = 1 THEN m END) AS mean_odd,
+                abs(max(CASE WHEN half = 0 THEN m END)
+                    - max(CASE WHEN half = 1 THEN m END)) AS drift
+         FROM mm GROUP BY d ORDER BY d""",
 
     // dedup_chunk_substrings: 10-token chunks; first occurrence by
     // (doc_id, pos) wins; documents rebuilt from surviving chunks.

@@ -905,6 +905,86 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** EXACT duplicate-vector groups — the vector-store hygiene primitive
+    * (re-ingested shards, re-encoded copies, degenerate constant rows all
+    * surface as bit-identical embeddings; every production vector DB
+    * dedups before indexing). Identity basis: the portable polynomial
+    * fold over floor(x·1024) BIGINT quantization (the [[kmeansStep]]
+    * discipline — quantize THEN hash, so the fingerprint is exactly
+    * reproducible in SQL; pmod maps negative quanta into [0, P1) before
+    * the fold). Output: one row per duplicate GROUP (n_dups ≥ 2) with
+    * the keeper (min vec_id) — the group fingerprint stays internal, ids
+    * are the contract.
+    *
+    * Scale: map-only fingerprint + one fingerprint-width shuffle + a
+    * duplicate-groups-sized tail — the exact-dedup shape of
+    * [[graft.ops.Dedup.exactDups]] applied to vectors. */
+  def exactDupVectors(emb: DataFrame): DataFrame = {
+    val fp = polyFp(col("embedding"))
+    emb.select(col("vec_id"), fp.as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_dups"), min("vec_id").as("keep_id"),
+        max("vec_id").as("max_id"))
+      .filter(col("n_dups") >= 2)
+      .select("keep_id", "max_id", "n_dups")
+      .orderBy("keep_id")
+  }
+
+  /** Portable polynomial fingerprint of a float array: fold
+    * (h·B1 + pmod(⌊x·1024⌋, P1)) mod P1 — same two-prime basis as the
+    * dedup kernels, DuckDB twin is one list_reduce. */
+  private def polyFp(embedding: Column): Column =
+    aggregate(
+      transform(embedding, x =>
+        pmod(floor(x.cast("double") * 1024).cast("long"),
+          lit(Portable.P1))),
+      lit(0L),
+      (h, q) => pmod(h * lit(Portable.B1) + q, lit(Portable.P1)))
+
+  /** Norm-distribution audit — the pre-indexing profile of a vector
+    * corpus: per band of the INTEGER squared norm (Σ ⌊x·1024⌋², banded
+    * at `bandWidth`), the vector count and the id range. Dead vectors
+    * (norm ≈ 0), clipped/exploded outliers, and bimodal mixes (two
+    * encoders writing one table) all show up as occupied bands where a
+    * healthy corpus has one hump. Exact integers end to end (the
+    * [[hofStats]] quadrature discipline), map-only + a #bands-row agg. */
+  def normHistogram(emb: DataFrame, bandWidth: Long = 262144L): DataFrame = {
+    require(bandWidth >= 1, s"bandWidth >= 1, got $bandWidth")
+    val qnorm2 = aggregate(
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * 1024).cast("long")),
+      lit(0L), (acc, q) => acc + q * q)
+    emb.select(col("vec_id"), qnorm2.as("qn2"))
+      .groupBy(expr(s"qn2 div $bandWidth").as("band"))
+      .agg(count(lit(1)).as("n_vectors"), min("qn2").as("min_qnorm2"),
+        max("qn2").as("max_qnorm2"))
+      .orderBy("band")
+  }
+
+  /** Per-dimension centroid DRIFT between two halves of the corpus
+    * (vec_id parity = the deterministic stand-in for any before/after
+    * split): floor-mean of ⌊x·1024⌋ per (dimension, half) via the
+    * portable pmod identity (sums go negative — plain integer division
+    * truncates and diverges from the floor convention), then the
+    * absolute gap. THE embedding-distribution-shift audit a training
+    * pipeline runs before mixing corpora or swapping encoder versions —
+    * a dimension whose halves disagree by ≫ quantization noise means
+    * the two sides were not drawn from the same encoder/distribution.
+    * dims × 2 aggregate cells; nothing corpus-sized past the first
+    * shuffle. */
+  def centroidDrift(emb: DataFrame): DataFrame =
+    quantized(emb, 1024)
+      .withColumn("half", pmod(col("vec_id"), lit(2L)))
+      .groupBy("d", "half")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .select(col("d"), col("half"),
+        expr("(s - pmod(s, n)) div n").as("m"))
+      .groupBy("d")
+      .agg(max(when(col("half") === 0, col("m"))).as("mean_even"),
+        max(when(col("half") === 1, col("m"))).as("mean_odd"))
+      .withColumn("drift", abs(col("mean_even") - col("mean_odd")))
+      .orderBy("d")
+
   def hofStats(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)").as("n_pos"),

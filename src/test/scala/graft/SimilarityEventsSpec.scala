@@ -177,6 +177,31 @@ class SimilarityEventsSpec extends SparkTestBase {
       s"probe scan not partition-pruned:\n$plan")
   }
 
+  test("vector hygiene: exact-dup groups, norm bands, centroid drift") {
+    // quantization: floor(0.5·1024)=512, floor(-0.25·1024)=-256,
+    // floor(0.1·1024)=102, floor(0.9·1024)=921 — all exact by hand
+    val emb = Seq(
+      (0L, Array(0.5f, -0.25f)),
+      (7L, Array(0.5f, -0.25f)), // bit-identical re-ingest of vec 0
+      (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val dups = Similarity.exactDupVectors(emb)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(dups == Seq((0L, 7L, 2L)))
+    // qn2: 512²+256² = 327680 (band 1 at width 262144); 102²+921² =
+    // 858645 (band 3)
+    val hist = Similarity.normHistogram(emb)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(hist == Seq((1L, 2L, 327680L, 327680L),
+      (3L, 1L, 858645L, 858645L)))
+    // halves by parity: even = {0}, odd = {3, 7}. dim0 odd floor-mean
+    // (102+512) div 2 = 307; dim1 odd (921-256)=665 → floor 332 (the
+    // pmod identity: 665 is odd and positive)
+    val drift = Similarity.centroidDrift(emb)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(drift == Seq((0, 512L, 307L, 205L), (1, -256L, 332L, 588L)))
+  }
+
   test("ivfPqTopK full-probe + corpus-wide shortlist equals bruteTopK") {
     val emb = Tables(spark, sf0001, "embeddings")
     val brute = graft.ops.Similarity.bruteTopK(emb, 10, 5).collect().toSeq
