@@ -8490,16 +8490,7 @@ object SparkEntry {
          |              UNION ALL
          |              SELECT vec_id + 10000000, embedding FROM embeddings
          |              WHERE vec_id = 0),
-         |  f AS (SELECT vec_id,
-         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |            list_transform(embedding, x ->
-         |              ((CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)
-         |                % ${graft.functions.Portable.P1})
-         |               + ${graft.functions.Portable.P1})
-         |              % ${graft.functions.Portable.P1})),
-         |            (a, b) -> (a * ${graft.functions.Portable.B1} + b)
-         |                      % ${graft.functions.Portable.P1}) AS fp
-         |        FROM base)
+         |  f AS (SELECT vec_id, ${vecFpSql("embedding")} AS fp FROM base)
          |SELECT min(vec_id) AS keep_id, max(vec_id) AS max_id,
          |       count(*) AS n_dups
          |FROM f GROUP BY fp HAVING count(*) >= 2

@@ -930,16 +930,26 @@ object Similarity {
       .orderBy("keep_id")
   }
 
-  /** Portable polynomial fingerprint of a float array: fold
-    * (h·B1 + pmod(⌊x·1024⌋, P1)) mod P1 — same two-prime basis as the
-    * dedup kernels, DuckDB twin is one list_reduce. */
-  private def polyFp(embedding: Column): Column =
-    aggregate(
+  /** Portable polynomial fingerprint of a float array: TWO independent
+    * folds over the ⌊x·1024⌋ quantization — h1 on (B1, P1), h2 on
+    * (B2, P2) — combined as h1·P2 + h2, the dedup kernels' ~2⁶⁰
+    * identity space (a single 10⁹-prime fold would already see
+    * birthday collisions at ~10⁵ vectors: n²/2 / 10⁹). pmod maps
+    * negative quanta into the field before folding; products stay
+    * inside signed-64 (h1 < P1, so h1·P2 < 1.1e18). DuckDB twin is two
+    * list_reduce folds. Public: the streaming vector-ingest gate probes
+    * a persisted table of these. */
+  def vecFingerprint(embedding: Column): Column = polyFp(embedding)
+
+  private def polyFp(embedding: Column): Column = {
+    def fold(b: Long, p: Long) = aggregate(
       transform(embedding, x =>
-        pmod(floor(x.cast("double") * 1024).cast("long"),
-          lit(Portable.P1))),
+        pmod(floor(x.cast("double") * 1024).cast("long"), lit(p))),
       lit(0L),
-      (h, q) => pmod(h * lit(Portable.B1) + q, lit(Portable.P1)))
+      (h, q) => pmod(h * lit(b) + q, lit(p)))
+    fold(Portable.B1, Portable.P1) * lit(Portable.P2) +
+      fold(Portable.B2, Portable.P2)
+  }
 
   /** Norm-distribution audit — the pre-indexing profile of a vector
     * corpus: per band of the INTEGER squared norm (Σ ⌊x·1024⌋², banded

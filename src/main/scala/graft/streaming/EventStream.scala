@@ -895,6 +895,112 @@ object EventStream {
     }
   }
 
+  /** Streaming VECTOR-ingest dedup gate — the [[ingestGateParityRun]]
+    * lifecycle applied to embeddings: the even-vec_id half is the
+    * indexed corpus (one persisted (fp, exact_id) fingerprint table on
+    * the [[graft.ops.Similarity.vecFingerprint]] basis), the odd half
+    * streams through in `nSlices` real micro-batches, and each batch
+    * probes the index (exact_dup vs corpus > batch_dup within the
+    * micro-batch > new) then appends its admissions — so later batches
+    * see earlier admissions as corpus. The vector twin of the text
+    * gate: a streaming vector store dedups on ingest exactly like a
+    * document store, just on quantized-fingerprint identity instead of
+    * md5(text).
+    *
+    * Work per cycle is batch-sized: one fingerprint projection, one
+    * fp-width probe join, one batch-sized append — nothing corpus-wide
+    * after the index build. Determinism is [[ingestGateParityRun]]'s:
+    * one staged file per cycle with strictly increasing mtimes +
+    * maxFilesPerTrigger=1, cycle membership = vec_id mod 2n, and the
+    * emitted admit_cycle is hash-checked against `(vec_id mod 2n) div 2`
+    * by the oracle. The interesting verdicts come from PLANTED
+    * duplicates (the registered query unions them in): a corpus-vector
+    * copy (exact_dup in cycle 0), a copy of a cycle-0 admission arriving
+    * in cycle 2 (proves cross-batch index visibility), and an identical
+    * pair inside cycle 1 (batch_dup). */
+  def embedGateParityRun(spark: SparkSession, path: String,
+      nSlices: Int = 3): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val seq = parityRunSeq.incrementAndGet()
+    val pid = ProcessHandle.current().pid()
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-stage-embed-$pid", seq.toString)
+    val idxRoot = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-embed-idx-$pid")
+    val idx = idxRoot.resolve(seq.toString).toString
+    val resultRoot = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-result-$pid")
+    Files.createDirectories(stage)
+    parityCleanupAtExit(stage.getParent)
+    parityCleanupAtExit(idxRoot)
+    parityCleanupAtExit(resultRoot)
+    val out = resultRoot.resolve(s"embed-gate-$seq").toString
+    val srcDf = spark.read.parquet(path)
+    srcDf.filter(col("vec_id") % 2 === 0)
+      .select(graft.ops.Similarity.vecFingerprint(col("embedding"))
+        .as("fp"), col("vec_id"))
+      .groupBy("fp").agg(min("vec_id").as("exact_id"))
+      .write.mode("overwrite").parquet(idx)
+    val mod = 2 * nSlices
+    (0 until nSlices).foreach { j =>
+      srcDf.filter(col("vec_id") % mod === (2 * j + 1))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(stage.resolve(s"slice_$j").toString)
+    }
+    (0 until nSlices).foreach { j =>
+      val dir = stage.resolve(s"slice_$j")
+      val listing = Files.list(dir)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+      val staged = stage.resolve(s"slice_$j.parquet")
+      Files.move(part, staged)
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + j * 60000L))
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val gateBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val bfp = batch.select(col("vec_id"),
+          graft.ops.Similarity.vecFingerprint(col("embedding")).as("fp"))
+        .localCheckpoint() // feeds the probe AND the admission append
+      val bkeep = bfp.groupBy("fp").agg(min("vec_id").as("batch_keep_id"))
+      val verdicts = bfp
+        .join(spark.read.parquet(idx), Seq("fp"), "left")
+        .join(bkeep, "fp")
+        .select(col("vec_id"),
+          when(col("exact_id").isNotNull, lit("exact_dup"))
+            .when(col("vec_id") =!= col("batch_keep_id"), lit("batch_dup"))
+            .otherwise(lit("new")).as("verdict"),
+          when(col("exact_id").isNotNull, col("exact_id"))
+            .when(col("vec_id") =!= col("batch_keep_id"),
+              col("batch_keep_id"))
+            .as("match_id"))
+        .localCheckpoint() // sink + admit join must not re-probe
+      verdicts.withColumn("admit_cycle", lit(batchId))
+        .write.mode("append").parquet(out)
+      bfp.join(verdicts.filter(col("verdict") === "new").select("vec_id"),
+          "vec_id")
+        .groupBy("fp").agg(min("vec_id").as("exact_id"))
+        .write.mode("append").parquet(idx)
+    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = readParquetStream(spark, stage.toString,
+          maxFilesPerTrigger = 1,
+          sourceSchema = srcDf.select("vec_id", "embedding").schema)
+        .writeStream
+        .foreachBatch(gateBatch)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).orderBy("vec_id")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user totals
     * across micro-batches (the `KeyValueGroupedDataset` stateful API for
     * semantics session_window can't express). State is one small record
