@@ -917,8 +917,10 @@ object EventStream {
     * duplicates (the registered query unions them in): a corpus-vector
     * copy (exact_dup in cycle 0), a copy of a cycle-0 admission arriving
     * in cycle 2 (proves cross-batch index visibility), and an identical
-    * pair inside cycle 1 (batch_dup). */
-  def embedGateParityRun(spark: SparkSession, path: String,
+    * pair inside cycle 1 (batch_dup). Takes the source as a DataFrame —
+    * unlike the text gate, the caller composes the corpus (planted
+    * duplicates ride the same union the oracle replays in SQL). */
+  def embedGateParityRun(spark: SparkSession, src: DataFrame,
       nSlices: Int = 3): DataFrame = {
     import java.nio.file.{Files, Paths}
     val seq = parityRunSeq.incrementAndGet()
@@ -935,7 +937,7 @@ object EventStream {
     parityCleanupAtExit(idxRoot)
     parityCleanupAtExit(resultRoot)
     val out = resultRoot.resolve(s"embed-gate-$seq").toString
-    val srcDf = spark.read.parquet(path)
+    val srcDf = src.select("vec_id", "embedding")
     srcDf.filter(col("vec_id") % 2 === 0)
       .select(graft.ops.Similarity.vecFingerprint(col("embedding"))
         .as("fp"), col("vec_id"))

@@ -189,6 +189,31 @@ class StreamingSpec extends SparkTestBase {
       (11L, "new", None, 2L)))
   }
 
+  test("embedGateParityRun: vector gate crosses cycles on fingerprint identity") {
+    // same cycle geometry as the text gate (cycle = (vec_id % 6) div 2
+    // for odd ids, even = corpus) but exact-only verdicts on the
+    // quantized two-fold vecFingerprint — no near-dup tier
+    val vecA = Array(0.25f, -0.5f, 1.0f, 0.125f)
+    val vecB = Array(-1.0f, 0.75f, 0.0f, 2.5f)
+    val vecC = Array(3.0f, 3.0f, -3.0f, 0.5f)
+    val src = Seq(
+      (2L, vecA),   // corpus
+      (1L, vecB),   // c0: new (admitted)
+      (7L, vecB),   // c0: batch_dup of 1
+      (3L, vecB),   // c1: exact_dup of ADMITTED 1 (cross-cycle)
+      (5L, vecA),   // c2: exact_dup of corpus 2
+      (11L, vecC))  // c2: new
+      .toDF("vec_id", "embedding")
+    val got = EventStream.embedGateParityRun(spark, src)
+      .as[(Long, String, Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "new", None, 0L),
+      (3L, "exact_dup", Some(1L), 1L),
+      (5L, "exact_dup", Some(2L), 2L),
+      (7L, "batch_dup", Some(1L), 0L),
+      (11L, "new", None, 2L)))
+  }
+
   test("hllParityRun registers equal the batch-built sketch exactly") {
     import org.apache.spark.sql.functions.col
     val streamed = EventStream.hllParityRun(spark, s"$sf0001/events.parquet")
