@@ -886,6 +886,18 @@ object SparkEntry {
     "text_readability" -> ((s, dir) =>
       TextAnalysis.readability(t(s, dir, "documents"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    // EXT training-mix allocation: τ=1/2 temperature rebalance of a 10%
+    // token budget across sources, split by exact largest remainder —
+    // Σ alloc == budget asserted IN-PLAN; the share_bp − raw_share_bp
+    // gap is the up-sampling a data-mixing stage applies
+    "text_mix_allocation" -> ((s, dir) =>
+      TextAnalysis.mixAllocation(t(s, dir, "documents"))),
+    // EXT token-budget curation: per source, highest-uniq-ratio docs
+    // greedily fill tokens div 4 (quality-first under a budget — the
+    // data-constrained selection rule); per-doc kept verdict, ONE
+    // source-keyed sort shuffle for prefix sum + budget together
+    "text_budget_select" -> ((s, dir) =>
+      TextAnalysis.budgetSelect(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     // fixed-size token windows with overlap (LLM context chunking)
     "doc_chunk" -> ((s, dir) => TextAnalysis.chunkTokens(t(s, dir, "documents"))),
@@ -1489,6 +1501,13 @@ object SparkEntry {
     // centroid pass + a k-row agg; exact, hash-oracle'd.
     "sim_kmeans_balance" -> ((s, dir) =>
       Similarity.kmeansAssignStats(t(s, dir, "embeddings"))),
+    // EXT IVF append-lifecycle audit (the vector-store twin of the
+    // dedup sig-index probe→append→monitor→rebuild loop): the odd half
+    // appends onto the even half's FROZEN centroids; per list the audit
+    // reports growth, out-of-envelope staleness vs the base radius, and
+    // the rebuild verdict — exact integers, hash-oracle'd
+    "ann_ivf_append_audit" -> ((s, dir) =>
+      Similarity.ivfAppendAudit(t(s, dir, "embeddings"))),
 
     // EXT multimodal binary columns:
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
@@ -6079,6 +6098,55 @@ object SparkEntry {
               JOIN cs ON nr1.cid = cs.cid
          ORDER BY cluster_id""",
 
+    // frozen-centroid append audit: base = even half (seeds = even ids
+    // < 16), appends = odd half assigned to the SAME centroids; dist2
+    // sums are HUGEINT in DuckDB, hence the explicit BIGINT casts
+    "ann_ivf_append_audit" ->
+      """WITH qv AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024)
+                       AS BIGINT) AS q
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, d, q AS c FROM qv
+                WHERE vec_id % 2 = 0 AND vec_id < 16),
+         bd AS (SELECT v.vec_id, c.cid,
+                       sum((v.q - c.c) * (v.q - c.c)) AS dist2
+                FROM qv v JOIN c0 c USING (d)
+                WHERE v.vec_id % 2 = 0 GROUP BY 1, 2),
+         ba AS (SELECT vec_id, cid, dist2 FROM (
+                  SELECT vec_id, cid, dist2, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+                  FROM bd) WHERE rn = 1),
+         bs AS (SELECT cid, count(*) AS n_base,
+                       CAST(max(dist2) AS BIGINT) AS radius_sq_base
+                FROM ba GROUP BY 1),
+         ad AS (SELECT v.vec_id, c.cid,
+                       sum((v.q - c.c) * (v.q - c.c)) AS dist2
+                FROM qv v JOIN c0 c USING (d)
+                WHERE v.vec_id % 2 = 1 GROUP BY 1, 2),
+         aa AS (SELECT vec_id, cid, dist2 FROM (
+                  SELECT vec_id, cid, dist2, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+                  FROM ad) WHERE rn = 1),
+         ax AS (SELECT a.cid, count(*) AS n_appended,
+                       CAST(sum(CASE WHEN a.dist2 > b.radius_sq_base
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_beyond
+                FROM aa a JOIN bs b USING (cid) GROUP BY 1)
+         SELECT CAST(b.cid AS BIGINT) AS cluster_id, b.n_base,
+                b.radius_sq_base,
+                COALESCE(x.n_appended, 0) AS n_appended,
+                COALESCE(x.n_beyond, 0) AS n_beyond,
+                COALESCE(x.n_appended, 0) * 10000 // b.n_base AS growth_bp,
+                CASE WHEN COALESCE(x.n_appended, 0) = 0 THEN 0
+                     ELSE COALESCE(x.n_beyond, 0) * 10000 // x.n_appended
+                END AS stale_bp,
+                CAST((CASE WHEN COALESCE(x.n_appended, 0) = 0 THEN 0
+                           ELSE COALESCE(x.n_beyond, 0) * 10000 // x.n_appended
+                      END) > 2000 AS BIGINT) AS needs_rebuild
+         FROM bs b LEFT JOIN ax x USING (cid)
+         ORDER BY cluster_id""",
+
     // sim_kmeans_balance: the same quantization/assignment CTEs as
     // sim_kmeans_step, keeping dist2 at the argmin for inertia/radius
     "sim_kmeans_balance" ->
@@ -8635,6 +8703,55 @@ object SparkEntry {
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
                 CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+
+    // τ=1/2 temperature mixing by exact largest remainder: both engines
+    // floor the identical IEEE sqrt double, every later step is BIGINT
+    "text_mix_allocation" ->
+      """WITH s AS (SELECT source,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_tokens
+                  FROM documents GROUP BY 1),
+         w AS (SELECT source, n_tokens,
+                      CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight
+               FROM s),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt,
+                      CAST(sum(weight) AS BIGINT) AS wt FROM w),
+         b AS (SELECT w.*, nt, wt, nt // 10 AS budget FROM w CROSS JOIN t),
+         c AS (SELECT *, budget * weight // wt AS base,
+                      (budget * weight) % wt AS rem FROM b),
+         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)
+                           AS rk,
+                      CAST(sum(base) OVER () AS BIGINT) AS sb FROM c)
+         SELECT source, n_tokens,
+                n_tokens * 10000 // nt AS raw_share_bp, weight,
+                base + (CASE WHEN rk <= budget - sb THEN 1 ELSE 0 END)
+                  AS alloc_tokens,
+                (base + (CASE WHEN rk <= budget - sb THEN 1 ELSE 0 END))
+                  * 10000 // budget AS share_bp
+         FROM r ORDER BY source""",
+
+    // greedy quality-first curation under a per-source token budget:
+    // explicit ROWS frame + unique tie-break so both engines accumulate
+    // the prefix sum in the identical order
+    "text_budget_select" ->
+      """WITH s AS (SELECT doc_id, source,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    CAST(floor(len(list_distinct(string_split(text, ' ')))
+                         * 10000.0 / len(string_split(text, ' ')))
+                      AS BIGINT) AS uniq_ratio_bp
+                  FROM documents),
+         c AS (SELECT *,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY uniq_ratio_bp DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+                   // 4 AS src_budget
+               FROM s)
+         SELECT doc_id, source, n_tokens, uniq_ratio_bp, cum_tokens,
+                src_budget,
+                CAST(cum_tokens <= src_budget AS BIGINT) AS kept
+         FROM c ORDER BY doc_id""",
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,

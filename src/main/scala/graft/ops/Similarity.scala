@@ -905,6 +905,74 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** Frozen-centroid APPEND audit — the no-refit maintenance loop of a
+    * production IVF index, mirrored on the [[graft.ops.Dedup]] sig-index
+    * lifecycle (probe → append → monitor → rebuild): the even-vec_id
+    * half is the indexed base corpus, the odd half arrives later and is
+    * assigned to the base's FROZEN seed centroids (appending never
+    * refits — that is the whole point of the append path), and per
+    * cluster the audit reports what the append did to the layout:
+    *
+    *   - `growth_bp`: appended members per 10k base members — a hot
+    *     cluster here means the probe cost model the index was sized
+    *     for is drifting;
+    *   - `n_beyond` / `stale_bp`: appended vectors whose distance to
+    *     their assigned centroid exceeds the base list's radius
+    *     (max dist² over base members) — the out-of-envelope fraction.
+    *     High staleness means the frozen centroids no longer describe
+    *     the data and recall will sag exactly as the sig-index's
+    *     build-pinned caps drift;
+    *   - `needs_rebuild`: stale_bp > `rebuildBp` — the monitoring
+    *     verdict that triggers the refit, as a column, not a policy
+    *     buried in a driver loop.
+    *
+    * Same integer discipline as [[kmeansAssignStats]] (squared L2 over
+    * floor(x·scale) BIGINTs, lower-cid tie-break, dense-seed guard on
+    * the base half) ⇒ hash-oracle'd end to end. Scale: one
+    * broadcast-centroid pass per half + a k-row join — one corpus scan
+    * total, nothing accumulates with appends. */
+  def ivfAppendAudit(emb: DataFrame, k: Int = 8, scale: Int = 1024,
+      rebuildBp: Int = 2000): DataFrame = {
+    val qv = quantized(emb, scale)
+    val base = qv.filter(col("vec_id") % 2 === 0)
+    val appended = qv.filter(col("vec_id") % 2 === 1)
+    // seeds: the k smallest base ids (0,2,…,2k-2 when ids are dense)
+    val c0 = base.filter(col("vec_id") < 2 * k)
+      .select(col("vec_id").as("cid"), col("d"), col("q").as("c"))
+    val guard = c0.agg(countDistinct(col("cid")).as("n_seed"))
+      .select(assert_true(col("n_seed") === k,
+        lit(s"ivfAppendAudit: expected $k even seed vectors with vec_id" +
+          s" 0,2,…,${2 * k - 2} — sparse ids seed fewer lists")).as("__g"))
+    def assign(half: DataFrame): DataFrame =
+      half.join(broadcast(c0), Seq("d"))
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.dist2").as("dist2"))
+    val baseStats = assign(base).groupBy("cid")
+      .agg(count(lit(1)).as("n_base"), max("dist2").as("radius_sq_base"))
+    val appStats = assign(appended)
+      .join(broadcast(baseStats), Seq("cid"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_appended"),
+        sum(when(col("dist2") > col("radius_sq_base"), 1L).otherwise(0L))
+          .as("n_beyond"))
+    baseStats.join(appStats, Seq("cid"), "left")
+      .join(broadcast(guard))
+      .select(when(col("__g").isNull, col("cid").cast("long"))
+          .as("cluster_id"),
+        col("n_base"), col("radius_sq_base"),
+        coalesce(col("n_appended"), lit(0L)).as("n_appended"),
+        coalesce(col("n_beyond"), lit(0L)).as("n_beyond"))
+      .withColumn("growth_bp", expr("n_appended * 10000 div n_base"))
+      .withColumn("stale_bp", when(col("n_appended") === 0, 0L)
+        .otherwise(expr("n_beyond * 10000 div n_appended")))
+      .withColumn("needs_rebuild",
+        (col("stale_bp") > rebuildBp).cast("long"))
+      .orderBy("cluster_id")
+  }
+
   /** EXACT duplicate-vector groups — the vector-store hygiene primitive
     * (re-ingested shards, re-encoded copies, degenerate constant rows all
     * surface as bit-identical embeddings; every production vector DB

@@ -470,6 +470,92 @@ object TextAnalysis {
         .cast("long").as("n_bpe_tokens"))
       .orderBy(id)
 
+  /** Temperature-based source MIXING allocation — the data-mixing step
+    * of a training pipeline: split a token budget across sources so
+    * low-resource sources are UP-sampled relative to their raw share
+    * (τ = 1/2 sampling weights n_i^τ, the multilingual-rebalance
+    * convention). Exact integers end to end: weights are ⌊√n_i⌋ (IEEE
+    * sqrt is correctly rounded, so both engines floor the identical
+    * double), the budget B = total div `budgetDen` splits by LARGEST
+    * REMAINDER — base_i = B·w_i div W plus +1 for the B − Σ base
+    * largest remainders (ties by source asc) — so Σ alloc_i == B
+    * EXACTLY, asserted in-plan. Output per source: raw tokens and
+    * share, weight, allocated tokens and share (the up-sampling is the
+    * share_bp − raw_share_bp gap).
+    *
+    * Scale: one map-side-combined groupBy(source) over the corpus,
+    * then |sources|-row arithmetic — the single-partition remainder
+    * rank windows over the per-source AGGREGATE (bounded by source
+    * cardinality), never the corpus. Overflow: B·w_i ≤ B·√N ≈ 3·10¹⁸
+    * at a 10¹³-token corpus with a 10% budget — inside signed-64 with
+    * ~3× headroom. */
+  def mixAllocation(docs: DataFrame, budgetDen: Int = 10,
+      text: String = "text"): DataFrame = {
+    require(budgetDen >= 1, s"budgetDen >= 1, got $budgetDen")
+    val perSrc = docs.select(col("source"),
+        size(Texty.tokens(col(text))).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens"))).cast("long"))
+    val tot = perSrc.agg(sum("n_tokens").as("nt"), sum("weight").as("wt"))
+    val based = perSrc.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"nt div $budgetDen"))
+      .withColumn("base", expr("budget * weight div wt"))
+      .withColumn("rem", expr("(budget * weight) % wt"))
+    val ranked = based
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("rem"), asc("source"))))
+      .crossJoin(broadcast(based.agg(sum("base").as("sb"))))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rk") <= col("budget") - col("sb"), 1L)
+          .otherwise(0L))
+    val gate = ranked.agg(sum("alloc_tokens").as("sa"), max("budget").as("b"))
+      .select(assert_true(col("sa") === col("b"),
+        concat(lit("mixAllocation: largest-remainder allocation lost " +
+          "tokens: sum="), col("sa").cast("string"), lit(" budget="),
+          col("b").cast("string"))).as("__g"))
+    ranked.join(broadcast(gate))
+      .select(when(col("__g").isNull, col("source")).as("source"),
+        col("n_tokens"),
+        expr("n_tokens * 10000 div nt").as("raw_share_bp"),
+        col("weight"), col("alloc_tokens"),
+        expr("alloc_tokens * 10000 div budget").as("share_bp"))
+      .orderBy("source")
+  }
+
+  /** Per-source token-budget CURATION — greedy quality-first selection:
+    * within each source, documents are taken in (uniq_ratio_bp desc,
+    * doc_id asc) order while the running token total fits the source's
+    * budget (its own tokens div `budgetDen`). The data-constrained
+    * curation rule — spend the token budget on the highest-quality
+    * documents first, per source so no source is squeezed out by a
+    * bigger neighbor — with the verdict per document, not a filtered
+    * corpus (downstream decides what to do with kept=0 rows).
+    *
+    * Exact integers (uniq_ratio_bp is the [[withQualityColumns]] floor
+    * ratio; prefix sums over an explicit ROWS frame with a unique
+    * tie-break, so both engines accumulate in the identical order).
+    * Scale: ONE source-keyed sort shuffle shared by the prefix sum and
+    * the per-source total — no join, no second pass. */
+  def budgetSelect(docs: DataFrame, budgetDen: Int = 4,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(budgetDen >= 1, s"budgetDen >= 1, got $budgetDen")
+    val toks = Texty.tokens(col(text))
+    val base = docs.select(col(id), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      Texty.ratioBp(size(array_distinct(toks)), size(toks))
+        .as("uniq_ratio_bp"))
+    val wCum = Window.partitionBy("source")
+      .orderBy(desc("uniq_ratio_bp"), asc(id))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("cum_tokens", sum("n_tokens").over(wCum))
+      .withColumn("src_budget",
+        expr(s"sum(n_tokens) OVER (PARTITION BY source) div $budgetDen"))
+      .withColumn("kept",
+        (col("cum_tokens") <= col("src_budget")).cast("long"))
+      .orderBy(id)
+  }
+
   /** Email/phone pattern for PII scrubbing. Deliberately restricted to
     * syntax that Java regex and RE2-family engines (DuckDB) interpret
     * identically: character classes, bounded repeats — no backrefs, no

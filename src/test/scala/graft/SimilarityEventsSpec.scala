@@ -84,6 +84,36 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(ivf == brute) // probing every list == exhaustive scan
   }
 
+  test("ivfAppendAudit: hand corpus pins growth, staleness and rebuild verdict") {
+    // k=2 -> seeds are even ids 0 and 2. Base (even ids): two tight
+    // clusters around (1,0) and (0,1); base radius of each list is the
+    // spread of its members. Appends (odd ids): 1 lands inside list 0's
+    // envelope, 5 lands FAR from both centroids (beyond radius ->
+    // stale); 3 lands inside list 2's envelope.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),    // seed / centroid of list 0
+      (4L, Array(0.9f, 0.0f)),    // base member of list 0 (sets radius)
+      (2L, Array(0.0f, 1.0f)),    // seed / centroid of list 2
+      (6L, Array(0.0f, 0.9f)),    // base member of list 2
+      (1L, Array(0.95f, 0.0f)),   // append, inside list 0's envelope
+      (3L, Array(0.0f, 0.95f)),   // append, inside list 2's envelope
+      (5L, Array(8.0f, 8.0f))     // append, far out -> beyond radius
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.ivfAppendAudit(emb, k = 2)
+      .select("cluster_id", "n_base", "n_appended", "n_beyond",
+        "stale_bp", "needs_rebuild")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // list 0: base {0,4}; appends {1 (in), 5 (assigned to nearer 0-side?
+    //   dist to both large; tie-broken by lower cid if equal)}.
+    // q = floor(x*1024): c0=(1024,0), c2=(0,1024), v5=(8192,8192).
+    // dist(5,c0) = 7168^2+8192^2; dist(5,c2) = 8192^2+7168^2 — equal,
+    // lower cid wins -> list 0. radius0 = dist(4,c0) = (921-1024)^2 =
+    // 10609 -> 5 is beyond. stale_bp = 1*10000 div 2 = 5000 > 2000.
+    assert(got == Seq(
+      (0L, 2L, 2L, 1L, 5000L, 1L),
+      (2L, 2L, 1L, 0L, 0L, 0L)))
+  }
+
   test("pqTopK with corpus-wide shortlist equals bruteTopK exactly") {
     val emb = Tables(spark, sf0001, "embeddings")
     val brute = graft.ops.Similarity.bruteTopK(emb, 10, 5).collect().toSeq

@@ -48,6 +48,42 @@ class TextDedupSpec extends SparkTestBase {
       5L -> "zh", 6L -> "und"))
   }
 
+  test("mixAllocation: largest-remainder split is exact and up-samples the tail") {
+    // token counts 100/25/4 -> weights 10/5/2 (W=17), nt=129, budget=12.
+    // bases 7/3/1 (rems 1/9/7), R=1 goes to b (largest rem) -> 7/4/1.
+    val doc = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(100), "a"), (2L, doc(25), "b"), (3L, doc(4), "c"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.mixAllocation(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 100L, 7751L, 10L, 7L, 5833L),
+      ("b", 25L, 1937L, 5L, 4L, 3333L),
+      ("c", 4L, 310L, 2L, 1L, 833L)))
+    // conservation is in-plan (assert_true): sum == budget held above
+    assert(got.map(_._5).sum == 12L)
+  }
+
+  test("budgetSelect: quality-first prefix fill, per-source budgets, tie-break") {
+    // source s: 16 tokens -> budget 4; only the highest-uniq doc fits
+    val docs = Seq(
+      (1L, "a b c d", "s"),                    // uniq 10000, 4 tokens
+      (2L, "a a b b", "s"),                    // uniq 5000
+      (3L, "x x x x x x x x", "s"))            // uniq 1250
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.budgetSelect(docs)
+      .select("doc_id", "cum_tokens", "src_budget", "kept")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 4L, 1L), (2L, 8L, 4L, 0L), (3L, 16L, 4L, 0L)))
+    // equal quality -> doc_id asc decides who fits the budget
+    val tied = Seq((10L, "p q r s t", "t"), (11L, "p q r s t", "t"))
+      .toDF("doc_id", "text", "source")
+    val got2 = TextAnalysis.budgetSelect(tied, budgetDen = 2)
+      .select("doc_id", "kept").as[(Long, Long)].collect().toSeq
+    assert(got2 == Seq((10L, 1L), (11L, 0L)))
+  }
+
   test("dedup exact: identical texts collapse to min id") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
