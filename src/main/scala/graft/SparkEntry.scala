@@ -159,6 +159,73 @@ object SparkEntry {
     (pct, gate)
   }
 
+  /** Generated k-step MMR oracle: the [[bruteTopKSql]] cosine basis,
+    * top-`c` candidates per query, pairwise candidate sims, then k
+    * unrolled greedy steps (argmax of 0.7·rel − 0.3·max-sim-to-picked,
+    * ties vec_id asc — the same double comparisons Spark makes).
+    * `cand`/`ps`/`base` are multi-referenced and aggregate ⇒
+    * MATERIALIZED (the DuckDB CTE-inlining trap). */
+  private def mmrOracle(nq: Int, k: Int, c: Int,
+      lambda: Double = 0.7): String = {
+    // interpolate the EXACT doubles the Scala side multiplies by —
+    // 1.0 − 0.7 is 0.30000000000000004, not 0.3, and DuckDB's bare
+    // decimal literals are DECIMAL, not DOUBLE (both differences are a
+    // last-ulp hash mismatch)
+    val lam = s"CAST(${lambda} AS DOUBLE)"
+    val om = s"CAST(${1.0 - lambda} AS DOUBLE)"
+    val steps = (2 to k).map { j =>
+      s"""m$j AS (SELECT p.q_id, p.va, max(p.sim) AS msim
+         |       FROM ps p JOIN sel${j - 1} s
+         |         ON s.q_id = p.q_id AND s.vec_id = p.vb
+         |       GROUP BY 1, 2),
+         |  p$j AS (SELECT c.q_id, c.vec_id,
+         |              $lam * c.cosine - $om * m.msim AS score
+         |       FROM cand c JOIN m$j m
+         |         ON m.q_id = c.q_id AND m.va = c.vec_id
+         |       LEFT JOIN sel${j - 1} x
+         |         ON x.q_id = c.q_id AND x.vec_id = c.vec_id
+         |       WHERE x.vec_id IS NULL),
+         |  k$j AS (SELECT q_id, vec_id, CAST($j AS BIGINT) AS sel_rank,
+         |              score AS mmr_score
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY score DESC, vec_id) AS rn FROM p$j)
+         |       WHERE rn = 1),
+         |  sel$j AS (SELECT * FROM sel${j - 1} UNION ALL SELECT * FROM k$j)"""
+        .stripMargin
+    }.mkString(",\n  ")
+    s"""WITH base AS MATERIALIZED (
+       |    SELECT vec_id, embedding::DOUBLE[] AS v,
+       |           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |    FROM embeddings),
+       |  scored AS (
+       |    SELECT q.vec_id AS q_id, b.vec_id,
+       |           list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
+       |    FROM base b JOIN base q
+       |      ON q.vec_id < $nq AND b.vec_id <> q.vec_id),
+       |  cand AS MATERIALIZED (
+       |    SELECT q_id, vec_id, cosine FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY q_id
+       |               ORDER BY cosine DESC, vec_id) AS rnk
+       |      FROM scored) WHERE rnk <= $c),
+       |  ps AS MATERIALIZED (
+       |    SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+       |           list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS sim
+       |    FROM cand a JOIN cand b
+       |      ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+       |    JOIN base ea ON ea.vec_id = a.vec_id
+       |    JOIN base eb ON eb.vec_id = b.vec_id),
+       |  sel1 AS (
+       |    SELECT q_id, vec_id, CAST(1 AS BIGINT) AS sel_rank,
+       |           score AS mmr_score
+       |    FROM (SELECT q_id, vec_id, $lam * cosine AS score,
+       |            row_number() OVER (PARTITION BY q_id
+       |              ORDER BY $lam * cosine DESC, vec_id) AS rn
+       |          FROM cand) WHERE rn = 1),
+       |  $steps
+       |SELECT q_id, sel_rank, vec_id, mmr_score FROM sel$k
+       |ORDER BY q_id, sel_rank""".stripMargin
+  }
+
   /** IVFADC probe knobs, env-overridable so the ×10 retune rule
     * (BASELINE.md "×10 recall curve") is a CONFIG change, not a code
     * edit: the registered defaults np=6/sl=64 hold `ann_recall_ivfpq`'s
@@ -1306,6 +1373,14 @@ object SparkEntry {
 
     // EXT similarity search over embeddings:
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteTopK(t(s, dir, "embeddings"), 20, 5)),
+    // EXT MMR diversity re-rank: λ=0.7 greedy pick of 5 from the top-20
+    // candidates per query (relevance minus redundancy vs the picked
+    // set) — the RAG context diversifier. Re-rank cost is independent
+    // of corpus size (candidates pluggable: brute here, ANN at scale);
+    // double cosines fold element-order identically in both engines, so
+    // the greedy SELECTION is hash-oracle'd end to end.
+    "sim_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(t(s, dir, "embeddings"))),
 
     // EXT contrastive-training hard negatives: per-anchor top-5
     // different-label cosine neighbors + hardest-positive margin flags
@@ -9432,6 +9507,7 @@ object SparkEntry {
     "sim_brute_topk" -> bruteTopKSql,
     // full-probe IVF ≡ brute (spec-pinned): same oracle text
     "sim_ivf_topk_fullprobe" -> bruteTopKSql,
+    "sim_mmr_rerank" -> mmrOracle(20, 5, 20),
 
     "sim_range_search" ->
       """WITH base AS (

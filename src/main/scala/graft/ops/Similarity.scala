@@ -144,6 +144,69 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** MMR (maximal marginal relevance) diversity RE-RANK — the retrieval
+    * post-processor that stops a RAG context window from filling with k
+    * copies of the same passage: greedily select `k` of the top-`c`
+    * candidates per query, each step maximizing
+    * λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s) (relevance minus
+    * redundancy against what is already picked), ties on vec_id asc.
+    *
+    * Exact cross-engine: every cosine is the same element-order double
+    * fold both engines compute bit-identically (the `sim_brute_topk`
+    * discipline), and the λ mix is two double products in fixed order —
+    * so the greedy SELECTION (pure comparisons of identical doubles) is
+    * reproducible in SQL, oracle'd end to end.
+    *
+    * Scale: candidate generation is pluggable (brute here; feed an ANN
+    * top-c at 100 TB) — past it the re-rank touches only candidates:
+    * one c-per-query pairwise-sim table (nQueries·c² rows) + k−1
+    * candidate-sized agg steps. Cost is INDEPENDENT of corpus size; k
+    * is a small constant so the unrolled lineage stays flat. */
+  def mmrRerank(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
+      c: Int = 20, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && c >= k, s"need c >= k >= 1, got k=$k c=$c")
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val cand = bruteTopK(emb, nQueries, c)
+      .select("q_id", "vec_id", "cosine")
+      .join(base, "vec_id")
+      .select(col("q_id"), col("vec_id"), col("cosine"),
+        col("embedding"), col("nrm"))
+      .localCheckpoint() // k-1 steps re-read candidates; cut the lineage
+    val ps = cand.as("a").join(cand.as("b"),
+        col("a.q_id") === col("b.q_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.q_id").as("q_id"), col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        (dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .localCheckpoint()
+    val lam = lit(lambda); val om = lit(1.0 - lambda)
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored.groupBy("q_id")
+        .agg(max(struct(col("score"), (-col("vec_id")).as("nv"))).as("m"))
+        .select(col("q_id"), (-col("m.nv")).as("vec_id"),
+          lit(rank.toLong).as("sel_rank"), col("m.score").as("mmr_score"))
+    var sel = pick(cand.select(col("q_id"), col("vec_id"),
+      (lam * col("cosine")).as("score")), 1)
+    (2 to k).foreach { r =>
+      val msim = ps
+        .join(sel.select(col("q_id"), col("vec_id").as("vb")),
+          Seq("q_id", "vb"))
+        .groupBy("q_id", "va").agg(max("sim").as("msim"))
+      val scored = cand.select("q_id", "vec_id", "cosine")
+        .join(sel.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
+          "left_anti")
+        .join(msim.withColumnRenamed("va", "vec_id"),
+          Seq("q_id", "vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          (lam * col("cosine") - om * col("msim")).as("score"))
+      sel = sel.unionByName(pick(scored, r))
+    }
+    sel.select("q_id", "sel_rank", "vec_id", "mmr_score")
+      .orderBy("q_id", "sel_rank")
+  }
+
   /** Exact cosine near-dup pairs (cosine >= minCosine, vec_id a<b).
     * All-pairs O(N²): only for modest corpus sizes / verification — the
     * LSH variant below is the scale path. GUARDED: refuses to plan the

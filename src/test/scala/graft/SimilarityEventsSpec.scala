@@ -84,6 +84,26 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(ivf == brute) // probing every list == exhaustive scan
   }
 
+  test("mmrRerank: redundancy penalty diversifies what plain top-k repeats") {
+    // q=(2,1); A=(1,0) and B=(2,0) are PARALLEL (cos(q,A)=cos(q,B)=2/√5,
+    // sim(A,B)=1); C=(1,2) has rel 4/5 and sim(C,A)=1/√5. Plain top-2 =
+    // {A,B}. MMR step1 picks A (tie -> lower id); step2: score(B) =
+    // 0.7·0.894 − 0.3·1 = 0.326 < score(C) = 0.7·0.8 − 0.3·0.447 =
+    // 0.426 -> C. The redundant twin is dropped for the diverse doc.
+    val emb = Seq(
+      (0L, Array(2.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val brute = graft.ops.Similarity.bruteTopK(emb, 1, 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(brute == Set(1L, 2L))
+    val mmr = graft.ops.Similarity.mmrRerank(emb, nQueries = 1, k = 2, c = 3)
+      .select("q_id", "sel_rank", "vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(mmr == Seq((0L, 1L, 1L), (0L, 2L, 3L)))
+  }
+
   test("ivfAppendAudit: hand corpus pins growth, staleness and rebuild verdict") {
     // k=2 -> seeds are even ids 0 and 2. Base (even ids): two tight
     // clusters around (1,0) and (0,1); base radius of each list is the
