@@ -172,7 +172,9 @@ object Similarity {
       .join(base, "vec_id")
       .select(col("q_id"), col("vec_id"), col("cosine"),
         col("embedding"), col("nrm"))
-      .localCheckpoint() // k-1 steps re-read candidates; cut the lineage
+    // pairwise candidate sims through the SAME ArrayDot kernel the
+    // relevance cosines used — the greedy step then only COMPARES these
+    // doubles, never recomputes them
     val ps = cand.as("a").join(cand.as("b"),
         col("a.q_id") === col("b.q_id") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -180,30 +182,42 @@ object Similarity {
         col("b.vec_id").as("vb"),
         (dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm"))).as("sim"))
-      .localCheckpoint()
-    val lam = lit(lambda); val om = lit(1.0 - lambda)
-    def pick(scored: DataFrame, rank: Int): DataFrame =
-      scored.groupBy("q_id")
-        .agg(max(struct(col("score"), (-col("vec_id")).as("nv"))).as("m"))
-        .select(col("q_id"), (-col("m.nv")).as("vec_id"),
-          lit(rank.toLong).as("sel_rank"), col("m.score").as("mmr_score"))
-    var sel = pick(cand.select(col("q_id"), col("vec_id"),
-      (lam * col("cosine")).as("score")), 1)
-    (2 to k).foreach { r =>
-      val msim = ps
-        .join(sel.select(col("q_id"), col("vec_id").as("vb")),
-          Seq("q_id", "vb"))
-        .groupBy("q_id", "va").agg(max("sim").as("msim"))
-      val scored = cand.select("q_id", "vec_id", "cosine")
-        .join(sel.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
-          "left_anti")
-        .join(msim.withColumnRenamed("va", "vec_id"),
-          Seq("q_id", "vec_id"))
-        .select(col("q_id"), col("vec_id"),
-          (lam * col("cosine") - om * col("msim")).as("score"))
-      sel = sel.unionByName(pick(scored, r))
-    }
-    sel.select("q_id", "sel_rank", "vec_id", "mmr_score")
+    // per-query data is BOUNDED BY CONSTRUCTION (c candidates, c² sims
+    // — corpus-independent), so the greedy k-step selection runs as ONE
+    // cogroup over q_id (single co-shuffle, in-memory loop per group) —
+    // k chained DataFrame steps would pay k scheduler rounds for the
+    // same comparisons. JVM double mul/sub is the same IEEE arithmetic
+    // Catalyst codegen emits, so the scores stay oracle-exact.
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val lam = lambda; val om = 1.0 - lambda
+    val candK = cand.select("q_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].groupByKey(_._1)
+    val psK = ps.as[(Long, Long, Long, Double)].groupByKey(_._1)
+    candK.cogroup(psK) { (q, cIt, pIt) =>
+      val cs = cIt.map(t => (t._2, t._3)).toArray
+      val sims = pIt.map(t => ((t._2, t._3), t._4)).toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double)]
+      (1 to math.min(k, cs.length)).foreach { r =>
+        var bestV = -1L; var bestS = Double.NegativeInfinity
+        cs.foreach { case (v, rel) =>
+          if (!picked.contains(v)) {
+            val red = if (picked.isEmpty) 0.0
+              else picked.map(s => sims((v, s))).max
+            val score =
+              if (picked.isEmpty) lam * rel else lam * rel - om * red
+            if (score > bestS || (score == bestS && v < bestV)) {
+              bestS = score; bestV = v
+            }
+          }
+        }
+        picked += bestV
+        out += ((q, r.toLong, bestV, bestS))
+      }
+      out.iterator
+    }.toDF("q_id", "sel_rank", "vec_id", "mmr_score")
       .orderBy("q_id", "sel_rank")
   }
 
