@@ -1579,6 +1579,12 @@ object SparkEntry {
     // centroid pass + a k-row agg; exact, hash-oracle'd.
     "sim_kmeans_balance" -> ((s, dir) =>
       Similarity.kmeansAssignStats(t(s, dir, "embeddings"))),
+    // EXT cluster-balanced coverage sample: m portable-hash reps per
+    // coarse cluster — the eval-subset constructor that covers the
+    // embedding SPACE instead of mirroring its density (uniform samples
+    // never measure rare modes); k·m rows whatever the corpus size
+    "embed_coverage_sample" -> ((s, dir) =>
+      Similarity.coverageSample(t(s, dir, "embeddings"))),
     // EXT IVF append-lifecycle audit (the vector-store twin of the
     // dedup sig-index probe→append→monitor→rebuild loop): the odd half
     // appends onto the even half's FROZEN centroids; per list the audit
@@ -6175,6 +6181,34 @@ object SparkEntry {
          FROM nr1 LEFT JOIN nr2 ON nr1.cid = nr2.cid
               JOIN cs ON nr1.cid = cs.cid
          ORDER BY cluster_id""",
+
+    // cluster-balanced coverage sample: the kmeans-assign CTEs + the
+    // portable affine hash (coefficient index 23) per cluster
+    "embed_coverage_sample" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024)
+         |              AS BIGINT) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, d, q AS c FROM qv WHERE vec_id < 8),
+         |d1 AS (SELECT v.vec_id, c.cid,
+         |              sum((v.q - c.c) * (v.q - c.c)) AS dist2
+         |       FROM qv v JOIN c0 c USING (d) GROUP BY 1, 2),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid, row_number() OVER (
+         |                  PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |         FROM d1) WHERE rn = 1),
+         |h AS (SELECT vec_id, cid,
+         |             (${graft.functions.Portable.aCoef(23)} * (vec_id % ${graft.functions.Portable.P1})
+         |              + ${graft.functions.Portable.bCoef(23)}) % ${graft.functions.Portable.P1} AS h
+         |      FROM a1)
+         |SELECT cluster_id, rn, vec_id, h FROM (
+         |  SELECT CAST(cid AS BIGINT) AS cluster_id,
+         |         CAST(row_number() OVER (PARTITION BY cid
+         |                ORDER BY h, vec_id) AS BIGINT) AS rn,
+         |         vec_id, h
+         |  FROM h) WHERE rn <= 5
+         |ORDER BY cluster_id, rn""".stripMargin,
 
     // frozen-centroid append audit: base = even half (seeds = even ids
     // < 16), appends = odd half assigned to the SAME centroids; dist2

@@ -982,6 +982,43 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** Cluster-BALANCED coverage sample — the eval-subset constructor: m
+    * deterministic representatives per coarse cluster, so the sample
+    * covers the embedding SPACE instead of mirroring its density (a
+    * uniform hash sample draws ~proportional to density — rare modes
+    * contribute ~nothing and an eval built from it never measures
+    * them). Assignment is the [[kmeansAssignStats]] integer metric
+    * (squared L2 over floor(x·scale) BIGINTs, lower-cid tie-break,
+    * dense-seed guard); the per-cluster choice is the bottom-m portable
+    * affine hash of vec_id (coefficient index 23 — semantics-oblivious,
+    * reproducible in SQL; injective mod P1, vec_id tie-break kept
+    * anyway). One broadcast-centroid pass + one cluster-keyed top-m
+    * window — k·m output rows whatever the corpus size. */
+  def coverageSample(emb: DataFrame, k: Int = 8, m: Int = 5,
+      scale: Int = 1024): DataFrame = {
+    import graft.functions.Portable
+    val qv = quantized(emb, scale)
+    val c0 = seedCentroids(qv, k)
+    val best = qv.join(broadcast(c0), Seq("d"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val w = Window.partitionBy("cid").orderBy("h", "vec_id")
+    best
+      .withColumn("h",
+        (lit(Portable.aCoef(23)) * pmod(col("vec_id"), lit(Portable.P1))
+          + lit(Portable.bCoef(23))) % lit(Portable.P1))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= m)
+      .join(broadcast(seedGuard(c0, k)))
+      .select(when(col("__seed_g").isNull, col("cid").cast("long"))
+          .as("cluster_id"),
+        col("rn"), col("vec_id"), col("h"))
+      .orderBy("cluster_id", "rn")
+  }
+
   /** Frozen-centroid APPEND audit — the no-refit maintenance loop of a
     * production IVF index, mirrored on the [[graft.ops.Dedup]] sig-index
     * lifecycle (probe → append → monitor → rebuild): the even-vec_id

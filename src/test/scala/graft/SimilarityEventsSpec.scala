@@ -84,6 +84,27 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(ivf == brute) // probing every list == exhaustive scan
   }
 
+  test("coverageSample: every cluster keeps m reps, rare modes included") {
+    // cluster 0 (around seed 0) has 5 members, cluster 1 (around seed
+    // 1) has only 2 — a density-proportional sample of 4 would likely
+    // miss the sparse mode entirely; the balanced sample cannot
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // seed 0
+      (1L, Array(0.0f, 1.0f)),   // seed 1
+      (2L, Array(0.9f, 0.0f)), (3L, Array(0.95f, 0.0f)),
+      (4L, Array(1.1f, 0.0f)), (5L, Array(0.85f, 0.0f)),
+      (6L, Array(0.0f, 0.9f))).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.coverageSample(emb, k = 2, m = 2)
+      .select("cluster_id", "rn", "vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val byCluster = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byCluster(0L).size == 2 &&
+      byCluster(0L).subsetOf(Set(0L, 2L, 3L, 4L, 5L)))
+    assert(byCluster(1L) == Set(1L, 6L)) // the sparse mode is ALL kept
+    assert(got.groupBy(_._1).values.forall(
+      _.map(_._2).sorted == Seq(1L, 2L)))
+  }
+
   test("mmrRerank: redundancy penalty diversifies what plain top-k repeats") {
     // q=(2,1); A=(1,0) and B=(2,0) are PARALLEL (cos(q,A)=cos(q,B)=2/√5,
     // sim(A,B)=1); C=(1,2) has rel 4/5 and sim(C,A)=1/√5. Plain top-2 =
