@@ -67,6 +67,16 @@ object SparkEntry {
   private def sigFixture(key: String, dir: String)(
       build: String => Unit): String = idxFixture(s"sig-$key", dir)(build)
 
+  /** Build-once exact brute top-k reference (q_id, vec_id) shared by
+    * the three ann_recall_* reports: the gold set every approximate
+    * path is graded against is a FIXED artifact of the corpus, so each
+    * report run pays only its own approx pipeline. */
+  private def bruteRef(s: SparkSession, dir: String): String =
+    idxFixture("bruteref", dir) { p =>
+      Similarity.bruteTopK(Tables(s, dir, "embeddings"), 20, 5)
+        .select("q_id", "vec_id").write.mode("overwrite").parquet(p)
+    }
+
   /** Build-once IVF index (the ann_index_probe lifecycle). */
   private def ivfIdx(s: SparkSession, dir: String): String =
     idxFixture("ivf", dir) { p =>
@@ -1530,7 +1540,7 @@ object SparkEntry {
       // the sampled coarse fit (cap 1000, bites here) measures 5800 bp
       // at sf0.1 vs 6600 full-fit (IvfPqTune) — the band moved with the
       // deliberately-bitten sample, the floor follows ~1000 bp under it
-      val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
+      val exact = s.read.parquet(bruteRef(s, dir))
       val approx = Similarity.ivfTopK(emb, 20, 5, fitSampleCap = 1000)
         .select("q_id", "vec_id")
       annRecallReport(exact, approx, floorBp = Some(4800))
@@ -1540,7 +1550,7 @@ object SparkEntry {
     // IVF: ann_recall_ivf, PQ: here). Rows-only (k-means codebooks).
     "ann_recall_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
+      val exact = s.read.parquet(bruteRef(s, dir))
       // the sublinear config sim_pq_topk runs; floor raised 4600 → 6000
       // now that the hi-res codebook measures 9300 bp at sf0.1 (a
       // regenerated corpus has headroom; a collapse below 60% recall
@@ -1557,7 +1567,7 @@ object SparkEntry {
     // costs ~nothing on top of its IVF pruning. Rows-only (k-means).
     "ann_recall_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val exact = Similarity.bruteTopK(emb, 20, 5).select("q_id", "vec_id")
+      val exact = s.read.parquet(bruteRef(s, dir))
       val approx = Similarity.ivfPqTopK(emb, 20, 5, nProbe = ivfPqNProbe,
         shortlist = ivfPqShortlist, fitSampleCap = 1000)
         .select("q_id", "vec_id")
