@@ -1072,7 +1072,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_appended"),
         sum(when(col("dist2") > col("radius_sq_base"), 1L).otherwise(0L))
           .as("n_beyond"))
-    baseStats.join(appStats, Seq("cid"), "left")
+    baseStats.join(broadcast(appStats), Seq("cid"), "left")
       .join(broadcast(guard))
       .select(when(col("__g").isNull, col("cid").cast("long"))
           .as("cluster_id"),

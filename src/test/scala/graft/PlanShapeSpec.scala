@@ -719,4 +719,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!st.contains("Window"),
       s"stickiness is aggregates-only:\n$st")
   }
+
+  test("round-9 queries: one shuffle curation, broadcast audits, cogrouped MMR") {
+    // budget select: ONE source-keyed hash exchange feeds both windows
+    // (prefix sum + per-source budget share the partitioning); the only
+    // other exchange is the presentation sort. No join anywhere.
+    val bs = planOf("text_budget_select")
+    assert(!bs.contains("Join"), s"budgetSelect must not join:\n$bs")
+    assert("hashpartitioning\\(source".r.findAllIn(bs).size <= 1,
+      s"budgetSelect must reuse one source partitioning:\n$bs")
+    assert(bs.contains("text:string,source:string") ||
+      bs.contains("source:string,text:string"),
+      s"budgetSelect scan must prune to (text, source):\n$bs")
+    // mix allocation: windows/ranks run over the |sources|-row
+    // aggregate, never the corpus — the corpus-side plan is one partial
+    // aggregate; totals ride broadcast nested-loop of 1-row frames
+    val mx = planOf("text_mix_allocation")
+    assert(!mx.contains("CartesianProduct"),
+      s"mixAllocation 1-row joins must broadcast:\n$mx")
+    assert(!mx.contains("SortMergeJoin"),
+      s"mixAllocation joins aggregate-sized tables — broadcast:\n$mx")
+    // the two k-means-assignment audits: centroid joins broadcast
+    Seq("embed_coverage_sample", "ann_ivf_append_audit").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q centroid/stat joins are k-row — broadcast them:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    // MMR: selection is ONE CoGroup (not k chained aggregate stages) and
+    // candidate generation is the only corpus-sized work in the plan
+    val mmr = planOf("sim_mmr_rerank")
+    assert(mmr.contains("CoGroup"),
+      s"MMR selection must be a single cogroup:\n$mmr")
+    assert(!mmr.contains("CartesianProduct"),
+      s"MMR pairwise sims are q_id-keyed, never cartesian:\n$mmr")
+  }
 }
