@@ -984,6 +984,11 @@ object SparkEntry {
     // gap is the up-sampling a data-mixing stage applies
     "text_mix_allocation" -> ((s, dir) =>
       TextAnalysis.mixAllocation(t(s, dir, "documents"))),
+    // EXT token-balanced export sharding: contiguous cuts of the exact
+    // global token prefix-sum line — every shard total/S ± one doc by
+    // construction; the per-shard share_bp report IS the straggler check
+    "text_shard_balance" -> ((s, dir) =>
+      TextAnalysis.shardBalance(t(s, dir, "documents"))),
     // EXT token-budget curation: per source, highest-uniq-ratio docs
     // greedily fill tokens div 4 (quality-first under a budget — the
     // data-constrained selection rule); per-doc kept verdict, ONE
@@ -8851,6 +8856,25 @@ object SparkEntry {
                 (base + (CASE WHEN rk <= budget - sb THEN 1 ELSE 0 END))
                   * 10000 // budget AS share_bp
          FROM r ORDER BY source""",
+
+    // contiguous prefix-sum sharding: the window cum equals the
+    // distributed running total exactly
+    "text_shard_balance" ->
+      """WITH s AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents),
+         c AS (SELECT *,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+               FROM s)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+                CAST(sum(n_tokens) AS BIGINT) * 10000 // max(total) AS share_bp
+         FROM (SELECT *, least(7, (cum - n_tokens) * 8 // total) AS shard
+               FROM c)
+         GROUP BY shard ORDER BY shard""",
 
     // greedy quality-first curation under a per-source token budget:
     // explicit ROWS frame + unique tie-break so both engines accumulate

@@ -717,6 +717,34 @@ object TextAnalysis {
       .withColumn("waste_bp", Texty.ratioBp(
         col("padded_tokens") - col("total_tokens"), col("padded_tokens")))
 
+  /** Token-balanced SHARD assignment report — the training-export
+    * balancer: docs are laid on the exact global token prefix-sum line
+    * (doc_id order, [[graft.ops.Features.withRunningTotal]]'s
+    * distributed prefix sum — no single-partition window) and cut into
+    * `nShards` contiguous token ranges, so every shard's token total is
+    * total/S ± one document by construction — the balance that decides
+    * training-throughput stragglers, reported as exact share_bp per
+    * shard rather than assumed from doc counts (heavy-tailed docs make
+    * count-balanced shards token-skewed). One prefix-sum pass + an
+    * S-row aggregate. */
+  def shardBalance(docs: DataFrame, nShards: Int = 8,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(nShards >= 1, s"nShards >= 1, got $nShards")
+    val base = docs.select(col(id),
+      size(Texty.tokens(col(text))).cast("long").as("n_tokens"))
+    val cum = graft.ops.Features.withRunningTotal(base, id, "n_tokens", "cum")
+    val tot = base.agg(sum("n_tokens").as("total"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("shard", least(lit(nShards - 1L),
+        expr(s"(cum - n_tokens) * $nShards div total")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"),
+        max("total").as("__t"))
+      .withColumn("share_bp", expr("shard_tokens * 10000 div __t"))
+      .select("shard", "n_docs", "shard_tokens", "share_bp")
+      .orderBy("shard")
+  }
+
   /** Corpus mixture report — the data-mixing dashboard: per stratum
     * (source/domain/language), document and token counts plus each
     * stratum's exact basis-point share of total tokens. This is the table

@@ -84,6 +84,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(got2 == Seq((10L, 1L), (11L, 0L)))
   }
 
+  test("shardBalance: contiguous token cuts balance shards exactly") {
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h"),
+      (3L, "i j k l"), (4L, "m n o p")).toDF("doc_id", "text")
+    val got = TextAnalysis.shardBalance(docs, nShards = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 8L, 5000L), (1L, 2L, 8L, 5000L)))
+    // heavy tail: a doc longer than the ideal shard width just owns its
+    // cut — balance degrades by at most that one document
+    val skewed = Seq((1L, "a"), (2L, "b"),
+      (3L, (1 to 6).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got2 = TextAnalysis.shardBalance(skewed, nShards = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got2 == Seq((0L, 3L, 8L, 10000L)))
+  }
+
   test("dedup exact: identical texts collapse to min id") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
