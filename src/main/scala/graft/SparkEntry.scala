@@ -1426,6 +1426,12 @@ object SparkEntry {
     "sim_range_search" -> ((s, dir) =>
       Similarity.rangeSearch(t(s, dir, "embeddings"), 20, 0.3)),
     "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
+    // EXT multi-probe sign-LSH retrieval: each query also probes the
+    // Hamming-1 buckets per band (recall without more bands/state);
+    // exact-cosine re-rank. The one ANN family with NO float fit —
+    // the full approximate path is hash-oracle'd, no recall floor needed
+    "sim_lsh_multiprobe_topk" -> ((s, dir) =>
+      Similarity.lshMultiProbeTopK(t(s, dir, "embeddings"))),
     // coarse quantizer fit on the bounded 1000-row sample (the cap BITES
     // at this corpus — half the vectors — so the sampled-training path
     // is the one the recall floor actually measures; at 100 TB k-means
@@ -5878,7 +5884,10 @@ object SparkEntry {
     * sim_neardup_cosine. */
   /** CTE chain ending in `lsh_pairs(va, vb, cosine)` — shared by the
     * sign-LSH pair oracle and the embedding-cluster oracle. */
-  private def signLshPairsCtes: String = {
+  /** Shared key-generation chain (q/e/bits/keys/keptk/base) for every
+    * sign-LSH oracle: portable hyperplane bits → per-band keys → the
+    * corpus-side hot-bucket cap → the double-cosine base table. */
+  private def signLshKeysCtes: String = {
     import Portable.{P1, AMul, BMul}
     import graft.functions.SignLshKernels.Center
     import graft.ops.Similarity.{LshBands, LshBitsPerBand, LshMaxBucket}
@@ -5907,18 +5916,53 @@ object SparkEntry {
        |     SELECT 1 FROM keys g
        |     WHERE g.band = k.band AND g.bkey = k.bkey
        |     GROUP BY g.band, g.bkey HAVING count(*) > $LshMaxBucket)),
+       | base AS (
+       |   SELECT vec_id, embedding::DOUBLE[] AS v,
+       |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |   FROM embeddings)""".stripMargin
+  }
+
+  private def signLshPairsCtes: String =
+    s"""$signLshKeysCtes,
        | cand AS (
        |   SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
        |   FROM keptk a JOIN keptk b
        |     ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-       | base AS (
-       |   SELECT vec_id, embedding::DOUBLE[] AS v,
-       |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |   FROM embeddings),
        | lsh_pairs AS (
        |   SELECT va, vb, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
        |   FROM cand JOIN base a ON a.vec_id = va JOIN base b ON b.vec_id = vb
        |   WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)""".stripMargin
+
+  /** Multi-probe sign-LSH top-k: each query probes its own key plus the
+    * `bitsPerBand` Hamming-1 perturbations per band; candidates re-rank
+    * by exact cosine. Same key chain as the pair oracle — the approx
+    * path is fully deterministic, so the WHOLE retrieval is hashed. */
+  private def lshMultiProbeOracle(nq: Int, k: Int): String = {
+    import graft.ops.Similarity.LshBitsPerBand
+    s"""WITH $signLshKeysCtes,
+       | pk AS (
+       |   SELECT vec_id, band,
+       |          list_append(list_transform(range(0, $LshBitsPerBand),
+       |            i -> xor(bkey, 1 << i)), bkey) AS pkeys
+       |   FROM keys WHERE vec_id < $nq),
+       | probes AS (
+       |   SELECT vec_id AS q_id, band, pkey
+       |   FROM pk, LATERAL (SELECT unnest(pkeys) AS pkey) pp),
+       | mcand AS (
+       |   SELECT DISTINCT p.q_id, c.vec_id
+       |   FROM probes p JOIN keptk c
+       |     ON c.band = p.band AND c.bkey = p.pkey
+       |   WHERE c.vec_id <> p.q_id),
+       | mscored AS (
+       |   SELECT m.q_id, m.vec_id,
+       |          list_dot_product(b.v, qb.v) / (b.nrm * qb.nrm) AS cosine
+       |   FROM mcand m JOIN base b ON b.vec_id = m.vec_id
+       |               JOIN base qb ON qb.vec_id = m.q_id)
+       |SELECT q_id, rnk, vec_id, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM mscored) WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
   }
 
   private def signLshOracle: String =
@@ -5960,6 +6004,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "sim_lsh_neardup" -> signLshOracle,
+    "sim_lsh_multiprobe_topk" -> lshMultiProbeOracle(20, 5),
     "dedup_embedding_clusters" -> embeddingClustersOracle,
     "ann_recall" -> annRecallOracle,
     // MinHash signatures, band keys and SimHash bits are computed on the

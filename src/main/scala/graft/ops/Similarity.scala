@@ -302,6 +302,58 @@ object Similarity {
       .orderBy("va", "vb")
   }
 
+  /** MULTI-PROBE sign-LSH top-k — the table-count reducer of LSH
+    * retrieval: instead of adding bands (more state) to raise recall,
+    * each query also probes the buckets at Hamming distance 1 from its
+    * own key in every band (the perturbation most likely to hold a
+    * near-miss neighbor, since one flipped hyperplane sign is the
+    * smallest possible disagreement). (1 + bitsPerBand) probes per
+    * band per query; candidates re-rank by exact cosine to top-k.
+    *
+    * Fully hash-oracle'd — keys are the portable SignLshKeys ints, the
+    * probe expansion is bit arithmetic, and the re-rank is the
+    * element-order double cosine — no float fit anywhere (the one ANN
+    * family whose APPROXIMATE path needs no recall-floor escape hatch).
+    *
+    * Scale: the corpus pays one key projection (the same state an LSH
+    * index already persists); probe cost is queries × bands ×
+    * (bitsPerBand+1) bucket lookups, each bounded by `maxBucket` (hot
+    * buckets dropped BEFORE the candidate join, cap-stats discipline).
+    * No all-pairs anywhere. */
+  def lshMultiProbeTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
+      bitsPerBand: Int = LshBitsPerBand, bands: Int = LshBands,
+      maxBucket: Int = LshMaxBucket): DataFrame = {
+    val keyed = emb.select(col("vec_id"),
+      posexplode(graft.functions.SignLshKeys(col("embedding"),
+        bitsPerBand, bands)).as(Seq("band", "bkey")))
+    val wb = Window.partitionBy("band", "bkey")
+    val corpus = keyed
+      .withColumn("bs", count(lit(1)).over(wb))
+      .filter(col("bs") <= maxBucket)
+      .select(col("vec_id"), col("band"), col("bkey").as("pkey"))
+    val probes = keyed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("band"),
+        explode(expr(s"array_union(array(bkey), transform(" +
+          s"sequence(0, ${bitsPerBand - 1}), " +
+          s"i -> bkey ^ CAST(shiftleft(1, i) AS BIGINT)))")).as("pkey"))
+    val cand = probes.join(corpus, Seq("band", "pkey"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val scored = cand
+      .join(base.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .join(base, Seq("vec_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate detection as a dedup primitive:
     * the edge list of near-dup pairs; consumers pick a keep policy
     * (connected components need an iterative algorithm out of scope here). */

@@ -84,6 +84,21 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(ivf == brute) // probing every list == exhaustive scan
   }
 
+  test("lshMultiProbeTopK: contiguous exact-cosine ranks, deterministic") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val mp = graft.ops.Similarity.lshMultiProbeTopK(emb, 10, 5).collect()
+    assert(mp.nonEmpty)
+    mp.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // the whole approximate path is deterministic — byte-equal reruns
+    // (keys, probe expansion, cap, re-rank: no float fit anywhere)
+    val again = graft.ops.Similarity.lshMultiProbeTopK(emb, 10, 5).collect()
+    assert(mp.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("coverageSample: every cluster keeps m reps, rare modes included") {
     // cluster 0 (around seed 0) has 5 members, cluster 1 (around seed
     // 1) has only 2 — a density-proportional sample of 4 would likely
