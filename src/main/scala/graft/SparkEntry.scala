@@ -1432,6 +1432,34 @@ object SparkEntry {
     // the full approximate path is hash-oracle'd, no recall floor needed
     "sim_lsh_multiprobe_topk" -> ((s, dir) =>
       Similarity.lshMultiProbeTopK(t(s, dir, "embeddings"))),
+    // EXT the probe-expansion payoff MEASURED and hash-checked:
+    // recall@5 of single- vs Hamming-1 multi-probe against the exact
+    // top-5 — all three sides deterministic, so the comparison is an
+    // oracle'd number, not a floored estimate. n_multi >= n_single is
+    // a theorem (an exact-top-5 pair outranked by at most 4 candidates
+    // can never leave a SUPERSET candidate set's top-5) — asserted
+    // in-plan anyway, so a probe-expansion regression fails loudly
+    "ann_recall_lsh_probes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = s.read.parquet(bruteRef(s, dir))
+      val single = Similarity.lshMultiProbeTopK(emb, 20, 5,
+        multiProbe = false).select("q_id", "vec_id")
+      val multi = Similarity.lshMultiProbeTopK(emb, 20, 5)
+        .select("q_id", "vec_id")
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val ns = exact.join(single, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_single"))
+      val nm = exact.join(multi, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_multi"))
+      ne.crossJoin(broadcast(ns)).crossJoin(broadcast(nm))
+        .select(col("n_exact"), col("n_single"),
+          when(assert_true(col("n_multi") >= col("n_single"),
+            lit("multi-probe candidates are a superset — captured count " +
+              "can never drop below single-probe")).isNull,
+            col("n_multi")).as("n_multi"),
+          expr("n_single * 10000 div n_exact").as("recall_single_bp"),
+          expr("n_multi * 10000 div n_exact").as("recall_multi_bp"))
+    }),
     // coarse quantizer fit on the bounded 1000-row sample (the cap BITES
     // at this corpus — half the vectors — so the sampled-training path
     // is the one the recall floor actually measures; at 100 TB k-means
@@ -5906,17 +5934,17 @@ object SparkEntry {
        |               THEN 1 ELSE 0 END AS bit
        |   FROM e, LATERAL (SELECT unnest(range(0, $nBits)) AS i) ii
        |   GROUP BY vec_id, i),
-       | keys AS (
+       | keys AS MATERIALIZED (
        |   SELECT vec_id, i // $LshBitsPerBand AS band,
        |          CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(i % $LshBitsPerBand AS INT))) AS BIGINT) AS bkey
        |   FROM bits GROUP BY vec_id, i // $LshBitsPerBand),
-       | keptk AS (
+       | keptk AS MATERIALIZED (
        |   SELECT * FROM keys k
        |   WHERE NOT EXISTS (
        |     SELECT 1 FROM keys g
        |     WHERE g.band = k.band AND g.bkey = k.bkey
        |     GROUP BY g.band, g.bkey HAVING count(*) > $LshMaxBucket)),
-       | base AS (
+       | base AS MATERIALIZED (
        |   SELECT vec_id, embedding::DOUBLE[] AS v,
        |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |   FROM embeddings)""".stripMargin
@@ -5965,6 +5993,64 @@ object SparkEntry {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Single- vs multi-probe recall@k against the exact top-k, all three
+    * sides deterministic — the probe-expansion payoff as an ORACLE'D
+    * number, not a floored estimate. */
+  private def lshProbeRecallOracle(nq: Int, k: Int): String = {
+    import graft.ops.Similarity.LshBitsPerBand
+    def topk(cand: String) =
+      s"""SELECT q_id, vec_id FROM (
+         |     SELECT s.q_id, s.vec_id, row_number() OVER (
+         |              PARTITION BY s.q_id
+         |              ORDER BY list_dot_product(b.v, qb.v) / (b.nrm * qb.nrm)
+         |                DESC, s.vec_id) AS rnk
+         |     FROM $cand s JOIN base b ON b.vec_id = s.vec_id
+         |                 JOIN base qb ON qb.vec_id = s.q_id)
+         |   WHERE rnk <= $k""".stripMargin
+    s"""WITH $signLshKeysCtes,
+       | ex AS (
+       |   SELECT q_id, vec_id FROM (
+       |     SELECT q.vec_id AS q_id, b.vec_id, row_number() OVER (
+       |              PARTITION BY q.vec_id
+       |              ORDER BY list_dot_product(b.v, q.v) / (b.nrm * q.nrm)
+       |                DESC, b.vec_id) AS rnk
+       |     FROM base b JOIN base q
+       |       ON q.vec_id < $nq AND b.vec_id <> q.vec_id)
+       |   WHERE rnk <= $k),
+       | scand AS (
+       |   SELECT DISTINCT a.vec_id AS q_id, c.vec_id
+       |   FROM keptk a JOIN keptk c
+       |     ON c.band = a.band AND c.bkey = a.bkey
+       |   WHERE a.vec_id < $nq AND c.vec_id <> a.vec_id),
+       | stop AS (
+       |   ${topk("scand")}),
+       | pk AS (
+       |   SELECT vec_id, band,
+       |          list_append(list_transform(range(0, $LshBitsPerBand),
+       |            i -> xor(bkey, 1 << i)), bkey) AS pkeys
+       |   FROM keys WHERE vec_id < $nq),
+       | probes AS (
+       |   SELECT vec_id AS q_id, band, pkey
+       |   FROM pk, LATERAL (SELECT unnest(pkeys) AS pkey) pp),
+       | mcand AS (
+       |   SELECT DISTINCT p.q_id, c.vec_id
+       |   FROM probes p JOIN keptk c
+       |     ON c.band = p.band AND c.bkey = p.pkey
+       |   WHERE c.vec_id <> p.q_id),
+       | mtop AS (
+       |   ${topk("mcand")}),
+       | counts AS (
+       |   SELECT (SELECT count(*) FROM ex) AS n_exact,
+       |          (SELECT count(*) FROM ex e JOIN stop s
+       |             ON s.q_id = e.q_id AND s.vec_id = e.vec_id) AS n_single,
+       |          (SELECT count(*) FROM ex e JOIN mtop m
+       |             ON m.q_id = e.q_id AND m.vec_id = e.vec_id) AS n_multi)
+       |SELECT n_exact, n_single, n_multi,
+       |       n_single * 10000 // n_exact AS recall_single_bp,
+       |       n_multi * 10000 // n_exact AS recall_multi_bp
+       |FROM counts""".stripMargin
+  }
+
   private def signLshOracle: String =
     s"""WITH $signLshPairsCtes
        |SELECT va, vb, cosine FROM lsh_pairs ORDER BY va, vb""".stripMargin
@@ -6005,6 +6091,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "sim_lsh_neardup" -> signLshOracle,
     "sim_lsh_multiprobe_topk" -> lshMultiProbeOracle(20, 5),
+    "ann_recall_lsh_probes" -> lshProbeRecallOracle(20, 5),
     "dedup_embedding_clusters" -> embeddingClustersOracle,
     "ann_recall" -> annRecallOracle,
     // MinHash signatures, band keys and SimHash bits are computed on the

@@ -322,7 +322,7 @@ object Similarity {
     * No all-pairs anywhere. */
   def lshMultiProbeTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
       bitsPerBand: Int = LshBitsPerBand, bands: Int = LshBands,
-      maxBucket: Int = LshMaxBucket): DataFrame = {
+      maxBucket: Int = LshMaxBucket, multiProbe: Boolean = true): DataFrame = {
     val keyed = emb.select(col("vec_id"),
       posexplode(graft.functions.SignLshKeys(col("embedding"),
         bitsPerBand, bands)).as(Seq("band", "bkey")))
@@ -331,11 +331,14 @@ object Similarity {
       .withColumn("bs", count(lit(1)).over(wb))
       .filter(col("bs") <= maxBucket)
       .select(col("vec_id"), col("band"), col("bkey").as("pkey"))
+    val probeKeys =
+      if (multiProbe) expr(s"array_union(array(bkey), transform(" +
+        s"sequence(0, ${bitsPerBand - 1}), " +
+        s"i -> bkey ^ CAST(shiftleft(1, i) AS BIGINT)))")
+      else expr("array(bkey)")
     val probes = keyed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("band"),
-        explode(expr(s"array_union(array(bkey), transform(" +
-          s"sequence(0, ${bitsPerBand - 1}), " +
-          s"i -> bkey ^ CAST(shiftleft(1, i) AS BIGINT)))")).as("pkey"))
+        explode(probeKeys).as("pkey"))
     val cand = probes.join(corpus, Seq("band", "pkey"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
