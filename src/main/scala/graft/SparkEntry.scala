@@ -1372,6 +1372,44 @@ object SparkEntry {
         .withColumn("keep", (col("keep_id") === col("doc_id")).cast("long"))
         .orderBy("doc_id")
     }),
+    // EXT the PRETRAINING CURATION PIPELINE end to end, as ONE
+    // declarative plan with ONE hash oracle: quality gate → exact dedup
+    // (md5 canonical) → MinHash-LSH + Levenshtein near-dup clusters
+    // (canonicals survive) → token accounting on the survivors (total,
+    // packing sequences + waste at budget 256, worst shard share at 8
+    // token-balanced shards). The single-row report is what a data
+    // curation run publishes per corpus drop; every stage is the
+    // already-oracled operator, composed — the integration test OF the
+    // library's purpose, driver-checked as one hash.
+    "pipeline_pretrain_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = TextAnalysis.withQualityColumns(docs)
+        .filter(col("keep") === 1).select("doc_id", "text", "source")
+      val canon = q.groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"))
+      // each surviving set feeds ≥3 downstream stages — stage it once
+      // (the single-process analog of persisting survivors between
+      // pipeline phases, which a 100 TB run does via the snapshot sink)
+      val exactKept = q.join(canon.select("doc_id"), "doc_id")
+        .localCheckpoint()
+      val clusters = Dedup.resolveClusters(
+        Dedup.levenshteinRescore(Dedup.minhashLsh(exactKept), exactKept))
+      val fdocs = exactKept.join(clusters, Seq("doc_id"), "left")
+        .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+        .select("doc_id", "text", "source")
+        .localCheckpoint()
+      val pack = TextAnalysis.packEfficiency(fdocs, 256)
+        .select(col("n_docs").as("n_final"), col("total_tokens"),
+          col("n_sequences"), col("waste_bp").as("pack_waste_bp"))
+      val shard = TextAnalysis.shardBalance(fdocs, 8)
+        .agg(max("share_bp").as("max_shard_share_bp"))
+      docs.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(broadcast(q.agg(count(lit(1)).as("n_quality"))))
+        .crossJoin(broadcast(
+          exactKept.agg(count(lit(1)).as("n_exact_kept"))))
+        .crossJoin(broadcast(pack))
+        .crossJoin(broadcast(shard))
+    }),
     // EXT leakage-safe train/test split: near-duplicate CLUSTERS land in
     // one split (a doc and its near-copy must never straddle train/test
     // — the decontamination failure mode hash-splitting raw doc ids
@@ -5698,6 +5736,83 @@ object SparkEntry {
        |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The pretraining curation pipeline composed in SQL: quality rules →
+    * md5-canonical exact dedup → the [[minhashLshCtes]] chain over the
+    * deduped set (base = `ek`) → Levenshtein rescore → recursive-CTE
+    * clusters → survivor token accounting (prefix-sum packing + shard
+    * cuts). Every fragment is an already-green oracle, re-based. */
+  private def pretrainPipelineOracle: String =
+    s"""WITH RECURSIVE qd AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM (
+       |    SELECT doc_id, text, source,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(list_sum(list_transform(string_split(text, ' '),
+       |           t -> length(t))) AS BIGINT) AS sum_tok_len,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |           t -> t IN ('the','a','of','and','to','in'))) AS BIGINT)
+       |        AS n_stopwords,
+       |      CAST(floor(len(list_distinct(string_split(text, ' ')))
+       |           * 10000.0 / len(string_split(text, ' '))) AS BIGINT)
+       |        AS uniq_ratio_bp
+       |    FROM documents)
+       |  WHERE n_tokens BETWEEN 5 AND 5000
+       |    AND sum_tok_len BETWEEN n_tokens * 3 AND n_tokens * 10
+       |    AND n_stopwords >= 2 AND uniq_ratio_bp >= 3000),
+       | canon AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+       | ek AS MATERIALIZED (
+       |   SELECT q.doc_id, q.text, q.source FROM qd q JOIN canon USING (doc_id)),
+       | ${minhashLshCtes("ek")},
+       | resc AS (
+       |   SELECT p.da, p.db FROM mh_pairs p
+       |   JOIN ek ta ON ta.doc_id = p.da
+       |   JOIN ek tb ON tb.doc_id = p.db
+       |   WHERE levenshtein(substr(ta.text, 1, 40), substr(tb.text, 1, 40)) <= 12),
+       | symp AS (SELECT da AS src, db AS dst FROM resc
+       |          UNION ALL SELECT db, da FROM resc),
+       | reachp AS (
+       |   SELECT src AS a, src AS b FROM symp
+       |   UNION
+       |   SELECT r.a, s.dst FROM reachp r JOIN symp s ON r.b = s.src),
+       | clu AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |         FROM reachp GROUP BY 1),
+       | fdocs AS MATERIALIZED (
+       |   SELECT e.doc_id, e.text FROM ek e
+       |   LEFT JOIN clu c ON c.doc_id = e.doc_id
+       |   WHERE coalesce(c.cluster_id, e.doc_id) = e.doc_id),
+       | pk AS (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM fdocs),
+       | cc AS MATERIALIZED (
+       |   SELECT *,
+       |     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |       AS cum,
+       |     CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+       |   FROM pk),
+       | packrep AS (
+       |   SELECT count(*) AS n_final, max(total) AS total_tokens,
+       |          max((cum - 1) // 256) + 1 AS n_sequences
+       |   FROM cc),
+       | packrep2 AS (
+       |   SELECT n_final, total_tokens, n_sequences,
+       |          CAST(floor((n_sequences * 256 - total_tokens) * 10000.0
+       |               / (n_sequences * 256)) AS BIGINT) AS pack_waste_bp
+       |   FROM packrep),
+       | shardrep AS (
+       |   SELECT max(share_bp) AS max_shard_share_bp FROM (
+       |     SELECT CAST(sum(n_tokens) AS BIGINT) * 10000 // max(total)
+       |              AS share_bp
+       |     FROM (SELECT *, least(7, (cum - n_tokens) * 8 // total) AS shard
+       |           FROM cc)
+       |     GROUP BY shard)),
+       | stats AS (
+       |   SELECT (SELECT count(*) FROM documents) AS n_raw,
+       |          (SELECT count(*) FROM qd) AS n_quality,
+       |          (SELECT count(*) FROM ek) AS n_exact_kept)
+       |SELECT n_raw, n_quality, n_exact_kept, n_final, total_tokens,
+       |       n_sequences, pack_waste_bp, max_shard_share_bp
+       |FROM stats, packrep2, shardrep""".stripMargin
+
   /** BPE training unrolled: round i's pair counts come from round i−1's
     * representation; the argmax is a 1-row CTE consumed both by the
     * merge table and (as scalar subqueries) by round i's rewrite —
@@ -6120,6 +6235,7 @@ object SparkEntry {
                 min(doc_id) AS keep_id
          FROM raw GROUP BY 1 ORDER BY norm""",
     "dedup_pipeline" -> dedupPipelineOracle,
+    "pipeline_pretrain_report" -> pretrainPipelineOracle,
     "split_leakage_safe" -> leakageSplitOracle,
     "bpe_train" -> bpeTrainOracle(BpeTrainMerges),
     // the batched trainer must reproduce the SEQUENTIAL merge table —

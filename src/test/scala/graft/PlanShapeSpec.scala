@@ -746,6 +746,13 @@ class PlanShapeSpec extends SparkTestBase {
         s"$q centroid/stat joins are k-row — broadcast them:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
     }
+    // the composed pretraining pipeline: its five 1-row report joins
+    // ride BroadcastNestedLoopJoin, never a cartesian; the multiprobe
+    // retrieval joins stay keyed
+    Seq("pipeline_pretrain_report", "sim_lsh_multiprobe_topk").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
     // MMR: selection is ONE CoGroup (not k chained aggregate stages) and
     // candidate generation is the only corpus-sized work in the plan
     val mmr = planOf("sim_mmr_rerank")
