@@ -77,6 +77,13 @@ object SparkEntry {
         .select("q_id", "vec_id").write.mode("overwrite").parquet(p)
     }
 
+  /** Build-once sign-LSH posting index (the ann_lsh_index_probe
+    * lifecycle). */
+  private def lshIdx(s: SparkSession, dir: String): String =
+    idxFixture("lsh", dir) { p =>
+      Similarity.buildLshIndex(Tables(s, dir, "embeddings"), p)
+    }
+
   /** Build-once IVF index (the ann_index_probe lifecycle). */
   private def ivfIdx(s: SparkSession, dir: String): String =
     idxFixture("ivf", dir) { p =>
@@ -1470,6 +1477,14 @@ object SparkEntry {
     // the full approximate path is hash-oracle'd, no recall floor needed
     "sim_lsh_multiprobe_topk" -> ((s, dir) =>
       Similarity.lshMultiProbeTopK(t(s, dir, "embeddings"))),
+    // EXT the LSH family's PERSISTED form (completes the lifecycle
+    // matrix: IVF, IVFADC and sign-LSH all have build-once/probe-many
+    // indexes): postings hive-partitioned by band with the hot-bucket
+    // cap pre-applied at build; ≡ the inline multiprobe by construction
+    // (spec-asserted), so the SAME SQL oracle hashes it
+    "ann_lsh_index_probe" -> ((s, dir) =>
+      Similarity.probeLshIndex(s, lshIdx(s, dir),
+        t(s, dir, "embeddings"))),
     // EXT the probe-expansion payoff MEASURED and hash-checked:
     // recall@5 of single- vs Hamming-1 multi-probe against the exact
     // top-5 — all three sides deterministic, so the comparison is an
@@ -6207,6 +6222,8 @@ object SparkEntry {
     "sim_lsh_neardup" -> signLshOracle,
     "sim_lsh_multiprobe_topk" -> lshMultiProbeOracle(20, 5),
     "ann_recall_lsh_probes" -> lshProbeRecallOracle(20, 5),
+    // persisted ≡ inline by construction: same oracle text
+    "ann_lsh_index_probe" -> lshMultiProbeOracle(20, 5),
     "dedup_embedding_clusters" -> embeddingClustersOracle,
     "ann_recall" -> annRecallOracle,
     // MinHash signatures, band keys and SimHash bits are computed on the

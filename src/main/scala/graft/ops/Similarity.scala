@@ -357,6 +357,66 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Persist the sign-LSH index: the per-(band, key) posting lists with
+    * the hot-bucket cap PRE-APPLIED at build time (the cap is corpus
+    * statistics — the sig-index build-pinned-caps contract applied to
+    * vectors), hive-partitioned by band. Build once, probe many: the
+    * corpus pays the key projection exactly once, and every later query
+    * batch pays bucket lookups only — the steady-state retrieval shape
+    * [[lshMultiProbeTopK]] recomputes inline. */
+  def buildLshIndex(emb: DataFrame, dir: String,
+      bitsPerBand: Int = LshBitsPerBand, bands: Int = LshBands,
+      maxBucket: Int = LshMaxBucket): Unit = {
+    val keyed = emb.select(col("vec_id"),
+      posexplode(graft.functions.SignLshKeys(col("embedding"),
+        bitsPerBand, bands)).as(Seq("band", "bkey")))
+    val wb = Window.partitionBy("band", "bkey")
+    keyed.withColumn("bs", count(lit(1)).over(wb))
+      .filter(col("bs") <= maxBucket)
+      .select(col("bkey"), col("vec_id"), col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(dir)
+  }
+
+  /** Probe the persisted sign-LSH index — ≡ [[lshMultiProbeTopK]] by
+    * construction (spec-asserted): query keys + Hamming-1 perturbations
+    * look up the persisted postings, candidates re-rank by exact cosine
+    * against `emb`. Per-batch cost: queries × bands × (bitsPerBand+1)
+    * bucket lookups, nothing corpus-sized. */
+  def probeLshIndex(spark: SparkSession, dir: String, emb: DataFrame,
+      nQueries: Int = 20, k: Int = 5,
+      bitsPerBand: Int = LshBitsPerBand, bands: Int = LshBands,
+      multiProbe: Boolean = true): DataFrame = {
+    val postings = spark.read.parquet(dir)
+      .select(col("vec_id"), col("band"), col("bkey").as("pkey"))
+    val probeKeys =
+      if (multiProbe) expr(s"array_union(array(bkey), transform(" +
+        s"sequence(0, ${bitsPerBand - 1}), " +
+        s"i -> bkey ^ CAST(shiftleft(1, i) AS BIGINT)))")
+      else expr("array(bkey)")
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"),
+        posexplode(graft.functions.SignLshKeys(col("embedding"),
+          bitsPerBand, bands)).as(Seq("band", "bkey")))
+      .select(col("vec_id").as("q_id"), col("band"),
+        explode(probeKeys).as("pkey"))
+    val cand = probes.join(postings, Seq("band", "pkey"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val scored = cand
+      .join(base.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .join(base, Seq("vec_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate detection as a dedup primitive:
     * the edge list of near-dup pairs; consumers pick a keep policy
     * (connected components need an iterative algorithm out of scope here). */

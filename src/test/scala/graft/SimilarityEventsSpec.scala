@@ -99,6 +99,18 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(mp.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("probeLshIndex == inline lshMultiProbeTopK") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-index-spec").toString
+    graft.ops.Similarity.buildLshIndex(emb, dir)
+    val persisted = graft.ops.Similarity
+      .probeLshIndex(spark, dir, emb, 10, 5).collect().toSeq
+    val inline = graft.ops.Similarity
+      .lshMultiProbeTopK(emb, 10, 5).collect().toSeq
+    assert(persisted.map(_.toString) == inline.map(_.toString))
+  }
+
   test("coverageSample: every cluster keeps m reps, rare modes included") {
     // cluster 0 (around seed 0) has 5 members, cluster 1 (around seed
     // 1) has only 2 — a density-proportional sample of 4 would likely
