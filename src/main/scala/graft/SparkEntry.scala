@@ -55,10 +55,17 @@ object SparkEntry {
   private def idxFixture(key: String, dir: String)(
       build: String => Unit): String =
     idxFixtures.computeIfAbsent(s"$key|$dir", { _ =>
+      // collision-proof dir token: String.hashCode collisions across two
+      // sf dirs in one JVM would alias their fixture DIRECTORIES while
+      // the CHM keeps distinct entries — the second build would overwrite
+      // an index the first's lazily-read probes still consume. SHA-256
+      // prefix makes the path injective in practice.
+      val dirTok = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
       val p = java.nio.file.Paths
         .get(System.getProperty("java.io.tmpdir"),
-          s"graft-idxfix-$key-${Integer.toHexString(dir.hashCode)}" +
-            s"-${ProcessHandle.current().pid()}")
+          s"graft-idxfix-$key-$dirTok-${ProcessHandle.current().pid()}")
         .toString
       stagedDirCleanup(p)
       build(p)
@@ -9250,7 +9257,8 @@ object SparkEntry {
                         CAST(count(*) AS BIGINT) AS n
                  FROM q GROUP BY 1, 2),
            mm AS (SELECT d, half,
-                         (s - (((s % n) + n) % n)) // n AS m FROM m)
+                         CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS m
+                  FROM m)
          SELECT d, max(CASE WHEN half = 0 THEN m END) AS mean_even,
                 max(CASE WHEN half = 1 THEN m END) AS mean_odd,
                 abs(max(CASE WHEN half = 0 THEN m END)

@@ -195,8 +195,14 @@ object Similarity {
       .as[(Long, Long, Double)].groupByKey(_._1)
     val psK = ps.as[(Long, Long, Long, Double)].groupByKey(_._1)
     candK.cogroup(psK) { (q, cIt, pIt) =>
-      val cs = cIt.map(t => (t._2, t._3)).toArray
-      val sims = pIt.map(t => ((t._2, t._3), t._4)).toMap
+      // NaN hygiene: a zero-norm/NaN embedding yields NaN cosines, and
+      // NaN fails EVERY comparison — the greedy scan would keep the -1
+      // sentinel and the next step's sims lookup would throw. Drop NaN
+      // candidates up front and skip NaN pairwise sims (treat as "no
+      // redundancy evidence"), asserting a real pick each round.
+      val cs = cIt.map(t => (t._2, t._3)).filter(!_._2.isNaN).toArray
+      val sims = pIt.map(t => ((t._2, t._3), t._4))
+        .filter(!_._2.isNaN).toMap
       val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Double)]
@@ -204,8 +210,9 @@ object Similarity {
         var bestV = -1L; var bestS = Double.NegativeInfinity
         cs.foreach { case (v, rel) =>
           if (!picked.contains(v)) {
-            val red = if (picked.isEmpty) 0.0
-              else picked.map(s => sims((v, s))).max
+            val reds = if (picked.isEmpty) Nil
+              else picked.flatMap(s => sims.get((v, s)))
+            val red = if (reds.isEmpty) 0.0 else reds.max
             val score =
               if (picked.isEmpty) lam * rel else lam * rel - om * red
             if (score > bestS || (score == bestS && v < bestV)) {
@@ -213,6 +220,8 @@ object Similarity {
             }
           }
         }
+        assert(bestV >= 0L,
+          s"mmrRerank q=$q round $r: no pickable candidate (all NaN?)")
         picked += bestV
         out += ((q, r.toLong, bestV, bestS))
       }
@@ -375,6 +384,13 @@ object Similarity {
       .filter(col("bs") <= maxBucket)
       .select(col("bkey"), col("vec_id"), col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(dir)
+    // the geometry is BAKED into the postings (key width, band count,
+    // cap) — persist it so a probe with mismatched parameters fails
+    // loudly instead of silently degrading recall with bogus Hamming-1
+    // perturbations. Underscore-prefixed: parquet readers skip it.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_lsh_meta"),
+      s"$bitsPerBand,$bands,$maxBucket".getBytes("UTF-8")): Unit
   }
 
   /** Probe the persisted sign-LSH index — ≡ [[lshMultiProbeTopK]] by
@@ -386,6 +402,18 @@ object Similarity {
       nQueries: Int = 20, k: Int = 5,
       bitsPerBand: Int = LshBitsPerBand, bands: Int = LshBands,
       multiProbe: Boolean = true): DataFrame = {
+    val metaPath = java.nio.file.Paths.get(dir, "_graft_lsh_meta")
+    if (java.nio.file.Files.exists(metaPath)) {
+      val Array(bpb, bd, _) = new String(
+        java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+        .trim.split(",").map(_.toInt)
+      require(bpb == bitsPerBand && bands == bd,
+        s"probeLshIndex geometry mismatch: index at $dir was built with " +
+          s"bitsPerBand=$bpb bands=$bd, probe asked for " +
+          s"bitsPerBand=$bitsPerBand bands=$bands — probing with the " +
+          "wrong geometry silently degrades recall; rebuild or re-probe " +
+          "with the build-time values")
+    }
     val postings = spark.read.parquet(dir)
       .select(col("vec_id"), col("band"), col("bkey").as("pkey"))
     val probeKeys =

@@ -4,11 +4,19 @@ mechanized (VERDICT r7 item 6). Greps every oracleSql statement for the
 constructs that have actually burned a round and fails the local gate
 with the known-portable rewrite named.
 
-Usage: python3 tools/lint_oracles.py <oracle_sql.json>
+Usage: python3 tools/lint_oracles.py <oracle_sql.json> [sfDir]
        (the file graft.Verify dumps; run after step 1 of the verify
-        recipe, before trusting step 2's green)
+        recipe, before trusting step 2's green. sfDir defaults to
+        /root/testdata/sf0.001 and enables the DESCRIBE type pass;
+        pass "-" to skip it when DuckDB/testdata is unavailable.)
 
 HARD failures (exit 1):
+  * any oracle whose DESCRIBE'd result schema contains a type Spark
+    cannot emit — HUGEINT/UHUGEINT (DuckDB sum(BIGINT) promotes) or
+    the unsigned integer family. The round-9 embed_centroid_drift
+    driver hash-FAIL: values matched, but the driver's DuckDB hashes
+    HUGEINT differently than local fetch. Rewrite: CAST(... AS BIGINT)
+    at the point the sum/derived column is emitted.
   * string_agg(DISTINCT ...)  — DISTINCT + ORDER BY interaction is
     version-fragile (the round-6 q41 driver hash-FAIL). Rewrite:
     string_agg with ORDER BY INSIDE the aggregate over a pre-deduped
@@ -127,7 +135,38 @@ def signed_div_sites(sql):
     return sites
 
 
-def main(path):
+BAD_TYPES = re.compile(
+    r'\b(HUGEINT|UHUGEINT|UBIGINT|UINTEGER|USMALLINT|UTINYINT)\b', re.I)
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def describe_pass(oracle, sf_dir, failures):
+    """DESCRIBE every oracle against the sf parquet views and hard-fail
+    any result schema with a type Spark can't emit (VERDICT r9 item 2:
+    lint the class, not the instance)."""
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for name, sql in sorted(oracle.items()):
+        try:
+            schema = con.sql(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # unDESCRIBEable oracle is itself a failure
+            failures.append(f"{name}: DESCRIBE failed — {e}")
+            continue
+        for col, typ, *_ in schema:
+            if BAD_TYPES.search(str(typ)):
+                failures.append(
+                    f"{name}: result column `{col}` is {typ} — Spark "
+                    f"cannot emit it and the driver's DuckDB hashes it "
+                    f"differently than local fetch (round-9 "
+                    f"embed_centroid_drift). CAST(... AS BIGINT) where "
+                    f"the sum/derived value is emitted.")
+
+
+def main(path, sf_dir="/root/testdata/sf0.001"):
     oracle = json.load(open(path))
     failures, advisories = [], []
     for name, sql in sorted(oracle.items()):
@@ -146,6 +185,8 @@ def main(path):
             advisories.append(f"{name}: signed-looking `//` numerator "
                               f"`...{site}` — prove non-negativity or "
                               f"apply the pmod identity")
+    if sf_dir != "-":
+        describe_pass(oracle, sf_dir, failures)
     if "-v" in sys.argv:
         for a in advisories:
             print(f"ADVISORY {a}")
@@ -158,4 +199,5 @@ def main(path):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1]))
+    argv = [a for a in sys.argv[1:] if a != "-v"]
+    sys.exit(main(*argv[:2]))
