@@ -1469,7 +1469,13 @@ object SparkEntry {
     // (the triplet-loss active set); same broadcast scan shape as brute
     "sim_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(t(s, dir, "embeddings"), 20, 5)),
-    "sim_neardup_cosine" -> ((s, dir) => Similarity.bruteNearDup(t(s, dir, "embeddings"), 0.4)),
+    // SAMPLED-ANCHOR exact near-dup gold set (~100 portable-hash anchors
+    // × corpus, one broadcast map-side scan): the pair-recall family's
+    // scale-safe reference — bruteNearDup's all-pairs scan measured
+    // α(10)≈1.9 and stays as the guarded spec-only verifier (anchored ⊆
+    // brute, SimilarityEventsSpec)
+    "sim_neardup_cosine" -> ((s, dir) =>
+      Similarity.anchoredNearDup(t(s, dir, "embeddings"), 0.4)),
 
     // EXT cosine RANGE search: everything within τ=0.3 of each of 20
     // query vectors — the radius contract near-dup admission and
@@ -1477,6 +1483,46 @@ object SparkEntry {
     // filters in the scan, no per-query window/rank shuffle at all
     "sim_range_search" -> ((s, dir) =>
       Similarity.rangeSearch(t(s, dir, "embeddings"), 20, 0.3)),
+    // EXT SEMANTIC decontamination: corpus vectors within cosine 0.4 of
+    // any bench vector (bench = vec_id % 50 == 0, the decontaminate
+    // split), joined with the lexical gate's shared-shingle count over
+    // the same split. One PARAPHRASE is planted — bench vec 0 with one
+    // dimension zeroed (cosine 0.9985) carried by doc 0's text in
+    // REVERSED word order (1 shared trigram, under the lexical gate's
+    // minShared=3) — the leak class the shingle gate provably misses
+    // and this scan exists to catch. Broadcast-bench map-side scan;
+    // everything deterministic ⇒ hash-oracle'd end to end.
+    "decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val bench = emb.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding")
+      // planted paraphrase: bench vec 0, dim 1 zeroed, re-ingested under
+      // id+10^7 (the embed_dup_exact plant convention)
+      val plantEmb = emb.filter(col("vec_id") === 0).select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        concat(array(lit(0f)),
+          slice(col("embedding"), 2, 1000000)).as("embedding"))
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+        .select("vec_id", "embedding").unionByName(plantEmb)
+      val sem = Similarity.semanticContamination(corpus, bench, 0.4)
+      // lexical gate over the same split: plant text = doc 0 reversed
+      val plantTxt = docs.filter(col("doc_id") === 0).select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        array_join(reverse(split(col("text"), " ")), " ").as("text"))
+      val corpusTxt = docs.filter(col("doc_id") % 50 =!= 0)
+        .select("doc_id", "text").unionByName(plantTxt)
+      val benchTxt = docs.filter(col("doc_id") % 50 === 0)
+        .select("doc_id", "text")
+      val lex = TextAnalysis.contamination(corpusTxt, benchTxt,
+          minShared = 1)
+        .withColumnRenamed("n_shared", "n_shared_shingles")
+      sem.join(lex, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("bench_id"), col("cosine"),
+          coalesce(col("n_shared_shingles"), lit(0L))
+            .as("n_shared_shingles"))
+        .orderBy("doc_id", "bench_id")
+    }),
     "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
     // EXT multi-probe sign-LSH retrieval: each query also probes the
     // Hamming-1 buckets per band (recall without more bands/state);
@@ -1613,10 +1659,16 @@ object SparkEntry {
     // report is oracle'd (the LSH side reuses the portable-hash CTEs).
     "ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      // one full-outer join + one aggregate: each pair pipeline (brute
-      // all-pairs, LSH buckets) runs exactly once
-      val exact = Similarity.bruteNearDup(emb, 0.4).select("va", "vb")
+      // SAMPLED gold set (the anchored scan, linear at any corpus): LSH
+      // recall is measured over pairs with >= 1 anchor endpoint — an
+      // unbiased estimate of full-pair recall that stays runnable at
+      // 100×, where the old brute all-pairs reference (α(10)≈1.9)
+      // could not go. One full-outer join + one aggregate.
+      val keepBp = Similarity.anchorKeepBp(emb.count(), 100)
+      val exact = Similarity.anchoredNearDup(emb, 0.4).select("va", "vb")
       val lsh = Similarity.lshNearDup(emb, 0.4).select("va", "vb")
+        .filter(Similarity.isAnchor(col("va"), keepBp) ||
+          Similarity.isAnchor(col("vb"), keepBp))
       exact.withColumn("in_e", lit(1L))
         .join(lsh.withColumn("in_l", lit(1L)), Seq("va", "vb"), "full")
         .agg(
@@ -6195,20 +6247,49 @@ object SparkEntry {
   /** Recall report of the sign-LSH pairs vs the exact all-pairs answer —
     * both sides deterministic, so the counts (and floor-bp recall) are
     * exact. `base` comes from the shared sign-LSH CTE chain. */
-  private def annRecallOracle: String =
+  /** Anchored exact-pair CTEs (over an existing `base(vec_id, v, nrm)`
+    * CTE): `keepbp` replicates [[graft.ops.Similarity.anchorKeepBp]]
+    * (cap 100), `anc` the coefficient-29 portable-hash anchor draw,
+    * `anchored` the normalized (va < vb) exact pairs with ≥ 1 anchor
+    * endpoint at cosine ≥ 0.4 — the sampled gold set shared by
+    * sim_neardup_cosine and ann_recall. */
+  private def anchoredPairsCtes: String = {
+    import Portable.{P1, aCoef, bCoef}
+    s"""keepbp AS (
+       |   SELECT LEAST(10000, 100 * 10000 // count(*) + 1) AS kb
+       |   FROM embeddings),
+       | anc AS MATERIALIZED (
+       |   SELECT b.* FROM base b, keepbp
+       |   WHERE ((b.vec_id % $P1) * ${aCoef(29)} + ${bCoef(29)})
+       |         % $P1 % 10000 < kb),
+       | anchored AS MATERIALIZED (
+       |   SELECT DISTINCT least(c.vec_id, a.vec_id) AS va,
+       |          greatest(c.vec_id, a.vec_id) AS vb,
+       |          list_dot_product(c.v, a.v) / (c.nrm * a.nrm) AS cosine
+       |   FROM base c JOIN anc a ON c.vec_id <> a.vec_id
+       |   WHERE list_dot_product(c.v, a.v) / (c.nrm * a.nrm) >= 0.4)"""
+      .stripMargin
+  }
+
+  private def annRecallOracle: String = {
+    import Portable.{P1, aCoef, bCoef}
     s"""WITH $signLshPairsCtes,
-       | brute AS (
-       |   SELECT a.vec_id AS va, b.vec_id AS vb
-       |   FROM base a JOIN base b ON a.vec_id < b.vec_id
-       |   WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+       | $anchoredPairsCtes,
+       | lshanc AS (
+       |   SELECT l.va, l.vb FROM lsh_pairs l, keepbp
+       |   WHERE ((l.va % $P1) * ${aCoef(29)} + ${bCoef(29)})
+       |         % $P1 % 10000 < kb
+       |      OR ((l.vb % $P1) * ${aCoef(29)} + ${bCoef(29)})
+       |         % $P1 % 10000 < kb),
        | counts AS (
-       |   SELECT (SELECT count(*) FROM brute) AS n_exact,
-       |          (SELECT count(*) FROM lsh_pairs) AS n_lsh,
-       |          (SELECT count(*) FROM brute t JOIN lsh_pairs l
+       |   SELECT (SELECT count(*) FROM anchored) AS n_exact,
+       |          (SELECT count(*) FROM lshanc) AS n_lsh,
+       |          (SELECT count(*) FROM anchored t JOIN lshanc l
        |             ON t.va = l.va AND t.vb = l.vb) AS n_captured)
        |SELECT n_exact, n_lsh, n_captured,
        |       CAST(floor(n_captured * 10000.0 / n_exact) AS BIGINT) AS recall_bp
        |FROM counts""".stripMargin
+  }
 
   /** The sign-LSH pair set resolved to connected components — the same
     * recursive-CTE construction as dedup_clusters, over embedding edges. */
@@ -9864,6 +9945,49 @@ object SparkEntry {
          WHERE list_dot_product(b.v, q.v) / (b.nrm * q.nrm) >= 0.3
          ORDER BY q_id, b.vec_id""",
 
+    // the planted paraphrase (bench vec 0, dim 1 zeroed, text reversed)
+    // is re-derived in SQL; cosines are the element-order double fold
+    "decontaminate_semantic" ->
+      """WITH plant AS (
+           SELECT vec_id + 10000000 AS vec_id,
+                  list_concat([CAST(0 AS FLOAT)], embedding[2:]) AS embedding
+           FROM embeddings WHERE vec_id = 0),
+         corpus AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+                 UNION ALL SELECT * FROM plant)),
+         bench AS (
+           SELECT vec_id AS bench_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings WHERE vec_id % 50 = 0),
+         sem AS (
+           SELECT c.vec_id AS doc_id, b.bench_id,
+                  list_dot_product(c.v, b.v) / (c.nrm * b.nrm) AS cosine
+           FROM corpus c JOIN bench b ON c.vec_id <> b.bench_id
+           WHERE list_dot_product(c.v, b.v) / (c.nrm * b.nrm) >= 0.4),
+         ptxt AS (
+           SELECT doc_id + 10000000 AS doc_id,
+                  array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+           FROM documents WHERE doc_id = 0),
+         ctxt AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+                  UNION ALL SELECT * FROM ptxt),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM ctxt),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                WHERE len(arr) >= 3),
+         btok AS (SELECT string_split(text, ' ') AS arr FROM documents
+                  WHERE doc_id % 50 = 0),
+         bsh AS (SELECT DISTINCT arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+                 FROM btok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
+                 WHERE len(arr) >= 3),
+         shc AS (SELECT doc_id, count(*) AS n_shared_shingles
+                 FROM sh JOIN bsh USING (s) GROUP BY 1)
+         SELECT m.doc_id, m.bench_id, m.cosine,
+                COALESCE(c.n_shared_shingles, CAST(0 AS BIGINT)) AS n_shared_shingles
+         FROM sem m LEFT JOIN shc c USING (doc_id)
+         ORDER BY doc_id, bench_id""",
+
     "sim_hard_negatives" ->
       """WITH base AS (
            SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -9887,15 +10011,12 @@ object SparkEntry {
          WHERE n.rnk <= 5 ORDER BY n.q_id, n.rnk""",
 
     "sim_neardup_cosine" ->
-      """WITH base AS (
+      s"""WITH base AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM embeddings)
-         SELECT a.vec_id AS va, b.vec_id AS vb,
-                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-         FROM base a JOIN base b ON a.vec_id < b.vec_id
-         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
-         ORDER BY va, vb""",
+           FROM embeddings),
+         $anchoredPairsCtes
+         SELECT va, vb, cosine FROM anchored ORDER BY va, vb""",
 
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,

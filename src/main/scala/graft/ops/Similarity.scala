@@ -128,6 +128,52 @@ object Similarity {
       .orderBy("q_id", "vec_id")
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space
+    * complement of [[graft.ops.TextAnalysis.contamination]]: flag every
+    * corpus vector within cosine `minCosine` of ANY benchmark vector.
+    * Lexical (shingle) decontamination catches verbatim and near-
+    * verbatim leaks; it provably misses PARAPHRASES — a bench item
+    * rewritten in different words shares no k-grams but its embedding
+    * still sits next to the original, which is exactly what this scan
+    * keys on (the gap `decontaminate_semantic` demonstrates with a
+    * planted paraphrase the shingle gate passes).
+    *
+    * Shape: [[rangeSearch]] with the benchmark as the query side —
+    * eval suites are MBs, corpora are TBs, so the bench set is the
+    * broadcast side and the corpus is scored in ONE map-side pass with
+    * the threshold filtering inside the scan; no corpus shuffle, no
+    * window, linear at 100 TB. At billion-row corpora swap the scan
+    * for an IVF-probed candidate stream and keep the threshold tail.
+    *
+    * GUARDED broadcast (the [[graft.ops.TextAnalysis.contamination]]
+    * discipline): one cheap count of the SMALL side picks broadcast vs
+    * shuffle-hash join, so a "bench" argument that is secretly
+    * corpus-sized degrades to the slower-but-safe plan instead of
+    * hitting the 8 GB broadcast wall. The bench frame feeds the guard
+    * count AND the join, hence the persist (callers with long-lived
+    * sessions clear the cache between pipeline runs, as Bench/Verify
+    * do).
+    *
+    * Float cosine follows the sim_brute_topk cross-engine discipline
+    * (element order IS the summation order in both engines), so the
+    * whole verdict set hash-oracles. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      minCosine: Double, id: String = "vec_id",
+      maxBroadcastBench: Long = 1000000L): DataFrame = {
+    val b = bench.select(col(id).as("bench_id"), col("embedding").as("bv"))
+      .withColumn("bn", norm(col("bv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = if (b.count() <= maxBroadcastBench) broadcast(b) else b
+    corpus.select(col(id), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+      .join(probe, col(id) =!= col("bench_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("bv")) / (col("nrm") * col("bn")))
+      .filter(col("cosine") >= minCosine)
+      .select(col(id).as("doc_id"), col("bench_id"), col("cosine"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   def bruteTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
@@ -251,6 +297,56 @@ object Similarity {
         (dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
+      .orderBy("va", "vb")
+  }
+
+  /** Keep rate (basis points) for the portable ANCHOR sample: ~`cap`
+    * anchors however large the corpus, the [[fitSample]] rule. */
+  def anchorKeepBp(n: Long, cap: Int): Long = {
+    require(n >= 1 && cap >= 1, s"need n >= 1 and cap >= 1, got $n / $cap")
+    math.min(10000L, (cap * 10000L) / n + 1L)
+  }
+
+  /** Anchor-membership predicate: seeded affine portable hash on the id
+    * (coefficient index 29 — disjoint from every other draw, so anchor
+    * status never correlates with splits/samples), replicable verbatim
+    * in oracle SQL. pmod-first keeps products inside signed-64. */
+  def isAnchor(id: Column, keepBp: Long): Column =
+    pmod(pmod(id, lit(Portable.P1)) * lit(Portable.aCoef(29))
+      + lit(Portable.bCoef(29)), lit(Portable.P1)) % 10000L < keepBp
+
+  /** SAMPLED-ANCHOR exact near-dup pairs — the gold set that keeps
+    * pair-recall evaluation runnable at 100 TB, where [[bruteNearDup]]'s
+    * all-pairs scan (α≈2 measured across a decade) cannot go: draw
+    * ~`anchorCap` anchor vectors by portable hash, compute EXACT cosines
+    * anchor × corpus only, and emit the ≥ `minCosine` tail as normalized
+    * (va < vb) pairs. Cost is O(|anchors|·N) with |anchors| FIXED — one
+    * broadcast map-side scan, linear in the corpus forever — and the
+    * result is a uniformly-sampled subset of the true pair set (every
+    * pair with ≥ 1 anchor endpoint), so recall measured against it is an
+    * unbiased estimate of recall against the full gold set.
+    *
+    * Anchor-anchor pairs enter twice (once from each endpoint's scan)
+    * with BIT-IDENTICAL cosines (element products commute, the fold
+    * order is the array order both times), so the normalize+distinct is
+    * exact, not a float dedup gamble. Everything deterministic ⇒
+    * hash-oracle'd; [[bruteNearDup]] stays as the spec-only verifier
+    * (anchored ⊆ brute on guard-sized corpora). */
+  def anchoredNearDup(emb: DataFrame, minCosine: Double,
+      anchorCap: Int = 100): DataFrame = {
+    val keepBp = anchorKeepBp(emb.count(), anchorCap)
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val anchors = base.filter(isAnchor(col("vec_id"), keepBp))
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        col("nrm").as("an"))
+    base.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("av")) / (col("nrm") * col("an")))
+      .filter(col("cosine") >= minCosine)
+      .select(least(col("vec_id"), col("a_id")).as("va"),
+        greatest(col("vec_id"), col("a_id")).as("vb"), col("cosine"))
+      .distinct()
       .orderBy("va", "vb")
   }
 

@@ -941,6 +941,54 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(math.abs(got(1)._3 - 0.8) < 1e-6)
   }
 
+  test("anchoredNearDup: proper subset of brute, no duplicate pairs, every pair touches an anchor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteNearDup(emb, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val anch = Similarity.anchoredNearDup(emb, 0.4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(anch.nonEmpty, "the sampled gold set must not be empty")
+    assert(anch.toSet.subsetOf(brute),
+      "anchored pairs are brute pairs with bit-identical cosines")
+    assert(anch.size == anch.toSet.size,
+      "normalize+distinct leaves no duplicate anchor-anchor pairs")
+    val keepBp = Similarity.anchorKeepBp(emb.count(), 100)
+    val anchors = emb.filter(Similarity.isAnchor(col("vec_id"), keepBp))
+      .select("vec_id").as[Long].collect().toSet
+    assert(anchors.size < 150, s"~100 anchors of 500, got ${anchors.size}")
+    assert(anch.forall(p => anchors(p._1) || anchors(p._2)),
+      "every gold pair has >= 1 anchor endpoint")
+  }
+
+  test("semanticContamination: paraphrase above tau flagged, orthogonal corpus passes, self excluded") {
+    val bench = Seq((0L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f)),  // paraphrase: cos ~0.994
+      (11L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal: cos 0
+      (0L, Array(1.0f, 0.0f, 0.0f)))   // same id as bench -> excluded
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(corpus, bench, 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((10L, 0L)),
+      "exactly the paraphrase; orthogonal and self-id rows pass")
+    assert(got.head._3 > 0.99)
+  }
+
+  test("decontaminate_semantic: planted paraphrase caught semantically, missed by the shingle gate") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("decontaminate_semantic")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val plant = rows.filter(_._1 == 10000000L)
+    assert(plant.nonEmpty, "the planted paraphrase must be flagged")
+    val p = plant.find(_._2 == 0L).get
+    assert(p._3 > 0.95, s"plant cosine vs bench source, got ${p._3}")
+    assert(p._4 < 3L,
+      s"the lexical gate (minShared=3) must MISS the plant, n_shared=${p._4}")
+    // every emitted row is a real semantic hit
+    assert(rows.forall(_._3 >= 0.4))
+  }
+
   test("laggedCrossCorrelation: matches brute force, zero-fills empty lags, peaks at the planted lead") {
     def ev(id: Long, hour: Long, tpe: String) =
       (id, new java.sql.Timestamp(hour * 3600000L), 1L, tpe, 1.0, "{}")
