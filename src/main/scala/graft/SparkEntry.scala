@@ -1585,8 +1585,9 @@ object SparkEntry {
         nProbe = 16, fitSampleCap = 1000)),
     // EXT persisted ANN index: build the IVF index once (cluster-
     // partitioned lists on disk), then answer the query batch by probing
-    // it — the scan reads only the probed partitions (DPP). Rows-only
-    // (k-means floats); ≡ the inline ivfTopK, spec-asserted.
+    // it — the scan reads only the probed partitions (DPP). Integer-
+    // Lloyd coarse quantizer ⇒ hash-oracled (promoted round 10);
+    // ≡ the inline ivfTopK, spec-asserted.
     "ann_index_probe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // build-once fixture (pid-scoped, JVM-exit cleanup): each run of
@@ -1599,11 +1600,11 @@ object SparkEntry {
     // that a FIXED 64-row exact re-rank holds recall (PqTune-measured
     // 9300 bp at sf0.1 N=2000 = 3.2% of corpus, 10000 bp at N=500 —
     // vs the coarse 4x16 codebook's 15%-of-corpus auto shortlist).
-    // Rows-only (k-means floats); ≡ bruteTopK at shortlist >= corpus,
-    // spec-asserted.
-    // codebooks fit on the bounded 1000-row sample (bites here: measured
-    // 9000 bp sampled vs 9300 full at sf0.1 — IvfPqTune-recorded); the
-    // ADC shortlist is the bounded-state TopKAgg, not a full-N window
+    // Integer-Lloyd codebooks ⇒ the WHOLE retrieval hash-oracles
+    // (promoted round 10; recall unchanged at 9300 bp sf0.1);
+    // ≡ bruteTopK at shortlist >= corpus, spec-asserted.
+    // codebooks fit on the bounded 1000-row sample; the ADC shortlist
+    // is the bounded-state TopKAgg, not a full-N window
     "sim_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), 20, 5,
         m = 8, codebookSize = 256, shortlist = 64, fitSampleCap = 1000)),
@@ -1612,7 +1613,8 @@ object SparkEntry {
     // scan partition-prunes via DPP, PlanShapeSpec-asserted), PQ codes
     // bound the BYTES per candidate (8 vs 256), a fixed 64-row exact
     // re-rank restores ranking. Build-once/probe-many persisted form;
-    // rows-only (k-means floats); recall floor armed in ann_recall_ivfpq.
+    // integer-Lloyd fits ⇒ hash-oracled end to end (promoted round 10);
+    // recall floor stays armed in ann_recall_ivfpq.
     "sim_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // build-once fixture: each run measures the DPP-pruned probe
@@ -1679,11 +1681,11 @@ object SparkEntry {
           graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
     }),
 
-    // EXT IVF recall report (rows-only BY DESIGN: the k-means codebook
-    // has no SQL twin): recall@k of ivfTopK at its default PARTIAL probe
-    // (nProbe 4 of 16 centroids — ~4× less scored work than exhaustive)
-    // against bruteTopK on the same queries. SimilarityEventsSpec bounds
-    // it from below; BASELINE.md records the default-settings number.
+    // EXT IVF recall report: recall@k of ivfTopK at its default PARTIAL
+    // probe (nProbe 4 of 16 centroids — ~4× less scored work than
+    // exhaustive) against bruteTopK on the same queries. The integer-
+    // Lloyd coarse quantizer has an exact SQL twin, so the report is
+    // hash-oracled (promoted round 10; the float fit kept it rows-only).
     "ann_recall_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // one full-outer join + one aggregate: the brute scan and the
@@ -1698,7 +1700,7 @@ object SparkEntry {
     }),
     // recall@k of the PQ/ADC shortlist path at production settings —
     // completes the per-path ANN quality surface (LSH: ann_recall,
-    // IVF: ann_recall_ivf, PQ: here). Rows-only (k-means codebooks).
+    // IVF: ann_recall_ivf, PQ: here). Hash-oracled (round 10).
     "ann_recall_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val exact = s.read.parquet(bruteRef(s, dir))
@@ -1713,9 +1715,9 @@ object SparkEntry {
     }),
     // recall of the COMPOSED IVFADC path at the registered settings
     // (nProbe 6/16 lists = 37.5% of codes scanned, sampled fits, 64-row
-    // exact re-rank): measured 6900 bp at sf0.1 (IvfPqTune) vs 5800 for
-    // the same coarse quantizer probing alone at nProbe 4 — the PQ stage
-    // costs ~nothing on top of its IVF pruning. Rows-only (k-means).
+    // exact re-rank): the integer-Lloyd fits measure 8100 bp at sf0.1
+    // (vs the float fits' 6900) — the PQ stage costs ~nothing on top of
+    // its IVF pruning. Hash-oracled (round 10).
     "ann_recall_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val exact = s.read.parquet(bruteRef(s, dir))
@@ -6291,6 +6293,258 @@ object SparkEntry {
        |FROM counts""".stripMargin
   }
 
+  // ===== integer-Lloyd ANN oracles (round 10) ==========================
+  // SQL twins of Similarity.fitIntCodebooks/assignCodes/ivfParts/
+  // pqTopK/ivfPqProbe: the PQ codebooks and the IVF coarse quantizer
+  // are pinned integer-Lloyd fits, so the FULL approximate retrieval —
+  // sample, seed, assign, floor-mean update, encode, ADC, shortlist,
+  // exact re-rank — replays in DuckDB and the sim_pq_topk/
+  // sim_ivfpq_topk/ann_index_probe/ann_recall_{pq,ivf,ivfpq} family is
+  // hash-checked (rows-only through round 9 behind ml.KMeans floats).
+  // Distances use the exact identity ‖q−c‖² = ‖q‖² − 2·q·c + ‖c‖² over
+  // floor(x·1024) BIGINT quantization; every product stays far inside
+  // both signed-64 and DOUBLE's 2^53 exact-integer range, so mixed
+  // BIGINT/DOUBLE comparisons order identically in both engines.
+
+  /** The coefficient-19 fit-sample predicate (Similarity.fitSample's
+    * SQL twin; `kb` comes from the keepbp CTE). */
+  private def fitKeepSql(idCol: String): String = {
+    import Portable.{P1, aCoef, bCoef}
+    s"(($idCol % $P1) * ${aCoef(19)} + ${bCoef(19)}) % $P1 % 10000 < kb"
+  }
+
+  /** Shared ANN-oracle base: `qn` (quantized corpus + ‖q‖²), `keepbp`
+    * (fit-sample keep rate at `cap`), `base` (DOUBLE vectors + norms
+    * for exact re-ranks and truth sets). */
+  private def intAnnBaseCtes(cap: Int): String =
+    s"""qn AS MATERIALIZED (
+       |   SELECT vec_id, qv, list_dot_product(qv, qv) AS qq FROM (
+       |     SELECT vec_id,
+       |            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+       |     FROM embeddings)),
+       | keepbp AS (SELECT LEAST(10000, $cap * 10000 // count(*) + 1) AS kb
+       |   FROM embeddings),
+       | base AS MATERIALIZED (
+       |   SELECT vec_id, embedding::DOUBLE[] AS v,
+       |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |   FROM embeddings)""".stripMargin
+
+  /** Unrolled integer-Lloyd chain over a sampled subspace CTE `src`
+    * (vec_id, s, ql, sqq) and its exploded elements `srcEl` (vec_id, s,
+    * d, qk): seeds = the `cb` lowest sampled vec_ids (LIMIT semantics —
+    * a smaller sample seeds fewer codewords, as in Scala), then
+    * `rounds` assign/floor-mean-update rounds with empty codes keeping
+    * their centroid. Final codebook CTE: `${p}c$rounds` (s, code, cl,
+    * cc). The round CTEs are MATERIALIZED (multi-referenced aggregates
+    * — the DuckDB CTE-inlining trap). */
+  private def lloydCtes(p: String, src: String, srcEl: String, cb: Int,
+      rounds: Int): String = {
+    val roundsSql = (1 to rounds).map { r =>
+      s"""${p}a$r AS MATERIALIZED (
+         |   SELECT vec_id, s, code FROM (
+         |     SELECT f.vec_id, f.s, c.code,
+         |            row_number() OVER (PARTITION BY f.vec_id, f.s
+         |              ORDER BY f.sqq - 2*list_dot_product(f.ql, c.cl) + c.cc,
+         |                       c.code) AS rn
+         |     FROM $src f JOIN ${p}c${r - 1} c ON c.s = f.s) WHERE rn = 1),
+         | ${p}u$r AS (
+         |   SELECT a.s, a.code, e.d,
+         |          CAST((sum(e.qk) - ((sum(e.qk) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS c
+         |   FROM ${p}a$r a JOIN $srcEl e
+         |     ON e.vec_id = a.vec_id AND e.s = a.s
+         |   GROUP BY 1, 2, 3),
+         | ${p}ul$r AS (SELECT s, code, list(c ORDER BY d) AS cl
+         |   FROM ${p}u$r GROUP BY 1, 2),
+         | ${p}c$r AS MATERIALIZED (
+         |   SELECT pv.s, pv.code, COALESCE(u.cl, pv.cl) AS cl,
+         |          COALESCE(list_dot_product(u.cl, u.cl), pv.cc) AS cc
+         |   FROM ${p}c${r - 1} pv LEFT JOIN ${p}ul$r u
+         |     ON u.s = pv.s AND u.code = pv.code)""".stripMargin
+    }.mkString(",\n ")
+    s"""${p}seed AS (
+       |   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |   FROM (SELECT DISTINCT vec_id FROM $src) ORDER BY vec_id LIMIT $cb),
+       | ${p}c0 AS MATERIALIZED (SELECT f.s, i.code, f.ql AS cl, f.sqq AS cc
+       |   FROM ${p}seed i JOIN $src f ON f.vec_id = i.vec_id),
+       | $roundsSql""".stripMargin
+  }
+
+  /** PQ chain: subspace split, sampled fit, codebooks, full-corpus
+    * encode, and the nq-query integer ADC LUT. */
+  private def pqChainCtes(m: Int, cb: Int, rounds: Int, subDim: Int,
+      nq: Int): String =
+    s"""sub AS MATERIALIZED (
+       |   SELECT vec_id, s, ql, list_dot_product(ql, ql) AS sqq FROM (
+       |     SELECT vec_id, s,
+       |            qv[CAST(s*$subDim+1 AS INT):CAST(s*$subDim+$subDim AS INT)] AS ql
+       |     FROM qn, LATERAL (SELECT unnest(range(0, $m)) AS s) r)),
+       | fsub AS MATERIALIZED (SELECT f.* FROM sub f, keepbp
+       |   WHERE ${fitKeepSql("f.vec_id")}),
+       | fse AS MATERIALIZED (
+       |   SELECT vec_id, s, d - 1 AS d, ql[CAST(d AS INT)] AS qk
+       |   FROM fsub, LATERAL (SELECT unnest(range(1, $subDim + 1)) AS d) r),
+       | ${lloydCtes("pq", "fsub", "fse", cb, rounds)},
+       | enc AS MATERIALIZED (
+       |   SELECT vec_id, s, code FROM (
+       |     SELECT b.vec_id, b.s, c.code,
+       |            row_number() OVER (PARTITION BY b.vec_id, b.s
+       |              ORDER BY b.sqq - 2*list_dot_product(b.ql, c.cl) + c.cc,
+       |                       c.code) AS rn
+       |     FROM sub b JOIN pqc$rounds c ON c.s = b.s) WHERE rn = 1),
+       | lut AS MATERIALIZED (
+       |   SELECT q.vec_id AS q_id, c.s, c.code,
+       |          CAST(list_dot_product(q.ql, c.cl) AS BIGINT) AS lv
+       |   FROM sub q JOIN pqc$rounds c ON c.s = q.s
+       |   WHERE q.vec_id < $nq)""".stripMargin
+
+  /** IVF coarse chain: one-subspace Lloyd fit (the coarse quantizer IS
+    * a m=1 codebook), full-corpus list assignment, nProbe probe ranking
+    * for the nq queries — exact integer L2, ties cluster asc. */
+  private def ivfChainCtes(nc: Int, rounds: Int, np: Int,
+      nq: Int): String =
+    s"""fq AS MATERIALIZED (
+       |   SELECT vec_id, 0 AS s, qv AS ql, qq AS sqq FROM qn, keepbp
+       |   WHERE ${fitKeepSql("vec_id")}),
+       | fqe AS MATERIALIZED (
+       |   SELECT vec_id, s, d - 1 AS d, ql[CAST(d AS INT)] AS qk
+       |   FROM fq, LATERAL (SELECT unnest(range(1, len(ql) + 1)) AS d) r),
+       | ${lloydCtes("kk", "fq", "fqe", nc, rounds)},
+       | lists AS MATERIALIZED (
+       |   SELECT vec_id, cluster FROM (
+       |     SELECT b.vec_id, c.code AS cluster,
+       |            row_number() OVER (PARTITION BY b.vec_id
+       |              ORDER BY b.qq - 2*list_dot_product(b.qv, c.cl) + c.cc,
+       |                       c.code) AS rn
+       |     FROM qn b JOIN kkc$rounds c ON true) WHERE rn = 1),
+       | probes AS MATERIALIZED (
+       |   SELECT q_id, cluster FROM (
+       |     SELECT q.vec_id AS q_id, c.code AS cluster,
+       |            row_number() OVER (PARTITION BY q.vec_id
+       |              ORDER BY q.qq - 2*list_dot_product(q.qv, c.cl) + c.cc,
+       |                       c.code) AS rn
+       |     FROM qn q JOIN kkc$rounds c ON true
+       |     WHERE q.vec_id < $nq) WHERE rn <= $np)""".stripMargin
+
+  /** ADC shortlist + exact re-rank tail → `got` (q_id, rnk, vec_id,
+    * cosine). `adcSrc` must provide (q_id, vec_id, adc). */
+  private def adcTailCtes(adcSrc: String, sl: Int, k: Int): String =
+    s"""short AS (SELECT q_id, vec_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY adc DESC, vec_id) AS rn
+       |   FROM $adcSrc) WHERE rn <= $sl),
+       | rer AS (SELECT s.q_id, s.vec_id,
+       |          list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
+       |   FROM short s JOIN base b ON b.vec_id = s.vec_id
+       |   JOIN base q ON q.vec_id = s.q_id),
+       | got AS (SELECT q_id, rnk, vec_id, cosine FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY cosine DESC, vec_id) AS rnk
+       |   FROM rer) WHERE rnk <= $k)""".stripMargin
+
+  /** Exact brute truth + the annRecallReport twin over `got`. */
+  private def recallReportTail(nq: Int, k: Int): String =
+    s"""truth AS (SELECT q_id, vec_id FROM (
+       |   SELECT q.vec_id AS q_id, b.vec_id,
+       |          row_number() OVER (PARTITION BY q.vec_id
+       |            ORDER BY list_dot_product(b.v, q.v)/(b.nrm*q.nrm) DESC,
+       |                     b.vec_id) AS rnk
+       |   FROM base b JOIN base q
+       |     ON q.vec_id < $nq AND b.vec_id <> q.vec_id) WHERE rnk <= $k),
+       | counts AS (
+       |   SELECT (SELECT count(*) FROM truth) AS n_exact,
+       |          (SELECT count(*) FROM got g JOIN truth t
+       |             ON t.q_id = g.q_id AND t.vec_id = g.vec_id) AS n_captured)
+       |SELECT n_exact, n_captured,
+       |       CAST(floor(n_captured * 10000.0 / n_exact) AS BIGINT) AS recall_bp
+       |FROM counts""".stripMargin
+
+  /** Flat-PQ ADC over the whole code table (sim_pq_topk's shape). */
+  private def pqAdcCte: String =
+    s"""adc AS (SELECT l.q_id, n.vec_id, sum(l.lv) AS adc
+       |   FROM enc n JOIN lut l ON l.s = n.s AND l.code = n.code
+       |   WHERE n.vec_id <> l.q_id GROUP BY 1, 2)""".stripMargin
+
+  /** List-bounded IVFADC ADC (codes of probed lists only). */
+  private def ivfPqAdcCte: String =
+    s"""adc AS (SELECT p.q_id, n.vec_id, sum(l.lv) AS adc
+       |   FROM lists li JOIN probes p ON p.cluster = li.cluster
+       |   JOIN enc n ON n.vec_id = li.vec_id
+       |   JOIN lut l ON l.q_id = p.q_id AND l.s = n.s AND l.code = n.code
+       |   WHERE n.vec_id <> p.q_id GROUP BY 1, 2)""".stripMargin
+
+  /** sim_pq_topk: flat PQ at m=8/cb=256/sl=64, sampled fit (cap
+    * 1000). */
+  private def pqTopKOracle: String =
+    s"""WITH ${intAnnBaseCtes(1000)},
+       | ${pqChainCtes(8, 256, 2, 8, 20)},
+       | $pqAdcCte,
+       | ${adcTailCtes("adc", 64, 5)}
+       |SELECT q_id, rnk, vec_id, cosine FROM got
+       |ORDER BY q_id, rnk""".stripMargin
+
+  private def pqRecallOracle: String =
+    s"""WITH ${intAnnBaseCtes(1000)},
+       | ${pqChainCtes(8, 256, 2, 8, 20)},
+       | $pqAdcCte,
+       | ${adcTailCtes("adc", 64, 5)},
+       | ${recallReportTail(20, 5)}""".stripMargin
+
+  /** ann_index_probe: the persisted-IVF probe (default build: cap
+    * 100000 — no bite at the oracle corpus — nc=16, np=4). */
+  private def ivfProbeOracle: String =
+    s"""WITH ${intAnnBaseCtes(100000)},
+       | ${ivfChainCtes(16, 2, 4, 20)},
+       | cand AS (SELECT p.q_id, l.vec_id
+       |   FROM lists l JOIN probes p ON p.cluster = l.cluster
+       |   WHERE l.vec_id <> p.q_id),
+       | rer AS (SELECT c.q_id, c.vec_id,
+       |          list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
+       |   FROM cand c JOIN base b ON b.vec_id = c.vec_id
+       |   JOIN base q ON q.vec_id = c.q_id),
+       | got AS (SELECT q_id, rnk, vec_id, cosine FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY cosine DESC, vec_id) AS rnk
+       |   FROM rer) WHERE rnk <= 5)
+       |SELECT q_id, rnk, vec_id, cosine FROM got
+       |ORDER BY q_id, rnk""".stripMargin
+
+  /** ann_recall_ivf: inline IVF at the BITING cap 1000, np=4. */
+  private def ivfRecallOracle: String =
+    s"""WITH ${intAnnBaseCtes(1000)},
+       | ${ivfChainCtes(16, 2, 4, 20)},
+       | cand AS (SELECT p.q_id, l.vec_id
+       |   FROM lists l JOIN probes p ON p.cluster = l.cluster
+       |   WHERE l.vec_id <> p.q_id),
+       | rer AS (SELECT c.q_id, c.vec_id,
+       |          list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
+       |   FROM cand c JOIN base b ON b.vec_id = c.vec_id
+       |   JOIN base q ON q.vec_id = c.q_id),
+       | got AS (SELECT q_id, vec_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY cosine DESC, vec_id) AS rnk
+       |   FROM rer) WHERE rnk <= 5),
+       | ${recallReportTail(20, 5)}""".stripMargin
+
+  /** sim_ivfpq_topk / ann_recall_ivfpq: the composed IVFADC path (both
+    * fits at cap 1000; np/sl from the env-overridable knobs so the ×10
+    * retune stays a config change). */
+  private def ivfPqTopKOracle(np: Int, sl: Int): String =
+    s"""WITH ${intAnnBaseCtes(1000)},
+       | ${ivfChainCtes(16, 2, np, 20)},
+       | ${pqChainCtes(8, 256, 2, 8, 20)},
+       | $ivfPqAdcCte,
+       | ${adcTailCtes("adc", sl, 5)}
+       |SELECT q_id, rnk, vec_id, cosine FROM got
+       |ORDER BY q_id, rnk""".stripMargin
+
+  private def ivfPqRecallOracle(np: Int, sl: Int): String =
+    s"""WITH ${intAnnBaseCtes(1000)},
+       | ${ivfChainCtes(16, 2, np, 20)},
+       | ${pqChainCtes(8, 256, 2, 8, 20)},
+       | $ivfPqAdcCte,
+       | ${adcTailCtes("adc", sl, 5)},
+       | ${recallReportTail(20, 5)}""".stripMargin
+
   /** The sign-LSH pair set resolved to connected components — the same
     * recursive-CTE construction as dedup_clusters, over embedding edges. */
   private def embeddingClustersOracle: String =
@@ -6314,6 +6568,14 @@ object SparkEntry {
     "ann_lsh_index_probe" -> lshMultiProbeOracle(20, 5),
     "dedup_embedding_clusters" -> embeddingClustersOracle,
     "ann_recall" -> annRecallOracle,
+    // the integer-Lloyd ANN family (round-10 promotion from rows-only:
+    // the PQ codebooks and IVF coarse quantizer replay in SQL)
+    "sim_pq_topk" -> pqTopKOracle,
+    "ann_recall_pq" -> pqRecallOracle,
+    "ann_index_probe" -> ivfProbeOracle,
+    "ann_recall_ivf" -> ivfRecallOracle,
+    "sim_ivfpq_topk" -> ivfPqTopKOracle(ivfPqNProbe, ivfPqShortlist),
+    "ann_recall_ivfpq" -> ivfPqRecallOracle(ivfPqNProbe, ivfPqShortlist),
     // MinHash signatures, band keys and SimHash bits are computed on the
     // portable two-prime polynomial basis shared between the codegen
     // kernels and this generated SQL — see graft.functions.Portable.

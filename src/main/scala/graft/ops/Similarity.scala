@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
@@ -573,43 +572,50 @@ object Similarity {
 
   /** Product quantization top-k (Jégou et al. 2011) — the OTHER classic
     * ANN scale path, orthogonal to [[ivfTopK]]'s list pruning: compress
-    * every vector to `m` byte codes (one seeded k-means codebook per
-    * subspace over unit vectors), score candidates against a per-query
-    * lookup table of subspace dot products (ADC — asymmetric distance
-    * computation), then EXACTLY re-rank the ADC shortlist with the
-    * codegen'd cosine. With `shortlist` >= corpus size the re-rank sees
-    * every candidate and the result equals [[bruteTopK]] bit-for-bit
-    * regardless of codebook quality (the IVF full-probe discipline,
-    * spec-asserted); at production settings the ADC pass reads `m` bytes
-    * per vector instead of `4·dim`.
+    * every vector to `m` codes (one codebook per subspace), score
+    * candidates against a per-query lookup table of subspace dot
+    * products (ADC — asymmetric distance computation), then EXACTLY
+    * re-rank the ADC shortlist with the codegen'd cosine. With
+    * `shortlist` >= corpus size the re-rank sees every candidate and
+    * the result equals [[bruteTopK]] bit-for-bit regardless of codebook
+    * quality (the IVF full-probe discipline, spec-asserted); at
+    * production settings the ADC pass reads `m` bytes per vector
+    * instead of `4·dim`.
     *
-    * Scale shape: codebooks are `m × codebookSize` tiny rows (broadcast);
-    * the LUT is `nQueries × m × codebookSize` (broadcast); the ADC pass
-    * is one broadcast hash join over the exploded codes with map-side
-    * partial aggregation keyed (query, vector) — no corpus self-join
-    * anywhere; the exact re-rank touches only `nQueries × shortlist`
-    * full vectors. Returns (q_id, rnk, vec_id, cosine) like [[bruteTopK]];
-    * rows-only at the driver (k-means floats have no DuckDB twin).
+    * The codebooks are fit with PINNED INTEGER LLOYD ROUNDS
+    * ([[fitIntCodebooks]] — the sim_kmeans_step discipline: floor(x·
+    * scale) BIGINT quantization, first-k deterministic seeding, exact
+    * integer assignment, portable floor-mean updates) instead of
+    * ml.KMeans floats, so the ENTIRE retrieval — fit, encode, ADC
+    * ranking, exact re-rank — is reproducible in SQL and hash-oracle'd
+    * at the driver (round 9 left this family rows-only behind the
+    * float fit). Recall is measured UNCHANGED by the swap at the
+    * registered m=8/codebookSize=256/shortlist=64 configuration:
+    * 9300 bp at N=2000, 10000 bp at N=500 — identical to the k-means||
+    * float fit it replaces (both measured via the DuckDB twin of this
+    * pipeline), with the 6000 bp floor in `ann_recall_pq` still armed.
     *
-    * `shortlist = -1` (the default) auto-sizes to `max(50, ceil(0.15·N))`
-    * — the round-5 fixed 50 held its 4600 bp recall floor at N=500 but
-    * collapsed to 2600 bp at N=2000 (the corpus grew, the shortlist
-    * didn't). At the 16^4-code test codebook, ADC resolution is coarse
-    * enough that recall tracks the shortlist FRACTION, not its absolute
-    * size (measured via [[graft.tools.PqTune]]: 15% of corpus = 7600 bp
-    * at N=500, 7200 bp at N=2000). At production N you keep the re-rank
-    * sublinear the other way: grow `m·codebookSize` (ADC resolution) so
-    * the fraction needed for a given recall falls — DEMONSTRATED, not
-    * just claimed: at m=8/codebookSize=256 a FIXED 64-row shortlist
-    * measures (PqTune, round 7) 9300 bp at N=2000 (3.2% of corpus) and
-    * 10000 bp at N=500, vs the coarse codebook needing 15% for 7200 bp.
-    * That configuration is what `sim_pq_topk`/`ann_recall_pq` register
-    * (floor-armed at 6000 bp), making the re-rank O(nQueries·64) exact
-    * cosines while the ADC pass stays m bytes/vector — the auto rule
-    * remains only as the honest calibration for the coarse default. */
+    * Scale shape: codebooks are `m × codebookSize` tiny rows (fit on
+    * the bounded [[fitSample]], collected driver-side like ml model
+    * coefficients, broadcast back); the LUT is `nQueries × m ×
+    * codebookSize` integer dots (broadcast); the ADC pass is one
+    * broadcast hash join over the (vec_id, s, code) table with
+    * map-side partial aggregation keyed (query, vector) — no corpus
+    * self-join anywhere; the exact re-rank touches only `nQueries ×
+    * shortlist` full vectors. Returns (q_id, rnk, vec_id, cosine) like
+    * [[bruteTopK]].
+    *
+    * `shortlist = -1` (the default) auto-sizes to `max(50,
+    * ceil(0.15·N))` — the round-5 fixed 50 held its recall floor at
+    * N=500 but collapsed at N=2000 (the corpus grew, the shortlist
+    * didn't). At production N you keep the re-rank sublinear the other
+    * way: grow `m·codebookSize` (ADC resolution) so the fraction
+    * needed for a given recall falls — the registered m=8/cb=256
+    * configuration holds a FIXED 64-row shortlist at 9300 bp where the
+    * coarse 4×16 default needs 15% of the corpus for 7200 bp. */
   def pqTopK(emb: DataFrame, nQueries: Int, k: Int, m: Int = 4,
       codebookSize: Int = 16, shortlist: Int = -1, dim: Int = 64,
-      seed: Long = 42L,
+      rounds: Int = 2, scale: Int = 1024,
       fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m must divide dim, got $m / $dim")
     val autoShortlist =
@@ -618,33 +624,37 @@ object Similarity {
     require(autoShortlist >= k, s"shortlist >= k, got $autoShortlist < $k")
     val subDim = dim / m
 
-    val base = withUnit(emb.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding"))))
-    val codec = pqFit(base, m, codebookSize, subDim, seed, fitSampleCap)
-    val codes = pqEncode(base, codec)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+    val qv = quantVec(emb, scale)
+    val sub = subspaced(qv, m, subDim)
+    val cents = fitIntCodebooks(
+      subspaced(fitSample(qv, fitSampleCap), m, subDim), m, codebookSize,
+      rounds)
+    val codes = assignCodes(sub, cents)
 
-    val q = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"), col("unit").as("qu"))
     // ADC: candidates are the WHOLE code table (flat PQ — a compressed
     // scan; [[ivfPqTopK]] is the composed form whose candidate pass is
-    // list-bounded), scored against the broadcast LUT with map-side
-    // partial aggregation keyed (query, vector)
-    val adc = codes.join(broadcast(adcLut(q, codec.codebooks, subDim)),
-        Seq("s", "code"))
+    // list-bounded), scored against the broadcast integer LUT with
+    // map-side partial aggregation keyed (query, vector)
+    val adc = codes.join(broadcast(adcLutInt(
+        sub.filter(col("vec_id") < nQueries), cents)), Seq("s", "code"))
       .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id").agg(sum(col("lv")).as("adc"))
+      .groupBy("q_id", "vec_id").agg(sum(col("lv")).as("adcl"))
+      .select(col("q_id"), col("vec_id"),
+        col("adcl").cast("double").as("adc"))
     val cand = adcShortlist(adc, col("vec_id"), autoShortlist)
       .select("q_id", "vec_id")
 
     // exact re-rank of the shortlist — bruteTopK's scoring, tie-break, shape
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvv"),
+        col("nrm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
-    cand.join(base.select(col("vec_id"), col("embedding"), col("nrm")),
-        Seq("vec_id"))
-      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+    cand.join(base, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
       .withColumn("cosine",
-        dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+        dot(col("embedding"), col("qvv")) / (col("nrm") * col("qn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "vec_id", "cosine")
@@ -694,71 +704,127 @@ object Similarity {
     }
   }
 
-  /** Unit-vector column (float, sequential-sum discipline) appended. */
-  private def withUnit(base: DataFrame): DataFrame =
-    base.withColumn("unit", transform(col("embedding"),
-      e => (e / col("nrm")).cast("float")))
+  /** Exact BIGINT dot product of two long arrays — a codegen'd
+    * zip/fold, the integer-quantized analog of [[dot]]. Quantized
+    * elements are |q| ≤ scale (1024 default), so per-element products
+    * ≤ ~1.05e6 and any realistic dim keeps the sum far inside both
+    * signed-64 and DOUBLE's 2^53 exact-integer range. */
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  private def subVec(s: Int, subDim: Int): Column = array_to_vector(
-    transform(slice(col("unit"), s * subDim + 1, subDim), _.cast("double")))
+  /** floor(x·scale) BIGINT quantization of the corpus as ONE array
+    * column (vec_id, qv, qq = ‖qv‖²) — the sign-LSH / kmeansStep
+    * portability discipline in vector form: every downstream distance
+    * and dot is exact integer arithmetic, identical in Spark and the
+    * DuckDB oracle. */
+  private def quantVec(emb: DataFrame, scale: Int): DataFrame =
+    emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * scale).cast("long")).as("qv"))
+      .withColumn("qq", dotL(col("qv"), col("qv")))
 
-  /** The m per-subspace codebooks: fitted models (for encoding) + the
-    * broadcastable (s, code, cw) table (for ADC LUTs). One seeded
-    * k-means per subspace over the BOUNDED [[fitSample]] — each fit
-    * reads a single projected column straight off the sampled frame
-    * (never through the other models' transform lineage), and the m
-    * fits run CONCURRENTLY (scala-parallel-collections over the
-    * thread-safe Spark scheduler): wall-clock is one fit, not m.
-    * k-means|| init stays: codebook init quality IS the shortlist
-    * recall (random init measurably collapses it — unlike the IVF
-    * coarse quantizer, where probe ranking + exact re-score make init
-    * irrelevant). */
-  private case class PqCodec(
-      models: List[org.apache.spark.ml.clustering.KMeansModel],
-      codebooks: DataFrame)
+  /** Per-subspace rows (vec_id, s, ql, sqq) of a [[quantVec]] frame —
+    * the row count grows m×, but each row carries only subDim longs,
+    * so bytes in flight are unchanged. */
+  private def subspaced(qv: DataFrame, m: Int, subDim: Int): DataFrame =
+    qv.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("qv"))
+      .select(col("vec_id"), col("s"),
+        slice(col("qv"), col("s") * subDim + 1, lit(subDim)).as("ql"))
+      .withColumn("sqq", dotL(col("ql"), col("ql")))
 
-  private def pqFit(base: DataFrame, m: Int, codebookSize: Int,
-      subDim: Int, seed: Long, fitSampleCap: Int): PqCodec = {
-    val spark = base.sparkSession
+  /** Nearest-codeword assignment: squared L2 over the quantized ints
+    * via the exact identity ‖q−c‖² = ‖q‖² − 2·q·c + ‖c‖² (one integer
+    * dot per pair instead of a per-dim explode), ties → lower code —
+    * the kmeansStep tie-break. One broadcast join + a map-side
+    * min-struct aggregate: O(N·m·codebookSize) integer dots, the
+    * textbook PQ encode cost, no shuffle wider than (vec_id, s). */
+  private def assignCodes(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        struct((col("sqq") - lit(2L) * dotL(col("ql"), col("cl"))
+          + col("cc")).as("dist2"), col("code")).as("dc"))
+      .groupBy("vec_id", "s")
+      .agg(min(col("dc")).getField("code").as("code"))
+
+  /** PINNED INTEGER LLOYD codebook fit over the (already sampled)
+    * subspace frame — the [[kmeansStep]] discipline generalized to m
+    * subspaces × `rounds` rounds, replacing ml.KMeans so the fit has
+    * an exact SQL twin (what promoted the PQ/IVF families from
+    * rows-only to hash-oracled in round 10):
+    *
+    *  1. seeds = the `codebookSize` LOWEST sampled vec_ids' subvectors
+    *     (deterministic data-point seeding; measured recall at the
+    *     registered configs equals the k-means|| float fit it
+    *     replaces);
+    *  2. each round: exact integer assignment ([[assignCodes]]),
+    *     per-dim floor-mean update via the portable pmod identity,
+    *     EMPTY codes keep their previous centroid;
+    *  3. centroids are collected driver-side between rounds (m ×
+    *     codebookSize tiny rows — the same place ml.KMeans keeps its
+    *     model; bounded by construction, limit-guarded anyway) so the
+    *     per-round lineage stays flat and the result broadcasts.
+    *
+    * Returns the broadcastable (s, code, cl, cc) codebook frame. */
+  private def fitIntCodebooks(fsub: DataFrame, m: Int,
+      codebookSize: Int, rounds: Int): DataFrame = {
+    val spark = fsub.sparkSession
     import spark.implicits._
-    // one bounded sample shared by all m fits (count() runs once)
-    val fitBase = fitSample(base, fitSampleCap)
-    import scala.collection.parallel.CollectionConverters._
-    val models = (0 until m).par.map { s =>
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(codebookSize).setSeed(seed + s).setMaxIter(8)
-        .setFeaturesCol(s"sub$s").setPredictionCol(s"code$s")
-        .fit(fitBase.select(subVec(s, subDim).as(s"sub$s")))
-    }.toList
-    val codebooks = models.zipWithIndex.flatMap { case (model, s) =>
-      model.clusterCenters.zipWithIndex.map { case (c, code) =>
-        (s, code, c.toArray.map(_.toFloat)) }
-    }.toSeq.toDF("s", "code", "cw")
-    PqCodec(models, codebooks)
+    require(rounds >= 0, s"rounds >= 0, got $rounds")
+    // a sample smaller than codebookSize seeds fewer codewords (the
+    // SQL twin's LIMIT semantics, and what a 251-point sample honestly
+    // supports — the float fit it replaced padded duplicate centroids)
+    val seedIds = fsub.select("vec_id").distinct().orderBy("vec_id")
+      .limit(codebookSize).as[Long].collect()
+    require(seedIds.nonEmpty, "codebook fit needs a non-empty sample")
+    val codeOf = seedIds.zipWithIndex.toMap
+    var cents: Map[(Int, Int), Array[Long]] =
+      fsub.filter(col("vec_id").isin(seedIds: _*))
+        .select(col("vec_id"), col("s"), col("ql"))
+        .limit(codebookSize * m + 1).collect()
+        .map(r => ((r.getInt(1), codeOf(r.getLong(0))),
+          r.getSeq[Long](2).toArray)).toMap
+    for (_ <- 1 to rounds) {
+      val assign = assignCodes(fsub, centsDF(spark, cents))
+      val fse = fsub.select(col("vec_id"), col("s"),
+        posexplode(col("ql")).as(Seq("d", "qk")))
+      // per-dim floor-mean (pmod identity: Spark div truncates, DuckDB
+      // // floors — raw integer division diverges on negative sums)
+      val upd = assign.join(fse, Seq("vec_id", "s"))
+        .groupBy("s", "code", "d")
+        .agg(sum("qk").as("sm"), count(lit(1)).as("n"))
+        .select(col("s"), col("code"), col("d"),
+          expr("(sm - pmod(sm, n)) div n").as("c"))
+        .groupBy("s", "code")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          t => t.getField("c")).as("cl"))
+        .limit(codebookSize * m + 1).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Long](2).toArray)).toMap
+      cents = cents ++ upd // codes with no members keep their centroid
+    }
+    centsDF(spark, cents)
   }
 
-  /** Encode every row of `base` (needs `unit`): all input columns except
-    * the scratch subvectors, plus `codes` = the m byte codes as one
-    * array — one pass through all m models' predictors. */
-  private def pqEncode(base: DataFrame, codec: PqCodec): DataFrame = {
-    val m = codec.models.size
-    val subDim = codec.models.head.clusterCenters.head.size
-    val withSubs = (0 until m).foldLeft(base) { (df, s) =>
-      df.withColumn(s"sub$s", subVec(s, subDim)) }
-    codec.models.foldLeft(withSubs) { (df, model) => model.transform(df) }
-      .drop((0 until m).map(s => s"sub$s"): _*)
-      .withColumn("codes", array((0 until m).map(s => col(s"code$s")): _*))
-      .drop((0 until m).map(s => s"code$s"): _*)
+  /** The tiny (s, code, cl, cc) codebook frame from its driver-side
+    * form — `cc` = ‖cl‖² precomputed for the assignment identity. */
+  private def centsDF(spark: SparkSession,
+      cents: Map[(Int, Int), Array[Long]]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq
+      .map { case ((s, code), cl) => (s, code, cl, cl.map(x => x * x).sum) }
+      .sortBy(t => (t._1, t._2))
+      .toDF("s", "code", "cl", "cc")
   }
 
-  /** ADC lookup table: dot(query subvector, codeword) per
-    * (query, s, code) — nQueries × m × codebookSize rows, broadcast. */
-  private def adcLut(q: DataFrame, codebooks: DataFrame,
-      subDim: Int): DataFrame =
-    q.crossJoin(broadcast(codebooks))
+  /** Integer ADC lookup table: q·c per (query, s, code) — nQueries ×
+    * m × codebookSize BIGINT rows, broadcast. `qsub` is the query
+    * slice of a [[subspaced]] frame. */
+  private def adcLutInt(qsub: DataFrame, cents: DataFrame): DataFrame =
+    qsub.select(col("vec_id").as("q_id"), col("s"), col("ql"))
+      .join(broadcast(cents), Seq("s"))
       .select(col("q_id"), col("s"), col("code"),
-        dot(slice(col("qu"), col("s") * subDim + 1, lit(subDim)),
-          col("cw")).as("lv"))
+        dotL(col("ql"), col("cl")).as("lv"))
 
   /** ADC shortlist selection. Production-sized shortlists go through
     * the typed [[TopKByScore]] aggregator (ObjectHashAggregate: ≤
@@ -805,8 +871,13 @@ object Similarity {
     *
     * Full-probe parity: with nProbe = nCentroids and shortlist ≥ corpus
     * the result equals [[bruteTopK]] bit-for-bit (spec-asserted — the
-    * IVF and PQ disciplines compose). Rows-only at the driver (k-means
-    * floats); recall is floor-armed in `ann_recall_ivfpq`.
+    * IVF and PQ disciplines compose). Both quantizers are pinned
+    * integer-Lloyd fits ([[fitIntCodebooks]]), so the composed path is
+    * hash-oracle'd end to end at the driver (it was rows-only behind
+    * ml.KMeans floats through round 9) — and recall at the registered
+    * nProbe=6/shortlist=64 settings MEASURES HIGHER than the float fit
+    * it replaces (8100 bp vs 6900 at N=2000, both via the DuckDB
+    * twin), with the 6000 bp floor in `ann_recall_ivfpq` still armed.
     *
     * Both quantizers train on the bounded [[fitSample]]. Inline form
     * re-derives the index per call; [[buildIvfPqIndex]] /
@@ -815,51 +886,59 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8,
       codebookSize: Int = 256, shortlist: Int = 64, dim: Int = 64,
-      seed: Long = 42L, fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
+      rounds: Int = 2, scale: Int = 1024,
+      fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
     val (codes, lists, centroids, codebooks, subDim) =
-      ivfPqParts(emb, nCentroids, m, codebookSize, dim, seed, fitSampleCap)
-    val q = withUnit(lists).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"), col("unit").as("qu"))
+      ivfPqParts(emb, nCentroids, m, codebookSize, dim, rounds, scale,
+        fitSampleCap)
+    val q = quantQueries(emb.filter(col("vec_id") < nQueries), scale)
     ivfPqProbe(codes, lists, centroids, codebooks, q, k, nProbe,
-      shortlist, subDim)
+      shortlist, m, subDim)
   }
 
   /** The four tables an IVFADC index consists of: PQ codes and full
     * vectors both keyed by coarse cluster, plus the tiny centroid and
-    * codebook tables (broadcast everywhere). */
+    * codebook tables (broadcast everywhere). Both quantizers are the
+    * pinned integer-Lloyd fit ([[fitIntCodebooks]]) at the same
+    * `scale`, so the whole index derivation hash-oracles. */
   private def ivfPqParts(emb: DataFrame, nCentroids: Int, m: Int,
-      codebookSize: Int, dim: Int, seed: Long, fitSampleCap: Int)
+      codebookSize: Int, dim: Int, rounds: Int, scale: Int,
+      fitSampleCap: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
     require(m >= 1 && dim % m == 0, s"m must divide dim, got $m / $dim")
-    require(nCentroids >= 1 && nCentroids <= MaxClusters,
-      s"nCentroids in [1, $MaxClusters] (shortlist key packing), got " +
-        nCentroids)
     val subDim = dim / m
-    val (listed, centroids) = ivfParts(emb, nCentroids, seed, fitSampleCap)
-    val base = withUnit(listed)
-    val codec = pqFit(base, m, codebookSize, subDim, seed, fitSampleCap)
-    val codes = pqEncode(base, codec)
-      .select(col("cluster"), col("vec_id"), col("codes"))
+    val (listed, centroids) = ivfParts(emb, nCentroids, rounds, scale,
+      fitSampleCap)
+    val qv = quantVec(emb, scale)
+    val cents = fitIntCodebooks(
+      subspaced(fitSample(qv, fitSampleCap), m, subDim), m, codebookSize,
+      rounds)
+    val codes = assignCodes(subspaced(qv, m, subDim), cents)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        t => t.getField("code")).as("codes"))
+      .join(listed.select("vec_id", "cluster"), Seq("vec_id"))
+      .select("cluster", "vec_id", "codes")
     val lists = listed.select("cluster", "vec_id", "embedding", "nrm")
-    (codes, lists, centroids, codec.codebooks, subDim)
+    (codes, lists, centroids, cents, subDim)
   }
 
   /** IVFADC probe shared by [[ivfPqTopK]] and [[probeIvfPqIndex]]:
     * `codes` (cluster, vec_id, codes), `lists` (cluster, vec_id,
-    * embedding, nrm), `q` (q_id, qv, qn, qu). */
+    * embedding, nrm), `q` a [[quantQueries]] frame quantized at the
+    * index's scale. */
   private def ivfPqProbe(codes: DataFrame, lists: DataFrame,
       centroids: DataFrame, codebooks: DataFrame, q: DataFrame, k: Int,
-      nProbe: Int, shortlist: Int, subDim: Int): DataFrame = {
+      nProbe: Int, shortlist: Int, m: Int, subDim: Int): DataFrame = {
     require(shortlist >= k, s"shortlist >= k, got $shortlist < $k")
-    // probe ranking: ivfProbe's euclid-consistent centroid score
-    val wq = Window.partitionBy("q_id").orderBy(desc("c_score"), asc("cluster"))
-    val probes = q.join(broadcast(centroids))
-      .withColumn("c_score",
-        lit(2) * dot(col("qv"), col("centroid")) / col("qn") - col("c_norm2"))
-      .withColumn("c_rnk", row_number().over(wq))
-      .filter(col("c_rnk") <= nProbe)
-      .select("q_id", "cluster")
+    val probes = rankProbes(q, centroids, nProbe)
+    // integer LUT from the quantized query subvectors
+    val qsub = q
+      .select(col("q_id").as("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("qv"))
+      .select(col("vec_id"), col("s"),
+        slice(col("qv"), col("s") * subDim + 1, lit(subDim)).as("ql"))
+    val lut = adcLutInt(qsub, codebooks)
     // candidate generation is LIST-BOUNDED: the codes scan joins the
     // broadcast probe table ON THE PARTITION COLUMN first (the persisted
     // form dynamic-partition-prunes here — PlanShapeSpec asserts it),
@@ -869,9 +948,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cluster"), col("vec_id"),
         posexplode(col("codes")).as(Seq("s", "code")))
-      .join(broadcast(adcLut(q, codebooks, subDim)), Seq("q_id", "s", "code"))
+      .join(broadcast(lut), Seq("q_id", "s", "code"))
       .groupBy("q_id", "cluster", "vec_id")
-      .agg(sum(col("lv")).as("adc"))
+      .agg(sum(col("lv")).as("adcl"))
+      .select(col("q_id"), col("cluster"), col("vec_id"),
+        col("adcl").cast("double").as("adc"))
     // bounded-state shortlist with the cluster packed into the key, so
     // the exact re-rank can join the lists on (cluster, vec_id) and
     // prune the full-vector scan to the probed lists too
@@ -882,9 +963,10 @@ object Similarity {
         pmod(col("vec_id"), lit(MaxClusters.toLong)).cast("int").as("cluster"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
     cand.join(lists, Seq("cluster", "vec_id"))
-      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+      .join(broadcast(q.select(col("q_id"), col("embedding").as("qvv"),
+        col("nrm").as("qn"))), Seq("q_id"))
       .withColumn("cosine",
-        dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+        dot(col("embedding"), col("qvv")) / (col("nrm") * col("qn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "vec_id", "cosine")
@@ -900,10 +982,12 @@ object Similarity {
     * m-byte-per-vector table — the only full-width reads are
     * shortlist × nQueries point lookups inside probed partitions. */
   def buildIvfPqIndex(emb: DataFrame, dir: String, nCentroids: Int = 16,
-      m: Int = 8, codebookSize: Int = 256, dim: Int = 64, seed: Long = 42L,
+      m: Int = 8, codebookSize: Int = 256, dim: Int = 64,
+      rounds: Int = 2, scale: Int = 1024,
       fitSampleCap: Int = DefaultFitSampleCap): Unit = {
     val (codes, lists, centroids, codebooks, _) =
-      ivfPqParts(emb, nCentroids, m, codebookSize, dim, seed, fitSampleCap)
+      ivfPqParts(emb, nCentroids, m, codebookSize, dim, rounds, scale,
+        fitSampleCap)
     codes.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$dir/codes")
     lists.write.mode("overwrite").partitionBy("cluster")
@@ -914,124 +998,130 @@ object Similarity {
 
   /** Probe a [[buildIvfPqIndex]] index with an arbitrary query table
     * (vec_id, embedding). Self-matches excluded like every inline form.
-    * The one-row codebook-width read recovers subDim (metadata-bounded,
-    * the manifest-collect discipline). */
+    * Three metadata-bounded reads recover the index geometry (quant
+    * scale from the centroid table, m and subDim from the codebooks —
+    * the manifest-collect discipline), so probes are always quantized
+    * at the scale the index was BUILT at. */
   def probeIvfPqIndex(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nProbe: Int = 4, shortlist: Int = 64): DataFrame = {
     val codes = spark.read.parquet(s"$dir/codes")
     val lists = spark.read.parquet(s"$dir/lists")
     val centroids = spark.read.parquet(s"$dir/centroids")
     val codebooks = spark.read.parquet(s"$dir/codebooks")
-    val subDim = codebooks.select(size(col("cw")).as("d")).head.getInt(0)
-    val q = withUnit(queries.select(col("vec_id").as("q_id"),
-          col("embedding"))
-        .withColumn("nrm", norm(col("embedding"))))
-      .select(col("q_id"), col("embedding").as("qv"), col("nrm").as("qn"),
-        col("unit").as("qu"))
+    val scale = centroids.select(col("qscale")).head.getInt(0)
+    val subDim = codebooks.select(size(col("cl")).as("d")).head.getInt(0)
+    val m = codebooks.agg(max(col("s"))).head.getInt(0) + 1
+    val q = quantQueries(queries, scale)
     ivfPqProbe(codes, lists, centroids, codebooks, q, k, nProbe,
-      shortlist, subDim)
+      shortlist, m, subDim)
   }
 
   /** IVF (inverted-file) approximate top-k: the classic ANN scale path.
     *
-    *  1. Fit a seeded k-means coarse quantizer on unit vectors (spark.ml,
-    *     distributed Lloyd iterations).
+    *  1. Fit the coarse quantizer with pinned integer Lloyd rounds
+    *     ([[fitIntCodebooks]] at m=1 — the coarse quantizer IS a
+    *     one-subspace PQ codebook; replacing ml.KMeans floats makes the
+    *     whole path hash-oracle'd, and recall at the registered partial
+    *     probe MEASURES HIGHER: 7900 bp vs the float fit's 5800 at
+    *     N=2000, nProbe=4/16, both via the DuckDB twin).
     *  2. Assign every corpus vector to its nearest centroid — the
     *     "inverted lists", hash-partitioned by cluster id.
-    *  3. Each query probes its `nProbe` nearest centroids (ranked against
-    *     the tiny centroid table, broadcast both ways) and scores ONLY
-    *     vectors in those lists with the exact codegen'd cosine.
+    *  3. Each query probes its `nProbe` nearest centroids (exact
+    *     integer L2 against the tiny broadcast centroid table) and
+    *     scores ONLY vectors in those lists with the exact codegen'd
+    *     cosine.
     *
     * Work per query drops from O(N) to O(N * nProbe / nCentroids); with
     * nProbe = nCentroids the result equals [[bruteTopK]] exactly (probing
     * everything = exhaustive scan), which is the property the spec tests.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      nCentroids: Int = 16, nProbe: Int = 4, rounds: Int = 2,
+      scale: Int = 1024,
       fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
-    val (listed, centroids) = ivfParts(emb, nCentroids, seed, fitSampleCap)
-    val q = listed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"))
+    val (listed, centroids) = ivfParts(emb, nCentroids, rounds, scale,
+      fitSampleCap)
+    val q = quantQueries(emb.filter(col("vec_id") < nQueries), scale)
     ivfProbe(listed, centroids, q, k, nProbe)
   }
 
   /** The two tables an IVF index consists of: the inverted lists
     * (vec_id, embedding, nrm, cluster) and the tiny centroid table
-    * (cluster, centroid, c_norm2). Shared by the inline [[ivfTopK]] and
-    * the persisted [[buildIvfIndex]]/[[probeIvfIndex]] pair. */
-  private def ivfParts(emb: DataFrame, nCentroids: Int, seed: Long,
-      fitSampleCap: Int): (DataFrame, DataFrame) = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-
-    val base = emb.select(col("vec_id"), col("embedding"))
+    * (cluster, cl, cc, qscale — integer codewords plus the quant scale
+    * they live at, so probes can re-quantize queries identically).
+    * Shared by the inline [[ivfTopK]] and the persisted
+    * [[buildIvfIndex]]/[[probeIvfIndex]] pair.
+    *
+    * The quantizer trains on the bounded [[fitSample]]; assignment
+    * covers the whole corpus (sampling moves centroids, never drops
+    * vectors). Inverted lists are NOT persisted by the inline form:
+    * each consumer recomputes one narrow columnar scan + an
+    * nCentroids-row broadcast assignment — cheaper and leak-free vs
+    * pinning the corpus in the block store (a 100 TB corpus could
+    * never persist anyway; assignment is deterministic, so every
+    * computation agrees). */
+  private def ivfParts(emb: DataFrame, nCentroids: Int, rounds: Int,
+      scale: Int, fitSampleCap: Int): (DataFrame, DataFrame) = {
+    require(nCentroids >= 1 && nCentroids <= MaxClusters,
+      s"nCentroids in [1, $MaxClusters] (shortlist key packing), got " +
+        nCentroids)
+    val qv = quantVec(emb, scale)
+    def asSub(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), lit(0).as("s"), col("qv").as("ql"),
+        col("qq").as("sqq"))
+    val cents = fitIntCodebooks(asSub(fitSample(qv, fitSampleCap)), 1,
+      nCentroids, rounds)
+    val assign = assignCodes(asSub(qv), cents)
+      .select(col("vec_id"), col("code").as("cluster"))
+    val listed = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
-      .withColumn("unit",
-        array_to_vector(transform(col("embedding"),
-          e => (e / col("nrm")).cast("double"))))
-    // maxIter 8: the coarse quantizer only partitions the corpus — probe
-    // ranking + exact re-score fix any assignment, so a near-converged
-    // codebook costs recall nothing while halving the fit (ml.KMeans
-    // persists its instances RDD internally for the Lloyd iterations)
-    // random (seeded) init: the coarse quantizer only decides which
-    // lists neighbors land in, and partial-probe recall is measured
-    // unchanged at the spec's settings — so the k-means|| init passes
-    // buy nothing HERE. This does NOT generalize to [[pqTopK]], whose
-    // ADC shortlist quality depends directly on codebook quality:
-    // random init measurably collapses its recall (it keeps k-means||).
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCentroids).setSeed(seed).setFeaturesCol("unit")
-      .setPredictionCol("cluster").setMaxIter(8).setInitMode("random")
-    // coarse quantizer trains on the bounded [[fitSample]] (assignment
-    // below still covers the whole corpus — sampling moves centroids,
-    // never drops vectors)
-    val model = km.fit(fitSample(base, fitSampleCap))
-    // inverted lists: corpus partitioned by coarse cluster. NOT persisted:
-    // the two consumers below (query probes, list scoring) each recompute
-    // one narrow columnar scan + a 16-centroid assignment — cheaper and
-    // leak-free vs pinning the whole corpus in the block store (a 100 TB
-    // corpus could never persist anyway; assignment is deterministic, so
-    // both computations agree).
-    val listed = model.transform(base)
+      .join(assign, Seq("vec_id"))
       .select("vec_id", "embedding", "nrm", "cluster")
-
-    // tiny centroid table (nCentroids rows) — broadcast everywhere.
-    // ||c||² rides along: k-means centroids are MEANS of unit vectors, so
-    // they are NOT unit-norm, and ranking probes by raw dot product would
-    // disagree with the euclidean assignment k-means itself used (a
-    // query's own cluster could miss its probe list). The correct probe
-    // order is ascending ||u - c||² = ||c||² - 2·u·c + 1, i.e. descending
-    // (2·u·c - ||c||²).
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum)
-      }
-      .toSeq.toDF("cluster", "centroid", "c_norm2")
+    val centroids = cents.select(col("code").as("cluster"), col("cl"),
+      col("cc"), lit(scale).as("qscale"))
     (listed, centroids)
   }
 
-  /** Probe-side scoring shared by [[ivfTopK]] and [[probeIvfIndex]]:
-    * `q` is (q_id, qv, qn). */
-  private def ivfProbe(listed: DataFrame, centroids: DataFrame,
-      q: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    // rank each query's centroids by euclidean distance of the UNIT query
-    // to the (non-unit) centroid, keep nProbe nearest
+  /** Query prep for integer probe ranking: (q_id, embedding, nrm, qv,
+    * qq) with qv/qq quantized at the index's `scale`. */
+  private def quantQueries(queries: DataFrame, scale: Int): DataFrame =
+    queries.select(col("vec_id").as("q_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * scale).cast("long")))
+      .withColumn("qq", dotL(col("qv"), col("qv")))
+
+  /** Rank each query's centroids by EXACT integer squared L2 (the
+    * assignment metric itself — ascending ‖q−c‖², ties cluster asc,
+    * the kmeansStep discipline) and keep the nProbe nearest. A query
+    * always probes the list it would be assigned to. */
+  private def rankProbes(q: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
     val wq = Window.partitionBy("q_id")
-      .orderBy(desc("c_score"), asc("cluster"))
-    val probes = q.join(broadcast(centroids))
-      .withColumn("c_score",
-        lit(2) * dot(col("qv"), col("centroid")) / col("qn") - col("c_norm2"))
+      .orderBy(asc("c_dist2"), asc("cluster"))
+    q.select(col("q_id"), col("qv"), col("qq"))
+      .join(broadcast(centroids.select(col("cluster"), col("cl"),
+        col("cc"))))
+      .withColumn("c_dist2",
+        col("qq") - lit(2L) * dotL(col("qv"), col("cl")) + col("cc"))
       .withColumn("c_rnk", row_number().over(wq))
       .filter(col("c_rnk") <= nProbe)
-      .select("q_id", "qv", "qn", "cluster")
+      .select("q_id", "cluster")
+  }
 
+  /** Probe-side scoring shared by [[ivfTopK]] and [[probeIvfIndex]]:
+    * `q` is a [[quantQueries]] frame at the index's scale. */
+  private def ivfProbe(listed: DataFrame, centroids: DataFrame,
+      q: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val probes = rankProbes(q, centroids, nProbe)
+      .join(broadcast(q.select(col("q_id"), col("embedding").as("qvv"),
+        col("nrm").as("qn"))), Seq("q_id"))
     // score only the probed inverted lists, exact cosine re-rank
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
     listed.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
-        dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+        dot(col("embedding"), col("qvv")) / (col("nrm") * col("qn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "vec_id", "cosine")
@@ -1049,8 +1139,10 @@ object Similarity {
     * probe table — the same mechanism `dpp_partitioned_join` exercises);
     * `centroids/` holds the nCentroids-row quantizer table. */
   def buildIvfIndex(emb: DataFrame, dir: String, nCentroids: Int = 16,
-      seed: Long = 42L, fitSampleCap: Int = DefaultFitSampleCap): Unit = {
-    val (listed, centroids) = ivfParts(emb, nCentroids, seed, fitSampleCap)
+      rounds: Int = 2, scale: Int = 1024,
+      fitSampleCap: Int = DefaultFitSampleCap): Unit = {
+    val (listed, centroids) = ivfParts(emb, nCentroids, rounds, scale,
+      fitSampleCap)
     listed.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$dir/lists")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -1058,16 +1150,15 @@ object Similarity {
 
   /** Probe a [[buildIvfIndex]] index with an arbitrary query table
     * (vec_id, embedding): same ranking/scoring as [[ivfTopK]], reading
-    * the persisted lists instead of re-deriving them. Self-matches
-    * (identical vec_id) are excluded like the inline form. */
+    * the persisted lists instead of re-deriving them, with queries
+    * quantized at the scale the index records. Self-matches (identical
+    * vec_id) are excluded like the inline form. */
   def probeIvfIndex(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nProbe: Int = 4): DataFrame = {
     val listed = spark.read.parquet(s"$dir/lists")
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val q = queries.select(col("vec_id").as("q_id"),
-        col("embedding").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    ivfProbe(listed, centroids, q, k, nProbe)
+    val scale = centroids.select(col("qscale")).head.getInt(0)
+    ivfProbe(listed, centroids, quantQueries(queries, scale), k, nProbe)
   }
 
   /** Per-vector statistics via higher-order array functions — the

@@ -32,13 +32,20 @@ import graft.{GraftSession, Tables}
   *    first draft) distorted norms and codebook geometry enough to trip
   *    the PQ recall floor on corpus shape alone.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.MakeScaled <outDir> [N]
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.MakeScaled
+  *          <outDir> [N] [tables]
+  * The optional comma-list `tables` restricts which tables materialize
+  * (e.g. `documents,embeddings,events` for a ×100 LLM-core run where
+  * writing a 60M-row lineitem buys nothing).
   */
 object MakeScaled {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(
-      sys.error("usage: MakeScaled <outDir> [factor]"))
+      sys.error("usage: MakeScaled <outDir> [factor] [tables]"))
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val only: Set[String] = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    def wanted(t: String): Boolean = only.isEmpty || only(t)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-makescaled")
@@ -72,72 +79,80 @@ object MakeScaled {
       println(s"[makescaled] $name done")
     }
 
-    Seq("region", "nation").foreach { t =>
+    Seq("region", "nation").filter(wanted).foreach { t =>
       write(Tables(spark, sfDir, t), t)
     }
 
     val cust = Tables(spark, sfDir, "customer")
     val custShift = shiftOf(cust, "c_custkey")
-    write(replicated(cust)((d, r) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(r * custShift))),
-      "customer")
+    if (wanted("customer"))
+      write(replicated(cust)((d, r) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(r * custShift))),
+        "customer")
 
     val supp = Tables(spark, sfDir, "supplier")
     val suppShift = shiftOf(supp, "s_suppkey")
-    write(replicated(supp)((d, r) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(r * suppShift))),
-      "supplier")
+    if (wanted("supplier"))
+      write(replicated(supp)((d, r) =>
+        d.withColumn("s_suppkey", col("s_suppkey") + lit(r * suppShift))),
+        "supplier")
 
     val part = Tables(spark, sfDir, "part")
     val partShift = shiftOf(part, "p_partkey")
-    write(replicated(part)((d, r) =>
-      d.withColumn("p_partkey", col("p_partkey") + lit(r * partShift))),
-      "part")
+    if (wanted("part"))
+      write(replicated(part)((d, r) =>
+        d.withColumn("p_partkey", col("p_partkey") + lit(r * partShift))),
+        "part")
 
     val orders = Tables(spark, sfDir, "orders")
     val orderShift = shiftOf(orders, "o_orderkey")
-    write(replicated(orders)((d, r) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(r * orderShift))
-        .withColumn("o_custkey", col("o_custkey") + lit(r * custShift))),
-      "orders")
+    if (wanted("orders"))
+      write(replicated(orders)((d, r) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + lit(r * orderShift))
+          .withColumn("o_custkey", col("o_custkey") + lit(r * custShift))),
+        "orders")
 
     val li = Tables(spark, sfDir, "lineitem")
-    write(replicated(li)((d, r) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * orderShift))
-        .withColumn("l_partkey", col("l_partkey") + lit(r * partShift))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppShift))),
-      "lineitem")
+    if (wanted("lineitem"))
+      write(replicated(li)((d, r) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(r * orderShift))
+          .withColumn("l_partkey", col("l_partkey") + lit(r * partShift))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppShift))),
+        "lineitem")
 
     val ev = Tables(spark, sfDir, "events")
     val evShift = shiftOf(ev, "event_id")
     val userShift = shiftOf(ev, "user_id")
-    write(replicated(ev)((d, r) =>
-      d.withColumn("event_id", col("event_id") + lit(r * evShift))
-        .withColumn("user_id", col("user_id") + lit(r * userShift))),
-      "events")
+    if (wanted("events"))
+      write(replicated(ev)((d, r) =>
+        d.withColumn("event_id", col("event_id") + lit(r * evShift))
+          .withColumn("user_id", col("user_id") + lit(r * userShift))),
+        "events")
 
     val docs = Tables(spark, sfDir, "documents")
     val docShift = shiftOf(docs, "doc_id")
-    write(replicated(docs)((d, r) =>
-      d.withColumn("doc_id", col("doc_id") + lit(r * docShift))
-        .withColumn("text",
-          if (r == 0) col("text")
-          else array_join(transform(split(col("text"), " "),
-            t => concat(lit(s"r${r}x"), t)), " "))),
-      "documents")
+    if (wanted("documents"))
+      write(replicated(docs)((d, r) =>
+        d.withColumn("doc_id", col("doc_id") + lit(r * docShift))
+          .withColumn("text",
+            if (r == 0) col("text")
+            else array_join(transform(split(col("text"), " "),
+              t => concat(lit(s"r${r}x"), t)), " "))),
+        "documents")
 
     val emb = Tables(spark, sfDir, "embeddings")
     val vecShift = shiftOf(emb, "vec_id")
-    write(replicated(emb)((d, r) =>
-      d.withColumn("vec_id", col("vec_id") + lit(r * vecShift))
-        .withColumn("embedding",
-          if (r == 0) col("embedding")
-          else {
-            val n = size(col("embedding"))
-            transform(sequence(lit(0), n - 1), i =>
-              element_at(col("embedding"), pmod(i + lit(7 * r), n) + 1))
-          })),
-      "embeddings")
+    if (wanted("embeddings"))
+      write(replicated(emb)((d, r) =>
+        d.withColumn("vec_id", col("vec_id") + lit(r * vecShift))
+          .withColumn("embedding",
+            if (r == 0) col("embedding")
+            else {
+              val n = size(col("embedding"))
+              transform(sequence(lit(0), n - 1), i =>
+                element_at(col("embedding"), pmod(i + lit(7 * r), n) + 1))
+            })),
+        "embeddings")
 
     spark.stop()
   }
