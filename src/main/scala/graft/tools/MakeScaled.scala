@@ -142,6 +142,16 @@ object MakeScaled {
 
     val emb = Tables(spark, sfDir, "embeddings")
     val vecShift = shiftOf(emb, "vec_id")
+    // rotations of a 64-dim vector only have 64 distinct values, so at
+    // factor > 64 the cycle would repeat and later replicas would be
+    // EXACT copies of earlier ones (quadratic pair inflation — the
+    // failure the rotation model exists to avoid). The second cycle
+    // composes a GLOBAL SIGN FLIP: distances and norms inside a replica
+    // are still preserved exactly, and a flipped copy sits at cosine −1
+    // from its same-rotation sibling — maximally far from duplicate.
+    // Two cycles bound factor at 128.
+    require(factor <= 128 || !wanted("embeddings"),
+      s"embedding replication supports factor <= 128, got $factor")
     if (wanted("embeddings"))
       write(replicated(emb)((d, r) =>
         d.withColumn("vec_id", col("vec_id") + lit(r * vecShift))
@@ -149,8 +159,10 @@ object MakeScaled {
             if (r == 0) col("embedding")
             else {
               val n = size(col("embedding"))
+              val sign = if (r < 64) 1.0f else -1.0f
               transform(sequence(lit(0), n - 1), i =>
-                element_at(col("embedding"), pmod(i + lit(7 * r), n) + 1))
+                (element_at(col("embedding"), pmod(i + lit(7 * r), n) + 1)
+                  * lit(sign)).cast("float"))
             })),
         "embeddings")
 
