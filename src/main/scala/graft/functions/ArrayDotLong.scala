@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Exact BIGINT dot product of two long-array columns — the integer
+  * twin of [[ArrayDot]], with whole-stage codegen.
+  *
+  * Why custom (same lesson as ArrayDot): the composable
+  * `aggregate(zip_with(a,b,*),0L,+)` form is correct but interpreted —
+  * the integer-Lloyd ANN fits/encodes score O(N·m·codebookSize)
+  * subvector pairs, and the interpreted lambda was a measured 5×
+  * drag on sim_pq_topk. This is a tight primitive loop inside
+  * WholeStageCodegen: no allocation, no virtual calls.
+  *
+  * Callers quantize at |q| ≤ scale (1024), so per-element products and
+  * realistic-dim sums sit far inside signed-64 — identical to DuckDB's
+  * list_dot_product over BIGINT[] on the oracle side.
+  */
+case class ArrayDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"array_dot_long expects two array<bigint> inputs, got $l / $r")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotLong =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "array_dot_long"
+}
+
+object ArrayDotLong {
+  /** Column-level wrapper: exact integer dot of two array<bigint>. */
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(ArrayDotLong(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -704,13 +704,15 @@ object Similarity {
     }
   }
 
-  /** Exact BIGINT dot product of two long arrays — a codegen'd
-    * zip/fold, the integer-quantized analog of [[dot]]. Quantized
-    * elements are |q| ≤ scale (1024 default), so per-element products
-    * ≤ ~1.05e6 and any realistic dim keeps the sum far inside both
-    * signed-64 and DOUBLE's 2^53 exact-integer range. */
+  /** Exact BIGINT dot product of two long arrays — the codegen'd
+    * [[graft.functions.ArrayDotLong]] kernel (the interpreted
+    * zip_with/aggregate form was a measured 5× drag on the encode
+    * passes). Quantized elements are |q| ≤ scale (1024 default), so
+    * per-element products ≤ ~1.05e6 and any realistic dim keeps the
+    * sum far inside both signed-64 and DOUBLE's 2^53 exact-integer
+    * range. */
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.ArrayDotLong(a, b)
 
   /** floor(x·scale) BIGINT quantization of the corpus as ONE array
     * column (vec_id, qv, qq = ‖qv‖²) — the sign-LSH / kmeansStep
@@ -766,11 +768,17 @@ object Similarity {
     *     per-round lineage stays flat and the result broadcasts.
     *
     * Returns the broadcastable (s, code, cl, cc) codebook frame. */
-  private def fitIntCodebooks(fsub: DataFrame, m: Int,
+  private def fitIntCodebooks(fsubIn: DataFrame, m: Int,
       codebookSize: Int, rounds: Int): DataFrame = {
-    val spark = fsub.sparkSession
+    val spark = fsubIn.sparkSession
     import spark.implicits._
     require(rounds >= 0, s"rounds >= 0, got $rounds")
+    // the sample feeds 2 + 2·rounds driver actions (seed ids, seed
+    // vectors, one update collect per round) — persist it for the
+    // fit's lifetime instead of re-deriving the scan+quantize+sample
+    // lineage per action; released before returning
+    val fsub = fsubIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a sample smaller than codebookSize seeds fewer codewords (the
     // SQL twin's LIMIT semantics, and what a 251-point sample honestly
     // supports — the float fit it replaced padded duplicate centroids)
@@ -803,6 +811,7 @@ object Similarity {
           r.getSeq[Long](2).toArray)).toMap
       cents = cents ++ upd // codes with no members keep their centroid
     }
+    fsub.unpersist(false)
     centsDF(spark, cents)
   }
 

@@ -28,23 +28,34 @@ object IvfPqTune {
     val nc = sys.env.get("SPARK_GRAFT_IVF_NC").map(_.toInt).getOrElse(16)
     val sl = sys.env.get("SPARK_GRAFT_IVFPQ_SL").map(_.toInt).getOrElse(64)
     val sweep = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2, 4, 8, 16)
-    val spark = graft.GraftSession.local(8, appName = "graft-ivfpqtune")
+    // FAST mode (SPARK_GRAFT_TUNE_FAST=1): registered + retune points
+    // only — skips the full_fit configs, whose quantizer training
+    // samples up to DefaultFitSampleCap vectors (pointlessly expensive
+    // at a ×100 corpus where only the cap=1000 paths are registered)
+    val fast = sys.env.get("SPARK_GRAFT_TUNE_FAST").contains("1")
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
+      appName = "graft-ivfpqtune")
 
     // the config list IS the table: registered points, the probe sweep,
     // and the ×10 retune point (np=12/sl=128) from BASELINE.md
     case class Cfg(label: String, run: DataFrame => DataFrame)
-    val cfgs: Seq[Cfg] =
-      Seq(
+    val fullCfgs: Seq[Cfg] =
+      if (fast) Seq.empty
+      else Seq(
         Cfg("pq m=8 cb=256 sl=64 full_fit", e =>
           Similarity.pqTopK(e, 20, 5, m = 8, codebookSize = 256,
             shortlist = 64)),
-        Cfg(s"pq m=8 cb=256 sl=64 cap=$cap", e =>
-          Similarity.pqTopK(e, 20, 5, m = 8, codebookSize = 256,
-            shortlist = 64, fitSampleCap = cap)),
         Cfg(s"pq m=8 cb=256 sl=128 cap=$cap", e =>
           Similarity.pqTopK(e, 20, 5, m = 8, codebookSize = 256,
             shortlist = 128, fitSampleCap = cap)),
-        Cfg("ivf nc=16 np=4 full_fit", e => Similarity.ivfTopK(e, 20, 5)),
+        Cfg("ivf nc=16 np=4 full_fit", e => Similarity.ivfTopK(e, 20, 5)))
+    val cfgs: Seq[Cfg] =
+      fullCfgs ++
+      Seq(
+        Cfg(s"pq m=8 cb=256 sl=64 cap=$cap", e =>
+          Similarity.pqTopK(e, 20, 5, m = 8, codebookSize = 256,
+            shortlist = 64, fitSampleCap = cap)),
         Cfg(s"ivf nc=16 np=4 cap=$cap", e =>
           Similarity.ivfTopK(e, 20, 5, fitSampleCap = cap))) ++
       sweep.map(np => Cfg(s"ivfpq nc=$nc np=$np sl=$sl cap=$cap", e =>
