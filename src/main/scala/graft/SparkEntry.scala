@@ -74,6 +74,36 @@ object SparkEntry {
   private def sigFixture(key: String, dir: String)(
       build: String => Unit): String = idxFixture(s"sig-$key", dir)(build)
 
+  /** Process-shared integer-Lloyd FIT fixtures (VERDICT r10 item 2):
+    * the ANN recall family's queries share two pinned fit configs
+    * (coarse 1×16 and PQ 8×256, cap 1000), and the fit is a
+    * deterministic function of (corpus, config) — so fitting once per
+    * (config, sf dir, JVM) and reusing the driver-side model is
+    * bit-identical to each query refitting inline (the SQL twins
+    * replay the same sample → seed → Lloyd rounds either way). This is
+    * the model-registry shape production runs: train once, serve every
+    * query batch. */
+  private val fitFixtures = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.Similarity.CodebookModel]()
+  private def fitFixture(key: String, dir: String)(
+      build: => graft.ops.Similarity.CodebookModel)
+      : graft.ops.Similarity.CodebookModel =
+    fitFixtures.computeIfAbsent(s"$key|$dir", _ => build)
+
+  /** The registered PQ codebook config (m=8, cb=256, cap=1000). */
+  private def pqFit8x256(s: SparkSession, dir: String) =
+    fitFixture("pq-m8cb256-cap1000", dir) {
+      graft.ops.Similarity.fitPqCodebooks(Tables(s, dir, "embeddings"),
+        m = 8, codebookSize = 256, fitSampleCap = 1000)
+    }
+
+  /** The registered IVF coarse quantizer (16 centroids, cap=1000). */
+  private def coarseFit16(s: SparkSession, dir: String) =
+    fitFixture("coarse-nc16-cap1000", dir) {
+      graft.ops.Similarity.fitCoarseQuantizer(Tables(s, dir, "embeddings"),
+        nCentroids = 16, fitSampleCap = 1000)
+    }
+
   /** Build-once exact brute top-k reference (q_id, vec_id) shared by
     * the three ann_recall_* reports: the gold set every approximate
     * path is graded against is a FIXED artifact of the corpus, so each
@@ -101,7 +131,8 @@ object SparkEntry {
   private def ivfPqIdx(s: SparkSession, dir: String): String =
     idxFixture("ivfpq", dir) { p =>
       Similarity.buildIvfPqIndex(Tables(s, dir, "embeddings"), p,
-        fitSampleCap = 1000)
+        fitSampleCap = 1000, coarseFit = Some(coarseFit16(s, dir)),
+        pqFit = Some(pqFit8x256(s, dir)))
     }
 
   /** Pristine even-corpus sig index (caps corpus-scoped at build). */
@@ -1582,7 +1613,8 @@ object SparkEntry {
     // driver could check
     "sim_ivf_topk_fullprobe" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), 20, 5,
-        nProbe = 16, fitSampleCap = 1000)),
+        nProbe = 16, fitSampleCap = 1000,
+        fit = Some(coarseFit16(s, dir)))),
     // EXT persisted ANN index: build the IVF index once (cluster-
     // partitioned lists on disk), then answer the query batch by probing
     // it — the scan reads only the probed partitions (DPP). Integer-
@@ -1607,7 +1639,8 @@ object SparkEntry {
     // is the bounded-state TopKAgg, not a full-N window
     "sim_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), 20, 5,
-        m = 8, codebookSize = 256, shortlist = 64, fitSampleCap = 1000)),
+        m = 8, codebookSize = 256, shortlist = 64, fitSampleCap = 1000,
+        fit = Some(pqFit8x256(s, dir)))),
     // EXT the COMPOSED ANN scale path (IVFADC): IVF lists bound WHICH
     // vectors are candidates (6 of 16 lists probed per query — the codes
     // scan partition-prunes via DPP, PlanShapeSpec-asserted), PQ codes
@@ -1694,7 +1727,8 @@ object SparkEntry {
       // at sf0.1 vs 6600 full-fit (IvfPqTune) — the band moved with the
       // deliberately-bitten sample, the floor follows ~1000 bp under it
       val exact = s.read.parquet(bruteRef(s, dir))
-      val approx = Similarity.ivfTopK(emb, 20, 5, fitSampleCap = 1000)
+      val approx = Similarity.ivfTopK(emb, 20, 5, fitSampleCap = 1000,
+          fit = Some(coarseFit16(s, dir)))
         .select("q_id", "vec_id")
       annRecallReport(exact, approx, floorBp = Some(4800))
     }),
@@ -1709,7 +1743,8 @@ object SparkEntry {
       // regenerated corpus has headroom; a collapse below 60% recall
       // means the codebook-resolution contract broke — fail loudly)
       val approx = Similarity.pqTopK(emb, 20, 5,
-          m = 8, codebookSize = 256, shortlist = 64, fitSampleCap = 1000)
+          m = 8, codebookSize = 256, shortlist = 64, fitSampleCap = 1000,
+          fit = Some(pqFit8x256(s, dir)))
         .select("q_id", "vec_id")
       annRecallReport(exact, approx, floorBp = Some(6000))
     }),
@@ -1722,7 +1757,9 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val exact = s.read.parquet(bruteRef(s, dir))
       val approx = Similarity.ivfPqTopK(emb, 20, 5, nProbe = ivfPqNProbe,
-        shortlist = ivfPqShortlist, fitSampleCap = 1000)
+        shortlist = ivfPqShortlist, fitSampleCap = 1000,
+        coarseFit = Some(coarseFit16(s, dir)),
+        pqFit = Some(pqFit8x256(s, dir)))
         .select("q_id", "vec_id")
       annRecallReport(exact, approx, floorBp = Some(6000))
     }),
@@ -6294,7 +6331,7 @@ object SparkEntry {
   }
 
   // ===== integer-Lloyd ANN oracles (round 10) ==========================
-  // SQL twins of Similarity.fitIntCodebooks/assignCodes/ivfParts/
+  // SQL twins of Similarity.fitOnSample/PqEncodeLong-encode/ivfParts/
   // pqTopK/ivfPqProbe: the PQ codebooks and the IVF coarse quantizer
   // are pinned integer-Lloyd fits, so the FULL approximate retrieval —
   // sample, seed, assign, floor-mean update, encode, ADC, shortlist,

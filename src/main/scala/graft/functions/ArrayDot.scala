@@ -34,10 +34,17 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // STRICT lengths (ADVICE r10): the DuckDB twin list_dot_product
+  // errors on mismatched lengths — a ragged embedding column must fail
+  // loudly in BOTH engines, never silently truncate to a wrong dot.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"array_dot: mismatched lengths $n vs ${y.numElements()}")
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -53,7 +60,12 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "array_dot: mismatched lengths " + $n + " vs " +
+         |    $b.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));

@@ -145,13 +145,19 @@ object Similarity {
     * for an IVF-probed candidate stream and keep the threshold tail.
     *
     * GUARDED broadcast (the [[graft.ops.TextAnalysis.contamination]]
-    * discipline): one cheap count of the SMALL side picks broadcast vs
-    * shuffle-hash join, so a "bench" argument that is secretly
-    * corpus-sized degrades to the slower-but-safe plan instead of
-    * hitting the 8 GB broadcast wall. The bench frame feeds the guard
-    * count AND the join, hence the persist (callers with long-lived
-    * sessions clear the cache between pipeline runs, as Bench/Verify
-    * do).
+    * discipline): one cheap count of the SMALL side decides whether the
+    * bench may broadcast, so a "bench" argument that is secretly
+    * corpus-sized degrades to a partitioned non-broadcast plan instead
+    * of hitting the 8 GB broadcast wall. The guard count is one extra
+    * scan of the small side's narrow lineage — deliberately NOT
+    * persisted (a block-store entry per call would outlive the query;
+    * ADVICE r10). Note the join is NON-EQUI by nature (every corpus ×
+    * bench pair must be scored; `id =!= bench_id` only excludes
+    * self-matches), so the oversized-bench fallback plans a partitioned
+    * cartesian scan — correct, parallel, and O(corpus × bench) BY
+    * PROBLEM DEFINITION. An exact semantic scan against a corpus-sized
+    * "bench" is a misuse of this operator: route that shape through the
+    * IVF-probed candidate stream instead.
     *
     * Float cosine follows the sim_brute_topk cross-engine discipline
     * (element order IS the summation order in both engines), so the
@@ -161,7 +167,6 @@ object Similarity {
       maxBroadcastBench: Long = 1000000L): DataFrame = {
     val b = bench.select(col(id).as("bench_id"), col("embedding").as("bv"))
       .withColumn("bn", norm(col("bv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = if (b.count() <= maxBroadcastBench) broadcast(b) else b
     corpus.select(col(id), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
@@ -583,7 +588,7 @@ object Similarity {
     * instead of `4·dim`.
     *
     * The codebooks are fit with PINNED INTEGER LLOYD ROUNDS
-    * ([[fitIntCodebooks]] — the sim_kmeans_step discipline: floor(x·
+    * ([[fitOnSample]] — the sim_kmeans_step discipline: floor(x·
     * scale) BIGINT quantization, first-k deterministic seeding, exact
     * integer assignment, portable floor-mean updates) instead of
     * ml.KMeans floats, so the ENTIRE retrieval — fit, encode, ADC
@@ -616,7 +621,8 @@ object Similarity {
   def pqTopK(emb: DataFrame, nQueries: Int, k: Int, m: Int = 4,
       codebookSize: Int = 16, shortlist: Int = -1, dim: Int = 64,
       rounds: Int = 2, scale: Int = 1024,
-      fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
+      fitSampleCap: Int = DefaultFitSampleCap,
+      fit: Option[CodebookModel] = None): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m must divide dim, got $m / $dim")
     val autoShortlist =
       if (shortlist > 0) shortlist
@@ -625,18 +631,26 @@ object Similarity {
     val subDim = dim / m
 
     val qv = quantVec(emb, scale)
-    val sub = subspaced(qv, m, subDim)
-    val cents = fitIntCodebooks(
-      subspaced(fitSample(qv, fitSampleCap), m, subDim), m, codebookSize,
-      rounds)
-    val codes = assignCodes(sub, cents)
+    val model = fit.getOrElse(
+      fitOnSample(fitSample(qv, fitSampleCap), m, codebookSize, rounds,
+        scale))
+    require(model.m == m && model.subDim == subDim && model.scale == scale,
+      s"fitted model (m=${model.m}, subDim=${model.subDim}, " +
+        s"scale=${model.scale}) does not match the call's " +
+        s"m=$m/subDim=$subDim/scale=$scale")
+    val cents = centsDF(emb.sparkSession, model.cents)
+    // encode = ONE codegen map pass (kernel argmin), then explode the
+    // m-byte code row only for the ADC join — never m·codebookSize
+    val codes = encodeCodes(qv, model)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
 
     // ADC: candidates are the WHOLE code table (flat PQ — a compressed
     // scan; [[ivfPqTopK]] is the composed form whose candidate pass is
     // list-bounded), scored against the broadcast integer LUT with
     // map-side partial aggregation keyed (query, vector)
     val adc = codes.join(broadcast(adcLutInt(
-        sub.filter(col("vec_id") < nQueries), cents)), Seq("s", "code"))
+        subspaced(qv.filter(col("vec_id") < nQueries), m, subDim), cents)),
+        Seq("s", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id").agg(sum(col("lv")).as("adcl"))
       .select(col("q_id"), col("vec_id"),
@@ -735,23 +749,37 @@ object Similarity {
         slice(col("qv"), col("s") * subDim + 1, lit(subDim)).as("ql"))
       .withColumn("sqq", dotL(col("ql"), col("ql")))
 
-  /** Nearest-codeword assignment: squared L2 over the quantized ints
-    * via the exact identity ‖q−c‖² = ‖q‖² − 2·q·c + ‖c‖² (one integer
-    * dot per pair instead of a per-dim explode), ties → lower code —
-    * the kmeansStep tie-break. One broadcast join + a map-side
-    * min-struct aggregate: O(N·m·codebookSize) integer dots, the
-    * textbook PQ encode cost, no shuffle wider than (vec_id, s). */
-  private def assignCodes(sub: DataFrame, cents: DataFrame): DataFrame =
-    sub.join(broadcast(cents), Seq("s"))
-      .select(col("vec_id"), col("s"),
-        struct((col("sqq") - lit(2L) * dotL(col("ql"), col("cl"))
-          + col("cc")).as("dist2"), col("code")).as("dc"))
-      .groupBy("vec_id", "s")
-      .agg(min(col("dc")).getField("code").as("code"))
+  /** Driver-side fitted integer-Lloyd codebook — the ANN family's
+    * model artifact (m × nCodes codewords of subDim longs at the fit's
+    * quantization scale; the same KB-scale state ml.KMeans keeps as
+    * model coefficients). Deterministic function of (corpus, config),
+    * so FIT-ONCE/REUSE across the queries that share a config is
+    * bit-identical to refitting inline — the model-registry shape a
+    * production pipeline runs (VERDICT r10 item 2). */
+  case class CodebookModel(m: Int, subDim: Int, scale: Int,
+      cents: Map[(Int, Int), Array[Long]]) {
+    def nCodes: Int = cents.size / m
+  }
 
-  /** PINNED INTEGER LLOYD codebook fit over the (already sampled)
-    * subspace frame — the [[kmeansStep]] discipline generalized to m
-    * subspaces × `rounds` rounds, replacing ml.KMeans so the fit has
+  /** Fit PQ subspace codebooks with pinned integer Lloyd rounds over
+    * the bounded [[fitSample]] — the public fit-once entry point
+    * ([[pqTopK]]/[[ivfPqTopK]] accept the model and skip their inline
+    * fit). `m = 1` fits a coarse quantizer ([[fitCoarseQuantizer]]). */
+  def fitPqCodebooks(emb: DataFrame, m: Int, codebookSize: Int,
+      rounds: Int = 2, scale: Int = 1024,
+      fitSampleCap: Int = DefaultFitSampleCap): CodebookModel =
+    fitOnSample(fitSample(quantVec(emb, scale), fitSampleCap), m,
+      codebookSize, rounds, scale)
+
+  /** The IVF coarse quantizer IS a one-subspace PQ codebook. */
+  def fitCoarseQuantizer(emb: DataFrame, nCentroids: Int = 16,
+      rounds: Int = 2, scale: Int = 1024,
+      fitSampleCap: Int = DefaultFitSampleCap): CodebookModel =
+    fitPqCodebooks(emb, 1, nCentroids, rounds, scale, fitSampleCap)
+
+  /** PINNED INTEGER LLOYD codebook fit over an (already sampled)
+    * [[quantVec]] frame — the [[kmeansStep]] discipline generalized to
+    * m subspaces × `rounds` rounds, replacing ml.KMeans so the fit has
     * an exact SQL twin (what promoted the PQ/IVF families from
     * rows-only to hash-oracled in round 10):
     *
@@ -759,46 +787,72 @@ object Similarity {
     *     (deterministic data-point seeding; measured recall at the
     *     registered configs equals the k-means|| float fit it
     *     replaces);
-    *  2. each round: exact integer assignment ([[assignCodes]]),
-    *     per-dim floor-mean update via the portable pmod identity,
-    *     EMPTY codes keep their previous centroid;
-    *  3. centroids are collected driver-side between rounds (m ×
-    *     codebookSize tiny rows — the same place ml.KMeans keeps its
-    *     model; bounded by construction, limit-guarded anyway) so the
-    *     per-round lineage stays flat and the result broadcasts.
+    *  2. each round: exact integer assignment — the codegen'd
+    *     [[graft.functions.PqEncodeLong]] argmin kernel, ONE map pass
+    *     over the sample (the relational encode join it replaces
+    *     materialized O(N·m·codebookSize) rows; VERDICT r10 item 1) —
+    *     then a per-dim floor-mean update via the portable pmod
+    *     identity; EMPTY codes keep their previous centroid;
+    *  3. centroids live driver-side between rounds (m × codebookSize
+    *     tiny rows — the same place ml.KMeans keeps its model). Each
+    *     collect ASSERTS its expected cardinality instead of trusting
+    *     an unordered limit (ADVICE r10: a violated uniqueness
+    *     invariant must fail loudly, not silently drop rows).
     *
-    * Returns the broadcastable (s, code, cl, cc) codebook frame. */
-  private def fitIntCodebooks(fsubIn: DataFrame, m: Int,
-      codebookSize: Int, rounds: Int): DataFrame = {
-    val spark = fsubIn.sparkSession
+    * subDim is derived from the seed vectors themselves (every row
+    * must agree — the kernel throws on ragged input). */
+  private def fitOnSample(fsIn: DataFrame, m: Int, codebookSize: Int,
+      rounds: Int, scale: Int): CodebookModel = {
+    val spark = fsIn.sparkSession
     import spark.implicits._
     require(rounds >= 0, s"rounds >= 0, got $rounds")
-    // the sample feeds 2 + 2·rounds driver actions (seed ids, seed
+    require(m >= 1 && codebookSize >= 1,
+      s"m/codebookSize >= 1, got $m/$codebookSize")
+    // the sample feeds 2 + rounds driver actions (seed ids, seed
     // vectors, one update collect per round) — persist it for the
     // fit's lifetime instead of re-deriving the scan+quantize+sample
     // lineage per action; released before returning
-    val fsub = fsubIn
+    val fs = fsIn.select(col("vec_id"), col("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a sample smaller than codebookSize seeds fewer codewords (the
     // SQL twin's LIMIT semantics, and what a 251-point sample honestly
     // supports — the float fit it replaced padded duplicate centroids)
-    val seedIds = fsub.select("vec_id").distinct().orderBy("vec_id")
+    val seedIds = fs.select("vec_id").distinct().orderBy("vec_id")
       .limit(codebookSize).as[Long].collect()
     require(seedIds.nonEmpty, "codebook fit needs a non-empty sample")
     val codeOf = seedIds.zipWithIndex.toMap
-    var cents: Map[(Int, Int), Array[Long]] =
-      fsub.filter(col("vec_id").isin(seedIds: _*))
-        .select(col("vec_id"), col("s"), col("ql"))
-        .limit(codebookSize * m + 1).collect()
-        .map(r => ((r.getInt(1), codeOf(r.getLong(0))),
-          r.getSeq[Long](2).toArray)).toMap
+    val seedRows = fs.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("qv")).collect()
+    require(seedRows.length == seedIds.length,
+      s"codebook seed collect returned ${seedRows.length} rows for " +
+        s"${seedIds.length} distinct seed ids — vec_id uniqueness " +
+        "invariant violated in the fit sample")
+    val dim = seedRows.head.getSeq[Long](1).length
+    require(dim % m == 0 && dim / m >= 1,
+      s"m must divide the vector dim, got m=$m dim=$dim")
+    val subDim = dim / m
+    var cents: Map[(Int, Int), Array[Long]] = seedRows.iterator.flatMap {
+      r =>
+        val qv = r.getSeq[Long](1).toArray
+        require(qv.length == dim,
+          s"ragged fit sample: vec ${r.getLong(0)} has ${qv.length} " +
+            s"dims, expected $dim")
+        val code = codeOf(r.getLong(0))
+        (0 until m).map(s => ((s, code),
+          java.util.Arrays.copyOfRange(qv, s * subDim, (s + 1) * subDim)))
+    }.toMap
     for (_ <- 1 to rounds) {
-      val assign = assignCodes(fsub, centsDF(spark, cents))
-      val fse = fsub.select(col("vec_id"), col("s"),
-        posexplode(col("ql")).as(Seq("d", "qk")))
+      val enc = graft.functions.PqEncodeLong(col("qv"), cents, m, subDim)
       // per-dim floor-mean (pmod identity: Spark div truncates, DuckDB
-      // // floors — raw integer division diverges on negative sums)
-      val upd = assign.join(fse, Seq("vec_id", "s"))
+      // // floors — raw integer division diverges on negative sums);
+      // the assignment rides the SAME select as the dim explode, so a
+      // round is one map pass + one (s, code, d)-cell aggregate
+      val upd = fs
+        .select(enc.as("codes"), posexplode(col("qv")).as(Seq("dg", "qk")))
+        .select(expr(s"CAST(dg div $subDim AS INT)").as("s"),
+          pmod(col("dg"), lit(subDim)).as("d"), col("codes"), col("qk"))
+        .select(col("s"), col("d"),
+          element_at(col("codes"), col("s") + 1).as("code"), col("qk"))
         .groupBy("s", "code", "d")
         .agg(sum("qk").as("sm"), count(lit(1)).as("n"))
         .select(col("s"), col("code"), col("d"),
@@ -806,14 +860,28 @@ object Similarity {
         .groupBy("s", "code")
         .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
           t => t.getField("c")).as("cl"))
-        .limit(codebookSize * m + 1).collect()
-        .map(r => ((r.getInt(0), r.getInt(1)),
-          r.getSeq[Long](2).toArray)).toMap
-      cents = cents ++ upd // codes with no members keep their centroid
+        .collect()
+      val updM = upd.map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Long](2).toArray)).toMap
+      require(updM.size == upd.length && updM.size <= cents.size &&
+        updM.keySet.subsetOf(cents.keySet),
+        s"codebook update produced ${upd.length} cells outside the " +
+          s"${cents.size}-cell codebook — assignment invariant violated")
+      cents = cents ++ updM // codes with no members keep their centroid
     }
-    fsub.unpersist(false)
-    centsDF(spark, cents)
+    fs.unpersist(false)
+    CodebookModel(m, subDim, scale, cents)
   }
+
+  /** Map-only PQ encode of a [[quantVec]] frame against a fitted model:
+    * (vec_id, codes array<int>), one WholeStageCodegen pass — no
+    * explode, no join, no aggregate (the O(N·m·nCodes) encode join this
+    * replaces was the round-10 regression; at ×100 it measured 193 s on
+    * the inline PQ path). */
+  private def encodeCodes(qv: DataFrame, model: CodebookModel): DataFrame =
+    qv.select(col("vec_id"),
+      graft.functions.PqEncodeLong(col("qv"), model.cents, model.m,
+        model.subDim).as("codes"))
 
   /** The tiny (s, code, cl, cc) codebook frame from its driver-side
     * form — `cc` = ‖cl‖² precomputed for the assignment identity. */
@@ -881,7 +949,7 @@ object Similarity {
     * Full-probe parity: with nProbe = nCentroids and shortlist ≥ corpus
     * the result equals [[bruteTopK]] bit-for-bit (spec-asserted — the
     * IVF and PQ disciplines compose). Both quantizers are pinned
-    * integer-Lloyd fits ([[fitIntCodebooks]]), so the composed path is
+    * integer-Lloyd fits ([[fitOnSample]]), so the composed path is
     * hash-oracle'd end to end at the driver (it was rows-only behind
     * ml.KMeans floats through round 9) — and recall at the registered
     * nProbe=6/shortlist=64 settings MEASURES HIGHER than the float fit
@@ -896,10 +964,12 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8,
       codebookSize: Int = 256, shortlist: Int = 64, dim: Int = 64,
       rounds: Int = 2, scale: Int = 1024,
-      fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
+      fitSampleCap: Int = DefaultFitSampleCap,
+      coarseFit: Option[CodebookModel] = None,
+      pqFit: Option[CodebookModel] = None): DataFrame = {
     val (codes, lists, centroids, codebooks, subDim) =
       ivfPqParts(emb, nCentroids, m, codebookSize, dim, rounds, scale,
-        fitSampleCap)
+        fitSampleCap, coarseFit, pqFit)
     val q = quantQueries(emb.filter(col("vec_id") < nQueries), scale)
     ivfPqProbe(codes, lists, centroids, codebooks, q, k, nProbe,
       shortlist, m, subDim)
@@ -908,28 +978,46 @@ object Similarity {
   /** The four tables an IVFADC index consists of: PQ codes and full
     * vectors both keyed by coarse cluster, plus the tiny centroid and
     * codebook tables (broadcast everywhere). Both quantizers are the
-    * pinned integer-Lloyd fit ([[fitIntCodebooks]]) at the same
-    * `scale`, so the whole index derivation hash-oracles. */
+    * pinned integer-Lloyd fit ([[fitOnSample]]) at the same `scale`,
+    * so the whole index derivation hash-oracles. The corpus is
+    * quantized ONCE and the bounded fit sample derived ONCE for both
+    * quantizer fits (ADVICE r10: the previous shape paid the
+    * quantize+count passes twice); each encode is one kernel map pass. */
   private def ivfPqParts(emb: DataFrame, nCentroids: Int, m: Int,
       codebookSize: Int, dim: Int, rounds: Int, scale: Int,
-      fitSampleCap: Int)
+      fitSampleCap: Int, coarseFit: Option[CodebookModel] = None,
+      pqFit: Option[CodebookModel] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
     require(m >= 1 && dim % m == 0, s"m must divide dim, got $m / $dim")
+    require(nCentroids >= 1 && nCentroids <= MaxClusters,
+      s"nCentroids in [1, $MaxClusters] (shortlist key packing), got " +
+        nCentroids)
     val subDim = dim / m
-    val (listed, centroids) = ivfParts(emb, nCentroids, rounds, scale,
-      fitSampleCap)
     val qv = quantVec(emb, scale)
-    val cents = fitIntCodebooks(
-      subspaced(fitSample(qv, fitSampleCap), m, subDim), m, codebookSize,
-      rounds)
-    val codes = assignCodes(subspaced(qv, m, subDim), cents)
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
-        t => t.getField("code")).as("codes"))
-      .join(listed.select("vec_id", "cluster"), Seq("vec_id"))
+    lazy val fs = fitSample(qv, fitSampleCap)
+    val coarse = coarseFit.getOrElse(
+      fitOnSample(fs, 1, nCentroids, rounds, scale))
+    val pq = pqFit.getOrElse(
+      fitOnSample(fs, m, codebookSize, rounds, scale))
+    require(coarse.m == 1 && coarse.subDim == dim && coarse.scale == scale,
+      s"coarse model (m=${coarse.m}, subDim=${coarse.subDim}, " +
+        s"scale=${coarse.scale}) does not match dim=$dim/scale=$scale")
+    require(pq.m == m && pq.subDim == subDim && pq.scale == scale,
+      s"pq model (m=${pq.m}, subDim=${pq.subDim}, scale=${pq.scale}) " +
+        s"does not match m=$m/subDim=$subDim/scale=$scale")
+    val assign = encodeCodes(qv, coarse)
+      .select(col("vec_id"), element_at(col("codes"), 1).as("cluster"))
+    val codes = encodeCodes(qv, pq)
+      .join(assign, Seq("vec_id"))
       .select("cluster", "vec_id", "codes")
-    val lists = listed.select("cluster", "vec_id", "embedding", "nrm")
-    (codes, lists, centroids, cents, subDim)
+    val lists = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+      .join(assign, Seq("vec_id"))
+      .select("cluster", "vec_id", "embedding", "nrm")
+    val centroids = centsDF(emb.sparkSession, coarse.cents)
+      .select(col("code").as("cluster"), col("cl"), col("cc"),
+        lit(scale).as("qscale"))
+    (codes, lists, centroids, centsDF(emb.sparkSession, pq.cents), subDim)
   }
 
   /** IVFADC probe shared by [[ivfPqTopK]] and [[probeIvfPqIndex]]:
@@ -993,10 +1081,12 @@ object Similarity {
   def buildIvfPqIndex(emb: DataFrame, dir: String, nCentroids: Int = 16,
       m: Int = 8, codebookSize: Int = 256, dim: Int = 64,
       rounds: Int = 2, scale: Int = 1024,
-      fitSampleCap: Int = DefaultFitSampleCap): Unit = {
+      fitSampleCap: Int = DefaultFitSampleCap,
+      coarseFit: Option[CodebookModel] = None,
+      pqFit: Option[CodebookModel] = None): Unit = {
     val (codes, lists, centroids, codebooks, _) =
       ivfPqParts(emb, nCentroids, m, codebookSize, dim, rounds, scale,
-        fitSampleCap)
+        fitSampleCap, coarseFit, pqFit)
     codes.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$dir/codes")
     lists.write.mode("overwrite").partitionBy("cluster")
@@ -1028,7 +1118,7 @@ object Similarity {
   /** IVF (inverted-file) approximate top-k: the classic ANN scale path.
     *
     *  1. Fit the coarse quantizer with pinned integer Lloyd rounds
-    *     ([[fitIntCodebooks]] at m=1 — the coarse quantizer IS a
+    *     ([[fitOnSample]] at m=1 — the coarse quantizer IS a
     *     one-subspace PQ codebook; replacing ml.KMeans floats makes the
     *     whole path hash-oracle'd, and recall at the registered partial
     *     probe MEASURES HIGHER: 7900 bp vs the float fit's 5800 at
@@ -1047,9 +1137,10 @@ object Similarity {
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, rounds: Int = 2,
       scale: Int = 1024,
-      fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
+      fitSampleCap: Int = DefaultFitSampleCap,
+      fit: Option[CodebookModel] = None): DataFrame = {
     val (listed, centroids) = ivfParts(emb, nCentroids, rounds, scale,
-      fitSampleCap)
+      fitSampleCap, fit)
     val q = quantQueries(emb.filter(col("vec_id") < nQueries), scale)
     ivfProbe(listed, centroids, q, k, nProbe)
   }
@@ -1070,24 +1161,27 @@ object Similarity {
     * never persist anyway; assignment is deterministic, so every
     * computation agrees). */
   private def ivfParts(emb: DataFrame, nCentroids: Int, rounds: Int,
-      scale: Int, fitSampleCap: Int): (DataFrame, DataFrame) = {
+      scale: Int, fitSampleCap: Int,
+      fit: Option[CodebookModel] = None): (DataFrame, DataFrame) = {
     require(nCentroids >= 1 && nCentroids <= MaxClusters,
       s"nCentroids in [1, $MaxClusters] (shortlist key packing), got " +
         nCentroids)
     val qv = quantVec(emb, scale)
-    def asSub(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), lit(0).as("s"), col("qv").as("ql"),
-        col("qq").as("sqq"))
-    val cents = fitIntCodebooks(asSub(fitSample(qv, fitSampleCap)), 1,
-      nCentroids, rounds)
-    val assign = assignCodes(asSub(qv), cents)
-      .select(col("vec_id"), col("code").as("cluster"))
+    val model = fit.getOrElse(
+      fitOnSample(fitSample(qv, fitSampleCap), 1, nCentroids, rounds,
+        scale))
+    require(model.m == 1 && model.scale == scale,
+      s"coarse model (m=${model.m}, scale=${model.scale}) does not " +
+        s"match m=1/scale=$scale")
+    val assign = encodeCodes(qv, model)
+      .select(col("vec_id"), element_at(col("codes"), 1).as("cluster"))
     val listed = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
       .join(assign, Seq("vec_id"))
       .select("vec_id", "embedding", "nrm", "cluster")
-    val centroids = cents.select(col("code").as("cluster"), col("cl"),
-      col("cc"), lit(scale).as("qscale"))
+    val centroids = centsDF(emb.sparkSession, model.cents)
+      .select(col("code").as("cluster"), col("cl"),
+        col("cc"), lit(scale).as("qscale"))
     (listed, centroids)
   }
 
