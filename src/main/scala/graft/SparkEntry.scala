@@ -2537,13 +2537,16 @@ object SparkEntry {
     "corpus_mix" -> ((s, dir) =>
       TextAnalysis.corpusMix(t(s, dir, "documents"))),
 
-    // EXT sketch profile (rows-only BY DESIGN: HLL sketches are
-    // engine-specific — no DuckDB twin; the exact profile is the
-    // oracle'd profile_lineitem): same single-scan shape, with
-    // approx_count_distinct replacing the exact dedup stage. The ±25%
-    // in-plan gate vs the exact distinct (5× the sketch's 5% rsd) makes
-    // this rows-only entry fail-loudly on estimator regression —
-    // production calls drop the gate (checkApprox = None).
+    // EXT sketch profile, HASH-ORACLED since round 11: the distinct
+    // estimates are a portable per-column KMV bottom-k (bounded-buffer
+    // aggregate over the quad-hash of the 10⁶-scaled value — exact
+    // below k=256 distincts, ~6.3% rsd above, every step replayable in
+    // DuckDB), replacing approx_count_distinct (engine-private HLL++,
+    // which kept this rows-only). Same single-scan shape: stats and
+    // sketch fold into ONE aggregate; the map side ships ≤ k hashes
+    // per (column, partition). The ±25% in-plan gate vs the exact
+    // distinct stays armed for the bench scales the driver's oracle
+    // never sees — production calls drop it (checkApprox = None).
     "profile_approx" -> ((s, dir) =>
       Profiler.numericProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"),
@@ -5440,6 +5443,61 @@ object SparkEntry {
        |FROM f""".stripMargin
   }
 
+  /** Approx-profile oracle: the per-column KMV chain ([[kmvOracle]]'s
+    * quadratic mix over the 10⁶-scaled DECIMAL value, dedup on hash,
+    * bottom-k per column) joined with the plain per-column stats —
+    * the DuckDB twin that promoted profile_approx from rows-only
+    * (round 11). The bottom-k distinct-hash set is partition-layout-
+    * independent (bottom-k composes under union), so the bounded
+    * Spark-side aggregate and this global SQL agree exactly; the one
+    * float step is the same two correctly-rounded double ops as
+    * [[kmvOracle]]. */
+  private def profileApproxOracle: String = {
+    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
+    import graft.ops.Sketches.{HllSeedBase, KmvK}
+    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
+    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
+    val numer = (KmvK - 1).toDouble * (P1 * P2).toDouble
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_orderkey")
+    val unions = cols.zipWithIndex.map { case (c, i) =>
+      s"SELECT $i AS cidx, '$c' AS colname, " +
+        s"CAST($c AS DECIMAL(38,6)) AS v FROM lineitem"
+    }.mkString("\n       |           UNION ALL ".stripMargin)
+    s"""WITH p AS ($unions),
+       | k0 AS (SELECT cidx, colname, v,
+       |               CAST(CAST(v * 1000000 AS DECIMAL(38,0)) AS BIGINT)
+       |                 AS kk
+       |        FROM p),
+       | q0 AS (SELECT cidx, colname, v, kk % $P1 AS q1, kk % $P2 AS q2
+       |        FROM k0),
+       | hh AS (SELECT cidx, colname, v,
+       |               ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
+       |               + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
+       |        FROM q0),
+       | stats AS (SELECT cidx, min(colname) AS colname,
+       |                  count(*) AS n_rows, count(v) AS n_non_null,
+       |                  CAST(min(v) AS DOUBLE) AS min_v,
+       |                  CAST(max(v) AS DOUBLE) AS max_v,
+       |                  CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE)
+       |                    AS sum_v
+       |           FROM hh GROUP BY 1),
+       | d AS (SELECT DISTINCT cidx, hv FROM hh WHERE hv IS NOT NULL),
+       | r AS (SELECT cidx, hv,
+       |              row_number() OVER (PARTITION BY cidx ORDER BY hv)
+       |                AS rn
+       |       FROM d),
+       | b AS (SELECT cidx, count(*) AS k_used, max(hv) AS kth
+       |       FROM r WHERE rn <= $KmvK GROUP BY 1)
+       |SELECT colname AS "column", n_rows, n_non_null,
+       |       CASE WHEN k_used < $KmvK THEN k_used
+       |            ELSE CAST(round($numer / CAST(kth AS DOUBLE)) AS BIGINT)
+       |            END AS n_distinct,
+       |       min_v, max_v, sum_v
+       |FROM stats JOIN b USING (cidx)
+       |ORDER BY "column"""".stripMargin
+  }
+
   /** KMV-Jaccard oracle: both bottom-k sketches re-derived hash by
     * hash (the [[kmvOracle]] quadratic mix), the coordinated union
     * bottom-k with membership flags, and the exact truth — every
@@ -7407,6 +7465,8 @@ object SparkEntry {
     "sketch_hll_sliding" -> hllSlidingOracle,
     "sketch_hll_union" -> hllUnionOracle,
     "sketch_kmv_distinct" -> kmvOracle,
+    // round-11 promotion: portable KMV distinct estimates in the profile
+    "profile_approx" -> profileApproxOracle,
     "sketch_kmv_jaccard" -> kmvJaccardOracle,
     "sketch_kmv_setops" -> kmvSetOpsOracle,
     "sketch_ams_f2" -> amsF2Oracle,

@@ -18,9 +18,20 @@ import org.apache.spark.sql.types.DecimalType
   * times, and mixing N `countDistinct`s with plain aggs in ONE aggregate
   * plans an Expand keyed on (gid, every value column) with all ~6N
   * buffers live per entry — measured 20× slower than this shape at
-  * sf0.1. With `approx` the dedup stage disappears entirely
-  * (`approx_count_distinct` HLL sketch, one narrow pass — not
-  * oracle-able, so the registered query keeps approx=false).
+  * sf0.1. With `approx` the dedup stage disappears entirely: distinct
+  * counts come from a PORTABLE per-column KMV bottom-k sketch
+  * ([[graft.functions.KmvBottomAgg]] over the quad-hash of the
+  * 10⁶-scaled value) folded into the SAME single aggregate as the
+  * plain stats — the map side ships ≤ k hash rows per (column,
+  * partition), never the key stream. KMV is EXACT below k=256 distinct
+  * values and ~6.3% rsd above — and unlike Spark's
+  * `approx_count_distinct` (engine-private HLL++ encoding, which kept
+  * profile_approx rows-only through round 10) every step replays in
+  * DuckDB SQL, so the approx profile is hash-oracle'd end to end.
+  * Portability contract of the scaled key: values must be non-negative
+  * and ≤ ~9.2e12 (v·10⁶ inside signed-64) — asserted IN-PLAN, so a
+  * column outside the envelope fails loudly in both engines instead of
+  * hashing differently.
   *
   * The unpivot needs ONE common value type across columns; it is
   * DECIMAL(38,6), not double: a double basis silently merges distinct
@@ -32,16 +43,16 @@ import org.apache.spark.sql.types.DecimalType
 object Profiler {
 
   /** `checkApprox`: when profiling with `approx`, ALSO run the exact
-    * dedup stage and assert IN-PLAN that every column's HLL estimate
+    * dedup stage and assert IN-PLAN that every column's KMV estimate
     * sits within ±`checkApprox` (relative) of the exact distinct count
-    * — the recall-floor discipline for a rows-only query (the driver
-    * gate otherwise accepts any rows>0, so a broken sketch would pass
-    * silently). The bound should sit ~5× over approx_count_distinct's
-    * default 5% rsd, so estimator jitter clears it while a real
-    * regression (wrong column, broken sketch merge) does not. The check pays for the exact pass
-    * it exists to avoid — it is a TEST-SCALE gate; production profiling
-    * at 100 TB calls with `checkApprox = None` and trusts the
-    * estimator's published error. */
+    * — the recall-floor discipline that keeps the estimator honest at
+    * scales the driver's hash oracle never sees. The bound should sit
+    * ~4× over the KMV k=256 rsd of ~6.3% (estimates are EXACT below
+    * 256 distinct values), so estimator jitter clears it while a real
+    * regression (wrong column, broken sketch merge) does not. The
+    * check pays for the exact pass it exists to avoid — it is a
+    * TEST-SCALE gate; production profiling at 100 TB calls with
+    * `checkApprox = None` and trusts the estimator's published error. */
   def numericProfile(df: DataFrame, cols: Seq[String],
       approx: Boolean = false,
       checkApprox: Option[Double] = None): DataFrame = {
@@ -52,12 +63,35 @@ object Profiler {
       .as(Seq("cidx", "v")))
     val perColumn =
       if (approx) {
-        val prof = pairs.groupBy("cidx").agg(
-          count(lit(1)).as("n_rows"),
-          count(col("v")).as("n_non_null"),
-          approx_count_distinct(col("v")).as("n_distinct"),
-          min("v").as("min_v"), max("v").as("max_v"),
-          sum(col("v").cast(DecimalType(28, 2))).cast("double").as("sum_v"))
+        import graft.ops.Sketches.{HllSeedBase, KmvK}
+        import graft.functions.Portable.{P1, P2}
+        val numer = (KmvK - 1).toDouble * (P1 * P2).toDouble
+        val kmv = udaf(new graft.functions.KmvBottomAgg(KmvK),
+          org.apache.spark.sql.Encoders.LONG)
+        val keyed = pairs
+          .withColumn("kk",
+            (col("v") * lit(1000000L)).cast(DecimalType(38, 0)).cast("long"))
+          // scaled-key envelope gate: cast overflow nulls kk (DuckDB
+          // errors on the same cast) and the quad-hash needs
+          // non-negative keys — both misuses fail loudly here
+          .where(assert_true(col("v").isNull ||
+              (col("kk").isNotNull && col("kk") >= 0),
+            concat(lit("portable approx profile requires values in "),
+              lit("[0, ~9.2e12] (v*1e6 inside signed-64); got v="),
+              col("v").cast("string"))).isNull)
+          .withColumn("h", Sketches.quadHash(col("kk"), HllSeedBase))
+        val prof = keyed.groupBy("cidx").agg(
+            count(lit(1)).as("n_rows"),
+            count(col("v")).as("n_non_null"),
+            min("v").as("min_v"), max("v").as("max_v"),
+            sum(col("v").cast(DecimalType(28, 2))).cast("double").as("sum_v"),
+            kmv(col("h")).as("bh"))
+          .withColumn("k_used", size(col("bh")).cast("long"))
+          .withColumn("n_distinct",
+            when(col("k_used") < KmvK, col("k_used"))
+              .otherwise(round(lit(numer)
+                / element_at(col("bh"), KmvK).cast("double")).cast("long")))
+          .drop("bh", "k_used")
         checkApprox.fold(prof) { eps =>
           val exact = pairs.groupBy("cidx", "v")
             .agg(count(lit(1)).as("cnt"))

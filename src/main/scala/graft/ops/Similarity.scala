@@ -373,9 +373,75 @@ object Similarity {
   val LshBands = 32
   val LshMaxBucket = 100
 
+  /** COLLISION-LAW auto geometry for [[lshNearDup]] (BASELINE.md
+    * round-10 rule made executable — VERDICT r10 item 3): the 8-bit ×
+    * 32-band default is a ≤4k-corpus tuning; at 200k vectors every
+    * 256-bucket band blows the cap and the pair set collapses. Derive
+    * the geometry from the corpus instead:
+    *
+    *  - `bitsPerBand` r = the smallest MULTIPLE OF 4 ≥ max(8,
+    *    ceil_log2(n / loadPerBucket)): ~`loadPerBucket` random
+    *    collisions per bucket however big the corpus (uniform keys ⇒
+    *    bucket load ≈ n/2^r), so the `maxBucket` cap stays an OUTLIER
+    *    guard instead of the recall-killing binding constraint.
+    *    Integer-only derivation (bit length), reproducible anywhere.
+    *  - `bands` b = ceil(ln(1−targetRecall) / ln(1−p^r)) with p =
+    *    1 − acos(τ)/π (the hyperplane bit-agreement probability AT the
+    *    threshold; pairs above τ collide more). StrictMath keeps the
+    *    driver-side derivation JVM-reproducible. At n ≤ 4096 and
+    *    τ = 0.4 this lands exactly on the historical (8, 32) — the
+    *    registered SQL twins bake that geometry, valid at every scale
+    *    the driver verifies.
+    *
+    * The derivation REFUSES (loudly) when bands > maxBands: at τ=0.4
+    * (p≈0.631/bit) holding recall costs ~25× more bands per decade of
+    * corpus — the measured round-10 finding that banding at a
+    * similarity-search RADIUS cannot scale; τ ≥ 0.9 (p≈0.856/bit)
+    * grows gently (~2.5×/decade) and stays viable. The error message
+    * routes the caller to the probe-bounded IVF/ADC family, whose
+    * probes measure FLAT across two decades. */
+  def lshAutoGeometry(n: Long, minCosine: Double,
+      targetRecall: Double = 0.55, loadPerBucket: Int = 16,
+      maxBands: Int = 256): (Int, Int) = {
+    require(minCosine > -1.0 && minCosine < 1.0,
+      s"minCosine in (-1, 1), got $minCosine")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall in (0, 1), got $targetRecall")
+    if (n <= 0) return (LshBitsPerBand, LshBands) // empty corpus: moot
+    val m = math.max(1L, n / loadPerBucket)
+    val ceilLog2 = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    val r = ((math.max(8, ceilLog2) + 3) / 4) * 4
+    val p = 1.0 - StrictMath.acos(minCosine) / StrictMath.PI
+    val pr = StrictMath.pow(p, r.toDouble)
+    val bands = math.max(1, math.ceil(
+      StrictMath.log1p(-targetRecall) / StrictMath.log1p(-pr)).toInt)
+    require(bands <= maxBands,
+      f"sign-LSH banding cannot hold ${targetRecall * 100}%.0f%% pair " +
+        f"recall at radius tau=$minCosine and corpus size $n: needs " +
+        s"$bands bands of $r bits (> $maxBands). tau=$minCosine at " +
+        "this scale is a similarity-search RADIUS, not a near-dup " +
+        "radius - use the probe-bounded IVF/ADC family (BASELINE.md " +
+        "round-10 collision law)")
+    (r, bands)
+  }
+
+  /** `bitsPerBand`/`bands` ≤ 0 (the default) derive the geometry from
+    * the corpus via [[lshAutoGeometry]] — one count() per call, the
+    * index-build-time cost. Explicit values pin it (the persisted-index
+    * forms pin theirs at build and verify at probe). */
   def lshNearDup(emb: DataFrame, minCosine: Double,
-      bitsPerBand: Int = LshBitsPerBand, bands: Int = LshBands,
+      bitsPerBand: Int = -1, bands: Int = -1,
       maxBucket: Int = LshMaxBucket): DataFrame = {
+    require((bitsPerBand > 0) == (bands > 0),
+      "pin both bitsPerBand and bands, or neither (auto)")
+    val (bpb, nBands) =
+      if (bitsPerBand > 0) (bitsPerBand, bands)
+      else lshAutoGeometry(emb.count(), minCosine)
+    lshNearDupAt(emb, minCosine, bpb, nBands, maxBucket)
+  }
+
+  private def lshNearDupAt(emb: DataFrame, minCosine: Double,
+      bitsPerBand: Int, bands: Int, maxBucket: Int): DataFrame = {
     // ids only through the band shuffle — embeddings rejoin at re-score
     val keyed = emb.select(col("vec_id"),
       posexplode(graft.functions.SignLshKeys(col("embedding"), bitsPerBand, bands))

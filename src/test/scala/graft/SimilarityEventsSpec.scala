@@ -343,6 +343,27 @@ class SimilarityEventsSpec extends SparkTestBase {
       s"IVFADC codes scan not partition-pruned:\n$plan")
   }
 
+  test("lshAutoGeometry: reproduces the registered tuning at bench " +
+      "scales, grows r with N, refuses tau=0.4 at 100k+ (collision law)") {
+    // the derivation lands EXACTLY on the historical 8-bit x 32-band
+    // tuning everywhere the driver verifies (N <= 4096), so the baked
+    // SQL twins stay valid
+    assert(Similarity.lshAutoGeometry(500, 0.4) == ((8, 32)))
+    assert(Similarity.lshAutoGeometry(2000, 0.4) == ((8, 32)))
+    assert(Similarity.lshAutoGeometry(4096, 0.4) == ((8, 32)))
+    // x10: wider bands (load ~16/bucket held), more of them (recall held)
+    val (r10, b10) = Similarity.lshAutoGeometry(20000, 0.4)
+    assert(r10 == 12 && b10 > 32 && b10 <= 256, s"got ($r10, $b10)")
+    // the near-dup radius stays viable across decades (gentle band growth)
+    val (r9a, b9a) = Similarity.lshAutoGeometry(200000, 0.9)
+    assert(b9a <= 16, s"tau=0.9 bands should stay small, got ($r9a, $b9a)")
+    // tau=0.4 at 200k: the collision law says NO - loudly, routing to IVF
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshAutoGeometry(200000, 0.4)
+    }
+    assert(e.getMessage.contains("IVF"), e.getMessage)
+  }
+
   test("lshNearDup finds most exact pairs at sf0.001 (candidate pruning only)") {
     val emb = Tables(spark, sf0001, "embeddings")
     val exact = Similarity.bruteNearDup(emb, 0.4)
