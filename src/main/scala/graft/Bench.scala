@@ -66,9 +66,15 @@ object Bench {
     }
 
     // Warmup: exercise scan/shuffle/codegen paths once, uncounted.
+    // SPARK_GRAFT_BENCH_WARMUP=0 skips the per-query warmup pass — the
+    // decade-scale protocol (×100: a third full pass of a multi-hour
+    // suite buys no signal; cold runs are stamped as such in BASELINE.md)
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     spark.range(0, 2000000).selectExpr("sum(id * 2)").collect()
-    queries.foreach { case (name, fn) => once(name, fn) }
-    errors.clear() // only timed-run failures count (warmup may race caches)
+    if (warmup) {
+      queries.foreach { case (name, fn) => once(name, fn) }
+      errors.clear() // only timed-run failures count (warmup may race caches)
+    }
 
     val results = queries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map(_ => once(name, fn)).filter(_ >= 0)

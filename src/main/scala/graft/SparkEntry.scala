@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Events, Features, Multimodal, Profiler, Relational, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Features, Multimodal, Profiler, Relational, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -296,19 +296,47 @@ object SparkEntry {
        |ORDER BY q_id, sel_rank""".stripMargin
   }
 
-  /** IVFADC probe knobs, env-overridable so the ×10 retune rule
-    * (BASELINE.md "×10 recall curve") is a CONFIG change, not a code
-    * edit: the registered defaults np=6/sl=64 hold `ann_recall_ivfpq`'s
-    * 6000 bp floor at the driver corpus; at a decade corpus set
-    * SPARK_GRAFT_IVFPQ_NP=12 SPARK_GRAFT_IVFPQ_SL=128 (the measured
-    * restore point — `graft.tools.IvfPqTune` regenerates the
-    * config→recall table for both scales in one invocation). The floor
-    * stays armed under ANY override: a config that degrades recall
-    * below 6000 bp still throws — the gate's whole point. */
-  private def ivfPqNProbe: Int =
-    sys.env.get("SPARK_GRAFT_IVFPQ_NP").map(_.toInt).getOrElse(6)
-  private def ivfPqShortlist: Int =
-    sys.env.get("SPARK_GRAFT_IVFPQ_SL").map(_.toInt).getOrElse(64)
+  /** Cached row counts per (table, sf dir, JVM) — the one number the
+    * scale-aware knob ladders key on. One narrow parquet count per
+    * (table, dir), amortized across every registered query that asks. */
+  private val rowCountFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def tableRows(s: SparkSession, dir: String, table: String): Long =
+    rowCountFixtures.computeIfAbsent(s"$table|$dir",
+      _ => Tables(s, dir, table).count()): Long
+
+  /** SCALE-AWARE ANN probe knobs (VERDICT r11 item 1: fold the
+    * documented decade retunes into defaults so the registered queries
+    * run at ANY scale with their floors armed, no env edit needed).
+    * The ladder is the measured retune table (BASELINE.md "×10/×100
+    * recall curve", IvfPqTune):
+    *
+    *   n ≤ 4096   → np=6,  ivfpq sl=64,  pq sl=64   (8100 / 9300 bp)
+    *   n ≤ 40960  → np=12, ivfpq sl=128, pq sl=64   (7900 / 6400 bp)
+    *   above      → np=12, ivfpq sl=256, pq sl=512  (6200 / 8200 bp)
+    *
+    * The driver's verify corpora all sit on the BASE rung (n ≤ 4096 —
+    * SimilarityEventsSpec pins the rung boundaries), so the generated
+    * SQL twins bake np=6/sl=64 and stay valid wherever the driver
+    * hashes. Env knobs SPARK_GRAFT_IVFPQ_NP / SPARK_GRAFT_IVFPQ_SL /
+    * SPARK_GRAFT_PQ_SL still override the ladder for tuning sweeps.
+    * The recall floors stay armed under ANY config: a rung (or
+    * override) that degrades recall below its floor still throws —
+    * the gate's whole point. */
+  private[graft] def ivfPqNProbe(n: Long): Int =
+    sys.env.get("SPARK_GRAFT_IVFPQ_NP").map(_.toInt)
+      .getOrElse(if (n <= 4096L) 6 else 12)
+  private[graft] def ivfPqShortlist(n: Long): Int =
+    sys.env.get("SPARK_GRAFT_IVFPQ_SL").map(_.toInt)
+      .getOrElse(if (n <= 4096L) 64 else if (n <= 40960L) 128 else 256)
+  private[graft] def pqShortlist(n: Long): Int =
+    sys.env.get("SPARK_GRAFT_PQ_SL").map(_.toInt)
+      .getOrElse(if (n <= 40960L) 64 else 512)
+  /** The BASE-rung constants the SQL twins bake (the driver verifies
+    * only on this rung; the spec-pinned tripwire keeps the pairing
+    * honest if a larger verify scale is ever added). */
+  private def ivfPqNProbeOracle: Int = ivfPqNProbe(1L)
+  private def ivfPqShortlistOracle: Int = ivfPqShortlist(1L)
 
   /** Shared shape of the ann_recall_* reports: exact vs approx (q_id,
     * vec_id) sets -> one row of integer counts + recall in basis points.
@@ -484,6 +512,20 @@ object SparkEntry {
 
   /** Pick count for fp_pps_sample (shared with its generated oracle). */
   val PpsSampleK = 50
+
+  /** The unthresholded (all-pairs, basket-capped) co-purchase edge list
+    * the triangle family runs on — triangle density IS the signal, a
+    * pre-threshold would erase it. No .distinct() here: triangleCounts /
+    * the sampled estimator canonicalize + dedup their input themselves. */
+  private def copurchaseTriEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(slice(array_sort(collect_set(col("l_partkey"))),
+        1, CopurchaseMaxBasket).as("parts"))
+      .select(explode(flatten(transform(col("parts"), a =>
+        transform(filter(col("parts"), b => b > a),
+          b => struct(a.as("da"), b.as("db")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
 
   /** graph_kcore parameters, shared with the generated unrolled oracle:
     * the 2-core of the n_orders≥2 co-purchase graph peels in ≤ 6 rounds
@@ -1554,7 +1596,13 @@ object SparkEntry {
             .as("n_shared_shingles"))
         .orderBy("doc_id", "bench_id")
     }),
-    "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)),
+    // auto geometry (corpus count via the cached fixture — no per-run
+    // scan, ADVICE r11); at decades where banding can't hold recall at
+    // τ=0.4 the call ROUTES to the IVF-bounded candidate path instead
+    // of refusing (VERDICT r11 item 1)
+    "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(
+      t(s, dir, "embeddings"), 0.4,
+      corpusN = tableRows(s, dir, "embeddings"))),
     // EXT multi-probe sign-LSH retrieval: each query also probes the
     // Hamming-1 buckets per band (recall without more bands/state);
     // exact-cosine re-rank. The one ANN family with NO float fit —
@@ -1636,11 +1684,14 @@ object SparkEntry {
     // (promoted round 10; recall unchanged at 9300 bp sf0.1);
     // ≡ bruteTopK at shortlist >= corpus, spec-asserted.
     // codebooks fit on the bounded 1000-row sample; the ADC shortlist
-    // is the bounded-state TopKAgg, not a full-N window
+    // is the bounded-state TopKAgg, not a full-N window. Shortlist is
+    // LADDERED with corpus size (base rung 64, the oracle's constant;
+    // 512 at the second decade — corpus FRACTION still falls 25×)
     "sim_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), 20, 5,
-        m = 8, codebookSize = 256, shortlist = 64, fitSampleCap = 1000,
-        fit = Some(pqFit8x256(s, dir)))),
+        m = 8, codebookSize = 256,
+        shortlist = pqShortlist(tableRows(s, dir, "embeddings")),
+        fitSampleCap = 1000, fit = Some(pqFit8x256(s, dir)))),
     // EXT the COMPOSED ANN scale path (IVFADC): IVF lists bound WHICH
     // vectors are candidates (6 of 16 lists probed per query — the codes
     // scan partition-prunes via DPP, PlanShapeSpec-asserted), PQ codes
@@ -1650,16 +1701,18 @@ object SparkEntry {
     // recall floor stays armed in ann_recall_ivfpq.
     "sim_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val n = tableRows(s, dir, "embeddings")
       // build-once fixture: each run measures the DPP-pruned probe
       Similarity.probeIvfPqIndex(s, ivfPqIdx(s, dir),
         emb.filter(col("vec_id") < 20), 5,
-        nProbe = ivfPqNProbe, shortlist = ivfPqShortlist)
+        nProbe = ivfPqNProbe(n), shortlist = ivfPqShortlist(n))
     }),
     // similarity × dedup composition: sign-LSH near-dup pairs resolved to
     // connected components — embedding-level duplicate clusters
     "dedup_embedding_clusters" -> ((s, dir) =>
       Dedup.resolveClusters(
-        Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4)
+        Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4,
+            corpusN = tableRows(s, dir, "embeddings"))
           .select(col("va").as("da"), col("vb").as("db")))),
     // int8 embedding quantization (storage/bandwidth path)
     "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))),
@@ -1699,9 +1752,11 @@ object SparkEntry {
       // unbiased estimate of full-pair recall that stays runnable at
       // 100×, where the old brute all-pairs reference (α(10)≈1.9)
       // could not go. One full-outer join + one aggregate.
-      val keepBp = Similarity.anchorKeepBp(emb.count(), 100)
+      val n = tableRows(s, dir, "embeddings")
+      val keepBp = Similarity.anchorKeepBp(n, 100)
       val exact = Similarity.anchoredNearDup(emb, 0.4).select("va", "vb")
-      val lsh = Similarity.lshNearDup(emb, 0.4).select("va", "vb")
+      val lsh = Similarity.lshNearDup(emb, 0.4, corpusN = n)
+        .select("va", "vb")
         .filter(Similarity.isAnchor(col("va"), keepBp) ||
           Similarity.isAnchor(col("vb"), keepBp))
       exact.withColumn("in_e", lit(1L))
@@ -1741,10 +1796,14 @@ object SparkEntry {
       // the sublinear config sim_pq_topk runs; floor raised 4600 → 6000
       // now that the hi-res codebook measures 9300 bp at sf0.1 (a
       // regenerated corpus has headroom; a collapse below 60% recall
-      // means the codebook-resolution contract broke — fail loudly)
+      // means the codebook-resolution contract broke — fail loudly).
+      // Shortlist is LADDERED (sl=512 at the second decade — 8200 bp
+      // measured, round-10 retune table): the floor stays armed at
+      // every rung instead of throwing at ×100 under a 1×-sized knob
       val approx = Similarity.pqTopK(emb, 20, 5,
-          m = 8, codebookSize = 256, shortlist = 64, fitSampleCap = 1000,
-          fit = Some(pqFit8x256(s, dir)))
+          m = 8, codebookSize = 256,
+          shortlist = pqShortlist(tableRows(s, dir, "embeddings")),
+          fitSampleCap = 1000, fit = Some(pqFit8x256(s, dir)))
         .select("q_id", "vec_id")
       annRecallReport(exact, approx, floorBp = Some(6000))
     }),
@@ -1755,9 +1814,11 @@ object SparkEntry {
     // its IVF pruning. Hash-oracled (round 10).
     "ann_recall_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val n = tableRows(s, dir, "embeddings")
       val exact = s.read.parquet(bruteRef(s, dir))
-      val approx = Similarity.ivfPqTopK(emb, 20, 5, nProbe = ivfPqNProbe,
-        shortlist = ivfPqShortlist, fitSampleCap = 1000,
+      val approx = Similarity.ivfPqTopK(emb, 20, 5,
+        nProbe = ivfPqNProbe(n), shortlist = ivfPqShortlist(n),
+        fitSampleCap = 1000,
         coarseFit = Some(coarseFit16(s, dir)),
         pqFit = Some(pqFit8x256(s, dir)))
         .select("q_id", "vec_id")
@@ -2544,13 +2605,20 @@ object SparkEntry {
     // DuckDB), replacing approx_count_distinct (engine-private HLL++,
     // which kept this rows-only). Same single-scan shape: stats and
     // sketch fold into ONE aggregate; the map side ships ≤ k hashes
-    // per (column, partition). The ±25% in-plan gate vs the exact
-    // distinct stays armed for the bench scales the driver's oracle
-    // never sees — production calls drop it (checkApprox = None).
+    // per (column, partition). The ±25% exactness gate is SCALE-
+    // SWITCHED (VERDICT r11 item 5): armed at test scales (≤ 2M rows —
+    // every driver-verified sf, where the oracle hashes it anyway),
+    // dropped above, because the gate re-runs the exact dedup pass the
+    // sketch exists to avoid (15.4 s at ×10 for a ~1 s sketch). Above
+    // the switch the estimator runs on its published error, the
+    // production contract — and the sketch path is IDENTICAL code at
+    // every scale, so the driver-scale hash checks what the decades run.
     "profile_approx" -> ((s, dir) =>
       Profiler.numericProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"),
-        approx = true, checkApprox = Some(0.25))),
+        approx = true,
+        checkApprox = if (tableRows(s, dir, "lineitem") <= 2000000L)
+          Some(0.25) else None)),
 
     // EXT market-basket co-occurrence: top-20 part pairs ordered together.
     // Basket shape, not a self-join: one shuffle collapses lineitem to
@@ -2609,19 +2677,23 @@ object SparkEntry {
     // id-ordered DuckDB self-join oracle checks them exactly. Uses ALL
     // co-purchase pairs (no n_orders floor): triangle density IS the
     // signal, pre-thresholding would erase it.
-    "graph_triangles" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        // no .distinct() here: triangleCounts canonicalizes + dedups its
-        // input itself — a second pre-dedup would just add a shuffle
-        .select(col("p.da").as("da"), col("p.db").as("db"))
-      graft.ops.Graphs.triangleCounts(pairs)
-    }),
+    "graph_triangles" -> ((s, dir) =>
+      graft.ops.Graphs.triangleCounts(copurchaseTriEdges(s, dir))),
+    // EXT the BOUNDED scale path of graph_triangles (VERDICT r11 item
+    // 2 — the registry's one measured superlinear wall-time at ×100):
+    // DOULION edge sampling at exact p=1/4 via the portable pair hash,
+    // the same degree-ordered edge-iterator on the sampled graph,
+    // per-node estimate = sampled count × 64. Sampling cuts the
+    // intersection work ~p² (this graph's degrees are NARROW — a
+    // hot-node cap would shed nothing or everything); deterministic
+    // integers end to end ⇒ hash-oracled, unlike any RNG sampler.
+    "graph_triangles_sampled" -> ((s, dir) =>
+      graft.ops.Graphs.triangleCountsSampled(copurchaseTriEdges(s, dir))),
+    // the estimator's accounting row (the dedup_cap_stats discipline):
+    // edge totals vs sampled, the exact scale factor, sampled and
+    // scaled triangle totals — what was dropped, said out loud
+    "graph_tri_sample_stats" -> ((s, dir) =>
+      graft.ops.Graphs.triangleSampleStats(copurchaseTriEdges(s, dir))),
 
     // EXT graph: 2-core of the thresholded co-purchase graph — iterative
     // peeling with the in-plan fixpoint certificate (any peel fixpoint
@@ -2813,38 +2885,43 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // EXT sketch winsorization — the 100 TB path of events_winsorize:
-    // approx_percentile's GK sketch keeps a BOUNDED buffer per group
-    // (O(accuracy), not O(distinct values)), so the percentile pass
-    // survives a continuous column at any corpus size. Rows-only BY
-    // DESIGN (GK sketch internals are engine-specific — no DuckDB twin,
-    // like profile_approx's HLL); SimilarityEventsSpec asserts the clamp
-    // bounds sit within rank-ε of the exact ones at sf0.01, and the
-    // exact twin above stays the oracle'd surface. The same rank-ε
-    // bound is ALSO asserted IN-PLAN (fail-loudly for a rows-only
-    // entry), and scale-correctly: instead of re-running the exact
-    // percentile (the very memory blowup the approx path exists to
-    // avoid), a second BOUNDED aggregate counts values strictly below
-    // p05 / above p95 per type and requires each to land within
-    // 5% ± 1% of the group — the GK sketch's own rank guarantee
-    // (error 1/accuracy = 0.01% here) plus generous element-step
-    // headroom on a continuous column. A sketch regression that moves
-    // a clamp bound off its rank breaks the query at ANY corpus size.
+    // EXT sketch winsorization — the 100 TB path of events_winsorize,
+    // HASH-ORACLED since round 12 (VERDICT r11 item 6): the bounded
+    // quantile summary is the repo's own PORTABLE mergeable histogram
+    // (Sketches.histCountsBy — ≤ bins rows per (type, map partition)
+    // cross the shuffle, bin counts ADD across shards, unlike GK/KLL
+    // whose state depends on merge order), so the whole clamp — cents
+    // quantization, bucket counts, covering-count quantile pick at
+    // 500/9500 bp, clamp to the bucket's inclusive upper edge — is
+    // exact integer arithmetic with a DuckDB twin. Bound error ≤ one
+    // 64-cent bin by construction (a theorem of the geometry, not a
+    // runtime property — no ε gate needed where the hash oracle runs).
+    // approx_percentile's GK sketch remains the engine-native
+    // alternative, kept exercised + rank-ε-gated by
+    // events_winsorize_gate below.
     "events_winsorize_approx" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val (pct, gate) = winsorizeApproxGate(ev)
-      ev.join(broadcast(pct), Seq("event_type"))
-        .join(broadcast(gate), Seq("event_type"))
+      val cents = ev.select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val hist = Sketches.histCountsBy(cents, "cents", Seq("event_type"),
+        0L, 64L, 1024)
+      val bounds = Sketches.histQuantilesBy(hist, Seq("event_type"),
+          Seq(500, 9500), 0L, 64L, 1024)
+        .groupBy("event_type").agg(
+          max(when(col("q_bp") === 500, col("est_upper"))).as("p05c"),
+          max(when(col("q_bp") === 9500, col("est_upper"))).as("p95c"))
+      cents.join(broadcast(bounds), Seq("event_type"))
         .select(col("event_id"), col("event_type"),
-          round(least(greatest(col("value"), col("p05")), col("p95")) * 100)
-            .cast("long").as("clamped_cents"))
+          least(greatest(col("cents"), col("p05c")), col("p95c"))
+            .as("clamped_cents"))
         .orderBy("event_id")
     }),
-    // the rank-ε gate PROMOTED to a hash oracle: the per-type verdict
-    // row only exists if the in-plan assert held (a drifted sketch
-    // throws, an empty/missing type hash-mismatches), so the DuckDB
-    // twin is the trivially-true shape — the gate verdict itself is now
-    // driver-checked instead of rows>0
+    // the GK-sketch rank-ε gate, hash-oracled: the per-type verdict row
+    // only exists if the in-plan assert held (a drifted approx_percentile
+    // sketch throws, an empty/missing type hash-mismatches), so the
+    // DuckDB twin is the trivially-true shape — this keeps the
+    // engine-native GK path exercised now that events_winsorize_approx
+    // runs the portable histogram instead
     "events_winsorize_gate" -> ((s, dir) =>
       winsorizeApproxGate(t(s, dir, "events"))._2.orderBy("event_type")),
 
@@ -4973,6 +5050,38 @@ object SparkEntry {
     * (deeply nested inlined CTE chains); the recursive form is the
     * engine's native iteration and closes in seconds at oracle scale.
     * Closure size is Σ comp², fine at sf0.01 (giant component ~1.9k). */
+  /** Shared CTE chain for the sampled-triangle twins: the co-purchase
+    * canonical edges, the portable-hash p=1/4 edge sample (coefficient
+    * index 31 — the Spark predicate verbatim), and the id-ordered
+    * triangle enumeration over the SAMPLE (per-node counts are
+    * orientation-independent, so the simple id-ordered join checks the
+    * degree-ordered engine exactly). `tail` is the final SELECT. */
+  private def triSampledOracle(tail: String): String = {
+    import Portable.{P1, aCoef, bCoef}
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | capped AS (SELECT l_orderkey, l_partkey FROM (
+       |     SELECT l_orderkey, l_partkey,
+       |            row_number() OVER (PARTITION BY l_orderkey
+       |                               ORDER BY l_partkey) AS rn
+       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
+       | e AS MATERIALIZED (
+       |       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |       FROM capped a JOIN capped b
+       |         ON a.l_orderkey = b.l_orderkey
+       |        AND a.l_partkey < b.l_partkey),
+       | se AS MATERIALIZED (SELECT u, v FROM e
+       |       WHERE ((u % $P1) * ${aCoef(31)} + (v % $P1) * ${bCoef(31)})
+       |             % $P1 % 4 = 0),
+       | tri AS MATERIALIZED (SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+       |         FROM se e1
+       |         JOIN se e2 ON e2.u = e1.v
+       |         JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v),
+       | corners AS (SELECT n1 AS node FROM tri
+       |             UNION ALL SELECT n2 FROM tri
+       |             UNION ALL SELECT n3 FROM tri)
+       |$tail""".stripMargin
+  }
+
   private def componentsOracle: String =
     s"""WITH RECURSIVE
        | li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -5490,12 +5599,15 @@ object SparkEntry {
        | b AS (SELECT cidx, count(*) AS k_used, max(hv) AS kth
        |       FROM r WHERE rn <= $KmvK GROUP BY 1)
        |SELECT colname AS "column", n_rows, n_non_null,
-       |       CASE WHEN k_used < $KmvK THEN k_used
+       |       CASE WHEN COALESCE(k_used, 0) < $KmvK THEN COALESCE(k_used, 0)
        |            ELSE CAST(round($numer / CAST(kth AS DOUBLE)) AS BIGINT)
        |            END AS n_distinct,
        |       min_v, max_v, sum_v
-       |FROM stats JOIN b USING (cidx)
+       |FROM stats LEFT JOIN b USING (cidx)
        |ORDER BY "column"""".stripMargin
+       // LEFT JOIN + COALESCE (ADVICE r11): an all-NULL column has no
+       // distinct hashes (b is empty for that cidx) but the engine still
+       // emits its row with n_distinct = 0 — the oracle must keep it too
   }
 
   /** KMV-Jaccard oracle: both bottom-k sketches re-derived hash by
@@ -6669,8 +6781,8 @@ object SparkEntry {
     "ann_recall_pq" -> pqRecallOracle,
     "ann_index_probe" -> ivfProbeOracle,
     "ann_recall_ivf" -> ivfRecallOracle,
-    "sim_ivfpq_topk" -> ivfPqTopKOracle(ivfPqNProbe, ivfPqShortlist),
-    "ann_recall_ivfpq" -> ivfPqRecallOracle(ivfPqNProbe, ivfPqShortlist),
+    "sim_ivfpq_topk" -> ivfPqTopKOracle(ivfPqNProbeOracle, ivfPqShortlistOracle),
+    "ann_recall_ivfpq" -> ivfPqRecallOracle(ivfPqNProbeOracle, ivfPqShortlistOracle),
     // MinHash signatures, band keys and SimHash bits are computed on the
     // portable two-prime polynomial basis shared between the codegen
     // kernels and this generated SQL — see graft.functions.Portable.
@@ -6742,6 +6854,19 @@ object SparkEntry {
                      UNION ALL SELECT n3 FROM tri)
          SELECT node, count(*) AS n_tri FROM corners
          GROUP BY 1 ORDER BY node""",
+
+    // sampled estimator: the same id-ordered triangle join over the
+    // portable-hash-sampled (p = 1/4 exact) canonical edge set; counts
+    // are orientation-independent, estimate = count × 4³
+    "graph_triangles_sampled" -> triSampledOracle(
+      "SELECT node, count(*) AS n_tri_sampled, count(*) * 64 AS n_tri_est " +
+        "FROM corners GROUP BY 1 ORDER BY node"),
+    "graph_tri_sample_stats" -> triSampledOracle(
+      """SELECT (SELECT count(*) FROM e) AS n_edges,
+                (SELECT count(*) FROM se) AS n_edges_sampled,
+                CAST(4 AS BIGINT) AS inv_p, CAST(64 AS BIGINT) AS inv_p3,
+                (SELECT count(*) FROM tri) AS n_tri_sampled,
+                (SELECT count(*) * 64 FROM tri) AS n_tri_est"""),
     "fp_shuffle_order" -> {
       import Portable.{P1, aCoef, bCoef}
       s"""SELECT doc_id,
@@ -7403,6 +7528,37 @@ object SparkEntry {
                 CAST(round(least(greatest(value, p05), p95) * 100) AS BIGINT)
                   AS clamped_cents
          FROM events e JOIN p ON e.event_type = p.event_type
+         ORDER BY event_id""",
+
+    // the portable-histogram clamp: cents quantization, 64-cent bins,
+    // covering-count quantile pick, clamp to inclusive bin upper edges —
+    // integer-exact twin of Sketches.histCountsBy/histQuantilesBy
+    "events_winsorize_approx" ->
+      """WITH c AS (SELECT event_id, event_type,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         h AS (SELECT event_type,
+                      least(1023, greatest(0, cents // 64)) AS bucket,
+                      count(*) AS cnt
+               FROM c GROUP BY 1, 2),
+         cum AS (SELECT event_type, bucket, cnt,
+                        sum(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY bucket) AS cum,
+                        sum(cnt) OVER (PARTITION BY event_type) AS n_total
+                 FROM h),
+         q AS (SELECT event_type, q_bp, min(bucket) AS bucket
+               FROM cum, (SELECT unnest([500, 9500]) AS q_bp) qs
+               WHERE cum * 10000 >= q_bp * n_total
+               GROUP BY 1, 2),
+         b AS (SELECT event_type,
+                      max(CASE WHEN q_bp = 500
+                               THEN (bucket + 1) * 64 - 1 END) AS p05c,
+                      max(CASE WHEN q_bp = 9500
+                               THEN (bucket + 1) * 64 - 1 END) AS p95c
+               FROM q GROUP BY 1)
+         SELECT event_id, c.event_type,
+                least(greatest(cents, p05c), p95c) AS clamped_cents
+         FROM c JOIN b ON c.event_type = b.event_type
          ORDER BY event_id""",
 
     "q37_recursive_cte" ->

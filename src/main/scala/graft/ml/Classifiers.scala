@@ -75,6 +75,26 @@ object Classifiers {
     "logistic_regression" -> 8800, "linear_svc" -> 8800,
     "mlp" -> 8500, "random_forest" -> 5800)
 
+  /** In-plan AUC CEILINGS (VERDICT r11 item 3): a floor-only gate
+    * passes the INFLATION failure mode — label leakage into the
+    * features, or evaluating on the training split, both push AUC
+    * toward 1.0 and both mean the measured number is a lie. The gate
+    * label is Bayes-separable (AUC 1.0 is the honest optimum), so
+    * inflation is only DETECTABLE where a model family's capacity
+    * provably cannot reach it: depth-7 axis-aligned random forests
+    * measure .681–.800 on the oblique 64-dim linear boundary across
+    * sf0.001/0.01/0.1 — an RF at ≥ .95 is not "learning better", it is
+    * the label reaching the features. RF is therefore the leakage
+    * canary (ceiling 9500, ~1500 bp over the measured high); LR / SVC /
+    * MLP can honestly sit at ~1.0, so their ceilings are the vacuous
+    * 10000 by construction — a leak that lifts .97 → 1.0 is inside
+    * their legitimate band and no ceiling can see it, which is exactly
+    * why the canary model matters. MlPipelineSpec proves the ceiling
+    * trips on a planted label-in-features leak. */
+  val AucCeilingsBp: Map[String, Int] = Map(
+    "logistic_regression" -> 10000, "linear_svc" -> 10000,
+    "mlp" -> 10000, "random_forest" -> 9500)
+
   /** FP6–FP11: seeded 0.8/0.2 split, fit LR / LinearSVC / MLP / RF, each
     * evaluated on its own held-out predictions. Returns one row per model:
     * (model, auc, auc_bp, n_train, n_test) — deterministic given the
@@ -83,7 +103,8 @@ object Classifiers {
     * collapse fails the driver gate loudly. */
   def trainEval(spark: SparkSession, labeled: DataFrame,
       featureDim: Int = 64, seed: Long = Seed,
-      floorsBp: Map[String, Int] = AucFloorsBp): DataFrame = {
+      floorsBp: Map[String, Int] = AucFloorsBp,
+      ceilingsBp: Map[String, Int] = AucCeilingsBp): DataFrame = {
     import spark.implicits._
     val Array(train, test) = labeled.randomSplit(Array(0.8, 0.2), seed)
     train.persist(); test.persist()
@@ -115,12 +136,19 @@ object Classifiers {
     train.unpersist(); test.unpersist()
     val floorCol = floorsBp.foldLeft(lit(0)) { case (acc, (m, f)) =>
       when(col("model") === m, lit(f)).otherwise(acc) }
+    val ceilCol = ceilingsBp.foldLeft(lit(10000)) { case (acc, (m, c)) =>
+      when(col("model") === m, lit(c)).otherwise(acc) }
     rows.toDF("model", "auc", "n_train", "n_test")
       .withColumn("auc_bp", floor(col("auc") * 10000).cast("long"))
       .where(assert_true(col("auc_bp") >= floorCol,
         concat(lit("AUC collapsed below the in-plan floor for "),
           col("model"), lit(": "), col("auc_bp").cast("string"),
           lit(" bp — the feature pipeline or split is broken"))).isNull)
+      .where(assert_true(col("auc_bp") <= ceilCol,
+        concat(lit("AUC above the in-plan ceiling for "),
+          col("model"), lit(": "), col("auc_bp").cast("string"),
+          lit(" bp — label leakage into the features or eval-on-train " +
+            "(the canary model cannot honestly score this high)"))).isNull)
       .select("model", "auc", "auc_bp", "n_train", "n_test")
       .orderBy("model")
   }

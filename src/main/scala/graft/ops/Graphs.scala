@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -229,11 +229,22 @@ object Graphs {
     // reference (measured: a 147-node physical plan re-running the
     // lineitem scan 6x, 5.3 s → 2.6 s at sf0.1 with the checkpoints).
     // Same lineage discipline as [[pagerankInt]]'s sym/deg persists.
-    val canon = edges
+    val canon = canonEdges(edges, a, b)
+    trianglesOnCanon(canon)
+  }
+
+  /** Canonicalized (u < v, deduped, localCheckpointed) edge table —
+    * shared by the exact and sampled triangle forms. */
+  private def canonEdges(edges: DataFrame, a: String, b: String): DataFrame =
+    edges
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+
+  /** The degree-ordered edge-iterator core over a [[canonEdges]] table
+    * (see [[triangleCounts]] for the algorithm and shuffle budget). */
+  private def trianglesOnCanon(canon: DataFrame): DataFrame = {
     val deg = canon.select(col("u").as("node"))
       .union(canon.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -268,6 +279,80 @@ object Graphs {
         array_repeat(col("dst"), size(col("xs"))))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
       .orderBy("node")
+  }
+
+  /** Deterministic DOULION-style edge-sampling predicate: keep a
+    * canonical edge (u < v) iff its portable affine pair hash lands in
+    * residue 0 mod `invP` — an exact keep probability of 1/invP under
+    * the hash, replicable verbatim in oracle SQL (coefficient index 31,
+    * disjoint from every other portable draw). Products stay inside
+    * signed-64: (u % P1) · a < ~1e18. */
+  private def edgeSampled(u: Column, v: Column, invP: Int): Column = {
+    import graft.functions.Portable
+    pmod(pmod(u, lit(Portable.P1)) * lit(Portable.aCoef(31))
+      + pmod(v, lit(Portable.P1)) * lit(Portable.bCoef(31)),
+      lit(Portable.P1)) % invP === 0
+  }
+
+  /** SAMPLED per-node triangle estimator (Tsourakakis et al. 2009,
+    * DOULION) — the bounded scale path for [[triangleCounts]] (VERDICT
+    * r11 item 2, the registry's one measured superlinear at ×100):
+    * keep each canonical edge with exact probability p = 1/invP via the
+    * deterministic portable pair hash, run the SAME degree-ordered
+    * edge-iterator on the sampled graph, and scale: a triangle survives
+    * iff all three edges do (p³), so `n_tri_est = n_tri_sampled ·
+    * invP³` is unbiased per node and in total.
+    *
+    * Why sampling and not a degree cap here: the co-purchase graph's
+    * oriented out-degrees are NARROW (65–90 at every measured sf — no
+    * hot-node skew for a cap to shed; a cap either drops nothing or
+    * drops everything). Sampling cuts the intersection work by ~p²
+    * (edges ×p, neighbor lists ×p) regardless of shape — the knob that
+    * actually moves the ×100 point.
+    *
+    * Estimator contract: per-node estimates are UNBIASED but noisy at
+    * small counts (rsd ~ 1/√(p³·n_tri(v))) — read single-node rows as
+    * a screen, totals and heavy nodes as measurements (the accounting
+    * row [[triangleSampleStats]] carries the sampled totals). Fully
+    * integer + hash-deterministic ⇒ oracle'd end to end; the exact
+    * form stays the gold surface wherever it is affordable. */
+  def triangleCountsSampled(edges: DataFrame, invP: Int = 4,
+      a: String = "da", b: String = "db"): DataFrame = {
+    require(invP >= 1, s"invP >= 1, got $invP")
+    val canon = canonEdges(edges, a, b)
+      .filter(edgeSampled(col("u"), col("v"), invP))
+    val inv3 = invP.toLong * invP * invP
+    trianglesOnCanon(canon)
+      .select(col("node"), col("n_tri").as("n_tri_sampled"),
+        (col("n_tri") * inv3).as("n_tri_est"))
+      .orderBy("node")
+  }
+
+  /** The accounting row for [[triangleCountsSampled]] (the
+    * dedup_cap_stats discipline: an estimator must SAY what it dropped):
+    * total vs sampled canonical edges, the exact inverse keep
+    * probability and its cube (the triangle scale factor), the sampled
+    * triangle total (Σ per-node / 3 — every triangle credits exactly
+    * three corners) and the scaled estimate. One |E| filter + the
+    * sampled count run — no extra pass over the full graph. */
+  def triangleSampleStats(edges: DataFrame, invP: Int = 4,
+      a: String = "da", b: String = "db"): DataFrame = {
+    require(invP >= 1, s"invP >= 1, got $invP")
+    val canon = canonEdges(edges, a, b)
+    val inv3 = invP.toLong * invP * invP
+    val edgeStats = canon.agg(
+      count(lit(1)).as("n_edges"),
+      sum(when(edgeSampled(col("u"), col("v"), invP), 1L).otherwise(0L))
+        .as("n_edges_sampled"))
+    val triStats = trianglesOnCanon(
+        canon.filter(edgeSampled(col("u"), col("v"), invP)))
+      .agg(coalesce(sum(col("n_tri")), lit(0L)).as("corner_credits"))
+      .select((col("corner_credits") / 3).cast("long").as("n_tri_sampled"))
+    edgeStats.crossJoin(broadcast(triStats))
+      .select(col("n_edges"), col("n_edges_sampled"),
+        lit(invP.toLong).as("inv_p"), lit(inv3).as("inv_p3"),
+        col("n_tri_sampled"),
+        (col("n_tri_sampled") * inv3).as("n_tri_est"))
   }
 
   /** Multi-source BFS hop distances over an undirected simple graph:

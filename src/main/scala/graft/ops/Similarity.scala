@@ -164,10 +164,22 @@ object Similarity {
     * whole verdict set hash-oracles. */
   def semanticContamination(corpus: DataFrame, bench: DataFrame,
       minCosine: Double, id: String = "vec_id",
-      maxBroadcastBench: Long = 1000000L): DataFrame = {
+      maxBroadcastBytes: Long = 512L << 20): DataFrame = {
     val b = bench.select(col(id).as("bench_id"), col("embedding").as("bv"))
       .withColumn("bn", norm(col("bv")))
-    val probe = if (b.count() <= maxBroadcastBench) broadcast(b) else b
+    // BYTE-aware broadcast guard (VERDICT r11 item 4): a row-count cap
+    // is dimension-blind — 1M rows of 1536-dim doubles is ~12 GB, past
+    // the 8 GB broadcast wall the guard exists to avoid. Estimate bytes
+    // from the SAME one-pass guard scan (rows × (max dims × 8 float
+    // payload as doubles-in-flight + ~48 B row overhead)); the 512 MB
+    // default leaves an order of magnitude under the wall for the rest
+    // of the task. The shingle/vocab guards elsewhere stay row-counted:
+    // their rows are FIXED-width (a long / a ≤3-char trigram), so rows
+    // are a faithful byte proxy there.
+    val g = b.agg(count(lit(1)).as("n"),
+      coalesce(max(size(col("bv"))), lit(0)).as("dims")).head
+    val estBytes = g.getLong(0) * (g.getInt(1).toLong * 8L + 48L)
+    val probe = if (estBytes <= maxBroadcastBytes) broadcast(b) else b
     corpus.select(col(id), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
       .join(probe, col(id) =!= col("bench_id"))
@@ -402,12 +414,39 @@ object Similarity {
     * probes measure FLAT across two decades. */
   def lshAutoGeometry(n: Long, minCosine: Double,
       targetRecall: Double = 0.55, loadPerBucket: Int = 16,
-      maxBands: Int = 256): (Int, Int) = {
+      maxBands: Int = 256): (Int, Int) =
+    lshAutoGeometryOpt(n, minCosine, targetRecall, loadPerBucket, maxBands)
+      .getOrElse {
+        val (r, bands) =
+          lshGeometryRaw(n, minCosine, targetRecall, loadPerBucket)
+        throw new IllegalArgumentException(
+          f"sign-LSH banding cannot hold ${targetRecall * 100}%.0f%% pair " +
+            f"recall at radius tau=$minCosine and corpus size $n: needs " +
+            s"$bands bands of $r bits (> $maxBands). tau=$minCosine at " +
+            "this scale is a similarity-search RADIUS, not a near-dup " +
+            "radius - use the probe-bounded IVF/ADC family (BASELINE.md " +
+            "round-10 collision law)")
+      }
+
+  /** Non-throwing form of [[lshAutoGeometry]]: None = banding cannot
+    * hold the recall target at this (n, τ) within `maxBands` —
+    * [[lshNearDup]] ROUTES that case to the IVF-bounded candidate path
+    * instead of aborting (VERDICT r11 item 1: the designed refusal
+    * should redirect, not kill, a registered query at scale). */
+  def lshAutoGeometryOpt(n: Long, minCosine: Double,
+      targetRecall: Double = 0.55, loadPerBucket: Int = 16,
+      maxBands: Int = 256): Option[(Int, Int)] = {
     require(minCosine > -1.0 && minCosine < 1.0,
       s"minCosine in (-1, 1), got $minCosine")
     require(targetRecall > 0.0 && targetRecall < 1.0,
       s"targetRecall in (0, 1), got $targetRecall")
-    if (n <= 0) return (LshBitsPerBand, LshBands) // empty corpus: moot
+    if (n <= 0) return Some((LshBitsPerBand, LshBands)) // empty corpus: moot
+    val (r, bands) = lshGeometryRaw(n, minCosine, targetRecall, loadPerBucket)
+    if (bands <= maxBands) Some((r, bands)) else None
+  }
+
+  private def lshGeometryRaw(n: Long, minCosine: Double,
+      targetRecall: Double, loadPerBucket: Int): (Int, Int) = {
     val m = math.max(1L, n / loadPerBucket)
     val ceilLog2 = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     val r = ((math.max(8, ceilLog2) + 3) / 4) * 4
@@ -415,29 +454,110 @@ object Similarity {
     val pr = StrictMath.pow(p, r.toDouble)
     val bands = math.max(1, math.ceil(
       StrictMath.log1p(-targetRecall) / StrictMath.log1p(-pr)).toInt)
-    require(bands <= maxBands,
-      f"sign-LSH banding cannot hold ${targetRecall * 100}%.0f%% pair " +
-        f"recall at radius tau=$minCosine and corpus size $n: needs " +
-        s"$bands bands of $r bits (> $maxBands). tau=$minCosine at " +
-        "this scale is a similarity-search RADIUS, not a near-dup " +
-        "radius - use the probe-bounded IVF/ADC family (BASELINE.md " +
-        "round-10 collision law)")
     (r, bands)
   }
 
   /** `bitsPerBand`/`bands` ≤ 0 (the default) derive the geometry from
     * the corpus via [[lshAutoGeometry]] — one count() per call, the
-    * index-build-time cost. Explicit values pin it (the persisted-index
-    * forms pin theirs at build and verify at probe). */
+    * index-build-time cost (`corpusN ≥ 0` supplies a known count and
+    * skips the scan — registered queries pass a cached fixture count,
+    * ADVICE r11). Explicit values pin it (the persisted-index forms pin
+    * theirs at build and verify at probe).
+    *
+    * ROUTING (VERDICT r11 item 1): when the collision law refuses —
+    * banding cannot hold the recall target at this (n, τ) within the
+    * band budget — the call no longer aborts; candidates come from the
+    * IVF-bounded path instead ([[ivfNearDup]]: multi-assign coarse
+    * lists, in-list pair expansion under a cap, exact re-score). The
+    * routed result is deterministic (integer-Lloyd fit) and strictly a
+    * pruned subset of the exact pair set, like the banded form. At
+    * every driver-verified scale (n ≤ 4096, τ = 0.4) the derivation
+    * lands on the historical (8, 32), so the baked SQL twins keep
+    * hashing — SimilarityEventsSpec pins that range as the tripwire
+    * for the oracle pairing (ADVICE r11). */
   def lshNearDup(emb: DataFrame, minCosine: Double,
       bitsPerBand: Int = -1, bands: Int = -1,
-      maxBucket: Int = LshMaxBucket): DataFrame = {
+      maxBucket: Int = LshMaxBucket, corpusN: Long = -1L): DataFrame = {
     require((bitsPerBand > 0) == (bands > 0),
       "pin both bitsPerBand and bands, or neither (auto)")
-    val (bpb, nBands) =
-      if (bitsPerBand > 0) (bitsPerBand, bands)
-      else lshAutoGeometry(emb.count(), minCosine)
-    lshNearDupAt(emb, minCosine, bpb, nBands, maxBucket)
+    if (bitsPerBand > 0) lshNearDupAt(emb, minCosine, bitsPerBand, bands,
+      maxBucket)
+    else {
+      val n = if (corpusN >= 0L) corpusN else emb.count()
+      lshAutoGeometryOpt(n, minCosine) match {
+        case Some((bpb, nBands)) =>
+          lshNearDupAt(emb, minCosine, bpb, nBands, maxBucket)
+        case None => ivfNearDup(emb, minCosine, corpusN = n)
+      }
+    }
+  }
+
+  /** IVF-bounded near-dup pairs — the scale route [[lshNearDup]] takes
+    * when banding cannot hold recall at the requested radius (the
+    * round-10 collision law: τ ≲ 0.55 at 10⁵⁺ vectors needs quadratic
+    * band growth). Shape:
+    *
+    *  1. fit the integer-Lloyd coarse quantizer on the bounded sample,
+    *     `nCentroids` derived from the corpus (~`loadPerList` vectors
+    *     per list, clamped to [16, MaxClusters]) so list sizes stay
+    *     O(constant) as the corpus grows;
+    *  2. MULTI-ASSIGN every vector to its `nProbe` nearest centroids
+    *     (the [[rankProbes]] metric) — pairs straddling one list
+    *     boundary still meet in the neighbor list;
+    *  3. candidates = same-list pairs, generated inline per list with
+    *     the [[lshNearDupAt]] in-bucket expansion; lists above
+    *     `maxList` are dropped whole (the dedup hot-bucket contract —
+    *     an outlier guard at ~8× the designed load, not the binding
+    *     constraint);
+    *  4. exact cosine re-score at the same τ — the route only PRUNES,
+    *     never invents pairs.
+    *
+    * Cost: one fit + one encode pass + Σ_lists load²/2 dot products ≈
+    * n · loadPerList · nProbe² / 2 — LINEAR in n at fixed load, the
+    * property banding loses at these radii. Deterministic end to end
+    * (integer fit, integer assignment), so the routed form could be
+    * oracle'd; it is exercised at bench decades where no oracle runs. */
+  def ivfNearDup(emb: DataFrame, minCosine: Double, nProbe: Int = 2,
+      loadPerList: Int = 256, maxList: Int = 4096,
+      corpusN: Long = -1L, scale: Int = 1024,
+      fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
+    val n = if (corpusN >= 0L) corpusN else emb.count()
+    val nCentroids = math.min(MaxClusters.toLong,
+      math.max(16L, n / loadPerList)).toInt
+    val qv = quantVec(emb, scale)
+    val model = fitOnSample(fitSample(qv, fitSampleCap), 1, nCentroids,
+      rounds = 2, scale)
+    val centroids = centsDF(emb.sparkSession, model.cents)
+      .select(col("code").as("cluster"), col("cl"), col("cc"))
+    // multi-assignment IS rankProbes over the whole corpus: every
+    // vector probes the nProbe lists a query at its position would
+    val assigned = rankProbes(
+      qv.select(col("vec_id").as("q_id"), col("qv"), col("qq")),
+      centroids, nProbe)
+      .select(col("q_id").as("vec_id"), col("cluster"))
+    val wb = Window.partitionBy("cluster")
+    val pairs = assigned
+      .withColumn("ls", count(lit(1)).over(wb))
+      .filter(col("ls") <= maxList)
+      .groupBy("cluster")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("va"), b.as("vb")))))).as("p"))
+      .select(col("p.va").as("va"), col("p.vb").as("vb"))
+      .distinct() // multi-assigned pairs meet in up to nProbe lists
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    pairs
+      .join(base.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("va"))
+      .join(base.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("vb"))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= minCosine)
+      .select("va", "vb", "cosine")
+      .orderBy("va", "vb")
   }
 
   private def lshNearDupAt(emb: DataFrame, minCosine: Double,
@@ -704,6 +824,13 @@ object Similarity {
       s"fitted model (m=${model.m}, subDim=${model.subDim}, " +
         s"scale=${model.scale}) does not match the call's " +
         s"m=$m/subDim=$subDim/scale=$scale")
+    // an INLINE fit may honestly seed fewer codewords than requested
+    // (sample smaller than the codebook); an INJECTED model must match
+    // the requested geometry exactly or the call silently runs at the
+    // model's resolution instead (ADVICE r11)
+    fit.foreach(f => require(f.nCodes == codebookSize,
+      s"injected codebook has ${f.nCodes} codes, call asked for " +
+        s"codebookSize=$codebookSize — refit or fix the argument"))
     val cents = centsDF(emb.sparkSession, model.cents)
     // encode = ONE codegen map pass (kernel argmin), then explode the
     // m-byte code row only for the ADC join — never m·codebookSize
@@ -1071,6 +1198,12 @@ object Similarity {
     require(pq.m == m && pq.subDim == subDim && pq.scale == scale,
       s"pq model (m=${pq.m}, subDim=${pq.subDim}, scale=${pq.scale}) " +
         s"does not match m=$m/subDim=$subDim/scale=$scale")
+    coarseFit.foreach(f => require(f.nCodes == nCentroids,
+      s"injected coarse quantizer has ${f.nCodes} centroids, call asked " +
+        s"for nCentroids=$nCentroids (ADVICE r11)"))
+    pqFit.foreach(f => require(f.nCodes == codebookSize,
+      s"injected PQ codebook has ${f.nCodes} codes, call asked for " +
+        s"codebookSize=$codebookSize (ADVICE r11)"))
     val assign = encodeCodes(qv, coarse)
       .select(col("vec_id"), element_at(col("codes"), 1).as("cluster"))
     val codes = encodeCodes(qv, pq)
@@ -1239,6 +1372,9 @@ object Similarity {
     require(model.m == 1 && model.scale == scale,
       s"coarse model (m=${model.m}, scale=${model.scale}) does not " +
         s"match m=1/scale=$scale")
+    fit.foreach(f => require(f.nCodes == nCentroids,
+      s"injected coarse quantizer has ${f.nCodes} centroids, call asked " +
+        s"for nCentroids=$nCentroids (ADVICE r11)"))
     val assign = encodeCodes(qv, model)
       .select(col("vec_id"), element_at(col("codes"), 1).as("cluster"))
     val listed = emb.select(col("vec_id"), col("embedding"))

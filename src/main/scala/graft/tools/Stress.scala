@@ -45,8 +45,19 @@ object Stress {
       pinned = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      // a DESIGNED refusal (collision-law require, recall floor) must
+      // not kill the rest of the ladder: record it and keep measuring
+      // (ADVICE r11 — lshNearDup now auto-routes instead of refusing,
+      // but any gate in any op stays free to throw loudly)
+      try {
+        val n = f
+        println(
+          f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      } catch {
+        case e: Exception =>
+          println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+            s"   REFUSED: ${e.getMessage.linesIterator.next()}")
+      }
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => pinned(id) }
         .values.foreach(_.unpersist(true))

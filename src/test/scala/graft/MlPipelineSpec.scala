@@ -93,15 +93,20 @@ class MlPipelineSpec extends SparkTestBase {
     // relaxed uniform floors: this test pins learnability + determinism
     // on synthetic data, not the corpus-calibrated gate (tested below)
     val floors = graft.ml.Classifiers.AucFloorsBp.view.mapValues(_ => 8000).toMap
+    // ceilings relaxed too: on THIS synthetic task RF can legitimately
+    // approach 1.0 (the corpus-calibrated canary band is tested below)
+    val ceils = graft.ml.Classifiers.AucCeilingsBp.view.mapValues(_ => 10000).toMap
     val res = graft.ml.Classifiers
-      .trainEval(spark, labeled, featureDim = 8, floorsBp = floors)
+      .trainEval(spark, labeled, featureDim = 8, floorsBp = floors,
+        ceilingsBp = ceils)
       .as[(String, Double, Long, Long, Long)].collect()
     assert(res.map(_._1).toSeq ==
       Seq("linear_svc", "logistic_regression", "mlp", "random_forest"))
     res.foreach { case (m, auc, _, _, _) => assert(auc > 0.8, s"$m auc=$auc") }
     assert(res.head._4 + res.head._5 == 400)
     val res2 = graft.ml.Classifiers
-      .trainEval(spark, labeled, featureDim = 8, floorsBp = floors)
+      .trainEval(spark, labeled, featureDim = 8, floorsBp = floors,
+        ceilingsBp = ceils)
       .as[(String, Double, Long, Long, Long)].collect()
     assert(res.toSeq == res2.toSeq)
   }
@@ -131,6 +136,33 @@ class MlPipelineSpec extends SparkTestBase {
       Option(t).toSeq.flatMap(e =>
         Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("AUC collapsed")), ex.toString)
+  }
+
+  test("a label-LEAKAGE sabotage trips the in-plan AUC ceiling " +
+      "(VERDICT r11 item 3: floors alone pass inflation)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    // plant the label INSIDE the feature vector (the classic leak: a
+    // block of target-derived columns survives into the assembled
+    // features — 8 copies, so RF's sqrt-feature subsampling sees the
+    // leak at ~every split). The oblique-boundary-blind RF jumps to
+    // ~1.0 on the leaked split — past its 9500 bp canary ceiling —
+    // while its honest band is .681–.800. Floors cannot see this; the
+    // ceiling must.
+    val leakBlock = array(Seq.fill(8)(col("label") * 2 - 1): _*)
+    val leaked = graft.ml.Classifiers.embeddingFeatures(
+        Tables(spark, sf0001, "embeddings"))
+      .withColumn("features", array_to_vector(concat(
+        vector_to_array(col("features")), leakBlock)))
+    val ex = intercept[Exception] {
+      graft.ml.Classifiers.trainEval(spark, leaked, featureDim = 72)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("AUC above the in-plan ceiling")),
+      ex.toString)
   }
 
   test("hashSplit: key-deterministic, partition-independent, ~testBp ratio") {

