@@ -1,10 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-
-import graft.ops.{Dedup, Events, Features, Multimodal, Profiler, Relational, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,11267 +11,13 @@ import graft.ops.{Dedup, Events, Features, Multimodal, Profiler, Relational, Sim
   * use exact types (BIGINT counts, DECIMAL-exact sums surfaced as double)
   * so the compare is deterministic (SURVEY.md §7 "hard parts").
   */
-object SparkEntry {
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables(s, dir, name)
-
-  /** One-time shutdown hook deleting every staged pid-scoped artifact
-    * dir a query registered (IVF index, malformed-CSV fixture): the
-    * consumers read the files LAZILY, so cleanup can only run at JVM
-    * exit (prevents per-pid dirs accumulating across driver runs). */
-  private val stagedCleanupDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val stagedCleanupRegistered =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def stagedDirCleanup(dir: String): Unit = {
-    stagedCleanupDirs.add(dir)
-    if (stagedCleanupRegistered.compareAndSet(false, true))
-      sys.addShutdownHook {
-        def rm(p: java.io.File): Unit = {
-          if (p.isDirectory) Option(p.listFiles).toSeq.flatten.foreach(rm)
-          p.delete(): Unit
-        }
-        stagedCleanupDirs.forEach(p => rm(new java.io.File(p)))
-      }
-  }
-
-  /** Process-shared persisted-INDEX fixtures (the snapshot-query
-    * idempotence discipline applied to every build-once/probe-many
-    * lifecycle — the dedup sig index AND the ANN indexes): each fixture
-    * is built ONCE per (key, sf dir, JVM) and shared by every query
-    * that probes it — each query run then pays only its own probes.
-    * That IS the steady-state shape: a persisted index amortizes its
-    * build across every batch/query it serves, and a bench re-run is
-    * just the next batch. Fixtures are never mutated after construction
-    * (the sig append happens only inside the appended fixture's own
-    * build), so query results are order-independent. Keyed by sf dir so
-    * runs at different SFs never share. */
-  private val idxFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def idxFixture(key: String, dir: String)(
-      build: String => Unit): String =
-    idxFixtures.computeIfAbsent(s"$key|$dir", { _ =>
-      // collision-proof dir token: String.hashCode collisions across two
-      // sf dirs in one JVM would alias their fixture DIRECTORIES while
-      // the CHM keeps distinct entries — the second build would overwrite
-      // an index the first's lazily-read probes still consume. SHA-256
-      // prefix makes the path injective in practice.
-      val dirTok = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString
-      val p = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-idxfix-$key-$dirTok-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(p)
-      build(p)
-      p
-    })
-  private def sigFixture(key: String, dir: String)(
-      build: String => Unit): String = idxFixture(s"sig-$key", dir)(build)
-
-  /** Process-shared integer-Lloyd FIT fixtures (VERDICT r10 item 2):
-    * the ANN recall family's queries share two pinned fit configs
-    * (coarse 1×16 and PQ 8×256, cap 1000), and the fit is a
-    * deterministic function of (corpus, config) — so fitting once per
-    * (config, sf dir, JVM) and reusing the driver-side model is
-    * bit-identical to each query refitting inline (the SQL twins
-    * replay the same sample → seed → Lloyd rounds either way). This is
-    * the model-registry shape production runs: train once, serve every
-    * query batch. */
-  private val fitFixtures = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.ops.Similarity.CodebookModel]()
-  private def fitFixture(key: String, dir: String)(
-      build: => graft.ops.Similarity.CodebookModel)
-      : graft.ops.Similarity.CodebookModel =
-    fitFixtures.computeIfAbsent(s"$key|$dir", _ => build)
-
-  /** The registered PQ codebook config (m=8, cb=256, cap=1000). */
-  private def pqFit8x256(s: SparkSession, dir: String) =
-    fitFixture("pq-m8cb256-cap1000", dir) {
-      graft.ops.Similarity.fitPqCodebooks(Tables(s, dir, "embeddings"),
-        m = 8, codebookSize = 256, fitSampleCap = 1000)
-    }
-
-  /** The registered IVF coarse quantizer (16 centroids, cap=1000). */
-  private def coarseFit16(s: SparkSession, dir: String) =
-    fitFixture("coarse-nc16-cap1000", dir) {
-      graft.ops.Similarity.fitCoarseQuantizer(Tables(s, dir, "embeddings"),
-        nCentroids = 16, fitSampleCap = 1000)
-    }
-
-  /** Build-once exact brute top-k reference (q_id, vec_id) shared by
-    * the three ann_recall_* reports: the gold set every approximate
-    * path is graded against is a FIXED artifact of the corpus, so each
-    * report run pays only its own approx pipeline. */
-  private def bruteRef(s: SparkSession, dir: String): String =
-    idxFixture("bruteref", dir) { p =>
-      Similarity.bruteTopK(Tables(s, dir, "embeddings"), 20, 5)
-        .select("q_id", "vec_id").write.mode("overwrite").parquet(p)
-    }
-
-  /** Build-once sign-LSH posting index (the ann_lsh_index_probe
-    * lifecycle). */
-  private def lshIdx(s: SparkSession, dir: String): String =
-    idxFixture("lsh", dir) { p =>
-      Similarity.buildLshIndex(Tables(s, dir, "embeddings"), p)
-    }
-
-  /** Build-once IVF index (the ann_index_probe lifecycle). */
-  private def ivfIdx(s: SparkSession, dir: String): String =
-    idxFixture("ivf", dir) { p =>
-      Similarity.buildIvfIndex(Tables(s, dir, "embeddings"), p)
-    }
-
-  /** Build-once IVFADC index (the sim_ivfpq_topk lifecycle). */
-  private def ivfPqIdx(s: SparkSession, dir: String): String =
-    idxFixture("ivfpq", dir) { p =>
-      Similarity.buildIvfPqIndex(Tables(s, dir, "embeddings"), p,
-        fitSampleCap = 1000, coarseFit = Some(coarseFit16(s, dir)),
-        pqFit = Some(pqFit8x256(s, dir)))
-    }
-
-  /** Pristine even-corpus sig index (caps corpus-scoped at build). */
-  private def sigIdxEven(s: SparkSession, dir: String): String =
-    sigFixture("even", dir) { p =>
-      Dedup.buildSigIndex(
-        Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0), p)
-    }
-
-  /** Cycle-1 admissions — batch (doc_id ≡ 1 mod 4) docs the pristine
-    * index admits as `new` — persisted as parquet. Dependencies are
-    * resolved BEFORE entering the fixture closure (computeIfAbsent must
-    * not nest on one map). */
-  private def sigAdm1(s: SparkSession, dir: String): String = {
-    val even = sigIdxEven(s, dir)
-    sigFixture("adm1", dir) { p =>
-      val batch1 = Tables(s, dir, "documents")
-        .filter(col("doc_id") % 4 === 1)
-      batch1.join(
-          Dedup.probeSigIndex(s, even, batch1)
-            .filter(col("verdict") === "new").select("doc_id"),
-          "doc_id")
-        .write.mode("overwrite").parquet(p)
-    }
-  }
-
-  /** Even-corpus index with cycle-1 admissions APPENDED (caps stay
-    * build-pinned — the append contract). */
-  private def sigIdxAppended(s: SparkSession, dir: String): String = {
-    val adm1 = sigAdm1(s, dir)
-    sigFixture("app", dir) { p =>
-      Dedup.buildSigIndex(
-        Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0), p)
-      Dedup.appendToSigIndex(s, p, s.read.parquet(adm1))
-    }
-  }
-
-  /** Index REBUILT from the grown corpus (even ∪ cycle-1 admits) — hot
-    * shingle dfs and hot buckets re-scoped over what the index holds. */
-  private def sigIdxRebuilt(s: SparkSession, dir: String): String = {
-    val adm1 = sigAdm1(s, dir)
-    sigFixture("reb", dir) { p =>
-      Dedup.buildSigIndex(
-        Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0)
-          .unionByName(s.read.parquet(adm1)), p)
-    }
-  }
-
-  /** Exact brute-force cosine top-5 for the first 20 query vectors —
-    * shared by `sim_brute_topk` and its spec-pinned full-probe IVF twin
-    * `sim_ivf_topk_fullprobe` (same result set, so same oracle text).
-    * DOUBLE dot products fold in element order on both engines, so the
-    * cosines hash bit-identically. */
-  private val bruteTopKSql: String =
-    """WITH base AS (
-         SELECT vec_id, embedding::DOUBLE[] AS v,
-                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         FROM embeddings),
-       scored AS (
-         SELECT q.vec_id AS q_id, b.vec_id,
-                list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
-         FROM base b JOIN base q ON q.vec_id < 20 AND b.vec_id <> q.vec_id),
-       ranked AS (
-         SELECT *, row_number() OVER (PARTITION BY q_id
-                     ORDER BY cosine DESC, vec_id ASC) AS rnk
-         FROM scored)
-       SELECT q_id, rnk, vec_id, cosine FROM ranked
-       WHERE rnk <= 5 ORDER BY q_id, rnk"""
-
-  /** Shared by `events_winsorize_approx` (clamp) and
-    * `events_winsorize_gate` (verdict): per-type approx 5/95 percentile
-    * bounds + the rank-ε gate asserting IN-PLAN that each bound sits
-    * within ±1% (100 bp) of its true 5% rank — the accuracy contract
-    * `approx_percentile`'s sketch promises, checked against the data
-    * instead of trusted. Returns (pct bounds, gate verdict rows). */
-  private def winsorizeApproxGate(ev: DataFrame): (DataFrame, DataFrame) = {
-    val pct = ev.groupBy("event_type")
-      .agg(expr("approx_percentile(value, array(0.05, 0.95), 10000)").as("p"))
-      .select(col("event_type"), col("p")(0).as("p05"), col("p")(1).as("p95"))
-    val epsBp = 100 // ±1% of group size, in basis points
-    val gate = ev.join(broadcast(pct), Seq("event_type"))
-      .groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
-        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_hi"))
-      .where(assert_true(
-        abs(col("n_lo") * 10000 - col("n") * 500) <= col("n") * epsBp &&
-        abs(col("n_hi") * 10000 - col("n") * 500) <= col("n") * epsBp,
-        concat(lit("approx winsorize bounds drifted off the 5% rank for "),
-          col("event_type"), lit(": n_lo="), col("n_lo").cast("string"),
-          lit(" n_hi="), col("n_hi").cast("string"),
-          lit(" of n="), col("n").cast("string"))).isNull)
-      .select(col("event_type"), lit(1L).as("gate_ok"))
-    (pct, gate)
-  }
-
-  /** Generated k-step MMR oracle: the [[bruteTopKSql]] cosine basis,
-    * top-`c` candidates per query, pairwise candidate sims, then k
-    * unrolled greedy steps (argmax of 0.7·rel − 0.3·max-sim-to-picked,
-    * ties vec_id asc — the same double comparisons Spark makes).
-    * `cand`/`ps`/`base` are multi-referenced and aggregate ⇒
-    * MATERIALIZED (the DuckDB CTE-inlining trap). */
-  private def mmrOracle(nq: Int, k: Int, c: Int,
-      lambda: Double = 0.7): String = {
-    // interpolate the EXACT doubles the Scala side multiplies by —
-    // 1.0 − 0.7 is 0.30000000000000004, not 0.3, and DuckDB's bare
-    // decimal literals are DECIMAL, not DOUBLE (both differences are a
-    // last-ulp hash mismatch)
-    val lam = s"CAST(${lambda} AS DOUBLE)"
-    val om = s"CAST(${1.0 - lambda} AS DOUBLE)"
-    val steps = (2 to k).map { j =>
-      s"""m$j AS (SELECT p.q_id, p.va, max(p.sim) AS msim
-         |       FROM ps p JOIN sel${j - 1} s
-         |         ON s.q_id = p.q_id AND s.vec_id = p.vb
-         |       GROUP BY 1, 2),
-         |  p$j AS (SELECT c.q_id, c.vec_id,
-         |              $lam * c.cosine - $om * m.msim AS score
-         |       FROM cand c JOIN m$j m
-         |         ON m.q_id = c.q_id AND m.va = c.vec_id
-         |       LEFT JOIN sel${j - 1} x
-         |         ON x.q_id = c.q_id AND x.vec_id = c.vec_id
-         |       WHERE x.vec_id IS NULL),
-         |  k$j AS (SELECT q_id, vec_id, CAST($j AS BIGINT) AS sel_rank,
-         |              score AS mmr_score
-         |       FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-         |               ORDER BY score DESC, vec_id) AS rn FROM p$j)
-         |       WHERE rn = 1),
-         |  sel$j AS (SELECT * FROM sel${j - 1} UNION ALL SELECT * FROM k$j)"""
-        .stripMargin
-    }.mkString(",\n  ")
-    s"""WITH base AS MATERIALIZED (
-       |    SELECT vec_id, embedding::DOUBLE[] AS v,
-       |           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |    FROM embeddings),
-       |  scored AS (
-       |    SELECT q.vec_id AS q_id, b.vec_id,
-       |           list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
-       |    FROM base b JOIN base q
-       |      ON q.vec_id < $nq AND b.vec_id <> q.vec_id),
-       |  cand AS MATERIALIZED (
-       |    SELECT q_id, vec_id, cosine FROM (
-       |      SELECT *, row_number() OVER (PARTITION BY q_id
-       |               ORDER BY cosine DESC, vec_id) AS rnk
-       |      FROM scored) WHERE rnk <= $c),
-       |  ps AS MATERIALIZED (
-       |    SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
-       |           list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS sim
-       |    FROM cand a JOIN cand b
-       |      ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
-       |    JOIN base ea ON ea.vec_id = a.vec_id
-       |    JOIN base eb ON eb.vec_id = b.vec_id),
-       |  sel1 AS (
-       |    SELECT q_id, vec_id, CAST(1 AS BIGINT) AS sel_rank,
-       |           score AS mmr_score
-       |    FROM (SELECT q_id, vec_id, $lam * cosine AS score,
-       |            row_number() OVER (PARTITION BY q_id
-       |              ORDER BY $lam * cosine DESC, vec_id) AS rn
-       |          FROM cand) WHERE rn = 1),
-       |  $steps
-       |SELECT q_id, sel_rank, vec_id, mmr_score FROM sel$k
-       |ORDER BY q_id, sel_rank""".stripMargin
-  }
-
-  /** Cached row counts per (table, sf dir, JVM) — the one number the
-    * scale-aware knob ladders key on. One narrow parquet count per
-    * (table, dir), amortized across every registered query that asks. */
-  private val rowCountFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def tableRows(s: SparkSession, dir: String, table: String): Long =
-    rowCountFixtures.computeIfAbsent(s"$table|$dir",
-      _ => Tables(s, dir, table).count()): Long
-
-  /** SCALE-AWARE ANN probe knobs (VERDICT r11 item 1: fold the
-    * documented decade retunes into defaults so the registered queries
-    * run at ANY scale with their floors armed, no env edit needed).
-    * The ladder is the measured retune table (BASELINE.md "×10/×100
-    * recall curve", IvfPqTune):
-    *
-    *   n ≤ 4096   → np=6,  ivfpq sl=64,  pq sl=64   (8100 / 9300 bp)
-    *   n ≤ 40960  → np=12, ivfpq sl=128, pq sl=64   (7900 / 6400 bp)
-    *   above      → np=12, ivfpq sl=256, pq sl=512  (6200 / 8200 bp)
-    *
-    * The driver's verify corpora all sit on the BASE rung (n ≤ 4096 —
-    * SimilarityEventsSpec pins the rung boundaries), so the generated
-    * SQL twins bake np=6/sl=64 and stay valid wherever the driver
-    * hashes. Env knobs SPARK_GRAFT_IVFPQ_NP / SPARK_GRAFT_IVFPQ_SL /
-    * SPARK_GRAFT_PQ_SL still override the ladder for tuning sweeps.
-    * The recall floors stay armed under ANY config: a rung (or
-    * override) that degrades recall below its floor still throws —
-    * the gate's whole point. */
-  private[graft] def ivfPqNProbe(n: Long): Int =
-    sys.env.get("SPARK_GRAFT_IVFPQ_NP").map(_.toInt)
-      .getOrElse(if (n <= 4096L) 6 else 12)
-  private[graft] def ivfPqShortlist(n: Long): Int =
-    sys.env.get("SPARK_GRAFT_IVFPQ_SL").map(_.toInt)
-      .getOrElse(if (n <= 4096L) 64 else if (n <= 40960L) 128 else 256)
-  private[graft] def pqShortlist(n: Long): Int =
-    sys.env.get("SPARK_GRAFT_PQ_SL").map(_.toInt)
-      .getOrElse(if (n <= 40960L) 64 else 512)
-  /** The BASE-rung constants the SQL twins bake (the driver verifies
-    * only on this rung; the spec-pinned tripwire keeps the pairing
-    * honest if a larger verify scale is ever added). */
-  private def ivfPqNProbeOracle: Int = ivfPqNProbe(1L)
-  private def ivfPqShortlistOracle: Int = ivfPqShortlist(1L)
-
-  /** Shared shape of the ann_recall_* reports: exact vs approx (q_id,
-    * vec_id) sets -> one row of integer counts + recall in basis points.
-    * One full-outer join + one aggregate — each pipeline runs once.
-    *
-    * `floorBp`: quality floor asserted INSIDE the plan (`assert_true`,
-    * the [[graft.ops.TextAnalysis.heavyHitters]] fail-loudly contract).
-    * The rows-only ANN reports (IVF/PQ — k-means floats, no DuckDB twin)
-    * would otherwise pass the driver gate on rows>0 even if a regression
-    * collapsed recall to zero; with the floor, a collapse breaks the
-    * query. Floors sit ~1000 bp under the BASELINE.md recorded bands so
-    * corpus regeneration jitter doesn't trip them, while a real
-    * regression (wrong probe set, broken codebook) still does. */
-  private def annRecallReport(exact: DataFrame, approx: DataFrame,
-      floorBp: Option[Int] = None): DataFrame = {
-    val report = exact.withColumn("in_e", lit(1L))
-      .join(approx.withColumn("in_a", lit(1L)),
-        Seq("q_id", "vec_id"), "full")
-      .agg(
-        coalesce(sum("in_e"), lit(0L)).as("n_exact"),
-        coalesce(sum(col("in_e") * col("in_a")), lit(0L)).as("n_captured"))
-      .withColumn("recall_bp",
-        graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
-    floorBp.fold(report)(f => report.where(assert_true(
-      col("recall_bp") >= f,
-      lit(s"ANN recall collapsed below the $f bp floor — approximate " +
-        "path is no longer finding the exact answers")).isNull))
-  }
-
-  /** Shared corpus for the er_* queries: entity names (p_name plus a
-    * mod-1000 numeric suffix) and a deterministic dirty query set — one
-    * character deleted at position pos+1 ∈ [6, len], i.e. always past
-    * the first 5 chars. Both the ops/EntityResolution blocking passes
-    * and the generated DuckDB twin derive from this one definition. */
-  /** Blocking parameters for the er_* queries, shared with the generated
-    * DuckDB twins (the cap is deterministic, so both engines must cut
-    * identically). prefix+suffix = 10 <= the min entity-name length
-    * (two-word p_name >= 7 chars plus the "-N" suffix), the precondition
-    * for ops/EntityResolution's single-edit recall theorem. The cap sits
-    * above the largest first-word block at sf0.1 (~N/8), so tested-scale
-    * runs are uncapped (er_block_stats records n_dropped = 0) while a
-    * 100× degenerate corpus stays bounded. */
-  val ErPrefixLen = 5
-  val ErSuffixLen = 5
-  val ErMaxBlock = 4096
-
-  /** Shared DuckDB CTE prefix for the er_* oracles: the erCorpus
-    * definition (entities + deterministically corrupted queries). */
-  private val ErCorpusCtes =
-    s"""e AS (SELECT p_partkey AS cand_key,
-                    p_name || '-' || CAST(p_partkey % 1000 AS VARCHAR) AS name
-             FROM part),
-       q AS (SELECT cand_key AS q_key, name,
-                    CAST(5 + cand_key % (length(name) - 5) AS INT) AS pos
-             FROM e WHERE cand_key % 37 = 0),
-       qd AS (SELECT q_key,
-                     substring(name, 1, pos) || substring(name, pos + 2, 1000000)
-                       AS dirty
-              FROM q)"""
-
-  /** [[ErCorpusCtes]] plus the two-pass capped blocking and JW scoring
-    * (structurally replicating ops/EntityResolution.fuzzyMatch), ending
-    * in `er_scored(q_key, cand_key, jw_bp)`. */
-  private val ErPairCtes =
-    s"""$ErCorpusCtes,
-       ebl AS (SELECT 'p' AS pass, substring(name, 1, $ErPrefixLen) AS blk,
-                      cand_key, name FROM e
-               UNION ALL
-               SELECT 's', right(name, $ErSuffixLen), cand_key, name FROM e),
-       ecap AS (SELECT pass, blk, cand_key, name FROM (
-                  SELECT *, row_number() OVER (PARTITION BY pass, blk
-                                               ORDER BY cand_key) AS rn
-                  FROM ebl) WHERE rn <= $ErMaxBlock),
-       qbl AS (SELECT 'p' AS pass, substring(dirty, 1, $ErPrefixLen) AS blk,
-                      q_key, dirty FROM qd
-               UNION ALL
-               SELECT 's', right(dirty, $ErSuffixLen), q_key, dirty FROM qd),
-       er_cand AS (SELECT DISTINCT q_key, cand_key, dirty, name
-                   FROM qbl JOIN ecap USING (pass, blk)),
-       er_scored AS (SELECT q_key, cand_key,
-                            CAST(round(jaro_winkler_similarity(dirty, name)
-                                       * 10000) AS BIGINT) AS jw_bp
-                     FROM er_cand)"""
-
-  /** Planted intra-batch near-dup pair for `dedup_ingest_gate`: two
-    * odd (= batch-side) ids far above any corpus doc_id, with a unique
-    * token vocabulary (never collides with natural shingles) and texts
-    * differing by one trailing token — 58 of 59 word 3-shingles shared,
-    * so MinHash puts them in a band bucket together and ≥16/32 signature
-    * components agree. A gets `new`, B gets `batch_near_dup`→A, at every
-    * sf. The oracle builds the same two rows from these constants. */
-  private val PlantedNearDupIdA = 9000001L
-  private val PlantedNearDupIdB = 9000003L
-  private val PlantedNearDupTextA =
-    (0 until 60).map(i => s"plantedtok$i").mkString(" ")
-  private val PlantedNearDupTextB = PlantedNearDupTextA + " plantedtail"
-
-  /** Shared DuckDB CTE prefix for the mm perceptual-hash oracles: the
-    * closed-form recompute of the synthesized stride-73 image (variant 1
-    * perturbs one pixel), its 9×8 nearest-neighbor grid and the packed
-    * dHash halves — ending in `hashes(doc_id, v, hash_hi, hash_lo)`.
-    * Mirrors Multimodal.synthHashPngBytes + dhashOf exactly. */
-  private val DhashCte =
-    """s AS (SELECT doc_id, v,
-                   9 + doc_id % 8 AS w,
-                   8 + (doc_id % 8 * 5) % 8 AS h,
-                   (doc_id % 256 * 31) % 256 AS a
-            FROM documents,
-                 LATERAL (SELECT unnest([0, 1]) AS v) vs),
-       g AS (SELECT doc_id, v, a, doc_id % (w * h) AS pj,
-                    xx, yy, (yy * h // 8) * w + (xx * w // 9) AS i
-             FROM s,
-                  LATERAL (SELECT unnest(range(0, 9)) AS xx) xs,
-                  LATERAL (SELECT unnest(range(0, 8)) AS yy) ys),
-       p AS (SELECT doc_id, v, xx, yy,
-                    CASE WHEN v = 1 AND i = pj
-                         THEN (a + 73 * i + 96) % 256
-                         ELSE (a + 73 * i) % 256 END AS px
-             FROM g),
-       b AS (SELECT l.doc_id, l.v, l.yy * 8 + l.xx AS idx,
-                    CASE WHEN r.px > l.px THEN 1 ELSE 0 END AS bt
-             FROM p l JOIN p r ON r.doc_id = l.doc_id AND r.v = l.v
-                              AND r.yy = l.yy AND r.xx = l.xx + 1
-             WHERE l.xx < 8),
-       hashes AS (SELECT doc_id, v,
-                    CAST(sum(CASE WHEN idx >= 32
-                             THEN bt * (1::BIGINT << (idx - 32))
-                             ELSE 0 END) AS BIGINT) AS hash_hi,
-                    CAST(sum(CASE WHEN idx < 32
-                             THEN bt * (1::BIGINT << idx)
-                             ELSE 0 END) AS BIGINT) AS hash_lo
-                  FROM b GROUP BY doc_id, v)"""
-
-  private def erCorpus(part: DataFrame): (DataFrame, DataFrame) = {
-    val ents = part.select(col("p_partkey").as("cand_key"),
-      concat(col("p_name"), lit("-"),
-        (col("p_partkey") % 1000).cast("string")).as("name"))
-    val dirty = ents.filter(col("cand_key") % 37 === 0)
-      .withColumn("pos",
-        (lit(5) + col("cand_key") % (length(col("name")) - lit(5))).cast("int"))
-      .select(col("cand_key").as("q_key"),
-        concat(expr("substring(name, 1, pos)"),
-          expr("substring(name, pos + 2, 1000000)")).as("dirty"))
-    (ents, dirty)
-  }
-
-  /** Rounds for the graph_pagerank query (shared with its generated
-    * oracle CTE chain). Integer PageRank is EXACT at any round count —
-    * 5 bounds the registered query's per-round fixed cost (~0.5 s of
-    * scheduling each at sf0.1); Graphs.pagerankInt defaults to the
-    * canonical 10 for library callers. */
-  val PagerankQueryIters = 5
-
-  /** Fixed literal query for the search_bm25 surface (shared with its
-    * generated oracle SQL — terms must be plain ASCII words). */
-  val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window")
-
-  /** Single-term query set for the MRR retrieval eval — mid-frequency
-    * corpus terms whose max per-doc tf reaches the density-relevance
-    * threshold, so "first dense hit" is a non-trivial ranking question. */
-  val MrrQueryTerms: Seq[String] =
-    Seq("batch", "hash", "join", "scan", "stream", "table")
-
-  /** Merge rounds for the bpe_train query (shared with its unrolled
-    * oracle CTE chain). */
-  val BpeTrainMerges = 5
-
-  /** Basket cap for copurchase_pairs: pair expansion is O(basket²), so
-    * only the `MaxBasket` lowest part ids per order generate pairs — the
-    * dedup family's bounded-candidate contract (shared by query and
-    * oracle; this corpus's baskets are ≤ 7, so nothing is dropped). */
-  val CopurchaseMaxBasket = 64
-
-  /** Pick count for fp_pps_sample (shared with its generated oracle). */
-  val PpsSampleK = 50
-
-  /** The unthresholded (all-pairs, basket-capped) co-purchase edge list
-    * the triangle family runs on — triangle density IS the signal, a
-    * pre-threshold would erase it. No .distinct() here: triangleCounts /
-    * the sampled estimator canonicalize + dedup their input themselves. */
-  private def copurchaseTriEdges(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_orderkey")
-      .agg(slice(array_sort(collect_set(col("l_partkey"))),
-        1, CopurchaseMaxBasket).as("parts"))
-      .select(explode(flatten(transform(col("parts"), a =>
-        transform(filter(col("parts"), b => b > a),
-          b => struct(a.as("da"), b.as("db")))))).as("p"))
-      .select(col("p.da").as("da"), col("p.db").as("db"))
-
-  /** graph_kcore parameters, shared with the generated unrolled oracle:
-    * the 2-core of the n_orders≥2 co-purchase graph peels in ≤ 6 rounds
-    * at sf0.001–0.1 (measured); 8 gives headroom, and kCore's in-plan
-    * fixpoint certificate throws rather than under-peel if a future
-    * corpus needs more. */
-  val KcoreK = 2
-  val KcoreRounds = 8
-
-  /** Sweep count for graph_labelprop (shared with its unrolled oracle):
-    * synchronous LPA stabilizes in 3–4 sweeps on the thresholded
-    * co-purchase graph; a fixed-round label SNAPSHOT (not a fixpoint)
-    * is the checked contract, so any value works — 4 is where the
-    * community structure stops moving at sf0.01–0.1. */
-  val LabelPropRounds = 4
-
-  /** Deterministic loan-shaped table synthesized from orders — the input
-    * of the `loan_t*` queries, exercising [[graft.ops.LoanWorkload]] (the
-    * reference's actual T1–T3 API) against driver oracles. Every derived
-    * column is modular arithmetic + string concat both engines compute
-    * identically; work_year covers all four parser branches (null /
-    * "10+ years" / "< 1 year" / "n years"). Money columns are
-    * integer-valued so t3's double arithmetic is exact cross-engine. */
-  private def synthLoan(s: SparkSession, dir: String): DataFrame = {
-    val wn = col("o_orderkey") % 13
-    t(s, dir, "orders").select(
-      col("o_orderkey").as("loan_id"),
-      col("o_custkey").as("user_id"),
-      concat(lit("ind_"), (col("o_orderkey") % 14).cast("string"))
-        .as("industry"),
-      concat(lit("emp_"), (col("o_orderkey") % 6).cast("string"))
-        .as("employer_type"),
-      when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
-        .when(wn >= 10, lit("10+ years"))
-        .when(wn === 0, lit("< 1 year"))
-        .otherwise(concat(wn.cast("string"), lit(" years")))
-        .as("work_year"),
-      (col("o_orderkey") % 5 + 1).as("year_of_loan"),
-      (col("o_orderkey") % 2000 + 500).as("monthly_payment"),
-      (col("o_orderkey") % 30000 + 1000).as("total_loan"))
-  }
-
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * T1 semantics (group-count-sort, SURVEY §2 A1/A2/O1) on customer. */
-  def entry(spark: SparkSession): DataFrame =
-    Relational.groupCountSortDesc(
-      t(spark, "/root/testdata/sf0.001", "customer"), "c_mktsegment")
-
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // T1 (A1/A2/O1/O2): group-count + total sort, count desc / key asc.
-    "q1_group_count_sort" -> ((s, dir) =>
-      Relational.groupCountSortDesc(t(s, dir, "customer"), "c_mktsegment")),
-
-    // T2 (P11/P12/A2/O3): 1000-wide bucket histogram, native exprs.
-    "q2_bucket_histogram" -> ((s, dir) =>
-      Relational.bucketHistogram(t(s, dir, "orders"), "o_totalprice", 1000L)),
-
-    // T3-1 (A3/A4/P7/P9): per-group ratio of total, bround scale 4.
-    "q3_1_group_ratio" -> ((s, dir) =>
-      Relational.groupRatio(t(s, dir, "orders"), "o_orderpriority")),
-
-    // T3-2 (P3/P6/P8): arithmetic projection (derived column), total order.
-    "q3_2_derived_arithmetic" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .select(
-          col("l_orderkey"), col("l_linenumber"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))).as("charge"))
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    // T3-3 (P13/P10): when-chain string parser + filter on parsed value.
-    // A work_year-shaped string is synthesised from part.p_size so both
-    // engines parse the same strings (the corpus has no work_year column).
-    "q3_3_parse_filter" -> ((s, dir) => {
-      val synth = when(col("p_size") % 7 === 0, lit(null))
-        .when(col("p_size") >= 10, lit("10+ years"))
-        .when(col("p_size") < 1, lit("< 1 year"))
-        .otherwise(concat(col("p_size").cast("string"), lit(" years")))
-      t(s, dir, "part")
-        .withColumn("work_year", synth)
-        .withColumn("work_year_num", Relational.parseWorkYear(col("work_year")))
-        .filter(col("work_year_num") > 5)
-        .select("p_partkey", "p_name", "work_year_num")
-        .orderBy("p_partkey")
-    }),
-
-    // T1–T3 on the ACTUAL loan workload surface (graft.ops.LoanWorkload —
-    // the drop-in API a reference user runs): the driver corpus has no
-    // loan table, so a loan-shaped one is synthesized deterministically
-    // from orders (the q3_3 trick) and the SAME synthesis is inlined in
-    // each oracle — T1/T3 semantics become driver-oracle'd end to end
-    // instead of spec-trusted. (T2's bucketHistogram and the GBK goldens
-    // stay covered by q2_bucket_histogram and LoanWorkloadSpec.)
-    "loan_t1" -> ((s, dir) =>
-      graft.ops.LoanWorkload.t1IndustryCount(synthLoan(s, dir))),
-    "loan_t3_1" -> ((s, dir) =>
-      graft.ops.LoanWorkload.t3EmployerTypeRatio(synthLoan(s, dir))),
-    "loan_t3_2" -> ((s, dir) =>
-      graft.ops.LoanWorkload.t3TotalMoney(synthLoan(s, dir))),
-    "loan_t3_3" -> ((s, dir) =>
-      graft.ops.LoanWorkload.t3WorkYearFilter(synthLoan(s, dir))),
-
-    // A2/A3 generalised: multi-aggregate pricing summary (TPC-H Q1 shape).
-    "q4_pricing_summary" -> ((s, dir) =>
-      Relational.pricingSummary(t(s, dir, "lineitem"))),
-
-    // EXT joins (SURVEY §2e — absent in ref, mandated for scale):
-    // broadcast-hash join of fact→small dim, then agg.
-    "q5_join_broadcast" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_mktsegment")),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy(desc("n_orders"), asc("c_mktsegment"))),
-
-    // EXT: multi-join star query (customer⋈nation⋈region dims broadcast,
-    // orders fact), revenue per region.
-    "q6_join_star" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-          col("n_regionkey") === col("r_regionkey"))
-        .groupBy("r_name")
-        .agg(count(lit(1)).as("n_orders"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy(asc("r_name"))),
-
-    // EXT: anti join — customers with no URGENT order, counted per segment.
-    // (The filter is pushed below the join build side; every customer has
-    // at least one order in the corpus, so an unfiltered anti is empty.)
-    "q7_join_anti" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders")
-            .filter(col("o_orderpriority") === "1-URGENT")
-            .select("o_custkey"),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy(desc("n_customers"), asc("c_mktsegment"))),
-
-    // EXT left outer join: unmatched fact rows survive with nulls — the
-    // null-padding semantics the registry's inner/anti joins don't touch.
-    "q21_join_left" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders")
-            .filter(col("o_orderpriority") === "1-URGENT")
-            .select("o_custkey", "o_orderkey"),
-          col("c_custkey") === col("o_custkey"), "left")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_rows"),
-          count(col("o_orderkey")).as("n_matched"),
-          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
-            .as("n_no_urgent"))
-        .orderBy("c_mktsegment")),
-
-    // EXT semi join: keep-if-exists without multiplying matches.
-    "q25_join_semi" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders")
-            .filter(col("o_orderpriority") === "1-URGENT")
-            .select("o_custkey"),
-          col("c_custkey") === col("o_custkey"), "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy(desc("n_customers"), asc("c_mktsegment"))),
-
-    // EXT full outer join: both sides null-padded; the two filters of the
-    // same table guarantee unmatched rows on each side.
-    "q26_join_full" -> ((s, dir) => {
-      val a = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
-        .select(col("c_custkey").as("k"))
-      val b = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey").as("k2"))
-      a.join(b, col("k") === col("k2"), "full")
-        .agg(
-          count(when(col("k").isNotNull && col("k2").isNotNull, 1)).as("n_both"),
-          count(when(col("k2").isNull, 1)).as("n_left_only"),
-          count(when(col("k").isNull, 1)).as("n_right_only"))
-    }),
-
-    // EXT set op EXCEPT (distinct semantics): urgent-only customers.
-    "q22_except" -> ((s, dir) => {
-      val urgent = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
-      val low = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "5-LOW").select("o_custkey")
-      urgent.except(low)
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
-          Seq("o_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy(desc("n_customers"), asc("c_mktsegment"))
-    }),
-
-    // EXT set op UNION DISTINCT: urgent-or-high customers, deduped.
-    "q24_union_distinct" -> ((s, dir) => {
-      val urgent = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
-      val high = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "2-HIGH").select("o_custkey")
-      urgent.union(high).distinct()
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
-          Seq("o_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy(desc("n_customers"), asc("c_mktsegment"))
-    }),
-
-    // EXT distinct aggregates (expand + two-phase shuffle plan).
-    "q23_distinct_agg" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"),
-          countDistinct(col("o_custkey")).as("n_custs"),
-          countDistinct(year(col("o_orderdate"))).as("n_years"))
-        .orderBy("o_orderpriority")),
-
-    // EXT skew mitigation: explicit salted equi-join (the fallback for
-    // skew AQE can't split — see graft.ops.Skew). Salt only refines the
-    // partitioning, so the oracle is the PLAIN join: same rows exactly.
-    "q18_skew_salted_join" -> ((s, dir) => {
-      val fact = t(s, dir, "orders").filter(col("o_totalprice") > 50000)
-      val dim = t(s, dir, "customer")
-        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-      graft.ops.Skew.saltedJoin(fact, dim, "o_custkey", 8)
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy(desc("n_orders"), asc("c_mktsegment"))
-    }),
-
-    // EXT grouping sets: rollup subtotals with grouping_id.
-    "q12_rollup" -> ((s, dir) =>
-      Relational.rollupCounts(t(s, dir, "lineitem"),
-        "l_returnflag", "l_linestatus")),
-
-    // EXT grouping sets, full CUBE: every subtotal combination.
-    "q29_cube" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"),
-          grouping_id().cast("int").as("gid"))
-        .orderBy(asc("gid"), asc_nulls_first("o_orderstatus"),
-          asc_nulls_first("o_orderpriority"))),
-
-    // EXT subqueries: correlated EXISTS / NOT EXISTS through the SQL
-    // surface — Catalyst decorrelates them into one semi and one anti
-    // hash join on o_custkey (never a per-row re-scan).
-    "q30_exists_subquery" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("g_customer")
-      t(s, dir, "orders").createOrReplaceTempView("g_orders")
-      s.sql("""
-        SELECT c_custkey, c_name FROM g_customer c
-        WHERE EXISTS (SELECT 1 FROM g_orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_totalprice > 200000)
-          AND NOT EXISTS (SELECT 1 FROM g_orders o
-                          WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderpriority = '1-URGENT')
-        ORDER BY c_custkey""")
-    }),
-
-    // EXT three-valued NOT IN semantics: the classic NULL trap as a
-    // pinned behavior — a NOT IN whose subquery CAN contain NULL
-    // filters everything (x <> NULL is UNKNOWN), while NOT EXISTS and
-    // the NULL-purged NOT IN agree on the true anti count. An engine
-    // that "fixes" NOT IN silently breaks SQL; this query pins that we
-    // don't, in both engines at once.
-    "q47_not_in_nulls" -> ((s, dir) => {
-      t(s, dir, "customer")
-        .withColumn("nullable_key",
-          when(col("c_custkey") % 1000 === 0, lit(null))
-            .otherwise(col("c_custkey")))
-        .createOrReplaceTempView("g_nullable_cust")
-      t(s, dir, "orders").createOrReplaceTempView("g_orders_nin")
-      s.sql("""
-        SELECT
-          (SELECT count(*) FROM g_orders_nin
-           WHERE o_custkey NOT IN
-                 (SELECT nullable_key FROM g_nullable_cust))
-            AS not_in_with_null,
-          (SELECT count(*) FROM g_orders_nin
-           WHERE o_custkey NOT IN
-                 (SELECT nullable_key FROM g_nullable_cust
-                  WHERE nullable_key IS NOT NULL))
-            AS not_in_purged,
-          (SELECT count(*) FROM g_orders_nin o
-           WHERE NOT EXISTS (SELECT 1 FROM g_nullable_cust c
-                             WHERE c.nullable_key = o.o_custkey))
-            AS not_exists_cnt""")
-    }),
-
-    // EXT explicit GROUPING SETS ((flag), (status)) — the shape neither
-    // rollup nor cube can express (two disjoint single-column sets).
-    "q31_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
-      s.sql("""
-        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-               CAST(grouping_id() AS INT) AS gid
-        FROM g_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        ORDER BY gid, l_returnflag ASC NULLS FIRST,
-                 l_linestatus ASC NULLS FIRST""")
-    }),
-
-    // EXT ordered funnel view -> click -> purchase: single sort-shuffle
-    // state carry instead of K-1 self-joins
-    "events_funnel" -> ((s, dir) => Events.funnel(t(s, dir, "events"))),
-
-    // EXT ranking-window family: rank / dense_rank / percent_rank /
-    // cume_dist over one shared spec (one shuffle). The window orders by
-    // o_orderdate WITH ties so the rank-vs-dense_rank gap is actually
-    // exercised; every output value is tie-order independent (pure
-    // functions of the sort KEY), so the result stays deterministic.
-    // percent_rank/cume_dist are small-integer ratios — IEEE division is
-    // bit-identical cross-engine.
-    "q32_window_ranks" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        .withColumn("rnk", rank().over(w).cast("long"))
-        .withColumn("drnk", dense_rank().over(w).cast("long"))
-        .withColumn("prnk", percent_rank().over(w))
-        .withColumn("cume", cume_dist().over(w))
-        .drop("o_orderdate")
-        .orderBy("o_orderkey")
-    }),
-
-    // EXT global top-k: ORDER BY + LIMIT must plan TakeOrderedAndProject
-    // (per-partition heaps + driver merge of k rows), never a full range
-    // sort — the difference between shipping 20 rows and shuffling the
-    // table at 100 TB. PlanShapeSpec asserts the plan.
-    "q28_topk_global" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        .limit(20)),
-
-    // EXT set ops: customers with BOTH an urgent and a low-priority order.
-    // INTERSECT semantics via single-scan conditional aggregation: the
-    // literal INTERSECT plan scans orders twice and pays two distincts +
-    // a join; flagging both priorities in one groupBy is one pushed-down
-    // IN-scan and one shuffle. Oracle keeps the INTERSECT SQL — same rows.
-    "q13_intersect" -> ((s, dir) => {
-      val both = t(s, dir, "orders")
-        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-        .groupBy("o_custkey")
-        .agg(
-          max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("u"),
-          max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0)).as("l"))
-        .filter(col("u") === 1 && col("l") === 1)
-        .select("o_custkey")
-      both.join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
-          Seq("o_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy(desc("n_customers"), asc("c_mktsegment"))
-    }),
-
-    // EXT pivot: order counts per segment x priority (declared values).
-    "q14_pivot" -> ((s, dir) =>
-      Relational.pivotCounts(
-        t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")
-            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
-            Seq("o_custkey")),
-        "c_mktsegment", "o_orderpriority",
-        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))),
-
-    // EXT exact percentile aggregates (sort-based, distributed).
-    "q16_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.5)").as("med"),
-          expr("percentile(l_quantity, 0.9)").as("p90"),
-          count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag")),
-
-    // EXT temporal scalar functions: per (year, month) order stats.
-    "q17_date_parts" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy(year(col("o_orderdate")).as("y"),
-          month(col("o_orderdate")).as("m"))
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("y", "m")),
-
-    // EXT window frames: lag + rolling 3-row sum per customer (frame
-    // specs — ROWS BETWEEN — are otherwise unexercised in the registry).
-    "q19_window_frames" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      val w3 = w.rowsBetween(-2, 0)
-      t(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          col("o_totalprice"))
-        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
-        .withColumn("sum3",
-          sum(col("o_totalprice")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w3)
-            .cast("double"))
-        .withColumn("rn3", count(lit(1)).over(w3).cast("long"))
-        .select("o_custkey", "o_orderkey", "prev_price", "sum3", "rn3")
-        .orderBy("o_custkey", "o_orderkey")
-    }),
-
-    // EXT window function: top-3 orders per customer by price.
-    "q8_window_topn" -> ((s, dir) =>
-      Relational.topNPerGroup(
-        t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
-        "o_custkey", "o_totalprice", "o_orderkey", 3)),
-
-    // EXT time windows (batch twins of graft.streaming):
-    "q9_events_tumbling" -> ((s, dir) =>
-      Events.tumblingAgg(t(s, dir, "events"))),
-    "q9b_events_sliding" -> ((s, dir) =>
-      Events.slidingAgg(t(s, dir, "events"))),
-    // semi-structured: JSON props parsed with explicit schema, aggregated
-    "q11_props_json" -> ((s, dir) =>
-      Events.propsFieldAgg(t(s, dir, "events"))),
-    // time-series as-of join: each click sees the user's latest prior view
-    "q15_asof_join" -> ((s, dir) =>
-      Events.asOfJoin(t(s, dir, "events"), "click", "view")),
-    // FORWARD as-of join: each click sees the user's NEXT view and the
-    // gap to it — time-to-next-touch; same union-window linear shape,
-    // the window just runs in descending time (no self/range join)
-    "q43_asof_forward" -> ((s, dir) =>
-      Events.asOfJoinForward(t(s, dir, "events"), "click", "view")),
-    "q10_sessionize" -> ((s, dir) =>
-      Events.sessionize(t(s, dir, "events"))),
-    // batch range join via time banding: the equi-join reformulation of
-    // the quadratic "views in the preceding hour" interval predicate
-    "q27_range_join_banded" -> ((s, dir) =>
-      Events.bandedRangeJoin(t(s, dir, "events"))),
-    // interval×interval overlap join: which user pairs were active
-    // concurrently — sessions explode to covered hour bands (bounded
-    // in-plan), candidates meet on a band equi-join, the exact overlap
-    // predicate filters; banding losslessness proven by the plain
-    // quadratic oracle
-    "q42_interval_overlap" -> ((s, dir) =>
-      Events.sessionOverlaps(t(s, dir, "events"))),
-    // REAL Structured Streaming run (file micro-batches, AvailableNow,
-    // complete-mode memory sink) — equals the batch tumbling agg, so the
-    // streaming family gets a driver-oracle'd row, not just specs.
-    "stream_tumbling_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.tumblingCountsParityRun(s, s"$dir/events.parquet")),
-    // sliding (overlapping) windows as a real streaming run — the
-    // stateful agg holds window/slide live windows per (slot, type);
-    // complete mode keeps them all, so the run equals batch slidingAgg
-    "stream_sliding_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.slidingCountsParityRun(
-        s, s"$dir/events.parquet")),
-    // mapGroupsWithState per-user running totals, final state == batch agg
-    // (exact integer cents — state-iterator order is not deterministic,
-    // double addition is order-sensitive, cents are not)
-    "stream_user_stats_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.userStatsParityRun(s, s"$dir/events.parquet")),
-    // stream-static enrichment: per-batch broadcast dim join + stateful
-    // counts, final result == the batch events × customer join
-    "stream_enrich_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.enrichmentParityRun(
-        s, s"$dir/events.parquet", t(s, dir, "customer"))),
-    // flatMapGroupsWithState streaming dedup over a real AvailableNow run:
-    // kept set == batch "lowest doc_id per md5 fingerprint survives"
-    "stream_dedup_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.dedupParityRun(s, s"$dir/documents.parquet")),
-    // watermarked stream-stream interval join (clicks ⋈ views within 1h),
-    // real AvailableNow run; oracle = the batch interval join
-    "stream_interval_join_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.intervalJoinParityRun(s, s"$dir/events.parquet")),
-    // native session_window aggregation as a real run; oracle = batch
-    // gap-sessionization with session_window's half-open boundary
-    "stream_session_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.sessionParityRun(s, s"$dir/events.parquet")),
-    // foreachBatch merge-upsert sink: 3 micro-batches each MERGE "latest
-    // event per user" into versioned keyed state; final state == the
-    // batch latest-per-user query however the files split into batches
-    "stream_upsert_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.upsertParityRun(s, s"$dir/events.parquet")),
-    // the admission gate DEPLOYED as a stream: document micro-batches
-    // probe the persisted sig index via foreachBatch, each cycle appends
-    // its admitted docs so later cycles see them as corpus; verdicts AND
-    // micro-batch assignment both hash-checked by the N-cycle oracle.
-    // 2 cycles — cycle 1 seeing cycle 0's admissions already proves the
-    // cross-batch visibility contract; each extra cycle costs a full
-    // state-store startup (the suite's priciest fixed cost)
-    "stream_ingest_gate_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.ingestGateParityRun(
-        s, s"$dir/documents.parquet", nSlices = 2)),
-    // the vector twin of the ingest gate: even vec_ids are the indexed
-    // corpus (vecFingerprint identity), odd ids stream in 3 micro-batches.
-    // Three PLANTED duplicates force every verdict across known cycles:
-    // a corpus copy (c0 exact_dup), a copy of a c0 admission arriving in
-    // c2 (cross-batch index visibility), an identical pair inside c1
-    // (batch_dup). The oracle replays the union + all 3 cycles in SQL.
-    "stream_embed_gate_parity" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .select("vec_id", "embedding")
-      val planted = emb.filter(col("vec_id").isin(0L, 1L, 3L))
-        .select(
-          when(col("vec_id") === 0L, lit(10000003L))   // c0: dup of corpus 0
-            .when(col("vec_id") === 1L, lit(10000007L)) // c2: dup of c0-admitted 1
-            .otherwise(lit(10000005L)).as("vec_id"),    // c1: batch twin of 3
-          col("embedding"))
-      graft.streaming.EventStream.embedGateParityRun(s, emb.unionByName(planted))
-    }),
-    // same latest-event-per-user contract through the Spark 4 v2 state
-    // API (StatefulProcessor + transformWithState on RocksDB state)
-    "stream_tws_latest_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.twsLatestParityRun(s, s"$dir/events.parquet")),
-    // ListState member of the v2 family: bounded per-user top-3 events
-    "stream_tws_topk_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.twsTopKParityRun(s, s"$dir/events.parquet")),
-
-    // EXT text analysis over documents:
-    "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
-    "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
-    // EXT language-ID eval vs the labeled lang column: full confusion
-    // matrix with per-cell row-recall / column-precision and global
-    // accuracy riding along — the asymmetric-confusion surface a bare
-    // accuracy number hides; |langs|²-bounded agg + broadcast marginals
-    "lang_id_eval" -> ((s, dir) =>
-      TextAnalysis.langIdEval(t(s, dir, "documents"))),
-    // EXT readability: Flesch reading ease in integer milli (vowel-run
-    // syllable proxy, min-1 sentences) — the grade-level quality signal
-    // beside length/stopword ratios; map-only, floor-div twin-matched
-    "text_readability" -> ((s, dir) =>
-      TextAnalysis.readability(t(s, dir, "documents"))),
-    "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
-    // EXT training-mix allocation: τ=1/2 temperature rebalance of a 10%
-    // token budget across sources, split by exact largest remainder —
-    // Σ alloc == budget asserted IN-PLAN; the share_bp − raw_share_bp
-    // gap is the up-sampling a data-mixing stage applies
-    "text_mix_allocation" -> ((s, dir) =>
-      TextAnalysis.mixAllocation(t(s, dir, "documents"))),
-    // EXT token-balanced export sharding: contiguous cuts of the exact
-    // global token prefix-sum line — every shard total/S ± one doc by
-    // construction; the per-shard share_bp report IS the straggler check
-    "text_shard_balance" -> ((s, dir) =>
-      TextAnalysis.shardBalance(t(s, dir, "documents"))),
-    // EXT token-budget curation: per source, highest-uniq-ratio docs
-    // greedily fill tokens div 4 (quality-first under a budget — the
-    // data-constrained selection rule); per-doc kept verdict, ONE
-    // source-keyed sort shuffle for prefix sum + budget together
-    "text_budget_select" -> ((s, dir) =>
-      TextAnalysis.budgetSelect(t(s, dir, "documents"))),
-    "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
-    // fixed-size token windows with overlap (LLM context chunking)
-    "doc_chunk" -> ((s, dir) => TextAnalysis.chunkTokens(t(s, dir, "documents"))),
-    // PII redaction; the corpus has no PII, so deterministic email/phone
-    // strings are synthesized per doc (same trick as fp_na_fill's nulls)
-    // for a non-degenerate oracle: every doc gets 1 email, every 3rd a
-    // phone number.
-    "text_redact" -> ((s, dir) =>
-      TextAnalysis.redactPii(
-        t(s, dir, "documents").withColumn("text",
-          concat(col("text"), lit(" contact user"), col("doc_id"),
-            lit("@example.com"),
-            when(col("doc_id") % 3 === 0,
-              format_string(" tel 555-%03d-%04d",
-                col("doc_id") % 1000, col("doc_id") % 10000))
-              .otherwise(lit("")))))),
-
-    // EXT table-level privacy audit (the release gate complementing
-    // text_redact's per-doc scrub): k-anonymity / l-diversity over a
-    // quasi-identifier projection of customer — (nation, segment,
-    // balance-kilobucket) as the QI, name as the sensitive column. One
-    // hash aggregate; only the violating tail is returned.
-    "privacy_k_anon" -> ((s, dir) =>
-      graft.ops.Privacy.kAnonymityGroups(
-        t(s, dir, "customer").withColumn("bal_kb",
-          floor(col("c_acctbal") / 1000).cast("long")),
-        qi = Seq("c_nationkey", "c_mktsegment", "bal_kb"),
-        sensitive = "c_name", k = 5, l = 2)),
-
-    // EXT one-row k-anonymity release report: suppression rate in bp,
-    // dataset min-k/min-l — the number a data-release checklist gates on.
-    "privacy_k_report" -> ((s, dir) =>
-      graft.ops.Privacy.kAnonymityReport(
-        t(s, dir, "customer").withColumn("bal_kb",
-          floor(col("c_acctbal") / 1000).cast("long")),
-        qi = Seq("c_nationkey", "c_mktsegment", "bal_kb"),
-        sensitive = "c_name", k = 5, l = 2)),
-
-    // EXT DP count release (geometric mechanism, integer-portable
-    // discrete-Laplace sampler): per-nation noisy customer counts with
-    // per-row epsilon stamps; the whole mechanism hash-oracle-checked
-    "privacy_dp_counts" -> ((s, dir) =>
-      graft.ops.Privacy.dpCounts(t(s, dir, "customer"), "c_nationkey")),
-
-    // EXT the APPLIED suppression release: rows whose QI group passes
-    // both k and l — the policy the audits report on, executed
-    "privacy_suppress" -> ((s, dir) =>
-      graft.ops.Privacy.kAnonymitySuppress(
-        t(s, dir, "customer").withColumn("bal_kb",
-          floor(col("c_acctbal") / 1000).cast("long")),
-        qi = Seq("c_nationkey", "c_mktsegment", "bal_kb"),
-        sensitive = "c_name", k = 5, l = 2)
-        .orderBy("c_custkey")),
-
-    // EXT DP sum release at bounded sensitivity: per-row clamp to
-    // [0, 5000_00] cents, sensitivity-granular discrete-Laplace noise
-    "privacy_dp_sums" -> ((s, dir) =>
-      graft.ops.Privacy.dpSums(t(s, dir, "customer"), "c_nationkey",
-        round(col("c_acctbal") * 100), clampMax = 500000L)),
-
-    // EXT generalization ladder: coarsen the balance QI through
-    // 1k/10k/100k/1M buckets, report each level's k-anonymity landscape
-    // and the cheapest level fitting the 5% suppression budget —
-    // generalize-before-suppress as a driver-checked table.
-    "privacy_generalization" -> ((s, dir) =>
-      graft.ops.Privacy.generalizationLadder(
-        t(s, dir, "customer"),
-        qiFixed = Seq("c_nationkey", "c_mktsegment"),
-        numCol = "c_acctbal", sensitive = "c_name")),
-
-    // EXT t-closeness audit: the leak l-diversity misses — per
-    // (priority, year) group, TVD-in-bp between the group's
-    // order-status mix and the global one, worst 20 groups first; the
-    // full status domain scored per group (absent cells = p 0), all
-    // integer so the gate number itself hash-oracles.
-    "privacy_t_closeness" -> ((s, dir) =>
-      graft.ops.Privacy.tClosenessReport(
-        t(s, dir, "orders")
-          .withColumn("o_year", year(col("o_orderdate")).cast("long")),
-        qi = Seq("o_orderpriority", "o_year"),
-        sensitive = "o_orderstatus")),
-
-    // per-doc top-3 terms by frequency (stopword-filtered, exact tf)
-    "text_top_terms" -> ((s, dir) =>
-      TextAnalysis.topTerms(t(s, dir, "documents"))),
-
-    // corpus bigram document frequencies, global top-20
-    "text_bigram_df" -> ((s, dir) =>
-      TextAnalysis.bigramDf(t(s, dir, "documents"))),
-
-    // EXT cross-source vocabulary overlap: exact per-pair Jaccard in bp
-    // — the mirror/re-crawl detector a corpus mix runs; (source, term)
-    // collapse, then a term-keyed join bounded by |sources|^2 per term.
-    "text_source_overlap" -> ((s, dir) =>
-      TextAnalysis.sourceOverlap(t(s, dir, "documents"))),
-
-    // EXT frequency-of-frequencies spectrum: hapax mass + log2 tail
-    // decay + per-band vocab/token shares — the Zipf diagnostic behind
-    // every vocabulary-size and pruning-threshold decision. One
-    // vocabulary shuffle, then <=64-row aggregates.
-    "text_freq_spectrum" -> ((s, dir) =>
-      TextAnalysis.freqSpectrum(t(s, dir, "documents"))),
-
-    // EXT collocation mining: top-30 adjacent pairs by integer lift
-    // (= monotone PMI rank; occurrence counts, broadcast vocab joins,
-    // minCount-5 support floor, TakeOrdered top-k)
-    "text_collocations" -> ((s, dir) =>
-      TextAnalysis.collocations(t(s, dir, "documents"))),
-
-    // EXT per-source n-gram diversity (distinct-1/distinct-2 bp): the
-    // templated-text / model-contamination screen per corpus slice
-    "text_ngram_diversity" -> ((s, dir) =>
-      TextAnalysis.ngramDiversity(t(s, dir, "documents"))),
-
-    // EXT the same report on HLL registers (the 100 TB swap applied:
-    // |strata|·1024 cells of reducer state, estimates hash-oracle'd)
-    "text_ngram_diversity_hll" -> ((s, dir) =>
-      TextAnalysis.ngramDiversityHll(t(s, dir, "documents"))),
-
-    // EXACT global top-20 tokens via bounded-state Misra-Gries
-    // candidates + exact rescore (no full-vocabulary shuffle); the
-    // losslessness bound is asserted inside the plan.
-    "text_heavy_hitters" -> ((s, dir) =>
-      TextAnalysis.heavyHitters(t(s, dir, "documents"))),
-
-    // EXT integer LM-familiarity quality score: char-trigram counts
-    // trained on the corpus, documents scored by occurrence-weighted
-    // corpus frequency (broadcast-probed, charset³-bounded model).
-    "text_lm_familiarity" -> ((s, dir) =>
-      TextAnalysis.lmFamiliarity(t(s, dir, "documents"))),
-
-    // EXT integer BM25 retrieval: top-10 docs for a fixed literal query;
-    // corpus shuffles only query-term postings, never its vocabulary.
-    "search_bm25" -> ((s, dir) =>
-      TextAnalysis.bm25TopK(t(s, dir, "documents"), Bm25QueryTerms)),
-
-    // EXT PRF query expansion (Rocchio/BM25): top-3 feedback docs mine
-    // the 3 heaviest non-query non-stopword terms, the corpus rescoring
-    // joins the expanded set as a broadcast TABLE (never collected),
-    // and the chosen expansion itself rides along as a checked column.
-    "search_prf_expand" -> ((s, dir) =>
-      TextAnalysis.prfExpand(t(s, dir, "documents"), Bm25QueryTerms)),
-
-    // EXT hybrid retrieval: BM25 top-10 ∪ cosine top-10 (query = vec 0's
-    // embedding) fused by integer-exact Reciprocal Rank Fusion.
-    "search_hybrid" -> ((s, dir) =>
-      TextAnalysis.searchHybrid(t(s, dir, "documents"),
-        t(s, dir, "embeddings"), Bm25QueryTerms)),
-
-    // EXT tokenizer-training surface: corpus-wide adjacent-char-pair
-    // frequencies (the first BPE merge statistic), top-20.
-    "bpe_merge_pairs" -> ((s, dir) =>
-      TextAnalysis.bpePairStats(t(s, dir, "documents"))),
-
-    // EXT distributed BPE training: the first 5 merge rounds end-to-end
-    // (count pairs → global argmax → greedy rewrite, per round); the
-    // oracle unrolls the loop as CTEs with scalar-subquery argmaxes.
-    "bpe_train" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(t(s, dir, "documents"), BpeTrainMerges)),
-
-    // EXT batched BPE training: same merge table, ~maxBatch× fewer
-    // full pair-count passes (the 100 TB pass-count shape). Shares the
-    // SEQUENTIAL oracle — the driver hash compare IS the equivalence
-    // gate, so any batching divergence fails loudly.
-    "bpe_train_batched" -> ((s, dir) =>
-      TextAnalysis.bpeTrainBatched(t(s, dir, "documents"), BpeTrainMerges)),
-
-    // EXT tokenizer application: encode the corpus with the trained
-    // merges — per-doc word/char/token counts + tokens-per-char
-    // compression (the token-budget statistic); one map-only corpus
-    // pass after dictionary-bounded training.
-    "bpe_encode" -> ((s, dir) =>
-      TextAnalysis.bpeEncode(t(s, dir, "documents"), BpeTrainMerges)),
-
-    // EXT tokenizer fertility: tokens-per-word and chars-per-token per
-    // source under the trained merge table — the token-budget /
-    // domain-mismatch statistic (integer milli-units).
-    "bpe_fertility" -> ((s, dir) =>
-      TextAnalysis.bpeFertility(t(s, dir, "documents"), BpeTrainMerges)),
-
-    // per-doc top-3 terms by TF-IDF (integer-exact idf surrogate; corpus
-    // df + N computed distributed, ReuseExchange shares the tf shuffle)
-    "text_tfidf_topk" -> ((s, dir) =>
-      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
-
-    // Gopher-style structural quality rules, integer-exact, map-only
-    "quality_filter" -> ((s, dir) =>
-      TextAnalysis.qualityFilter(t(s, dir, "documents"))),
-
-    // EXT CDC apply (merge upsert): base snapshot + synthesized I/U/D
-    // change feed (updates bump every 10th key's price, deletes remove
-    // every 100th), latest version wins. The corpus has no change feed,
-    // so one is derived deterministically from orders itself.
-    "cdc_apply" -> ((s, dir) => {
-      val base = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
-      val updates = base.filter(col("o_orderkey") % 10 === 0)
-        .select(col("o_orderkey"),
-          (col("o_totalprice") + 1000.0d).as("o_totalprice"))
-        .withColumn("version", lit(1L)).withColumn("op", lit("U"))
-      val deletes = base.filter(col("o_orderkey") % 100 === 0)
-        .select(col("o_orderkey"), lit(0.0d).as("o_totalprice"))
-        .withColumn("version", lit(2L)).withColumn("op", lit("D"))
-      graft.ops.Cdc.apply(base, updates.unionByName(deletes), "o_orderkey")
-        .orderBy("o_orderkey")
-    }),
-
-    // EXT SCD2 dimension build: each user's event_type as the tracked
-    // attribute, events as the change feed — consecutive same-type runs
-    // collapse into [valid_from, valid_to) versions, one shuffle by user
-    "scd2_build" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      graft.ops.Cdc.scd2(
-        ev.withColumn("us", Events.tsUs(ev)),
-        key = "user_id", attr = "event_type", orderUs = "us",
-        seq = "event_id")
-    }),
-
-    // EXT dedup family over documents:
-    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
-
-    // EXT chunk-granular substring dedup: drop repeated 10-token chunks
-    // corpus-wide (keep first occurrence), rebuild each document from
-    // its surviving chunks — passage-level cleanup, not doc-level drop.
-    "dedup_chunk_substrings" -> ((s, dir) =>
-      Dedup.chunkDedup(t(s, dir, "documents"))),
-
-    // EXT boilerplate strip: 10-token chunks present in >= 3 DISTINCT
-    // docs removed from EVERY document (df-threshold cleanup — unlike
-    // chunk dedup's keep-first), docs rebuilt from surviving chunks.
-    "text_boilerplate" -> ((s, dir) =>
-      Dedup.boilerplateStrip(t(s, dir, "documents"))),
-
-    // EXT COMPOSED corpus-prep pipeline: boilerplate strip → quality
-    // filter on cleaned text → exact dedup → decontaminate reps, with
-    // first-failing-stage attribution per doc and the kept token budget.
-    "corpus_prep" -> ((s, dir) =>
-      TextAnalysis.corpusPrep(t(s, dir, "documents"))),
-
-    // EXT per-(source, lang) corpus health report: volumes, quality pass
-    // rate, exact-dup rate — integer bp, one keyed aggregation.
-    "corpus_report" -> ((s, dir) =>
-      TextAnalysis.corpusReport(t(s, dir, "documents"))),
-    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
-    // asymmetric inclusion (doc quoted inside another): containment
-    // |A∩B|/|A| ≥ 0.8 per direction — what symmetric jaccard misses
-    "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"))),
-    // LOSSLESS prefix-filtered containment (inner-side-only prefix under
-    // the containment bound): same answer as UNCAPPED directed
-    // containment — no df-cap blindness
-    "dedup_containment_prefix" -> ((s, dir) =>
-      Dedup.containmentPrefix(t(s, dir, "documents"))),
-    // LOSSLESS prefix-filtered exact Jaccard (AllPairs/PPJoin candidate
-    // condition): same answer as UNCAPPED exact Jaccard — boilerplate
-    // shingles land in rarest-first suffixes instead of being dropped
-    "dedup_jaccard_prefix" -> ((s, dir) => Dedup.jaccardPrefix(t(s, dir, "documents"))),
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
-    // near-dup pairs -> connected components -> canonical keep-id per doc
-    "dedup_clusters" -> ((s, dir) =>
-      Dedup.resolveClusters(Dedup.ngramJaccard(t(s, dir, "documents")))),
-    // steady-state ingestion: batch (odd ids) deduped against corpus (even)
-    "dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.incrementalExact(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1))
-    }),
-    // EXT Unicode NFC dedup: composed (U+00E9) and decomposed (e+U+0301)
-    // spellings of the same text are different bytes — exact dedup is
-    // blind to them until canonical composition. The corpus is ASCII, so
-    // deterministic composed/decomposed variants are synthesized per doc
-    // (the text_redact trick) and collapsed through the codegen'd
-    // NfcNormalize kernel; the oracle rebuilds the same variants with
-    // chr() and DuckDB's nfc_normalize — two independent NFC
-    // implementations (JDK vs utf8proc) agreeing byte-for-byte.
-    "dedup_unicode_nfc" -> ((s, dir) => {
-      // composed / decomposed twins as explicit escapes: U+00E9 e-acute
-      // vs e + U+0301 combining acute; U+00FC u-umlaut vs u + U+0308
-      // combining diaeresis
-      val raw = when(col("doc_id") % 4 === 0, lit("caf\u00e9"))
-        .when(col("doc_id") % 4 === 1, lit("cafe\u0301"))
-        .when(col("doc_id") % 4 === 2, lit("Z\u00fcrich"))
-        .otherwise(lit("Zu\u0308rich"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), raw.as("raw"))
-        .withColumn("norm", graft.functions.NfcNormalize(col("raw")))
-        .groupBy("norm")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("raw")).as("n_raw_forms"),
-          min(col("doc_id")).as("keep_id"))
-        .orderBy("norm")
-    }),
-    // the full ingest ADMISSION verdict per arriving doc (exact vs
-    // corpus, exact within batch, MinHash-LSH near-dup vs corpus,
-    // near-dup within the batch, new): the decision a training pipeline
-    // makes every ingest cycle. Two synthetic batch docs with unique
-    // vocabulary are PLANTED so the intra-batch quadrant provably fires
-    // on every corpus size (natural odd/odd near-dups aren't guaranteed);
-    // the oracle plants the identical rows.
-    "dedup_ingest_gate" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val planted = Seq(
-        (PlantedNearDupIdA, PlantedNearDupTextA),
-        (PlantedNearDupIdB, PlantedNearDupTextB)).toDF("doc_id", "text")
-      val all = docs.unionByName(planted)
-      Dedup.ingestGate(
-        all.filter(col("doc_id") % 2 === 0),
-        all.filter(col("doc_id") % 2 === 1))
-    }),
-    // the gate's PERSISTED form: corpus signatures/caps built ONCE into
-    // an on-disk index (the process-shared sigIdx* fixtures — pid-scoped,
-    // JVM-exit cleanup like the IVF one), every cycle probes it with
-    // batch-sized work — the steady-state 100 TB ingest shape. Caps are
-    // corpus-scoped by construction (the one semantic difference from
-    // the inline gate), and the oracle rebuilds the same corpus-scoped
-    // chain in SQL.
-    "dedup_sig_index_probe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.probeSigIndex(s, sigIdxEven(s, dir),
-        docs.filter(col("doc_id") % 2 === 1))
-    }),
-    // TWO ingest cycles against one index: build on the even half,
-    // probe batch 1 (doc_id ≡ 1 mod 4), APPEND its admitted (verdict
-    // `new`) docs — batch-sized, no rebuild, caps stay build-pinned —
-    // then probe batch 2 (doc_id ≡ 3 mod 4), whose verdicts see cycle-1
-    // admissions as corpus. The steady-state 100 TB maintenance loop,
-    // oracle-replicated end to end.
-    "dedup_sig_index_append" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.probeSigIndex(s, sigIdxAppended(s, dir),
-        docs.filter(col("doc_id") % 4 === 3))
-    }),
-    // the REBUILD phase of the ingest lifecycle — the piece the append
-    // query's build-pinned-caps contract defers to ("df/bucket statistics
-    // refresh only on periodic rebuilds"): after one probe→append cycle,
-    // rebuild the index from the GROWN corpus (even ∪ cycle-1 admits), so
-    // hot-shingle dfs and hot buckets re-scope over what the index now
-    // holds, then probe batch 2 against BOTH indexes side by side. The
-    // verdict_parity column is the cap-drift measurement itself (1 where
-    // pinned and refreshed caps agree — at this corpus they all do; a 0
-    // would mean an appended doc pushed a shingle/bucket over its cap).
-    // Oracle replicates both probe chains: build-pinned (the append
-    // oracle's) and corpus2-rescoped.
-    "dedup_sig_index_rebuild" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val batch2 = docs.filter(col("doc_id") % 4 === 3)
-      val vAppend = Dedup.probeSigIndex(s, sigIdxAppended(s, dir), batch2)
-        .select(col("doc_id"), col("verdict").as("verdict_appended"),
-          col("match_id").as("match_appended"))
-      val vRebuild = Dedup.probeSigIndex(s, sigIdxRebuilt(s, dir), batch2)
-        .select(col("doc_id"), col("verdict").as("verdict_rebuilt"),
-          col("match_id").as("match_rebuilt"))
-      vRebuild.join(vAppend, "doc_id")
-        .withColumn("verdict_parity",
-          (col("verdict_rebuilt") === col("verdict_appended")).cast("long"))
-        .orderBy("doc_id")
-    }),
-    // the production dedup pipeline END TO END (the 100 TB path that
-    // Dedup.levenshteinRescore's doc promises; stages previously only
-    // checked separately): MinHash-LSH candidate generation → banded
-    // Levenshtein re-score → connected-component resolution → per-doc
-    // keep verdict (cluster members keep the canonical min-id; docs in
-    // no cluster keep themselves). The oracle composes the same stages:
-    // portable-hash MinHash CTEs + levenshtein + one recursive CTE.
-    "dedup_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cand = Dedup.minhashLsh(docs)
-      val rescored = Dedup.levenshteinRescore(cand, docs)
-      val clusters = Dedup.resolveClusters(rescored)
-      docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("keep_id"))
-        .withColumn("keep", (col("keep_id") === col("doc_id")).cast("long"))
-        .orderBy("doc_id")
-    }),
-    // EXT the PRETRAINING CURATION PIPELINE end to end, as ONE
-    // declarative plan with ONE hash oracle: quality gate → exact dedup
-    // (md5 canonical) → MinHash-LSH + Levenshtein near-dup clusters
-    // (canonicals survive) → token accounting on the survivors (total,
-    // packing sequences + waste at budget 256, worst shard share at 8
-    // token-balanced shards). The single-row report is what a data
-    // curation run publishes per corpus drop; every stage is the
-    // already-oracled operator, composed — the integration test OF the
-    // library's purpose, driver-checked as one hash.
-    "pipeline_pretrain_report" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val q = TextAnalysis.withQualityColumns(docs)
-        .filter(col("keep") === 1).select("doc_id", "text", "source")
-      val canon = q.groupBy(md5(col("text")).as("fp"))
-        .agg(min("doc_id").as("doc_id"))
-      // each surviving set feeds ≥3 downstream stages — stage it once
-      // (the single-process analog of persisting survivors between
-      // pipeline phases, which a 100 TB run does via the snapshot sink)
-      val exactKept = q.join(canon.select("doc_id"), "doc_id")
-        .localCheckpoint()
-      val clusters = Dedup.resolveClusters(
-        Dedup.levenshteinRescore(Dedup.minhashLsh(exactKept), exactKept))
-      val fdocs = exactKept.join(clusters, Seq("doc_id"), "left")
-        .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
-        .select("doc_id", "text", "source")
-        .localCheckpoint()
-      val pack = TextAnalysis.packEfficiency(fdocs, 256)
-        .select(col("n_docs").as("n_final"), col("total_tokens"),
-          col("n_sequences"), col("waste_bp").as("pack_waste_bp"))
-      val shard = TextAnalysis.shardBalance(fdocs, 8)
-        .agg(max("share_bp").as("max_shard_share_bp"))
-      docs.agg(count(lit(1)).as("n_raw"))
-        .crossJoin(broadcast(q.agg(count(lit(1)).as("n_quality"))))
-        .crossJoin(broadcast(
-          exactKept.agg(count(lit(1)).as("n_exact_kept"))))
-        .crossJoin(broadcast(pack))
-        .crossJoin(broadcast(shard))
-    }),
-    // EXT leakage-safe train/test split: near-duplicate CLUSTERS land in
-    // one split (a doc and its near-copy must never straddle train/test
-    // — the decontamination failure mode hash-splitting raw doc ids
-    // can't prevent). Composes the production dedup pipeline's cluster
-    // ids with the portable hash split keyed on cluster_id, so split
-    // membership is a pure function of content relationships.
-    "split_leakage_safe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val clusters = Dedup.resolveClusters(
-        Dedup.levenshteinRescore(Dedup.minhashLsh(docs), docs))
-      val withCluster = docs.select("doc_id")
-        .join(clusters, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      Features.hashSplit(withCluster, "cluster_id", 2000)
-        .select("doc_id", "cluster_id", "split")
-        .orderBy("doc_id")
-    }),
-    // cap observability: the drop-loudly contract as a CHECKED surface —
-    // per bounded-candidate stage, how many keys went over the cap and
-    // how many (doc, key) rows they carried (exact, portable basis).
-    "dedup_cap_stats" -> ((s, dir) => Dedup.capStats(t(s, dir, "documents"))),
-    // MinHash candidate recall vs the exact n-gram Jaccard answer at the
-    // matched threshold (8 bands × 4 rows ⇒ jaccard ≳ 0.5; exact side
-    // filters at 5000 bp) — the dedup twin of ann_recall, fully
-    // oracle'd. Both sides derive from ONE shared df-capped shingle
-    // scan (Dedup.minhashRecall), not two independent explodes.
-    "dedup_recall" -> ((s, dir) => Dedup.minhashRecall(t(s, dir, "documents"))),
-
-    // EXT similarity search over embeddings:
-    "sim_brute_topk" -> ((s, dir) => Similarity.bruteTopK(t(s, dir, "embeddings"), 20, 5)),
-    // EXT MMR diversity re-rank: λ=0.7 greedy pick of 5 from the top-20
-    // candidates per query (relevance minus redundancy vs the picked
-    // set) — the RAG context diversifier. Re-rank cost is independent
-    // of corpus size (candidates pluggable: brute here, ANN at scale);
-    // double cosines fold element-order identically in both engines, so
-    // the greedy SELECTION is hash-oracle'd end to end.
-    "sim_mmr_rerank" -> ((s, dir) =>
-      Similarity.mmrRerank(t(s, dir, "embeddings"))),
-
-    // EXT contrastive-training hard negatives: per-anchor top-5
-    // different-label cosine neighbors + hardest-positive margin flags
-    // (the triplet-loss active set); same broadcast scan shape as brute
-    "sim_hard_negatives" -> ((s, dir) =>
-      Similarity.hardNegatives(t(s, dir, "embeddings"), 20, 5)),
-    // SAMPLED-ANCHOR exact near-dup gold set (~100 portable-hash anchors
-    // × corpus, one broadcast map-side scan): the pair-recall family's
-    // scale-safe reference — bruteNearDup's all-pairs scan measured
-    // α(10)≈1.9 and stays as the guarded spec-only verifier (anchored ⊆
-    // brute, SimilarityEventsSpec)
-    "sim_neardup_cosine" -> ((s, dir) =>
-      Similarity.anchoredNearDup(t(s, dir, "embeddings"), 0.4)),
-
-    // EXT cosine RANGE search: everything within τ=0.3 of each of 20
-    // query vectors — the radius contract near-dup admission and
-    // recall-oriented retrieval want (k is wrong there); threshold
-    // filters in the scan, no per-query window/rank shuffle at all
-    "sim_range_search" -> ((s, dir) =>
-      Similarity.rangeSearch(t(s, dir, "embeddings"), 20, 0.3)),
-    // EXT SEMANTIC decontamination: corpus vectors within cosine 0.4 of
-    // any bench vector (bench = vec_id % 50 == 0, the decontaminate
-    // split), joined with the lexical gate's shared-shingle count over
-    // the same split. One PARAPHRASE is planted — bench vec 0 with one
-    // dimension zeroed (cosine 0.9985) carried by doc 0's text in
-    // REVERSED word order (1 shared trigram, under the lexical gate's
-    // minShared=3) — the leak class the shingle gate provably misses
-    // and this scan exists to catch. Broadcast-bench map-side scan;
-    // everything deterministic ⇒ hash-oracle'd end to end.
-    "decontaminate_semantic" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val docs = t(s, dir, "documents")
-      val bench = emb.filter(col("vec_id") % 50 === 0)
-        .select("vec_id", "embedding")
-      // planted paraphrase: bench vec 0, dim 1 zeroed, re-ingested under
-      // id+10^7 (the embed_dup_exact plant convention)
-      val plantEmb = emb.filter(col("vec_id") === 0).select(
-        (col("vec_id") + 10000000L).as("vec_id"),
-        concat(array(lit(0f)),
-          slice(col("embedding"), 2, 1000000)).as("embedding"))
-      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
-        .select("vec_id", "embedding").unionByName(plantEmb)
-      val sem = Similarity.semanticContamination(corpus, bench, 0.4)
-      // lexical gate over the same split: plant text = doc 0 reversed
-      val plantTxt = docs.filter(col("doc_id") === 0).select(
-        (col("doc_id") + 10000000L).as("doc_id"),
-        array_join(reverse(split(col("text"), " ")), " ").as("text"))
-      val corpusTxt = docs.filter(col("doc_id") % 50 =!= 0)
-        .select("doc_id", "text").unionByName(plantTxt)
-      val benchTxt = docs.filter(col("doc_id") % 50 === 0)
-        .select("doc_id", "text")
-      val lex = TextAnalysis.contamination(corpusTxt, benchTxt,
-          minShared = 1)
-        .withColumnRenamed("n_shared", "n_shared_shingles")
-      sem.join(lex, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("bench_id"), col("cosine"),
-          coalesce(col("n_shared_shingles"), lit(0L))
-            .as("n_shared_shingles"))
-        .orderBy("doc_id", "bench_id")
-    }),
-    // auto geometry (corpus count via the cached fixture — no per-run
-    // scan, ADVICE r11); at decades where banding can't hold recall at
-    // τ=0.4 the call ROUTES to the IVF-bounded candidate path instead
-    // of refusing (VERDICT r11 item 1)
-    "sim_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(
-      t(s, dir, "embeddings"), 0.4,
-      corpusN = tableRows(s, dir, "embeddings"))),
-    // EXT multi-probe sign-LSH retrieval: each query also probes the
-    // Hamming-1 buckets per band (recall without more bands/state);
-    // exact-cosine re-rank. The one ANN family with NO float fit —
-    // the full approximate path is hash-oracle'd, no recall floor needed
-    "sim_lsh_multiprobe_topk" -> ((s, dir) =>
-      Similarity.lshMultiProbeTopK(t(s, dir, "embeddings"))),
-    // EXT the LSH family's PERSISTED form (completes the lifecycle
-    // matrix: IVF, IVFADC and sign-LSH all have build-once/probe-many
-    // indexes): postings hive-partitioned by band with the hot-bucket
-    // cap pre-applied at build; ≡ the inline multiprobe by construction
-    // (spec-asserted), so the SAME SQL oracle hashes it
-    "ann_lsh_index_probe" -> ((s, dir) =>
-      Similarity.probeLshIndex(s, lshIdx(s, dir),
-        t(s, dir, "embeddings"))),
-    // EXT the probe-expansion payoff MEASURED and hash-checked:
-    // recall@5 of single- vs Hamming-1 multi-probe against the exact
-    // top-5 — all three sides deterministic, so the comparison is an
-    // oracle'd number, not a floored estimate. n_multi >= n_single is
-    // a theorem (an exact-top-5 pair outranked by at most 4 candidates
-    // can never leave a SUPERSET candidate set's top-5) — asserted
-    // in-plan anyway, so a probe-expansion regression fails loudly
-    "ann_recall_lsh_probes" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val exact = s.read.parquet(bruteRef(s, dir))
-      val single = Similarity.lshMultiProbeTopK(emb, 20, 5,
-        multiProbe = false).select("q_id", "vec_id")
-      val multi = Similarity.lshMultiProbeTopK(emb, 20, 5)
-        .select("q_id", "vec_id")
-      val ne = exact.agg(count(lit(1)).as("n_exact"))
-      val ns = exact.join(single, Seq("q_id", "vec_id"))
-        .agg(count(lit(1)).as("n_single"))
-      val nm = exact.join(multi, Seq("q_id", "vec_id"))
-        .agg(count(lit(1)).as("n_multi"))
-      ne.crossJoin(broadcast(ns)).crossJoin(broadcast(nm))
-        .select(col("n_exact"), col("n_single"),
-          when(assert_true(col("n_multi") >= col("n_single"),
-            lit("multi-probe candidates are a superset — captured count " +
-              "can never drop below single-probe")).isNull,
-            col("n_multi")).as("n_multi"),
-          expr("n_single * 10000 div n_exact").as("recall_single_bp"),
-          expr("n_multi * 10000 div n_exact").as("recall_multi_bp"))
-    }),
-    // coarse quantizer fit on the bounded 1000-row sample (the cap BITES
-    // at this corpus — half the vectors — so the sampled-training path
-    // is the one the recall floor actually measures; at 100 TB k-means
-    // over the full corpus is a cost cliff that buys no recall)
-    // the ORACLED face of the IVF path: at nProbe = nCentroids probing
-    // degenerates to the exhaustive scan (SimilarityEventsSpec asserts
-    // ≡ bruteTopK exactly), so the k-means float fits drop OUT of the
-    // result and the brute-cosine SQL hashes it — pinning the whole IVF
-    // plumbing (list routing, candidate union, re-rank) to a DuckDB
-    // hash. The PRUNED config isn't separately registered: ann_recall_ivf
-    // runs the identical inline ivfTopK under its 4800 bp floor and
-    // ann_index_probe runs the persisted pruned probe, so a third
-    // rows-only registration of the same pipeline measured nothing the
-    // driver could check
-    "sim_ivf_topk_fullprobe" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), 20, 5,
-        nProbe = 16, fitSampleCap = 1000,
-        fit = Some(coarseFit16(s, dir)))),
-    // EXT persisted ANN index: build the IVF index once (cluster-
-    // partitioned lists on disk), then answer the query batch by probing
-    // it — the scan reads only the probed partitions (DPP). Integer-
-    // Lloyd coarse quantizer ⇒ hash-oracled (promoted round 10);
-    // ≡ the inline ivfTopK, spec-asserted.
-    "ann_index_probe" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      // build-once fixture (pid-scoped, JVM-exit cleanup): each run of
-      // the query measures the PROBE — the steady-state op
-      Similarity.probeIvfIndex(s, ivfIdx(s, dir),
-        emb.filter(col("vec_id") < 20), 5)
-    }),
-    // EXT product quantization ANN at the SUBLINEAR configuration:
-    // 8-byte codes over 256-word codebooks buy enough ADC resolution
-    // that a FIXED 64-row exact re-rank holds recall (PqTune-measured
-    // 9300 bp at sf0.1 N=2000 = 3.2% of corpus, 10000 bp at N=500 —
-    // vs the coarse 4x16 codebook's 15%-of-corpus auto shortlist).
-    // Integer-Lloyd codebooks ⇒ the WHOLE retrieval hash-oracles
-    // (promoted round 10; recall unchanged at 9300 bp sf0.1);
-    // ≡ bruteTopK at shortlist >= corpus, spec-asserted.
-    // codebooks fit on the bounded 1000-row sample; the ADC shortlist
-    // is the bounded-state TopKAgg, not a full-N window. Shortlist is
-    // LADDERED with corpus size (base rung 64, the oracle's constant;
-    // 512 at the second decade — corpus FRACTION still falls 25×)
-    "sim_pq_topk" -> ((s, dir) =>
-      Similarity.pqTopK(t(s, dir, "embeddings"), 20, 5,
-        m = 8, codebookSize = 256,
-        shortlist = pqShortlist(tableRows(s, dir, "embeddings")),
-        fitSampleCap = 1000, fit = Some(pqFit8x256(s, dir)))),
-    // EXT the COMPOSED ANN scale path (IVFADC): IVF lists bound WHICH
-    // vectors are candidates (6 of 16 lists probed per query — the codes
-    // scan partition-prunes via DPP, PlanShapeSpec-asserted), PQ codes
-    // bound the BYTES per candidate (8 vs 256), a fixed 64-row exact
-    // re-rank restores ranking. Build-once/probe-many persisted form;
-    // integer-Lloyd fits ⇒ hash-oracled end to end (promoted round 10);
-    // recall floor stays armed in ann_recall_ivfpq.
-    "sim_ivfpq_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val n = tableRows(s, dir, "embeddings")
-      // build-once fixture: each run measures the DPP-pruned probe
-      Similarity.probeIvfPqIndex(s, ivfPqIdx(s, dir),
-        emb.filter(col("vec_id") < 20), 5,
-        nProbe = ivfPqNProbe(n), shortlist = ivfPqShortlist(n))
-    }),
-    // similarity × dedup composition: sign-LSH near-dup pairs resolved to
-    // connected components — embedding-level duplicate clusters
-    "dedup_embedding_clusters" -> ((s, dir) =>
-      Dedup.resolveClusters(
-        Similarity.lshNearDup(t(s, dir, "embeddings"), 0.4,
-            corpusN = tableRows(s, dir, "embeddings"))
-          .select(col("va").as("da"), col("vb").as("db")))),
-    // int8 embedding quantization (storage/bandwidth path)
-    "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))),
-
-    // EXT exact duplicate-vector dedup (vector-store hygiene): corpus
-    // vectors are distinct by construction, so one exact duplicate is
-    // PLANTED (vec 0 re-ingested under id+10^7 — the shard-replay
-    // failure mode the op exists for) and the one group is the
-    // deterministic positive the oracle checks
-    "embed_dup_exact" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val planted = emb.filter(col("vec_id") === 0)
-        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
-      Similarity.exactDupVectors(emb.unionByName(planted))
-    }),
-    // EXT norm-distribution audit: banded integer squared norms — dead
-    // vectors / exploded outliers / two-encoder bimodality all surface
-    // as band structure; map-only + #bands-row agg
-    "embed_norm_audit" -> ((s, dir) =>
-      Similarity.normHistogram(t(s, dir, "embeddings"))),
-    // EXT per-dimension centroid drift between corpus halves — the
-    // distribution-shift audit before mixing corpora / swapping encoder
-    // versions; floor-means via the portable pmod identity (sums go
-    // negative), dims x 2 aggregate cells
-    "embed_centroid_drift" -> ((s, dir) =>
-      Similarity.centroidDrift(t(s, dir, "embeddings"))),
-
-    // EXT ANN quality surface: recall of the sign-LSH near-dup pairs vs
-    // the exact brute-force answer at the same threshold — the tuning
-    // report a vector user reads before trusting band settings. One row
-    // of exact integer counts; both sides deterministic, so the whole
-    // report is oracle'd (the LSH side reuses the portable-hash CTEs).
-    "ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      // SAMPLED gold set (the anchored scan, linear at any corpus): LSH
-      // recall is measured over pairs with >= 1 anchor endpoint — an
-      // unbiased estimate of full-pair recall that stays runnable at
-      // 100×, where the old brute all-pairs reference (α(10)≈1.9)
-      // could not go. One full-outer join + one aggregate.
-      val n = tableRows(s, dir, "embeddings")
-      val keepBp = Similarity.anchorKeepBp(n, 100)
-      val exact = Similarity.anchoredNearDup(emb, 0.4).select("va", "vb")
-      val lsh = Similarity.lshNearDup(emb, 0.4, corpusN = n)
-        .select("va", "vb")
-        .filter(Similarity.isAnchor(col("va"), keepBp) ||
-          Similarity.isAnchor(col("vb"), keepBp))
-      exact.withColumn("in_e", lit(1L))
-        .join(lsh.withColumn("in_l", lit(1L)), Seq("va", "vb"), "full")
-        .agg(
-          coalesce(sum("in_e"), lit(0L)).as("n_exact"),
-          coalesce(sum("in_l"), lit(0L)).as("n_lsh"),
-          coalesce(sum(col("in_e") * col("in_l")), lit(0L)).as("n_captured"))
-        .withColumn("recall_bp",
-          graft.functions.Texty.ratioBp(col("n_captured"), col("n_exact")))
-    }),
-
-    // EXT IVF recall report: recall@k of ivfTopK at its default PARTIAL
-    // probe (nProbe 4 of 16 centroids — ~4× less scored work than
-    // exhaustive) against bruteTopK on the same queries. The integer-
-    // Lloyd coarse quantizer has an exact SQL twin, so the report is
-    // hash-oracled (promoted round 10; the float fit kept it rows-only).
-    "ann_recall_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      // one full-outer join + one aggregate: the brute scan and the
-      // k-means-backed IVF pipeline each run exactly once. Floor 4800:
-      // the sampled coarse fit (cap 1000, bites here) measures 5800 bp
-      // at sf0.1 vs 6600 full-fit (IvfPqTune) — the band moved with the
-      // deliberately-bitten sample, the floor follows ~1000 bp under it
-      val exact = s.read.parquet(bruteRef(s, dir))
-      val approx = Similarity.ivfTopK(emb, 20, 5, fitSampleCap = 1000,
-          fit = Some(coarseFit16(s, dir)))
-        .select("q_id", "vec_id")
-      annRecallReport(exact, approx, floorBp = Some(4800))
-    }),
-    // recall@k of the PQ/ADC shortlist path at production settings —
-    // completes the per-path ANN quality surface (LSH: ann_recall,
-    // IVF: ann_recall_ivf, PQ: here). Hash-oracled (round 10).
-    "ann_recall_pq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val exact = s.read.parquet(bruteRef(s, dir))
-      // the sublinear config sim_pq_topk runs; floor raised 4600 → 6000
-      // now that the hi-res codebook measures 9300 bp at sf0.1 (a
-      // regenerated corpus has headroom; a collapse below 60% recall
-      // means the codebook-resolution contract broke — fail loudly).
-      // Shortlist is LADDERED (sl=512 at the second decade — 8200 bp
-      // measured, round-10 retune table): the floor stays armed at
-      // every rung instead of throwing at ×100 under a 1×-sized knob
-      val approx = Similarity.pqTopK(emb, 20, 5,
-          m = 8, codebookSize = 256,
-          shortlist = pqShortlist(tableRows(s, dir, "embeddings")),
-          fitSampleCap = 1000, fit = Some(pqFit8x256(s, dir)))
-        .select("q_id", "vec_id")
-      annRecallReport(exact, approx, floorBp = Some(6000))
-    }),
-    // recall of the COMPOSED IVFADC path at the registered settings
-    // (nProbe 6/16 lists = 37.5% of codes scanned, sampled fits, 64-row
-    // exact re-rank): the integer-Lloyd fits measure 8100 bp at sf0.1
-    // (vs the float fits' 6900) — the PQ stage costs ~nothing on top of
-    // its IVF pruning. Hash-oracled (round 10).
-    "ann_recall_ivfpq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val n = tableRows(s, dir, "embeddings")
-      val exact = s.read.parquet(bruteRef(s, dir))
-      val approx = Similarity.ivfPqTopK(emb, 20, 5,
-        nProbe = ivfPqNProbe(n), shortlist = ivfPqShortlist(n),
-        fitSampleCap = 1000,
-        coarseFit = Some(coarseFit16(s, dir)),
-        pqFit = Some(pqFit8x256(s, dir)))
-        .select("q_id", "vec_id")
-      annRecallReport(exact, approx, floorBp = Some(6000))
-    }),
-
-    // EXT audited k-means step: quantized-integer Lloyd iteration over
-    // the embedding corpus — deterministic seeds, broadcast-centroid
-    // assignment, portable floor-mean update, centroid-shift convergence
-    // signal. The clustering primitive behind IVF codebooks, with an
-    // EXACT oracle (the ml.KMeans float/seed paths stay rows-only).
-    "sim_kmeans_step" -> ((s, dir) =>
-      Similarity.kmeansStep(t(s, dir, "embeddings"))),
-
-    // EXT IVF-layout balance audit: per-cluster membership share,
-    // inertia and radius under the audited integer coarse quantizer —
-    // the measurement that decides whether an IVF probe plan survives
-    // scale (a hot list turns nProbe=1 into a scan). One broadcast-
-    // centroid pass + a k-row agg; exact, hash-oracle'd.
-    "sim_kmeans_balance" -> ((s, dir) =>
-      Similarity.kmeansAssignStats(t(s, dir, "embeddings"))),
-    // EXT cluster-balanced coverage sample: m portable-hash reps per
-    // coarse cluster — the eval-subset constructor that covers the
-    // embedding SPACE instead of mirroring its density (uniform samples
-    // never measure rare modes); k·m rows whatever the corpus size
-    "embed_coverage_sample" -> ((s, dir) =>
-      Similarity.coverageSample(t(s, dir, "embeddings"))),
-    // EXT IVF append-lifecycle audit (the vector-store twin of the
-    // dedup sig-index probe→append→monitor→rebuild loop): the odd half
-    // appends onto the even half's FROZEN centroids; per list the audit
-    // reports growth, out-of-envelope staleness vs the base radius, and
-    // the rebuild verdict — exact integers, hash-oracle'd
-    "ann_ivf_append_audit" -> ((s, dir) =>
-      Similarity.ivfAppendAudit(t(s, dir, "embeddings"))),
-
-    // EXT multimodal binary columns:
-    "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
-    "mm_decode_stub" -> ((s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))),
-    // binary-in/binary-out resize kernel, surfaced as scalar dims+checksum
-    "mm_resize_stub" -> ((s, dir) => Multimodal.resizeMeta(s, t(s, dir, "documents"))),
-    // one-to-many frame sampling; ASCII frames decode losslessly to text
-    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleText(s, t(s, dir, "documents"))),
-    // batched feature-extraction shape with an exact integer kernel
-    "mm_feature_hist" -> ((s, dir) => Multimodal.featureHistogram(s, t(s, dir, "documents"))),
-    // REAL media decode: deterministic PNGs synthesized ON EXECUTORS
-    // (javax.imageio — JDK-only, no external codec), then decoded back
-    // through the batched kernel plumbing: TRUE width/height from the
-    // decoder + the exact pixel sum. Synthesis params are integer
-    // functions of doc_id, so the decoded output has a closed-form
-    // DuckDB oracle — a real encode→decode round trip with an exact
-    // correctness gate (the stub kernels stay as codec-free shapes).
-    "mm_decode_real" -> ((s, dir) => Multimodal.decodeReal(s, t(s, dir, "documents"))),
-    // REAL resize: decode → nearest-neighbor resample → re-encode →
-    // decode again; the checked pixel sum proves the full chain.
-    "mm_resize_real" -> ((s, dir) => Multimodal.resizeReal(s, t(s, dir, "documents"))),
-    // REAL frame sampling: 3-5-frame animated GIFs synthesized on
-    // executors (ImageIO sequence writer), every 2nd frame decoded back
-    // via the frame-indexed reader — TRUE dims + exact pixel sums with
-    // a closed-form oracle (solid frames make the palette round-trip
-    // exact by construction). The video-pipeline frame-sample shape,
-    // one-to-many and driver-free.
-    "mm_frames_real" -> ((s, dir) =>
-      Multimodal.framesReal(s, t(s, dir, "documents"))),
-    // REAL shot-boundary detection: decode EVERY frame of a GIF with a
-    // PLANTED +100 luminance scene cut (1 in 4 docs single-scene),
-    // reduce to integer mean luminance in the batched reader kernel,
-    // flag cuts on the per-doc lag diff — pixels never shuffle, only
-    // (doc, frame, mean) rows; the cut structure has a closed-form
-    // oracle while Spark must recover it from true decoded pixels.
-    "mm_shot_detect" -> ((s, dir) =>
-      Multimodal.shotDetect(s, t(s, dir, "documents"))),
-    // REAL audio: per-doc PCM16 WAV synthesized on executors
-    // (javax.sound.sampled — JDK-only), decoded back through the same
-    // batched kernel plumbing: TRUE header rate/frames + the exact sum
-    // of decoded samples. Closed-form oracle like mm_decode_real.
-    "mm_audio_real" -> ((s, dir) => Multimodal.audioReal(s, t(s, dir, "documents"))),
-    // REAL audio loudness profile: energy / peak / duration from decoded
-    // PCM — the silence/clipping screen; ramp synthesis keeps the whole
-    // decode chain closed-form (see Multimodal.decodeWavStats).
-    "mm_audio_stats" -> ((s, dir) => Multimodal.audioStats(s, t(s, dir, "documents"))),
-    // REAL voice-activity detection: per-frame energy reduced IN the
-    // decode kernel (audio bytes never shuffle), voiced runs segmented
-    // by one per-doc lag window; planted bursts (1-in-5 single-burst)
-    // give the whole segmentation a closed-form oracle.
-    "mm_audio_vad" -> ((s, dir) => Multimodal.audioVad(s, t(s, dir, "documents"))),
-    // REAL perceptual hash: both variants of each doc's PNG (variant 1
-    // differs by ONE invisible pixel — byte-different, perceptually
-    // identical) synthesized + decoded on executors, dHash computed from
-    // TRUE pixels (9×8 nearest-neighbor resample, adjacent-pixel
-    // comparisons). Closed-form oracle: the whole
-    // encode→decode→resample→compare chain is integer arithmetic.
-    "mm_dhash_real" -> ((s, dir) => Multimodal.dhashReal(s, t(s, dir, "documents"))),
-
-    // EXT acoustic fingerprinting: frame-energy signature bits from
-    // REAL decoded PCM (the dHash idea one modality over) + exact
-    // Hamming between planted variants — closed-form oracle, decode
-    // volume stays in the scan stage.
-    "mm_audio_fingerprint" -> ((s, dir) =>
-      Multimodal.audioFingerprint(s, t(s, dir, "documents"))),
-    // Multimodal near-dup dedup: Hamming-LSH over the dHash corpus —
-    // identical-hash collapse first, 4×16-bit banding (pigeonhole: every
-    // pair at dist ≤ 3 keeps one band intact → guaranteed recall), exact
-    // xor+bit_count verify. The image twin of dedup_minhash_lsh, with
-    // the same bounded-candidate contract — and it catches exactly the
-    // pairs that exact byte/md5 dedup provably cannot.
-    "mm_phash_neardup" -> ((s, dir) => Multimodal.phashNearDup(s, t(s, dir, "documents"))),
-
-    // hot-band-bucket drop accounting for the image near-dup cap — the
-    // image twin of dedup_cap_stats (one row, zeros when nothing hot)
-    "mm_phash_cap_stats" -> ((s, dir) => Multimodal.phashCapStats(s, t(s, dir, "documents"))),
-
-    // EXT: exact numeric column profile (count/nulls/distinct/min/max/sum).
-    "profile_lineitem" -> ((s, dir) =>
-      Profiler.numericProfile(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"))),
-
-    // S4 CSV sink smoke (rows-only — filesystem op, SURVEY §7 M1): write
-    // the flagship result as single-file GBK CSV, read it back schema-less.
-    // NB: the write job runs at DataFrame-construction time (inherent to a
-    // round-trip query); one overwrite dir per PROCESS (pid-scoped: no
-    // orphan growth per call, no cross-JVM race on a shared path).
-    "csv_gbk_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-csv-gbk-roundtrip-${ProcessHandle.current().pid()}")
-        .toString
-      graft.sources.Csv.writeSingle(
-        Relational.groupCountSortDesc(t(s, dir, "customer"), "c_mktsegment"),
-        out)
-      graft.sources.Csv.readSchemaless(s, out, encoding = "GBK")
-        .orderBy(col("cnt").cast("long").desc, col("c_mktsegment"))
-    }),
-
-    // EXT malformed-record policy: one synthesized CSV (ids 0..49,
-    // every 3rd amount unparseable) read under PERMISSIVE-with-capture,
-    // DROPMALFORMED and the quarantine split — per-policy integer stats.
-    // The oracle recomputes the expected stats arithmetically from the
-    // synthesis rule (same trick as the multimodal kernel surfaces).
-    "source_malformed_policy" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths}
-      val base = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft-malformed-src-${ProcessHandle.current().pid()}")
-      Files.createDirectories(base)
-      // the CSV reads below are lazy — JVM-exit cleanup, like the IVF dir
-      stagedDirCleanup(base.toString)
-      val lines = "id,amount" +: (0 until 50).map(i =>
-        if (i % 3 == 0) s"$i,x$i" else s"$i,${i * 100L}")
-      Files.write(base.resolve("rows.csv"),
-        java.util.Arrays.asList(lines: _*))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("amount",
-          org.apache.spark.sql.types.LongType)))
-      val perm = graft.sources.Csv.readPermissiveCorrupt(
-        s, base.toString, schema)
-      val dropped = graft.sources.Csv.readDropMalformed(
-        s, base.toString, schema)
-      val (clean, raw) = graft.sources.Csv.quarantine(
-        s, base.toString, schema)
-      val nullLong = lit(null).cast("long")
-      def stats(policy: String, df: org.apache.spark.sql.DataFrame,
-          idSum: org.apache.spark.sql.Column,
-          amountSum: org.apache.spark.sql.Column) =
-        df.agg(count(lit(1)).as("n_rows"), idSum.as("id_sum"),
-            amountSum.as("amount_sum"))
-          .select(lit(policy).as("policy"), col("n_rows"),
-            col("id_sum"), col("amount_sum"))
-      stats("drop_malformed", dropped, sum(col("id")), sum(col("amount")))
-        .union(stats("permissive_all", perm,
-          sum(col("id")), sum(col("amount"))))
-        .union(stats("permissive_corrupt",
-          perm.filter(col("_corrupt_record").isNotNull),
-          sum(col("id")), max(nullLong)))
-        .union(stats("quarantine_clean", clean,
-          sum(col("id")), sum(col("amount"))))
-        .union(stats("quarantine_raw", raw, max(nullLong), max(nullLong)))
-        .orderBy("policy")
-    }),
-
-    // EXT partitioned parquet sink + partition-pruned scan (the layout a
-    // 100 TB corpus lives in — graft.sources.Partitioned; PlanShapeSpec
-    // asserts the read-back plan prunes on PartitionFilters). Same
-    // pid-scoped tmp-dir convention as csv_gbk_roundtrip.
-    "sink_partitioned_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-part-sink-${ProcessHandle.current().pid()}")
-        .toString
-      graft.sources.Partitioned.write(t(s, dir, "orders"), out, "o_orderpriority")
-      graft.sources.Partitioned.readPruned(s, out, "o_orderpriority", "1-URGENT")
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("o_orderstatus")
-    }),
-
-    // EXT Z-order (Morton) key: the multi-dim clustering key behind
-    // sources/ZOrder's layout (which ZOrderSpec measures for file
-    // skipping); the key arithmetic itself is bit-reproducible SQL, so
-    // this is the oracle-checkable surface of the layout path.
-    "zorder_key" -> ((s, dir) =>
-      t(s, dir, "orders").select(col("o_orderkey"),
-        graft.sources.ZOrder.mortonKey(
-          col("o_custkey") % 1024,
-          floor(col("o_totalprice")).cast("long") % 1024, 10).as("z"))
-        .orderBy("o_orderkey")),
-
-    // EXT small-files compaction round-trip: fragment orders into 64
-    // tiny files, compact to ~8 MB targets (sources/Compaction), read
-    // back. Layout-only rewrite — oracle is the plain aggregate.
-    "sink_compacted_roundtrip" -> ((s, dir) => {
-      val base = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-compact-${ProcessHandle.current().pid()}")
-        .toString
-      t(s, dir, "orders").repartition(64)
-        .write.mode("overwrite").parquet(s"$base/frag")
-      graft.sources.Compaction.compact(s, s"$base/frag", s"$base/out",
-        targetBytes = 8L * 1024 * 1024)
-      s.read.parquet(s"$base/out")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // EXT bucketed co-located join: both sides written bucketed+sorted by
-    // the join key into the session warehouse, then joined exchange-free
-    // (PlanShapeSpec asserts the plan property; here the RESULT is
-    // oracle'd — bucketing is layout, never semantics, so the oracle is
-    // the plain join). Same build-time-write convention as the sink
-    // round-trip queries.
-    "q20_bucketed_join" -> ((s, dir) => {
-      graft.sources.Bucketed.writeTable(
-        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-        "graft_q20_orders", "o_custkey", 16)
-      graft.sources.Bucketed.writeTable(
-        t(s, dir, "customer")
-          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
-        "graft_q20_customer", "o_custkey", 16)
-      graft.sources.Bucketed.join(
-        s, "graft_q20_orders", "graft_q20_customer", "o_custkey")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy(desc("n_orders"), asc("c_mktsegment"))
-    }),
-
-    // Deterministic stratified sampling: per-stratum keep-fractions via
-    // the portable key hash (URGENT 20%, LOW 10%, default 5%) — exact
-    // membership, SQL-checkable, unlike seeded Bernoulli sampleBy.
-    "fp_stratified_sample" -> ((s, dir) =>
-      Features.hashStratifiedSample(t(s, dir, "orders"),
-          "o_orderpriority", "o_orderkey",
-          Map("1-URGENT" -> 2000, "5-LOW" -> 1000), defaultBp = 500)
-        .select("o_orderkey", "o_orderpriority")
-        .orderBy("o_orderkey")),
-
-    // EXT leave-one-out smoothed target encoding (label = order status
-    // 'F'): per-row LOO collapses to at most two encodings per
-    // category, so the compact (category, y) surface checks EVERY
-    // row's feature value — max=min within each group is asserted
-    // in-plan rather than averaged away.
-    "fp_target_encode" -> ((s, dir) => {
-      val enc = Features.targetEncodeLoo(t(s, dir, "orders"),
-        "o_orderpriority", col("o_orderstatus") === "F", m = 20)
-      enc.groupBy("o_orderpriority", "y")
-        .agg(count(lit(1)).as("n_rows"), max("prior_bp").as("prior_bp"),
-          max("enc_bp").as("enc_bp"), min("enc_bp").as("enc_lo"))
-        .where(assert_true(col("enc_bp") === col("enc_lo"),
-          lit("LOO encoding must be constant within (category, label)"))
-          .isNull)
-        .select("o_orderpriority", "y", "n_rows", "prior_bp", "enc_bp")
-        .orderBy("o_orderpriority", "y")
-    }),
-
-    // EXT calibration report: two scorers through the same reliability
-    // diagram — the LOO target encoding (a genuinely calibrated
-    // forecast: tiny ECE, its mass in one fine bin) vs a sham score
-    // with spread but no signal (flat observed rate under a rising
-    // predicted rate: the big ECE AUC never shows). Each report is a
-    // ≤bins-row hash agg + 1-row broadcast.
-    "fp_calibration" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val enc = Features.targetEncodeLoo(orders,
-        "o_orderpriority", col("o_orderstatus") === "F", m = 20)
-      val calibrated = Features
-        .calibrationReport(enc, col("enc_bp"), col("y"), nBins = 100)
-        .withColumn("scorer", lit("loo_encoding"))
-      val sham = orders.select(
-        (col("o_orderkey") % 100 * 100 + 50).as("p"),
-        (col("o_orderstatus") === "F").cast("long").as("y"))
-      val lying = Features
-        .calibrationReport(sham, col("p"), col("y"), nBins = 10)
-        .withColumn("scorer", lit("sham_spread"))
-      calibrated.unionByName(lying)
-        .select("scorer", "bin", "n", "mean_pred_bp", "rate_bp",
-          "gap_bp", "ece_bp")
-        .orderBy("scorer", "bin")
-    }),
-
-    // EXT cohort LTV: cumulative revenue per customer by months since
-    // first purchase, by acquisition month — integer months/cents, the
-    // cumulative window over the (cohort × age) aggregate, never raw
-    // orders.
-    "q44_cohort_ltv" -> ((s, dir) =>
-      Relational.cohortLtv(t(s, dir, "orders"))),
-
-    // EXT ABC classification: how many parts carry 80% / 95% of
-    // revenue — share cut points on the rank-ordered cumulative curve
-    // (not fixed-population deciles), exact cents, distributed prefix
-    // sum over the packed desc-key; packing + boundary products
-    // in-plan guarded.
-    "q46_abc_class" -> ((s, dir) =>
-      Relational.abcClassification(t(s, dir, "lineitem"), "l_partkey",
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))),
-
-    // EXT order-to-ship lead time over the FACT⋈FACT equi-join
-    // (lineitem ⋈ orders on orderkey — at warehouse scale the
-    // bucketed/co-partitioned join shape q20 demonstrates; here AQE's
-    // sort-merge is the right default): per priority, exact day-lag
-    // stats with the signed-floor average (this corpus's synthetic
-    // dates produce negative lags — precisely the pmod-identity case).
-    "q48_lead_time" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"),
-        col("o_orderpriority"),
-        (unix_micros(col("o_orderdate").cast("timestamp"))
-          / lit(86400000000L)).cast("long").as("od"))
-      val l = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("o_orderkey"),
-        (unix_micros(col("l_shipdate").cast("timestamp"))
-          / lit(86400000000L)).cast("long").as("sd"))
-      l.join(o, "o_orderkey")
-        .withColumn("lag", col("sd") - col("od"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), min("lag").as("min_days"),
-          max("lag").as("max_days"), sum("lag").as("sum_days"),
-          sum((col("lag") < 0).cast("long")).as("n_negative"))
-        .withColumn("avg_days_milli",
-          expr("(sum_days * 1000 - pmod(sum_days * 1000, n)) div n"))
-        .select("o_orderpriority", "n", "min_days", "max_days",
-          "sum_days", "n_negative", "avg_days_milli")
-        .orderBy("o_orderpriority")
-    }),
-
-    // EXT skyline: the Pareto frontier of (price, size) over part —
-    // sort-based distributed prefix-max, O(n log n) vs the oracle's
-    // textbook O(n²) NOT-EXISTS dominance check (fine at sf0.01; the
-    // Spark plan is what runs at scale).
-    "q45_skyline" -> ((s, dir) =>
-      Relational.skyline(
-        t(s, dir, "part").select(
-          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cost"),
-          col("p_size").as("gain")),
-        "cost", "gain")),
-
-    // EXT exact AUC: Mann-Whitney U in pure integers (×2 midranks
-    // absorb ties) over the distinct-score table — the hash-oracled
-    // companion to the ML family's float AUC floors; degenerate
-    // one-class inputs fail loudly.
-    "fp_auc_exact" -> ((s, dir) => {
-      val enc = Features.targetEncodeLoo(t(s, dir, "orders"),
-        "o_orderpriority", col("o_orderstatus") === "F", m = 20)
-      Features.aucExact(enc, col("enc_bp"), col("y"))
-    }),
-
-    // EXT JSONL sink + explicit-schema source round-trip (the LLM-corpus
-    // interchange format), then an aggregate — oracle is the plain
-    // aggregate over the parquet original. Same pid-scoped tmp dir
-    // convention as the other sink queries.
-    "sink_jsonl_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-jsonl-${ProcessHandle.current().pid()}")
-        .toString
-      graft.sources.Jsonl.write(
-        t(s, dir, "documents").select("doc_id", "lang", "n_chars"), out)
-      graft.sources.Jsonl.read(s, out,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_chars",
-            org.apache.spark.sql.types.LongType))))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-        .orderBy("lang")
-    }),
-
-    // EXT schema evolution: two parquet batches written with DIFFERENT
-    // schemas (the second adds a column), read back via mergeSchema —
-    // old rows surface nulls for the new column. The steady state of any
-    // long-lived corpus; the oracle reconstructs the null pattern.
-    "sink_schema_evolution" -> ((s, dir) => {
-      val base = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-evolve-${ProcessHandle.current().pid()}")
-        .toString
-      val orders = t(s, dir, "orders")
-      orders.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$base/batch1")
-      orders.filter(col("o_orderkey") % 2 === 1)
-        .select("o_orderkey", "o_totalprice", "o_orderpriority")
-        .write.mode("overwrite").parquet(s"$base/batch2")
-      s.read.option("mergeSchema", true)
-        .parquet(s"$base/batch1", s"$base/batch2")
-        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
-          .as("priority"))
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("priority")
-    }),
-
-    // T4 feature prep (FP1/FP3/FP4) as oracle-checkable transforms:
-    // frequency-ranked label encoding of two categorical columns.
-    "fp_string_index" -> ((s, dir) =>
-      Features.stringIndex(t(s, dir, "orders"),
-          Seq("o_orderpriority", "o_orderstatus"))
-        .select("o_orderkey", "o_orderpriority_idx", "o_orderstatus_idx")
-        .orderBy("o_orderkey")),
-
-    // Exact 20-quantile bucketing — distributed range-partitioned ntile
-    // (no single-partition window; oracle is the literal SQL ntile).
-    "fp_quantile_bucket" -> ((s, dir) =>
-      Features.rangeNtileBucket(t(s, dir, "orders"), "o_totalprice", "o_orderkey", 20)
-        .select("o_orderkey", "bucket")
-        .orderBy("o_orderkey")),
-
-    // Null imputation: synthesize nulls (corpus has none), then the ref's
-    // numeric→-1 / string→'-1' fill.
-    "fp_na_fill" -> ((s, dir) =>
-      Features.naFill(
-        t(s, dir, "customer")
-          .withColumn("c_acctbal",
-            when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
-          .withColumn("c_mktsegment",
-            when(col("c_nationkey") % 5 === 0, lit(null))
-              .otherwise(col("c_mktsegment"))))
-        .select("c_custkey", "c_acctbal", "c_mktsegment")
-        .orderBy("c_custkey")),
-
-    // Deterministic hash split (the reproducible randomSplit replacement;
-    // portable affine hash => oracle-checkable assignment, ~20% test).
-    "fp_hash_split" -> ((s, dir) =>
-      Features.hashSplit(t(s, dir, "orders"), "o_orderkey", 2000)
-        .select("o_orderkey", "split")
-        .orderBy("o_orderkey")),
-
-    // EXT inverse-propensity weights for the deterministic stratified
-    // sample: per-stratum reweighting factors + the floor round-trip
-    // error — the bookkeeping that keeps downsampled estimates honest;
-    // a stratum sampled to zero fails loudly in-plan.
-    "fp_propensity_weights" -> ((s, dir) =>
-      Features.propensityWeights(t(s, dir, "orders"), "o_orderpriority",
-        "o_orderkey", Map("1-URGENT" -> 2000, "5-LOW" -> 1000),
-        defaultBp = 500)),
-
-    // EXT isotonic calibration: the PAV-equivalent max-min identity over
-    // 16 exact score ntiles — monotone fit, hash-exact doubles (every
-    // mean is double(BIGINT)/double(BIGINT)); the corpus collapses to
-    // 16 rows before the O(B^3) identity runs.
-    "fp_isotonic" -> ((s, dir) =>
-      Features.isotonicBins(
-        Features.rangeNtileBucket(t(s, dir, "orders"), "o_totalprice",
-          "o_orderkey", 16),
-        "bucket", col("o_orderstatus") === "F")),
-
-    // EXT deterministic k-fold CV partition + per-fold class-balance
-    // report: fold is a pure affine-hash function of the key (auditable,
-    // repartition-stable), the report is the k-row table read before
-    // trusting a CV estimate. Map-only assignment, one k-row aggregate.
-    "fp_kfold" -> ((s, dir) =>
-      Features.kfoldReport(t(s, dir, "orders"), "o_orderkey",
-        col("o_orderstatus") === "F")),
-
-    // T4 classifiers (FP6-FP12), seeded; rows-only (never oracle'd).
-    "ml_train_eval" -> ((s, dir) =>
-      graft.ml.Classifiers.trainEval(
-        s, graft.ml.Classifiers.embeddingFeatures(t(s, dir, "embeddings")))),
-    "ml_rf_importances" -> ((s, dir) =>
-      graft.ml.Classifiers.rfImportances(
-        s, graft.ml.Classifiers.embeddingFeatures(t(s, dir, "embeddings")))),
-    // S6 model persistence: fit → save → reload → re-score, bitwise
-    // parity asserted in-plan (rows-only: RF fits have no DuckDB twin)
-    "ml_model_roundtrip" -> ((s, dir) =>
-      graft.ml.Classifiers.modelRoundtrip(
-        s, graft.ml.Classifiers.embeddingFeatures(t(s, dir, "embeddings")))),
-
-    // FP1+FP3+FP5 end-to-end feature pipeline on the EXACT twins
-    // (distributed index dictionaries + distributed exact ntile) with a
-    // real VectorAssembler — fully oracle'd, vector surfaced as SCALARS
-    // (length + fixed-format CSV; the driver's pandas checker cannot
-    // hash an array column — the one red cell of CORRECTNESS_r01). The
-    // spark.ml estimator Pipeline (GK-sketch discretizer, approximate by
-    // design) is covered by MlPipelineSpec, not a hash oracle.
-    "fp_pipeline_assemble" -> ((s, dir) => {
-      val out = graft.ml.Pipelines.exactAssembled(t(s, dir, "orders"),
-        Seq("o_orderpriority", "o_orderstatus"), "o_totalprice",
-        "o_orderkey", 20)
-      val arr = org.apache.spark.ml.functions.vector_to_array(col("features"))
-      out.select(col("o_orderkey"),
-          size(arr).cast("long").as("n_features"),
-          array_join(transform(arr,
-            x => x.cast(org.apache.spark.sql.types.DecimalType(18, 6))
-              .cast("string")), ",").as("features_csv"))
-        .orderBy("o_orderkey")
-    }),
-
-    // EXT token-set dedup: same-word-set docs collapse regardless of
-    // order/repetition — zero pairwise work, one fingerprint shuffle.
-    "dedup_token_set" -> ((s, dir) =>
-      Dedup.tokenSetDedup(t(s, dir, "documents"))),
-
-    // EXT edit-distance near-dup: banded Levenshtein over blocked
-    // (lang, length-bucket) candidates — the character-level dedup family
-    // (catches small in-place edits that shingle Jaccard underweights).
-    "dedup_edit_distance" -> ((s, dir) =>
-      Dedup.editDistancePairs(t(s, dir, "documents"))),
-
-    // EXT weekly cohort retention on purchase events: distinct activity
-    // matrix + self-join on (user, week+7d) — no window, no range join.
-    "events_retention" -> ((s, dir) =>
-      Events.weeklyRetention(t(s, dir, "events"))),
-
-    // EXT forward-fill (LOCF): per-user running last non-null value; the
-    // corpus has no NULLs so every 5th event is blanked deterministically
-    // first (same synthesize-then-operate pattern as q3_3).
-    "events_ffill" -> ((s, dir) =>
-      Events.forwardFill(t(s, dir, "events"))),
-
-    // EXT navigation-window family: lead / first_value / nth_value /
-    // ntile over one shared spec (one sort-shuffle; the ranking family is
-    // q32). Unique sort key (date, key) => tie-free, deterministic.
-    "q33_window_nav" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-          col("o_totalprice"))
-        .withColumn("next_key", lead("o_orderkey", 1).over(w))
-        .withColumn("first_cents",
-          round(first(col("o_totalprice")).over(w) * 100).cast("long"))
-        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
-        .withColumn("quartile", ntile(4).over(w).cast("long"))
-        .drop("o_orderdate", "o_totalprice")
-        .orderBy("o_orderkey")
-    }),
-
-    // EXT higher-order array functions over embeddings: map-only
-    // per-vector profile (codegen filter/transform/aggregate, no explode).
-    "embed_hof_stats" -> ((s, dir) =>
-      Similarity.hofStats(t(s, dir, "embeddings"))),
-
-    // EXT audited covariance/power-iteration step: G = Σ qqᵀ as a
-    // dims²-cell aggregate + v1 = G·1 — the PCA/whitening primitive
-    // hash-oracled exactly (the kmeansStep discipline on second
-    // moments); one vec-keyed shuffle, then 4096 rows.
-    "embed_cov_power" -> ((s, dir) =>
-      Similarity.covPowerStep(t(s, dir, "embeddings"))),
-
-    // EXT dynamic partition pruning: fact partitioned on disk by
-    // priority, dim filtered on a non-partition attribute — the scan must
-    // prune partitions at RUNTIME from the broadcast dim (PlanShapeSpec
-    // asserts dynamicpruning in PartitionFilters). At 100 TB this is the
-    // difference between listing 2/5 of the directories and scanning all.
-    "dpp_partitioned_join" -> ((s, dir) => {
-      import s.implicits._
-      val out = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-dpp-${ProcessHandle.current().pid()}")
-        .toString
-      graft.sources.Partitioned.write(t(s, dir, "orders"), out, "o_orderpriority")
-      // the dim must be a real table scan: a literal local relation gets
-      // its filter constant-folded away, and with no selective Filter on
-      // the dim side the DPP rule (correctly) declines to prune
-      Seq(
-        ("1-URGENT", "expedite"), ("2-HIGH", "expedite"),
-        ("3-MEDIUM", "standard"), ("4-NOT SPECIFIED", "standard"),
-        ("5-LOW", "standard")).toDF("priority", "sla")
-        .write.mode("overwrite").parquet(s"$out-dim")
-      s.read.parquet(out)
-        .join(broadcast(s.read.parquet(s"$out-dim")
-          .filter(col("sla") === "expedite")),
-          col("o_orderpriority") === col("priority"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // EXT ORC source/sink round-trip (vectorized reader, predicate
-    // pushdown into stripe indexes — second columnar format).
-    "sink_orc_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-orc-${ProcessHandle.current().pid()}")
-        .toString
-      graft.sources.Orc.write(
-        t(s, dir, "lineitem")
-          .select("l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice"), out)
-      graft.sources.Orc.read(s, out)
-        .filter(col("l_quantity") <= 10)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("l_extendedprice")).as("revenue"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    // EXT correlated SCALAR subquery: orders priced above their own
-    // customer's average. Catalyst decorrelates the per-row subquery into
-    // one aggregate + join — never a per-row re-scan (q30 covers the
-    // EXISTS flavor; this is the scalar flavor). The HAVING-style compare
-    // is integer-cents vs DECIMAL avg surfaced as exact comparison on
-    // both engines via > with the same DECIMAL math.
-    "q34_scalar_subquery" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("g_orders")
-      s.sql("""
-        SELECT o_orderkey, o_custkey
-        FROM g_orders o
-        WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-              (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2)))
-               FROM g_orders i WHERE i.o_custkey = o.o_custkey)
-        ORDER BY o_orderkey""")
-    }),
-
-    // EXT benchmark decontamination: corpus docs sharing >= 3 distinct
-    // word trigrams with the (broadcast) benchmark slice are flagged —
-    // the keep-eval-out-of-training stage of an LLM data pipeline.
-    "decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextAnalysis.contamination(
-        docs.filter(col("doc_id") % 50 =!= 0),
-        docs.filter(col("doc_id") % 50 === 0))
-    }),
-    // EXT contamination MATRIX: the decontaminate gate stratified to a
-    // (training source × benchmark source) grid — which domains leak
-    // into which eval sets, and how badly; the release-review view.
-    "decontaminate_matrix" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextAnalysis.contaminationMatrix(
-        docs.filter(col("doc_id") % 50 =!= 0),
-        docs.filter(col("doc_id") % 50 === 0))
-    }),
-    // EXT packing-efficiency report: sequence count, padding waste bp,
-    // boundary-straddler count at budget 256 — the number a training
-    // run's context-budget choice is negotiated against.
-    "pack_efficiency" -> ((s, dir) =>
-      TextAnalysis.packEfficiency(t(s, dir, "documents"))),
-
-    // EXT per-source quota capping (data mixing): keep the 10 lowest-id
-    // docs per source so no domain dominates the mix.
-    "fp_source_quota" -> ((s, dir) =>
-      Features.sourceQuota(t(s, dir, "documents"), cap = 10)),
-
-    // EXT temperature resampling (α = ½): per-source keep rates from
-    // integer isqrt arithmetic + portable-hash membership; reports
-    // source, n_docs, rate_bp, n_kept.
-    "corpus_temperature_sample" -> ((s, dir) =>
-      Features.temperatureSample(t(s, dir, "documents"))),
-
-    // EXT minority oversampling: whole-number replication rep = n_max
-    // div n_class per language (residual imbalance ≤ 2× by the floor
-    // policy) — deterministic, no RNG, so the rebalanced corpus itself
-    // hash-oracles; broadcast class table + map-side explode, the fact
-    // side never shuffles.
-    "fp_oversample" -> ((s, dir) =>
-      Features.oversampleMinority(
-        t(s, dir, "documents").select("doc_id", "lang"), "lang")
-        .select("doc_id", "lang", "n_class", "rep", "copy_idx")
-        .orderBy("doc_id", "copy_idx")),
-
-    // EXT curriculum schedule: easy→hard stages by exact n_chars ntile,
-    // seeded hash shuffle within stages, exact global positions via the
-    // distributed running total — the bit-reproducible data order a
-    // curriculum training run replays; id-width overflow asserted
-    // in-plan.
-    "corpus_curriculum" -> ((s, dir) =>
-      Features.curriculumSchedule(
-        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
-        difficulty = "n_chars", key = "doc_id")
-        .select("doc_id", "source", "n_chars", "stage", "shuffle_key",
-          "position")
-        .orderBy("position")),
-
-    // EXT normalization dedup: the corpus decorated with casing/punct/
-    // whitespace noise (ids offset) collapses back onto the originals
-    // under canonical-form dedup — exact-dedup cost, no pairwise work.
-    "dedup_normalized" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val noisy = docs.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
-      Dedup.normalizedDedup(docs.unionByName(noisy))
-    }),
-
-    // EXT RANGE-interval window frame: per-user rolling 1-hour sum over
-    // EVENT TIME (value-based frame — q19's ROWS frames count rows; a
-    // range frame bounds by the ORDER key's value, so ties are peers and
-    // the result is order-independent). Integer cents keep it exact.
-    "q35_range_frame" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val w = Window.partitionBy("user_id").orderBy("us")
-        .rangeBetween(-3600000000L, 0L)
-      ev.select(col("event_id"), col("user_id"), Events.tsUs(ev).as("us"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .withColumn("roll_cents", sum("cents").over(w))
-        .select("event_id", "user_id", "roll_cents")
-        .orderBy("event_id")
-    }),
-
-    // EXT intra-doc repetition stats (Gopher repetition rules): duplicate
-    // and top-bigram occurrence fractions per document — the within-doc
-    // quality twin of the corpus-level dedup family.
-    "text_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionStats(t(s, dir, "documents"))),
-
-    // EXT inverted index: term -> full df + the 20 lowest containing doc
-    // ids (truncated posting lists bound every output row at any scale).
-    "inverted_index" -> ((s, dir) =>
-      TextAnalysis.invertedIndex(t(s, dir, "documents"))),
-
-    // EXT sequence-packing manifest: exact global token offsets in
-    // doc_id order via the DISTRIBUTED prefix sum (derived range slices
-    // + broadcast offsets — no single-partition window over raw rows).
-    "pack_sequences" -> ((s, dir) =>
-      TextAnalysis.packSequences(t(s, dir, "documents"))),
-
-    // EXT hourly resample + gap fill (LOCF on the dense per-user grid).
-    "events_resample" -> ((s, dir) =>
-      Events.resampleHourly(t(s, dir, "events"))),
-
-    // EXT rolling z-score anomaly flags — integer-exact variance test
-    // over the 24 preceding events per user, no division anywhere.
-    "events_anomaly" -> ((s, dir) =>
-      Events.rollingAnomaly(t(s, dir, "events"))),
-
-    // EXT snapshot diff: the change feed between two materializations
-    // (B = A with every 10th price bumped, every 100th key dropped, a
-    // shifted copy of every 50th added — same synthesize-then-operate
-    // pattern as cdc_apply, whose inverse this is).
-    "table_diff" -> ((s, dir) => {
-      val snapA = t(s, dir, "orders")
-        .select("o_orderkey", "o_totalprice", "o_orderstatus")
-      val snapB = snapA.filter(col("o_orderkey") % 100 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000.0d)
-            .otherwise(col("o_totalprice")))
-        .unionByName(snapA.filter(col("o_orderkey") % 50 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-            col("o_totalprice"), col("o_orderstatus")))
-      graft.ops.Cdc.snapshotDiff(snapA, snapB, "o_orderkey",
-        Seq("o_totalprice", "o_orderstatus"))
-    }),
-
-    // EXT typed-Aggregator top-k: same rows as q8_window_topn (shared
-    // oracle) but via partial aggregation — the shuffle carries <= k rows
-    // per (group, map partition) instead of every order. PlanShapeSpec
-    // asserts the ObjectHashAggregate partial/final shape.
-    "q8b_topk_agg" -> ((s, dir) => {
-      val topk = udaf(new graft.functions.TopKByScore(3),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.Scored]())
-      t(s, dir, "orders")
-        .groupBy("o_custkey")
-        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
-        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("o_custkey"), col("t.key").as("o_orderkey"),
-          col("t.score").as("o_totalprice"),
-          (col("pos") + 1).cast("long").as("rn"))
-        .orderBy("o_custkey", "rn")
-    }),
-
-    // EXT corpus mixture report: per-source doc/token counts and exact
-    // bp share of total tokens (the data-mixing dashboard).
-    "corpus_mix" -> ((s, dir) =>
-      TextAnalysis.corpusMix(t(s, dir, "documents"))),
-
-    // EXT sketch profile, HASH-ORACLED since round 11: the distinct
-    // estimates are a portable per-column KMV bottom-k (bounded-buffer
-    // aggregate over the quad-hash of the 10⁶-scaled value — exact
-    // below k=256 distincts, ~6.3% rsd above, every step replayable in
-    // DuckDB), replacing approx_count_distinct (engine-private HLL++,
-    // which kept this rows-only). Same single-scan shape: stats and
-    // sketch fold into ONE aggregate; the map side ships ≤ k hashes
-    // per (column, partition). The ±25% exactness gate is SCALE-
-    // SWITCHED (VERDICT r11 item 5): armed at test scales (≤ 2M rows —
-    // every driver-verified sf, where the oracle hashes it anyway),
-    // dropped above, because the gate re-runs the exact dedup pass the
-    // sketch exists to avoid (15.4 s at ×10 for a ~1 s sketch). Above
-    // the switch the estimator runs on its published error, the
-    // production contract — and the sketch path is IDENTICAL code at
-    // every scale, so the driver-scale hash checks what the decades run.
-    "profile_approx" -> ((s, dir) =>
-      Profiler.numericProfile(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"),
-        approx = true,
-        checkApprox = if (tableRows(s, dir, "lineitem") <= 2000000L)
-          Some(0.25) else None)),
-
-    // EXT market-basket co-occurrence: top-20 part pairs ordered together.
-    // Basket shape, not a self-join: one shuffle collapses lineitem to
-    // per-order DISTINCT part sets (collect_set — so n_orders counts
-    // ORDERS even when a part repeats across an order's lineitems), pairs
-    // are generated INLINE from each set (the same in-bucket trick as
-    // lshNearDup), and one more partial-aggregated shuffle counts pairs.
-    // The in-array pair expansion is O(basket²), so baskets are CAPPED at
-    // MaxBasket lowest part ids — the dedup family's drop-loudly
-    // contract: one hot basket (a customer ordering every part) degrades
-    // to dropped candidates, never a quadratic blowup. This corpus's
-    // baskets are <= 7 parts, so the cap (64) drops nothing here; the
-    // oracle implements the SAME capped semantics. The global top-k is
-    // TakeOrderedAndProject, never a full sort. A self-join formulation
-    // pays a third exchange for the distinct and moves every (order,
-    // part) row twice — measured 1.9 s vs 1.2 s warm at sf0.1.
-    "copurchase_pairs" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("pa"), b.as("pb")))))).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .agg(count(lit(1)).as("n_orders"))
-        .orderBy(desc("n_orders"), asc("pa"), asc("pb"))
-        .limit(20)),
-
-    // EXT iterative graph centrality: INTEGER PageRank
-    // (PagerankQueryIters = 5 fixed rounds here; floor arithmetic —
-    // bit-portable, so even the iteration is oracle'd) over the capped
-    // co-purchase part graph at min-support 2
-    // (single co-occurrences are noise, and the support threshold keeps
-    // the graph entity-vocabulary-sized — ~3.5k edges at both sf0.01
-    // and sf0.1 — instead of corpus-sized). The curation use:
-    // authority/quality weighting from a co-occurrence graph.
-    "graph_pagerank" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-      graft.ops.Graphs.pagerankInt(pairs, iters = PagerankQueryIters)
-    }),
-
-    // EXT graph: per-node triangle participation over the (capped)
-    // co-purchase graph — degree-ordered orientation bounds the wedge
-    // join at O(|E|^1.5); counts are orientation-independent so the
-    // id-ordered DuckDB self-join oracle checks them exactly. Uses ALL
-    // co-purchase pairs (no n_orders floor): triangle density IS the
-    // signal, pre-thresholding would erase it.
-    "graph_triangles" -> ((s, dir) =>
-      graft.ops.Graphs.triangleCounts(copurchaseTriEdges(s, dir))),
-    // EXT the BOUNDED scale path of graph_triangles (VERDICT r11 item
-    // 2 — the registry's one measured superlinear wall-time at ×100):
-    // DOULION edge sampling at exact p=1/4 via the portable pair hash,
-    // the same degree-ordered edge-iterator on the sampled graph,
-    // per-node estimate = sampled count × 64. Sampling cuts the
-    // intersection work ~p² (this graph's degrees are NARROW — a
-    // hot-node cap would shed nothing or everything); deterministic
-    // integers end to end ⇒ hash-oracled, unlike any RNG sampler.
-    "graph_triangles_sampled" -> ((s, dir) =>
-      graft.ops.Graphs.triangleCountsSampled(copurchaseTriEdges(s, dir))),
-    // the estimator's accounting row (the dedup_cap_stats discipline):
-    // edge totals vs sampled, the exact scale factor, sampled and
-    // scaled triangle totals — what was dropped, said out loud
-    "graph_tri_sample_stats" -> ((s, dir) =>
-      graft.ops.Graphs.triangleSampleStats(copurchaseTriEdges(s, dir))),
-
-    // EXT graph: 2-core of the thresholded co-purchase graph — iterative
-    // peeling with the in-plan fixpoint certificate (any peel fixpoint
-    // IS the k-core, so the certificate makes the fixed round count
-    // safe). The dense-cohesion screen over the same graph pagerank
-    // ranks; 8 rounds covers the measured peel depth (6 at sf0.1) with
-    // headroom.
-    "graph_kcore" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-      graft.ops.Graphs.kCore(pairs, k = KcoreK, rounds = KcoreRounds)
-    }),
-
-    // EXT graph: synchronous label-propagation communities over the
-    // thresholded co-purchase graph — the topical-cluster / ring screen
-    // (per-community quotas, coordinated-spam excision). Deterministic
-    // min-label tie-break means even the sweep trajectory is oracle'd;
-    // LabelPropRounds fixed sweeps, labels snapshot not fixpoint.
-    "graph_labelprop" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-      graft.ops.Graphs.labelProp(pairs, rounds = LabelPropRounds)
-    }),
-
-    // EXT graph link prediction: common-neighbor Jaccard over the
-    // thresholded co-purchase graph — candidates from wedges only
-    // (never the n² pair space), hub-capped per the bounded-candidate
-    // contract (inert at this corpus's degrees, so exact), existing
-    // edges anti-joined away, top-50 suggested links.
-    "graph_jaccard_links" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-      graft.ops.Graphs.jaccardNeighbors(pairs)
-    }),
-
-    // EXT graph: modularity scoring of the labelProp partition — the
-    // detector's quality number (Newman-Girvan Q in exact integers:
-    // per-community 4·m·e_c − d_c² contributions, global q_bp riding
-    // along), so "did the communities improve" is a driver-checked
-    // fact, not a judgment call. Overflow-guarded in-plan at 1.5e9
-    // edges.
-    "graph_modularity" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-      graft.ops.Graphs.modularityReport(pairs,
-        graft.ops.Graphs.labelProp(pairs, rounds = LabelPropRounds)
-          .select("node", "label"))
-    }),
-
-    // EXT graph: degree assortativity of the thresholded co-purchase
-    // graph — Newman's r as pure integer moments over edge stubs (the
-    // only rounding is the final floor div, twin-matched), deciding
-    // whether hub-capped algorithms bite on this topology; regular
-    // graphs surface r NULL (undefined), never a fake 0.
-    "graph_assortativity" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-      graft.ops.Graphs.assortativity(pairs)
-    }),
-
-    // EXT truncated harmonic centrality: sum of 1/d in floor milli over
-    // a 6-hop radius from the 8 lowest nodes — |seeds| simultaneous BFS
-    // layers, integer-exact end to end; the all-pairs-free closeness.
-    "graph_harmonic" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-      graft.ops.Graphs.harmonicCentrality(pairs)
-    }),
-
-    // EXT connected components: the min-label fixpoint over the
-    // copurchase graph (Dedup.resolveClusters — shortcutting min
-    // propagation, O(log d) effective rounds, convergence asserted) +
-    // component sizes. The explicit CC surface the dedup/ER families
-    // use internally, exposed as a graph query.
-    "graph_components" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-      val cc = graft.ops.Dedup.resolveClusters(pairs, "da", "db")
-        .select(col("doc_id").as("node"), col("cluster_id").as("component"))
-      val sizes = cc.groupBy("component")
-        .agg(count(lit(1)).as("comp_size"))
-      cc.join(broadcast(sizes), Seq("component"))
-        .select("node", "component", "comp_size")
-        .orderBy("node")
-    }),
-
-    // EXT degree distribution: log2-binned degree histogram + CCDF tail
-    // over the same co-purchase graph — the skew diagnostic that sizes
-    // every broadcast/copartition/cap decision; one edge scan, one
-    // node-keyed count, a <=64-row binned aggregate.
-    "graph_degree_dist" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-      graft.ops.Graphs.degreeDistribution(pairs)
-    }),
-
-    // EXT percentile winsorization: clamp each event's value into its
-    // type's exact [p05, p95] band — the outlier-taming feature-eng pass.
-    // The percentile table is #types rows, broadcast back; values stay
-    // raw doubles until the final exact-cents surface.
-    // SCALE NOTE: exact `percentile` is a TypedImperativeAggregate whose
-    // per-group buffer holds every distinct value — on a CONTINUOUS
-    // column like events.value the buffer grows linearly with corpus
-    // size per event_type, an executor-memory blowup at 100×. This exact
-    // form is the small-sf oracle twin; events_winsorize_approx below is
-    // the bounded-memory scale path (same discipline as
-    // ml/Pipelines.quantileDiscretizer's GK sketch vs the exact ntile).
-    "events_winsorize" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val pct = ev.groupBy("event_type")
-        .agg(expr("percentile(value, 0.05)").as("p05"),
-          expr("percentile(value, 0.95)").as("p95"))
-      ev.join(broadcast(pct), Seq("event_type"))
-        .select(col("event_id"), col("event_type"),
-          round(least(greatest(col("value"), col("p05")), col("p95")) * 100)
-            .cast("long").as("clamped_cents"))
-        .orderBy("event_id")
-    }),
-
-    // EXT sketch winsorization — the 100 TB path of events_winsorize,
-    // HASH-ORACLED since round 12 (VERDICT r11 item 6): the bounded
-    // quantile summary is the repo's own PORTABLE mergeable histogram
-    // (Sketches.histCountsBy — ≤ bins rows per (type, map partition)
-    // cross the shuffle, bin counts ADD across shards, unlike GK/KLL
-    // whose state depends on merge order), so the whole clamp — cents
-    // quantization, bucket counts, covering-count quantile pick at
-    // 500/9500 bp, clamp to the bucket's inclusive upper edge — is
-    // exact integer arithmetic with a DuckDB twin. Bound error ≤ one
-    // 64-cent bin by construction (a theorem of the geometry, not a
-    // runtime property — no ε gate needed where the hash oracle runs).
-    // approx_percentile's GK sketch remains the engine-native
-    // alternative, kept exercised + rank-ε-gated by
-    // events_winsorize_gate below.
-    "events_winsorize_approx" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val cents = ev.select(col("event_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val hist = Sketches.histCountsBy(cents, "cents", Seq("event_type"),
-        0L, 64L, 1024)
-      val bounds = Sketches.histQuantilesBy(hist, Seq("event_type"),
-          Seq(500, 9500), 0L, 64L, 1024)
-        .groupBy("event_type").agg(
-          max(when(col("q_bp") === 500, col("est_upper"))).as("p05c"),
-          max(when(col("q_bp") === 9500, col("est_upper"))).as("p95c"))
-      cents.join(broadcast(bounds), Seq("event_type"))
-        .select(col("event_id"), col("event_type"),
-          least(greatest(col("cents"), col("p05c")), col("p95c"))
-            .as("clamped_cents"))
-        .orderBy("event_id")
-    }),
-    // the GK-sketch rank-ε gate, hash-oracled: the per-type verdict row
-    // only exists if the in-plan assert held (a drifted approx_percentile
-    // sketch throws, an empty/missing type hash-mismatches), so the
-    // DuckDB twin is the trivially-true shape — this keeps the
-    // engine-native GK path exercised now that events_winsorize_approx
-    // runs the portable histogram instead
-    "events_winsorize_gate" -> ((s, dir) =>
-      winsorizeApproxGate(t(s, dir, "events"))._2.orderBy("event_type")),
-
-    // EXT recursive CTE (Spark 4 WITH RECURSIVE -> UnionLoop): walk the
-    // synthetic digit-truncation forest over customers (parent(k) =
-    // k div 10, roots k < 10) to (node, root, depth) — the transitive-
-    // closure surface SQL users expect from a warehouse engine. Each
-    // loop iteration is one hash join of the frontier against customer;
-    // depth is bounded by key digits (~6 at any corpus scale).
-    "q37_recursive_cte" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("g_customer")
-      s.sql("""
-        WITH RECURSIVE anc(node, root, depth) AS (
-          SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
-          FROM g_customer WHERE c_custkey < 10
-          UNION ALL
-          SELECT c.c_custkey, a.root, a.depth + 1
-          FROM g_customer c JOIN anc a
-            ON c.c_custkey div 10 = a.node AND c.c_custkey >= 10)
-        SELECT node, root, depth FROM anc ORDER BY node""")
-    }),
-
-    // EXT Spark 4 VARIANT: semi-structured JSON parsed ONCE into the
-    // binary variant encoding, then typed-path extraction
-    // (variant_get with a cast in the extraction itself — the
-    // shred-on-read shape that replaces per-field get_json_object
-    // re-parses at 100 TB). The JSON is constructed from typed columns
-    // so both engines parse identical strings.
-    "q38_variant_json" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val j = concat(lit("{\"u\":{\"id\":"), col("user_id"),
-        lit(",\"m\":["), col("event_id") % 7, lit(","),
-        col("event_id") % 11, lit("]},\"t\":\""), col("event_type"),
-        lit("\"}"))
-      ev.select(parse_json(j).as("v"))
-        .select(
-          variant_get(col("v"), "$.t", "string").as("t"),
-          variant_get(col("v"), "$.u.id", "bigint").as("uid"),
-          variant_get(col("v"), "$.u.m[1]", "bigint").as("m1"))
-        .groupBy("t").agg(count(lit(1)).as("n"),
-          sum("uid").as("sum_uid"), sum("m1").as("sum_m1"))
-        .orderBy("t")
-    }),
-
-    // EXT LATERAL correlated subquery: top-2 orders PER sampled
-    // customer — the per-row dependent subquery SQL users reach for
-    // before learning window functions; Catalyst decorrelates it into
-    // a join, no per-row execution.
-    "q39_lateral_topk" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("g_customer")
-      t(s, dir, "orders").createOrReplaceTempView("g_orders")
-      s.sql("""
-        SELECT c.c_custkey, o.o_orderkey, o.cents
-        FROM g_customer c
-        JOIN LATERAL (
-          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-          FROM g_orders WHERE o_custkey = c.c_custkey
-          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-        WHERE c.c_custkey % 50 = 0
-        ORDER BY c.c_custkey, o.o_orderkey""")
-    }),
-
-    // EXT UNPIVOT (melt): wide measure columns to (name, value) rows —
-    // the relational reshape feeding any per-measure profiling;
-    // integer-cents basis so the folded sums hash cross-engine.
-    "q40_unpivot" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
-      s.sql("""
-        SELECT name, count(*) AS n, sum(cents) AS total_cents
-        FROM (
-          SELECT * FROM (
-            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS extendedprice,
-                   CAST(round(l_quantity * 100) AS BIGINT) AS quantity,
-                   CAST(round(l_tax * 100) AS BIGINT) AS tax
-            FROM g_lineitem)
-          UNPIVOT (cents FOR name IN (extendedprice, quantity, tax)))
-        GROUP BY name ORDER BY name""")
-    }),
-
-    // EXT modern aggregate surface: ordered LISTAGG (Spark 4), exact
-    // integer median (×2-scaled: even-count interpolation lands on
-    // halves in both engines), count_if — the post-SQL:2016 aggregates
-    // an analyst expects; all deterministic by construction.
-    "q41_modern_aggs" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("g_orders")
-      s.sql("""
-        SELECT o_orderstatus,
-               listagg(DISTINCT o_orderpriority, ',')
-                 WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
-               CAST(2 * median(cents) AS BIGINT) AS med2_cents,
-               count_if(cents > 10000000) AS n_big
-        FROM (SELECT o_orderstatus, o_orderpriority,
-                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-              FROM g_orders)
-        GROUP BY 1 ORDER BY 1""")
-    }),
-
-    // EXT deterministic training-order shuffle: a corpus materialized in
-    // seeded pseudo-random order — reproducible across runs, engines and
-    // partitionings because the order key is the portable affine hash of
-    // doc_id, never rand(). The "shuffle the training data" step of a
-    // data pipeline as a checkable query (order IS the semantics here,
-    // so the oracle orders by the same hash); ties impossible (hash is
-    // injective mod P1 on doc_id < P1, and doc_id breaks any residue
-    // collision).
-    "fp_shuffle_order" -> ((s, dir) => {
-      import graft.functions.Portable.{P1, aCoef, bCoef}
-      val key =
-        (((col("doc_id") % lit(P1)) * lit(aCoef(11)) + lit(bCoef(11))) % lit(P1))
-          .as("shuffle_key")
-      t(s, dir, "documents")
-        .select(col("doc_id"), key)
-        .orderBy("shuffle_key", "doc_id")
-    }),
-
-    // EXT portable feature hashing (HashingTF twin): token -> bucket via
-    // the shared rolling-hash basis mod 64, exact per-bucket counts.
-    // Unlike spark.ml's HashingTF (Murmur3, engine-private) every bucket
-    // assignment is SQL-reproducible, so the feature matrix itself is
-    // oracle-checkable. One explode + one partial-aggregated shuffle.
-    "fp_feature_hash" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.Texty.tokens(col("text"))).as("tk"))
-        .filter(col("tk") =!= "")
-        .select(col("doc_id"),
-          pmod(graft.functions.Texty.rollingHash(col("tk")), lit(64L))
-            .as("bucket"))
-        .groupBy("doc_id", "bucket")
-        .agg(count(lit(1)).as("tf"))
-        .orderBy("doc_id", "bucket")),
-
-    // EXT in-memory schema-drift union: unionByName(allowMissingColumns)
-    // null-pads each side's missing columns — the DataFrame twin of
-    // sink_schema_evolution's mergeSchema read.
-    "q36_union_by_name" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val oldBatch = o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_totalprice")
-      val newBatch = o.filter(col("o_orderkey") % 2 === 1)
-        .select("o_orderkey", "o_totalprice", "o_orderpriority")
-      oldBatch.unionByName(newBatch, allowMissingColumns = true)
-        .groupBy(coalesce(col("o_orderpriority"), lit("<none>")).as("priority"))
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("priority")
-    }),
-
-    // EXT Count-Min frequency sketch: point-frequency estimates from
-    // depth×width (3×1024) counters — the KB-sized per-shard frequency
-    // summary a 100 TB pipeline keeps when the key universe can't be
-    // materialized. Probes = the exact global top-20 tokens, so the
-    // output exposes estimate vs truth (est ≥ true always; both sides
-    // compute the identical portable-hash cells, so even the collision
-    // overcounts are hash-checked).
-    "sketch_cms" -> ((s, dir) => {
-      // one corpus scan: the vocabulary-sized count table feeds the
-      // sketch (weighted build), the top-20 probe set AND the truth
-      // column; localCheckpoint stops the three consumers from each
-      // replaying the scan+shuffle
-      val counts = t(s, dir, "documents")
-        .select(explode(graft.functions.Texty.tokens(col("text"))).as("tk"))
-        .filter(col("tk") =!= "")
-        .groupBy("tk").agg(count(lit(1)).as("true_cnt"))
-        .localCheckpoint()
-      val counters = graft.ops.Sketches.cmsBuildWeighted(counts, "tk", "true_cnt")
-      val top = counts.orderBy(desc("true_cnt"), asc("tk")).limit(20)
-      graft.ops.Sketches.cmsEstimate(counters, top.select("tk"), "tk")
-        .join(top, "tk")
-        .select(col("tk").as("token"), col("true_cnt"), col("cms_est"))
-        .orderBy(desc("true_cnt"), asc("token"))
-    }),
-
-    // EXT Bloom-filter semi-join reduction: the runtime-filter shape —
-    // build an 8 KB filter over the filtered dim's keys, prune the fact
-    // SCAN with a codegen'd membership predicate (no join, no shuffle),
-    // then let the exact semi join kill the false positives. Result is
-    // EXACT (oracle = plain IN-subquery); what the Bloom pass changes is
-    // that at 100 TB the shuffle carries ~selectivity of the fact table
-    // instead of all of it. SketchesSpec asserts the pruning actually
-    // prunes (candidates ≪ fact, ⊇ true matches).
-    "join_bloom_prune" -> ((s, dir) => {
-      val dim = t(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-      graft.ops.Sketches.bloomPrunedSemiJoin(
-          t(s, dir, "orders"), dim, "o_custkey", "c_custkey")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // EXT incremental materialized-view maintenance: the standing
-    // per-user stats view (built from 90% of events) is refreshed with a
-    // delta batch (the other 10%) by merging PARTIAL AGGREGATES —
-    // Cdc.mergeAggState re-sums/re-mins the state tables without
-    // rescanning base. Oracle = the full recompute over all events: the
-    // merge must be indistinguishable from it, which is the MV
-    // correctness contract. O(|delta| + |view|) per refresh at 100 TB.
-    // EXT incremental JOIN view: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB over
-    // PRE-delta states (post-delta on either side double-counts the
-    // corner — the classic IVM bug, here a driver hash-FAIL because the
-    // oracle is the full recompute); view refresh costs |Δ|-sized joins,
-    // never a base×base re-join.
-    "mv_join_incremental" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_custkey").as("custkey"),
-        col("o_orderkey"), col("o_totalprice"))
-      val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
-        col("c_mktsegment"))
-      val a = o.filter(col("o_orderkey") % 10 =!= 0)
-      val da = o.filter(col("o_orderkey") % 10 === 0)
-      val b = c.filter(col("custkey") % 7 =!= 0)
-      val db = c.filter(col("custkey") % 7 === 0)
-      graft.ops.Cdc.mergeJoinView(a.join(b, Seq("custkey")),
-          a, b, da, db, Seq("custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("c_mktsegment")
-    }),
-
-    "mv_incremental" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val withCols = ev.select(col("user_id"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"),
-        graft.ops.Events.tsUs(ev).as("us"))
-      def pagg(df: DataFrame) = df.groupBy("user_id").agg(
-        count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
-        min("us").as("min_us"), max("us").as("max_us"))
-      graft.ops.Cdc.mergeAggState(Seq("user_id"),
-          pagg(withCols.filter(col("event_id") % 10 =!= 0)),
-          pagg(withCols.filter(col("event_id") % 10 === 0)))
-        .orderBy("user_id")
-    }),
-
-    // EXT multi-source BFS hop distances over the min-support-2
-    // co-purchase graph (same graph as graph_pagerank): distance from
-    // the seed set {node % 101 = 0} capped at 4 hops — link-distance-
-    // from-trusted-set as a curation signal. Frontier rounds broadcast
-    // only the frontier; the oracle is a recursive CTE taking min(d).
-    "graph_bfs" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-      val seeds = pairs.select(col("da").as("node"))
-        .union(pairs.select(col("db").as("node")))
-        .filter(col("node") % 101 === 0).distinct()
-      graft.ops.Graphs.bfsHops(pairs, seeds, maxHops = 4)
-    }),
-
-    // EXT gaps-and-islands: per-user consecutive-active-day streaks via
-    // the day − row_number() constant-difference trick — no self-join,
-    // no iteration, one user-keyed window pass over the (user, day)
-    // dedup. The engagement-streak surface of an analytics store.
-    "events_streaks" -> ((s, dir) =>
-      graft.ops.Events.streaks(t(s, dir, "events"))),
-
-    // EXT portable HyperLogLog: approx-distinct of l_orderkey over the
-    // lineitem occurrence stream from 1024 integer registers — unlike
-    // approx_count_distinct (engine-private HLL++, rows-only in
-    // profile_approx) every register, the scaled harmonic sum AND the
-    // rounded estimate are reproduced by the DuckDB twin, so the sketch
-    // itself is hash-checked. Output includes the exact distinct count
-    // and err_bp — the estimator's accuracy is part of the result.
-    "sketch_hll_distinct" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      graft.ops.Sketches.hllSummary(
-          graft.ops.Sketches.hllRegisters(li.select("l_orderkey"), "l_orderkey"))
-        .crossJoin(li.agg(countDistinct("l_orderkey").as("true_distinct")))
-        .withColumn("err_bp",
-          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
-    }),
-
-    // EXT streaming HLL: the register table maintained as a real
-    // AvailableNow streaming aggregate (max-merge IS the sketch's merge
-    // law — no custom state), summary + exactness check in batch over
-    // the driver-free read-back. Same oracle machinery as
-    // sketch_hll_distinct, over the events stream's event_id.
-    // EXT bitmap words as streaming state: bit_or merges across
-    // micro-batches (the rollup law run incrementally) — the final
-    // popcounts are EXACT distincts equal to the batch count(distinct),
-    // driver-checked; the HLL parity above is the sketch fallback.
-    "stream_bitmap_parity" -> ((s, dir) => {
-      val words = graft.streaming.EventStream
-        .bitmapParityRun(s, s"$dir/events.parquet")
-      words.groupBy("event_type")
-        .agg(count(lit(1)).as("n_words"),
-          sum(bit_count(col("word")).cast("long")).as("n_distinct"))
-        .join(t(s, dir, "events").groupBy("event_type")
-          .agg(countDistinct("user_id").as("true_distinct")),
-          Seq("event_type"))
-        .orderBy("event_type")
-    }),
-
-    "stream_hll_parity" -> ((s, dir) => {
-      val regs = graft.streaming.EventStream
-        .hllParityRun(s, s"$dir/events.parquet")
-      graft.ops.Sketches.hllSummary(regs)
-        .crossJoin(t(s, dir, "events")
-          .agg(countDistinct("event_id").as("true_distinct")))
-        .withColumn("err_bp",
-          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
-    }),
-
-    // EXT systematic PPS sampling: exactly-k size-weighted picks from a
-    // distributed prefix sum over the portable-hash order — the integer,
-    // engine-reproducible alternative to exponential-race weighted
-    // reservoirs (whose -ln(u)/w keys are ULP roulette). Heavy docs can
-    // be picked multiple times (PPS-with-replacement convention).
-    "fp_pps_sample" -> ((s, dir) =>
-      Features.ppsSample(
-        t(s, dir, "documents").select(col("doc_id"), length(col("text")).as("w")),
-        "doc_id", "w", k = PpsSampleK)),
-
-    // EXT file-level min/max data skipping without a table format: stage
-    // orders range-clustered on o_orderdate, derive the per-file stats
-    // manifest, answer a 6-month band query by scanning ONLY the files
-    // whose [min,max] intersects. Result is exact (residual filter on
-    // top), oracle = the plain band filter; SketchesSpec asserts the
-    // scan actually skips files. The Delta/Iceberg skipping mechanism
-    // as a library op.
-    "manifest_prune" -> ((s, dir) => {
-      val staged = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-manifest-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(staged)
-      graft.sources.Manifest.stageClustered(
-        t(s, dir, "orders"), staged, "o_orderdate", 8)
-      val mani = graft.sources.Manifest.buildManifest(s, staged, "o_orderdate")
-      graft.sources.Manifest.prunedBandRead(s, mani, staged, "o_orderdate",
-          to_timestamp(lit("1997-01-01 00:00:00")),
-          to_timestamp(lit("1997-07-01 00:00:00")))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // EXT fuzzy entity resolution: two-pass (prefix-5, suffix-5)
-    // blocked candidates under ops/EntityResolution's bounded-candidate
-    // contract — single-edit recall is a pigeonhole theorem (one edit
-    // cannot corrupt both a 5-char prefix and a 5-char suffix of a
-    // >=10-char name), block caps are deterministic, drops are reported
-    // by er_block_stats. Scoring is the codegen'd Jaro-Winkler
-    // expression — Spark ships levenshtein but no JW, so this is
-    // functions/JaroWinkler.scala, pinned bit-compatible with DuckDB's
-    // jaro_winkler_similarity. Two INDEPENDENT implementations agreeing
-    // on every rounded basis-point score is the oracle (the
-    // NFC-normalizer discipline). Queries are entity names with one
-    // deterministically-deleted character past position 5; threshold is
-    // applied to the rounded integer score so both engines cut
-    // identically.
-    "er_fuzzy_match" -> ((s, dir) => {
-      val (ents, dirty) = erCorpus(t(s, dir, "part"))
-      graft.ops.EntityResolution.fuzzyMatch(ents, dirty, 9000,
-        ErPrefixLen, ErSuffixLen, ErMaxBlock)
-    }),
-    // blocking health for the ER surface: per-pass key cardinality,
-    // largest block, cap-dropped volume — the dedup_cap_stats
-    // discipline applied to entity resolution, so a corpus whose keys
-    // collapse (fixed-vocabulary prefixes at 100×) is VISIBLE in a
-    // report instead of silently quadratic.
-    "er_block_stats" -> ((s, dir) => {
-      val (ents, _) = erCorpus(t(s, dir, "part"))
-      graft.ops.EntityResolution.blockStats(ents,
-        ErPrefixLen, ErSuffixLen, ErMaxBlock)
-    }),
-    // EXT sorted-neighborhood ER (Hernández-Stolfo): queries + entities
-    // in ONE globally sorted list, each query scored only against
-    // entities within ±10 positions — candidate volume a HARD
-    // O(queries × 2w) no corpus can break (the other classic blocking;
-    // production multi-pass ER unions this with the key passes). The
-    // global rank is DISTRIBUTED (prefix-sliced local windows + offset
-    // lift, Features.rangeNtileBucket's construction on string keys) and
-    // equals the oracle's plain row_number exactly.
-    "er_sorted_neighborhood" -> ((s, dir) => {
-      val (ents, dirty) = erCorpus(t(s, dir, "part"))
-      graft.ops.EntityResolution.sortedNeighborhood(ents, dirty)
-    }),
-    // EXT ER composition: fuzzy-match pairs resolved to connected
-    // components — the "same real-world entity" cluster table a linkage
-    // pipeline actually ships (match pairs are evidence; the CLUSTER is
-    // the deliverable). Pointer-doubling rounds (Dedup.resolveClusters)
-    // over the two-pass blocked JW matches; recursive-CTE oracle like
-    // dedup_clusters.
-    // EXT survivorship (the step AFTER er_clusters): merge each
-    // duplicate cluster into one golden record by field-level rules —
-    // longest name, max non-null amount (null count surfaced), modal
-    // category — on synthesized customer duplicates (a truncated twin
-    // with a missing amount, a re-categorized twin); two cluster-keyed
-    // hash aggs, deterministic min-struct argmaxes, fully oracle'd.
-    "er_golden_record" -> ((s, dir) => {
-      val orig = t(s, dir, "customer").select(
-        col("c_custkey").as("cluster_key"), col("c_name").as("name"),
-        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("amount"),
-        col("c_mktsegment").as("category"))
-      val truncated = orig.filter(col("cluster_key") % 7 === 0)
-        .select(col("cluster_key"),
-          expr("substring(name, 1, length(name) - 2)").as("name"),
-          lit(null).cast("long").as("amount"), col("category"))
-      val recat = orig.filter(col("cluster_key") % 14 === 0)
-        .select(col("cluster_key"), col("name"),
-          (col("amount") - 100L).as("amount"),
-          lit("DUP").as("category"))
-      graft.ops.EntityResolution.goldenRecords(
-        orig.unionByName(truncated).unionByName(recat),
-        "cluster_key", "name", "amount", "category")
-    }),
-
-    "er_clusters" -> ((s, dir) => {
-      val (ents, dirty) = erCorpus(t(s, dir, "part"))
-      val pairs = graft.ops.EntityResolution.fuzzyMatch(ents, dirty, 9000,
-          ErPrefixLen, ErSuffixLen, ErMaxBlock)
-        .filter(col("q_key") =!= col("cand_key"))
-        .select(col("q_key").as("da"), col("cand_key").as("db"))
-      Dedup.resolveClusters(pairs)
-        .withColumnRenamed("doc_id", "entity_key")
-    }),
-
-    // EXT per-group HLL: one scan → one register table PER return-flag
-    // (shuffle key space |groups|·m cells, max still decomposable) —
-    // approx-distinct-by-dimension from a single pass, where exact
-    // countDistinct-per-group re-shuffles every raw key. Output keeps
-    // the exact count and err_bp per group: the estimator's per-slice
-    // accuracy is part of the result, as in sketch_hll_distinct.
-    "sketch_hll_groups" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      graft.ops.Sketches.hllSummaryBy(
-          graft.ops.Sketches.hllRegistersBy(
-            li.select(col("l_returnflag"), col("l_orderkey")),
-            "l_orderkey", Seq("l_returnflag")),
-          Seq("l_returnflag"))
-        .join(li.groupBy("l_returnflag")
-          .agg(countDistinct("l_orderkey").as("true_distinct")), "l_returnflag")
-        .withColumn("err_bp",
-          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
-        .orderBy("l_returnflag")
-    }),
-
-    // EXT HLL merge law: register-wise max of two independently-built
-    // sketches IS the sketch of the union — exactly, not approximately,
-    // which is why per-shard sketches compose across any ad-hoc slice at
-    // 100 TB without re-scanning. Two overlapping l_partkey slices;
-    // truth = exact distinct of the union filter.
-    "sketch_hll_union" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      def regs(f: org.apache.spark.sql.Column) = graft.ops.Sketches.hllRegisters(
-        li.filter(f).select("l_partkey"), "l_partkey")
-      graft.ops.Sketches.hllSummary(graft.ops.Sketches.hllMergeRegisters(
-          regs(col("l_returnflag") === "R"), regs(col("l_linenumber") === 1)))
-        .crossJoin(li
-          .filter(col("l_returnflag") === "R" || col("l_linenumber") === 1)
-          .agg(countDistinct("l_partkey").as("true_distinct")))
-        .withColumn("err_bp",
-          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
-    }),
-
-    // EXT histogram merge law — the HLL-union discipline for the
-    // quantile sketch: bucket-wise SUM of two independently-built
-    // histCounts tables IS the histogram of the union stream, EXACTLY
-    // (counts are additive) — why per-shard histograms compose across
-    // ad-hoc slices at 100 TB without re-scanning. Two DISJOINT
-    // lineitem slices (union-all stream = concatenation, so the law is
-    // count addition); output = the p50/p90 quantile rows derived from
-    // the MERGED sketch, plus per-quantile identity vs the union-built
-    // sketch (diff_upper, must be 0).
-    "sketch_hist_merge" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      def cents(f: org.apache.spark.sql.Column) = li.filter(f)
-        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      val sliceA = col("l_linenumber") === 1
-      val sliceB = col("l_linenumber") === 2
-      def hist(df: DataFrame) =
-        graft.ops.Sketches.histCounts(df, "cents", 0L, 4096L, 4096)
-      val merged = hist(cents(sliceA)).unionByName(hist(cents(sliceB)))
-        .groupBy("bucket").agg(sum("cnt").as("cnt"))
-      val ofUnion = hist(cents(sliceA || sliceB))
-      def q(h: DataFrame) = graft.ops.Sketches.histQuantiles(
-        h, Seq(5000, 9000), 0L, 4096L, 4096)
-      q(merged).alias("m")
-        .join(q(ofUnion).select(col("q_bp"),
-          col("est_upper").as("union_upper")), "q_bp")
-        .withColumn("diff_upper", col("est_upper") - col("union_upper"))
-        .orderBy("q_bp")
-    }),
-
-    // EXT KMV bottom-k distinct sketch: k smallest portable quad-hashes
-    // of the distinct keys — TakeOrdered, nothing shuffles, and the
-    // bottom-k doubles as a uniform distinct-key sample. Estimator
-    // (k−1)·R/h_k runs as three correctly-rounded double ops in both
-    // engines (numerator inlined as the same double literal).
-    "sketch_kmv_distinct" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      graft.ops.Sketches.kmvSummary(
-          graft.ops.Sketches.kmvBottom(li.select("l_orderkey"), "l_orderkey"))
-        .crossJoin(li.agg(countDistinct("l_orderkey").as("true_distinct")))
-        .withColumn("err_bp",
-          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
-    }),
-
-    // EXT sketch: AMS second moment — the self-join size / repetition
-    // statistic from 128 mergeable sign counters; truth + err ride
-    // along, every column integer (median via the dyadic ×2 trick).
-    "sketch_ams_f2" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val est = graft.ops.Sketches.amsF2(li.select("l_orderkey"),
-        "l_orderkey")
-      val truth = li.groupBy("l_orderkey").agg(count(lit(1)).as("f"))
-        .agg(sum(expr("f * f")).as("f2_true"), sum("f").as("n_rows"))
-      est.crossJoin(truth)
-        .withColumn("err_bp",
-          expr("abs(f2_est2 - 2 * f2_true) * 10000 div (2 * f2_true)"))
-        .select("n_rows", "f2_true", "f2_est2", "err_bp")
-    }),
-
-    // EXT sketch: KMV Jaccard resemblance between the returned-parts
-    // and accepted-parts vocabularies — overlap answered from two
-    // bottom-k sketches (TakeOrdered, never a co-shuffle of the full
-    // distinct sets); the exact truth + err_bp ride along as the eval
-    // columns, kmv_distinct-style. Both the estimate and the truth are
-    // integer arithmetic, so the whole report is hash-oracle'd.
-    "sketch_kmv_jaccard" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val est = graft.ops.Sketches.kmvJaccard(
-        li.filter(col("l_returnflag") === "R").select("l_partkey"),
-        li.filter(col("l_returnflag") === "A").select("l_partkey"),
-        "l_partkey")
-      val truth = li.filter(col("l_returnflag").isin("R", "A"))
-        .select(col("l_partkey").as("k"),
-          (col("l_returnflag") === "R").cast("long").as("ia"),
-          (col("l_returnflag") === "A").cast("long").as("ib"))
-        .groupBy("k").agg(max("ia").as("ia"), max("ib").as("ib"))
-        .agg(sum(expr("ia * ib")).as("n_inter"),
-          count(lit(1)).as("n_union"))
-        .withColumn("true_jacc_bp", expr("n_inter * 10000 DIV n_union"))
-      est.crossJoin(truth)
-        .withColumn("err_bp", abs(col("jacc_bp") - col("true_jacc_bp")))
-        .select("k_used", "kth_hash", "n_both", "jacc_bp",
-          "n_inter", "n_union", "true_jacc_bp", "err_bp")
-    }),
-
-    // EXT sketch set algebra: union/intersection/both directed
-    // differences of the small-lot (qty ≤ 5) vs bulk (qty ≥ 45) part
-    // vocabularies, all from the SAME two coordinated bottom-k sketches
-    // kmv_jaccard reads (fractions exact on the sample by rank closure;
-    // union via (k−1)·R/h_k) — "what did the feed drop" from 2k sketch
-    // rows; exact truths + err ride along, kmv-style, all hash-oracle'd.
-    // EXT bitmap-index distinct: exact per-type distinct users as
-    // 32-id bitmap words folded with bit_or (full map-side combine);
-    // the '(all)' row merges the per-type WORD TABLES (the rollup
-    // law), never re-scans events, and an in-plan assert pins every
-    // count to an independent count(distinct).
-    "sketch_bitmap_distinct" -> ((s, dir) =>
-      graft.ops.Sketches.bitmapDistinct(
-        t(s, dir, "events"), "event_type", "user_id")),
-
-    "sketch_kmv_setops" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val est = graft.ops.Sketches.kmvSetOps(
-        li.filter(col("l_quantity") <= 5).select("l_partkey"),
-        li.filter(col("l_quantity") >= 45).select("l_partkey"),
-        "l_partkey")
-      val truth = li.filter(col("l_quantity") <= 5 || col("l_quantity") >= 45)
-        .select(col("l_partkey").as("k"),
-          (col("l_quantity") <= 5).cast("long").as("ia"),
-          (col("l_quantity") >= 45).cast("long").as("ib"))
-        .groupBy("k").agg(max("ia").as("ia"), max("ib").as("ib"))
-        .agg(count(lit(1)).as("true_union"),
-          sum(expr("ia * ib")).as("true_inter"),
-          sum(expr("ia * (1 - ib)")).as("true_a_only"),
-          sum(expr("(1 - ia) * ib")).as("true_b_only"))
-      est.crossJoin(truth)
-        .withColumn("err_union_bp",
-          expr("abs(est_union - true_union) * 10000 div true_union"))
-        .withColumn("err_diff_ab_bp",
-          expr("abs(est_diff_ab - true_a_only) * 10000 div true_a_only"))
-        .select("k_used", "kth_hash", "n_both", "n_a_only", "n_b_only",
-          "est_union", "est_inter", "est_diff_ab", "est_diff_ba",
-          "true_union", "true_inter", "true_a_only", "true_b_only",
-          "err_union_bp", "err_diff_ab_bp")
-    }),
-
-    // EXT mergeable histogram quantiles: fixed 4096×4096-cent bins over
-    // extendedprice cents (range [0, 2²⁴) covers every SF; the TPC-H
-    // price cap is SF-independent) — bin counts ADD across shards,
-    // unlike any exact rank, and the estimate (covering bin's upper
-    // edge) is integer-exact: the oracle-able alternative to GK/KLL
-    // whose state depends on merge order. Error ≤ bin width ($40.96) by
-    // construction.
-    "sketch_hist_quantiles" -> ((s, dir) => {
-      val cents = t(s, dir, "lineitem")
-        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      graft.ops.Sketches.histQuantiles(
-        graft.ops.Sketches.histCounts(cents, "cents", 0L, 4096L, 4096),
-        Seq(5000, 9000, 9900, 9990), 0L, 4096L, 4096)
-    }),
-
-    // EXT CMS join-size estimation: |events ⋈ orders ON user=cust|
-    // bounded from two KB-sized Count-Min tables (same geometry/seed) by
-    // the inner-product estimate min_r Σ_b cA(r,b)·cB(r,b) — the
-    // pre-flight "can this join's output even be materialized" check a
-    // planner runs at 100 TB without scanning either side. est ≥ true
-    // always; truth (the exact join count) ships in the output with
-    // err_bp, like every sketch in the family.
-    "sketch_join_size" -> ((s, dir) => {
-      def counts(df: DataFrame, kc: String) =
-        df.groupBy(col(kc).cast("string").as("k")).agg(count(lit(1)).as("cnt"))
-      val cA = graft.ops.Sketches.cmsBuildWeighted(
-        counts(t(s, dir, "events"), "user_id"), "k", "cnt")
-      val cB = graft.ops.Sketches.cmsBuildWeighted(
-        counts(t(s, dir, "orders"), "o_custkey"), "k", "cnt")
-      graft.ops.Sketches.cmsJoinSize(cA, cB)
-        .crossJoin(t(s, dir, "events").join(t(s, dir, "orders"),
-            col("user_id") === col("o_custkey"))
-          .agg(count(lit(1)).as("true_size")))
-        .withColumn("err_bp",
-          expr("abs(join_size_est - true_size) * 10000 div true_size"))
-    }),
-
-    // EXT robust outliers: per-user Median-Absolute-Deviation screen
-    // (|c − med| > 5·MAD), kept fully integer via the ×2/×4 scaled
-    // medians (see Events.madOutliers scaladoc) so two engines with
-    // independent exact-percentile implementations agree bit-for-bit.
-    "events_mad_outliers" -> ((s, dir) =>
-      graft.ops.Events.madOutliers(t(s, dir, "events"))),
-
-    // EXT time-decayed recency score: Σ cents·2^(30 − age_days) per user
-    // in exact integers (power-of-two half-life decay IS a left shift;
-    // see Events.decayAgg) — the recency feature a training pipeline
-    // derives, with zero float roulette.
-    "events_decay_agg" -> ((s, dir) =>
-      graft.ops.Events.decayAgg(t(s, dir, "events"))),
-
-    // EXT retrieval-quality eval: per single-term query, the reciprocal
-    // rank of the first term-DENSE (tf ≥ 3) hit in the BM25 top-10 —
-    // MRR as 2520/rank exact integers (2520 = lcm(1..10), the RRF
-    // discipline). The eval surface a RAG pipeline runs per index build.
-    "search_mrr_eval" -> ((s, dir) =>
-      TextAnalysis.retrievalMrr(t(s, dir, "documents"), MrrQueryTerms)),
-
-    // EXT stratified distinct-key sample: bottom-20 portable hashes per
-    // documents source — k deterministic representatives per stratum
-    // from one pass (each doubles as the stratum's KMV basis); the
-    // semantics-oblivious hash order is what makes it uniform.
-    "fp_bottomk_stratified" -> ((s, dir) =>
-      graft.ops.Sketches.kmvBottomBy(
-          t(s, dir, "documents").select("source", "doc_id"),
-          "doc_id", Seq("source"), k = 20)
-        .orderBy("source", "rn")),
-
-    // EXT snapshot isolation + time travel: two committed versions of an
-    // orders table (v1 = a subset, v2 = full — "late data arrived"),
-    // published via the atomic-manifest-move protocol; the query reads
-    // BOTH versions after the second commit and aggregates each — the
-    // as-of read an auditable pipeline replays. Commits are idempotent
-    // per staging root (re-runs read the original versions); uncommitted
-    // staging files are structurally invisible (SnapshotsSpec proves
-    // both isolation and the optimistic-concurrency retry).
-    "snapshot_time_travel" -> ((s, dir) => {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-snap-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(root)
-      val o = t(s, dir, "orders")
-      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
-        graft.sources.Snapshots.commit(
-          o.filter(col("o_orderkey") % 3 =!= 0), root)
-        graft.sources.Snapshots.commit(o, root)
-      }
-      def agg(v: Long) = graft.sources.Snapshots.read(s, root, Some(v))
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .select(lit(v).as("version"), col("cnt"), col("revenue"))
-      agg(1L).unionByName(agg(2L)).orderBy("version")
-    }),
-
-    // EXT token-mass quantiles: doc-length percentiles WEIGHTED by
-    // token count — "below what length does half the token mass live",
-    // the batch-filling statistic (doc-count medians mislead when short
-    // docs dominate counts but not mass). Same mergeable geometry;
-    // histQuantiles consumes the weighted bins unchanged.
-    "sketch_hist_weighted" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("n_chars"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      graft.ops.Sketches.histQuantiles(
-        graft.ops.Sketches.histCountsWeighted(d, "n_chars", "n_tok",
-          0L, 4L, 1024),
-        Seq(2500, 5000, 9000), 0L, 4L, 1024)
-    }),
-
-    // EXT streaming DQ monitor: the fused Check-rule aggregate as ONE
-    // row of sum-merged stream state — the always-on ingest guardrail,
-    // final row ≡ the batch report exactly.
-    "stream_dq_parity" -> ((s, dir) =>
-      graft.streaming.EventStream.dqParityRun(s, s"$dir/events.parquet")),
-
-    // EXT personalized PageRank: restart mass returns only to the seed
-    // set ({node % 101 = 0}, the graph_bfs seeds) — random-walk
-    // proximity to trusted nodes, the ranking cousin of graph_bfs' hop
-    // distances, in the same bit-portable integer arithmetic as
-    // graph_pagerank.
-    "graph_ppr" -> ((s, dir) => {
-      // localCheckpoint: the co-purchase derivation feeds BOTH the edge
-      // set and the seed extraction — materialize it once (the
-      // sketch_cms shared-scan discipline)
-      val pairs = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_set(col("l_partkey"))),
-          1, CopurchaseMaxBasket).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          transform(filter(col("parts"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select("da", "db")
-        .localCheckpoint()
-      val seeds = pairs.select(col("da").as("node"))
-        .union(pairs.select(col("db").as("node")))
-        .filter(col("node") % 101 === 0).distinct()
-      graft.ops.Graphs.pprInt(pairs, seeds)
-    }),
-
-    // EXT inter-arrival profile: per-user min/max/×2-scaled-median gap —
-    // the burstiness statistic behind bot screens and session-gap /
-    // watermark sizing. One lag window + grouped exact percentile.
-    "events_interarrival" -> ((s, dir) =>
-      graft.ops.Events.interArrival(t(s, dir, "events"))),
-
-    // EXT windowed funnel: conversions must land within 24h of a VALID
-    // prior-stage hit (latest-valid-prior carry = an EXISTS as a window
-    // max, no self-join) — the product-analytics semantics where a
-    // purchase a month after the click is not a conversion.
-    "events_funnel_timed" -> ((s, dir) =>
-      graft.ops.Events.funnelTimed(t(s, dir, "events"))),
-
-    // EXT incremental MV over the versioned table: the standing
-    // per-user view (built at v1) refreshed with the v1→v2 FILE-LEVEL
-    // delta (two manifest reads recover exactly the appended rows — no
-    // change journal) merged as partial aggregates. The composition a
-    // lakehouse MV actually runs: version history supplies the delta,
-    // mergeAggState supplies the algebra, and the result must be
-    // indistinguishable from a full recompute (the oracle).
-    "snapshot_incremental_mv" -> ((s, dir) => {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-snapmv-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(root)
-      val ev = t(s, dir, "events")
-      val rows = ev.select(col("user_id"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"),
-        graft.ops.Events.tsUs(ev).as("us"))
-      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
-        graft.sources.Snapshots.commit(
-          rows.filter(col("event_id") % 10 =!= 0), root)
-        graft.sources.Snapshots.commitAppend(
-          rows.filter(col("event_id") % 10 === 0), root)
-      }
-      def pagg(df: DataFrame) = df.groupBy("user_id").agg(
-        count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
-        min("us").as("min_us"), max("us").as("max_us"))
-      val view1 = pagg(graft.sources.Snapshots.read(s, root, Some(1L)))
-      val delta = graft.sources.Snapshots.readVersionDelta(s, root, 1L, 2L)
-      graft.ops.Cdc.mergeAggState(Seq("user_id"), view1, pagg(delta))
-        .orderBy("user_id")
-    }),
-
-    // EXT vocabulary drift: top-20 token-share movers (integer bp)
-    // between the even- and odd-id corpus halves — the
-    // distribution-shift monitor run between ingest batches. Shares of
-    // token MASS, so unequal slice sizes compare.
-    "text_vocab_drift" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      TextAnalysis.vocabDrift(
-        d.filter(col("doc_id") % 2 === 0),
-        d.filter(col("doc_id") % 2 =!= 0))
-    }),
-
-    // EXT grouped exact quartiles: ×4-scaled interpolated quartiles of
-    // cents per type — dyadic ranks make 4·percentile an exact BIGINT
-    // in both engines (the madOutliers ×2 discipline at quarter ranks).
-    "events_quartiles" -> ((s, dir) =>
-      graft.ops.Events.quartilesByType(t(s, dir, "events"))),
-
-    // EXT sliding-window distinct via the merge law: per-day HLL
-    // register tables (one scan), then each day's trailing-7-day
-    // distinct-event estimate from a day×window range join over SKETCH
-    // rows — the classic sliding-distinct that exact methods rescan the
-    // window for. Truth + err_bp per day ship in the output.
-    "sketch_hll_sliding" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val us = graft.ops.Events.tsUs(ev)
-      val withDay = ev.select(col("event_id"),
-        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L))
-          .cast("long").as("day"))
-      val regs = graft.ops.Sketches.hllRegistersBy(
-        withDay, "event_id", Seq("day"))
-      val truth = withDay.select(col("day").as("d")).distinct().as("dd")
-        .join(withDay.as("e"),
-          col("e.day") <= col("dd.d") && col("e.day") > col("dd.d") - 7)
-        .groupBy(col("dd.d").as("day"))
-        .agg(countDistinct(col("e.event_id")).as("true_distinct"))
-      graft.ops.Sketches.hllSlidingSummary(regs, 7)
-        .join(truth, "day")
-        .withColumn("err_bp",
-          expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
-        .orderBy("day")
-    }),
-
-    // EXT transactional stats-pruned reads: two CLUSTERED commits (the
-    // second an append) each carrying a per-file [min,max] sidecar; the
-    // band read plans only intersecting files ACROSS BOTH stages, with
-    // snapshot isolation — Manifest-style skipping made versioned and
-    // incremental, i.e. the miniature table format completed. Result is
-    // exact (residual filter); SnapshotsSpec asserts the skipping.
-    "snapshot_pruned_read" -> ((s, dir) => {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-snapband-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(root)
-      // NTZ read as UTC (GraftSession pins the session zone): the epoch
-      // band constants below are the same instants
-      val o = t(s, dir, "orders")
-        .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp")))
-      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
-        graft.sources.Snapshots.commitClustered(s,
-          o.filter(col("o_orderkey") % 2 === 0), root, "od_us", 8)
-        graft.sources.Snapshots.commitClustered(s,
-          o.filter(col("o_orderkey") % 2 =!= 0), root, "od_us", 8,
-          append = true)
-      }
-      val lo = java.time.Instant.parse("1997-01-01T00:00:00Z")
-        .getEpochSecond * 1000000L
-      val hi = java.time.Instant.parse("1997-07-01T00:00:00Z")
-        .getEpochSecond * 1000000L
-      graft.sources.Snapshots.readBand(s, root, "od_us", lo, hi)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // EXT copy-on-write erasure: delete every row of a keyed slice from
-    // the committed snapshot table — untouched files carry by
-    // reference, only match-bearing files rewrite, and the delete is a
-    // new VERSION (physical erasure completes at vacuum; the two-phase
-    // contract). Output = the post-delete table aggregate; oracle =
-    // the base table minus the predicate.
-    "snapshot_delete" -> ((s, dir) => {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-snapdel-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(root)
-      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
-        graft.sources.Snapshots.commit(t(s, dir, "orders")
-          .repartitionByRange(4, col("o_orderkey")), root)
-        graft.sources.Snapshots.commitDelete(s, root,
-          col("o_custkey") % 97 === 0)
-      }
-      graft.sources.Snapshots.read(s, root)
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-    }),
-
-    // EXT MERGE INTO (upsert): one change batch carrying updates
-    // (priority rewritten on orderkey%7, tombstone-disjoint), deletes
-    // (custkey%101 tombstones), and inserts (offset keys) applied by
-    // Snapshots.commitMerge — file-granular rewrite, untouched files
-    // carried by reference. The read-back aggregate + class counts are
-    // fully derivable from orders, so the table-format semantics are
-    // driver-oracle'd end to end.
-    "snapshot_merge" -> ((s, dir) => {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-snapmerge-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(root)
-      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
-        val orders = t(s, dir, "orders")
-          .select("o_orderkey", "o_custkey", "o_totalprice",
-            "o_orderpriority")
-        graft.sources.Snapshots.commit(
-          orders.repartitionByRange(4, col("o_orderkey")), root)
-        val updates = orders
-          .filter(col("o_orderkey") % 7 === 0 && col("o_custkey") % 101 =!= 0)
-          .withColumn("o_orderpriority", lit("X-MERGED"))
-          .withColumn("_delete", lit(false))
-        val deletes = orders.filter(col("o_custkey") % 101 === 0)
-          .withColumn("_delete", lit(true))
-        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
-          .withColumn("o_orderpriority", lit("X-NEW"))
-          .withColumn("_delete", lit(false))
-        graft.sources.Snapshots.commitMerge(s, root,
-          updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
-      }
-      graft.sources.Snapshots.read(s, root)
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"),
-          sum((col("o_orderpriority") === "X-MERGED").cast("long"))
-            .as("n_merged"),
-          sum((col("o_orderpriority") === "X-NEW").cast("long"))
-            .as("n_new"))
-    }),
-
-    // EXT write-audit-publish (WAP): the ingest batch lands on a BRANCH
-    // (same data pool, separate manifest line — main readers never see
-    // it), is audited there, then fast-forwards into main as ONE
-    // conditional manifest link; the branch is dropped after publish.
-    // Isolation/conflict/vacuum-pinning semantics are spec'd; the
-    // driver checks the published end state relationally.
-    "snapshot_wap" -> ((s, dir) => {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-snapwap-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(root)
-      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
-        val orders = t(s, dir, "orders")
-          .select("o_orderkey", "o_totalprice")
-        graft.sources.Snapshots.commit(orders, root)
-        graft.sources.Snapshots.createBranch(root, "audit")
-        graft.sources.Snapshots.commitAppendToBranch(
-          t(s, dir, "orders").filter(col("o_orderkey") % 11 === 0)
-            .select("o_orderkey", "o_totalprice"), root, "audit")
-        // the A of WAP: gate the branch before anything reaches main
-        graft.sources.Snapshots.readBranch(s, root, "audit")
-          .agg(count(lit(1)).as("n"))
-          .select(assert_true(col("n") > 0,
-            lit("WAP audit: branch is empty")).as("g"))
-          .collect()
-        graft.sources.Snapshots.fastForward(root, "audit")
-        graft.sources.Snapshots.dropBranch(root, "audit")
-      }
-      graft.sources.Snapshots.read(s, root)
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-    }),
-
-    // EXT additive schema evolution on the snapshot store: an appended
-    // batch carries a NEW column; readEvolved (mergeSchema) surfaces it
-    // as NULL on old files while time-traveling readers of v1 keep the
-    // original schema — the table-format evolution contract,
-    // driver-oracle'd via the evolved read's aggregate.
-    "snapshot_add_column" -> ((s, dir) => {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-snapaddcol-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(root)
-      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
-        val orders = t(s, dir, "orders")
-        graft.sources.Snapshots.commit(
-          orders.select("o_orderkey", "o_totalprice"), root)
-        graft.sources.Snapshots.commitAppend(
-          orders.filter(col("o_orderkey") % 3 === 0)
-            .select(col("o_orderkey"), col("o_totalprice"),
-              (col("o_orderkey") % 7).as("o_band")), root)
-      }
-      graft.sources.Snapshots.readEvolved(s, root)
-        .agg(count(lit(1)).as("cnt"),
-          count(col("o_band")).as("n_band"),
-          sum(col("o_band")).as("band_sum"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-    }),
-
-    // EXT compaction (OPTIMIZE): five small append commits bin-packed
-    // into 2 files by Snapshots.compact — contents identical by
-    // construction (the report row proves it: post-compaction count +
-    // exact money sum over the read-back, plus the file counts), old
-    // versions still time-travel until vacuum. The small-files answer
-    // for streaming-append tables.
-    "snapshot_compaction" -> ((s, dir) => {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-snapcompact-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(root)
-      if (graft.sources.Snapshots.latestVersion(root).isEmpty) {
-        val orders = t(s, dir, "orders")
-        (0 until 5).foreach { i =>
-          graft.sources.Snapshots.commitAppend(
-            orders.filter(col("o_orderkey") % 5 === i).coalesce(1), root)
-        }
-        graft.sources.Snapshots.compact(s, root, targetFiles = 2)
-      }
-      val before = graft.sources.Snapshots
-        .read(s, root, Some(5L)).inputFiles.length.toLong
-      val after = graft.sources.Snapshots
-        .read(s, root).inputFiles.length.toLong
-      graft.sources.Snapshots.read(s, root)
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .withColumn("files_before", lit(before))
-        .withColumn("files_after", lit(after))
-    }),
-
-    // EXT snapshot retention GC as a first-class query: build a fresh
-    // 4-version chain, vacuum to the last 2, and report the whole GC
-    // outcome — versions before/after, orphaned data files reclaimed,
-    // the surviving latest read AND the retained older version still
-    // time-travelling. A fresh per-invocation root keeps the report
-    // deterministic under bench reruns (a shared root would vacuum 0 on
-    // the second pass).
-    "snapshot_vacuum" -> ((s, dir) => {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-snapvacuum-${ProcessHandle.current().pid()}",
-          java.util.UUID.randomUUID().toString)
-        .toString
-      stagedDirCleanup(root)
-      val orders = t(s, dir, "orders")
-      (0 until 4).foreach { i =>
-        graft.sources.Snapshots.commit(
-          orders.filter(col("o_orderkey") % 4 <= i).coalesce(1), root)
-      }
-      // count DATA files (committer sidecars like _SUCCESS/.crc vary by
-      // environment — the report pins only what the protocol owns)
-      def dataFiles(): Long = {
-        val w = java.nio.file.Files
-          .walk(java.nio.file.Paths.get(root, "data"))
-        try w.filter(p => p.toString.endsWith(".parquet")).count()
-        finally w.close()
-      }
-      val before = graft.sources.Snapshots.versions(root).size.toLong
-      val dataBefore = dataFiles()
-      graft.sources.Snapshots.vacuum(root, keepLast = 2)
-      val after = graft.sources.Snapshots.versions(root).size.toLong
-      val dataAfter = dataFiles()
-      val prev = graft.sources.Snapshots.read(s, root, Some(3L))
-        .agg(count(lit(1)).as("cnt_prev"))
-      graft.sources.Snapshots.read(s, root)
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .withColumn("versions_before", lit(before))
-        .withColumn("versions_after", lit(after))
-        .withColumn("data_files_before", lit(dataBefore))
-        .withColumn("data_files_after", lit(dataAfter))
-        .crossJoin(prev)
-    }),
-
-    // EXT Matryoshka truncation eval: recall@10 of the first-16-dim
-    // prefix ranking vs the full 64-dim ranking, per query — the
-    // dimension-adaptive-retrieval measurement run before shipping a
-    // truncated index. Output is ids + integer bp, so floats only need
-    // to ORDER identically (sim_brute_topk's pinned determinism).
-    "ann_recall_matryoshka" -> ((s, dir) =>
-      Similarity.matryoshkaRecall(t(s, dir, "embeddings"), dims = 16)),
-
-    // EXT quality-aware canonical selection: each near-dup cluster
-    // keeps its BEST member (max uniq ratio → max length → min id), not
-    // the min-id — canonical choice IS a quality decision when
-    // near-dups differ in boilerplate/truncation. Integer ranking keys
-    // make the argmax deterministic cross-engine.
-    "dedup_keep_best" -> ((s, dir) =>
-      Dedup.keepBest(t(s, dir, "documents"))),
-
-    // EXT top-k three-step paths: most frequent (t1 → t2 → t3)
-    // sequences over user timelines — the path-mining companion to
-    // events_transitions. Two lags, |types|³-bounded agg, TakeOrdered.
-    "events_paths_top" -> ((s, dir) =>
-      graft.ops.Events.topPaths(t(s, dir, "events"))),
-
-    // EXT integer covariance diagnostic: n²·cov(value_cents,
-    // minute_of_day) per type as one exact BIGINT — the value-vs-time
-    // dependence screen with divisions left to the consumer. Bounds:
-    // Σx ≤ n·49e3, Σy ≤ n·1439, so Σx·Σy ≤ n²·7.05e7 < 2^63 through
-    // n ≈ 3.6×10⁵ rows per type (≈ sf35 on this corpus's ~10 types —
-    // NOT sf100; the round-5 doc overstated it 1000×). Beyond that,
-    // pre-aggregate per day first or widen to DECIMAL — Spark wraps
-    // long overflow silently where DuckDB throws.
-    "events_covariance" -> ((s, dir) =>
-      graft.ops.Events.covarianceDiag(t(s, dir, "events"))),
-
-    // EXT behavioral transition matrix: consecutive (prev → next)
-    // event-type counts per user timeline with integer row shares — the
-    // Markov statistic behind next-action features. One lag window, one
-    // |types|²-cell aggregate.
-    "events_transitions" -> ((s, dir) =>
-      graft.ops.Events.transitions(t(s, dir, "events"))),
-
-    // EXT per-group histogram quantiles: p50/p95 of value cents PER
-    // EVENT TYPE from one scan — groups·bins shuffle key space, the
-    // group-keyed cumulative window runs over each group's ≤1024 sketch
-    // rows. The by-dimension latency/value-distribution dashboard query.
-    "sketch_hist_groups" -> ((s, dir) => {
-      val cents = t(s, dir, "events").select(col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-      graft.ops.Sketches.histQuantilesBy(
-        graft.ops.Sketches.histCountsBy(cents, "cents", Seq("event_type"),
-          0L, 64L, 1024),
-        Seq("event_type"), Seq(5000, 9500), 0L, 64L, 1024)
-    }),
-
-    // EXT temporal as-of-validity join: facts (the events themselves)
-    // joined to the SCD2 state dimension version valid AT EVENT TIME —
-    // "what state was the user in when this event happened", the
-    // history-faithful alternative to joining the current snapshot.
-    // Aggregated to (state, event_type) counts; the diagonal dominates
-    // (an event's own type IS the state it sets) while off-diagonal
-    // cells arise from equal-timestamp change ties (the LAST change at
-    // a us owns the half-open window starting there) — exactly the tie
-    // semantics the [from, to) windows pin.
-    "scd2_temporal_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val evU = ev.select(col("user_id"), col("event_id"),
-        col("event_type"), Events.tsUs(ev).as("us"))
-      val dim = graft.ops.Cdc.scd2(evU,
-          key = "user_id", attr = "event_type", orderUs = "us",
-          seq = "event_id")
-        .select(col("user_id"), col("event_type").as("state"),
-          col("valid_from_us"), col("valid_to_us"))
-      graft.ops.Cdc.temporalJoin(
-          evU.select("user_id", "event_id", "event_type", "us"),
-          dim, "user_id", "us")
-        .groupBy("state", "event_type")
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy("state", "event_type")
-    }),
-
-    // EXT declarative data-quality expectations: check/unique/FK rules
-    // over five corpus tables in one report — same-table rules fuse into
-    // ONE scan of conditional aggregates, each FK is one aggregated
-    // anti-join. The contract gate an ingest runs before data reaches
-    // training; violations are counts (gate via assert_true downstream,
-    // quarantine via the rule predicate). Two rules genuinely fire on
-    // this corpus (negative acctbals, a >400 event value) — the report
-    // is exercised, not vacuous.
-    "dq_expectations" -> ((s, dir) => {
-      import graft.ops.DataQuality._
-      report(
-        Map("orders" -> t(s, dir, "orders"),
-          "customer" -> t(s, dir, "customer"),
-          "lineitem" -> t(s, dir, "lineitem"),
-          "events" -> t(s, dir, "events"),
-          "documents" -> t(s, dir, "documents")),
-        Seq(
-          Check("orders", "o_custkey_not_null", col("o_custkey").isNull),
-          Check("orders", "o_totalprice_positive",
-            !(col("o_totalprice") > 0)),
-          Unique("orders", "o_orderkey"),
-          Check("customer", "c_acctbal_non_negative", col("c_acctbal") < 0),
-          Unique("customer", "c_custkey"),
-          Check("lineitem", "l_quantity_1_50",
-            col("l_quantity") < 1 || col("l_quantity") > 50),
-          Check("events", "value_le_400", col("value") > 400),
-          Check("documents", "n_chars_consistent",
-            col("n_chars") =!= length(col("text"))),
-          ForeignKey("orders", "o_custkey", "customer", "c_custkey"),
-          ForeignKey("lineitem", "l_orderkey", "orders", "o_orderkey")))
-    }),
-
-    // EXT DQ rule INFERENCE — the draft-contract generator: profile
-    // orders once (fused scan + bounded per-column domain probes) and
-    // emit the not-null / unique / enum / range rules the data already
-    // satisfies, with evidence. o_orderkey proves unique+range,
-    // o_orderstatus/o_orderpriority land as small enums; every gate is
-    // evaluated in-plan, so the inference itself is oracle'd.
-    "dq_suggest" -> ((s, dir) =>
-      graft.ops.DataQuality.suggestRules(t(s, dir, "orders"),
-        numCols = Seq("o_orderkey", "o_custkey"),
-        strCols = Seq("o_orderstatus", "o_orderpriority"))),
-
-    // EXT distribution-drift monitor: 1995–97 orders as the reference
-    // slice vs 1998+ as current, histogrammed on price cents into 25
-    // shared $20k buckets — per-bucket floor-bp shares + deltas, with
-    // TVD and L∞ riding along; one tagged-union scan, one bucket-width
-    // hash agg, integer end to end (TVD over bp instead of PSI's ln so
-    // the gate number itself hash-oracles).
-    "dq_drift" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("cents",
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-      // predicate on the RAW column (not a derived epoch), so both
-      // slice scans carry PushedFilters — at 100 TB the row-group stats
-      // prune most of the table per slice (PlanShapeSpec asserts it)
-      val cut = expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
-      graft.ops.DataQuality.distributionDrift(
-        o.filter(col("o_orderdate") < cut),
-        o.filter(col("o_orderdate") >= cut),
-        "cents", lo = 0L, width = 2000000L, nBuckets = 25)
-    }),
-
-    // EXT Benford first-digit audit: fabricated-data screen on order
-    // totals — exact cents, leading digit as a string op on BIGINT,
-    // pre-floored log constants; one scan to a 9-row aggregate.
-    "dq_benford" -> ((s, dir) =>
-      graft.ops.DataQuality.benfordAudit(
-        t(s, dir, "orders"), "o_totalprice")),
-
-    // EXT key-skew diagnosis: the exact Gini of the per-user event load
-    // + heaviest keys with shares — the report that decides whether a
-    // join needs salting BEFORE anyone pays for the straggler; ranks
-    // assigned distributed, overflow asserted in-plan.
-    "dq_key_skew" -> ((s, dir) =>
-      graft.ops.Skew.keySkewReport(
-        t(s, dir, "events").select("user_id"), "user_id")),
-
-    // EXT out-of-orderness audit: per event type, how many events
-    // arrived (event_id order) after a later-timestamped sibling, and
-    // the max lateness — the number that SIZES a watermark before
-    // anyone picks one (delay ≥ max_lateness_us drops nothing).
-    "events_order_audit" -> ((s, dir) =>
-      graft.ops.Events.orderAudit(t(s, dir, "events"))),
-
-    // EXT seasonal-baseline anomaly screen: which (type, day) broke the
-    // hour-of-day rhythm — baseline is a (types·24)-row broadcast, the
-    // fact side never shuffles for the join, top-k via TakeOrdered.
-    "events_seasonal" -> ((s, dir) =>
-      graft.ops.Events.seasonalResiduals(t(s, dir, "events"))),
-
-    // EXT autoregression diagnostics: exact OLS slope of daily counts
-    // on lags 1..7 in floor milli + raw moments — self-persistence per
-    // type; Pearson's irrational denominator deliberately avoided.
-    "events_ar_coeffs" -> ((s, dir) =>
-      graft.ops.Events.arCoefficients(t(s, dir, "events"))),
-
-    // EXT DAU/MAU stickiness per calendar month: ΣDAU·10000 div
-    // (days·MAU), one floor at the end — the engagement headline; the
-    // corpus collapses to (month, day, user) before any aggregate.
-    "events_stickiness" -> ((s, dir) =>
-      graft.ops.Events.stickiness(t(s, dir, "events"))),
-
-    // EXT position-based (U-shaped) multi-touch attribution: each
-    // purchase's revenue split 2/1/…/1/2 across its journey's touches
-    // via the telescoping floor-division allocation — exact
-    // conservation, one user-keyed sort shuffle, no self-join.
-    "events_attribution_position" -> ((s, dir) =>
-      graft.ops.Events.positionAttribution(t(s, dir, "events"))),
-
-    // EXT last-touch attribution: purchase revenue credited to the most
-    // recent prior non-purchase event type — the asOfJoin union-window
-    // formulation (one user-keyed sort, no self/range join), with
-    // unattributed conversions surfaced as an explicit '(none)' row.
-    "events_attribution" -> ((s, dir) =>
-      graft.ops.Events.lastTouchAttribution(t(s, dir, "events"))),
-
-    // EXT RFM segmentation: per-user recency/frequency/monetary exact
-    // quintiles (distributed rangeNtileBucket — no single-partition
-    // window) composed into the 3-digit segment; ntile passes run over
-    // the |users|-sized profile, the event scan happens once.
-    "events_rfm" -> ((s, dir) =>
-      graft.ops.Events.rfmSegments(t(s, dir, "events"))),
-
-    // EXT lagged cross-correlation: does `click` lead `purchase`? The
-    // correlogram over zero-filled hourly count series in exact
-    // integers (dot + H·dot − Σa·Σb centered numerator) — one hash agg
-    // collapses the scan to a #hours-sized series, the lag sweep is a
-    // broadcast nested-loop over series×13 lags; the fact table never
-    // shuffles twice.
-    "events_xcorr" -> ((s, dir) =>
-      graft.ops.Events.laggedCrossCorrelation(
-        t(s, dir, "events"), "click", "purchase")),
-
-    // EXT forecast-baseline backtest: seasonal-naive (d−7) vs naive
-    // (d−1) MAE per type on days where both references exist — the
-    // bar any shipped forecaster must beat; day-arithmetic joins, no
-    // gap-blind row frames.
-    "events_forecast_baseline" -> ((s, dir) =>
-      graft.ops.Events.forecastBacktest(t(s, dir, "events"))),
-
-    // EXT rolling 7-day distinct actives: the windowed COUNT DISTINCT
-    // no frame expresses — exact via the fan-out trick over the
-    // (type, user, day) activity table (events collapse first, the
-    // explode multiplies only the small table), phantom trailing days
-    // trimmed.
-    "events_rolling_distinct" -> ((s, dir) =>
-      graft.ops.Events.rollingActiveUsers(t(s, dir, "events"))),
-
-    // EXT concurrency timeline: sweep-line (+1/−1 session boundaries,
-    // running sum = live sessions) with the global running sum computed
-    // DISTRIBUTED (withRunningTotal's sliced windows — no data-sized
-    // single-partition window); top-20 peak moments, global peak rides.
-    "events_concurrency" -> ((s, dir) =>
-      graft.ops.Events.concurrencyTimeline(t(s, dir, "events"))),
-
-    // EXT growth accounting: per-day new/retained/resurrected/churned
-    // from ONE user-keyed window over the collapsed activity table —
-    // the ledger identity active = new+retained+resurrected asserted
-    // in-plan; churn lands on the day after the silent gap.
-    "events_lifecycle" -> ((s, dir) =>
-      graft.ops.Events.growthAccounting(t(s, dir, "events"))),
-
-    // EXT Pareto concentration: exact activity deciles (distributed
-    // ntile), per-decile event share + cumulative-from-the-top — the
-    // whale-dependence number beside dq_key_skew's Gini; the cumulative
-    // window runs over the 10-row aggregate, never raw users.
-    "events_pareto" -> ((s, dir) =>
-      graft.ops.Events.paretoReport(t(s, dir, "events"))),
-
-    // EXT CUSUM level-shift alarm: the sequential-looking recursion in
-    // its exact prefix-scan form (running residual sum minus clamped
-    // running min — two frames over one type-keyed window); sustained
-    // small elevations alarm where per-day thresholds stay silent.
-    "events_cusum" -> ((s, dir) =>
-      graft.ops.Events.cusumAlarm(t(s, dir, "events"))),
-
-    // EXT schema-evolution read: stage two parquet generations (gen=2
-    // adds o_orderpriority), read them as one dataset via footer
-    // merging + partition-dir provenance, back-fill the evolved column
-    // with an explicit default, and aggregate across the generation
-    // boundary. Oracle rebuilds the same answer from the base table
-    // with the evolution rule inlined.
-    "source_schema_evolution" -> ((s, dir) => {
-      val staged = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft-evo-${ProcessHandle.current().pid()}")
-        .toString
-      stagedDirCleanup(staged)
-      val o = t(s, dir, "orders")
-      o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$staged/gen=1")
-      o.filter(col("o_orderkey") % 2 =!= 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-        .write.mode("overwrite").parquet(s"$staged/gen=2")
-      graft.sources.Evolution.readEvolved(s, staged,
-          Map("o_orderpriority" -> lit("UNKNOWN")))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"),
-          Relational.moneySum(col("o_totalprice")).as("revenue"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // EXT streaming → versioned table: every micro-batch lands as one
-    // append-committed snapshot version (atomic manifest publication —
-    // no reader ever sees a torn batch; the version history is the
-    // stream's progress log). Final read must equal the batch source
-    // exactly; SnapshotsSpec/StreamingSpec pin the per-batch version
-    // count and the prefix property.
-    "stream_snapshot_parity" -> ((s, dir) => {
-      val fin = graft.streaming.EventStream
-        .snapshotSinkRun(s, s"$dir/events.parquet")
-      fin.select(col("event_id"), col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .orderBy("event_id")
-    }),
-
-    // EXT streaming AMS: the 128 sign counters as a real AvailableNow
-    // streaming aggregate — counters sum-merge, so the streamed state
-    // equals the batch sketch bit for bit; estimate + truth in batch
-    // from the read-back. The key-skew monitor beside the stream.
-    "stream_ams_parity" -> ((s, dir) => {
-      val counters = graft.streaming.EventStream
-        .amsParityRun(s, s"$dir/events.parquet")
-      val truth = t(s, dir, "events")
-        .groupBy("user_id").agg(count(lit(1)).as("f"))
-        .agg(sum(expr("f * f")).as("f2_true"), sum("f").as("n_rows"))
-      graft.ops.Sketches.amsEstimate(counters).crossJoin(truth)
-        .withColumn("err_bp",
-          expr("abs(f2_est2 - 2 * f2_true) * 10000 div (2 * f2_true)"))
-        .select("n_rows", "f2_true", "f2_est2", "err_bp")
-    }),
-
-    // EXT streaming histogram: the fixed-geometry bin table maintained
-    // as a real AvailableNow streaming aggregate (bin counts sum-merge —
-    // the sketch's merge law IS Spark's partial/final agg algebra),
-    // quantiles extracted in batch from the driver-free read-back.
-    // Oracle recomputes hist + covering-bin quantiles from the batch
-    // table: stream ≡ batch is the parity under test.
-    "stream_hist_parity" -> ((s, dir) => {
-      val hist = graft.streaming.EventStream
-        .histParityRun(s, s"$dir/events.parquet")
-      graft.ops.Sketches.histQuantiles(
-        hist, Seq(2500, 5000, 7500, 9900), 0L, 64L, 1024)
-    }),
-  )
-
-  // ---- Portable-hash oracle SQL (generated from the SAME constants the
-  // codegen kernels use — graft.functions.Portable — so Spark and DuckDB
-  // compute bit-identical MinHash signatures and SimHash bits). ----
-  import graft.functions.{Portable, PortableKernels}
-
-  /** Two-prime rolling hash of a string SQL expression: the DuckDB twin of
-    * [[graft.functions.PortableKernels.wordShinglePolyHashes]]'s per-
-    * shingle hash (h1 % P1) * P2 + (h2 % P2). ASCII corpus assumption is
-    * documented on Portable. */
-  private def polySql(s: String): String =
-    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(string_split_regex($s, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |    (a, x) -> (a * ${Portable.B1} + x) % ${Portable.P1}) * ${Portable.P2}
-       |  + list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(string_split_regex($s, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |    (a, x) -> (a * ${Portable.B2} + x) % ${Portable.P2}))""".stripMargin
-
-  /** Two-fold vector fingerprint of a float-array SQL expression: the
-    * DuckDB twin of [[graft.ops.Similarity.vecFingerprint]] — h1 on
-    * (B1, P1), h2 on (B2, P2) over the ⌊x·1024⌋ BIGINT quantization,
-    * combined h1·P2 + h2. Each quantum is pmod-mapped into [0, p) before
-    * the fold (floor of a negative coordinate is negative); the fold
-    * accumulator then stays non-negative, so plain `%` matches Spark's
-    * pmod step exactly. */
-  private def vecFpSql(vec: String): String = {
-    def fold(b: Long, p: Long): String =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform($vec, x ->
-         |      ((CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) % $p) + $p) % $p)),
-         |    (a, q) -> (a * $b + q) % $p)""".stripMargin
-    s"""(${fold(Portable.B1, Portable.P1)} * ${Portable.P2}
-       |  + ${fold(Portable.B2, Portable.P2)})""".stripMargin
-  }
-
-  /** CTE chain ending in `mh_pairs(da, db, sig_matches)` — shared by the
-    * MinHash-LSH pair oracle and the composed dedup-pipeline oracle. */
-  private def minhashLshCtes(base: String = "documents"): String = {
-    import Portable._
-    val sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
-      s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i").mkString(",\n           ")
-    val bandSelects = (0 until graft.ops.Dedup.MinhashBands).map { b =>
-      val key = (0 until 4).foldLeft(s"CAST(${b + 1} AS BIGINT)") { (acc, j) =>
-        s"(($acc * $BandMix + m${4 * b + j}) % $P1)"
-      }
-      s"SELECT doc_id, $b AS band_idx, $key AS band_hash FROM sig"
-    }.mkString("\n           UNION ALL ")
-    val matches = (0 until graft.ops.Dedup.MinhashK)
-      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM $base),
-       |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-       |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-       |          WHERE len(arr) >= 3),
-       |  h AS (SELECT DISTINCT doc_id, ${polySql("s")} AS hh FROM shs),
-       |  kept AS (SELECT doc_id, hh FROM h
-       |           WHERE hh IN (SELECT hh FROM h GROUP BY hh HAVING count(*) <= 100)),
-       |  sig AS (SELECT doc_id,
-       |           $sigAggs
-       |          FROM kept GROUP BY doc_id),
-       |  banded AS ($bandSelects),
-       |  keptb AS (SELECT * FROM banded b
-       |            WHERE NOT EXISTS (
-       |              SELECT 1 FROM banded g
-       |              WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash
-       |              GROUP BY g.band_idx, g.band_hash HAVING count(*) > 50)),
-       |  cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |           FROM keptb a JOIN keptb b
-       |             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |            AND a.doc_id < b.doc_id),
-       |  mh_pairs AS (
-       |    SELECT da, db, CAST($matches AS BIGINT) AS sig_matches
-       |    FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
-       |    WHERE $matches >= 16)""".stripMargin
-  }
-
-  private def minhashLshOracle: String =
-    s"""WITH ${minhashLshCtes()}
-       |SELECT da, db, sig_matches FROM mh_pairs ORDER BY da, db""".stripMargin
-
-  /** Ingest-gate verdicts: reuses the minhash chain's `sig`/`keptb` CTEs
-    * (built over ALL documents = corpus ∪ batch, exactly what
-    * Dedup.ingestGate computes signatures over) and restricts the bucket
-    * probe to batch(odd) × corpus(even). Precedence CASE mirrors the
-    * operator: exact vs corpus > exact within batch > LSH near > new. */
-  private def ingestGateOracle: String = {
-    val matches = (0 until graft.ops.Dedup.MinhashK)
-      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH docs_p AS (
-       |   SELECT doc_id, text FROM documents
-       |   UNION ALL SELECT $PlantedNearDupIdA, '$PlantedNearDupTextA'
-       |   UNION ALL SELECT $PlantedNearDupIdB, '$PlantedNearDupTextB'),
-       | ${minhashLshCtes("docs_p")},
-       | corp AS (SELECT doc_id, md5(text) AS fp FROM docs_p WHERE doc_id % 2 = 0),
-       | bat  AS (SELECT doc_id, md5(text) AS fp FROM docs_p WHERE doc_id % 2 = 1),
-       | cfp AS (SELECT fp, min(doc_id) AS exact_id FROM corp GROUP BY 1),
-       | bk  AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat GROUP BY 1),
-       | nc AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
-       |        FROM keptb bb JOIN keptb cb
-       |          ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
-       |        WHERE bb.doc_id % 2 = 1 AND cb.doc_id % 2 = 0),
-       | sc AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
-       |        FROM nc JOIN sig sa ON sa.doc_id = bid
-       |                JOIN sig sb ON sb.doc_id = cid
-       |        WHERE $matches >= 16),
-       | best AS (SELECT bid, cid FROM (
-       |            SELECT bid, cid,
-       |                   row_number() OVER (PARTITION BY bid
-       |                                      ORDER BY sm DESC, cid) AS rn
-       |            FROM sc) WHERE rn = 1),
-       | nbb AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS bbid
-       |         FROM keptb bb JOIN keptb cb
-       |           ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
-       |         WHERE bb.doc_id % 2 = 1 AND cb.doc_id % 2 = 1
-       |           AND cb.doc_id < bb.doc_id),
-       | sbb AS (SELECT bid, bbid, CAST($matches AS BIGINT) AS sm
-       |         FROM nbb JOIN sig sa ON sa.doc_id = bid
-       |                  JOIN sig sb ON sb.doc_id = bbid
-       |         WHERE $matches >= 16),
-       | bestb AS (SELECT bid, bbid FROM (
-       |             SELECT bid, bbid,
-       |                    row_number() OVER (PARTITION BY bid
-       |                                       ORDER BY sm DESC, bbid) AS rn
-       |             FROM sbb) WHERE rn = 1)
-       |SELECT b.doc_id AS doc_id,
-       |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
-       |       WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
-       |       WHEN nb.cid IS NOT NULL THEN 'near_dup'
-       |       WHEN bb2.bbid IS NOT NULL THEN 'batch_near_dup'
-       |       ELSE 'new' END AS verdict,
-       |  CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
-       |       WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
-       |       WHEN nb.cid IS NOT NULL THEN nb.cid
-       |       WHEN bb2.bbid IS NOT NULL THEN bb2.bbid
-       |       ELSE NULL END AS match_id
-       |FROM bat b LEFT JOIN cfp e ON e.fp = b.fp
-       |JOIN bk k ON k.fp = b.fp
-       |LEFT JOIN best nb ON nb.bid = b.doc_id
-       |LEFT JOIN bestb bb2 ON bb2.bid = b.doc_id
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** Persisted-sig-index probe: the ingest-gate verdict chain with
-    * CORPUS-SCOPED caps — df hot list and hot buckets computed over the
-    * even (indexed) half only, batch signatures built by dropping the
-    * CORPUS hot shingles (exactly what Dedup.buildSigIndex persists and
-    * probeSigIndex reads back). Mirrors the operator's build→probe
-    * semantics end to end in one SQL chain. */
-  /** Two-cycle sig-index oracle: one shared shingle/signature chain with
-    * BUILD-PINNED (even-half-scoped) hot lists, probe of batch 1
-    * (doc_id ≡ 1 mod 4), admission of its `new` docs, then probe of
-    * batch 2 (doc_id ≡ 3 mod 4) against even ∪ admitted — exactly the
-    * parquet-append state the operator maintains. */
-  private def sigIndexAppendOracle: String = {
-    import Portable._
-    def sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
-      s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i")
-      .mkString(",\n           ")
-    def bandSelects(sigTable: String) =
-      (0 until graft.ops.Dedup.MinhashBands).map { b =>
-        val key = (0 until 4).foldLeft(s"CAST(${b + 1} AS BIGINT)") { (acc, j) =>
-          s"(($acc * $BandMix + m${4 * b + j}) % $P1)"
-        }
-        s"SELECT doc_id, $b AS band_idx, $key AS band_hash FROM $sigTable"
-      }.mkString("\n           UNION ALL ")
-    val matches = (0 until graft.ops.Dedup.MinhashK)
-      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-       |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-       |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-       |          WHERE len(arr) >= 3),
-       |  h AS (SELECT DISTINCT doc_id, ${polySql("s")} AS hh FROM shs),
-       |  hot AS (SELECT hh FROM h WHERE doc_id % 2 = 0
-       |          GROUP BY hh HAVING count(*) > 100),
-       |  kept AS (SELECT doc_id, hh FROM h
-       |           WHERE hh NOT IN (SELECT hh FROM hot)),
-       |  sig AS (SELECT doc_id, $sigAggs FROM kept GROUP BY doc_id),
-       |  bandall AS (${bandSelects("sig")}),
-       |  hotbk AS (SELECT band_idx, band_hash FROM bandall
-       |            WHERE doc_id % 2 = 0
-       |            GROUP BY 1, 2 HAVING count(*) > 50),
-       |  kb AS (SELECT * FROM bandall b WHERE NOT EXISTS (
-       |           SELECT 1 FROM hotbk g
-       |           WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
-       |  corp1 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
-       |  cfp1 AS (SELECT fp, min(doc_id) AS exact_id FROM corp1 GROUP BY 1),
-       |  bat1 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 = 1),
-       |  bk1 AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat1 GROUP BY 1),
-       |  nc1 AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
-       |          FROM kb bb JOIN kb cb
-       |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
-       |          WHERE bb.doc_id % 4 = 1 AND cb.doc_id % 2 = 0),
-       |  sc1 AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
-       |          FROM nc1 JOIN sig sa ON sa.doc_id = bid
-       |                   JOIN sig sb ON sb.doc_id = cid
-       |          WHERE $matches >= 16),
-       |  best1 AS (SELECT bid, cid FROM (
-       |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
-       |                       ORDER BY sm DESC, cid) AS rn
-       |              FROM sc1) WHERE rn = 1),
-       |  v1 AS (SELECT b.doc_id,
-       |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
-       |                WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
-       |                WHEN nb.cid IS NOT NULL THEN 'near_dup'
-       |                ELSE 'new' END AS verdict
-       |         FROM bat1 b LEFT JOIN cfp1 e ON e.fp = b.fp
-       |         JOIN bk1 k ON k.fp = b.fp
-       |         LEFT JOIN best1 nb ON nb.bid = b.doc_id),
-       |  adm AS (SELECT doc_id FROM v1 WHERE verdict = 'new'),
-       |  cfp2 AS (SELECT fp, exact_id FROM cfp1
-       |           UNION ALL
-       |           SELECT fp, min(doc_id) AS exact_id FROM bat1
-       |           WHERE doc_id IN (SELECT doc_id FROM adm) GROUP BY fp),
-       |  bat2 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 = 3),
-       |  bk2 AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat2 GROUP BY 1),
-       |  nc2 AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
-       |          FROM kb bb JOIN kb cb
-       |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
-       |          WHERE bb.doc_id % 4 = 3
-       |            AND (cb.doc_id % 2 = 0
-       |                 OR cb.doc_id IN (SELECT doc_id FROM adm))),
-       |  sc2 AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
-       |          FROM nc2 JOIN sig sa ON sa.doc_id = bid
-       |                   JOIN sig sb ON sb.doc_id = cid
-       |          WHERE $matches >= 16),
-       |  best2 AS (SELECT bid, cid FROM (
-       |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
-       |                       ORDER BY sm DESC, cid) AS rn
-       |              FROM sc2) WHERE rn = 1)
-       |SELECT b.doc_id AS doc_id,
-       |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
-       |       WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
-       |       WHEN nb.cid IS NOT NULL THEN 'near_dup'
-       |       ELSE 'new' END AS verdict,
-       |  CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
-       |       WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
-       |       WHEN nb.cid IS NOT NULL THEN nb.cid
-       |       ELSE NULL END AS match_id
-       |FROM bat2 b LEFT JOIN cfp2 e ON e.fp = b.fp
-       |JOIN bk2 k ON k.fp = b.fp
-       |LEFT JOIN best2 nb ON nb.bid = b.doc_id
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** Rebuild-phase oracle: the [[sigIndexAppendOracle]] chain (build on
-    * the even half, probe batch 1, admit, probe batch 2 against the
-    * BUILD-PINNED caps) joined side-by-side with a REBUILT chain whose
-    * hot-shingle dfs and hot buckets are re-scoped over the grown corpus
-    * (even ∪ cycle-1 admits) — exactly what Dedup.buildSigIndex computes
-    * when rerun on the union. The verdict_parity column is the
-    * cap-drift measurement. cfpu (the grown md5 dictionary) is shared by
-    * both sides: admitted docs' fps are disjoint from the corpus
-    * dictionary by the admission rule itself.
-    *
-    * Multi-referenced CTEs are AS MATERIALIZED: DuckDB 1.0 INLINES every
-    * CTE reference, so without it `adm` (5 references) re-evaluates the
-    * whole pinned signature chain per use — measured >15 min at sf0.01
-    * vs ~20 s materialized (the unrolled-CTE planning lesson's sibling;
-    * single-reference CTEs stay plain). */
-  private def sigIndexRebuildOracle: String = {
-    import Portable._
-    def sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
-      s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i")
-      .mkString(",\n           ")
-    def bandSelects(sigTable: String) =
-      (0 until graft.ops.Dedup.MinhashBands).map { b =>
-        val key = (0 until 4).foldLeft(s"CAST(${b + 1} AS BIGINT)") { (acc, j) =>
-          s"(($acc * $BandMix + m${4 * b + j}) % $P1)"
-        }
-        s"SELECT doc_id, $b AS band_idx, $key AS band_hash FROM $sigTable"
-      }.mkString("\n           UNION ALL ")
-    val matches = (0 until graft.ops.Dedup.MinhashK)
-      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    val member = "(doc_id % 2 = 0 OR doc_id IN (SELECT doc_id FROM adm))"
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-       |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-       |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-       |          WHERE len(arr) >= 3),
-       |  h AS MATERIALIZED (SELECT DISTINCT doc_id, ${polySql("s")} AS hh FROM shs),
-       |  hot AS (SELECT hh FROM h WHERE doc_id % 2 = 0
-       |          GROUP BY hh HAVING count(*) > 100),
-       |  kept AS (SELECT doc_id, hh FROM h
-       |           WHERE hh NOT IN (SELECT hh FROM hot)),
-       |  sig AS MATERIALIZED (SELECT doc_id, $sigAggs FROM kept GROUP BY doc_id),
-       |  bandall AS MATERIALIZED (${bandSelects("sig")}),
-       |  hotbk AS (SELECT band_idx, band_hash FROM bandall
-       |            WHERE doc_id % 2 = 0
-       |            GROUP BY 1, 2 HAVING count(*) > 50),
-       |  kb AS MATERIALIZED (SELECT * FROM bandall b WHERE NOT EXISTS (
-       |           SELECT 1 FROM hotbk g
-       |           WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
-       |  corp1 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
-       |  cfp1 AS MATERIALIZED (SELECT fp, min(doc_id) AS exact_id FROM corp1 GROUP BY 1),
-       |  bat1 AS MATERIALIZED (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 = 1),
-       |  bk1 AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat1 GROUP BY 1),
-       |  nc1 AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
-       |          FROM kb bb JOIN kb cb
-       |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
-       |          WHERE bb.doc_id % 4 = 1 AND cb.doc_id % 2 = 0),
-       |  sc1 AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
-       |          FROM nc1 JOIN sig sa ON sa.doc_id = bid
-       |                   JOIN sig sb ON sb.doc_id = cid
-       |          WHERE $matches >= 16),
-       |  best1 AS (SELECT bid, cid FROM (
-       |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
-       |                       ORDER BY sm DESC, cid) AS rn
-       |              FROM sc1) WHERE rn = 1),
-       |  v1 AS (SELECT b.doc_id,
-       |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
-       |                WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
-       |                WHEN nb.cid IS NOT NULL THEN 'near_dup'
-       |                ELSE 'new' END AS verdict
-       |         FROM bat1 b LEFT JOIN cfp1 e ON e.fp = b.fp
-       |         JOIN bk1 k ON k.fp = b.fp
-       |         LEFT JOIN best1 nb ON nb.bid = b.doc_id),
-       |  adm AS MATERIALIZED (SELECT doc_id FROM v1 WHERE verdict = 'new'),
-       |  cfpu AS MATERIALIZED (SELECT fp, exact_id FROM cfp1
-       |           UNION ALL
-       |           SELECT fp, min(doc_id) AS exact_id FROM bat1
-       |           WHERE doc_id IN (SELECT doc_id FROM adm) GROUP BY fp),
-       |  bat2 AS MATERIALIZED (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 = 3),
-       |  bk2 AS MATERIALIZED (SELECT fp, min(doc_id) AS batch_keep_id FROM bat2 GROUP BY 1),
-       |  nca AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
-       |          FROM kb bb JOIN kb cb
-       |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
-       |          WHERE bb.doc_id % 4 = 3
-       |            AND (cb.doc_id % 2 = 0
-       |                 OR cb.doc_id IN (SELECT doc_id FROM adm))),
-       |  sca AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
-       |          FROM nca JOIN sig sa ON sa.doc_id = bid
-       |                   JOIN sig sb ON sb.doc_id = cid
-       |          WHERE $matches >= 16),
-       |  besta AS (SELECT bid, cid FROM (
-       |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
-       |                       ORDER BY sm DESC, cid) AS rn
-       |              FROM sca) WHERE rn = 1),
-       |  va AS (SELECT b.doc_id,
-       |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
-       |                WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
-       |                WHEN nb.cid IS NOT NULL THEN 'near_dup'
-       |                ELSE 'new' END AS verdict,
-       |           CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
-       |                WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
-       |                WHEN nb.cid IS NOT NULL THEN nb.cid
-       |                ELSE NULL END AS match_id
-       |         FROM bat2 b LEFT JOIN cfpu e ON e.fp = b.fp
-       |         JOIN bk2 k ON k.fp = b.fp
-       |         LEFT JOIN besta nb ON nb.bid = b.doc_id),
-       |  hotr AS (SELECT hh FROM h WHERE $member
-       |           GROUP BY hh HAVING count(*) > 100),
-       |  keptr AS (SELECT doc_id, hh FROM h
-       |            WHERE hh NOT IN (SELECT hh FROM hotr)),
-       |  sigr AS MATERIALIZED (SELECT doc_id, $sigAggs FROM keptr GROUP BY doc_id),
-       |  bandr AS MATERIALIZED (${bandSelects("sigr")}),
-       |  hotbkr AS (SELECT band_idx, band_hash FROM bandr
-       |             WHERE $member
-       |             GROUP BY 1, 2 HAVING count(*) > 50),
-       |  kbr AS MATERIALIZED (SELECT * FROM bandr b WHERE NOT EXISTS (
-       |            SELECT 1 FROM hotbkr g
-       |            WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
-       |  ncr AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
-       |          FROM kbr bb JOIN kbr cb
-       |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
-       |          WHERE bb.doc_id % 4 = 3
-       |            AND (cb.doc_id % 2 = 0
-       |                 OR cb.doc_id IN (SELECT doc_id FROM adm))),
-       |  scr AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
-       |          FROM ncr JOIN sigr sa ON sa.doc_id = bid
-       |                   JOIN sigr sb ON sb.doc_id = cid
-       |          WHERE $matches >= 16),
-       |  bestr AS (SELECT bid, cid FROM (
-       |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
-       |                       ORDER BY sm DESC, cid) AS rn
-       |              FROM scr) WHERE rn = 1),
-       |  vr AS (SELECT b.doc_id,
-       |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
-       |                WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
-       |                WHEN nb.cid IS NOT NULL THEN 'near_dup'
-       |                ELSE 'new' END AS verdict,
-       |           CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
-       |                WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
-       |                WHEN nb.cid IS NOT NULL THEN nb.cid
-       |                ELSE NULL END AS match_id
-       |         FROM bat2 b LEFT JOIN cfpu e ON e.fp = b.fp
-       |         JOIN bk2 k ON k.fp = b.fp
-       |         LEFT JOIN bestr nb ON nb.bid = b.doc_id)
-       |SELECT r.doc_id AS doc_id,
-       |  r.verdict AS verdict_rebuilt, r.match_id AS match_rebuilt,
-       |  a.verdict AS verdict_appended, a.match_id AS match_appended,
-       |  CAST(CASE WHEN r.verdict = a.verdict THEN 1 ELSE 0 END AS BIGINT)
-       |    AS verdict_parity
-       |FROM vr r JOIN va a ON a.doc_id = r.doc_id
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** N-cycle streaming-gate oracle: the [[sigIndexAppendOracle]] chain
-    * generalized — cycle j gates docs with `doc_id % 2n = 2j+1` against
-    * even ∪ (admissions of all earlier cycles), and the emitted
-    * admit_cycle is recomputed as `(doc_id % 2n) div 2`, pinning the
-    * micro-batch order itself under the hash check. */
-  private def streamGateOracle(nCycles: Int): String = {
-    import Portable._
-    def sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
-      s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i")
-      .mkString(",\n           ")
-    def bandSelects(sigTable: String) =
-      (0 until graft.ops.Dedup.MinhashBands).map { b =>
-        val key = (0 until 4).foldLeft(s"CAST(${b + 1} AS BIGINT)") { (acc, j) =>
-          s"(($acc * $BandMix + m${4 * b + j}) % $P1)"
-        }
-        s"SELECT doc_id, $b AS band_idx, $key AS band_hash FROM $sigTable"
-      }.mkString("\n           UNION ALL ")
-    val matches = (0 until graft.ops.Dedup.MinhashK)
-      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    val mod = 2 * nCycles
-    val cycles = (0 until nCycles).map { j =>
-      val admUnion = (0 until j).map(k =>
-        s"OR cb.doc_id IN (SELECT doc_id FROM adm$k)").mkString(" ")
-      val cfpUnion = (0 until j).map(k =>
-        s"""UNION ALL
-           |           SELECT fp, min(doc_id) AS exact_id FROM bat$k
-           |           WHERE doc_id IN (SELECT doc_id FROM adm$k) GROUP BY fp""".stripMargin)
-        .mkString("\n           ")
-      s"""bat$j AS (SELECT doc_id, md5(text) AS fp FROM documents
-         |           WHERE doc_id % $mod = ${2 * j + 1}),
-         |  bk$j AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat$j GROUP BY 1),
-         |  cfpu$j AS (SELECT fp, exact_id FROM cfp0
-         |           $cfpUnion),
-         |  nc$j AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
-         |          FROM kb bb JOIN kb cb
-         |            ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
-         |          WHERE bb.doc_id % $mod = ${2 * j + 1}
-         |            AND (cb.doc_id % 2 = 0 $admUnion)),
-         |  sc$j AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
-         |          FROM nc$j JOIN sig sa ON sa.doc_id = bid
-         |                   JOIN sig sb ON sb.doc_id = cid
-         |          WHERE $matches >= 16),
-         |  best$j AS (SELECT bid, cid FROM (
-         |              SELECT bid, cid, row_number() OVER (PARTITION BY bid
-         |                       ORDER BY sm DESC, cid) AS rn
-         |              FROM sc$j) WHERE rn = 1),
-         |  v$j AS (SELECT b.doc_id,
-         |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
-         |                WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
-         |                WHEN nb.cid IS NOT NULL THEN 'near_dup'
-         |                ELSE 'new' END AS verdict,
-         |           CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
-         |                WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
-         |                WHEN nb.cid IS NOT NULL THEN nb.cid
-         |                ELSE NULL END AS match_id
-         |         FROM bat$j b LEFT JOIN cfpu$j e ON e.fp = b.fp
-         |         JOIN bk$j k ON k.fp = b.fp
-         |         LEFT JOIN best$j nb ON nb.bid = b.doc_id),
-         |  adm$j AS (SELECT doc_id FROM v$j WHERE verdict = 'new')""".stripMargin
-    }.mkString(",\n  ")
-    val finalUnion = (0 until nCycles).map(j =>
-      s"SELECT doc_id, verdict, match_id, CAST($j AS BIGINT) AS admit_cycle FROM v$j")
-      .mkString("\n         UNION ALL ")
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-       |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-       |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-       |          WHERE len(arr) >= 3),
-       |  h AS (SELECT DISTINCT doc_id, ${polySql("s")} AS hh FROM shs),
-       |  hot AS (SELECT hh FROM h WHERE doc_id % 2 = 0
-       |          GROUP BY hh HAVING count(*) > 100),
-       |  kept AS (SELECT doc_id, hh FROM h
-       |           WHERE hh NOT IN (SELECT hh FROM hot)),
-       |  sig AS (SELECT doc_id, $sigAggs FROM kept GROUP BY doc_id),
-       |  bandall AS (${bandSelects("sig")}),
-       |  hotbk AS (SELECT band_idx, band_hash FROM bandall
-       |            WHERE doc_id % 2 = 0
-       |            GROUP BY 1, 2 HAVING count(*) > 50),
-       |  kb AS (SELECT * FROM bandall b WHERE NOT EXISTS (
-       |           SELECT 1 FROM hotbk g
-       |           WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
-       |  corp0 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
-       |  cfp0 AS (SELECT fp, min(doc_id) AS exact_id FROM corp0 GROUP BY 1),
-       |  $cycles
-       |SELECT * FROM ($finalUnion)
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** N-cycle replay of [[graft.streaming.EventStream.embedGateParityRun]]
-    * on the [[vecFpSql]] fingerprint basis: the same planted-duplicate
-    * union as the registered query (ids 0→10000003, 1→10000007,
-    * 3→10000005 — residues mod 2N pin each plant's cycle), corpus = even
-    * ids, cycle j probes corpus ∪ admissions of cycles < j. Exact-only
-    * verdicts (no near-dup tier — fingerprint identity is the gate).
-    * Multi-referenced aggregating CTEs are MATERIALIZED (DuckDB inlines
-    * plain CTEs per reference — see lint_oracles.py rationale). */
-  private def embedGateOracle(nCycles: Int): String = {
-    val mod = 2 * nCycles
-    val cycles = (0 until nCycles).map { j =>
-      val idxUnion = (0 until j).map(k =>
-        s"""UNION ALL
-           |           SELECT fp, exact_id FROM adm$k""".stripMargin)
-        .mkString("\n           ")
-      s"""bat$j AS MATERIALIZED (SELECT vec_id, fp FROM f
-         |          WHERE vec_id % $mod = ${2 * j + 1}),
-         |  bk$j AS (SELECT fp, min(vec_id) AS batch_keep_id FROM bat$j GROUP BY 1),
-         |  idx$j AS (SELECT fp, exact_id FROM corp
-         |           $idxUnion),
-         |  v$j AS MATERIALIZED (SELECT b.vec_id,
-         |           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
-         |                WHEN b.vec_id <> k.batch_keep_id THEN 'batch_dup'
-         |                ELSE 'new' END AS verdict,
-         |           CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
-         |                WHEN b.vec_id <> k.batch_keep_id THEN k.batch_keep_id
-         |                END AS match_id
-         |         FROM bat$j b LEFT JOIN idx$j e ON e.fp = b.fp
-         |         JOIN bk$j k ON k.fp = b.fp),
-         |  adm$j AS MATERIALIZED (SELECT fp, min(vec_id) AS exact_id FROM bat$j
-         |          WHERE vec_id IN (SELECT vec_id FROM v$j WHERE verdict = 'new')
-         |          GROUP BY 1)""".stripMargin
-    }.mkString(",\n  ")
-    val finalUnion = (0 until nCycles).map(j =>
-      s"SELECT vec_id, verdict, match_id, CAST($j AS BIGINT) AS admit_cycle FROM v$j")
-      .mkString("\n         UNION ALL ")
-    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
-       |           UNION ALL
-       |           SELECT CASE vec_id WHEN 0 THEN 10000003
-       |                              WHEN 1 THEN 10000007
-       |                              ELSE 10000005 END AS vec_id, embedding
-       |           FROM embeddings WHERE vec_id IN (0, 1, 3)),
-       |  f AS MATERIALIZED (SELECT vec_id, ${vecFpSql("embedding")} AS fp FROM base),
-       |  corp AS MATERIALIZED (SELECT fp, min(vec_id) AS exact_id FROM f
-       |          WHERE vec_id % 2 = 0 GROUP BY 1),
-       |  $cycles
-       |SELECT vec_id, verdict, match_id, admit_cycle
-       |FROM ($finalUnion)
-       |ORDER BY vec_id""".stripMargin
-  }
-
-  private def sigIndexProbeOracle: String = {
-    import Portable._
-    def sigAggs = (0 until graft.ops.Dedup.MinhashK).map(i =>
-      s"min((${aCoef(i)} * (hh % $P1) + ${bCoef(i)}) % $P1) AS m$i")
-      .mkString(",\n           ")
-    def bandSelects(sigTable: String) =
-      (0 until graft.ops.Dedup.MinhashBands).map { b =>
-        val key = (0 until 4).foldLeft(s"CAST(${b + 1} AS BIGINT)") { (acc, j) =>
-          s"(($acc * $BandMix + m${4 * b + j}) % $P1)"
-        }
-        s"SELECT doc_id, $b AS band_idx, $key AS band_hash FROM $sigTable"
-      }.mkString("\n           UNION ALL ")
-    val matches = (0 until graft.ops.Dedup.MinhashK)
-      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-       |  shs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-       |          FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-       |          WHERE len(arr) >= 3),
-       |  h AS (SELECT DISTINCT doc_id, ${polySql("s")} AS hh FROM shs),
-       |  hot AS (SELECT hh FROM h WHERE doc_id % 2 = 0
-       |          GROUP BY hh HAVING count(*) > 100),
-       |  keptc AS (SELECT doc_id, hh FROM h WHERE doc_id % 2 = 0
-       |            AND hh NOT IN (SELECT hh FROM hot)),
-       |  keptbt AS (SELECT doc_id, hh FROM h WHERE doc_id % 2 = 1
-       |             AND hh NOT IN (SELECT hh FROM hot)),
-       |  sigc AS (SELECT doc_id, $sigAggs FROM keptc GROUP BY doc_id),
-       |  sigb AS (SELECT doc_id, $sigAggs FROM keptbt GROUP BY doc_id),
-       |  bandc AS (${bandSelects("sigc")}),
-       |  hotbk AS (SELECT band_idx, band_hash FROM bandc
-       |            GROUP BY 1, 2 HAVING count(*) > 50),
-       |  kbc AS (SELECT * FROM bandc b WHERE NOT EXISTS (
-       |            SELECT 1 FROM hotbk g
-       |            WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
-       |  bandb AS (${bandSelects("sigb")}),
-       |  kbb AS (SELECT * FROM bandb b WHERE NOT EXISTS (
-       |            SELECT 1 FROM hotbk g
-       |            WHERE g.band_idx = b.band_idx AND g.band_hash = b.band_hash)),
-       |  nc AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
-       |         FROM kbb bb JOIN kbc cb
-       |           ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash),
-       |  sc AS (SELECT bid, cid, CAST($matches AS BIGINT) AS sm
-       |         FROM nc JOIN sigb sa ON sa.doc_id = bid
-       |                 JOIN sigc sb ON sb.doc_id = cid
-       |         WHERE $matches >= 16),
-       |  best AS (SELECT bid, cid FROM (
-       |             SELECT bid, cid,
-       |                    row_number() OVER (PARTITION BY bid
-       |                                       ORDER BY sm DESC, cid) AS rn
-       |             FROM sc) WHERE rn = 1),
-       |  corp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
-       |  bat  AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
-       |  cfp AS (SELECT fp, min(doc_id) AS exact_id FROM corp GROUP BY 1),
-       |  bk  AS (SELECT fp, min(doc_id) AS batch_keep_id FROM bat GROUP BY 1)
-       |SELECT b.doc_id AS doc_id,
-       |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
-       |       WHEN b.doc_id <> k.batch_keep_id THEN 'batch_dup'
-       |       WHEN nb.cid IS NOT NULL THEN 'near_dup'
-       |       ELSE 'new' END AS verdict,
-       |  CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
-       |       WHEN b.doc_id <> k.batch_keep_id THEN k.batch_keep_id
-       |       WHEN nb.cid IS NOT NULL THEN nb.cid
-       |       ELSE NULL END AS match_id
-       |FROM bat b LEFT JOIN cfp e ON e.fp = b.fp
-       |JOIN bk k ON k.fp = b.fp
-       |LEFT JOIN best nb ON nb.bid = b.doc_id
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** Integer PageRank unrolled to PagerankQueryIters chained CTEs
-    * (recursive terms cannot aggregate, so fixed iterations unroll
-    * instead) — every step is floor arithmetic matching
-    * Graphs.pagerankInt exactly. */
-  private def pagerankOracle: String = {
-    val iters = PagerankQueryIters
-    val steps = (1 to iters).map(i =>
-      s"""r$i AS (
-         |   SELECT s.dst AS node,
-         |          1500 + sum(r.rank // d.outdeg) * 8500 // 10000 AS rank
-         |   FROM sym s JOIN r${i - 1} r ON r.node = s.src
-         |   JOIN deg d ON d.src = s.src
-         |   GROUP BY s.dst)""".stripMargin).mkString(",\n ")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
-       |           FROM capped a JOIN capped b
-       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |           GROUP BY 1, 2 HAVING count(*) >= 2),
-       | sym AS (SELECT da AS src, db AS dst FROM pairs
-       |         UNION SELECT db, da FROM pairs),
-       | deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY 1),
-       | r0 AS (SELECT src AS node, CAST(10000 AS BIGINT) AS rank FROM deg),
-       | $steps
-       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY node""".stripMargin
-  }
-
-  /** k-core oracle: the [[pagerankOracle]] edge prologue, then
-    * KcoreRounds unrolled peel stages, then the surviving degrees —
-    * floor-free integer counts throughout, so the peel replicates
-    * Graphs.kCore exactly. Each stage is formulated as ONE window-
-    * filtered pass over the previous (an edge survives iff both its
-    * endpoints keep degree ≥ k — identical to the keep-set semi-join),
-    * because DuckDB inlines CTEs: a stage referencing its predecessor
-    * three times would expand 3^rounds scans and exhaust file handles. */
-  private def kcoreOracle: String = {
-    val steps = (1 to KcoreRounds).map(i =>
-      s"""e$i AS (SELECT src, dst FROM (
-         |     SELECT src, dst,
-         |            count(*) OVER (PARTITION BY src) AS ds,
-         |            count(*) OVER (PARTITION BY dst) AS dd
-         |     FROM e${i - 1})
-         |   WHERE ds >= $KcoreK AND dd >= $KcoreK)""".stripMargin)
-      .mkString(",\n ")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
-       |           FROM capped a JOIN capped b
-       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |           GROUP BY 1, 2 HAVING count(*) >= 2),
-       | e0 AS (SELECT da AS src, db AS dst FROM pairs
-       |        UNION SELECT db, da FROM pairs),
-       | $steps
-       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
-       |FROM e$KcoreRounds GROUP BY 1 ORDER BY node""".stripMargin
-  }
-
-  /** Label-propagation oracle: the [[pagerankOracle]] edge prologue,
-    * then LabelPropRounds unrolled synchronous sweeps — per sweep, one
-    * (node, label) neighbor count, a per-node max window, and the
-    * min-label tie-break; the argmax is formulated as
-    * `min(label) WHERE cnt = max(cnt) OVER node`, which is exactly
-    * Graphs.labelProp's `max(struct(cnt, −label))` collapse. Each CTE
-    * references its predecessor once (the kcoreOracle inlining rule). */
-  /** Shared CTE prologue for the label-prop family: thresholded
-    * co-purchase pairs, symmetric closure, and the unrolled synchronous
-    * sweeps r1..r`LabelPropRounds` (min-label tie-break replicated). */
-  private def labelPropCtes: String = {
-    val steps = (1 to LabelPropRounds).map(i =>
-      s"""r$i AS (
-         |   SELECT node, min(label) AS label FROM (
-         |     SELECT node, label, cnt, max(cnt) OVER (PARTITION BY node) AS mx
-         |     FROM (SELECT s.dst AS node, r.label, count(*) AS cnt
-         |           FROM sym s JOIN r${i - 1} r ON r.node = s.src
-         |           GROUP BY 1, 2))
-         |   WHERE cnt = mx GROUP BY node)""".stripMargin).mkString(",\n ")
-    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
-       |           FROM capped a JOIN capped b
-       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |           GROUP BY 1, 2 HAVING count(*) >= 2),
-       | sym AS (SELECT da AS src, db AS dst FROM pairs
-       |         UNION SELECT db, da FROM pairs),
-       | r0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
-       | $steps""".stripMargin
-  }
-
-  /** Assortativity twin: the same co-purchase prologue, stub moments,
-    * and the single final floor division. */
-  private def assortativityOracle: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
-       |           FROM capped a JOIN capped b
-       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |           GROUP BY 1, 2 HAVING count(*) >= 2),
-       | stubs AS (SELECT da AS src, db AS dst FROM pairs
-       |           UNION ALL SELECT db, da FROM pairs),
-       | deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-       |         FROM stubs GROUP BY 1),
-       | j AS (SELECT dx.deg AS x, dy.deg AS y
-       |       FROM stubs s JOIN deg dx ON dx.src = s.src
-       |                    JOIN deg dy ON dy.src = s.dst),
-       | t AS (SELECT CAST(count(*) AS BIGINT) AS m2,
-       |              CAST(sum(x) AS BIGINT) AS sx,
-       |              CAST(sum(x * x) AS BIGINT) AS sxx,
-       |              CAST(sum(x * y) AS BIGINT) AS sxy
-       |       FROM j)
-       |SELECT m2, sx, sxx, sxy,
-       |       m2 * sxy - sx * sx AS num,
-       |       m2 * sxx - sx * sx AS den,
-       |       CASE WHEN m2 * sxx - sx * sx <> 0
-       |            THEN (m2 * sxy - sx * sx) * 1000
-       |                 // (m2 * sxx - sx * sx) END AS r_milli
-       |FROM t""".stripMargin
-
-  /** Connected-components twin: RECURSIVE label spread — every node
-    * accumulates the labels of everything it can reach (set-semantics
-    * UNION terminates at the closure), then min per node = the
-    * component's min node id, the exact fixpoint the Spark side's
-    * shortcutting propagation converges to (and asserts). A fixed-round
-    * unroll was tried first and planned pathologically in DuckDB
-    * (deeply nested inlined CTE chains); the recursive form is the
-    * engine's native iteration and closes in seconds at oracle scale.
-    * Closure size is Σ comp², fine at sf0.01 (giant component ~1.9k). */
-  /** Shared CTE chain for the sampled-triangle twins: the co-purchase
-    * canonical edges, the portable-hash p=1/4 edge sample (coefficient
-    * index 31 — the Spark predicate verbatim), and the id-ordered
-    * triangle enumeration over the SAMPLE (per-node counts are
-    * orientation-independent, so the simple id-ordered join checks the
-    * degree-ordered engine exactly). `tail` is the final SELECT. */
-  private def triSampledOracle(tail: String): String = {
-    import Portable.{P1, aCoef, bCoef}
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | e AS MATERIALIZED (
-       |       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-       |       FROM capped a JOIN capped b
-       |         ON a.l_orderkey = b.l_orderkey
-       |        AND a.l_partkey < b.l_partkey),
-       | se AS MATERIALIZED (SELECT u, v FROM e
-       |       WHERE ((u % $P1) * ${aCoef(31)} + (v % $P1) * ${bCoef(31)})
-       |             % $P1 % 4 = 0),
-       | tri AS MATERIALIZED (SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
-       |         FROM se e1
-       |         JOIN se e2 ON e2.u = e1.v
-       |         JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v),
-       | corners AS (SELECT n1 AS node FROM tri
-       |             UNION ALL SELECT n2 FROM tri
-       |             UNION ALL SELECT n3 FROM tri)
-       |$tail""".stripMargin
-  }
-
-  private def componentsOracle: String =
-    s"""WITH RECURSIVE
-       | li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
-       |           FROM capped a JOIN capped b
-       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |           GROUP BY 1, 2 HAVING count(*) >= 2),
-       | sym AS (SELECT da AS src, db AS dst FROM pairs
-       |         UNION SELECT db, da FROM pairs),
-       | nodes AS (SELECT DISTINCT src AS node FROM sym),
-       | lbl(node, l) AS (
-       |   SELECT node, node FROM nodes
-       |   UNION
-       |   SELECT s.src, l.l FROM sym s JOIN lbl l ON l.node = s.dst),
-       | fin AS (SELECT node, min(l) AS component FROM lbl GROUP BY 1),
-       | sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
-       |           FROM fin GROUP BY 1)
-       |SELECT f.node, f.component, s.comp_size
-       |FROM fin f JOIN sizes s ON s.component = f.component
-       |ORDER BY f.node""".stripMargin
-
-  /** Harmonic-centrality twin: recursive multi-source walk with the
-    * hop cap inside the recursive term (same truncation as the Spark
-    * side's maxHops), min distance per (seed, node), then the floor
-    * milli sum. */
-  private def harmonicOracle: String =
-    s"""WITH RECURSIVE
-       | li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
-       |           FROM capped a JOIN capped b
-       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |           GROUP BY 1, 2 HAVING count(*) >= 2),
-       | sym AS (SELECT da AS src, db AS dst FROM pairs
-       |         UNION SELECT db, da FROM pairs),
-       | seeds AS (SELECT node FROM (
-       |     SELECT DISTINCT src AS node FROM sym ORDER BY node LIMIT 8)),
-       | walk(seed, node, d) AS (
-       |   SELECT node, node, 0 FROM seeds
-       |   UNION
-       |   SELECT w.seed, s.dst, w.d + 1
-       |   FROM walk w JOIN sym s ON s.src = w.node
-       |   WHERE w.d < 6),
-       | dist AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
-       |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
-       |       CAST(sum(1000 // d) AS BIGINT) AS harmonic_milli
-       |FROM dist WHERE d >= 1 GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Degree-distribution twin: the copurchase edge prologue, degrees
-    * over both stub directions, ⌊log₂⌋ via a powers-of-two range join
-    * (no float log — the binary-digit-count formulation of the Spark
-    * side), CCDF over the ≤ 64-row binned table. */
-  private def degreeDistOracle: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
-       |           FROM capped a JOIN capped b
-       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |           GROUP BY 1, 2 HAVING count(*) >= 2),
-       | stubs AS (SELECT da AS node FROM pairs
-       |           UNION ALL SELECT db FROM pairs),
-       | deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
-       |         FROM stubs GROUP BY 1),
-       | b AS (SELECT d.node, d.degree, CAST(max(t.i) AS BIGINT) AS bin
-       |       FROM deg d JOIN range(0, 40) t(i)
-       |         ON (CAST(1 AS BIGINT) << CAST(t.i AS INTEGER)) <= d.degree
-       |       GROUP BY 1, 2),
-       | g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_nodes,
-       |              CAST(sum(degree) AS BIGINT) AS sum_degree
-       |       FROM b GROUP BY 1)
-       |SELECT bin,
-       |       CAST(1 AS BIGINT) << CAST(bin AS INTEGER) AS lo_degree,
-       |       n_nodes, sum_degree,
-       |       CAST(sum(n_nodes) OVER (ORDER BY bin DESC
-       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_nodes_ge_lo
-       |FROM g ORDER BY bin""".stripMargin
-
-  private def labelPropOracle: String =
-    s"""WITH ${labelPropCtes},
-       | sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size
-       |           FROM r$LabelPropRounds GROUP BY 1)
-       |SELECT r.node, r.label, s.comm_size
-       |FROM r$LabelPropRounds r JOIN sizes s ON s.label = r.label
-       |ORDER BY r.node""".stripMargin
-
-  /** Modularity twin: the label-prop unroll feeds the exact
-    * 4·m·e_c − d_c² contribution per community and the two-spelling
-    * q_bp (multiply-first under m < 5·10⁴, denominator-first above). */
-  private def modularityOracle: String =
-    s"""WITH ${labelPropCtes},
-       | lab AS (SELECT node, label FROM r$LabelPropRounds),
-       | mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
-       | ei AS (SELECT lu.label, CAST(count(*) AS BIGINT) AS e_intra
-       |        FROM pairs p JOIN lab lu ON lu.node = p.da
-       |                     JOIN lab lv ON lv.node = p.db
-       |        WHERE lu.label = lv.label GROUP BY 1),
-       | deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-       |         FROM sym GROUP BY 1),
-       | ds AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_sum
-       |        FROM deg d JOIN lab l ON l.node = d.node GROUP BY 1),
-       | nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
-       |        FROM lab GROUP BY 1),
-       | per AS (SELECT nn.label, nn.n_nodes,
-       |                coalesce(ei.e_intra, 0) AS e_intra, ds.d_sum,
-       |                4 * mm.m * coalesce(ei.e_intra, 0)
-       |                  - ds.d_sum * ds.d_sum AS contrib_scaled,
-       |                mm.m AS m
-       |         FROM nn LEFT JOIN ei ON ei.label = nn.label
-       |                 JOIN ds ON ds.label = nn.label CROSS JOIN mm),
-       | q AS (SELECT CASE WHEN max(m) < 50000
-       |              THEN CAST(sum(contrib_scaled) AS BIGINT) * 10000
-       |                   // (4 * max(m) * max(m))
-       |              ELSE CAST(sum(contrib_scaled) AS BIGINT)
-       |                   // (4 * max(m) * max(m) // 10000) END AS q_bp
-       |       FROM per)
-       |SELECT label, n_nodes, e_intra, d_sum, contrib_scaled, q_bp
-       |FROM per CROSS JOIN q ORDER BY label""".stripMargin
-
-  /** Jaccard link-prediction oracle: the shared edge prologue, the
-    * row_number neighbor cap replicated structurally, wedge pair
-    * counts, the NOT-EXISTS edge exclusion, exact degrees, floor bp. */
-  private def jaccardLinksOracle: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
-       |           FROM capped a JOIN capped b
-       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |           GROUP BY 1, 2 HAVING count(*) >= 2),
-       | adj AS (SELECT da AS src, db AS dst FROM pairs
-       |         UNION ALL SELECT db, da FROM pairs),
-       | deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
-       | cn AS (SELECT src, dst FROM (
-       |     SELECT src, dst, row_number() OVER (PARTITION BY src
-       |                                         ORDER BY dst) AS rn
-       |     FROM adj) WHERE rn <= 64),
-       | wedges AS (SELECT x.dst AS a, y.dst AS b, count(*) AS common
-       |            FROM cn x JOIN cn y
-       |              ON x.src = y.src AND x.dst < y.dst
-       |            GROUP BY 1, 2),
-       | ne AS (SELECT w.* FROM wedges w
-       |        WHERE NOT EXISTS (SELECT 1 FROM adj e
-       |                          WHERE e.src = w.a AND e.dst = w.b))
-       |SELECT ne.a, ne.b, CAST(ne.common AS BIGINT) AS common,
-       |       CAST(dx.deg AS BIGINT) AS deg_a,
-       |       CAST(dy.deg AS BIGINT) AS deg_b,
-       |       CAST(ne.common * 10000 // (dx.deg + dy.deg - ne.common)
-       |            AS BIGINT) AS jacc_bp
-       |FROM ne JOIN deg dx ON dx.src = ne.a
-       |        JOIN deg dy ON dy.src = ne.b
-       |ORDER BY jacc_bp DESC, a, b LIMIT 50""".stripMargin
-
-  /** Personalized-PageRank oracle: the [[pagerankOracle]] CTE prologue
-    * with seed-gated restart mass, unrolled left-join rounds keeping
-    * zero-inflow nodes — every floor step mirrored. */
-  private def pprOracle: String = {
-    val iters = 6
-    val steps = (1 to iters).map(i =>
-      s"""r$i AS (
-         |   SELECT n.node, n.seed_base + coalesce(f.flow, 0) AS rank,
-         |          n.outdeg, n.seed_base
-         |   FROM nodes n LEFT JOIN (
-         |     SELECT s.dst AS node,
-         |            sum(r.rank // d2.outdeg) * 8500 // 10000 AS flow
-         |     FROM sym s JOIN r${i - 1} r ON r.node = s.src
-         |     JOIN deg d2 ON d2.src = s.src
-         |     GROUP BY 1) f ON f.node = n.node)""".stripMargin)
-      .mkString(",\n ")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
-       |           FROM capped a JOIN capped b
-       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |           GROUP BY 1, 2 HAVING count(*) >= 2),
-       | sym AS (SELECT da AS src, db AS dst FROM pairs
-       |         UNION SELECT db, da FROM pairs),
-       | deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY 1),
-       | seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 101 = 0),
-       | nodes AS (SELECT d.src AS node, d.outdeg,
-       |                  CASE WHEN s.node IS NOT NULL
-       |                       THEN CAST(1500 AS BIGINT)
-       |                       ELSE CAST(0 AS BIGINT) END AS seed_base
-       |           FROM deg d LEFT JOIN seeds s ON s.node = d.src),
-       | r0 AS (SELECT node,
-       |               CASE WHEN seed_base > 0 THEN CAST(10000 AS BIGINT)
-       |                    ELSE CAST(0 AS BIGINT) END AS rank,
-       |               outdeg, seed_base
-       |        FROM nodes),
-       | $steps
-       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters
-       |WHERE rank > 0 ORDER BY node""".stripMargin
-  }
-
-  /** Count-Min cells in SQL: the same rolling hash as fp_feature_hash's
-    * oracle and the same affine row hashes as [[graft.ops.Sketches]]
-    * (coefficients inlined from the shared Portable constants), so every
-    * counter — including collision overcounts — is re-derived
-    * independently and hash-compared. */
-  private def cmsOracle: String = {
-    import graft.functions.Portable.{P1, aCoef, bCoef}
-    import graft.ops.Sketches.{CmsDepth, CmsSeedBase, CmsWidth}
-    val aCase = (0 until CmsDepth)
-      .map(r => s"WHEN $r THEN ${aCoef(CmsSeedBase + r)}").mkString(" ")
-    val bCase = (0 until CmsDepth)
-      .map(r => s"WHEN $r THEN ${bCoef(CmsSeedBase + r)}").mkString(" ")
-    val rows = (0 until CmsDepth).mkString(", ")
-    def bucket(h: String) =
-      s"((CASE rr.r $aCase END * $h + CASE rr.r $bCase END) % $P1) % $CmsWidth"
-    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
-       | cnt AS (SELECT tk, count(*) AS true_cnt FROM tok
-       |         WHERE tk <> '' GROUP BY 1),
-       | h AS (SELECT tk, true_cnt,
-       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |          list_transform(string_split_regex(tk, ''),
-       |            c -> CAST(ascii(c) AS BIGINT))),
-       |          (a, x) -> (a * 31 + x) % 1000000007) AS h1
-       |       FROM cnt),
-       | cells AS (SELECT rr.r AS r, ${bucket("h.h1")} AS bucket, h.true_cnt
-       |           FROM h CROSS JOIN (SELECT unnest([$rows]) AS r) rr),
-       | counters AS (SELECT r, bucket, CAST(sum(true_cnt) AS BIGINT) AS counter
-       |              FROM cells GROUP BY 1, 2),
-       | top AS (SELECT tk, true_cnt FROM cnt
-       |         ORDER BY true_cnt DESC, tk LIMIT 20),
-       | probe AS (SELECT h.tk, h.true_cnt, rr.r AS r, ${bucket("h.h1")} AS bucket
-       |           FROM h JOIN top USING (tk)
-       |           CROSS JOIN (SELECT unnest([$rows]) AS r) rr)
-       |SELECT p.tk AS token, p.true_cnt AS true_cnt,
-       |       CAST(min(c.counter) AS BIGINT) AS cms_est
-       |FROM probe p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
-       |GROUP BY 1, 2 ORDER BY true_cnt DESC, token""".stripMargin
-  }
-
-  /** Portable-HLL oracle: re-derives the quadratic two-prime hash, the
-    * 40-bit rho source, every register, the scaled harmonic sum and the
-    * single double division (C inlined as the same Scala double literal)
-    * — see [[graft.ops.Sketches.hllRegisters]] for why each step is
-    * shaped for cross-engine exactness. */
-  private def hllOracle: String = hllOracleFor("lineitem", "l_orderkey")
-
-  private def hllOracleFor(table: String, key: String): String = {
-    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
-    import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
-    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
-    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-    val top = HllVBits + 1
-    s"""WITH q AS (SELECT $key % $P1 AS q1, $key % $P2 AS q2
-       |           FROM $table),
-       | h AS (SELECT ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
-       |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
-       |       FROM q),
-       | b AS (SELECT hv % $HllM AS bucket,
-       |              (hv // $HllM) % ${1L << HllVBits} AS v FROM h),
-       | r AS (SELECT bucket,
-       |              max(CASE WHEN v = 0 THEN $top
-       |                       ELSE $top - length(bin(v)) END) AS reg
-       |       FROM b GROUP BY 1),
-       | s AS (SELECT count(*) AS n_used,
-       |              sum(1::BIGINT << CAST($top - reg AS INT)) AS used_scaled
-       |       FROM r),
-       | t AS (SELECT count(DISTINCT $key) AS true_distinct FROM $table),
-       | f AS (SELECT n_used, $HllM - n_used AS zeros,
-       |              CAST(used_scaled
-       |                   + ($HllM - n_used) * (1::BIGINT << $top) AS BIGINT)
-       |                AS sum_scaled,
-       |              true_distinct
-       |       FROM s CROSS JOIN t)
-       |SELECT n_used, zeros, sum_scaled,
-       |       CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
-       |         AS est_distinct,
-       |       true_distinct,
-       |       abs(CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
-       |           - true_distinct) * 10000 // true_distinct AS err_bp
-       |FROM f""".stripMargin
-  }
-
-  /** HLL-diversity oracle: the [[hllOracleFor]] chain run per SOURCE over
-    * rolling-hashed unigram/bigram streams (the fp_feature_hash gram-hash
-    * twin feeding the sketch pipeline), joined with exact totals. */
-  private def ngramDiversityHllOracle: String = {
-    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
-    import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
-    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
-    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-    val top = HllVBits + 1
-    val gramHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(string_split_regex(g, ''), " +
-      "c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % " +
-      s"$P1)"
-    def chain(p: String, gramCte: String): String =
-      s"""${p}k AS (SELECT source, $gramHash AS k FROM $gramCte),
-         | ${p}h AS (SELECT source,
-         |        ((((k % $P1) * (k % $P1)) % $P1) * $a1 + (k % $P1) * $b1) % $P1 * $P2
-         |        + ((((k % $P2) * (k % $P2)) % $P2) * $a2 + (k % $P2) * $b2) % $P2 AS hv
-         |      FROM ${p}k),
-         | ${p}r AS (SELECT source, hv % $HllM AS bucket,
-         |        max(CASE WHEN (hv // $HllM) % ${1L << HllVBits} = 0 THEN $top
-         |                 ELSE $top - length(bin((hv // $HllM) % ${1L << HllVBits}))
-         |            END) AS reg
-         |      FROM ${p}h GROUP BY 1, 2),
-         | ${p}e AS (SELECT source,
-         |        CAST(round($HllC / CAST(
-         |          sum(1::BIGINT << CAST($top - reg AS INT))
-         |          + ($HllM - count(*)) * (1::BIGINT << $top) AS DOUBLE))
-         |        AS BIGINT) AS est
-         |      FROM ${p}r GROUP BY 1)""".stripMargin
-    s"""WITH toks AS (
-       |   SELECT source, string_split(text, ' ') AS t FROM documents),
-       | ug AS (SELECT source, u.g
-       |        FROM toks, LATERAL (SELECT unnest(t) AS g) u),
-       | bg AS (SELECT source, t[i] || ' ' || t[i + 1] AS g
-       |        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
-       |        WHERE len(t) >= 2),
-       | ${chain("u", "ug")},
-       | ${chain("b", "bg")},
-       | un AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unigrams
-       |        FROM ug GROUP BY 1),
-       | bn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams
-       |        FROM bg GROUP BY 1)
-       |SELECT un.source, un.n_unigrams,
-       |       ue.est AS est_d_unigrams,
-       |       CAST(ue.est * 10000 // un.n_unigrams AS BIGINT)
-       |         AS est_distinct1_bp,
-       |       CAST(coalesce(bn.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       |       be.est AS est_d_bigrams,
-       |       CAST(be.est * 10000 // bn.n_bigrams AS BIGINT)
-       |         AS est_distinct2_bp
-       |FROM un JOIN ue ON ue.source = un.source
-       |LEFT JOIN bn ON bn.source = un.source
-       |LEFT JOIN be ON be.source = un.source
-       |ORDER BY un.source""".stripMargin
-  }
-
-  /** Per-group HLL oracle: [[hllOracleFor]] with the group column carried
-    * through every CTE — registers, harmonic sums and estimates all
-    * GROUP BY the dimension, exactly like
-    * [[graft.ops.Sketches.hllRegistersBy]]. */
-  private def hllGroupsOracle: String = {
-    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
-    import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
-    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
-    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-    val top = HllVBits + 1
-    s"""WITH q AS (SELECT l_returnflag AS g, l_orderkey % $P1 AS q1,
-       |                  l_orderkey % $P2 AS q2 FROM lineitem),
-       | h AS (SELECT g, ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
-       |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
-       |       FROM q),
-       | b AS (SELECT g, hv % $HllM AS bucket,
-       |              (hv // $HllM) % ${1L << HllVBits} AS v FROM h),
-       | r AS (SELECT g, bucket,
-       |              max(CASE WHEN v = 0 THEN $top
-       |                       ELSE $top - length(bin(v)) END) AS reg
-       |       FROM b GROUP BY 1, 2),
-       | s AS (SELECT g, count(*) AS n_used,
-       |              sum(1::BIGINT << CAST($top - reg AS INT)) AS used_scaled
-       |       FROM r GROUP BY 1),
-       | t AS (SELECT l_returnflag AS g,
-       |              count(DISTINCT l_orderkey) AS true_distinct
-       |       FROM lineitem GROUP BY 1),
-       | f AS (SELECT s.g, n_used, $HllM - n_used AS zeros,
-       |              CAST(used_scaled
-       |                   + ($HllM - n_used) * (1::BIGINT << $top) AS BIGINT)
-       |                AS sum_scaled,
-       |              true_distinct
-       |       FROM s JOIN t ON s.g = t.g)
-       |SELECT g AS l_returnflag, n_used, zeros, sum_scaled,
-       |       CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
-       |         AS est_distinct,
-       |       true_distinct,
-       |       abs(CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
-       |           - true_distinct) * 10000 // true_distinct AS err_bp
-       |FROM f ORDER BY 1""".stripMargin
-  }
-
-  /** HLL-union oracle: registers built over the UNION ALL of the two key
-    * slices — mathematically identical to the register-wise max merge the
-    * Spark side performs ([[graft.ops.Sketches.hllMergeRegisters]]'s
-    * merge law), which is exactly the property under test. */
-  private def hllUnionOracle: String = {
-    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
-    import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
-    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
-    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-    val top = HllVBits + 1
-    s"""WITH k AS (SELECT l_partkey AS kk FROM lineitem WHERE l_returnflag = 'R'
-       |           UNION ALL
-       |           SELECT l_partkey FROM lineitem WHERE l_linenumber = 1),
-       | q AS (SELECT kk % $P1 AS q1, kk % $P2 AS q2 FROM k),
-       | h AS (SELECT ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
-       |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
-       |       FROM q),
-       | b AS (SELECT hv % $HllM AS bucket,
-       |              (hv // $HllM) % ${1L << HllVBits} AS v FROM h),
-       | r AS (SELECT bucket,
-       |              max(CASE WHEN v = 0 THEN $top
-       |                       ELSE $top - length(bin(v)) END) AS reg
-       |       FROM b GROUP BY 1),
-       | s AS (SELECT count(*) AS n_used,
-       |              sum(1::BIGINT << CAST($top - reg AS INT)) AS used_scaled
-       |       FROM r),
-       | t AS (SELECT count(DISTINCT l_partkey) AS true_distinct
-       |       FROM lineitem WHERE l_returnflag = 'R' OR l_linenumber = 1),
-       | f AS (SELECT n_used, $HllM - n_used AS zeros,
-       |              CAST(used_scaled
-       |                   + ($HllM - n_used) * (1::BIGINT << $top) AS BIGINT)
-       |                AS sum_scaled,
-       |              true_distinct
-       |       FROM s CROSS JOIN t)
-       |SELECT n_used, zeros, sum_scaled,
-       |       CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
-       |         AS est_distinct,
-       |       true_distinct,
-       |       abs(CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
-       |           - true_distinct) * 10000 // true_distinct AS err_bp
-       |FROM f""".stripMargin
-  }
-
-  /** KMV oracle: the same quadratic two-prime hash over the distinct
-    * keys, bottom-k via ORDER BY/LIMIT, and the (k−1)·R/h_k estimator
-    * with the numerator inlined as the identical double literal — three
-    * correctly-rounded IEEE ops in both engines
-    * ([[graft.ops.Sketches.kmvSummary]]). */
-  private def kmvOracle: String = {
-    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
-    import graft.ops.Sketches.{HllSeedBase, KmvK}
-    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
-    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-    val numer = (KmvK - 1).toDouble * (P1 * P2).toDouble
-    s"""WITH d AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k
-       |           FROM lineitem),
-       | q AS (SELECT k % $P1 AS q1, k % $P2 AS q2 FROM d),
-       | h AS (SELECT ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
-       |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS h
-       |       FROM q),
-       | b AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
-       | s AS (SELECT count(*) AS k_used, max(h) AS kth_hash FROM b),
-       | t AS (SELECT count(DISTINCT l_orderkey) AS true_distinct
-       |       FROM lineitem),
-       | f AS (SELECT k_used, kth_hash,
-       |              CASE WHEN k_used < $KmvK THEN k_used
-       |                   ELSE CAST(round($numer / CAST(kth_hash AS DOUBLE))
-       |                             AS BIGINT) END AS est_distinct,
-       |              true_distinct
-       |       FROM s CROSS JOIN t)
-       |SELECT k_used, kth_hash, est_distinct, true_distinct,
-       |       abs(est_distinct - true_distinct) * 10000 // true_distinct
-       |         AS err_bp
-       |FROM f""".stripMargin
-  }
-
-  /** Approx-profile oracle: the per-column KMV chain ([[kmvOracle]]'s
-    * quadratic mix over the 10⁶-scaled DECIMAL value, dedup on hash,
-    * bottom-k per column) joined with the plain per-column stats —
-    * the DuckDB twin that promoted profile_approx from rows-only
-    * (round 11). The bottom-k distinct-hash set is partition-layout-
-    * independent (bottom-k composes under union), so the bounded
-    * Spark-side aggregate and this global SQL agree exactly; the one
-    * float step is the same two correctly-rounded double ops as
-    * [[kmvOracle]]. */
-  private def profileApproxOracle: String = {
-    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
-    import graft.ops.Sketches.{HllSeedBase, KmvK}
-    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
-    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-    val numer = (KmvK - 1).toDouble * (P1 * P2).toDouble
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
-      "l_orderkey")
-    val unions = cols.zipWithIndex.map { case (c, i) =>
-      s"SELECT $i AS cidx, '$c' AS colname, " +
-        s"CAST($c AS DECIMAL(38,6)) AS v FROM lineitem"
-    }.mkString("\n       |           UNION ALL ".stripMargin)
-    s"""WITH p AS ($unions),
-       | k0 AS (SELECT cidx, colname, v,
-       |               CAST(CAST(v * 1000000 AS DECIMAL(38,0)) AS BIGINT)
-       |                 AS kk
-       |        FROM p),
-       | q0 AS (SELECT cidx, colname, v, kk % $P1 AS q1, kk % $P2 AS q2
-       |        FROM k0),
-       | hh AS (SELECT cidx, colname, v,
-       |               ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
-       |               + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
-       |        FROM q0),
-       | stats AS (SELECT cidx, min(colname) AS colname,
-       |                  count(*) AS n_rows, count(v) AS n_non_null,
-       |                  CAST(min(v) AS DOUBLE) AS min_v,
-       |                  CAST(max(v) AS DOUBLE) AS max_v,
-       |                  CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE)
-       |                    AS sum_v
-       |           FROM hh GROUP BY 1),
-       | d AS (SELECT DISTINCT cidx, hv FROM hh WHERE hv IS NOT NULL),
-       | r AS (SELECT cidx, hv,
-       |              row_number() OVER (PARTITION BY cidx ORDER BY hv)
-       |                AS rn
-       |       FROM d),
-       | b AS (SELECT cidx, count(*) AS k_used, max(hv) AS kth
-       |       FROM r WHERE rn <= $KmvK GROUP BY 1)
-       |SELECT colname AS "column", n_rows, n_non_null,
-       |       CASE WHEN COALESCE(k_used, 0) < $KmvK THEN COALESCE(k_used, 0)
-       |            ELSE CAST(round($numer / CAST(kth AS DOUBLE)) AS BIGINT)
-       |            END AS n_distinct,
-       |       min_v, max_v, sum_v
-       |FROM stats LEFT JOIN b USING (cidx)
-       |ORDER BY "column"""".stripMargin
-       // LEFT JOIN + COALESCE (ADVICE r11): an all-NULL column has no
-       // distinct hashes (b is empty for that cidx) but the engine still
-       // emits its row with n_distinct = 0 — the oracle must keep it too
-  }
-
-  /** KMV-Jaccard oracle: both bottom-k sketches re-derived hash by
-    * hash (the [[kmvOracle]] quadratic mix), the coordinated union
-    * bottom-k with membership flags, and the exact truth — every
-    * column, including the estimate's error, is integer arithmetic. */
-  private def kmvJaccardOracle: String = {
-    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
-    import graft.ops.Sketches.{HllSeedBase, KmvK}
-    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
-    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-    def bottomCtes(name: String, cond: String): String =
-      s"""d$name AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS k
-         |           FROM lineitem WHERE $cond),
-         | q$name AS (SELECT k, k % $P1 AS q1, k % $P2 AS q2 FROM d$name),
-         | h$name AS (SELECT k,
-         |        ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
-         |        + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS h
-         |        FROM q$name),
-         | b$name AS (SELECT k, h FROM h$name ORDER BY h, k LIMIT $KmvK)"""
-        .stripMargin
-    s"""WITH ${bottomCtes("a", "l_returnflag = 'R'")},
-       | ${bottomCtes("b", "l_returnflag = 'A'")},
-       | u AS (SELECT h, k, max(in_a) AS in_a, max(in_b) AS in_b FROM (
-       |     SELECT h, k, 1 AS in_a, 0 AS in_b FROM ba
-       |     UNION ALL SELECT h, k, 0 AS in_a, 1 AS in_b FROM bb)
-       |   GROUP BY 1, 2),
-       | bu AS (SELECT * FROM u ORDER BY h, k LIMIT $KmvK),
-       | s AS (SELECT count(*) AS k_used, max(h) AS kth_hash,
-       |              CAST(sum(in_a * in_b) AS BIGINT) AS n_both
-       |       FROM bu),
-       | tr AS (SELECT CAST(sum(ia * ib) AS BIGINT) AS n_inter,
-       |               count(*) AS n_union
-       |        FROM (SELECT l_partkey,
-       |                     max(CASE WHEN l_returnflag = 'R' THEN 1
-       |                              ELSE 0 END) AS ia,
-       |                     max(CASE WHEN l_returnflag = 'A' THEN 1
-       |                              ELSE 0 END) AS ib
-       |              FROM lineitem WHERE l_returnflag IN ('R', 'A')
-       |              GROUP BY 1))
-       |SELECT k_used, kth_hash, n_both,
-       |       n_both * 10000 // k_used AS jacc_bp,
-       |       n_inter, n_union,
-       |       n_inter * 10000 // n_union AS true_jacc_bp,
-       |       abs(n_both * 10000 // k_used
-       |           - n_inter * 10000 // n_union) AS err_bp
-       |FROM s CROSS JOIN tr""".stripMargin
-  }
-
-  /** KMV set-algebra oracle: the kmvJaccard machinery (quadratic-mix
-    * bottom-k sketches, coordinated union merge) extended with the
-    * exact only-in-A/only-in-B sample fractions, the (k−1)·R/h_k union
-    * estimate, the derived intersection/difference estimates, and the
-    * four exact truths + error columns. */
-  private def kmvSetOpsOracle: String = {
-    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
-    import graft.ops.Sketches.{HllSeedBase, KmvK}
-    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
-    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-    val numer = (KmvK - 1).toDouble * (P1 * P2).toDouble
-    def bottomCtes(name: String, cond: String): String =
-      s"""d$name AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS k
-         |           FROM lineitem WHERE $cond),
-         | q$name AS (SELECT k, k % $P1 AS q1, k % $P2 AS q2 FROM d$name),
-         | h$name AS (SELECT k,
-         |        ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
-         |        + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS h
-         |        FROM q$name),
-         | b$name AS (SELECT k, h FROM h$name ORDER BY h, k LIMIT $KmvK)"""
-        .stripMargin
-    s"""WITH ${bottomCtes("a", "l_quantity <= 5")},
-       | ${bottomCtes("b", "l_quantity >= 45")},
-       | u AS (SELECT h, k, max(in_a) AS in_a, max(in_b) AS in_b FROM (
-       |     SELECT h, k, 1 AS in_a, 0 AS in_b FROM ba
-       |     UNION ALL SELECT h, k, 0 AS in_a, 1 AS in_b FROM bb)
-       |   GROUP BY 1, 2),
-       | bu AS (SELECT * FROM u ORDER BY h, k LIMIT $KmvK),
-       | s AS (SELECT count(*) AS k_used, max(h) AS kth_hash,
-       |              CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
-       |              CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_a_only,
-       |              CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_b_only
-       |       FROM bu),
-       | e AS (SELECT *,
-       |              CASE WHEN k_used < $KmvK THEN k_used
-       |                   ELSE CAST(round($numer / CAST(kth_hash AS DOUBLE))
-       |                             AS BIGINT) END AS est_union
-       |       FROM s),
-       | e2 AS (SELECT *,
-       |               est_union * n_both // k_used AS est_inter,
-       |               est_union * n_a_only // k_used AS est_diff_ab,
-       |               est_union * n_b_only // k_used AS est_diff_ba
-       |        FROM e),
-       | tr AS (SELECT count(*) AS true_union,
-       |               CAST(sum(ia * ib) AS BIGINT) AS true_inter,
-       |               CAST(sum(ia * (1 - ib)) AS BIGINT) AS true_a_only,
-       |               CAST(sum((1 - ia) * ib) AS BIGINT) AS true_b_only
-       |        FROM (SELECT l_partkey,
-       |                     max(CASE WHEN l_quantity <= 5 THEN 1
-       |                              ELSE 0 END) AS ia,
-       |                     max(CASE WHEN l_quantity >= 45 THEN 1
-       |                              ELSE 0 END) AS ib
-       |              FROM lineitem
-       |              WHERE l_quantity <= 5 OR l_quantity >= 45
-       |              GROUP BY 1))
-       |SELECT k_used, kth_hash, n_both, n_a_only, n_b_only,
-       |       est_union, est_inter, est_diff_ab, est_diff_ba,
-       |       true_union, true_inter, true_a_only, true_b_only,
-       |       abs(est_union - true_union) * 10000 // true_union
-       |         AS err_union_bp,
-       |       abs(est_diff_ab - true_a_only) * 10000 // true_a_only
-       |         AS err_diff_ab_bp
-       |FROM e2 CROSS JOIN tr""".stripMargin
-  }
-
-  /** AMS F₂ oracle: all 128 sign counters re-derived from the inlined
-    * affine coefficient formulas, the grouped floor-means, the dyadic
-    * ×2 median, and the exact truth. */
-  private def amsF2Oracle: String = amsOracleFor("lineitem", "l_orderkey")
-
-  /** Parameterized over (table, key) so the streaming parity twin
-    * (`stream_ams_parity`, events/user_id) shares the generator —
-    * streamed counters ≡ batch counters exactly, so one SQL derivation
-    * checks both. */
-  private def amsOracleFor(table: String, keyCol: String): String = {
-    import graft.functions.Portable.{P1, P2, AMul, BMul}
-    import graft.ops.Sketches.AmsSeedBase
-    s"""WITH k AS (SELECT CAST($keyCol AS BIGINT) AS k FROM $table),
-       | j AS (SELECT CAST(unnest(generate_series(0, 127)) AS BIGINT) AS j),
-       | c AS (SELECT j, j * 2 + $AmsSeedBase AS i FROM j),
-       | cf AS (SELECT j,
-       |               ((2 * i + 1) * $AMul) % $P1 AS a1,
-       |               ((i + 1) * $BMul) % $P1 AS b1,
-       |               ((2 * (i + 1) + 1) * $AMul) % $P1 AS a2,
-       |               ((i + 2) * $BMul) % $P1 AS b2
-       |        FROM c),
-       | e AS (SELECT cf.j,
-       |              1 - 2 * (((((k.k % $P1) * (k.k % $P1) % $P1) * cf.a1
-       |                         + (k.k % $P1) * cf.b1) % $P1 * $P2
-       |                        + (((k.k % $P2) * (k.k % $P2) % $P2) * cf.a2
-       |                           + (k.k % $P2) * cf.b2) % $P2) % 2) AS s
-       |       FROM k CROSS JOIN cf),
-       | x AS (SELECT j, CAST(sum(s) AS BIGINT) AS x FROM e GROUP BY 1),
-       | m AS (SELECT j % 8 AS g, sum(x * x) // 16 AS m FROM x GROUP BY 1),
-       | srt AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM m),
-       | med AS (SELECT CAST(sum(CASE WHEN rn IN (4, 5) THEN m END)
-       |                     AS BIGINT) AS f2_est2 FROM srt),
-       | tr AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_true,
-       |               CAST(sum(f) AS BIGINT) AS n_rows
-       |        FROM (SELECT count(*) AS f FROM $table
-       |              GROUP BY $keyCol))
-       |SELECT n_rows, f2_true, f2_est2,
-       |       abs(f2_est2 - 2 * f2_true) * 10000 // (2 * f2_true)
-       |         AS err_bp
-       |FROM med CROSS JOIN tr""".stripMargin
-  }
-
-  /** Histogram-quantile oracle: identical fixed-geometry binning,
-    * cumulative window and covering-bin selection — every number is an
-    * integer in both engines. */
-  private def histQuantilesOracle: String =
-    s"""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
-       |                    AS cents FROM lineitem),
-       | hb AS (SELECT least(4095, greatest(0, (cents - 0) // 4096))
-       |                 AS bucket,
-       |               count(*) AS cnt
-       |        FROM c GROUP BY 1),
-       | cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket)
-       |                             AS BIGINT) AS cum
-       |         FROM hb),
-       | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hb),
-       | qs AS (SELECT CAST(unnest([5000, 9000, 9900, 9990]) AS BIGINT)
-       |                 AS q_bp)
-       |SELECT q_bp, CAST(min(bucket) AS BIGINT) AS bucket,
-       |       CAST(0 + (min(bucket) + 1) * 4096 - 1 AS BIGINT) AS est_upper,
-       |       max(n_total) AS n_total
-       |FROM qs CROSS JOIN cum CROSS JOIN tot
-       |WHERE cum * 10000 >= q_bp * n_total
-       |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** CMS join-size oracle: both counter tables re-derived cell by cell
-    * (same rolling hash and affine row hashes as [[cmsOracle]]), then the
-    * per-row inner products and their min — and the exact join count as
-    * the truth column. */
-  private def joinSizeOracle: String = {
-    import graft.functions.Portable.{P1, aCoef, bCoef}
-    import graft.ops.Sketches.{CmsDepth, CmsSeedBase, CmsWidth}
-    val aCase = (0 until CmsDepth)
-      .map(r => s"WHEN $r THEN ${aCoef(CmsSeedBase + r)}").mkString(" ")
-    val bCase = (0 until CmsDepth)
-      .map(r => s"WHEN $r THEN ${bCoef(CmsSeedBase + r)}").mkString(" ")
-    val rows = (0 until CmsDepth).mkString(", ")
-    def bucket(h: String) =
-      s"((CASE rr.r $aCase END * $h + CASE rr.r $bCase END) % $P1) % $CmsWidth"
-    def hashOf(k: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |          list_transform(string_split_regex($k, ''),
-         |            c -> CAST(ascii(c) AS BIGINT))),
-         |          (a, x) -> (a * 31 + x) % $P1)""".stripMargin
-    s"""WITH ac AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
-       |            FROM events GROUP BY 1),
-       | bc AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS cnt
-       |        FROM orders GROUP BY 1),
-       | ah AS (SELECT ${hashOf("k")} AS h1, cnt FROM ac),
-       | bh AS (SELECT ${hashOf("k")} AS h1, cnt FROM bc),
-       | acell AS (SELECT rr.r AS r, ${bucket("ah.h1")} AS bucket, ah.cnt
-       |           FROM ah CROSS JOIN (SELECT unnest([$rows]) AS r) rr),
-       | acnt AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS ca
-       |          FROM acell GROUP BY 1, 2),
-       | bcell AS (SELECT rr.r AS r, ${bucket("bh.h1")} AS bucket, bh.cnt
-       |           FROM bh CROSS JOIN (SELECT unnest([$rows]) AS r) rr),
-       | bcnt AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS cb
-       |          FROM bcell GROUP BY 1, 2),
-       | dots AS (SELECT a.r, CAST(sum(a.ca * b.cb) AS BIGINT) AS dot
-       |          FROM acnt a JOIN bcnt b ON a.r = b.r AND a.bucket = b.bucket
-       |          GROUP BY 1),
-       | est AS (SELECT min(dot) AS join_size_est FROM dots),
-       | tru AS (SELECT count(*) AS true_size
-       |         FROM events e JOIN orders o ON e.user_id = o.o_custkey)
-       |SELECT join_size_est, true_size,
-       |       abs(join_size_est - true_size) * 10000 // true_size AS err_bp
-       |FROM est CROSS JOIN tru""".stripMargin
-  }
-
-  /** MAD oracle: DuckDB's quantile_cont against Spark's percentile —
-    * two independent exact interpolated-median implementations forced to
-    * agree exactly by the ×2/×4 integer scaling
-    * ([[graft.ops.Events.madOutliers]]). */
-  private def madOracle: String =
-    s"""WITH c AS (SELECT user_id,
-       |                  CAST(round(value * 100) AS BIGINT) AS c
-       |           FROM events),
-       | med AS (SELECT user_id,
-       |                CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS m2,
-       |                count(*) AS n_events
-       |         FROM c GROUP BY 1),
-       | dev AS (SELECT c.user_id, abs(2 * c.c - m.m2) AS d2, m.m2,
-       |                m.n_events
-       |         FROM c JOIN med m ON c.user_id = m.user_id),
-       | mad AS (SELECT user_id,
-       |                CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad4,
-       |                max(m2) AS m2, max(n_events) AS n_events
-       |         FROM dev GROUP BY 1)
-       |SELECT mad.user_id, max(mad.n_events) AS n_events,
-       |       max(mad.m2) AS med_cents2, max(mad.mad4) AS mad_cents4,
-       |       CAST(sum(CASE WHEN 2 * d.d2 > 5 * mad.mad4 THEN 1 ELSE 0 END)
-       |            AS BIGINT) AS n_outliers
-       |FROM mad JOIN (SELECT user_id, d2 FROM dev) d
-       |  ON mad.user_id = d.user_id
-       |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Sliding-HLL oracle: per-day registers (the grouped hll CTEs keyed
-    * by epoch day), the day×window range-join max-merge, and per-day
-    * summaries + exact trailing-window truth. */
-  private def hllSlidingOracle: String = {
-    import graft.functions.Portable.{P1, P2, aCoef, bCoef}
-    import graft.ops.Sketches.{HllC, HllM, HllSeedBase, HllVBits}
-    val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
-    val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-    val top = HllVBits + 1
-    s"""WITH e AS (SELECT event_id, epoch_us(ts) // 86400000000 AS day
-       |           FROM events),
-       | q AS (SELECT day, event_id % $P1 AS q1, event_id % $P2 AS q2
-       |       FROM e),
-       | h AS (SELECT day,
-       |              ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
-       |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS hv
-       |       FROM q),
-       | b AS (SELECT day, hv % $HllM AS bucket,
-       |              (hv // $HllM) % ${1L << HllVBits} AS v FROM h),
-       | r AS (SELECT day, bucket,
-       |              max(CASE WHEN v = 0 THEN $top
-       |                       ELSE $top - length(bin(v)) END) AS reg
-       |       FROM b GROUP BY 1, 2),
-       | days AS (SELECT DISTINCT day FROM r),
-       | mg AS (SELECT d.day AS day, r.bucket, max(r.reg) AS reg
-       |        FROM days d JOIN r ON r.day <= d.day AND r.day > d.day - 7
-       |        GROUP BY 1, 2),
-       | s AS (SELECT day, count(*) AS n_used,
-       |              sum(1::BIGINT << CAST($top - reg AS INT)) AS used_scaled
-       |       FROM mg GROUP BY 1),
-       | t AS (SELECT d.day AS day,
-       |              count(DISTINCT e2.event_id) AS true_distinct
-       |       FROM days d JOIN e e2
-       |         ON e2.day <= d.day AND e2.day > d.day - 7
-       |       GROUP BY 1),
-       | f AS (SELECT s.day, n_used, $HllM - n_used AS zeros,
-       |              CAST(used_scaled
-       |                   + ($HllM - n_used) * (1::BIGINT << $top) AS BIGINT)
-       |                AS sum_scaled,
-       |              true_distinct
-       |       FROM s JOIN t ON s.day = t.day)
-       |SELECT day, n_used, zeros, sum_scaled,
-       |       CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
-       |         AS est_distinct,
-       |       true_distinct,
-       |       abs(CAST(round($HllC / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
-       |           - true_distinct) * 10000 // true_distinct AS err_bp
-       |FROM f ORDER BY day""".stripMargin
-  }
-
-  /** Systematic PPS oracle: the same portable-affine-hash layout order
-    * and integer threshold-counting as [[graft.ops.Features.ppsSample]]
-    * (aCoef/bCoef(13) inlined), with the prefix sum as a plain window —
-    * floor division on all-positive operands, so `//` ≡ Spark's `div`. */
-  private def ppsOracle: String = {
-    import graft.functions.Portable.{P1, aCoef, bCoef}
-    s"""WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS wt,
-       |                  ((doc_id % $P1) * ${aCoef(13)} + ${bCoef(13)}) % $P1 AS ok
-       |           FROM documents),
-       | tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM w),
-       | c AS (SELECT doc_id, wt,
-       |              CAST(sum(wt) OVER (ORDER BY ok) AS BIGINT) AS cum
-       |       FROM w)
-       |SELECT doc_id, wt,
-       |       (cum * $PpsSampleK) // total - ((cum - wt) * $PpsSampleK) // total AS picks
-       |FROM c CROSS JOIN tot
-       |WHERE (cum * $PpsSampleK) // total - ((cum - wt) * $PpsSampleK) // total > 0
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** BFS oracle: the pagerank pair-graph CTEs + a recursive walk carrying
-    * (node, depth); UNION (distinct) bounds the walk at |V|·maxHops rows
-    * and min(d) recovers the hop distance. */
-  private def bfsOracle: String =
-    s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       | capped AS (SELECT l_orderkey, l_partkey FROM (
-       |     SELECT l_orderkey, l_partkey,
-       |            row_number() OVER (PARTITION BY l_orderkey
-       |                               ORDER BY l_partkey) AS rn
-       |     FROM li) WHERE rn <= $CopurchaseMaxBasket),
-       | pairs AS (SELECT a.l_partkey AS da, b.l_partkey AS db
-       |           FROM capped a JOIN capped b
-       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |           GROUP BY 1, 2 HAVING count(*) >= 2),
-       | sym AS (SELECT da AS src, db AS dst FROM pairs
-       |         UNION SELECT db, da FROM pairs),
-       | seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 101 = 0),
-       | walk(node, d) AS (
-       |   SELECT node, CAST(0 AS BIGINT) FROM seeds
-       |   UNION
-       |   SELECT s.dst, w.d + 1 FROM walk w JOIN sym s ON s.src = w.node
-       |   WHERE w.d < 4)
-       |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk
-       |GROUP BY 1 ORDER BY node""".stripMargin
-
-  /** Morton interleave as generated bit arithmetic — bit i of x at
-    * position 2i, bit i of y at 2i+1, matching ZOrder.mortonKey. */
-  private def zorderKeyOracle: String = {
-    val terms = (0 until 10).map(i =>
-      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
-      .mkString("\n                + ")
-    s"""WITH b AS (
-       |  SELECT o_orderkey,
-       |         o_custkey % 1024 AS x,
-       |         CAST(floor(o_totalprice) AS BIGINT) % 1024 AS y
-       |  FROM orders)
-       |SELECT o_orderkey,
-       |       CAST($terms AS BIGINT) AS z
-       |FROM b ORDER BY o_orderkey""".stripMargin
-  }
-
-  /** MinHash candidate recall vs exact n-gram Jaccard ≥ 0.5: the jaccard
-    * side reuses the shared `tok`/`shs` string-shingle CTEs (j-prefixed
-    * names avoid clashing with the minhash chain's `kept`). */
-  private def dedupRecallOracle: String =
-    s"""WITH ${minhashLshCtes()},
-       | jsh AS (SELECT DISTINCT doc_id, s FROM shs),
-       | jkept AS (SELECT doc_id, s FROM jsh
-       |           WHERE s IN (SELECT s FROM jsh GROUP BY s HAVING count(*) <= 100)),
-       | jn AS (SELECT doc_id, count(*) AS n_sh FROM jkept GROUP BY 1),
-       | jcom AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-       |          FROM jkept a JOIN jkept b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2),
-       | jpairs AS (SELECT da, db FROM jcom
-       |            JOIN jn na ON na.doc_id = da JOIN jn nb ON nb.doc_id = db
-       |            WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000),
-       | counts AS (
-       |   SELECT (SELECT count(*) FROM jpairs) AS n_exact,
-       |          (SELECT count(*) FROM mh_pairs) AS n_cand,
-       |          (SELECT count(*) FROM jpairs j JOIN mh_pairs m
-       |             ON j.da = m.da AND j.db = m.db) AS n_captured)
-       |SELECT n_exact, n_cand, n_captured,
-       |       CAST(floor(n_captured * 10000.0 / n_exact) AS BIGINT) AS recall_bp
-       |FROM counts""".stripMargin
-
-  /** The composed production pipeline: MinHash-LSH candidates → banded
-    * Levenshtein re-score (40-char prefixes, distance ≤ 12 — the same
-    * parameters as Dedup.levenshteinRescore's defaults) → connected
-    * components (recursive CTE) → per-doc keep verdict. */
-  private def dedupPipelineOracle: String =
-    s"""WITH RECURSIVE ${minhashLshCtes()},
-       | resc AS (
-       |   SELECT p.da, p.db
-       |   FROM mh_pairs p
-       |   JOIN documents ta ON ta.doc_id = p.da
-       |   JOIN documents tb ON tb.doc_id = p.db
-       |   WHERE levenshtein(substr(ta.text, 1, 40), substr(tb.text, 1, 40)) <= 12),
-       | sym AS (SELECT da AS src, db AS dst FROM resc
-       |         UNION ALL SELECT db, da FROM resc),
-       | reach AS (
-       |   SELECT src AS a, src AS b FROM sym
-       |   UNION
-       |   SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
-       | clusters AS (SELECT a AS doc_id, min(b) AS cluster_id
-       |              FROM reach GROUP BY 1)
-       |SELECT d.doc_id,
-       |       coalesce(c.cluster_id, d.doc_id) AS keep_id,
-       |       CAST(coalesce(c.cluster_id, d.doc_id) = d.doc_id AS BIGINT) AS keep
-       |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
-
-  /** The pretraining curation pipeline composed in SQL: quality rules →
-    * md5-canonical exact dedup → the [[minhashLshCtes]] chain over the
-    * deduped set (base = `ek`) → Levenshtein rescore → recursive-CTE
-    * clusters → survivor token accounting (prefix-sum packing + shard
-    * cuts). Every fragment is an already-green oracle, re-based. */
-  private def pretrainPipelineOracle: String =
-    s"""WITH RECURSIVE qd AS MATERIALIZED (
-       |  SELECT doc_id, text, source FROM (
-       |    SELECT doc_id, text, source,
-       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |      CAST(list_sum(list_transform(string_split(text, ' '),
-       |           t -> length(t))) AS BIGINT) AS sum_tok_len,
-       |      CAST(len(list_filter(string_split(text, ' '),
-       |           t -> t IN ('the','a','of','and','to','in'))) AS BIGINT)
-       |        AS n_stopwords,
-       |      CAST(floor(len(list_distinct(string_split(text, ' ')))
-       |           * 10000.0 / len(string_split(text, ' '))) AS BIGINT)
-       |        AS uniq_ratio_bp
-       |    FROM documents)
-       |  WHERE n_tokens BETWEEN 5 AND 5000
-       |    AND sum_tok_len BETWEEN n_tokens * 3 AND n_tokens * 10
-       |    AND n_stopwords >= 2 AND uniq_ratio_bp >= 3000),
-       | canon AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
-       | ek AS MATERIALIZED (
-       |   SELECT q.doc_id, q.text, q.source FROM qd q JOIN canon USING (doc_id)),
-       | ${minhashLshCtes("ek")},
-       | resc AS (
-       |   SELECT p.da, p.db FROM mh_pairs p
-       |   JOIN ek ta ON ta.doc_id = p.da
-       |   JOIN ek tb ON tb.doc_id = p.db
-       |   WHERE levenshtein(substr(ta.text, 1, 40), substr(tb.text, 1, 40)) <= 12),
-       | symp AS (SELECT da AS src, db AS dst FROM resc
-       |          UNION ALL SELECT db, da FROM resc),
-       | reachp AS (
-       |   SELECT src AS a, src AS b FROM symp
-       |   UNION
-       |   SELECT r.a, s.dst FROM reachp r JOIN symp s ON r.b = s.src),
-       | clu AS (SELECT a AS doc_id, min(b) AS cluster_id
-       |         FROM reachp GROUP BY 1),
-       | fdocs AS MATERIALIZED (
-       |   SELECT e.doc_id, e.text FROM ek e
-       |   LEFT JOIN clu c ON c.doc_id = e.doc_id
-       |   WHERE coalesce(c.cluster_id, e.doc_id) = e.doc_id),
-       | pk AS (SELECT doc_id,
-       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |        FROM fdocs),
-       | cc AS MATERIALIZED (
-       |   SELECT *,
-       |     CAST(sum(n_tokens) OVER (ORDER BY doc_id
-       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-       |       AS cum,
-       |     CAST(sum(n_tokens) OVER () AS BIGINT) AS total
-       |   FROM pk),
-       | packrep AS (
-       |   SELECT count(*) AS n_final, max(total) AS total_tokens,
-       |          max((cum - 1) // 256) + 1 AS n_sequences
-       |   FROM cc),
-       | packrep2 AS (
-       |   SELECT n_final, total_tokens, n_sequences,
-       |          CAST(floor((n_sequences * 256 - total_tokens) * 10000.0
-       |               / (n_sequences * 256)) AS BIGINT) AS pack_waste_bp
-       |   FROM packrep),
-       | shardrep AS (
-       |   SELECT max(share_bp) AS max_shard_share_bp FROM (
-       |     SELECT CAST(sum(n_tokens) AS BIGINT) * 10000 // max(total)
-       |              AS share_bp
-       |     FROM (SELECT *, least(7, (cum - n_tokens) * 8 // total) AS shard
-       |           FROM cc)
-       |     GROUP BY shard)),
-       | stats AS (
-       |   SELECT (SELECT count(*) FROM documents) AS n_raw,
-       |          (SELECT count(*) FROM qd) AS n_quality,
-       |          (SELECT count(*) FROM ek) AS n_exact_kept)
-       |SELECT n_raw, n_quality, n_exact_kept, n_final, total_tokens,
-       |       n_sequences, pack_waste_bp, max_shard_share_bp
-       |FROM stats, packrep2, shardrep""".stripMargin
-
-  /** BPE training unrolled: round i's pair counts come from round i−1's
-    * representation; the argmax is a 1-row CTE consumed both by the
-    * merge table and (as scalar subqueries) by round i's rewrite —
-    * exactly TextAnalysis.bpeTrain's loop with `replace` doing the
-    * greedy left-to-right non-overlapping merge in both engines. */
-  /** CTE chain shared by the bpe_train / bpe_encode oracles: char reps
-    * of every token occurrence (r0), then per round i the pair counts
-    * (p_i), the argmax merge (m_i), and the rewritten reps (r_i). */
-  private def bpeRoundsCtes(merges: Int): String = {
-    val rounds = (1 to merges).map { i =>
-      s"""p$i AS (SELECT s[i] || ' ' || s[i+1] AS pair, count(*) AS n
-         |        FROM (SELECT string_split(rep, ' ') AS s FROM r${i - 1}),
-         |        LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) g
-         |        WHERE len(s) >= 2 GROUP BY 1),
-         | m$i AS (SELECT $i AS round, pair, n FROM p$i
-         |         ORDER BY n DESC, pair LIMIT 1),
-         | r$i AS (SELECT replace(rep, (SELECT pair FROM m$i),
-         |                (SELECT replace(pair, ' ', '') FROM m$i)) AS rep
-         |         FROM r${i - 1})""".stripMargin
-    }.mkString(",\n ")
-    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS tok
-       |             FROM documents),
-       | r0 AS (SELECT array_to_string(string_split_regex(tok, ''), ' ') AS rep
-       |        FROM tok WHERE tok <> ''),
-       | $rounds""".stripMargin
-  }
-
-  private def bpeTrainOracle(merges: Int): String = {
-    val union = (1 to merges)
-      .map(i => s"SELECT * FROM m$i").mkString("\n           UNION ALL ")
-    s"""WITH ${bpeRoundsCtes(merges)}
-       |SELECT CAST(round AS BIGINT) AS round, pair, CAST(n AS BIGINT) AS n
-       |FROM ($union) ORDER BY round""".stripMargin
-  }
-
-  /** Merges derived by the training CTEs, then applied to every token
-    * occurrence (with doc_id retained) as the same chained greedy
-    * replaces the Spark side folds into one projection. */
-  private def bpeEncodeOracle(merges: Int): String = {
-    val rep = (1 to merges).foldLeft("rep")((c, i) =>
-      s"replace($c, (SELECT pair FROM m$i), (SELECT replace(pair, ' ', '') FROM m$i))")
-    s"""WITH ${bpeRoundsCtes(merges)},
-       | dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |          FROM documents),
-       | drep AS (SELECT doc_id, len(tok) AS n_c,
-       |                 array_to_string(string_split_regex(tok, ''), ' ') AS rep
-       |          FROM dtok WHERE tok <> ''),
-       | enc AS (SELECT doc_id, n_c, len(string_split($rep, ' ')) AS n_s
-       |         FROM drep),
-       | agg AS (SELECT doc_id, count(*) AS n_words, sum(n_c) AS n_chars,
-       |                sum(n_s) AS n_tokens
-       |         FROM enc GROUP BY 1)
-       |SELECT d.doc_id,
-       |       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
-       |       CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
-       |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
-       |       CAST(CASE WHEN coalesce(a.n_chars, 0) = 0 THEN 0
-       |                 ELSE (a.n_tokens * 10000) // a.n_chars END AS BIGINT)
-       |         AS compression_bp
-       |FROM documents d LEFT JOIN agg a USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
-  }
-
-  /** Fertility oracle: the [[bpeEncodeOracle]] per-doc encoding CTEs
-    * rolled up per source in milli-units. */
-  private def bpeFertilityOracle(merges: Int): String = {
-    val rep = (1 to merges).foldLeft("rep")((c, i) =>
-      s"replace($c, (SELECT pair FROM m$i), (SELECT replace(pair, ' ', '') FROM m$i))")
-    s"""WITH ${bpeRoundsCtes(merges)},
-       | dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |          FROM documents),
-       | drep AS (SELECT doc_id, len(tok) AS n_c,
-       |                 array_to_string(string_split_regex(tok, ''), ' ') AS rep
-       |          FROM dtok WHERE tok <> ''),
-       | enc AS (SELECT doc_id, n_c, len(string_split($rep, ' ')) AS n_s
-       |         FROM drep),
-       | agg AS (SELECT doc_id, count(*) AS n_words, sum(n_c) AS n_chars,
-       |                sum(n_s) AS n_tokens
-       |         FROM enc GROUP BY 1),
-       | per AS (SELECT d.doc_id, d.source,
-       |                coalesce(a.n_words, 0) AS n_words,
-       |                coalesce(a.n_chars, 0) AS n_chars,
-       |                coalesce(a.n_tokens, 0) AS n_tokens
-       |         FROM documents d LEFT JOIN agg a USING (doc_id))
-       |SELECT source, count(*) AS n_docs,
-       |       CAST(sum(n_words) AS BIGINT) AS n_words,
-       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
-       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       |       CAST(CASE WHEN sum(n_words) = 0 THEN 0
-       |                 ELSE sum(n_tokens) * 1000 // sum(n_words) END
-       |            AS BIGINT) AS fertility_milli,
-       |       CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
-       |                 ELSE sum(n_chars) * 1000 // sum(n_tokens) END
-       |            AS BIGINT) AS chars_per_token_milli
-       |FROM per GROUP BY 1 ORDER BY source""".stripMargin
-  }
-
-  /** The dedup-pipeline cluster ids fed through the portable hash split
-    * keyed on cluster_id — same CTE chain as [[dedupPipelineOracle]],
-    * same affine-hash arithmetic as the fp_hash_split oracle. */
-  private def leakageSplitOracle: String = {
-    import Portable.{P1, aCoef, bCoef}
-    s"""WITH RECURSIVE ${minhashLshCtes()},
-       | resc AS (
-       |   SELECT p.da, p.db
-       |   FROM mh_pairs p
-       |   JOIN documents ta ON ta.doc_id = p.da
-       |   JOIN documents tb ON tb.doc_id = p.db
-       |   WHERE levenshtein(substr(ta.text, 1, 40), substr(tb.text, 1, 40)) <= 12),
-       | sym AS (SELECT da AS src, db AS dst FROM resc
-       |         UNION ALL SELECT db, da FROM resc),
-       | reach AS (
-       |   SELECT src AS a, src AS b FROM sym
-       |   UNION
-       |   SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
-       | clusters AS (SELECT a AS doc_id, min(b) AS cluster_id
-       |              FROM reach GROUP BY 1),
-       | withc AS (SELECT d.doc_id,
-       |                  coalesce(c.cluster_id, d.doc_id) AS cluster_id
-       |           FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
-       |SELECT doc_id, cluster_id,
-       |       CASE WHEN ((cluster_id % $P1) * ${aCoef(7)} + ${bCoef(7)}) % $P1
-       |                 < ${P1 / 10000L * 2000L}
-       |            THEN 'test' ELSE 'train' END AS split
-       |FROM withc ORDER BY doc_id""".stripMargin
-  }
-
-  /** CTE chain ending in `sblocked(doc_id, simhash, chunk_idx, chunk)` —
-    * CTE names are disjoint from [[minhashLshCtes]]'s so the two chains
-    * can share one WITH clause (capStatsOracle does). */
-  private def simhashCtes: String = {
-    import Portable._
-    val voteAggs = (0 until PortableKernels.SimHashBits).map(j =>
-      s"sum(CASE WHEN ((${aCoef(j)} * h1 + ${bCoef(j)} * h2 + $j) % $P1) % 2 = 1 THEN 1 ELSE -1 END) AS v$j"
-    ).mkString(",\n           ")
-    val bits = (0 until PortableKernels.SimHashBits)
-      .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString("\n           + ")
-    val chunkSelects = (0 until 4).map(c =>
-      s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash >> ${15 * c}) & 32767 AS chunk FROM sh60"
-    ).mkString("\n           UNION ALL ")
-    s"""stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-       |             FROM documents WHERE text IS NOT NULL),
-       |  th AS (SELECT doc_id,
-       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |            list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |            (a, x) -> (a * $B1 + x) % $P1) AS h1,
-       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |            list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |            (a, x) -> (a * $B2 + x) % $P2) AS h2
-       |         FROM stok),
-       |  votes AS (SELECT doc_id,
-       |           $voteAggs
-       |          FROM th GROUP BY doc_id),
-       |  sh60 AS (SELECT doc_id,
-       |           $bits AS simhash
-       |         FROM votes),
-       |  sblocked AS ($chunkSelects)""".stripMargin
-  }
-
-  private def simhashOracle: String =
-    s"""WITH $simhashCtes,
-       |  keptc AS (SELECT * FROM sblocked b
-       |            WHERE NOT EXISTS (
-       |              SELECT 1 FROM sblocked g
-       |              WHERE g.chunk_idx = b.chunk_idx AND g.chunk = b.chunk
-       |              GROUP BY g.chunk_idx, g.chunk HAVING count(*) > 100))
-       |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM keptc a JOIN keptc b
-       |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-       |ORDER BY da, db""".stripMargin
-
-  /** Cap observability twin of Dedup.capStats: hot-key counts + dropped
-    * row volumes per bounded-candidate stage, over the same portable
-    * chains as the operator oracles (unreferenced CTEs in the shared
-    * WITH clause are pruned by the planner). */
-  private def capStatsOracle: String =
-    s"""WITH ${minhashLshCtes()},
-       | $simhashCtes,
-       | sdf AS (SELECT hh, count(*) AS df FROM h
-       |         GROUP BY hh HAVING count(*) > 100),
-       | s_shingle AS (
-       |   SELECT 'shingle_df' AS stage, count(*) AS n_hot_keys,
-       |          coalesce(sum(df), 0) AS n_dropped_rows FROM sdf),
-       | bhot AS (SELECT band_idx, band_hash, count(*) AS bs FROM banded
-       |          GROUP BY 1, 2 HAVING count(*) > 50),
-       | s_band AS (
-       |   SELECT 'minhash_band' AS stage, count(*) AS n_hot_keys,
-       |          coalesce(sum(bs), 0) AS n_dropped_rows FROM bhot),
-       | chot AS (SELECT chunk_idx, chunk, count(*) AS cs FROM sblocked
-       |          GROUP BY 1, 2 HAVING count(*) > 100),
-       | s_chunk AS (
-       |   SELECT 'simhash_chunk' AS stage, count(*) AS n_hot_keys,
-       |          coalesce(sum(cs), 0) AS n_dropped_rows FROM chot),
-       | ehot AS (SELECT lang, n_chars // 16 AS lb, count(*) AS es
-       |          FROM documents GROUP BY 1, 2 HAVING count(*) > 100),
-       | s_edit AS (
-       |   SELECT 'edit_block' AS stage, count(*) AS n_hot_keys,
-       |          coalesce(sum(es), 0) AS n_dropped_rows FROM ehot)
-       |SELECT stage, n_hot_keys, CAST(n_dropped_rows AS BIGINT) AS n_dropped_rows
-       |FROM (SELECT * FROM s_shingle UNION ALL SELECT * FROM s_band
-       |      UNION ALL SELECT * FROM s_chunk UNION ALL SELECT * FROM s_edit)
-       |ORDER BY stage""".stripMargin
-
-  /** DuckDB twin of Similarity.lshNearDup's portable sign-LSH (kernel
-    * [[graft.functions.SignLshKeys]]): integer quantization + integer
-    * hyperplane dots + r-bit band keys (constants shared with the kernel), bucket cap, exact cosine
-    * re-score. All bucketing arithmetic is integer-exact; only the final
-    * re-score uses floats, with the same sequential-dot parity as
-    * sim_neardup_cosine. */
-  /** CTE chain ending in `lsh_pairs(va, vb, cosine)` — shared by the
-    * sign-LSH pair oracle and the embedding-cluster oracle. */
-  /** Shared key-generation chain (q/e/bits/keys/keptk/base) for every
-    * sign-LSH oracle: portable hyperplane bits → per-band keys → the
-    * corpus-side hot-bucket cap → the double-cosine base table. */
-  private def signLshKeysCtes: String = {
-    import Portable.{P1, AMul, BMul}
-    import graft.functions.SignLshKernels.Center
-    import graft.ops.Similarity.{LshBands, LshBitsPerBand, LshMaxBucket}
-    val nBits = LshBitsPerBand * LshBands
-    s"""q AS (
-       |   SELECT vec_id,
-       |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
-       |   FROM embeddings),
-       | e AS (SELECT vec_id, k, qv[CAST(k AS INT)] AS qk
-       |       FROM q, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS k) r),
-       | bits AS (
-       |   SELECT vec_id, i,
-       |          CASE WHEN sum(qk * ((((2*i+1) * $AMul) % $P1 * k
-       |                               + ((i+1) * $BMul) % $P1) % $P1
-       |                              - $Center)) > 0
-       |               THEN 1 ELSE 0 END AS bit
-       |   FROM e, LATERAL (SELECT unnest(range(0, $nBits)) AS i) ii
-       |   GROUP BY vec_id, i),
-       | keys AS MATERIALIZED (
-       |   SELECT vec_id, i // $LshBitsPerBand AS band,
-       |          CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(i % $LshBitsPerBand AS INT))) AS BIGINT) AS bkey
-       |   FROM bits GROUP BY vec_id, i // $LshBitsPerBand),
-       | keptk AS MATERIALIZED (
-       |   SELECT * FROM keys k
-       |   WHERE NOT EXISTS (
-       |     SELECT 1 FROM keys g
-       |     WHERE g.band = k.band AND g.bkey = k.bkey
-       |     GROUP BY g.band, g.bkey HAVING count(*) > $LshMaxBucket)),
-       | base AS MATERIALIZED (
-       |   SELECT vec_id, embedding::DOUBLE[] AS v,
-       |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |   FROM embeddings)""".stripMargin
-  }
-
-  private def signLshPairsCtes: String =
-    s"""$signLshKeysCtes,
-       | cand AS (
-       |   SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |   FROM keptk a JOIN keptk b
-       |     ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-       | lsh_pairs AS (
-       |   SELECT va, vb, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-       |   FROM cand JOIN base a ON a.vec_id = va JOIN base b ON b.vec_id = vb
-       |   WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)""".stripMargin
-
-  /** Multi-probe sign-LSH top-k: each query probes its own key plus the
-    * `bitsPerBand` Hamming-1 perturbations per band; candidates re-rank
-    * by exact cosine. Same key chain as the pair oracle — the approx
-    * path is fully deterministic, so the WHOLE retrieval is hashed. */
-  private def lshMultiProbeOracle(nq: Int, k: Int): String = {
-    import graft.ops.Similarity.LshBitsPerBand
-    s"""WITH $signLshKeysCtes,
-       | pk AS (
-       |   SELECT vec_id, band,
-       |          list_append(list_transform(range(0, $LshBitsPerBand),
-       |            i -> xor(bkey, 1 << i)), bkey) AS pkeys
-       |   FROM keys WHERE vec_id < $nq),
-       | probes AS (
-       |   SELECT vec_id AS q_id, band, pkey
-       |   FROM pk, LATERAL (SELECT unnest(pkeys) AS pkey) pp),
-       | mcand AS (
-       |   SELECT DISTINCT p.q_id, c.vec_id
-       |   FROM probes p JOIN keptk c
-       |     ON c.band = p.band AND c.bkey = p.pkey
-       |   WHERE c.vec_id <> p.q_id),
-       | mscored AS (
-       |   SELECT m.q_id, m.vec_id,
-       |          list_dot_product(b.v, qb.v) / (b.nrm * qb.nrm) AS cosine
-       |   FROM mcand m JOIN base b ON b.vec_id = m.vec_id
-       |               JOIN base qb ON qb.vec_id = m.q_id)
-       |SELECT q_id, rnk, vec_id, cosine FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id
-       |           ORDER BY cosine DESC, vec_id) AS rnk
-       |  FROM mscored) WHERE rnk <= $k
-       |ORDER BY q_id, rnk""".stripMargin
-  }
-
-  /** Single- vs multi-probe recall@k against the exact top-k, all three
-    * sides deterministic — the probe-expansion payoff as an ORACLE'D
-    * number, not a floored estimate. */
-  private def lshProbeRecallOracle(nq: Int, k: Int): String = {
-    import graft.ops.Similarity.LshBitsPerBand
-    def topk(cand: String) =
-      s"""SELECT q_id, vec_id FROM (
-         |     SELECT s.q_id, s.vec_id, row_number() OVER (
-         |              PARTITION BY s.q_id
-         |              ORDER BY list_dot_product(b.v, qb.v) / (b.nrm * qb.nrm)
-         |                DESC, s.vec_id) AS rnk
-         |     FROM $cand s JOIN base b ON b.vec_id = s.vec_id
-         |                 JOIN base qb ON qb.vec_id = s.q_id)
-         |   WHERE rnk <= $k""".stripMargin
-    s"""WITH $signLshKeysCtes,
-       | ex AS (
-       |   SELECT q_id, vec_id FROM (
-       |     SELECT q.vec_id AS q_id, b.vec_id, row_number() OVER (
-       |              PARTITION BY q.vec_id
-       |              ORDER BY list_dot_product(b.v, q.v) / (b.nrm * q.nrm)
-       |                DESC, b.vec_id) AS rnk
-       |     FROM base b JOIN base q
-       |       ON q.vec_id < $nq AND b.vec_id <> q.vec_id)
-       |   WHERE rnk <= $k),
-       | scand AS (
-       |   SELECT DISTINCT a.vec_id AS q_id, c.vec_id
-       |   FROM keptk a JOIN keptk c
-       |     ON c.band = a.band AND c.bkey = a.bkey
-       |   WHERE a.vec_id < $nq AND c.vec_id <> a.vec_id),
-       | stop AS (
-       |   ${topk("scand")}),
-       | pk AS (
-       |   SELECT vec_id, band,
-       |          list_append(list_transform(range(0, $LshBitsPerBand),
-       |            i -> xor(bkey, 1 << i)), bkey) AS pkeys
-       |   FROM keys WHERE vec_id < $nq),
-       | probes AS (
-       |   SELECT vec_id AS q_id, band, pkey
-       |   FROM pk, LATERAL (SELECT unnest(pkeys) AS pkey) pp),
-       | mcand AS (
-       |   SELECT DISTINCT p.q_id, c.vec_id
-       |   FROM probes p JOIN keptk c
-       |     ON c.band = p.band AND c.bkey = p.pkey
-       |   WHERE c.vec_id <> p.q_id),
-       | mtop AS (
-       |   ${topk("mcand")}),
-       | counts AS (
-       |   SELECT (SELECT count(*) FROM ex) AS n_exact,
-       |          (SELECT count(*) FROM ex e JOIN stop s
-       |             ON s.q_id = e.q_id AND s.vec_id = e.vec_id) AS n_single,
-       |          (SELECT count(*) FROM ex e JOIN mtop m
-       |             ON m.q_id = e.q_id AND m.vec_id = e.vec_id) AS n_multi)
-       |SELECT n_exact, n_single, n_multi,
-       |       n_single * 10000 // n_exact AS recall_single_bp,
-       |       n_multi * 10000 // n_exact AS recall_multi_bp
-       |FROM counts""".stripMargin
-  }
-
-  private def signLshOracle: String =
-    s"""WITH $signLshPairsCtes
-       |SELECT va, vb, cosine FROM lsh_pairs ORDER BY va, vb""".stripMargin
-
-  /** Recall report of the sign-LSH pairs vs the exact all-pairs answer —
-    * both sides deterministic, so the counts (and floor-bp recall) are
-    * exact. `base` comes from the shared sign-LSH CTE chain. */
-  /** Anchored exact-pair CTEs (over an existing `base(vec_id, v, nrm)`
-    * CTE): `keepbp` replicates [[graft.ops.Similarity.anchorKeepBp]]
-    * (cap 100), `anc` the coefficient-29 portable-hash anchor draw,
-    * `anchored` the normalized (va < vb) exact pairs with ≥ 1 anchor
-    * endpoint at cosine ≥ 0.4 — the sampled gold set shared by
-    * sim_neardup_cosine and ann_recall. */
-  private def anchoredPairsCtes: String = {
-    import Portable.{P1, aCoef, bCoef}
-    s"""keepbp AS (
-       |   SELECT LEAST(10000, 100 * 10000 // count(*) + 1) AS kb
-       |   FROM embeddings),
-       | anc AS MATERIALIZED (
-       |   SELECT b.* FROM base b, keepbp
-       |   WHERE ((b.vec_id % $P1) * ${aCoef(29)} + ${bCoef(29)})
-       |         % $P1 % 10000 < kb),
-       | anchored AS MATERIALIZED (
-       |   SELECT DISTINCT least(c.vec_id, a.vec_id) AS va,
-       |          greatest(c.vec_id, a.vec_id) AS vb,
-       |          list_dot_product(c.v, a.v) / (c.nrm * a.nrm) AS cosine
-       |   FROM base c JOIN anc a ON c.vec_id <> a.vec_id
-       |   WHERE list_dot_product(c.v, a.v) / (c.nrm * a.nrm) >= 0.4)"""
-      .stripMargin
-  }
-
-  private def annRecallOracle: String = {
-    import Portable.{P1, aCoef, bCoef}
-    s"""WITH $signLshPairsCtes,
-       | $anchoredPairsCtes,
-       | lshanc AS (
-       |   SELECT l.va, l.vb FROM lsh_pairs l, keepbp
-       |   WHERE ((l.va % $P1) * ${aCoef(29)} + ${bCoef(29)})
-       |         % $P1 % 10000 < kb
-       |      OR ((l.vb % $P1) * ${aCoef(29)} + ${bCoef(29)})
-       |         % $P1 % 10000 < kb),
-       | counts AS (
-       |   SELECT (SELECT count(*) FROM anchored) AS n_exact,
-       |          (SELECT count(*) FROM lshanc) AS n_lsh,
-       |          (SELECT count(*) FROM anchored t JOIN lshanc l
-       |             ON t.va = l.va AND t.vb = l.vb) AS n_captured)
-       |SELECT n_exact, n_lsh, n_captured,
-       |       CAST(floor(n_captured * 10000.0 / n_exact) AS BIGINT) AS recall_bp
-       |FROM counts""".stripMargin
-  }
-
-  // ===== integer-Lloyd ANN oracles (round 10) ==========================
-  // SQL twins of Similarity.fitOnSample/PqEncodeLong-encode/ivfParts/
-  // pqTopK/ivfPqProbe: the PQ codebooks and the IVF coarse quantizer
-  // are pinned integer-Lloyd fits, so the FULL approximate retrieval —
-  // sample, seed, assign, floor-mean update, encode, ADC, shortlist,
-  // exact re-rank — replays in DuckDB and the sim_pq_topk/
-  // sim_ivfpq_topk/ann_index_probe/ann_recall_{pq,ivf,ivfpq} family is
-  // hash-checked (rows-only through round 9 behind ml.KMeans floats).
-  // Distances use the exact identity ‖q−c‖² = ‖q‖² − 2·q·c + ‖c‖² over
-  // floor(x·1024) BIGINT quantization; every product stays far inside
-  // both signed-64 and DOUBLE's 2^53 exact-integer range, so mixed
-  // BIGINT/DOUBLE comparisons order identically in both engines.
-
-  /** The coefficient-19 fit-sample predicate (Similarity.fitSample's
-    * SQL twin; `kb` comes from the keepbp CTE). */
-  private def fitKeepSql(idCol: String): String = {
-    import Portable.{P1, aCoef, bCoef}
-    s"(($idCol % $P1) * ${aCoef(19)} + ${bCoef(19)}) % $P1 % 10000 < kb"
-  }
-
-  /** Shared ANN-oracle base: `qn` (quantized corpus + ‖q‖²), `keepbp`
-    * (fit-sample keep rate at `cap`), `base` (DOUBLE vectors + norms
-    * for exact re-ranks and truth sets). */
-  private def intAnnBaseCtes(cap: Int): String =
-    s"""qn AS MATERIALIZED (
-       |   SELECT vec_id, qv, list_dot_product(qv, qv) AS qq FROM (
-       |     SELECT vec_id,
-       |            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
-       |     FROM embeddings)),
-       | keepbp AS (SELECT LEAST(10000, $cap * 10000 // count(*) + 1) AS kb
-       |   FROM embeddings),
-       | base AS MATERIALIZED (
-       |   SELECT vec_id, embedding::DOUBLE[] AS v,
-       |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |   FROM embeddings)""".stripMargin
-
-  /** Unrolled integer-Lloyd chain over a sampled subspace CTE `src`
-    * (vec_id, s, ql, sqq) and its exploded elements `srcEl` (vec_id, s,
-    * d, qk): seeds = the `cb` lowest sampled vec_ids (LIMIT semantics —
-    * a smaller sample seeds fewer codewords, as in Scala), then
-    * `rounds` assign/floor-mean-update rounds with empty codes keeping
-    * their centroid. Final codebook CTE: `${p}c$rounds` (s, code, cl,
-    * cc). The round CTEs are MATERIALIZED (multi-referenced aggregates
-    * — the DuckDB CTE-inlining trap). */
-  private def lloydCtes(p: String, src: String, srcEl: String, cb: Int,
-      rounds: Int): String = {
-    val roundsSql = (1 to rounds).map { r =>
-      s"""${p}a$r AS MATERIALIZED (
-         |   SELECT vec_id, s, code FROM (
-         |     SELECT f.vec_id, f.s, c.code,
-         |            row_number() OVER (PARTITION BY f.vec_id, f.s
-         |              ORDER BY f.sqq - 2*list_dot_product(f.ql, c.cl) + c.cc,
-         |                       c.code) AS rn
-         |     FROM $src f JOIN ${p}c${r - 1} c ON c.s = f.s) WHERE rn = 1),
-         | ${p}u$r AS (
-         |   SELECT a.s, a.code, e.d,
-         |          CAST((sum(e.qk) - ((sum(e.qk) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS c
-         |   FROM ${p}a$r a JOIN $srcEl e
-         |     ON e.vec_id = a.vec_id AND e.s = a.s
-         |   GROUP BY 1, 2, 3),
-         | ${p}ul$r AS (SELECT s, code, list(c ORDER BY d) AS cl
-         |   FROM ${p}u$r GROUP BY 1, 2),
-         | ${p}c$r AS MATERIALIZED (
-         |   SELECT pv.s, pv.code, COALESCE(u.cl, pv.cl) AS cl,
-         |          COALESCE(list_dot_product(u.cl, u.cl), pv.cc) AS cc
-         |   FROM ${p}c${r - 1} pv LEFT JOIN ${p}ul$r u
-         |     ON u.s = pv.s AND u.code = pv.code)""".stripMargin
-    }.mkString(",\n ")
-    s"""${p}seed AS (
-       |   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
-       |   FROM (SELECT DISTINCT vec_id FROM $src) ORDER BY vec_id LIMIT $cb),
-       | ${p}c0 AS MATERIALIZED (SELECT f.s, i.code, f.ql AS cl, f.sqq AS cc
-       |   FROM ${p}seed i JOIN $src f ON f.vec_id = i.vec_id),
-       | $roundsSql""".stripMargin
-  }
-
-  /** PQ chain: subspace split, sampled fit, codebooks, full-corpus
-    * encode, and the nq-query integer ADC LUT. */
-  private def pqChainCtes(m: Int, cb: Int, rounds: Int, subDim: Int,
-      nq: Int): String =
-    s"""sub AS MATERIALIZED (
-       |   SELECT vec_id, s, ql, list_dot_product(ql, ql) AS sqq FROM (
-       |     SELECT vec_id, s,
-       |            qv[CAST(s*$subDim+1 AS INT):CAST(s*$subDim+$subDim AS INT)] AS ql
-       |     FROM qn, LATERAL (SELECT unnest(range(0, $m)) AS s) r)),
-       | fsub AS MATERIALIZED (SELECT f.* FROM sub f, keepbp
-       |   WHERE ${fitKeepSql("f.vec_id")}),
-       | fse AS MATERIALIZED (
-       |   SELECT vec_id, s, d - 1 AS d, ql[CAST(d AS INT)] AS qk
-       |   FROM fsub, LATERAL (SELECT unnest(range(1, $subDim + 1)) AS d) r),
-       | ${lloydCtes("pq", "fsub", "fse", cb, rounds)},
-       | enc AS MATERIALIZED (
-       |   SELECT vec_id, s, code FROM (
-       |     SELECT b.vec_id, b.s, c.code,
-       |            row_number() OVER (PARTITION BY b.vec_id, b.s
-       |              ORDER BY b.sqq - 2*list_dot_product(b.ql, c.cl) + c.cc,
-       |                       c.code) AS rn
-       |     FROM sub b JOIN pqc$rounds c ON c.s = b.s) WHERE rn = 1),
-       | lut AS MATERIALIZED (
-       |   SELECT q.vec_id AS q_id, c.s, c.code,
-       |          CAST(list_dot_product(q.ql, c.cl) AS BIGINT) AS lv
-       |   FROM sub q JOIN pqc$rounds c ON c.s = q.s
-       |   WHERE q.vec_id < $nq)""".stripMargin
-
-  /** IVF coarse chain: one-subspace Lloyd fit (the coarse quantizer IS
-    * a m=1 codebook), full-corpus list assignment, nProbe probe ranking
-    * for the nq queries — exact integer L2, ties cluster asc. */
-  private def ivfChainCtes(nc: Int, rounds: Int, np: Int,
-      nq: Int): String =
-    s"""fq AS MATERIALIZED (
-       |   SELECT vec_id, 0 AS s, qv AS ql, qq AS sqq FROM qn, keepbp
-       |   WHERE ${fitKeepSql("vec_id")}),
-       | fqe AS MATERIALIZED (
-       |   SELECT vec_id, s, d - 1 AS d, ql[CAST(d AS INT)] AS qk
-       |   FROM fq, LATERAL (SELECT unnest(range(1, len(ql) + 1)) AS d) r),
-       | ${lloydCtes("kk", "fq", "fqe", nc, rounds)},
-       | lists AS MATERIALIZED (
-       |   SELECT vec_id, cluster FROM (
-       |     SELECT b.vec_id, c.code AS cluster,
-       |            row_number() OVER (PARTITION BY b.vec_id
-       |              ORDER BY b.qq - 2*list_dot_product(b.qv, c.cl) + c.cc,
-       |                       c.code) AS rn
-       |     FROM qn b JOIN kkc$rounds c ON true) WHERE rn = 1),
-       | probes AS MATERIALIZED (
-       |   SELECT q_id, cluster FROM (
-       |     SELECT q.vec_id AS q_id, c.code AS cluster,
-       |            row_number() OVER (PARTITION BY q.vec_id
-       |              ORDER BY q.qq - 2*list_dot_product(q.qv, c.cl) + c.cc,
-       |                       c.code) AS rn
-       |     FROM qn q JOIN kkc$rounds c ON true
-       |     WHERE q.vec_id < $nq) WHERE rn <= $np)""".stripMargin
-
-  /** ADC shortlist + exact re-rank tail → `got` (q_id, rnk, vec_id,
-    * cosine). `adcSrc` must provide (q_id, vec_id, adc). */
-  private def adcTailCtes(adcSrc: String, sl: Int, k: Int): String =
-    s"""short AS (SELECT q_id, vec_id FROM (
-       |   SELECT *, row_number() OVER (PARTITION BY q_id
-       |            ORDER BY adc DESC, vec_id) AS rn
-       |   FROM $adcSrc) WHERE rn <= $sl),
-       | rer AS (SELECT s.q_id, s.vec_id,
-       |          list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
-       |   FROM short s JOIN base b ON b.vec_id = s.vec_id
-       |   JOIN base q ON q.vec_id = s.q_id),
-       | got AS (SELECT q_id, rnk, vec_id, cosine FROM (
-       |   SELECT *, row_number() OVER (PARTITION BY q_id
-       |            ORDER BY cosine DESC, vec_id) AS rnk
-       |   FROM rer) WHERE rnk <= $k)""".stripMargin
-
-  /** Exact brute truth + the annRecallReport twin over `got`. */
-  private def recallReportTail(nq: Int, k: Int): String =
-    s"""truth AS (SELECT q_id, vec_id FROM (
-       |   SELECT q.vec_id AS q_id, b.vec_id,
-       |          row_number() OVER (PARTITION BY q.vec_id
-       |            ORDER BY list_dot_product(b.v, q.v)/(b.nrm*q.nrm) DESC,
-       |                     b.vec_id) AS rnk
-       |   FROM base b JOIN base q
-       |     ON q.vec_id < $nq AND b.vec_id <> q.vec_id) WHERE rnk <= $k),
-       | counts AS (
-       |   SELECT (SELECT count(*) FROM truth) AS n_exact,
-       |          (SELECT count(*) FROM got g JOIN truth t
-       |             ON t.q_id = g.q_id AND t.vec_id = g.vec_id) AS n_captured)
-       |SELECT n_exact, n_captured,
-       |       CAST(floor(n_captured * 10000.0 / n_exact) AS BIGINT) AS recall_bp
-       |FROM counts""".stripMargin
-
-  /** Flat-PQ ADC over the whole code table (sim_pq_topk's shape). */
-  private def pqAdcCte: String =
-    s"""adc AS (SELECT l.q_id, n.vec_id, sum(l.lv) AS adc
-       |   FROM enc n JOIN lut l ON l.s = n.s AND l.code = n.code
-       |   WHERE n.vec_id <> l.q_id GROUP BY 1, 2)""".stripMargin
-
-  /** List-bounded IVFADC ADC (codes of probed lists only). */
-  private def ivfPqAdcCte: String =
-    s"""adc AS (SELECT p.q_id, n.vec_id, sum(l.lv) AS adc
-       |   FROM lists li JOIN probes p ON p.cluster = li.cluster
-       |   JOIN enc n ON n.vec_id = li.vec_id
-       |   JOIN lut l ON l.q_id = p.q_id AND l.s = n.s AND l.code = n.code
-       |   WHERE n.vec_id <> p.q_id GROUP BY 1, 2)""".stripMargin
-
-  /** sim_pq_topk: flat PQ at m=8/cb=256/sl=64, sampled fit (cap
-    * 1000). */
-  private def pqTopKOracle: String =
-    s"""WITH ${intAnnBaseCtes(1000)},
-       | ${pqChainCtes(8, 256, 2, 8, 20)},
-       | $pqAdcCte,
-       | ${adcTailCtes("adc", 64, 5)}
-       |SELECT q_id, rnk, vec_id, cosine FROM got
-       |ORDER BY q_id, rnk""".stripMargin
-
-  private def pqRecallOracle: String =
-    s"""WITH ${intAnnBaseCtes(1000)},
-       | ${pqChainCtes(8, 256, 2, 8, 20)},
-       | $pqAdcCte,
-       | ${adcTailCtes("adc", 64, 5)},
-       | ${recallReportTail(20, 5)}""".stripMargin
-
-  /** ann_index_probe: the persisted-IVF probe (default build: cap
-    * 100000 — no bite at the oracle corpus — nc=16, np=4). */
-  private def ivfProbeOracle: String =
-    s"""WITH ${intAnnBaseCtes(100000)},
-       | ${ivfChainCtes(16, 2, 4, 20)},
-       | cand AS (SELECT p.q_id, l.vec_id
-       |   FROM lists l JOIN probes p ON p.cluster = l.cluster
-       |   WHERE l.vec_id <> p.q_id),
-       | rer AS (SELECT c.q_id, c.vec_id,
-       |          list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
-       |   FROM cand c JOIN base b ON b.vec_id = c.vec_id
-       |   JOIN base q ON q.vec_id = c.q_id),
-       | got AS (SELECT q_id, rnk, vec_id, cosine FROM (
-       |   SELECT *, row_number() OVER (PARTITION BY q_id
-       |            ORDER BY cosine DESC, vec_id) AS rnk
-       |   FROM rer) WHERE rnk <= 5)
-       |SELECT q_id, rnk, vec_id, cosine FROM got
-       |ORDER BY q_id, rnk""".stripMargin
-
-  /** ann_recall_ivf: inline IVF at the BITING cap 1000, np=4. */
-  private def ivfRecallOracle: String =
-    s"""WITH ${intAnnBaseCtes(1000)},
-       | ${ivfChainCtes(16, 2, 4, 20)},
-       | cand AS (SELECT p.q_id, l.vec_id
-       |   FROM lists l JOIN probes p ON p.cluster = l.cluster
-       |   WHERE l.vec_id <> p.q_id),
-       | rer AS (SELECT c.q_id, c.vec_id,
-       |          list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
-       |   FROM cand c JOIN base b ON b.vec_id = c.vec_id
-       |   JOIN base q ON q.vec_id = c.q_id),
-       | got AS (SELECT q_id, vec_id FROM (
-       |   SELECT *, row_number() OVER (PARTITION BY q_id
-       |            ORDER BY cosine DESC, vec_id) AS rnk
-       |   FROM rer) WHERE rnk <= 5),
-       | ${recallReportTail(20, 5)}""".stripMargin
-
-  /** sim_ivfpq_topk / ann_recall_ivfpq: the composed IVFADC path (both
-    * fits at cap 1000; np/sl from the env-overridable knobs so the ×10
-    * retune stays a config change). */
-  private def ivfPqTopKOracle(np: Int, sl: Int): String =
-    s"""WITH ${intAnnBaseCtes(1000)},
-       | ${ivfChainCtes(16, 2, np, 20)},
-       | ${pqChainCtes(8, 256, 2, 8, 20)},
-       | $ivfPqAdcCte,
-       | ${adcTailCtes("adc", sl, 5)}
-       |SELECT q_id, rnk, vec_id, cosine FROM got
-       |ORDER BY q_id, rnk""".stripMargin
-
-  private def ivfPqRecallOracle(np: Int, sl: Int): String =
-    s"""WITH ${intAnnBaseCtes(1000)},
-       | ${ivfChainCtes(16, 2, np, 20)},
-       | ${pqChainCtes(8, 256, 2, 8, 20)},
-       | $ivfPqAdcCte,
-       | ${adcTailCtes("adc", sl, 5)},
-       | ${recallReportTail(20, 5)}""".stripMargin
-
-  /** The sign-LSH pair set resolved to connected components — the same
-    * recursive-CTE construction as dedup_clusters, over embedding edges. */
-  private def embeddingClustersOracle: String =
-    s"""WITH RECURSIVE $signLshPairsCtes,
-       | sym AS (SELECT va AS src, vb AS dst FROM lsh_pairs
-       |         UNION ALL SELECT vb, va FROM lsh_pairs),
-       | reach AS (
-       |   SELECT src AS a, src AS b FROM sym
-       |   UNION
-       |   SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
-       |SELECT a AS doc_id, min(b) AS cluster_id
-       |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
-
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "sim_lsh_neardup" -> signLshOracle,
-    "sim_lsh_multiprobe_topk" -> lshMultiProbeOracle(20, 5),
-    "ann_recall_lsh_probes" -> lshProbeRecallOracle(20, 5),
-    // persisted ≡ inline by construction: same oracle text
-    "ann_lsh_index_probe" -> lshMultiProbeOracle(20, 5),
-    "dedup_embedding_clusters" -> embeddingClustersOracle,
-    "ann_recall" -> annRecallOracle,
-    // the integer-Lloyd ANN family (round-10 promotion from rows-only:
-    // the PQ codebooks and IVF coarse quantizer replay in SQL)
-    "sim_pq_topk" -> pqTopKOracle,
-    "ann_recall_pq" -> pqRecallOracle,
-    "ann_index_probe" -> ivfProbeOracle,
-    "ann_recall_ivf" -> ivfRecallOracle,
-    "sim_ivfpq_topk" -> ivfPqTopKOracle(ivfPqNProbeOracle, ivfPqShortlistOracle),
-    "ann_recall_ivfpq" -> ivfPqRecallOracle(ivfPqNProbeOracle, ivfPqShortlistOracle),
-    // MinHash signatures, band keys and SimHash bits are computed on the
-    // portable two-prime polynomial basis shared between the codegen
-    // kernels and this generated SQL — see graft.functions.Portable.
-    "dedup_minhash_lsh" -> minhashLshOracle,
-    "dedup_ingest_gate" -> ingestGateOracle,
-    "dedup_sig_index_probe" -> sigIndexProbeOracle,
-    "dedup_sig_index_append" -> sigIndexAppendOracle,
-    "dedup_sig_index_rebuild" -> sigIndexRebuildOracle,
-
-    // two independent NFC implementations must agree byte-for-byte:
-    // the Spark side normalizes via the JDK, this oracle via DuckDB's
-    // utf8proc — NFC is fully specified, so they do
-    "dedup_unicode_nfc" ->
-      """WITH raw AS (
-           SELECT doc_id,
-                  CASE CAST(doc_id % 4 AS INT)
-                    WHEN 0 THEN 'caf' || chr(233)
-                    WHEN 1 THEN 'cafe' || chr(769)
-                    WHEN 2 THEN 'Z' || chr(252) || 'rich'
-                    ELSE 'Zu' || chr(776) || 'rich' END AS raw
-           FROM documents)
-         SELECT nfc_normalize(raw) AS norm, count(*) AS n_docs,
-                count(DISTINCT raw) AS n_raw_forms,
-                min(doc_id) AS keep_id
-         FROM raw GROUP BY 1 ORDER BY norm""",
-    "dedup_pipeline" -> dedupPipelineOracle,
-    "pipeline_pretrain_report" -> pretrainPipelineOracle,
-    "split_leakage_safe" -> leakageSplitOracle,
-    "bpe_train" -> bpeTrainOracle(BpeTrainMerges),
-    // the batched trainer must reproduce the SEQUENTIAL merge table —
-    // same oracle, so the driver's hash compare is the equivalence gate
-    "bpe_train_batched" -> bpeTrainOracle(BpeTrainMerges),
-    "bpe_encode" -> bpeEncodeOracle(BpeTrainMerges),
-    "bpe_fertility" -> bpeFertilityOracle(BpeTrainMerges),
-    "dedup_simhash" -> simhashOracle,
-    "dedup_cap_stats" -> capStatsOracle,
-    "dedup_recall" -> dedupRecallOracle,
-    "zorder_key" -> zorderKeyOracle,
-    "graph_pagerank" -> pagerankOracle,
-    "graph_kcore" -> kcoreOracle,
-    "graph_labelprop" -> labelPropOracle,
-    "graph_modularity" -> modularityOracle,
-    "graph_assortativity" -> assortativityOracle,
-    "graph_degree_dist" -> degreeDistOracle,
-    "graph_components" -> componentsOracle,
-    "graph_harmonic" -> harmonicOracle,
-    "graph_jaccard_links" -> jaccardLinksOracle,
-    "graph_ppr" -> pprOracle,
-
-    // graph_triangles: id-ordered (u < v) edges; each triangle appears
-    // once as n1 < n2 < n3; per-node counts via unnest of the corners.
-    "graph_triangles" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         capped AS (SELECT l_orderkey, l_partkey FROM (
-             SELECT l_orderkey, l_partkey,
-                    row_number() OVER (PARTITION BY l_orderkey
-                                       ORDER BY l_partkey) AS rn
-             FROM li) WHERE rn <= $CopurchaseMaxBasket),
-         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-               FROM capped a JOIN capped b
-                 ON a.l_orderkey = b.l_orderkey
-                AND a.l_partkey < b.l_partkey),
-         tri AS (SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
-                 FROM e e1
-                 JOIN e e2 ON e2.u = e1.v
-                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-         corners AS (SELECT n1 AS node FROM tri
-                     UNION ALL SELECT n2 FROM tri
-                     UNION ALL SELECT n3 FROM tri)
-         SELECT node, count(*) AS n_tri FROM corners
-         GROUP BY 1 ORDER BY node""",
-
-    // sampled estimator: the same id-ordered triangle join over the
-    // portable-hash-sampled (p = 1/4 exact) canonical edge set; counts
-    // are orientation-independent, estimate = count × 4³
-    "graph_triangles_sampled" -> triSampledOracle(
-      "SELECT node, count(*) AS n_tri_sampled, count(*) * 64 AS n_tri_est " +
-        "FROM corners GROUP BY 1 ORDER BY node"),
-    "graph_tri_sample_stats" -> triSampledOracle(
-      """SELECT (SELECT count(*) FROM e) AS n_edges,
-                (SELECT count(*) FROM se) AS n_edges_sampled,
-                CAST(4 AS BIGINT) AS inv_p, CAST(64 AS BIGINT) AS inv_p3,
-                (SELECT count(*) FROM tri) AS n_tri_sampled,
-                (SELECT count(*) * 64 FROM tri) AS n_tri_est"""),
-    "fp_shuffle_order" -> {
-      import Portable.{P1, aCoef, bCoef}
-      s"""SELECT doc_id,
-            (doc_id % $P1 * ${aCoef(11)} + ${bCoef(11)}) % $P1 AS shuffle_key
-          FROM documents ORDER BY shuffle_key, doc_id"""
-    },
-
-    // mm_decode_real: the synthesis params are integer functions of
-    // doc_id, so the decoded pixel sum has a closed form: with
-    // a = start value, N = W*H pixels, sum = f(a+N) - f(a) where
-    // f(n) = (n div 256)*32640 + T(n mod 256), T(m) = m(m-1)/2
-    // (each full 256-cycle sums to 32640). Dims echo the synthesis.
-    // closed-form frame arithmetic: solid gray g(doc,f) × w × h for
-    // every sampled (every-2nd) frame index
-    "mm_frames_real" ->
-      """WITH d AS (SELECT doc_id, 6 + doc_id % 5 AS w, 6 + doc_id % 7 AS h,
-                           3 + doc_id % 3 AS nf
-                    FROM documents),
-          f AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS fi FROM d)
-         SELECT doc_id, CAST(fi AS INT) AS frame_idx,
-                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-                CAST((((doc_id % 256) * 31 + 37 * fi) % 256) * w * h
-                     AS BIGINT) AS px_sum
-         FROM f ORDER BY doc_id, frame_idx""",
-
-    // mm_audio_vad: the planted burst structure in closed form —
-    // bursts at frame 2 (len 2+id%3) and 8+id%3 (len 1+id%2, absent
-    // when id%5=0); silence is true zero energy
-    "mm_audio_vad" ->
-      """SELECT doc_id,
-                CAST(12 + doc_id % 5 AS BIGINT) AS n_frames,
-                CAST(2 + doc_id % 3
-                     + CASE WHEN doc_id % 5 <> 0 THEN 1 + doc_id % 2
-                            ELSE 0 END AS BIGINT) AS n_voiced,
-                CAST(CASE WHEN doc_id % 5 <> 0 THEN 2 ELSE 1 END
-                     AS BIGINT) AS n_segments,
-                CAST(2 AS INT) AS first_voiced_frame
-         FROM documents ORDER BY doc_id""",
-
-    // mm_shot_detect: the planted scene structure in closed form —
-    // 6+id%3 frames, +100 cut at 2+id%3 unless id%4=0 (single scene);
-    // within-scene drift is 2/frame, far under the threshold 50
-    "mm_shot_detect" ->
-      """SELECT doc_id,
-                CAST(6 + doc_id % 3 AS BIGINT) AS n_frames,
-                CAST(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END
-                     AS BIGINT) AS n_cuts,
-                CAST(CASE WHEN doc_id % 4 <> 0 THEN 2 + doc_id % 3
-                          ELSE -1 END AS INT) AS first_cut_idx
-         FROM documents ORDER BY doc_id""",
-
-    "mm_decode_real" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  8 + doc_id % 9 AS w,
-                  8 + (doc_id % 9 * 7) % 9 AS h,
-                  (doc_id % 256 * 31) % 256 AS a
-           FROM documents),
-         t AS (SELECT doc_id, w, h, a, a + w * h AS b FROM s)
-         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-                CAST(((b // 256) * 32640 + (b % 256) * ((b % 256) - 1) // 2)
-                   - ((a // 256) * 32640 + (a % 256) * ((a % 256) - 1) // 2)
-                   AS BIGINT) AS px_sum
-         FROM t ORDER BY doc_id""",
-
-    // mm_audio_real: frame i carries signed sample (a + i) − 32768 and
-    // a + N < 2¹⁶ (no wrap), so the decoded PCM sum has the closed form
-    // N·a + N(N−1)/2 − 32768·N; rate/frames echo the synthesis.
-    "mm_audio_real" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  8000 + doc_id % 3 * 4000 AS rate,
-                  800 + doc_id % 5 * 160 AS n,
-                  doc_id * 37 % 60000 AS a
-           FROM documents)
-         SELECT doc_id, CAST(rate AS INT) AS sample_rate,
-                CAST(n AS BIGINT) AS n_frames,
-                CAST(n * a + n * (n - 1) // 2 - 32768 * n AS BIGINT)
-                  AS pcm_sum
-         FROM s ORDER BY doc_id""",
-
-    // mm_audio_stats: the ramp's per-sample squares summed directly
-    // (generate_series per clip — exact, no float), endpoint peak,
-    // floor duration
-    "mm_audio_stats" ->
-      """WITH d AS (
-           SELECT doc_id,
-                  8000 + doc_id % 3 * 4000 AS rate,
-                  800 + doc_id % 5 * 160 AS n,
-                  doc_id * 37 % 60000 - 32768 AS b
-           FROM documents),
-          s AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i, b
-                FROM d),
-          e AS (SELECT doc_id, CAST(sum((b + i) * (b + i)) AS BIGINT)
-                         AS energy
-                FROM s GROUP BY 1)
-         SELECT d.doc_id, CAST(d.rate AS INT) AS sample_rate,
-                CAST(d.n AS BIGINT) AS n_frames, e.energy,
-                CAST(greatest(abs(d.b), abs(d.b + d.n - 1)) AS BIGINT)
-                  AS peak,
-                CAST(d.n * 1000000 // d.rate AS BIGINT) AS duration_us
-         FROM d JOIN e USING (doc_id) ORDER BY d.doc_id""",
-
-    // mm_resize_real: nearest-neighbor sample at ((x'·W)//16, (y'·H)//16)
-    // of the synthesized gradient — 256 sampled pixels per doc, summed.
-    "mm_resize_real" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  8 + doc_id % 9 AS w,
-                  8 + (doc_id % 9 * 7) % 9 AS h,
-                  (doc_id % 256 * 31) % 256 AS a
-           FROM documents),
-         px AS (
-           SELECT doc_id, (a + (yy * h // 16) * w + (xx * w // 16)) % 256 AS p
-           FROM s,
-                LATERAL (SELECT unnest(range(0, 16)) AS xx) xs,
-                LATERAL (SELECT unnest(range(0, 16)) AS yy) ys)
-         SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
-                CAST(sum(p) AS BIGINT) AS px_sum
-         FROM px GROUP BY doc_id ORDER BY doc_id""",
-
-    // sim_kmeans_step: the whole Lloyd round re-derived in SQL over the
-    // same floor(x·1024) quantization; the floor-mean uses the portable
-    // ((s % n) + n) % n identity (Spark pmod) so negative per-dim sums
-    // floor identically on both engines.
-    "sim_kmeans_step" ->
-      """WITH qv AS (
-           SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024)
-                       AS BIGINT) AS q
-           FROM embeddings),
-         c0 AS (SELECT vec_id AS cid, d, q AS c FROM qv WHERE vec_id < 8),
-         d1 AS (SELECT v.vec_id, c.cid,
-                       sum((v.q - c.c) * (v.q - c.c)) AS dist2
-                FROM qv v JOIN c0 c USING (d) GROUP BY v.vec_id, c.cid),
-         a1 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                           PARTITION BY vec_id ORDER BY dist2, cid) AS rn
-                  FROM d1) WHERE rn = 1),
-         c1 AS (SELECT cid, d, sum(q) AS s, count(*) AS n
-                FROM qv JOIN a1 USING (vec_id) GROUP BY cid, d),
-         c1f AS (SELECT cid, d,
-                        (s - ((s % n) + n) % n) // n AS c FROM c1),
-         d2 AS (SELECT v.vec_id, c.cid,
-                       sum((v.q - c.c) * (v.q - c.c)) AS dist2
-                FROM qv v JOIN c1f c USING (d) GROUP BY v.vec_id, c.cid),
-         a2 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                           PARTITION BY vec_id ORDER BY dist2, cid) AS rn
-                  FROM d2) WHERE rn = 1),
-         nr1 AS (SELECT cid, count(*) AS n_r1 FROM a1 GROUP BY cid),
-         nr2 AS (SELECT cid, count(*) AS n_r2 FROM a2 GROUP BY cid),
-         cs AS (SELECT n.cid, sum(n.c) AS centroid_sum,
-                       sum((n.c - o.c) * (n.c - o.c)) AS shift_sq
-                FROM c1f n JOIN c0 o ON n.cid = o.cid AND n.d = o.d
-                GROUP BY n.cid)
-         SELECT CAST(nr1.cid AS BIGINT) AS cluster_id,
-                CAST(nr1.n_r1 AS BIGINT) AS n_r1,
-                CAST(COALESCE(nr2.n_r2, 0) AS BIGINT) AS n_r2,
-                CAST(cs.centroid_sum AS BIGINT) AS centroid_sum,
-                CAST(cs.shift_sq AS BIGINT) AS shift_sq
-         FROM nr1 LEFT JOIN nr2 ON nr1.cid = nr2.cid
-              JOIN cs ON nr1.cid = cs.cid
-         ORDER BY cluster_id""",
-
-    // cluster-balanced coverage sample: the kmeans-assign CTEs + the
-    // portable affine hash (coefficient index 23) per cluster
-    "embed_coverage_sample" ->
-      s"""WITH qv AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024)
-         |              AS BIGINT) AS q
-         |  FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, d, q AS c FROM qv WHERE vec_id < 8),
-         |d1 AS (SELECT v.vec_id, c.cid,
-         |              sum((v.q - c.c) * (v.q - c.c)) AS dist2
-         |       FROM qv v JOIN c0 c USING (d) GROUP BY 1, 2),
-         |a1 AS (SELECT vec_id, cid FROM (
-         |         SELECT vec_id, cid, row_number() OVER (
-         |                  PARTITION BY vec_id ORDER BY dist2, cid) AS rn
-         |         FROM d1) WHERE rn = 1),
-         |h AS (SELECT vec_id, cid,
-         |             (${graft.functions.Portable.aCoef(23)} * (vec_id % ${graft.functions.Portable.P1})
-         |              + ${graft.functions.Portable.bCoef(23)}) % ${graft.functions.Portable.P1} AS h
-         |      FROM a1)
-         |SELECT cluster_id, rn, vec_id, h FROM (
-         |  SELECT CAST(cid AS BIGINT) AS cluster_id,
-         |         CAST(row_number() OVER (PARTITION BY cid
-         |                ORDER BY h, vec_id) AS BIGINT) AS rn,
-         |         vec_id, h
-         |  FROM h) WHERE rn <= 5
-         |ORDER BY cluster_id, rn""".stripMargin,
-
-    // frozen-centroid append audit: base = even half (seeds = even ids
-    // < 16), appends = odd half assigned to the SAME centroids; dist2
-    // sums are HUGEINT in DuckDB, hence the explicit BIGINT casts
-    "ann_ivf_append_audit" ->
-      """WITH qv AS (
-           SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024)
-                       AS BIGINT) AS q
-           FROM embeddings),
-         c0 AS (SELECT vec_id AS cid, d, q AS c FROM qv
-                WHERE vec_id % 2 = 0 AND vec_id < 16),
-         bd AS (SELECT v.vec_id, c.cid,
-                       sum((v.q - c.c) * (v.q - c.c)) AS dist2
-                FROM qv v JOIN c0 c USING (d)
-                WHERE v.vec_id % 2 = 0 GROUP BY 1, 2),
-         ba AS (SELECT vec_id, cid, dist2 FROM (
-                  SELECT vec_id, cid, dist2, row_number() OVER (
-                           PARTITION BY vec_id ORDER BY dist2, cid) AS rn
-                  FROM bd) WHERE rn = 1),
-         bs AS (SELECT cid, count(*) AS n_base,
-                       CAST(max(dist2) AS BIGINT) AS radius_sq_base
-                FROM ba GROUP BY 1),
-         ad AS (SELECT v.vec_id, c.cid,
-                       sum((v.q - c.c) * (v.q - c.c)) AS dist2
-                FROM qv v JOIN c0 c USING (d)
-                WHERE v.vec_id % 2 = 1 GROUP BY 1, 2),
-         aa AS (SELECT vec_id, cid, dist2 FROM (
-                  SELECT vec_id, cid, dist2, row_number() OVER (
-                           PARTITION BY vec_id ORDER BY dist2, cid) AS rn
-                  FROM ad) WHERE rn = 1),
-         ax AS (SELECT a.cid, count(*) AS n_appended,
-                       CAST(sum(CASE WHEN a.dist2 > b.radius_sq_base
-                                     THEN 1 ELSE 0 END) AS BIGINT)
-                         AS n_beyond
-                FROM aa a JOIN bs b USING (cid) GROUP BY 1)
-         SELECT CAST(b.cid AS BIGINT) AS cluster_id, b.n_base,
-                b.radius_sq_base,
-                COALESCE(x.n_appended, 0) AS n_appended,
-                COALESCE(x.n_beyond, 0) AS n_beyond,
-                COALESCE(x.n_appended, 0) * 10000 // b.n_base AS growth_bp,
-                CASE WHEN COALESCE(x.n_appended, 0) = 0 THEN 0
-                     ELSE COALESCE(x.n_beyond, 0) * 10000 // x.n_appended
-                END AS stale_bp,
-                CAST((CASE WHEN COALESCE(x.n_appended, 0) = 0 THEN 0
-                           ELSE COALESCE(x.n_beyond, 0) * 10000 // x.n_appended
-                      END) > 2000 AS BIGINT) AS needs_rebuild
-         FROM bs b LEFT JOIN ax x USING (cid)
-         ORDER BY cluster_id""",
-
-    // sim_kmeans_balance: the same quantization/assignment CTEs as
-    // sim_kmeans_step, keeping dist2 at the argmin for inertia/radius
-    "sim_kmeans_balance" ->
-      """WITH qv AS (
-           SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024)
-                       AS BIGINT) AS q
-           FROM embeddings),
-         c0 AS (SELECT vec_id AS cid, d, q AS c FROM qv WHERE vec_id < 8),
-         d1 AS (SELECT v.vec_id, c.cid,
-                       sum((v.q - c.c) * (v.q - c.c)) AS dist2
-                FROM qv v JOIN c0 c USING (d) GROUP BY v.vec_id, c.cid),
-         a1 AS (SELECT vec_id, cid, dist2 FROM (
-                  SELECT vec_id, cid, dist2, row_number() OVER (
-                           PARTITION BY vec_id ORDER BY dist2, cid) AS rn
-                  FROM d1) WHERE rn = 1),
-         tot AS (SELECT count(*) AS n_total FROM a1)
-         SELECT CAST(cid AS BIGINT) AS cluster_id,
-                count(*) AS n_members,
-                CAST(count(*) * 10000 // max(n_total) AS BIGINT)
-                  AS share_bp,
-                CAST(sum(dist2) AS BIGINT) AS inertia,
-                CAST(max(dist2) AS BIGINT) AS radius_sq
-         FROM a1 CROSS JOIN tot
-         GROUP BY cid ORDER BY cluster_id""",
-
-    // mm_dhash_real: the synthesized stride-73 ramp (one perturbed pixel
-    // in variant 1) is integer arithmetic on doc_id, so the 9×8 grid,
-    // the adjacent-pixel comparisons, and the packed 2×32-bit hash all
-    // have exact SQL twins — a REAL decode→resample→hash chain oracle'd
-    // bit for bit.
-    "mm_dhash_real" ->
-      s"""WITH $DhashCte
-         SELECT doc_id, CAST(v AS INT) AS variant, hash_hi, hash_lo
-         FROM hashes ORDER BY doc_id, variant""",
-
-    // mm_audio_fingerprint: the planted pattern and its single-bit
-    // flip, closed-form — the decode chain must land exactly here
-    "mm_audio_fingerprint" ->
-      """WITH f AS (SELECT doc_id,
-                           CAST((doc_id * 37 + 11) % 65536 AS BIGINT)
-                             AS fp0
-                    FROM documents),
-          v AS (SELECT doc_id, fp0,
-                       CASE WHEN doc_id % 4 = 0
-                            THEN xor(fp0, CAST(1 AS BIGINT)
-                                          << CAST(doc_id % 16 AS INTEGER))
-                            ELSE fp0 END AS fp1
-                FROM f)
-         SELECT doc_id, fp0, fp1,
-                CAST(bit_count(xor(fp0, fp1)) AS BIGINT) AS hamming
-         FROM v ORDER BY doc_id""",
-
-    // mm_phash_neardup: identical-hash collapse → 4×16-bit band join →
-    // exact Hamming verify, replicated structurally (the banding is part
-    // of the CONTRACT — a pair at dist ≤ 3 must share a band by
-    // pigeonhole, so the capped construction stays oracle-able).
-    "mm_phash_neardup" ->
-      s"""WITH $DhashCte,
-          groups AS (
-            SELECT hash_hi, hash_lo, min(doc_id * 2 + v) AS rep
-            FROM hashes GROUP BY hash_hi, hash_lo),
-          bands AS (
-            SELECT rep, hash_hi, hash_lo, band_key
-            FROM groups, LATERAL (SELECT unnest([
-                   hash_lo & 65535,
-                   65536 + ((hash_lo >> 16) & 65535),
-                   131072 + (hash_hi & 65535),
-                   196608 + ((hash_hi >> 16) & 65535)]) AS band_key) bk),
-          hot AS (
-            SELECT band_key FROM bands GROUP BY 1 HAVING count(*) > 64),
-          kept AS (
-            SELECT * FROM bands
-            WHERE band_key NOT IN (SELECT band_key FROM hot)),
-          cand AS (
-            SELECT DISTINCT l.rep AS l_rep, r.rep AS r_rep,
-                   l.hash_hi AS l_hi, l.hash_lo AS l_lo,
-                   r.hash_hi AS r_hi, r.hash_lo AS r_lo
-            FROM kept l JOIN kept r
-              ON l.band_key = r.band_key AND l.rep < r.rep)
-         SELECT l_rep, r_rep,
-                CAST(bit_count(xor(l_hi, r_hi)) + bit_count(xor(l_lo, r_lo))
-                     AS INT) AS dist
-         FROM cand
-         WHERE bit_count(xor(l_hi, r_hi)) + bit_count(xor(l_lo, r_lo)) <= 3
-         ORDER BY l_rep, r_rep""",
-
-    "mm_phash_cap_stats" ->
-      s"""WITH $DhashCte,
-          groups AS (
-            SELECT hash_hi, hash_lo, min(doc_id * 2 + v) AS rep
-            FROM hashes GROUP BY hash_hi, hash_lo),
-          bands AS (
-            SELECT rep, band_key
-            FROM groups, LATERAL (SELECT unnest([
-                   hash_lo & 65535,
-                   65536 + ((hash_lo >> 16) & 65535),
-                   131072 + (hash_hi & 65535),
-                   196608 + ((hash_hi >> 16) & 65535)]) AS band_key) bk),
-          sz AS (SELECT band_key, CAST(count(*) AS BIGINT) AS sz
-                 FROM bands GROUP BY 1),
-          hot AS (SELECT * FROM sz WHERE sz > 64)
-         SELECT 'phash_band' AS stage,
-                CAST(coalesce(count(*), 0) AS BIGINT) AS n_hot_keys,
-                CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_dropped_rows
-         FROM hot""",
-    "q1_group_count_sort" ->
-      """SELECT c_mktsegment, count(*) AS cnt FROM customer
-         GROUP BY 1 ORDER BY cnt DESC, c_mktsegment ASC""",
-
-    "q2_bucket_histogram" ->
-      """WITH b AS (SELECT CAST(floor(o_totalprice / 1000) * 1000 AS BIGINT) AS bucket_lo FROM orders)
-         SELECT '(' || CAST(bucket_lo AS VARCHAR) || ',' || CAST(bucket_lo + 1000 AS VARCHAR) || ')' AS bucket,
-                bucket_lo, count(*) AS cnt
-         FROM b GROUP BY bucket_lo ORDER BY bucket_lo""",
-
-    // round_even = HALF_EVEN, matching Spark's bround: plain round()
-    // rounds doubles half-away-from-zero and diverges on exact ties
-    // (e.g. a ratio of 1/32 at scale 4).
-    "q3_1_group_ratio" ->
-      """SELECT o_orderpriority, count(*) AS cnt,
-                round_even(count(*) / (SELECT count(*) FROM orders), 4) AS ratio
-         FROM orders GROUP BY 1 ORDER BY cnt DESC, o_orderpriority ASC""",
-
-    "q3_2_derived_arithmetic" ->
-      """SELECT l_orderkey, l_linenumber,
-                l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
-
-    "q3_3_parse_filter" ->
-      """WITH s AS (
-           SELECT p_partkey, p_name,
-                  CASE WHEN p_size % 7 = 0 THEN NULL
-                       WHEN p_size >= 10 THEN '10+ years'
-                       WHEN p_size < 1 THEN '< 1 year'
-                       ELSE CAST(p_size AS VARCHAR) || ' years' END AS work_year
-           FROM part),
-         p AS (
-           SELECT p_partkey, p_name,
-                  CASE WHEN work_year IS NULL THEN -1
-                       WHEN contains(work_year, '10+') THEN 11
-                       WHEN contains(work_year, '<') THEN 0
-                       ELSE CAST(split_part(work_year, ' ', 1) AS INT) END AS work_year_num
-           FROM s)
-         SELECT p_partkey, p_name, work_year_num FROM p
-         WHERE work_year_num > 5 ORDER BY p_partkey""",
-
-    // loan_t*: the synthLoan CTE is the SQL twin of the Spark-side
-    // synthesis — identical modular arithmetic over orders, so the
-    // LoanWorkload semantics (MR comparator sort, bround ratio, parser)
-    // are what the hash compare actually checks
-    "loan_t1" ->
-      """WITH loan AS (SELECT 'ind_' || (o_orderkey % 14) AS industry FROM orders)
-         SELECT industry, count(*) AS cnt FROM loan
-         GROUP BY 1 ORDER BY cnt DESC, industry ASC""",
-
-    "loan_t3_1" ->
-      """WITH loan AS (SELECT 'emp_' || (o_orderkey % 6) AS employer_type FROM orders)
-         SELECT employer_type, count(*) AS cnt,
-                round_even(count(*) / (SELECT count(*) FROM loan), 4) AS ratio
-         FROM loan GROUP BY 1 ORDER BY cnt DESC, employer_type ASC""",
-
-    "loan_t3_2" ->
-      """WITH loan AS (
-           SELECT o_orderkey AS loan_id, o_custkey AS user_id,
-                  o_orderkey % 5 + 1 AS year_of_loan,
-                  o_orderkey % 2000 + 500 AS monthly_payment,
-                  o_orderkey % 30000 + 1000 AS total_loan
-           FROM orders)
-         SELECT loan_id, user_id,
-                CAST(year_of_loan AS DOUBLE) * CAST(monthly_payment AS DOUBLE) * 12
-                  - CAST(total_loan AS DOUBLE) AS total_money
-         FROM loan ORDER BY loan_id""",
-
-    "loan_t3_3" ->
-      """WITH loan AS (
-           SELECT o_orderkey AS loan_id, o_custkey AS user_id,
-                  CASE WHEN o_orderkey % 11 = 0 THEN NULL
-                       WHEN o_orderkey % 13 >= 10 THEN '10+ years'
-                       WHEN o_orderkey % 13 = 0 THEN '< 1 year'
-                       ELSE (o_orderkey % 13) || ' years' END AS work_year
-           FROM orders),
-         p AS (
-           SELECT loan_id, user_id, work_year,
-                  CASE WHEN work_year IS NULL THEN -1
-                       WHEN contains(work_year, '10+') THEN 11
-                       WHEN contains(work_year, '<') THEN 0
-                       ELSE CAST(split_part(work_year, ' ', 1) AS INT) END AS work_year_num
-           FROM loan)
-         SELECT loan_id, user_id, work_year, work_year_num FROM p
-         WHERE work_year_num > 5 ORDER BY loan_id""",
-
-    "q4_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-                count(*) AS cnt
-         FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
-
-    "q5_join_broadcast" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY n_orders DESC, c_mktsegment ASC""",
-
-    "q6_join_star" ->
-      """SELECT r_name, count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY 1 ORDER BY r_name""",
-
-    "q7_join_anti" ->
-      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders
-                           WHERE o_custkey = c_custkey
-                             AND o_orderpriority = '1-URGENT')
-         GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
-
-    "q21_join_left" ->
-      """SELECT c_mktsegment, count(*) AS n_rows,
-                count(o_orderkey) AS n_matched,
-                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_urgent
-         FROM customer LEFT JOIN
-           (SELECT o_custkey, o_orderkey FROM orders
-            WHERE o_orderpriority = '1-URGENT') o
-           ON c_custkey = o_custkey
-         GROUP BY 1 ORDER BY c_mktsegment""",
-
-    "q25_join_semi" ->
-      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
-         WHERE EXISTS (SELECT 1 FROM orders
-                       WHERE o_custkey = c_custkey
-                         AND o_orderpriority = '1-URGENT')
-         GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
-
-    "q26_join_full" ->
-      """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0),
-            b AS (SELECT c_custkey AS k2 FROM customer WHERE c_custkey % 2 = 0)
-         SELECT count(CASE WHEN k IS NOT NULL AND k2 IS NOT NULL THEN 1 END) AS n_both,
-                count(CASE WHEN k2 IS NULL THEN 1 END) AS n_left_only,
-                count(CASE WHEN k IS NULL THEN 1 END) AS n_right_only
-         FROM a FULL JOIN b ON k = k2""",
-
-    "q22_except" ->
-      """WITH e AS (
-           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-           EXCEPT
-           SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
-         SELECT c_mktsegment, count(*) AS n_customers
-         FROM e JOIN customer ON c_custkey = o_custkey
-         GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
-
-    "q24_union_distinct" ->
-      """WITH u AS (
-           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-           UNION
-           SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
-         SELECT c_mktsegment, count(*) AS n_customers
-         FROM u JOIN customer ON c_custkey = o_custkey
-         GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
-
-    "q23_distinct_agg" ->
-      """SELECT o_orderpriority, count(*) AS n_orders,
-                count(DISTINCT o_custkey) AS n_custs,
-                count(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT)) AS n_years
-         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
-
-    "q16_percentiles" ->
-      """SELECT l_returnflag,
-                quantile_cont(l_quantity, 0.5) AS med,
-                quantile_cont(l_quantity, 0.9) AS p90,
-                count(*) AS cnt
-         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
-
-    "q17_date_parts" ->
-      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
-                CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
-                count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders GROUP BY 1, 2 ORDER BY y, m""",
-
-    "q15_asof_join" ->
-      """SELECT a.user_id, a.event_id, epoch_us(a.ts) AS us, a.value,
-                b.value AS asof_value
-         FROM (SELECT * FROM events WHERE event_type = 'click') a
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
-           ON a.user_id = b.user_id AND a.ts >= b.ts
-         ORDER BY a.user_id, us, a.event_id""",
-
-    // q43_asof_forward: portable explicit formulation (rank the
-    // following views, take the first; a version-fragile ASOF <=
-    // spelling deliberately avoided — the q41 discipline)
-    "q43_asof_forward" ->
-      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
-                    FROM events WHERE event_type = 'click'),
-          v AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
-                FROM events WHERE event_type = 'view'),
-          j AS (SELECT c.user_id, c.event_id, c.us, c.value,
-                       v.value AS next_value, v.us AS r_us,
-                       row_number() OVER (
-                         PARTITION BY c.user_id, c.event_id
-                         ORDER BY v.us, v.event_id) AS rn
-                FROM c JOIN v ON v.user_id = c.user_id AND v.us >= c.us)
-         SELECT user_id, event_id, us, value, next_value,
-                r_us - us AS gap_us
-         FROM j WHERE rn = 1
-         UNION ALL
-         SELECT c.user_id, c.event_id, c.us, c.value,
-                CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
-         FROM c WHERE NOT EXISTS (SELECT 1 FROM v
-                                  WHERE v.user_id = c.user_id
-                                    AND v.us >= c.us)
-         ORDER BY user_id, us, event_id""",
-
-    "q12_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
-         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
-                  l_linestatus ASC NULLS FIRST""",
-
-    "q29_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-                CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
-         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-         ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST,
-                  o_orderpriority ASC NULLS FIRST""",
-
-    "q28_topk_global" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
-
-    "q13_intersect" ->
-      """WITH both_p AS (
-           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-           INTERSECT
-           SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
-         SELECT c_mktsegment, count(*) AS n_customers
-         FROM both_p JOIN customer ON c_custkey = o_custkey
-         GROUP BY 1 ORDER BY n_customers DESC, c_mktsegment ASC""",
-
-    "q14_pivot" ->
-      """SELECT c_mktsegment,
-                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
-                count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
-                count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
-                count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
-                count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
-         FROM orders JOIN customer ON c_custkey = o_custkey
-         GROUP BY 1 ORDER BY c_mktsegment""",
-
-    "q19_window_frames" ->
-      """SELECT o_custkey, o_orderkey,
-                lag(o_totalprice, 1) OVER w AS prev_price,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                     OVER (PARTITION BY o_custkey
-                           ORDER BY o_orderdate, o_orderkey
-                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                     AS DOUBLE) AS sum3,
-                count(*) OVER (PARTITION BY o_custkey
-                               ORDER BY o_orderdate, o_orderkey
-                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rn3
-         FROM orders
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         ORDER BY o_custkey, o_orderkey""",
-
-    "sink_compacted_roundtrip" ->
-      """SELECT o_orderpriority, count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
-
-    "q8_window_topn" ->
-      """SELECT * FROM (
-           SELECT o_custkey, o_orderkey, o_totalprice,
-                  row_number() OVER (PARTITION BY o_custkey
-                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-           FROM orders)
-         WHERE rn <= 3 ORDER BY o_custkey, rn""",
-
-    // the typed-Aggregator formulation must return EXACTLY the window
-    // formulation's rows — one oracle, two physical strategies
-    "q8b_topk_agg" ->
-      """SELECT * FROM (
-           SELECT o_custkey, o_orderkey, o_totalprice,
-                  CAST(row_number() OVER (PARTITION BY o_custkey
-                                     ORDER BY o_totalprice DESC, o_orderkey ASC)
-                    AS BIGINT) AS rn
-           FROM orders)
-         WHERE rn <= 3 ORDER BY o_custkey, rn""",
-
-    // capped-basket semantics (MaxBasket lowest part ids per order) —
-    // identical to the Spark side's slice(array_sort(collect_set(...)))
-    "copurchase_pairs" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         capped AS (SELECT l_orderkey, l_partkey FROM (
-             SELECT l_orderkey, l_partkey,
-                    row_number() OVER (PARTITION BY l_orderkey
-                                       ORDER BY l_partkey) AS rn
-             FROM li) WHERE rn <= $CopurchaseMaxBasket)
-         SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_orders
-         FROM capped a JOIN capped b
-           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         GROUP BY 1, 2
-         ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 20""",
-
-    "events_winsorize" ->
-      """WITH p AS (SELECT event_type,
-                           quantile_cont(value, 0.05) AS p05,
-                           quantile_cont(value, 0.95) AS p95
-                    FROM events GROUP BY 1)
-         SELECT event_id, e.event_type,
-                CAST(round(least(greatest(value, p05), p95) * 100) AS BIGINT)
-                  AS clamped_cents
-         FROM events e JOIN p ON e.event_type = p.event_type
-         ORDER BY event_id""",
-
-    // the portable-histogram clamp: cents quantization, 64-cent bins,
-    // covering-count quantile pick, clamp to inclusive bin upper edges —
-    // integer-exact twin of Sketches.histCountsBy/histQuantilesBy
-    "events_winsorize_approx" ->
-      """WITH c AS (SELECT event_id, event_type,
-                           CAST(round(value * 100) AS BIGINT) AS cents
-                    FROM events),
-         h AS (SELECT event_type,
-                      least(1023, greatest(0, cents // 64)) AS bucket,
-                      count(*) AS cnt
-               FROM c GROUP BY 1, 2),
-         cum AS (SELECT event_type, bucket, cnt,
-                        sum(cnt) OVER (PARTITION BY event_type
-                                       ORDER BY bucket) AS cum,
-                        sum(cnt) OVER (PARTITION BY event_type) AS n_total
-                 FROM h),
-         q AS (SELECT event_type, q_bp, min(bucket) AS bucket
-               FROM cum, (SELECT unnest([500, 9500]) AS q_bp) qs
-               WHERE cum * 10000 >= q_bp * n_total
-               GROUP BY 1, 2),
-         b AS (SELECT event_type,
-                      max(CASE WHEN q_bp = 500
-                               THEN (bucket + 1) * 64 - 1 END) AS p05c,
-                      max(CASE WHEN q_bp = 9500
-                               THEN (bucket + 1) * 64 - 1 END) AS p95c
-               FROM q GROUP BY 1)
-         SELECT event_id, c.event_type,
-                least(greatest(cents, p05c), p95c) AS clamped_cents
-         FROM c JOIN b ON c.event_type = b.event_type
-         ORDER BY event_id""",
-
-    "q37_recursive_cte" ->
-      """WITH RECURSIVE anc(node, root, depth) AS (
-           SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
-           FROM customer WHERE c_custkey < 10
-           UNION ALL
-           SELECT c.c_custkey, a.root, a.depth + 1
-           FROM customer c JOIN anc a
-             ON c.c_custkey // 10 = a.node AND c.c_custkey >= 10)
-         SELECT node, root, depth FROM anc ORDER BY node""",
-
-    "fp_feature_hash" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
-                      FROM documents),
-         h AS (SELECT doc_id,
-                      list_reduce(
-                        list_prepend(CAST(0 AS BIGINT),
-                          list_transform(string_split_regex(tk, ''),
-                            c -> CAST(ascii(c) AS BIGINT))),
-                        (a, x) -> (a * 31 + x) % 1000000007) % 64 AS bucket
-               FROM tok WHERE tk <> '')
-         SELECT doc_id, bucket, count(*) AS tf FROM h
-         GROUP BY 1, 2 ORDER BY doc_id, bucket""",
-
-    "q36_union_by_name" ->
-      """WITH u AS (
-           SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
-           FROM orders WHERE o_orderkey % 2 = 0
-           UNION ALL
-           SELECT o_orderkey, o_totalprice, o_orderpriority
-           FROM orders WHERE o_orderkey % 2 = 1)
-         SELECT coalesce(o_orderpriority, '<none>') AS priority,
-                count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM u GROUP BY 1 ORDER BY priority""",
-
-    // sketch_bitmap_distinct: the identical word/bit arithmetic —
-    // exact, so the oracle replicates the bitmap AND the merge law
-    "sketch_bitmap_distinct" ->
-      """WITH ids AS (SELECT event_type AS g, CAST(user_id AS BIGINT)
-                               AS id
-                      FROM events),
-          w AS (SELECT g, id // 32 AS widx,
-                       bit_or(CAST(1 AS BIGINT)
-                              << CAST(id % 32 AS INTEGER)) AS word
-                FROM ids GROUP BY 1, 2),
-          pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_words,
-                        CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct
-                 FROM w GROUP BY 1),
-          mw AS (SELECT widx, bit_or(word) AS word FROM w GROUP BY 1),
-          ma AS (SELECT '(all)' AS g, CAST(count(*) AS BIGINT) AS n_words,
-                        CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct
-                 FROM mw)
-         SELECT * FROM pg UNION ALL SELECT * FROM ma ORDER BY g""",
-
-    "sketch_cms" -> cmsOracle,
-    "sketch_hll_distinct" -> hllOracle,
-    "sketch_hll_groups" -> hllGroupsOracle,
-    "sketch_hll_sliding" -> hllSlidingOracle,
-    "sketch_hll_union" -> hllUnionOracle,
-    "sketch_kmv_distinct" -> kmvOracle,
-    // round-11 promotion: portable KMV distinct estimates in the profile
-    "profile_approx" -> profileApproxOracle,
-    "sketch_kmv_jaccard" -> kmvJaccardOracle,
-    "sketch_kmv_setops" -> kmvSetOpsOracle,
-    "sketch_ams_f2" -> amsF2Oracle,
-    "stream_ams_parity" -> amsOracleFor("events", "user_id"),
-    "sketch_hist_quantiles" -> histQuantilesOracle,
-
-    // the merge law IS the identity under test (the hll_union
-    // discipline): the oracle derives the quantiles from the histogram
-    // of the concatenated slices — bucket-wise count addition makes the
-    // merged sketch equal it exactly, so diff_upper must be 0
-    "sketch_hist_merge" ->
-      s"""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
-                      AS cents
-                   FROM lineitem WHERE l_linenumber IN (1, 2)),
-         hb AS (SELECT least(4095, greatest(0, (cents - 0) // 4096))
-                  AS bucket, count(*) AS cnt
-                FROM c GROUP BY 1),
-         cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket)
-                                     AS BIGINT) AS cum
-                 FROM hb),
-         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hb),
-         qs AS (SELECT CAST(unnest([5000, 9000]) AS BIGINT) AS q_bp)
-         SELECT q_bp, CAST(min(bucket) AS BIGINT) AS bucket,
-                CAST((min(bucket) + 1) * 4096 - 1 AS BIGINT) AS est_upper,
-                max(n_total) AS n_total,
-                CAST((min(bucket) + 1) * 4096 - 1 AS BIGINT) AS union_upper,
-                CAST(0 AS BIGINT) AS diff_upper
-         FROM qs CROSS JOIN cum CROSS JOIN tot
-         WHERE cum * 10000 >= q_bp * n_total
-         GROUP BY 1 ORDER BY 1""",
-    "sketch_join_size" -> joinSizeOracle,
-    "events_mad_outliers" -> madOracle,
-
-    // the verdict row exists IFF the in-plan rank-ε assert held, so the
-    // twin is the trivially-true shape: one gate_ok=1 row per event_type
-    "events_winsorize_gate" ->
-      """SELECT event_type, CAST(1 AS BIGINT) AS gate_ok
-         FROM events GROUP BY 1 ORDER BY 1""",
-
-    // the same quad-hash (hllOracleFor's h expression) ranked per source
-    "fp_bottomk_stratified" -> {
-      import graft.functions.Portable.{P1, P2, aCoef, bCoef}
-      import graft.ops.Sketches.HllSeedBase
-      val (a1, b1) = (aCoef(HllSeedBase), bCoef(HllSeedBase))
-      val (a2, b2) = (aCoef(HllSeedBase + 1), bCoef(HllSeedBase + 1))
-      s"""WITH d AS (SELECT DISTINCT source, CAST(doc_id AS BIGINT) AS k
-         |           FROM documents),
-         | q AS (SELECT source, k, k % $P1 AS q1, k % $P2 AS q2 FROM d),
-         | h AS (SELECT source, k,
-         |              ((((q1 * q1) % $P1) * $a1 + q1 * $b1) % $P1) * $P2
-         |              + (((q2 * q2) % $P2) * $a2 + q2 * $b2) % $P2 AS h
-         |       FROM q),
-         | r AS (SELECT source, k AS doc_id, h,
-         |              CAST(row_number() OVER (PARTITION BY source
-         |                ORDER BY h, k) AS BIGINT) AS rn
-         |       FROM h)
-         |SELECT source, doc_id, h, rn FROM r WHERE rn <= 20
-         |ORDER BY source, rn""".stripMargin
-    },
-
-    // the committed snapshots re-derived from the base table: v1 is the
-    // keyed subset, v2 the full table
-    "snapshot_time_travel" ->
-      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS revenue
-         FROM orders WHERE o_orderkey % 3 <> 0
-         UNION ALL
-         SELECT CAST(2 AS BIGINT), count(*),
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-         FROM orders
-         ORDER BY version""",
-
-    // weighted bins: sum of token counts per 4-char length bin, then
-    // the same covering-bin selection
-    "sketch_hist_weighted" ->
-      """WITH d AS (SELECT n_chars,
-                           CAST(len(string_split(text, ' ')) AS BIGINT)
-                             AS n_tok
-                    FROM documents),
-          hb AS (SELECT least(1023, greatest(0, (n_chars - 0) // 4))
-                          AS bucket,
-                        CAST(sum(n_tok) AS BIGINT) AS cnt
-                 FROM d GROUP BY 1),
-          cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket)
-                                      AS BIGINT) AS cum
-                  FROM hb),
-          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hb),
-          qs AS (SELECT CAST(unnest([2500, 5000, 9000]) AS BIGINT) AS q_bp)
-         SELECT q_bp, CAST(min(bucket) AS BIGINT) AS bucket,
-                CAST(0 + (min(bucket) + 1) * 4 - 1 AS BIGINT) AS est_upper,
-                max(n_total) AS n_total
-         FROM qs CROSS JOIN cum CROSS JOIN tot
-         WHERE cum * 10000 >= q_bp * n_total
-         GROUP BY 1 ORDER BY 1""",
-
-    // one-row sum-merged stream state ≡ the batch conditional aggregate
-    "stream_dq_parity" ->
-      """SELECT count(*) AS n_rows,
-                CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS v_gt400,
-                CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS v_neg,
-                CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
-                     AS BIGINT) AS v_null_type
-         FROM events""",
-
-    // the MV indistinguishability contract: full recompute over events
-    "snapshot_incremental_mv" ->
-      """SELECT user_id, count(*) AS cnt,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                  AS sum_cents,
-                min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
-         FROM events GROUP BY 1 ORDER BY user_id""",
-
-    // token-mass shares per half, full-outer merged, top-20 |delta|
-    "text_vocab_drift" ->
-      """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS tk
-                     FROM documents WHERE doc_id % 2 = 0),
-          ca AS (SELECT tk, count(*) AS cnt FROM ta WHERE tk <> ''
-                 GROUP BY 1),
-          sa AS (SELECT tk, (cnt * 10000)
-                   // (SELECT sum(cnt) FROM ca) AS share_a_bp FROM ca),
-          tb AS (SELECT unnest(string_split(text, ' ')) AS tk
-                 FROM documents WHERE doc_id % 2 <> 0),
-          cb AS (SELECT tk, count(*) AS cnt FROM tb WHERE tk <> ''
-                 GROUP BY 1),
-          sb AS (SELECT tk, (cnt * 10000)
-                   // (SELECT sum(cnt) FROM cb) AS share_b_bp FROM cb),
-          m AS (SELECT coalesce(sa.tk, sb.tk) AS tk,
-                       CAST(coalesce(share_a_bp, 0) AS BIGINT) AS share_a_bp,
-                       CAST(coalesce(share_b_bp, 0) AS BIGINT) AS share_b_bp
-                FROM sa FULL JOIN sb ON sa.tk = sb.tk)
-         SELECT tk, share_a_bp, share_b_bp,
-                abs(share_a_bp - share_b_bp) AS drift_bp
-         FROM m ORDER BY drift_bp DESC, tk LIMIT 20""",
-
-    // quantile_cont at quarter ranks ×4 ≡ percentile ×4, all integers
-    "events_quartiles" ->
-      """WITH c AS (SELECT event_type,
-                           CAST(round(value * 100) AS BIGINT) AS c
-                    FROM events)
-         SELECT event_type, count(*) AS n,
-                CAST(4 * quantile_cont(c, 0.25) AS BIGINT) AS p25_cents4,
-                CAST(4 * quantile_cont(c, 0.5) AS BIGINT) AS p50_cents4,
-                CAST(4 * quantile_cont(c, 0.75) AS BIGINT) AS p75_cents4
-         FROM c GROUP BY 1 ORDER BY event_type""",
-
-    // lag gaps in (ts, event_id) order; quantile_cont ×2 vs percentile ×2
-    "events_interarrival" ->
-      """WITH g AS (SELECT user_id,
-                           epoch_us(ts) - lag(epoch_us(ts))
-                             OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS gap
-                    FROM events)
-         SELECT user_id, count(*) AS n_gaps,
-                min(gap) AS min_gap_us, max(gap) AS max_gap_us,
-                CAST(2 * quantile_cont(gap, 0.5) AS BIGINT) AS med_gap_us2
-         FROM g WHERE gap IS NOT NULL
-         GROUP BY 1 ORDER BY user_id""",
-
-    // events_funnel's CTE chain with the RANGE-frame EXISTS carry: a
-    // stage hit converts iff a valid prior-stage hit lies in
-    // us ∈ [event − 24h, event − 1] (strictly earlier, within gap)
-    "events_funnel_timed" ->
-      """WITH e AS (
-           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-           FROM events WHERE event_type IN ('view','click','purchase')),
-         w0 AS (SELECT *, CASE WHEN event_type = 'view' THEN us END AS h0
-                FROM e),
-         c1 AS (SELECT *, max(h0)
-                  OVER (PARTITION BY user_id ORDER BY us
-                        RANGE BETWEEN 86400000000 PRECEDING
-                                  AND 1 PRECEDING)
-                  AS carry_1
-                FROM w0),
-         w1 AS (SELECT *, CASE WHEN event_type = 'click'
-                                AND carry_1 IS NOT NULL
-                               THEN us END AS h1
-                FROM c1),
-         c2 AS (SELECT *, max(h1)
-                  OVER (PARTITION BY user_id ORDER BY us
-                        RANGE BETWEEN 86400000000 PRECEDING
-                                  AND 1 PRECEDING)
-                  AS carry_2
-                FROM w1),
-         w2 AS (SELECT *, CASE WHEN event_type = 'purchase'
-                                AND carry_2 IS NOT NULL
-                               THEN us END AS h2
-                FROM c2),
-         per_user AS (
-           SELECT user_id,
-                  max(CASE WHEN h0 IS NOT NULL THEN 1 ELSE 0 END) AS s_0,
-                  max(CASE WHEN h1 IS NOT NULL THEN 1 ELSE 0 END) AS s_1,
-                  max(CASE WHEN h2 IS NOT NULL THEN 1 ELSE 0 END) AS s_2
-           FROM w2 GROUP BY 1),
-         t AS (SELECT COALESCE(CAST(sum(s_0) AS BIGINT), 0) AS n_0,
-                      COALESCE(CAST(sum(s_1) AS BIGINT), 0) AS n_1,
-                      COALESCE(CAST(sum(s_2) AS BIGINT), 0) AS n_2
-               FROM per_user)
-         SELECT * FROM (
-           SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
-                  n_0 AS n_users FROM t
-           UNION ALL SELECT 2, 'view>click', n_1 FROM t
-           UNION ALL SELECT 3, 'view>click>purchase', n_2 FROM t)
-         ORDER BY stage_idx""",
-
-    // exactness contract: the pruned versioned read ≡ the plain band
-    // filter over everything committed (all of orders)
-    "snapshot_pruned_read" ->
-      """SELECT o_orderpriority, count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS revenue
-         FROM orders
-         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-           AND o_orderdate < TIMESTAMP '1997-07-01'
-         GROUP BY 1 ORDER BY o_orderpriority""",
-
-    // the erased table ≡ the base table minus the predicate
-    "snapshot_delete" ->
-      """SELECT count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS revenue
-         FROM orders WHERE NOT (o_custkey % 97 = 0)""",
-
-    // snapshot_wap: main after publish = the base table plus the
-    // audited branch batch
-    "snapshot_wap" ->
-      """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders
-                    UNION ALL
-                    SELECT o_orderkey, o_totalprice FROM orders
-                    WHERE o_orderkey % 11 = 0)
-         SELECT count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS revenue
-         FROM a""",
-
-    // snapshot_add_column: the evolved table re-derived — v1 rows with
-    // a NULL band, the appended batch with its computed band
-    "snapshot_add_column" ->
-      """WITH v1 AS (SELECT o_orderkey, o_totalprice,
-                            CAST(NULL AS BIGINT) AS o_band
-                     FROM orders),
-          app AS (SELECT o_orderkey, o_totalprice,
-                         CAST(o_orderkey % 7 AS BIGINT) AS o_band
-                  FROM orders WHERE o_orderkey % 3 = 0),
-          a AS (SELECT * FROM v1 UNION ALL SELECT * FROM app)
-         SELECT count(*) AS cnt,
-                CAST(count(o_band) AS BIGINT) AS n_band,
-                CAST(sum(o_band) AS BIGINT) AS band_sum,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS revenue
-         FROM a""",
-
-    // snapshot_merge: the merged table re-derived relationally —
-    // survivors with rewritten priorities plus the offset-key inserts
-    "snapshot_merge" ->
-      """WITH surv AS (SELECT o_totalprice,
-                              CASE WHEN o_orderkey % 7 = 0
-                                   THEN 'X-MERGED'
-                                   ELSE o_orderpriority END AS prio
-                       FROM orders WHERE o_custkey % 101 <> 0),
-          ins AS (SELECT o_totalprice, 'X-NEW' AS prio
-                  FROM orders WHERE o_orderkey % 13 = 0),
-          allr AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
-         SELECT count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS revenue,
-                CAST(sum(CASE WHEN prio = 'X-MERGED' THEN 1 ELSE 0 END)
-                     AS BIGINT) AS n_merged,
-                CAST(sum(CASE WHEN prio = 'X-NEW' THEN 1 ELSE 0 END)
-                     AS BIGINT) AS n_new
-         FROM allr""",
-
-    // compaction is pure physical reorganization: the read-back must
-    // aggregate to the plain table's numbers; file counts are fixed by
-    // the construction (5 single-file appends -> 2 compacted files)
-    // snapshot_vacuum: the GC outcome in closed form — 4 single-file
-    // commits, keep 2, so 2 manifests + 2 orphaned data files go; v3
-    // (o_orderkey % 4 <= 2) still time-travels
-    "snapshot_vacuum" ->
-      """SELECT (SELECT count(*) FROM orders) AS cnt,
-                (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                             AS DOUBLE) FROM orders) AS revenue,
-                CAST(4 AS BIGINT) AS versions_before,
-                CAST(2 AS BIGINT) AS versions_after,
-                CAST(4 AS BIGINT) AS data_files_before,
-                CAST(2 AS BIGINT) AS data_files_after,
-                (SELECT count(*) FROM orders WHERE o_orderkey % 4 <= 2)
-                  AS cnt_prev""",
-
-    "snapshot_compaction" ->
-      """SELECT count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS revenue,
-                CAST(5 AS BIGINT) AS files_before,
-                CAST(2 AS BIGINT) AS files_after
-         FROM orders""",
-
-    // sim_brute_topk's ranking CTEs twice (full vs [1:16] prefix), then
-    // a per-query set intersection in integers
-    "ann_recall_matryoshka" ->
-      """WITH base AS (
-           SELECT vec_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM embeddings),
-         tb AS (
-           SELECT vec_id, embedding[1:16]::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding[1:16]::DOUBLE[],
-                                        embedding[1:16]::DOUBLE[])) AS nrm
-           FROM embeddings),
-         fullk AS (
-           SELECT q_id, vec_id FROM (
-             SELECT q.vec_id AS q_id, b.vec_id,
-                    row_number() OVER (PARTITION BY q.vec_id
-                      ORDER BY list_dot_product(b.v, q.v) / (b.nrm * q.nrm) DESC,
-                               b.vec_id ASC) AS rnk
-             FROM base b JOIN base q ON q.vec_id < 20 AND b.vec_id <> q.vec_id)
-           WHERE rnk <= 10),
-         prek AS (
-           SELECT q_id, vec_id FROM (
-             SELECT q.vec_id AS q_id, b.vec_id,
-                    row_number() OVER (PARTITION BY q.vec_id
-                      ORDER BY list_dot_product(b.v, q.v) / (b.nrm * q.nrm) DESC,
-                               b.vec_id ASC) AS rnk
-             FROM tb b JOIN tb q ON q.vec_id < 20 AND b.vec_id <> q.vec_id)
-           WHERE rnk <= 10),
-         j AS (SELECT coalesce(f.q_id, p.q_id) AS q_id,
-                      CASE WHEN f.vec_id IS NOT NULL AND p.vec_id IS NOT NULL
-                           THEN 1 ELSE 0 END AS cap
-               FROM fullk f FULL JOIN prek p
-                 ON f.q_id = p.q_id AND f.vec_id = p.vec_id)
-         SELECT q_id, CAST(sum(cap) AS BIGINT) AS n_captured,
-                (CAST(sum(cap) AS BIGINT) * 10000) // 10 AS recall_bp
-         FROM j GROUP BY 1 ORDER BY q_id""",
-
-    // the dedup_clusters recursive-CTE closure + the quality_filter
-    // integer columns + the same three-key argmax
-    "dedup_keep_best" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                WHERE len(arr) >= 3),
-         kept AS (SELECT doc_id, s FROM sh
-                  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
-         n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
-         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-                 FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-         pairs AS (
-           SELECT da, db FROM com
-           JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
-           WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000),
-         sym AS (SELECT da AS src, db AS dst FROM pairs
-                 UNION ALL SELECT db, da FROM pairs),
-         reach AS (
-           SELECT src AS a, src AS b FROM sym
-           UNION
-           SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
-         clu AS (SELECT a AS doc_id, min(b) AS cluster_id
-                 FROM reach GROUP BY 1),
-         q AS (SELECT doc_id,
-                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                      CAST(floor(len(list_distinct(string_split(text, ' '))) * 10000.0
-                           / len(string_split(text, ' '))) AS BIGINT) AS uniq_ratio_bp
-               FROM documents),
-         j AS (SELECT clu.cluster_id, clu.doc_id, q.n_tokens, q.uniq_ratio_bp,
-                      row_number() OVER (PARTITION BY clu.cluster_id
-                        ORDER BY q.uniq_ratio_bp DESC, q.n_tokens DESC,
-                                 clu.doc_id) AS rn,
-                      count(*) OVER (PARTITION BY clu.cluster_id) AS n_members
-               FROM clu JOIN q ON q.doc_id = clu.doc_id)
-         SELECT cluster_id, doc_id AS keep_id,
-                CAST(n_members AS BIGINT) AS n_members, uniq_ratio_bp, n_tokens
-         FROM j WHERE rn = 1 ORDER BY cluster_id""",
-
-    // two lags on the same (ts, event_id) user window; full tie-break
-    "events_paths_top" ->
-      """WITH o AS (SELECT user_id, event_type,
-                           lag(event_type, 2) OVER w AS t1,
-                           lag(event_type, 1) OVER w AS t2
-                    FROM events
-                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT t1, t2, event_type AS t3, count(*) AS cnt
-         FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-         GROUP BY 1, 2, 3
-         ORDER BY cnt DESC, t1, t2, t3 LIMIT 10""",
-
-    // the same integer moments; pmod ≡ % on non-negative epoch-us
-    "events_covariance" ->
-      """WITH e AS (SELECT event_type,
-                           CAST(round(value * 100) AS BIGINT) AS x,
-                           (epoch_us(ts) % 86400000000) // 60000000 AS y
-                    FROM events),
-          m AS (SELECT event_type, count(*) AS n,
-                       CAST(sum(x) AS BIGINT) AS sum_x,
-                       CAST(sum(y) AS BIGINT) AS sum_y,
-                       CAST(sum(x * y) AS BIGINT) AS sum_xy
-                FROM e GROUP BY 1)
-         SELECT event_type, n, sum_x, sum_y,
-                n * sum_xy - sum_x * sum_y AS cov_scaled
-         FROM m ORDER BY event_type""",
-
-    // lag window in (ts, event_id) order; row shares as floor-div bp
-
-    "events_transitions" ->
-      """WITH o AS (SELECT user_id, event_type,
-                           lag(event_type) OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id) AS prev_type
-                    FROM events),
-          p AS (SELECT prev_type, event_type AS next_type, count(*) AS cnt
-                FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-          t AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS row_total
-                FROM p GROUP BY 1)
-         SELECT p.prev_type, p.next_type, p.cnt,
-                (p.cnt * 10000) // t.row_total AS share_bp
-         FROM p JOIN t USING (prev_type)
-         ORDER BY prev_type, next_type""",
-
-    // grouped twin of stream_hist_parity's hist SQL, partitioned
-    // cumulative window + per-group covering-bin selection
-    "sketch_hist_groups" ->
-      """WITH c AS (SELECT event_type,
-                           CAST(round(value * 100) AS BIGINT) AS cents
-                    FROM events),
-          hb AS (SELECT event_type,
-                        least(1023, greatest(0, (cents - 0) // 64)) AS bucket,
-                        count(*) AS cnt
-                 FROM c GROUP BY 1, 2),
-          cum AS (SELECT event_type, bucket,
-                         CAST(sum(cnt) OVER (PARTITION BY event_type
-                           ORDER BY bucket) AS BIGINT) AS cum
-                  FROM hb),
-          tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_total
-                  FROM hb GROUP BY 1),
-          qs AS (SELECT CAST(unnest([5000, 9500]) AS BIGINT) AS q_bp)
-         SELECT cum.event_type AS event_type, q_bp,
-                CAST(min(cum.bucket) AS BIGINT) AS bucket,
-                CAST(0 + (min(cum.bucket) + 1) * 64 - 1 AS BIGINT)
-                  AS est_upper,
-                max(tot.n_total) AS n_total
-         FROM qs CROSS JOIN cum
-         JOIN tot ON tot.event_type = cum.event_type
-         WHERE cum.cum * 10000 >= q_bp * tot.n_total
-         GROUP BY 1, 2 ORDER BY event_type, q_bp""",
-
-    // the scd2_build version CTEs + the half-open-window as-of join
-    "scd2_temporal_join" ->
-      """WITH ordered AS (
-           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
-                  lag(event_type) OVER w AS prev,
-                  row_number() OVER w AS rn
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         runs AS (
-           SELECT user_id, event_id, event_type, us FROM ordered
-           WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
-         v AS (
-           SELECT user_id, event_type AS state, us AS valid_from_us,
-                  lead(us) OVER (PARTITION BY user_id
-                    ORDER BY us, event_id) AS valid_to_us
-           FROM runs),
-         f AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-               FROM events)
-         SELECT v.state, f.event_type, count(*) AS cnt
-         FROM f JOIN v ON f.user_id = v.user_id
-                      AND f.us >= v.valid_from_us
-                      AND (v.valid_to_us IS NULL OR f.us < v.valid_to_us)
-         GROUP BY 1, 2 ORDER BY state, event_type""",
-
-    // every rule recomputed as plain SQL: CASE sums for checks,
-    // count − count(DISTINCT) for uniqueness, NOT EXISTS for FKs
-    "dq_expectations" ->
-      """WITH o AS (SELECT count(*) AS n,
-                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
-                CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
-                count(o_orderkey) - count(DISTINCT o_orderkey) AS v_uniq
-         FROM orders),
-        c AS (SELECT count(*) AS n,
-                CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_bal,
-                count(c_custkey) - count(DISTINCT c_custkey) AS v_uniq
-              FROM customer),
-        l AS (SELECT count(*) AS n,
-                CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
-              FROM lineitem),
-        e AS (SELECT count(*) AS n,
-                CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS v_val
-              FROM events),
-        d AS (SELECT count(*) AS n,
-                CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_nc
-              FROM documents)
-        SELECT 'check:orders.o_custkey_not_null' AS rule, n AS n_checked, v_null AS n_violations FROM o
-        UNION ALL SELECT 'check:orders.o_totalprice_positive', n, v_price FROM o
-        UNION ALL SELECT 'unique:orders.o_orderkey', n, v_uniq FROM o
-        UNION ALL SELECT 'check:customer.c_acctbal_non_negative', n, v_bal FROM c
-        UNION ALL SELECT 'unique:customer.c_custkey', n, v_uniq FROM c
-        UNION ALL SELECT 'check:lineitem.l_quantity_1_50', n, v_qty FROM l
-        UNION ALL SELECT 'check:events.value_le_400', n, v_val FROM e
-        UNION ALL SELECT 'check:documents.n_chars_consistent', n, v_nc FROM d
-        UNION ALL SELECT 'fk:orders.o_custkey->customer.c_custkey',
-               (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
-               (SELECT count(*) FROM orders o2 WHERE o2.o_custkey IS NOT NULL
-                AND NOT EXISTS (SELECT 1 FROM customer c2
-                                WHERE c2.c_custkey = o2.o_custkey))
-        UNION ALL SELECT 'fk:lineitem.l_orderkey->orders.o_orderkey',
-               (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
-               (SELECT count(*) FROM lineitem l2 WHERE l2.l_orderkey IS NOT NULL
-                AND NOT EXISTS (SELECT 1 FROM orders o3
-                                WHERE o3.o_orderkey = l2.l_orderkey))
-        ORDER BY rule""",
-
-    // dq_suggest: the same profile recomputed column by column; enum
-    // domains via string_agg with an EXPLICIT ORDER BY over a
-    // pre-deduped subquery (the q41 discipline tightened: a pre-SORTED
-    // subquery alone is not honored under DuckDB's parallel
-    // aggregation — observed flaky locally), gates as WHERE clauses on
-    // the UNION ALL branches. Only rules that hold are emitted.
-    "dq_suggest" ->
-      """WITH p AS (SELECT count(*) AS n_rows,
-                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ok,
-                count(DISTINCT o_orderkey) AS nd_ok,
-                CAST(min(o_orderkey) AS BIGINT) AS mn_ok,
-                CAST(max(o_orderkey) AS BIGINT) AS mx_ok,
-                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ck,
-                count(DISTINCT o_custkey) AS nd_ck,
-                CAST(min(o_custkey) AS BIGINT) AS mn_ck,
-                CAST(max(o_custkey) AS BIGINT) AS mx_ck,
-                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_st,
-                count(DISTINCT o_orderstatus) AS nd_st,
-                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_pr,
-                count(DISTINCT o_orderpriority) AS nd_pr
-         FROM orders),
-        dom_st AS (SELECT string_agg(v, ',' ORDER BY v) AS dom FROM (
-            SELECT DISTINCT o_orderstatus AS v FROM orders
-            WHERE o_orderstatus IS NOT NULL)),
-        dom_pr AS (SELECT string_agg(v, ',' ORDER BY v) AS dom FROM (
-            SELECT DISTINCT o_orderpriority AS v FROM orders
-            WHERE o_orderpriority IS NOT NULL))
-        SELECT * FROM (
-          SELECT 'o_orderkey' AS col_name, 'not_null' AS rule, n_rows,
-                 nn_ok AS n_null, nd_ok AS n_distinct, '' AS details
-          FROM p WHERE nn_ok = 0
-          UNION ALL SELECT 'o_orderkey', 'unique', n_rows, nn_ok, nd_ok, ''
-          FROM p WHERE n_rows > nn_ok AND nd_ok = n_rows - nn_ok
-          UNION ALL SELECT 'o_orderkey', 'range', n_rows, nn_ok, nd_ok,
-                 mn_ok || '..' || mx_ok
-          FROM p WHERE n_rows > nn_ok
-          UNION ALL SELECT 'o_custkey', 'not_null', n_rows, nn_ck, nd_ck, ''
-          FROM p WHERE nn_ck = 0
-          UNION ALL SELECT 'o_custkey', 'unique', n_rows, nn_ck, nd_ck, ''
-          FROM p WHERE n_rows > nn_ck AND nd_ck = n_rows - nn_ck
-          UNION ALL SELECT 'o_custkey', 'range', n_rows, nn_ck, nd_ck,
-                 mn_ck || '..' || mx_ck
-          FROM p WHERE n_rows > nn_ck
-          UNION ALL SELECT 'o_orderstatus', 'not_null', n_rows, nn_st, nd_st, ''
-          FROM p WHERE nn_st = 0
-          UNION ALL SELECT 'o_orderstatus', 'unique', n_rows, nn_st, nd_st, ''
-          FROM p WHERE n_rows > nn_st AND nd_st = n_rows - nn_st
-          UNION ALL SELECT 'o_orderstatus', 'enum', n_rows, nn_st, nd_st,
-                 (SELECT dom FROM dom_st)
-          FROM p WHERE nd_st > 0 AND nd_st <= 12
-          UNION ALL SELECT 'o_orderpriority', 'not_null', n_rows, nn_pr, nd_pr, ''
-          FROM p WHERE nn_pr = 0
-          UNION ALL SELECT 'o_orderpriority', 'unique', n_rows, nn_pr, nd_pr, ''
-          FROM p WHERE n_rows > nn_pr AND nd_pr = n_rows - nn_pr
-          UNION ALL SELECT 'o_orderpriority', 'enum', n_rows, nn_pr, nd_pr,
-                 (SELECT dom FROM dom_pr)
-          FROM p WHERE nd_pr > 0 AND nd_pr <= 12)
-        ORDER BY col_name, rule""",
-
-    // dq_benford: identical digit/cents arithmetic, VALUES constant
-    // table for the pre-floored Benford millis
-    "dq_benford" ->
-      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
-                             AS cents
-                    FROM orders),
-          d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
-                            AS BIGINT) AS digit,
-                       CAST(count(*) AS BIGINT) AS n
-                FROM c WHERE cents > 0 GROUP BY 1),
-          t AS (SELECT CAST(sum(CASE WHEN cents > 0 THEN 1 ELSE 0 END)
-                            AS BIGINT) AS n_pos,
-                       CAST(sum(CASE WHEN cents <= 0 THEN 1 ELSE 0 END)
-                            AS BIGINT) AS n_dropped
-                FROM c),
-          b(bd, benford_milli) AS (VALUES (1, 301), (2, 176), (3, 124),
-                 (4, 96), (5, 79), (6, 66), (7, 57), (8, 51), (9, 45)),
-          per AS (SELECT d.digit, d.n,
-                         d.n * 1000 // t.n_pos AS share_milli,
-                         CAST(b.benford_milli AS BIGINT) AS benford_milli,
-                         CAST(abs(d.n * 1000 // t.n_pos
-                                  - b.benford_milli) AS BIGINT)
-                           AS dev_milli,
-                         t.n_dropped
-                  FROM d JOIN b ON b.bd = d.digit CROSS JOIN t)
-         SELECT digit, n, share_milli, benford_milli, dev_milli,
-                n_dropped,
-                CAST(sum(dev_milli) OVER () AS BIGINT) AS total_dev_milli
-         FROM per ORDER BY digit""",
-
-    // dq_key_skew: sorted-rank Gini identity + heaviest-key shares
-    "dq_key_skew" ->
-      """WITH c AS (SELECT CAST(user_id AS BIGINT) AS k,
-                           CAST(count(*) AS BIGINT) AS cnt
-                    FROM events GROUP BY 1),
-          r AS (SELECT k, cnt,
-                       CAST(row_number() OVER (ORDER BY cnt, k)
-                            AS BIGINT) AS rank
-                FROM c),
-          t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
-                       CAST(sum(cnt) AS BIGINT) AS n_rows,
-                       CAST(sum(rank * cnt) AS BIGINT) AS rank_mass,
-                       CAST(max(cnt) AS BIGINT) AS max_cnt
-                FROM r),
-          su AS (SELECT n_keys, n_rows,
-                        (2 * rank_mass - (n_keys + 1) * n_rows) * 10000
-                          // (n_keys * n_rows) AS gini_bp,
-                        max_cnt * 10000 // n_rows AS max_share_bp
-                 FROM t)
-         SELECT r.k AS user_id, r.cnt,
-                r.cnt * 10000 // su.n_rows AS share_bp,
-                su.n_keys, su.n_rows, su.gini_bp, su.max_share_bp
-         FROM r CROSS JOIN su
-         ORDER BY r.cnt DESC, user_id LIMIT 10""",
-
-    // dq_drift: shared clamped $20k-cent buckets, floor-bp shares,
-    // TVD = sum|delta| div 2 and L-inf riding along on every row
-    "dq_drift" ->
-      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
-                           CASE WHEN epoch_us(o_orderdate)
-                                     < 883612800000000 THEN 0 ELSE 1 END
-                             AS side
-                    FROM orders),
-          c AS (SELECT least(24, greatest(0, v // 2000000)) AS bucket,
-                       CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
-                            AS BIGINT) AS n_ref,
-                       CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
-                            AS BIGINT) AS n_cur
-                FROM o GROUP BY 1),
-          t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
-                       CAST(sum(n_cur) AS BIGINT) AS nc FROM c),
-          p AS (SELECT bucket, n_ref, n_cur,
-                       n_ref * 10000 // nr AS ref_bp,
-                       n_cur * 10000 // nc AS cur_bp,
-                       abs(n_cur * 10000 // nc - n_ref * 10000 // nr)
-                         AS delta_bp
-                FROM c CROSS JOIN t),
-          w AS (SELECT CAST(sum(delta_bp) AS BIGINT) // 2 AS tvd_bp,
-                       CAST(max(delta_bp) AS BIGINT) AS linf_bp FROM p)
-         SELECT bucket, n_ref, n_cur, ref_bp, cur_bp, delta_bp,
-                tvd_bp, linf_bp
-         FROM p CROSS JOIN w ORDER BY bucket""",
-
-    // running-max window in arrival (event_id) order, strictly prior rows
-    "events_order_audit" ->
-      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
-                    FROM events),
-          x AS (SELECT event_type, us,
-                       max(us) OVER (PARTITION BY event_type ORDER BY event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                         AS prior_max
-                FROM e)
-         SELECT event_type, count(*) AS n_events,
-                CAST(sum(CASE WHEN prior_max > us THEN 1 ELSE 0 END)
-                     AS BIGINT) AS n_late,
-                CAST(coalesce(max(CASE WHEN prior_max > us
-                                       THEN prior_max - us END), 0)
-                     AS BIGINT) AS max_lateness_us
-         FROM x GROUP BY 1 ORDER BY event_type""",
-
-    // events_seasonal: floor-mean baseline per (type, hour-of-day),
-    // summed absolute deviation per (type, day), top 30
-    "events_seasonal" ->
-      """WITH t AS (SELECT event_type,
-                           CAST(round(value * 100) AS BIGINT) AS c,
-                           (epoch_us(ts) // 3600000000) % 24 AS hod,
-                           epoch_us(ts) // 86400000000 AS day
-                    FROM events),
-          b AS (SELECT event_type, hod,
-                       CAST(sum(c) // count(*) AS BIGINT) AS mean_c
-                FROM t GROUP BY 1, 2),
-          s AS (SELECT t.event_type, t.day, count(*) AS n_events,
-                       CAST(sum(abs(t.c - b.mean_c)) AS BIGINT) AS sad_cents
-                FROM t JOIN b ON b.event_type = t.event_type
-                             AND b.hod = t.hod
-                GROUP BY 1, 2)
-         SELECT event_type, day, n_events, sad_cents FROM s
-         ORDER BY sad_cents DESC, event_type, day LIMIT 30""",
-
-    // events_attribution: the same IGNORE NULLS carry window, channel
-    // rollup and floor share
-    "events_attribution" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
-                           event_type,
-                           CAST(round(value * 100) AS BIGINT) AS c,
-                           CASE WHEN event_type = 'purchase' THEN 1
-                                ELSE 0 END AS is_conv
-                    FROM events),
-          t AS (SELECT *, last_value(CASE WHEN is_conv = 0
-                                          THEN event_type END IGNORE NULLS)
-                       OVER (PARTITION BY user_id
-                             ORDER BY us, is_conv, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) AS touch
-                FROM e),
-          g AS (SELECT coalesce(touch, '(none)') AS channel,
-                       count(*) AS n_conversions,
-                       CAST(sum(c) AS BIGINT) AS rev_cents
-                FROM t WHERE is_conv = 1 GROUP BY 1),
-          tot AS (SELECT sum(rev_cents) AS tot FROM g)
-         SELECT channel, n_conversions, rev_cents,
-                CAST(rev_cents * 10000 // tot AS BIGINT) AS rev_share_bp
-         FROM g CROSS JOIN tot ORDER BY rev_cents DESC, channel""",
-
-    // events_ar_coeffs: the same day collapse + lagged self-join
-    "events_ar_coeffs" ->
-      """WITH d AS (SELECT event_type,
-                           epoch_us(ts) // 86400000000 AS day,
-                           CAST(count(*) AS BIGINT) AS x
-                    FROM events GROUP BY 1, 2),
-          j AS (SELECT a.event_type, t.lag,
-                       a.x AS y, b.x AS xlag
-                FROM d a
-                CROSS JOIN range(1, 8) t(lag)
-                JOIN d b ON b.event_type = a.event_type
-                        AND b.day = a.day - t.lag),
-          g AS (SELECT event_type, CAST(lag AS BIGINT) AS lag,
-                       CAST(count(*) AS BIGINT) AS n,
-                       CAST(sum(xlag) AS BIGINT) AS sx,
-                       CAST(sum(y) AS BIGINT) AS sy,
-                       CAST(sum(xlag * xlag) AS BIGINT) AS sxx,
-                       CAST(sum(y * xlag) AS BIGINT) AS sxy
-                FROM j GROUP BY 1, 2)
-         SELECT event_type, lag, n, sx, sy, sxx, sxy,
-                -- FLOOR division: DuckDB's // truncates toward zero on
-                -- negatives, so subtract the positive mod first (the
-                -- Spark side's pmod identity)
-                CASE WHEN n * sxx - sx * sx <> 0
-                     THEN ((n * sxy - sx * sy) * 1000
-                           - ((((n * sxy - sx * sy) * 1000)
-                               % (n * sxx - sx * sx)
-                               + (n * sxx - sx * sx))
-                              % (n * sxx - sx * sx)))
-                          // (n * sxx - sx * sx) END AS slope_milli
-         FROM g ORDER BY event_type, lag""",
-
-    // events_stickiness: the same (month, day, user) collapse; month
-    // fields are tz-free (Spark session is UTC, parquet ts is naive)
-    "events_stickiness" ->
-      """WITH triple AS (SELECT DISTINCT
-                           CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT)
-                             AS m,
-                           epoch_us(ts) // 86400000000 AS day, user_id
-                         FROM events),
-          d AS (SELECT m, day, CAST(count(*) AS BIGINT) AS dau
-                FROM triple GROUP BY 1, 2),
-          dd AS (SELECT m, CAST(sum(dau) AS BIGINT) AS dau_sum,
-                        CAST(count(*) AS BIGINT) AS n_days
-                 FROM d GROUP BY 1),
-          mm AS (SELECT m, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
-                 FROM triple GROUP BY 1)
-         SELECT dd.m, n_days, dau_sum // n_days AS avg_dau, mau,
-                dau_sum * 10000 // (n_days * mau) AS stickiness_bp
-         FROM dd JOIN mm ON mm.m = dd.m ORDER BY dd.m""",
-
-    // events_attribution_position: same journey segmentation, the
-    // U-shaped 2/1/…/1/2 weights, and the telescoping floor-division
-    // credit (rev·cumw//W − rev·cumw_prev//W) — conserves exactly
-    "events_attribution_position" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
-                           event_type,
-                           CAST(round(value * 100) AS BIGINT) AS c,
-                           CASE WHEN event_type = 'purchase' THEN 1
-                                ELSE 0 END AS is_conv
-                    FROM events),
-          j AS (SELECT *, COALESCE(sum(is_conv)
-                       OVER (PARTITION BY user_id
-                             ORDER BY us, is_conv, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND 1 PRECEDING), 0) AS jid
-                FROM e),
-          conv AS (SELECT user_id, jid, c AS rev_cents
-                   FROM j WHERE is_conv = 1),
-          t AS (SELECT user_id, jid, event_type,
-                       row_number() OVER (PARTITION BY user_id, jid
-                                          ORDER BY us, event_id) AS p,
-                       count(*) OVER (PARTITION BY user_id, jid) AS n
-                FROM j WHERE is_conv = 0),
-          cr AS (SELECT t.event_type, conv.rev_cents,
-                        CASE WHEN p = 1 OR p = n THEN 2 ELSE 1 END AS w,
-                        sum(CASE WHEN p = 1 OR p = n THEN 2 ELSE 1 END)
-                          OVER (PARTITION BY t.user_id, t.jid ORDER BY p
-                                ROWS UNBOUNDED PRECEDING) AS cumw,
-                        CASE WHEN n >= 2 THEN n + 2 ELSE 2 END AS bigw
-                 FROM t JOIN conv ON conv.user_id = t.user_id
-                                 AND conv.jid = t.jid),
-          agg AS (SELECT event_type AS channel,
-                         CAST(count(*) AS BIGINT) AS n_touches,
-                         CAST(sum(rev_cents * cumw // bigw
-                                  - rev_cents * (cumw - w) // bigw)
-                              AS BIGINT) AS credit_cents
-                  FROM cr GROUP BY 1),
-          nn AS (SELECT '(none)' AS channel,
-                        CAST(count(*) AS BIGINT) AS n_touches,
-                        CAST(sum(rev_cents) AS BIGINT) AS credit_cents
-                 FROM conv LEFT JOIN (SELECT DISTINCT user_id, jid
-                                      FROM t) tt
-                   ON tt.user_id = conv.user_id AND tt.jid = conv.jid
-                 WHERE tt.user_id IS NULL
-                 HAVING count(*) > 0)
-         SELECT * FROM agg UNION ALL SELECT * FROM nn
-         ORDER BY credit_cents DESC, channel""",
-
-    // events_forecast_baseline: the same day-arithmetic joins
-    "events_forecast_baseline" ->
-      """WITH d AS (SELECT event_type,
-                           epoch_us(ts) // 86400000000 AS day,
-                           CAST(count(*) AS BIGINT) AS x
-                    FROM events GROUP BY 1, 2)
-         SELECT a.event_type, count(*) AS n_days,
-                CAST(sum(abs(a.x - s.x)) AS BIGINT) // count(*)
-                  AS mae_seasonal,
-                CAST(sum(abs(a.x - n.x)) AS BIGINT) // count(*)
-                  AS mae_naive,
-                CASE WHEN CAST(sum(abs(a.x - s.x)) AS BIGINT) // count(*)
-                          <= CAST(sum(abs(a.x - n.x)) AS BIGINT)
-                             // count(*)
-                     THEN 'seasonal' ELSE 'naive' END AS winner
-         FROM d a JOIN d s ON s.event_type = a.event_type
-                          AND s.day = a.day - 7
-                  JOIN d n ON n.event_type = a.event_type
-                          AND n.day = a.day - 1
-         GROUP BY 1 ORDER BY a.event_type""",
-
-    // events_rolling_distinct: the same fan-out — each active day
-    // covers 7 report days, trimmed at the corpus's last active day
-    "events_rolling_distinct" ->
-      """WITH a AS (SELECT DISTINCT event_type, user_id,
-                           epoch_us(ts) // 86400000000 AS day
-                    FROM events),
-          m AS (SELECT max(day) AS max_day FROM a),
-          f AS (SELECT event_type, user_id,
-                       unnest(range(day, day + 7)) AS d
-                FROM a)
-         SELECT f.event_type, f.d AS day,
-                count(DISTINCT f.user_id) AS n_active
-         FROM f CROSS JOIN m WHERE f.d <= m.max_day
-         GROUP BY 1, 2 ORDER BY event_type, day""",
-
-    // events_concurrency: sweep line with a plain global running sum
-    // (the oracle may centralize; the engine must not)
-    "events_concurrency" ->
-      """WITH marked AS (
-           SELECT user_id, event_id, epoch_us(ts) AS us,
-                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                       THEN 1 ELSE 0 END AS is_new
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         numbered AS (
-           SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-           FROM marked),
-         ses AS (SELECT user_id, session_idx, min(us) AS start_us,
-                        max(us) AS end_us
-                 FROM numbered GROUP BY 1, 2),
-         b AS (SELECT t, CAST(sum(d) AS BIGINT) AS delta FROM (
-             SELECT start_us AS t, 1 AS d FROM ses
-             UNION ALL SELECT end_us + 1, -1 FROM ses)
-           GROUP BY 1 HAVING sum(d) <> 0),
-         tl AS (SELECT t, delta,
-                       CAST(sum(delta) OVER (ORDER BY t
-                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                         AS concurrency
-                FROM b),
-         pk AS (SELECT max(concurrency) AS peak FROM tl)
-         SELECT tl.t, tl.delta, tl.concurrency, pk.peak
-         FROM tl CROSS JOIN pk
-         ORDER BY concurrency DESC, t LIMIT 20""",
-
-    // events_lifecycle: the same lag/lead classification in SQL
-    "events_lifecycle" ->
-      """WITH a AS (SELECT DISTINCT user_id,
-                           epoch_us(ts) // 86400000000 AS day
-                    FROM events),
-          c AS (SELECT user_id, day,
-                       lag(day) OVER w AS prev_day,
-                       lead(day) OVER w AS next_day
-                FROM a
-                WINDOW w AS (PARTITION BY user_id ORDER BY day)),
-          m AS (SELECT max(day) AS max_day FROM a),
-          k AS (SELECT day,
-                       CASE WHEN prev_day IS NULL THEN 'new'
-                            WHEN prev_day = day - 1 THEN 'retained'
-                            ELSE 'resurrected' END AS kind,
-                       next_day
-                FROM c),
-          pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
-                        CAST(sum(CASE WHEN kind = 'new' THEN 1 ELSE 0
-                                 END) AS BIGINT) AS n_new,
-                        CAST(sum(CASE WHEN kind = 'retained' THEN 1
-                                 ELSE 0 END) AS BIGINT) AS n_retained,
-                        CAST(sum(CASE WHEN kind = 'resurrected' THEN 1
-                                 ELSE 0 END) AS BIGINT) AS n_resurrected
-                 FROM k GROUP BY 1),
-          ch AS (SELECT k.day + 1 AS day,
-                        CAST(count(*) AS BIGINT) AS n_churned
-                 FROM k CROSS JOIN m
-                 WHERE k.day < m.max_day
-                   AND (k.next_day IS NULL OR k.next_day > k.day + 1)
-                 GROUP BY 1)
-         SELECT pd.day, pd.n_active, pd.n_new, pd.n_retained,
-                pd.n_resurrected,
-                coalesce(ch.n_churned, 0) AS n_churned
-         FROM pd LEFT JOIN ch ON ch.day = pd.day
-         ORDER BY pd.day""",
-
-    // events_pareto: SQL ntile twin + the same 10-row cumulative
-    "events_pareto" ->
-      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
-                    FROM events GROUP BY 1),
-          d AS (SELECT CAST(ntile(10) OVER (ORDER BY n_events, user_id)
-                            AS BIGINT) AS decile,
-                       n_events
-                FROM u),
-          g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
-                       CAST(sum(n_events) AS BIGINT) AS n_events
-                FROM d GROUP BY 1),
-          t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM g)
-         SELECT g.decile, g.n_users, g.n_events,
-                g.n_events * 10000 // t.tot AS share_bp,
-                CAST(sum(g.n_events) OVER (ORDER BY g.decile DESC
-                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                  * 10000 // t.tot AS cum_share_bp
-         FROM g CROSS JOIN t ORDER BY g.decile DESC""",
-
-    // events_cusum: the same prefix-scan spelling — running residual
-    // sum and clamped running min over the per-type day series
-    "events_cusum" ->
-      """WITH d AS (SELECT event_type,
-                           epoch_us(ts) // 86400000000 AS day,
-                           count(*) AS x
-                    FROM events GROUP BY 1, 2),
-          b AS (SELECT event_type,
-                       CAST(sum(x) // count(*) AS BIGINT) AS mu
-                FROM d GROUP BY 1),
-          p AS (SELECT d.event_type, d.day, CAST(d.x AS BIGINT) AS x,
-                       b.mu,
-                       CAST(sum(d.x - b.mu) OVER w AS BIGINT) AS p
-                FROM d JOIN b ON b.event_type = d.event_type
-                WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
-                             ROWS UNBOUNDED PRECEDING)),
-          s AS (SELECT *, p - least(0, min(p) OVER
-                            (PARTITION BY event_type ORDER BY day
-                             ROWS UNBOUNDED PRECEDING)) AS s
-                FROM p)
-         SELECT event_type, day, x, mu, p, s,
-                CAST(CASE WHEN s > 25 THEN 1 ELSE 0 END AS BIGINT)
-                  AS is_alarm
-         FROM s ORDER BY event_type, day""",
-
-    // events_xcorr: zero-filled hourly series, lag sweep −6..6, exact
-    // integer dot + centered numerator (inner join ≡ zero-fill for
-    // products; lags with no overlapping hours coalesce to dot = 0)
-    "events_xcorr" ->
-      """WITH e AS (SELECT event_type,
-                           epoch_us(ts) // 3600000000 AS h
-                    FROM events),
-          r AS (SELECT max(h) - min(h) + 1 AS hh FROM e),
-          a AS (SELECT h, count(*) AS ca FROM e
-                WHERE event_type = 'click' GROUP BY 1),
-          b AS (SELECT h, count(*) AS cb FROM e
-                WHERE event_type = 'purchase' GROUP BY 1),
-          l AS (SELECT range AS lag FROM range(-6, 7)),
-          d AS (SELECT l.lag, CAST(sum(a.ca * b.cb) AS BIGINT) AS dot
-                FROM l JOIN a ON true JOIN b ON b.h = a.h + l.lag
-                GROUP BY 1),
-          s AS (SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM a) AS sa,
-                       (SELECT CAST(sum(cb) AS BIGINT) FROM b) AS sb,
-                       (SELECT hh FROM r) AS hh)
-         SELECT l.lag, coalesce(d.dot, 0) AS dot,
-                s.hh * coalesce(d.dot, 0) - s.sa * s.sb AS cov_scaled
-         FROM l LEFT JOIN d ON d.lag = l.lag CROSS JOIN s
-         ORDER BY l.lag""",
-
-    // events_rfm: ntile(5) with the user_id tie-break — SQL ntile's
-    // uneven-bucket rule (first N mod n buckets take the extra row) is
-    // exactly what rangeNtileBucket replicates
-    "events_rfm" ->
-      """WITH b AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
-                           count(*) AS n_events,
-                           CAST(sum(CAST(round(value * 100) AS BIGINT))
-                                AS BIGINT) AS tot_cents
-                    FROM events GROUP BY 1),
-          g AS (SELECT max(last_us) AS mx FROM b),
-          s AS (SELECT user_id,
-                       (mx - last_us) // 86400000000 AS recency_days,
-                       n_events, tot_cents,
-                       CAST(ntile(5) OVER (ORDER BY last_us, user_id)
-                            AS BIGINT) AS r_score,
-                       CAST(ntile(5) OVER (ORDER BY n_events, user_id)
-                            AS BIGINT) AS f_score,
-                       CAST(ntile(5) OVER (ORDER BY tot_cents, user_id)
-                            AS BIGINT) AS m_score
-                FROM b CROSS JOIN g)
-         SELECT user_id, recency_days, n_events, tot_cents,
-                r_score, f_score, m_score,
-                r_score * 100 + f_score * 10 + m_score AS rfm
-         FROM s ORDER BY user_id""",
-
-    // the evolution rule inlined over the base table: even keys are
-    // generation 1 (no priority column -> default), odd keys carry it
-    "source_schema_evolution" ->
-      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'UNKNOWN'
-                     ELSE o_orderpriority END AS o_orderpriority,
-                count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS revenue
-         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
-
-    // the search_bm25 scoring fragments re-used per term-partition, plus
-    // the density-relevance CASE and the exact 2520/rank
-    "search_mrr_eval" -> {
-      val terms = MrrQueryTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH dl AS (
-           SELECT doc_id,
-                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
-           FROM documents),
-         st AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl),
-         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                 FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-                WHERE term IN ($terms) GROUP BY 1, 2),
-         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         scored AS (
-           SELECT t.term, t.doc_id, t.tf,
-                  CAST(
-                    (((10000 * st.n_docs) // df.df) * t.tf * (12000 + 10000))
-                    // (t.tf * 10000 +
-                       (12000 * (10000 - 7500 + (7500 * dl.dl) // st.avgdl)) // 10000)
-                  AS BIGINT) AS score_bp
-           FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st),
-         rnk AS (SELECT term, doc_id, tf, score_bp,
-                        CAST(row_number() OVER (PARTITION BY term
-                          ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
-                 FROM scored),
-         top AS (SELECT * FROM rnk WHERE rnk <= 10)
-         SELECT term, min(CASE WHEN tf >= 3 THEN rnk END) AS best_rank,
-                count(*) AS n_ranked,
-                coalesce(2520 // min(CASE WHEN tf >= 3 THEN rnk END),
-                         CAST(0 AS BIGINT)) AS rr_scaled
-         FROM top GROUP BY 1 ORDER BY term"""
-    },
-
-    // power-of-two decay: cents << (30 − capped age); day = floor of
-    // epoch-us (the events_streaks day convention, proven portable)
-    "events_decay_agg" ->
-      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
-                           epoch_us(ts) // 86400000000 AS day FROM events),
-          a AS (SELECT max(day) AS as_of FROM e)
-         SELECT user_id, count(*) AS n_events,
-                CAST(sum(cents << CAST(30 - least(as_of - day, 30) AS INT))
-                     AS BIGINT) AS decay_scaled
-         FROM e CROSS JOIN a GROUP BY 1 ORDER BY user_id""",
-
-    // the streamed-and-committed table must BE the source, row for row
-    "stream_snapshot_parity" ->
-      """SELECT event_id, user_id, event_type,
-                CAST(round(value * 100) AS BIGINT) AS cents
-         FROM events ORDER BY event_id""",
-
-    // streamed bin table ≡ batch hist, then the same covering-bin
-    // quantile selection as sketch_hist_quantiles at the events-value
-    // geometry (1024 × 64-cent bins)
-    "stream_hist_parity" ->
-      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
-                    FROM events),
-          hb AS (SELECT least(1023, greatest(0, (cents - 0) // 64)) AS bucket,
-                        count(*) AS cnt
-                 FROM c GROUP BY 1),
-          cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket)
-                                      AS BIGINT) AS cum
-                  FROM hb),
-          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hb),
-          qs AS (SELECT CAST(unnest([2500, 5000, 7500, 9900]) AS BIGINT)
-                          AS q_bp)
-         SELECT q_bp, CAST(min(bucket) AS BIGINT) AS bucket,
-                CAST(0 + (min(bucket) + 1) * 64 - 1 AS BIGINT) AS est_upper,
-                max(n_total) AS n_total
-         FROM qs CROSS JOIN cum CROSS JOIN tot
-         WHERE cum * 10000 >= q_bp * n_total
-         GROUP BY 1 ORDER BY 1""",
-    // the streaming run must land on EXACTLY the batch sketch — same
-    // generated twin, pointed at the stream's source table
-    "stream_hll_parity" -> hllOracleFor("events", "event_id"),
-
-    // stream_bitmap_parity: streamed word table == batch word table bit
-    // for bit, so the oracle is the batch bitmap + the exact distinct
-    "stream_bitmap_parity" ->
-      """WITH w AS (SELECT event_type,
-                           CAST(user_id AS BIGINT) // 32 AS widx,
-                           bit_or(CAST(1 AS BIGINT)
-                                  << CAST(user_id % 32 AS INTEGER)) AS word
-                    FROM events GROUP BY 1, 2)
-         SELECT w.event_type,
-                CAST(count(*) AS BIGINT) AS n_words,
-                CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct,
-                CAST((SELECT count(DISTINCT user_id) FROM events e
-                      WHERE e.event_type = w.event_type) AS BIGINT)
-                  AS true_distinct
-         FROM w GROUP BY 1 ORDER BY 1""",
-    "graph_bfs" -> bfsOracle,
-    "fp_pps_sample" -> ppsOracle,
-
-    // the manifest/pruning machinery changes which FILES are opened, not
-    // which rows qualify — the oracle is the band filter the result must
-    // exactly equal (SketchesSpec asserts the skipping itself)
-    "manifest_prune" ->
-      """SELECT o_orderpriority, count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders
-         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-           AND o_orderdate < TIMESTAMP '1997-07-01'
-         GROUP BY 1 ORDER BY o_orderpriority""",
-
-    // the Bloom pass is pruning plumbing with zero false negatives and
-    // an exact downstream join — the oracle is the plain semi join it
-    // must be indistinguishable from (SketchesSpec covers the filter
-    // mechanics themselves)
-    "join_bloom_prune" ->
-      """SELECT o_orderpriority, count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders
-         WHERE o_custkey IN (SELECT c_custkey FROM customer
-                             WHERE c_mktsegment = 'BUILDING')
-         GROUP BY 1 ORDER BY o_orderpriority""",
-
-    // same MV contract for the JOIN identity: the oracle is the full
-    // (A∪ΔA) ⋈ (B∪ΔB) recompute — any delta-algebra double count or
-    // miss hash-fails
-    "mv_join_incremental" ->
-      """SELECT c.c_mktsegment, count(*) AS n_orders,
-                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
-                     AS DOUBLE) AS revenue
-         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-         GROUP BY 1 ORDER BY c.c_mktsegment""",
-
-    // the MV correctness contract: merged partial aggregates must be
-    // indistinguishable from the full recompute — so the oracle IS the
-    // full recompute
-    "mv_incremental" ->
-      """SELECT user_id, count(*) AS cnt,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-                min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
-         FROM events GROUP BY 1 ORDER BY user_id""",
-
-    "events_streaks" ->
-      """WITH d AS (SELECT DISTINCT user_id,
-                           epoch_us(ts) // 86400000000 AS day FROM events),
-         isl AS (SELECT user_id, day,
-                        day - row_number() OVER (PARTITION BY user_id
-                                                 ORDER BY day) AS island
-                 FROM d),
-         runs AS (SELECT user_id, island, count(*) AS len
-                  FROM isl GROUP BY 1, 2)
-         SELECT user_id, count(*) AS n_streaks,
-                CAST(max(len) AS BIGINT) AS longest_streak,
-                CAST(sum(len) AS BIGINT) AS active_days
-         FROM runs GROUP BY 1 ORDER BY user_id""",
-
-    // two independent Jaro-Winkler implementations (the codegen kernel
-    // vs DuckDB's) must agree on every rounded basis-point score — the
-    // same cross-engine discipline as dedup_unicode_nfc. ASCII-bound on
-    // the oracle side only (DuckDB scores bytes; the corpus is ASCII).
-    // The blocking (two passes, deterministic cap) is replicated
-    // structurally so a capped run still hash-matches.
-    "er_fuzzy_match" ->
-      s"""WITH $ErPairCtes
-         SELECT q_key, cand_key, jw_bp FROM er_scored
-         WHERE jw_bp >= 9000
-         ORDER BY q_key, cand_key""",
-
-    // the blocked JW pairs resolved to connected components — the same
-    // recursive-CTE min-reachable-id construction as dedup_clusters
-    "er_clusters" ->
-      s"""WITH RECURSIVE $ErPairCtes,
-         pairs AS (SELECT q_key AS da, cand_key AS db FROM er_scored
-                   WHERE jw_bp >= 9000 AND q_key <> cand_key),
-         sym AS (SELECT da AS src, db AS dst FROM pairs
-                 UNION ALL SELECT db, da FROM pairs),
-         reach AS (
-           SELECT src AS a, src AS b FROM sym
-           UNION
-           SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
-         SELECT a AS entity_key, min(b) AS cluster_id
-         FROM reach GROUP BY 1 ORDER BY entity_key""",
-
-    // sorted-neighborhood: one global row_number over the merged
-    // (entities + dirty queries) list, neighbor probe = rank-band join
-    "er_sorted_neighborhood" ->
-      s"""WITH $ErCorpusCtes,
-         u AS (SELECT name, 'e' AS side, cand_key AS key FROM e
-               UNION ALL SELECT dirty, 'q', q_key FROM qd),
-         ranked AS (SELECT *, row_number()
-                      OVER (ORDER BY name, side, key) AS rn
-                    FROM u),
-         qr AS (SELECT key AS q_key, name AS dirty, rn FROM ranked
-                WHERE side = 'q'),
-         er AS (SELECT key AS cand_key, name, rn FROM ranked
-                WHERE side = 'e')
-         SELECT qr.q_key, er.cand_key,
-                CAST(round(jaro_winkler_similarity(qr.dirty, er.name)
-                           * 10000) AS BIGINT) AS jw_bp
-         FROM qr JOIN er ON er.rn BETWEEN qr.rn - 10 AND qr.rn + 10
-         WHERE CAST(round(jaro_winkler_similarity(qr.dirty, er.name)
-                          * 10000) AS BIGINT) >= 9000
-         ORDER BY q_key, cand_key""",
-
-    // er_golden_record: survivorship rules replicated with rank
-    // windows (length-desc-then-name, cnt-desc-then-category)
-    "er_golden_record" ->
-      """WITH orig AS (
-           SELECT c_custkey AS cluster_key, c_name AS name,
-                  CAST(round(c_acctbal * 100) AS BIGINT) AS amount,
-                  c_mktsegment AS category
-           FROM customer),
-         t1 AS (SELECT cluster_key,
-                       substring(name, 1, length(name) - 2) AS name,
-                       CAST(NULL AS BIGINT) AS amount, category
-                FROM orig WHERE cluster_key % 7 = 0),
-         t2 AS (SELECT cluster_key, name, amount - 100 AS amount,
-                       'DUP' AS category
-                FROM orig WHERE cluster_key % 14 = 0),
-         rec AS (SELECT * FROM orig UNION ALL SELECT * FROM t1
-                 UNION ALL SELECT * FROM t2),
-         base AS (SELECT cluster_key,
-                         CAST(count(*) AS BIGINT) AS n_members,
-                         CAST(max(amount) AS BIGINT) AS amount,
-                         CAST(sum(CASE WHEN amount IS NULL THEN 1
-                                       ELSE 0 END) AS BIGINT)
-                           AS n_null_amount
-                  FROM rec GROUP BY 1),
-         nm AS (SELECT cluster_key, name FROM (
-                  SELECT cluster_key, name,
-                         row_number() OVER (PARTITION BY cluster_key
-                           ORDER BY length(name) DESC, name) AS rn
-                  FROM rec) WHERE rn = 1),
-         md AS (SELECT cluster_key, category FROM (
-                  SELECT cluster_key, category,
-                         row_number() OVER (PARTITION BY cluster_key
-                           ORDER BY cnt DESC, category) AS rn
-                  FROM (SELECT cluster_key, category, count(*) AS cnt
-                        FROM rec WHERE category IS NOT NULL
-                        GROUP BY 1, 2)) WHERE rn = 1)
-         SELECT b.cluster_key, b.n_members, nm.name, b.amount,
-                b.n_null_amount, md.category
-         FROM base b JOIN nm USING (cluster_key)
-                     LEFT JOIN md USING (cluster_key)
-         ORDER BY cluster_key""",
-
-    "er_block_stats" ->
-      s"""WITH e AS (SELECT p_partkey AS cand_key,
-                           p_name || '-' || CAST(p_partkey % 1000 AS VARCHAR) AS name
-                    FROM part),
-         ebl AS (SELECT 'p' AS pass, substring(name, 1, $ErPrefixLen) AS blk,
-                        cand_key FROM e
-                 UNION ALL
-                 SELECT 's', right(name, $ErSuffixLen), cand_key FROM e),
-         sz AS (SELECT pass, blk, count(*) AS sz FROM ebl GROUP BY 1, 2)
-         SELECT pass, count(*) AS n_blocks,
-                CAST(sum(sz) AS BIGINT) AS n_entities,
-                max(sz) AS max_block,
-                CAST(sum(greatest(sz - $ErMaxBlock, 0)) AS BIGINT) AS n_dropped
-         FROM sz GROUP BY pass ORDER BY pass""",
-
-    "corpus_mix" ->
-      """WITH s AS (SELECT source, count(*) AS n_docs,
-                           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-                    FROM documents GROUP BY 1),
-         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
-         SELECT source, n_docs, n_tokens,
-                CAST(floor(n_tokens * 10000.0 / total) AS BIGINT) AS share_bp
-         FROM s CROSS JOIN t ORDER BY source""",
-
-    "q9_events_tumbling" ->
-      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
-                count(*) AS cnt,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
-
-    // the streaming run must equal the batch tumbling aggregate exactly
-    "stream_tumbling_parity" ->
-      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
-                count(*) AS cnt,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
-
-    // the streaming sliding run must equal the batch sliding aggregate
-    // (each event fans out to its two covering 1h/30min windows)
-    "stream_sliding_parity" ->
-      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
-         w AS (
-           SELECT (us // 1800000000) * 1800000000 AS win_start_us, event_type, value FROM e
-           UNION ALL
-           SELECT (us // 1800000000) * 1800000000 - 1800000000 AS win_start_us, event_type, value FROM e)
-         SELECT win_start_us, event_type, count(*) AS cnt,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
-
-    // stream-static enrichment final counts == the batch dim join
-    "stream_enrich_parity" ->
-      """SELECT c.c_mktsegment AS segment, e.event_type, count(*) AS cnt
-         FROM events e JOIN customer c ON e.user_id = c.c_custkey
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // final mapGroupsWithState state must equal the batch per-user agg;
-    // cents = round(value*100) summed exactly. coalesce(sum, 0): a user
-    // whose every value is NULL sums to NULL here but to 0 cents on the
-    // stream side (each NULL contributes 0 to the running state).
-    "stream_user_stats_parity" ->
-      """SELECT user_id, count(*) AS n_events,
-                CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
-         FROM events WHERE user_id IS NOT NULL
-         GROUP BY user_id ORDER BY user_id""",
-
-    "q9b_events_sliding" ->
-      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
-         w AS (
-           SELECT (us // 1800000000) * 1800000000 AS win_start_us, event_type, value FROM e
-           UNION ALL
-           SELECT (us // 1800000000) * 1800000000 - 1800000000 AS win_start_us, event_type, value FROM e)
-         SELECT win_start_us, event_type, count(*) AS cnt,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
-
-    "q11_props_json" ->
-      """SELECT event_type,
-                count(json_extract_string(props, '$.k')) AS n_with_k,
-                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-                CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-                CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-         FROM events GROUP BY 1 ORDER BY event_type""",
-
-    "q10_sessionize" ->
-      """WITH marked AS (
-           SELECT user_id, event_id, value, epoch_us(ts) AS us,
-                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                       THEN 1 ELSE 0 END AS is_new
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         numbered AS (
-           SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-           FROM marked)
-         SELECT user_id, session_idx, count(*) AS n_events,
-                min(us) AS start_us, max(us) AS end_us,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-                max(us) - min(us) AS duration_us
-         FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_idx""",
-
-    // banding is an execution strategy here too; the oracle is the
-    // plain quadratic session×session overlap join
-    "q42_interval_overlap" ->
-      """WITH marked AS (
-           SELECT user_id, event_id, epoch_us(ts) AS us,
-                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                       THEN 1 ELSE 0 END AS is_new
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         numbered AS (
-           SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-           FROM marked),
-         ses AS (
-           SELECT user_id, session_idx, min(us) AS start_us,
-                  max(us) AS end_us
-           FROM numbered GROUP BY 1, 2),
-         p AS (
-           SELECT a.user_id AS user_a, b.user_id AS user_b,
-                  least(a.end_us, b.end_us)
-                    - greatest(a.start_us, b.start_us) AS overlap_us
-           FROM ses a JOIN ses b
-             ON a.user_id < b.user_id
-            AND a.start_us <= b.end_us AND b.start_us <= a.end_us)
-         SELECT user_a, user_b, count(*) AS n_overlaps,
-                CAST(sum(overlap_us) AS BIGINT) AS tot_overlap_us
-         FROM p GROUP BY 1, 2
-         ORDER BY n_overlaps DESC, tot_overlap_us DESC, user_a, user_b
-         LIMIT 100""",
-
-    // banding is an execution strategy; the oracle is the plain bounded
-    // non-equi left join
-    "q27_range_join_banded" ->
-      """SELECT c.user_id, c.event_id, epoch_us(c.ts) AS us,
-                count(v.us2) AS n_views,
-                CAST(coalesce(sum(CAST(v.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_views
-         FROM (SELECT user_id, event_id, ts FROM events
-               WHERE event_type = 'click') c
-         LEFT JOIN (SELECT user_id AS u2, epoch_us(ts) AS us2, value
-                    FROM events WHERE event_type = 'view') v
-           ON v.u2 = c.user_id
-          AND v.us2 >= epoch_us(c.ts) - 3600000000
-          AND v.us2 < epoch_us(c.ts)
-         GROUP BY 1, 2, 3 ORDER BY user_id, event_id""",
-
-    "text_repetition" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-                  i -> t[i] || ' ' || t[i + 1])) AS bg
-                FROM toks WHERE len(t) >= 2),
-         occ AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
-         s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-                      count(*) AS n_uniq_bigrams, max(c) AS top_occ
-               FROM occ GROUP BY 1)
-         SELECT doc_id, n_bigrams, n_uniq_bigrams, top_occ,
-                CAST(floor((n_bigrams - n_uniq_bigrams) * 10000.0 / n_bigrams) AS BIGINT) AS dup_bp,
-                CAST(floor(top_occ * 10000.0 / n_bigrams) AS BIGINT) AS top_bp
-         FROM s ORDER BY doc_id""",
-
-    "inverted_index" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, term FROM
-                        (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                         FROM documents)
-                      WHERE term <> ''),
-         w AS (SELECT term, doc_id,
-                      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
-                      count(*) OVER (PARTITION BY term) AS df
-               FROM tok)
-         SELECT term, CAST(max(df) AS BIGINT) AS df,
-                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-         FROM w WHERE rn <= 20 GROUP BY term ORDER BY term""",
-
-    "pack_sequences" ->
-      """WITH s AS (SELECT doc_id,
-                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-                    FROM documents),
-         c AS (SELECT doc_id, n_tokens,
-                      CAST(sum(n_tokens) OVER (ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS BIGINT) AS cum
-               FROM s)
-         SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
-                (cum - n_tokens) // 256 AS seq_first,
-                (cum - 1) // 256 AS seq_last,
-                (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs
-         FROM c ORDER BY doc_id""",
-
-    "events_resample" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
-                           CAST(round(value * 100) AS BIGINT) AS cents
-                    FROM events),
-         hourly AS (SELECT user_id, h, count(*) AS cnt, sum(cents) AS sum_cents
-                    FROM e GROUP BY 1, 2),
-         span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
-         grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span),
-         j AS (SELECT g.user_id, g.h, hourly.cnt, hourly.sum_cents
-               FROM grid g LEFT JOIN hourly
-                 ON g.user_id = hourly.user_id AND g.h = hourly.h)
-         SELECT user_id, h * 3600000000 AS hour_us,
-                CAST(coalesce(cnt, 0) AS BIGINT) AS n_events,
-                CAST(last_value(sum_cents IGNORE NULLS) OVER (
-                     PARTITION BY user_id ORDER BY h
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS filled_cents
-         FROM j ORDER BY user_id, hour_us""",
-
-    "events_anomaly" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
-                           CAST(round(value * 100) AS BIGINT) AS cents
-                    FROM events),
-         w AS (SELECT event_id, user_id, cents,
-                      CAST(count(cents) OVER fr AS BIGINT) AS n_prev,
-                      CAST(sum(cents) OVER fr AS BIGINT) AS s_prev,
-                      CAST(sum(cents * cents) OVER fr AS BIGINT) AS q_prev
-               FROM e
-               WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id
-                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-         SELECT event_id, user_id, cents, n_prev,
-                CAST(coalesce(n_prev >= 8 AND
-                     (n_prev - 1) * (n_prev * cents - s_prev) * (n_prev * cents - s_prev)
-                     > 9 * n_prev * (n_prev * q_prev - s_prev * s_prev),
-                     FALSE) AS BIGINT) AS is_anomaly
-         FROM w ORDER BY event_id""",
-
-    "table_diff" ->
-      """WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
-         b AS (SELECT o_orderkey,
-                      CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
-                           ELSE o_totalprice END AS o_totalprice,
-                      o_orderstatus
-               FROM orders WHERE o_orderkey % 100 <> 0
-               UNION ALL
-               SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
-               FROM orders WHERE o_orderkey % 50 = 0),
-         j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
-                      CASE WHEN a.o_orderkey IS NULL THEN 'A'
-                           WHEN b.o_orderkey IS NULL THEN 'D'
-                           WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
-                             OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
-                           THEN 'U' END AS change,
-                      a.o_totalprice AS old_o_totalprice,
-                      b.o_totalprice AS new_o_totalprice,
-                      a.o_orderstatus AS old_o_orderstatus,
-                      b.o_orderstatus AS new_o_orderstatus
-               FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
-         SELECT o_orderkey, change, old_o_totalprice, new_o_totalprice,
-                old_o_orderstatus, new_o_orderstatus
-         FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""",
-
-    "text_top_terms" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS term
-           FROM documents),
-         tf AS (
-           SELECT doc_id, term, count(*) AS tf FROM tok
-           WHERE term <> '' AND term NOT IN ('the','a','of','and','to','in')
-           GROUP BY 1, 2),
-         r AS (
-           SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-                       ORDER BY tf DESC, term ASC) AS BIGINT) AS rnk
-           FROM tf)
-         SELECT doc_id, rnk, term, tf FROM r WHERE rnk <= 3
-         ORDER BY doc_id, rnk""",
-
-    // text_lm_familiarity: trigram occurrences via generate_series;
-    // counts joined back occurrence-weighted; integer division.
-    "text_lm_familiarity" ->
-      """WITH tri AS (
-           SELECT doc_id, substr(text, i, 3) AS tri
-           FROM documents,
-           LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS i) g
-           WHERE len(text) >= 3),
-         c AS (SELECT tri, count(*) AS n FROM tri GROUP BY 1)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
-                CAST(sum(n) AS BIGINT) AS fam_sum,
-                CAST(sum(n) // count(*) AS BIGINT) AS fam_avg
-         FROM tri JOIN c USING (tri)
-         GROUP BY doc_id ORDER BY doc_id""",
-
-    // text_heavy_hitters: the MG+rescore result is provably the exact
-    // top-20 (in-plan assertion), so the oracle is the plain exact count.
-    "text_heavy_hitters" ->
-      """WITH tok AS (
-           SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-         SELECT tok, count(*) AS n_tok FROM tok WHERE tok <> ''
-         GROUP BY 1 ORDER BY n_tok DESC, tok ASC LIMIT 20""",
-
-    // search_bm25: same basis-point integer formula, same div order;
-    // dl counts non-empty tokens; sums cast back to BIGINT (DuckDB sums
-    // to HUGEINT).
-    // search_prf_expand: the whole feedback loop unrolled — base
-    // ranking, mined expansion (pre-sorted-subquery string_agg, the
-    // q41-hardened discipline), term-table rescore, final top-10
-    "search_prf_expand" -> {
-      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
-      val excl = (Bm25QueryTerms ++ graft.ops.TextAnalysis.StopWords)
-        .map(t => s"'$t'").mkString(", ")
-      def scoreCte(tfN: String, dfN: String): String =
-        s"""SELECT t.doc_id,
-           |       CAST(sum(
-           |         (((10000 * st.n_docs) // d.df) * t.tf * (12000 + 10000))
-           |         // (t.tf * 10000 +
-           |            (12000 * (10000 - 7500 + (7500 * dl.dl) // st.avgdl)) // 10000)
-           |       ) AS BIGINT) AS score_bp
-           |FROM $tfN t JOIN $dfN d USING (term)
-           |            JOIN dl USING (doc_id), st
-           |GROUP BY 1""".stripMargin
-      s"""WITH dl AS (
-           SELECT doc_id,
-                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
-           FROM documents),
-         st AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl),
-         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                 FROM documents),
-         tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok
-                 WHERE term IN ($terms) GROUP BY 1, 2),
-         df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
-         s0 AS (${scoreCte("tf0", "df0")}),
-         base AS (SELECT doc_id FROM s0 ORDER BY score_bp DESC, doc_id LIMIT 3),
-         mined AS (SELECT term, count(*) AS tf_fb
-                   FROM tok JOIN base USING (doc_id)
-                   WHERE term <> '' AND term NOT IN ($excl)
-                   GROUP BY 1 ORDER BY tf_fb DESC, term LIMIT 3),
-         expcsv AS (SELECT string_agg(term, ',' ORDER BY term)
-                      AS expanded_terms FROM mined),
-         allt AS (SELECT DISTINCT term FROM (
-             SELECT term FROM mined
-             UNION ALL SELECT unnest(ARRAY[$terms]) AS term)),
-         tf1 AS (SELECT doc_id, term, count(*) AS tf
-                 FROM tok JOIN allt USING (term) GROUP BY 1, 2),
-         df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
-         s1 AS (${scoreCte("tf1", "df1")}),
-         top AS (SELECT doc_id,
-                        CAST(row_number() OVER (ORDER BY score_bp DESC,
-                                                         doc_id)
-                             AS BIGINT) AS rnk,
-                        score_bp
-                 FROM s1 ORDER BY score_bp DESC, doc_id LIMIT 10)
-         SELECT top.doc_id, top.rnk, top.score_bp, e.expanded_terms
-         FROM top CROSS JOIN expcsv e ORDER BY rnk"""
-    },
-
-    "search_bm25" -> {
-      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH dl AS (
-           SELECT doc_id,
-                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
-           FROM documents),
-         st AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl),
-         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                 FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-                WHERE term IN ($terms) GROUP BY 1, 2),
-         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         scored AS (
-           SELECT t.doc_id,
-                  CAST(sum(
-                    (((10000 * st.n_docs) // df.df) * t.tf * (12000 + 10000))
-                    // (t.tf * 10000 +
-                       (12000 * (10000 - 7500 + (7500 * dl.dl) // st.avgdl)) // 10000)
-                  ) AS BIGINT) AS score_bp
-           FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
-           GROUP BY 1)
-         SELECT doc_id,
-                CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk,
-                score_bp
-         FROM scored ORDER BY score_bp DESC, doc_id LIMIT 10"""
-    },
-
-    // corpus_report: quality rules (quality_filter oracle) aggregated
-    // per (source, lang) with exact-dup rate off distinct md5 counts.
-    "corpus_report" ->
-      """WITH s AS (
-           SELECT doc_id, source, lang, md5(text) AS fp,
-                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                  CAST(list_sum(list_transform(string_split(text, ' '),
-                       t -> length(t))) AS BIGINT) AS sum_tok_len,
-                  CAST(len(list_filter(string_split(text, ' '),
-                       t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stopwords,
-                  CAST(floor(len(list_distinct(string_split(text, ' '))) * 10000.0
-                       / len(string_split(text, ' '))) AS BIGINT) AS uniq_ratio_bp
-           FROM documents),
-         q AS (SELECT *, CAST((n_tokens BETWEEN 5 AND 5000)
-                  AND (sum_tok_len BETWEEN n_tokens * 3 AND n_tokens * 10)
-                  AND n_stopwords >= 2 AND uniq_ratio_bp >= 3000 AS BIGINT) AS keep
-               FROM s)
-         SELECT source, lang,
-                CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-                CAST(sum(keep) * 10000 // count(*) AS BIGINT) AS quality_bp,
-                CAST((count(*) - count(DISTINCT fp)) * 10000 // count(*) AS BIGINT) AS dup_bp,
-                CAST(sum(n_tokens) // count(*) AS BIGINT) AS avg_tokens
-         FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // search_hybrid: the bm25 CTEs + a one-query cosine top-10, fused by
-    // RRF on ranks (10000 // (60 + rank), 0 when absent from a list).
-    "search_hybrid" -> {
-      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH dl AS (
-           SELECT doc_id,
-                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
-           FROM documents),
-         st AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl),
-         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                 FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-                WHERE term IN ($terms) GROUP BY 1, 2),
-         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         scored AS (
-           SELECT t.doc_id,
-                  CAST(sum(
-                    (((10000 * st.n_docs) // df.df) * t.tf * (12000 + 10000))
-                    // (t.tf * 10000 +
-                       (12000 * (10000 - 7500 + (7500 * dl.dl) // st.avgdl)) // 10000)
-                  ) AS BIGINT) AS score_bp
-           FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
-           GROUP BY 1),
-         lex AS (SELECT doc_id,
-                        CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id)
-                          AS BIGINT) AS lex_rank
-                 FROM scored ORDER BY score_bp DESC, doc_id LIMIT 10),
-         base AS (
-           SELECT vec_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM embeddings),
-         qv AS (SELECT v, nrm FROM base WHERE vec_id = 0),
-         cos AS (SELECT b.vec_id,
-                        list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
-                 FROM base b, qv q WHERE b.vec_id <> 0),
-         vec AS (SELECT vec_id AS doc_id,
-                        CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
-                          AS BIGINT) AS vec_rank
-                 FROM cos ORDER BY cosine DESC, vec_id LIMIT 10)
-         SELECT doc_id,
-                CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
-                CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
-                CAST(coalesce(10000 // (60 + lex_rank), 0)
-                     + coalesce(10000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_bp
-         FROM lex FULL JOIN vec USING (doc_id)
-         ORDER BY rrf_bp DESC, doc_id"""
-    },
-
-    // bpe_merge_pairs: adjacent char pairs inside whitespace tokens.
-    "bpe_merge_pairs" ->
-      """WITH tok AS (
-           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-         p AS (
-           SELECT substr(tok, i, 2) AS pair
-           FROM tok,
-           LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS i) g
-           WHERE len(tok) >= 2)
-         SELECT pair, CAST(count(*) AS BIGINT) AS n
-         FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
-
-    "q32_window_ranks" ->
-      """SELECT o_orderkey, o_custkey,
-                CAST(rank() OVER w AS BIGINT) AS rnk,
-                CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-                percent_rank() OVER w AS prnk,
-                cume_dist() OVER w AS cume
-         FROM orders
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
-         ORDER BY o_orderkey""",
-
-    "q30_exists_subquery" ->
-      """SELECT c_custkey, c_name FROM customer c
-         WHERE EXISTS (SELECT 1 FROM orders o
-                       WHERE o.o_custkey = c.c_custkey
-                         AND o.o_totalprice > 200000)
-           AND NOT EXISTS (SELECT 1 FROM orders o
-                           WHERE o.o_custkey = c.c_custkey
-                             AND o.o_orderpriority = '1-URGENT')
-         ORDER BY c_custkey""",
-
-    // q47_not_in_nulls: identical 3VL semantics expected from DuckDB
-    "q47_not_in_nulls" ->
-      """WITH nc AS (SELECT CASE WHEN c_custkey % 1000 = 0 THEN NULL
-                                 ELSE c_custkey END AS nullable_key
-                     FROM customer)
-         SELECT
-           (SELECT count(*) FROM orders
-            WHERE o_custkey NOT IN (SELECT nullable_key FROM nc))
-             AS not_in_with_null,
-           (SELECT count(*) FROM orders
-            WHERE o_custkey NOT IN (SELECT nullable_key FROM nc
-                                    WHERE nullable_key IS NOT NULL))
-             AS not_in_purged,
-           (SELECT count(*) FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM nc c
-                              WHERE c.nullable_key = o.o_custkey))
-             AS not_exists_cnt""",
-
-    "q31_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
-         FROM lineitem
-         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-         ORDER BY gid, l_returnflag ASC NULLS FIRST,
-                  l_linestatus ASC NULLS FIRST""",
-
-    "events_funnel" ->
-      """WITH e AS (
-           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-           FROM events WHERE event_type IN ('view','click','purchase')),
-         w1 AS (
-           SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
-             OVER (PARTITION BY user_id ORDER BY us, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry_1
-           FROM e),
-         w2 AS (
-           SELECT *, min(CASE WHEN event_type = 'click' AND carry_1 IS NOT NULL
-                              AND us > carry_1 THEN us END)
-             OVER (PARTITION BY user_id ORDER BY us, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry_2
-           FROM w1),
-         per_user AS (
-           SELECT user_id,
-                  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_0,
-                  max(CASE WHEN event_type = 'click' AND carry_1 IS NOT NULL
-                           AND us > carry_1 THEN 1 ELSE 0 END) AS s_1,
-                  max(CASE WHEN event_type = 'purchase' AND carry_2 IS NOT NULL
-                           AND us > carry_2 THEN 1 ELSE 0 END) AS s_2
-           FROM w2 GROUP BY 1),
-         t AS (SELECT COALESCE(CAST(sum(s_0) AS BIGINT), 0) AS n_0,
-                      COALESCE(CAST(sum(s_1) AS BIGINT), 0) AS n_1,
-                      COALESCE(CAST(sum(s_2) AS BIGINT), 0) AS n_2
-               FROM per_user)
-         SELECT * FROM (
-           SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, n_0 AS n_users FROM t
-           UNION ALL
-           SELECT 2, 'view>click', n_1 FROM t
-           UNION ALL
-           SELECT 3, 'view>click>purchase', n_2 FROM t)
-         ORDER BY stage_idx""",
-
-    // text_source_overlap: the same (source, term) collapse + pair join
-    "text_source_overlap" ->
-      """WITH v AS (SELECT DISTINCT src, term FROM (
-                      SELECT source AS src,
-                             unnest(string_split(text, ' ')) AS term
-                      FROM documents)
-                    WHERE term <> ''),
-          sz AS (SELECT src, CAST(count(*) AS BIGINT) AS v FROM v
-                 GROUP BY 1),
-          i AS (SELECT a.src AS sa, b.src AS sb,
-                       CAST(count(*) AS BIGINT) AS inter
-                FROM v a JOIN v b
-                  ON b.term = a.term AND a.src < b.src
-                GROUP BY 1, 2)
-         SELECT i.sa, i.sb, za.v AS va, zb.v AS vb, i.inter,
-                za.v + zb.v - i.inter AS uni,
-                i.inter * 10000 // (za.v + zb.v - i.inter) AS jaccard_bp
-         FROM i JOIN sz za ON za.src = i.sa
-                JOIN sz zb ON zb.src = i.sb
-         ORDER BY i.sa, i.sb""",
-
-    // text_freq_spectrum: same tokenization, powers-of-two range join
-    // for the log2 bin (the graph_degree_dist twin)
-    "text_freq_spectrum" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
-                      FROM documents),
-          tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f
-                 FROM tok WHERE term <> '' GROUP BY 1),
-          b AS (SELECT tf.term, tf.f, CAST(max(t.i) AS BIGINT) AS bin
-                FROM tf JOIN range(0, 40) t(i)
-                  ON (CAST(1 AS BIGINT) << CAST(t.i AS INTEGER)) <= tf.f
-                GROUP BY 1, 2),
-          g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_terms,
-                       CAST(sum(f) AS BIGINT) AS n_occurrences
-                FROM b GROUP BY 1),
-          t2 AS (SELECT CAST(sum(n_terms) AS BIGINT) AS vocab,
-                        CAST(sum(n_occurrences) AS BIGINT) AS toks
-                 FROM g)
-         SELECT bin,
-                CAST(1 AS BIGINT) << CAST(bin AS INTEGER) AS lo_f,
-                n_terms, n_occurrences,
-                n_terms * 1000 // vocab AS terms_share_milli,
-                n_occurrences * 1000 // toks AS occ_share_milli
-         FROM g CROSS JOIN t2 ORDER BY bin""",
-
-    "text_bigram_df" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         bg AS (
-           SELECT doc_id, unnest(list_distinct(list_transform(
-             range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS bigram
-           FROM toks WHERE len(t) >= 2)
-         SELECT bigram, count(*) AS df FROM bg GROUP BY 1
-         ORDER BY df DESC, bigram ASC LIMIT 20""",
-
-    // lift arithmetic is pure BIGINT (sum() widened back down; // floors
-    // = Spark div on the all-positive operands); split-on-space mirrors
-    // Texty.tokens including empty tokens
-    "text_collocations" ->
-      """WITH toks AS (
-           SELECT string_split(text, ' ') AS t FROM documents),
-         uni AS (
-           SELECT u.w, CAST(count(*) AS BIGINT) AS c
-           FROM toks, LATERAL (SELECT unnest(t) AS w) u GROUP BY 1),
-         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
-         pr AS (
-           SELECT t[i] AS w1, t[i + 1] AS w2
-           FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
-           WHERE len(t) >= 2),
-         p AS (
-           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
-           FROM pr GROUP BY 1, 2 HAVING count(*) >= 5)
-         SELECT p.w1 || ' ' || p.w2 AS bigram, p.c_xy,
-                u1.c AS c1, u2.c AS c2,
-                CAST(p.c_xy * n_total * 10000 // (u1.c * u2.c) AS BIGINT)
-                  AS lift_bp
-         FROM p
-         JOIN uni u1 ON p.w1 = u1.w
-         JOIN uni u2 ON p.w2 = u2.w
-         CROSS JOIN tot
-         ORDER BY lift_bp DESC, bigram ASC LIMIT 30""",
-
-    "text_ngram_diversity" ->
-      """WITH toks AS (
-           SELECT source, string_split(text, ' ') AS t FROM documents),
-         uni AS (
-           SELECT source, CAST(count(*) AS BIGINT) AS n_unigrams,
-                  CAST(count(DISTINCT u.g) AS BIGINT) AS d_unigrams
-           FROM toks, LATERAL (SELECT unnest(t) AS g) u GROUP BY 1),
-         bi AS (
-           SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
-                  CAST(count(DISTINCT t[i] || ' ' || t[i + 1]) AS BIGINT)
-                    AS d_bigrams
-           FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
-           WHERE len(t) >= 2 GROUP BY 1)
-         SELECT u.source, u.n_unigrams, u.d_unigrams,
-                CAST(u.d_unigrams * 10000 // u.n_unigrams AS BIGINT)
-                  AS distinct1_bp,
-                CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                CAST(coalesce(b.d_bigrams, 0) AS BIGINT) AS d_bigrams,
-                CAST(b.d_bigrams * 10000 // b.n_bigrams AS BIGINT)
-                  AS distinct2_bp
-         FROM uni u LEFT JOIN bi b ON b.source = u.source
-         ORDER BY u.source""",
-
-    "text_ngram_diversity_hll" -> ngramDiversityHllOracle,
-
-    "text_tfidf_topk" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS term
-           FROM documents),
-         tf AS (
-           SELECT doc_id, term, count(*) AS tf FROM tok
-           WHERE term <> '' GROUP BY 1, 2),
-         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         n AS (SELECT count(*) AS n_docs FROM documents),
-         scored AS (
-           SELECT tf.doc_id, tf.term, tf.tf, df.df,
-                  tf.tf * ((10000 * n.n_docs) // df.df) AS tfidf_bp
-           FROM tf JOIN df USING (term) CROSS JOIN n),
-         r AS (
-           SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-                       ORDER BY tfidf_bp DESC, term ASC) AS BIGINT) AS rnk
-           FROM scored)
-         SELECT doc_id, rnk, term, tf, df, tfidf_bp FROM r WHERE rnk <= 3
-         ORDER BY doc_id, rnk""",
-
-    "quality_filter" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                  CAST(list_sum(list_transform(string_split(text, ' '),
-                       t -> length(t))) AS BIGINT) AS sum_tok_len,
-                  CAST(len(list_filter(string_split(text, ' '),
-                       t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stopwords,
-                  CAST(floor(len(list_distinct(string_split(text, ' '))) * 10000.0
-                       / len(string_split(text, ' '))) AS BIGINT) AS uniq_ratio_bp
-           FROM documents),
-         f AS (
-           SELECT *,
-                  CAST(n_tokens BETWEEN 5 AND 5000 AS BIGINT) AS r_len,
-                  CAST(sum_tok_len BETWEEN n_tokens * 3 AND n_tokens * 10 AS BIGINT) AS r_mean_len,
-                  CAST(n_stopwords >= 2 AS BIGINT) AS r_stopwords,
-                  CAST(uniq_ratio_bp >= 3000 AS BIGINT) AS r_uniq
-           FROM s)
-         SELECT *, CAST(r_len + r_mean_len + r_stopwords + r_uniq = 4 AS BIGINT) AS keep
-         FROM f ORDER BY doc_id""",
-
-    "cdc_apply" ->
-      """WITH all_rows AS (
-           SELECT o_orderkey, o_totalprice, 0 AS version, 'I' AS op FROM orders
-           UNION ALL
-           SELECT o_orderkey, o_totalprice + 1000.0, 1, 'U' FROM orders
-           WHERE o_orderkey % 10 = 0
-           UNION ALL
-           SELECT o_orderkey, 0.0, 2, 'D' FROM orders
-           WHERE o_orderkey % 100 = 0),
-         ranked AS (
-           SELECT *, row_number() OVER (PARTITION BY o_orderkey
-                       ORDER BY version DESC, op DESC) AS rn
-           FROM all_rows)
-         SELECT o_orderkey, o_totalprice FROM ranked
-         WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""",
-
-    "scd2_build" ->
-      """WITH ordered AS (
-           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
-                  lag(event_type) OVER w AS prev,
-                  row_number() OVER w AS rn
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         runs AS (
-           SELECT user_id, event_id, event_type, us FROM ordered
-           WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
-         v AS (
-           SELECT user_id, event_id, event_type, us AS valid_from_us,
-                  lead(us) OVER (PARTITION BY user_id
-                    ORDER BY us, event_id) AS valid_to_us
-           FROM runs)
-         SELECT user_id, event_id, event_type, valid_from_us, valid_to_us,
-                CAST(valid_to_us IS NULL AS BIGINT) AS is_current
-         FROM v ORDER BY user_id, valid_from_us, event_id""",
-
-    "text_stats" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  CAST(length(text) AS BIGINT) AS n_chars,
-                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
-                  CAST(len(list_filter(string_split(text, ' '),
-                       t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stopwords
-           FROM documents)
-         SELECT *,
-                CAST(floor(n_uniq_tokens * 10000.0 / n_tokens) AS BIGINT) AS uniq_ratio_bp,
-                CAST(floor(n_stopwords * 10000.0 / n_tokens) AS BIGINT) AS stop_ratio_bp,
-                CAST(floor(least(n_tokens, 100) * 10000.0 / 200)
-                     + floor(floor(n_uniq_tokens * 10000.0 / n_tokens) / 2) AS BIGINT) AS quality_bp
-         FROM s ORDER BY doc_id""",
-
-    "lang_id" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','is','to'))) AS score_en,
-                  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','ist','das'))) AS score_de,
-                  len(list_filter(string_split(text,' '), t -> t IN ('el','los','es','y','una'))) AS score_es,
-                  len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une'))) AS score_fr,
-                  regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
-           FROM documents)
-         SELECT doc_id,
-                CASE WHEN has_cjk THEN 'zh'
-                     WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und'
-                     WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
-                     WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
-                     WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
-                     ELSE 'fr' END AS lang_pred
-         FROM s ORDER BY doc_id""",
-
-    // lang_id_eval: the lang_id scorer chain + label join + marginals
-    "lang_id_eval" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','is','to'))) AS score_en,
-                  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','ist','das'))) AS score_de,
-                  len(list_filter(string_split(text,' '), t -> t IN ('el','los','es','y','una'))) AS score_es,
-                  len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une'))) AS score_fr,
-                  regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
-           FROM documents),
-          p AS (SELECT doc_id,
-                       CASE WHEN has_cjk THEN 'zh'
-                            WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und'
-                            WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
-                            WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
-                            WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
-                            ELSE 'fr' END AS lang_pred
-                FROM s),
-          j AS (SELECT d.lang AS lang_true, p.lang_pred
-                FROM documents d JOIN p ON p.doc_id = d.doc_id),
-          c AS (SELECT lang_true, lang_pred,
-                       CAST(count(*) AS BIGINT) AS n
-                FROM j GROUP BY 1, 2),
-          rt AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS n_true
-                 FROM c GROUP BY 1),
-          ct AS (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS n_pred
-                 FROM c GROUP BY 1),
-          tt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                        CAST(sum(CASE WHEN lang_true = lang_pred
-                                      THEN 1 ELSE 0 END) AS BIGINT)
-                          AS n_correct
-                 FROM j)
-         SELECT c.lang_true, c.lang_pred, c.n, rt.n_true, ct.n_pred,
-                c.n * 10000 // rt.n_true AS recall_bp,
-                c.n * 10000 // ct.n_pred AS precision_bp,
-                tt.n_correct * 10000 // tt.n_docs AS accuracy_bp
-         FROM c JOIN rt USING (lang_true) JOIN ct USING (lang_pred)
-              CROSS JOIN tt
-         ORDER BY lang_true, lang_pred""",
-
-    // text_readability: same proxy arithmetic, same floor divisions
-    "text_readability" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  CAST(len(list_filter(string_split(text, ' '),
-                       x -> x <> '')) AS BIGINT) AS n_words,
-                  CAST(greatest(len(regexp_extract_all(text, '[.!?]')),
-                       1) AS BIGINT) AS n_sentences,
-                  CAST(len(regexp_extract_all(text, '[aeiouy]+'))
-                       AS BIGINT) AS n_syllables
-           FROM documents)
-         SELECT doc_id, n_words, n_sentences, n_syllables,
-                206835 - (1015 * n_words) // n_sentences
-                       - (84600 * n_syllables) // n_words AS fre_milli
-         FROM s WHERE n_words > 0 ORDER BY doc_id""",
-
-    "token_counts" ->
-      """SELECT doc_id,
-                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
-         FROM documents ORDER BY doc_id""",
-
-    // τ=1/2 temperature mixing by exact largest remainder: both engines
-    // floor the identical IEEE sqrt double, every later step is BIGINT
-    "text_mix_allocation" ->
-      """WITH s AS (SELECT source,
-                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-                      AS n_tokens
-                  FROM documents GROUP BY 1),
-         w AS (SELECT source, n_tokens,
-                      CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight
-               FROM s),
-         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt,
-                      CAST(sum(weight) AS BIGINT) AS wt FROM w),
-         b AS (SELECT w.*, nt, wt, nt // 10 AS budget FROM w CROSS JOIN t),
-         c AS (SELECT *, budget * weight // wt AS base,
-                      (budget * weight) % wt AS rem FROM b),
-         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)
-                           AS rk,
-                      CAST(sum(base) OVER () AS BIGINT) AS sb FROM c)
-         SELECT source, n_tokens,
-                n_tokens * 10000 // nt AS raw_share_bp, weight,
-                base + (CASE WHEN rk <= budget - sb THEN 1 ELSE 0 END)
-                  AS alloc_tokens,
-                (base + (CASE WHEN rk <= budget - sb THEN 1 ELSE 0 END))
-                  * 10000 // budget AS share_bp
-         FROM r ORDER BY source""",
-
-    // contiguous prefix-sum sharding: the window cum equals the
-    // distributed running total exactly
-    "text_shard_balance" ->
-      """WITH s AS (SELECT doc_id,
-                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-                  FROM documents),
-         c AS (SELECT *,
-                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS cum,
-                 CAST(sum(n_tokens) OVER () AS BIGINT) AS total
-               FROM s)
-         SELECT shard, count(*) AS n_docs,
-                CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-                CAST(sum(n_tokens) AS BIGINT) * 10000 // max(total) AS share_bp
-         FROM (SELECT *, least(7, (cum - n_tokens) * 8 // total) AS shard
-               FROM c)
-         GROUP BY shard ORDER BY shard""",
-
-    // greedy quality-first curation under a per-source token budget:
-    // explicit ROWS frame + unique tie-break so both engines accumulate
-    // the prefix sum in the identical order
-    "text_budget_select" ->
-      """WITH s AS (SELECT doc_id, source,
-                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                    CAST(floor(len(list_distinct(string_split(text, ' ')))
-                         * 10000.0 / len(string_split(text, ' ')))
-                      AS BIGINT) AS uniq_ratio_bp
-                  FROM documents),
-         c AS (SELECT *,
-                 CAST(sum(n_tokens) OVER (PARTITION BY source
-                   ORDER BY uniq_ratio_bp DESC, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS cum_tokens,
-                 CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT)
-                   // 4 AS src_budget
-               FROM s)
-         SELECT doc_id, source, n_tokens, uniq_ratio_bp, cum_tokens,
-                src_budget,
-                CAST(cum_tokens <= src_budget AS BIGINT) AS kept
-         FROM c ORDER BY doc_id""",
-
-    "doc_fingerprint" ->
-      """SELECT doc_id, md5(text) AS fp_md5,
-                list_reduce(
-                  list_prepend(CAST(0 AS BIGINT),
-                    list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-                  (a, x) -> (a * 31 + x) % 1000000007) AS fp_roll
-         FROM documents ORDER BY doc_id""",
-
-    // the salt never changes join semantics: oracle is the plain join
-    "q18_skew_salted_join" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         WHERE o_totalprice > 50000
-         GROUP BY 1 ORDER BY n_orders DESC, c_mktsegment ASC""",
-
-    // partition pruning never changes WHAT is read, only how much: the
-    // oracle is the plain filtered aggregate over the source table.
-    "sink_partitioned_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders WHERE o_orderpriority = '1-URGENT'
-         GROUP BY 1 ORDER BY o_orderstatus""",
-
-    "doc_chunk" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-         c AS (SELECT doc_id, i // 30 AS chunk_idx,
-                      list_slice(arr, i + 1, i + 40) AS chunk
-               FROM tok, LATERAL (SELECT unnest(range(0, len(arr), 30)) AS i) r)
-         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-                CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
-                array_to_string(chunk, ' ') AS chunk_text
-         FROM c ORDER BY doc_id, chunk_idx""",
-
-    "embed_quantize" ->
-      """WITH s AS (
-           SELECT vec_id, embedding,
-                  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
-           FROM embeddings)
-         SELECT vec_id, scale,
-                array_to_string(list_transform(embedding, x ->
-                  CASE WHEN scale = 0 THEN '0'
-                       ELSE CAST(CAST(floor((CAST(x AS DOUBLE) * 127.0) / scale) AS BIGINT) AS VARCHAR)
-                  END), ',') AS q_csv
-         FROM s ORDER BY vec_id""",
-
-    "dedup_exact" ->
-      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
-         FROM documents GROUP BY 1 ORDER BY keep_id""",
-
-    // exact duplicate vectors: quantize-then-poly-fold fingerprint (the
-    // portable two-prime basis), planted duplicate = vec 0 under id+10^7
-    "embed_dup_exact" ->
-      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
-         |              UNION ALL
-         |              SELECT vec_id + 10000000, embedding FROM embeddings
-         |              WHERE vec_id = 0),
-         |  f AS (SELECT vec_id, ${vecFpSql("embedding")} AS fp FROM base)
-         |SELECT min(vec_id) AS keep_id, max(vec_id) AS max_id,
-         |       count(*) AS n_dups
-         |FROM f GROUP BY fp HAVING count(*) >= 2
-         |ORDER BY keep_id""".stripMargin,
-
-    "embed_norm_audit" ->
-      """WITH q AS (SELECT vec_id,
-                      list_reduce(list_prepend(CAST(0 AS BIGINT),
-                        list_transform(embedding, x ->
-                          CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))),
-                        (a, v) -> a + v * v) AS qn2
-                    FROM embeddings)
-         SELECT qn2 // 262144 AS band, count(*) AS n_vectors,
-                min(qn2) AS min_qnorm2, max(qn2) AS max_qnorm2
-         FROM q GROUP BY 1 ORDER BY band""",
-
-    // per-dimension floor-means via the pmod identity (sums go negative;
-    // DuckDB // truncates, so raw division would diverge from floor)
-    "embed_centroid_drift" ->
-      """WITH q AS (SELECT vec_id, d - 1 AS d,
-                      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS q
-                    FROM (SELECT vec_id, unnest(embedding) AS x,
-                                 generate_subscripts(embedding, 1) AS d
-                          FROM embeddings)),
-           m AS (SELECT d, vec_id % 2 AS half, sum(q) AS s,
-                        CAST(count(*) AS BIGINT) AS n
-                 FROM q GROUP BY 1, 2),
-           mm AS (SELECT d, half,
-                         CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS m
-                  FROM m)
-         SELECT d, max(CASE WHEN half = 0 THEN m END) AS mean_even,
-                max(CASE WHEN half = 1 THEN m END) AS mean_odd,
-                abs(max(CASE WHEN half = 0 THEN m END)
-                    - max(CASE WHEN half = 1 THEN m END)) AS drift
-         FROM mm GROUP BY d ORDER BY d""",
-
-    // dedup_chunk_substrings: 10-token chunks; first occurrence by
-    // (doc_id, pos) wins; documents rebuilt from surviving chunks.
-    "dedup_chunk_substrings" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-                       FROM documents),
-         occ AS (
-           SELECT doc_id, pos,
-                  array_to_string(tk[(pos*10+1):(pos*10+10)], ' ') AS chunk
-           FROM toks,
-           LATERAL (SELECT unnest(generate_series(0,
-                      (len(tk) + 9) // 10 - 1)) AS pos) p),
-         ranked AS (
-           SELECT doc_id, pos, chunk,
-                  row_number() OVER (PARTITION BY md5(chunk)
-                                     ORDER BY doc_id, pos) AS rn
-           FROM occ),
-         rebuilt AS (
-           SELECT doc_id, count(*) AS n_kept,
-                  string_agg(chunk, ' ' ORDER BY pos) AS clean_text
-           FROM ranked WHERE rn = 1 GROUP BY doc_id),
-         totals AS (SELECT doc_id,
-                           CAST((len(tk) + 9) // 10 AS BIGINT) AS n_chunks
-                    FROM toks)
-         SELECT t.doc_id, t.n_chunks,
-                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-                coalesce(r.clean_text, '') AS clean_text
-         FROM totals t LEFT JOIN rebuilt r USING (doc_id)
-         ORDER BY t.doc_id""",
-
-    // text_boilerplate: chunks in >= 3 distinct docs removed everywhere
-    // (first occurrence included); sub-threshold chunks all survive.
-    "text_boilerplate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-                       FROM documents),
-         occ AS (
-           SELECT doc_id, pos,
-                  array_to_string(tk[(pos*10+1):(pos*10+10)], ' ') AS chunk
-           FROM toks,
-           LATERAL (SELECT unnest(generate_series(0,
-                      (len(tk) + 9) // 10 - 1)) AS pos) p),
-         hot AS (SELECT md5(chunk) AS fp FROM occ
-                 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
-         kept AS (SELECT * FROM occ
-                  WHERE md5(chunk) NOT IN (SELECT fp FROM hot)),
-         rebuilt AS (
-           SELECT doc_id, count(*) AS n_kept,
-                  string_agg(chunk, ' ' ORDER BY pos) AS clean_text
-           FROM kept GROUP BY doc_id),
-         totals AS (SELECT doc_id,
-                           CAST((len(tk) + 9) // 10 AS BIGINT) AS n_chunks
-                    FROM toks)
-         SELECT t.doc_id, t.n_chunks,
-                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-                coalesce(r.clean_text, '') AS clean_text
-         FROM totals t LEFT JOIN rebuilt r USING (doc_id)
-         ORDER BY t.doc_id""",
-
-    // corpus_prep: the composed pipeline — boilerplate CTEs feed the
-    // quality rules on clean_text, md5 groups pick min-id reps, reps'
-    // trigrams probe the bench split; first failing stage attributed.
-    "corpus_prep" ->
-      """WITH corpus AS (SELECT doc_id, text, source FROM documents
-                         WHERE doc_id % 50 <> 0),
-         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
-         occ AS (
-           SELECT doc_id, pos,
-                  array_to_string(tk[(pos*10+1):(pos*10+10)], ' ') AS chunk
-           FROM toks,
-           LATERAL (SELECT unnest(generate_series(0,
-                      (len(tk) + 9) // 10 - 1)) AS pos) p),
-         hot AS (SELECT md5(chunk) AS cfp FROM occ
-                 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
-         keptc AS (SELECT * FROM occ
-                   WHERE md5(chunk) NOT IN (SELECT cfp FROM hot)),
-         rebuilt AS (SELECT doc_id,
-                            string_agg(chunk, ' ' ORDER BY pos) AS clean_text
-                     FROM keptc GROUP BY doc_id),
-         base AS (SELECT c.doc_id, c.source,
-                         coalesce(r.clean_text, '') AS clean_text
-                  FROM corpus c LEFT JOIN rebuilt r USING (doc_id)),
-         s AS (SELECT doc_id,
-                  CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens,
-                  CAST(list_sum(list_transform(string_split(clean_text, ' '),
-                       t -> length(t))) AS BIGINT) AS sum_tok_len,
-                  CAST(len(list_filter(string_split(clean_text, ' '),
-                       t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stopwords,
-                  CAST(floor(len(list_distinct(string_split(clean_text, ' '))) * 10000.0
-                       / len(string_split(clean_text, ' '))) AS BIGINT) AS uniq_ratio_bp
-               FROM base),
-         q AS (SELECT doc_id, n_tokens,
-                  CAST((n_tokens BETWEEN 5 AND 5000)
-                   AND (sum_tok_len BETWEEN n_tokens * 3 AND n_tokens * 10)
-                   AND n_stopwords >= 2 AND uniq_ratio_bp >= 3000 AS BIGINT) AS keep
-               FROM s),
-         wq AS (SELECT b.doc_id, b.source, b.clean_text, q.n_tokens, q.keep,
-                       md5(b.clean_text) AS fp
-                FROM base b JOIN q USING (doc_id)),
-         reps AS (SELECT fp, min(doc_id) AS rep_id FROM wq
-                  WHERE keep = 1 GROUP BY fp),
-         repdocs AS (SELECT w.doc_id, w.clean_text FROM wq w
-                     JOIN reps r ON w.fp = r.fp AND w.doc_id = r.rep_id),
-         csh AS (SELECT DISTINCT doc_id,
-                        arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                 FROM (SELECT doc_id, string_split(clean_text, ' ') AS arr
-                       FROM repdocs) t,
-                 LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                 WHERE len(arr) >= 3),
-         bsh AS (SELECT DISTINCT arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                 FROM (SELECT string_split(text, ' ') AS arr FROM documents
-                       WHERE doc_id % 50 = 0) t,
-                 LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                 WHERE len(arr) >= 3),
-         contam AS (SELECT doc_id FROM csh JOIN bsh USING (s)
-                    GROUP BY doc_id HAVING count(*) >= 3)
-         SELECT w.doc_id, w.source,
-                CASE WHEN w.keep = 0 THEN 'quality'
-                     WHEN w.doc_id <> r.rep_id THEN 'duplicate'
-                     WHEN c.doc_id IS NOT NULL THEN 'contaminated'
-                     ELSE 'kept' END AS status,
-                CAST(CASE WHEN w.keep = 1 AND w.doc_id = r.rep_id
-                           AND c.doc_id IS NULL
-                          THEN w.n_tokens ELSE 0 END AS BIGINT) AS n_tokens_kept
-         FROM wq w LEFT JOIN reps r ON w.fp = r.fp
-                   LEFT JOIN contam c ON w.doc_id = c.doc_id
-         ORDER BY w.doc_id""",
-
-    "dedup_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                WHERE len(arr) >= 3),
-         kept AS (SELECT doc_id, s FROM sh
-                  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
-         n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
-         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-                 FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2)
-         SELECT da, db,
-                CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) AS jaccard_bp
-         FROM com JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
-         WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000
-         ORDER BY da, db""",
-
-    // directed containment: same shingle CTEs as the jaccard oracle,
-    // both directions unioned from the one undirected co-occurrence
-    "dedup_containment" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                WHERE len(arr) >= 3),
-         kept AS (SELECT doc_id, s FROM sh
-                  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
-         n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
-         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-                 FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-         dirs AS (
-           SELECT da AS inner_id, db AS outer_id,
-                  CAST(floor(c * 10000.0 / na.n_sh) AS BIGINT) AS contain_bp
-           FROM com JOIN n na ON na.doc_id = da
-           UNION ALL
-           SELECT db, da, CAST(floor(c * 10000.0 / nb.n_sh) AS BIGINT)
-           FROM com JOIN n nb ON nb.doc_id = db)
-         SELECT inner_id, outer_id, contain_bp FROM dirs
-         WHERE contain_bp >= 8000
-         ORDER BY inner_id, outer_id""",
-
-    // prefix filtering is LOSSLESS, so its oracle is plain UNCAPPED
-    // directed containment — no df-cap `kept` CTE, unlike dedup_containment
-    "dedup_containment_prefix" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                WHERE len(arr) >= 3),
-         n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-         dirs AS (
-           SELECT da AS inner_id, db AS outer_id,
-                  CAST(floor(c * 10000.0 / na.n_sh) AS BIGINT) AS contain_bp
-           FROM com JOIN n na ON na.doc_id = da
-           UNION ALL
-           SELECT db, da, CAST(floor(c * 10000.0 / nb.n_sh) AS BIGINT)
-           FROM com JOIN n nb ON nb.doc_id = db)
-         SELECT inner_id, outer_id, contain_bp FROM dirs
-         WHERE contain_bp >= 8000
-         ORDER BY inner_id, outer_id""",
-
-    // prefix filtering is LOSSLESS, so its oracle is plain UNCAPPED
-    // exact Jaccard — no df-cap `kept` CTE, unlike dedup_ngram_jaccard
-    "dedup_jaccard_prefix" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                WHERE len(arr) >= 3),
-         n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2)
-         SELECT da, db,
-                CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) AS jaccard_bp
-         FROM com JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
-         WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000
-         ORDER BY da, db""",
-
-    "dedup_clusters" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                WHERE len(arr) >= 3),
-         kept AS (SELECT doc_id, s FROM sh
-                  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
-         n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
-         com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-                 FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-         pairs AS (
-           SELECT da, db FROM com
-           JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
-           WHERE CAST(floor(c * 10000.0 / (na.n_sh + nb.n_sh - c)) AS BIGINT) >= 5000),
-         sym AS (SELECT da AS src, db AS dst FROM pairs
-                 UNION ALL SELECT db, da FROM pairs),
-         reach AS (
-           SELECT src AS a, src AS b FROM sym
-           UNION
-           SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
-         SELECT a AS doc_id, min(b) AS cluster_id
-         FROM reach GROUP BY 1 ORDER BY doc_id""",
-
-    // identical constructed JSON, DuckDB's json extraction as the
-    // second parser — the variant path must agree field-for-field
-    "q38_variant_json" ->
-      """WITH j AS (
-           SELECT '{"u":{"id":' || CAST(user_id AS VARCHAR) ||
-                  ',"m":[' || CAST(event_id % 7 AS VARCHAR) || ',' ||
-                  CAST(event_id % 11 AS VARCHAR) || ']},"t":"' ||
-                  event_type || '"}' AS v
-           FROM events)
-         SELECT v->>'$.t' AS t, count(*) AS n,
-                CAST(sum(CAST(v->>'$.u.id' AS BIGINT)) AS BIGINT) AS sum_uid,
-                CAST(sum(CAST(v->>'$.u.m[1]' AS BIGINT)) AS BIGINT) AS sum_m1
-         FROM j GROUP BY 1 ORDER BY t""",
-
-    "q39_lateral_topk" ->
-      """SELECT c.c_custkey, o.o_orderkey, o.cents
-         FROM customer c
-         JOIN LATERAL (
-           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-           FROM orders WHERE o_custkey = c.c_custkey
-           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
-         WHERE c.c_custkey % 50 = 0
-         ORDER BY c.c_custkey, o.o_orderkey""",
-
-    "q40_unpivot" ->
-      """SELECT name, count(*) AS n,
-                CAST(sum(cents) AS BIGINT) AS total_cents
-         FROM (
-           SELECT * FROM (
-             SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS extendedprice,
-                    CAST(round(l_quantity * 100) AS BIGINT) AS quantity,
-                    CAST(round(l_tax * 100) AS BIGINT) AS tax
-             FROM lineitem)
-           UNPIVOT (cents FOR name IN (extendedprice, quantity, tax)))
-         GROUP BY name ORDER BY name""",
-
-    // version-portable twin (round-6 driver hash-FAIL fix): the driver's
-    // DuckDB diverged from local on string_agg(DISTINCT .. ORDER BY) and
-    // median() over BIGINT (cont-vs-disc interpolation), so the oracle
-    // avoids both — distinct-then-ordered-agg via a pre-deduped subquery,
-    // and the x2-median by explicit dyadic rank selection (odd n: twice
-    // the middle row; even n: sum of the two middle rows), which is pure
-    // integer arithmetic in any engine.
-    "q41_modern_aggs" ->
-      """WITH c AS (
-           SELECT o_orderstatus, o_orderpriority,
-                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-           FROM orders),
-         p AS (
-           SELECT o_orderstatus,
-                  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
-           FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM c)
-           GROUP BY 1),
-         r AS (
-           SELECT o_orderstatus, cents,
-                  row_number() OVER (PARTITION BY o_orderstatus ORDER BY cents) AS rn,
-                  count(*) OVER (PARTITION BY o_orderstatus) AS n
-           FROM c),
-         m AS (
-           SELECT o_orderstatus,
-                  CAST(sum(CASE WHEN n % 2 = 1 AND rn * 2 = n + 1 THEN 2 * cents
-                                WHEN n % 2 = 0 AND (rn * 2 = n OR rn * 2 = n + 2) THEN cents
-                                ELSE 0 END) AS BIGINT) AS med2_cents
-           FROM r GROUP BY 1),
-         b AS (
-           SELECT o_orderstatus,
-                  CAST(sum(CASE WHEN cents > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
-           FROM c GROUP BY 1)
-         SELECT p.o_orderstatus, p.prios, m.med2_cents, b.n_big
-         FROM p JOIN m USING (o_orderstatus) JOIN b USING (o_orderstatus)
-         ORDER BY 1""",
-
-    // regex syntax restricted to the Java-regex ∩ RE2 common subset
-    // (char classes + bounded repeats) so both engines match identically
-    "text_redact" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
-                  CASE WHEN doc_id % 3 = 0
-                       THEN ' tel ' || printf('555-%03d-%04d', doc_id % 1000, doc_id % 10000)
-                       ELSE '' END AS text
-           FROM documents)
-         SELECT doc_id,
-                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-                CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-                regexp_replace(
-                  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-                  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
-         FROM s ORDER BY doc_id""",
-
-    // privacy_k_anon / privacy_k_report: the k-anonymity audit re-derived
-    // as one GROUP BY over the same QI projection; all outputs are counts
-    // and integer bp (// floors, both sides non-negative).
-    "privacy_k_anon" ->
-      """WITH g AS (
-           SELECT c_nationkey, c_mktsegment,
-                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
-                  CAST(count(*) AS BIGINT) AS group_n,
-                  CAST(count(DISTINCT c_name) AS BIGINT) AS l_distinct
-           FROM customer GROUP BY 1, 2, 3)
-         SELECT c_nationkey, c_mktsegment, bal_kb, group_n, l_distinct,
-                group_n < 5 AS k_violation,
-                l_distinct < 2 AS l_violation
-         FROM g WHERE group_n < 5 OR l_distinct < 2
-         ORDER BY c_nationkey, c_mktsegment, bal_kb""",
-
-    "privacy_k_report" ->
-      """WITH g AS (
-           SELECT c_nationkey, c_mktsegment,
-                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
-                  count(*) AS group_n,
-                  count(DISTINCT c_name) AS l_distinct
-           FROM customer GROUP BY 1, 2, 3)
-         SELECT CAST(sum(group_n) AS BIGINT) AS n_rows,
-                CAST(count(*) AS BIGINT) AS n_groups,
-                CAST(COALESCE(sum(group_n) FILTER (WHERE group_n < 5), 0)
-                     AS BIGINT) AS rows_k_violating,
-                CAST(COALESCE(sum(group_n) FILTER (WHERE l_distinct < 2), 0)
-                     AS BIGINT) AS rows_l_violating,
-                CAST(min(group_n) AS BIGINT) AS min_k,
-                CAST(min(l_distinct) AS BIGINT) AS min_l,
-                CAST(COALESCE(sum(group_n) FILTER (WHERE group_n < 5), 0)
-                     * 10000 // sum(group_n) AS BIGINT) AS suppress_bp
-         FROM g""",
-
-    "privacy_suppress" ->
-      """WITH aug AS (
-           SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb
-           FROM customer),
-         g AS (
-           SELECT c_nationkey, c_mktsegment, bal_kb
-           FROM aug
-           GROUP BY 1, 2, 3
-           HAVING count(*) >= 5 AND count(DISTINCT c_name) >= 2)
-         SELECT a.* FROM aug a
-         JOIN g ON g.c_nationkey = a.c_nationkey
-               AND g.c_mktsegment = a.c_mktsegment
-               AND g.bal_kb = a.bal_kb
-         ORDER BY a.c_custkey""",
-
-    "privacy_dp_sums" ->
-      s"""WITH c AS (
-            SELECT c_nationkey,
-                   CAST(round(c_acctbal * 100) AS BIGINT) AS v
-            FROM customer),
-          g AS (
-            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true,
-                   CAST(sum(greatest(least(v, 500000), 0)) AS BIGINT)
-                     AS sum_clamped
-            FROM c GROUP BY 1),
-          z AS (
-            SELECT c_nationkey, n_true, sum_clamped,
-              (sum_clamped + 250000) // 500000 AS units,
-              CAST((bit_count(xor(h1, h1 + 1)) - 1)
-                 - (bit_count(xor(h2, h2 + 1)) - 1) AS BIGINT) AS noise_units
-            FROM (SELECT *,
-                   (CAST(c_nationkey AS BIGINT) % ${Portable.P1}
-                      * ${Portable.aCoef(19)} + ${Portable.bCoef(19)})
-                     % ${Portable.P1} AS h1,
-                   (CAST(c_nationkey AS BIGINT) % ${Portable.P1}
-                      * ${Portable.aCoef(20)} + ${Portable.bCoef(20)})
-                     % ${Portable.P1} AS h2
-                  FROM g))
-         SELECT c_nationkey, n_true, sum_clamped, noise_units,
-                CAST(greatest((units + noise_units) * 500000, 0) AS BIGINT)
-                  AS released,
-                CAST(6931 AS BIGINT) AS eps_bp
-         FROM z ORDER BY c_nationkey""",
-
-    // privacy_generalization: one block per ladder level, the same
-    // floor-bucket arithmetic, argmin level under the budget
-    "privacy_generalization" -> {
-      val blocks = (0 until 4).map { lv =>
-        val width = 1000L * math.pow(10, lv).toLong
-        s"""SELECT CAST($lv AS BIGINT) AS level,
-           |       CAST(count(*) AS BIGINT) AS n_groups,
-           |       CAST(sum(group_n) AS BIGINT) AS n_rows,
-           |       CAST(coalesce(sum(CASE WHEN group_n < 5
-           |                              THEN group_n END), 0)
-           |            AS BIGINT) AS rows_k_violating,
-           |       CAST(min(group_n) AS BIGINT) AS min_k,
-           |       CAST(min(l_distinct) AS BIGINT) AS min_l
-           |FROM (SELECT c_nationkey, c_mktsegment,
-           |             CAST(floor(c_acctbal / $width) AS BIGINT) AS b,
-           |             count(*) AS group_n,
-           |             count(DISTINCT c_name) AS l_distinct
-           |      FROM customer GROUP BY 1, 2, 3)""".stripMargin
-      }.mkString("(", ")\n UNION ALL (", ")")
-      s"""WITH lvls AS ($blocks),
-         | lv2 AS (SELECT *, rows_k_violating * 10000 // n_rows
-         |                     AS suppress_bp
-         |         FROM lvls),
-         | ch AS (SELECT CAST(coalesce(min(level), -1) AS BIGINT)
-         |                 AS chosen_level
-         |        FROM lv2 WHERE suppress_bp <= 500)
-         |SELECT level, n_groups, n_rows, rows_k_violating, min_k,
-         |       min_l, suppress_bp, ch.chosen_level,
-         |       level = ch.chosen_level AS chosen
-         |FROM lv2 CROSS JOIN ch ORDER BY level""".stripMargin
-    },
-
-    // privacy_t_closeness: full (group × status-domain) grid via the
-    // cross join, absent cells coalesce to p=0, TVD in floor bp
-    "privacy_t_closeness" ->
-      """WITH o AS (SELECT o_orderpriority,
-                           CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                           o_orderstatus
-                    FROM orders),
-          cell AS (SELECT o_orderpriority, o_year, o_orderstatus,
-                          CAST(count(*) AS BIGINT) AS n_gs
-                   FROM o GROUP BY 1, 2, 3),
-          grp AS (SELECT o_orderpriority, o_year,
-                         CAST(sum(n_gs) AS BIGINT) AS n_group
-                  FROM cell GROUP BY 1, 2),
-          dom AS (SELECT o_orderstatus,
-                         CAST(count(*) AS BIGINT) AS n_s
-                  FROM o GROUP BY 1),
-          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM o),
-          f AS (SELECT g.o_orderpriority, g.o_year, g.n_group,
-                       coalesce(c.n_gs, 0) * 10000 // g.n_group AS p_bp,
-                       d.n_s * 10000 // t.n_tot AS q_bp
-                FROM grp g CROSS JOIN dom d CROSS JOIN tot t
-                LEFT JOIN cell c
-                  ON c.o_orderpriority = g.o_orderpriority
-                 AND c.o_year = g.o_year
-                 AND c.o_orderstatus = d.o_orderstatus)
-         SELECT o_orderpriority, o_year,
-                CAST(max(n_group) AS BIGINT) AS n_group,
-                CAST(sum(abs(p_bp - q_bp)) AS BIGINT) // 2 AS t_bp
-         FROM f GROUP BY 1, 2
-         ORDER BY t_bp DESC, o_orderpriority, o_year LIMIT 20""",
-
-    // trailing-ones(h) = bit_count((h XOR h+1)) - 1 is the portable
-    // Geometric(1/2) draw; the noise is the difference of two draws
-    "privacy_dp_counts" ->
-      s"""WITH g AS (
-            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true
-            FROM customer GROUP BY 1),
-          h AS (
-            SELECT c_nationkey, n_true,
-              (CAST(c_nationkey AS BIGINT) % ${Portable.P1}
-                 * ${Portable.aCoef(17)} + ${Portable.bCoef(17)})
-                % ${Portable.P1} AS h1,
-              (CAST(c_nationkey AS BIGINT) % ${Portable.P1}
-                 * ${Portable.aCoef(18)} + ${Portable.bCoef(18)})
-                % ${Portable.P1} AS h2
-            FROM g),
-          z AS (
-            SELECT c_nationkey, n_true,
-              CAST((bit_count(xor(h1, h1 + 1)) - 1)
-                 - (bit_count(xor(h2, h2 + 1)) - 1) AS BIGINT) AS noise
-            FROM h)
-         SELECT c_nationkey, n_true, noise,
-                CAST(greatest(n_true + noise, 0) AS BIGINT) AS released,
-                CAST(6931 AS BIGINT) AS eps_bp
-         FROM z ORDER BY c_nationkey""",
-
-    // NOT EXISTS, not NOT IN: a NULL fp in base (null-text doc) would
-    // turn NOT IN into UNKNOWN for every row, while Spark's left_anti
-    // (null join keys never match) keeps them.
-    "dedup_incremental" ->
-      """WITH base AS (
-           SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
-         inc AS (
-           SELECT md5(text) AS fp, min(doc_id) AS keep_id
-           FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
-         SELECT fp, keep_id FROM inc
-         WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.fp = inc.fp)
-         ORDER BY keep_id""",
-
-    "fp_hash_split" -> {
-      import Portable.{P1, aCoef, bCoef}
-      s"""SELECT o_orderkey,
-            CASE WHEN ((o_orderkey % $P1) * ${aCoef(7)} + ${bCoef(7)}) % $P1
-                      < ${P1 / 10000L * 2000L}
-                 THEN 'test' ELSE 'train' END AS split
-         FROM orders ORDER BY o_orderkey"""
-    },
-
-    // fp_propensity_weights: the affine membership formula re-derives
-    // the sampled counts; weights + round-trip error in floor bp
-    "fp_propensity_weights" -> {
-      import Portable.{P1, aCoef, bCoef}
-      s"""WITH o AS (SELECT o_orderpriority AS stratum,
-                            CAST(count(*) AS BIGINT) AS n_orig
-                     FROM orders GROUP BY 1),
-          sm AS (SELECT o_orderpriority AS stratum,
-                        CAST(count(*) AS BIGINT) AS n_samp
-                 FROM orders
-                 WHERE ((o_orderkey % $P1) * ${aCoef(11)} + ${bCoef(11)})
-                       % $P1
-                       < CASE o_orderpriority
-                           WHEN '1-URGENT' THEN ${P1 / 10000L * 2000L}
-                           WHEN '5-LOW' THEN ${P1 / 10000L * 1000L}
-                           ELSE ${P1 / 10000L * 500L} END
-                 GROUP BY 1),
-          j AS (SELECT o.stratum, o.n_orig,
-                       COALESCE(sm.n_samp, 0) AS n_samp
-                FROM o LEFT JOIN sm ON sm.stratum = o.stratum)
-         SELECT stratum AS o_orderpriority, n_orig, n_samp,
-                n_orig * 10000 // n_samp AS weight_bp,
-                n_samp * (n_orig * 10000 // n_samp) // 10000 AS est_n,
-                abs(n_samp * (n_orig * 10000 // n_samp) // 10000
-                    - n_orig) * 10000 // n_orig AS err_bp
-         FROM j ORDER BY stratum"""
-    },
-
-    // fp_isotonic: ntile binning + the same max-min identity as two
-    // non-equi joins over the 16-row bin table
-    "fp_isotonic" ->
-      """WITH base AS (SELECT ntile(16) OVER (ORDER BY o_totalprice,
-                                              o_orderkey) AS b,
-                              CASE WHEN o_orderstatus = 'F' THEN 1
-                                   ELSE 0 END AS y
-                       FROM orders),
-          bins AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
-                          CAST(sum(y) AS BIGINT) AS sum_y
-                   FROM base GROUP BY 1),
-          pre AS (SELECT b, n, sum_y,
-                         CAST(sum(n) OVER (ORDER BY b
-                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
-                         CAST(sum(sum_y) OVER (ORDER BY b
-                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cy
-                  FROM bins),
-          ivl AS (SELECT l.b AS j, r.b AS kk,
-                         CAST(r.cy - l.cy + l.sum_y AS DOUBLE)
-                         / CAST(r.cn - l.cn + l.n AS DOUBLE) AS a
-                  FROM pre l JOIN pre r ON l.b <= r.b),
-          inn AS (SELECT i.b AS i, v.j, min(v.a) AS mn
-                  FROM bins i JOIN ivl v
-                    ON v.j <= i.b AND i.b <= v.kk
-                  GROUP BY 1, 2),
-          fit AS (SELECT i, max(mn) AS iso_fit FROM inn GROUP BY 1)
-         SELECT bins.b AS bin, bins.n, bins.sum_y,
-                CAST(bins.sum_y AS DOUBLE) / CAST(bins.n AS DOUBLE)
-                  AS rate,
-                fit.iso_fit
-         FROM bins JOIN fit ON fit.i = bins.b ORDER BY bin""",
-
-    // fp_kfold: the identical affine fold draw (coefficient index 17),
-    // then the k-row balance rollup
-    "fp_kfold" -> {
-      import Portable.{P1, aCoef, bCoef}
-      s"""SELECT fold, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(y) AS BIGINT) AS n_pos,
-                 CAST(sum(y) * 10000 // count(*) AS BIGINT) AS pos_bp
-         FROM (SELECT ((o_orderkey % $P1) * ${aCoef(17)} + ${bCoef(17)})
-                      % $P1 % 5 AS fold,
-                      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-               FROM orders)
-         GROUP BY 1 ORDER BY 1"""
-    },
-
-    "sim_brute_topk" -> bruteTopKSql,
-    // full-probe IVF ≡ brute (spec-pinned): same oracle text
-    "sim_ivf_topk_fullprobe" -> bruteTopKSql,
-    "sim_mmr_rerank" -> mmrOracle(20, 5, 20),
-
-    "sim_range_search" ->
-      """WITH base AS (
-           SELECT vec_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM embeddings)
-         SELECT q.vec_id AS q_id, b.vec_id,
-                list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
-         FROM base b JOIN base q ON q.vec_id < 20 AND b.vec_id <> q.vec_id
-         WHERE list_dot_product(b.v, q.v) / (b.nrm * q.nrm) >= 0.3
-         ORDER BY q_id, b.vec_id""",
-
-    // the planted paraphrase (bench vec 0, dim 1 zeroed, text reversed)
-    // is re-derived in SQL; cosines are the element-order double fold
-    "decontaminate_semantic" ->
-      """WITH plant AS (
-           SELECT vec_id + 10000000 AS vec_id,
-                  list_concat([CAST(0 AS FLOAT)], embedding[2:]) AS embedding
-           FROM embeddings WHERE vec_id = 0),
-         corpus AS (
-           SELECT vec_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
-                 UNION ALL SELECT * FROM plant)),
-         bench AS (
-           SELECT vec_id AS bench_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM embeddings WHERE vec_id % 50 = 0),
-         sem AS (
-           SELECT c.vec_id AS doc_id, b.bench_id,
-                  list_dot_product(c.v, b.v) / (c.nrm * b.nrm) AS cosine
-           FROM corpus c JOIN bench b ON c.vec_id <> b.bench_id
-           WHERE list_dot_product(c.v, b.v) / (c.nrm * b.nrm) >= 0.4),
-         ptxt AS (
-           SELECT doc_id + 10000000 AS doc_id,
-                  array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
-           FROM documents WHERE doc_id = 0),
-         ctxt AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
-                  UNION ALL SELECT * FROM ptxt),
-         tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM ctxt),
-         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                WHERE len(arr) >= 3),
-         btok AS (SELECT string_split(text, ' ') AS arr FROM documents
-                  WHERE doc_id % 50 = 0),
-         bsh AS (SELECT DISTINCT arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                 FROM btok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                 WHERE len(arr) >= 3),
-         shc AS (SELECT doc_id, count(*) AS n_shared_shingles
-                 FROM sh JOIN bsh USING (s) GROUP BY 1)
-         SELECT m.doc_id, m.bench_id, m.cosine,
-                COALESCE(c.n_shared_shingles, CAST(0 AS BIGINT)) AS n_shared_shingles
-         FROM sem m LEFT JOIN shc c USING (doc_id)
-         ORDER BY doc_id, bench_id""",
-
-    "sim_hard_negatives" ->
-      """WITH base AS (
-           SELECT vec_id, label, embedding::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM embeddings),
-         scored AS (
-           SELECT q.vec_id AS q_id, q.label AS q_label, b.vec_id, b.label,
-                  list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cosine
-           FROM base b JOIN base q ON q.vec_id < 20 AND b.vec_id <> q.vec_id),
-         pos AS (
-           SELECT q_id, max(cosine) AS pos_cos FROM scored
-           WHERE label = q_label GROUP BY 1),
-         neg AS (
-           SELECT q_id, vec_id, cosine,
-                  row_number() OVER (PARTITION BY q_id
-                    ORDER BY cosine DESC, vec_id ASC) AS rnk
-           FROM scored WHERE label <> q_label)
-         SELECT n.q_id, n.rnk, n.vec_id, n.cosine, p.pos_cos,
-                n.cosine > p.pos_cos AS violates_margin
-         FROM neg n LEFT JOIN pos p ON p.q_id = n.q_id
-         WHERE n.rnk <= 5 ORDER BY n.q_id, n.rnk""",
-
-    "sim_neardup_cosine" ->
-      s"""WITH base AS (
-           SELECT vec_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM embeddings),
-         $anchoredPairsCtes
-         SELECT va, vb, cosine FROM anchored ORDER BY va, vb""",
-
-    "mm_binary_meta" ->
-      """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
-                md5(text) AS fp,
-                CAST(64 + CAST(octet_length(text::BLOB) AS BIGINT) % 512 AS INT) AS stub_width,
-                CAST(64 + (CAST(octet_length(text::BLOB) AS BIGINT) * 31) % 512 AS INT) AS stub_height
-         FROM documents ORDER BY doc_id""",
-
-    "profile_lineitem" ->
-      """SELECT * FROM (
-           SELECT 'l_quantity' AS "column", count(*) AS n_rows,
-                  count(l_quantity) AS n_non_null,
-                  count(DISTINCT l_quantity) AS n_distinct,
-                  CAST(min(l_quantity) AS DOUBLE) AS min_v,
-                  CAST(max(l_quantity) AS DOUBLE) AS max_v,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
-           FROM lineitem
-           UNION ALL
-           SELECT 'l_extendedprice', count(*), count(l_extendedprice),
-                  count(DISTINCT l_extendedprice),
-                  CAST(min(l_extendedprice) AS DOUBLE),
-                  CAST(max(l_extendedprice) AS DOUBLE),
-                  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
-           FROM lineitem
-           UNION ALL
-           SELECT 'l_discount', count(*), count(l_discount),
-                  count(DISTINCT l_discount),
-                  CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
-                  CAST(sum(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE)
-           FROM lineitem
-           UNION ALL
-           SELECT 'l_orderkey', count(*), count(l_orderkey),
-                  count(DISTINCT l_orderkey),
-                  CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE),
-                  CAST(sum(CAST(l_orderkey AS DECIMAL(28,2))) AS DOUBLE)
-           FROM lineitem)
-         ORDER BY "column"""",
-
-    "csv_gbk_roundtrip" ->
-      """SELECT c_mktsegment, CAST(count(*) AS VARCHAR) AS cnt
-         FROM customer GROUP BY 1
-         ORDER BY count(*) DESC, c_mktsegment ASC""",
-
-    // the synthesized-input trick: the expected per-policy stats are a
-    // pure function of the synthesis rule (ids 0..49, every 3rd amount
-    // unparseable), so DuckDB recomputes them from range() arithmetic
-    "source_malformed_policy" ->
-      """WITH g AS (
-           SELECT CAST(r.range AS BIGINT) AS id,
-                  CAST(r.range * 100 AS BIGINT) AS amount,
-                  r.range % 3 = 0 AS bad
-           FROM range(50) r)
-         SELECT * FROM (
-           SELECT 'drop_malformed' AS policy, count(*) AS n_rows,
-                  CAST(sum(id) AS BIGINT) AS id_sum,
-                  CAST(sum(amount) AS BIGINT) AS amount_sum
-           FROM g WHERE NOT bad
-           UNION ALL
-           SELECT 'permissive_all', count(*), CAST(sum(id) AS BIGINT),
-                  CAST(sum(CASE WHEN bad THEN NULL ELSE amount END) AS BIGINT)
-           FROM g
-           UNION ALL
-           SELECT 'permissive_corrupt', count(*), CAST(sum(id) AS BIGINT),
-                  CAST(NULL AS BIGINT)
-           FROM g WHERE bad
-           UNION ALL
-           SELECT 'quarantine_clean', count(*), CAST(sum(id) AS BIGINT),
-                  CAST(sum(amount) AS BIGINT)
-           FROM g WHERE NOT bad
-           UNION ALL
-           SELECT 'quarantine_raw', count(*), CAST(NULL AS BIGINT),
-                  CAST(NULL AS BIGINT)
-           FROM g WHERE bad)
-         ORDER BY policy""",
-
-    // decode stub is deterministic byte math; the corpus is pure ASCII
-    // (byte values == code points), so the full kernel output is
-    // SQL-expressible: checksum = sum(b*31+7) = 31*sum(b) + 7*len.
-    "mm_decode_stub" ->
-      """WITH s AS (
-           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-                  CAST(31 * list_aggregate(list_transform(
-                         string_split_regex(text, ''),
-                         c -> CAST(ascii(c) AS BIGINT)), 'sum')
-                       + 7 * length(text) AS BIGINT) AS checksum
-           FROM documents)
-         SELECT doc_id, n_bytes,
-                CAST(64 + n_bytes % 512 AS INT) AS width,
-                CAST(64 + (n_bytes * 31) % 512 AS INT) AS height,
-                CAST(1 + checksum % 16 AS INT) AS n_frames,
-                checksum
-         FROM s ORDER BY doc_id""",
-
-    // the stream-stream interval join equals the batch interval join
-    // (inclusive [l_ts - 1h, l_ts] window, same-user pairs)
-    "stream_interval_join_parity" ->
-      """SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
-                a.user_id, a.value AS l_value, b.value AS r_value
-         FROM (SELECT * FROM events
-               WHERE event_type = 'click' AND user_id % 4 = 0) a
-         JOIN (SELECT * FROM events
-               WHERE event_type = 'view' AND user_id % 4 = 0) b
-           ON b.user_id = a.user_id
-          AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
-          AND epoch_us(b.ts) <= epoch_us(a.ts)
-         ORDER BY l_event_id, r_event_id""",
-
-    // session_window boundary: two events exactly gap apart do NOT merge
-    // (half-open windows) => new-session condition is >=, unlike q10's >
-    "stream_session_parity" ->
-      """WITH marked AS (
-           SELECT user_id, value, epoch_us(ts) AS us, event_id,
-                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
-                       THEN 1 ELSE 0 END AS is_new
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         numbered AS (
-           SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                       ROWS UNBOUNDED PRECEDING) AS sid
-           FROM marked)
-         SELECT user_id, min(us) AS start_us, max(us) AS last_us,
-                count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM numbered GROUP BY user_id, sid ORDER BY user_id, start_us""",
-
-    // round-trip through JSONL is lossless: oracle = plain aggregate
-    "sink_jsonl_roundtrip" ->
-      """SELECT lang, count(*) AS n_docs,
-                CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM documents GROUP BY 1 ORDER BY lang""",
-
-    // pre-evolution rows carry NULL in the added column
-    "sink_schema_evolution" ->
-      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
-                     ELSE o_orderpriority END AS priority,
-                count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders GROUP BY 1 ORDER BY priority""",
-
-    // the streaming dedup's kept set is the batch keep-lowest-id rule
-    "stream_dedup_parity" ->
-      """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint
-         FROM documents GROUP BY md5(text) ORDER BY doc_id""",
-
-    // resize stub: out[i] = bytes[(i*len)//1024] for i in [0,1024); the
-    // corpus is ASCII so byte values == code points and the checksum is
-    // plain integer SQL
-    "mm_resize_stub" ->
-      """WITH s AS (
-           SELECT doc_id, string_split_regex(text, '') AS arr,
-                  CAST(length(text) AS BIGINT) AS len
-           FROM documents)
-         SELECT doc_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
-                CAST(1024 AS BIGINT) AS out_bytes,
-                CAST(CASE WHEN len = 0 THEN 0 ELSE
-                  list_aggregate(list_transform(range(0, 1024),
-                    i -> CAST(ascii(arr[CAST((i * len) // 1024 AS INT) + 1]) AS BIGINT)),
-                    'sum') END AS BIGINT) AS checksum
-         FROM s ORDER BY doc_id""",
-
-    // frame sampling: every (frameBytes*stride = 128)-strided 32-byte
-    // window that fits; ASCII frames are substrings
-    "mm_frame_sample" ->
-      """WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
-                    FROM documents)
-         SELECT doc_id, CAST(r.i // 128 AS INT) AS frame_idx,
-                substr(text, CAST(r.i AS INT) + 1, 32) AS frame_text
-         FROM s, LATERAL (SELECT unnest(range(0, greatest(len - 31, 0), 128)) AS i) r
-         ORDER BY doc_id, frame_idx""",
-
-    // integer byte histogram: slot j sums bytes at positions ≡ j (mod 16)
-    "mm_feature_hist" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  list_transform(string_split_regex(text, ''),
-                    c -> CAST(ascii(c) AS BIGINT)) AS b
-           FROM documents)
-         SELECT doc_id,
-                array_to_string(list_transform(range(0, 16), j ->
-                  CAST(coalesce(list_aggregate(list_transform(
-                    list_filter(range(0, len(b)), i -> i % 16 = j),
-                    i -> b[CAST(i AS INT) + 1]), 'sum'), 0) AS VARCHAR)),
-                  ',') AS hist_csv
-         FROM s ORDER BY doc_id""",
-
-    // bucketing is layout only: the oracle is the plain join+aggregate
-    "q20_bucketed_join" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY n_orders DESC, c_mktsegment ASC""",
-
-    "fp_stratified_sample" -> {
-      import Portable.{P1, aCoef, bCoef}
-      s"""SELECT o_orderkey, o_orderpriority FROM orders
-          WHERE ((o_orderkey % $P1) * ${aCoef(11)} + ${bCoef(11)}) % $P1
-                < CASE o_orderpriority
-                    WHEN '1-URGENT' THEN ${P1 / 10000L * 2000L}
-                    WHEN '5-LOW' THEN ${P1 / 10000L * 1000L}
-                    ELSE ${P1 / 10000L * 500L} END
-          ORDER BY o_orderkey"""
-    },
-
-    // per-row LOO encodings recomputed, collapsed over (category, y) —
-    // constant within each group by construction, so max() is exact
-    "fp_target_encode" ->
-      """WITH w AS (SELECT o_orderpriority AS cat,
-                           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
-                             AS y
-                    FROM orders),
-          st AS (SELECT cat, CAST(sum(y) AS BIGINT) AS sum_y,
-                        count(*) AS n_c
-                 FROM w GROUP BY 1),
-          g AS (SELECT CAST(sum(y) * 10000 // count(*) AS BIGINT)
-                         AS prior_bp
-                FROM w)
-         SELECT w.cat AS o_orderpriority, CAST(w.y AS BIGINT) AS y,
-                count(*) AS n_rows, max(g.prior_bp) AS prior_bp,
-                max(CAST(((st.sum_y - w.y) * 10000 + 20 * g.prior_bp)
-                         // (st.n_c - 1 + 20) AS BIGINT)) AS enc_bp
-         FROM w JOIN st ON st.cat = w.cat CROSS JOIN g
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // q44_cohort_ltv: same integer month arithmetic + windowed
-    // cumulative over the cohort×age aggregate
-    "q44_cohort_ltv" ->
-      """WITH o AS (SELECT o_custkey,
-                           CAST(year(o_orderdate) * 12
-                                + month(o_orderdate) - 1 AS BIGINT) AS m,
-                           CAST(round(o_totalprice * 100) AS BIGINT)
-                             AS cents
-                    FROM orders),
-          f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
-          sz AS (SELECT cohort_m, CAST(count(*) AS BIGINT)
-                          AS cohort_size
-                 FROM f GROUP BY 1),
-          c AS (SELECT f.cohort_m, o.m - f.cohort_m AS age,
-                       CAST(count(*) AS BIGINT) AS n_orders,
-                       CAST(sum(o.cents) AS BIGINT) AS rev_cents
-                FROM o JOIN f ON f.o_custkey = o.o_custkey
-                WHERE o.m - f.cohort_m <= 11
-                GROUP BY 1, 2),
-          r AS (SELECT c.*, sz.cohort_size,
-                       CAST(sum(c.rev_cents) OVER (
-                              PARTITION BY c.cohort_m ORDER BY c.age
-                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                         AS cum_rev_cents
-                FROM c JOIN sz ON sz.cohort_m = c.cohort_m)
-         SELECT cohort_m, age, n_orders, rev_cents, cohort_size,
-                cum_rev_cents,
-                cum_rev_cents // cohort_size AS ltv_cents
-         FROM r ORDER BY cohort_m, age""",
-
-    // q48_lead_time: same epoch-day arithmetic; signed floor average
-    // via the positive-mod identity (DuckDB // truncates on negatives)
-    "q48_lead_time" ->
-      """WITH j AS (SELECT o.o_orderpriority,
-                           epoch_us(l.l_shipdate) // 86400000000
-                           - epoch_us(o.o_orderdate) // 86400000000
-                             AS lag
-                    FROM lineitem l
-                    JOIN orders o ON o.o_orderkey = l.l_orderkey),
-          g AS (SELECT o_orderpriority,
-                       CAST(count(*) AS BIGINT) AS n,
-                       CAST(min(lag) AS BIGINT) AS min_days,
-                       CAST(max(lag) AS BIGINT) AS max_days,
-                       CAST(sum(lag) AS BIGINT) AS sum_days,
-                       CAST(sum(CASE WHEN lag < 0 THEN 1 ELSE 0 END)
-                            AS BIGINT) AS n_negative
-                FROM j GROUP BY 1)
-         SELECT o_orderpriority, n, min_days, max_days, sum_days,
-                n_negative,
-                (sum_days * 1000
-                 - (((sum_days * 1000 % n) + n) % n)) // n
-                  AS avg_days_milli
-         FROM g ORDER BY o_orderpriority""",
-
-    // q46_abc_class: the same rank-ordered cumulative shares via one
-    // desc window — share boundaries as ×10000 integer products
-    "q46_abc_class" ->
-      """WITH rev AS (SELECT CAST(l_partkey AS BIGINT) AS item,
-                             CAST(sum(CAST(round(l_extendedprice * 100)
-                                           AS BIGINT)) AS BIGINT) AS value
-                      FROM lineitem GROUP BY 1),
-          t AS (SELECT CAST(sum(value) AS BIGINT) AS t FROM rev),
-          c AS (SELECT item, value,
-                       CAST(sum(value) OVER (ORDER BY value DESC, item ASC
-                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-                FROM rev),
-          cl AS (SELECT CASE WHEN cum * 10000 <= t.t * 8000 THEN 'A'
-                             WHEN cum * 10000 <= t.t * 9500 THEN 'B'
-                             ELSE 'C' END AS cls, value
-                 FROM c CROSS JOIN t)
-         SELECT cls, CAST(count(*) AS BIGINT) AS n_items,
-                CAST(sum(value) AS BIGINT) AS class_cents,
-                CAST(sum(value) * 10000 // (SELECT t FROM t) AS BIGINT)
-                  AS share_bp
-         FROM cl GROUP BY 1 ORDER BY 1""",
-
-    // q45_skyline: textbook NOT-EXISTS dominance over distinct points —
-    // quadratic but exact, the independent formulation of the Spark
-    // side's sort-based frontier
-    "q45_skyline" ->
-      """WITH pts AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT)
-                               AS cost,
-                             CAST(p_size AS BIGINT) AS gain,
-                             CAST(count(*) AS BIGINT) AS n_rows
-                      FROM part GROUP BY 1, 2)
-         SELECT cost, gain, n_rows FROM pts p
-         WHERE NOT EXISTS (
-           SELECT 1 FROM pts q
-           WHERE q.cost <= p.cost AND q.gain >= p.gain
-             AND (q.cost < p.cost OR q.gain > p.gain))
-         ORDER BY cost""",
-
-    // fp_auc_exact: the LOO chain + distinct-score midranks ×2
-    "fp_auc_exact" ->
-      """WITH w AS (SELECT o_orderpriority AS cat,
-                           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
-                             AS y
-                    FROM orders),
-          st AS (SELECT cat, CAST(sum(y) AS BIGINT) AS sum_y,
-                        count(*) AS n_c
-                 FROM w GROUP BY 1),
-          g AS (SELECT CAST(sum(y) * 10000 // count(*) AS BIGINT)
-                         AS prior_bp
-                FROM w),
-          e AS (SELECT CAST(w.y AS BIGINT) AS y,
-                       CAST(((st.sum_y - w.y) * 10000 + 20 * g.prior_bp)
-                            // (st.n_c - 1 + 20) AS BIGINT) AS s
-                FROM w JOIN st ON st.cat = w.cat CROSS JOIN g),
-          bs AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
-                        CAST(sum(y) AS BIGINT) AS cnt_pos
-                 FROM e GROUP BY 1),
-          r AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY s
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING), 0) AS below
-                FROM bs),
-          t AS (SELECT CAST(sum(cnt_pos) AS BIGINT) AS n_pos,
-                       CAST(sum(cnt - cnt_pos) AS BIGINT) AS n_neg,
-                       CAST(sum((2 * below + cnt + 1) * cnt_pos)
-                            AS BIGINT) AS r2_pos
-                FROM r)
-         SELECT n_pos, n_neg,
-                r2_pos - n_pos * (n_pos + 1) AS u2,
-                (r2_pos - n_pos * (n_pos + 1)) * 10000
-                  // (2 * n_pos * n_neg) AS auc_bp
-         FROM t""",
-
-    // fp_calibration: per-row LOO encodings re-derived, binned, ECE;
-    // the sham scorer's chain unioned below
-    "fp_calibration" ->
-      """WITH w AS (SELECT o_orderpriority AS cat,
-                           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
-                             AS y
-                    FROM orders),
-          st AS (SELECT cat, CAST(sum(y) AS BIGINT) AS sum_y,
-                        count(*) AS n_c
-                 FROM w GROUP BY 1),
-          g AS (SELECT CAST(sum(y) * 10000 // count(*) AS BIGINT)
-                         AS prior_bp
-                FROM w),
-          e AS (SELECT CAST(w.y AS BIGINT) AS y,
-                       CAST(((st.sum_y - w.y) * 10000 + 20 * g.prior_bp)
-                            // (st.n_c - 1 + 20) AS BIGINT) AS p
-                FROM w JOIN st ON st.cat = w.cat CROSS JOIN g),
-          per AS (SELECT least(99, greatest(0, p * 100 // 10000)) AS bin,
-                         CAST(count(*) AS BIGINT) AS n,
-                         CAST(sum(p) // count(*) AS BIGINT)
-                           AS mean_pred_bp,
-                         CAST(sum(y) * 10000 // count(*) AS BIGINT)
-                           AS rate_bp
-                  FROM e GROUP BY 1),
-          per2 AS (SELECT *, abs(mean_pred_bp - rate_bp) AS gap_bp
-                   FROM per),
-          ece AS (SELECT CAST(sum(n * gap_bp) // sum(n) AS BIGINT)
-                           AS ece_bp
-                  FROM per2),
-          sh AS (SELECT o_orderkey % 100 * 100 + 50 AS p,
-                        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
-                          AS y
-                 FROM orders),
-          sper AS (SELECT least(9, greatest(0, p * 10 // 10000)) AS bin,
-                          CAST(count(*) AS BIGINT) AS n,
-                          CAST(sum(p) // count(*) AS BIGINT)
-                            AS mean_pred_bp,
-                          CAST(sum(y) * 10000 // count(*) AS BIGINT)
-                            AS rate_bp
-                   FROM sh GROUP BY 1),
-          sper2 AS (SELECT *, abs(mean_pred_bp - rate_bp) AS gap_bp
-                    FROM sper),
-          sece AS (SELECT CAST(sum(n * gap_bp) // sum(n) AS BIGINT)
-                            AS ece_bp
-                   FROM sper2)
-         SELECT 'loo_encoding' AS scorer, bin, n, mean_pred_bp, rate_bp,
-                gap_bp, ece_bp
-         FROM per2 CROSS JOIN ece
-         UNION ALL
-         SELECT 'sham_spread', bin, n, mean_pred_bp, rate_bp, gap_bp,
-                ece_bp
-         FROM sper2 CROSS JOIN sece
-         ORDER BY scorer, bin""",
-
-    "fp_string_index" ->
-      """WITH d1 AS (
-           SELECT o_orderpriority AS v,
-                  CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1 AS BIGINT) AS idx
-           FROM orders WHERE o_orderpriority IS NOT NULL
-           GROUP BY o_orderpriority),
-         d2 AS (
-           SELECT o_orderstatus AS v,
-                  CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) - 1 AS BIGINT) AS idx
-           FROM orders WHERE o_orderstatus IS NOT NULL
-           GROUP BY o_orderstatus)
-         SELECT o_orderkey,
-                d1.idx AS o_orderpriority_idx,
-                d2.idx AS o_orderstatus_idx
-         FROM orders
-         LEFT JOIN d1 ON d1.v = o_orderpriority
-         LEFT JOIN d2 ON d2.v = o_orderstatus
-         ORDER BY o_orderkey""",
-
-    "fp_quantile_bucket" ->
-      """SELECT o_orderkey,
-                ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-         FROM orders ORDER BY o_orderkey""",
-
-    "fp_pipeline_assemble" ->
-      """WITH d1 AS (
-           SELECT o_orderpriority AS v,
-                  CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1 AS BIGINT) AS idx
-           FROM orders WHERE o_orderpriority IS NOT NULL
-           GROUP BY o_orderpriority),
-         d2 AS (
-           SELECT o_orderstatus AS v,
-                  CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) - 1 AS BIGINT) AS idx
-           FROM orders WHERE o_orderstatus IS NOT NULL
-           GROUP BY o_orderstatus),
-         b AS (
-           SELECT o_orderkey,
-                  ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-           FROM orders)
-         SELECT o.o_orderkey, CAST(3 AS BIGINT) AS n_features,
-                CAST(CAST(d1.idx AS DECIMAL(18,6)) AS VARCHAR) || ',' ||
-                CAST(CAST(d2.idx AS DECIMAL(18,6)) AS VARCHAR) || ',' ||
-                CAST(CAST(b.bucket AS DECIMAL(18,6)) AS VARCHAR) AS features_csv
-         FROM orders o
-         LEFT JOIN d1 ON d1.v = o.o_orderpriority
-         LEFT JOIN d2 ON d2.v = o.o_orderstatus
-         JOIN b ON b.o_orderkey = o.o_orderkey
-         ORDER BY o.o_orderkey""",
-
-    "fp_na_fill" ->
-      """SELECT c_custkey,
-                CASE WHEN c_acctbal < 0 THEN -1.0 ELSE c_acctbal END AS c_acctbal,
-                CASE WHEN c_nationkey % 5 = 0 THEN '-1' ELSE c_mktsegment END AS c_mktsegment
-         FROM customer ORDER BY c_custkey""",
-
-    "dedup_token_set" ->
-      """WITH canon AS (
-           SELECT doc_id,
-                  md5(array_to_string(list_sort(list_distinct(
-                    string_split(text, ' '))), ' ')) AS fp
-           FROM documents)
-         SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
-         FROM canon GROUP BY fp ORDER BY keep_id""",
-
-    "dedup_edit_distance" ->
-      """WITH d AS (
-           SELECT doc_id, lang, n_chars // 16 AS lb,
-                  substr(text, 1, 40) AS pfx
-           FROM documents),
-         hot AS (
-           SELECT lang, lb FROM d GROUP BY lang, lb
-           HAVING count(*) > 100),
-         kept AS (
-           SELECT d.* FROM d
-           WHERE NOT EXISTS (
-             SELECT 1 FROM hot h WHERE h.lang = d.lang AND h.lb = d.lb))
-         SELECT a.doc_id AS da, b.doc_id AS db,
-                CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
-         FROM kept a JOIN kept b
-           ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-         WHERE levenshtein(a.pfx, b.pfx) <= 12
-         ORDER BY da, db""",
-
-    "events_retention" ->
-      """WITH wk AS (
-           SELECT DISTINCT date_trunc('week', ts) AS w, user_id
-           FROM events WHERE event_type = 'purchase')
-         SELECT epoch_us(CAST(a.w AS TIMESTAMP)) AS week_start_us,
-                count(*) AS n_active, count(b.user_id) AS n_retained
-         FROM wk a LEFT JOIN wk b
-           ON b.user_id = a.user_id AND b.w = a.w + INTERVAL 7 DAY
-         GROUP BY 1 ORDER BY week_start_us""",
-
-    "events_ffill" ->
-      """WITH g AS (
-           SELECT event_id, user_id, epoch_us(ts) AS us,
-                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS gapped
-           FROM events)
-         SELECT event_id, user_id,
-                CAST(round(last_value(gapped IGNORE NULLS) OVER (
-                  PARTITION BY user_id ORDER BY us, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100)
-                  AS BIGINT) AS filled_cents
-         FROM g ORDER BY event_id""",
-
-    "q33_window_nav" ->
-      """SELECT o_orderkey, o_custkey,
-                lead(o_orderkey, 1) OVER w AS next_key,
-                CAST(round(first_value(o_totalprice) OVER w * 100) AS BIGINT)
-                  AS first_cents,
-                nth_value(o_orderkey, 2) OVER w AS second_key,
-                CAST(ntile(4) OVER w AS BIGINT) AS quartile
-         FROM orders
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         ORDER BY o_orderkey""",
-
-    "embed_hof_stats" ->
-      """SELECT vec_id,
-                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-                CAST(list_sum(list_transform(embedding,
-                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-                       * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
-                  AS BIGINT) AS qnorm2
-         FROM embeddings ORDER BY vec_id""",
-
-    // embed_cov_power: the same quantize → explode → per-vector pair
-    // products → dims² aggregate → row sums
-    "embed_cov_power" ->
-      """WITH q AS (SELECT vec_id, d - 1 AS d,
-                           CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)
-                             AS q
-                    FROM (SELECT vec_id, unnest(embedding) AS x,
-                                 generate_subscripts(embedding, 1) AS d
-                          FROM embeddings)),
-          g AS (SELECT a.d, b.d AS d2,
-                       CAST(sum(a.q * b.q) AS BIGINT) AS g
-                FROM q a JOIN q b ON b.vec_id = a.vec_id
-                GROUP BY 1, 2),
-          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
-         SELECT d, CAST(sum(g) AS BIGINT) AS v1_q,
-                CAST(sum(CASE WHEN d2 = d THEN g END) AS BIGINT)
-                  AS diag_q,
-                (SELECT n FROM n) AS n
-         FROM g GROUP BY d ORDER BY d""",
-
-    "dpp_partitioned_join" ->
-      """SELECT o_orderpriority, count(*) AS cnt,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-         GROUP BY 1 ORDER BY o_orderpriority""",
-
-    "sink_orc_roundtrip" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM lineitem WHERE l_quantity <= 10
-         GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
-
-    "stream_upsert_parity" ->
-      """WITH ranked AS (
-           SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
-                  CAST(round(value * 100) AS BIGINT) AS last_cents,
-                  row_number() OVER (PARTITION BY user_id
-                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-           FROM events)
-         SELECT user_id, last_us, last_event_id, last_cents
-         FROM ranked WHERE rn = 1 ORDER BY user_id""",
-
-    "stream_ingest_gate_parity" -> streamGateOracle(2),
-    "stream_embed_gate_parity" -> embedGateOracle(3),
-
-    // ListState top-k: the batch truth is the per-user top-3 window
-    "stream_tws_topk_parity" ->
-      """WITH ranked AS (
-           SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
-                  CAST(round(value * 100) AS BIGINT) AS last_cents,
-                  row_number() OVER (PARTITION BY user_id
-                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnk
-           FROM events
-           WHERE user_id IS NOT NULL AND ts IS NOT NULL)
-         SELECT user_id, rnk, last_us, last_event_id, last_cents
-         FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk""",
-
-    // identical contract to stream_upsert_parity: two streaming
-    // implementations (foreachBatch merge / transformWithState state),
-    // one batch truth
-    "stream_tws_latest_parity" ->
-      """WITH ranked AS (
-           SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
-                  CAST(round(value * 100) AS BIGINT) AS last_cents,
-                  row_number() OVER (PARTITION BY user_id
-                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-           FROM events
-           WHERE user_id IS NOT NULL AND ts IS NOT NULL)
-         SELECT user_id, last_us, last_event_id, last_cents
-         FROM ranked WHERE rn = 1 ORDER BY user_id""",
-
-    "q34_scalar_subquery" ->
-      """SELECT o_orderkey, o_custkey
-         FROM orders o
-         WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-               (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2)))
-                FROM orders i WHERE i.o_custkey = o.o_custkey)
-         ORDER BY o_orderkey""",
-
-    "decontaminate" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                WHERE len(arr) >= 3),
-         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
-         corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
-         SELECT doc_id, count(*) AS n_shared
-         FROM corpus JOIN bench USING (s)
-         GROUP BY doc_id HAVING count(*) >= 3
-         ORDER BY doc_id""",
-
-    "decontaminate_matrix" ->
-      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS arr
-                    FROM documents),
-         sh AS (SELECT DISTINCT doc_id, source,
-                       arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-                FROM tok, LATERAL (SELECT unnest(range(1, len(arr) - 1)) AS i) r
-                WHERE len(arr) >= 3),
-         bench AS (SELECT DISTINCT source AS bench_source, s FROM sh
-                   WHERE doc_id % 50 = 0),
-         corpus AS (SELECT source AS corpus_source, doc_id, s FROM sh
-                    WHERE doc_id % 50 <> 0),
-         cell AS (SELECT corpus_source, bench_source, doc_id,
-                         count(*) AS n_shared
-                  FROM corpus JOIN bench USING (s)
-                  GROUP BY 1, 2, 3 HAVING count(*) >= 3)
-         SELECT corpus_source, bench_source,
-                count(*) AS n_contaminated_docs,
-                CAST(sum(n_shared) AS BIGINT) AS n_shared_shingles
-         FROM cell GROUP BY 1, 2 ORDER BY corpus_source, bench_source""",
-
-    "pack_efficiency" ->
-      """WITH s AS (SELECT doc_id,
-                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-                    FROM documents),
-         c AS (SELECT doc_id, n_tokens,
-                      CAST(sum(n_tokens) OVER (ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS BIGINT) AS cum
-               FROM s),
-         p AS (SELECT n_tokens,
-                      (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs,
-                      (cum - 1) // 256 AS seq_last
-               FROM c),
-         a AS (SELECT count(*) AS n_docs,
-                      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                      CAST(max(seq_last) + 1 AS BIGINT) AS n_sequences,
-                      CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END)
-                           AS BIGINT) AS n_straddlers
-               FROM p)
-         SELECT n_docs, total_tokens, n_sequences, n_straddlers,
-                n_sequences * 256 AS padded_tokens,
-                (n_sequences * 256 - total_tokens) * 10000
-                  // (n_sequences * 256) AS waste_bp
-         FROM a""",
-
-    "fp_source_quota" ->
-      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
-           SELECT doc_id, source,
-                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-           FROM documents)
-         WHERE rn <= 10 ORDER BY doc_id""",
-
-    // fp_oversample: the same floor replication, unnested
-    "fp_oversample" ->
-      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_class
-                    FROM documents GROUP BY 1),
-          m AS (SELECT max(n_class) AS n_max FROM c),
-          r AS (SELECT lang, n_class, n_max // n_class AS rep
-                FROM c CROSS JOIN m)
-         SELECT d.doc_id, d.lang, r.n_class, r.rep,
-                CAST(unnest(range(1, r.rep + 1)) AS BIGINT) AS copy_idx
-         FROM documents d JOIN r ON r.lang = d.lang
-         ORDER BY d.doc_id, copy_idx""",
-
-    // corpus_curriculum: SQL ntile (the rangeNtileBucket twin), the
-    // seeded affine shuffle hash, and a plain global row_number in
-    // (stage, shuffle_key, doc_id) order
-    "corpus_curriculum" -> {
-      import Portable.{P1, aCoef, bCoef}
-      s"""WITH s AS (
-           SELECT doc_id, source, n_chars,
-                  CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)
-                       AS BIGINT) AS stage,
-                  (CAST(doc_id AS BIGINT) % $P1 * ${aCoef(98)}
-                     + ${bCoef(98)}) % $P1 % 100000 AS shuffle_key
-           FROM documents)
-         SELECT doc_id, source, n_chars, stage, shuffle_key,
-                CAST(row_number() OVER (ORDER BY stage, shuffle_key,
-                                                 doc_id)
-                     AS BIGINT) AS position
-         FROM s ORDER BY position"""
-    },
-
-    "corpus_temperature_sample" -> {
-      import Portable.{P1, aCoef, bCoef}
-      s"""WITH i AS (
-           SELECT source, count(*) AS n_docs,
-                  CAST(floor(sqrt(count(*))) AS BIGINT) AS isq
-           FROM documents GROUP BY 1),
-         m AS (SELECT min(isq) AS min_isq FROM i),
-         r AS (SELECT source, n_docs,
-                      least(10000, min_isq * 10000 // isq) AS rate_bp
-               FROM i, m)
-         SELECT d.source, r.n_docs, r.rate_bp,
-                CAST(sum(CASE WHEN ((d.doc_id % $P1) * ${aCoef(97)}
-                                    + ${bCoef(97)}) % $P1
-                              < ${P1 / 10000L} * r.rate_bp
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-         FROM documents d JOIN r USING (source)
-         GROUP BY 1, 2, 3 ORDER BY d.source"""
-    },
-
-    "dedup_normalized" ->
-      """WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000, '  ' || upper(text) || '!!' FROM documents),
-         canon AS (
-           SELECT doc_id,
-                  md5(trim(regexp_replace(regexp_replace(lower(text),
-                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
-           FROM corpus)
-         SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
-         FROM canon GROUP BY fp ORDER BY keep_id""",
-
-    "q35_range_frame" ->
-      """WITH g AS (
-           SELECT event_id, user_id, epoch_us(ts) AS us,
-                  CAST(round(value * 100) AS BIGINT) AS cents
-           FROM events)
-         SELECT event_id, user_id,
-                CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us
-                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS roll_cents
-         FROM g ORDER BY event_id""",
-  )
+object SparkEntry extends SparkEntryOracles3 {
+  /** One entry per implemented operator from SURVEY.md §2 (merged from
+    * the per-family registry traits — the round-12 mechanical split of
+    * the former 11 kLoC single file). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesChunk1 ++ queriesChunk2 ++ queriesChunk3
+
+  def oracleSql: Map[String, String] =
+    oracleChunk1 ++ oracleChunk2 ++ oracleChunk3
 }
