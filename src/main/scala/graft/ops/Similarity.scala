@@ -495,65 +495,118 @@ object Similarity {
   /** IVF-bounded near-dup pairs — the scale route [[lshNearDup]] takes
     * when banding cannot hold recall at the requested radius (the
     * round-10 collision law: τ ≲ 0.55 at 10⁵⁺ vectors needs quadratic
-    * band growth). Shape:
+    * band growth). TWO-LEVEL shape — coarse lists, then sign-LSH
+    * banding INSIDE each list:
     *
     *  1. fit the integer-Lloyd coarse quantizer on the bounded sample,
     *     `nCentroids` derived from the corpus (~`loadPerList` vectors
     *     per list, clamped to [16, MaxClusters]) so list sizes stay
     *     O(constant) as the corpus grows;
     *  2. MULTI-ASSIGN every vector to its `nProbe` nearest centroids
-    *     (the [[rankProbes]] metric) — pairs straddling one list
-    *     boundary still meet in the neighbor list;
-    *  3. candidates = same-list pairs, generated inline per list with
-    *     the [[lshNearDupAt]] in-bucket expansion; lists above
-    *     `maxList` are dropped whole (the dedup hot-bucket contract —
-    *     an outlier guard at ~8× the designed load, not the binding
-    *     constraint);
-    *  4. exact cosine re-score at the same τ — the route only PRUNES,
-    *     never invents pairs.
+    *     (the [[rankProbes]] metric through the bounded TopKByScore
+    *     aggregator) — pairs straddling one list boundary still meet
+    *     in the neighbor list;
+    *  3. candidates = same-(list, band, bucket) pairs under the
+    *     DEFAULT (8, 32) sign-LSH geometry, which the collision law
+    *     endorses at list-sized populations (≈ load/2⁸ ≈ 2 random
+    *     collisions per bucket at load 512 — the exact n ≤ 4096 regime
+    *     the spec pins). A flat in-list all-pairs expansion would
+    *     materialize n·load·nProbe²/2 candidates (10⁸ at ×100) for a
+    *     pair tail of thousands; the in-list banding keeps candidate
+    *     volume collision-law-bounded. Buckets above `maxBucket` drop
+    *     whole (the dedup hot-bucket contract);
+    *  4. exact cosine re-score at the same τ (corpus broadcast under
+    *     the byte-aware guard) — the route only PRUNES, never invents.
     *
-    * Cost: one fit + one encode pass + Σ_lists load²/2 dot products ≈
-    * n · loadPerList · nProbe² / 2 — LINEAR in n at fixed load, the
-    * property banding loses at these radii. Deterministic end to end
-    * (integer fit, integer assignment), so the routed form could be
-    * oracle'd; it is exercised at bench decades where no oracle runs. */
+    * Dominant cost is the coarse ASSIGNMENT scan (n × nCentroids
+    * integer dots — ~10¹⁰ kernel ops at ×100, a 1-2 minute 32-way
+    * stage): with nCentroids ∝ n this term is O(n²·dims/load), the
+    * honest complexity of flat single-level quantization; production
+    * systems at 10⁹⁺ vectors make it O(n·√n) with a two-level coarse
+    * quantizer, the documented next step if a corpus ever needs it.
+    * Deterministic end to end (integer fit, integer assignment,
+    * portable band keys), so the routed form could be oracle'd; it is
+    * exercised at bench decades where no oracle runs. */
   def ivfNearDup(emb: DataFrame, minCosine: Double, nProbe: Int = 2,
-      loadPerList: Int = 256, maxList: Int = 4096,
+      loadPerList: Int = 256, maxBucket: Int = LshMaxBucket,
       corpusN: Long = -1L, scale: Int = 1024,
-      fitSampleCap: Int = DefaultFitSampleCap): DataFrame = {
+      fitSampleCap: Int = DefaultFitSampleCap,
+      maxBroadcastBytes: Long = 512L << 20): DataFrame = {
     val n = if (corpusN >= 0L) corpusN else emb.count()
     val nCentroids = math.min(MaxClusters.toLong,
       math.max(16L, n / loadPerList)).toInt
+    // single-file corpora arrive in 1-2 input partitions; the scoring
+    // join below fans each corpus row out to nCentroids scored rows
+    // (n × nCentroids × dims kernel ops), so inherit-the-scan
+    // parallelism would put ~10^10 multiplies on 2 cores at ×100.
+    // One corpus-sized exchange up front buys full-width execution.
     val qv = quantVec(emb, scale)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     val model = fitOnSample(fitSample(qv, fitSampleCap), 1, nCentroids,
       rounds = 2, scale)
     val centroids = centsDF(emb.sparkSession, model.cents)
       .select(col("code").as("cluster"), col("cl"), col("cc"))
-    // multi-assignment IS rankProbes over the whole corpus: every
-    // vector probes the nProbe lists a query at its position would
-    val assigned = rankProbes(
-      qv.select(col("vec_id").as("q_id"), col("qv"), col("qq")),
-      centroids, nProbe)
-      .select(col("q_id").as("vec_id"), col("cluster"))
-    val wb = Window.partitionBy("cluster")
-    val pairs = assigned
-      .withColumn("ls", count(lit(1)).over(wb))
-      .filter(col("ls") <= maxList)
-      .groupBy("cluster")
+    // multi-assignment = each vector's nProbe nearest centroids (the
+    // rankProbes metric: asc integer ‖q−c‖², ties cluster asc) — but
+    // through the BOUNDED TopKByScore aggregator, not a window: the
+    // broadcast-centroid join emits n·nCentroids scored rows and a
+    // window would SHUFFLE them all (156M rows at 200k×781); the
+    // aggregator's map-side partials ship ≤ nProbe rows per vector per
+    // partition instead. Score = −dist² (desc −d ≡ asc d; integer-
+    // valued doubles, exact far inside 2⁵³), key = cluster (ties asc —
+    // the same tie-break the window form used).
+    val topp = udaf(new TopKByScore(nProbe), ExpressionEncoder[Scored]())
+    val assigned = qv
+      .join(broadcast(centroids))
+      .select(col("vec_id"),
+        (col("qq") - lit(2L) * dotL(col("qv"), col("cl")) + col("cc"))
+          .as("c_dist2"),
+        col("cluster"))
+      .groupBy("vec_id")
+      .agg(topp((-col("c_dist2")).cast("double"),
+        col("cluster").cast("long")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.key").cast("int").as("cluster"))
+    // in-list sign-LSH keys: (vec, band, bkey) × the nProbe assigned
+    // lists; the bucket is (cluster, band, bkey)
+    val keyed = emb.select(col("vec_id"),
+        posexplode(graft.functions.SignLshKeys(col("embedding"),
+          LshBitsPerBand, LshBands)).as(Seq("band", "bkey")))
+      .join(assigned, Seq("vec_id"))
+    val wb = Window.partitionBy("cluster", "band", "bkey")
+    val pairs = keyed
+      .withColumn("bs", count(lit(1)).over(wb))
+      .filter(col("bs") <= maxBucket)
+      .groupBy("cluster", "band", "bkey")
       .agg(collect_list(col("vec_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(flatten(transform(col("ids"), a =>
         transform(filter(col("ids"), b => b > a),
           b => struct(a.as("va"), b.as("vb")))))).as("p"))
       .select(col("p.va").as("va"), col("p.vb").as("vb"))
-      .distinct() // multi-assigned pairs meet in up to nProbe lists
+      .distinct() // pairs meet in up to nProbe lists × LshBands bands
+    // exact re-score: the candidate set is ~n·load·nProbe²/2 rows of
+    // BARE IDS — the vectors must rejoin here, and a sort-merge join
+    // would shuffle candidateCount × vector-width bytes TWICE (~60 GB
+    // at ×100). The corpus itself is the small side (n × dim floats);
+    // broadcast it under the byte-aware guard (the semanticContamination
+    // discipline — dims read from one row, never a second scan), fall
+    // back to the partitioned join where a true 100 TB corpus would.
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
+    val dims = emb.select(size(col("embedding"))).head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getInt(0).toLong
+    }
+    val baseBytes = n * (dims * 4L + 64L)
+    def side(keyName: String, e: String, nn: String) = {
+      val s = base.select(col("vec_id").as(keyName),
+        col("embedding").as(e), col("nrm").as(nn))
+      if (baseBytes <= maxBroadcastBytes) broadcast(s) else s
+    }
     pairs
-      .join(base.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("nrm").as("na")), Seq("va"))
-      .join(base.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("nrm").as("nb")), Seq("vb"))
+      .join(side("va", "ea", "na"), Seq("va"))
+      .join(side("vb", "eb", "nb"), Seq("vb"))
       .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= minCosine)
       .select("va", "vb", "cosine")
@@ -1004,8 +1057,16 @@ object Similarity {
     // the sample feeds 2 + rounds driver actions (seed ids, seed
     // vectors, one update collect per round) — persist it for the
     // fit's lifetime instead of re-deriving the scan+quantize+sample
-    // lineage per action; released before returning
+    // lineage per action; released before returning. REPARTITIONED to
+    // the session parallelism first: a filter of a single-file corpus
+    // inherits 1-2 input partitions, and the per-round argmin encode
+    // (sample × nCodes × dims kernel ops) would run on 1-2 cores — at
+    // the routed ivfNearDup's 100k-sample × 781-centroid fit that is
+    // the difference between minutes and seconds. Fit RESULTS are
+    // partition-independent (portable integer aggregates, ordered
+    // seed selection), so every baked oracle is unaffected.
     val fs = fsIn.select(col("vec_id"), col("qv"))
+      .repartition(fsIn.sparkSession.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a sample smaller than codebookSize seeds fewer codewords (the
     // SQL twin's LIMIT semantics, and what a 251-point sample honestly
