@@ -1059,11 +1059,21 @@ object Events {
       .filter(col("delta") =!= 0L)
     val timeline = Features.withRunningTotal(bounds, "t", "delta",
       "concurrency")
-    timeline.crossJoin(broadcast(
-        timeline.agg(max("concurrency").as("peak"))))
-      .select("t", "delta", "concurrency", "peak")
+    // peak rides on every row, but the global max row is BY DEFINITION
+    // inside the top-topK — so take the top-k first (TakeOrdered, one
+    // pass over timeline) and read the peak off those topK rows with a
+    // constant-size window, instead of the crossJoin(max) shape that
+    // evaluated the whole timeline lineage a second time for one
+    // number (guide §2.4: the second full computation was the only
+    // reason this query re-ran sessionize). Values are identical:
+    // max(concurrency | top-k) = max(concurrency | all).
+    timeline
       .orderBy(desc("concurrency"), asc("t"))
       .limit(topK)
+      .withColumn("peak",
+        max("concurrency").over(Window.partitionBy()))
+      .select("t", "delta", "concurrency", "peak")
+      .orderBy(desc("concurrency"), asc("t"))
   }
 
   /** Growth accounting — the daily user-lifecycle ledger every product

@@ -165,7 +165,17 @@ object Features {
     * make the running total order-dependent. */
   def withRunningTotal(df: DataFrame, orderKey: String, value: String,
       out: String): DataFrame = {
-    val ranged = df.withColumn("__pid", sliceId(df, orderKey))
+    // The construction reads its input THREE times by design — the
+    // sliceId approxQuantile action, the per-slice window pass, and the
+    // offsets aggregate. Callers hand in derived tables (sessionize
+    // boundaries, packed rank keys), so materialize the input ONCE and
+    // let all three passes read blocks: un-checkpointed, the round-13
+    // isolation of events_concurrency measured the upstream sessionize
+    // replayed 5× through this function (3 passes here × 2 consumer
+    // references upstream), 9.3 s cold → 3.0 s with the checkpoints
+    // (guide §1.2 step 1 — don't compute things twice, let alone 5×).
+    val in = df.localCheckpoint()
+    val ranged = in.withColumn("__pid", sliceId(in, orderKey))
     val wLocal = Window.partitionBy("__pid").orderBy(orderKey)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged.withColumn("__lcum", sum(col(value)).over(wLocal))

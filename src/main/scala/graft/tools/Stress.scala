@@ -55,8 +55,12 @@ object Stress {
           f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
       } catch {
         case e: Exception =>
+          // getMessage can be null (NPE) or empty — the handler itself
+          // must not throw and kill the ladder it protects (ADVICE r12)
+          val msg = Option(e.getMessage).filter(_.nonEmpty)
+            .getOrElse(e.getClass.getName).linesIterator.next()
           println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
-            s"   REFUSED: ${e.getMessage.linesIterator.next()}")
+            s"   REFUSED: $msg")
       }
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => pinned(id) }

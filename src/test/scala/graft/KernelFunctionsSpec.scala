@@ -98,4 +98,79 @@ class KernelFunctionsSpec extends SparkTestBase with Matchers {
       .agg(kmv(col("h")).as("b")).as[Seq[Long]].head()
     assert(got == (0L until 10L))
   }
+
+  // ---- IvfAssignTopN (round-13 two-level coarse assignment kernel) ----
+
+  private def ivfCents(nCents: Int, dim: Int,
+      scale: Int): Map[(Int, Int), Array[Long]] =
+    (0 until nCents).map(c =>
+      ((0, c), Array.tabulate(dim)(d => pseudo(c * 131L, d, scale)))).toMap
+
+  /** Brute top-nProbe reference: (dist asc, code asc) over ALL codes. */
+  private def bruteTopN(qv: Seq[Long], cents: Map[(Int, Int), Array[Long]],
+      nProbe: Int): Seq[Int] =
+    cents.toSeq.map { case ((_, c), cl) =>
+      val dot = qv.zip(cl).map { case (a, b) => a * b }.sum
+      (cl.map(x => x * x).sum - 2L * dot, c)
+    }.sortBy(identity).take(nProbe).map(_._2)
+
+  test("IvfAssignTopN.flat equals brute top-nProbe (dist asc, code asc)") {
+    val dim = 8; val scale = 64; val nProbe = 3
+    val cents = ivfCents(29, dim, scale)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.tabulate(dim)(d => pseudo(i, d, scale)).toSeq))
+    val got = vecs.toDF("vec_id", "qv")
+      .select(col("vec_id"),
+        graft.functions.IvfAssignTopN.flat(col("qv"), cents, nProbe).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    vecs.foreach { case (id, qv) =>
+      assert(got(id) == bruteTopN(qv, cents, nProbe), s"vec $id")
+    }
+  }
+
+  test("IvfAssignTopN with gProbe = nGroups scans everything and equals " +
+      "flat exactly (the two-level index only changes WHICH lists are " +
+      "scanned, never how survivors rank)") {
+    val dim = 8; val scale = 64; val nProbe = 2
+    val cents = ivfCents(80, dim, scale) // > TwoLevelFlatMax-sized fit
+    val (groups, gcents) =
+      graft.functions.IvfAssignTopN.groupCentroids(cents)
+    val vecs = (0L until 150L).map(i =>
+      (i, Array.tabulate(dim)(d => pseudo(i + 7L, d, scale)).toSeq))
+    val df = vecs.toDF("vec_id", "qv")
+    val full = df.select(col("vec_id"),
+        graft.functions.IvfAssignTopN(col("qv"), cents, groups, gcents,
+          gProbe = gcents.length, nProbe = nProbe).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    vecs.foreach { case (id, qv) =>
+      assert(full(id) == bruteTopN(qv, cents, nProbe), s"vec $id")
+    }
+  }
+
+  test("IvfAssignTopN duplicate centroids tie to the LOWER code, and " +
+      "ragged input throws") {
+    val cl = Array(3L, -2L, 1L, 0L)
+    val cents = Map((0, 0) -> cl, (0, 1) -> cl.clone(), (0, 2) -> cl.clone())
+    val got = Seq((1L, Seq(5L, 7L, -1L, 2L))).toDF("vec_id", "qv")
+      .select(graft.functions.IvfAssignTopN.flat(col("qv"), cents, 2).as("c"))
+      .as[Seq[Int]].collect()
+    assert(got.head == Seq(0, 1))
+    val e = intercept[Exception] {
+      Seq((1L, Seq(1L, 2L))).toDF("vec_id", "qv")
+        .select(graft.functions.IvfAssignTopN.flat(col("qv"), cents, 1))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("groupCentroids is a deterministic dense partition of the codes") {
+    val cents = ivfCents(100, 8, 64)
+    val (g1, c1) = graft.functions.IvfAssignTopN.groupCentroids(cents)
+    val (g2, c2) = graft.functions.IvfAssignTopN.groupCentroids(cents)
+    assert(g1.toSeq == g2.toSeq &&
+      c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "grouping must be a pure function of the centroid table")
+    assert(g1.length == 100 && c1.length == 10) // ceil(sqrt(100))
+    assert(g1.forall(g => g >= 0 && g < c1.length))
+  }
 }
