@@ -94,6 +94,10 @@ object EntityResolution {
     * ties)`, which is what lets a second engine recompute them. */
   private[graft] def globalRank(rows: DataFrame, tieCols: Seq[String],
       out: String = "rn"): DataFrame = {
+    // Three passes over `rows` (quantile action, local window, counts)
+    // — materialize once, the rangeNtileBucket/withRunningTotal
+    // discipline.
+    val rowsIn = rows.localCheckpoint()
     val packed = (1 to 6).foldLeft(lit(0L)) { (acc, i) =>
       acc * 256L + coalesce(ascii(substring(col("name"), i, 1)), lit(0)) }
     // base-256 packing is monotone vs lexicographic order ONLY while
@@ -102,7 +106,7 @@ object EntityResolution {
     // assumption is enforced in-plan rather than assumed in the doc
     val prefixOk = coalesce(
       substring(col("name"), 1, 6).rlike("^[\\x00-\\xFF]*$"), lit(true))
-    val withKey = rows.withColumn("__pk",
+    val withKey = rowsIn.withColumn("__pk",
       when(assert_true(prefixOk,
         lit("globalRank: name prefix contains a code point > 255 — " +
           "base-256 prefix packing breaks lexicographic monotonicity; " +

@@ -101,8 +101,16 @@ object Features {
   def rangeNtileBucket(df: DataFrame, v: String, tieKey: String,
       n: Int, out: String = "bucket"): DataFrame = {
     require(n >= 1, s"ntile requires n >= 1, got $n")
-    val ranged = df.withColumn("__pid",
-      when(col(v).isNull, lit(-1)).otherwise(sliceId(df, v)))
+    // Same three-pass construction (quantile action, window pass,
+    // counts aggregate) — materialize the input once, like
+    // [[withRunningTotal]]. CHAINED calls made this load-bearing:
+    // events_rfm folds three ntile passes, so an un-checkpointed pass-2
+    // input re-ran pass 1 (join + window + its own quantile job) per
+    // read — the whole events scan replayed ~a dozen times (measured
+    // 3.9 s → 2.0 s at sf0.1 with the checkpoints).
+    val in = df.localCheckpoint()
+    val ranged = in.withColumn("__pid",
+      when(col(v).isNull, lit(-1)).otherwise(sliceId(in, v)))
     val wLocal = Window.partitionBy("__pid").orderBy(col(v), col(tieKey))
     val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
